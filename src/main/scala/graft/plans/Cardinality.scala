@@ -1,0 +1,84 @@
+package graft.plans
+
+/** Cardinality of a relation subset (bitmask) — the planner's only
+  * statistics interface. The reference never consults engine stats: row
+  * counts come from an injected per-query dictionary
+  * (reference: MyMetadataQuery.java:81-162). */
+trait Cardinality {
+  def apply(s: Long): Double
+}
+
+/** Injected-cardinality dictionary with the reference's JSON format:
+  * `{ queryName: { "sorted table names": rows, ... }, ... }`, key =
+  * sorted space-joined base-table names (MyMetadataQuery.java:107-114;
+  * format doc in FIXTURES.md §2).
+  *
+  * On a key miss the reference hard-exits (MyMetadataQuery.java:148-152);
+  * we fall back to an estimator instead so planning always completes —
+  * the miss is still observable via [[misses]].
+  */
+final class CardinalityStore(
+    graph: QueryGraph,
+    byKey: Map[String, Double],
+    fallback: Cardinality) extends Cardinality {
+  private var missed = List.empty[String]
+  def misses: List[String] = missed
+  def apply(s: Long): Double = {
+    val k = graph.cardKey(s)
+    byKey.get(k) match {
+      case Some(v) => v
+      case None =>
+        missed ::= k
+        fallback(s)
+    }
+  }
+}
+
+object CardinalityStore {
+  /** Parse the reference's pg.json format. Uses jackson (shipped in
+    * Spark's classpath) — no extra dependency. */
+  def parseJson(json: String): Map[String, Map[String, Double]] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val root = new ObjectMapper().readTree(json)
+    val out = Map.newBuilder[String, Map[String, Double]]
+    root.properties().forEach { qe =>
+      val inner = Map.newBuilder[String, Double]
+      qe.getValue.properties().forEach { te =>
+        inner += te.getKey -> te.getValue.asDouble()
+      }
+      out += qe.getKey -> inner.result()
+    }
+    out.result()
+  }
+}
+
+/** Textbook independence-assumption estimator:
+  * |S| = Π base(i) · Π_{edges inside S} sel(e), with equi-join
+  * selectivity 1 / max(|A|, |B|) (PK–FK assumption). Deterministic and
+  * cheap; used both as the store's fallback and as the "estimated
+  * cardinalities" side of the est-vs-true regret experiment
+  * (reference: QueryOptExperiment.startTestCardinalities:437-505). */
+final class HeuristicCardinality(
+    graph: QueryGraph,
+    base: Array[Double],
+    filterSel: Array[Double]) extends Cardinality {
+  def apply(s: Long): Double = {
+    var rows = 1.0
+    var rest = s
+    while (rest != 0) {
+      val i = java.lang.Long.numberOfTrailingZeros(rest)
+      rows *= math.max(base(i) * filterSel(i), 1.0)
+      rest &= rest - 1
+    }
+    graph.edges.foreach { e =>
+      if ((e.mask & s) == e.mask)
+        rows /= math.max(math.max(base(e.a), base(e.b)), 1.0)
+    }
+    math.max(rows, 1.0)
+  }
+}
+
+object HeuristicCardinality {
+  def uniform(graph: QueryGraph, base: Array[Double]): HeuristicCardinality =
+    new HeuristicCardinality(graph, base, Array.fill(graph.n)(1.0))
+}

@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry over the driver-generated parquet testdata.
+  *
+  * Plays the role the reference's JDBC-reflected Postgres schema plays
+  * (reference: pg-schema.json:1-16, DbInfo.java:19-40): one place that
+  * knows every table, loads it, and registers it for SQL. On a real
+  * cluster the same code reads from any parquet-backed object store path;
+  * partition discovery / predicate pushdown / column pruning are handled
+  * by the parquet datasource, so scans stay O(selected-bytes), not
+  * O(table-bytes), at 100 TB.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables that should always broadcast in joins. */
+  val broadcastable: Set[String] = Set("region", "nation", "supplier")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which the parquet reader
+    // rejects by default; read nanos as long and derive a micros
+    // timestamp. Integer `div` (not `/`): epoch-nanos > 2^53 would lose
+    // precision through a double.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path(sfDir, name))
+    if (name == "events")
+      df.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts_ns div 1000)"))
+    else df
+  }
+
+  /** Register every table as a temp view named after itself.
+    * Idempotent; cheap (views are lazy — no IO until an action). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+}
