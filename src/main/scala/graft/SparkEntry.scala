@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's operator inventory (SURVEY.md §2 ✦ rows +
+  * the LLM-pipeline additions); every entry with an `oracleSql` twin is
+  * hash-checked against DuckDB at sf0.01 by the driver's Verify pass.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.queries("q03_flagship")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++
+      TextOps.queries ++
+      DedupOps.queries ++
+      SimilarityOps.queries ++
+      MultimodalOps.queries ++
+      graft.plans.PlannerQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracleSql ++
+      TextOps.oracleSql ++
+      DedupOps.oracleSql ++
+      SimilarityOps.oracleSql ++
+      MultimodalOps.oracleSql ++
+      graft.plans.PlannerQueries.oracleSql
 }

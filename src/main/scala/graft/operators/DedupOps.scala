@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): every variant is
+  *   map (signature, narrow) → explode small constant factor →
+  *   shuffle on bucket key → within-bucket pair join → verify.
+  * No O(n²) stage anywhere: candidate generation is banded LSH (pairs
+  * only meet if they collide in a band), and verification only touches
+  * candidate pairs. All signatures are built from codegen'd higher-order
+  * array functions + xxhash64 — no UDFs, fully whole-stage-codegen.
+  */
+object DedupOps {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+
+  // ------------------------------------------------------------------ exact
+  /** Exact dedup: hash-groupBy on content. At 100 TB you'd group on
+    * md5(text) (fixed 16-byte shuffle key) rather than the full text —
+    * same result, cheaper shuffle; both forms below hash-match. */
+  val exactSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS copies
+       FROM documents GROUP BY md5(text)"""
+
+  // -------------------------------------------------------------- MinHash
+  /** MinHash signature: k hash functions simulated as xxhash64(shingle, i)
+    * (seeded family), min over the doc's word-shingle set per i. */
+  private def withMinhash(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("sh",
+        array_distinct(Shingles.wordShingles("text", 4)))
+      .withColumn("mh", expr(
+        s"""transform(sequence(0, ${k - 1}),
+              i -> array_min(transform(sh, s -> xxhash64(s, i))))"""))
+
+  /** MinHash + LSH banded dedup: b bands of r rows; docs collide in a
+    * band iff their signature slice matches, then candidates are verified
+    * with exact shingle-set Jaccard. Returns pairs (a < b) with
+    * jaccard ≥ threshold. */
+  def minhashLsh(
+      spark: SparkSession, sfDir: String,
+      bands: Int = 8, rows: Int = 4, threshold: Double = 0.4): DataFrame = {
+    val d = withMinhash(docs(spark, sfDir), bands * rows)
+      .select(col("doc_id"), col("sh"), col("mh"))
+    val banded = d.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+              b -> xxhash64(slice(mh, b * $rows + 1, $rows)))"""))
+        .as(Seq("band", "sig")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sh = d.select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // --------------------------------------------------------------- SimHash
+  /** 64-bit SimHash over word tokens: bit j of the signature is the sign
+    * of Σ_tokens (±1 by bit j of xxhash64(token)). Near-dups share most
+    * bits; banding the signature into 4×16-bit chunks guarantees any pair
+    * within Hamming distance 3 collides in ≥1 chunk (pigeonhole). */
+  private def withSimhash(df: DataFrame): DataFrame =
+    df.withColumn("toks", array_distinct(split(col("text"), " ")))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, j) ->
+             acc | IF(aggregate(toks, 0,
+                        (s, t) -> s + IF((shiftright(xxhash64(t), j) & 1) = 1,
+                                         1, -1)) > 0,
+                      shiftleft(1L, j), 0L))"""))
+
+  def simhashPairs(
+      spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
+    val d = withSimhash(docs(spark, sfDir)).select(col("doc_id"), col("simhash"))
+    val banded = d.select(
+      col("doc_id"), col("simhash"),
+      posexplode(expr(
+        """transform(sequence(0, 3),
+             b -> shiftright(simhash, b * 16) & 65535)""")).as(Seq("band", "chunk")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // -------------------------------------------------------- n-gram Jaccard
+  /** Character-n-gram Jaccard dedup: candidates = pairs sharing ≥1 word
+    * 8-gram (a high-precision canopy — true near-dups almost surely share
+    * one), verified by 5-char-gram Jaccard. */
+  def ngramJaccard(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
+    val d = docs(spark, sfDir)
+      .withColumn("grams", array_distinct(expr(
+        "regexp_extract_all(text, '.{5}', 0)"))) // non-overlapping 5-char grams
+      .withColumn("canopy", array_distinct(Shingles.wordShingles("text", 8)))
+      .select(col("doc_id"), col("grams"), col("canopy"))
+    val keys = d.select(col("doc_id"), explode(col("canopy")).as("key"))
+    val cand = keys.as("x").join(keys.as("y"),
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val g = d.select(col("doc_id"), col("grams"))
+    cand
+      .join(g.as("ga"), col("id_a") === col("ga.doc_id"))
+      .join(g.as("gb"), col("id_b") === col("gb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("ga.grams"), col("gb.grams"))).cast("double") /
+          size(array_union(col("ga.grams"), col("gb.grams"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // --------------------------------------------------- embedding near-dup
+  /** Embedding-cosine near-dup: pairs with cosine ≥ threshold, blocked by
+    * the label column (stand-in for a coarse ANN cluster id — see
+    * SimilarityOps for LSH blocking that needs no labels). */
+  def embeddingNearDup(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.3): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+    e.as("x").join(e.as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        round(
+          expr("aggregate(zip_with(x.v, y.v, (a, b) -> a * b), 0D, (s, p) -> s + p)") /
+            (col("x.norm") * col("y.norm")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact" -> ((spark: SparkSession, sfDir: String) => {
+      Tables.registerAll(spark, sfDir); spark.sql(exactSql)
+    }),
+    "d02_dedup_minhash" ->
+      ((s: SparkSession, d: String) => minhashLsh(s, d)),
+    "d03_dedup_simhash" ->
+      ((s: SparkSession, d: String) => simhashPairs(s, d)),
+    "d04_dedup_ngram" ->
+      ((s: SparkSession, d: String) => ngramJaccard(s, d)),
+    "d05_dedup_embedding" ->
+      ((s: SparkSession, d: String) => embeddingNearDup(s, d))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "d01_dedup_exact" -> exactSql
+  )
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns + a typed metadata struct, with decode/feature-
+  * extract/frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the decode kernels are
+  * STUBBED with deterministic fakes (clearly marked below). Everything
+  * around the stub — schema (binary + metadata struct), partition-local
+  * batch processing, feature/frame output shapes — is real and tested.
+  * In production the stub body is the only thing that changes (JNI/
+  * native codec per partition); the Spark plan is already the right one:
+  * narrow map stages over binary columns, no shuffle, no driver data.
+  *
+  * The testdata has no binary table, so we synthesize payloads from
+  * documents.text via to_binary — the pipeline downstream of that column
+  * is exactly what a parquet table with a real `binary` column gets.
+  */
+object MultimodalOps {
+
+  /** Typed media row: the schema a 100 TB multimodal corpus table has. */
+  final case class MediaRow(
+      media_id: Long, payload: Array[Byte], mime: String,
+      width: Int, height: Int)
+
+  /** Fake "media" table: binary payload + metadata struct derived
+    * deterministically from the payload (stand-in for parquet metadata
+    * written at ingest). */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        expr("to_binary(text, 'utf-8')").as("payload"),
+        lit("image/fake").as("mime"),
+        // STUB metadata: real ingest reads these from the codec header
+        (pmod(xxhash64(col("text")), lit(1280)) + 32).cast("int").as("width"),
+        (pmod(xxhash64(col("text"), lit(1)), lit(720)) + 32).cast("int").as("height"))
+
+  /** Per-item metadata + integrity features — pure native functions. */
+  def binaryMeta(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).select(
+      col("media_id"), col("mime"), col("width"), col("height"),
+      length(col("payload")).as("byte_len"),
+      crc32(col("payload")).as("checksum"))
+
+  /** "Feature extraction": 8-dim embedding per payload. STUB — a real
+    * pipeline decodes the image and runs a vision model here; the fake is
+    * a deterministic hash projection with the same output shape
+    * (Array[Double]) and the same narrow-map plan. */
+  def featureExtract(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).select(
+      col("media_id"),
+      expr("""transform(sequence(0, 7),
+                i -> pmod(xxhash64(payload, i), 1000) / 1000D)""").as("features"))
+
+  /** "Frame sampling": every `stride` bytes take a 16-byte "frame"
+    * (stand-in for video keyframe extraction); emits one row per frame —
+    * the explode pattern a video pipeline uses to fan frames out to
+    * downstream per-frame operators. */
+  def frameSample(spark: SparkSession, sfDir: String, stride: Int = 64): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(col("media_id"), length(col("payload")).as("len"), col("payload"))
+      .select(col("media_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, int((len - 1) / $stride)),
+                f -> substring(payload, f * $stride + 1, 16))"""))
+          .as(Seq("frame_no", "frame")))
+      .select(col("media_id"), col("frame_no"),
+        crc32(col("frame")).as("frame_checksum"))
+
+  /** Partition-local batch decode, typed Dataset form — the shape a real
+    * codec integration takes (one codec context per partition, streamed
+    * batches). The decode body is the STUB (`fakeDecode`); swap it for a
+    * JNI call without touching the plan. */
+  def decodeBatched(spark: SparkSession, sfDir: String): Dataset[(Long, Int)] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: open codec context once per partition here
+        it.map { case (id, bytes) => (id, fakeDecode(bytes)) }
+      }
+  }
+
+  /** STUB decode kernel: deterministic "pixel count" from the payload. */
+  private def fakeDecode(bytes: Array[Byte]): Int = bytes.length * 3
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_binary_meta" -> (binaryMeta _),
+    "m02_feature_extract" -> (featureExtract _),
+    "m03_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
+    "m04_decode_batched" -> ((s: SparkSession, d: String) =>
+      decodeBatched(s, d).toDF("media_id", "pixels"))
+  )
+
+  /** byte_len/checksum are oracle-checkable: DuckDB computes the same
+    * lengths from the parquet text (utf-8 byte length = octet_length). */
+  def oracleSql: Map[String, String] = Map(
+    "m04_decode_batched" ->
+      """SELECT doc_id AS media_id,
+                CAST(octet_length(encode(text)) * 3 AS INTEGER) AS pixels
+         FROM documents"""
+  )
+}

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+
+/** Relational operator coverage (SURVEY.md §2a/§2c ✦ rows): scan,
+  * filter-predicate language, projection, joins (inner/outer/semi/anti/
+  * self/cross), aggregation, distinct, sort/limit, window, set ops,
+  * rollup/cube, scalar functions, subqueries.
+  *
+  * Queries whose text is *identical* ANSI SQL in Spark and DuckDB live in
+  * [[sharedSql]] — one string is both the Spark implementation (via
+  * `spark.sql` over the registered testdata views) and the DuckDB oracle.
+  * That mirrors how the reference validates planners against each other by
+  * result hash (reference: Query.verifyResults, Query.java:71-80) — here
+  * the "other planner" is a different engine entirely.
+  *
+  * Determinism notes baked into every query:
+  *  - double aggregates are `round()`ed (cross-engine float-sum jitter);
+  *  - LIMIT always rides a total order (unique-key tie-break);
+  *  - timestamp comparisons go through DATE casts (ntz-vs-ltz safety).
+  */
+object RelationalQueries {
+
+  /** SQL that runs verbatim on Spark AND DuckDB over the same tables. */
+  val sharedSql: Map[String, String] = Map(
+    // --- scan / project / filter (reference predicate language:
+    //     =, <>, <, >, LIKE, IN, BETWEEN, IS NOT NULL, AND/OR —
+    //     MyUtils.java:152-180) ---
+    "q01_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "q02_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE l_returnflag <> 'N' AND l_quantity BETWEEN 10 AND 40
+           AND l_linestatus IN ('F', 'O') AND l_returnflag IS NOT NULL
+           AND (l_discount < 0.05 OR l_tax > 0.04)""",
+    "q02b_filter_like" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_name LIKE '%widget%' AND p_size > 10""",
+
+    // --- flagship: JOB-shaped multiway inner equi-join, conjunctive
+    //     base-table predicates, ungrouped MIN select list ---
+    "q03_flagship" ->
+      """SELECT min(o_totalprice) AS min_total, min(l_extendedprice) AS min_ext,
+                count(*) AS cnt
+         FROM region, nation, customer, orders, lineitem
+         WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+           AND r_name = 'ASIA' AND o_orderstatus = 'F' AND l_quantity > 5""",
+
+    // --- joins ---
+    "q04_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment""",
+    "q05_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+    "q22_self_join" ->
+      """SELECT a.n_nationkey AS nk1, b.n_nationkey AS nk2
+         FROM nation a JOIN nation b
+           ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey""",
+    "q23_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+
+    // --- aggregation ---
+    "q08_agg_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+                round(avg(l_quantity), 4) AS avg_qty,
+                count(*) AS cnt
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q09_min_ungrouped" ->
+      """SELECT min(p_retailprice) AS min_price, min(s_acctbal) AS min_bal
+         FROM part, lineitem, supplier
+         WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+           AND p_type = 'PROMO' AND s_acctbal > 0""",
+    "q10_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q11_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS ndv_part,
+                count(DISTINCT l_suppkey) AS ndv_supp
+         FROM lineitem""",
+    "q25_having" ->
+      """SELECT l_partkey, count(*) AS cnt FROM lineitem
+         GROUP BY l_partkey HAVING count(*) > 5""",
+    "q18_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "q24_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    // --- sort / limit (total order: unique o_orderkey tie-break) ---
+    "q12_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    // --- window functions ---
+    "q13_window_rank" ->
+      """SELECT c_custkey, c_nationkey, CAST(rnk AS INTEGER) AS rnk FROM (
+           SELECT c_custkey, c_nationkey,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey) AS rnk
+           FROM customer) AS t
+         WHERE rnk <= 3""",
+    "q14_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+                round(sum(o_totalprice) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+         FROM orders""",
+
+    // --- set operations ---
+    "q15_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+         UNION SELECT s_nationkey AS nk FROM supplier""",
+    "q16_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT SELECT s_nationkey AS nk FROM supplier""",
+    "q17_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+         EXCEPT SELECT s_nationkey AS nk FROM supplier""",
+
+    // --- scalar functions (string/date/math/conditional) ---
+    "q19_scalar_fns" ->
+      """SELECT o_orderkey, upper(substr(o_orderpriority, 3, 6)) AS prio,
+                CAST(year(o_orderdate) AS INTEGER) AS yr,
+                CAST(month(o_orderdate) AS INTEGER) AS mo,
+                round(abs(o_totalprice - 100000.0), 2) AS dist,
+                CAST(length(o_orderstatus) AS INTEGER) AS slen
+         FROM orders""",
+    "q20_case_when" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                     WHEN l_quantity < 30 THEN 'mid'
+                     ELSE 'high' END AS bucket,
+                count(*) AS cnt
+         FROM lineitem GROUP BY 1""",
+
+    // --- subqueries ---
+    "q21_in_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)""",
+
+    // --- semi-structured: regexp extraction from the events JSON props
+    //     ([0-9] avoids cross-engine backslash-escape divergence) ---
+    "q27_events_json" ->
+      """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 10 AS kb,
+                count(*) AS cnt
+         FROM events GROUP BY kb"""
+  )
+
+  /** DataFrame-API queries (operators Spark expresses natively but whose
+    * SQL differs from DuckDB, or that showcase the Dataset API). */
+  def dfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // left-semi join (reference: semijoin selection,
+    // MyLoptOptimizeJoinRule.java:121-141)
+    "q06_join_semi" -> ((spark, sfDir) => {
+      val c = Tables.load(spark, sfDir, "customer")
+      val o = Tables.load(spark, sfDir, "orders")
+        .filter("o_totalprice > 300000")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+    "q07_join_anti" -> ((spark, sfDir) => {
+      val c = Tables.load(spark, sfDir, "customer")
+      val o = Tables.load(spark, sfDir, "orders")
+        .filter("o_totalprice > 300000")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+    // time-bucketed aggregation over the events table (the ts column is
+    // nanos in parquet; Tables.load derives a micros timestamp)
+    "q26_events_daily" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.functions._
+      Tables.load(spark, sfDir, "events")
+        .groupBy(
+          date_trunc("day", col("ts")).cast("date").as("day"),
+          col("event_type"))
+        .agg(count("*").as("cnt"), round(sum("value"), 2).as("sv"))
+    })
+  )
+
+  val dfOracleSql: Map[String, String] = Map(
+    "q06_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
+    "q07_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
+    "q26_events_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                count(*) AS cnt, round(sum(value), 2) AS sv
+         FROM events GROUP BY 1, 2"""
+  )
+
+  /** Rows-only checks: value is engine-specific (approximate sketch). */
+  def noOracleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_approx_ndv" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.functions._
+      Tables.load(spark, sfDir, "lineitem")
+        .agg(approx_count_distinct("l_partkey").as("approx_ndv_part"),
+             approx_count_distinct("l_orderkey").as("approx_ndv_order"))
+    })
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val shared = sharedSql.map { case (name, sql) =>
+      name -> ((spark: SparkSession, sfDir: String) => {
+        Tables.registerAll(spark, sfDir)
+        spark.sql(sql)
+      })
+    }
+    shared ++ dfQueries ++ noOracleQueries
+  }
+
+  def oracleSql: Map[String, String] = sharedSql ++ dfOracleSql
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (`embedding: Array[Float]`, 64-dim).
+  *
+  * Two paths, same output shape (query_id, rank, neighbor_id, cosine):
+  *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query
+  *    set against every vector; one narrow pass + a per-query top-k.
+  *    At 100 TB this is the correct plan when |queries| is small: the
+  *    big side streams, nothing shuffles but the top-k (bounded k·|Q|).
+  *  - [[lshTopK]] — scale path when |queries| is large: random-hyperplane
+  *    LSH signatures bucket the vectors; only same-bucket pairs meet.
+  *    Hyperplanes are derived from xxhash64(table, plane, dim) so the
+  *    whole index is deterministic and needs no fitted model or stored
+  *    state — recompute-on-read, which is exactly what you want for a
+  *    100 TB immutable corpus.
+  *
+  * All vector math is higher-order array functions (zip_with/aggregate)
+  * — codegen'd, no UDFs.
+  */
+object SimilarityOps {
+
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+
+  private val cosineExpr =
+    expr("aggregate(zip_with(q.v, c.v, (a, b) -> a * b), 0D, (s, p) -> s + p)")
+
+  /** Exact top-k by cosine for query vectors `vec_id < nQueries`. */
+  def bruteForceTopK(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val q = all.filter(col("vec_id") < nQueries)
+    val scored = all.as("c").join(
+        broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(cosineExpr / (col("q.norm") * col("c.norm")), 4).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** LSH signature for one hash table: `planes` random hyperplanes, bit p
+    * = sign of <v, h_tp> with h_tp[d] = ±1 from xxhash64(t, p, d). */
+  private def sigExpr(table: Int, planes: Int): org.apache.spark.sql.Column =
+    expr(
+      s"""aggregate(sequence(0, ${planes - 1}), 0,
+            (acc, p) -> acc * 2 + IF(
+              aggregate(zip_with(v, sequence(0, size(v) - 1),
+                          (x, d) -> x * IF((xxhash64($table, p, d) & 1) = 1,
+                                           1D, -1D)),
+                        0D, (a, y) -> a + y) > 0D, 1, 0))""")
+
+  /** LSH-bucketed ANN: `tables` independent hash tables of `planes`-bit
+    * signatures; a candidate appears if it collides with the query in ANY
+    * table. Approximate — recall grows with `tables`. */
+  def lshTopK(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, k: Int = 10,
+      tables: Int = 8, planes: Int = 8): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val sigs = (0 until tables).map(t =>
+      struct(lit(t).as("t"), sigExpr(t, planes).as("sig")))
+    val bucketed = all
+      .withColumn("buckets", array(sigs: _*))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"),
+        explode(col("buckets")).as("b"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("b.t").as("t"), col("b.sig").as("sig"))
+    val q = bucketed.filter(col("vec_id") < nQueries)
+    val cand = bucketed.as("c").join(broadcast(q.as("q")),
+        col("q.t") === col("c.t") && col("q.sig") === col("c.sig") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(cosineExpr / (col("q.norm") * col("c.norm")), 4).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Per-vector L2 norm — oracle-checkable vector math. */
+  def norms(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir).select(col("vec_id"), round(col("norm"), 3).as("l2"))
+
+  val normsOracle: String =
+    """SELECT vec_id,
+              round(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS l2
+       FROM embeddings"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_ann_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
+    "s02_ann_lsh" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
+    "s03_vector_norms" -> (norms _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s03_vector_norms" -> normsOracle
+  )
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * quality scoring, token counting, fingerprinting, language-ID.
+  *
+  * Everything here is built from codegen'd Catalyst functions (split /
+  * higher-order array functions / hash functions) — no UDFs — so at
+  * 100 TB each operator is a single narrow map stage over the documents
+  * table: no shuffle, no driver round-trips, whole-stage codegen keeps
+  * it in one generated loop per partition.
+  */
+object TextOps {
+
+  private val stopwords =
+    Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+  /** whitespace tokens; documents.text is single-space-joined words */
+  private def toks(c: Column): Column = split(c, " ")
+
+  def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+
+  // ---------------------------------------------------------------- quality
+  /** Per-document quality stats: char/word counts, average word length,
+    * stopword ratio — the usual "keep or drop" features for corpus
+    * filtering. */
+  def qualityStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val inList = stopwords.map(s => s"'$s'").mkString(", ")
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      length(col("text")).as("chars"),
+      size(toks(col("text"))).as("words"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(toks(col("text"))), 4).as("avg_word_len"),
+      round(expr(
+        s"size(filter(split(text, ' '), w -> w IN ($inList)))").cast("double") /
+        size(toks(col("text"))), 4).as("stopword_ratio"))
+  }
+
+  val qualityOracle: String = {
+    val ors = stopwords.map(s => s"w = '$s'").mkString(" OR ")
+    s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS chars,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS words,
+               round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+                     len(string_split(text, ' ')), 4) AS avg_word_len,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                                          w -> $ors)) AS DOUBLE) /
+                     len(string_split(text, ' ')), 4) AS stopword_ratio
+        FROM documents"""
+  }
+
+  // ----------------------------------------------------------------- tokens
+  /** Token counting: total + distinct tokens per document (BPE-ish regex
+    * variant of tokenization is the rows-only query below). */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      size(toks(col("text"))).as("n_tokens"),
+      size(array_distinct(toks(col("text")))).as("n_distinct"))
+
+  val tokenOracle: String =
+    """SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+              CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+                AS n_distinct
+       FROM documents"""
+
+  /** BPE-ish subword count: tokens further split into ≤4-char chunks via a
+    * regex — a stand-in for a real BPE vocab (engine-side shape is
+    * identical: one generator expression, no state). Rows-only check. */
+  def subwordCounts(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      size(expr("""flatten(transform(split(text, ' '),
+                     w -> regexp_extract_all(w, '.{1,4}', 0)))""")).as("n_subwords"))
+
+  // ------------------------------------------------------------ fingerprint
+  /** Content fingerprint via md5 — exact-dup key; identical function on
+    * both engines so it doubles as an oracle-checked query. */
+  def fingerprintMd5Sql: String =
+    "SELECT doc_id, md5(text) AS fp FROM documents"
+
+  /** Rolling 64-bit fingerprint over word 4-grams (Rabin-style document
+    * sketch): min/max/xor of shingle hashes. xxhash64 is Spark-native and
+    * deterministic; rows-only check. */
+  def fingerprintRolling(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("sh", Shingles.wordShingles("text", 4))
+      .select(
+        col("doc_id"),
+        expr("array_min(transform(sh, s -> xxhash64(s)))").as("fp_min"),
+        expr("array_max(transform(sh, s -> xxhash64(s)))").as("fp_max"),
+        expr("aggregate(transform(sh, s -> xxhash64(s)), 0L, (a, x) -> a ^ x)")
+          .as("fp_xor"))
+
+  // ---------------------------------------------------------------- langid
+  /** Character-n-gram language-ID heuristic: score each language by its
+    * profile trigrams' hit count in the document, pick the argmax
+    * (deterministic tie-break by language code). The profiles are tiny
+    * hand-rolled trigram sets — the engine shape (map-side scoring against
+    * broadcast profiles, no shuffle) is what matters at scale. */
+  private val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", " th", "ing", " of", "ion"),
+    "de" -> Seq("der", "ein", "sch", "ung", " de", "ich"),
+    "es" -> Seq(" de", "que", "ión", " la", "los", " es"),
+    "fr" -> Seq(" le", " de", "les", "ent", "que", " la"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+      val s = grams.map(g =>
+        s"(length(text) - length(replace(text, '${g.replace("'", "''")}', '')))")
+        .mkString(" + ")
+      struct(expr(s).as("score"), lit(lang).as("lang"))
+    }
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      expr("lang").as("lang_actual"),
+      element_at(
+        reverse(array_sort(array(scores: _*))), 1).getField("lang")
+        .as("lang_pred"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_quality" -> qualityStats _,
+    "t02_tokens" -> tokenCounts _,
+    "t03_fingerprint_md5" -> ((spark: SparkSession, sfDir: String) => {
+      Tables.registerAll(spark, sfDir); spark.sql(fingerprintMd5Sql)
+    }),
+    "t04_fingerprint_rolling" -> fingerprintRolling _,
+    "t05_langid" -> langId _,
+    "t06_subwords" -> subwordCounts _
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "t01_quality" -> qualityOracle,
+    "t02_tokens" -> tokenOracle,
+    "t03_fingerprint_md5" -> fingerprintMd5Sql
+  )
+}
+
+/** Shingling helpers shared by text fingerprinting and MinHash dedup. */
+object Shingles {
+  /** Array of `k`-word shingles (space-rejoined) over column `colName`;
+    * docs shorter than k words yield the whole text as one shingle. */
+  def wordShingles(colName: String, k: Int): Column =
+    expr(s"""CASE WHEN size(split($colName, ' ')) < $k THEN array($colName)
+             ELSE transform(
+                    sequence(0, size(split($colName, ' ')) - $k),
+                    i -> array_join(slice(split($colName, ' '), i + 1, $k), ' '))
+             END""")
+}

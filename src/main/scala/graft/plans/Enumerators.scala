@@ -52,8 +52,53 @@ object Enumerators {
 
     protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree = {
       require(g.connected(g.full), "DPccp requires a connected join graph")
+
+      // Phase 1: enumerate every csg-cmp pair exactly once (paper §4.2).
+      // Connectivity checks are unnecessary by construction: growing a
+      // connected set by any subset of its neighborhood stays connected.
+      val pairs = mutable.ArrayBuffer.empty[(Long, Long)]
+      def bMask(i: Int): Long = (1L << (i + 1)) - 1 // B_i = {0..i}
+
+      def enumerateCmpRec(s1: Long, s2: Long, x: Long): Unit = {
+        val ns = g.neighbors(s2) & ~x
+        if (ns == 0) return
+        foreachSubset(ns) { sub => pairs += ((s1, s2 | sub)) }
+        foreachSubset(ns) { sub => enumerateCmpRec(s1, s2 | sub, x | ns) }
+      }
+
+      def emitCmp(s1: Long): Unit = {
+        val minV = java.lang.Long.numberOfTrailingZeros(s1)
+        val x = s1 | bMask(minV)
+        val ns = g.neighbors(s1) & ~x
+        var i = g.n - 1
+        while (i >= 0) {
+          if ((ns & (1L << i)) != 0) {
+            pairs += ((s1, 1L << i))
+            enumerateCmpRec(s1, 1L << i, x | (bMask(i) & ns))
+          }
+          i -= 1
+        }
+      }
+
+      def enumerateCsgRec(s: Long, x: Long): Unit = {
+        val ns = g.neighbors(s) & ~x
+        if (ns == 0) return
+        foreachSubset(ns) { sub => emitCmp(s | sub) }
+        foreachSubset(ns) { sub => enumerateCsgRec(s | sub, x | ns) }
+      }
+
+      var i = g.n - 1
+      while (i >= 0) {
+        emitCmp(1L << i)
+        enumerateCsgRec(1L << i, bMask(i))
+        i -= 1
+      }
+
+      // Phase 2: DP over the pairs in increasing union-size order — every
+      // proper connected subplan is strictly smaller, so its memo entry
+      // exists by the time a pair consuming it is priced.
       val best = mutable.LongMap.empty[(JoinTree, Double)]
-      (0 until g.n).foreach { i => best(1L << i) = (Leaf(i), 0.0) }
+      (0 until g.n).foreach { j => best(1L << j) = (Leaf(j), 0.0) }
 
       def tryJoin(s1: Long, s2: Long): Unit = {
         val (t1, c1) = best(s1); val (t2, c2) = best(s2)
@@ -67,52 +112,9 @@ object Enumerators {
         best(union) = bestHere
       }
 
-      // B_i = {0..i}
-      def bMask(i: Int): Long = (1L << (i + 1)) - 1
+      pairs.sortInPlaceBy(p => java.lang.Long.bitCount(p._1 | p._2))
+      pairs.foreach { case (s1, s2) => tryJoin(s1, s2) }
 
-      def enumerateCmpRec(s1: Long, s2: Long, x: Long): Unit = {
-        val ns = g.neighbors(s2) & ~x
-        if (ns == 0) return
-        foreachSubset(ns) { sub =>
-          val s2e = s2 | sub
-          if (g.connected(s2e) && best.contains(s2e)) tryJoin(s1, s2e)
-        }
-        foreachSubset(ns) { sub => enumerateCmpRec(s1, s2 | sub, x | ns) }
-      }
-
-      def emitCsg(s1: Long): Unit = {
-        val minV = java.lang.Long.numberOfTrailingZeros(s1)
-        val x = s1 | bMask(minV)
-        val ns = g.neighbors(s1) & ~x
-        var i = g.n - 1
-        while (i >= 0) {
-          if ((ns & (1L << i)) != 0) {
-            val s2 = 1L << i
-            tryJoin(s1, s2)
-            enumerateCmpRec(s1, s2, x | (bMask(i) & ns))
-          }
-          i -= 1
-        }
-      }
-
-      def enumerateCsgRec(s: Long, x: Long): Unit = {
-        val ns = g.neighbors(s) & ~x
-        if (ns == 0) return
-        foreachSubset(ns) { sub =>
-          val se = s | sub
-          if (g.connected(se) && best.contains(se)) emitCsg(se)
-        }
-        foreachSubset(ns) { sub => enumerateCsgRec(s | sub, x | ns) }
-      }
-
-      // csg-cmp pairs must be produced smallest-first so DP entries exist
-      // when consumed; iterating vertices n-1..0 gives that order.
-      var i = g.n - 1
-      while (i >= 0) {
-        emitCsg(1L << i)
-        enumerateCsgRec(1L << i, bMask(i))
-        i -= 1
-      }
       require(best.contains(g.full),
         "DPccp memo missing full set — enumeration bug") // analog of ExhaustiveDPJoinOrderRule.java:176-181
       best(g.full)._1

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The flagship JOB-shaped query executed through each join-order
+  * enumerator: the enumerator picks the order over the QueryGraph, the
+  * JoinTreeExecutor materializes exactly that DataFrame join tree, and
+  * the result must hash-match the declarative oracle regardless of the
+  * chosen order — the engine-level form of the reference's cross-planner
+  * result verification (reference: Query.verifyResults, Query.java:71-80).
+  */
+object PlannerQueries {
+
+  /** The flagship join graph: region–nation–customer–orders–lineitem
+    * chain with base-table predicates (shape of JOB queries: n-way inner
+    * equi-join + conjunctive filters + ungrouped MIN aggregates). */
+  def flagshipGraph: (QueryGraph, Vector[Option[String]]) = {
+    val g = QueryGraph(
+      Vector("region", "nation", "customer", "orders", "lineitem"),
+      Vector(
+        JoinEdge(0, 1, Seq("r_regionkey" -> "n_regionkey")),
+        JoinEdge(1, 2, Seq("n_nationkey" -> "c_nationkey")),
+        JoinEdge(2, 3, Seq("c_custkey" -> "o_custkey")),
+        JoinEdge(3, 4, Seq("o_orderkey" -> "l_orderkey"))))
+    val filters = Vector(
+      Some("r_name = 'ASIA'"), None, None,
+      Some("o_orderstatus = 'F'"), Some("l_quantity > 5"))
+    (g, filters)
+  }
+
+  /** Plan with `planner`, execute, aggregate — same result columns as the
+    * q03_flagship oracle. Filter selectivities feed the heuristic
+    * cardinality model so the planner has something real to optimize. */
+  def runFlagship(
+      planner: JoinOrderPlanner)(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val (g, filters) = flagshipGraph
+    val dfs = g.relations.map(n => Tables.load(spark, sfDir, n))
+    // base row counts from parquet metadata (cheap count over footers)
+    val base = dfs.map(_.count().toDouble).toArray
+    val sel = Array(0.2, 1.0, 1.0, 0.33, 0.9) // |regions|=5, statuses≈3
+    val card = new HeuristicCardinality(g, base, sel)
+    val inputs = g.relations.zip(dfs).zip(filters).map {
+      case ((n, df), f) => RelInput(n, df, f.map(expr))
+    }
+    val planned = planner.plan(g, card, CostModel.Cout)
+    JoinTreeExecutor.build(planned.tree, g, inputs, card)
+      .agg(min("o_totalprice").as("min_total"),
+        min("l_extendedprice").as("min_ext"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Every planner must produce the identical (oracle-checked) result. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_planner_dpccp" -> runFlagship(Enumerators.DPccp) _,
+    "p02_planner_leftdeep" -> runFlagship(Enumerators.LeftDeepDP) _,
+    "p03_planner_greedy" -> runFlagship(Enumerators.Greedy) _,
+    "p04_planner_random" -> runFlagship(Enumerators.RandomOrder()) _
+  )
+
+  private val flagshipOracle: String =
+    """SELECT min(o_totalprice) AS min_total, min(l_extendedprice) AS min_ext,
+              count(*) AS cnt
+       FROM region, nation, customer, orders, lineitem
+       WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+         AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         AND r_name = 'ASIA' AND o_orderstatus = 'F' AND l_quantity > 5"""
+
+  def oracleSql: Map[String, String] =
+    queries.keys.map(_ -> flagshipOracle).toMap
+}

@@ -1,0 +1,103 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Planner correctness properties (SURVEY.md §5 strategy (a)):
+  * on random graphs with random cardinalities, the exact search
+  * strategies (DPccp, naive DP, branch-and-bound) must agree on optimal
+  * cost; heuristics (left-deep, greedy) must be ≥ optimal; every emitted
+  * tree must be valid (covers all relations, every join has an edge). */
+class EnumeratorsSpec extends AnyFunSuite {
+
+  /** random connected graph: spanning tree + extra edges */
+  private def randomGraph(n: Int, extraEdges: Int, rnd: Random): QueryGraph = {
+    val names = Vector.tabulate(n)(i => s"t$i")
+    val tree = (1 until n).map { i => JoinEdge(rnd.nextInt(i), i) }
+    val treeMasks = tree.map(_.mask).toSet
+    val candidates = for {
+      a <- 0 until n; b <- a + 1 until n
+      if !treeMasks(JoinEdge(a, b).mask)
+    } yield JoinEdge(a, b)
+    val extra = rnd.shuffle(candidates.toVector).take(extraEdges)
+    QueryGraph(names, tree.toVector ++ extra)
+  }
+
+  private def randomCard(g: QueryGraph, rnd: Random): Cardinality = {
+    val base = Array.fill(g.n)(math.pow(10, 1 + rnd.nextDouble() * 4))
+    HeuristicCardinality.uniform(g, base)
+  }
+
+  private def assertValid(t: JoinTree, g: QueryGraph): Unit = {
+    assert(t.set == g.full, "tree must cover all relations")
+    assert(t.leaves.sorted == (0 until g.n).toVector, "each leaf exactly once")
+    JoinTree.internalNodes(t).foreach { n =>
+      assert(g.crossEdges(n.l.set, n.r.set).nonEmpty,
+        s"join without connecting edge: ${n.l.set} ⋈ ${n.r.set}")
+    }
+  }
+
+  test("exact planners agree; heuristics are bounded below by optimum") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 40) {
+      val n = 2 + rnd.nextInt(6) // 2..7 relations
+      val g = randomGraph(n, rnd.nextInt(3), rnd)
+      val card = randomCard(g, rnd)
+      for (cm <- Seq[CostModel](CostModel.Cout, CostModel.MM(), CostModel.CM2())) {
+        val dp = Enumerators.DPccp.plan(g, card, cm)
+        val naive = Enumerators.NaiveDP.plan(g, card, cm)
+        val bnb = Enumerators.BranchAndBound().plan(g, card, cm)
+        val ld = Enumerators.LeftDeepDP.plan(g, card, cm)
+        val gr = Enumerators.Greedy.plan(g, card, cm)
+        val rd = Enumerators.RandomOrder().plan(g, card, cm)
+        Seq(dp, naive, bnb, ld, gr, rd).foreach(p => assertValid(p.tree, g))
+        val eps = 1e-6 * math.max(1.0, naive.cost)
+        assert(math.abs(dp.cost - naive.cost) <= eps,
+          s"trial $trial ${cm.name}: DPccp ${dp.cost} != naive ${naive.cost}")
+        assert(math.abs(bnb.cost - naive.cost) <= eps,
+          s"trial $trial ${cm.name}: BnB ${bnb.cost} != naive ${naive.cost}")
+        assert(ld.cost >= naive.cost - eps, "left-deep below optimum?!")
+        assert(gr.cost >= naive.cost - eps, "greedy below optimum?!")
+        assert(rd.cost >= naive.cost - eps, "random below optimum?!")
+      }
+    }
+  }
+
+  test("left-deep DP is optimal among left-deep trees (chain sanity)") {
+    // chain a-b-c with cards making (a⋈b) first cheaper
+    val g = QueryGraph(Vector("a", "b", "c"),
+      Vector(JoinEdge(0, 1), JoinEdge(1, 2)))
+    val base = Array(10.0, 100.0, 1000.0)
+    val card = HeuristicCardinality.uniform(g, base)
+    val p = Enumerators.LeftDeepDP.plan(g, card, CostModel.Cout)
+    val opt = Enumerators.NaiveDP.plan(g, card, CostModel.Cout)
+    assert(p.cost == opt.cost) // chain: optimal IS left-deep
+  }
+
+  test("random order is deterministic under a fixed seed") {
+    val rnd = new Random(11)
+    val g = randomGraph(6, 2, rnd)
+    val card = randomCard(g, rnd)
+    val a = Enumerators.RandomOrder(99).plan(g, card, CostModel.Cout)
+    val b = Enumerators.RandomOrder(99).plan(g, card, CostModel.Cout)
+    assert(a.tree == b.tree)
+    assert(a.joinStr(g) == b.joinStr(g))
+  }
+
+  test("branch-and-bound refuses oversized graphs") {
+    val rnd = new Random(3)
+    val g = randomGraph(14, 0, rnd) // 13 edges ≥ default max 12
+    val card = randomCard(g, rnd)
+    assertThrows[IllegalArgumentException] {
+      Enumerators.BranchAndBound().plan(g, card, CostModel.Cout)
+    }
+  }
+
+  test("per-join costs sum to total cost") {
+    val rnd = new Random(5)
+    val g = randomGraph(5, 2, rnd)
+    val card = randomCard(g, rnd)
+    val p = Enumerators.DPccp.plan(g, card, CostModel.Cout)
+    assert(math.abs(p.perJoinCosts.sum - p.cost) < 1e-9)
+  }
+}
