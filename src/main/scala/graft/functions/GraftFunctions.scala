@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registration of the graft native expressions, two ways:
+  *
+  *  1. [[GraftFunctions.register]] — imperative, on an existing session
+  *    (idempotent; operators call it before using `expr("graft_...")`).
+  *  2. [[GraftExtensions]] — `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    for deployments that want the functions (and later, optimizer
+  *    rules) available in every session from the start.
+  */
+object GraftFunctions {
+
+  private def minhashBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(sh, Literal(k: Int, _)) => MinHashSig(sh, k)
+    case Seq(sh) => MinHashSig(sh, 32)
+    case _ => throw new IllegalArgumentException(
+      "graft_minhash(shingles array<string>[, k literal int])")
+  }
+
+  private def cosineBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) => CosineSim(a, b)
+    case _ => throw new IllegalArgumentException(
+      "graft_cosine(a array<double>, b array<double>)")
+  }
+
+  private def shinglesBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(text, Literal(k: Int, _)) => WordShingles(text, k)
+    case _ => throw new IllegalArgumentException(
+      "graft_shingles(text string, k literal int)")
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      minhashBuilder _),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      cosineBuilder _),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      shinglesBuilder _))
+
+  /** Idempotent imperative registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}

@@ -29,14 +29,14 @@ object DedupOps {
        FROM documents GROUP BY md5(text)"""
 
   // -------------------------------------------------------------- MinHash
-  /** MinHash signature: k hash functions simulated as xxhash64(shingle, i)
-    * (seeded family), min over the doc's word-shingle set per i. */
-  private def withMinhash(df: DataFrame, k: Int): DataFrame =
-    df.withColumn("sh",
-        array_distinct(Shingles.wordShingles("text", 4)))
-      .withColumn("mh", expr(
-        s"""transform(sequence(0, ${k - 1}),
-              i -> array_min(transform(sh, s -> xxhash64(s, i))))"""))
+  /** MinHash signature via the native codegen expression
+    * [[graft.functions.MinHashSig]] — one fused pass over the shingles
+    * (see MinHashSigSpec for equivalence with the HOF formulation). */
+  private def withMinhash(df: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("sh", Shingles.wordShingles("text", 4))
+      .withColumn("mh", expr(s"graft_minhash(sh, $k)"))
+  }
 
   /** MinHash + LSH banded dedup: b bands of r rows; docs collide in a
     * band iff their signature slice matches, then candidates are verified
@@ -45,8 +45,15 @@ object DedupOps {
   def minhashLsh(
       spark: SparkSession, sfDir: String,
       bands: Int = 8, rows: Int = 4, threshold: Double = 0.4): DataFrame = {
+    // Persist the signatures: the banding below references `mh` once per
+    // band and the self-join reads it twice — without a materialization
+    // barrier CollapseProject inlines the whole minhash computation into
+    // every reference (observed 8-16x recompute). At cluster scale this
+    // is a checkpoint of the signature table; locally persist() is the
+    // same barrier.
     val d = withMinhash(docs(spark, sfDir), bands * rows)
       .select(col("doc_id"), col("sh"), col("mh"))
+      .persist()
     val banded = d.select(
       col("doc_id"),
       posexplode(expr(
@@ -75,16 +82,21 @@ object DedupOps {
     * within Hamming distance 3 collides in ≥1 chunk (pigeonhole). */
   private def withSimhash(df: DataFrame): DataFrame =
     df.withColumn("toks", array_distinct(split(col("text"), " ")))
+      // hash every token once; the 64 bit-sums then run over longs
+      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
       .withColumn("simhash", expr(
         """aggregate(sequence(0, 63), 0L, (acc, j) ->
-             acc | IF(aggregate(toks, 0,
-                        (s, t) -> s + IF((shiftright(xxhash64(t), j) & 1) = 1,
+             acc | IF(aggregate(th, 0,
+                        (s, h) -> s + IF((shiftright(h, j) & 1) = 1,
                                          1, -1)) > 0,
                       shiftleft(1L, j), 0L))"""))
 
   def simhashPairs(
       spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
-    val d = withSimhash(docs(spark, sfDir)).select(col("doc_id"), col("simhash"))
+    // persist: the self-join below reads the signature twice (see
+    // minhashLsh for the CollapseProject inlining hazard)
+    val d = withSimhash(docs(spark, sfDir))
+      .select(col("doc_id"), col("simhash")).persist()
     val banded = d.select(
       col("doc_id"), col("simhash"),
       posexplode(expr(
@@ -105,11 +117,13 @@ object DedupOps {
     * one), verified by 5-char-gram Jaccard. */
   def ngramJaccard(
       spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val d = docs(spark, sfDir)
       .withColumn("grams", array_distinct(expr(
         "regexp_extract_all(text, '.{5}', 0)"))) // non-overlapping 5-char grams
-      .withColumn("canopy", array_distinct(Shingles.wordShingles("text", 8)))
+      .withColumn("canopy", Shingles.wordShingles("text", 8))
       .select(col("doc_id"), col("grams"), col("canopy"))
+      .persist() // read 3x below (canopy explode + both gram joins)
     val keys = d.select(col("doc_id"), explode(col("canopy")).as("key"))
     val cand = keys.as("x").join(keys.as("y"),
         col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
@@ -131,16 +145,14 @@ object DedupOps {
     * SimilarityOps for LSH blocking that needs no labels). */
   def embeddingNearDup(
       spark: SparkSession, sfDir: String, threshold: Double = 0.3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
     e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        round(
-          expr("aggregate(zip_with(x.v, y.v, (a, b) -> a * b), 0D, (s, p) -> s + p)") /
-            (col("x.norm") * col("y.norm")), 4).as("cosine"))
+        round(expr("graft_cosine(x.v, y.v)"), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

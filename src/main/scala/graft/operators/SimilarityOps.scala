@@ -25,14 +25,15 @@ import graft.sources.Tables
   */
 object SimilarityOps {
 
-  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+  }
 
-  private val cosineExpr =
-    expr("aggregate(zip_with(q.v, c.v, (a, b) -> a * b), 0D, (s, p) -> s + p)")
+  /** One fused codegen pass: dot + both norms (graft.functions.CosineSim). */
+  private val cosineExpr = expr("graft_cosine(q.v, c.v)")
 
   /** Exact top-k by cosine for query vectors `vec_id < nQueries`. */
   def bruteForceTopK(
@@ -43,23 +44,32 @@ object SimilarityOps {
     val scored = all.as("c").join(
         broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        round(cosineExpr / (col("q.norm") * col("c.norm")), 4).as("cosine"))
+        round(cosineExpr, 4).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
-  /** LSH signature for one hash table: `planes` random hyperplanes, bit p
-    * = sign of <v, h_tp> with h_tp[d] = ±1 from xxhash64(t, p, d). */
-  private def sigExpr(table: Int, planes: Int): org.apache.spark.sql.Column =
-    expr(
-      s"""aggregate(sequence(0, ${planes - 1}), 0,
-            (acc, p) -> acc * 2 + IF(
-              aggregate(zip_with(v, sequence(0, size(v) - 1),
-                          (x, d) -> x * IF((xxhash64($table, p, d) & 1) = 1,
-                                           1D, -1D)),
-                        0D, (a, y) -> a + y) > 0D, 1, 0))""")
+  /** LSH signature for one hash table: `planes` random hyperplanes with
+    * ±1 components. The hyperplane matrix is a deterministic function of
+    * (table, plane, dim) — computed ONCE on the driver and embedded as
+    * literals, so the per-row work is just `planes` dot products (the
+    * naive form re-hashed (t,p,d) per vector element per row). */
+  private def sigExpr(table: Int, planes: Int, dims: Int = 64): org.apache.spark.sql.Column = {
+    def sign(t: Int, p: Int, d: Int): Double = {
+      // xxhash-style avalanche of the packed coordinates; only parity used
+      var h = (t.toLong << 40) ^ (p.toLong << 20) ^ d.toLong
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      if ((h & 1L) == 1L) 1.0 else -1.0
+    }
+    (0 until planes).foldLeft(lit(0)) { (acc, p) =>
+      val w = typedLit((0 until dims).map(d => sign(table, p, d)))
+      val dot = aggregate(zip_with(col("v"), w, (x, ww) => x * ww),
+        lit(0d), (a, y) => a + y)
+      acc * 2 + when(dot > 0d, 1).otherwise(0)
+    }
+  }
 
   /** LSH-bucketed ANN: `tables` independent hash tables of `planes`-bit
     * signatures; a candidate appears if it collides with the query in ANY
@@ -71,18 +81,21 @@ object SimilarityOps {
     val all = vecs(spark, sfDir)
     val sigs = (0 until tables).map(t =>
       struct(lit(t).as("t"), sigExpr(t, planes).as("sig")))
+    // persist: referenced by both sides of the candidate join — without
+    // the barrier the signature computation is inlined and re-run per use
     val bucketed = all
       .withColumn("buckets", array(sigs: _*))
-      .select(col("vec_id"), col("label"), col("v"), col("norm"),
+      .select(col("vec_id"), col("label"), col("v"),
         explode(col("buckets")).as("b"))
-      .select(col("vec_id"), col("v"), col("norm"),
+      .select(col("vec_id"), col("v"),
         col("b.t").as("t"), col("b.sig").as("sig"))
+      .persist()
     val q = bucketed.filter(col("vec_id") < nQueries)
     val cand = bucketed.as("c").join(broadcast(q.as("q")),
         col("q.t") === col("c.t") && col("q.sig") === col("c.sig") &&
           col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        round(cosineExpr / (col("q.norm") * col("c.norm")), 4).as("cosine"))
+        round(cosineExpr, 4).as("cosine"))
       .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -92,7 +105,8 @@ object SimilarityOps {
 
   /** Per-vector L2 norm — oracle-checkable vector math. */
   def norms(spark: SparkSession, sfDir: String): DataFrame =
-    vecs(spark, sfDir).select(col("vec_id"), round(col("norm"), 3).as("l2"))
+    vecs(spark, sfDir).select(col("vec_id"),
+      round(expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"), 3).as("l2"))
 
   val normsOracle: String =
     """SELECT vec_id,

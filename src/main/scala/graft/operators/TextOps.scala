@@ -87,7 +87,8 @@ object TextOps {
   /** Rolling 64-bit fingerprint over word 4-grams (Rabin-style document
     * sketch): min/max/xor of shingle hashes. xxhash64 is Spark-native and
     * deterministic; rows-only check. */
-  def fingerprintRolling(spark: SparkSession, sfDir: String): DataFrame =
+  def fingerprintRolling(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     docs(spark, sfDir)
       .withColumn("sh", Shingles.wordShingles("text", 4))
       .select(
@@ -96,6 +97,7 @@ object TextOps {
         expr("array_max(transform(sh, s -> xxhash64(s)))").as("fp_max"),
         expr("aggregate(transform(sh, s -> xxhash64(s)), 0L, (a, x) -> a ^ x)")
           .as("fp_xor"))
+  }
 
   // ---------------------------------------------------------------- langid
   /** Character-n-gram language-ID heuristic: score each language by its
@@ -143,14 +145,13 @@ object TextOps {
   )
 }
 
-/** Shingling helpers shared by text fingerprinting and MinHash dedup. */
+/** Shingling helpers shared by text fingerprinting and MinHash dedup.
+  * Backed by the native [[graft.functions.WordShingles]] expression;
+  * callers must have run GraftFunctions.register on the session. */
 object Shingles {
-  /** Array of `k`-word shingles (space-rejoined) over column `colName`;
-    * docs shorter than k words yield the whole text as one shingle. */
+  /** Array of DISTINCT `k`-word shingles (space-rejoined) over column
+    * `colName`; docs shorter than k words yield the whole text as one
+    * shingle. */
   def wordShingles(colName: String, k: Int): Column =
-    expr(s"""CASE WHEN size(split($colName, ' ')) < $k THEN array($colName)
-             ELSE transform(
-                    sequence(0, size(split($colName, ' ')) - $k),
-                    i -> array_join(slice(split($colName, ' '), i + 1, $k), ' '))
-             END""")
+    expr(s"graft_shingles($colName, $k)")
 }

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen expressions must be drop-in equivalent to the
+  * higher-order-function formulations they replaced, in BOTH execution
+  * modes (whole-stage codegen on and off — i.e. doGenCode and eval). */
+class NativeExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    // non-literal inputs (parquet-backed) so constant folding cannot
+    // pre-evaluate the expressions at optimization time
+    graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def withCodegen[A](on: Boolean)(f: => A): A = {
+    val key = "spark.sql.codegen.wholeStage"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, on.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
+  test("graft_minhash equals the HOF formulation (both codegen modes)") {
+    val hof =
+      """transform(sequence(0, 7), i ->
+           array_min(transform(transform(sh, s -> xxhash64(s)),
+                     h -> xxhash64(h, i))))"""
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      val rows = spark.sql(
+        s"""SELECT graft_minhash(sh, 8) AS native, $hof AS hof
+            FROM (SELECT split(text, ' ') AS sh FROM documents LIMIT 50)""")
+        .collect()
+      assert(rows.length == 50)
+      rows.foreach { r =>
+        val native = r.getAs[scala.collection.Seq[Long]](0).toSeq
+        val hofV = r.getAs[scala.collection.Seq[Long]](1).toSeq
+        assert(native == hofV, s"codegen=$cg mismatch")
+      }
+    }
+  }
+
+  test("graft_minhash of an empty array is the MaxValue fill") {
+    val r = spark.sql(
+      """SELECT graft_minhash(filter(split(text, ' '), w -> false), 4)
+         FROM documents LIMIT 1""").collect()
+    assert(r.head.getAs[scala.collection.Seq[Long]](0).toSeq ==
+      Seq.fill(4)(Long.MaxValue))
+  }
+
+  test("graft_cosine equals the zip_with/aggregate formulation") {
+    val hof =
+      """try_divide(
+           aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, p) -> s + p),
+           sqrt(aggregate(a, 0D, (s, x) -> s + x * x)) *
+           sqrt(aggregate(b, 0D, (s, x) -> s + x * x)))"""
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      val rows = spark.sql(
+        s"""SELECT graft_cosine(a, b) AS native, $hof AS hof
+            FROM (SELECT transform(e1.embedding, x -> CAST(x AS DOUBLE)) AS a,
+                         transform(e2.embedding, x -> CAST(x AS DOUBLE)) AS b
+                  FROM embeddings e1 JOIN embeddings e2
+                    ON e1.vec_id + 1 = e2.vec_id
+                  LIMIT 50)""").collect()
+      assert(rows.length == 50)
+      rows.foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+          s"codegen=$cg")
+      }
+    }
+  }
+
+  test("graft_cosine zero vector yields 0.0, null input yields null") {
+    val z = spark.sql(
+      "SELECT graft_cosine(array(0D, 0D), array(1D, 1D))").collect()
+    assert(z.head.getDouble(0) == 0.0)
+    val n = spark.sql(
+      "SELECT graft_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1D))").collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("expressions run inside whole-stage codegen over real scans") {
+    val plan = spark.sql(
+      """SELECT graft_cosine(transform(embedding, x -> CAST(x AS DOUBLE)),
+                             transform(embedding, x -> CAST(x AS DOUBLE))) AS c,
+                graft_minhash(array(CAST(vec_id AS STRING)), 4) AS m
+         FROM embeddings""").queryExecution.executedPlan
+    // WholeStageCodegenExec renders as "*(n)" in the plan tree
+    assert(plan.toString.contains("*(1)"),
+      s"native expressions fell out of codegen:\n$plan")
+  }
+}
