@@ -52,10 +52,14 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: native functions + the in-optimizer
+  * DPccp join reordering (disable the latter at runtime with
+  * `SET spark.graft.joinReorder.enabled=false`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.GraftJoinReorder())
+  }
 }

@@ -1,0 +1,158 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+
+/** In-optimizer join reordering: the engine's DPccp enumerator applied to
+  * ANY Spark SQL / DataFrame query, injected as a Catalyst optimizer rule
+  * (`SparkSessionExtensions.injectOptimizerRule` via
+  * [[graft.functions.GraftExtensions]]).
+  *
+  * This is the Spark-native analog of the reference's planner rules
+  * firing on MultiJoin (SURVEY.md §2b): Catalyst keeps joins binary, so
+  * the flatten step is ExtractFiltersAndInnerJoins (the same pattern
+  * Spark's own ReorderJoin consumes), the search is our [[Enumerators]],
+  * and the "cardinality dictionary" is logical-plan statistics
+  * (`sizeInBytes`, available bottom-up without CBO).
+  *
+  * Scale note: join order is THE dominant cost factor for multiway joins
+  * at 100 TB — a bad order materializes huge intermediates. DPccp over
+  * the join graph (≤ [[GraftJoinReorder.maxDpRelations]] relations,
+  * greedy beyond) minimizes the modeled intermediate volume; physical
+  * join selection (broadcast/SMJ/SHJ) stays Spark's, and AQE can still
+  * re-plan at runtime. Filters remain where Catalyst pushed them — only
+  * the join shape changes.
+  */
+case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
+
+  import GraftJoinReorder._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.joinReorder.enabled", "true").toBoolean) plan
+    else plan.transformDown {
+      // catch the shape both pre-pushdown (conditions in a Filter above
+      // condition-less joins — the freshly-analyzed `FROM a, b, c WHERE`
+      // form) and post-pushdown (conditions on the joins)
+      case f @ Filter(_, j: Join)
+          if j.joinType == Inner && j.getTagValue(REORDERED).isEmpty =>
+        tryReorder(f).getOrElse(f)
+      case j @ Join(_, _, Inner, _, _) if j.getTagValue(REORDERED).isEmpty =>
+        tryReorder(j).getOrElse(j)
+    }
+
+  private def tryReorder(root: LogicalPlan): Option[LogicalPlan] = {
+    val (rels, conditions) = root match {
+      case Filter(cond, j: Join) =>
+        val (p, c) = flatten(j)
+        (p, c ++ splitConjunctivePredicates(cond))
+      case other => flatten(other)
+    }
+    if (GraftJoinReorder.debug)
+      println(s"[graft-reorder] rels=${rels.size} conds=${conditions.size} " +
+        s"det=${conditions.forall(_.deterministic)}")
+    if (rels.size >= 3 && conditions.nonEmpty &&
+        conditions.forall(_.deterministic))
+      reorder(root, rels.toVector, conditions)
+    else None
+  }
+
+  /** Flatten a tree of inner joins into (base plans, all conditions),
+    * looking through the alias-free Projects that ColumnPruning
+    * interleaves between joins (ExtractFiltersAndInnerJoins stops at
+    * them, which is why Spark's own ReorderJoin runs before pruning;
+    * an injected rule runs after). Dropped Projects cost nothing: the
+    * top-level Project we emit restores the original output and the next
+    * fixpoint iteration re-prunes. */
+  private def flatten(plan: LogicalPlan): (Seq[LogicalPlan], Seq[Expression]) =
+    plan match {
+      case Join(l, r, Inner, cond, hint) if hint == JoinHint.NONE =>
+        val (lp, lc) = flatten(l)
+        val (rp, rc) = flatten(r)
+        (lp ++ rp, lc ++ rc ++ cond.toSeq.flatMap(splitConjunctivePredicates))
+      case Project(pl, child: Join) if pl.forall(_.isInstanceOf[Attribute]) =>
+        flatten(child)
+      case Filter(cond, child: Join) =>
+        val (p, c) = flatten(child)
+        (p, c ++ splitConjunctivePredicates(cond))
+      // leaves keep their own Filter/Project: the filter's selectivity
+      // flows into leaf stats, which is exactly what the cost model wants
+      case other => (Seq(other), Nil)
+    }
+
+  private def reorder(
+      original: LogicalPlan,
+      rels: Vector[LogicalPlan],
+      conditions: Seq[Expression]): Option[LogicalPlan] = {
+    if (rels.size > 63) return None
+
+    // which relation does each attribute come from? (keyed by exprId —
+    // Attribute case-class equality is qualifier-sensitive and misses)
+    val relOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Int] =
+      (for {
+        (r, i) <- rels.zipWithIndex
+        a <- r.output
+      } yield a.exprId -> i).toMap
+
+    def relsOf(e: Expression): Set[Int] =
+      e.references.toSeq.flatMap(a => relOf.get(a.exprId)).toSet
+
+    // equi-conditions between exactly two relations become graph edges;
+    // everything else is re-applied as a post-join filter
+    val (edgeConds, filterConds) = conditions.partition { c =>
+      c.isInstanceOf[EqualTo] && relsOf(c).size == 2
+    }
+    if (GraftJoinReorder.debug)
+      println(s"[graft-reorder] edgeConds=${edgeConds.size} " +
+        s"filterConds=${filterConds.size} " +
+        s"condRels=${conditions.map(relsOf).mkString(",")}")
+    if (edgeConds.isEmpty) return None
+
+    val edgeMap = edgeConds
+      .groupBy(c => { val s = relsOf(c); (s.min, s.max) })
+    val edges = edgeMap.keys.toVector.sorted.map { case (a, b) => JoinEdge(a, b) }
+    val g = QueryGraph(rels.indices.map(i => s"r$i").toVector, edges)
+    if (!g.connected(g.full)) return None // cross-product component: leave it
+
+    // statistics: logical sizeInBytes as the row proxy (no CBO needed)
+    val base = rels.map(_.stats.sizeInBytes.toDouble.max(1.0)).toArray
+    val card = HeuristicCardinality.uniform(g, base)
+
+    val planner: JoinOrderPlanner =
+      if (rels.size <= maxDpRelations) Enumerators.DPccp else Enumerators.Greedy
+    val tree = planner.plan(g, card, CostModel.Cout).tree
+
+    def build(t: JoinTree): LogicalPlan = t match {
+      case Leaf(i) => rels(i)
+      case Node(l, r) =>
+        val lp = build(l); val rp = build(r)
+        def in(s: Long, i: Int) = ((s >> i) & 1L) == 1L
+        val conds = edgeMap.collect {
+          case ((a, b), cs)
+              if (in(l.set, a) && in(r.set, b)) ||
+                (in(l.set, b) && in(r.set, a)) => cs
+        }.flatten.toSeq
+        val cond = conds.reduceOption(And)
+        val join = Join(lp, rp, Inner, cond, JoinHint.NONE)
+        join.setTagValue(REORDERED, true)
+        join
+    }
+
+    val joined = build(tree)
+    val filtered = filterConds.reduceOption(And)
+      .map(Filter(_, joined)).getOrElse(joined)
+    // preserve the original output attribute order (the reference's
+    // createTopProject, MyLoptOptimizeJoinRule.java:517-580)
+    Some(Project(original.output, filtered))
+  }
+}
+
+object GraftJoinReorder {
+  /** joins with more relations than this use greedy instead of DPccp */
+  val maxDpRelations = 12
+  /** scratch debug switch (tools/ReorderDebug*) */
+  @volatile var debug = false
+  val REORDERED: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.reordered")
+}

@@ -1,0 +1,37 @@
+// Plan-quality audit: prints the physical-plan properties that matter at
+// scale for the headline queries — filter pushdown into the parquet scan,
+// column pruning (ReadSchema), broadcast vs shuffle joins, codegen spans.
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val interesting = Seq(
+      "q02_filter_pred", "q03_flagship", "q04_join_inner", "q08_agg_tpch_q1",
+      "q21_in_subquery", "p01_planner_dpccp", "d02_dedup_minhash",
+      "s01_ann_brute", "t01_quality")
+    val all = graft.SparkEntry.queries
+    interesting.foreach { name =>
+      val df = all(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      def count(p: String) = p.r.findAllIn(plan).size
+      println(s"== $name")
+      println(s"   scans=${count("FileScan parquet")} " +
+        s"pushedFilters=${count("PushedFilters: \\[[^\\]]")} " +
+        s"bhj=${count("BroadcastHashJoin")} smj=${count("SortMergeJoin")} " +
+        s"shj=${count("ShuffledHashJoin")} nlj=${count("BroadcastNestedLoopJoin")} " +
+        s"exchanges=${count("Exchange")} wscg=${count("WholeStageCodegen")}")
+      // ReadSchema lines: show pruning
+      "ReadSchema: [^\n]+".r.findAllIn(plan).toSeq.distinct.take(6)
+        .foreach(s => println("   " + s.take(150)))
+    }
+    spark.stop()
+  }
+}

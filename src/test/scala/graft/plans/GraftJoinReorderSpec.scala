@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The injected optimizer rule must (a) fire on multiway inner joins,
+  * (b) preserve results exactly, (c) stay out of the way when disabled. */
+class GraftJoinReorderSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  private val flagshipSql =
+    """SELECT min(o_totalprice) AS min_total, count(*) AS cnt
+       FROM region, nation, customer, orders, lineitem
+       WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+         AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         AND r_name = 'ASIA' AND l_quantity > 5"""
+
+  override def beforeAll(): Unit = {
+    // a session from another suite (without our extensions) would be
+    // silently returned by getOrCreate — make sure none is live
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      // take Spark's own join reordering out of the picture so the test
+      // observes OUR rule's effect in isolation
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.ReorderJoin")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.registerAll(spark, sfDir)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // written in a deliberately bad FROM order: lineitem × region first has
+  // no join condition — without reordering that's a cross product
+  private val badOrderSql =
+    """SELECT count(*) AS cnt
+       FROM lineitem, region, nation, customer, orders
+       WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+         AND c_custkey = o_custkey AND o_orderkey = l_orderkey"""
+
+  private def crossJoins(sql: String): Int =
+    spark.sql(sql).queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isEmpty => j
+    }.size
+
+  test("rule fires: bad FROM order loses its cross product (Spark's ReorderJoin excluded)") {
+    assert(crossJoins(badOrderSql) == 0,
+      "graft reorder should connect all joins")
+    spark.conf.set("spark.graft.joinReorder.enabled", "false")
+    try assert(crossJoins(badOrderSql) > 0,
+      "with graft reorder off, the bad order must keep a cross join " +
+        "(otherwise this test proves nothing)")
+    finally spark.conf.set("spark.graft.joinReorder.enabled", "true")
+  }
+
+  test("results identical with and without reordering") {
+    val with_ = spark.sql(flagshipSql).collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.joinReorder.enabled", "false")
+    try {
+      val without = spark.sql(flagshipSql).collect().map(_.toSeq).toSeq
+      assert(with_ == without)
+    } finally spark.conf.set("spark.graft.joinReorder.enabled", "true")
+  }
+
+  test("extension functions are registered through spark.sql.extensions path") {
+    val r = spark.sql("SELECT graft_cosine(array(1D, 1D), array(1D, 1D))")
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("two-relation joins are left untouched") {
+    val plan = spark.sql(
+      """SELECT count(*) FROM customer JOIN orders ON c_custkey = o_custkey""")
+      .queryExecution.optimizedPlan
+    val tagged = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.getTagValue(GraftJoinReorder.REORDERED).contains(true) => j
+    }
+    assert(tagged.isEmpty)
+  }
+
+  test("non-equi multiway join does not break") {
+    val rows = spark.sql(
+      """SELECT count(*) AS c FROM region a, region b, region c
+         WHERE a.r_regionkey < b.r_regionkey AND b.r_regionkey < c.r_regionkey""")
+      .collect()
+    assert(rows.head.getLong(0) == 10) // C(5,3)
+  }
+}
