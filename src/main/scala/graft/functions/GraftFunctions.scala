@@ -60,6 +60,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.SelfJoinElimination())
     ext.injectOptimizerRule(_ => graft.plans.GraftJoinReorder())
   }
 }

@@ -152,7 +152,60 @@ object RelationalQueries {
     "q27_events_json" ->
       """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 10 AS kb,
                 count(*) AS cnt
-         FROM events GROUP BY kb"""
+         FROM events GROUP BY kb""",
+
+    // --- outer-join family beyond LEFT ---
+    "q30_full_outer" ->
+      """SELECT n_nationkey, s_suppkey
+         FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey""",
+    "q31_right_join" ->
+      """SELECT o_orderkey, c_name
+         FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+         WHERE c_acctbal > 9000""",
+
+    // --- set op without dedup ---
+    "q32_union_all" ->
+      """SELECT c_nationkey AS nk FROM customer
+         UNION ALL SELECT s_nationkey AS nk FROM supplier""",
+
+    // --- NOT IN with a guaranteed-non-null subquery (3VL parity) ---
+    "q33_not_in" ->
+      """SELECT o_orderkey FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                 WHERE c_acctbal > 5000)""",
+
+    // --- scalar subquery ---
+    "q34_scalar_subquery" ->
+      """SELECT o_orderkey,
+                round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 2)
+                  AS diff_from_avg
+         FROM orders""",
+
+    // --- analytic window functions beyond rank/frames ---
+    "q35_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+                round(o_totalprice -
+                      lag(o_totalprice, 1, 0.0) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev
+         FROM orders""",
+    "q36_ntile_pctrank" ->
+      """SELECT o_orderkey, CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                round(percent_rank() OVER w, 4) AS pr
+         FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""",
+
+    // --- explicit grouping sets ---
+    "q37_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+
+    // --- date arithmetic (interval + extraction) ---
+    "q38_date_arith" ->
+      """SELECT o_orderkey,
+                CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due,
+                CAST(quarter(o_orderdate) AS INTEGER) AS q
+         FROM orders"""
   )
 
   /** DataFrame-API queries (operators Spark expresses natively but whose
@@ -174,6 +227,7 @@ object RelationalQueries {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     }),
+    "q39_array_ops" -> (arrayOps _),
     // time-bucketed aggregation over the events table (the ts column is
     // nanos in parquet; Tables.load derives a micros timestamp)
     "q26_events_daily" -> ((spark, sfDir) => {
@@ -186,7 +240,25 @@ object RelationalQueries {
     })
   )
 
+  /** Array-column operators — same semantics, different function names in
+    * DuckDB (size/element_at vs len/[]), so DF impl + separate oracle. */
+  private def arrayOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.load(spark, sfDir, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+      round(expr("aggregate(slice(embedding, 1, 8), 0D, (a, x) -> a + x)"), 4)
+        .as("head_sum"))
+  }
+
   val dfOracleSql: Map[String, String] = Map(
+    "q39_array_ops" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+                round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+                round(list_sum(list_transform(embedding[1:8],
+                      x -> CAST(x AS DOUBLE))), 4) AS head_sum
+         FROM embeddings""",
     "q06_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders
