@@ -116,14 +116,34 @@ object ExperimentMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // TRUE cardinalities from the injected dictionary (the reference's
+    // core mechanism: ./pg.json, MyMetadataQuery.java:81-162), generated
+    // by tools/CardDump; estimates = the textbook independence heuristic
+    // over unfiltered base counts — the classic estimation error whose
+    // plan-quality cost the regret experiment measures.
+    val fixture = sys.env.getOrElse("GRAFT_CARDS_JSON",
+      "fixtures/cards_sf0.001.json")
+    val dict: Map[String, Map[String, Double]] =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(fixture)))
+        CardinalityStore.parseJson(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(fixture)))
+      else Map.empty
+
+    def mkQuery(
+        name: String, g: QueryGraph,
+        filters: Vector[Option[String]]): Experiment.ExperimentQuery = {
+      val base = g.relations.map(n =>
+        graft.sources.Tables.load(spark, sfDir, n).count().toDouble).toArray
+      val est = HeuristicCardinality.uniform(g, base)
+      val trueC = dict.get(name) match {
+        case Some(m) => new CardinalityStore(g, m, est)
+        case None => est
+      }
+      Experiment.ExperimentQuery(name, g, filters, trueC, est)
+    }
+
     val (g1, f1) = PlannerQueries.flagshipGraph
-    val base1 = g1.relations.map(n =>
-      graft.sources.Tables.load(spark, sfDir, n).count().toDouble).toArray
-    val sel1 = Array(0.2, 1.0, 1.0, 0.33, 0.9)
-    val trueC1 = new HeuristicCardinality(g1, base1, sel1)
-    // "estimates": selectivities assumed 1.0 (the classic error)
-    val estC1 = HeuristicCardinality.uniform(g1, base1)
-    val q1 = Experiment.ExperimentQuery("flagship", g1, f1, trueC1, estC1)
+    val q1 = mkQuery("flagship", g1, f1)
 
     // star: lineitem at the center joined to orders, part, supplier
     val g2 = QueryGraph(
@@ -132,13 +152,8 @@ object ExperimentMain {
         JoinEdge(0, 1, Seq("l_orderkey" -> "o_orderkey")),
         JoinEdge(0, 2, Seq("l_partkey" -> "p_partkey")),
         JoinEdge(0, 3, Seq("l_suppkey" -> "s_suppkey"))))
-    val base2 = g2.relations.map(n =>
-      graft.sources.Tables.load(spark, sfDir, n).count().toDouble).toArray
-    val trueC2 = new HeuristicCardinality(g2, base2, Array(1.0, 0.5, 0.1, 1.0))
-    val estC2 = HeuristicCardinality.uniform(g2, base2)
-    val q2 = Experiment.ExperimentQuery("star4", g2,
-      Vector(None, Some("o_orderstatus = 'F'"), Some("p_type = 'PROMO'"), None),
-      trueC2, estC2)
+    val q2 = mkQuery("star4", g2,
+      Vector(None, Some("o_orderstatus = 'F'"), Some("p_type = 'PROMO'"), None))
 
     val planners = Enumerators.all
     val records = Experiment.run(spark, sfDir, Seq(q1, q2), planners,

@@ -1,0 +1,82 @@
+// Dump TRUE cardinalities for every connected subset of the experiment
+// join graphs, in the reference's pg.json format
+// (Map[queryName, Map[sorted-space-joined-table-set, rows]] —
+// MyMetadataQuery.java:107-114, FIXTURES.md §2). The driver-side analog
+// of the reference's Python client injecting true cardinalities.
+//
+// Usage: runMain graft.tools.CardDump [sfDir [outJson]]
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.plans._
+
+object CardDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("fixtures/cards_sf0.001.json")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val queries: Seq[(String, QueryGraph, Vector[Option[String]])] = {
+      val (g1, f1) = PlannerQueries.flagshipGraph
+      Seq(
+        ("flagship", g1, f1),
+        ("star4",
+          QueryGraph(
+            Vector("lineitem", "orders", "part", "supplier"),
+            Vector(
+              JoinEdge(0, 1, Seq("l_orderkey" -> "o_orderkey")),
+              JoinEdge(0, 2, Seq("l_partkey" -> "p_partkey")),
+              JoinEdge(0, 3, Seq("l_suppkey" -> "s_suppkey")))),
+          Vector(None, Some("o_orderstatus = 'F'"), Some("p_type = 'PROMO'"), None)))
+    }
+
+    val entries = queries.map { case (name, g, filters) =>
+      val dfs = g.relations.map(n => graft.sources.Tables.load(spark, sfDir, n))
+      val inputs = g.relations.zip(dfs).zip(filters).map { case ((n, df), f) =>
+        RelInput(n, df, f.map(org.apache.spark.sql.functions.expr))
+      }
+      // every connected, non-empty subset of the graph
+      val subsets = (1L to g.full).filter(s => g.connected(s))
+      val counts = subsets.map { s =>
+        val tree = spanningTree(g, s)
+        val cnt = JoinTreeExecutor
+          .build(tree, g, inputs, HeuristicCardinality.uniform(
+            g, Array.fill(g.n)(1.0)), broadcastRows = Long.MaxValue)
+          .count()
+        g.cardKey(s) -> cnt
+      }
+      println(s"$name: ${counts.size} subsets")
+      counts.foreach { case (k, v) => println(f"  $v%10d  $k") }
+      name -> counts
+    }
+
+    val json = entries.map { case (name, counts) =>
+      s""""$name": {${counts.map { case (k, v) => s""""$k": $v""" }.mkString(", ")}}"""
+    }.mkString("{", ",\n ", "}")
+    val p = java.nio.file.Paths.get(out)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, json)
+    println(s"wrote $out")
+    spark.stop()
+  }
+
+  /** any join tree over subset `s` (left-deep along connectivity) —
+    * result cardinality is order-independent. */
+  private def spanningTree(g: QueryGraph, s: Long): JoinTree = {
+    val first = java.lang.Long.numberOfTrailingZeros(s)
+    var tree: JoinTree = Leaf(first)
+    var remaining = s & ~(1L << first)
+    while (remaining != 0) {
+      val next = (0 until g.n).find { i =>
+        ((remaining >> i) & 1L) == 1L &&
+          g.crossEdges(tree.set, 1L << i).nonEmpty
+      }.getOrElse(throw new IllegalStateException(s"subset $s not connected"))
+      tree = Node(tree, Leaf(next))
+      remaining &= ~(1L << next)
+    }
+    tree
+  }
+}
