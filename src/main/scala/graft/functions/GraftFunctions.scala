@@ -34,6 +34,18 @@ object GraftFunctions {
       "graft_shingles(text string, k literal int)")
   }
 
+  private def simhashBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(toks) => SimHash64(toks)
+    case _ => throw new IllegalArgumentException(
+      "graft_simhash(tokens array<string>)")
+  }
+
+  private def lshSigsBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(v, Literal(t: Int, _), Literal(p: Int, _)) => HyperplaneSigs(v, t, p)
+    case _ => throw new IllegalArgumentException(
+      "graft_lsh_sigs(v array<double>, tables literal int, planes literal int)")
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
@@ -43,7 +55,13 @@ object GraftFunctions {
       cosineBuilder _),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
-      shinglesBuilder _))
+      shinglesBuilder _),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      simhashBuilder _),
+    (FunctionIdentifier("graft_lsh_sigs"),
+      new ExpressionInfo(classOf[HyperplaneSigs].getName, "graft_lsh_sigs"),
+      lshSigsBuilder _))
 
   /** Idempotent imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

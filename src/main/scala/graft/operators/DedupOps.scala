@@ -80,16 +80,11 @@ object DedupOps {
     * of Σ_tokens (±1 by bit j of xxhash64(token)). Near-dups share most
     * bits; banding the signature into 4×16-bit chunks guarantees any pair
     * within Hamming distance 3 collides in ≥1 chunk (pigeonhole). */
-  private def withSimhash(df: DataFrame): DataFrame =
+  private def withSimhash(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("toks", array_distinct(split(col("text"), " ")))
-      // hash every token once; the 64 bit-sums then run over longs
-      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, j) ->
-             acc | IF(aggregate(th, 0,
-                        (s, h) -> s + IF((shiftright(h, j) & 1) = 1,
-                                         1, -1)) > 0,
-                      shiftleft(1L, j), 0L))"""))
+      .withColumn("simhash", expr("graft_simhash(toks)"))
+  }
 
   def simhashPairs(
       spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {

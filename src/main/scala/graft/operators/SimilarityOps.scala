@@ -51,26 +51,6 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
-  /** LSH signature for one hash table: `planes` random hyperplanes with
-    * ±1 components. The hyperplane matrix is a deterministic function of
-    * (table, plane, dim) — computed ONCE on the driver and embedded as
-    * literals, so the per-row work is just `planes` dot products (the
-    * naive form re-hashed (t,p,d) per vector element per row). */
-  private def sigExpr(table: Int, planes: Int, dims: Int = 64): org.apache.spark.sql.Column = {
-    def sign(t: Int, p: Int, d: Int): Double = {
-      // xxhash-style avalanche of the packed coordinates; only parity used
-      var h = (t.toLong << 40) ^ (p.toLong << 20) ^ d.toLong
-      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
-      if ((h & 1L) == 1L) 1.0 else -1.0
-    }
-    (0 until planes).foldLeft(lit(0)) { (acc, p) =>
-      val w = typedLit((0 until dims).map(d => sign(table, p, d)))
-      val dot = aggregate(zip_with(col("v"), w, (x, ww) => x * ww),
-        lit(0d), (a, y) => a + y)
-      acc * 2 + when(dot > 0d, 1).otherwise(0)
-    }
-  }
-
   /** LSH-bucketed ANN: `tables` independent hash tables of `planes`-bit
     * signatures; a candidate appears if it collides with the query in ANY
     * table. Approximate — recall grows with `tables`. */
@@ -79,16 +59,13 @@ object SimilarityOps {
       nQueries: Int = 5, k: Int = 10,
       tables: Int = 8, planes: Int = 8): DataFrame = {
     val all = vecs(spark, sfDir)
-    val sigs = (0 until tables).map(t =>
-      struct(lit(t).as("t"), sigExpr(t, planes).as("sig")))
+    // all table signatures in one compiled pass (graft_lsh_sigs), then
     // persist: referenced by both sides of the candidate join — without
     // the barrier the signature computation is inlined and re-run per use
     val bucketed = all
-      .withColumn("buckets", array(sigs: _*))
-      .select(col("vec_id"), col("label"), col("v"),
-        explode(col("buckets")).as("b"))
+      .withColumn("sigs", expr(s"graft_lsh_sigs(v, $tables, $planes)"))
       .select(col("vec_id"), col("v"),
-        col("b.t").as("t"), col("b.sig").as("sig"))
+        posexplode(col("sigs")).as(Seq("t", "sig")))
       .persist()
     val q = bucketed.filter(col("vec_id") < nQueries)
     val cand = bucketed.as("c").join(broadcast(q.as("q")),

@@ -91,6 +91,39 @@ class NativeExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n.head.isNullAt(0))
   }
 
+  test("graft_simhash equals the nested-aggregate HOF formulation") {
+    val hof =
+      """aggregate(sequence(0, 63), 0L, (acc, j) ->
+           acc | IF(aggregate(transform(toks, t -> xxhash64(t)), 0,
+                      (s, h) -> s + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0,
+                    shiftleft(1L, j), 0L))"""
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      val rows = spark.sql(
+        s"""SELECT graft_simhash(toks) AS native, $hof AS hofv
+            FROM (SELECT array_distinct(split(text, ' ')) AS toks
+                  FROM documents LIMIT 40)""").collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"codegen=$cg"))
+    }
+  }
+
+  test("graft_lsh_sigs: deterministic, bounded, matches the kernel") {
+    val rows = spark.sql(
+      """SELECT vec_id, graft_lsh_sigs(transform(embedding,
+                x -> CAST(x AS DOUBLE)), 4, 8) AS sigs
+         FROM embeddings ORDER BY vec_id LIMIT 20""").collect()
+    rows.foreach { r =>
+      val sigs = r.getAs[scala.collection.Seq[Int]](1)
+      assert(sigs.size == 4)
+      assert(sigs.forall(s => s >= 0 && s < 256)) // 8-bit signatures
+    }
+    // repeat-run determinism
+    val again = spark.sql(
+      """SELECT graft_lsh_sigs(transform(embedding, x -> CAST(x AS DOUBLE)), 4, 8)
+         FROM embeddings ORDER BY vec_id LIMIT 20""").collect()
+    assert(rows.map(_.getAs[scala.collection.Seq[Int]](1).toSeq).toSeq ==
+      again.map(_.getAs[scala.collection.Seq[Int]](0).toSeq).toSeq)
+  }
+
   test("expressions run inside whole-stage codegen over real scans") {
     val plan = spark.sql(
       """SELECT graft_cosine(transform(embedding, x -> CAST(x AS DOUBLE)),
