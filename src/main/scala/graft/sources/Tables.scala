@@ -22,22 +22,35 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which the parquet reader
-    // rejects by default; read nanos as long and derive a micros
-    // timestamp. Integer `div` (not `/`): epoch-nanos > 2^53 would lose
-    // precision through a double.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(path(sfDir, name))
-    if (name == "events")
-      df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts_ns div 1000)"))
-    else df
-  }
+  // Loading a table reads parquet footers (~50-100 ms each); a benchmark
+  // or Verify run touches the same (session, sfDir, table) many times.
+  // DataFrames are immutable plans, so caching them is safe; keyed by
+  // session identity so stopped sessions' plans are never reused.
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  private val currentSfDir =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
 
-  /** Register every table as a temp view named after itself.
-    * Idempotent; cheap (views are lazy — no IO until an action). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    dfCache.computeIfAbsent(
+      (System.identityHashCode(spark), sfDir, name), _ => {
+        // events.parquet carries TIMESTAMP(NANOS) which the parquet
+        // reader rejects by default; read nanos as long and derive a
+        // micros timestamp. Integer `div` (not `/`): epoch-nanos > 2^53
+        // would lose precision through a double.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val df = spark.read.parquet(path(sfDir, name))
+        if (name == "events")
+          df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", org.apache.spark.sql.functions.expr(
+              "timestamp_micros(ts_ns div 1000)"))
+        else df
+      })
+
+  /** Register every table as a temp view named after itself. Memoized:
+    * a no-op while the session's views already point at this sfDir;
+    * switching sfDir re-registers (views must track the LAST dir). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+    if (currentSfDir.put(System.identityHashCode(spark), sfDir) != sfDir)
+      names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
 }
