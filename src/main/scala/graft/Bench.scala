@@ -17,7 +17,8 @@ object Bench {
     "q03_flagship", "q08_agg_tpch_q1", "q04_join_inner", "q13_window_rank",
     "q14_window_frame", "q21_in_subquery", "q26_events_daily",
     "p01_planner_dpccp", "d01_dedup_exact", "d02_dedup_minhash",
-    "t01_quality", "t03_fingerprint_md5", "s01_ann_brute", "s02_ann_lsh")
+    "t01_quality", "t03_fingerprint_md5", "s01_ann_brute", "s02_ann_lsh",
+    "s04_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -80,6 +80,51 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** IVF (inverted-file) ANN: partition vectors into Voronoi cells of a
+    * deterministic centroid sample (every `centroidMod`-th vector — a
+    * fitted k-means would slot in identically), assign each vector to
+    * its nearest centroid, and answer queries by probing only the
+    * `nprobe` nearest cells.
+    *
+    * Scale shape: assignment is one narrow pass against BROADCAST
+    * centroids (O(n·C) flops, no shuffle of the corpus); the candidate
+    * join shuffles only cell ids; probed cells bound the search to
+    * ~nprobe/C of the data. This is the index-free skeleton of a real
+    * IVF index at 100 TB — cells persist as a bucketed table and queries
+    * touch nprobe buckets. */
+  def ivfTopK(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, k: Int = 10,
+      centroidMod: Int = 23, nprobe: Int = 2): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val cents = all.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    // nearest centroid per vector (rank 1) and per query (rank <= nprobe)
+    val scored = all.as("x").join(broadcast(cents.as("c")))
+      .select(col("x.vec_id").as("vec_id"), col("x.v").as("v"),
+        col("c.cent_id").as("cent_id"),
+        expr("graft_cosine(x.v, c.cv)").as("sim"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id"))
+    val ranked = scored.withColumn("crank", row_number().over(byVec))
+    val assignment = ranked.filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id"))
+      .persist() // read by both the probe side and the candidate side
+    val probes = ranked
+      .filter(col("vec_id") < nQueries && col("crank") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cent_id"))
+    val cand = assignment.as("a").join(broadcast(probes.as("p")),
+        col("a.cent_id") === col("p.cent_id") &&
+          col("a.vec_id") =!= col("p.query_id"))
+      .select(col("p.query_id").as("query_id"), col("a.vec_id").as("neighbor_id"),
+        round(expr("graft_cosine(p.qv, a.v)"), 4).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Per-vector L2 norm — oracle-checkable vector math. */
   def norms(spark: SparkSession, sfDir: String): DataFrame =
     vecs(spark, sfDir).select(col("vec_id"),
@@ -94,7 +139,8 @@ object SimilarityOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
-    "s03_vector_norms" -> (norms _)
+    "s03_vector_norms" -> (norms _),
+    "s04_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -133,7 +133,7 @@ object ExperimentMain {
         name: String, g: QueryGraph,
         filters: Vector[Option[String]]): Experiment.ExperimentQuery = {
       val base = g.relations.map(n =>
-        graft.sources.Tables.load(spark, sfDir, n).count().toDouble).toArray
+        graft.sources.Tables.rowCount(spark, sfDir, n).toDouble).toArray
       val est = HeuristicCardinality.uniform(g, base)
       val trueC = dict.get(name) match {
         case Some(m) => new CardinalityStore(g, m, est)

@@ -38,8 +38,9 @@ object PlannerQueries {
       spark: SparkSession, sfDir: String): DataFrame = {
     val (g, filters) = flagshipGraph
     val dfs = g.relations.map(n => Tables.load(spark, sfDir, n))
-    // base row counts from parquet metadata (cheap count over footers)
-    val base = dfs.map(_.count().toDouble).toArray
+    // memoized base row counts (planner statistics input)
+    val base = g.relations.map(n =>
+      Tables.rowCount(spark, sfDir, n).toDouble).toArray
     val sel = Array(0.2, 1.0, 1.0, 0.33, 0.9) // |regions|=5, statuses≈3
     val card = new HeuristicCardinality(g, base, sel)
     val inputs = g.relations.zip(dfs).zip(filters).map {

@@ -47,6 +47,15 @@ object Tables {
         else df
       })
 
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  /** Memoized unfiltered row count (used as planner base cardinality —
+    * stable for immutable testdata, so never recomputed). */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    countCache.computeIfAbsent((sfDir, name),
+      _ => load(spark, sfDir, name).count())
+
   /** Register every table as a temp view named after itself. Memoized:
     * a no-op while the session's views already point at this sfDir;
     * switching sfDir re-registers (views must track the LAST dir). */

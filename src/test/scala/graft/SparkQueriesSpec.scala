@@ -87,6 +87,19 @@ class SparkQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(overlap > 0, "LSH found zero true neighbors")
   }
 
+  test("ivf ann: well-formed ranks and some overlap with brute force") {
+    val rows = run("s04_ann_ivf").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val ranks = g.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.size), "ranks must be dense from 1")
+    }
+    val brute = run("s01_ann_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = rows.map(r => (r.getLong(0), r.getLong(2))).count(brute.contains)
+    assert(overlap > 0, "IVF found zero true neighbors")
+  }
+
   test("events daily agg covers the full date range without nulls") {
     val rows = run("q26_events_daily").collect()
     assert(rows.nonEmpty)
