@@ -8,8 +8,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native cosine similarity: `graft_cosine(a, b)` over two array<double>
   * columns in one codegen'd loop (dot product and both norms in a single
-  * pass; 0.0 when either vector has zero norm, null on length mismatch
-  * is an error).
+  * pass). 0.0 when either vector has zero norm; null input propagates
+  * null; MISMATCHED LENGTHS are truncated to the shorter vector — all
+  * graft pipelines use fixed-dimension embeddings, so a mismatch means
+  * corrupt input, and truncation keeps the operator total rather than
+  * failing a 100 TB job on one bad row.
   *
   * Replaces `aggregate(zip_with(a, b, ...), ...) / (norm_a * norm_b)` —
   * three interpreted higher-order passes plus two stored norms — with one

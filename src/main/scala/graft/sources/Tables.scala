@@ -24,16 +24,22 @@ object Tables {
 
   // Loading a table reads parquet footers (~50-100 ms each); a benchmark
   // or Verify run touches the same (session, sfDir, table) many times.
-  // DataFrames are immutable plans, so caching them is safe; keyed by
-  // session identity so stopped sessions' plans are never reused.
+  // DataFrames are immutable plans, so caching them is safe. Key =
+  // (identityHashCode, applicationId): identity alone can alias after a
+  // stopped session is GC'd, but a lookalike session has a fresh
+  // timestamped applicationId, so a dead session's plans never resolve.
+  private def sessionKey(spark: SparkSession): String =
+    System.identityHashCode(spark).toString + "/" +
+      spark.sparkContext.applicationId
+
   private val dfCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
   private val currentSfDir =
-    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     dfCache.computeIfAbsent(
-      (System.identityHashCode(spark), sfDir, name), _ => {
+      (sessionKey(spark), sfDir, name), _ => {
         // events.parquet carries TIMESTAMP(NANOS) which the parquet
         // reader rejects by default; read nanos as long and derive a
         // micros timestamp. Integer `div` (not `/`): epoch-nanos > 2^53
@@ -58,8 +64,11 @@ object Tables {
 
   /** Register every table as a temp view named after itself. Memoized:
     * a no-op while the session's views already point at this sfDir;
-    * switching sfDir re-registers (views must track the LAST dir). */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    if (currentSfDir.put(System.identityHashCode(spark), sfDir) != sfDir)
+    * switching sfDir re-registers (views must track the LAST dir).
+    * Synchronized so concurrent switches can't interleave put/register
+    * and leave views from mixed directories. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
+    if (currentSfDir.put(sessionKey(spark), sfDir) != sfDir)
       names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+  }
 }

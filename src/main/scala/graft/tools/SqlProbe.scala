@@ -19,6 +19,10 @@ object SqlProbe {
       .collect().head.getSeq[Long](0).take(4))
     println("cosine:   " + spark.sql(
       "SELECT round(graft_cosine(array(1D,2D), array(2D,4D)), 6)").collect().head)
+    // mismatched lengths: documented truncation to the shorter vector
+    println("cosine-mismatch: " + spark.sql(
+      "SELECT round(graft_cosine(array(3D,4D,100D), array(3D,4D)), 6)")
+      .collect().head)
     println("simhash:  " + spark.sql(
       "SELECT graft_simhash(split(text, ' ')) FROM documents LIMIT 2")
       .collect().map(_.getLong(0)).mkString(", "))
