@@ -205,7 +205,21 @@ object RelationalQueries {
       """SELECT o_orderkey,
                 CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due,
                 CAST(quarter(o_orderdate) AS INTEGER) AS q
-         FROM orders"""
+         FROM orders""",
+
+    // --- correlated scalar subquery ---
+    "q40_correlated_scalar" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS bal
+         FROM customer c
+         WHERE c_acctbal * 500 > (SELECT coalesce(sum(o_totalprice), 0)
+                                  FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+
+    // --- pivot as conditional aggregation (engine-portable form) ---
+    "q42_pivot_conditional" ->
+      """SELECT l_returnflag,
+                round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+                round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+         FROM lineitem GROUP BY l_returnflag"""
   )
 
   /** DataFrame-API queries (operators Spark expresses natively but whose
@@ -228,6 +242,8 @@ object RelationalQueries {
         .select("c_custkey", "c_name")
     }),
     "q39_array_ops" -> (arrayOps _),
+    "q41_string_agg" -> (stringAgg _),
+    "q43_pivot" -> (pivotQty _),
     // time-bucketed aggregation over the events table (the ts column is
     // nanos in parquet; Tables.load derives a micros timestamp)
     "q26_events_daily" -> ((spark, sfDir) => {
@@ -252,7 +268,34 @@ object RelationalQueries {
         .as("head_sum"))
   }
 
+  /** Ordered string aggregation (listagg/string_agg — names differ). */
+  private def stringAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.load(spark, sfDir, "supplier")
+      .groupBy(col("s_nationkey"))
+      .agg(array_join(sort_array(collect_list(col("s_name"))), ",")
+        .as("suppliers"))
+  }
+
+  /** True DataFrame pivot (relational pivot operator). */
+  private def pivotQty(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("l_quantity"), 2))
+      .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+  }
+
   val dfOracleSql: Map[String, String] = Map(
+    "q41_string_agg" ->
+      """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+         FROM supplier GROUP BY s_nationkey""",
+    "q43_pivot" ->
+      """SELECT l_returnflag,
+                round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+                round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+         FROM lineitem GROUP BY l_returnflag""",
     "q39_array_ops" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
                 round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
