@@ -49,13 +49,18 @@ object MultimodalOps {
 
   /** "Feature extraction": 8-dim embedding per payload. STUB — a real
     * pipeline decodes the image and runs a vision model here; the fake is
-    * a deterministic hash projection with the same output shape
-    * (Array[Double]) and the same narrow-map plan. */
+    * a deterministic hash projection with the same per-element math and
+    * the same narrow-map plan. Emitted EXPLODED to scalar rows
+    * (media_id, feature_idx, value) — one row per dimension — so the
+    * result is a plain relational frame any checker (and any downstream
+    * SQL consumer) can sort and hash; the array form is `collect_list`
+    * away when a vector column is wanted. */
   def featureExtract(spark: SparkSession, sfDir: String): DataFrame =
     mediaTable(spark, sfDir).select(
       col("media_id"),
-      expr("""transform(sequence(0, 7),
-                i -> pmod(xxhash64(payload, i), 1000) / 1000D)""").as("features"))
+      posexplode(expr("""transform(sequence(0, 7),
+                i -> pmod(xxhash64(payload, i), 1000) / 1000D)"""))
+        .as(Seq("feature_idx", "value")))
 
   /** "Frame sampling": every `stride` bytes take a 16-byte "frame"
     * (stand-in for video keyframe extraction); emits one row per frame —
@@ -90,8 +95,18 @@ object MultimodalOps {
   /** STUB decode kernel: deterministic "pixel count" from the payload. */
   private def fakeDecode(bytes: Array[Byte]): Int = bytes.length * 3
 
+  /** The oracle-checkable half of [[binaryMeta]]: payload byte length is
+    * pure utf-8 arithmetic both engines share (width/height/crc32 are
+    * xxhash64/crc32-derived, which DuckDB lacks — they stay in the
+    * rows-only m01 entry). */
+  def byteLen(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).select(
+      col("media_id"), col("mime"),
+      length(col("payload")).as("byte_len"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> (binaryMeta _),
+    "m01b_byte_len" -> (byteLen _),
     "m02_feature_extract" -> (featureExtract _),
     "m03_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
     "m04_decode_batched" -> ((s: SparkSession, d: String) =>
@@ -101,6 +116,10 @@ object MultimodalOps {
   /** byte_len/checksum are oracle-checkable: DuckDB computes the same
     * lengths from the parquet text (utf-8 byte length = octet_length). */
   def oracleSql: Map[String, String] = Map(
+    "m01b_byte_len" ->
+      """SELECT doc_id AS media_id, 'image/fake' AS mime,
+                CAST(octet_length(encode(text)) AS INTEGER) AS byte_len
+         FROM documents""",
     "m04_decode_batched" ->
       """SELECT doc_id AS media_id,
                 CAST(octet_length(encode(text)) * 3 AS INTEGER) AS pixels

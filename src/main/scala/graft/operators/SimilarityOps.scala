@@ -143,7 +143,35 @@ object SimilarityOps {
     "s04_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d))
   )
 
+  /** Brute-force top-k is fully deterministic, so it oracle-checks: the
+    * cosine formula below is term-for-term the graft_cosine kernel
+    * (sequential dot / sqrt(nx*ny), float→double casts first) and the
+    * rank is assigned over the ROUNDED cosine with the same neighbor_id
+    * tie-break — both engines fold arrays left-to-right, so the doubles
+    * agree bit-for-bit before round(,4). */
+  val bruteOracle: String =
+    """WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                round(list_dot_product(q.v, c.v) /
+                      sqrt(list_sum(list_transform(q.v, x -> x * x)) *
+                           list_sum(list_transform(c.v, x -> x * x))),
+                      4) AS cosine
+         FROM v q, v c
+         WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       ranked AS (
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+                neighbor_id, cosine
+         FROM scored)
+     SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10"""
+
   def oracleSql: Map[String, String] = Map(
+    "s01_ann_brute" -> bruteOracle,
     "s03_vector_norms" -> normsOracle
   )
 }

@@ -112,12 +112,18 @@ object TextOps {
     "fr" -> Seq(" le", " de", "les", "ent", "que", " la"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有"))
 
+  /** Per-language hit score as SQL shared verbatim by Spark and DuckDB:
+    * Σ_grams (length(text) - length(text with gram removed)) — i.e.
+    * occurrences × gram length, from functions both engines define
+    * identically. */
+  private def langScoreSql(grams: Seq[String]): String =
+    grams.map(g =>
+      s"(length(text) - length(replace(text, '${g.replace("'", "''")}', '')))")
+      .mkString(" + ")
+
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
-      val s = grams.map(g =>
-        s"(length(text) - length(replace(text, '${g.replace("'", "''")}', '')))")
-        .mkString(" + ")
-      struct(expr(s).as("score"), lit(lang).as("lang"))
+      struct(expr(langScoreSql(grams)).as("score"), lit(lang).as("lang"))
     }
     docs(spark, sfDir).select(
       col("doc_id"),
@@ -125,6 +131,24 @@ object TextOps {
       element_at(
         reverse(array_sort(array(scores: _*))), 1).getField("lang")
         .as("lang_pred"))
+  }
+
+  /** DuckDB twin of [[langId]]: same score expressions, argmax spelled as
+    * a CASE over languages in DESCENDING code order with `>=` — picks the
+    * max score and, on ties, the lexicographically largest language,
+    * exactly what reverse(array_sort(struct(score, lang)))[1] picks. */
+  val langIdOracle: String = {
+    val langs = langProfiles.keys.toSeq.sorted
+    val desc = langs.reverse
+    val scoreDefs = langs
+      .map(l => s"${langScoreSql(langProfiles(l))} AS s_$l").mkString(", ")
+    val cases = desc.init.zipWithIndex.map { case (l, i) =>
+      val rest = desc.drop(i + 1)
+      s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang_actual,
+               CASE $cases ELSE '${desc.last}' END AS lang_pred
+        FROM (SELECT doc_id, lang AS lang_actual, $scoreDefs FROM documents)"""
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -138,10 +162,19 @@ object TextOps {
     "t06_subwords" -> subwordCounts _
   )
 
+  val subwordOracle: String =
+    """SELECT doc_id,
+              CAST(len(flatten(list_transform(string_split(text, ' '),
+                     w -> regexp_extract_all(w, '.{1,4}', 0)))) AS INTEGER)
+                AS n_subwords
+       FROM documents"""
+
   def oracleSql: Map[String, String] = Map(
     "t01_quality" -> qualityOracle,
     "t02_tokens" -> tokenOracle,
-    "t03_fingerprint_md5" -> fingerprintMd5Sql
+    "t03_fingerprint_md5" -> fingerprintMd5Sql,
+    "t05_langid" -> langIdOracle,
+    "t06_subwords" -> subwordOracle
   )
 }
 
