@@ -46,6 +46,12 @@ object GraftFunctions {
       "graft_lsh_sigs(v array<double>, tables literal int, planes literal int)")
   }
 
+  private def nearestCentsBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(v, cents, Literal(n: Int, _)) => NearestCentroids(v, cents, n)
+    case _ => throw new IllegalArgumentException(
+      "graft_nearest_cents(v array<double>, cents array<array<double>>, n literal int)")
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
@@ -61,7 +67,10 @@ object GraftFunctions {
       simhashBuilder _),
     (FunctionIdentifier("graft_lsh_sigs"),
       new ExpressionInfo(classOf[HyperplaneSigs].getName, "graft_lsh_sigs"),
-      lshSigsBuilder _))
+      lshSigsBuilder _),
+    (FunctionIdentifier("graft_nearest_cents"),
+      new ExpressionInfo(classOf[NearestCentroids].getName, "graft_nearest_cents"),
+      nearestCentsBuilder _))
 
   /** Idempotent imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

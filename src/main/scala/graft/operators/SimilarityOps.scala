@@ -86,33 +86,45 @@ object SimilarityOps {
     * its nearest centroid, and answer queries by probing only the
     * `nprobe` nearest cells.
     *
-    * Scale shape: assignment is one narrow pass against BROADCAST
-    * centroids (O(n·C) flops, no shuffle of the corpus); the candidate
-    * join shuffles only cell ids; probed cells bound the search to
-    * ~nprobe/C of the data. This is the index-free skeleton of a real
-    * IVF index at 100 TB — cells persist as a bucketed table and queries
-    * touch nprobe buckets. */
+    * Scale shape: the centroid set IS the model — tiny by construction
+    * (a real IVF index fixes C ≈ √n or 2^16 regardless of corpus size;
+    * here the sampling knob stands in for k-means) — so it is collected
+    * once at plan time and rides to every task inside the
+    * `graft_nearest_cents` expression as an array literal. Cell
+    * assignment of the whole corpus is then ONE narrow codegen'd map:
+    * no shuffle, no window, no exchange between scoring and assignment
+    * (round-1 ranked the corpus×centroids cross product through a
+    * window argmax — C× the corpus through a shuffle). The candidate
+    * join still shuffles only probed cell ids; probed cells bound the
+    * search to ~nprobe/C of the data. */
   def ivfTopK(
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, k: Int = 10,
       centroidMod: Int = 23, nprobe: Int = 2): DataFrame = {
     val all = vecs(spark, sfDir)
-    val cents = all.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    // nearest centroid per vector (rank 1) and per query (rank <= nprobe)
-    val scored = all.as("x").join(broadcast(cents.as("c")))
-      .select(col("x.vec_id").as("vec_id"), col("x.v").as("v"),
-        col("c.cent_id").as("cent_id"),
-        expr("graft_cosine(x.v, c.cv)").as("sim"))
-    val byVec = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cent_id"))
-    val ranked = scored.withColumn("crank", row_number().over(byVec))
-    val assignment = ranked.filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id"))
-      .persist() // read by both the probe side and the candidate side
-    val probes = ranked
-      .filter(col("vec_id") < nQueries && col("crank") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cent_id"))
+    // plan-time model fetch: C = n/centroidMod vectors (217 at sf0.1),
+    // sorted by cent_id so kernel index order = the old rank tie-break
+    val centRows = all.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v"))
+      .orderBy("cent_id").collect()
+    val centIds: Seq[Long] = centRows.map(_.getLong(0)).toSeq
+    val centVecs: Seq[Seq[Double]] =
+      centRows.map(_.getSeq[Double](1).toSeq).toSeq
+    val centsLit = typedlit(centVecs)
+    val idsLit = typedlit(centIds)
+
+    val assignment = all
+      .withColumn("nc",
+        call_function("graft_nearest_cents", col("v"), centsLit, lit(1)))
+      .select(col("vec_id"), col("v"),
+        element_at(idsLit, col("nc").getItem(0) + 1).as("cent_id"))
+    val probes = all.filter(col("vec_id") < nQueries)
+      .withColumn("nc",
+        call_function("graft_nearest_cents", col("v"), centsLit, lit(nprobe)))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(col("nc")).as("ci"))
+      .select(col("query_id"), col("qv"),
+        element_at(idsLit, col("ci") + 1).as("cent_id"))
     val cand = assignment.as("a").join(broadcast(probes.as("p")),
         col("a.cent_id") === col("p.cent_id") &&
           col("a.vec_id") =!= col("p.query_id"))
