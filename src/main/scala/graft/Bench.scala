@@ -47,12 +47,21 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             name -> -1.0
-        }
+        } finally graft.operators.Persists.releaseAll()
       }
     }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.collect { case (k, v) if v < 0 => s""""$k"""" }
+    if (failed.nonEmpty) {
+      // a failing query must read as a FAILURE, not as a faster total —
+      // report value:-1 + the failed list and exit nonzero
+      println(s"""{"metric":"total","value":-1,"unit":"sec","queries":$qs,""" +
+        s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      spark.stop()
+      sys.exit(1)
+    }
+    val total = results.map(_._2).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -44,8 +44,8 @@ final case class HyperplaneSigs(child: Expression, tables: Int, planes: Int)
 }
 
 object HyperplaneSigs {
-  /** ±1 hyperplane component for (table, plane, dim) — must match
-    * SimilarityOps.sigExpr's driver-side derivation. */
+  /** ±1 hyperplane component for (table, plane, dim), derived by an
+    * avalanche mix so signatures are a pure function of the data. */
   @inline def sign(t: Int, p: Int, d: Int): Double = {
     var h = (t.toLong << 40) ^ (p.toLong << 20) ^ d.toLong
     h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33

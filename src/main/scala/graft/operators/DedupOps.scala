@@ -51,9 +51,8 @@ object DedupOps {
     // every reference (observed 8-16x recompute). At cluster scale this
     // is a checkpoint of the signature table; locally persist() is the
     // same barrier.
-    val d = withMinhash(docs(spark, sfDir), bands * rows)
-      .select(col("doc_id"), col("sh"), col("mh"))
-      .persist()
+    val d = Persists.barrier(withMinhash(docs(spark, sfDir), bands * rows)
+      .select(col("doc_id"), col("sh"), col("mh")))
     val banded = d.select(
       col("doc_id"),
       posexplode(expr(
@@ -90,8 +89,8 @@ object DedupOps {
       spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
     // persist: the self-join below reads the signature twice (see
     // minhashLsh for the CollapseProject inlining hazard)
-    val d = withSimhash(docs(spark, sfDir))
-      .select(col("doc_id"), col("simhash")).persist()
+    val d = Persists.barrier(withSimhash(docs(spark, sfDir))
+      .select(col("doc_id"), col("simhash")))
     val banded = d.select(
       col("doc_id"), col("simhash"),
       posexplode(expr(
@@ -109,18 +108,37 @@ object DedupOps {
   // -------------------------------------------------------- n-gram Jaccard
   /** Character-n-gram Jaccard dedup: candidates = pairs sharing ≥1 word
     * 8-gram (a high-precision canopy — true near-dups almost surely share
-    * one), verified by 5-char-gram Jaccard. */
+    * one), verified by 5-char-gram Jaccard.
+    *
+    * Canopy keys more frequent than `maxCanopyFreq` are dropped BEFORE
+    * the self-join: a corpus-common 8-gram (boilerplate header, license
+    * blurb) would otherwise make one bucket quadratic — the classic
+    * stop-shingle cutoff. Hot keys are by definition few distinct values,
+    * so the exclusion set broadcasts; per-key candidate work is bounded
+    * at maxCanopyFreq²/2 regardless of corpus size. True near-dups share
+    * MANY 8-grams, so losing the boilerplate ones doesn't lose the pair
+    * unless the docs agree ONLY on boilerplate — exactly the pairs a
+    * dedup pipeline wants to ignore. */
   def ngramJaccard(
-      spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val d = docs(spark, sfDir)
+      spark: SparkSession, sfDir: String, threshold: Double = 0.5,
+      maxCanopyFreq: Long = 100): DataFrame =
+    ngramJaccardOn(docs(spark, sfDir), threshold, maxCanopyFreq)
+
+  /** [[ngramJaccard]] over any (doc_id, text) frame — fixture-injectable. */
+  def ngramJaccardOn(
+      input: DataFrame, threshold: Double, maxCanopyFreq: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(input.sparkSession)
+    val d = input
       .withColumn("grams", array_distinct(expr(
         "regexp_extract_all(text, '.{5}', 0)"))) // non-overlapping 5-char grams
       .withColumn("canopy", Shingles.wordShingles("text", 8))
       .select(col("doc_id"), col("grams"), col("canopy"))
-      .persist() // read 3x below (canopy explode + both gram joins)
+      .transform(Persists.barrier) // read 3x below (canopy explode + both gram joins)
     val keys = d.select(col("doc_id"), explode(col("canopy")).as("key"))
-    val cand = keys.as("x").join(keys.as("y"),
+    val hotKeys = keys.groupBy("key").count()
+      .filter(col("count") > maxCanopyFreq).select("key")
+    val coldKeys = keys.join(broadcast(hotKeys), Seq("key"), "left_anti")
+    val cand = coldKeys.as("x").join(coldKeys.as("y"),
         col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()

@@ -62,11 +62,10 @@ object SimilarityOps {
     // all table signatures in one compiled pass (graft_lsh_sigs), then
     // persist: referenced by both sides of the candidate join — without
     // the barrier the signature computation is inlined and re-run per use
-    val bucketed = all
+    val bucketed = Persists.barrier(all
       .withColumn("sigs", expr(s"graft_lsh_sigs(v, $tables, $planes)"))
       .select(col("vec_id"), col("v"),
-        posexplode(col("sigs")).as(Seq("t", "sig")))
-      .persist()
+        posexplode(col("sigs")).as(Seq("t", "sig"))))
     val q = bucketed.filter(col("vec_id") < nQueries)
     val cand = bucketed.as("c").join(broadcast(q.as("q")),
         col("q.t") === col("c.t") && col("q.sig") === col("c.sig") &&

@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Self-join removal: an inner self-join of a table with itself on a
   * UNIQUE key is the identity — each row pairs exactly with itself — so
@@ -16,7 +17,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * :2043 isRemovableSelfJoin, :2080 areSelfJoinKeysUnique) as a Catalyst
   * `Rule[LogicalPlan]` — the reference proves key uniqueness from
   * catalog metadata; Spark has no unique constraints, so uniqueness is
-  * declared via [[SelfJoinElimination.uniqueColumns]].
+  * declared via [[SelfJoinElimination.uniqueKeys]], keyed by
+  * (relation, column) and resolved against the leaf's actual relation.
   *
   * At 100 TB this saves an entire scan+shuffle of the largest table in
   * the query — the single biggest win a logical rewrite can deliver.
@@ -48,13 +50,18 @@ case class SelfJoinElimination() extends Rule[LogicalPlan] {
   private def eliminate(
       j: Join, l: LogicalPlan, r: LogicalPlan,
       la: AttributeReference, ra: AttributeReference): Option[LogicalPlan] = {
-    if (!uniqueColumns.contains(la.name) || la.name != ra.name) return None
+    if (la.name != ra.name) return None
     val lout = l.outputSet
     val (keyL, keyR) = if (lout.contains(la)) (la, ra) else (ra, la)
     for {
       (leafL, filtersL) <- strip(l)
       (leafR, filtersR) <- strip(r)
       if leafL.sameResult(leafR)
+      // uniqueness is declared per (relation, column) — a coincidentally
+      // named column in some OTHER table never matches (the reference
+      // proves this from catalog metadata, areSelfJoinKeysUnique:2080)
+      table <- tableOf(leafL)
+      if uniqueKeys.contains((table, la.name))
       // left side must still expose every column the right side outputs
       byName = leafL.output.map(a => a.name -> a).toMap
       if r.output.forall(a => byName.contains(a.name))
@@ -77,10 +84,32 @@ case class SelfJoinElimination() extends Rule[LogicalPlan] {
 }
 
 object SelfJoinElimination {
-  /** Column names known to be unique keys of their table. The testdata
-    * schema has globally-unique column names, so the column name
-    * determines the table. Extend for other schemas. */
-  @volatile var uniqueColumns: Set[String] = Set(
-    "r_regionkey", "n_nationkey", "c_custkey", "s_suppkey", "p_partkey",
-    "o_orderkey", "event_id", "doc_id", "vec_id")
+
+  /** (table, column) pairs known to be unique keys. Spark has no unique
+    * constraints, so this is the declared stand-in for the reference's
+    * catalog uniqueness proof; extend per deployment schema. */
+  @volatile var uniqueKeys: Set[(String, String)] = Set(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "events" -> "event_id", "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
+
+  /** Identify the relation behind a leaf: catalog table name if present,
+    * else the file-source root path's basename (Tables.load reads
+    * `<sfDir>/<table>.parquet`). Unknown leaf shapes get no name and are
+    * never eliminated. */
+  private def tableOf(leaf: LogicalPlan): Option[String] = leaf match {
+    case lr: LogicalRelation =>
+      lr.catalogTable.map(_.identifier.table).orElse(lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map { p =>
+            val base = p.getName
+            if (base.endsWith(".parquet")) base.dropRight(".parquet".length)
+            else base
+          }
+        case _ => None
+      })
+    case _ => None
+  }
 }

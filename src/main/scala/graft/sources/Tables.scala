@@ -37,21 +37,24 @@ object Tables {
   private val currentSfDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which the parquet reader
+    // rejects by default. Set the legacy conf unconditionally HERE — the
+    // one documented session-config mutation — so read behavior never
+    // depends on cache state.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     dfCache.computeIfAbsent(
       (sessionKey(spark), sfDir, name), _ => {
-        // events.parquet carries TIMESTAMP(NANOS) which the parquet
-        // reader rejects by default; read nanos as long and derive a
-        // micros timestamp. Integer `div` (not `/`): epoch-nanos > 2^53
-        // would lose precision through a double.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val df = spark.read.parquet(path(sfDir, name))
+        // Integer `div` (not `/`): epoch-nanos > 2^53 would lose
+        // precision through a double.
         if (name == "events")
           df.withColumnRenamed("ts", "ts_ns")
             .withColumn("ts", org.apache.spark.sql.functions.expr(
               "timestamp_micros(ts_ns div 1000)"))
         else df
       })
+  }
 
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Skew-safety of the n-gram canopy dedup: a corpus-common 8-gram
+  * (boilerplate) must not make one candidate bucket quadratic, and the
+  * frequency cutoff must not change results on the testdata corpus. */
+class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** 60 docs opening with the same 8-word license blurb (a hot canopy
+    * key shared by all 60) followed by per-doc unique text, plus one
+    * true near-dup pair (9000/9001) that shares its OWN rare 8-gram and
+    * nearly all 5-char grams. */
+  private def boilerplateDocs = {
+    val blurb = "licensed under the apache license version two zero"
+    val unique = (0 until 60).map { i =>
+      val body = (0 until 12).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, s"$blurb $body")
+    }
+    val nearDup = Seq(
+      (9000L, "the quick brown fox jumps over the lazy dog again and again"),
+      (9001L, "the quick brown fox jumps over the lazy dog again and again!"))
+    val s = spark
+    import s.implicits._
+    (unique ++ nearDup).toDF("doc_id", "text")
+  }
+
+  test("canopy frequency cap bounds boilerplate candidates but keeps true pairs") {
+    val capped = DedupOps
+      .ngramJaccardOn(boilerplateDocs, threshold = 0.5, maxCanopyFreq = 50)
+      .collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((9000L, 9001L)),
+      "cap must drop boilerplate-only pairs and keep the true near-dup")
+
+    // without the cap the hot blurb key generates all 60*59/2 candidates
+    val uncappedCandidates = DedupOps
+      .ngramJaccardOn(boilerplateDocs, threshold = -1.0, maxCanopyFreq = Long.MaxValue)
+      .count()
+    val cappedCandidates = DedupOps
+      .ngramJaccardOn(boilerplateDocs, threshold = -1.0, maxCanopyFreq = 50)
+      .count()
+    assert(uncappedCandidates >= 60L * 59 / 2,
+      s"fixture should be quadratic uncapped, got $uncappedCandidates")
+    assert(cappedCandidates == 1,
+      s"cap should leave only the rare-key candidate, got $cappedCandidates")
+  }
+
+  test("d04 output on testdata is unchanged by the default cap") {
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def pairs(cap: Long) =
+      DedupOps.ngramJaccardOn(d, threshold = 0.5, maxCanopyFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(100) == pairs(Long.MaxValue))
+  }
+}
