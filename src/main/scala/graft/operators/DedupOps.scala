@@ -154,18 +154,40 @@ object DedupOps {
 
   // --------------------------------------------------- embedding near-dup
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold, blocked by
-    * the label column (stand-in for a coarse ANN cluster id — see
-    * SimilarityOps for LSH blocking that needs no labels). */
+    * hyperplane-LSH buckets (graft_lsh_sigs) — candidates meet only when
+    * they collide in ≥1 of `tables` signature buckets, then every
+    * candidate is verified with exact cosine. No label column, no
+    * unbounded per-label all-pairs block (the round-1 formulation).
+    *
+    * Recall is governed by (tables, planes) against the threshold: a
+    * pair at cosine c collides per plane w.p. 1 − acos(c)/π, so miss
+    * probability is (1 − p^planes)^tables. The defaults (16 tables × 2
+    * planes) give per-pair miss < 1e-3 at c = 0.3 — measured 100% recall
+    * of all 990 true pairs on the sf0.01 testdata (DedupOpsSpec checks
+    * exact agreement with brute force). The testdata's τ=0.3 sits at the
+    * noise floor of its random embeddings, which forces coarse buckets
+    * (expected size n/2^planes); production near-dup thresholds
+    * (τ ≥ 0.85) support planes = 8–16 where buckets shrink to n/256 and
+    * below — same code, one knob. */
   def embeddingNearDup(
-      spark: SparkSession, sfDir: String, threshold: Double = 0.3): DataFrame = {
+      spark: SparkSession, sfDir: String, threshold: Double = 0.3,
+      tables: Int = 16, planes: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("label"),
+      .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-    e.as("x").join(e.as("y"),
-        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+    // persist barrier: the banding explode + both sides of the candidate
+    // join reference the signatures (see minhashLsh)
+    val bucketed = Persists.barrier(e
+      .withColumn("sigs", expr(s"graft_lsh_sigs(v, $tables, $planes)"))
+      .select(col("vec_id"), col("v"),
+        posexplode(col("sigs")).as(Seq("t", "sig"))))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
         round(expr("graft_cosine(x.v, y.v)"), 4).as("cosine"))
+      .distinct()
       .filter(col("cosine") >= threshold)
   }
 

@@ -15,10 +15,11 @@ import graft.sources.Tables
   *    big side streams, nothing shuffles but the top-k (bounded k·|Q|).
   *  - [[lshTopK]] — scale path when |queries| is large: random-hyperplane
   *    LSH signatures bucket the vectors; only same-bucket pairs meet.
-  *    Hyperplanes are derived from xxhash64(table, plane, dim) so the
-  *    whole index is deterministic and needs no fitted model or stored
-  *    state — recompute-on-read, which is exactly what you want for a
-  *    100 TB immutable corpus.
+  *    Hyperplane components are hash-derived pseudo-gaussians
+  *    ([[graft.functions.HyperplaneSigs]]) so the whole index is
+  *    deterministic and needs no fitted model or stored state —
+  *    recompute-on-read, which is exactly what you want for a 100 TB
+  *    immutable corpus.
   *
   * All vector math is higher-order array functions (zip_with/aggregate)
   * — codegen'd, no UDFs.

@@ -62,6 +62,25 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cap should leave only the rare-key candidate, got $cappedCandidates")
   }
 
+  test("d05 LSH blocking finds exactly the brute-force pairs at threshold") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val sfDir = "/root/testdata/sf0.01"
+    val lsh = DedupOps.embeddingNearDup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+    val brute = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        round(expr("graft_cosine(x.v, y.v)"), 4).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "fixture should have true pairs")
+    assert(lsh == brute,
+      s"LSH missed ${(brute -- lsh).size}, spurious ${(lsh -- brute).size}")
+  }
+
   test("d04 output on testdata is unchanged by the default cap") {
     val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     def pairs(cap: Long) =
