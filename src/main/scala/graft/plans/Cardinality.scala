@@ -6,6 +6,13 @@ package graft.plans
   * (reference: MyMetadataQuery.java:81-162). */
 trait Cardinality {
   def apply(s: Long): Double
+
+  /** NDV of the join-key columns `cols` on base relation `vertex` — the
+    * reference's `getDistinctRowCount` surface, which the greedy
+    * heuristic's tie-break consults (MyLoptOptimizeJoinRule.java:638,
+    * :848-863). Default: the relation's cardinality (every key distinct
+    * — the PK assumption); override with measured NDVs. */
+  def ndv(vertex: Int, cols: Seq[String]): Double = apply(1L << vertex)
 }
 
 /** Injected-cardinality dictionary with the reference's JSON format:
@@ -32,6 +39,8 @@ final class CardinalityStore(
         fallback(s)
     }
   }
+  override def ndv(vertex: Int, cols: Seq[String]): Double =
+    fallback.ndv(vertex, cols)
 }
 
 object CardinalityStore {
@@ -61,7 +70,8 @@ object CardinalityStore {
 final class HeuristicCardinality(
     graph: QueryGraph,
     base: Array[Double],
-    filterSel: Array[Double]) extends Cardinality {
+    filterSel: Array[Double],
+    ndvByCol: Map[(Int, String), Double] = Map.empty) extends Cardinality {
   def apply(s: Long): Double = {
     var rows = 1.0
     var rest = s
@@ -76,6 +86,15 @@ final class HeuristicCardinality(
     }
     math.max(rows, 1.0)
   }
+
+  /** Measured (countDistinct-derived) NDVs when supplied; composite keys
+    * take the per-column product capped at the relation's row count, PK
+    * fallback otherwise. */
+  override def ndv(vertex: Int, cols: Seq[String]): Double =
+    if (cols.isEmpty || cols.exists(c => !ndvByCol.contains((vertex, c))))
+      base(vertex)
+    else
+      math.min(cols.map(c => ndvByCol((vertex, c))).product, base(vertex))
 }
 
 object HeuristicCardinality {

@@ -154,74 +154,132 @@ object Enumerators {
 
   /** Selinger-style left-deep DP (reference:
     * LeftDeepJoinOrderRule.java:68-204 — extend the best (k−1)-subset
-    * plan by one factor reachable over a join edge). Optimal within the
-    * left-deep space. */
+    * plan by one factor reachable over a join edge, exactly as the
+    * reference's getSubsets/extend loop at :209-225). Optimal within the
+    * left-deep space.
+    *
+    * Enumeration is frontier-driven: level k is generated by extending
+    * level k−1's dp entries with their graph neighbors, so only
+    * reachable CONNECTED subsets are ever touched — a 20-relation chain
+    * visits O(n²) subsets, not 2^20 (the round-1 version scanned
+    * 0..2^n longs per level). */
   case object LeftDeepDP extends JoinOrderPlanner {
     val name = "leftdeep"
     protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree = {
       val dp = mutable.LongMap.empty[(JoinTree, Double)]
-      (0 until g.n).foreach { i => dp(1L << i) = (Leaf(i), 0.0) }
-      for (k <- 2 to g.n) {
-        // iterate all subsets of size k that are connected
-        def subsets(mask: Long, size: Int): Iterator[Long] =
-          (0L to mask).iterator.filter(s =>
-            (s & ~mask) == 0 && java.lang.Long.bitCount(s) == size)
-        subsets(g.full, k).foreach { s =>
-          if (g.connected(s)) {
-            var bestT: JoinTree = null; var bestC = Double.PositiveInfinity
-            var rest = s
-            while (rest != 0) {
-              val i = java.lang.Long.numberOfTrailingZeros(rest)
-              val prev = s & ~(1L << i)
-              dp.get(prev).foreach { case (t, c) =>
-                if (g.crossEdges(prev, 1L << i).nonEmpty) {
-                  val cost = c + cm.joinCost(t, Leaf(i), card)
-                  if (cost < bestC) { bestC = cost; bestT = Node(t, Leaf(i)) }
-                }
-              }
-              rest &= rest - 1
-            }
-            if (bestT != null) dp(s) = (bestT, bestC)
+      var level = new Array[Long](g.n)
+      (0 until g.n).foreach { i =>
+        dp(1L << i) = (Leaf(i), 0.0); level(i) = 1L << i
+      }
+      for (_ <- 2 to g.n) {
+        val next = mutable.LongMap.empty[(JoinTree, Double)]
+        level.foreach { s =>
+          val (t, c) = dp(s)
+          var cand = g.neighbors(s)
+          while (cand != 0) {
+            val i = java.lang.Long.numberOfTrailingZeros(cand)
+            val grown = s | (1L << i)
+            val cost = c + cm.joinCost(t, Leaf(i), card)
+            if (cost < next.getOrElse(grown, (null, Double.PositiveInfinity))._2)
+              next(grown) = (Node(t, Leaf(i)), cost)
+            cand &= cand - 1
           }
         }
+        next.foreach { case (s, v) => dp(s) = v }
+        level = next.keys.toArray
       }
+      require(dp.contains(g.full), "leftdeep: graph disconnected")
       dp(g.full)._1
     }
   }
 
   /** Greedy heuristic — the behavioral core of the reference's 2113-line
-    * MyLoptOptimizeJoinRule (SURVEY.md §2b): try every first factor; from
-    * the current left-deep prefix repeatedly append the edge-connected
-    * factor with the cheapest incremental join cost (ties → smaller
-    * resulting cardinality, then smaller index — the rule's
-    * edge-weight/NDV tie-break, MyLoptOptimizeJoinRule.java:788-863);
-    * keep the best full ordering
-    * (findBestOrderings, MyLoptOptimizeJoinRule.java:462-504). */
+    * MyLoptOptimizeJoinRule (SURVEY.md §2b), re-expressed faithfully:
+    *
+    *  - per first factor, build an ordering and keep the best-by-cost
+    *    full tree (findBestOrderings, MyLoptOptimizeJoinRule.java:462-504)
+    *  - next factor = highest edge WEIGHT to the placed factors, ties
+    *    broken by HIGHER join-key NDV (getBestNextFactor, :788-863 —
+    *    `factorWeights` then `computeJoinCardinality` which is
+    *    getDistinctRowCount of the join keys, :638). Our QueryGraph
+    *    edges are binary equi-conds, so Calcite's weight scheme (3 per
+    *    direct two-factor filter) collapses to "number of direct
+    *    conditions" — the NDV tie-break does the real discrimination.
+    *  - each addition prices add-to-top AGAINST push-down into the
+    *    deepest subtree covering the factor's join partners and keeps
+    *    the cheaper (addFactorToTree/addToTop/pushDownFactor, :899-1012;
+    *    cost ties go to top — we model no row widths, :1024-1037).
+    *
+    * Unlike the round-1 version this explores bushy shapes via
+    * push-down, so on star/bushy graphs it tracks the reference's
+    * choices instead of the cheapest-next-edge left-deep chain. */
   case object Greedy extends JoinOrderPlanner {
     val name = "greedy"
+
+    /** Edge weight between the placed set and candidate `f`: count of
+      * direct join conditions (Calcite's two-factor-filter weight, with
+      * the constant factored out). */
+    private def weight(g: QueryGraph, placed: Long, f: Int): Int =
+      g.crossEdges(placed, 1L << f).map(_.conds.size.max(1)).sum
+
+    /** NDV of the candidate's join-key columns w.r.t. the placed set
+      * (reference computeJoinCardinality, :594-641). */
+    private def joinKeyNdv(
+        g: QueryGraph, card: Cardinality, placed: Long, f: Int): Double = {
+      val cols = g.crossEdges(placed, 1L << f).flatMap { e =>
+        e.conds.map(c => if (e.a == f) c._1 else c._2)
+      }.distinct
+      card.ndv(f, cols)
+    }
+
+    /** Deepest subtree whose relation set covers every placed join
+      * partner of `f`; replacing it with Node(subtree, f) is the
+      * push-down alternative (pushDownFactor, :1090-1293). Returns None
+      * when only the whole tree covers them (push-down == add-to-top). */
+    private def pushDown(g: QueryGraph, tree: JoinTree, f: Int): Option[JoinTree] = {
+      val needed = g.neighbors(1L << f) & tree.set
+      def insert(t: JoinTree): Option[JoinTree] = t match {
+        case Node(l, r) if (needed & ~l.set) == 0 =>
+          Some(Node(insert(l).getOrElse(Node(l, Leaf(f))), r))
+        case Node(l, r) if (needed & ~r.set) == 0 =>
+          Some(Node(l, insert(r).getOrElse(Node(r, Leaf(f)))))
+        case _ => None
+      }
+      insert(tree)
+    }
+
     protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree = {
       var bestT: JoinTree = null; var bestC = Double.PositiveInfinity
       (0 until g.n).foreach { first =>
         var tree: JoinTree = Leaf(first)
-        var cost = 0.0
         var ok = true
         while (ok && java.lang.Long.bitCount(tree.set) < g.n) {
-          val cand = g.neighbors(tree.set)
-          if (cand == 0) ok = false // disconnected graph
-          else {
-            var bi = -1; var bc = Double.PositiveInfinity; var bcard = Double.PositiveInfinity
-            var rest = cand
-            while (rest != 0) {
-              val i = java.lang.Long.numberOfTrailingZeros(rest)
-              val c = cm.joinCost(tree, Leaf(i), card)
-              val rc = card(tree.set | (1L << i))
-              if (c < bc || (c == bc && rc < bcard)) { bi = i; bc = c; bcard = rc }
-              rest &= rest - 1
+          // getBestNextFactor: max weight, then max join-key NDV
+          var bi = -1; var bw = 0; var bndv = -1.0
+          var rest = g.neighbors(tree.set)
+          if (rest == 0) ok = false // disconnected graph
+          while (rest != 0) {
+            val i = java.lang.Long.numberOfTrailingZeros(rest)
+            val w = weight(g, tree.set, i)
+            val ndv = joinKeyNdv(g, card, tree.set, i)
+            if (w > bw || (w == bw && ndv > bndv)) { bi = i; bw = w; bndv = ndv }
+            rest &= rest - 1
+          }
+          if (ok) {
+            // addFactorToTree: top vs push-down by cumulative cost
+            val top = Node(tree, Leaf(bi))
+            tree = pushDown(g, tree, bi) match {
+              case Some(pushed)
+                if CostModel.treeCost(pushed, cm, card) <
+                   CostModel.treeCost(top, cm, card) => pushed
+              case _ => top
             }
-            tree = Node(tree, Leaf(bi)); cost += bc
           }
         }
-        if (ok && cost < bestC) { bestC = cost; bestT = tree }
+        if (ok) {
+          val c = CostModel.treeCost(tree, cm, card)
+          if (c < bestC) { bestC = c; bestT = tree }
+        }
       }
       require(bestT != null, "greedy: graph disconnected")
       bestT

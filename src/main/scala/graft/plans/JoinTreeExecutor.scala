@@ -34,10 +34,22 @@ object JoinTreeExecutor {
       g: QueryGraph,
       rels: Vector[RelInput],
       card: Cardinality,
-      broadcastRows: Long = 1000000L): DataFrame = {
+      broadcastRows: Long = 1000000L,
+      semiJoins: Map[Int, Seq[JoinEdge]] = Map.empty): DataFrame = {
 
     def mk(t: JoinTree): DataFrame = t match {
-      case Leaf(i) => rels(i).filtered
+      case Leaf(i) =>
+        // chosen semijoins ([[SemiJoinSelection]]): pre-filter the fact
+        // scan by each filtered dimension's join keys — LEFT SEMI against
+        // the broadcast dim, result-neutral for the inner-join class
+        semiJoins.getOrElse(i, Nil).foldLeft(rels(i).filtered) { (df, e) =>
+          val dimIdx = if (e.a == i) e.b else e.a
+          val cond = e.conds.map { case (ca, cb) =>
+            val (fc, dc) = if (e.a == i) (ca, cb) else (cb, ca)
+            col(fc) === col(dc)
+          }.reduce(_ && _)
+          df.join(broadcast(rels(dimIdx).filtered), cond, "left_semi")
+        }
       case Node(l, r) =>
         val lf = mk(l); val rf = mk(r)
         val conds: Seq[Column] = g.crossEdges(l.set, r.set)

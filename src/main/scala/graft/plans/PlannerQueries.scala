@@ -32,9 +32,14 @@ object PlannerQueries {
 
   /** Plan with `planner`, execute, aggregate — same result columns as the
     * q03_flagship oracle. Filter selectivities feed the heuristic
-    * cardinality model so the planner has something real to optimize. */
+    * cardinality model so the planner has something real to optimize.
+    * `semi` runs [[SemiJoinSelection]] first and realizes the chosen
+    * semijoins as left-semi pre-filters on the fact scans — the greedy
+    * path does this like the reference's Lopt rule (the only rule that
+    * runs semijoin selection, MyLoptOptimizeJoinRule.java:121-141);
+    * results are identical either way, the oracle proves it. */
   def runFlagship(
-      planner: JoinOrderPlanner)(
+      planner: JoinOrderPlanner, semi: Boolean = false)(
       spark: SparkSession, sfDir: String): DataFrame = {
     val (g, filters) = flagshipGraph
     val dfs = g.relations.map(n => Tables.load(spark, sfDir, n))
@@ -46,8 +51,11 @@ object PlannerQueries {
     val inputs = g.relations.zip(dfs).zip(filters).map {
       case ((n, df), f) => RelInput(n, df, f.map(expr))
     }
+    val semiJoins =
+      if (semi) SemiJoinSelection.choose(g, card, i => filters(i).isDefined)
+      else Map.empty[Int, Seq[JoinEdge]]
     val planned = planner.plan(g, card, CostModel.Cout)
-    JoinTreeExecutor.build(planned.tree, g, inputs, card)
+    JoinTreeExecutor.build(planned.tree, g, inputs, card, semiJoins = semiJoins)
       .agg(min("o_totalprice").as("min_total"),
         min("l_extendedprice").as("min_ext"),
         count(lit(1)).as("cnt"))
@@ -57,7 +65,7 @@ object PlannerQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_planner_dpccp" -> runFlagship(Enumerators.DPccp) _,
     "p02_planner_leftdeep" -> runFlagship(Enumerators.LeftDeepDP) _,
-    "p03_planner_greedy" -> runFlagship(Enumerators.Greedy) _,
+    "p03_planner_greedy" -> runFlagship(Enumerators.Greedy, semi = true) _,
     "p04_planner_random" -> runFlagship(Enumerators.RandomOrder()) _
   )
 

@@ -74,6 +74,80 @@ class EnumeratorsSpec extends AnyFunSuite {
     assert(p.cost == opt.cost) // chain: optimal IS left-deep
   }
 
+  /** Explicit per-subset cardinalities (mask → rows); throws on a subset
+    * no planner should ever price. */
+  private class MapCard(
+      m: Map[Long, Double],
+      ndvs: Map[Int, Double] = Map.empty) extends Cardinality {
+    def apply(s: Long): Double =
+      m.getOrElse(s, sys.error(s"unexpected subset priced: $s"))
+    override def ndv(vertex: Int, cols: Seq[String]): Double =
+      ndvs.getOrElse(vertex, apply(1L << vertex))
+  }
+
+  test("greedy push-down matches DPccp on a bushy chain where left-deep is 80x worse") {
+    // a-b-c-d chain: (a⋈b) and (c⋈d) are tiny, b⋈c explodes — the
+    // optimal tree is bushy. The round-1 greedy (cheapest next edge,
+    // left-deep only) is forced through |abc| = 10^4.
+    val g = QueryGraph(Vector("a", "b", "c", "d"),
+      Vector(JoinEdge(0, 1), JoinEdge(1, 2), JoinEdge(2, 3)))
+    val card = new MapCard(Map(
+      1L -> 1000.0, 2L -> 1000.0, 4L -> 1000.0, 8L -> 1000.0,
+      3L -> 10.0, 6L -> 1e6, 12L -> 10.0,
+      7L -> 1e4, 14L -> 1e4, 15L -> 100.0))
+    val dp = Enumerators.DPccp.plan(g, card, CostModel.Cout)
+    val gr = Enumerators.Greedy.plan(g, card, CostModel.Cout)
+    assert(dp.cost == 120.0) // |ab| + |cd| + |abcd|
+    assert(gr.cost == dp.cost,
+      s"greedy ${gr.joinStr(g)} (${gr.cost}) should match DPccp via push-down")
+
+    // the round-1 strategy, reproduced: always append the cheapest
+    // edge-connected next factor (left-deep), best over first factors
+    val oldCost = (0 until g.n).map { first =>
+      var tree: JoinTree = Leaf(first); var cost = 0.0
+      while (java.lang.Long.bitCount(tree.set) < g.n) {
+        val next = (0 until g.n)
+          .filter(i => (g.neighbors(tree.set) & (1L << i)) != 0)
+          .minBy(i => CostModel.Cout.joinCost(tree, Leaf(i), card))
+        cost += CostModel.Cout.joinCost(tree, Leaf(next), card)
+        tree = Node(tree, Leaf(next))
+      }
+      cost
+    }.min
+    assert(oldCost > 80 * dp.cost,
+      s"fixture should punish left-deep chaining, old greedy cost $oldCost")
+  }
+
+  test("greedy next-factor tie-break prefers the higher join-key NDV") {
+    // star: equal edge weights F-D1 / F-D2, equal join cardinalities —
+    // only the join-key NDV discriminates (reference picks the HIGHER,
+    // MyLoptOptimizeJoinRule.java:848-863)
+    val g = QueryGraph(Vector("f", "d1", "d2"),
+      Vector(JoinEdge(0, 1, Seq("k1" -> "d1k")),
+             JoinEdge(0, 2, Seq("k2" -> "d2k"))))
+    val cards = Map(1L -> 1e6, 2L -> 100.0, 4L -> 100.0,
+      3L -> 1e4, 5L -> 1e4, 7L -> 1e3)
+    val high1 = new MapCard(cards, Map(1 -> 100.0, 2 -> 10.0))
+    val high2 = new MapCard(cards, Map(1 -> 10.0, 2 -> 100.0))
+    val t1 = Enumerators.Greedy.plan(g, high1, CostModel.Cout).tree
+    val t2 = Enumerators.Greedy.plan(g, high2, CostModel.Cout).tree
+    assert(t1.leaves == Vector(0, 1, 2), s"expected d1 first, got $t1")
+    assert(t2.leaves == Vector(0, 2, 1), s"expected d2 first, got $t2")
+  }
+
+  test("left-deep DP plans a 20-relation chain in well under a second") {
+    val rnd = new Random(13)
+    val g = QueryGraph(Vector.tabulate(20)(i => s"t$i"),
+      Vector.tabulate(19)(i => JoinEdge(i, i + 1)))
+    val card = randomCard(g, rnd)
+    val p = Enumerators.LeftDeepDP.plan(g, card, CostModel.Cout)
+    assertValid(p.tree, g)
+    assert(p.planningNanos < 1e9,
+      s"20-chain took ${p.planningNanos / 1e6} ms")
+    val opt = Enumerators.DPccp.plan(g, card, CostModel.Cout)
+    assert(p.cost >= opt.cost - 1e-6)
+  }
+
   test("random order is deterministic under a fixed seed") {
     val rnd = new Random(11)
     val g = randomGraph(6, 2, rnd)
