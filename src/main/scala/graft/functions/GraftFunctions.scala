@@ -88,6 +88,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((id, info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.SelfJoinElimination())
+    ext.injectOptimizerRule(_ => graft.plans.OuterJoinRemoval())
     ext.injectOptimizerRule(_ => graft.plans.GraftJoinReorder())
   }
 }

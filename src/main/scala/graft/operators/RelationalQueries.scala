@@ -158,6 +158,14 @@ object RelationalQueries {
     "q30_full_outer" ->
       """SELECT n_nationkey, s_suppkey
          FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey""",
+
+    // --- removable outer join: no customer columns projected, c_custkey
+    // unique → the join is the identity on orders; with GraftExtensions
+    // installed graft.plans.OuterJoinRemoval drops it from the plan
+    // entirely (OuterJoinRemovalSpec asserts the join node is gone) ---
+    "q44_outer_join_removed" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
     "q31_right_join" ->
       """SELECT o_orderkey, c_name
          FROM orders RIGHT JOIN customer ON c_custkey = o_custkey

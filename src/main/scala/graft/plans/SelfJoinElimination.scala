@@ -4,7 +4,6 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Self-join removal: an inner self-join of a table with itself on a
   * UNIQUE key is the identity — each row pairs exactly with itself — so
@@ -17,15 +16,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * :2043 isRemovableSelfJoin, :2080 areSelfJoinKeysUnique) as a Catalyst
   * `Rule[LogicalPlan]` — the reference proves key uniqueness from
   * catalog metadata; Spark has no unique constraints, so uniqueness is
-  * declared via [[SelfJoinElimination.uniqueKeys]], keyed by
-  * (relation, column) and resolved against the leaf's actual relation.
+  * declared via [[RelationKeys.uniqueKeys]], keyed by (relation, column)
+  * and resolved against the leaf's actual relation.
   *
   * At 100 TB this saves an entire scan+shuffle of the largest table in
   * the query — the single biggest win a logical rewrite can deliver.
   */
 case class SelfJoinElimination() extends Rule[LogicalPlan] {
 
-  import SelfJoinElimination._
+  import RelationKeys.{strip, tableOf, uniqueKeys}
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString("spark.graft.selfJoinElim.enabled", "true").toBoolean) plan
@@ -33,18 +32,6 @@ case class SelfJoinElimination() extends Rule[LogicalPlan] {
       case j @ Join(l, r, Inner, Some(EqualTo(la: AttributeReference,
           ra: AttributeReference)), _) =>
         eliminate(j, l, r, la, ra).getOrElse(j)
-    }
-
-  /** plan = attr-only-Project* / Filter* over a leaf; returns (leaf,
-    * conjunctive filters). */
-  private def strip(plan: LogicalPlan): Option[(LogicalPlan, Seq[Expression])] =
-    plan match {
-      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        strip(child)
-      case Filter(cond, child) =>
-        strip(child).map { case (leaf, fs) => (leaf, fs :+ cond) }
-      case leaf if leaf.children.isEmpty => Some((leaf, Nil))
-      case _ => None
     }
 
   private def eliminate(
@@ -83,33 +70,3 @@ case class SelfJoinElimination() extends Rule[LogicalPlan] {
   }
 }
 
-object SelfJoinElimination {
-
-  /** (table, column) pairs known to be unique keys. Spark has no unique
-    * constraints, so this is the declared stand-in for the reference's
-    * catalog uniqueness proof; extend per deployment schema. */
-  @volatile var uniqueKeys: Set[(String, String)] = Set(
-    "region" -> "r_regionkey", "nation" -> "n_nationkey",
-    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
-    "part" -> "p_partkey", "orders" -> "o_orderkey",
-    "events" -> "event_id", "documents" -> "doc_id",
-    "embeddings" -> "vec_id")
-
-  /** Identify the relation behind a leaf: catalog table name if present,
-    * else the file-source root path's basename (Tables.load reads
-    * `<sfDir>/<table>.parquet`). Unknown leaf shapes get no name and are
-    * never eliminated. */
-  private def tableOf(leaf: LogicalPlan): Option[String] = leaf match {
-    case lr: LogicalRelation =>
-      lr.catalogTable.map(_.identifier.table).orElse(lr.relation match {
-        case fs: HadoopFsRelation =>
-          fs.location.rootPaths.headOption.map { p =>
-            val base = p.getName
-            if (base.endsWith(".parquet")) base.dropRight(".parquet".length)
-            else base
-          }
-        case _ => None
-      })
-    case _ => None
-  }
-}
