@@ -20,19 +20,43 @@ trait Cardinality {
   * sorted space-joined base-table names (MyMetadataQuery.java:107-114;
   * format doc in FIXTURES.md §2).
   *
-  * On a key miss the reference hard-exits (MyMetadataQuery.java:148-152);
-  * we fall back to an estimator instead so planning always completes —
-  * the miss is still observable via [[misses]].
+  * Lookup order mirrors the reference exactly
+  * (MyMetadataQuery.java:119-146): plain sorted-table key first, then
+  * the FILTER-QUALIFIED key — each filtered table's name with its
+  * predicate literal appended (the reference string-parses the literal
+  * out of the RexNode, MyUtils.getTableNameWithFilter:143-192; we
+  * extract it from the declared filter string the same way:
+  * [[CardinalityStore.filterLiteral]]).
+  *
+  * On a double miss the reference hard-exits
+  * (MyMetadataQuery.java:148-152); we fall back to an estimator instead
+  * so planning always completes — the miss is still observable via
+  * [[misses]] and surfaced by ExperimentMain.
   */
 final class CardinalityStore(
     graph: QueryGraph,
     byKey: Map[String, Double],
-    fallback: Cardinality) extends Cardinality {
+    fallback: Cardinality,
+    filterLiterals: Vector[Option[String]] = Vector.empty) extends Cardinality {
   private var missed = List.empty[String]
-  def misses: List[String] = missed
+  def misses: List[String] = missed.distinct.reverse
+
+  private def filteredKey(s: Long): String = {
+    var rest = s
+    val b = Seq.newBuilder[String]
+    while (rest != 0) {
+      val i = java.lang.Long.numberOfTrailingZeros(rest)
+      val lit = filterLiterals.lift(i).flatten
+        .map(CardinalityStore.filterLiteral).getOrElse("")
+      b += graph.relations(i) + lit
+      rest &= rest - 1
+    }
+    b.result().sorted.mkString(" ")
+  }
+
   def apply(s: Long): Double = {
     val k = graph.cardKey(s)
-    byKey.get(k) match {
+    byKey.get(k).orElse(byKey.get(filteredKey(s))) match {
       case Some(v) => v
       case None =>
         missed ::= k
@@ -44,6 +68,19 @@ final class CardinalityStore(
 }
 
 object CardinalityStore {
+
+  /** The predicate literal appended to a table name in the fallback key:
+    * the first quoted string's content if the filter has one, else the
+    * last whitespace-separated token ("r_name = 'ASIA'" → "ASIA",
+    * "l_quantity > 5" → "5") — behaviorally the reference's substring
+    * extraction from the Rex string `=($1,'ASIA')`
+    * (MyUtils.java:155-180). */
+  def filterLiteral(cond: String): String = {
+    val first = cond.indexOf('\'')
+    val last = cond.lastIndexOf('\'')
+    if (first >= 0 && last > first) cond.substring(first + 1, last)
+    else cond.trim.split("\\s+").last
+  }
   /** Parse the reference's pg.json format. Uses jackson (shipped in
     * Spark's classpath) — no extra dependency. */
   def parseJson(json: String): Map[String, Map[String, Double]] = {

@@ -1,0 +1,80 @@
+package graft.plans
+
+/** The experiment query corpus: join graphs over the testdata schema in
+  * the shapes that stress different planner behaviors (the reference
+  * runs its loop over the whole JOB corpus, QueryOptExperiment.java —
+  * chains, stars, cycles, and branches; we cover one of each over the
+  * TPC-H-ish testdata).
+  *
+  * Every graph's TRUE cardinalities are dumped per connected subset by
+  * tools/CardDump into the pg.json-format fixture (FIXTURES.md §2), so
+  * the regret experiment can compare plans chosen under estimates vs
+  * under injected truth. */
+object ExperimentCorpus {
+
+  final case class CorpusQuery(
+      name: String,
+      graph: QueryGraph,
+      filters: Vector[Option[String]])
+
+  /** chain-5: region–nation–customer–orders–lineitem (the flagship). */
+  def flagship: CorpusQuery = {
+    val (g, f) = PlannerQueries.flagshipGraph
+    CorpusQuery("flagship", g, f)
+  }
+
+  /** star-4: lineitem at the center joined to orders, part, supplier. */
+  def star4: CorpusQuery = CorpusQuery(
+    "star4",
+    QueryGraph(
+      Vector("lineitem", "orders", "part", "supplier"),
+      Vector(
+        JoinEdge(0, 1, Seq("l_orderkey" -> "o_orderkey")),
+        JoinEdge(0, 2, Seq("l_partkey" -> "p_partkey")),
+        JoinEdge(0, 3, Seq("l_suppkey" -> "s_suppkey")))),
+    Vector(None, Some("o_orderstatus = 'F'"), Some("p_type = 'PROMO'"), None))
+
+  /** cycle-5: nation–customer–orders–lineitem–supplier–nation — the
+    * schema's genuine join cycle (both customers and suppliers carry a
+    * nation key). Cycles exercise the csg-cmp enumeration paths that
+    * chains never touch. */
+  def cycle5: CorpusQuery = CorpusQuery(
+    "cycle5",
+    QueryGraph(
+      Vector("nation", "customer", "orders", "lineitem", "supplier"),
+      Vector(
+        JoinEdge(0, 1, Seq("n_nationkey" -> "c_nationkey")),
+        JoinEdge(1, 2, Seq("c_custkey" -> "o_custkey")),
+        JoinEdge(2, 3, Seq("o_orderkey" -> "l_orderkey")),
+        JoinEdge(3, 4, Seq("l_suppkey" -> "s_suppkey")),
+        JoinEdge(4, 0, Seq("s_nationkey" -> "n_nationkey")))),
+    Vector(None, None, Some("o_orderstatus = 'F'"), None, None))
+
+  /** bushy-6: two arms off the lineitem–orders spine (part/supplier on
+    * lineitem, customer–nation off orders) — the shape where bushy
+    * trees beat every left-deep order. */
+  def bushy6: CorpusQuery = CorpusQuery(
+    "bushy6",
+    QueryGraph(
+      Vector("lineitem", "orders", "part", "supplier", "customer", "nation"),
+      Vector(
+        JoinEdge(0, 1, Seq("l_orderkey" -> "o_orderkey")),
+        JoinEdge(0, 2, Seq("l_partkey" -> "p_partkey")),
+        JoinEdge(0, 3, Seq("l_suppkey" -> "s_suppkey")),
+        JoinEdge(1, 4, Seq("o_custkey" -> "c_custkey")),
+        JoinEdge(4, 5, Seq("c_nationkey" -> "n_nationkey")))),
+    Vector(Some("l_quantity > 5"), None, Some("p_type = 'PROMO'"),
+      None, None, Some("n_name <> 'NATION_3'")))
+
+  /** chain-3: the minimal selective chain (every planner should agree). */
+  def chain3: CorpusQuery = CorpusQuery(
+    "chain3",
+    QueryGraph(
+      Vector("nation", "customer", "orders"),
+      Vector(
+        JoinEdge(0, 1, Seq("n_nationkey" -> "c_nationkey")),
+        JoinEdge(1, 2, Seq("c_custkey" -> "o_custkey")))),
+    Vector(Some("n_name = 'NATION_7'"), None, Some("o_totalprice > 100000")))
+
+  val all: Seq[CorpusQuery] = Seq(flagship, star4, cycle5, bushy6, chain3)
+}
