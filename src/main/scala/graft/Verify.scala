@@ -7,8 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // GraftExtensions installed: the injected optimizer rules
+    // (SelfJoinElimination, OuterJoinRemoval, GraftJoinReorder) fire on
+    // every query here, so a rewrite bug surfaces as a red CORRECTNESS
+    // row instead of hiding behind a rule-less session.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -205,7 +205,62 @@ object DedupOps {
       ((s: SparkSession, d: String) => embeddingNearDup(s, d))
   )
 
+  /** d04 is deterministic end-to-end (no hash-dependent recall): the
+    * DuckDB twin rebuilds the same 5-char grams (non-overlapping regex
+    * chunks), the same sliding-window distinct 8-word canopy shingles
+    * (WordShingles semantics: step 1, distinct, whole text when < k
+    * words), the same >maxCanopyFreq hot-key cutoff, and the same
+    * round-then-threshold jaccard. */
+  private val ngramOracle: String =
+    """WITH d AS (
+         SELECT doc_id,
+                list_distinct(regexp_extract_all(text, '.{5}')) AS grams,
+                CASE WHEN len(string_split(text, ' ')) < 8 THEN [text]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(string_split(text, ' ')) - 6),
+                            i -> array_to_string(
+                                   string_split(text, ' ')[i:i+7], ' ')))
+                END AS canopy
+         FROM documents),
+       keys AS (SELECT doc_id, unnest(canopy) AS key FROM d),
+       hot AS (SELECT key FROM keys GROUP BY key HAVING count(*) > 100),
+       cold AS (SELECT doc_id, key FROM keys
+                WHERE key NOT IN (SELECT key FROM hot)),
+       cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM cold x JOIN cold y
+                  ON x.key = y.key AND x.doc_id < y.doc_id),
+       j AS (SELECT id_a, id_b,
+                    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                          len(list_distinct(list_concat(a.grams, b.grams))),
+                          4) AS jaccard
+             FROM cand
+             JOIN d a ON a.doc_id = cand.id_a
+             JOIN d b ON b.doc_id = cand.id_b)
+     SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5"""
+
+  /** d05's oracle is the BRUTE-FORCE pair scan: LSH candidate generation
+    * never invents pairs (every candidate is verified with exact cosine),
+    * so the outputs match iff recall is 100% — which the (tables=16,
+    * planes=2) defaults guarantee on this data (DedupOpsSpec proves exact
+    * agreement with brute force at sf0.01). The cosine spelling is
+    * term-for-term the graft_cosine kernel (see s01's oracle). */
+  private val embeddingOracle: String =
+    """WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       pairs AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(a.v, b.v) /
+                      sqrt(list_sum(list_transform(a.v, x -> x * x)) *
+                           list_sum(list_transform(b.v, x -> x * x))),
+                      4) AS cosine
+         FROM v a, v b WHERE a.vec_id < b.vec_id)
+     SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3"""
+
   def oracleSql: Map[String, String] = Map(
-    "d01_dedup_exact" -> exactSql
+    "d01_dedup_exact" -> exactSql,
+    "d04_dedup_ngram" -> ngramOracle,
+    "d05_dedup_embedding" -> embeddingOracle
   )
 }

@@ -36,16 +36,20 @@ object MultimodalOps {
         col("doc_id").as("media_id"),
         expr("to_binary(text, 'utf-8')").as("payload"),
         lit("image/fake").as("mime"),
-        // STUB metadata: real ingest reads these from the codec header
-        (pmod(xxhash64(col("text")), lit(1280)) + 32).cast("int").as("width"),
-        (pmod(xxhash64(col("text"), lit(1)), lit(720)) + 32).cast("int").as("height"))
+        // STUB metadata: real ingest reads these from the codec header.
+        // Pure integer arithmetic (not xxhash64, which DuckDB lacks) so
+        // the whole m01 row — metadata included — oracle-checks.
+        (pmod(col("doc_id") * 13 + length(col("text")) * 7, lit(1280)) + 32)
+          .cast("int").as("width"),
+        (pmod(col("doc_id") * 17 + length(col("text")) * 11, lit(720)) + 32)
+          .cast("int").as("height"))
 
   /** Per-item metadata + integrity features — pure native functions. */
   def binaryMeta(spark: SparkSession, sfDir: String): DataFrame =
     mediaTable(spark, sfDir).select(
       col("media_id"), col("mime"), col("width"), col("height"),
       length(col("payload")).as("byte_len"),
-      crc32(col("payload")).as("checksum"))
+      md5(col("payload")).as("checksum")) // md5: both engines share it
 
   /** "Feature extraction": 8-dim embedding per payload. STUB — a real
     * pipeline decodes the image and runs a vision model here; the fake is
@@ -75,7 +79,7 @@ object MultimodalOps {
                 f -> substring(payload, f * $stride + 1, 16))"""))
           .as(Seq("frame_no", "frame")))
       .select(col("media_id"), col("frame_no"),
-        crc32(col("frame")).as("frame_checksum"))
+        md5(col("frame")).as("frame_checksum")) // md5: both engines share it
 
   /** Partition-local batch decode, typed Dataset form — the shape a real
     * codec integration takes (one codec context per partition, streamed
@@ -114,8 +118,28 @@ object MultimodalOps {
   )
 
   /** byte_len/checksum are oracle-checkable: DuckDB computes the same
-    * lengths from the parquet text (utf-8 byte length = octet_length). */
+    * lengths from the parquet text (utf-8 byte length = octet_length).
+    * m01/m03 oracle fully since round 3: metadata is shared integer
+    * arithmetic, checksums are md5, and documents.text is ASCII so
+    * DuckDB's string substring slices the same bytes as Spark's binary
+    * substring in m03. */
   def oracleSql: Map[String, String] = Map(
+    "m01_binary_meta" ->
+      """SELECT doc_id AS media_id, 'image/fake' AS mime,
+                CAST((doc_id * 13 + length(text) * 7) % 1280 + 32 AS INTEGER)
+                  AS width,
+                CAST((doc_id * 17 + length(text) * 11) % 720 + 32 AS INTEGER)
+                  AS height,
+                CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+                md5(text) AS checksum
+         FROM documents""",
+    "m03_frame_sample" ->
+      """SELECT media_id, CAST(f AS INTEGER) AS frame_no,
+                md5(substring(text, CAST(f * 64 + 1 AS INTEGER), 16))
+                  AS frame_checksum
+         FROM (SELECT doc_id AS media_id, text,
+                      unnest(range(0, (length(text) - 1) // 64 + 1)) AS f
+               FROM documents)""",
     "m01b_byte_len" ->
       """SELECT doc_id AS media_id, 'image/fake' AS mime,
                 CAST(octet_length(encode(text)) AS INTEGER) AS byte_len

@@ -166,6 +166,17 @@ object RelationalQueries {
     "q44_outer_join_removed" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS total
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+    // --- removable self join: customer joined with itself on its unique
+    // key is the identity; with GraftExtensions installed (Verify/Bench
+    // both install it) graft.plans.SelfJoinElimination rewrites this to a
+    // single scan with the b-side filter AND-ed in — one scan + zero
+    // shuffles instead of two scans + a join. The oracle proves the
+    // rewrite result-neutral; SelfJoinEliminationSpec proves the join
+    // node is actually gone from the optimized plan ---
+    "q45_self_join_removed" ->
+      """SELECT a.c_custkey, a.c_name, round(b.c_acctbal, 2) AS bal
+         FROM customer a JOIN customer b ON a.c_custkey = b.c_custkey
+         WHERE b.c_mktsegment = 'BUILDING'""",
     "q31_right_join" ->
       """SELECT o_orderkey, c_name
          FROM orders RIGHT JOIN customer ON c_custkey = o_custkey

@@ -182,8 +182,62 @@ object SimilarityOps {
          FROM scored)
      SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10"""
 
+  /** s04 is deterministic end-to-end (centroids are a modular sample, no
+    * fitted model), so it oracle-checks: the DuckDB twin rebuilds the
+    * same Voronoi assignment (argmax UNROUNDED cosine, ties to the lower
+    * cent_id — the graft_nearest_cents tie-break, since the centroid
+    * array is sorted by cent_id), the same nprobe=2 probe cells, and the
+    * same rounded-cosine candidate ranking. Cosine is term-for-term the
+    * shared kernel (see bruteOracle), so the unrounded assignment
+    * comparison agrees bit-for-bit across engines. */
+  val ivfOracle: String =
+    """WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       cents AS (SELECT vec_id AS cent_id, v FROM v WHERE vec_id % 23 = 0),
+       sim AS (
+         SELECT a.vec_id, c.cent_id,
+                list_dot_product(a.v, c.v) /
+                  sqrt(list_sum(list_transform(a.v, x -> x * x)) *
+                       list_sum(list_transform(c.v, x -> x * x))) AS s
+         FROM v a, cents c),
+       assign AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cent_id) AS rn
+           FROM sim) WHERE rn = 1),
+       probes AS (
+         SELECT vec_id AS query_id, cent_id FROM (
+           SELECT vec_id, cent_id,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cent_id) AS rn
+           FROM sim WHERE vec_id < 5) WHERE rn <= 2),
+       cand AS (
+         SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         FROM probes p JOIN assign a
+           ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id),
+       scored AS (
+         SELECT c.query_id, c.neighbor_id,
+                round(list_dot_product(q.v, n.v) /
+                      sqrt(list_sum(list_transform(q.v, x -> x * x)) *
+                           list_sum(list_transform(n.v, x -> x * x))),
+                      4) AS cosine
+         FROM cand c
+         JOIN v q ON q.vec_id = c.query_id
+         JOIN v n ON n.vec_id = c.neighbor_id),
+       ranked AS (
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+                neighbor_id, cosine
+         FROM scored)
+     SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10"""
+
   def oracleSql: Map[String, String] = Map(
     "s01_ann_brute" -> bruteOracle,
-    "s03_vector_norms" -> normsOracle
+    "s03_vector_norms" -> normsOracle,
+    "s04_ann_ivf" -> ivfOracle
   )
 }

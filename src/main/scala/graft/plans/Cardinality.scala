@@ -41,18 +41,8 @@ final class CardinalityStore(
   private var missed = List.empty[String]
   def misses: List[String] = missed.distinct.reverse
 
-  private def filteredKey(s: Long): String = {
-    var rest = s
-    val b = Seq.newBuilder[String]
-    while (rest != 0) {
-      val i = java.lang.Long.numberOfTrailingZeros(rest)
-      val lit = filterLiterals.lift(i).flatten
-        .map(CardinalityStore.filterLiteral).getOrElse("")
-      b += graph.relations(i) + lit
-      rest &= rest - 1
-    }
-    b.result().sorted.mkString(" ")
-  }
+  private def filteredKey(s: Long): String =
+    CardinalityStore.qualifiedKey(graph, s, filterLiterals)
 
   def apply(s: Long): Double = {
     val k = graph.cardKey(s)
@@ -80,6 +70,25 @@ object CardinalityStore {
     val last = cond.lastIndexOf('\'')
     if (first >= 0 && last > first) cond.substring(first + 1, last)
     else cond.trim.split("\\s+").last
+  }
+
+  /** The filter-qualified subset key: each table name with its predicate
+    * literal appended when the table carries a filter, sorted and
+    * space-joined — the exact key shape the reference's Python client
+    * writes into pg.json and MyMetadataQuery.java:119-146 looks up.
+    * Shared by the lookup ([[CardinalityStore]]) and the dump
+    * (tools/CardDump) so the two can never drift apart. */
+  def qualifiedKey(
+      graph: QueryGraph, s: Long, filters: Vector[Option[String]]): String = {
+    var rest = s
+    val b = Seq.newBuilder[String]
+    while (rest != 0) {
+      val i = java.lang.Long.numberOfTrailingZeros(rest)
+      val lit = filters.lift(i).flatten.map(filterLiteral).getOrElse("")
+      b += graph.relations(i) + lit
+      rest &= rest - 1
+    }
+    b.result().sorted.mkString(" ")
   }
   /** Parse the reference's pg.json format. Uses jackson (shipped in
     * Spark's classpath) — no extra dependency. */

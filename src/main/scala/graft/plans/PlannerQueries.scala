@@ -61,12 +61,29 @@ object PlannerQueries {
         count(lit(1)).as("cnt"))
   }
 
+  /** The RL environment's greedy-rollout policy as a query planner: an
+    * episode over [[JoinOrderEnv]] (reset → step-by-best-reward → done)
+    * whose final tree executes through [[JoinTreeExecutor]] — the engine
+    * form of the reference's RL rule emitting the episode's join order as
+    * the plan (RLJoinOrderRule.java:139-143 transformTo at episode end).
+    * Must hash-match the same flagship oracle as every other planner. */
+  private object RlRollout extends JoinOrderPlanner {
+    val name = "rl_greedy_rollout"
+    protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree = {
+      val env = new JoinOrderEnv(g, card, cm)
+      JoinOrderEnv.greedyRollout(env)
+      env.finalTree
+    }
+  }
+
   /** Every planner must produce the identical (oracle-checked) result. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_planner_dpccp" -> runFlagship(Enumerators.DPccp) _,
     "p02_planner_leftdeep" -> runFlagship(Enumerators.LeftDeepDP) _,
     "p03_planner_greedy" -> runFlagship(Enumerators.Greedy, semi = true) _,
-    "p04_planner_random" -> runFlagship(Enumerators.RandomOrder()) _
+    "p04_planner_random" -> runFlagship(Enumerators.RandomOrder()) _,
+    "p05_planner_bnb" -> runFlagship(Enumerators.BranchAndBound()) _,
+    "p06_planner_rl" -> runFlagship(RlRollout) _
   )
 
   private val flagshipOracle: String =
