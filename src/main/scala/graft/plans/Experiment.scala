@@ -1,18 +1,33 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.{Executors, TimeUnit}
+
+import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.SparkSession
 
 /** The reference's experiment loop, Spark-native: for each (query,
   * planner) record cost, join-order string, planning time, and optionally
-  * execution runtime; plus the est-vs-true cardinality regret experiment
+  * execution runtimes; plus the est-vs-true cardinality regret experiment
   * (reference: QueryOptExperiment.planAndExecuteQuery:616-699 and
   * startTestCardinalities:437-505; output analog of
   * allQueryRuntimes.json read by analyze_runtimes.py).
+  *
+  * Execution-loop parity with the reference:
+  *  - planning runs as futures on a bounded thread pool with a per-query
+  *    timeout (reference: 10-thread pool + 600 s futures,
+  *    QueryOptExperiment.java:403,416);
+  *  - each chosen plan is EXECUTED `runsPerQuery` times (the reference
+  *    times 2 runs back to back, QueryOptExperiment.java:596-613);
+  *  - a run that exceeds the execution timeout is cancelled and recorded
+  *    as `maxExecutionSecs * 1000` ms — the reference's sentinel
+  *    (MyUtils.java:351-357 `maxExecutionTime*1000`).
   */
 object Experiment {
 
   /** One query in the experiment corpus: its graph, per-relation filters,
-    * and the DataFrame inputs builder. */
+    * and the two cardinality oracles (injected truth + estimator). */
   final case class ExperimentQuery(
       name: String,
       graph: QueryGraph,
@@ -23,47 +38,99 @@ object Experiment {
   final case class PlannerRecord(
       query: String,
       planner: String,
+      costModel: String,
       cost: Double,
       joinOrder: String,
       planningMs: Double,
-      runtimeMs: Double)
+      runtimesMs: Vector[Double]) {
+    def runtimeMs: Double = runtimesMs.headOption.getOrElse(-1.0)
+  }
 
-  /** Cost/plan/runtime per planner per query — the core loop. */
+  /** Cost/plan/runtimes per planner per query — the core loop. */
   def run(
       spark: SparkSession,
       sfDir: String,
       queries: Seq[ExperimentQuery],
       planners: Seq[JoinOrderPlanner],
       cm: CostModel,
-      execute: Boolean): Seq[PlannerRecord] =
-    for {
-      q <- queries
-      p <- planners
-    } yield {
-      val planned = p.plan(q.graph, q.trueCard, cm)
-      val runtimeMs =
-        if (!execute) -1.0
-        else {
-          val inputs = q.graph.relations.zip(
-            q.graph.relations.map(n => graft.sources.Tables.load(spark, sfDir, n)))
-            .zip(q.filters).map { case ((n, df), f) =>
-              RelInput(n, df, f.map(org.apache.spark.sql.functions.expr))
-            }
-          val df = JoinTreeExecutor.build(planned.tree, q.graph, inputs, q.trueCard)
-          val t0 = System.nanoTime()
-          df.write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e6
+      execute: Boolean,
+      runsPerQuery: Int = 2,
+      maxExecutionSecs: Long = 600,
+      planningThreads: Int = 10,
+      planningTimeoutSecs: Long = 600): Seq[PlannerRecord] = {
+    val pool = Executors.newFixedThreadPool(planningThreads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // all (query, planner) plans submitted to the pool up front — the
+      // reference plans the whole corpus through its executor before
+      // executing (QueryOptExperiment.java:403-421)
+      val futures = for (q <- queries; p <- planners) yield
+        (q, p, Future(p.plan(q.graph, q.trueCard, cm)))
+      futures.map { case (q, p, fut) =>
+        val planned =
+          try Some(Await.result(fut, planningTimeoutSecs.seconds))
+          catch { case _: TimeoutException => None }
+        planned match {
+          case None =>
+            PlannerRecord(q.name, p.name, cm.name, Double.PositiveInfinity,
+              "PLANNING-TIMEOUT", planningTimeoutSecs * 1000.0, Vector.empty)
+          case Some(pl) =>
+            val runtimes =
+              if (!execute) Vector.empty[Double]
+              else Vector.fill(runsPerQuery)(
+                timedRun(spark, sfDir, q, pl, maxExecutionSecs))
+            PlannerRecord(q.name, p.name, cm.name, pl.cost,
+              pl.joinStr(q.graph), pl.planningNanos / 1e6, runtimes)
         }
-      PlannerRecord(q.name, p.name, planned.cost, planned.joinStr(q.graph),
-        planned.planningNanos / 1e6, runtimeMs)
+      }
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, TimeUnit.SECONDS)
     }
+  }
+
+  /** One timed execution of the planned tree through the noop sink;
+    * cancelled via job group + recorded as the reference's
+    * `maxExecutionTime*1000` sentinel when it exceeds the timeout. */
+  private def timedRun(
+      spark: SparkSession, sfDir: String,
+      q: ExperimentQuery, planned: PlannedOrder,
+      maxExecutionSecs: Long): Double = {
+    val inputs = q.graph.relations.zip(
+      q.graph.relations.map(n => graft.sources.Tables.load(spark, sfDir, n)))
+      .zip(q.filters).map { case ((n, df), f) =>
+        RelInput(n, df, f.map(org.apache.spark.sql.functions.expr))
+      }
+    val df = JoinTreeExecutor.build(planned.tree, q.graph, inputs, q.trueCard)
+    val group = s"graft-exp-${q.name}-${planned.planner}"
+    val runner = Executors.newSingleThreadExecutor()
+    try {
+      val t0 = System.nanoTime()
+      val f = runner.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
+          try df.write.format("noop").mode("overwrite").save()
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try {
+        f.get(maxExecutionSecs, TimeUnit.SECONDS)
+        (System.nanoTime() - t0) / 1e6
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          f.cancel(true)
+          maxExecutionSecs * 1000.0 // the reference's timeout sentinel
+      }
+    } finally runner.shutdownNow()
+  }
 
   /** Cardinality-regret: cost of the plan chosen under ESTIMATED
     * cardinalities vs the plan chosen under TRUE ones, both priced with
     * true cardinalities — the reference's headline experiment
     * (est-vs-opt cost maps, QueryOptExperiment.java:481-498). */
   final case class RegretRecord(
-      query: String, planner: String,
+      query: String, planner: String, costModel: String,
       estPlanCost: Double, optPlanCost: Double, regret: Double)
 
   def cardinalityRegret(
@@ -78,29 +145,39 @@ object Experiment {
       val optPlan = p.plan(q.graph, q.trueCard, cm)  // planned with truth
       val estCostTrue = CostModel.treeCost(estPlan.tree, cm, q.trueCard)
       val optCostTrue = CostModel.treeCost(optPlan.tree, cm, q.trueCard)
-      RegretRecord(q.name, p.name, estCostTrue, optCostTrue,
+      RegretRecord(q.name, p.name, cm.name, estCostTrue, optCostTrue,
         if (optCostTrue > 0) estCostTrue / optCostTrue else 1.0)
     }
 
   def recordsToJson(rs: Seq[PlannerRecord]): String =
     rs.map { r =>
       s"""{"query":"${r.query}","planner":"${r.planner}",""" +
-        s""""cost":${r.cost},"joinOrder":"${r.joinOrder}",""" +
-        s""""planningMs":${r.planningMs},"runtimeMs":${r.runtimeMs}}"""
+        s""""costModel":"${r.costModel}","cost":${r.cost},""" +
+        s""""joinOrder":"${r.joinOrder}","planningMs":${r.planningMs},""" +
+        s""""runtimesMs":${r.runtimesMs.mkString("[", ",", "]")}}"""
     }.mkString("[", ",", "]")
 
   def regretsToJson(rs: Seq[RegretRecord]): String =
     rs.map { r =>
       s"""{"query":"${r.query}","planner":"${r.planner}",""" +
+        s""""costModel":"${r.costModel}",""" +
         s""""estPlanCost":${r.estPlanCost},"optPlanCost":${r.optPlanCost},""" +
         s""""regret":${r.regret}}"""
     }.mkString("[", ",", "]")
 }
 
-/** Runnable experiment over the testdata: the flagship graph + a
-  * star-shaped 6-relation query, all planners, Cout model; writes
+/** Runnable experiment over the whole [[ExperimentCorpus]] (chain, star,
+  * cycle, bushy, chain3) × every planner × all three cost models; writes
   * planner records + regret table as JSON (analog of
   * allQueryRuntimes.json).
+  *
+  * TRUE cardinalities come from the injected dictionary (the reference's
+  * core mechanism: ./pg.json, MyMetadataQuery.java:81-162) generated by
+  * tools/CardDump over the same corpus; estimates are the textbook
+  * independence heuristic over unfiltered base counts — the estimation
+  * error whose plan-quality cost the regret experiment measures. A
+  * cardinality miss when a fixture entry exists for the query is a HARD
+  * FAILURE (the reference exits on a miss, MyMetadataQuery.java:148-152).
   *
   * Usage: runMain graft.plans.ExperimentMain [sfDir [outJson]]
   */
@@ -116,11 +193,6 @@ object ExperimentMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // TRUE cardinalities from the injected dictionary (the reference's
-    // core mechanism: ./pg.json, MyMetadataQuery.java:81-162), generated
-    // by tools/CardDump; estimates = the textbook independence heuristic
-    // over unfiltered base counts — the classic estimation error whose
-    // plan-quality cost the regret experiment measures.
     val fixture = sys.env.getOrElse("GRAFT_CARDS_JSON",
       "fixtures/cards_sf0.001.json")
     val dict: Map[String, Map[String, Double]] =
@@ -129,43 +201,66 @@ object ExperimentMain {
           java.nio.file.Files.readString(java.nio.file.Paths.get(fixture)))
       else Map.empty
 
-    def mkQuery(
-        name: String, g: QueryGraph,
-        filters: Vector[Option[String]]): Experiment.ExperimentQuery = {
-      val base = g.relations.map(n =>
+    // (query, its true-card store when fixture-backed) — stores kept so
+    // misses can be checked after planning
+    val built = ExperimentCorpus.all.map { cq =>
+      val base = cq.graph.relations.map(n =>
         graft.sources.Tables.rowCount(spark, sfDir, n).toDouble).toArray
-      val est = HeuristicCardinality.uniform(g, base)
-      val trueC = dict.get(name) match {
-        case Some(m) => new CardinalityStore(g, m, est)
-        case None => est
-      }
-      Experiment.ExperimentQuery(name, g, filters, trueC, est)
+      val est = HeuristicCardinality.uniform(cq.graph, base)
+      val store = dict.get(cq.name).map(m =>
+        new CardinalityStore(cq.graph, m, est, cq.filters))
+      (Experiment.ExperimentQuery(cq.name, cq.graph, cq.filters,
+        store.getOrElse(est), est), store)
     }
-
-    val (g1, f1) = PlannerQueries.flagshipGraph
-    val q1 = mkQuery("flagship", g1, f1)
-
-    // star: lineitem at the center joined to orders, part, supplier
-    val g2 = QueryGraph(
-      Vector("lineitem", "orders", "part", "supplier"),
-      Vector(
-        JoinEdge(0, 1, Seq("l_orderkey" -> "o_orderkey")),
-        JoinEdge(0, 2, Seq("l_partkey" -> "p_partkey")),
-        JoinEdge(0, 3, Seq("l_suppkey" -> "s_suppkey"))))
-    val q2 = mkQuery("star4", g2,
-      Vector(None, Some("o_orderstatus = 'F'"), Some("p_type = 'PROMO'"), None))
+    val queries = built.map(_._1)
+    built.collect { case (q, None) =>
+      System.err.println(
+        s"[experiment] WARNING: no fixture entry for '${q.name}' in " +
+          s"$fixture — planning under estimates only")
+    }
 
     val planners = Enumerators.all
-    val records = Experiment.run(spark, sfDir, Seq(q1, q2), planners,
-      CostModel.Cout, execute = true)
-    records.foreach { r =>
-      println(f"${r.query}%-10s ${r.planner}%-10s cost=${r.cost}%12.1f " +
-        f"plan=${r.planningMs}%7.2fms run=${r.runtimeMs}%8.1fms  ${r.joinOrder}")
+    val costModels: Seq[CostModel] =
+      Seq(CostModel.Cout, CostModel.MM(), CostModel.CM2())
+
+    // full cross product; execution only under Cout (the execution
+    // result is the check that every planner×model plan is runnable —
+    // one model's worth of noop-sink runs bounds the tool's runtime)
+    val records = costModels.flatMap { cm =>
+      Experiment.run(spark, sfDir, queries, planners, cm,
+        execute = cm.name == "cout")
     }
-    val regrets = Experiment.cardinalityRegret(Seq(q1, q2), planners, CostModel.Cout)
+    records.foreach { r =>
+      val runs =
+        if (r.runtimesMs.isEmpty) "not-run"
+        else r.runtimesMs.map(t => f"$t%.1f").mkString("/")
+      println(f"${r.query}%-10s ${r.planner}%-10s ${r.costModel}%-5s " +
+        f"cost=${r.cost}%14.1f plan=${r.planningMs}%7.2fms " +
+        f"run(ms)=$runs%-16s ${r.joinOrder}")
+    }
+
+    // loud-miss contract: truth was injected, so every lookup the
+    // planners made must have hit the dictionary
+    val misses = built.flatMap { case (q, store) =>
+      store.toSeq.flatMap(_.misses.map(q.name -> _))
+    }
+    if (misses.nonEmpty) {
+      misses.foreach { case (q, k) =>
+        System.err.println(s"[experiment] CARDINALITY MISS $q: '$k'")
+      }
+      spark.stop()
+      throw new IllegalStateException(
+        s"${misses.size} cardinality lookups missed the injected " +
+          "dictionary (reference hard-exits here, MyMetadataQuery.java:148-152); " +
+          "regenerate the fixture with: runMain graft.tools.CardDump")
+    }
+
+    val regrets = costModels.flatMap(cm =>
+      Experiment.cardinalityRegret(queries, planners, cm))
     regrets.foreach { r =>
-      println(f"${r.query}%-10s ${r.planner}%-10s est-plan-cost=${r.estPlanCost}%12.1f " +
-        f"opt-plan-cost=${r.optPlanCost}%12.1f regret=${r.regret}%6.3f")
+      println(f"${r.query}%-10s ${r.planner}%-10s ${r.costModel}%-5s " +
+        f"est-plan-cost=${r.estPlanCost}%14.1f " +
+        f"opt-plan-cost=${r.optPlanCost}%14.1f regret=${r.regret}%6.3f")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       s"""{"records":${Experiment.recordsToJson(records)},""" +

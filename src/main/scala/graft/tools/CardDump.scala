@@ -1,8 +1,16 @@
-// Dump TRUE cardinalities for every connected subset of the experiment
-// join graphs, in the reference's pg.json format
-// (Map[queryName, Map[sorted-space-joined-table-set, rows]] —
-// MyMetadataQuery.java:107-114, FIXTURES.md §2). The driver-side analog
-// of the reference's Python client injecting true cardinalities.
+// Dump TRUE cardinalities for every connected subset of every
+// ExperimentCorpus join graph, in the reference's pg.json format
+// (Map[queryName, Map[subset-key, rows]] — MyMetadataQuery.java:107-114,
+// FIXTURES.md §2). The driver-side analog of the reference's Python
+// client injecting true cardinalities.
+//
+// Key shape mirrors the reference's dump exactly: a subset containing a
+// FILTERED table is keyed with the filter literal appended to that
+// table's name (MyUtils.getTableNameWithFilter:143-192) — the key
+// CardinalityStore's second-chance lookup builds — while unfiltered
+// subsets use the plain sorted-name key. Counts are always computed WITH
+// the query's filters applied (they are the true cardinalities of the
+// filtered subquery).
 //
 // Usage: runMain graft.tools.CardDump [sfDir [outJson]]
 package graft.tools
@@ -19,23 +27,10 @@ object CardDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val queries: Seq[(String, QueryGraph, Vector[Option[String]])] = {
-      val (g1, f1) = PlannerQueries.flagshipGraph
-      Seq(
-        ("flagship", g1, f1),
-        ("star4",
-          QueryGraph(
-            Vector("lineitem", "orders", "part", "supplier"),
-            Vector(
-              JoinEdge(0, 1, Seq("l_orderkey" -> "o_orderkey")),
-              JoinEdge(0, 2, Seq("l_partkey" -> "p_partkey")),
-              JoinEdge(0, 3, Seq("l_suppkey" -> "s_suppkey")))),
-          Vector(None, Some("o_orderstatus = 'F'"), Some("p_type = 'PROMO'"), None)))
-    }
-
-    val entries = queries.map { case (name, g, filters) =>
+    val entries = ExperimentCorpus.all.map { cq =>
+      val g = cq.graph
       val dfs = g.relations.map(n => graft.sources.Tables.load(spark, sfDir, n))
-      val inputs = g.relations.zip(dfs).zip(filters).map { case ((n, df), f) =>
+      val inputs = g.relations.zip(dfs).zip(cq.filters).map { case ((n, df), f) =>
         RelInput(n, df, f.map(org.apache.spark.sql.functions.expr))
       }
       // every connected, non-empty subset of the graph
@@ -46,11 +41,11 @@ object CardDump {
           .build(tree, g, inputs, HeuristicCardinality.uniform(
             g, Array.fill(g.n)(1.0)), broadcastRows = Long.MaxValue)
           .count()
-        g.cardKey(s) -> cnt
+        CardinalityStore.qualifiedKey(g, s, cq.filters) -> cnt
       }
-      println(s"$name: ${counts.size} subsets")
+      println(s"${cq.name}: ${counts.size} subsets")
       counts.foreach { case (k, v) => println(f"  $v%10d  $k") }
-      name -> counts
+      cq.name -> counts
     }
 
     val json = entries.map { case (name, counts) =>
