@@ -44,13 +44,16 @@ object Bench {
       all.get(name).map { fn =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          // per-query barrier scope: build + execute inside, release after
+          graft.operators.Persists.scoped {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
           name -> (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             name -> -1.0
-        } finally graft.operators.Persists.releaseAll()
+        }
       }
     }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }

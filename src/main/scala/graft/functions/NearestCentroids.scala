@@ -94,3 +94,52 @@ object NearestCentroids {
     new GenericArrayData(java.util.Arrays.copyOf(topIdx, filled))
   }
 }
+
+/** [[NearestCentroids]] with the centroid model shipped as a BROADCAST
+  * VARIABLE instead of a plan literal. Same kernel, same results.
+  *
+  * At a real IVF's scale (C ≈ 2^16 centroids × 64 dims ≈ 33 MB) a
+  * `typedlit` model would be embedded in the logical plan and the
+  * generated code as a constant — serialized with every task and blowing
+  * up codegen. A broadcast ships once per executor and the expression
+  * carries only the handle; the tiny-C literal path
+  * ([[NearestCentroids]]) stays for models small enough not to care
+  * (SimilarityOps picks per model size).
+  */
+final case class NearestCentroidsBroadcast(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    n: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(n > 0, s"graft_nearest_cents needs n > 0, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cents expects array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cents_bc"
+
+  // materialized once per executor JVM on first row (broadcast fetch +
+  // ArrayData wrap), then shared by every task in the executor
+  @transient private lazy val centsData: ArrayData =
+    new GenericArrayData(
+      bc.value.map(a => new GenericArrayData(a): Any))
+
+  /** Called from generated code. */
+  def centroids: ArrayData = centsData
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroids.compute(v.asInstanceOf[ArrayData], centsData, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentsBc", this,
+      classOf[NearestCentroidsBroadcast].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.NearestCentroids.compute($v, $ref.centroids(), $n);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidsBroadcast = copy(child = newChild)
+}

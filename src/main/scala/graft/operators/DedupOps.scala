@@ -171,9 +171,30 @@ object DedupOps {
     * below — same code, one knob. */
   def embeddingNearDup(
       spark: SparkSession, sfDir: String, threshold: Double = 0.3,
-      tables: Int = 16, planes: Int = 2): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val e = Tables.load(spark, sfDir, "embeddings")
+      tables: Int = 16, planes: Int = 2,
+      maxBucketFreq: Long = 5000): DataFrame =
+    embeddingNearDupOn(Tables.load(spark, sfDir, "embeddings"),
+      threshold, tables, planes, maxBucketFreq)
+
+  /** [[embeddingNearDup]] over any (vec_id, embedding) frame —
+    * fixture-injectable.
+    *
+    * `maxBucketFreq` is the hot-bucket cutoff (d04's stop-shingle
+    * pattern applied to LSH buckets): a (table, signature) bucket hotter
+    * than the cap is dropped from candidate generation BEFORE the
+    * self-join, so per-bucket pair work is bounded at maxBucketFreq²/2
+    * regardless of corpus size — the backstop that turns a degenerate
+    * key distribution (near-duplicate-everything corpora, vectors on a
+    * hyperplane boundary, adversarial inputs) into dropped buckets
+    * instead of a quadratic stage. A pair losing one hot bucket still
+    * meets in any of the other `tables−1` tables; at production
+    * thresholds (τ ≥ 0.85, planes 8–16) buckets sit orders of magnitude
+    * below the cap and the cutoff never fires. */
+  def embeddingNearDupOn(
+      input: DataFrame, threshold: Double,
+      tables: Int, planes: Int, maxBucketFreq: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(input.sparkSession)
+    val e = input
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
     // persist barrier: the banding explode + both sides of the candidate
@@ -182,7 +203,10 @@ object DedupOps {
       .withColumn("sigs", expr(s"graft_lsh_sigs(v, $tables, $planes)"))
       .select(col("vec_id"), col("v"),
         posexplode(col("sigs")).as(Seq("t", "sig"))))
-    bucketed.as("x").join(bucketed.as("y"),
+    val hot = bucketed.groupBy("t", "sig").count()
+      .filter(col("count") > maxBucketFreq).select("t", "sig")
+    val cold = bucketed.join(broadcast(hot), Seq("t", "sig"), "left_anti")
+    cold.as("x").join(cold.as("y"),
         col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),

@@ -8,28 +8,59 @@ import org.apache.spark.sql.DataFrame
   * materialization barrier (CollapseProject otherwise inlines the
   * computation into every reference), but the operator that takes the
   * barrier can't release it — the returned DataFrame still reads it.
-  * So barriers register here and the HARNESS releases them after the
-  * result is consumed (Verify and Bench call [[releaseAll]] per query;
-  * long-lived sessions embedding these operators should do the same).
+  * So barriers register here and the RUNNER releases them after the
+  * result is consumed.
+  *
+  * Release is SCOPED per query: a runner wraps build+consume in
+  * [[scoped]], and only the barriers taken inside that scope are
+  * released on exit — two queries running concurrently (separate
+  * threads) no longer unpersist each other's in-flight frames, which
+  * the round-2 global-queue design did. Barriers taken outside any
+  * scope land in a global queue drained by [[releaseAll]] (ad-hoc /
+  * notebook use).
   */
 object Persists {
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val global = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val scopes =
+    new ThreadLocal[List[java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]] {
+      override def initialValue():
+          List[java.util.concurrent.ConcurrentLinkedQueue[DataFrame]] = Nil
+    }
 
-  /** persist() + register for later release. */
+  /** persist() + register with the innermost active scope on this thread
+    * (or globally when none). */
   def barrier(df: DataFrame): DataFrame = {
     val p = df.persist()
-    live.add(p)
+    scopes.get() match {
+      case head :: _ => head.add(p)
+      case Nil       => global.add(p)
+    }
     p
   }
 
-  /** Unpersist every live barrier (non-blocking). Safe to call between
-    * queries: barriers are only read while their query's result is being
-    * computed. */
-  def releaseAll(): Unit = {
-    var df = live.poll()
+  /** Run one query's build-AND-consume under a fresh barrier scope; every
+    * barrier taken during `f` (on this thread) is unpersisted on exit.
+    * `f` must consume the result (write/collect) before returning —
+    * release happens immediately after. */
+  def scoped[A](f: => A): A = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    scopes.set(q :: scopes.get())
+    try f
+    finally {
+      scopes.set(scopes.get().tail)
+      drain(q)
+    }
+  }
+
+  /** Unpersist every UNSCOPED live barrier (non-blocking). */
+  def releaseAll(): Unit = drain(global)
+
+  private def drain(
+      q: java.util.concurrent.ConcurrentLinkedQueue[DataFrame]): Unit = {
+    var df = q.poll()
     while (df != null) {
       df.unpersist(blocking = false)
-      df = live.poll()
+      df = q.poll()
     }
   }
 }

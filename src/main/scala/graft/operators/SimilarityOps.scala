@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -58,7 +58,8 @@ object SimilarityOps {
   def lshTopK(
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, k: Int = 10,
-      tables: Int = 8, planes: Int = 8): DataFrame = {
+      tables: Int = 8, planes: Int = 8,
+      maxBucketFreq: Long = 5000): DataFrame = {
     val all = vecs(spark, sfDir)
     // all table signatures in one compiled pass (graft_lsh_sigs), then
     // persist: referenced by both sides of the candidate join — without
@@ -67,8 +68,15 @@ object SimilarityOps {
       .withColumn("sigs", expr(s"graft_lsh_sigs(v, $tables, $planes)"))
       .select(col("vec_id"), col("v"),
         posexplode(col("sigs")).as(Seq("t", "sig"))))
-    val q = bucketed.filter(col("vec_id") < nQueries)
-    val cand = bucketed.as("c").join(broadcast(q.as("q")),
+    // hot-bucket cutoff: a bucket hotter than the cap carries no
+    // discriminating signal and would make candidate generation
+    // quadratic in the bucket size — drop it from BOTH sides (a pair
+    // still meets in any colder table); see embeddingNearDupOn
+    val hot = bucketed.groupBy("t", "sig").count()
+      .filter(col("count") > maxBucketFreq).select("t", "sig")
+    val cold = bucketed.join(broadcast(hot), Seq("t", "sig"), "left_anti")
+    val q = cold.filter(col("vec_id") < nQueries)
+    val cand = cold.as("c").join(broadcast(q.as("q")),
         col("q.t") === col("c.t") && col("q.sig") === col("c.sig") &&
           col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
@@ -97,6 +105,23 @@ object SimilarityOps {
     * window argmax — C× the corpus through a shuffle). The candidate
     * join still shuffles only probed cell ids; probed cells bound the
     * search to ~nprobe/C of the data. */
+  /** Nearest-centroid column over model `centVecs`: plan literal for a
+    * tiny model, broadcast variable past `broadcastAboveC` centroids — a
+    * real IVF's C ≈ 2^16 × 64-dim model is ~33 MB, far too big to embed
+    * in the plan/codegen as a constant; the broadcast ships once per
+    * executor and the expression carries only the handle. */
+  def nearestCents(
+      spark: SparkSession, v: Column, centVecs: Seq[Seq[Double]], n: Int,
+      broadcastAboveC: Int = 64): Column =
+    if (centVecs.size <= broadcastAboveC)
+      call_function("graft_nearest_cents", v, typedlit(centVecs), lit(n))
+    else {
+      val bc = spark.sparkContext.broadcast(centVecs.map(_.toArray).toArray)
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.NearestCentroidsBroadcast(
+          org.apache.spark.sql.GraftColumnBridge.expression(v), bc, n))
+    }
+
   def ivfTopK(
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, k: Int = 10,
@@ -110,17 +135,14 @@ object SimilarityOps {
     val centIds: Seq[Long] = centRows.map(_.getLong(0)).toSeq
     val centVecs: Seq[Seq[Double]] =
       centRows.map(_.getSeq[Double](1).toSeq).toSeq
-    val centsLit = typedlit(centVecs)
-    val idsLit = typedlit(centIds)
+    val idsLit = typedlit(centIds) // C longs — tiny either way
 
     val assignment = all
-      .withColumn("nc",
-        call_function("graft_nearest_cents", col("v"), centsLit, lit(1)))
+      .withColumn("nc", nearestCents(spark, col("v"), centVecs, 1))
       .select(col("vec_id"), col("v"),
         element_at(idsLit, col("nc").getItem(0) + 1).as("cent_id"))
     val probes = all.filter(col("vec_id") < nQueries)
-      .withColumn("nc",
-        call_function("graft_nearest_cents", col("v"), centsLit, lit(nprobe)))
+      .withColumn("nc", nearestCents(spark, col("v"), centVecs, nprobe))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(col("nc")).as("ci"))
       .select(col("query_id"), col("qv"),

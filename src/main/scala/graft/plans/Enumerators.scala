@@ -216,11 +216,16 @@ object Enumerators {
   case object Greedy extends JoinOrderPlanner {
     val name = "greedy"
 
-    /** Edge weight between the placed set and candidate `f`: count of
-      * direct join conditions (Calcite's two-factor-filter weight, with
-      * the constant factored out). */
+    /** Edge weight between the placed set and candidate `f`: the MAX
+      * pairwise factor weight over the cross edges — the reference's
+      * `findBestOrderings` reads a per-factor-pair `factorWeights` matrix
+      * where any direct two-factor filter scores the constant 3
+      * (Calcite's LoptMultiJoin.setFactorWeight), so a candidate closing
+      * a cycle (2 edges) does NOT outweigh a single-edge candidate; the
+      * NDV tie-break does the discrimination. (A SUM here — the round-2
+      * form — diverged on cyclic graphs.) */
     private def weight(g: QueryGraph, placed: Long, f: Int): Int =
-      g.crossEdges(placed, 1L << f).map(_.conds.size.max(1)).sum
+      g.crossEdges(placed, 1L << f).map(_.conds.size.max(1)).max
 
     /** NDV of the candidate's join-key columns w.r.t. the placed set
       * (reference computeJoinCardinality, :594-641). */

@@ -116,8 +116,11 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
     val g = QueryGraph(rels.indices.map(i => s"r$i").toVector, edges)
     if (!g.connected(g.full)) return None // cross-product component: leave it
 
-    // statistics: logical sizeInBytes as the row proxy (no CBO needed)
-    val base = rels.map(_.stats.sizeInBytes.toDouble.max(1.0)).toArray
+    // statistics: rowCount when the plan supplies it, sizeInBytes proxy
+    // otherwise — bytes are monotone-consistent but skew the PK–FK
+    // selectivity toward WIDE tables (a 40-column dim can out-"weigh" a
+    // narrow fact); rows are the quantity the cost model actually means
+    val base = rels.map(leafRows).toArray
     val card = HeuristicCardinality.uniform(g, base)
 
     val planner: JoinOrderPlanner =
@@ -150,6 +153,12 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 object GraftJoinReorder {
+  /** Planner statistics for one flattened leaf: `rowCount` when stats
+    * carry it (CBO / ANALYZE'd tables / Range), else `sizeInBytes`. */
+  def leafRows(plan: LogicalPlan): Double =
+    plan.stats.rowCount.map(_.toDouble).filter(_ > 0)
+      .getOrElse(plan.stats.sizeInBytes.toDouble).max(1.0)
+
   /** joins with more relations than this use greedy instead of DPccp */
   val maxDpRelations = 12
   /** scratch debug switch (tools/ReorderDebug*) */

@@ -48,7 +48,14 @@ object JoinTreeExecutor {
             val (fc, dc) = if (e.a == i) (ca, cb) else (cb, ca)
             col(fc) === col(dc)
           }.reduce(_ && _)
-          df.join(broadcast(rels(dimIdx).filtered), cond, "left_semi")
+          // same cardinality gate as the Node case below: a large or
+          // weakly-filtered dimension must NOT be force-broadcast (driver
+          // OOM at scale) — it still pre-filters via a shuffled semi join
+          val dim = rels(dimIdx).filtered
+          val hinted =
+            if (card(1L << dimIdx) <= broadcastRows.toDouble) broadcast(dim)
+            else dim
+          df.join(hinted, cond, "left_semi")
         }
       case Node(l, r) =>
         val lf = mk(l); val rf = mk(r)

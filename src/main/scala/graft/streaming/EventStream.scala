@@ -48,42 +48,80 @@ object EventStream {
         col("cnt"), col("sv"))
 
   // ------------------------------------------------------- sessionization
-  final case class Event(user_id: Long, tsMicros: Long, event_type: String)
-  final case class SessionState(start: Long, last: Long, events: Int)
+  /** `ts` (the watermarked timestamp column) must survive into the typed
+    * Dataset — EventTimeTimeout requires a watermark-tagged column in
+    * the state operator's child; `tsMicros` carries the exact micros. */
+  final case class Event(
+      user_id: Long, ts: java.sql.Timestamp, tsMicros: Long, event_type: String)
+
+  /** One open session interval. Gap-sessionization is exactly the
+    * connected components of the "within gap" adjacency on the timeline,
+    * so merging an event into the interval set is ORDER-INDEPENDENT —
+    * no sort, no event buffering. */
+  final case class Interval(start: Long, last: Long, events: Int)
+  final case class SessionState(intervals: List[Interval])
   final case class Session(
       user_id: Long, start_us: Long, end_us: Long, n_events: Int)
 
+  /** Merge one event time into the open-interval set: absorb every
+    * interval within `gapUs` of `ts` (an event can bridge two), keep the
+    * rest. O(k) for k open intervals — and k is bounded by the number of
+    * gap-separated sessions in flight, NOT the event count: a whale user
+    * with 10⁵ events in one micro-batch still holds 1–2 intervals. */
+  def addEvent(iv: List[Interval], ts: Long, gapUs: Long): List[Interval] = {
+    val (near, far) = iv.partition(i =>
+      ts >= i.start - gapUs && ts <= i.last + gapUs)
+    val merged = near.foldLeft(Interval(ts, ts, 1)) { (a, b) =>
+      Interval(math.min(a.start, b.start), math.max(a.last, b.last),
+        a.events + b.events)
+    }
+    (merged :: far).sortBy(_.start)
+  }
+
   /** Custom state machine: close a user session after `gapMinutes` of
     * inactivity (KeyValueGroupedDataset.flatMapGroupsWithState — the
-    * engine's arbitrary-state surface). Emits closed sessions. */
+    * engine's arbitrary-state surface). Emits closed sessions.
+    *
+    * Scale shape (the round-2 version buffered and sorted the whole
+    * per-user batch on one task — a whale user OOMed it):
+    *  - state is the interval set, O(sessions in flight), never O(events)
+    *    ([[addEvent]] folds the iterator without materializing it);
+    *  - every interval gap-separated from the newest closes immediately
+    *    (no in-order event can reopen it; out-of-order stragglers are the
+    *    watermark's job, as in the round-2 version);
+    *  - the LAST session closes by event-time timeout once the watermark
+    *    passes its gap (GroupStateTimeout.EventTimeTimeout) — the
+    *    round-2 version held it forever. */
   def sessionize(
       spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): Dataset[Session] = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     events
-      .select(col("user_id"),
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .select(col("user_id"), col("ts"),
         unix_micros(col("ts")).as("tsMicros"), col("event_type"))
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(_.tsMicros)
-          var st = state.getOption.orNull
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            st match {
-              case null =>
-                st = SessionState(e.tsMicros, e.tsMicros, 1)
-              case s if e.tsMicros - s.last > gapUs =>
-                closed += Session(user, s.start, s.last, s.events)
-                st = SessionState(e.tsMicros, e.tsMicros, 1)
-              case s =>
-                st = s.copy(last = e.tsMicros, events = s.events + 1)
+          if (state.hasTimedOut) {
+            // watermark passed the last interval's gap: flush everything
+            val ivs = state.getOption.map(_.intervals).getOrElse(Nil)
+            state.remove()
+            ivs.map(i => Session(user, i.start, i.last, i.events)).iterator
+          } else {
+            var ivs = state.getOption.map(_.intervals).getOrElse(Nil)
+            it.foreach(e => ivs = addEvent(ivs, e.tsMicros, gapUs))
+            if (ivs.isEmpty) Iterator.empty
+            else {
+            val latest = ivs.map(_.last).max
+            val (open, closed) = ivs.partition(_.last + gapUs >= latest)
+            state.update(SessionState(open))
+            state.setTimeoutTimestamp(latest / 1000L + gapMinutes * 60L * 1000L)
+            closed.map(i => Session(user, i.start, i.last, i.events)).iterator
             }
           }
-          if (st != null) state.update(st)
-          closed.result().iterator
       }
   }
 }

@@ -124,6 +124,31 @@ class NativeExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       again.map(_.getAs[scala.collection.Seq[Int]](0).toSeq).toSeq)
   }
 
+  test("graft_nearest_cents broadcast path == literal path at C = 1024") {
+    // a model too big to sensibly embed as a plan literal: 1024 centroids
+    // x 64 dims. The broadcast-backed expression must produce the exact
+    // assignment the literal path does, in both execution modes.
+    val rnd = new scala.util.Random(7)
+    val cents: Seq[Seq[Double]] =
+      Seq.fill(1024)(Seq.fill(64)(rnd.nextGaussian()))
+    import org.apache.spark.sql.functions._
+    val base = spark.table("embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+      .limit(50)
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      val viaLiteral = base.withColumn("nc",
+          call_function("graft_nearest_cents", col("v"), typedlit(cents), lit(3)))
+        .select("vec_id", "nc").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      val viaBroadcast = base.withColumn("nc",
+          graft.operators.SimilarityOps.nearestCents(spark, col("v"), cents, 3))
+        .select("vec_id", "nc").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      assert(viaBroadcast == viaLiteral, s"codegen=$cg")
+    }
+  }
+
   test("expressions run inside whole-stage codegen over real scans") {
     val plan = spark.sql(
       """SELECT graft_cosine(transform(embedding, x -> CAST(x AS DOUBLE)),

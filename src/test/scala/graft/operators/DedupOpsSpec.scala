@@ -81,6 +81,31 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"LSH missed ${(brute -- lsh).size}, spurious ${(lsh -- brute).size}")
   }
 
+  test("d05 hot-bucket cap bounds a degenerate corpus; default cap is a no-op on testdata") {
+    val s = spark
+    import s.implicits._
+    // adversarial corpus: 200 IDENTICAL vectors — every one lands in the
+    // same bucket of all 16 tables, so uncapped candidate generation is
+    // exactly quadratic (19900 pairs)
+    val identical = (0 until 200)
+      .map(i => (i.toLong, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val uncapped = DedupOps.embeddingNearDupOn(
+      identical, threshold = -1.0, tables = 16, planes = 2,
+      maxBucketFreq = Long.MaxValue).count()
+    assert(uncapped == 200L * 199 / 2, s"fixture should be quadratic, got $uncapped")
+    val capped = DedupOps.embeddingNearDupOn(
+      identical, threshold = -1.0, tables = 16, planes = 2,
+      maxBucketFreq = 50).count()
+    assert(capped == 0, s"all buckets are hot at cap=50, got $capped candidates")
+
+    // the shipped default must not change testdata results
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def pairs(cap: Long) =
+      DedupOps.embeddingNearDupOn(d, 0.3, 16, 2, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(5000) == pairs(Long.MaxValue))
+  }
+
   test("d04 output on testdata is unchanged by the default cap") {
     val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     def pairs(cap: Long) =

@@ -89,6 +89,20 @@ class GraftJoinReorderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tagged.isEmpty)
   }
 
+  test("leaf statistics prefer rowCount over sizeInBytes") {
+    // Range supplies rowCount (1000) even without CBO; its sizeInBytes is
+    // 8x that — a bytes-based proxy would inflate narrow tables 8x and
+    // wide tables far more, skewing the PK-FK selectivity denominator
+    val r = spark.range(1000).queryExecution.optimizedPlan
+    assert(GraftJoinReorder.leafRows(r) == 1000.0)
+    assert(r.stats.sizeInBytes.toDouble > 1000.0)
+    // a bare parquet scan carries no rowCount -> sizeInBytes fallback
+    val scan = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .queryExecution.optimizedPlan
+    if (scan.stats.rowCount.isEmpty)
+      assert(GraftJoinReorder.leafRows(scan) == scan.stats.sizeInBytes.toDouble)
+  }
+
   test("non-equi multiway join does not break") {
     val rows = spark.sql(
       """SELECT count(*) AS c FROM region a, region b, region c
