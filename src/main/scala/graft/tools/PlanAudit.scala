@@ -9,6 +9,7 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
+      .withExtensions(new graft.functions.GraftExtensions) // deployed config
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -20,14 +21,23 @@ object PlanAudit {
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       val df = all(name)(spark, sfDir)
+      // execute THIS QueryExecution first: with AQE the codegen'd FINAL
+      // plan only exists once the adaptive plan finishes (a .write would
+      // plan a separate QueryExecution and leave this one unfinalized)
+      graft.operators.Persists.scoped { df.collect() }
+      // the finalized adaptive plan prints "final +- == Initial Plan =="
+      // — audit only the final section
       val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
       def count(p: String) = p.r.findAllIn(plan).size
       println(s"== $name")
       println(s"   scans=${count("FileScan parquet")} " +
         s"pushedFilters=${count("PushedFilters: \\[[^\\]]")} " +
         s"bhj=${count("BroadcastHashJoin")} smj=${count("SortMergeJoin")} " +
         s"shj=${count("ShuffledHashJoin")} nlj=${count("BroadcastNestedLoopJoin")} " +
-        s"exchanges=${count("Exchange")} wscg=${count("WholeStageCodegen")}")
+        s"exchanges=${count("Exchange")} " +
+        // codegen spans render as "*(n)" prefixes; count distinct span ids
+        s"wscg=${"\\*\\(\\d+\\)".r.findAllIn(plan).toSeq.distinct.size}")
       // ReadSchema lines: show pruning
       "ReadSchema: [^\n]+".r.findAllIn(plan).toSeq.distinct.take(6)
         .foreach(s => println("   " + s.take(150)))
