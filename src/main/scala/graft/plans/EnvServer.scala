@@ -103,6 +103,22 @@ final class EnvServer(g: QueryGraph, env: JoinOrderEnv, port: Int = 0) {
               g.edges.foreach { e =>
                 val pair = edges.addArray(); pair.add(e.a); pair.add(e.b)
               }
+            // DQ featurization surface (reference: getAttrCount +
+            // getQueryGraph feature replies, ZeroMQServer.java:181-205);
+            // requires the env to carry an AttributeRegistry
+            case "getAttrCount" =>
+              resp.put("ok", true).put("attrCount", env.attrCount)
+            case "getState" =>
+              resp.put("ok", true)
+              val fs = resp.putArray("factors")
+              env.stateFeatures.foreach { bs =>
+                val arr = fs.addArray(); bs.foreach(arr.add)
+              }
+            case "getActionFeatures" =>
+              val (l, r) = env.actionFeatures(action)
+              resp.put("ok", true)
+              val la = resp.putArray("left"); l.foreach(la.add)
+              val ra = resp.putArray("right"); r.foreach(ra.add)
             case "close" =>
               resp.put("ok", true); open = false
             case other =>

@@ -109,6 +109,11 @@ final class JoinOrderEnv(
     factors.head
   }
 
+  /** Size of the global one-hot attribute space (reference:
+    * DbInfo.attrCount served over the wire, ZeroMQServer.java:181-189). */
+  def attrCount: Int = registry.getOrElse(
+    throw new IllegalStateException("no AttributeRegistry provided")).attrCount
+
   /** DQ featurization of the current state: per-factor one-hot bitset
     * over the global attribute space (reference: QueryGraph.java:306-332
     * mapToDBFeatures / getVisibleAttributes). */

@@ -72,4 +72,40 @@ class EnvServerSpec extends AnyFunSuite {
       } finally sock.close()
     } finally server.close()
   }
+
+  test("featurization commands serve the DQ one-hot space") {
+    val g = star4
+    val registry = new AttributeRegistry(Seq(
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "orders" -> Seq("o_orderkey"),
+      "part" -> Seq("p_partkey"),
+      "supplier" -> Seq("s_suppkey")))
+    val env = new JoinOrderEnv(g,
+      HeuristicCardinality.uniform(g, Array(1000.0, 250.0, 40.0, 10.0)),
+      CostModel.Cout, Some(registry))
+    val server = new EnvServer(g, env)
+    try {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      try {
+        val in = new BufferedReader(
+          new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+        val out = new PrintWriter(new java.io.OutputStreamWriter(
+          sock.getOutputStream, StandardCharsets.UTF_8), true)
+        val mapper = new ObjectMapper()
+        def call(json: String): com.fasterxml.jackson.databind.JsonNode = {
+          out.println(json)
+          val resp = mapper.readTree(in.readLine())
+          assert(resp.get("ok").asBoolean(), resp.toString)
+          resp
+        }
+        call("""{"cmd":"reset"}""")
+        assert(call("""{"cmd":"getAttrCount"}""").get("attrCount").asInt() == 6)
+        // 4 leaf factors, each a one-hot block over its own attributes
+        val state = call("""{"cmd":"getState"}""").get("factors")
+        assert(state.size() == 4)
+        val af = call("""{"cmd":"getActionFeatures","action":0}""")
+        assert(af.get("left").size() > 0 && af.get("right").size() > 0)
+      } finally sock.close()
+    } finally server.close()
+  }
 }
