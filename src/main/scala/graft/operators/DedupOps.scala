@@ -174,7 +174,8 @@ object DedupOps {
       tables: Int = 16, planes: Int = 2,
       maxBucketFreq: Long = 5000): DataFrame =
     embeddingNearDupOn(Tables.load(spark, sfDir, "embeddings"),
-      threshold, tables, planes, maxBucketFreq)
+      threshold, tables, planes, maxBucketFreq,
+      corpusRows = Some(Tables.rowCount(spark, sfDir, "embeddings")))
 
   /** [[embeddingNearDup]] over any (vec_id, embedding) frame —
     * fixture-injectable.
@@ -189,10 +190,17 @@ object DedupOps {
     * instead of a quadratic stage. A pair losing one hot bucket still
     * meets in any of the other `tables−1` tables; at production
     * thresholds (τ ≥ 0.85, planes 8–16) buckets sit orders of magnitude
-    * below the cap and the cutoff never fires. */
+    * below the cap and the cutoff never fires.
+    *
+    * When the corpus row count is KNOWN and ≤ the cap, the guard pass is
+    * skipped outright — no bucket can hold more members than the corpus
+    * has rows, so the cutoff is provably a no-op (a dominance
+    * short-circuit, not an expectation heuristic: adversarial inputs are
+    * still guarded whenever they could matter). */
   def embeddingNearDupOn(
       input: DataFrame, threshold: Double,
-      tables: Int, planes: Int, maxBucketFreq: Long): DataFrame = {
+      tables: Int, planes: Int, maxBucketFreq: Long,
+      corpusRows: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(input.sparkSession)
     val e = input
       .select(col("vec_id"),
@@ -203,9 +211,13 @@ object DedupOps {
       .withColumn("sigs", expr(s"graft_lsh_sigs(v, $tables, $planes)"))
       .select(col("vec_id"), col("v"),
         posexplode(col("sigs")).as(Seq("t", "sig"))))
-    val hot = bucketed.groupBy("t", "sig").count()
-      .filter(col("count") > maxBucketFreq).select("t", "sig")
-    val cold = bucketed.join(broadcast(hot), Seq("t", "sig"), "left_anti")
+    val cold =
+      if (corpusRows.exists(_ <= maxBucketFreq)) bucketed
+      else {
+        val hot = bucketed.groupBy("t", "sig").count()
+          .filter(col("count") > maxBucketFreq).select("t", "sig")
+        bucketed.join(broadcast(hot), Seq("t", "sig"), "left_anti")
+      }
     cold.as("x").join(cold.as("y"),
         col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))

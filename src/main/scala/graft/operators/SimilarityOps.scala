@@ -71,10 +71,16 @@ object SimilarityOps {
     // hot-bucket cutoff: a bucket hotter than the cap carries no
     // discriminating signal and would make candidate generation
     // quadratic in the bucket size — drop it from BOTH sides (a pair
-    // still meets in any colder table); see embeddingNearDupOn
-    val hot = bucketed.groupBy("t", "sig").count()
-      .filter(col("count") > maxBucketFreq).select("t", "sig")
-    val cold = bucketed.join(broadcast(hot), Seq("t", "sig"), "left_anti")
+    // still meets in any colder table); see embeddingNearDupOn. Skipped
+    // outright when the corpus has ≤ cap rows: no bucket can exceed the
+    // corpus size, so the guard is provably a no-op.
+    val cold =
+      if (Tables.rowCount(spark, sfDir, "embeddings") <= maxBucketFreq) bucketed
+      else {
+        val hot = bucketed.groupBy("t", "sig").count()
+          .filter(col("count") > maxBucketFreq).select("t", "sig")
+        bucketed.join(broadcast(hot), Seq("t", "sig"), "left_anti")
+      }
     val q = cold.filter(col("vec_id") < nQueries)
     val cand = cold.as("c").join(broadcast(q.as("q")),
         col("q.t") === col("c.t") && col("q.sig") === col("c.sig") &&
