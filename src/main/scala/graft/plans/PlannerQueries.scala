@@ -76,6 +76,25 @@ object PlannerQueries {
     }
   }
 
+  /** The LEARNED policy as a planner: train the Monte-Carlo Q-learner
+    * ([[QPolicy]]) on the query's own graph at plan time (300 in-process
+    * episodes — milliseconds; the reference's per-workload training
+    * loop), then execute its greedy rollout's tree. Deterministic given
+    * the fixed seeds, and the result must hash-match the same oracle as
+    * every other planner. */
+  private object LearnedPolicy extends JoinOrderPlanner {
+    val name = "qlearn"
+    protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree = {
+      val registry = new AttributeRegistry(g.relations.map(n =>
+        n -> Seq(s"${n}_k1", s"${n}_k2")))
+      val env = new JoinOrderEnv(g, card, cm, Some(registry))
+      val policy = new QPolicy(env.attrCount)
+      policy.train(env, episodes = 300)
+      policy.rollout(env)
+      env.finalTree
+    }
+  }
+
   /** Every planner must produce the identical (oracle-checked) result. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_planner_dpccp" -> runFlagship(Enumerators.DPccp) _,
@@ -83,7 +102,8 @@ object PlannerQueries {
     "p03_planner_greedy" -> runFlagship(Enumerators.Greedy, semi = true) _,
     "p04_planner_random" -> runFlagship(Enumerators.RandomOrder()) _,
     "p05_planner_bnb" -> runFlagship(Enumerators.BranchAndBound()) _,
-    "p06_planner_rl" -> runFlagship(RlRollout) _
+    "p06_planner_rl" -> runFlagship(RlRollout) _,
+    "p07_planner_learned" -> runFlagship(LearnedPolicy) _
   )
 
   private val flagshipOracle: String =
