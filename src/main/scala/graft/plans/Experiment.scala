@@ -219,7 +219,11 @@ object ExperimentMain {
           s"$fixture — planning under estimates only")
     }
 
-    val planners = Enumerators.all
+    // the six enumerators plus the RL-surface planners (the reference
+    // runs its RL rule as one of the planner variants,
+    // QueryOptExperiment.java:68-76)
+    val planners = Enumerators.all ++
+      Seq(QPolicy.RolloutPlanner, QPolicy.Planner)
     val costModels: Seq[CostModel] =
       Seq(CostModel.Cout, CostModel.MM(), CostModel.CM2())
 

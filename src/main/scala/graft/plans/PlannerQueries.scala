@@ -61,49 +61,20 @@ object PlannerQueries {
         count(lit(1)).as("cnt"))
   }
 
-  /** The RL environment's greedy-rollout policy as a query planner: an
-    * episode over [[JoinOrderEnv]] (reset → step-by-best-reward → done)
-    * whose final tree executes through [[JoinTreeExecutor]] — the engine
-    * form of the reference's RL rule emitting the episode's join order as
-    * the plan (RLJoinOrderRule.java:139-143 transformTo at episode end).
-    * Must hash-match the same flagship oracle as every other planner. */
-  private object RlRollout extends JoinOrderPlanner {
-    val name = "rl_greedy_rollout"
-    protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree = {
-      val env = new JoinOrderEnv(g, card, cm)
-      JoinOrderEnv.greedyRollout(env)
-      env.finalTree
-    }
-  }
-
-  /** The LEARNED policy as a planner: train the Monte-Carlo Q-learner
-    * ([[QPolicy]]) on the query's own graph at plan time (300 in-process
-    * episodes — milliseconds; the reference's per-workload training
-    * loop), then execute its greedy rollout's tree. Deterministic given
-    * the fixed seeds, and the result must hash-match the same oracle as
-    * every other planner. */
-  private object LearnedPolicy extends JoinOrderPlanner {
-    val name = "qlearn"
-    protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree = {
-      val registry = new AttributeRegistry(g.relations.map(n =>
-        n -> Seq(s"${n}_k1", s"${n}_k2")))
-      val env = new JoinOrderEnv(g, card, cm, Some(registry))
-      val policy = new QPolicy(env.attrCount)
-      policy.train(env, episodes = 300)
-      policy.rollout(env)
-      env.finalTree
-    }
-  }
-
-  /** Every planner must produce the identical (oracle-checked) result. */
+  /** Every planner must produce the identical (oracle-checked) result.
+    *
+    * p06 is the RL environment's greedy-rollout policy (an episode over
+    * [[JoinOrderEnv]], the engine form of the reference's RL rule
+    * emitting the episode's join order, RLJoinOrderRule.java:139-143);
+    * p07 is the TRAINED Monte-Carlo Q-policy ([[QPolicy.Planner]]). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_planner_dpccp" -> runFlagship(Enumerators.DPccp) _,
     "p02_planner_leftdeep" -> runFlagship(Enumerators.LeftDeepDP) _,
     "p03_planner_greedy" -> runFlagship(Enumerators.Greedy, semi = true) _,
     "p04_planner_random" -> runFlagship(Enumerators.RandomOrder()) _,
     "p05_planner_bnb" -> runFlagship(Enumerators.BranchAndBound()) _,
-    "p06_planner_rl" -> runFlagship(RlRollout) _,
-    "p07_planner_learned" -> runFlagship(LearnedPolicy) _
+    "p06_planner_rl" -> runFlagship(QPolicy.RolloutPlanner) _,
+    "p07_planner_learned" -> runFlagship(QPolicy.Planner) _
   )
 
   private val flagshipOracle: String =

@@ -115,3 +115,33 @@ final class QPolicy(attrCount: Int, lr: Double = 0.05, seed: Long = 7L) {
     env.totalCost
   }
 }
+
+object QPolicy {
+  /** The learned policy as a [[JoinOrderPlanner]]: train on the query's
+    * own graph at plan time (the reference's per-workload loop), then
+    * emit the greedy rollout's tree. Deterministic given the fixed
+    * seeds. Used by PlannerQueries (p07) and ExperimentMain. */
+  case object Planner extends JoinOrderPlanner {
+    val name = "qlearn"
+    protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree = {
+      val registry = new AttributeRegistry(g.relations.map(n =>
+        n -> Seq(s"${n}_k1", s"${n}_k2")))
+      val env = new JoinOrderEnv(g, card, cm, Some(registry))
+      val policy = new QPolicy(env.attrCount)
+      policy.train(env, episodes = 300)
+      policy.rollout(env)
+      env.finalTree
+    }
+  }
+
+  /** The env's trivial 1-step-lookahead policy as a planner (the RL
+    * rule's behavior baseline) — see PlannerQueries p06. */
+  case object RolloutPlanner extends JoinOrderPlanner {
+    val name = "rl_greedy_rollout"
+    protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree = {
+      val env = new JoinOrderEnv(g, card, cm)
+      JoinOrderEnv.greedyRollout(env)
+      env.finalTree
+    }
+  }
+}
