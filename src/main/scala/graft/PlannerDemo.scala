@@ -38,21 +38,31 @@ object PlannerDemo {
     val card = HeuristicCardinality.uniform(g, base)
     val inputs = rels.zip(dfs).map { case (n, df) => RelInput(n, df) }
 
-    val counts = Enumerators.all.map { p =>
+    // reference Query.verifyResults hashes each planner's result rather
+    // than just counting (Query.java:71-80): order-insensitive content
+    // hash = bit_xor of per-row xxhash64 over every key column (xor, not
+    // sum: ANSI mode makes a long sum of hashes overflow-fatal)
+    val planners = Enumerators.all ++ Seq(QPolicy.RolloutPlanner, QPolicy.Planner)
+    val results = planners.map { p =>
       val planned = p.plan(g, card, CostModel.Cout)
       val df = JoinTreeExecutor.build(planned.tree, g, inputs, card)
       val t0 = System.nanoTime()
-      val cnt = df.count()
+      val row = df.selectExpr(
+        "count(*) AS cnt",
+        "bit_xor(xxhash64(r_regionkey, n_nationkey, c_custkey, o_orderkey, l_linenumber)) AS h")
+        .collect().head
+      val (cnt, hash) = (row.getLong(0), row.getLong(1))
       val execMs = (System.nanoTime() - t0) / 1e6
       println(f"${p.name}%-10s cost=${planned.cost}%12.1f rows=$cnt%8d " +
         f"plan=${planned.planningNanos / 1e6}%7.1fms exec=$execMs%7.1fms  " +
         planned.joinStr(g))
-      p.name -> cnt
+      (p.name, cnt, hash)
     }
-    val distinct = counts.map(_._2).distinct
-    require(distinct.size == 1,
-      s"cross-planner row-count mismatch: $counts")
-    println(s"CROSS-PLANNER OK: all ${counts.size} planners returned ${distinct.head} rows")
+    require(results.map(_._2).distinct.size == 1 &&
+        results.map(_._3).distinct.size == 1,
+      s"cross-planner result mismatch: $results")
+    println(s"CROSS-PLANNER OK: all ${results.size} planners returned " +
+      s"${results.head._2} rows, content hash ${results.head._3}")
     spark.stop()
   }
 }

@@ -161,17 +161,18 @@ object DedupOps {
     *
     * Recall is governed by (tables, planes) against the threshold: a
     * pair at cosine c collides per plane w.p. 1 − acos(c)/π, so miss
-    * probability is (1 − p^planes)^tables. The defaults (16 tables × 2
-    * planes) give per-pair miss < 1e-3 at c = 0.3 — measured 100% recall
-    * of all 990 true pairs on the sf0.01 testdata (DedupOpsSpec checks
-    * exact agreement with brute force). The testdata's τ=0.3 sits at the
+    * probability is (1 − p^planes)^tables. The defaults (32 tables × 2
+    * planes) give per-pair miss ≈ 7e-7 at c = 0.3 — measured 100% recall
+    * of all true pairs at sf0.01 AND sf0.1 (16 tables missed 4 of 14933
+    * sf0.1 pairs at the expected ~1e-3 rate; DedupOpsSpec checks exact
+    * agreement with brute force). The testdata's τ=0.3 sits at the
     * noise floor of its random embeddings, which forces coarse buckets
     * (expected size n/2^planes); production near-dup thresholds
     * (τ ≥ 0.85) support planes = 8–16 where buckets shrink to n/256 and
     * below — same code, one knob. */
   def embeddingNearDup(
       spark: SparkSession, sfDir: String, threshold: Double = 0.3,
-      tables: Int = 16, planes: Int = 2,
+      tables: Int = 32, planes: Int = 2,
       maxBucketFreq: Long = 5000): DataFrame =
     embeddingNearDupOn(Tables.load(spark, sfDir, "embeddings"),
       threshold, tables, planes, maxBucketFreq,

@@ -276,14 +276,17 @@ object RelationalQueries {
   )
 
   /** Array-column operators — same semantics, different function names in
-    * DuckDB (size/element_at vs len/[]), so DF impl + separate oracle. */
+    * DuckDB (size/element_at vs len/[]), so DF impl + separate oracle.
+    * `+ 0` after round: the engines disagree on IEEE −0.0 for values
+    * rounding to zero, and −0.0 + 0 = +0.0 normalizes both. */
   private def arrayOps(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     Tables.load(spark, sfDir, "embeddings").select(
       col("vec_id"),
       size(col("embedding")).as("dim"),
-      round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
-      round(expr("aggregate(slice(embedding, 1, 8), 0D, (a, x) -> a + x)"), 4)
+      (round(element_at(col("embedding"), 1).cast("double"), 4) + 0)
+        .as("first_val"),
+      (round(expr("aggregate(slice(embedding, 1, 8), 0D, (a, x) -> a + x)"), 4) + 0)
         .as("head_sum"))
   }
 
@@ -317,9 +320,9 @@ object RelationalQueries {
          FROM lineitem GROUP BY l_returnflag""",
     "q39_array_ops" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
-                round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+                round(CAST(embedding[1] AS DOUBLE), 4) + 0 AS first_val,
                 round(list_sum(list_transform(embedding[1:8],
-                      x -> CAST(x AS DOUBLE))), 4) AS head_sum
+                      x -> CAST(x AS DOUBLE))), 4) + 0 AS head_sum
          FROM embeddings""",
     "q06_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
