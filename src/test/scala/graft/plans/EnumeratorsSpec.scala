@@ -135,6 +135,30 @@ class EnumeratorsSpec extends AnyFunSuite {
     assert(t2.leaves == Vector(0, 2, 1), s"expected d2 first, got $t2")
   }
 
+  test("greedy factor weight is MAX over cross edges, not SUM") {
+    // triangle a-b-c plus pendant d: from placed {a,b}, candidate c
+    // closes the cycle with TWO single-condition edges while d connects
+    // with one. Calcite's factorWeights scores any direct two-factor
+    // filter the same constant (the reference tie-breaks on NDV,
+    // MyLoptOptimizeJoinRule.java:788-863), so with a higher NDV d must
+    // win; summing edge counts (the round-2 bug) would pick c
+    // regardless of NDV.
+    val g = QueryGraph(Vector("a", "b", "c", "d"), Vector(
+      JoinEdge(0, 1, Seq("ak" -> "bk")),
+      JoinEdge(0, 2, Seq("ak2" -> "ck")),
+      JoinEdge(1, 2, Seq("bk2" -> "ck2")),
+      JoinEdge(0, 3, Seq("ak3" -> "dk"))))
+    val card = new Cardinality {
+      def apply(s: Long): Double = 100.0 // flat: cost never discriminates
+      override def ndv(vertex: Int, cols: Seq[String]): Double =
+        Map(1 -> 50.0, 2 -> 10.0, 3 -> 40.0).getOrElse(vertex, 1.0)
+    }
+    val t = Enumerators.Greedy.plan(g, card, CostModel.Cout).tree
+    // from {a}: b (NDV 50); from {a,b}: d (40) over cycle-closing c (10)
+    assert(t.leaves == Vector(0, 1, 3, 2),
+      s"expected a,b,d,c (NDV tie-break), got ${t.leaves}")
+  }
+
   test("left-deep DP plans a 20-relation chain in well under a second") {
     val rnd = new Random(13)
     val g = QueryGraph(Vector.tabulate(20)(i => s"t$i"),
