@@ -22,6 +22,7 @@ object SparkEntry {
       DedupOps.queries ++
       SimilarityOps.queries ++
       MultimodalOps.queries ++
+      SkewOps.queries ++
       graft.plans.PlannerQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
       DedupOps.oracleSql ++
       SimilarityOps.oracleSql ++
       MultimodalOps.oracleSql ++
+      SkewOps.oracleSql ++
       graft.plans.PlannerQueries.oracleSql
 }
