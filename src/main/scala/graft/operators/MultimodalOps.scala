@@ -54,17 +54,21 @@ object MultimodalOps {
   /** "Feature extraction": 8-dim embedding per payload. STUB — a real
     * pipeline decodes the image and runs a vision model here; the fake is
     * a deterministic hash projection with the same per-element math and
-    * the same narrow-map plan. Emitted EXPLODED to scalar rows
-    * (media_id, feature_idx, value) — one row per dimension — so the
-    * result is a plain relational frame any checker (and any downstream
-    * SQL consumer) can sort and hash; the array form is `collect_list`
-    * away when a vector column is wanted. */
-  def featureExtract(spark: SparkSession, sfDir: String): DataFrame =
+    * the same narrow-map plan. The hash is [[PortableHash]] (md5-derived,
+    * not xxhash64) so the whole stage oracle-checks against DuckDB.
+    * Emitted EXPLODED to scalar rows (media_id, feature_idx, value) —
+    * one row per dimension — so the result is a plain relational frame
+    * any checker (and any downstream SQL consumer) can sort and hash;
+    * the array form is `collect_list` away when a vector column is
+    * wanted. */
+  def featureExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = PortableHash.packed(
+      "concat(payload, encode(cast(i AS STRING), 'utf-8'))", 3)
     mediaTable(spark, sfDir).select(
       col("media_id"),
-      posexplode(expr("""transform(sequence(0, 7),
-                i -> pmod(xxhash64(payload, i), 1000) / 1000D)"""))
+      posexplode(expr(s"transform(sequence(0, 7), i -> $h % 1000 / 1000D)"))
         .as(Seq("feature_idx", "value")))
+  }
 
   /** "Frame sampling": every `stride` bytes take a 16-byte "frame"
     * (stand-in for video keyframe extraction); emits one row per frame —
@@ -140,6 +144,14 @@ object MultimodalOps {
          FROM (SELECT doc_id AS media_id, text,
                       unnest(range(0, (length(text) - 1) // 64 + 1)) AS f
                FROM documents)""",
+    "m02_feature_extract" -> {
+      val h = PortableHash.packed("text || CAST(i AS VARCHAR)", 3)
+      s"""SELECT media_id, CAST(i AS INTEGER) AS feature_idx,
+                 $h % 1000 / 1000.0 AS value
+          FROM (SELECT doc_id AS media_id, text,
+                       unnest(range(0, 8)) AS i
+                FROM documents)"""
+    },
     "m01b_byte_len" ->
       """SELECT doc_id AS media_id, 'image/fake' AS mime,
                 CAST(octet_length(encode(text)) AS INTEGER) AS byte_len

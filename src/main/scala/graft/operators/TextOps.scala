@@ -87,16 +87,43 @@ object TextOps {
   /** Rolling 64-bit fingerprint over word 4-grams (Rabin-style document
     * sketch): min/max/xor of shingle hashes. xxhash64 is Spark-native and
     * deterministic; rows-only check. */
+  /** Rolling 4-word-shingle fingerprints (min / max / xor over the
+    * shingle-hash set — winnowing's building blocks). Hash is
+    * [[PortableHash]] (md5-derived) rather than xxhash64 so the whole
+    * operator oracle-checks against DuckDB; the fingerprint semantics
+    * (content-derived, order-insensitive xor, min-sketch min) are
+    * unchanged. */
   def fingerprintRolling(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    val h = PortableHash.packed("s")
     docs(spark, sfDir)
       .withColumn("sh", Shingles.wordShingles("text", 4))
       .select(
         col("doc_id"),
-        expr("array_min(transform(sh, s -> xxhash64(s)))").as("fp_min"),
-        expr("array_max(transform(sh, s -> xxhash64(s)))").as("fp_max"),
-        expr("aggregate(transform(sh, s -> xxhash64(s)), 0L, (a, x) -> a ^ x)")
+        expr(s"array_min(transform(sh, s -> $h))").as("fp_min"),
+        expr(s"array_max(transform(sh, s -> $h))").as("fp_max"),
+        expr(s"aggregate(transform(sh, s -> $h), 0L, (a, x) -> a ^ x)")
           .as("fp_xor"))
+  }
+
+  /** DuckDB twin of [[fingerprintRolling]]: same sliding-window distinct
+    * shingles (see d04's oracle for the pattern), same portable hash,
+    * min/max/bit_xor as grouped aggregates. */
+  val fingerprintRollingOracle: String = {
+    val h = PortableHash.packed("s")
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(CASE WHEN len(ws) < 4 THEN [text]
+                             ELSE list_distinct(list_transform(
+                                    range(1, len(ws) - 2),
+                                    i -> array_to_string(ws[i:i+3], ' ')))
+                             END) AS s
+               FROM w),
+        h AS (SELECT doc_id, $h AS hv FROM sh)
+      SELECT doc_id, min(hv) AS fp_min, max(hv) AS fp_max,
+             bit_xor(hv) AS fp_xor
+      FROM h GROUP BY doc_id"""
   }
 
   // ---------------------------------------------------------------- langid
@@ -173,6 +200,7 @@ object TextOps {
     "t01_quality" -> qualityOracle,
     "t02_tokens" -> tokenOracle,
     "t03_fingerprint_md5" -> fingerprintMd5Sql,
+    "t04_fingerprint_rolling" -> fingerprintRollingOracle,
     "t05_langid" -> langIdOracle,
     "t06_subwords" -> subwordOracle
   )
@@ -181,6 +209,23 @@ object TextOps {
 /** Shingling helpers shared by text fingerprinting and MinHash dedup.
   * Backed by the native [[graft.functions.WordShingles]] expression;
   * callers must have run GraftFunctions.register on the session. */
+/** Engine-PORTABLE content hash: the first `chars` hex characters of
+  * md5, packed into an integer by ascii codes. The generated SQL uses
+  * only `ascii` / `substr` / `md5` — identical text evaluates
+  * identically in Spark and DuckDB, so operators built on it are
+  * oracle-checkable end-to-end (each engine's native 64-bit hash —
+  * xxhash64 / hash — is absent from the other). chars = 8 packs into a
+  * 56-bit-weighted long (max Σ ascii·256^i ≈ 7.4e18 < 2^63, ANSI-safe). */
+object PortableHash {
+  def packed(sqlExpr: String, chars: Int = 8): String = {
+    require(chars >= 1 && chars <= 8, s"chars must be 1..8, got $chars")
+    (0 until chars).map { i =>
+      val w = 1L << (8 * (chars - 1 - i))
+      s"ascii(substr(md5($sqlExpr), ${i + 1}, 1)) * $w"
+    }.mkString("(", " + ", ")")
+  }
+}
+
 object Shingles {
   /** Array of DISTINCT `k`-word shingles (space-rejoined) over column
     * `colName`; docs shorter than k words yield the whole text as one
