@@ -76,5 +76,36 @@ object ExperimentCorpus {
         JoinEdge(1, 2, Seq("c_custkey" -> "o_custkey")))),
     Vector(Some("n_name = 'NATION_7'"), None, Some("o_totalprice > 100000")))
 
-  val all: Seq[CorpusQuery] = Seq(flagship, star4, cycle5, bushy6, chain3)
+  /** star-6: lineitem hub with FOUR spokes, one of them a 2-chain
+    * (part–supplier via lineitem, orders–customer chain) — wide fan-out
+    * stresses the greedy weight/NDV choice more than star4. */
+  def star6: CorpusQuery = CorpusQuery(
+    "star6",
+    QueryGraph(
+      Vector("lineitem", "orders", "part", "supplier", "customer", "nation"),
+      Vector(
+        JoinEdge(0, 1, Seq("l_orderkey" -> "o_orderkey")),
+        JoinEdge(0, 2, Seq("l_partkey" -> "p_partkey")),
+        JoinEdge(0, 3, Seq("l_suppkey" -> "s_suppkey")),
+        JoinEdge(1, 4, Seq("o_custkey" -> "c_custkey")),
+        JoinEdge(4, 5, Seq("c_nationkey" -> "n_nationkey")))),
+    Vector(Some("l_quantity > 10"), None, None,
+      Some("s_acctbal > 0"), None, None))
+
+  /** cycle-4: the tight square customer–orders–lineitem–supplier closed
+    * by the supplier-and-customer-share-a-nation predicate — the
+    * smallest graph where csg-cmp enumeration diverges from chains. */
+  def cycle4: CorpusQuery = CorpusQuery(
+    "cycle4",
+    QueryGraph(
+      Vector("customer", "orders", "lineitem", "supplier"),
+      Vector(
+        JoinEdge(0, 1, Seq("c_custkey" -> "o_custkey")),
+        JoinEdge(1, 2, Seq("o_orderkey" -> "l_orderkey")),
+        JoinEdge(2, 3, Seq("l_suppkey" -> "s_suppkey")),
+        JoinEdge(3, 0, Seq("s_nationkey" -> "c_nationkey")))),
+    Vector(Some("c_acctbal > 0"), None, None, None))
+
+  val all: Seq[CorpusQuery] =
+    Seq(flagship, star4, cycle5, bushy6, chain3, star6, cycle4)
 }
