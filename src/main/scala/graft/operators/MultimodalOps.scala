@@ -103,10 +103,11 @@ object MultimodalOps {
   /** STUB decode kernel: deterministic "pixel count" from the payload. */
   private def fakeDecode(bytes: Array[Byte]): Int = bytes.length * 3
 
-  /** The oracle-checkable half of [[binaryMeta]]: payload byte length is
-    * pure utf-8 arithmetic both engines share (width/height/crc32 are
-    * xxhash64/crc32-derived, which DuckDB lacks — they stay in the
-    * rows-only m01 entry). */
+  /** Historical subset of [[binaryMeta]] (kept for continuity with the
+    * round-2 harness): payload byte length + mime only. Since round 3
+    * the FULL m01 row oracle-checks too (arithmetic metadata + md5
+    * checksum), so this is simply a second, narrower hash-anchored
+    * view of the same table. */
   def byteLen(spark: SparkSession, sfDir: String): DataFrame =
     mediaTable(spark, sfDir).select(
       col("media_id"), col("mime"),
