@@ -23,6 +23,7 @@ object SparkEntry {
       SimilarityOps.queries ++
       MultimodalOps.queries ++
       SkewOps.queries ++
+      AsofOps.queries ++
       graft.plans.PlannerQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,5 +35,6 @@ object SparkEntry {
       SimilarityOps.oracleSql ++
       MultimodalOps.oracleSql ++
       SkewOps.oracleSql ++
+      AsofOps.oracleSql ++
       graft.plans.PlannerQueries.oracleSql
 }
