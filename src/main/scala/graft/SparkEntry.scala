@@ -24,6 +24,7 @@ object SparkEntry {
       MultimodalOps.queries ++
       SkewOps.queries ++
       AsofOps.queries ++
+      RangeOps.queries ++
       graft.plans.PlannerQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,5 +37,6 @@ object SparkEntry {
       MultimodalOps.oracleSql ++
       SkewOps.oracleSql ++
       AsofOps.oracleSql ++
+      RangeOps.oracleSql ++
       graft.plans.PlannerQueries.oracleSql
 }
