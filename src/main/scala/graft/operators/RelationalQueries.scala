@@ -233,6 +233,19 @@ object RelationalQueries {
          WHERE c_acctbal * 500 > (SELECT coalesce(sum(o_totalprice), 0)
                                   FROM orders o WHERE o.o_custkey = c.c_custkey)""",
 
+    // --- exact order statistics (percentile_cont interpolates,
+    //     percentile_disc picks an actual row value — both deterministic,
+    //     unlike approx_percentile which stays engine-specific) ---
+    "q49_percentiles" ->
+      """SELECT l_returnflag,
+                round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4)
+                  AS p50_qty,
+                round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4)
+                  AS p90_qty,
+                round(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+                  AS p25_price
+         FROM lineitem GROUP BY l_returnflag""",
+
     // --- pivot as conditional aggregation (engine-portable form) ---
     "q42_pivot_conditional" ->
       """SELECT l_returnflag,
