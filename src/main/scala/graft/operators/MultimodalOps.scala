@@ -85,6 +85,21 @@ object MultimodalOps {
       .select(col("media_id"), col("frame_no"),
         md5(col("frame")).as("frame_checksum")) // md5: both engines share it
 
+  /** "Resize": 2× downsample. STUB — a real pipeline decodes and
+    * resamples pixels; the fake keeps every other byte (the 1-D
+    * nearest-neighbor analog) and halves the metadata dims, which
+    * preserves exactly what the Spark side of a resize stage is: a
+    * narrow map emitting a smaller payload + adjusted metadata. The
+    * byte subsample is spelled as a regex both engines share
+    * (`(.).` → first of every pair), so the stage oracle-checks. */
+  def resize(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).select(
+      col("media_id"),
+      (col("width") / 2).cast("int").as("new_width"),
+      (col("height") / 2).cast("int").as("new_height"),
+      md5(regexp_replace(expr("decode(payload, 'utf-8')"), "(.).", "$1"))
+        .as("thumb_checksum"))
+
   /** Partition-local batch decode, typed Dataset form — the shape a real
     * codec integration takes (one codec context per partition, streamed
     * batches). The decode body is the STUB (`fakeDecode`); swap it for a
@@ -119,7 +134,8 @@ object MultimodalOps {
     "m02_feature_extract" -> (featureExtract _),
     "m03_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
     "m04_decode_batched" -> ((s: SparkSession, d: String) =>
-      decodeBatched(s, d).toDF("media_id", "pixels"))
+      decodeBatched(s, d).toDF("media_id", "pixels")),
+    "m05_resize" -> (resize _)
   )
 
   /** byte_len/checksum are oracle-checkable: DuckDB computes the same
@@ -153,6 +169,14 @@ object MultimodalOps {
                        unnest(range(0, 8)) AS i
                 FROM documents)"""
     },
+    "m05_resize" ->
+      """SELECT doc_id AS media_id,
+                CAST(((doc_id * 13 + length(text) * 7) % 1280 + 32) // 2
+                     AS INTEGER) AS new_width,
+                CAST(((doc_id * 17 + length(text) * 11) % 720 + 32) // 2
+                     AS INTEGER) AS new_height,
+                md5(regexp_replace(text, '(.).', '\1', 'g')) AS thumb_checksum
+         FROM documents""",
     "m01b_byte_len" ->
       """SELECT doc_id AS media_id, 'image/fake' AS mime,
                 CAST(octet_length(encode(text)) AS INTEGER) AS byte_len
