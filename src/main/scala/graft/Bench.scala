@@ -40,25 +40,35 @@ object Bench {
     all("q01_scan_project")(spark, sfDir).write
       .format("noop").mode("overwrite").save()
 
+    // Two timed runs per query — the reference's execution loop
+    // (QueryOptExperiment.java:596-613 times each query twice). The
+    // reported per-query number is the SECOND (steady-state) run: the
+    // first run is dominated by one-time codegen compilation + plan
+    // costs that amortize away on a long-running cluster; both runs are
+    // emitted so the cold cost stays visible.
     val results = headline.flatMap { name =>
       all.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try {
+        def once(): Double = {
+          val t0 = System.nanoTime()
           // per-query barrier scope: build + execute inside, release after
           graft.operators.Persists.scoped {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           }
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch {
+          (System.nanoTime() - t0) / 1e9
+        }
+        try { val cold = once(); (name, once(), cold) }
+        catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            name -> -1.0
+            (name, -1.0, -1.0)
         }
       }
     }
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => s""""$k"""" }
+    val qsCold = results.map { case (k, _, c) => f""""$k":$c%.3f""" }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _) if v < 0 => s""""$k"""" }
     if (failed.nonEmpty) {
       // a failing query must read as a FAILURE, not as a faster total —
       // report value:-1 + the failed list and exit nonzero
@@ -68,8 +78,10 @@ object Bench {
       sys.exit(1)
     }
     val total = results.map(_._2).sum
+    val totalCold = results.map(_._3).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""queries_cold":$qsCold,"total_cold":$totalCold%.3f,"runs_per_query":2,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
