@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge semantics of the composed temporal joins: as-of tie handling /
+  * no-prior-row nulls, and range-join intervals spanning many bins. */
+class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("asof: equal timestamps match (inclusive), missing prior gives null") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val left = Seq((1L, 100L, "l0"), (1L, 200L, "l1"), (2L, 50L, "l2"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, 10.0), (1L, 150L, 20.0), (2L, 60L, 30.0))
+      .toDF("k", "ts", "v")
+    val out = AsofOps.asofJoin(left, right, "k", "ts", Seq("v"))
+      .select("tag", "_asof_v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("l0") == Some(10.0)) // equal ts: inclusive
+    assert(out("l1") == Some(20.0)) // latest prior
+    assert(out("l2") == None)       // right row is LATER -> no match
+  }
+
+  test("range join finds every pair when intervals span many bins") {
+    val s = spark
+    import s.implicits._
+    // interval of 10 bins; points sprinkled inside and outside
+    val intervals = Seq((1L, 100L, 1100L, "i0"), (1L, 5000L, 5100L, "i1"))
+      .toDF("ik", "lo", "hi", "iname")
+    val points = Seq(
+      (1L, 100L, "p-lo-edge"), (1L, 600L, "p-mid"), (1L, 1100L, "p-hi-edge"),
+      (1L, 1101L, "p-after"), (1L, 5050L, "p-i1"), (2L, 600L, "p-wrong-key"))
+      .toDF("pk", "pt", "pname")
+    val out = RangeOps.rangeJoin(points, intervals, "pk", "ik",
+        "pt", "lo", "hi", binMicros = 100L)
+      .select("iname", "pname").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(
+      ("i0", "p-lo-edge"), ("i0", "p-mid"), ("i0", "p-hi-edge"),
+      ("i1", "p-i1")))
+    // exactly once each despite the 11-bin interval explode
+    val cnt = RangeOps.rangeJoin(points, intervals, "pk", "ik",
+      "pt", "lo", "hi", binMicros = 100L).count()
+    assert(cnt == 4)
+  }
+}
