@@ -59,6 +59,28 @@ object EventStream {
       .withWatermark("ts", s"$horizonMinutes minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream time-interval join: clicks joined to the signups they
+    * follow within `windowMinutes` — the streaming form of the batch
+    * range join (operators/RangeOps). Both sides carry watermarks and
+    * the join condition bounds the time skew, so each side's buffered
+    * state is evicted once the watermark passes the interval — bounded
+    * state on an unbounded stream, the canonical stream-stream join
+    * discipline. */
+  def clickAfterSignup(
+      clicks: DataFrame, signups: DataFrame,
+      windowMinutes: Int = 60): DataFrame = {
+    val c = clicks.withWatermark("ts", s"$windowMinutes minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val s = signups.withWatermark("ts", s"$windowMinutes minutes")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("signup_id"))
+    c.join(s,
+      col("c_user") === col("s_user") &&
+        col("c_ts") >= col("s_ts") &&
+        col("c_ts") <= col("s_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+  }
+
   // ------------------------------------------------------- sessionization
   /** `ts` (the watermarked timestamp column) must survive into the typed
     * Dataset — EventTimeTimeout requires a watermark-tagged column in
@@ -218,6 +240,26 @@ object StreamingDemo {
     println(s"deduped stream: $nd events from a twice-delivered source (batch: $nb)")
     require(nd == nb, "streaming dedup must collapse redelivery to exactly-once")
     println("STREAM DEDUP OK")
+
+    // stream-stream interval join == the same join in batch
+    def typed(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.filter(org.apache.spark.sql.functions.col("event_type") === t)
+    val ssj = EventStream.clickAfterSignup(
+      typed(EventStream.readEvents(spark, srcDir.toString), "click"),
+      typed(EventStream.readEvents(spark, srcDir.toString), "signup"))
+      .writeStream.format("memory").queryName("click_after_signup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    ssj.awaitTermination(120000)
+    val nStream = spark.sql("SELECT count(*) c FROM click_after_signup")
+      .collect().head.getLong(0)
+    val batchEvents = graft.sources.Tables.load(spark, sfDir, "events")
+    val nBatch = EventStream.clickAfterSignup(
+      typed(batchEvents, "click"), typed(batchEvents, "signup")).count()
+    println(s"stream-stream join: $nStream pairs (batch: $nBatch)")
+    require(nStream == nBatch, "stream-stream join must equal batch join")
+    println("STREAM-STREAM JOIN OK")
     spark.stop()
   }
 }
