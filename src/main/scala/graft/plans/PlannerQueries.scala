@@ -74,8 +74,32 @@ object PlannerQueries {
     "p04_planner_random" -> runFlagship(Enumerators.RandomOrder()) _,
     "p05_planner_bnb" -> runFlagship(Enumerators.BranchAndBound()) _,
     "p06_planner_rl" -> runFlagship(QPolicy.RolloutPlanner) _,
-    "p07_planner_learned" -> runFlagship(QPolicy.Planner) _
+    "p07_planner_learned" -> runFlagship(QPolicy.Planner) _,
+    "p08_planner_cycle" -> runCycle(Enumerators.DPccp) _
   )
+
+  /** CYCLIC graph through the planner+executor: when the last factor of
+    * a cycle joins, the closing edge surfaces as an ADDITIONAL cross
+    * edge and JoinTreeExecutor must AND both conditions — a path no
+    * chain-shaped query exercises. Same relations/filters as
+    * ExperimentCorpus.cycle5. */
+  def runCycle(planner: JoinOrderPlanner)(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val cq = ExperimentCorpus.cycle5
+    val g = cq.graph
+    val dfs = g.relations.map(n => Tables.load(spark, sfDir, n))
+    val base = g.relations.map(n =>
+      Tables.rowCount(spark, sfDir, n).toDouble).toArray
+    val card = HeuristicCardinality.uniform(g, base)
+    val inputs = g.relations.zip(dfs).zip(cq.filters).map {
+      case ((n, df), f) => RelInput(n, df, f.map(expr))
+    }
+    val planned = planner.plan(g, card, CostModel.Cout)
+    JoinTreeExecutor.build(planned.tree, g, inputs, card)
+      .agg(min("o_totalprice").as("min_total"),
+        min("l_quantity").as("min_qty"),
+        count(lit(1)).as("cnt"))
+  }
 
   private val flagshipOracle: String =
     """SELECT min(o_totalprice) AS min_total, min(l_extendedprice) AS min_ext,
@@ -85,6 +109,19 @@ object PlannerQueries {
          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
          AND r_name = 'ASIA' AND o_orderstatus = 'F' AND l_quantity > 5"""
 
+  /** Same relations, filters, and BOTH cycle edges as cycle5 — the
+    * cycle-closing predicate s_nationkey = n_nationkey is load-bearing:
+    * dropping it changes cnt. */
+  private val cycleOracle: String =
+    """SELECT min(o_totalprice) AS min_total, min(l_quantity) AS min_qty,
+              count(*) AS cnt
+       FROM nation, customer, orders, lineitem, supplier
+       WHERE n_nationkey = c_nationkey AND c_custkey = o_custkey
+         AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
+         AND s_nationkey = n_nationkey AND o_orderstatus = 'F'"""
+
   def oracleSql: Map[String, String] =
-    queries.keys.map(_ -> flagshipOracle).toMap
+    queries.keys.map(k =>
+      k -> (if (k == "p08_planner_cycle") cycleOracle else flagshipOracle))
+      .toMap
 }
