@@ -74,6 +74,57 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[minhashLsh]] with the PORTABLE hash family: one md5 per shingle,
+    * its 32 hex chars sliced into 8 disjoint 4-char (packed ≤ 2^27)
+    * slots — 8 independent hash functions from one digest. Slot minima
+    * over the shingle set form the signature; bands of 2 slots bucket
+    * candidates; exact jaccard verifies. Not the hot path (d02's native
+    * xxhash64 kernel stays the benched implementation) — this twin
+    * exists because every step is DuckDB-expressible, so the BANDING
+    * ALGEBRA (signature slicing, candidate generation, verification)
+    * gets a hash-exact oracle that the xxhash64 form cannot have. */
+  /** chars 4i+1..4i+4 of md5(s), ascii-packed — ONE string shared by the
+    * Spark implementation and the DuckDB oracle (identical SQL text, so
+    * the two can never drift). */
+  private def portableSlot(i: Int): String =
+    (0 until 4).map { c =>
+      s"ascii(substr(md5(s), ${4 * i + c + 1}, 1)) * ${1L << (8 * (3 - c))}"
+    }.mkString("(", " + ", ")")
+
+  def minhashPortable(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sigExpr = (0 until 8).map(i =>
+      s"array_min(transform(sh, s -> ${portableSlot(i)}))")
+      .mkString("array(", ", ", ")")
+    val d = Persists.barrier(
+      docs(spark, sfDir)
+        .withColumn("sh", Shingles.wordShingles("text", 4))
+        .withColumn("sig", expr(sigExpr))
+        .select(col("doc_id"), col("sh"), col("sig")))
+    val banded = d.select(
+      col("doc_id"),
+      // 2^31 multiplier: a slot packs 4 ascii codes ≤ ~1.7e9 < 2^31, so
+      // the two slot values occupy disjoint ranges of the band signature
+      posexplode(expr(
+        """transform(sequence(0, 3),
+             b -> element_at(sig, b * 2 + 1) * 2147483648L +
+                  element_at(sig, b * 2 + 2))""")).as(Seq("band", "bsig")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sh = d.select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // --------------------------------------------------------------- SimHash
   /** 64-bit SimHash over word tokens: bit j of the signature is the sign
     * of Σ_tokens (±1 by bit j of xxhash64(token)). Near-dups share most
@@ -228,12 +279,50 @@ object DedupOps {
       .filter(col("cosine") >= threshold)
   }
 
+  /** DuckDB twin of [[minhashPortable]] — the banding algebra verified
+    * hash-exactly: same shingles, same md5-slice slot minima, same band
+    * packing, same candidate join, same jaccard threshold. */
+  private val minhashPortableOracle: String = {
+    val mins = (0 until 8).map(i =>
+      s"min(${portableSlot(i)}) AS m$i").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                   FROM documents),
+        doc_sh AS (SELECT doc_id,
+                          CASE WHEN len(ws) < 4 THEN [text]
+                               ELSE list_distinct(list_transform(
+                                      range(1, len(ws) - 2),
+                                      i -> array_to_string(ws[i:i+3], ' ')))
+                          END AS shl
+                   FROM w),
+        sh AS (SELECT doc_id, unnest(shl) AS s FROM doc_sh),
+        sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band, m0 * 2147483648 + m1 AS bsig FROM sig
+          UNION ALL SELECT doc_id, 1, m2 * 2147483648 + m3 FROM sig
+          UNION ALL SELECT doc_id, 2, m4 * 2147483648 + m5 FROM sig
+          UNION ALL SELECT doc_id, 3, m6 * 2147483648 + m7 FROM sig),
+        cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.bsig = y.bsig
+                  AND x.doc_id < y.doc_id),
+        j AS (SELECT id_a, id_b,
+                     round(CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE) /
+                           len(list_distinct(list_concat(a.shl, b.shl))),
+                           4) AS jaccard
+              FROM cand
+              JOIN doc_sh a ON a.doc_id = cand.id_a
+              JOIN doc_sh b ON b.doc_id = cand.id_b)
+      SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> ((spark: SparkSession, sfDir: String) => {
       Tables.registerAll(spark, sfDir); spark.sql(exactSql)
     }),
     "d02_dedup_minhash" ->
       ((s: SparkSession, d: String) => minhashLsh(s, d)),
+    "d06_dedup_minhash_portable" ->
+      ((s: SparkSession, d: String) => minhashPortable(s, d)),
     "d03_dedup_simhash" ->
       ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "d04_dedup_ngram" ->
@@ -298,6 +387,7 @@ object DedupOps {
   def oracleSql: Map[String, String] = Map(
     "d01_dedup_exact" -> exactSql,
     "d04_dedup_ngram" -> ngramOracle,
-    "d05_dedup_embedding" -> embeddingOracle
+    "d05_dedup_embedding" -> embeddingOracle,
+    "d06_dedup_minhash_portable" -> minhashPortableOracle
   )
 }
