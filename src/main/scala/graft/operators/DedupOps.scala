@@ -156,6 +156,88 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Hex char `c` (1-based) of md5(tok) as its nibble value 0..15 —
+    * shared text between the Spark implementation and the DuckDB twin.
+    * Unlike [[portableSlot]]'s ascii packing (fine for min-hashing,
+    * biased per BIT), nibbles give uniform bits, which sign-sum simhash
+    * needs. */
+  private def tokNibble(c: Int): String =
+    s"(CASE WHEN ascii(substr(md5(tok), $c, 1)) >= 97 " +
+      s"THEN ascii(substr(md5(tok), $c, 1)) - 87 " +
+      s"ELSE ascii(substr(md5(tok), $c, 1)) - 48 END)"
+
+  private val tokHash32: String =
+    (0 until 8).map(c =>
+      s"${tokNibble(c + 1)} * CAST(${1L << (4 * (7 - c))} AS BIGINT)")
+      .mkString("(", " + ", ")")
+
+  /** [[simhashPairs]] with a PORTABLE 32-bit signature (nibble-packed
+    * md5 prefix per token; bit j set iff Σ_tokens ±1 ≥ 0), banded into
+    * 4×8-bit chunks — pigeonhole still guarantees any pair within
+    * Hamming distance 3 collides in ≥1 chunk. Not the hot path (d03's
+    * native 64-bit kernel stays); exists so the SIGN-SUM AND BANDING
+    * ALGEBRA gets a hash-exact DuckDB oracle. */
+  def simhashPortable(
+      spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
+    val sums = docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", expr(tokHash32))
+      .withColumn("b", explode(expr("sequence(0, 31)")))
+      .withColumn("s",
+        when(expr("(h div shiftleft(cast(1 AS BIGINT), b)) % 2") === 1, 1)
+          .otherwise(-1))
+      .groupBy("doc_id", "b").agg(sum("s").as("bitsum"))
+    val sigs = Persists.barrier(sums.groupBy("doc_id")
+      .agg(sum(when(col("bitsum") >= 0,
+        expr("shiftleft(cast(1 AS BIGINT), b)")).otherwise(0L)).as("sig")))
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(expr(
+        """transform(sequence(0, 3),
+             c -> shiftright(sig, c * 8) & 255)""")).as(Seq("chunk_no", "chunk")))
+    banded.as("x").join(banded.as("y"),
+        col("x.chunk_no") === col("y.chunk_no") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        expr("bit_count(x.sig ^ y.sig)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** DuckDB twin of [[simhashPortable]]: same per-token nibble hash,
+    * same sign-sum signature, same 4-bit chunk banding. */
+  private val simhashPortableOracle: String =
+    s"""WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        h AS (SELECT doc_id, $tokHash32 AS h FROM toks),
+        bitsums AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN (h // (CAST(1 AS BIGINT) << b)) % 2 = 1
+                          THEN 1 ELSE -1 END) AS bitsum
+          FROM h, (SELECT unnest(range(0, 32)) AS b)
+          GROUP BY doc_id, b),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN bitsum >= 0
+                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                      AS BIGINT) AS sig
+          FROM bitsums GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, sig, c AS chunk_no,
+                 (sig // (CAST(1 AS BIGINT) << (c * 8))) % 256 AS chunk
+          FROM sigs, (SELECT unnest(range(0, 4)) AS c)),
+        pairs AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                 bit_count(xor(x.sig, y.sig)) AS hamming
+          FROM banded x JOIN banded y
+            ON x.chunk_no = y.chunk_no AND x.chunk = y.chunk
+           AND x.doc_id < y.doc_id)
+      SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+      FROM pairs WHERE hamming <= 3"""
+
   // -------------------------------------------------------- n-gram Jaccard
   /** Character-n-gram Jaccard dedup: candidates = pairs sharing ≥1 word
     * 8-gram (a high-precision canopy — true near-dups almost surely share
@@ -323,6 +405,8 @@ object DedupOps {
       ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "d06_dedup_minhash_portable" ->
       ((s: SparkSession, d: String) => minhashPortable(s, d)),
+    "d07_dedup_simhash_portable" ->
+      ((s: SparkSession, d: String) => simhashPortable(s, d)),
     "d03_dedup_simhash" ->
       ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "d04_dedup_ngram" ->
@@ -388,6 +472,7 @@ object DedupOps {
     "d01_dedup_exact" -> exactSql,
     "d04_dedup_ngram" -> ngramOracle,
     "d05_dedup_embedding" -> embeddingOracle,
-    "d06_dedup_minhash_portable" -> minhashPortableOracle
+    "d06_dedup_minhash_portable" -> minhashPortableOracle,
+    "d07_dedup_simhash_portable" -> simhashPortableOracle
   )
 }
