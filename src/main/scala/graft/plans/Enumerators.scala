@@ -216,16 +216,22 @@ object Enumerators {
   case object Greedy extends JoinOrderPlanner {
     val name = "greedy"
 
+    /** Calcite's LoptMultiJoin.setFactorWeight constant for a direct
+      * two-factor filter. */
+    private val DirectEdgeWeight = 3
+
     /** Edge weight between the placed set and candidate `f`: the MAX
       * pairwise factor weight over the cross edges — the reference's
       * `findBestOrderings` reads a per-factor-pair `factorWeights` matrix
-      * where any direct two-factor filter scores the constant 3
-      * (Calcite's LoptMultiJoin.setFactorWeight), so a candidate closing
-      * a cycle (2 edges) does NOT outweigh a single-edge candidate; the
-      * NDV tie-break does the discrimination. (A SUM here — the round-2
-      * form — diverged on cyclic graphs.) */
+      * where any direct two-factor filter scores the CONSTANT 3
+      * (Calcite's LoptMultiJoin.setFactorWeight) regardless of how many
+      * conditions the filter carries, so neither a cycle-closing
+      * candidate (2 edges — the round-2 SUM bug) nor a composite-key
+      * candidate (1 edge, 2 conds — the round-3 `conds.size` bug)
+      * outweighs a single-key candidate; the NDV tie-break does all the
+      * discrimination among directly-connected candidates. */
     private def weight(g: QueryGraph, placed: Long, f: Int): Int =
-      g.crossEdges(placed, 1L << f).map(_.conds.size.max(1)).max
+      if (g.crossEdges(placed, 1L << f).nonEmpty) DirectEdgeWeight else 0
 
     /** NDV of the candidate's join-key columns w.r.t. the placed set
       * (reference computeJoinCardinality, :594-641). */

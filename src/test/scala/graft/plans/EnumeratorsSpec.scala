@@ -159,6 +159,26 @@ class EnumeratorsSpec extends AnyFunSuite {
       s"expected a,b,d,c (NDV tie-break), got ${t.leaves}")
   }
 
+  test("greedy factor weight is a constant per direct connection, not conds.size") {
+    // star: from placed {a}, candidate b connects over ONE composite-key
+    // edge (2 conditions) and candidate c over a single-key edge. Calcite
+    // scores both the constant 3 (LoptMultiJoin.setFactorWeight — weight
+    // counts CONNECTIONS, not condition arity), so the higher-NDV c must
+    // win; scoring conds.size (the round-3 bug) would pick b regardless
+    // of NDV.
+    val g = QueryGraph(Vector("a", "b", "c"), Vector(
+      JoinEdge(0, 1, Seq("ak1" -> "bk1", "ak2" -> "bk2")), // composite key
+      JoinEdge(0, 2, Seq("ak3" -> "ck"))))
+    val card = new Cardinality {
+      def apply(s: Long): Double = 100.0 // flat: cost never discriminates
+      override def ndv(vertex: Int, cols: Seq[String]): Double =
+        Map(1 -> 10.0, 2 -> 50.0).getOrElse(vertex, 1.0)
+    }
+    val t = Enumerators.Greedy.plan(g, card, CostModel.Cout).tree
+    assert(t.leaves == Vector(0, 2, 1),
+      s"expected a,c,b (constant weight, NDV tie-break), got ${t.leaves}")
+  }
+
   test("left-deep DP plans a 20-relation chain in well under a second") {
     val rnd = new Random(13)
     val g = QueryGraph(Vector.tabulate(20)(i => s"t$i"),
