@@ -128,19 +128,49 @@ object SimilarityOps {
           org.apache.spark.sql.GraftColumnBridge.expression(v), bc, n))
     }
 
+  /** Hard ceiling on the centroid-model size. Real IVF indexes fix
+    * C ≈ √n up to ~2^16 regardless of corpus size; 4096 ≈ √(16.7M) keeps
+    * the plan-time model fetch ≤ ~2 MB (4096 × 64 doubles) — a bounded
+    * driver collect at ANY corpus size, where the round-3 fixed sampling
+    * mod made C = n/23 grow linearly (≈4% of the corpus to the driver —
+    * a scale-killer at 100×). */
+  val DefaultMaxCentroids: Int = 4096
+
+  /** Sampling mod that bounds the centroid count: the fixed `baseMod`
+    * while C = n/baseMod stays under `maxCentroids` (so the sf0.001/0.01/
+    * 0.1 oracles — which hard-code `vec_id % 23` — are byte-identical),
+    * else the smallest mod keeping C ≤ maxCentroids. */
+  def centroidModFor(
+      rows: Long, baseMod: Int = 23,
+      maxCentroids: Int = DefaultMaxCentroids): Int =
+    if (rows <= baseMod.toLong * maxCentroids) baseMod
+    else math.ceil(rows.toDouble / maxCentroids).toInt
+
+  /** Plan-time centroid model over any (vec_id, v) frame: every
+    * effective-mod'th vector, sorted by cent_id so kernel index order is
+    * deterministic. The collect is bounded at `maxCentroids` rows by
+    * [[centroidModFor]] (spec: SimilarityOpsSpec proves the bound on a
+    * synthetic 10⁶-row corpus). */
+  def centroidModel(
+      all: DataFrame, rows: Long, baseMod: Int,
+      maxCentroids: Int = DefaultMaxCentroids): (Seq[Long], Seq[Seq[Double]]) = {
+    val mod = centroidModFor(rows, baseMod, maxCentroids)
+    val centRows = all.filter(pmod(col("vec_id"), lit(mod)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v"))
+      .orderBy("cent_id").collect()
+    (centRows.map(_.getLong(0)).toSeq,
+      centRows.map(_.getSeq[Double](1).toSeq).toSeq)
+  }
+
   def ivfTopK(
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, k: Int = 10,
       centroidMod: Int = 23, nprobe: Int = 2): DataFrame = {
     val all = vecs(spark, sfDir)
-    // plan-time model fetch: C = n/centroidMod vectors (217 at sf0.1),
-    // sorted by cent_id so kernel index order = the old rank tie-break
-    val centRows = all.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
-      .select(col("vec_id").as("cent_id"), col("v"))
-      .orderBy("cent_id").collect()
-    val centIds: Seq[Long] = centRows.map(_.getLong(0)).toSeq
-    val centVecs: Seq[Seq[Double]] =
-      centRows.map(_.getSeq[Double](1).toSeq).toSeq
+    // plan-time model fetch: C = n/mod vectors (217 at sf0.1), capped at
+    // DefaultMaxCentroids past n = 23·4096 ≈ 94k rows
+    val (centIds, centVecs) = centroidModel(all,
+      Tables.rowCount(spark, sfDir, "embeddings"), centroidMod)
     val idsLit = typedlit(centIds) // C longs — tiny either way
 
     val assignment = all

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale bounds of the IVF centroid model: the plan-time collect must
+  * stay under DefaultMaxCentroids rows regardless of corpus size (the
+  * round-3 fixed mod made C = n/23 — ~4% of the corpus to the driver),
+  * while the fixed mod below the crossover keeps the sf0.001/0.01/0.1
+  * oracles byte-identical. */
+class SimilarityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("centroidModFor keeps the oracle mod at test scale factors") {
+    // every driver-checked SF samples vec_id % 23 = 0, matching the
+    // hard-coded `% 23` in ivfOracle
+    assert(SimilarityOps.centroidModFor(50) == 23)    // sf0.001
+    assert(SimilarityOps.centroidModFor(500) == 23)   // sf0.01
+    assert(SimilarityOps.centroidModFor(5000) == 23)  // sf0.1
+    // exact crossover: n = 23 * 4096 is the last fixed-mod corpus
+    assert(SimilarityOps.centroidModFor(23L * 4096) == 23)
+    assert(SimilarityOps.centroidModFor(23L * 4096 + 1) > 23)
+  }
+
+  test("centroidModFor caps C at DefaultMaxCentroids for any corpus size") {
+    for (n <- Seq(100000L, 1000000L, 100000000L, 20000000000L)) {
+      val mod = SimilarityOps.centroidModFor(n)
+      val c = n / mod
+      assert(c <= SimilarityOps.DefaultMaxCentroids,
+        s"n=$n mod=$mod gives C=$c > cap")
+      // and the cap is used, not wildly undershot (sampling stays dense)
+      assert(c >= SimilarityOps.DefaultMaxCentroids / 2,
+        s"n=$n mod=$mod gives C=$c — cap badly undershot")
+    }
+  }
+
+  test("centroid model collect is bounded on a synthetic 1M-row corpus") {
+    // 10^6 vectors, 2 dims — the round-3 mod would collect 43478 rows
+    val all = spark.range(1000000L)
+      .select(col("id").as("vec_id"),
+        array(col("id").cast("double"),
+          (col("id") % 97).cast("double")).as("v"))
+    val (ids, vecs) = SimilarityOps.centroidModel(all, 1000000L, baseMod = 23)
+    assert(ids.size <= SimilarityOps.DefaultMaxCentroids,
+      s"model has ${ids.size} centroids — driver collect unbounded")
+    assert(ids.size == vecs.size)
+    // deterministic: sorted by cent_id, every mod'th vector
+    val mod = SimilarityOps.centroidModFor(1000000L)
+    assert(ids == ids.sorted)
+    assert(ids.forall(_ % mod == 0))
+  }
+}
