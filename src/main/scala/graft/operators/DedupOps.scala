@@ -75,7 +75,7 @@ object DedupOps {
   }
 
   /** [[minhashLsh]] with the PORTABLE hash family: one md5 per shingle,
-    * its 32 hex chars sliced into 8 disjoint 4-char (packed ≤ 2^27)
+    * its 32 hex chars sliced into 8 disjoint 4-char (packed < 2^31)
     * slots — 8 independent hash functions from one digest. Slot minima
     * over the shingle set form the signature; bands of 2 slots bucket
     * candidates; exact jaccard verifies. Not the hot path (d02's native
@@ -306,10 +306,21 @@ object DedupOps {
   def embeddingNearDup(
       spark: SparkSession, sfDir: String, threshold: Double = 0.3,
       tables: Int = 32, planes: Int = 2,
-      maxBucketFreq: Long = 5000): DataFrame =
+      maxBucketFreq: Long = 5000): DataFrame = {
+    val rows = Tables.rowCount(spark, sfDir, "embeddings")
+    // The cutoff exists to drop DEGENERATE buckets (≫ expected size),
+    // not ordinary ones: with coarse planes the expected bucket is
+    // n/2^planes, so a fixed cap starts dropping ordinary buckets —
+    // and silently collapsing recall — once n > cap·2^planes (~20k at
+    // planes=2). Scale the cap to 4× the expected bucket size so
+    // ordinary buckets always clear it while anything 4×-over-expected
+    // is still treated as signal-free. At production thresholds
+    // (planes 8–16) the expected-size term stays below the configured
+    // floor until n ≈ cap·2^planes/4, and the floor governs.
+    val scaledCap = maxBucketFreq.max(4L * rows >> planes)
     embeddingNearDupOn(Tables.load(spark, sfDir, "embeddings"),
-      threshold, tables, planes, maxBucketFreq,
-      corpusRows = Some(Tables.rowCount(spark, sfDir, "embeddings")))
+      threshold, tables, planes, scaledCap, corpusRows = Some(rows))
+  }
 
   /** [[embeddingNearDup]] over any (vec_id, embedding) frame —
     * fixture-injectable.
