@@ -120,12 +120,18 @@ object EventStream {
     * per-user batch on one task — a whale user OOMed it):
     *  - state is the interval set, O(sessions in flight), never O(events)
     *    ([[addEvent]] folds the iterator without materializing it);
-    *  - every interval gap-separated from the newest closes immediately
-    *    (no in-order event can reopen it; out-of-order stragglers are the
-    *    watermark's job, as in the round-2 version);
-    *  - the LAST session closes by event-time timeout once the watermark
-    *    passes its gap (GroupStateTimeout.EventTimeTimeout) — the
-    *    round-2 version held it forever. */
+    *  - an interval closes eagerly only once the WATERMARK passes its
+    *    gap (`last + gap < watermark`) — the round-3 version closed on
+    *    gap-separation from the batch's max event time, which split a
+    *    session in two whenever a later micro-batch delivered an
+    *    out-of-order event with ts ≥ watermark but ≤ closed.last + gap
+    *    (possible whenever closed.last > batchMax − 2·gap); below the
+    *    watermark the stateful operator drops the row upstream, so a
+    *    watermark-closed interval can never be extended;
+    *  - remaining sessions close by event-time timeout once the
+    *    watermark passes the newest interval's gap
+    *    (GroupStateTimeout.EventTimeTimeout — the same condition, so
+    *    eager close and timeout flush agree). */
   def sessionize(
       spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): Dataset[Session] = {
     import spark.implicits._
@@ -149,11 +155,15 @@ object EventStream {
             it.foreach(e => ivs = addEvent(ivs, e.tsMicros, gapUs))
             if (ivs.isEmpty) Iterator.empty
             else {
-            val latest = ivs.map(_.last).max
-            val (open, closed) = ivs.partition(_.last + gapUs >= latest)
-            state.update(SessionState(open))
-            state.setTimeoutTimestamp(latest / 1000L + gapMinutes * 60L * 1000L)
-            closed.map(i => Session(user, i.start, i.last, i.events)).iterator
+              val wmUs = state.getCurrentWatermarkMs() * 1000L
+              val (open, closed) = ivs.partition(_.last + gapUs >= wmUs)
+              if (open.isEmpty) state.remove()
+              else {
+                state.update(SessionState(open))
+                state.setTimeoutTimestamp(
+                  open.map(_.last).max / 1000L + gapMinutes * 60L * 1000L)
+              }
+              closed.map(i => Session(user, i.start, i.last, i.events)).iterator
             }
           }
       }
