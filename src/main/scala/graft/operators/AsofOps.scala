@@ -12,13 +12,21 @@ import graft.sources.Tables
   *
   * Composed from native operators per the custom-operator preference
   * order (compose > custom Expression > custom plan node): tag both
-  * sides, union by name, and carry the right side's columns forward
-  * with a `last(..., ignoreNulls) OVER (PARTITION BY key ORDER BY ts,
-  * side ROWS UNBOUNDED PRECEDING)` window. That is ONE shuffle on the
-  * key and one sort — the same physical shape a dedicated as-of
-  * operator would produce — and every step is whole-stage-codegen
-  * native. Right rows sort before left rows at equal ts (side 0 < 1),
-  * giving the standard inclusive `≥` semantics.
+  * sides, union by name, pack the right side's columns into ONE
+  * never-null struct, and carry it forward with a single
+  * `last(..., ignoreNulls) OVER (PARTITION BY key ORDER BY ts, side
+  * ROWS UNBOUNDED PRECEDING)` window, extracting fields afterwards.
+  * That is ONE shuffle on the key and one sort — the same physical
+  * shape a dedicated as-of operator would produce — and every step is
+  * whole-stage-codegen native. Right rows sort before left rows at
+  * equal ts (side 0 < 1), giving the standard inclusive `≥` semantics.
+  *
+  * The struct is the ROW-level carrier: ignoreNulls skips only left
+  * rows (whose struct is null by the union), never a genuinely-NULL
+  * value INSIDE the latest right row — carrying columns individually
+  * (the round-3 form) skipped such a value and surfaced an older
+  * non-null one, diverging from DuckDB's ASOF LEFT JOIN (which joins
+  * the latest row and emits its NULL as-is).
   *
   * Deterministic whenever (key, ts) is unique per side (duplicates are
   * the same ambiguity DuckDB's ASOF leaves unspecified).
@@ -32,8 +40,8 @@ object AsofOps {
       left: DataFrame, right: DataFrame,
       key: String, ts: String, rightCols: Seq[String]): DataFrame = {
     val rightAligned = right
-      .select(Seq(col(key), col(ts)) ++
-        rightCols.map(c => col(c).as(s"_asof_$c")): _*)
+      .select(col(key), col(ts),
+        struct(rightCols.map(c => col(c)): _*).as("_asof_row"))
       .withColumn("_side", lit(0))
     val leftAligned = left.withColumn("_side", lit(1))
     val unioned = leftAligned.unionByName(rightAligned,
@@ -41,11 +49,12 @@ object AsofOps {
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"_asof_$c",
-        last(col(s"_asof_$c"), ignoreNulls = true).over(w))
+    val carried = unioned.withColumn("_asof_row",
+      last(col("_asof_row"), ignoreNulls = true).over(w))
+    val extracted = rightCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"_asof_$c", col("_asof_row").getField(c))
     }
-    carried.filter(col("_side") === 1).drop("_side")
+    extracted.filter(col("_side") === 1).drop("_side", "_asof_row")
   }
 
   /** Harness query: every purchase joined to the user's latest prior

@@ -39,6 +39,23 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("l2") == None)       // right row is LATER -> no match
   }
 
+  test("asof: a genuinely-NULL value in the latest prior right row is carried, not skipped") {
+    val s = spark
+    import s.implicits._
+    // right rows: non-null at ts=100, NULL at ts=150 — the latest prior
+    // of a left row at ts=200 is the NULL one, and DuckDB's ASOF LEFT
+    // JOIN emits that row's NULL. Carrying columns individually with
+    // last(ignoreNulls) (the round-3 form) skipped it and surfaced 10.0.
+    val left = Seq((1L, 200L, "l0")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, Some(10.0)), (1L, 150L, None))
+      .toDF("k", "ts", "v")
+    val out = AsofOps.asofJoin(left, right, "k", "ts", Seq("v", "ts"))
+      .select("tag", "_asof_v", "_asof_ts").collect().head
+    assert(Option(out.get(1)).isEmpty,
+      s"latest prior row's NULL must be carried, got ${out.get(1)}")
+    assert(out.getLong(2) == 150L, "must join the ts=150 row")
+  }
+
   test("range join finds every pair when intervals span many bins") {
     val s = spark
     import s.implicits._
