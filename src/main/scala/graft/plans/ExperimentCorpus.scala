@@ -76,21 +76,25 @@ object ExperimentCorpus {
         JoinEdge(1, 2, Seq("c_custkey" -> "o_custkey")))),
     Vector(Some("n_name = 'NATION_7'"), None, Some("o_totalprice > 100000")))
 
-  /** star-6: lineitem hub with FOUR spokes, one of them a 2-chain
-    * (part–supplier via lineitem, orders–customer chain) — wide fan-out
-    * stresses the greedy weight/NDV choice more than star4. */
-  def star6: CorpusQuery = CorpusQuery(
-    "star6",
+  /** kite-6: the cycle4 square (customer–orders–lineitem–supplier closed
+    * over the shared nation key) with a pendant part spoke off lineitem —
+    * a CYCLE-PLUS-TAIL topology no other corpus entry has (round 3's
+    * "star6" was a topological duplicate of bushy6). The cycle exercises
+    * csg-cmp enumeration while the tail forces the greedy top-vs-push-down
+    * choice on the same graph. */
+  def kite6: CorpusQuery = CorpusQuery(
+    "kite6",
     QueryGraph(
-      Vector("lineitem", "orders", "part", "supplier", "customer", "nation"),
+      Vector("nation", "customer", "orders", "lineitem", "supplier", "part"),
       Vector(
-        JoinEdge(0, 1, Seq("l_orderkey" -> "o_orderkey")),
-        JoinEdge(0, 2, Seq("l_partkey" -> "p_partkey")),
-        JoinEdge(0, 3, Seq("l_suppkey" -> "s_suppkey")),
-        JoinEdge(1, 4, Seq("o_custkey" -> "c_custkey")),
-        JoinEdge(4, 5, Seq("c_nationkey" -> "n_nationkey")))),
-    Vector(Some("l_quantity > 10"), None, None,
-      Some("s_acctbal > 0"), None, None))
+        JoinEdge(0, 1, Seq("n_nationkey" -> "c_nationkey")),
+        JoinEdge(1, 2, Seq("c_custkey" -> "o_custkey")),
+        JoinEdge(2, 3, Seq("o_orderkey" -> "l_orderkey")),
+        JoinEdge(3, 4, Seq("l_suppkey" -> "s_suppkey")),
+        JoinEdge(4, 0, Seq("s_nationkey" -> "n_nationkey")),
+        JoinEdge(3, 5, Seq("l_partkey" -> "p_partkey")))),
+    Vector(None, None, Some("o_orderstatus = 'F'"), None, None,
+      Some("p_type = 'PROMO'")))
 
   /** cycle-4: the tight square customer–orders–lineitem–supplier closed
     * by the supplier-and-customer-share-a-nation predicate — the
@@ -107,5 +111,5 @@ object ExperimentCorpus {
     Vector(Some("c_acctbal > 0"), None, None, None))
 
   val all: Seq[CorpusQuery] =
-    Seq(flagship, star4, cycle5, bushy6, chain3, star6, cycle4)
+    Seq(flagship, star4, cycle5, bushy6, chain3, kite6, cycle4)
 }

@@ -30,7 +30,7 @@ class QPolicySpec extends AnyFunSuite {
       "cycle5" -> Array(25.0, 150.0, 1500.0, 6000.0, 10.0),
       "bushy6" -> Array(6000.0, 1500.0, 200.0, 10.0, 150.0, 25.0),
       "chain3" -> Array(25.0, 150.0, 1500.0),
-      "star6" -> Array(6000.0, 1500.0, 200.0, 10.0, 150.0, 25.0),
+      "kite6" -> Array(25.0, 150.0, 1500.0, 6000.0, 10.0, 200.0),
       "cycle4" -> Array(150.0, 1500.0, 6000.0, 10.0))
     ExperimentCorpus.all.foreach { cq =>
       val (env, _, opt) = setup(cq, bases(cq.name))
