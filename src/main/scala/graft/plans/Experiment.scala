@@ -42,7 +42,8 @@ object Experiment {
       cost: Double,
       joinOrder: String,
       planningMs: Double,
-      runtimesMs: Vector[Double]) {
+      runtimesMs: Vector[Double],
+      resultHash: String = "") {
     def runtimeMs: Double = runtimesMs.headOption.getOrElse(-1.0)
   }
 
@@ -60,7 +61,7 @@ object Experiment {
       planningTimeoutSecs: Long = 600): Seq[PlannerRecord] = {
     val pool = Executors.newFixedThreadPool(planningThreads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
+    val records = try {
       // all (query, planner) plans submitted to the pool up front — the
       // reference plans the whole corpus through its executor before
       // executing (QueryOptExperiment.java:403-421)
@@ -79,29 +80,75 @@ object Experiment {
               if (!execute) Vector.empty[Double]
               else Vector.fill(runsPerQuery)(
                 timedRun(spark, sfDir, q, pl, maxExecutionSecs))
+            val hash =
+              if (!execute) "" else resultHash(buildDf(spark, sfDir, q, pl))
             PlannerRecord(q.name, p.name, cm.name, pl.cost,
-              pl.joinStr(q.graph), pl.planningNanos / 1e6, runtimes)
+              pl.joinStr(q.graph), pl.planningNanos / 1e6, runtimes, hash)
         }
       }
     } finally {
       pool.shutdown()
       pool.awaitTermination(10, TimeUnit.SECONDS)
     }
+    if (execute) verifyResultHashes(records)
+    records
+  }
+
+  /** Order- and column-order-independent content hash of a result set:
+    * per-row xxhash64 over the name-sorted JSON row, combined by
+    * (count, decimal sum) — commutative, so no global sort is needed at
+    * scale, and the decimal sum cannot overflow under ANSI mode. The
+    * reference hashes the sorted result set per planner
+    * (MyUtils.getResultSetHash:501-523). */
+  def resultHash(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.functions._
+    val cols = df.columns.sorted.map(c => col(c))
+    val r = df.select(xxhash64(to_json(struct(cols: _*))).as("h"))
+      .agg(count(lit(1)), coalesce(sum(col("h").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)))
+      .collect()(0)
+    s"${r.get(0)}:${r.get(1)}"
+  }
+
+  /** Every executed planner must produce the SAME result set per query
+    * (reference: Query.verifyResults, Query.java:71-80, invoked per
+    * experiment run at QueryOptExperiment.java:575-581) — a planner
+    * emitting a wrong-but-runnable tree (dropped relation, lost
+    * cycle-closing edge) fails loudly here instead of going unnoticed. */
+  def verifyResultHashes(records: Seq[PlannerRecord]): Unit = {
+    val diverged = records.filter(_.resultHash.nonEmpty)
+      .groupBy(r => (r.query, r.costModel))
+      .filter { case (_, rs) => rs.map(_.resultHash).distinct.size > 1 }
+    if (diverged.nonEmpty) {
+      val detail = diverged.toSeq.sortBy(_._1).map { case ((q, cm), rs) =>
+        s"$q[$cm]: " + rs.map(r => s"${r.planner}=${r.resultHash}")
+          .mkString(", ")
+      }.mkString("; ")
+      throw new IllegalStateException(
+        s"cross-planner result divergence (Query.verifyResults analog): $detail")
+    }
   }
 
   /** One timed execution of the planned tree through the noop sink;
     * cancelled via job group + recorded as the reference's
     * `maxExecutionTime*1000` sentinel when it exceeds the timeout. */
-  private def timedRun(
+  /** The planned tree as an executable DataFrame over the sfDir tables. */
+  private def buildDf(
       spark: SparkSession, sfDir: String,
-      q: ExperimentQuery, planned: PlannedOrder,
-      maxExecutionSecs: Long): Double = {
+      q: ExperimentQuery, planned: PlannedOrder): org.apache.spark.sql.DataFrame = {
     val inputs = q.graph.relations.zip(
       q.graph.relations.map(n => graft.sources.Tables.load(spark, sfDir, n)))
       .zip(q.filters).map { case ((n, df), f) =>
         RelInput(n, df, f.map(org.apache.spark.sql.functions.expr))
       }
-    val df = JoinTreeExecutor.build(planned.tree, q.graph, inputs, q.trueCard)
+    JoinTreeExecutor.build(planned.tree, q.graph, inputs, q.trueCard)
+  }
+
+  private def timedRun(
+      spark: SparkSession, sfDir: String,
+      q: ExperimentQuery, planned: PlannedOrder,
+      maxExecutionSecs: Long): Double = {
+    val df = buildDf(spark, sfDir, q, planned)
     val group = s"graft-exp-${q.name}-${planned.planner}"
     val runner = Executors.newSingleThreadExecutor()
     try {
@@ -154,7 +201,8 @@ object Experiment {
       s"""{"query":"${r.query}","planner":"${r.planner}",""" +
         s""""costModel":"${r.costModel}","cost":${r.cost},""" +
         s""""joinOrder":"${r.joinOrder}","planningMs":${r.planningMs},""" +
-        s""""runtimesMs":${r.runtimesMs.mkString("[", ",", "]")}}"""
+        s""""runtimesMs":${r.runtimesMs.mkString("[", ",", "]")},""" +
+        s""""resultHash":"${r.resultHash}"}"""
     }.mkString("[", ",", "]")
 
   def regretsToJson(rs: Seq[RegretRecord]): String =
@@ -242,6 +290,14 @@ object ExperimentMain {
         f"cost=${r.cost}%14.1f plan=${r.planningMs}%7.2fms " +
         f"run(ms)=$runs%-16s ${r.joinOrder}")
     }
+
+    // cross-planner result-hash agreement (Query.verifyResults analog) —
+    // run() already failed loudly on any divergence; print the agreement
+    records.filter(_.resultHash.nonEmpty).groupBy(_.query).toSeq.sortBy(_._1)
+      .foreach { case (q, rs) =>
+        println(s"HASH-OK $q: ${rs.map(_.resultHash).distinct.mkString} " +
+          s"(${rs.size} planner runs agree)")
+      }
 
     // loud-miss contract: truth was injected, so every lookup the
     // planners made must have hit the dictionary
