@@ -40,12 +40,32 @@ object Bench {
     all("q01_scan_project")(spark, sfDir).write
       .format("noop").mode("overwrite").save()
 
-    // Two timed runs per query — the reference's execution loop
-    // (QueryOptExperiment.java:596-613 times each query twice). The
-    // reported per-query number is the SECOND (steady-state) run: the
-    // first run is dominated by one-time codegen compilation + plan
-    // costs that amortize away on a long-running cluster; both runs are
-    // emitted so the cold cost stays visible.
+    // Cache discipline (reference: MyUtils.clearCache drops the OS page
+    // cache between timed runs, drop_cache.sh): with
+    // SPARK_GRAFT_DROP_CACHE set, sync + drop the page cache before each
+    // query's FIRST run so "cold" means cold I/O too. Default OFF: the
+    // default "cold" number is a WARM-FS first run — it measures
+    // per-query codegen/planning, not disk, and the JSON says so via
+    // "cache" so totals are interpretable round-over-round.
+    val dropCache = sys.env.get("SPARK_GRAFT_DROP_CACHE").exists(_.nonEmpty)
+    def tryDropCache(): Boolean =
+      try {
+        new ProcessBuilder("sync").start().waitFor()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "3\n")
+        true
+      } catch { case _: Exception => false }
+    var dropsFailed = false
+
+    // Timed runs per query (default 2 — the reference's execution loop,
+    // QueryOptExperiment.java:596-613, times each query twice). The
+    // reported per-query number is the MIN of the warm runs (run 2..N —
+    // with the default 2 runs that is exactly the second run, keeping
+    // the series comparable with round 3): the first run is dominated by
+    // one-time codegen compilation + plan costs that amortize away on a
+    // long-running cluster; it is emitted separately as the cold cost.
+    val runsPerQuery = sys.env.get("SPARK_GRAFT_RUNS")
+      .flatMap(_.toIntOption).filter(_ >= 2).getOrElse(2)
     val results = headline.flatMap { name =>
       all.get(name).map { fn =>
         def once(): Double = {
@@ -56,7 +76,12 @@ object Bench {
           }
           (System.nanoTime() - t0) / 1e9
         }
-        try { val cold = once(); (name, once(), cold) }
+        try {
+          if (dropCache && !tryDropCache()) dropsFailed = true
+          val cold = once()
+          val steady = Seq.fill(runsPerQuery - 1)(once()).min
+          (name, steady, cold)
+        }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -64,6 +89,10 @@ object Bench {
         }
       }
     }
+    val cacheState =
+      if (dropCache && !dropsFailed) "dropped-before-cold-runs"
+      else if (dropCache) "drop-requested-but-failed"
+      else "warm-fs"
     val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val qsCold = results.map { case (k, _, c) => f""""$k":$c%.3f""" }
@@ -81,7 +110,8 @@ object Bench {
     val totalCold = results.map(_._3).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""queries_cold":$qsCold,"total_cold":$totalCold%.3f,"runs_per_query":2,"sf":"$sfDir"}""")
+        f""""queries_cold":$qsCold,"total_cold":$totalCold%.3f,""" +
+        f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir"}""")
     spark.stop()
   }
 }
