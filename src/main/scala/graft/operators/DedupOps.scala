@@ -44,14 +44,37 @@ object DedupOps {
     * jaccard ≥ threshold. */
   def minhashLsh(
       spark: SparkSession, sfDir: String,
-      bands: Int = 8, rows: Int = 4, threshold: Double = 0.4): DataFrame = {
+      bands: Int = 8, rows: Int = 4, threshold: Double = 0.4,
+      maxBucketFreq: Long = 5000): DataFrame =
+    minhashLshOn(docs(spark, sfDir), bands, rows, threshold, maxBucketFreq,
+      corpusRows = Some(Tables.rowCount(spark, sfDir, "documents")))
+
+  /** [[minhashLsh]] over any (doc_id, text) frame — fixture-injectable.
+    *
+    * `maxBucketFreq` is the hot-bucket cutoff (the d05 pattern applied
+    * to minhash bands): a (band, signature) bucket hotter than the cap —
+    * boilerplate-heavy corpora collapse most of a band's population onto
+    * one signature — is dropped from BOTH sides of the candidate join,
+    * bounding per-bucket pair work at cap²/2 instead of going quadratic
+    * in the duplicate-cluster size. A dropped cluster's pairs are the
+    * documented recall loss (exact dedup, d01, is the upstream pass that
+    * owns identical-text removal); pairs that also collide in a colder
+    * band still surface. Skipped outright when the corpus row count is
+    * KNOWN and ≤ the cap (dominance short-circuit — see
+    * [[embeddingNearDupOn]]), which keeps every test-SF output
+    * byte-identical. */
+  def minhashLshOn(
+      input: DataFrame,
+      bands: Int = 8, rows: Int = 4, threshold: Double = 0.4,
+      maxBucketFreq: Long = 5000,
+      corpusRows: Option[Long] = None): DataFrame = {
     // Persist the signatures: the banding below references `mh` once per
     // band and the self-join reads it twice — without a materialization
     // barrier CollapseProject inlines the whole minhash computation into
     // every reference (observed 8-16x recompute). At cluster scale this
     // is a checkpoint of the signature table; locally persist() is the
     // same barrier.
-    val d = Persists.barrier(withMinhash(docs(spark, sfDir), bands * rows)
+    val d = Persists.barrier(withMinhash(input, bands * rows)
       .select(col("doc_id"), col("sh"), col("mh")))
     val banded = d.select(
       col("doc_id"),
@@ -59,7 +82,9 @@ object DedupOps {
         s"""transform(sequence(0, ${bands - 1}),
               b -> xxhash64(slice(mh, b * $rows + 1, $rows)))"""))
         .as(Seq("band", "sig")))
-    val cand = banded.as("x").join(banded.as("y"),
+    val cold = dropHotBuckets(banded, Seq("band", "sig"), maxBucketFreq,
+      corpusRows)
+    val cand = cold.as("x").join(cold.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
@@ -73,6 +98,21 @@ object DedupOps {
           size(array_union(col("sa.sh"), col("sb.sh"))), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** The hot-bucket guard shared by every banded candidate generator:
+    * drop rows of buckets (grouped by `keys`) hotter than `cap` from the
+    * frame, or the frame untouched when the corpus row count is KNOWN
+    * and ≤ cap (no bucket can then exceed it — provably a no-op, so the
+    * guard pass is skipped). */
+  private[operators] def dropHotBuckets(
+      df: DataFrame, keys: Seq[String], cap: Long,
+      corpusRows: Option[Long]): DataFrame =
+    if (corpusRows.exists(_ <= cap)) df
+    else {
+      val hot = df.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > cap).select(keys.map(col): _*)
+      df.join(broadcast(hot), keys, "left_anti")
+    }
 
   /** [[minhashLsh]] with the PORTABLE hash family: one md5 per shingle,
     * its 32 hex chars sliced into 8 disjoint 4-char (packed < 2^31)
@@ -137,17 +177,30 @@ object DedupOps {
   }
 
   def simhashPairs(
-      spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
+      spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame =
+    simhashPairsOn(docs(spark, sfDir), maxHamming,
+      corpusRows = Some(Tables.rowCount(spark, sfDir, "documents")))
+
+  /** [[simhashPairs]] over any (doc_id, text) frame — fixture-injectable,
+    * with the shared hot-bucket guard on the 16-bit chunks (a
+    * boilerplate-heavy corpus collapses most simhashes onto one value,
+    * making every chunk bucket quadratic; see [[minhashLshOn]]). */
+  def simhashPairsOn(
+      input: DataFrame, maxHamming: Int = 3,
+      maxBucketFreq: Long = 5000,
+      corpusRows: Option[Long] = None): DataFrame = {
     // persist: the self-join below reads the signature twice (see
     // minhashLsh for the CollapseProject inlining hazard)
-    val d = Persists.barrier(withSimhash(docs(spark, sfDir))
+    val d = Persists.barrier(withSimhash(input)
       .select(col("doc_id"), col("simhash")))
     val banded = d.select(
       col("doc_id"), col("simhash"),
       posexplode(expr(
         """transform(sequence(0, 3),
              b -> shiftright(simhash, b * 16) & 65535)""")).as(Seq("band", "chunk")))
-    banded.as("x").join(banded.as("y"),
+    val cold = dropHotBuckets(banded, Seq("band", "chunk"), maxBucketFreq,
+      corpusRows)
+    cold.as("x").join(cold.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
@@ -356,13 +409,8 @@ object DedupOps {
       .withColumn("sigs", expr(s"graft_lsh_sigs(v, $tables, $planes)"))
       .select(col("vec_id"), col("v"),
         posexplode(col("sigs")).as(Seq("t", "sig"))))
-    val cold =
-      if (corpusRows.exists(_ <= maxBucketFreq)) bucketed
-      else {
-        val hot = bucketed.groupBy("t", "sig").count()
-          .filter(col("count") > maxBucketFreq).select("t", "sig")
-        bucketed.join(broadcast(hot), Seq("t", "sig"), "left_anti")
-      }
+    val cold = dropHotBuckets(bucketed, Seq("t", "sig"), maxBucketFreq,
+      corpusRows)
     cold.as("x").join(cold.as("y"),
         col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
