@@ -334,6 +334,48 @@ object Enumerators {
     }
   }
 
+  /** Greedy-bushy heuristic — greedy operator ordering (GOO, Fegaras,
+    * "A New Heuristic for Optimizing Large Queries", DEXA'98): repeatedly
+    * merge the edge-connected component pair whose join RESULT is
+    * smallest, growing a bushy forest bottom-up with no left-deep bias.
+    * This is the reference's stock BUSHY planner variant — its enum maps
+    * Calcite's MultiJoinOptimizeBushyRule, the same greedy-bushy family
+    * (QueryOptExperiment.java:101-109; commented out of the reference's
+    * Main but part of its planner vocabulary). Unlike [[Greedy]] (the
+    * Lopt behavioral core: per-first-factor orderings, weight/NDV next-
+    * factor choice, top-vs-push-down) this is symmetric in the pair and
+    * needs no per-factor restarts. O(n·e) merges. */
+  case object Bushy extends JoinOrderPlanner {
+    val name = "bushy"
+    protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree = {
+      var comps: Vector[JoinTree] = Vector.tabulate(g.n)(Leaf(_))
+      while (comps.size > 1) {
+        val joinable = for {
+          i <- comps.indices; j <- comps.indices
+          if i < j && g.crossEdges(comps(i).set, comps(j).set).nonEmpty
+        } yield (i, j)
+        require(joinable.nonEmpty, "bushy: graph disconnected")
+        // smallest join result; ties by smaller combined inputs, then by
+        // lowest vertex sets for determinism
+        val (bi, bj) = joinable.minBy { case (i, j) =>
+          (card(comps(i).set | comps(j).set),
+            card(comps(i).set) + card(comps(j).set),
+            comps(i).set.min(comps(j).set))
+        }
+        // orientation by the cost model (build side choice), like the DP
+        // planners price both operand orders
+        val (l, r) = (comps(bi), comps(bj))
+        val merged =
+          if (cm.joinCost(l, r, card) <= cm.joinCost(r, l, card)) Node(l, r)
+          else Node(r, l)
+        comps = comps.zipWithIndex.collect {
+          case (c, k) if k != bi && k != bj => c
+        } :+ merged
+      }
+      comps.head
+    }
+  }
+
   /** Random valid order with a fixed seed (reference: the RL rule's
     * `reset` path picks random edges, RLJoinOrderRule.java:167-170, and
     * JoinOrderTest.java:85-174 shuffles factors). Deterministic given the
@@ -361,5 +403,6 @@ object Enumerators {
   }
 
   val all: Seq[JoinOrderPlanner] =
-    Seq(DPccp, NaiveDP, LeftDeepDP, Greedy, BranchAndBound(), RandomOrder())
+    Seq(DPccp, NaiveDP, LeftDeepDP, Greedy, Bushy, BranchAndBound(),
+      RandomOrder())
 }

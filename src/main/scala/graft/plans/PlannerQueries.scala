@@ -75,7 +75,8 @@ object PlannerQueries {
     "p05_planner_bnb" -> runFlagship(Enumerators.BranchAndBound()) _,
     "p06_planner_rl" -> runFlagship(QPolicy.RolloutPlanner) _,
     "p07_planner_learned" -> runFlagship(QPolicy.Planner) _,
-    "p08_planner_cycle" -> runCycle(Enumerators.DPccp) _
+    "p08_planner_cycle" -> runCycle(Enumerators.DPccp) _,
+    "p09_planner_bushy" -> runFlagship(Enumerators.Bushy) _
   )
 
   /** CYCLIC graph through the planner+executor: when the last factor of

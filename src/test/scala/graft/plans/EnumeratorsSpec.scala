@@ -49,8 +49,9 @@ class EnumeratorsSpec extends AnyFunSuite {
         val bnb = Enumerators.BranchAndBound().plan(g, card, cm)
         val ld = Enumerators.LeftDeepDP.plan(g, card, cm)
         val gr = Enumerators.Greedy.plan(g, card, cm)
+        val bu = Enumerators.Bushy.plan(g, card, cm)
         val rd = Enumerators.RandomOrder().plan(g, card, cm)
-        Seq(dp, naive, bnb, ld, gr, rd).foreach(p => assertValid(p.tree, g))
+        Seq(dp, naive, bnb, ld, gr, bu, rd).foreach(p => assertValid(p.tree, g))
         val eps = 1e-6 * math.max(1.0, naive.cost)
         assert(math.abs(dp.cost - naive.cost) <= eps,
           s"trial $trial ${cm.name}: DPccp ${dp.cost} != naive ${naive.cost}")
@@ -58,6 +59,7 @@ class EnumeratorsSpec extends AnyFunSuite {
           s"trial $trial ${cm.name}: BnB ${bnb.cost} != naive ${naive.cost}")
         assert(ld.cost >= naive.cost - eps, "left-deep below optimum?!")
         assert(gr.cost >= naive.cost - eps, "greedy below optimum?!")
+        assert(bu.cost >= naive.cost - eps, "bushy below optimum?!")
         assert(rd.cost >= naive.cost - eps, "random below optimum?!")
       }
     }
@@ -116,6 +118,21 @@ class EnumeratorsSpec extends AnyFunSuite {
     }.min
     assert(oldCost > 80 * dp.cost,
       s"fixture should punish left-deep chaining, old greedy cost $oldCost")
+  }
+
+  test("bushy GOO finds the bushy optimum where left-deep chaining is 80x worse") {
+    // same fixture as the greedy push-down test: (a⋈b) and (c⋈d) tiny,
+    // b⋈c explodes — GOO's smallest-result merges are exactly ab, cd,
+    // then the top join, with no per-factor restart needed
+    val g = QueryGraph(Vector("a", "b", "c", "d"),
+      Vector(JoinEdge(0, 1), JoinEdge(1, 2), JoinEdge(2, 3)))
+    val card = new MapCard(Map(
+      1L -> 1000.0, 2L -> 1000.0, 4L -> 1000.0, 8L -> 1000.0,
+      3L -> 10.0, 6L -> 1e6, 12L -> 10.0,
+      7L -> 1e4, 14L -> 1e4, 15L -> 100.0))
+    val bu = Enumerators.Bushy.plan(g, card, CostModel.Cout)
+    assert(bu.cost == 120.0,
+      s"GOO should build ((a b) (c d)), got ${bu.joinStr(g)} at ${bu.cost}")
   }
 
   test("greedy next-factor tie-break prefers the higher join-key NDV") {
