@@ -25,7 +25,8 @@ object SparkEntry {
       SkewOps.queries ++
       AsofOps.queries ++
       RangeOps.queries ++
-      graft.plans.PlannerQueries.queries
+      graft.plans.PlannerQueries.queries ++
+      graft.streaming.EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -38,5 +39,6 @@ object SparkEntry {
       SkewOps.oracleSql ++
       AsofOps.oracleSql ++
       RangeOps.oracleSql ++
-      graft.plans.PlannerQueries.oracleSql
+      graft.plans.PlannerQueries.oracleSql ++
+      graft.streaming.EventStream.oracleSql
 }

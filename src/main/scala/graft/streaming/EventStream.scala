@@ -27,12 +27,16 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of event parquet files. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** File-source stream over a directory of event parquet files; `glob`
+    * narrows to one table's file when the directory holds several (the
+    * testdata layout). */
+  def readEvents(
+      spark: SparkSession, dir: String,
+      glob: String = "*.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventSchema)
-      .option("pathGlobFilter", "*.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
@@ -168,6 +172,44 @@ object EventStream {
           }
       }
   }
+  // ------------------------------------------------- oracle-gate surface
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The streaming pipeline as a correctness-gate query: the REAL
+    * file-source stream (readStream over sfDir's events.parquet) through
+    * the watermarked hourly window aggregation, run to completion with
+    * Trigger.AvailableNow into a memory sink, then surfaced as a plain
+    * DataFrame in an oracle-comparable shape. Complete output mode emits
+    * every window and the single AvailableNow batch starts at watermark
+    * 0, so nothing is late-dropped — the streaming answer must equal the
+    * batch aggregation exactly, which is what the DuckDB oracle asserts
+    * (StreamingDemo proves the same equality in-process; this entry puts
+    * it under the driver's hash gate). */
+  def hourlyCountsStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_hourly_${streamRuns.incrementAndGet()}"
+    val q = hourlyCounts(readEvents(spark, sfDir, glob = "events.parquet"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q.stop()
+    spark.table(name).select(
+      unix_micros(col("hour")).as("hour_us"), col("event_type"),
+      col("cnt"), col("sv"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_stream_hourly" -> (hourlyCountsStreamed _))
+
+  /** The batch answer in DuckDB — the stream must reproduce it bucket
+    * for bucket (epoch_us keeps the hour as an integer so the hash
+    * compare never sees timestamp-precision skew). */
+  def oracleSql: Map[String, String] = Map(
+    "q50_stream_hourly" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+                count(*) AS cnt, round(sum(value), 2) AS sv
+         FROM events GROUP BY 1, 2""")
 }
 
 /** Runnable streaming demo: stages the events parquet into a source dir,
