@@ -201,10 +201,10 @@ object Enumerators {
     *  - next factor = highest edge WEIGHT to the placed factors, ties
     *    broken by HIGHER join-key NDV (getBestNextFactor, :788-863 —
     *    `factorWeights` then `computeJoinCardinality` which is
-    *    getDistinctRowCount of the join keys, :638). Our QueryGraph
-    *    edges are binary equi-conds, so Calcite's weight scheme (3 per
-    *    direct two-factor filter) collapses to "number of direct
-    *    conditions" — the NDV tie-break does the real discrimination.
+    *    getDistinctRowCount of the join keys, :638). Every direct
+    *    two-factor filter scores the CONSTANT 3 (Calcite's
+    *    setFactorWeight), so among directly-connected candidates the
+    *    NDV tie-break does all the discrimination.
     *  - each addition prices add-to-top AGAINST push-down into the
     *    deepest subtree covering the factor's join partners and keeps
     *    the cheaper (addFactorToTree/addToTop/pushDownFactor, :899-1012;

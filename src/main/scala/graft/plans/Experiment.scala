@@ -267,7 +267,7 @@ object ExperimentMain {
           s"$fixture — planning under estimates only")
     }
 
-    // the six enumerators plus the RL-surface planners (the reference
+    // the seven enumerators plus the RL-surface planners (the reference
     // runs its RL rule as one of the planner variants,
     // QueryOptExperiment.java:68-76)
     val planners = Enumerators.all ++
