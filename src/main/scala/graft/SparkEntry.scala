@@ -25,6 +25,7 @@ object SparkEntry {
       SkewOps.queries ++
       AsofOps.queries ++
       RangeOps.queries ++
+      CurationOps.queries ++
       graft.plans.PlannerQueries.queries ++
       graft.streaming.EventStream.queries
 
@@ -39,6 +40,7 @@ object SparkEntry {
       SkewOps.oracleSql ++
       AsofOps.oracleSql ++
       RangeOps.oracleSql ++
+      CurationOps.oracleSql ++
       graft.plans.PlannerQueries.oracleSql ++
       graft.streaming.EventStream.oracleSql
 }

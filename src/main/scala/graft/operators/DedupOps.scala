@@ -420,13 +420,13 @@ object DedupOps {
       .filter(col("cosine") >= threshold)
   }
 
-  /** DuckDB twin of [[minhashPortable]] — the banding algebra verified
-    * hash-exactly: same shingles, same md5-slice slot minima, same band
-    * packing, same candidate join, same jaccard threshold. */
-  private val minhashPortableOracle: String = {
+  /** The [[minhashPortable]] pipeline as a DuckDB CTE list ending in
+    * `j (id_a, id_b, jaccard)` — shared by the d06 pair oracle and the
+    * d08 cluster oracle so the two can never drift. */
+  private val minhashPortableCtes: String = {
     val mins = (0 until 8).map(i =>
       s"min(${portableSlot(i)}) AS m$i").mkString(", ")
-    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+    s"""w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
                    FROM documents),
         doc_sh AS (SELECT doc_id,
                           CASE WHEN len(ws) < 4 THEN [text]
@@ -452,14 +452,71 @@ object DedupOps {
                            4) AS jaccard
               FROM cand
               JOIN doc_sh a ON a.doc_id = cand.id_a
-              JOIN doc_sh b ON b.doc_id = cand.id_b)
+              JOIN doc_sh b ON b.doc_id = cand.id_b)"""
+  }
+
+  /** DuckDB twin of [[minhashPortable]] — the banding algebra verified
+    * hash-exactly: same shingles, same md5-slice slot minima, same band
+    * packing, same candidate join, same jaccard threshold. */
+  private val minhashPortableOracle: String =
+    s"""WITH $minhashPortableCtes
       SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4"""
+
+  // ------------------------------------------------- duplicate clusters
+  /** Duplicate-CLUSTER resolution: near-duplication is transitive in
+    * practice (A≈B, B≈C ⇒ one boilerplate family), so real pipelines
+    * keep one document per connected component of the near-dup pair
+    * graph, not per pair. Computes components of the [[minhashPortable]]
+    * pair graph by iterative min-label propagation (the Pregel/GraphX
+    * connected-components kernel): every vertex starts as its own label
+    * and repeatedly takes the min over its neighborhood until a sweep
+    * changes nothing — converges in O(component diameter) rounds, and
+    * near-dup components are shallow (pairs/stars), so 2–3 rounds in
+    * practice. Each round is one shuffle join + one aggregation, fully
+    * distributed; the driver only checks the converged-yet count (at
+    * extreme scale the two-phase large-star/small-star variant halves
+    * round counts — same per-round plan shape). Output: (doc_id,
+    * cluster_id = min doc_id of the component) for every doc in ≥1
+    * pair. */
+  def dedupClusters(
+      spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4): DataFrame =
+    connectedComponents(
+      minhashPortable(spark, sfDir, threshold).select("id_a", "id_b"))
+
+  /** Min-label-propagation connected components over an (id_a, id_b)
+    * undirected pair set — the distributed kernel behind
+    * [[dedupClusters]], fixture-injectable. Output: (doc_id,
+    * cluster_id = min vertex of the component) per vertex. */
+  def connectedComponents(pairs0: DataFrame): DataFrame = {
+    val pairs = Persists.barrier(pairs0)
+    val edges = Persists.barrier(pairs.union(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+    var labels = Persists.barrier(
+      edges.select(col("id_a").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")))
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = edges.join(labels,
+          edges("id_b") === labels("doc_id"))
+        .select(edges("id_a").as("doc_id"), col("cluster_id"))
+      val next = Persists.barrier(
+        labels.union(viaNbr).groupBy("doc_id")
+          .agg(min("cluster_id").as("cluster_id")))
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.cluster_id") < col("o.cluster_id")).count()
+      labels = next
+    }
+    labels
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> ((spark: SparkSession, sfDir: String) => {
       Tables.registerAll(spark, sfDir); spark.sql(exactSql)
     }),
+    "d08_dedup_clusters" ->
+      ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "d02_dedup_minhash" ->
       ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "d06_dedup_minhash_portable" ->
@@ -527,11 +584,27 @@ object DedupOps {
          FROM v a, v b WHERE a.vec_id < b.vec_id)
      SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3"""
 
+  /** d08's oracle: the SAME pair CTEs as d06, then connected components
+    * as a recursive CTE — cc accumulates every label reachable over the
+    * symmetric edge set (UNION dedups, so it terminates), and min per
+    * vertex is the component representative. */
+  private val clustersOracle: String =
+    s"""WITH RECURSIVE $minhashPortableCtes,
+        pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4),
+        edges AS (SELECT id_a AS v, id_b AS u FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        cc(v, lbl) AS (
+          SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+          UNION
+          SELECT e.v, cc.lbl FROM edges e JOIN cc ON cc.v = e.u)
+      SELECT v AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY v"""
+
   def oracleSql: Map[String, String] = Map(
     "d01_dedup_exact" -> exactSql,
     "d04_dedup_ngram" -> ngramOracle,
     "d05_dedup_embedding" -> embeddingOracle,
     "d06_dedup_minhash_portable" -> minhashPortableOracle,
-    "d07_dedup_simhash_portable" -> simhashPortableOracle
+    "d07_dedup_simhash_portable" -> simhashPortableOracle,
+    "d08_dedup_clusters" -> clustersOracle
   )
 }

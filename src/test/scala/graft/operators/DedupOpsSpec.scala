@@ -113,4 +113,17 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(pairs(100) == pairs(Long.MaxValue))
   }
+
+  test("connected components resolve transitive near-dup chains to one cluster") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4 (needs >1 propagation round), isolated pair 10-11,
+    // and a triangle 20-21-22 with a redundant closing edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val cc = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 }
