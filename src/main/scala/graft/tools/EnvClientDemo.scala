@@ -50,6 +50,34 @@ object EnvClientDemo {
       require(result.get("steps").asInt() == cq.graph.n - 1,
         "episode must take n-1 join steps")
       println("EXTERNAL CLIENT == IN-PROCESS ROLLOUT OK")
+
+      // training mode: 20 random episodes over the bridge, best-sequence
+      // replay — cross-process reset/step determinism is the property
+      // every external trainer (the reference's Python RL loop) relies on
+      val pb2 = new ProcessBuilder(
+        "python3", "tools/env_client.py", server.boundPort.toString,
+        "train", "20")
+      val proc2 = pb2.start()
+      val out2 = new String(proc2.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val err2 = new String(proc2.getErrorStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      require(proc2.waitFor() == 0, s"trainer process failed: $err2")
+      val trained = new ObjectMapper().readTree(out2)
+      val best = trained.get("bestCost").asDouble()
+      val replayed = trained.get("replayedCost").asDouble()
+      val mean = trained.get("meanCost").asDouble()
+      val opt = Enumerators.DPccp
+        .plan(cq.graph, HeuristicCardinality.uniform(cq.graph, base),
+          CostModel.Cout).cost
+      println(s"trainer: episodes=20 best=$best replayed=$replayed " +
+        s"mean=$mean optimal=$opt")
+      require(replayed == best,
+        s"replaying the best sequence gave $replayed, recorded $best — " +
+          "cross-process reset/step is not deterministic")
+      require(best >= opt, "episode cost below the exact optimum?!")
+      require(best <= mean, "best-of-N above the mean?!")
+      println("EXTERNAL TRAINING LOOP OK (replay deterministic)")
     } finally server.close()
   }
 }
