@@ -64,8 +64,13 @@ object Bench {
     // the series comparable with round 3): the first run is dominated by
     // one-time codegen compilation + plan costs that amortize away on a
     // long-running cluster; it is emitted separately as the cold cost.
-    val runsPerQuery = sys.env.get("SPARK_GRAFT_RUNS")
-      .flatMap(_.toIntOption).filter(_ >= 2).getOrElse(2)
+    // SPARK_GRAFT_RUNS=1 = single-shot (pre-round-3 semantics, value ==
+    // cold); anything unparseable is a loud error, not a silent default.
+    val runsPerQuery = sys.env.get("SPARK_GRAFT_RUNS") match {
+      case None => 2
+      case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse(
+        sys.error(s"SPARK_GRAFT_RUNS must be a positive integer, got '$v'"))
+    }
     val results = headline.flatMap { name =>
       all.get(name).map { fn =>
         def once(): Double = {
@@ -79,7 +84,9 @@ object Bench {
         try {
           if (dropCache && !tryDropCache()) dropsFailed = true
           val cold = once()
-          val steady = Seq.fill(runsPerQuery - 1)(once()).min
+          val steady =
+            if (runsPerQuery == 1) cold
+            else Seq.fill(runsPerQuery - 1)(once()).min
           (name, steady, cold)
         }
         catch {

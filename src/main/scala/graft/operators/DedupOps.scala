@@ -506,6 +506,10 @@ object DedupOps {
       changed = next.as("n")
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.cluster_id") < col("o.cluster_id")).count()
+      // the superseded label table is dead once `changed` materialized
+      // `next` — release it NOW, not at scope exit, so a D-round chain
+      // holds O(1) label tables in cache instead of O(D)
+      labels.unpersist(blocking = false)
       labels = next
     }
     labels

@@ -80,8 +80,20 @@ object Experiment {
               if (!execute) Vector.empty[Double]
               else Vector.fill(runsPerQuery)(
                 timedRun(spark, sfDir, q, pl, maxExecutionSecs))
+            // hash under the SAME timeout discipline as the timed runs —
+            // an unbounded re-execution here would defeat the sentinel;
+            // a timed-out hash stays "" (unverified), which
+            // verifyResultHashes skips rather than flags as divergence
             val hash =
-              if (!execute) "" else resultHash(buildDf(spark, sfDir, q, pl))
+              if (!execute) ""
+              else withJobTimeout(spark,
+                  s"graft-exp-hash-${q.name}-${p.name}", maxExecutionSecs) {
+                resultHash(buildDf(spark, sfDir, q, pl))
+              }.getOrElse {
+                System.err.println(
+                  s"[experiment] hash of ${q.name}/${p.name} timed out — unverified")
+                ""
+              }
             PlannerRecord(q.name, p.name, cm.name, pl.cost,
               pl.joinStr(q.graph), pl.planningNanos / 1e6, runtimes, hash)
         }
@@ -129,9 +141,6 @@ object Experiment {
     }
   }
 
-  /** One timed execution of the planned tree through the noop sink;
-    * cancelled via job group + recorded as the reference's
-    * `maxExecutionTime*1000` sentinel when it exceeds the timeout. */
   /** The planned tree as an executable DataFrame over the sfDir tables. */
   private def buildDf(
       spark: SparkSession, sfDir: String,
@@ -144,32 +153,42 @@ object Experiment {
     JoinTreeExecutor.build(planned.tree, q.graph, inputs, q.trueCard)
   }
 
+  /** Run one Spark action on a side thread under a cancellable job
+    * group; None (jobs cancelled) when it exceeds `maxSecs`. */
+  private def withJobTimeout[A](
+      spark: SparkSession, group: String, maxSecs: Long)(body: => A): Option[A] = {
+    val runner = Executors.newSingleThreadExecutor()
+    try {
+      val f = runner.submit(new java.util.concurrent.Callable[A] {
+        def call(): A = {
+          spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
+          try body
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try Some(f.get(maxSecs, TimeUnit.SECONDS))
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          f.cancel(true)
+          None
+      }
+    } finally runner.shutdownNow()
+  }
+
   private def timedRun(
       spark: SparkSession, sfDir: String,
       q: ExperimentQuery, planned: PlannedOrder,
       maxExecutionSecs: Long): Double = {
     val df = buildDf(spark, sfDir, q, planned)
-    val group = s"graft-exp-${q.name}-${planned.planner}"
-    val runner = Executors.newSingleThreadExecutor()
-    try {
-      val t0 = System.nanoTime()
-      val f = runner.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = {
-          spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
-          try df.write.format("noop").mode("overwrite").save()
-          finally spark.sparkContext.clearJobGroup()
-        }
-      })
-      try {
-        f.get(maxExecutionSecs, TimeUnit.SECONDS)
-        (System.nanoTime() - t0) / 1e6
-      } catch {
-        case _: java.util.concurrent.TimeoutException =>
-          spark.sparkContext.cancelJobGroup(group)
-          f.cancel(true)
-          maxExecutionSecs * 1000.0 // the reference's timeout sentinel
-      }
-    } finally runner.shutdownNow()
+    val t0 = System.nanoTime()
+    withJobTimeout(spark, s"graft-exp-${q.name}-${planned.planner}",
+        maxExecutionSecs) {
+      df.write.format("noop").mode("overwrite").save()
+    } match {
+      case Some(_) => (System.nanoTime() - t0) / 1e6
+      case None => maxExecutionSecs * 1000.0 // the reference's timeout sentinel
+    }
   }
 
   /** Cardinality-regret: cost of the plan chosen under ESTIMATED

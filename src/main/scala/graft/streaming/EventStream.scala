@@ -192,7 +192,14 @@ object EventStream {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    // fail LOUDLY on timeout — stopping a half-finished batch and
+    // reading the sink would masquerade as a data divergence
+    val finished = q.awaitTermination(300000)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException(
+        "q50 streaming batch did not finish within 300s")
+    }
     q.stop()
     spark.table(name).select(
       unix_micros(col("hour")).as("hour_us"), col("event_type"),

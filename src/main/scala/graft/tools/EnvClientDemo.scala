@@ -25,23 +25,37 @@ object EnvClientDemo {
     val expected = JoinOrderEnv.greedyRollout(mkEnv())
 
     val server = new EnvServer(cq.graph, mkEnv())
-    try {
+
+    /** Fork the client with a bounded wait. stderr is INHERITED (shows
+      * in this process's stderr) rather than piped — a piped stderr the
+      * parent only drains after stdout can deadlock both processes once
+      * the child fills the pipe buffer with a large traceback. stdout is
+      * read after exit: the client writes one small JSON line, far under
+      * the pipe buffer. */
+    def runClient(extraArgs: String*): String = {
       val pb = new ProcessBuilder(
-        "python3", "tools/env_client.py", server.boundPort.toString)
-      pb.redirectErrorStream(false)
+        (Seq("python3", "tools/env_client.py", server.boundPort.toString) ++
+          extraArgs): _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
+      val finished = proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) {
+        proc.destroyForcibly()
+        sys.error("client process hung (>180s); killed")
+      }
       val out = new String(proc.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim
-      val err = new String(proc.getErrorStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val rc = proc.waitFor()
-      require(rc == 0, s"client process failed (rc=$rc): $err")
+      require(proc.exitValue() == 0,
+        s"client process failed (rc=${proc.exitValue()}); see stderr above")
+      out
+    }
 
-      val result = new ObjectMapper().readTree(out)
+    try {
+      val result = new ObjectMapper().readTree(runClient())
       val clientCost = result.get("totalCost").asDouble()
       val clientOrder = result.get("joinOrder").asText()
-      println(s"client pid crossed a real process boundary: " +
-        s"pid=${proc.pid()} (server jvm pid=${ProcessHandle.current().pid()})")
+      println(s"client episode crossed a real process boundary " +
+        s"(server jvm pid=${ProcessHandle.current().pid()})")
       println(s"client episode:    cost=$clientCost steps=" +
         s"${result.get("steps").asInt()} order=$clientOrder")
       println(s"in-process greedy: cost=$expected")
@@ -54,16 +68,7 @@ object EnvClientDemo {
       // training mode: 20 random episodes over the bridge, best-sequence
       // replay — cross-process reset/step determinism is the property
       // every external trainer (the reference's Python RL loop) relies on
-      val pb2 = new ProcessBuilder(
-        "python3", "tools/env_client.py", server.boundPort.toString,
-        "train", "20")
-      val proc2 = pb2.start()
-      val out2 = new String(proc2.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      val err2 = new String(proc2.getErrorStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      require(proc2.waitFor() == 0, s"trainer process failed: $err2")
-      val trained = new ObjectMapper().readTree(out2)
+      val trained = new ObjectMapper().readTree(runClient("train", "20"))
       val best = trained.get("bestCost").asDouble()
       val replayed = trained.get("replayedCost").asDouble()
       val mean = trained.get("meanCost").asDouble()
