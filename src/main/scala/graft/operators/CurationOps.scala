@@ -31,19 +31,40 @@ object CurationOps {
 
   /** Per-source quota: keep at most `k` documents per source, chosen by
     * content-hash rank (a reproducible uniform subsample per source, not
-    * first-k arrival order). One shuffle on source + in-partition sort.
-    * Skew note: a mega-source sorts its whole partition to rank k — at
-    * extreme skew, pre-thin with a per-input-partition local top-k
-    * before the window (same technique as SkewOps salting); the testdata
-    * sources are balanced so the plain window is the right plan here. */
+    * first-k arrival order).
+    *
+    * TWO-PHASE for skew safety: phase 1 ranks within (source,
+    * input-partition) — the partition id acts as a deterministic salt,
+    * so a mega-source's rows are thinned in parallel across whatever
+    * partitions hold them and at most k·P rows per source survive;
+    * phase 2 ranks the thinned set on source alone, now bounded. The
+    * global top-k by a per-row score equals the top-k of the union of
+    * per-partition top-ks, so the result is IDENTICAL to the one-window
+    * form — which is exactly what the plain-SQL DuckDB oracle asserts. */
   def sourceQuota(
-      spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
-    val w = Window.partitionBy("source")
+      spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
+    sourceQuotaOn(docs(spark, sfDir), k)
+
+  /** [[sourceQuota]] over any (doc_id, text, source) frame —
+    * fixture-injectable; [[quotaCandidates]] is its phase-1 output. */
+  def sourceQuotaOn(d: DataFrame, k: Int): DataFrame = {
+    val w2 = Window.partitionBy("source")
       .orderBy(md5(col("text")), col("doc_id"))
-    docs(spark, sfDir)
-      .withColumn("rk", row_number().over(w))
+    quotaCandidates(d, k)
+      .withColumn("rk", row_number().over(w2))
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  /** Phase 1: local top-k per (source, input partition) — ≤ k·P rows
+    * per source reach the global ranking. */
+  private[operators] def quotaCandidates(d: DataFrame, k: Int): DataFrame = {
+    val w1 = Window.partitionBy("source", "pid")
+      .orderBy(md5(col("text")), col("doc_id"))
+    d.withColumn("pid", spark_partition_id())
+      .withColumn("lrk", row_number().over(w1))
+      .filter(col("lrk") <= k)
+      .drop("lrk", "pid")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -515,12 +515,25 @@ object DedupOps {
     labels
   }
 
+  /** The end-to-end dedup PRODUCT: the corpus minus every
+    * non-representative member of a near-dup cluster — what a pipeline
+    * actually feeds downstream. One left-anti join of the corpus against
+    * the cluster members that lost the min-id election; docs in no pair
+    * pass through untouched. */
+  def dedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val losers = dedupClusters(spark, sfDir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    docs(spark, sfDir).join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> ((spark: SparkSession, sfDir: String) => {
       Tables.registerAll(spark, sfDir); spark.sql(exactSql)
     }),
     "d08_dedup_clusters" ->
       ((s: SparkSession, d: String) => dedupClusters(s, d)),
+    "d09_dedup_keep" -> (dedupKeep _),
     "d02_dedup_minhash" ->
       ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "d06_dedup_minhash_portable" ->
@@ -603,12 +616,28 @@ object DedupOps {
           SELECT e.v, cc.lbl FROM edges e JOIN cc ON cc.v = e.u)
       SELECT v AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY v"""
 
+  /** d09's oracle: the same components, then keep every doc that is not
+    * a losing cluster member. */
+  private val keepOracle: String =
+    s"""WITH RECURSIVE $minhashPortableCtes,
+        pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4),
+        edges AS (SELECT id_a AS v, id_b AS u FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        cc(v, lbl) AS (
+          SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+          UNION
+          SELECT e.v, cc.lbl FROM edges e JOIN cc ON cc.v = e.u),
+        comp AS (SELECT v, min(lbl) AS lbl FROM cc GROUP BY v)
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> lbl)"""
+
   def oracleSql: Map[String, String] = Map(
     "d01_dedup_exact" -> exactSql,
     "d04_dedup_ngram" -> ngramOracle,
     "d05_dedup_embedding" -> embeddingOracle,
     "d06_dedup_minhash_portable" -> minhashPortableOracle,
     "d07_dedup_simhash_portable" -> simhashPortableOracle,
-    "d08_dedup_clusters" -> clustersOracle
+    "d08_dedup_clusters" -> clustersOracle,
+    "d09_dedup_keep" -> keepOracle
   )
 }

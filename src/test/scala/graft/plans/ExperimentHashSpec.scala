@@ -61,6 +61,21 @@ class ExperimentHashSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("broken"))
   }
 
+  test("execution timeout records the sentinel and leaves the hash unverified") {
+    // maxExecutionSecs = 0: the run is cancelled immediately, recorded
+    // as the reference's maxExecutionTime*1000 sentinel, and the hash —
+    // which runs under the SAME timeout — stays "" (unverified) instead
+    // of re-executing the plan unboundedly or tripping the divergence
+    // check against other planners
+    val records = Experiment.run(spark, sfDir, Seq(chain3Query),
+      Seq(Enumerators.DPccp), CostModel.Cout, execute = true,
+      runsPerQuery = 1, maxExecutionSecs = 0)
+    val r = records.head
+    assert(r.runtimesMs == Vector(0.0), s"expected sentinel, got ${r.runtimesMs}")
+    assert(r.resultHash == "", "timed-out hash must stay unverified")
+    Experiment.verifyResultHashes(records) // unverified != divergent
+  }
+
   test("verifyResultHashes ignores non-executed records") {
     val rs = Seq(
       Experiment.PlannerRecord("q", "a", "cout", 1, "(a b)", 1, Vector.empty),
