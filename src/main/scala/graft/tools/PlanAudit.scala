@@ -18,7 +18,8 @@ object PlanAudit {
       "q02_filter_pred", "q03_flagship", "q04_join_inner", "q08_agg_tpch_q1",
       "q21_in_subquery", "p01_planner_dpccp", "d02_dedup_minhash",
       "s01_ann_brute", "s04_ann_ivf", "t01_quality",
-      "q46_salted_join", "q47_asof_join", "q48_range_join")
+      "q46_salted_join", "q47_asof_join", "q48_range_join",
+      "c01_hash_split", "c02_source_quota", "d09_dedup_keep")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       val df = all(name)(spark, sfDir)
