@@ -46,10 +46,17 @@ object CurationOps {
     sourceQuotaOn(docs(spark, sfDir), k)
 
   /** [[sourceQuota]] over any (doc_id, text, source) frame —
-    * fixture-injectable; [[quotaCandidates]] is its phase-1 output. */
+    * fixture-injectable; [[quotaCandidates]] is its phase-1 output.
+    *
+    * The text column is hashed ONCE and dropped before the first
+    * exchange (the d01 exact-dedup pattern: a fixed 16-byte shuffle key
+    * instead of the full document), so neither window shuffles document
+    * bodies. `asc_nulls_last` pins NULL ordering to DuckDB's ASC
+    * default — Spark's is NULLS FIRST, which would diverge on a NULL
+    * text. */
   def sourceQuotaOn(d: DataFrame, k: Int): DataFrame = {
     val w2 = Window.partitionBy("source")
-      .orderBy(md5(col("text")), col("doc_id"))
+      .orderBy(col("h").asc_nulls_last, col("doc_id"))
     quotaCandidates(d, k)
       .withColumn("rk", row_number().over(w2))
       .filter(col("rk") <= k)
@@ -57,11 +64,12 @@ object CurationOps {
   }
 
   /** Phase 1: local top-k per (source, input partition) — ≤ k·P rows
-    * per source reach the global ranking. */
+    * per source reach the global ranking, each as (doc_id, source, h). */
   private[operators] def quotaCandidates(d: DataFrame, k: Int): DataFrame = {
     val w1 = Window.partitionBy("source", "pid")
-      .orderBy(md5(col("text")), col("doc_id"))
-    d.withColumn("pid", spark_partition_id())
+      .orderBy(col("h").asc_nulls_last, col("doc_id"))
+    d.select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        spark_partition_id().as("pid"))
       .withColumn("lrk", row_number().over(w1))
       .filter(col("lrk") <= k)
       .drop("lrk", "pid")

@@ -601,32 +601,30 @@ object DedupOps {
          FROM v a, v b WHERE a.vec_id < b.vec_id)
      SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3"""
 
-  /** d08's oracle: the SAME pair CTEs as d06, then connected components
-    * as a recursive CTE — cc accumulates every label reachable over the
-    * symmetric edge set (UNION dedups, so it terminates), and min per
-    * vertex is the component representative. */
-  private val clustersOracle: String =
-    s"""WITH RECURSIVE $minhashPortableCtes,
+  /** The connected-components CTE block shared by the d08 and d09
+    * oracles (pairs → symmetric edges → recursive reachable-label
+    * accumulation; UNION dedups, so it terminates): one definition so
+    * the two can never assert different cluster semantics. */
+  private val clusterCtes: String =
+    s"""$minhashPortableCtes,
         pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4),
         edges AS (SELECT id_a AS v, id_b AS u FROM pairs
                   UNION ALL SELECT id_b, id_a FROM pairs),
         cc(v, lbl) AS (
           SELECT v, v FROM (SELECT DISTINCT v FROM edges)
           UNION
-          SELECT e.v, cc.lbl FROM edges e JOIN cc ON cc.v = e.u)
+          SELECT e.v, cc.lbl FROM edges e JOIN cc ON cc.v = e.u)"""
+
+  /** d08's oracle: the SAME pair CTEs as d06, then connected components
+    * — min reachable label per vertex is the component representative. */
+  private val clustersOracle: String =
+    s"""WITH RECURSIVE $clusterCtes
       SELECT v AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY v"""
 
   /** d09's oracle: the same components, then keep every doc that is not
     * a losing cluster member. */
   private val keepOracle: String =
-    s"""WITH RECURSIVE $minhashPortableCtes,
-        pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4),
-        edges AS (SELECT id_a AS v, id_b AS u FROM pairs
-                  UNION ALL SELECT id_b, id_a FROM pairs),
-        cc(v, lbl) AS (
-          SELECT v, v FROM (SELECT DISTINCT v FROM edges)
-          UNION
-          SELECT e.v, cc.lbl FROM edges e JOIN cc ON cc.v = e.u),
+    s"""WITH RECURSIVE $clusterCtes,
         comp AS (SELECT v, min(lbl) AS lbl FROM cc GROUP BY v)
       SELECT doc_id, lang, source, n_chars FROM documents
       WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> lbl)"""

@@ -22,27 +22,33 @@ object PlanAudit {
       "c01_hash_split", "c02_source_quota", "d09_dedup_keep")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
-      val df = all(name)(spark, sfDir)
-      // execute THIS QueryExecution first: with AQE the codegen'd FINAL
-      // plan only exists once the adaptive plan finishes (a .write would
-      // plan a separate QueryExecution and leave this one unfinalized)
-      graft.operators.Persists.scoped { df.collect() }
-      // the finalized adaptive plan prints "final +- == Initial Plan =="
-      // — audit only the final section
-      val plan = df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
-      def count(p: String) = p.r.findAllIn(plan).size
-      println(s"== $name")
-      println(s"   scans=${count("FileScan parquet")} " +
-        s"pushedFilters=${count("PushedFilters: \\[[^\\]]")} " +
-        s"bhj=${count("BroadcastHashJoin")} smj=${count("SortMergeJoin")} " +
-        s"shj=${count("ShuffledHashJoin")} nlj=${count("BroadcastNestedLoopJoin")} " +
-        s"exchanges=${count("Exchange")} " +
-        // codegen spans render as "*(n)" prefixes; count distinct span ids
-        s"wscg=${"\\*\\(\\d+\\)".r.findAllIn(plan).toSeq.distinct.size}")
-      // ReadSchema lines: show pruning
-      "ReadSchema: [^\n]+".r.findAllIn(plan).toSeq.distinct.take(6)
-        .foreach(s => println("   " + s.take(150)))
+      // build INSIDE the scope: construction-time barriers (signature
+      // frames, d09's CC labels) must drain per query, as Verify does —
+      // built outside, they'd land in the global queue and pin cache
+      // for the rest of the audit
+      graft.operators.Persists.scoped {
+        val df = all(name)(spark, sfDir)
+        // execute THIS QueryExecution: with AQE the codegen'd FINAL plan
+        // only exists once the adaptive plan finishes (a .write would
+        // plan a separate QueryExecution and leave this one unfinalized)
+        df.collect()
+        // the finalized adaptive plan prints "final +- == Initial Plan =="
+        // — audit only the final section
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        def count(p: String) = p.r.findAllIn(plan).size
+        println(s"== $name")
+        println(s"   scans=${count("FileScan parquet")} " +
+          s"pushedFilters=${count("PushedFilters: \\[[^\\]]")} " +
+          s"bhj=${count("BroadcastHashJoin")} smj=${count("SortMergeJoin")} " +
+          s"shj=${count("ShuffledHashJoin")} nlj=${count("BroadcastNestedLoopJoin")} " +
+          s"exchanges=${count("Exchange")} " +
+          // codegen spans render as "*(n)" prefixes; count distinct span ids
+          s"wscg=${"\\*\\(\\d+\\)".r.findAllIn(plan).toSeq.distinct.size}")
+        // ReadSchema lines: show pruning
+        "ReadSchema: [^\n]+".r.findAllIn(plan).toSeq.distinct.take(6)
+          .foreach(s => println("   " + s.take(150)))
+      }
     }
     spark.stop()
   }
