@@ -75,9 +75,27 @@ object CurationOps {
       .drop("lrk", "pid")
   }
 
+  /** The COMPOSED curation pipeline in one query — the order a real
+    * pipeline runs its selection stages: near-dup cluster resolution
+    * (drop every losing cluster member), a deterministic 50%
+    * content-hash split, then the per-source quota on the survivors.
+    * Each stage is the already-oracled operator; the composition is
+    * hash-checked end-to-end against one DuckDB query, so stage
+    * interfaces can't drift either. */
+  def pipeline(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val losers = DedupOps.dedupClusters(spark, sfDir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val survivors = docs(spark, sfDir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .filter(substring(md5(col("text")), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+    sourceQuotaOn(survivors, k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_hash_split" -> (hashSplit _),
-    "c02_source_quota" -> ((s: SparkSession, d: String) => sourceQuota(s, d))
+    "c02_source_quota" -> ((s: SparkSession, d: String) => sourceQuota(s, d)),
+    "c03_pipeline" -> ((s: SparkSession, d: String) => pipeline(s, d))
   )
 
   /** Both engines compute the same lowercase-hex md5, so the selections
@@ -93,6 +111,20 @@ object CurationOps {
                   CAST(row_number() OVER (PARTITION BY source
                          ORDER BY md5(text), doc_id) AS INTEGER) AS rk
            FROM documents)
-         WHERE rk <= 50"""
+         WHERE rk <= 50""",
+    "c03_pipeline" ->
+      s"""WITH RECURSIVE ${DedupOps.clusterCtes},
+          comp AS (SELECT v, min(lbl) AS lbl FROM cc GROUP BY v),
+          survivors AS (
+            SELECT doc_id, text, source FROM documents
+            WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> lbl)
+              AND substr(md5(text), 1, 1) IN
+                  ('0','1','2','3','4','5','6','7')),
+          ranked AS (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (PARTITION BY source
+                          ORDER BY md5(text), doc_id) AS INTEGER) AS rk
+            FROM survivors)
+        SELECT doc_id, source, rk FROM ranked WHERE rk <= 20"""
   )
 }

@@ -605,7 +605,7 @@ object DedupOps {
     * oracles (pairs → symmetric edges → recursive reachable-label
     * accumulation; UNION dedups, so it terminates): one definition so
     * the two can never assert different cluster semantics. */
-  private val clusterCtes: String =
+  private[operators] val clusterCtes: String =
     s"""$minhashPortableCtes,
         pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4),
         edges AS (SELECT id_a AS v, id_b AS u FROM pairs

@@ -59,8 +59,17 @@ object SimilarityOps {
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, k: Int = 10,
       tables: Int = 8, planes: Int = 8,
-      maxBucketFreq: Long = 5000): DataFrame = {
-    val all = vecs(spark, sfDir)
+      maxBucketFreq: Long = 5000): DataFrame =
+    lshTopKOn(vecs(spark, sfDir),
+      Tables.rowCount(spark, sfDir, "embeddings"),
+      nQueries, k, tables, planes, maxBucketFreq)
+
+  /** [[lshTopK]] over any (vec_id, v) frame — fixture-injectable. */
+  def lshTopKOn(
+      all: DataFrame, corpusRows: Long,
+      nQueries: Int, k: Int,
+      tables: Int, planes: Int,
+      maxBucketFreq: Long): DataFrame = {
     // all table signatures in one compiled pass (graft_lsh_sigs), then
     // persist: referenced by both sides of the candidate join — without
     // the barrier the signature computation is inlined and re-run per use
@@ -75,7 +84,7 @@ object SimilarityOps {
     // outright when the corpus has ≤ cap rows: no bucket can exceed the
     // corpus size, so the guard is provably a no-op.
     val cold =
-      if (Tables.rowCount(spark, sfDir, "embeddings") <= maxBucketFreq) bucketed
+      if (corpusRows <= maxBucketFreq) bucketed
       else {
         val hot = bucketed.groupBy("t", "sig").count()
           .filter(col("count") > maxBucketFreq).select("t", "sig")

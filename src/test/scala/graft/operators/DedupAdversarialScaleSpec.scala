@@ -65,6 +65,29 @@ class DedupAdversarialScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cos >= 0.95, s"fixture broken: boilerplate cosine $cos below threshold")
   }
 
+  test("s02 ANN: hot boilerplate buckets are dropped, cold-region queries still fill top-k") {
+    // queries are ids 0..4 — put them in the COLD (hash-spread) region
+    // and the 80k boilerplate cluster at high ids, so the test shows a
+    // query surviving the cap: its bucket-mates are the ~20k cold
+    // vectors, while the boilerplate mega-buckets are dropped instead of
+    // flooding every probe with 80k candidates
+    val vectors = spark.range(100000).selectExpr("id AS vec_id",
+      """CASE WHEN id < 20000 THEN
+           transform(sequence(0, 7), j -> pmod(xxhash64(id, j), 1000) / 500.0d - 1.0d)
+         ELSE transform(sequence(0, 7), j -> 1.0d + ((id * 31 + j) % 7) * 1e-6d)
+         END AS embedding""")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(x AS DOUBLE)) AS v")
+    val topk = SimilarityOps.lshTopKOn(vectors, corpusRows = 100000L,
+        nQueries = 5, k = 10, tables = 4, planes = 8, maxBucketFreq = 2000)
+      .collect()
+    val perQuery = topk.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQuery == (0L until 5L).map(_ -> 10).toMap,
+      s"every cold-region query must fill its top-k, got $perQuery")
+    assert(topk.forall(_.getLong(2) < 20000),
+      "no neighbor may come from the dropped boilerplate cluster")
+  }
+
   /** 2·10^4 documents: 16k identical boilerplate texts (every band
     * signature collides — d01 exact dedup owns these), 4k unique-token
     * docs, one planted jaccard near-dup pair (19000/19001, 9 of 10
