@@ -27,7 +27,8 @@ object SparkEntry {
       RangeOps.queries ++
       CurationOps.queries ++
       graft.plans.PlannerQueries.queries ++
-      graft.streaming.EventStream.queries
+      graft.streaming.EventStream.queries ++
+      graft.streaming.StreamDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -42,5 +43,6 @@ object SparkEntry {
       RangeOps.oracleSql ++
       CurationOps.oracleSql ++
       graft.plans.PlannerQueries.oracleSql ++
-      graft.streaming.EventStream.oracleSql
+      graft.streaming.EventStream.oracleSql ++
+      graft.streaming.StreamDedup.oracleSql
 }

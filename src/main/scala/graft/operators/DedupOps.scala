@@ -131,25 +131,32 @@ object DedupOps {
       s"ascii(substr(md5(s), ${4 * i + c + 1}, 1)) * ${1L << (8 * (3 - c))}"
     }.mkString("(", " + ", ")")
 
+  /** The 8-slot portable signature over a `sh` shingle column, and the
+    * 4-band packing over the resulting `sig` — shared with the
+    * STREAMING near-dup operator so both compute the identical
+    * candidate algebra the d06 DuckDB oracle checks. */
+  private[graft] val portableSigSql: String = (0 until 8).map(i =>
+    s"array_min(transform(sh, s -> ${portableSlot(i)}))")
+    .mkString("array(", ", ", ")")
+
+  /** 2^31 multiplier: a slot packs 4 ascii codes ≤ ~1.7e9 < 2^31, so
+    * the two slot values occupy disjoint ranges of the band signature. */
+  private[graft] val portableBandSql: String =
+    """transform(sequence(0, 3),
+         b -> element_at(sig, b * 2 + 1) * 2147483648L +
+              element_at(sig, b * 2 + 2))"""
+
   def minhashPortable(
       spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sigExpr = (0 until 8).map(i =>
-      s"array_min(transform(sh, s -> ${portableSlot(i)}))")
-      .mkString("array(", ", ", ")")
     val d = Persists.barrier(
       docs(spark, sfDir)
         .withColumn("sh", Shingles.wordShingles("text", 4))
-        .withColumn("sig", expr(sigExpr))
+        .withColumn("sig", expr(portableSigSql))
         .select(col("doc_id"), col("sh"), col("sig")))
     val banded = d.select(
       col("doc_id"),
-      // 2^31 multiplier: a slot packs 4 ascii codes ≤ ~1.7e9 < 2^31, so
-      // the two slot values occupy disjoint ranges of the band signature
-      posexplode(expr(
-        """transform(sequence(0, 3),
-             b -> element_at(sig, b * 2 + 1) * 2147483648L +
-                  element_at(sig, b * 2 + 2))""")).as(Seq("band", "bsig")))
+      posexplode(expr(portableBandSql)).as(Seq("band", "bsig")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.doc_id") < col("y.doc_id"))
