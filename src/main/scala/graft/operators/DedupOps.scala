@@ -534,10 +534,28 @@ object DedupOps {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Multi-signal near-dup: the union of the text-similarity pairs
+    * (portable minhash banding, jaccard-verified) and the
+    * embedding-similarity pairs (LSH-blocked, cosine-verified), tagged
+    * by signal — production pipelines dedup on several signals and
+    * union (or vote over) the pair sets. Follows the testdata
+    * convention that vec_id indexes the same corpus as doc_id (one
+    * embedding per document). */
+  def multiSignal(spark: SparkSession, sfDir: String): DataFrame = {
+    val text = minhashPortable(spark, sfDir)
+      .select(col("id_a"), col("id_b"),
+        lit("text").as("signal"), col("jaccard").as("score"))
+    val emb = embeddingNearDup(spark, sfDir)
+      .select(col("id_a"), col("id_b"),
+        lit("embedding").as("signal"), col("cosine").as("score"))
+    text.unionByName(emb)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> ((spark: SparkSession, sfDir: String) => {
       Tables.registerAll(spark, sfDir); spark.sql(exactSql)
     }),
+    "d10_dedup_multisignal" -> (multiSignal _),
     "d08_dedup_clusters" ->
       ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "d09_dedup_keep" -> (dedupKeep _),
@@ -643,6 +661,28 @@ object DedupOps {
     "d06_dedup_minhash_portable" -> minhashPortableOracle,
     "d07_dedup_simhash_portable" -> simhashPortableOracle,
     "d08_dedup_clusters" -> clustersOracle,
-    "d09_dedup_keep" -> keepOracle
+    "d09_dedup_keep" -> keepOracle,
+    "d10_dedup_multisignal" -> multiSignalOracle
   )
+
+  /** d10's oracle: the d06 text pairs and the d05 brute-force embedding
+    * pairs union'd under their signal tags (cosine spelling is
+    * term-for-term the shared kernel — see embeddingOracle). */
+  private val multiSignalOracle: String =
+    s"""WITH $minhashPortableCtes,
+        ev AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+        epairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.v, b.v) /
+                       sqrt(list_sum(list_transform(a.v, x -> x * x)) *
+                            list_sum(list_transform(b.v, x -> x * x))),
+                       4) AS cosine
+          FROM ev a, ev b WHERE a.vec_id < b.vec_id)
+      SELECT id_a, id_b, 'text' AS signal, jaccard AS score
+      FROM j WHERE jaccard >= 0.4
+      UNION ALL
+      SELECT id_a, id_b, 'embedding' AS signal, cosine AS score
+      FROM epairs WHERE cosine >= 0.3"""
 }
