@@ -83,10 +83,8 @@ object CurationOps {
     * hash-checked end-to-end against one DuckDB query, so stage
     * interfaces can't drift either. */
   def pipeline(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    val losers = DedupOps.dedupClusters(spark, sfDir)
-      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     val survivors = docs(spark, sfDir)
-      .join(losers, Seq("doc_id"), "left_anti")
+      .join(DedupOps.clusterLosers(spark, sfDir), Seq("doc_id"), "left_anti")
       .filter(substring(md5(col("text")), 1, 1)
         .isin("0", "1", "2", "3", "4", "5", "6", "7"))
     sourceQuotaOn(survivors, k)

@@ -146,6 +146,20 @@ object DedupOps {
          b -> element_at(sig, b * 2 + 1) * 2147483648L +
               element_at(sig, b * 2 + 2))"""
 
+  /** The 4 band signatures DIRECTLY over `sh`, each slot expression
+    * appearing exactly once — for plans that cannot take a persist
+    * barrier between signature and banding (streams): referencing an
+    * intermediate `sig` column twice per band would let CollapseProject
+    * inline the full 8-slot computation into every reference (~8×
+    * recompute; the batch path persists instead). */
+  private[graft] val portableBandsDirectSql: String = {
+    def slot(i: Int) =
+      s"array_min(transform(sh, s -> ${portableSlot(i)}))"
+    (0 until 4).map(b =>
+      s"${slot(2 * b)} * 2147483648L + ${slot(2 * b + 1)}")
+      .mkString("array(", ", ", ")")
+  }
+
   def minhashPortable(
       spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -522,17 +536,23 @@ object DedupOps {
     labels
   }
 
+  /** Cluster members that lost the min-id representative election —
+    * the drop set shared by [[dedupKeep]] and the composed curation
+    * pipeline (one definition, so the keep-election semantics cannot
+    * drift between them). */
+  def clusterLosers(spark: SparkSession, sfDir: String): DataFrame =
+    dedupClusters(spark, sfDir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+
   /** The end-to-end dedup PRODUCT: the corpus minus every
     * non-representative member of a near-dup cluster — what a pipeline
     * actually feeds downstream. One left-anti join of the corpus against
     * the cluster members that lost the min-id election; docs in no pair
     * pass through untouched. */
-  def dedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
-    val losers = dedupClusters(spark, sfDir)
-      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-    docs(spark, sfDir).join(losers, Seq("doc_id"), "left_anti")
+  def dedupKeep(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .join(clusterLosers(spark, sfDir), Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
-  }
 
   /** Multi-signal near-dup: the union of the text-similarity pairs
     * (portable minhash banding, jaccard-verified) and the

@@ -70,6 +70,7 @@ object SimilarityOps {
       nQueries: Int, k: Int,
       tables: Int, planes: Int,
       maxBucketFreq: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(all.sparkSession)
     // all table signatures in one compiled pass (graft_lsh_sigs), then
     // persist: referenced by both sides of the candidate join — without
     // the barrier the signature computation is inlined and re-run per use

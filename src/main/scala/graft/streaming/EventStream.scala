@@ -173,38 +173,23 @@ object EventStream {
       }
   }
   // ------------------------------------------------- oracle-gate surface
-  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
-
   /** The streaming pipeline as a correctness-gate query: the REAL
     * file-source stream (readStream over sfDir's events.parquet) through
-    * the watermarked hourly window aggregation, run to completion with
-    * Trigger.AvailableNow into a memory sink, then surfaced as a plain
-    * DataFrame in an oracle-comparable shape. Complete output mode emits
-    * every window and the single AvailableNow batch starts at watermark
-    * 0, so nothing is late-dropped — the streaming answer must equal the
-    * batch aggregation exactly, which is what the DuckDB oracle asserts
+    * the watermarked hourly window aggregation, run to completion
+    * ([[StreamRun.toCompletion]]), then surfaced as a plain DataFrame in
+    * an oracle-comparable shape. Complete output mode emits every window
+    * and the single AvailableNow batch starts at watermark 0, so nothing
+    * is late-dropped — the streaming answer must equal the batch
+    * aggregation exactly, which is what the DuckDB oracle asserts
     * (StreamingDemo proves the same equality in-process; this entry puts
     * it under the driver's hash gate). */
-  def hourlyCountsStreamed(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = s"graft_stream_hourly_${streamRuns.incrementAndGet()}"
-    val q = hourlyCounts(readEvents(spark, sfDir, glob = "events.parquet"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    // fail LOUDLY on timeout — stopping a half-finished batch and
-    // reading the sink would masquerade as a data divergence
-    val finished = q.awaitTermination(300000)
-    if (!finished) {
-      q.stop()
-      throw new IllegalStateException(
-        "q50 streaming batch did not finish within 300s")
-    }
-    q.stop()
-    spark.table(name).select(
-      unix_micros(col("hour")).as("hour_us"), col("event_type"),
-      col("cnt"), col("sv"))
-  }
+  def hourlyCountsStreamed(spark: SparkSession, sfDir: String): DataFrame =
+    StreamRun.toCompletion(
+      hourlyCounts(readEvents(spark, sfDir, glob = "events.parquet")),
+      "graft_stream_hourly", outputMode = "complete")
+      .select(
+        unix_micros(col("hour")).as("hour_us"), col("event_type"),
+        col("cnt"), col("sv"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_stream_hourly" -> (hourlyCountsStreamed _))
