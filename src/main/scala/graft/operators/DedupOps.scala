@@ -508,29 +508,37 @@ object DedupOps {
   /** Min-label-propagation connected components over an (id_a, id_b)
     * undirected pair set — the distributed kernel behind
     * [[dedupClusters]], fixture-injectable. Output: (doc_id,
-    * cluster_id = min vertex of the component) per vertex. */
+    * cluster_id = min vertex of the component) per vertex.
+    *
+    * Each round LOCALCHECKPOINTS the label table: iterative DataFrame
+    * algorithms must truncate lineage per round — persist alone caches
+    * the data but the logical plan still nests (union-join-agg over the
+    * previous round's plan), doubling per round until driver planning
+    * blows up on long chains (caught by the union-find property spec).
+    * localCheckpoint cuts the plan at a materialized RDD; a cluster job
+    * with a fault-tolerance requirement would use reliable
+    * `checkpoint()` to HDFS instead — same shape, durable storage. */
   def connectedComponents(pairs0: DataFrame): DataFrame = {
     val pairs = Persists.barrier(pairs0)
     val edges = Persists.barrier(pairs.union(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
-    var labels = Persists.barrier(
-      edges.select(col("id_a").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")))
+    var labels = edges.select(col("id_a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
       val viaNbr = edges.join(labels,
           edges("id_b") === labels("doc_id"))
         .select(edges("id_a").as("doc_id"), col("cluster_id"))
-      val next = Persists.barrier(
-        labels.union(viaNbr).groupBy("doc_id")
-          .agg(min("cluster_id").as("cluster_id")))
+      val next = labels.union(viaNbr).groupBy("doc_id")
+        .agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
       changed = next.as("n")
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.cluster_id") < col("o.cluster_id")).count()
-      // the superseded label table is dead once `changed` materialized
-      // `next` — release it NOW, not at scope exit, so a D-round chain
-      // holds O(1) label tables in cache instead of O(D)
-      labels.unpersist(blocking = false)
+      // superseded checkpointed RDDs are dereferenced here and reclaimed
+      // by the context cleaner — O(1) live label tables regardless of
+      // the component diameter
       labels = next
     }
     labels

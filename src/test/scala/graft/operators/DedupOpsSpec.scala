@@ -114,6 +114,38 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(100) == pairs(Long.MaxValue))
   }
 
+  test("connected components match union-find on random pair graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 4) {
+      val n = 40 + rnd.nextInt(20)
+      val pairs = Seq.fill(30 + rnd.nextInt(40)) {
+        val a = rnd.nextInt(n).toLong; var b = rnd.nextInt(n).toLong
+        while (b == a) b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+      // reference: classic union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        if (parent(x) != x) parent(x) = find(parent(x)); parent(x)
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = touched.map { v =>
+        // component representative = min vertex of the component
+        val root = find(v.toInt)
+        v -> touched.filter(u => find(u.toInt) == root).min
+      }.toMap
+      val cc = DedupOps.connectedComponents(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc == expected, s"trial $trial: CC != union-find")
+    }
+  }
+
   test("connected components resolve transitive near-dup chains to one cluster") {
     val s = spark
     import s.implicits._
