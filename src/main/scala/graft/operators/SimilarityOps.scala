@@ -81,16 +81,10 @@ object SimilarityOps {
     // hot-bucket cutoff: a bucket hotter than the cap carries no
     // discriminating signal and would make candidate generation
     // quadratic in the bucket size — drop it from BOTH sides (a pair
-    // still meets in any colder table); see embeddingNearDupOn. Skipped
-    // outright when the corpus has ≤ cap rows: no bucket can exceed the
-    // corpus size, so the guard is provably a no-op.
-    val cold =
-      if (corpusRows <= maxBucketFreq) bucketed
-      else {
-        val hot = bucketed.groupBy("t", "sig").count()
-          .filter(col("count") > maxBucketFreq).select("t", "sig")
-        bucketed.join(broadcast(hot), Seq("t", "sig"), "left_anti")
-      }
+    // still meets in any colder table); shared guard, see
+    // DedupOps.dropHotBuckets for the dominance short-circuit
+    val cold = DedupOps.dropHotBuckets(bucketed, Seq("t", "sig"),
+      maxBucketFreq, Some(corpusRows))
     val q = cold.filter(col("vec_id") < nQueries)
     val cand = cold.as("c").join(broadcast(q.as("q")),
         col("q.t") === col("c.t") && col("q.sig") === col("c.sig") &&

@@ -83,9 +83,13 @@ object Experiment {
             // hash under the SAME timeout discipline as the timed runs —
             // an unbounded re-execution here would defeat the sentinel;
             // a timed-out hash stays "" (unverified), which
-            // verifyResultHashes skips rather than flags as divergence
+            // verifyResultHashes skips rather than flags as divergence.
+            // When EVERY timed run already hit the sentinel, the hash
+            // run is provably doomed too — skip the third execution.
+            val allTimedOut = runtimes.nonEmpty &&
+              runtimes.forall(_ == maxExecutionSecs * 1000.0)
             val hash =
-              if (!execute) ""
+              if (!execute || allTimedOut) ""
               else withJobTimeout(spark,
                   s"graft-exp-hash-${q.name}-${p.name}", maxExecutionSecs) {
                 resultHash(buildDf(spark, sfDir, q, pl))

@@ -32,9 +32,17 @@ object EnvClientDemo {
       * the child fills the pipe buffer with a large traceback. stdout is
       * read after exit: the client writes one small JSON line, far under
       * the pipe buffer. */
+    // resolve the client script against plausible anchors so the demo
+    // does not silently require the repo root as cwd
+    val clientScript = Seq("tools/env_client.py", "../tools/env_client.py")
+      .map(new java.io.File(_)).find(_.isFile)
+      .getOrElse(sys.error(
+        "tools/env_client.py not found — run from the repo root"))
+      .getPath
+
     def runClient(extraArgs: String*): String = {
       val pb = new ProcessBuilder(
-        (Seq("python3", "tools/env_client.py", server.boundPort.toString) ++
+        (Seq("python3", clientScript, server.boundPort.toString) ++
           extraArgs): _*)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
