@@ -178,7 +178,53 @@ object TextOps {
         FROM (SELECT doc_id, lang AS lang_actual, $scoreDefs FROM documents)"""
   }
 
+  /** TF-IDF keyword extraction: per-document top-`k` terms by
+    * tf · ln(N/df). Three distributed stages: term frequencies (one
+    * shuffle on (doc, token)), document frequencies (an aggregate over
+    * the tf table — vocabulary-sized, broadcast back), and a per-doc
+    * top-k window. Ranking orders by the ROUNDED score (then token) so
+    * the tie-break is identical across engines — the only cross-engine
+    * float risk is ln() differing in the last ulp exactly at a 4th-
+    * decimal rounding boundary, the same negligible-probability class as
+    * the other float oracles (see bruteOracle). */
+  def tfidfTopTerms(
+      spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val docsDf = Tables.load(spark, sfDir, "documents")
+    val n = Tables.rowCount(spark, sfDir, "documents").toDouble
+    val tf = docsDf
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "tok")
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(lit(n) / col("df")), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("int").as("rk"),
+        col("tok"), col("score"))
+  }
+
+  val tfidfOracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+       tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.tok,
+                round(tf.tf * ln(n.n / dfreq.df), 4) AS score
+         FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n),
+       ranked AS (
+         SELECT doc_id,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, tok) AS INTEGER) AS rk,
+                tok, score
+         FROM scored)
+     SELECT doc_id, rk, tok, score FROM ranked WHERE rk <= 5"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t07_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "t01_quality" -> qualityStats _,
     "t02_tokens" -> tokenCounts _,
     "t03_fingerprint_md5" -> ((spark: SparkSession, sfDir: String) => {
@@ -202,7 +248,8 @@ object TextOps {
     "t03_fingerprint_md5" -> fingerprintMd5Sql,
     "t04_fingerprint_rolling" -> fingerprintRollingOracle,
     "t05_langid" -> langIdOracle,
-    "t06_subwords" -> subwordOracle
+    "t06_subwords" -> subwordOracle,
+    "t07_tfidf" -> tfidfOracle
   )
 }
 
