@@ -90,10 +90,40 @@ object CurationOps {
     sourceQuotaOn(survivors, k)
   }
 
+  /** Decontamination: flag TRAINING documents that share ≥ `minShared`
+    * distinct `shingleK`-word shingles with any EVAL document — the
+    * benchmark-leakage check every pretraining pipeline runs before
+    * training. Output: (train_id, eval_id, n_shared) per contaminated
+    * pair.
+    *
+    * Scale shape: both sides explode to (shingle, doc) rows and meet on
+    * the shingle key. The EVAL side is small by nature (benchmarks are
+    * thousands of docs, the corpus is billions), so it broadcasts —
+    * per-key work is train-key-frequency × eval-key-frequency, linear
+    * in the corpus even for boilerplate shingles because the eval
+    * factor is bounded. */
+  def decontaminate(
+      spark: SparkSession, sfDir: String,
+      evalSource: String = "src0", shingleK: Int = 8,
+      minShared: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, sfDir).select(col("doc_id"), col("source"),
+      Shingles.wordShingles("text", shingleK).as("sh"))
+    val evalSh = d.filter(col("source") === evalSource)
+      .select(col("doc_id").as("eval_id"), explode(col("sh")).as("key"))
+    val trainSh = d.filter(col("source") =!= evalSource)
+      .select(col("doc_id").as("train_id"), explode(col("sh")).as("key"))
+    trainSh.join(broadcast(evalSh), "key")
+      .groupBy("train_id", "eval_id")
+      .agg(countDistinct("key").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_hash_split" -> (hashSplit _),
     "c02_source_quota" -> ((s: SparkSession, d: String) => sourceQuota(s, d)),
-    "c03_pipeline" -> ((s: SparkSession, d: String) => pipeline(s, d))
+    "c03_pipeline" -> ((s: SparkSession, d: String) => pipeline(s, d)),
+    "c04_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d))
   )
 
   /** Both engines compute the same lowercase-hex md5, so the selections
@@ -123,6 +153,25 @@ object CurationOps {
                    CAST(row_number() OVER (PARTITION BY source
                           ORDER BY md5(text), doc_id) AS INTEGER) AS rk
             FROM survivors)
-        SELECT doc_id, source, rk FROM ranked WHERE rk <= 20"""
+        SELECT doc_id, source, rk FROM ranked WHERE rk <= 20""",
+    // the shingle CTE is the WordShingles contract: sliding distinct
+    // 8-word windows, whole text when shorter (see d04's oracle)
+    "c04_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+                  CASE WHEN len(string_split(text, ' ')) < 8 THEN [text]
+                       ELSE list_distinct(list_transform(
+                              range(1, len(string_split(text, ' ')) - 6),
+                              i -> array_to_string(
+                                     string_split(text, ' ')[i:i+7], ' ')))
+                  END AS shl
+           FROM documents),
+         e AS (SELECT doc_id AS eval_id, unnest(shl) AS key FROM d
+               WHERE source = 'src0'),
+         t AS (SELECT doc_id AS train_id, unnest(shl) AS key FROM d
+               WHERE source <> 'src0')
+       SELECT train_id, eval_id, count(DISTINCT key) AS n_shared
+       FROM t JOIN e USING (key)
+       GROUP BY 1, 2 HAVING count(DISTINCT key) >= 1"""
   )
 }
