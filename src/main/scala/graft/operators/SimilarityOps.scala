@@ -98,6 +98,97 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  // ----------------------------------------------- portable LSH twin
+  /** Integer hyperplane coefficient for (table `t`, plane `p`,
+    * dimension j) — pure integer arithmetic expressible identically in
+    * Spark SQL and DuckDB, symmetric around 0 (range −9..9), so the
+    * sign-random-projection family needs no gaussian draws and no
+    * stored model. ONE string shared by both engines. */
+  private def coefSql(t: Int, p: Int): String =
+    s"CAST(((($t * 131) + ($p * 37) + j * 17) % 19) - 9 AS DOUBLE)"
+
+  private val portTables = 4
+  private val portPlanes = 8
+
+  /** [[lshTopK]] with the PORTABLE hyperplane family: per (table,
+    * plane), the projection is Σ_j v[j]·coef(t,p,j) folded
+    * left-to-right (bit-parity across engines — see s03), the per-table
+    * bucket signature packs the 8 sign bits, and candidates are
+    * vectors sharing a bucket with a query in ANY table — fully
+    * deterministic, so unlike s02 (whose xxhash64-derived planes DuckDB
+    * cannot compute) the ENTIRE result including recall is hash-exact
+    * against the oracle. Not the hot path (s02's native codegen kernel
+    * stays the benched implementation); this twin exists so the
+    * random-projection ANN ALGEBRA (projection, sign-packing,
+    * bucketing, candidate join, rounded-cosine top-k) carries a DuckDB
+    * oracle, the d06/d07 pattern applied to ANN. */
+  def lshTopKPortable(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val sigExpr = (0 until portTables).map { t =>
+      (0 until portPlanes).map { p =>
+        s"""CASE WHEN aggregate(sequence(0, 63), 0D,
+              (acc, j) -> acc + element_at(v, j + 1) * ${coefSql(t, p)})
+              >= 0 THEN ${1 << p} ELSE 0 END"""
+      }.mkString("(", " + ", ")")
+    }.mkString("array(", ", ", ")")
+    val bucketed = Persists.barrier(all
+      .withColumn("sigs", expr(sigExpr))
+      .select(col("vec_id"), col("v"),
+        posexplode(col("sigs")).as(Seq("t", "sig"))))
+    val q = bucketed.filter(col("vec_id") < nQueries)
+    val cand = bucketed.as("c").join(broadcast(q.as("q")),
+        col("q.t") === col("c.t") && col("q.sig") === col("c.sig") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(cosineExpr, 4).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** DuckDB twin of [[lshTopKPortable]]: same coefficients (shared
+    * string), same left-to-right projection fold, same sign-packing and
+    * bucket join, same rounded-cosine ranking. */
+  private val lshPortableOracle: String = {
+    val sigCase = (p: Int, t: Int) =>
+      s"""(CASE WHEN list_sum(list_transform(range(0, 64),
+            j -> v[j + 1] * ${coefSql(t, p)})) >= 0 THEN ${1 << p} ELSE 0 END)"""
+    val perTable = (0 until portTables).map { t =>
+      val sig = (0 until portPlanes).map(p => sigCase(p, t)).mkString(" + ")
+      s"SELECT vec_id, $t AS t, $sig AS sig FROM v"
+    }.mkString("\n UNION ALL ")
+    s"""WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       sigs AS ($perTable),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM sigs q JOIN sigs c
+           ON q.t = c.t AND q.sig = c.sig
+          AND q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       scored AS (
+         SELECT cand.query_id, cand.neighbor_id,
+                round(list_dot_product(a.v, b.v) /
+                      sqrt(list_sum(list_transform(a.v, x -> x * x)) *
+                           list_sum(list_transform(b.v, x -> x * x))),
+                      4) AS cosine
+         FROM cand
+         JOIN v a ON a.vec_id = cand.query_id
+         JOIN v b ON b.vec_id = cand.neighbor_id),
+       ranked AS (
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+                neighbor_id, cosine
+         FROM scored)
+     SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10"""
+  }
+
   /** IVF (inverted-file) ANN: partition vectors into Voronoi cells of a
     * deterministic centroid sample (every `centroidMod`-th vector — a
     * fitted k-means would slot in identically), assign each vector to
@@ -214,7 +305,9 @@ object SimilarityOps {
     "s01_ann_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "s03_vector_norms" -> (norms _),
-    "s04_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d))
+    "s04_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
+    "s05_ann_lsh_portable" ->
+      ((s: SparkSession, d: String) => lshTopKPortable(s, d))
   )
 
   /** Brute-force top-k is fully deterministic, so it oracle-checks: the
@@ -300,6 +393,7 @@ object SimilarityOps {
   def oracleSql: Map[String, String] = Map(
     "s01_ann_brute" -> bruteOracle,
     "s03_vector_norms" -> normsOracle,
-    "s04_ann_ivf" -> ivfOracle
+    "s04_ann_ivf" -> ivfOracle,
+    "s05_ann_lsh_portable" -> lshPortableOracle
   )
 }
