@@ -84,15 +84,21 @@ object Bench {
         try {
           if (dropCache && !tryDropCache()) dropsFailed = true
           val cold = once()
-          val steady =
-            if (runsPerQuery == 1) cold
-            else Seq.fill(runsPerQuery - 1)(once()).min
-          (name, steady, cold)
+          // ALL warm runtimes are kept and emitted (queries_warm) so a
+          // cross-round reader can re-aggregate; the headline per-query
+          // number is their MIN, declared via "steady_agg" in the JSON —
+          // with SPARK_GRAFT_RUNS>2, min-of-warm is biased low relative
+          // to a single second run, and the field makes that visible
+          // instead of silently changing the series' meaning.
+          val warm =
+            if (runsPerQuery == 1) Seq(cold)
+            else Seq.fill(runsPerQuery - 1)(once())
+          (name, warm.min, cold, warm)
         }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            (name, -1.0, -1.0)
+            (name, -1.0, -1.0, Seq.empty[Double])
         }
       }
     }
@@ -100,11 +106,14 @@ object Bench {
       if (dropCache && !dropsFailed) "dropped-before-cold-runs"
       else if (dropCache) "drop-requested-but-failed"
       else "warm-fs"
-    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
+    val qs = results.map { case (k, v, _, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val qsCold = results.map { case (k, _, c) => f""""$k":$c%.3f""" }
+    val qsCold = results.map { case (k, _, c, _) => f""""$k":$c%.3f""" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _) if v < 0 => s""""$k"""" }
+    val qsWarm = results.map { case (k, _, _, w) =>
+      s""""$k":${w.map(t => f"$t%.3f").mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _, _) if v < 0 => s""""$k"""" }
     if (failed.nonEmpty) {
       // a failing query must read as a FAILURE, not as a faster total —
       // report value:-1 + the failed list and exit nonzero
@@ -118,6 +127,7 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""queries_cold":$qsCold,"total_cold":$totalCold%.3f,""" +
+        f""""queries_warm":$qsWarm,"steady_agg":"min",""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir"}""")
     spark.stop()
   }

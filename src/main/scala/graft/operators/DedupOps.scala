@@ -382,19 +382,30 @@ object DedupOps {
       tables: Int = 32, planes: Int = 2,
       maxBucketFreq: Long = 5000): DataFrame = {
     val rows = Tables.rowCount(spark, sfDir, "embeddings")
-    // The cutoff exists to drop DEGENERATE buckets (≫ expected size),
-    // not ordinary ones: with coarse planes the expected bucket is
-    // n/2^planes, so a fixed cap starts dropping ordinary buckets —
-    // and silently collapsing recall — once n > cap·2^planes (~20k at
-    // planes=2). Scale the cap to 4× the expected bucket size so
-    // ordinary buckets always clear it while anything 4×-over-expected
-    // is still treated as signal-free. At production thresholds
-    // (planes 8–16) the expected-size term stays below the configured
-    // floor until n ≈ cap·2^planes/4, and the floor governs.
-    val scaledCap = maxBucketFreq.max(4L * rows >> planes)
     embeddingNearDupOn(Tables.load(spark, sfDir, "embeddings"),
-      threshold, tables, planes, scaledCap, corpusRows = Some(rows))
+      threshold, tables, planes, scaledEmbeddingCap(rows, planes, maxBucketFreq),
+      corpusRows = Some(rows))
   }
+
+  /** The d05 hot-bucket cap as a function of corpus size.
+    *
+    * The cutoff exists to drop DEGENERATE buckets (≫ expected size),
+    * not ordinary ones: with coarse planes the expected bucket is
+    * n/2^planes, so a fixed cap starts dropping ordinary buckets —
+    * and silently collapsing recall — once n > cap·2^planes (~20k at
+    * planes=2). Scale the cap to 4× the expected bucket size so
+    * ordinary buckets always clear it while anything 4×-over-expected
+    * is still treated as signal-free — but BOUND the scaled term at
+    * n/2: at planes = 2 the raw 4n/2^planes equals n, the maximum any
+    * bucket can hold, which would make the backstop vacuous exactly at
+    * the shipped default. n/2 is still 2× the planes=2 expected bucket
+    * (ordinary buckets concentrate tightly around n/4 for any
+    * non-adversarial corpus), while an all-boilerplate bucket — the
+    * degenerate case the cap exists for — blows past it. At production
+    * thresholds (planes 8–16) the expected-size term stays below the
+    * configured floor until n ≈ cap·2^planes/4, and the floor governs. */
+  def scaledEmbeddingCap(rows: Long, planes: Int, floor: Long = 5000): Long =
+    floor.max((4L * rows >> planes).min(rows / 2))
 
   /** [[embeddingNearDup]] over any (vec_id, embedding) frame —
     * fixture-injectable.

@@ -75,9 +75,14 @@ object StreamDedup {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[Bucket]) =>
           var members = state.getOption.map(_.members).getOrElse(Vector.empty)
+          // membership as a Set, rebuilt ONCE per invocation (O(size)),
+          // so per-arrival checks are O(1) — a Vector.contains per
+          // arrival is O(size) and makes bucket maintenance quadratic
+          // across a full micro-batch even when nothing is emitted
+          val seen = scala.collection.mutable.HashSet.from(members)
           val out = Vector.newBuilder[IdPair]
           rows.foreach { r =>
-            if (members.size < maxBucket && !members.contains(r.doc_id)) {
+            if (members.size < maxBucket && seen.add(r.doc_id)) {
               members.foreach { mid =>
                 if (mid < r.doc_id) out += IdPair(mid, r.doc_id)
                 else out += IdPair(r.doc_id, mid)

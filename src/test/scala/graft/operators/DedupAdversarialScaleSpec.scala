@@ -118,6 +118,53 @@ class DedupAdversarialScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "boilerplate cluster must be dropped by the hot-bucket cap")
   }
 
+  test("d05 cap scaling: the scaled term is bounded below the corpus size") {
+    // at the shipped default planes=2, the raw 4n/2^planes equals n —
+    // the maximum possible bucket size — so an unbounded scale term
+    // would make the backstop vacuous exactly at the default
+    assert(DedupOps.scaledEmbeddingCap(100000L, 2) == 50000L)
+    assert(DedupOps.scaledEmbeddingCap(12000L, 2) == 6000L)
+    // small corpora: the floor governs (and the corpus≤cap dominance
+    // short-circuit keeps the gate SFs byte-identical)
+    assert(DedupOps.scaledEmbeddingCap(500L, 2) == 5000L)
+    assert(DedupOps.scaledEmbeddingCap(5000L, 2) == 5000L)
+    // fine planes: 4× expected bucket stays below n/2 and governs
+    assert(DedupOps.scaledEmbeddingCap(1000000L, 8) == 15625L)
+  }
+
+  test("d05 embedding through embeddingNearDup DEFAULTS: boilerplate dropped at planes=2") {
+    // exercises the DEFAULT parameter path (planes=2, floor=5000,
+    // tables=32, τ=0.3) end-to-end via a fixture sfDir — n=12000 puts
+    // the scaled cap at 6000 < n, so the 11k-member boilerplate bucket
+    // must be dropped in every table while planted cold-region twins
+    // (identical direction ⇒ identical signs in all 32 tables) survive
+    // boilerplate is EXACTLY identical here (d01 exact dedup owns those)
+    // — at planes=2 a near-identical cluster can straddle a borderline
+    // hyperplane and split into sub-buckets below the cap, which is a
+    // fixture artifact, not the degenerate-bucket case under test
+    val dir = new java.io.File("target/tmp/adv-defaults").getAbsolutePath
+    spark.range(12000).selectExpr("id AS vec_id",
+      """CASE
+           WHEN id < 11000 THEN
+             transform(sequence(0, 7), j -> 1.0d)
+           WHEN id >= 11900 AND id < 11910 THEN
+             transform(sequence(0, 7),
+               j -> (pmod(xxhash64(id - id % 2, j), 1000) / 500.0d - 1.0d)
+                      * (1.0d + (id % 2) * 1e-6d))
+           ELSE transform(sequence(0, 7),
+             j -> cast(pmod(xxhash64(id, j), 1000) / 500.0d - 1.0d AS DOUBLE))
+         END AS embedding""")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(dir, "embeddings.parquet").getAbsolutePath)
+    val pairs = DedupOps.embeddingNearDup(spark, dir)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 5).map(k => (11900L + 2 * k, 11901L + 2 * k)).toSet
+    assert(planted.subsetOf(pairs), s"planted pairs missing: ${planted -- pairs}")
+    assert(!pairs.exists(p => p._1 < 11000 && p._2 < 11000),
+      "boilerplate cluster must be dropped by the default-scaled cap")
+  }
+
   test("d03 simhash: boilerplate-identical 20k corpus stays bounded, planted recall 100%") {
     val pairs = DedupOps.simhashPairsOn(skewedDocs,
         maxBucketFreq = 2000, corpusRows = Some(20000L))
