@@ -40,9 +40,14 @@ object CurationOps {
     * phase 2 ranks the thinned set on source alone, now bounded. The
     * global top-k by a per-row score equals the top-k of the union of
     * per-partition top-ks, so the result is IDENTICAL to the one-window
-    * form — which is exactly what the plain-SQL DuckDB oracle asserts. */
+    * form — which is exactly what the plain-SQL DuckDB oracle asserts.
+    *
+    * The default k = 15 sits below the smallest gate corpus's 25 docs
+    * per source (20 sources at sf0.01), so the quota actually PRUNES at
+    * every verification SF — a default that keeps everything verifies
+    * only the no-op path. */
   def sourceQuota(
-      spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
+      spark: SparkSession, sfDir: String, k: Int = 15): DataFrame =
     sourceQuotaOn(docs(spark, sfDir), k)
 
   /** [[sourceQuota]] over any (doc_id, text, source) frame —
@@ -82,7 +87,7 @@ object CurationOps {
     * Each stage is the already-oracled operator; the composition is
     * hash-checked end-to-end against one DuckDB query, so stage
     * interfaces can't drift either. */
-  def pipeline(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+  def pipeline(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
     val survivors = docs(spark, sfDir)
       .join(DedupOps.clusterLosers(spark, sfDir), Seq("doc_id"), "left_anti")
       .filter(substring(md5(col("text")), 1, 1)
@@ -119,17 +124,112 @@ object CurationOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  // ------------------------------------------------------ PII redaction
+  /** Regex families shared VERBATIM between Spark (Java regex) and the
+    * DuckDB oracle (RE2) — restricted to the common dialect (character
+    * classes, bounded repeats; no lookarounds, no \d shorthand). */
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val ipPat = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+  val phonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** A deterministic PII-bearing text derived from (doc_id, text) —
+    * engine-neutral SQL (|| concat, lpad, CASE), so both engines build
+    * byte-identical inputs: the corpus text itself is digit-free, which
+    * would make a redaction pass a no-op and verify nothing. Docs get
+    * an email unless doc_id%3=0, an IP when doc_id%2=0, and a phone
+    * unless doc_id%5=0 — so the per-doc match counts actually vary. */
+  private val piiTextSql =
+    """text
+       || CASE WHEN doc_id % 3 = 0 THEN ''
+               ELSE ' mail u' || doc_id || '@ex' || (doc_id % 7) || '.org' END
+       || CASE WHEN doc_id % 2 = 0
+               THEN ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+               ELSE '' END
+       || CASE WHEN doc_id % 5 = 0 THEN ''
+               ELSE ' tel 555-' || lpad('' || (doc_id % 1000), 3, '0')
+                    || '-' || lpad('' || (doc_id % 10000), 4, '0') END"""
+
+  /** PII redaction: scrub emails → <EMAIL>, IPv4 → <IP>, phone numbers
+    * → <PHONE> (that order: the IP pass must not see digits an email
+    * consumed), and count each family. One narrow codegen'd projection
+    * — regexp_replace/regexp_extract_all are native Catalyst
+    * expressions, no UDF, no shuffle; at 100 TB this is a pure map
+    * stage bounded by scan throughput. */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).selectExpr(
+      "doc_id",
+      s"""regexp_replace(regexp_replace(regexp_replace(($piiTextSql),
+            '$emailPat', '<EMAIL>'),
+            '$ipPat', '<IP>'),
+            '$phonePat', '<PHONE>') AS clean""",
+      s"size(regexp_extract_all(($piiTextSql), '$emailPat', 0)) AS n_email",
+      s"size(regexp_extract_all(($piiTextSql), '$ipPat', 0)) AS n_ip",
+      s"size(regexp_extract_all(($piiTextSql), '$phonePat', 0)) AS n_phone")
+
+  // ------------------------------------------- stratified hash sampling
+  /** Per-stratum sampling rates as HEX-PREFIX thresholds: lowercase hex
+    * compares lexically in digit order, so `substr(md5(text),1,2) <
+    * '80'` keeps exactly the 128/256 half of content-hash space — the
+    * deterministic analog of bernoulli sampling, portable to any engine
+    * with md5. 'zz' sorts above every hex digit = keep-all. */
+  val langRates: Seq[(String, String)] =
+    Seq("en" -> "80", "es" -> "zz", "de" -> "zz", "fr" -> "zz", "zh" -> "c0")
+
+  /** Deterministic stratified sampling — the training-mix step that
+    * downsamples over-represented strata (here: keep 50% of 'en', 75%
+    * of 'zh', all of the rest). Content-hash thresholds, not rand():
+    * re-runs, engines, and partitionings all select the SAME rows, and
+    * exact duplicates sample identically (they share a hash), so the
+    * mix can't silently diverge between pipeline runs. A codegen'd
+    * filter, no shuffle. */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val thr = langRates.map { case (l, t) => s"WHEN '$l' THEN '$t'" }
+      .mkString("CASE lang ", " ", " ELSE '00' END")
+    docs(spark, sfDir)
+      .filter(expr(s"substring(md5(text), 1, 2) < $thr"))
+      .select("doc_id", "lang", "source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_hash_split" -> (hashSplit _),
     "c02_source_quota" -> ((s: SparkSession, d: String) => sourceQuota(s, d)),
     "c03_pipeline" -> ((s: SparkSession, d: String) => pipeline(s, d)),
-    "c04_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d))
+    "c04_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
+    "c05_pii_redact" -> (piiRedact _),
+    "c07_sample_stratified" -> (sampleStratified _)
   )
 
   /** Both engines compute the same lowercase-hex md5, so the selections
     * are byte-identical; rk is CAST to INTEGER (Spark row_number is
     * int32, DuckDB int64). */
+  /** c05's DuckDB twin: same fixture construction (the shared
+    * engine-neutral [[piiTextSql]]), same patterns, same replace order;
+    * DuckDB's regexp_replace is first-match-only without the 'g' flag,
+    * and its len() is int64 where Spark's size() is int32. */
+  private val piiOracle: String = {
+    def rr(inner: String, pat: String, tag: String) =
+      s"regexp_replace($inner, '$pat', '<$tag>', 'g')"
+    val clean = rr(rr(rr("pt", emailPat, "EMAIL"), ipPat, "IP"),
+      phonePat, "PHONE")
+    def cnt(pat: String, as: String) =
+      s"CAST(len(regexp_extract_all(pt, '$pat')) AS INTEGER) AS $as"
+    s"""WITH p AS (SELECT doc_id, ($piiTextSql) AS pt FROM documents)
+        SELECT doc_id, $clean AS clean,
+               ${cnt(emailPat, "n_email")}, ${cnt(ipPat, "n_ip")},
+               ${cnt(phonePat, "n_phone")}
+        FROM p"""
+  }
+
+  private val stratOracle: String = {
+    val thr = langRates.map { case (l, t) => s"WHEN '$l' THEN '$t'" }
+      .mkString("CASE lang ", " ", " ELSE '00' END")
+    s"""SELECT doc_id, lang, source FROM documents
+        WHERE substring(md5(text), 1, 2) < $thr"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "c05_pii_redact" -> piiOracle,
+    "c07_sample_stratified" -> stratOracle,
     "c01_hash_split" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE substr(md5(text), 1, 1) IN ('0', '1')""",
@@ -139,7 +239,7 @@ object CurationOps {
                   CAST(row_number() OVER (PARTITION BY source
                          ORDER BY md5(text), doc_id) AS INTEGER) AS rk
            FROM documents)
-         WHERE rk <= 50""",
+         WHERE rk <= 15""",
     "c03_pipeline" ->
       s"""WITH RECURSIVE ${DedupOps.clusterCtes},
           comp AS (SELECT v, min(lbl) AS lbl FROM cc GROUP BY v),
@@ -153,7 +253,7 @@ object CurationOps {
                    CAST(row_number() OVER (PARTITION BY source
                           ORDER BY md5(text), doc_id) AS INTEGER) AS rk
             FROM survivors)
-        SELECT doc_id, source, rk FROM ranked WHERE rk <= 20""",
+        SELECT doc_id, source, rk FROM ranked WHERE rk <= 10""",
     // the shingle CTE is the WordShingles contract: sliding distinct
     // 8-word windows, whole text when shorter (see d04's oracle)
     "c04_decontaminate" ->
