@@ -26,6 +26,7 @@ object SparkEntry {
       AsofOps.queries ++
       RangeOps.queries ++
       CurationOps.queries ++
+      graft.sources.SourceFormats.queries ++
       graft.plans.PlannerQueries.queries ++
       graft.streaming.EventStream.queries ++
       graft.streaming.StreamDedup.queries
@@ -42,6 +43,7 @@ object SparkEntry {
       AsofOps.oracleSql ++
       RangeOps.oracleSql ++
       CurationOps.oracleSql ++
+      graft.sources.SourceFormats.oracleSql ++
       graft.plans.PlannerQueries.oracleSql ++
       graft.streaming.EventStream.oracleSql ++
       graft.streaming.StreamDedup.oracleSql

@@ -573,6 +573,30 @@ object DedupOps {
       .join(clusterLosers(spark, sfDir), Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
 
+  /** Quality-aware representative election: within each near-dup
+    * cluster keep the member with the MOST content (n_chars desc,
+    * doc_id asc tie-break) instead of d09's min-id pick — what
+    * production pipelines actually do, since near-dup clusters often
+    * contain one full document and several truncated copies, and min-id
+    * keeps a truncation whenever it sorts first.
+    *
+    * Scale shape: the window partitions by cluster_id, and clusters are
+    * near-dup components — small by construction (the pair generators
+    * are banded + capped), so no window partition can be a scale hazard
+    * the pair stage didn't already cap. */
+  def dedupKeepQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val losers = d.select("doc_id", "n_chars")
+      .join(dedupClusters(spark, sfDir), "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1).select("doc_id")
+    d.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Multi-signal near-dup: the union of the text-similarity pairs
     * (portable minhash banding, jaccard-verified) and the
     * embedding-similarity pairs (LSH-blocked, cosine-verified), tagged
@@ -598,6 +622,7 @@ object DedupOps {
     "d08_dedup_clusters" ->
       ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "d09_dedup_keep" -> (dedupKeep _),
+    "d11_dedup_keep_quality" -> (dedupKeepQuality _),
     "d02_dedup_minhash" ->
       ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "d06_dedup_minhash_portable" ->
@@ -693,8 +718,22 @@ object DedupOps {
       SELECT doc_id, lang, source, n_chars FROM documents
       WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> lbl)"""
 
+  /** d11's oracle: the same components, then a per-cluster qualifying
+    * window on (n_chars DESC, doc_id) — rank 1 is the keeper. */
+  private val keepQualityOracle: String =
+    s"""WITH RECURSIVE $clusterCtes,
+        comp AS (SELECT v, min(lbl) AS lbl FROM cc GROUP BY v),
+        ranked AS (
+          SELECT d.doc_id,
+                 row_number() OVER (PARTITION BY c.lbl
+                   ORDER BY d.n_chars DESC, d.doc_id) AS rk
+          FROM documents d JOIN comp c ON d.doc_id = c.v)
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)"""
+
   def oracleSql: Map[String, String] = Map(
     "d01_dedup_exact" -> exactSql,
+    "d11_dedup_keep_quality" -> keepQualityOracle,
     "d04_dedup_ngram" -> ngramOracle,
     "d05_dedup_embedding" -> embeddingOracle,
     "d06_dedup_minhash_portable" -> minhashPortableOracle,

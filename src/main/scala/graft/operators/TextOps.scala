@@ -223,7 +223,54 @@ object TextOps {
          FROM scored)
      SELECT doc_id, rk, tok, score FROM ranked WHERE rk <= 5"""
 
+  // ------------------------------------------------------- repetition
+  /** Gopher-style repetition signals: per document, the fraction of
+    * duplicate words (1 − distinct/total) and the share of the single
+    * most frequent word, plus the resulting keep/drop verdict — the
+    * filters that catch boilerplate and degenerate generations that
+    * length/stopword stats (t01) miss.
+    *
+    * Scale shape: explode → two-stage hash aggregation. The first
+    * groupBy keys on (doc_id, word), so partial map-side combine runs
+    * before the only shuffle and no global hot-word key exists — the
+    * hottest possible key is one word within one document. The second
+    * aggregation is per-doc and tiny. No UDFs, no windows. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("words"),
+        count(lit(1)).as("distinct_words"),
+        max("c").as("top_word_n"))
+      .select(col("doc_id"), col("words"), col("distinct_words"),
+        col("top_word_n"),
+        round(lit(1.0) - col("distinct_words") / col("words"), 4)
+          .as("rep_ratio"),
+        round(col("top_word_n") / col("words"), 4).as("top_word_frac"))
+      .withColumn("keep",
+        col("rep_ratio") <= 0.8 && col("top_word_frac") <= 0.2)
+
+  val repetitionOracle: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+        pw AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        ag AS (SELECT doc_id,
+                      CAST(sum(c) AS BIGINT) AS words,
+                      count(*) AS distinct_words,
+                      max(c) AS top_word_n
+               FROM pw GROUP BY 1)
+      SELECT doc_id, words, distinct_words, top_word_n,
+             round(1.0 - distinct_words / CAST(words AS DOUBLE), 4)
+               AS rep_ratio,
+             round(top_word_n / CAST(words AS DOUBLE), 4) AS top_word_frac,
+             (round(1.0 - distinct_words / CAST(words AS DOUBLE), 4) <= 0.8
+              AND round(top_word_n / CAST(words AS DOUBLE), 4) <= 0.2)
+               AS keep
+      FROM ag"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t08_repetition" -> (repetition _),
     "t07_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "t01_quality" -> qualityStats _,
     "t02_tokens" -> tokenCounts _,
@@ -243,6 +290,7 @@ object TextOps {
        FROM documents"""
 
   def oracleSql: Map[String, String] = Map(
+    "t08_repetition" -> repetitionOracle,
     "t01_quality" -> qualityOracle,
     "t02_tokens" -> tokenOracle,
     "t03_fingerprint_md5" -> fingerprintMd5Sql,

@@ -20,6 +20,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "asof" -> AsofOps.queries.keySet,
     "range" -> RangeOps.queries.keySet,
     "curation" -> CurationOps.queries.keySet,
+    "formats" -> graft.sources.SourceFormats.queries.keySet,
     "planners" -> graft.plans.PlannerQueries.queries.keySet,
     "stream-events" -> graft.streaming.EventStream.queries.keySet,
     "stream-dedup" -> graft.streaming.StreamDedup.queries.keySet)
