@@ -19,7 +19,9 @@ object PlanAudit {
       "q21_in_subquery", "p01_planner_dpccp", "d02_dedup_minhash",
       "s01_ann_brute", "s04_ann_ivf", "t01_quality",
       "q46_salted_join", "q47_asof_join", "q48_range_join",
-      "c01_hash_split", "c02_source_quota", "d09_dedup_keep")
+      "c01_hash_split", "c02_source_quota", "d09_dedup_keep",
+      "c05_pii_redact", "c07_sample_stratified", "t08_repetition",
+      "d11_dedup_keep_quality", "q54_partitioned_sink")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature
@@ -47,6 +49,10 @@ object PlanAudit {
           s"wscg=${"\\*\\(\\d+\\)".r.findAllIn(plan).toSeq.distinct.size}")
         // ReadSchema lines: show pruning
         "ReadSchema: [^\n]+".r.findAllIn(plan).toSeq.distinct.take(6)
+          .foreach(s => println("   " + s.take(150)))
+        // hive-partitioned reads: a non-empty PartitionFilters proves
+        // directory-level pruning (q54)
+        "PartitionFilters: \\[[^\\]]+\\]".r.findAllIn(plan).toSeq.distinct
           .foreach(s => println("   " + s.take(150)))
       }
     }
