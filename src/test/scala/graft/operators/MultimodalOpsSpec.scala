@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The REAL half of the multimodal kernels: the pure-JVM PPM (P6)
+  * decode/encode/resize path, standalone and through the distributed
+  * decodeBatched shape (valid payloads decode for real, everything else
+  * falls back to the deterministic fake — never throws). */
+class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** w×h gradient raster: pixel (x,y) = (x%256, y%256, (x+y)%256). */
+  private def gradient(w: Int, h: Int): MultimodalOps.PpmImage = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      px(i) = (x % 256).toByte
+      px(i + 1) = (y % 256).toByte
+      px(i + 2) = ((x + y) % 256).toByte
+    }
+    MultimodalOps.PpmImage(w, h, px)
+  }
+
+  test("PPM round-trip is lossless, header comments and whitespace parse") {
+    val img = gradient(13, 7)
+    val decoded = MultimodalOps.decodePpm(MultimodalOps.encodePpm(img))
+    assert(decoded.contains(img.copy(pixels = decoded.get.pixels)))
+    assert(java.util.Arrays.equals(decoded.get.pixels, img.pixels))
+
+    // netpbm header laxity: comments + multi-whitespace between tokens
+    val weird = ("P6\n# a comment\n 13 # inline\n\t7\n255\n")
+      .getBytes("US-ASCII") ++ img.pixels
+    val d2 = MultimodalOps.decodePpm(weird).get
+    assert(d2.width == 13 && d2.height == 7)
+    assert(java.util.Arrays.equals(d2.pixels, img.pixels))
+  }
+
+  test("malformed payloads return None, never throw") {
+    val img = gradient(4, 4)
+    val good = MultimodalOps.encodePpm(img)
+    assert(MultimodalOps.decodePpm(Array[Byte]()).isEmpty)
+    assert(MultimodalOps.decodePpm("P5\n4 4\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(MultimodalOps.decodePpm(good.dropRight(1)).isEmpty) // truncated
+    assert(MultimodalOps.decodePpm(good ++ Array[Byte](0)).isEmpty) // trailing
+    assert(MultimodalOps.decodePpm(
+      "P6\n4 4\n65535\n".getBytes("US-ASCII") ++ img.pixels).isEmpty) // 16-bit
+    assert(MultimodalOps.decodePpm(
+      "P6\n0 4\n255\n".getBytes("US-ASCII")).isEmpty) // zero dim
+  }
+
+  test("nearest-neighbor resize samples block top-left corners") {
+    val img = gradient(8, 6)
+    val half = MultimodalOps.resizePpm(img, 2)
+    assert(half.width == 4 && half.height == 3)
+    // pixel (x,y) of the half image == pixel (2x,2y) of the original
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val d = (y * 4 + x) * 3
+      val s = ((2 * y) * 8 + (2 * x)) * 3
+      assert(half.pixels(d) == img.pixels(s))
+      assert(half.pixels(d + 1) == img.pixels(s + 1))
+      assert(half.pixels(d + 2) == img.pixels(s + 2))
+    }
+    // resize of an encoded round-trip equals resize of the original
+    val viaBytes = MultimodalOps.resizePpm(
+      MultimodalOps.decodePpm(MultimodalOps.encodePpm(img)).get, 2)
+    assert(java.util.Arrays.equals(viaBytes.pixels, half.pixels))
+  }
+
+  test("decodeBatched: real decode for PPM payloads, fake fallback for the rest") {
+    val s = spark
+    import s.implicits._
+    val ppm = MultimodalOps.encodePpm(gradient(10, 5)) // 50 real pixels
+    val junk = "not an image at all".getBytes("US-ASCII") // 19 bytes
+    val rows = Seq((1L, ppm), (2L, junk)).toDF("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        (id, MultimodalOps.decodePixels(b)) // the decodeBatched kernel
+      }).collect().toMap
+    assert(rows(1L) == 50, "valid PPM must take the REAL decode path")
+    assert(rows(2L) == 57, "non-PPM must take the deterministic fallback")
+  }
+}
