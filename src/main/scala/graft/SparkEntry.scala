@@ -29,7 +29,8 @@ object SparkEntry {
       graft.sources.SourceFormats.queries ++
       graft.plans.PlannerQueries.queries ++
       graft.streaming.EventStream.queries ++
-      graft.streaming.StreamDedup.queries
+      graft.streaming.StreamDedup.queries ++
+      graft.streaming.StreamCuration.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.sources.SourceFormats.oracleSql ++
       graft.plans.PlannerQueries.oracleSql ++
       graft.streaming.EventStream.oracleSql ++
-      graft.streaming.StreamDedup.oracleSql
+      graft.streaming.StreamDedup.oracleSql ++
+      graft.streaming.StreamCuration.oracleSql
 }

@@ -182,13 +182,19 @@ object CurationOps {
     * exact duplicates sample identically (they share a hash), so the
     * mix can't silently diverge between pipeline runs. A codegen'd
     * filter, no shuffle. */
-  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The c07 keep-predicate as ONE engine-neutral SQL string — shared
+    * by the batch operator, the DuckDB oracle, and the streaming form
+    * (q55), so the three can never drift. */
+  val stratFilterSql: String = {
     val thr = langRates.map { case (l, t) => s"WHEN '$l' THEN '$t'" }
       .mkString("CASE lang ", " ", " ELSE '00' END")
-    docs(spark, sfDir)
-      .filter(expr(s"substring(md5(text), 1, 2) < $thr"))
-      .select("doc_id", "lang", "source")
+    s"substring(md5(text), 1, 2) < $thr"
   }
+
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .filter(expr(stratFilterSql))
+      .select("doc_id", "lang", "source")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_hash_split" -> (hashSplit _),
@@ -220,12 +226,9 @@ object CurationOps {
         FROM p"""
   }
 
-  private val stratOracle: String = {
-    val thr = langRates.map { case (l, t) => s"WHEN '$l' THEN '$t'" }
-      .mkString("CASE lang ", " ", " ELSE '00' END")
+  private[graft] val stratOracle: String =
     s"""SELECT doc_id, lang, source FROM documents
-        WHERE substring(md5(text), 1, 2) < $thr"""
-  }
+        WHERE $stratFilterSql"""
 
   def oracleSql: Map[String, String] = Map(
     "c05_pii_redact" -> piiOracle,

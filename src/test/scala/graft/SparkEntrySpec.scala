@@ -23,7 +23,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "formats" -> graft.sources.SourceFormats.queries.keySet,
     "planners" -> graft.plans.PlannerQueries.queries.keySet,
     "stream-events" -> graft.streaming.EventStream.queries.keySet,
-    "stream-dedup" -> graft.streaming.StreamDedup.queries.keySet)
+    "stream-dedup" -> graft.streaming.StreamDedup.queries.keySet,
+    "stream-curation" -> graft.streaming.StreamCuration.queries.keySet)
 
   test("query keys are collision-free across operator modules") {
     for {
