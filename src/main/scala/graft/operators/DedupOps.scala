@@ -160,18 +160,29 @@ object DedupOps {
       .mkString("array(", ", ", ")")
   }
 
-  def minhashPortable(
-      spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+  /** The persisted (doc_id, sh, sig) portable-signature frame shared by
+    * [[minhashPortable]] and [[incrementalDedup]] — one barrier, one
+    * definition of the signature algebra. */
+  private def portableSigFrame(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val d = Persists.barrier(
+    Persists.barrier(
       docs(spark, sfDir)
         .withColumn("sh", Shingles.wordShingles("text", 4))
         .withColumn("sig", expr(portableSigSql))
         .select(col("doc_id"), col("sh"), col("sig")))
+  }
+
+  /** Banded candidate pairs → jaccard-verified near-dups, with the RIGHT
+    * (larger-id) side of the candidate join restricted by `rightFilter`
+    * — `lit(true)` pairs the whole corpus (d06); a delta predicate
+    * gives the incremental form (d12). */
+  private def portablePairs(
+      d: DataFrame, threshold: Double,
+      rightFilter: org.apache.spark.sql.Column): DataFrame = {
     val banded = d.select(
       col("doc_id"),
       posexplode(expr(portableBandSql)).as(Seq("band", "bsig")))
-    val cand = banded.as("x").join(banded.as("y"),
+    val cand = banded.as("x").join(banded.filter(rightFilter).as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
@@ -184,6 +195,27 @@ object DedupOps {
         round(size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
           size(array_union(col("sa.sh"), col("sb.sh"))), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  def minhashPortable(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame =
+    portablePairs(portableSigFrame(spark, sfDir), threshold, lit(true))
+
+  /** Incremental (delta-vs-corpus) near-dup: the last 10% of doc_ids
+    * play the freshly-ingested batch, and ONLY pairs touching the delta
+    * are generated — the candidate join's right side is the delta, so
+    * per-bucket work is bucket_size × delta_in_bucket instead of
+    * bucket_size²/2. That asymmetry is the whole point at 100 TB: daily
+    * ingest dedups against an existing corpus without ever re-pairing
+    * the corpus with itself, and since every pair's LARGER id is
+    * delta-side whenever any side is (ids are ingest-ordered), delta ×
+    * everything captures exactly the pairs involving new documents. */
+  def incrementalDedup(
+      spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val cut = Tables.rowCount(spark, sfDir, "documents") * 9 / 10
+    portablePairs(portableSigFrame(spark, sfDir), threshold,
+      col("doc_id") >= cut)
   }
 
   // --------------------------------------------------------------- SimHash
@@ -494,6 +526,15 @@ object DedupOps {
     s"""WITH $minhashPortableCtes
       SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4"""
 
+  /** d12's oracle: the d06 pair algebra restricted to pairs whose
+    * larger id falls in the last-10% delta — id_b is the pair max, so
+    * this is exactly "at least one side is new". */
+  private val incrementalOracle: String =
+    s"""WITH $minhashPortableCtes
+      SELECT id_a, id_b, jaccard FROM j
+      WHERE jaccard >= 0.4
+        AND id_b >= (SELECT (count(*) * 9) // 10 FROM documents)"""
+
   // ------------------------------------------------- duplicate clusters
   /** Duplicate-CLUSTER resolution: near-duplication is transitive in
     * practice (A≈B, B≈C ⇒ one boilerplate family), so real pipelines
@@ -623,6 +664,8 @@ object DedupOps {
       ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "d09_dedup_keep" -> (dedupKeep _),
     "d11_dedup_keep_quality" -> (dedupKeepQuality _),
+    "d12_dedup_incremental" ->
+      ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "d02_dedup_minhash" ->
       ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "d06_dedup_minhash_portable" ->
@@ -734,6 +777,7 @@ object DedupOps {
   def oracleSql: Map[String, String] = Map(
     "d01_dedup_exact" -> exactSql,
     "d11_dedup_keep_quality" -> keepQualityOracle,
+    "d12_dedup_incremental" -> incrementalOracle,
     "d04_dedup_ngram" -> ngramOracle,
     "d05_dedup_embedding" -> embeddingOracle,
     "d06_dedup_minhash_portable" -> minhashPortableOracle,

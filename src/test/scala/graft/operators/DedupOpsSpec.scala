@@ -114,6 +114,21 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(100) == pairs(Long.MaxValue))
   }
 
+  test("d12 incremental dedup equals the full pair set restricted to the delta") {
+    val sfDir = "/root/testdata/sf0.01"
+    val cut = graft.sources.Tables.rowCount(spark, sfDir, "documents") * 9 / 10
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = rows(DedupOps.minhashPortable(spark, sfDir))
+    val inc = rows(DedupOps.incrementalDedup(spark, sfDir))
+    // id_b is the pair max, so "touches the delta" == id_b >= cut
+    assert(inc == full.filter(_._2 >= cut),
+      "incremental must produce exactly the full-corpus pairs touching the delta")
+    assert(inc.nonEmpty, "fixture must exercise the delta path")
+    assert(!inc.exists(p => p._1 < cut && p._2 < cut),
+      "no corpus-x-corpus pair may be generated")
+  }
+
   test("connected components match union-find on random pair graphs") {
     val s = spark
     import s.implicits._
