@@ -90,10 +90,14 @@ object Bench {
           // with SPARK_GRAFT_RUNS>2, min-of-warm is biased low relative
           // to a single second run, and the field makes that visible
           // instead of silently changing the series' meaning.
+          // runs=1 means NO warm run happened: queries_warm stays empty
+          // (emitting the cold time there would feed codegen-dominated
+          // numbers into a reader's warm series) and steady == cold,
+          // the pre-round-3 single-shot semantics
           val warm =
-            if (runsPerQuery == 1) Seq(cold)
+            if (runsPerQuery == 1) Seq.empty[Double]
             else Seq.fill(runsPerQuery - 1)(once())
-          (name, warm.min, cold, warm)
+          (name, if (warm.isEmpty) cold else warm.min, cold, warm)
         }
         catch {
           case e: Throwable =>

@@ -155,16 +155,21 @@ object CurationOps {
     * — regexp_replace/regexp_extract_all are native Catalyst
     * expressions, no UDF, no shuffle; at 100 TB this is a pure map
     * stage bounded by scan throughput. */
-  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    // counts are taken on the SAME intermediate text each sequential
+    // pass redacts (email on the original, IP after email redaction,
+    // phone after both) — counting every family on the original would
+    // report matches a prior pass already consumed (e.g. the IP-shaped
+    // tail of 'user@10.1.2.3.com'), disagreeing with `clean`
+    val afterEmail = s"regexp_replace(($piiTextSql), '$emailPat', '<EMAIL>')"
+    val afterIp = s"regexp_replace($afterEmail, '$ipPat', '<IP>')"
     docs(spark, sfDir).selectExpr(
       "doc_id",
-      s"""regexp_replace(regexp_replace(regexp_replace(($piiTextSql),
-            '$emailPat', '<EMAIL>'),
-            '$ipPat', '<IP>'),
-            '$phonePat', '<PHONE>') AS clean""",
+      s"regexp_replace($afterIp, '$phonePat', '<PHONE>') AS clean",
       s"size(regexp_extract_all(($piiTextSql), '$emailPat', 0)) AS n_email",
-      s"size(regexp_extract_all(($piiTextSql), '$ipPat', 0)) AS n_ip",
-      s"size(regexp_extract_all(($piiTextSql), '$phonePat', 0)) AS n_phone")
+      s"size(regexp_extract_all($afterEmail, '$ipPat', 0)) AS n_ip",
+      s"size(regexp_extract_all($afterIp, '$phonePat', 0)) AS n_phone")
+  }
 
   // ------------------------------------------- stratified hash sampling
   /** Per-stratum sampling rates as HEX-PREFIX thresholds: lowercase hex
@@ -186,8 +191,12 @@ object CurationOps {
     * by the batch operator, the DuckDB oracle, and the streaming form
     * (q55), so the three can never drift. */
   val stratFilterSql: String = {
+    // ELSE 'zz' = keep-all: a stratum OUTSIDE the configured rate list
+    // passes through untouched — dropping unlisted strata ('00') would
+    // silently delete a sixth language from the training mix the day
+    // the corpus gains one, with every shared-predicate check green
     val thr = langRates.map { case (l, t) => s"WHEN '$l' THEN '$t'" }
-      .mkString("CASE lang ", " ", " ELSE '00' END")
+      .mkString("CASE lang ", " ", " ELSE 'zz' END")
     s"substring(md5(text), 1, 2) < $thr"
   }
 
@@ -215,14 +224,15 @@ object CurationOps {
   private val piiOracle: String = {
     def rr(inner: String, pat: String, tag: String) =
       s"regexp_replace($inner, '$pat', '<$tag>', 'g')"
-    val clean = rr(rr(rr("pt", emailPat, "EMAIL"), ipPat, "IP"),
-      phonePat, "PHONE")
-    def cnt(pat: String, as: String) =
-      s"CAST(len(regexp_extract_all(pt, '$pat')) AS INTEGER) AS $as"
+    val afterEmail = rr("pt", emailPat, "EMAIL")
+    val afterIp = rr(afterEmail, ipPat, "IP")
+    def cnt(src: String, pat: String, as: String) =
+      s"CAST(len(regexp_extract_all($src, '$pat')) AS INTEGER) AS $as"
     s"""WITH p AS (SELECT doc_id, ($piiTextSql) AS pt FROM documents)
-        SELECT doc_id, $clean AS clean,
-               ${cnt(emailPat, "n_email")}, ${cnt(ipPat, "n_ip")},
-               ${cnt(phonePat, "n_phone")}
+        SELECT doc_id, ${rr(afterIp, phonePat, "PHONE")} AS clean,
+               ${cnt("pt", emailPat, "n_email")},
+               ${cnt(afterEmail, ipPat, "n_ip")},
+               ${cnt(afterIp, phonePat, "n_phone")}
         FROM p"""
   }
 

@@ -107,9 +107,17 @@ object MultimodalOps {
     * deterministic fake (the container ships no JPEG/PNG codecs — that
     * swap is a JNI call in this same mapPartitions body, the plan is
     * already the right one). */
-  def decodeBatched(spark: SparkSession, sfDir: String): Dataset[(Long, Int)] = {
+  def decodeBatched(spark: SparkSession, sfDir: String): Dataset[(Long, Int)] =
+    decodeBatchedOn(mediaTable(spark, sfDir))
+
+  /** [[decodeBatched]] over any (media_id, payload) frame —
+    * fixture-injectable, so the spec can drive the REAL decode branch
+    * through this exact pipeline (the gate corpus only exercises the
+    * fallback: its payloads are not PPM). */
+  def decodeBatchedOn(media: DataFrame): Dataset[(Long, Int)] = {
+    val spark = media.sparkSession
     import spark.implicits._
-    mediaTable(spark, sfDir)
+    media
       .select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -128,8 +136,18 @@ object MultimodalOps {
   private def fakeDecode(bytes: Array[Byte]): Int = bytes.length * 3
 
   // ------------------------------------------------ real PPM (P6) codec
-  /** A decoded raster: interleaved RGB, row-major. */
-  final case class PpmImage(width: Int, height: Int, pixels: Array[Byte])
+  /** A decoded raster: interleaved RGB, row-major. Equality is by VALUE
+    * including the pixel bytes — the case-class default would compare
+    * the Array by reference, making two identical decodes unequal. */
+  final case class PpmImage(width: Int, height: Int, pixels: Array[Byte]) {
+    override def equals(o: Any): Boolean = o match {
+      case p: PpmImage => width == p.width && height == p.height &&
+        java.util.Arrays.equals(pixels, p.pixels)
+      case _ => false
+    }
+    override def hashCode: Int =
+      (width * 31 + height) * 31 + java.util.Arrays.hashCode(pixels)
+  }
 
   /** REAL decoder for binary PPM (P6) — the one raster format simple
     * enough to decode with zero native dependencies, so the decode path
@@ -270,6 +288,11 @@ object MultimodalOps {
       """SELECT doc_id AS media_id, 'image/fake' AS mime,
                 CAST(octet_length(encode(text)) AS INTEGER) AS byte_len
          FROM documents""",
+    // m04's oracle asserts the FALLBACK formula on purpose: the gate
+    // corpus payloads (utf-8 of digit-free text) can never parse as P6,
+    // and DuckDB cannot decode PPM. If the media fixture ever gains
+    // real PPM bytes this oracle must grow a CASE on the magic header
+    // (w*h for P6 rows) or m04 goes red with both engines "correct".
     "m04_decode_batched" ->
       """SELECT doc_id AS media_id,
                 CAST(octet_length(encode(text)) * 3 AS INTEGER) AS pixels

@@ -40,8 +40,7 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("PPM round-trip is lossless, header comments and whitespace parse") {
     val img = gradient(13, 7)
     val decoded = MultimodalOps.decodePpm(MultimodalOps.encodePpm(img))
-    assert(decoded.contains(img.copy(pixels = decoded.get.pixels)))
-    assert(java.util.Arrays.equals(decoded.get.pixels, img.pixels))
+    assert(decoded.contains(img)) // PpmImage equality includes pixels
 
     // netpbm header laxity: comments + multi-whitespace between tokens
     val weird = ("P6\n# a comment\n 13 # inline\n\t7\n255\n")
@@ -87,11 +86,10 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     val ppm = MultimodalOps.encodePpm(gradient(10, 5)) // 50 real pixels
     val junk = "not an image at all".getBytes("US-ASCII") // 19 bytes
-    val rows = Seq((1L, ppm), (2L, junk)).toDF("media_id", "payload")
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, b) =>
-        (id, MultimodalOps.decodePixels(b)) // the decodeBatched kernel
-      }).collect().toMap
+    // the ACTUAL decodeBatched pipeline (fixture-injected), not a copy
+    val rows = MultimodalOps.decodeBatchedOn(
+      Seq((1L, ppm), (2L, junk)).toDF("media_id", "payload"))
+      .collect().toMap
     assert(rows(1L) == 50, "valid PPM must take the REAL decode path")
     assert(rows(2L) == 57, "non-PPM must take the deterministic fallback")
   }
