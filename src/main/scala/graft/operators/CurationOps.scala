@@ -205,7 +205,27 @@ object CurationOps {
       .filter(expr(stratFilterSql))
       .select("doc_id", "lang", "source")
 
+  // ----------------------------------------------------- mix reporting
+  /** Training-mix composition report: per (source, lang) document and
+    * character counts plus each cell's share of the corpus — the
+    * accounting table every mix decision (quotas, sampling rates,
+    * upweighting) is read off of. One two-key aggregation (tiny output:
+    * sources × langs cells) + an unpartitioned window over those cells
+    * for the shares; the window runs on the AGGREGATED frame, so the
+    * single-partition stage sees hundreds of rows, not the corpus. */
+  def mixReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = docs(spark, sfDir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+    val all = Window.partitionBy()
+    cells.withColumn("doc_share",
+        round(col("docs") / sum("docs").over(all), 4))
+      .withColumn("char_share",
+        round(col("chars") / sum("chars").over(all), 4))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c08_mix_report" -> (mixReport _),
     "c01_hash_split" -> (hashSplit _),
     "c02_source_quota" -> ((s: SparkSession, d: String) => sourceQuota(s, d)),
     "c03_pipeline" -> ((s: SparkSession, d: String) => pipeline(s, d)),
@@ -241,6 +261,17 @@ object CurationOps {
         WHERE $stratFilterSql"""
 
   def oracleSql: Map[String, String] = Map(
+    "c08_mix_report" ->
+      """WITH cells AS (
+           SELECT source, lang, count(*) AS docs,
+                  CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM documents GROUP BY source, lang)
+         SELECT source, lang, docs, chars,
+                round(docs / CAST(sum(docs) OVER () AS DOUBLE), 4)
+                  AS doc_share,
+                round(chars / CAST(sum(chars) OVER () AS DOUBLE), 4)
+                  AS char_share
+         FROM cells""",
     "c05_pii_redact" -> piiOracle,
     "c07_sample_stratified" -> stratOracle,
     "c01_hash_split" ->

@@ -269,7 +269,42 @@ object TextOps {
                AS keep
       FROM ag"""
 
+  // --------------------------------------------- unigram LM log-prob
+  /** CCNet-style language-model quality proxy: score each document by
+    * the mean log-probability of its words under the CORPUS unigram
+    * distribution — wikipedia-like text scores high, gibberish and
+    * boilerplate tails score low; real pipelines bucket documents into
+    * quality tiers on exactly this statistic (CCNet does it with a
+    * 5-gram KenLM; the unigram form is the same plumbing with an
+    * in-corpus model).
+    *
+    * Scale shape: the model IS a DataFrame (word → count), built by one
+    * corpus aggregation and joined back — at 100 TB the unigram table is
+    * ~millions of rows (vocabulary, not corpus, sized), a plain shuffle
+    * join against the exploded words, partial-agg'd per doc. No
+    * driver-side model, no UDF; ln() is a codegen'd builtin. */
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = docs(spark, sfDir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val model = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = words.select(count(lit(1)).as("total"))
+    words.join(model, "w").crossJoin(total)
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("cnt") / col("total"))), 4).as("logprob"))
+  }
+
+  val unigramOracle: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+        model AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+        t AS (SELECT count(*) AS total FROM w)
+      SELECT doc_id,
+             round(avg(ln(cnt / CAST(total AS DOUBLE))), 4) AS logprob
+      FROM w JOIN model USING (w) CROSS JOIN t
+      GROUP BY doc_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_unigram_logprob" -> (unigramLogprob _),
     "t08_repetition" -> (repetition _),
     "t07_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "t01_quality" -> qualityStats _,
@@ -290,6 +325,7 @@ object TextOps {
        FROM documents"""
 
   def oracleSql: Map[String, String] = Map(
+    "t09_unigram_logprob" -> unigramOracle,
     "t08_repetition" -> repetitionOracle,
     "t01_quality" -> qualityOracle,
     "t02_tokens" -> tokenOracle,
