@@ -52,6 +52,12 @@ object GraftFunctions {
       "graft_nearest_cents(v array<double>, cents array<array<double>>, n literal int)")
   }
 
+  private def pqCodesBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(v, cents, Literal(m: Int, _)) => PqCodes(v, cents, m)
+    case _ => throw new IllegalArgumentException(
+      "graft_pq_codes(v array<double>, cents array<array<double>>, m literal int)")
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
@@ -70,7 +76,10 @@ object GraftFunctions {
       lshSigsBuilder _),
     (FunctionIdentifier("graft_nearest_cents"),
       new ExpressionInfo(classOf[NearestCentroids].getName, "graft_nearest_cents"),
-      nearestCentsBuilder _))
+      nearestCentsBuilder _),
+    (FunctionIdentifier("graft_pq_codes"),
+      new ExpressionInfo(classOf[PqCodes].getName, "graft_pq_codes"),
+      pqCodesBuilder _))
 
   /** Idempotent imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

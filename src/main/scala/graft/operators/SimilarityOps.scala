@@ -290,6 +290,100 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011): encode every
+    * corpus vector as `m` small codebook indices (the
+    * `graft_pq_codes` fused expression — subspace-wise L2 argmin over a
+    * deterministic sampled codebook), then answer queries
+    * asymmetrically: the EXACT query vector is scored against each
+    * corpus vector's RECONSTRUCTION (concatenated codebook slices).
+    *
+    * Scale shape: encoding is a narrow codegen'd map with the codebook
+    * as a plan literal/broadcast (the s04 model pattern — zero shuffle,
+    * bounded plan-time collect via [[centroidModel]]'s cap), and the
+    * scored table is the CODES — m ints instead of 64 floats per
+    * vector, the 16-32× compression that lets billion-vector indexes
+    * sit in memory. Scoring here materializes the reconstruction per
+    * row (codegen'd `transform`/`flatten` over the literal codebook);
+    * a production ADC would precompute the m × C distance table per
+    * query, which is the same plan with a smaller constant. Queries
+    * broadcast (5 rows), so the non-equi pair join is the intentional
+    * tiny-broadcast BNLJ, exactly s01's audited shape. */
+  def pqTopK(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, k: Int = 10,
+      codebookMod: Int = 29, m: Int = 8): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val (_, centVecs) = centroidModel(all,
+      Tables.rowCount(spark, sfDir, "embeddings"), codebookMod)
+    val dim = centVecs.head.size
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val sub = dim / m
+    val centsLit = typedlit(centVecs)
+    val recon = flatten(transform(col("codes"),
+      (c: Column, s: Column) =>
+        slice(element_at(centsLit, c + 1), s * sub + 1, lit(sub))))
+    val corpus = all
+      .withColumn("codes",
+        call_function("graft_pq_codes", col("v"), centsLit, lit(m)))
+      .select(col("vec_id").as("neighbor_id"), recon.as("rv"))
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = corpus.join(broadcast(q),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(expr("graft_cosine(qv, rv)"), 4).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** s06's DuckDB twin: same codebook sample (vec_id % 29, indexed in
+    * cent_id order), same subspace L2 argmin (list_sum over ascending
+    * j — the kernel's accumulation order), same reconstruction, same
+    * asymmetric rounded-cosine ranking. */
+  val pqOracle: String =
+    """WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       cents AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v
+         FROM v WHERE vec_id % 29 = 0),
+       ss AS (SELECT unnest(range(0, 8)) AS s),
+       d2 AS (
+         SELECT a.vec_id, ss.s, c.ci,
+                list_sum(list_transform(range(ss.s * 8 + 1, ss.s * 8 + 9),
+                  j -> (a.v[j] - c.v[j]) * (a.v[j] - c.v[j]))) AS d2
+         FROM v a CROSS JOIN ss CROSS JOIN cents c),
+       assign AS (
+         SELECT vec_id, s, ci FROM (
+           SELECT vec_id, s, ci,
+                  row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2 ASC, ci ASC) AS rn
+           FROM d2) WHERE rn = 1),
+       recon AS (
+         SELECT a.vec_id,
+                flatten(list(c.v[a.s * 8 + 1 : a.s * 8 + 8] ORDER BY a.s))
+                  AS rv
+         FROM assign a JOIN cents c ON c.ci = a.ci
+         GROUP BY a.vec_id),
+       scored AS (
+         SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+                round(list_dot_product(q.v, r.rv) /
+                      sqrt(list_sum(list_transform(q.v, x -> x * x)) *
+                           list_sum(list_transform(r.rv, x -> x * x))),
+                      4) AS cosine
+         FROM v q JOIN recon r ON r.vec_id <> q.vec_id
+         WHERE q.vec_id < 5),
+       ranked AS (
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+                neighbor_id, cosine
+         FROM scored)
+     SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10"""
+
   /** Per-vector L2 norm — oracle-checkable vector math. */
   def norms(spark: SparkSession, sfDir: String): DataFrame =
     vecs(spark, sfDir).select(col("vec_id"),
@@ -307,7 +401,8 @@ object SimilarityOps {
     "s03_vector_norms" -> (norms _),
     "s04_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "s05_ann_lsh_portable" ->
-      ((s: SparkSession, d: String) => lshTopKPortable(s, d))
+      ((s: SparkSession, d: String) => lshTopKPortable(s, d)),
+    "s06_ann_pq" -> ((s: SparkSession, d: String) => pqTopK(s, d))
   )
 
   /** Brute-force top-k is fully deterministic, so it oracle-checks: the
@@ -394,6 +489,7 @@ object SimilarityOps {
     "s01_ann_brute" -> bruteOracle,
     "s03_vector_norms" -> normsOracle,
     "s04_ann_ivf" -> ivfOracle,
-    "s05_ann_lsh_portable" -> lshPortableOracle
+    "s05_ann_lsh_portable" -> lshPortableOracle,
+    "s06_ann_pq" -> pqOracle
   )
 }

@@ -149,6 +149,50 @@ class NativeExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graft_pq_codes: subspace argmin matches a naive reference, both codegen modes") {
+    // naive reference computed in Scala over the same doubles
+    def refCodes(v: Seq[Double], cents: Seq[Seq[Double]], m: Int): Seq[Int] = {
+      val sub = v.size / m
+      (0 until m).map { s =>
+        val from = s * sub
+        val until = if (s == m - 1) v.size else from + sub
+        cents.indices.minBy { ci =>
+          (from until until).map { j =>
+            val d = v(j) - cents(ci)(j); d * d
+          }.sum
+        } // minBy keeps the FIRST minimum = lower index on ties
+      }
+    }
+    val rows = spark.sql(
+      """SELECT vec_id, transform(embedding, x -> cast(x AS DOUBLE)) AS v
+         FROM embeddings ORDER BY vec_id LIMIT 20""").collect()
+    val cents = rows.take(4).map(_.getSeq[Double](1).toSeq).toSeq
+    val centsLit = org.apache.spark.sql.functions.typedlit(cents)
+    for (codegen <- Seq(true, false)) withCodegen(codegen) {
+      val got = spark.sql(
+        """SELECT vec_id, transform(embedding, x -> cast(x AS DOUBLE)) AS v
+           FROM embeddings ORDER BY vec_id LIMIT 20""")
+        .withColumn("codes", org.apache.spark.sql.functions.call_function(
+          "graft_pq_codes", org.apache.spark.sql.functions.col("v"),
+          centsLit, org.apache.spark.sql.functions.lit(8)))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Int](2) == refCodes(r.getSeq[Double](1).toSeq, cents, 8),
+          s"codes diverge for vec ${r.getLong(0)} (codegen=$codegen)")
+      }
+    }
+    // tie-break: identical centroids → always the lower index
+    val tied = Seq(Seq.fill(8)(1.0), Seq.fill(8)(1.0))
+    assert(refCodes(Seq.fill(8)(0.5), tied, 4) == Seq(0, 0, 0, 0))
+    val tiedDf = spark.range(1).selectExpr("array(0.5d, 0.5d) AS v")
+      .select(org.apache.spark.sql.functions.call_function("graft_pq_codes",
+        org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.typedlit(
+          Seq(Seq(9.0, 9.0), Seq(9.0, 9.0))),
+        org.apache.spark.sql.functions.lit(2))).collect()
+    assert(tiedDf.head.getSeq[Int](0) == Seq(0, 0))
+  }
+
   test("expressions run inside whole-stage codegen over real scans") {
     val plan = spark.sql(
       """SELECT graft_cosine(transform(embedding, x -> CAST(x AS DOUBLE)),
