@@ -384,6 +384,55 @@ object SimilarityOps {
          FROM scored)
      SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10"""
 
+  /** Filtered vector search: exact top-k among corpus vectors whose
+    * `label` satisfies the predicate — the retrieval shape every
+    * production vector store serves ("nearest docs WHERE lang='en' AND
+    * license='ok'"). Pre-filtering is the CORRECT plan on Spark: the
+    * predicate pushes into the parquet scan (PushedFilters), the
+    * scored set shrinks BEFORE any vector math runs, and top-k can
+    * never under-fill the way post-filtering an ANN candidate list
+    * does. The bucketed paths (s02/s04) compose the same way — filter
+    * the corpus side before bucketing — at the cost of re-bucketing per
+    * predicate; a store serving many predicates over-fetches instead
+    * (k' > k then post-filter), trading recall for index reuse. */
+  def filteredTopK(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, k: Int = 10, labels: Seq[Int] = Seq(3, 7)): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val q = all.filter(col("vec_id") < nQueries)
+    val corpus = all.filter(col("label").isin(labels: _*))
+    val scored = corpus.as("c").join(
+        broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("c.label").as("label"), round(cosineExpr, 4).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "label", "cosine")
+  }
+
+  val filteredOracle: String =
+    """WITH v AS (
+         SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+                round(list_dot_product(q.v, c.v) /
+                      sqrt(list_sum(list_transform(q.v, x -> x * x)) *
+                           list_sum(list_transform(c.v, x -> x * x))),
+                      4) AS cosine
+         FROM v q JOIN v c ON q.vec_id <> c.vec_id
+         WHERE q.vec_id < 5 AND c.label IN (3, 7)),
+       ranked AS (
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+                neighbor_id, label, cosine
+         FROM scored)
+     SELECT query_id, rank, neighbor_id, label, cosine
+     FROM ranked WHERE rank <= 10"""
+
   /** Per-vector L2 norm — oracle-checkable vector math. */
   def norms(spark: SparkSession, sfDir: String): DataFrame =
     vecs(spark, sfDir).select(col("vec_id"),
@@ -402,7 +451,8 @@ object SimilarityOps {
     "s04_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "s05_ann_lsh_portable" ->
       ((s: SparkSession, d: String) => lshTopKPortable(s, d)),
-    "s06_ann_pq" -> ((s: SparkSession, d: String) => pqTopK(s, d))
+    "s06_ann_pq" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
+    "s07_ann_filtered" -> ((s: SparkSession, d: String) => filteredTopK(s, d))
   )
 
   /** Brute-force top-k is fully deterministic, so it oracle-checks: the
@@ -490,6 +540,7 @@ object SimilarityOps {
     "s03_vector_norms" -> normsOracle,
     "s04_ann_ivf" -> ivfOracle,
     "s05_ann_lsh_portable" -> lshPortableOracle,
-    "s06_ann_pq" -> pqOracle
+    "s06_ann_pq" -> pqOracle,
+    "s07_ann_filtered" -> filteredOracle
   )
 }
