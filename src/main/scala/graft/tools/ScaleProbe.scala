@@ -1,0 +1,82 @@
+// Measured-scaling probe: run the banded/bucketed pipeline operators on
+// synthetic corpora at 1x and 4x size and report wall-clock ratios plus
+// output sizes. A linear-shaped operator lands near 4x (± fixed
+// overheads amortizing — often below); a quadratic candidate stage
+// would land near 16x. This is the committed evidence for the
+// "would it hold at 100x" design claims the operator docstrings make.
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+object ScaleProbe {
+
+  /** Word-salad docs over a 500-token vocabulary (shared shingles →
+    * realistic near-dup density) + a 5% identical boilerplate cluster
+    * (exercises the hot-bucket caps at the bigger size). */
+  private def docsN(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).selectExpr("id AS doc_id",
+      """CASE WHEN id % 20 = 0
+              THEN 'the shared boilerplate header line every mirror copies'
+              ELSE concat_ws(' ', transform(sequence(0, 9),
+                     j -> concat('w', pmod(xxhash64(id * 11 + j), 500)))) END
+         AS text""",
+      "concat('src', pmod(xxhash64(id), 20)) AS source")
+
+  private def vecsN(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).selectExpr("id AS vec_id",
+      """transform(sequence(0, 15),
+           j -> pmod(xxhash64(id, j), 1000) / 500.0d - 1.0d) AS embedding""")
+
+  private def timed(f: => DataFrame): (Double, Long) = {
+    val t0 = System.nanoTime()
+    var rows = 0L
+    graft.operators.Persists.scoped { rows = f.count() }
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators._
+
+    val probes: Seq[(String, Long => DataFrame)] = Seq(
+      ("d02_minhash_lsh", n => DedupOps.minhashLshOn(
+        docsN(spark, n), corpusRows = Some(n))),
+      ("d04_ngram_jaccard", n => DedupOps.ngramJaccardOn(
+        docsN(spark, n), threshold = 0.5, maxCanopyFreq = 2000)),
+      ("d05_embedding_neardup", n => DedupOps.embeddingNearDupOn(
+        vecsN(spark, n), threshold = 0.95, tables = 4, planes = 8,
+        maxBucketFreq = DedupOps.scaledEmbeddingCap(n, 8, 2000),
+        corpusRows = Some(n))),
+      // same operator, planes raised with the corpus (2^planes ∝ n):
+      // the knob the d05 docstring prescribes — bucket population stays
+      // constant, so candidate work returns to linear
+      ("d05_planes_scaled", n => DedupOps.embeddingNearDupOn(
+        vecsN(spark, n), threshold = 0.95, tables = 4,
+        planes = if (n >= 100000) 10 else 8,
+        maxBucketFreq = 2000, corpusRows = Some(n))),
+      ("s02_ann_lsh", n => SimilarityOps.lshTopKOn(
+        vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
+        corpusRows = n, nQueries = 5, k = 10, tables = 4, planes = 8,
+        maxBucketFreq = 2000)),
+      ("c02_source_quota", n => CurationOps.sourceQuotaOn(
+        docsN(spark, n), k = 100)))
+
+    println(f"${"operator"}%-24s ${"n1"}%8s ${"t1(s)"}%8s ${"rows1"}%9s " +
+      f"${"n4"}%8s ${"t4(s)"}%8s ${"rows4"}%9s ${"ratio"}%6s")
+    probes.foreach { case (name, build) =>
+      val vectorOp = name.startsWith("d05") || name.startsWith("s02")
+      val base = if (vectorOp) 25000L else 10000L
+      // warm-up at the small size so JVM/codegen costs don't inflate t1
+      timed(build(base))
+      val (t1, r1) = timed(build(base))
+      val (t4, r4) = timed(build(base * 4))
+      println(f"$name%-24s $base%8d $t1%8.2f $r1%9d ${base * 4}%8d " +
+        f"$t4%8.2f $r4%9d ${t4 / t1}%6.2f")
+    }
+    spark.stop()
+  }
+}
