@@ -28,12 +28,41 @@ object StreamCuration {
       "graft_stream_sample")
   }
 
+  /** q56: the c08 mix-composition report as a COMPLETE-mode streaming
+    * aggregation — running (source, lang) counts maintained in the state
+    * store, full table re-emitted per micro-batch, final emission ==
+    * the batch answer. The share columns are batch post-processing on
+    * the completed sink (window functions can't run inside a streaming
+    * aggregation), which is how a live mix dashboard consumes this:
+    * bounded state (sources × langs cells), shares computed at read
+    * time. */
+  def mixStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docsStream = spark.readStream
+      .schema(StreamDedup.docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val cells = StreamRun.toCompletion(
+      docsStream.groupBy("source", "lang")
+        .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars")),
+      "graft_stream_mix", outputMode = "complete")
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    cells.withColumn("doc_share",
+        round(col("docs") / sum("docs").over(all), 4))
+      .withColumn("char_share",
+        round(col("chars") / sum("chars").over(all), 4))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q55_stream_sample" -> (sampleStream _)
+    "q55_stream_sample" -> (sampleStream _),
+    "q56_stream_mix" -> (mixStream _)
   )
 
   def oracleSql: Map[String, String] = Map(
-    // the BATCH c07 oracle verbatim: stateless stream == batch
-    "q55_stream_sample" -> graft.operators.CurationOps.stratOracle
+    // the BATCH oracles verbatim: stateless filter / complete-mode agg
+    // streams must equal their batch answers
+    "q55_stream_sample" -> graft.operators.CurationOps.stratOracle,
+    "q56_stream_mix" ->
+      graft.operators.CurationOps.oracleSql("c08_mix_report")
   )
 }

@@ -21,7 +21,9 @@ object PlanAudit {
       "q46_salted_join", "q47_asof_join", "q48_range_join",
       "c01_hash_split", "c02_source_quota", "d09_dedup_keep",
       "c05_pii_redact", "c07_sample_stratified", "t08_repetition",
-      "d11_dedup_keep_quality", "q54_partitioned_sink")
+      "d11_dedup_keep_quality", "q54_partitioned_sink",
+      "t09_unigram_logprob", "d12_dedup_incremental",
+      "s06_ann_pq", "s07_ann_filtered")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature
