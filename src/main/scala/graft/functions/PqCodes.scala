@@ -58,24 +58,35 @@ object PqCodes {
     * v.numElements() / m (the last subspace absorbs any remainder);
     * distances accumulate left-to-right within the slice — the same
     * op order as the DuckDB oracle's list_sum over the slice, so
-    * assignments agree bit-for-bit. */
+    * assignments agree bit-for-bit.
+    *
+    * Malformed inputs FAIL LOUDLY: m > dim would make the high
+    * subspaces empty (every centroid at d2 = 0, code 0 emitted for
+    * subspaces that don't exist) and a codebook entry shorter than the
+    * vector would win every subspace it truncates out of — both are
+    * caller bugs that silent codes would bury. */
   def compute(v: ArrayData, cents: ArrayData, m: Int): ArrayData = {
     val dim = v.numElements()
     val c = cents.numElements()
-    val sub = math.max(1, dim / m)
+    if (dim < m) throw new IllegalArgumentException(
+      s"graft_pq_codes: vector dim $dim < m = $m subspaces")
+    val sub = dim / m
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
       val from = s * sub
-      val until = if (s == m - 1) dim else math.min(dim, from + sub)
+      val until = if (s == m - 1) dim else from + sub
       var best = 0.0
       var bestIdx = -1
       var ci = 0
       while (ci < c) {
         val cent = cents.getArray(ci)
+        if (cent.numElements() < until) throw new IllegalArgumentException(
+          s"graft_pq_codes: codebook entry $ci has ${cent.numElements()} " +
+            s"dims, need >= $until for subspace $s")
         var d2 = 0.0
         var j = from
-        while (j < until && j < cent.numElements()) {
+        while (j < until) {
           val diff = v.getDouble(j) - cent.getDouble(j)
           d2 += diff * diff
           j += 1

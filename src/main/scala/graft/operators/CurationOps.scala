@@ -213,10 +213,16 @@ object CurationOps {
     * sources × langs cells) + an unpartitioned window over those cells
     * for the shares; the window runs on the AGGREGATED frame, so the
     * single-partition stage sees hundreds of rows, not the corpus. */
-  def mixReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = docs(spark, sfDir)
+  def mixReport(spark: SparkSession, sfDir: String): DataFrame =
+    withMixShares(docs(spark, sfDir)
       .groupBy("source", "lang")
-      .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars")))
+
+  /** The share columns over an aggregated (source, lang, docs, chars)
+    * cell frame — ONE definition shared by the batch report and the
+    * streaming form (q56 computes it on the completed sink), so the
+    * rounding/column contract can't drift from the shared oracle. */
+  def withMixShares(cells: DataFrame): DataFrame = {
     val all = Window.partitionBy()
     cells.withColumn("doc_share",
         round(col("docs") / sum("docs").over(all), 4))

@@ -36,20 +36,32 @@ object SimilarityOps {
   /** One fused codegen pass: dot + both norms (graft.functions.CosineSim). */
   private val cosineExpr = expr("graft_cosine(q.v, c.v)")
 
+  /** The exact broadcast-queries score-and-rank pipeline shared by s01
+    * and s07 (one definition of the join shape, rounding, and
+    * tie-break); `extra` carries corpus-side columns through to the
+    * output. */
+  private def exactTopK(
+      corpus: DataFrame, q: DataFrame, k: Int,
+      extra: Seq[String] = Nil): DataFrame = {
+    val scored = corpus.as("c").join(
+        broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(Seq(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id")) ++
+        extra.map(e => col(s"c.$e").as(e)) :+
+        round(cosineExpr, 4).as("cosine"): _*)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select((Seq("query_id", "rank", "neighbor_id") ++ extra :+ "cosine")
+        .map(col): _*)
+  }
+
   /** Exact top-k by cosine for query vectors `vec_id < nQueries`. */
   def bruteForceTopK(
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, k: Int = 10): DataFrame = {
     val all = vecs(spark, sfDir)
-    val q = all.filter(col("vec_id") < nQueries)
-    val scored = all.as("c").join(
-        broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        round(cosineExpr, 4).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    exactTopK(all, all.filter(col("vec_id") < nQueries), k)
   }
 
   /** LSH-bucketed ANN: `tables` independent hash tables of `planes`-bit
@@ -341,7 +353,15 @@ object SimilarityOps {
   /** s06's DuckDB twin: same codebook sample (vec_id % 29, indexed in
     * cent_id order), same subspace L2 argmin (list_sum over ascending
     * j — the kernel's accumulation order), same reconstruction, same
-    * asymmetric rounded-cosine ranking. */
+    * asymmetric rounded-cosine ranking.
+    *
+    * The `% 29` here is HARDCODED (like s04's ivfOracle `% 23`): it
+    * matches [[pqTopK]] exactly while n ≤ 29·4096 ≈ 119k rows — every
+    * gate SF — because [[centroidModFor]] only switches to a larger
+    * capped mod past that, where the twin would diverge. The exactness
+    * claim is scoped to the uncapped regime; past it the bounded
+    * plan-time collect is the property that matters and the oracle
+    * would need the same capped mod inlined. */
   val pqOracle: String =
     """WITH v AS (
          SELECT vec_id,
@@ -399,16 +419,8 @@ object SimilarityOps {
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, k: Int = 10, labels: Seq[Int] = Seq(3, 7)): DataFrame = {
     val all = vecs(spark, sfDir)
-    val q = all.filter(col("vec_id") < nQueries)
-    val corpus = all.filter(col("label").isin(labels: _*))
-    val scored = corpus.as("c").join(
-        broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        col("c.label").as("label"), round(cosineExpr, 4).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "label", "cosine")
+    exactTopK(all.filter(col("label").isin(labels: _*)),
+      all.filter(col("vec_id") < nQueries), k, extra = Seq("label"))
   }
 
   val filteredOracle: String =

@@ -284,10 +284,15 @@ object TextOps {
     * join against the exploded words, partial-agg'd per doc. No
     * driver-side model, no UDF; ln() is a codegen'd builtin. */
   def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = docs(spark, sfDir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    // barrier: the exploded words feed BOTH the model aggregation and
+    // the probe side of the join — without it Spark re-tokenizes the
+    // corpus once per reference (no common-subplan dedup)
+    val words = Persists.barrier(docs(spark, sfDir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w")))
     val model = words.groupBy("w").agg(count(lit(1)).as("cnt"))
-    val total = words.select(count(lit(1)).as("total"))
+    // total token count off the VOCABULARY-sized model, not a third
+    // corpus-wide pass
+    val total = model.select(sum("cnt").as("total"))
     words.join(model, "w").crossJoin(total)
       .groupBy("doc_id")
       .agg(round(avg(log(col("cnt") / col("total"))), 4).as("logprob"))

@@ -16,17 +16,19 @@ import org.apache.spark.sql.functions.expr
   * rather than re-scanning the corpus. */
 object StreamCuration {
 
-  /** q55: the c07 stratified sampler over a documents file stream. */
-  def sampleStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val docsStream = spark.readStream
+  private def docsStream(spark: SparkSession, sfDir: String) =
+    spark.readStream
       .schema(StreamDedup.docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
+
+  /** q55: the c07 stratified sampler over a documents file stream. */
+  def sampleStream(spark: SparkSession, sfDir: String): DataFrame =
     StreamRun.toCompletion(
-      docsStream.filter(expr(graft.operators.CurationOps.stratFilterSql))
+      docsStream(spark, sfDir)
+        .filter(expr(graft.operators.CurationOps.stratFilterSql))
         .select("doc_id", "lang", "source"),
       "graft_stream_sample")
-  }
 
   /** q56: the c08 mix-composition report as a COMPLETE-mode streaming
     * aggregation — running (source, lang) counts maintained in the state
@@ -38,19 +40,11 @@ object StreamCuration {
     * time. */
   def mixStream(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val docsStream = spark.readStream
-      .schema(StreamDedup.docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
     val cells = StreamRun.toCompletion(
-      docsStream.groupBy("source", "lang")
+      docsStream(spark, sfDir).groupBy("source", "lang")
         .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars")),
       "graft_stream_mix", outputMode = "complete")
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    cells.withColumn("doc_share",
-        round(col("docs") / sum("docs").over(all), 4))
-      .withColumn("char_share",
-        round(col("chars") / sum("chars").over(all), 4))
+    graft.operators.CurationOps.withMixShares(cells)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

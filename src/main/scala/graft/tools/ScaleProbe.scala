@@ -70,9 +70,13 @@ object ScaleProbe {
     probes.foreach { case (name, build) =>
       val vectorOp = name.startsWith("d05") || name.startsWith("s02")
       val base = if (vectorOp) 25000L else 10000L
-      // warm-up at the small size so JVM/codegen costs don't inflate t1
+      // warm-up at EACH measured size: a probe whose 4x run compiles a
+      // different plan (d05_planes_scaled switches planes at n=100k)
+      // would otherwise fold fresh codegen cost into t4 and inflate the
+      // ratio the committed artifact interprets
       timed(build(base))
       val (t1, r1) = timed(build(base))
+      timed(build(base * 4))
       val (t4, r4) = timed(build(base * 4))
       println(f"$name%-24s $base%8d $t1%8.2f $r1%9d ${base * 4}%8d " +
         f"$t4%8.2f $r4%9d ${t4 / t1}%6.2f")
