@@ -26,7 +26,11 @@ object SparkEntry {
       AsofOps.queries ++
       RangeOps.queries ++
       CurationOps.queries ++
+      PackingOps.queries ++
+      SearchOps.queries ++
+      ZOrderOps.queries ++
       graft.sources.SourceFormats.queries ++
+      graft.sources.Bucketing.queries ++
       graft.plans.PlannerQueries.queries ++
       graft.streaming.EventStream.queries ++
       graft.streaming.StreamDedup.queries ++
@@ -44,7 +48,11 @@ object SparkEntry {
       AsofOps.oracleSql ++
       RangeOps.oracleSql ++
       CurationOps.oracleSql ++
+      PackingOps.oracleSql ++
+      SearchOps.oracleSql ++
+      ZOrderOps.oracleSql ++
       graft.sources.SourceFormats.oracleSql ++
+      graft.sources.Bucketing.oracleSql ++
       graft.plans.PlannerQueries.oracleSql ++
       graft.streaming.EventStream.oracleSql ++
       graft.streaming.StreamDedup.oracleSql ++

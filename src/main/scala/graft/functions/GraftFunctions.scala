@@ -52,6 +52,12 @@ object GraftFunctions {
       "graft_nearest_cents(v array<double>, cents array<array<double>>, n literal int)")
   }
 
+  private def zvalueBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(x, y) => ZValue(x, y)
+    case _ => throw new IllegalArgumentException(
+      "graft_zvalue(x bigint, y bigint)")
+  }
+
   private def pqCodesBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(v, cents, Literal(m: Int, _)) => PqCodes(v, cents, m)
     case _ => throw new IllegalArgumentException(
@@ -79,7 +85,10 @@ object GraftFunctions {
       nearestCentsBuilder _),
     (FunctionIdentifier("graft_pq_codes"),
       new ExpressionInfo(classOf[PqCodes].getName, "graft_pq_codes"),
-      pqCodesBuilder _))
+      pqCodesBuilder _),
+    (FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(classOf[ZValue].getName, "graft_zvalue"),
+      zvalueBuilder _))
 
   /** Idempotent imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

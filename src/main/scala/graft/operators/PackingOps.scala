@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Sequence packing for training-data pipelines: assign documents to
+  * fixed-token-budget training chunks ("pack until the budget is
+  * crossed, then start the next chunk") — the step that turns a curated
+  * corpus into context-window-sized examples. Deterministic: documents
+  * are packed per source in doc_id order, so a re-run — or another
+  * engine — builds the SAME chunks, which is what makes training-data
+  * manifests reproducible and the DuckDB oracle exact.
+  *
+  * Scale shape: packing is inherently sequential WITHIN a pack stream,
+  * so the parallel unit is the stream, not the row — one window
+  * partition per source (at 100 TB: per source × date-shard, thousands
+  * of streams). Token counts ride a narrow codegen'd map; the single
+  * window does one shuffle on the stream key and a running sum per
+  * partition. No driver-side loop, no collect.
+  *
+  * Overflow semantics (the standard greedy-sequential rule): a chunk
+  * is the maximal prefix run whose PRECEDING token total stays under
+  * the budget — a document that crosses the line still joins the chunk
+  * it crossed into, and the next document starts a new count. A
+  * document longer than the whole budget occupies its own chunk.
+  */
+object PackingOps {
+
+  /** c09: per-document chunk assignment over `documents` — which
+    * training chunk each document lands in, its token count, and its
+    * token offset within the source's stream. */
+  def packSequences(
+      spark: SparkSession, sfDir: String, budget: Int = 2048): DataFrame =
+    packSequencesOn(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tokens")),
+      budget)
+
+  /** [[packSequences]] over any (doc_id, source, tokens) frame —
+    * fixture-injectable (the CurationOps `*On` pattern). */
+  def packSequencesOn(d: DataFrame, budget: Int): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("tok_before", coalesce(sum("tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("tokens"), col("tok_before"),
+        floor(col("tok_before") / budget.toLong).as("chunk"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c09_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "c09_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, tokens,
+                  COALESCE(CAST(sum(tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS tok_before
+           FROM t)
+       SELECT doc_id, source, tokens, tok_before,
+              CAST(floor(tok_before / 2048) AS BIGINT) AS chunk
+       FROM c"""
+  )
+}

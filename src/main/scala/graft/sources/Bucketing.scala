@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed-table sink + shuffle-free co-located join — the layout
+  * that amortizes a big-big join's shuffle at 100 TB: the ETL writer
+  * pays one clustering pass (`bucketBy(n, key).sortBy(key)`), and
+  * every downstream join on that key reads both sides pre-hashed into
+  * matching buckets — a sort-merge join with ZERO exchanges on either
+  * input, at any number of repeated joins.
+  *
+  * q57 exercises the full cycle on the engine's hottest join pair
+  * (orders ⋈ lineitem on orderkey): write both bucketed, read back
+  * through the catalog, join + aggregate; the DuckDB oracle over the
+  * ORIGINAL parquet verifies the bucketed round trip end to end.
+  * `BucketingSpec` asserts the plan property itself — no
+  * ShuffleExchange below the join when broadcast is disabled.
+  */
+object Bucketing {
+
+  private val Buckets = 8
+
+  private def tmp(name: String): String =
+    new java.io.File("target/tmp/bucketed/" + name).getAbsolutePath
+
+  /** Write `table` bucketed+sorted by `key` as an external table at a
+    * repo-local path, (re)registering it in the session catalog.
+    * Bucket files carry the hash assignment in their metadata, so
+    * readers skip the exchange; `sortBy` additionally pre-orders each
+    * bucket so SMJ skips the sort. */
+  def writeBucketed(
+      spark: SparkSession, sfDir: String,
+      table: String, key: String, catalogName: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $catalogName")
+    Tables.load(spark, sfDir, table).write
+      .mode("overwrite")
+      .bucketBy(Buckets, key).sortBy(key)
+      .option("path", tmp(catalogName))
+      .format("parquet")
+      .saveAsTable(catalogName)
+  }
+
+  /** The co-located join frame (no aggregate) — the spec asserts its
+    * physical plan has no shuffle under the join. */
+  def colocatedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    writeBucketed(spark, sfDir, "orders", "o_orderkey", "g_orders_b")
+    writeBucketed(spark, sfDir, "lineitem", "l_orderkey", "g_lineitem_b")
+    spark.table("g_lineitem_b")
+      .join(spark.table("g_orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+  }
+
+  /** q57: revenue per order priority through the bucketed pair. */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame =
+    colocatedJoin(spark, sfDir)
+      .groupBy("o_orderpriority").agg(
+        count(lit(1)).as("items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_bucketed_join" -> (bucketedJoin _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q57_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS items,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1"""
+  )
+}

@@ -20,7 +20,11 @@ class SparkEntrySpec extends AnyFunSuite {
     "asof" -> AsofOps.queries.keySet,
     "range" -> RangeOps.queries.keySet,
     "curation" -> CurationOps.queries.keySet,
+    "packing" -> PackingOps.queries.keySet,
+    "search" -> SearchOps.queries.keySet,
+    "zorder" -> ZOrderOps.queries.keySet,
     "formats" -> graft.sources.SourceFormats.queries.keySet,
+    "bucketing" -> graft.sources.Bucketing.queries.keySet,
     "planners" -> graft.plans.PlannerQueries.queries.keySet,
     "stream-events" -> graft.streaming.EventStream.queries.keySet,
     "stream-dedup" -> graft.streaming.StreamDedup.queries.keySet,

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Packing semantics on a hand-computed fixture: greedy-sequential
+  * chunking where a document that crosses the budget line still joins
+  * the chunk it crossed into, and an over-budget document occupies its
+  * own chunk; streams (sources) pack independently. */
+class PackingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("chunk assignment follows the running-total rule per stream") {
+    // budget 100; stream a: 60, 60, 60 -> tok_before 0, 60, 120
+    //   -> chunks 0, 0, 1 (doc 2 crosses at 60 < 100, doc 3 starts past it)
+    // stream b: 250 (over budget, own chunk), 10 -> chunks 0, 2
+    val d = spark.createDataFrame(Seq(
+      (1L, "a", 60L), (2L, "a", 60L), (3L, "a", 60L),
+      (4L, "b", 250L), (5L, "b", 10L)
+    )).toDF("doc_id", "source", "tokens")
+    val got = PackingOps.packSequencesOn(d, budget = 100)
+      .select("doc_id", "chunk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 2L))
+  }
+
+  test("a non-last chunk only closes past its budget line") {
+    val budget = 500
+    val packed = PackingOps.packSequences(
+      spark, "/root/testdata/sf0.001", budget = budget)
+    import org.apache.spark.sql.functions._
+    // cumulative token count at each chunk's end; a chunk closes only
+    // when that total has crossed the (chunk+1)*budget line — the
+    // invariant that makes the chunks maximal prefix runs
+    val perChunk = packed.groupBy("source", "chunk")
+      .agg(max(col("tok_before") + col("tokens")).as("cum_end"))
+    val lastChunk = packed.groupBy("source")
+      .agg(max("chunk").as("last_chunk"))
+    val nonLast = perChunk.join(lastChunk, "source")
+      .filter(col("chunk") < col("last_chunk"))
+      .select("chunk", "cum_end").collect()
+    assert(nonLast.nonEmpty)
+    nonLast.foreach { r =>
+      val (c, cumEnd) = (r.getAs[Long]("chunk"), r.getAs[Long]("cum_end"))
+      assert(cumEnd >= (c + 1) * budget, s"chunk $c closed at $cumEnd")
+    }
+  }
+}
