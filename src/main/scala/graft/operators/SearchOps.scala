@@ -39,12 +39,14 @@ object SearchOps {
     val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
 
     // dl without exploding; query-term hits via array filter BEFORE the
-    // explode — the generate emits ≤ |terms| distinct values per doc
-    val base = docsDf.select(col("doc_id"),
+    // explode — the generate emits ≤ |terms| distinct values per doc.
+    // Barrier: base feeds avgdl AND tf — without it the text column is
+    // tokenized and scanned once per consumer (PlanAudit showed 3 scans)
+    val base = Persists.barrier(docsDf.select(col("doc_id"),
       split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("double").as("dl"),
-        expr(s"filter(toks, t -> t IN $termList)").as("hits"))
+        expr(s"filter(toks, t -> t IN $termList)").as("hits")))
     val avgdl = base.agg(avg("dl").as("avgdl"))
     val tf = base.select(col("doc_id"), col("dl"),
         explode(col("hits")).as("term"))

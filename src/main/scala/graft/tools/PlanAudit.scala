@@ -23,7 +23,9 @@ object PlanAudit {
       "c05_pii_redact", "c07_sample_stratified", "t08_repetition",
       "d11_dedup_keep_quality", "q54_partitioned_sink",
       "t09_unigram_logprob", "d12_dedup_incremental",
-      "s06_ann_pq", "s07_ann_filtered")
+      "s06_ann_pq", "s07_ann_filtered",
+      "q57_bucketed_join", "q58_zorder_cluster",
+      "c09_pack_sequences", "t10_bm25")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature
