@@ -59,7 +59,32 @@ object SourceFormats {
         sum("n_chars").as("chars"))
   }
 
+  /** q59: small-file compaction — the maintenance pass a streaming-
+    * ingested table needs at 100 TB, where thousands of per-microbatch
+    * files kill scan throughput and metadata listing. Fragment orders
+    * into 64 tiny files (the ingest pathology), then rewrite to a
+    * byte-size-derived file count with `coalesce` — which CONCATENATES
+    * input partitions without a shuffle (repartition would round-robin
+    * every row through an exchange; compaction doesn't need that
+    * balance). The read-back is verified against the ORIGINAL table,
+    * so the whole fragment→compact cycle is byte-fidelity-checked;
+    * `SourceFormatsSpec` asserts the file-count collapse. */
+  def compact(spark: SparkSession, sfDir: String,
+      targetBytes: Long = 32L * 1024 * 1024): DataFrame = {
+    val fragDir = tmp("orders_fragmented")
+    val compDir = tmp("orders_compacted")
+    val orig = Tables.load(spark, sfDir, "orders")
+    orig.repartition(64).write.mode("overwrite").parquet(fragDir)
+    val frag = spark.read.parquet(fragDir)
+    val bytes = new java.io.File(fragDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes)).toInt
+    frag.coalesce(nFiles).write.mode("overwrite").parquet(compDir)
+    spark.read.parquet(compDir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_compact" -> ((s: SparkSession, d: String) => compact(s, d)),
     "q52_csv_source" -> (csvRoundTrip _),
     "q53_json_source" -> (jsonRoundTrip _),
     "q54_partitioned_sink" -> (partitionedSink _)
@@ -67,6 +92,10 @@ object SourceFormats {
 
   def oracleSql: Map[String, String] = Map(
     // fidelity oracles: the round-trip must equal the ORIGINAL table
+    "q59_compact" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders""",
     "q52_csv_source" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderdate, o_orderpriority

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Compaction must actually collapse the file count (that's its whole
+  * point) while preserving every row — the fidelity half is also
+  * hash-checked against DuckDB by the q59 oracle. */
+class SourceFormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+
+  test("compaction collapses 64 ingest files to the size-derived count") {
+    val compacted = SourceFormats.compact(spark, sfDir)
+    val frag = parquetFiles(
+      new java.io.File("target/tmp/formats/orders_fragmented").getAbsolutePath)
+    val comp = parquetFiles(
+      new java.io.File("target/tmp/formats/orders_compacted").getAbsolutePath)
+    assert(frag.length == 64)
+    // tiny corpus, 32 MiB target -> everything fits one file
+    assert(comp.length == 1, s"expected 1 compacted file, got ${comp.length}")
+    assert(compacted.count() ==
+      Tables.load(spark, sfDir, "orders").count())
+  }
+
+  test("compaction respects the byte target when it binds") {
+    // force a 64 KiB target so the size-derived count exceeds 1
+    val compacted = SourceFormats.compact(spark, sfDir, targetBytes = 64L * 1024)
+    val comp = parquetFiles(
+      new java.io.File("target/tmp/formats/orders_compacted").getAbsolutePath)
+    assert(comp.length > 1, "a 64 KiB target must split this corpus")
+    assert(compacted.count() ==
+      Tables.load(spark, sfDir, "orders").count())
+  }
+}
