@@ -26,6 +26,8 @@ object SparkEntry {
       AsofOps.queries ++
       RangeOps.queries ++
       CurationOps.queries ++
+      EventOps.queries ++
+      TokenizerOps.queries ++
       PackingOps.queries ++
       SearchOps.queries ++
       ZOrderOps.queries ++
@@ -48,6 +50,8 @@ object SparkEntry {
       AsofOps.oracleSql ++
       RangeOps.oracleSql ++
       CurationOps.oracleSql ++
+      EventOps.oracleSql ++
+      TokenizerOps.oracleSql ++
       PackingOps.oracleSql ++
       SearchOps.oracleSql ++
       ZOrderOps.oracleSql ++

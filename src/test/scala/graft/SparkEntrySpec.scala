@@ -20,6 +20,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "asof" -> AsofOps.queries.keySet,
     "range" -> RangeOps.queries.keySet,
     "curation" -> CurationOps.queries.keySet,
+    "events" -> EventOps.queries.keySet,
+    "tokenizer" -> TokenizerOps.queries.keySet,
     "packing" -> PackingOps.queries.keySet,
     "search" -> SearchOps.queries.keySet,
     "zorder" -> ZOrderOps.queries.keySet,

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed fixtures for the ordered-funnel and gap-session
+  * semantics — the order sensitivity (purchase BEFORE view must not
+  * convert) and exact gap-boundary behavior are the parts a plain
+  * group-by can't get wrong silently. */
+class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val Min = 60L * 1000000L // one minute in micros
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("funnel: stage events only count strictly after the prior stage") {
+    // u1 full path; u2 purchase BEFORE view (stage stays 2 after click);
+    // u3 click before view (stage 1); u4 no view at all (absent)
+    val e = spark.createDataFrame(Seq(
+      (1L, "view", 10L * Min), (1L, "click", 20L * Min),
+      (1L, "purchase", 30L * Min),
+      (2L, "purchase", 5L * Min), (2L, "view", 10L * Min),
+      (2L, "click", 20L * Min),
+      (3L, "click", 5L * Min), (3L, "view", 10L * Min),
+      (4L, "click", 10L * Min), (4L, "purchase", 20L * Min)
+    )).toDF("user_id", "event_type", "us")
+    val got = EventOps.funnelOn(e).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("stage")).toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1))
+  }
+
+  test("sessionize: breaks strictly past the gap, ties ordered by event_id") {
+    // u1: events at 0, 30min (== gap, same session), 61min (> 30min gap
+    // from #2 -> new session); u2: one event
+    val e = spark.createDataFrame(Seq(
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 30L * Min),
+      (3L, 1L, "view", 61L * Min),
+      (4L, 2L, "view", 0L)
+    )).toDF("event_id", "user_id", "event_type", "us")
+    val got = EventOps.sessionizeOn(e, gapMinutes = 30).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("start_us")))
+      .toMap
+    assert(got == Map(
+      (1L, 0L) -> (2L, 0L),
+      (1L, 1L) -> (1L, 61L * Min),
+      (2L, 0L) -> (1L, 0L)))
+  }
+}
