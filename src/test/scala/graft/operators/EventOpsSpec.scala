@@ -59,4 +59,28 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 1L) -> (1L, 61L * Min),
       (2L, 0L) -> (1L, 0L)))
   }
+
+  test("batch sessions equal the streaming interval-merge kernel") {
+    // q61 and streaming/EventStream.sessionize must implement the SAME
+    // session semantics; fold the streaming kernel (addEvent) over each
+    // user's events and compare (start, end, n_events) multisets
+    val sfDir = "/root/testdata/sf0.001"
+    val gapUs = 30L * Min
+    val byUser = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+    val kernel = byUser.flatMap { case (user, evs) =>
+      evs.map(_._2).foldLeft(List.empty[graft.streaming.EventStream.Interval]) {
+        (iv, ts) => graft.streaming.EventStream.addEvent(iv, ts, gapUs)
+      }.map(i => (user, i.start, i.last, i.events.toLong))
+    }.toSeq.sorted
+    val batch = EventOps.sessionize(spark, sfDir, gapMinutes = 30)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("start_us"), r.getAs[Long]("end_us"),
+        r.getAs[Long]("n_events"))).toSeq.sorted
+    assert(batch == kernel)
+  }
 }
