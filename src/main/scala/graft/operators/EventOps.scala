@@ -53,25 +53,41 @@ object EventOps {
   /** q60: ordered funnel view → click → purchase. Stage n counts only
     * events STRICTLY AFTER the user's stage n−1 time (min-after
     * semantics: the earliest qualifying event at each stage), so a
-    * purchase before the first view never converts. Per-user output
-    * with the reached stage and stage times. Scale: three filtered
-    * aggregates and two joins, all keyed on user_id; event_type
-    * filters push into the scan. */
+    * purchase before the first view never converts.
+    *
+    * Single-pass form: ONE scan and ONE user-keyed shuffle (the naive
+    * per-stage filter-join shape scans the event table once per stage —
+    * 4 scans and 8 exchanges at 100 TB). Two chained running-min window
+    * columns implement the strict-after chain exactly: for any event
+    * after a user's first view, `min view so far` IS the user's global
+    * first-view time (the minimum only ever decreases to it), so
+    * `click AND us > min_view_so_far` qualifies precisely the clicks
+    * the join form keeps; same argument one stage up. Equal-timestamp
+    * ties can't leak through either: the conditions are strict, so an
+    * event never qualifies against a same-µs prior stage regardless of
+    * window row order. The final per-user aggregate reuses the window's
+    * hash partitioning — no second exchange. */
   def funnel(spark: SparkSession, sfDir: String): DataFrame =
     funnelOn(events(spark, sfDir))
 
   /** [[funnel]] over any (user_id, event_type, us) frame. */
   def funnelOn(e: DataFrame): DataFrame = {
-    val v = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("us").as("view_us"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("us") > col("view_us"))
-      .groupBy("user_id").agg(min("us").as("click_us"))
-    val p = e.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("us") > col("click_us"))
-      .groupBy("user_id").agg(min("us").as("purchase_us"))
-    v.join(c.select(col("user_id"), col("click_us")), Seq("user_id"), "left")
-      .join(p, Seq("user_id"), "left")
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("minv",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("qclick",
+        when(col("event_type") === "click" && col("us") > col("minv"),
+          col("us")))
+      .withColumn("minqc", min("qclick").over(w))
+      .withColumn("qpurchase",
+        when(col("event_type") === "purchase" && col("us") > col("minqc"),
+          col("us")))
+      .groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("us"))).as("view_us"),
+        min("qclick").as("click_us"),
+        min("qpurchase").as("purchase_us"))
+      .filter(col("view_us").isNotNull)
       .select(col("user_id"), col("view_us"), col("click_us"),
         col("purchase_us"),
         (lit(1) + when(col("click_us").isNotNull, 1).otherwise(0) +
