@@ -49,8 +49,26 @@ object PackingOps {
         floor(col("tok_before") / budget.toLong).as("chunk"))
   }
 
+  /** c10: the full selection-to-training-chunks pipeline — c03's
+    * curation stages (near-dup cluster resolution → 50% content-hash
+    * split → per-source quota) feeding the packer, under ONE DuckDB
+    * oracle, so the curation/packing interface can't drift. The packer
+    * sees only quota survivors; budget 512 makes multi-doc chunks at
+    * the gate corpus. */
+  def pipelinePack(
+      spark: SparkSession, sfDir: String,
+      k: Int = 10, budget: Int = 512): DataFrame = {
+    val kept = CurationOps.pipeline(spark, sfDir, k)
+      .select(col("doc_id"), col("source"))
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+    packSequencesOn(kept.join(toks, "doc_id"), budget)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c09_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d))
+    "c09_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
+    "c10_pipeline_pack" -> ((s: SparkSession, d: String) => pipelinePack(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -68,6 +86,34 @@ object PackingOps {
            FROM t)
        SELECT doc_id, source, tokens, tok_before,
               CAST(floor(tok_before / 2048) AS BIGINT) AS chunk
-       FROM c"""
+       FROM c""",
+    "c10_pipeline_pack" ->
+      s"""WITH RECURSIVE ${DedupOps.clusterCtes},
+          comp AS (SELECT v, min(lbl) AS lbl FROM cc GROUP BY v),
+          survivors AS (
+            SELECT doc_id, text, source FROM documents
+            WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> lbl)
+              AND substr(md5(text), 1, 1) IN
+                  ('0','1','2','3','4','5','6','7')),
+          ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                          ORDER BY md5(text), doc_id) AS rk
+            FROM survivors),
+          t AS (
+            SELECT r.doc_id, r.source,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tokens
+            FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+            WHERE r.rk <= 10),
+          c AS (
+            SELECT doc_id, source, tokens,
+                   COALESCE(CAST(sum(tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS tok_before
+            FROM t)
+        SELECT doc_id, source, tokens, tok_before,
+               CAST(floor(tok_before / 512) AS BIGINT) AS chunk
+        FROM c"""
   )
 }
