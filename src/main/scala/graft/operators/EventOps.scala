@@ -95,9 +95,31 @@ object EventOps {
           .cast("int").as("stage"))
   }
 
+  /** q62: retention cohorts — users grouped by first-seen day, counted
+    * on each later active day as an offset from their cohort day (the
+    * matrix behind every retention curve). Day arithmetic is integer
+    * division on epoch-micros, exact in both engines. Scale: one
+    * min-aggregate on user_id, one re-join on the same key (the
+    * first-seen frame is user-cardinality — broadcastable when small,
+    * co-partitioned when not), one distinct-count on a bounded
+    * (cohort, offset) key space. */
+  def retention(spark: SparkSession, sfDir: String): DataFrame =
+    retentionOn(events(spark, sfDir))
+
+  /** [[retention]] over any (user_id, us) frame. */
+  def retentionOn(e0: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val e = e0.select(col("user_id"), expr(s"us div $DayUs").as("day"))
+    val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_off"))
+      .agg(countDistinct("user_id").as("users"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_funnel" -> (funnel _),
-    "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d))
+    "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
+    "q62_retention" -> (retention _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -137,6 +159,14 @@ object EventOps {
         SELECT user_id, session_idx, count(*) AS n_events,
                min(us) AS start_us, max(us) AS end_us,
                count(DISTINCT event_type) AS n_types
-        FROM s GROUP BY 1, 2"""
+        FROM s GROUP BY 1, 2""",
+    "q62_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+                    FROM events),
+          f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        SELECT f.cohort_day, e.day - f.cohort_day AS day_off,
+               count(DISTINCT e.user_id) AS users
+        FROM e JOIN f ON e.user_id = f.user_id
+        GROUP BY 1, 2"""
   )
 }

@@ -60,6 +60,22 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 0L) -> (1L, 0L)))
   }
 
+  test("retention: cohort by first-seen day, distinct users per offset") {
+    val Day = 24L * 60L * Min
+    // u1 first day 0, active days 0, 1, 7 (twice on day 1 -> still 1 user);
+    // u2 first day 1, active day 1 only
+    val e = spark.createDataFrame(Seq(
+      (1L, 0L), (1L, Day + Min), (1L, Day + 2 * Min), (1L, 7L * Day),
+      (2L, Day)
+    )).toDF("user_id", "us")
+    val got = EventOps.retentionOn(e).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_off")) ->
+        r.getAs[Long]("users")).toMap
+    assert(got == Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 7L) -> 1L,
+      (1L, 0L) -> 1L))
+  }
+
   test("batch sessions equal the streaming interval-merge kernel") {
     // q61 and streaming/EventStream.sessionize must implement the SAME
     // session semantics; fold the streaming kernel (addEvent) over each
