@@ -37,8 +37,7 @@ object EventOps {
   def sessionizeOn(e: DataFrame, gapMinutes: Int): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
     val order = Window.partitionBy("user_id").orderBy("us", "event_id")
-    val run = Window.partitionBy("user_id").orderBy("us", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("brk",
         when(col("us") - lag("us", 1).over(order) > gapUs, 1L)
           .otherwise(lit(0L)))

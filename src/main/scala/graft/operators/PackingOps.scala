@@ -20,11 +20,19 @@ import graft.sources.Tables
   * window does one shuffle on the stream key and a running sum per
   * partition. No driver-side loop, no collect.
   *
-  * Overflow semantics (the standard greedy-sequential rule): a chunk
-  * is the maximal prefix run whose PRECEDING token total stays under
-  * the budget — a document that crosses the line still joins the chunk
-  * it crossed into, and the next document starts a new count. A
-  * document longer than the whole budget occupies its own chunk.
+  * Chunking rule — FIXED TOKEN-OFFSET buckets, not greedy-reset: a
+  * document's chunk is `floor(preceding_token_total / budget)`, i.e.
+  * the budget-sized slot its stream offset falls in. A document that
+  * crosses a slot line still belongs to the slot it started in, and a
+  * document longer than the whole budget spans slots by offset (so
+  * chunk ids can skip after it). This differs from the greedy-reset
+  * rule (restart the count at zero after every overflow): greedy-reset
+  * makes each boundary depend on the previous boundary — an inherently
+  * sequential recurrence that neither a window function nor plain SQL
+  * expresses, while the offset rule is one running sum, keeps chunks
+  * within ±1 document of the same fill, and stays exactly
+  * oracle-checkable. The [[PackingOpsSpec]] fixture pins these
+  * semantics (including the skipped-id case).
   */
 object PackingOps {
 

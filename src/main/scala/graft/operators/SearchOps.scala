@@ -34,19 +34,21 @@ object SearchOps {
       spark: SparkSession, sfDir: String,
       terms: Seq[String] = Seq("vector", "stream", "merge"),
       k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
     val docsDf = Tables.load(spark, sfDir, "documents")
     val n = Tables.rowCount(spark, sfDir, "documents").toDouble
-    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
 
     // dl without exploding; query-term hits via array filter BEFORE the
     // explode — the generate emits ≤ |terms| distinct values per doc.
-    // Barrier: base feeds avgdl AND tf — without it the text column is
-    // tokenized and scanned once per consumer (PlanAudit showed 3 scans)
+    // Column-API lambda (no SQL-string term interpolation: quoted or
+    // otherwise hostile terms stay plain data). Barrier: base feeds
+    // avgdl AND tf — without it the text column is tokenized and
+    // scanned once per consumer (PlanAudit showed 3 scans)
     val base = Persists.barrier(docsDf.select(col("doc_id"),
       split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("double").as("dl"),
-        expr(s"filter(toks, t -> t IN $termList)").as("hits")))
+        filter(col("toks"), t => t.isInCollection(terms)).as("hits")))
     val avgdl = base.agg(avg("dl").as("avgdl"))
     val tf = base.select(col("doc_id"), col("dl"),
         explode(col("hits")).as("term"))
@@ -60,13 +62,8 @@ object SearchOps {
           (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
           .as("s"))
       .groupBy("doc_id").agg(round(sum("s"), 4).as("score"))
-    // top-k via sort+limit (TakeOrderedAndProject: per-partition heads,
-    // no global sort, no global window) — only the k survivors reach
-    // the rank window
-    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
-    top.withColumn("rk", row_number().over(w))
-      .select(col("doc_id"), col("rk").cast("int").as("rk"), col("score"))
+    Ranks.topKRanked(scored, k, col("score").desc, col("doc_id"))
+      .select(col("doc_id"), col("rk"), col("score"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -28,10 +28,7 @@ object TokenizerOps {
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
         .as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
-    val top = pairs.orderBy(col("cnt").desc, col("pair")).limit(k)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("pair"))
-    top.withColumn("rk", row_number().over(w).cast("int"))
+    Ranks.topKRanked(pairs, k, col("cnt").desc, col("pair"))
       .select(col("rk"), col("pair"), col("cnt"))
   }
 

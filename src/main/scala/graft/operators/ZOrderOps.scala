@@ -27,25 +27,41 @@ object ZOrderOps {
 
   /** q58: z-bucket extents over lineitem's (l_partkey, l_suppkey).
     * Each `zbucket` is a naturally-aligned 2^16-position curve block —
-    * a 256×256 tile — so `pk_max - pk_min ≤ 255` and
-    * `sk_max - sk_min ≤ 255` hold for EVERY row of the result (the
-    * ZOrderSpec asserts it); that bound is the data-skipping guarantee
-    * a z-ordered writer ships. One narrow codegen'd map + one hash
-    * aggregation on a ≤ 2^16-ary key: no window, no join, scale-free. */
-  def zorderExtents(spark: SparkSession, sfDir: String): DataFrame = {
+    * a 256×256 CELL tile — so `pk_max - pk_min ≤ 255·cellWidth` and
+    * `sk_max - sk_min ≤ 255·cellWidth` hold for EVERY row of the
+    * result (ZOrderSpec asserts it at cellWidth=1 on real data and the
+    * scaled bound on a >16-bit synthetic domain); that bound is the
+    * data-skipping guarantee a z-ordered writer ships.
+    *
+    * `cellWidth` is the header's "bucket each dimension first": keys
+    * are integer-DIVIDED into cells (division preserves locality —
+    * adjacent keys share or neighbor a cell), so a caller with keys
+    * beyond 2^16 passes ceil(maxKey / 65536) and the curve clusters
+    * cells. A modulo would instead ALIAS distant keys onto one cell
+    * and void the extent bound. The default 1 is lossless for this
+    * schema's key domains at every verification SF. One narrow
+    * codegen'd map + one hash aggregation on a ≤ 2^16-ary key: no
+    * window, no join, scale-free. */
+  def zorderExtents(
+      spark: SparkSession, sfDir: String, cellWidth: Long = 1L): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables.load(spark, sfDir, "lineitem")
-      .select(col("l_partkey"), col("l_suppkey"),
-        expr("graft_zvalue(l_partkey % 65536, l_suppkey % 65536)").as("z"))
+    zorderExtentsOn(Tables.load(spark, sfDir, "lineitem"), cellWidth)
+  }
+
+  /** [[zorderExtents]] over any (l_partkey, l_suppkey) frame —
+    * fixture-injectable; caller must have registered GraftFunctions. */
+  def zorderExtentsOn(d: DataFrame, cellWidth: Long): DataFrame =
+    d.select(col("l_partkey"), col("l_suppkey"),
+        expr(s"graft_zvalue(l_partkey div $cellWidth, " +
+          s"l_suppkey div $cellWidth)").as("z"))
       .withColumn("zbucket", shiftright(col("z"), 16))
       .groupBy("zbucket").agg(
         count(lit(1)).as("n"),
         min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
         min("l_suppkey").as("sk_min"), max("l_suppkey").as("sk_max"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q58_zorder_cluster" -> (zorderExtents _)
+    "q58_zorder_cluster" -> ((s: SparkSession, d: String) => zorderExtents(s, d))
   )
 
   /** The oracle spreads each 16-bit operand with the same four

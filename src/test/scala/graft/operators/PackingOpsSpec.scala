@@ -4,10 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Packing semantics on a hand-computed fixture: greedy-sequential
-  * chunking where a document that crosses the budget line still joins
-  * the chunk it crossed into, and an over-budget document occupies its
-  * own chunk; streams (sources) pack independently. */
+/** Packing semantics on a hand-computed fixture: fixed token-offset
+  * buckets — a document's chunk is its preceding token total div the
+  * budget, so a crossing document stays in the slot it started in and
+  * an over-budget document leaves a skipped chunk id behind it;
+  * streams (sources) pack independently. */
 class PackingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
@@ -27,8 +28,9 @@ class PackingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("chunk assignment follows the running-total rule per stream") {
     // budget 100; stream a: 60, 60, 60 -> tok_before 0, 60, 120
-    //   -> chunks 0, 0, 1 (doc 2 crosses at 60 < 100, doc 3 starts past it)
-    // stream b: 250 (over budget, own chunk), 10 -> chunks 0, 2
+    //   -> chunks 0, 0, 1 (doc 2 starts at offset 60 < 100, doc 3 at 120)
+    // stream b: 250 (over budget), 10 at offset 250 -> chunks 0, 2
+    //   (chunk id 1 is skipped: offsets 100-199 are inside doc 4)
     val d = spark.createDataFrame(Seq(
       (1L, "a", 60L), (2L, "a", 60L), (3L, "a", 60L),
       (4L, "b", 250L), (5L, "b", 10L)

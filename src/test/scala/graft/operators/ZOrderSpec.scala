@@ -78,4 +78,22 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
       .load(spark, "/root/testdata/sf0.001", "lineitem").count()
     assert(total == expected)
   }
+
+  test("cellWidth scales the tile bound past 16-bit key domains") {
+    graft.functions.GraftFunctions.register(spark)
+    // 20-bit keys: cellWidth 16 -> 65536 cells per dimension, buckets
+    // are 256x256-CELL tiles, extents bounded by 255 * 16 + 15
+    val cellW = 16L
+    val d = spark.range(0, 50000, 1, 4).selectExpr(
+      "CAST(id * 21 % 1048576 AS BIGINT) AS l_partkey",
+      "CAST(id * 13 % 1048576 AS BIGINT) AS l_suppkey")
+    val rows = ZOrderOps.zorderExtentsOn(d, cellW).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pk_max") - r.getAs[Long]("pk_min") <=
+        255L * cellW + (cellW - 1))
+      assert(r.getAs[Long]("sk_max") - r.getAs[Long]("sk_min") <=
+        255L * cellW + (cellW - 1))
+    }
+  }
 }
