@@ -33,10 +33,17 @@ object SearchOps {
   def bm25TopK(
       spark: SparkSession, sfDir: String,
       terms: Seq[String] = Seq("vector", "stream", "merge"),
-      k: Int = 20): DataFrame = {
+      k: Int = 20): DataFrame =
+    bm25TopKOn(Tables.load(spark, sfDir, "documents"),
+      Tables.rowCount(spark, sfDir, "documents"), terms, k)
+
+  /** [[bm25TopK]] over any (doc_id, text) frame with a known row count —
+    * fixture-injectable (the CurationOps `*On` pattern). */
+  def bm25TopKOn(
+      docsDf: DataFrame, corpusRows: Long,
+      terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
-    val docsDf = Tables.load(spark, sfDir, "documents")
-    val n = Tables.rowCount(spark, sfDir, "documents").toDouble
+    val n = corpusRows.toDouble
 
     // dl without exploding; query-term hits via array filter BEFORE the
     // explode — the generate emits ≤ |terms| distinct values per doc.

@@ -63,7 +63,14 @@ object ScaleProbe {
         corpusRows = n, nQueries = 5, k = 10, tables = 4, planes = 8,
         maxBucketFreq = 2000)),
       ("c02_source_quota", n => CurationOps.sourceQuotaOn(
-        docsN(spark, n), k = 100)))
+        docsN(spark, n), k = 100)),
+      ("t10_bm25", n => SearchOps.bm25TopKOn(
+        docsN(spark, n), corpusRows = n,
+        terms = Seq("w1", "w2", "w3"), k = 20)),
+      ("c09_pack_sequences", n => PackingOps.packSequencesOn(
+        docsN(spark, n).selectExpr("doc_id", "source",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS tokens"),
+        budget = 2048)))
 
     println(f"${"operator"}%-24s ${"n1"}%8s ${"t1(s)"}%8s ${"rows1"}%9s " +
       f"${"n4"}%8s ${"t4(s)"}%8s ${"rows4"}%9s ${"ratio"}%6s")
