@@ -48,9 +48,17 @@ object PackingOps {
       budget)
 
   /** [[packSequences]] over any (doc_id, source, tokens) frame —
-    * fixture-injectable (the CurationOps `*On` pattern). */
-  def packSequencesOn(d: DataFrame, budget: Int): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
+    * fixture-injectable (the CurationOps `*On` pattern).
+    *
+    * `streamCols` is the pack-stream key — the unit of sequential
+    * packing AND of parallelism. The default (source) matches the
+    * oracle's gate-corpus semantics; a 100 TB run passes source plus a
+    * shard column (e.g. a date or a doc_id div N) so the window has
+    * thousands of independent partitions instead of one per source. */
+  def packSequencesOn(
+      d: DataFrame, budget: Int,
+      streamCols: Seq[String] = Seq("source")): DataFrame = {
+    val w = Window.partitionBy(streamCols.map(col): _*).orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     d.withColumn("tok_before", coalesce(sum("tokens").over(w), lit(0L)))
       .select(col("doc_id"), col("source"), col("tokens"), col("tok_before"),

@@ -41,6 +41,18 @@ class PackingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 2L))
   }
 
+  test("a shard column splits a source into independent pack streams") {
+    val d = spark.createDataFrame(Seq(
+      (1L, "a", 0L, 60L), (2L, "a", 0L, 60L),
+      (3L, "a", 1L, 60L), (4L, "a", 1L, 60L)
+    )).toDF("doc_id", "source", "shard", "tokens")
+    val got = PackingOps.packSequencesOn(d, budget = 100,
+        streamCols = Seq("source", "shard")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tok_before")).toMap
+    // each shard restarts its running total (docs 3/4 mirror docs 1/2)
+    assert(got == Map(1L -> 0L, 2L -> 60L, 3L -> 0L, 4L -> 60L))
+  }
+
   test("a non-last chunk only closes past its budget line") {
     val budget = 500
     val packed = PackingOps.packSequences(
