@@ -23,17 +23,9 @@ object BucketingDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // pay the shuffle once, at write time
-    graft.sources.Tables.load(spark, sfDir, "orders")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("orders_b")
-    graft.sources.Tables.load(spark, sfDir, "lineitem")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("lineitem_b")
-
-    val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
-      spark.table("orders_b")("o_orderkey") ===
-        spark.table("lineitem_b")("l_orderkey"))
+    // pay the shuffle once, at write time (the q57 operator's own
+    // write+join path — the demo adds the plain-parquet contrast)
+    val joined = graft.sources.Bucketing.colocatedJoin(spark, sfDir)
     val plan = joined.queryExecution.executedPlan.toString
     println(plan.linesIterator.take(25).mkString("\n"))
     val exchanges = "Exchange".r.findAllIn(plan).size
