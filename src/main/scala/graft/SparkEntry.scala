@@ -36,7 +36,8 @@ object SparkEntry {
       graft.plans.PlannerQueries.queries ++
       graft.streaming.EventStream.queries ++
       graft.streaming.StreamDedup.queries ++
-      graft.streaming.StreamCuration.queries
+      graft.streaming.StreamCuration.queries ++
+      graft.streaming.StreamFunnel.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -60,5 +61,6 @@ object SparkEntry {
       graft.plans.PlannerQueries.oracleSql ++
       graft.streaming.EventStream.oracleSql ++
       graft.streaming.StreamDedup.oracleSql ++
-      graft.streaming.StreamCuration.oracleSql
+      graft.streaming.StreamCuration.oracleSql ++
+      graft.streaming.StreamFunnel.oracleSql
 }

@@ -30,7 +30,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "planners" -> graft.plans.PlannerQueries.queries.keySet,
     "stream-events" -> graft.streaming.EventStream.queries.keySet,
     "stream-dedup" -> graft.streaming.StreamDedup.queries.keySet,
-    "stream-curation" -> graft.streaming.StreamCuration.queries.keySet)
+    "stream-curation" -> graft.streaming.StreamCuration.queries.keySet,
+    "stream-funnel" -> graft.streaming.StreamFunnel.queries.keySet)
 
   test("query keys are collision-free across operator modules") {
     for {
