@@ -69,29 +69,40 @@ object EventOps {
   def funnel(spark: SparkSession, sfDir: String): DataFrame =
     funnelOn(events(spark, sfDir))
 
-  /** [[funnel]] over any (user_id, event_type, us) frame. */
-  def funnelOn(e: DataFrame): DataFrame = {
+  /** [[funnel]] over any (user_id, event_type, us) frame, for an
+    * arbitrary ordered stage chain (default: the q60 oracle's
+    * view → click → purchase; output columns are `<stage>_us`). Each
+    * stage adds one qualifying-event column (`event is stage i AND
+    * strictly after the running min of stage i−1`) and one running-min
+    * window column — all over the SAME user-keyed sort, so the chain
+    * length never adds shuffles, only expressions. */
+  def funnelOn(
+      e: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
     val w = Window.partitionBy("user_id").orderBy("us")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    e.withColumn("minv",
-        min(when(col("event_type") === "view", col("us"))).over(w))
-      .withColumn("qclick",
-        when(col("event_type") === "click" && col("us") > col("minv"),
-          col("us")))
-      .withColumn("minqc", min("qclick").over(w))
-      .withColumn("qpurchase",
-        when(col("event_type") === "purchase" && col("us") > col("minqc"),
-          col("us")))
-      .groupBy("user_id").agg(
-        min(when(col("event_type") === "view", col("us"))).as("view_us"),
-        min("qclick").as("click_us"),
-        min("qpurchase").as("purchase_us"))
-      .filter(col("view_us").isNotNull)
-      .select(col("user_id"), col("view_us"), col("click_us"),
-        col("purchase_us"),
-        (lit(1) + when(col("click_us").isNotNull, 1).otherwise(0) +
-          when(col("purchase_us").isNotNull, 1).otherwise(0))
-          .cast("int").as("stage"))
+    // q_i: this event's us if it qualifies for stage i; m_i: running min
+    val withQ = stages.zipWithIndex.foldLeft(e) { case (df, (st, i)) =>
+      val qual =
+        if (i == 0) when(col("event_type") === st, col("us"))
+        else when(col("event_type") === st && col("us") > col(s"_m${i - 1}"),
+          col("us"))
+      val d2 = df.withColumn(s"_q$i", qual)
+      if (i < stages.size - 1) d2.withColumn(s"_m$i", min(s"_q$i").over(w))
+      else d2
+    }
+    val stageCols = stages.zipWithIndex.map { case (st, i) =>
+      min(col(s"_q$i")).as(s"${st}_us")
+    }
+    val reached = stages.tail.zipWithIndex.foldLeft(lit(1)) {
+      case (acc, (st, _)) =>
+        acc + when(col(s"${st}_us").isNotNull, 1).otherwise(0)
+    }
+    withQ.groupBy("user_id").agg(stageCols.head, stageCols.tail: _*)
+      .filter(col(s"${stages.head}_us").isNotNull)
+      .select(col("user_id") +: stages.map(st => col(s"${st}_us")) :+
+        reached.cast("int").as("stage"): _*)
   }
 
   /** q62: retention cohorts — users grouped by first-seen day, counted

@@ -60,6 +60,19 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 0L) -> (1L, 0L)))
   }
 
+  test("funnel: arbitrary stage chains reuse the same window pass") {
+    val e = spark.createDataFrame(Seq(
+      (1L, "view", 10L * Min), (1L, "click", 20L * Min),
+      (1L, "purchase", 30L * Min),
+      (2L, "purchase", 5L * Min), (2L, "view", 10L * Min)
+    )).toDF("user_id", "event_type", "us")
+    val got = EventOps.funnelOn(e, stages = Seq("view", "purchase"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("stage")).toMap
+    // u1 converts view->purchase; u2's purchase precedes its view
+    assert(got == Map(1L -> 2, 2L -> 1))
+  }
+
   test("retention: cohort by first-seen day, distinct users per offset") {
     val Day = 24L * 60L * Min
     // u1 first day 0, active days 0, 1, 7 (twice on day 1 -> still 1 user);
