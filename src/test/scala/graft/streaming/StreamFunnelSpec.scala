@@ -68,7 +68,7 @@ class StreamFunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
           case None => assert(got.isEmpty, s"user $user (no view) emitted")
           case Some((v, c, p, st)) =>
             val s = got.getOrElse(fail(s"user $user emitted nothing"))
-            assert((Some(s.view_us), s.click_us, s.purchase_us, s.stage) ==
+            assert((s.times(0), s.times(1), s.times(2), s.stage) ==
               (v, c, p, st), s"user $user, $batches batches, seed $seed")
         }
       }
@@ -85,7 +85,36 @@ class StreamFunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the late click 40 / purchase 50 can never improve a decreasing
     // frontier and are dropped; the frontier values themselves stay
     // (a later earlier view may need them to re-qualify)
-    assert(state.clicks.nonEmpty && state.clicks.forall(_ <= 20L))
-    assert(state.purchases.nonEmpty && state.purchases.forall(_ <= 30L))
+    assert(state.candidates(0).nonEmpty && state.candidates(0).forall(_ <= 20L))
+    assert(state.candidates(1).nonEmpty && state.candidates(1).forall(_ <= 30L))
+  }
+
+  test("custom stage chains replay to the generic batch funnel") {
+    // two-stage chain on the real corpus: purchase-after-signup
+    val stages = Seq("signup", "purchase")
+    val batch = graft.operators.EventOps.funnelOn(
+      graft.sources.Tables.load(spark, sfDir, "events")
+        .selectExpr("user_id", "event_type", "unix_micros(ts) AS us"),
+      stages).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getAs[Int]("stage"))).toMap
+    corpus().foreach { case (user, evs) =>
+      var state: Option[FState] = None
+      var last: Option[StreamFunnel.Snapshot] = None
+      new scala.util.Random(3L).shuffle(evs).grouped(7).foreach { g =>
+        val (next, snap) = StreamFunnel.step(user, g.iterator, state, stages)
+        state = Some(next)
+        if (snap.isDefined) last = snap
+      }
+      batch.get(user) match {
+        case None => assert(last.isEmpty, s"user $user")
+        case Some((t0, t1, st)) =>
+          val s = last.getOrElse(fail(s"user $user emitted nothing"))
+          assert((s.times(0), s.times(1), s.stage) == (t0, t1, st),
+            s"user $user")
+      }
+    }
   }
 }
