@@ -117,9 +117,15 @@ object EventOps {
     retentionOn(events(spark, sfDir))
 
   /** [[retention]] over any (user_id, us) frame. */
-  def retentionOn(e0: DataFrame): DataFrame = {
-    val DayUs = 86400000000L
-    val e = e0.select(col("user_id"), expr(s"us div $DayUs").as("day"))
+  def retentionOn(e0: DataFrame): DataFrame =
+    retentionOnDays(
+      e0.select(col("user_id"), expr(s"us div $DayUs").as("day")))
+
+  private[graft] val DayUs = 86400000000L
+
+  /** The cohort × offset matrix from a (user_id, day) activity frame —
+    * the post-distinct half, shared with the streaming form (q64). */
+  def retentionOnDays(e: DataFrame): DataFrame = {
     val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
     e.join(first, "user_id")
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_off"))

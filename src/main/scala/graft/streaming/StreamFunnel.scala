@@ -132,14 +132,42 @@ object StreamFunnel {
         col("stage"))
   }
 
+  /** q64: streaming retention — the stateful stage is a per-(user, day)
+    * streaming DISTINCT (`dropDuplicates`: one state row per active
+    * user-day, the event stream's activity matrix built incrementally,
+    * arrival-order invariant by construction); the cohort × offset math
+    * is batch post-processing on the completed sink, shared verbatim
+    * with batch q62 (the q56 pattern: stream the heavy reduction, read
+    * the bounded result). No watermark: exact-by-construction for the
+    * gate's finite replay; a production deployment adds
+    * `dropDuplicatesWithinWatermark` to bound state by the reorder
+    * horizon at the cost of dropping beyond-horizon stragglers. */
+  def retentionStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.EventOps
+    val days = StreamRun.toCompletion(
+      EventStream.readEvents(spark, sfDir, glob = "events.parquet")
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) div ${EventOps.DayUs}").as("day"))
+        .dropDuplicates("user_id", "day"),
+      "graft_stream_retention")
+    // re-baseline the completed sink (fresh attribute ids): the cohort
+    // aggregate self-joins this frame, and a memory-sink VIEW on both
+    // join sides trips the analyzer's conflicting-reference check
+    val fresh = spark.createDataFrame(days.rdd, days.schema)
+    EventOps.retentionOnDays(fresh)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q63_stream_funnel" -> (funnelStreamed _)
+    "q63_stream_funnel" -> (funnelStreamed _),
+    "q64_stream_retention" -> (retentionStreamed _)
   )
 
-  /** The batch funnel oracle verbatim — the stream's final snapshots
-    * must reproduce it. */
+  /** The batch oracles verbatim — the streams' final answers must
+    * reproduce them. */
   def oracleSql: Map[String, String] = Map(
     "q63_stream_funnel" ->
-      graft.operators.EventOps.oracleSql("q60_funnel")
+      graft.operators.EventOps.oracleSql("q60_funnel"),
+    "q64_stream_retention" ->
+      graft.operators.EventOps.oracleSql("q62_retention")
   )
 }
