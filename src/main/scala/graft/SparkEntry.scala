@@ -37,7 +37,8 @@ object SparkEntry {
       graft.streaming.EventStream.queries ++
       graft.streaming.StreamDedup.queries ++
       graft.streaming.StreamCuration.queries ++
-      graft.streaming.StreamFunnel.queries
+      graft.streaming.StreamFunnel.queries ++
+      graft.streaming.StreamSessions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -62,5 +63,6 @@ object SparkEntry {
       graft.streaming.EventStream.oracleSql ++
       graft.streaming.StreamDedup.oracleSql ++
       graft.streaming.StreamCuration.oracleSql ++
-      graft.streaming.StreamFunnel.oracleSql
+      graft.streaming.StreamFunnel.oracleSql ++
+      graft.streaming.StreamSessions.oracleSql
 }

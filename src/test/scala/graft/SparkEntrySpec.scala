@@ -31,7 +31,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "stream-events" -> graft.streaming.EventStream.queries.keySet,
     "stream-dedup" -> graft.streaming.StreamDedup.queries.keySet,
     "stream-curation" -> graft.streaming.StreamCuration.queries.keySet,
-    "stream-funnel" -> graft.streaming.StreamFunnel.queries.keySet)
+    "stream-funnel" -> graft.streaming.StreamFunnel.queries.keySet,
+    "stream-sessions" -> graft.streaming.StreamSessions.queries.keySet)
 
   test("query keys are collision-free across operator modules") {
     for {
