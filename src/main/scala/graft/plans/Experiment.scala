@@ -118,7 +118,7 @@ object Experiment {
     * (MyUtils.getResultSetHash:501-523). */
   def resultHash(df: org.apache.spark.sql.DataFrame): String = {
     import org.apache.spark.sql.functions._
-    val cols = df.columns.sorted.map(c => col(c))
+    val cols = df.columns.sorted.toIndexedSeq.map(c => col(c))
     val r = df.select(xxhash64(to_json(struct(cols: _*))).as("h"))
       .agg(count(lit(1)), coalesce(sum(col("h").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO)))
