@@ -80,6 +80,8 @@ object EventOps {
       e: DataFrame,
       stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got $stages")
     val w = Window.partitionBy("user_id").orderBy("us")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // q_i: this event's us if it qualifies for stage i; m_i: running min

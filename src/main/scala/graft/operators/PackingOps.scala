@@ -58,11 +58,16 @@ object PackingOps {
   def packSequencesOn(
       d: DataFrame, budget: Int,
       streamCols: Seq[String] = Seq("source")): DataFrame = {
+    require(streamCols.nonEmpty, "packing needs at least one stream column")
     val w = Window.partitionBy(streamCols.map(col): _*).orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the FULL stream key stays in the output — chunk ids are only
+    // unique within one stream, so dropping a key column would alias
+    // chunks from different shards into one over-budget chunk
     d.withColumn("tok_before", coalesce(sum("tokens").over(w), lit(0L)))
-      .select(col("doc_id"), col("source"), col("tokens"), col("tok_before"),
-        floor(col("tok_before") / budget.toLong).as("chunk"))
+      .select(col("doc_id") +: streamCols.map(col) :+ col("tokens") :+
+        col("tok_before") :+
+        floor(col("tok_before") / budget.toLong).as("chunk"): _*)
   }
 
   /** c10: the full selection-to-training-chunks pipeline — c03's

@@ -106,14 +106,23 @@ object EventStream {
     * rest. O(k) for k open intervals — and k is bounded by the number of
     * gap-separated sessions in flight, NOT the event count: a whale user
     * with 10⁵ events in one micro-batch still holds 1–2 intervals. */
-  def addEvent(iv: List[Interval], ts: Long, gapUs: Long): List[Interval] = {
+  def addEvent(iv: List[Interval], ts: Long, gapUs: Long): List[Interval] =
+    mergeEvent[Interval](iv, ts, gapUs, _.start, _.last, Interval(ts, ts, 1),
+      (a, b) => Interval(math.min(a.start, b.start),
+        math.max(a.last, b.last), a.events + b.events))
+
+  /** Payload-generic form of the merge — ONE source of truth for the
+    * gap-connectivity rule, shared with the gate-form sessionizer
+    * (StreamSessions carries a type-set payload). A divergent copy of
+    * the boundary condition would silently split the q65 gate from
+    * this production kernel. */
+  def mergeEvent[A](
+      iv: List[A], ts: Long, gapUs: Long,
+      start: A => Long, last: A => Long,
+      fresh: A, combine: (A, A) => A): List[A] = {
     val (near, far) = iv.partition(i =>
-      ts >= i.start - gapUs && ts <= i.last + gapUs)
-    val merged = near.foldLeft(Interval(ts, ts, 1)) { (a, b) =>
-      Interval(math.min(a.start, b.start), math.max(a.last, b.last),
-        a.events + b.events)
-    }
-    (merged :: far).sortBy(_.start)
+      ts >= start(i) - gapUs && ts <= last(i) + gapUs)
+    (near.foldLeft(fresh)(combine) :: far).sortBy(start)
   }
 
   /** Custom state machine: close a user session after `gapMinutes` of

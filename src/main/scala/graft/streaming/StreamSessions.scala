@@ -30,20 +30,18 @@ object StreamSessions {
   final case class Snapshot(
       user_id: Long, intervals: Seq[SInterval], seq: Long)
 
-  /** Merge one typed event into the interval set — the
-    * [[EventStream.addEvent]] kernel extended with an event-type set
+  /** Merge one typed event into the interval set — the SHARED
+    * [[EventStream.mergeEvent]] kernel (same gap-connectivity rule as
+    * the production sessionizer) with an event-type-set payload
     * (bounded by the event-type vocabulary). An event can bridge two
     * intervals; counts add, type sets union. */
   private[streaming] def addEvent(
-      iv: List[SInterval], ts: Long, tpe: String, gapUs: Long): List[SInterval] = {
-    val (near, far) = iv.partition(i =>
-      ts >= i.start - gapUs && ts <= i.last + gapUs)
-    val merged = near.foldLeft(SInterval(ts, ts, 1L, Seq(tpe))) { (a, b) =>
-      SInterval(math.min(a.start, b.start), math.max(a.last, b.last),
-        a.events + b.events, (a.types ++ b.types).distinct.sorted)
-    }
-    (merged :: far).sortBy(_.start)
-  }
+      iv: List[SInterval], ts: Long, tpe: String, gapUs: Long): List[SInterval] =
+    EventStream.mergeEvent[SInterval](iv, ts, gapUs, _.start, _.last,
+      SInterval(ts, ts, 1L, Seq(tpe)),
+      (a, b) => SInterval(math.min(a.start, b.start),
+        math.max(a.last, b.last), a.events + b.events,
+        (a.types ++ b.types).distinct.sorted))
 
   private[streaming] def step(
       user: Long, events: Iterator[SEvent], old: Option[SState],

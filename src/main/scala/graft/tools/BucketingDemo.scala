@@ -4,7 +4,9 @@
 // turns every repeated fact-fact join at 100 TB into a zero-shuffle
 // merge (pay the shuffle once at write time, never again at read).
 //
-// Usage: runMain graft.tools.BucketingDemo [sfDir [warehouseDir]]
+// Usage: runMain graft.tools.BucketingDemo [sfDir]
+// (bucketed data lands at Bucketing's external-table path,
+//  target/tmp/bucketed/)
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
@@ -12,12 +14,9 @@ import org.apache.spark.sql.SparkSession
 object BucketingDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val warehouse = args.lift(1).getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
       .config("spark.ui.enabled", "false")
       .getOrCreate()

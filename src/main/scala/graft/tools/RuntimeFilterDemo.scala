@@ -80,6 +80,11 @@ object RuntimeFilterDemo {
 
     println(f"fact rows reaching the shuffle: $fullRows%d without bloom, " +
       f"$prunedRows%d with (${100.0 * prunedRows / fullRows}%.1f%%)")
+    // both metrics must have been FOUND — a plan-shape drift that makes
+    // the collect{} match nothing would otherwise read as a perfect
+    // (vacuous) reduction in a committed-evidence tool
+    require(fullRows > 0 && prunedRows > 0,
+      "fact-side FilterExec metric not found — plan shape changed?")
     require(prunedRows < fullRows,
       "bloom filter should cut the fact side's pre-shuffle rows")
     spark.stop()

@@ -46,8 +46,13 @@ class PackingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "a", 0L, 60L), (2L, "a", 0L, 60L),
       (3L, "a", 1L, 60L), (4L, "a", 1L, 60L)
     )).toDF("doc_id", "source", "shard", "tokens")
-    val got = PackingOps.packSequencesOn(d, budget = 100,
-        streamCols = Seq("source", "shard")).collect()
+    val packed = PackingOps.packSequencesOn(d, budget = 100,
+      streamCols = Seq("source", "shard"))
+    // the full stream key survives into the output (chunk ids are only
+    // unique per stream)
+    assert(packed.columns.toSeq ==
+      Seq("doc_id", "source", "shard", "tokens", "tok_before", "chunk"))
+    val got = packed.collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tok_before")).toMap
     // each shard restarts its running total (docs 3/4 mirror docs 1/2)
     assert(got == Map(1L -> 0L, 2L -> 60L, 3L -> 0L, 4L -> 60L))
