@@ -12,13 +12,23 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Headline set: flagship join, heavy agg, window, planner-built join,
-    * and one of each pipeline family. */
+    * and one of each pipeline family. Frozen since round 2 — the r2..rN
+    * totals are a like-for-like trajectory; do NOT add queries here. */
   val headline: Seq[String] = Seq(
     "q03_flagship", "q08_agg_tpch_q1", "q04_join_inner", "q13_window_rank",
     "q14_window_frame", "q21_in_subquery", "q26_events_daily",
     "p01_planner_dpccp", "d01_dedup_exact", "d02_dedup_minhash",
     "t01_quality", "t03_fingerprint_md5", "s01_ann_brute", "s02_ann_lsh",
     "s04_ann_ivf")
+
+  /** Second series guarding the round-5 operators (bucketed join, z-order,
+    * event analytics, packing, BM25, incremental dedup, PQ ANN). Kept
+    * separate from [[headline]] so the legacy trajectory stays comparable;
+    * this series baselines at round 6. */
+  val headlineR5: Seq[String] = Seq(
+    "q57_bucketed_join", "q58_zorder_cluster", "q60_funnel",
+    "q61_sessionize", "q62_retention", "c09_pack_sequences", "t10_bm25",
+    "d12_dedup_incremental", "s06_ann_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,53 +81,61 @@ object Bench {
       case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse(
         sys.error(s"SPARK_GRAFT_RUNS must be a positive integer, got '$v'"))
     }
-    val results = headline.flatMap { name =>
-      all.get(name).map { fn =>
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          // per-query barrier scope: build + execute inside, release after
-          graft.operators.Persists.scoped {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    def runSeries(names: Seq[String]): Seq[(String, Double, Double, Seq[Double])] =
+      names.flatMap { name =>
+        all.get(name).map { fn =>
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            // per-query barrier scope: build + execute inside, release after
+            graft.operators.Persists.scoped {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            }
+            (System.nanoTime() - t0) / 1e9
           }
-          (System.nanoTime() - t0) / 1e9
-        }
-        try {
-          if (dropCache && !tryDropCache()) dropsFailed = true
-          val cold = once()
-          // ALL warm runtimes are kept and emitted (queries_warm) so a
-          // cross-round reader can re-aggregate; the headline per-query
-          // number is their MIN, declared via "steady_agg" in the JSON —
-          // with SPARK_GRAFT_RUNS>2, min-of-warm is biased low relative
-          // to a single second run, and the field makes that visible
-          // instead of silently changing the series' meaning.
-          // runs=1 means NO warm run happened: queries_warm stays empty
-          // (emitting the cold time there would feed codegen-dominated
-          // numbers into a reader's warm series) and steady == cold,
-          // the pre-round-3 single-shot semantics
-          val warm =
-            if (runsPerQuery == 1) Seq.empty[Double]
-            else Seq.fill(runsPerQuery - 1)(once())
-          (name, if (warm.isEmpty) cold else warm.min, cold, warm)
-        }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            (name, -1.0, -1.0, Seq.empty[Double])
+          try {
+            if (dropCache && !tryDropCache()) dropsFailed = true
+            val cold = once()
+            // ALL warm runtimes are kept and emitted (queries_warm) so a
+            // cross-round reader can re-aggregate; the headline per-query
+            // number is their MIN, declared via "steady_agg" in the JSON —
+            // with SPARK_GRAFT_RUNS>2, min-of-warm is biased low relative
+            // to a single second run, and the field makes that visible
+            // instead of silently changing the series' meaning.
+            // runs=1 means NO warm run happened: queries_warm stays empty
+            // (emitting the cold time there would feed codegen-dominated
+            // numbers into a reader's warm series) and steady == cold,
+            // the pre-round-3 single-shot semantics
+            val warm =
+              if (runsPerQuery == 1) Seq.empty[Double]
+              else Seq.fill(runsPerQuery - 1)(once())
+            (name, if (warm.isEmpty) cold else warm.min, cold, warm)
+          }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              (name, -1.0, -1.0, Seq.empty[Double])
+          }
         }
       }
-    }
+    val results = runSeries(headline)
+    val resultsR5 = runSeries(headlineR5)
     val cacheState =
       if (dropCache && !dropsFailed) "dropped-before-cold-runs"
       else if (dropCache) "drop-requested-but-failed"
       else "warm-fs"
-    val qs = results.map { case (k, v, _, _) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val qsCold = results.map { case (k, _, c, _) => f""""$k":$c%.3f""" }
-      .mkString("{", ",", "}")
-    val qsWarm = results.map { case (k, _, _, w) =>
-      s""""$k":${w.map(t => f"$t%.3f").mkString("[", ",", "]")}"""
-    }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _, _) if v < 0 => s""""$k"""" }
+    def steadyJson(rs: Seq[(String, Double, Double, Seq[Double])]): String =
+      rs.map { case (k, v, _, _) => f""""$k":$v%.3f""" }
+        .mkString("{", ",", "}")
+    def coldJson(rs: Seq[(String, Double, Double, Seq[Double])]): String =
+      rs.map { case (k, _, c, _) => f""""$k":$c%.3f""" }
+        .mkString("{", ",", "}")
+    def warmJson(rs: Seq[(String, Double, Double, Seq[Double])]): String =
+      rs.map { case (k, _, _, w) =>
+        s""""$k":${w.map(t => f"$t%.3f").mkString("[", ",", "]")}"""
+      }.mkString("{", ",", "}")
+    val qs = steadyJson(results)
+    val failed = (results ++ resultsR5)
+      .collect { case (k, v, _, _) if v < 0 => s""""$k"""" }
     if (failed.nonEmpty) {
       // a failing query must read as a FAILURE, not as a faster total —
       // report value:-1 + the failed list and exit nonzero
@@ -126,12 +144,20 @@ object Bench {
       spark.stop()
       sys.exit(1)
     }
+    // "value"/"queries"/"total_cold" stay the LEGACY series only — the
+    // r2..rN trajectory must remain like-for-like; the round-5 operator
+    // series is emitted alongside under *_r5 keys and baselines at r6.
     val total = results.map(_._2).sum
     val totalCold = results.map(_._3).sum
+    val totalR5 = resultsR5.map(_._2).sum
+    val totalR5Cold = resultsR5.map(_._3).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""queries_cold":$qsCold,"total_cold":$totalCold%.3f,""" +
-        f""""queries_warm":$qsWarm,"steady_agg":"min",""" +
+        f""""queries_cold":${coldJson(results)},"total_cold":$totalCold%.3f,""" +
+        f""""queries_warm":${warmJson(results)},"steady_agg":"min",""" +
+        f""""queries_r5":${steadyJson(resultsR5)},"total_r5":$totalR5%.3f,""" +
+        f""""queries_r5_cold":${coldJson(resultsR5)},"total_r5_cold":$totalR5Cold%.3f,""" +
+        f""""queries_r5_warm":${warmJson(resultsR5)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -110,11 +110,11 @@ object EventOps {
   /** q62: retention cohorts — users grouped by first-seen day, counted
     * on each later active day as an offset from their cohort day (the
     * matrix behind every retention curve). Day arithmetic is integer
-    * division on epoch-micros, exact in both engines. Scale: one
-    * min-aggregate on user_id, one re-join on the same key (the
-    * first-seen frame is user-cardinality — broadcastable when small,
-    * co-partitioned when not), one distinct-count on a bounded
-    * (cohort, offset) key space. */
+    * division on epoch-micros, exact in both engines. Scale: first-seen
+    * is a whole-partition window min riding ONE user-keyed shuffle of
+    * ONE events scan (the agg-then-self-join form scans and shuffles
+    * the events twice — PlanAudit r5 showed scans=2, exchanges=4), then
+    * one distinct-count on a bounded (cohort, offset) key space. */
   def retention(spark: SparkSession, sfDir: String): DataFrame =
     retentionOn(events(spark, sfDir))
 
@@ -126,13 +126,14 @@ object EventOps {
   private[graft] val DayUs = 86400000000L
 
   /** The cohort × offset matrix from a (user_id, day) activity frame —
-    * the post-distinct half, shared with the streaming form (q64). */
-  def retentionOnDays(e: DataFrame): DataFrame = {
-    val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
-    e.join(first, "user_id")
+    * the post-distinct half, shared with the streaming form (q64).
+    * `min(day) over (partition by user_id)` attaches the cohort day in
+    * the same pass that shuffles on user_id — no second events
+    * scan/exchange like the aggregate-plus-join form needed. */
+  def retentionOnDays(e: DataFrame): DataFrame =
+    e.withColumn("cohort_day", min("day").over(Window.partitionBy("user_id")))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_off"))
       .agg(countDistinct("user_id").as("users"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_funnel" -> (funnel _),

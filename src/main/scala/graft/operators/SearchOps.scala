@@ -27,9 +27,15 @@ object SearchOps {
   val B = 0.75
 
   /** t10: BM25 top-k documents for a fixed 3-term query. Scores are
-    * rounded to 4 decimals before ranking so the (score desc, doc_id)
+    * rounded to 3 decimals before ranking so the (score desc, doc_id)
     * tie-break is identical across engines — the same float-oracle
-    * discipline as t07's TF-IDF. */
+    * discipline as t07's TF-IDF. Three decimals (not four) keeps the
+    * rounding boundaries ~5e-4 away from the ~1e-12 jitter that
+    * nondeterministic double-accumulation order (sum(s), avgdl
+    * partials) can introduce; a score landing exactly on a boundary
+    * could still round differently per engine and flip the exact-
+    * compared rk — the same accepted residual-risk class as t07's
+    * float oracle, now two orders of magnitude less likely. */
   def bm25TopK(
       spark: SparkSession, sfDir: String,
       terms: Seq[String] = Seq("vector", "stream", "merge"),
@@ -68,7 +74,7 @@ object SearchOps {
           (col("tf") * (K1 + 1)) /
           (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
           .as("s"))
-      .groupBy("doc_id").agg(round(sum("s"), 4).as("score"))
+      .groupBy("doc_id").agg(round(sum("s"), 3).as("score"))
     Ranks.topKRanked(scored, k, col("score").desc, col("doc_id"))
       .select(col("doc_id"), col("rk"), col("score"))
   }
@@ -100,7 +106,7 @@ object SearchOps {
                      (tfc.tf + ${K1} * (1 - ${B} + ${B} * tfc.dl / n.avgdl))
                      AS s
             FROM tfc JOIN dfreq ON tfc.term = dfreq.term CROSS JOIN n),
-          agg AS (SELECT doc_id, round(sum(s), 4) AS score
+          agg AS (SELECT doc_id, round(sum(s), 3) AS score
                   FROM scored GROUP BY 1),
           ranked AS (
             SELECT doc_id,

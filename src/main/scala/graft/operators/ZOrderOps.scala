@@ -60,18 +60,29 @@ object ZOrderOps {
         min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
         min("l_suppkey").as("sk_min"), max("l_suppkey").as("sk_max"))
 
+  /** The cell width the GATED q58 entry runs at. Both the Spark query
+    * and the DuckDB oracle below are generated from this ONE constant
+    * (the oracle's s0 CTE divides by it), so a future change of the
+    * gated width moves both sides together instead of silently
+    * diverging. */
+  val GatedCellWidth = 1L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q58_zorder_cluster" -> ((s: SparkSession, d: String) => zorderExtents(s, d))
+    "q58_zorder_cluster" ->
+      ((s: SparkSession, d: String) => zorderExtents(s, d, GatedCellWidth))
   )
 
   /** The oracle spreads each 16-bit operand with the same four
     * shift-or-mask steps the native kernel uses (ZValue.spread16), one
     * CTE per step — identical integer math in both engines, so the
-    * hash gate verifies the codegen'd bit kernel arithmetically. */
+    * hash gate verifies the codegen'd bit kernel arithmetically. The
+    * cell division (`// GatedCellWidth`) mirrors the Spark side's
+    * `div cellWidth` from the same constant. */
   def oracleSql: Map[String, String] = Map(
     "q58_zorder_cluster" ->
-      """WITH s0 AS (SELECT l_partkey, l_suppkey,
-                            l_partkey % 65536 AS px, l_suppkey % 65536 AS py
+      s"""WITH s0 AS (SELECT l_partkey, l_suppkey,
+                            (l_partkey // $GatedCellWidth) % 65536 AS px,
+                            (l_suppkey // $GatedCellWidth) % 65536 AS py
                      FROM lineitem),
           s1 AS (SELECT l_partkey, l_suppkey,
                         (px | (px << 8)) & 16711935 AS px,

@@ -68,7 +68,11 @@ object SourceFormats {
     * every row through an exchange; compaction doesn't need that
     * balance). The read-back is verified against the ORIGINAL table,
     * so the whole fragment→compact cycle is byte-fidelity-checked;
-    * `SourceFormatsSpec` asserts the file-count collapse. */
+    * `SourceFormatsSpec` asserts the file-count collapse. Sizing goes
+    * through the Hadoop `FileSystem` resolved FROM the table's own
+    * path — the same code path works on HDFS/S3/local, because the
+    * actual 100 TB home of small-file compaction is an object store,
+    * not the driver's local disk. */
   def compact(spark: SparkSession, sfDir: String,
       targetBytes: Long = 32L * 1024 * 1024): DataFrame = {
     val fragDir = tmp("orders_fragmented")
@@ -76,11 +80,21 @@ object SourceFormats {
     val orig = Tables.load(spark, sfDir, "orders")
     orig.repartition(64).write.mode("overwrite").parquet(fragDir)
     val frag = spark.read.parquet(fragDir)
-    val bytes = new java.io.File(fragDir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val bytes = parquetBytes(spark, fragDir)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes)).toInt
     frag.coalesce(nFiles).write.mode("overwrite").parquet(compDir)
     spark.read.parquet(compDir)
+  }
+
+  /** Total parquet data bytes under `dir`, listed via the Hadoop
+    * FileSystem that owns the path (works for file://, hdfs://,
+    * s3a://, ... — `java.io.File` would NPE on anything non-local). */
+  def parquetBytes(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(path)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

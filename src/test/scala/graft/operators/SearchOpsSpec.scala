@@ -47,7 +47,7 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
           (f * (k1 + 1)) / (f + k1 * (1 - b + b * dl(id) / avgdl))
       }.sum
-      id -> BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> BigDecimal(s).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     }.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
       .zipWithIndex.map { case ((id, s), i) => (id, i + 1, s) }
 
