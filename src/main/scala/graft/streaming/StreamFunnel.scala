@@ -32,6 +32,12 @@ object StreamFunnel {
   val DefaultStages: Seq[String] = Seq("view", "click", "purchase")
 
   final case class FEvent(user_id: Long, event_type: String, tsMicros: Long)
+  /** [[FEvent]] still carrying the watermarked timestamp column — the
+    * event-time tag must survive into the stateful operator or Spark
+    * refuses `getCurrentWatermarkMs`. */
+  final case class FEventW(
+      user_id: Long, event_type: String, tsMicros: Long,
+      ts: java.sql.Timestamp)
   /** candidates(i) backs stage i+1 (stage 0 keeps only its min). */
   final case class FState(
       minFirst: Long, candidates: Seq[Seq[Long]], seq: Long)
@@ -58,10 +64,39 @@ object StreamFunnel {
 
   /** Fold a batch of events into the state; emit a snapshot iff the
     * frontier moved. Shared by the streaming query and the spec's
-    * shuffled-order replays. */
+    * shuffled-order replays.
+    *
+    * `watermarkUs` (the event-time watermark, in the events' µs
+    * domain) enables the bounded form: once the watermark passes t, no
+    * event with ts ≤ t can arrive, which finalizes the frontier prefix
+    * at or below it and licenses two evictions that the exact form
+    * (default `Long.MinValue` = no watermark) cannot take:
+    *
+    *  - ts(i−1) ≤ wm ⇒ ts(i−1) is FINAL (frontier times are strictly
+    *    increasing, so the whole prefix ≤ wm is; a decrease would need
+    *    a new event below the watermark). Stage i's buffer collapses
+    *    to the single current minimum above it — everything else can
+    *    never be `min > ts(i−1)` again.
+    *  - otherwise ts(i−1), now and forever, is > wm (it is either
+    *    already > wm and only decreases toward future events' ts > wm,
+    *    or undefined and waits on a future event), so a candidate at
+    *    or below the watermark can never qualify and is dropped. THIS
+    *    is what bounds the click-only bot that never produces a
+    *    first-stage event: its candidates age out of the horizon
+    *    instead of accumulating forever.
+    *
+    * `maxCandidates` caps each buffer as a defense for adversarial
+    * users inside the horizon, keeping the smallest values — the
+    * retained set is then exactly the k smallest candidates ever seen,
+    * so a capped funnel either reports the exact stage time or fails
+    * to qualify the stage (under-reporting, never inventing a
+    * conversion); it binds only for a user with more than k
+    * same-stage pre-conversion events inside one watermark horizon. */
   private[streaming] def step(
       user: Long, events: Iterator[FEvent], old: Option[FState],
-      stages: Seq[String] = DefaultStages): (FState, Option[Snapshot]) = {
+      stages: Seq[String] = DefaultStages,
+      watermarkUs: Long = Long.MinValue,
+      maxCandidates: Int = Int.MaxValue): (FState, Option[Snapshot]) = {
     val n = stages.size
     val idx = stages.zipWithIndex.toMap
     val s0 = old.getOrElse(FState(None_, Seq.fill(n - 1)(Nil), 0L))
@@ -80,6 +115,12 @@ object StreamFunnel {
     var i = 1
     while (i < n) {
       if (ts(i) != None_) cands(i - 1) = cands(i - 1).filter(_ <= ts(i))
+      if (ts(i - 1) <= watermarkUs) // None_=MaxValue never ≤ a real wm
+        cands(i - 1) = if (ts(i) == None_) Nil else List(ts(i))
+      else
+        cands(i - 1) = cands(i - 1).filter(_ > watermarkUs)
+      if (cands(i - 1).sizeIs > maxCandidates)
+        cands(i - 1) = cands(i - 1).sorted.take(maxCandidates)
       i += 1
     }
     val moved = ts != before
@@ -114,6 +155,46 @@ object StreamFunnel {
       }
   }
 
+  /** The PRODUCTION funnel: [[funnelStream]]'s semantics under an
+    * event-time watermark, with per-user state bounded by the reorder
+    * horizon instead of the user's pre-conversion history. Events more
+    * than `lag` behind the stream's max event time are declared
+    * undeliverable; [[step]]'s watermark evictions then (a) collapse
+    * each stage buffer to one value once the prior stage's frontier
+    * time falls behind the watermark, and (b) age out candidates a
+    * first-stage event can no longer precede — so a click-only bot
+    * holds O(horizon) state, not O(history) (the exact gate form q63
+    * keeps everything, which is fine for finite replay but unbounded
+    * on an endless stream). `maxCandidates` additionally caps each
+    * buffer inside the horizon; when it binds the funnel under-reports
+    * (misses a stage), never invents a conversion. The trade every
+    * watermark buys: a straggler beyond `lag` arrives too late to
+    * lower a finalized frontier — same contract as
+    * [[EventStream.sessionize]] and hourly windows. */
+  def funnelStreamBounded(
+      spark: SparkSession, events: DataFrame,
+      stages: Seq[String] = DefaultStages,
+      lag: String = "1 hour", maxCandidates: Int = 10000): Dataset[Snapshot] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsMicros"), col("ts"))
+      .withWatermark("ts", lag)
+      .as[FEventW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FState, Snapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[FEventW], state: GroupState[FState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (next, snap) = step(user,
+            it.map(e => FEvent(e.user_id, e.event_type, e.tsMicros)),
+            state.getOption, stages, wmUs, maxCandidates)
+          state.update(next)
+          snap.iterator
+      }
+  }
+
   /** q63: the file-source stream run to completion; each user's LAST
     * snapshot (max seq — frontier moves only ever improve it) is the
     * final funnel row and must equal batch q60's. */
@@ -139,9 +220,8 @@ object StreamFunnel {
     * is batch post-processing on the completed sink, shared verbatim
     * with batch q62 (the q56 pattern: stream the heavy reduction, read
     * the bounded result). No watermark: exact-by-construction for the
-    * gate's finite replay; a production deployment adds
-    * `dropDuplicatesWithinWatermark` to bound state by the reorder
-    * horizon at the cost of dropping beyond-horizon stragglers. */
+    * gate's finite replay; [[retentionDaysBounded]] is the production
+    * twin whose state is bounded by the reorder horizon. */
   def retentionStreamed(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.EventOps
     val days = StreamRun.toCompletion(
@@ -156,6 +236,27 @@ object StreamFunnel {
     val fresh = spark.createDataFrame(days.rdd, days.schema)
     EventOps.retentionOnDays(fresh)
   }
+
+  /** The PRODUCTION activity-matrix stage of q64:
+    * `dropDuplicatesWithinWatermark` keeps one state row per active
+    * (user, day) only while the watermark can still deliver a
+    * duplicate, then EVICTS it — state is bounded by the horizon's
+    * key-arrival rate, never by stream length (the gate form's
+    * `dropDuplicates` + NoTimeout retains every user-day forever,
+    * which only a finite replay can afford). A (user, day) redelivered
+    * beyond `lag` re-emits and counts twice downstream — the standard
+    * within-watermark-exactly-once contract, same as
+    * [[EventStream.dedupEvents]]. The cohort × offset aggregate
+    * over the emitted days is batch post-processing, shared verbatim
+    * with q62. */
+  def retentionDaysBounded(events: DataFrame, lag: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lag)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div ${graft.operators.EventOps.DayUs}").as("day"),
+        col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .select("user_id", "day")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_stream_funnel" -> (funnelStreamed _),
