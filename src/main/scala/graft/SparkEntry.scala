@@ -33,6 +33,7 @@ object SparkEntry {
       ZOrderOps.queries ++
       graft.sources.SourceFormats.queries ++
       graft.sources.Bucketing.queries ++
+      graft.sources.ZoneMap.queries ++
       graft.plans.PlannerQueries.queries ++
       graft.streaming.EventStream.queries ++
       graft.streaming.StreamDedup.queries ++
@@ -59,6 +60,7 @@ object SparkEntry {
       ZOrderOps.oracleSql ++
       graft.sources.SourceFormats.oracleSql ++
       graft.sources.Bucketing.oracleSql ++
+      graft.sources.ZoneMap.oracleSql ++
       graft.plans.PlannerQueries.oracleSql ++
       graft.streaming.EventStream.oracleSql ++
       graft.streaming.StreamDedup.oracleSql ++

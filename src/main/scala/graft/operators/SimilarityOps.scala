@@ -243,6 +243,11 @@ object SimilarityOps {
     * a scale-killer at 100×). */
   val DefaultMaxCentroids: Int = 4096
 
+  /** The gated multi-probe setting (s08). Probing the 4 nearest cells
+    * roughly doubles s04's candidate set; the measured recall/latency
+    * sweep across nprobe = 1..8 is in SCALE_r6.md (tools/IvfProbeSweep). */
+  val MultiProbe: Int = 4
+
   /** Sampling mod that bounds the centroid count: the fixed `baseMod`
     * while C = n/baseMod stays under `maxCentroids` (so the sf0.001/0.01/
     * 0.1 oracles — which hard-code `vec_id % 23` — are byte-identical),
@@ -272,12 +277,24 @@ object SimilarityOps {
   def ivfTopK(
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, k: Int = 10,
+      centroidMod: Int = 23, nprobe: Int = 2): DataFrame =
+    ivfTopKOn(spark, vecs(spark, sfDir),
+      Tables.rowCount(spark, sfDir, "embeddings"),
+      nQueries, k, centroidMod, nprobe)
+
+  /** [[ivfTopK]] over any (vec_id, v) frame with a known row count —
+    * fixture-injectable (ScaleProbe, the probe-sweep tool). `nprobe`
+    * is the recall/latency dial: probing the p nearest cells multiplies
+    * candidate work by ~p/C of the corpus and monotonically raises
+    * recall toward brute force (measured sweep: SCALE_r6.md). */
+  def ivfTopKOn(
+      spark: SparkSession, all: DataFrame, rows: Long,
+      nQueries: Int = 5, k: Int = 10,
       centroidMod: Int = 23, nprobe: Int = 2): DataFrame = {
-    val all = vecs(spark, sfDir)
+    graft.functions.GraftFunctions.register(spark)
     // plan-time model fetch: C = n/mod vectors (217 at sf0.1), capped at
     // DefaultMaxCentroids past n = 23·4096 ≈ 94k rows
-    val (centIds, centVecs) = centroidModel(all,
-      Tables.rowCount(spark, sfDir, "embeddings"), centroidMod)
+    val (centIds, centVecs) = centroidModel(all, rows, centroidMod)
     val idsLit = typedlit(centIds) // C longs — tiny either way
 
     val assignment = all
@@ -461,6 +478,8 @@ object SimilarityOps {
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "s03_vector_norms" -> (norms _),
     "s04_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
+    "s08_ann_ivf_multiprobe" ->
+      ((s: SparkSession, d: String) => ivfTopK(s, d, nprobe = MultiProbe)),
     "s05_ann_lsh_portable" ->
       ((s: SparkSession, d: String) => lshTopKPortable(s, d)),
     "s06_ann_pq" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
@@ -494,16 +513,18 @@ object SimilarityOps {
          FROM scored)
      SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10"""
 
-  /** s04 is deterministic end-to-end (centroids are a modular sample, no
-    * fitted model), so it oracle-checks: the DuckDB twin rebuilds the
-    * same Voronoi assignment (argmax UNROUNDED cosine, ties to the lower
-    * cent_id — the graft_nearest_cents tie-break, since the centroid
-    * array is sorted by cent_id), the same nprobe=2 probe cells, and the
-    * same rounded-cosine candidate ranking. Cosine is term-for-term the
-    * shared kernel (see bruteOracle), so the unrounded assignment
-    * comparison agrees bit-for-bit across engines. */
-  val ivfOracle: String =
-    """WITH v AS (
+  /** s04/s08 are deterministic end-to-end (centroids are a modular
+    * sample, no fitted model), so they oracle-check: the DuckDB twin
+    * rebuilds the same Voronoi assignment (argmax UNROUNDED cosine,
+    * ties to the lower cent_id — the graft_nearest_cents tie-break,
+    * since the centroid array is sorted by cent_id), the same `nprobe`
+    * probe cells (generated from the SAME parameter the Spark side
+    * runs at), and the same rounded-cosine candidate ranking. Cosine
+    * is term-for-term the shared kernel (see bruteOracle), so the
+    * unrounded assignment comparison agrees bit-for-bit across
+    * engines. */
+  def ivfOracle(nprobe: Int): String =
+    s"""WITH v AS (
          SELECT vec_id,
                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          FROM embeddings),
@@ -525,7 +546,7 @@ object SimilarityOps {
            SELECT vec_id, cent_id,
                   row_number() OVER (PARTITION BY vec_id
                                      ORDER BY s DESC, cent_id) AS rn
-           FROM sim WHERE vec_id < 5) WHERE rn <= 2),
+           FROM sim WHERE vec_id < 5) WHERE rn <= $nprobe),
        cand AS (
          SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
          FROM probes p JOIN assign a
@@ -550,7 +571,8 @@ object SimilarityOps {
   def oracleSql: Map[String, String] = Map(
     "s01_ann_brute" -> bruteOracle,
     "s03_vector_norms" -> normsOracle,
-    "s04_ann_ivf" -> ivfOracle,
+    "s04_ann_ivf" -> ivfOracle(2),
+    "s08_ann_ivf_multiprobe" -> ivfOracle(MultiProbe),
     "s05_ann_lsh_portable" -> lshPortableOracle,
     "s06_ann_pq" -> pqOracle,
     "s07_ann_filtered" -> filteredOracle

@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-file min/max manifest — the poor man's ZoneMap (Moerkotte,
+  * "Small Materialized Aggregates", VLDB 1998), generalizing the
+  * z-order row-group evidence (tools/ZOrderSkipDemo) into a QUERYABLE
+  * index an engine consults BEFORE the scan: a table of
+  * (file, n_rows, col_min, col_max, ...) rows, one per data file.
+  *
+  * Why it matters at 100 TB: parquet's own min/max stats prune row
+  * groups only after the footer of every file is opened and read —
+  * at hundreds of thousands of files that is a metadata storm before
+  * the first data byte. A manifest is file-count-sized (the same
+  * scale as the file listing the driver already holds), lives in one
+  * tiny table, and removes non-overlapping FILES from the scan plan
+  * entirely; this is the design Delta/Iceberg ship as per-file stats
+  * in the transaction log, re-expressed as plain DataFrames.
+  *
+  * The manifest BUILD is one distributed pass (group by
+  * `input_file_name`), the cost an ETL writer pays once per ingest.
+  * The CONSULT is a driver-side filter of the manifest — bounded by
+  * file count, the same object the driver's split planner enumerates
+  * anyway.
+  */
+object ZoneMap {
+
+  /** Per-file stats manifest over the parquet files under `dir`: one
+    * row per physical file with row count and min/max of each of
+    * `cols`. One distributed scan, shuffled on the (file-count-sized)
+    * file name key. */
+  def buildManifest(
+      spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "manifest needs at least one indexed column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** The files whose [min, max] extent of `column` overlaps
+    * [lo, hi] — the consult step. Driver-side collect, bounded by the
+    * manifest's file count. */
+  def overlappingFiles(
+      manifest: DataFrame, column: String, lo: Long, hi: Long): Seq[String] =
+    manifest
+      .filter(col(s"${column}_min") <= hi && col(s"${column}_max") >= lo)
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Range scan through the manifest: read ONLY the overlapping files,
+    * then apply the predicate as a residual filter — exact for any
+    * manifest (a stale or coarse manifest costs extra files, never
+    * wrong rows, provided it covers all files holding matching rows).
+    * `conjuncts` are (column, lo, hi) ranges, all of which must
+    * overlap (a file is pruned if ANY indexed extent misses). */
+  def prunedRead(
+      spark: SparkSession, manifest: DataFrame,
+      conjuncts: Seq[(String, Long, Long)]): DataFrame = {
+    val keep = conjuncts.foldLeft(lit(true)) { case (acc, (c, lo, hi)) =>
+      acc && col(s"${c}_min") <= hi && col(s"${c}_max") >= lo
+    }
+    val files = manifest.filter(keep)
+      .select("file").collect().map(_.getString(0)).toSeq
+    val residual = conjuncts.foldLeft(lit(true)) { case (acc, (c, lo, hi)) =>
+      acc && col(c).between(lo, hi)
+    }
+    if (files.nonEmpty) spark.read.parquet(files: _*).filter(residual)
+    else {
+      // no file overlaps: schema-only read of any file, zero rows
+      val any = manifest.select("file").limit(1)
+        .collect().map(_.getString(0)).toSeq
+      require(any.nonEmpty, "prunedRead over an empty manifest")
+      spark.read.parquet(any.head).filter(lit(false))
+    }
+  }
+
+  /** Number of z-curve file blocks the q66 layout targets; the block
+    * width W = maxZ/Files + 1 is derived with the SAME integer math in
+    * the DuckDB oracle, so file membership is deterministic at every
+    * scale factor (unlike a range-partitioner's sampled boundaries,
+    * which could never be oracle-checked). */
+  val Files = 256
+
+  private def tmp(name: String): String =
+    new java.io.File("target/tmp/zonemap/" + name).getAbsolutePath
+
+  /** Write lineitem z-clustered into ~[[Files]] hive-partitioned file
+    * blocks (`zfile = z div W`), one file per block — the deterministic
+    * stand-in for "ingest wrote z-sorted files". Idempotent per sfDir
+    * (the Bucketing discipline). Returns the table path. */
+  def writeZPartitioned(spark: SparkSession, sfDir: String): String = {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmp("lineitem_z_" +
+      sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", ""))
+    val done = new java.io.File(dir, "_SUCCESS")
+    if (!done.exists()) {
+      val z = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"),
+          expr("graft_zvalue(l_partkey, l_suppkey)").as("z"))
+      val maxZ = z.agg(max("z")).collect()(0).getLong(0) // one scalar
+      val w = maxZ / Files + 1
+      z.withColumn("zfile", expr(s"z div ${w}L")).drop("z")
+        .repartition(col("zfile"))
+        .write.mode("overwrite").partitionBy("zfile").parquet(dir)
+    }
+    dir
+  }
+
+  /** q66: the manifest itself, aggregated to the deterministic zfile
+    * blocks (multiple files per block fold together, so the result is
+    * layout-stable) — n_rows and (l_partkey, l_suppkey) extents per
+    * block. The DuckDB oracle recomputes the interleave, the block
+    * width, and the same aggregates straight from the source table, so
+    * the gate proves the file-side manifest algebra (input_file_name
+    * grouping + path→block mapping) reproduces the direct answer. */
+  def zonemapManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = writeZPartitioned(spark, sfDir)
+    buildManifest(spark, dir, Seq("l_partkey", "l_suppkey"))
+      .withColumn("zfile",
+        regexp_extract(col("file"), "zfile=(\\d+)", 1).cast("long"))
+      .groupBy("zfile").agg(
+        sum("n_rows").as("n_rows"),
+        min("l_partkey_min").as("pk_min"), max("l_partkey_max").as("pk_max"),
+        min("l_suppkey_min").as("sk_min"), max("l_suppkey_max").as("sk_max"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_zonemap" -> (zonemapManifest _)
+  )
+
+  /** The q58 interleave CTE chain (same four spread steps as
+    * ZValue.spread16), then the block width W = max(z)/Files + 1 and
+    * per-block aggregates — integer math end to end. */
+  def oracleSql: Map[String, String] = Map(
+    "q66_zonemap" ->
+      s"""WITH s0 AS (SELECT l_partkey, l_suppkey,
+                            l_partkey % 65536 AS px, l_suppkey % 65536 AS py
+                     FROM lineitem),
+          s1 AS (SELECT l_partkey, l_suppkey,
+                        (px | (px << 8)) & 16711935 AS px,
+                        (py | (py << 8)) & 16711935 AS py FROM s0),
+          s2 AS (SELECT l_partkey, l_suppkey,
+                        (px | (px << 4)) & 252645135 AS px,
+                        (py | (py << 4)) & 252645135 AS py FROM s1),
+          s3 AS (SELECT l_partkey, l_suppkey,
+                        (px | (px << 2)) & 858993459 AS px,
+                        (py | (py << 2)) & 858993459 AS py FROM s2),
+          s4 AS (SELECT l_partkey, l_suppkey,
+                        (px | (px << 1)) & 1431655765 AS px,
+                        (py | (py << 1)) & 1431655765 AS py FROM s3),
+          z AS (SELECT l_partkey, l_suppkey, px | (py << 1) AS z FROM s4),
+          wdt AS (SELECT max(z) // $Files + 1 AS w FROM z)
+        SELECT z // w AS zfile,
+               count(*) AS n_rows,
+               min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+               min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+        FROM z, wdt GROUP BY 1"""
+  )
+}

@@ -70,12 +70,25 @@ object ScaleProbe {
       ("c09_pack_sequences", n => PackingOps.packSequencesOn(
         docsN(spark, n).selectExpr("doc_id", "source",
           "CAST(size(split(text, ' ')) AS BIGINT) AS tokens"),
-        budget = 2048)))
+        budget = 2048)),
+      // IVF probe scaling: candidate work should scale ~linearly in the
+      // corpus at fixed C (cells grow, cell POPULATION grows with n/C),
+      // and nprobe=4 should cost ~2x nprobe=2's candidates, not 2x the
+      // corpus
+      ("s04_ivf_nprobe2", n => SimilarityOps.ivfTopKOn(spark,
+        vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
+        rows = n, nprobe = 2)),
+      ("s08_ivf_nprobe4", n => SimilarityOps.ivfTopKOn(spark,
+        vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
+        rows = n, nprobe = 4)))
 
     println(f"${"operator"}%-24s ${"n1"}%8s ${"t1(s)"}%8s ${"rows1"}%9s " +
       f"${"n4"}%8s ${"t4(s)"}%8s ${"rows4"}%9s ${"ratio"}%6s")
     probes.foreach { case (name, build) =>
-      val vectorOp = name.startsWith("d05") || name.startsWith("s02")
+      val vectorOp = name.startsWith("d05") || name.startsWith("s02") ||
+        name.startsWith("s04") || name.startsWith("s08")
       val base = if (vectorOp) 25000L else 10000L
       // warm-up at EACH measured size: a probe whose 4x run compiles a
       // different plan (d05_planes_scaled switches planes at n=100k)

@@ -27,6 +27,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "zorder" -> ZOrderOps.queries.keySet,
     "formats" -> graft.sources.SourceFormats.queries.keySet,
     "bucketing" -> graft.sources.Bucketing.queries.keySet,
+    "zonemap" -> graft.sources.ZoneMap.queries.keySet,
     "planners" -> graft.plans.PlannerQueries.queries.keySet,
     "stream-events" -> graft.streaming.EventStream.queries.keySet,
     "stream-dedup" -> graft.streaming.StreamDedup.queries.keySet,
