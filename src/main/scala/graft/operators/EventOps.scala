@@ -107,6 +107,83 @@ object EventOps {
         reached.cast("int").as("stage"): _*)
   }
 
+  /** One stage of a [[funnelPatternOn]] sequence pattern. `optional`
+    * stages are measured but never gate the chain (the anchor the next
+    * stage matches after advances on REQUIRED stages only — the
+    * single-assignment semantics that stays arrival-order-invariant
+    * and window-computable; a greedy "optional advances the anchor
+    * when matched" would let a LATER optional event invalidate an
+    * earlier completion). `maxGapUs` bounds the stage to a window
+    * after the current anchor: the event must land in
+    * (anchor, anchor + maxGapUs]. */
+  final case class PatternStage(
+      name: String, optional: Boolean = false, maxGapUs: Option[Long] = None)
+
+  /** q67: regex-style sequence patterns over per-user event streams —
+    * [[funnelOn]]'s strict-after chain generalized with optional
+    * stages and within-T windows (the MATCH_RECOGNIZE-lite every
+    * event warehouse grows).
+    *
+    * Same single-pass shape as q60: ONE scan, ONE user-keyed shuffle,
+    * one qualifying-event column + one running-min column per stage —
+    * pattern length adds expressions, never shuffles. The q60
+    * exactness argument survives both extensions because the running
+    * anchor at any row is NULL-or-exact (the anchor event precedes
+    * every candidate in the window order), so each row's
+    * gap-qualification is evaluated against the true anchor: a
+    * required stage out of its window kills the chain (NULL anchor
+    * disqualifies everything after), an optional stage records its
+    * earliest in-window event without moving the anchor. */
+  def funnelPattern(spark: SparkSession, sfDir: String): DataFrame =
+    funnelPatternOn(events(spark, sfDir), Seq(
+      PatternStage("view"),
+      PatternStage("click", maxGapUs = Some(3L * DayUs)),
+      PatternStage("signup", optional = true, maxGapUs = Some(3L * DayUs)),
+      PatternStage("purchase", maxGapUs = Some(7L * DayUs))))
+
+  /** [[funnelPattern]] over any (user_id, event_type, us) frame for an
+    * arbitrary stage pattern (names must be distinct; the first stage
+    * anchors the chain and is required). Output: `<stage>_us` per
+    * stage plus `matched`, the count of matched stages; users missing
+    * the first stage are dropped (q60 convention). */
+  def funnelPatternOn(e: DataFrame, pattern: Seq[PatternStage]): DataFrame = {
+    require(pattern.nonEmpty, "pattern needs at least one stage")
+    require(pattern.map(_.name).distinct.size == pattern.size,
+      s"pattern stages must be distinct, got ${pattern.map(_.name)}")
+    require(!pattern.head.optional, "the first stage anchors the chain")
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // _q_i: this event's us if it matches stage i in its window after
+    // the running anchor; _t_i: running min of _q_i (the anchor source)
+    var anchorIdx = 0 // index of the last REQUIRED stage before i
+    val withQ = pattern.zipWithIndex.foldLeft(e) { case (df, (st, i)) =>
+      val qual =
+        if (i == 0) when(col("event_type") === st.name, col("us"))
+        else {
+          val anchor = col(s"_t$anchorIdx")
+          val inWindow = st.maxGapUs
+            .map(g => col("us") <= anchor + g).getOrElse(lit(true))
+          when(col("event_type") === st.name &&
+            col("us") > anchor && inWindow, col("us"))
+        }
+      val d2 = df.withColumn(s"_q$i", qual)
+        .withColumn(s"_t$i", min(s"_q$i").over(w))
+      if (!st.optional) anchorIdx = i
+      d2
+    }
+    val stageCols = pattern.zipWithIndex.map { case (st, i) =>
+      min(col(s"_q$i")).as(s"${st.name}_us")
+    }
+    val matched = pattern.foldLeft(lit(0)) { case (acc, st) =>
+      acc + when(col(s"${st.name}_us").isNotNull, 1).otherwise(0)
+    }
+    withQ.groupBy("user_id").agg(stageCols.head, stageCols.tail: _*)
+      .filter(col(s"${pattern.head.name}_us").isNotNull)
+      .select(col("user_id") +:
+        pattern.map(st => col(s"${st.name}_us")) :+
+        matched.cast("int").as("matched"): _*)
+  }
+
   /** q62: retention cohorts — users grouped by first-seen day, counted
     * on each later active day as an offset from their cohort day (the
     * matrix behind every retention curve). Day arithmetic is integer
@@ -138,7 +215,8 @@ object EventOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_funnel" -> (funnel _),
     "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
-    "q62_retention" -> (retention _)
+    "q62_retention" -> (retention _),
+    "q67_funnel_pattern" -> (funnelPattern _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -186,6 +264,38 @@ object EventOps {
         SELECT f.cohort_day, e.day - f.cohort_day AS day_off,
                count(DISTINCT e.user_id) AS users
         FROM e JOIN f ON e.user_id = f.user_id
-        GROUP BY 1, 2"""
+        GROUP BY 1, 2""",
+    // the q67 pattern, stage by stage as sequential CTEs: each stage's
+    // time is the min event inside its window after the chain's anchor
+    // (anchors advance on required stages only — signup is measured
+    // but never gates purchase)
+    "q67_funnel_pattern" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+          v AS (SELECT user_id, min(us) AS view_us FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+          c AS (SELECT e.user_id, min(e.us) AS click_us
+                FROM e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.us > v.view_us
+                  AND e.us <= v.view_us + 259200000000
+                GROUP BY 1),
+          g AS (SELECT e.user_id, min(e.us) AS signup_us
+                FROM e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'signup' AND e.us > c.click_us
+                  AND e.us <= c.click_us + 259200000000
+                GROUP BY 1),
+          p AS (SELECT e.user_id, min(e.us) AS purchase_us
+                FROM e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.us > c.click_us
+                  AND e.us <= c.click_us + 604800000000
+                GROUP BY 1)
+        SELECT v.user_id, v.view_us, c.click_us, g.signup_us, p.purchase_us,
+               CAST(1 + CASE WHEN c.click_us IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN g.signup_us IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN p.purchase_us IS NOT NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS matched
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN g ON v.user_id = g.user_id
+               LEFT JOIN p ON v.user_id = p.user_id"""
   )
 }
