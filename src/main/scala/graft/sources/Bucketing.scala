@@ -22,7 +22,7 @@ object Bucketing {
   private val Buckets = 8
 
   private def tmp(name: String): String =
-    new java.io.File("target/tmp/bucketed/" + name).getAbsolutePath
+    FsUtil.qualified("target/tmp/bucketed/" + name)
 
   /** Catalog names embed the source sfDir so concurrent sessions (or
     * back-to-back runs over different scale factors) never clobber each
@@ -44,7 +44,7 @@ object Bucketing {
       table: String, key: String, base: String): String = {
     val catalogName = catalogNameFor(base, sfDir)
     val materialized = spark.catalog.tableExists(catalogName) &&
-      new java.io.File(tmp(catalogName)).exists()
+      FsUtil.exists(spark, tmp(catalogName))
     if (!materialized) {
       spark.sql(s"DROP TABLE IF EXISTS $catalogName")
       Tables.load(spark, sfDir, table).write

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object SourceFormats {
 
   private def tmp(name: String): String =
-    new java.io.File("target/tmp/formats/" + name).getAbsolutePath
+    FsUtil.qualified("target/tmp/formats/" + name)
 
   /** q52: orders → CSV (header, default quoting) → read back with the
     * parquet schema (bigint, varchar, double, timestamp_ntz all cross

@@ -84,7 +84,7 @@ object ZoneMap {
   val Files = 256
 
   private def tmp(name: String): String =
-    new java.io.File("target/tmp/zonemap/" + name).getAbsolutePath
+    FsUtil.qualified("target/tmp/zonemap/" + name)
 
   /** Write lineitem z-clustered into ~[[Files]] hive-partitioned file
     * blocks (`zfile = z div W`), one file per block — the deterministic
@@ -94,8 +94,7 @@ object ZoneMap {
     graft.functions.GraftFunctions.register(spark)
     val dir = tmp("lineitem_z_" +
       sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", ""))
-    val done = new java.io.File(dir, "_SUCCESS")
-    if (!done.exists()) {
+    if (!FsUtil.exists(spark, dir + "/_SUCCESS")) {
       val z = Tables.load(spark, sfDir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_extendedprice"),

@@ -103,7 +103,14 @@ object StreamFunnel {
     val before = frontier(n, s0.minFirst, s0.candidates)
     var minFirst = s0.minFirst
     val cands = s0.candidates.map(_.toList).toArray
-    events.foreach { e =>
+    // Spark does NOT filter late rows before flatMapGroupsWithState: a
+    // straggler at/below the watermark could still lower minFirst AFTER
+    // downstream buffers were collapsed under the old anchor, yielding a
+    // snapshot inconsistent with the finalized-frontier contract. Drop
+    // beyond-horizon events entirely (ts ≤ wm can never be delivered by
+    // the contract the evictions already rely on); no-op for the exact
+    // form, whose watermark is Long.MinValue.
+    events.filter(_.tsMicros > watermarkUs).foreach { e =>
       idx.get(e.event_type) match {
         case Some(0) => if (e.tsMicros < minFirst) minFirst = e.tsMicros
         case Some(i) => cands(i - 1) = e.tsMicros :: cands(i - 1)
