@@ -26,20 +26,39 @@ object IvfProbeSweep {
       out
     }
     val truth = topSets(SimilarityOps.bruteForceTopK(spark, sfDir))
-    println(f"nprobe  recall@10  steady_sec  (corpus $sfDir)")
-    (1 to 8).foreach { p =>
-      def once(): (Double, Map[Long, Set[Long]]) = {
-        val t0 = System.nanoTime()
-        val s = topSets(SimilarityOps.ivfTopK(spark, sfDir, nprobe = p))
-        ((System.nanoTime() - t0) / 1e9, s)
+    def sweep(probes: Seq[Int], run: Int => org.apache.spark.sql.DataFrame): Unit =
+      probes.foreach { p =>
+        def once(): (Double, Map[Long, Set[Long]]) = {
+          val t0 = System.nanoTime()
+          val s = topSets(run(p))
+          ((System.nanoTime() - t0) / 1e9, s)
+        }
+        val (_, got) = once() // cold: codegen + planning, not reported
+        val (sec, _) = once()
+        val recall = truth.map { case (q, t) =>
+          got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+        }.sum / truth.size
+        println(f"$p%6d  $recall%9.3f  $sec%10.3f")
       }
-      val (_, got) = once() // cold: codegen + planning, not reported
-      val (sec, _) = once()
-      val recall = truth.map { case (q, t) =>
-        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
-      }.sum / truth.size
-      println(f"$p%6d  $recall%9.3f  $sec%10.3f")
-    }
+
+    println(f"nprobe  recall@10  steady_sec  (modular sample, corpus $sfDir)")
+    sweep(1 to 8, p => SimilarityOps.ivfTopK(spark, sfDir, nprobe = p))
+
+    // the round-7 trained model: train ONCE (serving never retrains),
+    // sweep the probe dial over the fixed model
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.GraftFunctions.register(spark)
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+    val cached = Persists.barrier(all)
+    val cents = SimilarityOps.trainCentroids(cached, cached.count(),
+      SimilarityOps.TrainedCells, SimilarityOps.TrainedIters)
+    println(f"nprobe  recall@10  steady_sec  " +
+      f"(k-means C=${cents.size}, iters=${SimilarityOps.TrainedIters})")
+    sweep(Seq(2, 4, 6, 8, 10, 12), p =>
+      SimilarityOps.ivfSearch(spark, cached, 0L until cents.size.toLong,
+        cents, 5, 10, p))
     spark.stop()
   }
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The trained-IVF quality contract (s09): recall@10 ≥ 0.8 against the
+  * exact brute-force answer at sf0.1 — the bar a real retrieval user
+  * holds an ANN index to, which the deterministic modular-sample gate
+  * model (s04/s08) cannot meet on this corpus (measured 0.38 at
+  * nprobe=8, SCALE_r6.md).
+  *
+  * Measured over 50 query vectors (the gate's 5 plus 45 more) so the
+  * estimate is stable: the sweep puts the default dials at ≈0.88, so
+  * the 0.8 assertion has real margin without being vacuous. */
+class IvfTrainedRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.1"
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def topSets(
+      df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  test("trained IVF recall@10 >= 0.8 vs brute force at sf0.1") {
+    val nq = 50
+    Persists.scoped {
+      val truth = topSets(SimilarityOps.bruteForceTopK(spark, sfDir, nq))
+      val got = topSets(SimilarityOps.ivfTopKTrained(spark, sfDir, nq))
+      assert(truth.size == nq, s"expected $nq query groups, got ${truth.size}")
+      val recall = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+      assert(recall >= 0.8,
+        f"trained IVF recall@10 = $recall%.3f < 0.8 " +
+          f"(cells=${SimilarityOps.TrainedCells}, " +
+          f"iters=${SimilarityOps.TrainedIters}, " +
+          f"nprobe=${SimilarityOps.TrainedProbe})")
+    }
+  }
+
+  test("trained model stays bounded and cells stay non-degenerate") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    Persists.scoped {
+      val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+      val rows = all.count()
+      val cents = SimilarityOps.trainCentroids(
+        all, rows, SimilarityOps.TrainedCells, SimilarityOps.TrainedIters)
+      assert(cents.size == SimilarityOps.TrainedCells)
+      assert(cents.size <= SimilarityOps.DefaultMaxCentroids)
+      // every cell attracts a reasonable share — Lloyd on this corpus
+      // must not collapse cells (an empty cell would freeze at its init
+      // vector and silently shrink the effective nprobe fraction)
+      val assigned = all.withColumn("cell",
+        SimilarityOps.nearestCents(spark, col("v"), cents, 1).getItem(0))
+        .groupBy("cell").count().collect()
+      assert(assigned.length == SimilarityOps.TrainedCells,
+        s"only ${assigned.length} of ${SimilarityOps.TrainedCells} cells populated")
+      val minCell = assigned.map(_.getLong(1)).min
+      assert(minCell >= rows / (SimilarityOps.TrainedCells * 4L),
+        s"most starved cell holds $minCell of $rows rows")
+    }
+  }
+}
