@@ -15,6 +15,11 @@ import graft.sources.Tables
   */
 object EventOps {
 
+  /** Declared FIRST: object vals initialize in declaration order, and
+    * [[DefaultPattern]]'s gap windows multiply this — a forward
+    * reference would silently read 0 and collapse every window. */
+  private[graft] val DayUs = 86400000000L
+
   private def events(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -134,12 +139,17 @@ object EventOps {
     * required stage out of its window kills the chain (NULL anchor
     * disqualifies everything after), an optional stage records its
     * earliest in-window event without moving the anchor. */
+  /** The gated q67 pattern — ALSO the q68 streaming twin's pattern (one
+    * constant, so batch and stream can never drift from the shared
+    * oracle). */
+  val DefaultPattern: Seq[PatternStage] = Seq(
+    PatternStage("view"),
+    PatternStage("click", maxGapUs = Some(3L * DayUs)),
+    PatternStage("signup", optional = true, maxGapUs = Some(3L * DayUs)),
+    PatternStage("purchase", maxGapUs = Some(7L * DayUs)))
+
   def funnelPattern(spark: SparkSession, sfDir: String): DataFrame =
-    funnelPatternOn(events(spark, sfDir), Seq(
-      PatternStage("view"),
-      PatternStage("click", maxGapUs = Some(3L * DayUs)),
-      PatternStage("signup", optional = true, maxGapUs = Some(3L * DayUs)),
-      PatternStage("purchase", maxGapUs = Some(7L * DayUs))))
+    funnelPatternOn(events(spark, sfDir), DefaultPattern)
 
   /** [[funnelPattern]] over any (user_id, event_type, us) frame for an
     * arbitrary stage pattern (names must be distinct; the first stage
@@ -199,8 +209,6 @@ object EventOps {
   def retentionOn(e0: DataFrame): DataFrame =
     retentionOnDays(
       e0.select(col("user_id"), expr(s"us div $DayUs").as("day")))
-
-  private[graft] val DayUs = 86400000000L
 
   /** The cohort × offset matrix from a (user_id, day) activity frame —
     * the post-distinct half, shared with the streaming form (q64).

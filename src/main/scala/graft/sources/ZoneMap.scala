@@ -54,10 +54,17 @@ object ZoneMap {
     * manifest (a stale or coarse manifest costs extra files, never
     * wrong rows, provided it covers all files holding matching rows).
     * `conjuncts` are (column, lo, hi) ranges, all of which must
-    * overlap (a file is pruned if ANY indexed extent misses). */
+    * overlap (a file is pruned if ANY indexed extent misses).
+    *
+    * A file-subset read drops hive partition columns unless Spark is
+    * told the table root: pass `basePath = Some(tableDir)` when the
+    * table is hive-partitioned and downstream code needs the partition
+    * column; without it, indexed/residual columns must be DATA
+    * columns (they are here — the manifest indexes data columns). */
   def prunedRead(
       spark: SparkSession, manifest: DataFrame,
-      conjuncts: Seq[(String, Long, Long)]): DataFrame = {
+      conjuncts: Seq[(String, Long, Long)],
+      basePath: Option[String] = None): DataFrame = {
     val keep = conjuncts.foldLeft(lit(true)) { case (acc, (c, lo, hi)) =>
       acc && col(s"${c}_min") <= hi && col(s"${c}_max") >= lo
     }
@@ -66,14 +73,36 @@ object ZoneMap {
     val residual = conjuncts.foldLeft(lit(true)) { case (acc, (c, lo, hi)) =>
       acc && col(c).between(lo, hi)
     }
-    if (files.nonEmpty) spark.read.parquet(files: _*).filter(residual)
+    val reader = basePath.foldLeft(spark.read)((r, b) => r.option("basePath", b))
+    if (files.nonEmpty) reader.parquet(files: _*).filter(residual)
     else {
       // no file overlaps: schema-only read of any file, zero rows
       val any = manifest.select("file").limit(1)
         .collect().map(_.getString(0)).toSeq
       require(any.nonEmpty, "prunedRead over an empty manifest")
-      spark.read.parquet(any.head).filter(lit(false))
+      reader.parquet(any.head).filter(lit(false))
     }
+  }
+
+  /** The q69 box — sized to admit rows at EVERY gate scale factor
+    * (sf0.001's key domain only spans l_partkey < 200, l_suppkey < 10,
+    * so the wider ZoneMapSkipDemo box would go empty there). */
+  private[sources] val PrunedBox: Seq[(String, Long, Long)] =
+    Seq(("l_partkey", 64L, 127L), ("l_suppkey", 2L, 7L))
+
+  /** q69: the USER half of the zone map, gated end to end — q66 proves
+    * the manifest algebra, this proves the consult + pruned scan +
+    * residual filter pipeline returns exactly what the predicate over
+    * the full table returns (the exact-for-any-manifest property, now
+    * hash-checked by a direct DuckDB predicate on the source table
+    * rather than demo-measured). ZoneMapSpec additionally asserts the
+    * admitted file set is a strict subset, so this entry can't pass by
+    * degenerating into a full scan. */
+  def zonemapPrunedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = writeZPartitioned(spark, sfDir)
+    val manifest = buildManifest(spark, dir, Seq("l_partkey", "l_suppkey"))
+    prunedRead(spark, manifest, PrunedBox, basePath = Some(dir))
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
   }
 
   /** Number of z-curve file blocks the q66 layout targets; the block
@@ -127,7 +156,8 @@ object ZoneMap {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q66_zonemap" -> (zonemapManifest _)
+    "q66_zonemap" -> (zonemapManifest _),
+    "q69_zonemap_pruned" -> (zonemapPrunedScan _)
   )
 
   /** The q58 interleave CTE chain (same four spread steps as
@@ -156,6 +186,12 @@ object ZoneMap {
                count(*) AS n_rows,
                min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
                min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
-        FROM z, wdt GROUP BY 1"""
+        FROM z, wdt GROUP BY 1""",
+    // the exact-for-any-manifest property: pruned scan + residual ≡ the
+    // direct predicate over the source table
+    "q69_zonemap_pruned" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_extendedprice
+         FROM lineitem
+         WHERE l_partkey BETWEEN 64 AND 127 AND l_suppkey BETWEEN 2 AND 7"""
   )
 }

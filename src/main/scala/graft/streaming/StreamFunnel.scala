@@ -46,20 +46,59 @@ object StreamFunnel {
 
   private val None_ = Long.MaxValue
 
+  import graft.operators.EventOps.PatternStage
+
+  /** A plain funnel chain as a pattern: every stage required, no gap. */
+  private def plainPattern(stages: Seq[String]): Seq[PatternStage] =
+    stages.map(PatternStage(_))
+
+  /** anchors(i) = index of the last REQUIRED stage before i — the stage
+    * whose frontier time stage i's window hangs off (the batch
+    * funnelPatternOn anchor rule: optional stages never advance the
+    * anchor). anchors(0) is unused (-1). */
+  private[streaming] def anchorsOf(pattern: Seq[PatternStage]): Array[Int] = {
+    val a = new Array[Int](pattern.size)
+    a(0) = -1
+    var last = 0
+    var i = 1
+    while (i < pattern.size) {
+      a(i) = last
+      if (!pattern(i).optional) last = i
+      i += 1
+    }
+    a
+  }
+
   /** Frontier vector from candidates: t(0) = minFirst, t(i) = min
-    * stage-i candidate strictly after t(i-1); None_ once undefined. */
-  private[streaming] def frontier(
-      n: Int, minFirst: Long, candidates: Seq[Seq[Long]]): Seq[Long] = {
+    * stage-i candidate strictly after its ANCHOR time (the last
+    * required stage before i) and inside that anchor's gap window when
+    * the stage declares one; None_ once the anchor is undefined or no
+    * candidate qualifies. With an all-required no-gap pattern this is
+    * exactly the plain funnel chain t(i) = min candidate > t(i-1). */
+  private[streaming] def patternFrontier(
+      pattern: Seq[PatternStage], minFirst: Long,
+      candidates: Seq[Seq[Long]]): Seq[Long] = {
+    val n = pattern.size
+    val anchors = anchorsOf(pattern)
     val ts = Array.fill(n)(None_)
     ts(0) = minFirst
     var i = 1
     while (i < n) {
-      ts(i) = if (ts(i - 1) == None_) None_
-        else candidates(i - 1).filter(_ > ts(i - 1))
+      val a = ts(anchors(i))
+      ts(i) = if (a == None_) None_
+        else candidates(i - 1)
+          .filter(t => t > a && pattern(i).maxGapUs.forall(t <= a + _))
           .minOption.getOrElse(None_)
       i += 1
     }
     ts.toSeq
+  }
+
+  private[streaming] def frontier(
+      n: Int, minFirst: Long, candidates: Seq[Seq[Long]]): Seq[Long] = {
+    require(n > 0)
+    patternFrontier(plainPattern(Seq.tabulate(n)(_.toString)),
+      minFirst, candidates)
   }
 
   /** Fold a batch of events into the state; emit a snapshot iff the
@@ -96,11 +135,49 @@ object StreamFunnel {
       user: Long, events: Iterator[FEvent], old: Option[FState],
       stages: Seq[String] = DefaultStages,
       watermarkUs: Long = Long.MinValue,
+      maxCandidates: Int = Int.MaxValue): (FState, Option[Snapshot]) =
+    patternStep(user, events, old, plainPattern(stages),
+      watermarkUs, maxCandidates)
+
+  /** [[step]] generalized to a [[PatternStage]] chain (optional stages,
+    * per-stage maxGap windows) — the streaming kernel behind both q63
+    * (plain chain) and q68 (the q67 pattern).
+    *
+    * Why the funnel's arrival-order-invariance argument survives the
+    * two extensions: each stage's DEFINED frontier values still form a
+    * non-increasing sequence over arrivals. Anchors only decrease
+    * (induction up the required chain), and when an anchor drops from A
+    * to A', any candidate newly qualifying in (A', A'+g] is < the old
+    * minimum m (m > A > A', and if a candidate c > m qualified then
+    * m ≤ c ≤ A'+g would qualify too) — so a stage time never increases,
+    * though a gap window CAN un-define it (the old minimum slides past
+    * the lowered window's right edge with nothing else inside). Hence
+    * the plain evictions generalize verbatim:
+    *
+    *  - candidates strictly above a defined stage time can never be a
+    *    future minimum (the retained minimum qualifies in any future
+    *    window they do, and is smaller);
+    *  - with a defined anchor and a gap, candidates above anchor+gap
+    *    can never enter any future (only-shrinking-rightward) window;
+    *  - an anchor at/below the watermark is FINAL (its whole required
+    *    prefix is below the horizon, and events ≤ wm are dropped), so
+    *    the window is fixed forever: collapse the buffer to the
+    *    current minimum (or nothing);
+    *  - under a non-final anchor every future anchor value is > wm
+    *    (a value ≤ wm would make its own prefix final), so candidates
+    *    at/below the watermark can never qualify: age them out. */
+  private[streaming] def patternStep(
+      user: Long, events: Iterator[FEvent], old: Option[FState],
+      pattern: Seq[PatternStage],
+      watermarkUs: Long = Long.MinValue,
       maxCandidates: Int = Int.MaxValue): (FState, Option[Snapshot]) = {
-    val n = stages.size
-    val idx = stages.zipWithIndex.toMap
+    val n = pattern.size
+    require(n > 0 && !pattern.head.optional,
+      "the first stage anchors the chain")
+    val idx = pattern.map(_.name).zipWithIndex.toMap
+    val anchors = anchorsOf(pattern)
     val s0 = old.getOrElse(FState(None_, Seq.fill(n - 1)(Nil), 0L))
-    val before = frontier(n, s0.minFirst, s0.candidates)
+    val before = patternFrontier(pattern, s0.minFirst, s0.candidates)
     var minFirst = s0.minFirst
     val cands = s0.candidates.map(_.toList).toArray
     // Spark does NOT filter late rows before flatMapGroupsWithState: a
@@ -117,12 +194,18 @@ object StreamFunnel {
         case None => ()
       }
     }
-    val ts = frontier(n, minFirst, cands.toSeq)
-    // prune candidates STRICTLY above the (only-decreasing) frontier
+    val ts = patternFrontier(pattern, minFirst, cands.toSeq)
     var i = 1
     while (i < n) {
+      val a = ts(anchors(i))
+      // prune candidates STRICTLY above the (never-increasing) stage
+      // time; when the stage is undefined but its window is known,
+      // prune above the window's maximal future right edge
       if (ts(i) != None_) cands(i - 1) = cands(i - 1).filter(_ <= ts(i))
-      if (ts(i - 1) <= watermarkUs) // None_=MaxValue never ≤ a real wm
+      else pattern(i).maxGapUs.foreach { g =>
+        if (a != None_) cands(i - 1) = cands(i - 1).filter(_ <= a + g)
+      }
+      if (a <= watermarkUs) // None_=MaxValue never ≤ a real wm
         cands(i - 1) = if (ts(i) == None_) Nil else List(ts(i))
       else
         cands(i - 1) = cands(i - 1).filter(_ > watermarkUs)
@@ -202,6 +285,81 @@ object StreamFunnel {
       }
   }
 
+  /** The streaming PATTERN funnel (q67's real-time twin): [[funnelStream]]
+    * with the generalized [[patternStep]] kernel — optional stages and
+    * per-stage gap windows, exact at every point of the stream. */
+  def funnelPatternStream(
+      spark: SparkSession, events: DataFrame,
+      pattern: Seq[PatternStage]): Dataset[Snapshot] = {
+    require(pattern.nonEmpty, "pattern needs at least one stage")
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[FEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FState, Snapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[FEvent], state: GroupState[FState]) =>
+          val (next, snap) = patternStep(user, it, state.getOption, pattern)
+          state.update(next)
+          snap.iterator
+      }
+  }
+
+  /** [[funnelPatternStream]] under an event-time watermark — the
+    * production form whose per-user state is bounded by the reorder
+    * horizon, exactly [[funnelStreamBounded]]'s contract: the
+    * generalized evictions in [[patternStep]] collapse finalized-anchor
+    * buffers and age out candidates no anchor can precede any more;
+    * gap windows additionally drop candidates past their anchor's
+    * maximal future window. `maxCandidates` caps each buffer inside
+    * the horizon (binding ⇒ under-reports a stage, never invents). */
+  def funnelPatternStreamBounded(
+      spark: SparkSession, events: DataFrame,
+      pattern: Seq[PatternStage],
+      lag: String = "1 hour", maxCandidates: Int = 10000): Dataset[Snapshot] = {
+    require(pattern.nonEmpty, "pattern needs at least one stage")
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsMicros"), col("ts"))
+      .withWatermark("ts", lag)
+      .as[FEventW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FState, Snapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[FEventW], state: GroupState[FState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (next, snap) = patternStep(user,
+            it.map(e => FEvent(e.user_id, e.event_type, e.tsMicros)),
+            state.getOption, pattern, wmUs, maxCandidates)
+          state.update(next)
+          snap.iterator
+      }
+  }
+
+  /** q68: the q67 pattern (view → click ≤3d → signup? ≤3d → purchase
+    * ≤7d of click) streamed to completion; each user's last snapshot
+    * must equal batch q67's row — gated by q67's DuckDB oracle
+    * VERBATIM, and the pattern constant is shared
+    * (EventOps.DefaultPattern), so the two forms cannot drift. */
+  def funnelPatternStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val pattern = graft.operators.EventOps.DefaultPattern
+    val snaps = StreamRun.toCompletion(
+      funnelPatternStream(spark,
+        EventStream.readEvents(spark, sfDir, glob = "events.parquet"),
+        pattern).toDF(),
+      "graft_stream_funnel_pattern")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("seq").desc)
+    snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id") +:
+        pattern.zipWithIndex.map { case (st, i) =>
+          col("times").getItem(i).as(s"${st.name}_us")
+        } :+ col("stage").as("matched"): _*)
+  }
+
   /** q63: the file-source stream run to completion; each user's LAST
     * snapshot (max seq — frontier moves only ever improve it) is the
     * final funnel row and must equal batch q60's. */
@@ -267,7 +425,8 @@ object StreamFunnel {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_stream_funnel" -> (funnelStreamed _),
-    "q64_stream_retention" -> (retentionStreamed _)
+    "q64_stream_retention" -> (retentionStreamed _),
+    "q68_stream_funnel_pattern" -> (funnelPatternStreamed _)
   )
 
   /** The batch oracles verbatim — the streams' final answers must
@@ -276,6 +435,8 @@ object StreamFunnel {
     "q63_stream_funnel" ->
       graft.operators.EventOps.oracleSql("q60_funnel"),
     "q64_stream_retention" ->
-      graft.operators.EventOps.oracleSql("q62_retention")
+      graft.operators.EventOps.oracleSql("q62_retention"),
+    "q68_stream_funnel_pattern" ->
+      graft.operators.EventOps.oracleSql("q67_funnel_pattern")
   )
 }

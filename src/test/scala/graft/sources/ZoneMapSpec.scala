@@ -59,6 +59,36 @@ class ZoneMapSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"partkey extent [40,80] should prune some of $totalFiles z-files")
   }
 
+  test("q69 gate box prunes a strict file subset and matches the direct scan") {
+    // the file set actually read by the gated entry must be a STRICT
+    // subset — q69 must not pass by degenerating into a full scan
+    val keep = ZoneMap.PrunedBox.foldLeft(lit(true)) { case (acc, (c, lo, hi)) =>
+      acc && col(s"${c}_min") <= hi && col(s"${c}_max") >= lo
+    }
+    val admitted = manifest.filter(keep).count()
+    assert(admitted > 0 && admitted < manifest.count(),
+      s"gate box admits $admitted of ${manifest.count()} files")
+    val got = ZoneMap.zonemapPrunedScan(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val (Seq((_, pLo, pHi), (_, sLo, sHi))) = ZoneMap.PrunedBox
+    val want = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_partkey").between(pLo, pHi) &&
+        col("l_suppkey").between(sLo, sHi))
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.nonEmpty && (got sameElements want))
+  }
+
+  test("basePath reconstructs the hive partition column on a pruned read") {
+    val out = ZoneMap.prunedRead(spark, manifest,
+      ZoneMap.PrunedBox, basePath = Some(dir))
+    assert(out.columns.contains("zfile"),
+      s"partition column lost: ${out.columns.mkString(",")}")
+    // without basePath the subset read has only data columns
+    val bare = ZoneMap.prunedRead(spark, manifest, ZoneMap.PrunedBox)
+    assert(!bare.columns.contains("zfile"))
+  }
+
   test("a box matching nothing reads zero rows with the data schema") {
     val out = ZoneMap.prunedRead(spark, manifest,
       Seq(("l_partkey", -100L, -1L)))

@@ -128,6 +128,87 @@ class StreamFunnelBoundedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped.times == Seq(Some(2000L), None, None) && capped.stage == 1)
   }
 
+  test("bounded PATTERN kernel equals exact kernel when the contract holds") {
+    import org.apache.spark.sql.functions._
+    val pattern = graft.operators.EventOps.DefaultPattern
+    val byUser = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect()
+      .map(r => FEvent(r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_.user_id)
+    byUser.foreach { case (user, evsArr) =>
+      val evs = evsArr.sortBy(_.tsMicros).toSeq
+      def replay(wm: Boolean): Option[Snapshot] = {
+        var state: Option[FState] = None
+        var last: Option[Snapshot] = None
+        var maxSeen = Long.MinValue
+        evs.grouped(5).foreach { g =>
+          val (next, snap) = StreamFunnel.patternStep(user, g.iterator,
+            state, pattern, watermarkUs = if (wm) maxSeen else Long.MinValue)
+          state = Some(next)
+          if (snap.isDefined) last = snap
+          maxSeen = math.max(maxSeen, g.map(_.tsMicros).max)
+        }
+        last
+      }
+      val exact = replay(wm = false)
+      val bounded = replay(wm = true)
+      assert(bounded.map(s => (s.times, s.stage)) ==
+        exact.map(s => (s.times, s.stage)), s"pattern user $user diverged")
+    }
+  }
+
+  test("pattern kernel: final answer matches batch q67 under shuffled replay") {
+    import org.apache.spark.sql.functions._
+    val pattern = graft.operators.EventOps.DefaultPattern
+    val byUser = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect()
+      .map(r => FEvent(r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_.user_id)
+    val batch = graft.operators.EventOps.funnelPattern(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((1 to 4).map(i => Option(r.get(i)).map(_.asInstanceOf[Long])),
+          r.getAs[Int]("matched"))).toMap
+    val rnd = new scala.util.Random(41)
+    byUser.foreach { case (user, evsArr) =>
+      // adversarial arrival order: shuffled, then folded in uneven chunks
+      val evs = rnd.shuffle(evsArr.toSeq)
+      var state: Option[FState] = None
+      var last: Option[Snapshot] = None
+      evs.grouped(3).foreach { g =>
+        val (next, snap) = StreamFunnel.patternStep(user, g.iterator,
+          state, pattern)
+        state = Some(next)
+        if (snap.isDefined) last = snap
+      }
+      val want = batch.get(user)
+      assert(last.map(s => (s.times, s.stage)) == want,
+        s"user $user: stream=$last batch=$want")
+    }
+  }
+
+  test("gap windows bound state even with a never-advancing watermark") {
+    // a click swarm landing AFTER the view's 3-day window: the gap
+    // eviction (candidates > anchor + maxGap can never re-qualify —
+    // anchors only decrease) must drop them even with NO watermark,
+    // where the plain kernel would have to keep everything
+    val pattern = graft.operators.EventOps.DefaultPattern
+    val gap = 3L * graft.operators.EventOps.DayUs
+    val view = FEvent(9L, "view", 1000L)
+    var state: Option[FState] = None
+    val (s1, _) = StreamFunnel.patternStep(9L, Iterator(view), state, pattern)
+    state = Some(s1)
+    (0 until 50) foreach { b =>
+      val evs = (0 until 1000).map(i =>
+        FEvent(9L, "click", 1000L + gap + 1 + (b * 1000 + i)))
+      val (next, _) = StreamFunnel.patternStep(9L, evs.iterator, state, pattern)
+      state = Some(next)
+      assert(stateSize(next) <= 1,
+        s"batch $b: ${stateSize(next)} out-of-window clicks retained")
+    }
+  }
+
   test("bounded stream end-to-end reproduces the batch funnel (plumbing)") {
     val snaps = StreamRun.toCompletion(
       StreamFunnel.funnelStreamBounded(spark,
@@ -147,6 +228,28 @@ class StreamFunnelBoundedSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) ->
         (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
           r.getAs[Int]("stage"))).toMap
+    assert(got == batch)
+  }
+
+  test("bounded pattern stream end-to-end reproduces batch q67 (plumbing)") {
+    import org.apache.spark.sql.functions._
+    val pattern = graft.operators.EventOps.DefaultPattern
+    val snaps = StreamRun.toCompletion(
+      StreamFunnel.funnelPatternStreamBounded(spark,
+        EventStream.readEvents(spark, sfDir, glob = "events.parquet"),
+        pattern).toDF(),
+      "graft_stream_funnel_pattern_bounded")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("seq").desc)
+    val got = snaps.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id") +:
+        pattern.indices.map(i => col("times").getItem(i)) :+ col("stage"): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((1 to 4).map(i => Option(r.get(i))), r.getInt(5))).toMap
+    val batch = graft.operators.EventOps.funnelPattern(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((1 to 4).map(i => Option(r.get(i))), r.getAs[Int]("matched"))).toMap
     assert(got == batch)
   }
 
