@@ -127,6 +127,11 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc.nonEmpty, "fixture must exercise the delta path")
     assert(!inc.exists(p => p._1 < cut && p._2 < cut),
       "no corpus-x-corpus pair may be generated")
+    // the benched d12i form (candidate join over the MATERIALIZED
+    // signature table — the ingest shape) is result-identical
+    val fromSigs = rows(DedupOps.incrementalDedupFromSigs(spark, sfDir))
+    assert(fromSigs == inc,
+      "pre-materialized-signature path must equal the inline path")
   }
 
   test("connected components match union-find on random pair graphs") {
