@@ -358,6 +358,24 @@ object RelationalQueries {
       Tables.load(spark, sfDir, "lineitem")
         .agg(approx_count_distinct("l_partkey").as("approx_ndv_part"),
              approx_count_distinct("l_orderkey").as("approx_ndv_order"))
+    }),
+    // q70: the percentile form a 100 TB user actually runs —
+    // approx_percentile's KLL/GK-style sketch merges in one pass with
+    // map-side partial aggregation (exact percentile_cont re-sorts the
+    // whole group per percentile). The sketch is engine-specific, so
+    // rows-only here; q49 is the oracle-gated exact twin, and
+    // ApproxPercentileSpec pins the rank-error contract (CDF within
+    // 1/accuracy of the target, discrete mass accounted) vs the exact
+    // answer on the same data.
+    "q70_approx_percentile" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.functions._
+      Tables.load(spark, sfDir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_quantity"),
+            array(lit(0.5), lit(0.9)), lit(10000)).as("approx_qty"),
+          percentile_approx(col("l_extendedprice"),
+            lit(0.25), lit(10000)).as("approx_p25_price"))
     })
   )
 
