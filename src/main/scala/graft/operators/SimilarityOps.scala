@@ -26,7 +26,18 @@ import graft.sources.Tables
   */
 object SimilarityOps {
 
+  /** (vec_id, v) only — `label` stays OUT of the shared projection so
+    * every ANN scan that doesn't filter on it prunes the column at the
+    * parquet reader (PlanAudit ReadSchema); s07 adds it explicitly. */
   private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+  }
+
+  /** [[vecs]] + the metadata column the filtered-search entry needs. */
+  private def vecsWithLabel(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -546,7 +557,7 @@ object SimilarityOps {
   def filteredTopK(
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, k: Int = 10, labels: Seq[Int] = Seq(3, 7)): DataFrame = {
-    val all = vecs(spark, sfDir)
+    val all = vecsWithLabel(spark, sfDir)
     exactTopK(all.filter(col("label").isin(labels: _*)),
       all.filter(col("vec_id") < nQueries), k, extra = Seq("label"))
   }
