@@ -30,6 +30,15 @@ object Bench {
     "q61_sessionize", "q62_retention", "c09_pack_sequences", "t10_bm25",
     "d12i_dedup_incremental", "s06_ann_pq")
 
+  /** Third series guarding the round-6/7 operators (zone-map manifest +
+    * pruned read, pattern funnel, multi-probe and trained IVF, approx
+    * percentile). Baselines at round 7; like the r5 series it never
+    * touches [[headline]], so the legacy trajectory stays comparable. */
+  val headlineR7: Seq[String] = Seq(
+    "q66_zonemap", "q69_zonemap_pruned", "q67_funnel_pattern",
+    "s08_ann_ivf_multiprobe", "s09_ann_ivf_trained",
+    "q70_approx_percentile")
+
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
     * incremental candidate join against the PRE-MATERIALIZED signature
@@ -135,6 +144,7 @@ object Bench {
       }
     val results = runSeries(headline)
     val resultsR5 = runSeries(headlineR5)
+    val resultsR7 = runSeries(headlineR7)
     val cacheState =
       if (dropCache && !dropsFailed) "dropped-before-cold-runs"
       else if (dropCache) "drop-requested-but-failed"
@@ -150,7 +160,7 @@ object Bench {
         s""""$k":${w.map(t => f"$t%.3f").mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")
     val qs = steadyJson(results)
-    val failed = (results ++ resultsR5)
+    val failed = (results ++ resultsR5 ++ resultsR7)
       .collect { case (k, v, _, _) if v < 0 => s""""$k"""" }
     if (failed.nonEmpty) {
       // a failing query must read as a FAILURE, not as a faster total —
@@ -167,6 +177,8 @@ object Bench {
     val totalCold = results.map(_._3).sum
     val totalR5 = resultsR5.map(_._2).sum
     val totalR5Cold = resultsR5.map(_._3).sum
+    val totalR7 = resultsR7.map(_._2).sum
+    val totalR7Cold = resultsR7.map(_._3).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""queries_cold":${coldJson(results)},"total_cold":$totalCold%.3f,""" +
@@ -174,6 +186,9 @@ object Bench {
         f""""queries_r5":${steadyJson(resultsR5)},"total_r5":$totalR5%.3f,""" +
         f""""queries_r5_cold":${coldJson(resultsR5)},"total_r5_cold":$totalR5Cold%.3f,""" +
         f""""queries_r5_warm":${warmJson(resultsR5)},""" +
+        f""""queries_r7":${steadyJson(resultsR7)},"total_r7":$totalR7%.3f,""" +
+        f""""queries_r7_cold":${coldJson(resultsR7)},"total_r7_cold":$totalR7Cold%.3f,""" +
+        f""""queries_r7_warm":${warmJson(resultsR7)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir"}""")
     spark.stop()
   }
