@@ -54,6 +54,22 @@ class IvfTrainedRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("model is an ingest artifact: stored once, repeated serves identical") {
+    Persists.scoped {
+      val path = SimilarityOps.trainedModelPath(spark, sfDir)
+      assert(graft.sources.FsUtil.exists(spark, path + "/_SUCCESS"),
+        s"model not materialized at $path")
+      def serve(): Seq[(Long, Int, Long, Double)] =
+        SimilarityOps.ivfTopKTrained(spark, sfDir).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+          .toSeq.sorted
+      // the stored model freezes the M-step's float-sum order, so two
+      // serves are bit-identical — the determinism the inline-training
+      // form cannot promise
+      assert(serve() == serve())
+    }
+  }
+
   test("trained model stays bounded and cells stay non-degenerate") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
