@@ -37,7 +37,7 @@ object Bench {
   val headlineR7: Seq[String] = Seq(
     "q66_zonemap", "q69_zonemap_pruned", "q67_funnel_pattern",
     "s08_ann_ivf_multiprobe", "s09_ann_ivf_trained",
-    "q70_approx_percentile")
+    "q70_approx_percentile", "s10_ann_pq_adc")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

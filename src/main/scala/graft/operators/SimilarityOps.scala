@@ -518,6 +518,133 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** s10: PQ serving by ASYMMETRIC DISTANCE COMPUTATION — the
+    * production form s06's docstring promises (Jégou et al., TPAMI
+    * 2011 §IV). The scored table is the CODES ONLY: per query, an
+    * m × C lookup table `tbl[s][c] = dot(q_s, cent_c_s)` is built in
+    * one narrow map over the (tiny, broadcast) query set, and each
+    * corpus row's score is m table lookups — never touching the
+    * reconstruction, because BOTH halves of the cosine decompose per
+    * subspace: dot(q, r) = Σ_s dot(q_s, slice_s) and |r|² = Σ_s
+    * |slice_s|² (the norm table is codebook-only, a constant-folded
+    * literal on the corpus side). At 100 TB that's the difference
+    * between streaming m ints + 2 folds per row and materializing a
+    * dim-length reconstruction per row.
+    *
+    * Same codebook, same assignment, same ranking as s06 — but NOT
+    * bit-identical to it: the subspace-decomposed sums fold doubles in
+    * a different order than graft_cosine's full-vector fold, so s10
+    * carries its OWN DuckDB twin replicating the decomposition
+    * (list(partial ORDER BY s) pins the outer order), and
+    * PqAdcSpec bounds |cosine_s10 − cosine_s06| pairwise instead of
+    * pretending the folds commute. */
+  def pqAdcTopK(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, k: Int = 10,
+      codebookMod: Int = 29, m: Int = 8): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val (_, centVecs) = centroidModel(all,
+      Tables.rowCount(spark, sfDir, "embeddings"), codebookMod)
+    val dim = centVecs.head.size
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val sub = dim / m
+    val centsLit = typedlit(centVecs)
+    val subsIdx = sequence(lit(0), lit(m - 1))
+    // left-to-right fold of a subspace dot — the same op order as the
+    // oracle's list_sum over ascending j
+    def sliceDot(a: Column, b: Column, s: Column): Column =
+      aggregate(
+        zip_with(slice(a, s * sub + 1, lit(sub)),
+          slice(b, s * sub + 1, lit(sub)), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+    // codebook-only norm table, computed ONCE driver-side and embedded
+    // as a literal (Catalyst does not constant-fold lambda-bearing
+    // higher-order functions, so the expression form would re-derive
+    // all m×C partial norms per corpus row). foldLeft ascending = the
+    // same op order as sliceDot(c, c, s), so the values are
+    // bit-identical to the expression form and to the oracle's
+    // list_sum.
+    val n2Tbl = typedlit((0 until m).map(s =>
+      centVecs.map(c => c.slice(s * sub, (s + 1) * sub)
+        .foldLeft(0.0d)((acc, x) => acc + x * x))))
+    val corpus = all
+      .withColumn("codes",
+        call_function("graft_pq_codes", col("v"), centsLit, lit(m)))
+      .select(col("vec_id").as("neighbor_id"), col("codes"),
+        aggregate(zip_with(col("codes"), n2Tbl,
+          (c, t) => element_at(t, c + 1)), lit(0.0d), (acc, x) => acc + x)
+          .as("rn2"))
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        transform(subsIdx, s =>
+          transform(centsLit, c => sliceDot(col("v"), c, s))).as("tbl"),
+        aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x).as("qn2"))
+    val scored = corpus.join(broadcast(q),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(
+          aggregate(zip_with(col("codes"), col("tbl"),
+            (c, t) => element_at(t, c + 1)), lit(0.0d), (acc, x) => acc + x) /
+            sqrt(col("qn2") * col("rn2")), 4).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** s10's DuckDB twin: pqOracle's codebook + assignment, but the score
+    * is the ADC decomposition — per-subspace partial dot/norm sums,
+    * outer sum over `list(partial ORDER BY s)` so the fold order
+    * matches the Spark side's ascending-subspace aggregate exactly. */
+  val pqAdcOracle: String =
+    """WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       cents AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v
+         FROM v WHERE vec_id % 29 = 0),
+       ss AS (SELECT unnest(range(0, 8)) AS s),
+       d2 AS (
+         SELECT a.vec_id, ss.s, c.ci,
+                list_sum(list_transform(range(ss.s * 8 + 1, ss.s * 8 + 9),
+                  j -> (a.v[j] - c.v[j]) * (a.v[j] - c.v[j]))) AS d2
+         FROM v a CROSS JOIN ss CROSS JOIN cents c),
+       assign AS (
+         SELECT vec_id, s, ci FROM (
+           SELECT vec_id, s, ci,
+                  row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2 ASC, ci ASC) AS rn
+           FROM d2) WHERE rn = 1),
+       qn AS (
+         SELECT vec_id,
+                list_sum(list_transform(v, x -> x * x)) AS qn2
+         FROM v),
+       parts AS (
+         SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, a.s,
+                list_sum(list_transform(range(1, 9),
+                  j -> q.v[a.s * 8 + j] * c.v[a.s * 8 + j])) AS pdot,
+                list_sum(list_transform(range(1, 9),
+                  j -> c.v[a.s * 8 + j] * c.v[a.s * 8 + j])) AS pn2
+         FROM v q
+         JOIN assign a ON a.vec_id <> q.vec_id
+         JOIN cents c ON c.ci = a.ci
+         WHERE q.vec_id < 5),
+       scored AS (
+         SELECT p.query_id, p.neighbor_id,
+                round(list_sum(list(p.pdot ORDER BY p.s)) /
+                      sqrt(qn.qn2 * list_sum(list(p.pn2 ORDER BY p.s))),
+                      4) AS cosine
+         FROM parts p JOIN qn ON qn.vec_id = p.query_id
+         GROUP BY p.query_id, p.neighbor_id, qn.qn2),
+       ranked AS (
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+                neighbor_id, cosine
+         FROM scored)
+     SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10"""
+
   /** s06's DuckDB twin: same codebook sample (vec_id % 29, indexed in
     * cent_id order), same subspace L2 argmin (list_sum over ascending
     * j — the kernel's accumulation order), same reconstruction, same
@@ -636,7 +763,8 @@ object SimilarityOps {
     "s05_ann_lsh_portable" ->
       ((s: SparkSession, d: String) => lshTopKPortable(s, d)),
     "s06_ann_pq" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
-    "s07_ann_filtered" -> ((s: SparkSession, d: String) => filteredTopK(s, d))
+    "s07_ann_filtered" -> ((s: SparkSession, d: String) => filteredTopK(s, d)),
+    "s10_ann_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d))
   )
 
   /** Brute-force top-k is fully deterministic, so it oracle-checks: the
@@ -728,6 +856,7 @@ object SimilarityOps {
     "s08_ann_ivf_multiprobe" -> ivfOracle(MultiProbe),
     "s05_ann_lsh_portable" -> lshPortableOracle,
     "s06_ann_pq" -> pqOracle,
-    "s07_ann_filtered" -> filteredOracle
+    "s07_ann_filtered" -> filteredOracle,
+    "s10_ann_pq_adc" -> pqAdcOracle
   )
 }

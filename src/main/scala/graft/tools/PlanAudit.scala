@@ -27,7 +27,8 @@ object PlanAudit {
       "q57_bucketed_join", "q58_zorder_cluster",
       "c09_pack_sequences", "t10_bm25",
       "q60_funnel", "q61_sessionize", "q62_retention", "t11_bpe_pairs",
-      "q67_funnel_pattern", "q69_zonemap_pruned", "s09_ann_ivf_trained")
+      "q67_funnel_pattern", "q69_zonemap_pruned", "s09_ann_ivf_trained",
+      "s10_ann_pq_adc")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature
