@@ -47,9 +47,48 @@ object StreamCuration {
     graft.operators.CurationOps.withMixShares(cells)
   }
 
+  /** q71: STREAMING decontamination — the c04 benchmark-leakage check
+    * as documents land, via the one streaming surface the other gates
+    * don't exercise: a STREAM-STATIC join. The eval set is static by
+    * nature (benchmarks change rarely; corpus streams daily), so the
+    * eval shingles are a batch frame broadcast under the stream —
+    * stateless on the stream side, no watermark, no state store:
+    * every matched (train, eval, shingle) triple is emitted exactly
+    * once as its document arrives. The per-pair distinct-shingle count
+    * is batch post-processing on the completed sink (the q56/q64
+    * pattern: stream the heavy join, batch the bounded aggregate —
+    * countDistinct isn't a streaming aggregate, and a live pipeline
+    * reads contamination pairs off the sink anyway). Gated by c04's
+    * DuckDB oracle verbatim. */
+  def decontamStream(
+      spark: SparkSession, sfDir: String,
+      evalSource: String = "src0", shingleK: Int = 8,
+      minShared: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val evalSh = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(col("source") === evalSource)
+      .select(col("doc_id").as("eval_id"),
+        explode(graft.operators.Shingles.wordShingles("text", shingleK))
+          .as("key"))
+    val matches = StreamRun.toCompletion(
+      docsStream(spark, sfDir)
+        .filter(col("source") =!= evalSource)
+        .select(col("doc_id").as("train_id"),
+          explode(graft.operators.Shingles.wordShingles("text", shingleK))
+            .as("key"))
+        .join(broadcast(evalSh), "key")
+        .select("train_id", "eval_id", "key"),
+      "graft_stream_decontam")
+    matches.groupBy("train_id", "eval_id")
+      .agg(countDistinct("key").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_stream_sample" -> (sampleStream _),
-    "q56_stream_mix" -> (mixStream _)
+    "q56_stream_mix" -> (mixStream _),
+    "q71_stream_decontam" -> ((s: SparkSession, d: String) => decontamStream(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -57,6 +96,8 @@ object StreamCuration {
     // streams must equal their batch answers
     "q55_stream_sample" -> graft.operators.CurationOps.stratOracle,
     "q56_stream_mix" ->
-      graft.operators.CurationOps.oracleSql("c08_mix_report")
+      graft.operators.CurationOps.oracleSql("c08_mix_report"),
+    "q71_stream_decontam" ->
+      graft.operators.CurationOps.oracleSql("c04_decontaminate")
   )
 }
