@@ -109,8 +109,13 @@ object Bench {
         sys.error(s"SPARK_GRAFT_RUNS must be a positive integer, got '$v'"))
     }
     def runSeries(names: Seq[String]): Seq[(String, Double, Double, Seq[Double])] =
-      names.flatMap { name =>
-        all.get(name).map { fn =>
+      names.map { name =>
+        // a name missing from the query maps must FAIL the bench, not
+        // silently shrink the series total (a wiring typo would read
+        // as a speedup)
+        val fn = all.getOrElse(name,
+          sys.error(s"bench series names unknown query '$name'"))
+        locally {
           def once(): Double = {
             val t0 = System.nanoTime()
             // per-query barrier scope: build + execute inside, release after

@@ -179,15 +179,20 @@ object DedupOps {
   private def portableSigFrame(spark: SparkSession, sfDir: String): DataFrame =
     Persists.barrier(portableSigCompute(spark, sfDir))
 
-  /** The signature table MATERIALIZED to parquet, idempotent per sfDir
-    * (Hadoop-FS check, the Bucketing discipline) — the production
-    * ingest shape: at 100 TB signatures are computed once when a batch
-    * lands and every downstream dedup reads the stored table, so the
-    * benched incremental-dedup cost is the candidate join, not a
-    * re-fingerprint of the whole corpus per run. */
+  /** The signature table MATERIALIZED to parquet, idempotent per
+    * (sfDir, corpus row count) — the production ingest shape: at
+    * 100 TB signatures are computed once when a batch lands and every
+    * downstream dedup reads the stored table, so the benched
+    * incremental-dedup cost is the candidate join, not a
+    * re-fingerprint of the whole corpus per run. The row count in the
+    * key catches the common staleness hazard (testdata regenerated at
+    * a different size under the same path); a same-size regeneration
+    * still requires clearing target/tmp — the limit of any
+    * path-keyed artifact without a full content hash. */
   def signatureTablePath(spark: SparkSession, sfDir: String): String = {
+    val n = Tables.rowCount(spark, sfDir, "documents")
     val dir = graft.sources.FsUtil.qualified("target/tmp/dedup_sigs/" +
-      sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", ""))
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n$n")
     if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS"))
       portableSigCompute(spark, sfDir).write.mode("overwrite").parquet(dir)
     dir

@@ -148,6 +148,10 @@ object EventOps {
     PatternStage("signup", optional = true, maxGapUs = Some(3L * DayUs)),
     PatternStage("purchase", maxGapUs = Some(7L * DayUs)))
 
+  /** [[funnelPatternOn]] over the events table with [[DefaultPattern]]:
+    * a required stage out of its window kills the chain (NULL anchor
+    * disqualifies everything after it), an optional stage records its
+    * earliest in-window event without moving the anchor. */
   def funnelPattern(spark: SparkSession, sfDir: String): DataFrame =
     funnelPatternOn(events(spark, sfDir), DefaultPattern)
 

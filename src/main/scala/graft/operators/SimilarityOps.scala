@@ -409,22 +409,25 @@ object SimilarityOps {
   val TrainedProbe: Int = 10
 
   /** The trained model as an INGEST ARTIFACT: centroids stored per
-    * (sfDir, cells, iters) and reloaded on every later serve — training
-    * is paid once, like the d12i signature table (the shape a real
-    * index pipeline has: train at ingest, serve forever). Idempotent
-    * via the Hadoop FileSystem; the stored model also FREEZES the one
-    * nondeterministic step (float-sum order inside the M-step's avg),
-    * so repeated serves are bit-identical. */
+    * (sfDir, corpus row count, cells, iters) and reloaded on every
+    * later serve — training is paid once, like the d12i signature
+    * table (the shape a real index pipeline has: train at ingest,
+    * serve forever). Idempotent via the Hadoop FileSystem; the row
+    * count in the key catches size-changing testdata regeneration
+    * (same-size regeneration needs target/tmp cleared — the
+    * path-keyed-artifact limit, same as signatureTablePath). The
+    * stored model also FREEZES the one nondeterministic step
+    * (float-sum order inside the M-step's avg), so repeated serves
+    * are bit-identical. */
   def trainedModelPath(
       spark: SparkSession, sfDir: String,
       cells: Int = TrainedCells, iters: Int = TrainedIters): String = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
     val dir = graft.sources.FsUtil.qualified("target/tmp/ivf_model/" +
-      sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "") +
-      s"_c${cells}_i$iters")
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_c${cells}_i$iters")
     if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS")) {
       val cached = Persists.barrier(vecs(spark, sfDir))
-      val cents = trainCentroids(cached,
-        Tables.rowCount(spark, sfDir, "embeddings"), cells, iters)
+      val cents = trainCentroids(cached, n, cells, iters)
       import spark.implicits._
       cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
         .toDF("cent_id", "v")
@@ -451,22 +454,6 @@ object SimilarityOps {
       .select("cent_id", "v").orderBy("cent_id")
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
     ivfSearch(spark, vecs(spark, sfDir), 0L until centVecs.size.toLong,
-      centVecs, nQueries, k, nprobe)
-  }
-
-  /** [[ivfTopKTrained]] over any (vec_id, v) frame — fixture-injectable
-    * (the probe-sweep tool and the recall spec). */
-  def ivfTopKTrainedOn(
-      spark: SparkSession, all: DataFrame, rows: Long,
-      nQueries: Int, k: Int,
-      cells: Int, iters: Int, nprobe: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    // the corpus is read once per Lloyd pass + twice at serving: a
-    // persist barrier keeps the (vec_id, v) projection from re-reading
-    // parquet each time
-    val cached = Persists.barrier(all)
-    val centVecs = trainCentroids(cached, rows, cells, iters)
-    ivfSearch(spark, cached, (0L until centVecs.size.toLong),
       centVecs, nQueries, k, nprobe)
   }
 

@@ -333,8 +333,7 @@ object ExperimentMain {
     val cachePath = java.nio.file.Paths.get(
       sys.env.getOrElse("GRAFT_PLAN_CACHE",
         "target/tmp/plan_cache/" +
-          sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "") +
-          ".tsv"))
+          graft.sources.FsUtil.sanitize(sfDir) + ".tsv"))
     val cache = new PlanCache.Store(cachePath, fingerprint)
     println(s"[plan-cache] $cachePath loaded=${cache.loadedEntries} " +
       s"fingerprint=$fingerprint")

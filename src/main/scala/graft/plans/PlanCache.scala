@@ -47,13 +47,28 @@ object PlanCache {
     t
   }
 
-  private def key(q: String, planner: String, cm: String, card: String) =
+  /** Bump when PLANNER OR COST-MODEL INTERNALS change semantics: the
+    * corpus fingerprint the caller supplies covers the inputs planning
+    * reads, not the code that does the planning — stored trees and
+    * costs go stale when an enumerator or a cost constant changes even
+    * though every name matches (the same hazard the reference's
+    * allOptParCosts.ser has). The version is folded into the effective
+    * fingerprint so one bump invalidates every cache file. */
+  val FormatVersion = 1
+
+  private def key(q: String, planner: String, cm: String, card: String) = {
+    // keys are space-joined and lines tab-joined: a name with
+    // whitespace would corrupt the file long after planning finished
+    Seq(q, planner, cm, card).foreach(n =>
+      require(!n.exists(_.isWhitespace), s"plan-cache name '$n' has whitespace"))
     s"$q $planner $cm $card"
+  }
 
   /** One cache file bound to one fingerprint. Concurrent `put`s are safe
     * (Experiment.run plans on a thread pool); `save` is called once by
     * the driver after the run. */
-  final class Store(path: Path, fingerprint: String) {
+  final class Store(path: Path, corpusFingerprint: String) {
+    private val fingerprint = s"v$FormatVersion:$corpusFingerprint"
     private val entries =
       new java.util.concurrent.ConcurrentHashMap[String, PlannedOrder]()
     private val hitCount = new java.util.concurrent.atomic.AtomicLong

@@ -28,8 +28,7 @@ object Bucketing {
     * back-to-back runs over different scale factors) never clobber each
     * other's external-table data mid-read. */
   private def catalogNameFor(base: String, sfDir: String): String =
-    base + "_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-      .replaceAll("^_+|_+$", "")
+    base + "_" + FsUtil.sanitize(sfDir)
 
   /** Write `table` bucketed+sorted by `key` as an external table at a
     * repo-local path, registering it in the session catalog. Bucket

@@ -28,4 +28,12 @@ object FsUtil {
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** An sfDir (or any path-ish string) as a single filesystem-safe
+    * token — ONE definition for every artifact writer that keys a
+    * directory by its source path (bucketed tables, z-partitioned
+    * blocks, signature tables, centroid models, plan caches), so the
+    * sanitization can never drift between them. */
+  def sanitize(s: String): String =
+    s.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
 }

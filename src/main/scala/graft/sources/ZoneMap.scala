@@ -121,8 +121,7 @@ object ZoneMap {
     * (the Bucketing discipline). Returns the table path. */
   def writeZPartitioned(spark: SparkSession, sfDir: String): String = {
     graft.functions.GraftFunctions.register(spark)
-    val dir = tmp("lineitem_z_" +
-      sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", ""))
+    val dir = tmp("lineitem_z_" + FsUtil.sanitize(sfDir))
     if (!FsUtil.exists(spark, dir + "/_SUCCESS")) {
       val z = Tables.load(spark, sfDir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),

@@ -181,13 +181,17 @@ object StreamFunnel {
     var minFirst = s0.minFirst
     val cands = s0.candidates.map(_.toList).toArray
     // Spark does NOT filter late rows before flatMapGroupsWithState: a
-    // straggler at/below the watermark could still lower minFirst AFTER
+    // straggler BELOW the watermark could still lower minFirst AFTER
     // downstream buffers were collapsed under the old anchor, yielding a
     // snapshot inconsistent with the finalized-frontier contract. Drop
-    // beyond-horizon events entirely (ts ≤ wm can never be delivered by
-    // the contract the evictions already rely on); no-op for the exact
-    // form, whose watermark is Long.MinValue.
-    events.filter(_.tsMicros > watermarkUs).foreach { e =>
+    // strictly-late events (ts < wm — Spark's "older than the
+    // watermark" convention); an event AT the watermark stays
+    // deliverable and is safe for every eviction: it can never
+    // strictly lower a frontier value that is ≤ wm (lowering needs a
+    // candidate < the current value ≤ wm), and under a non-final
+    // anchor it can never qualify (anchors stay > wm, qualification is
+    // strict). No-op for the exact form (wm = Long.MinValue).
+    events.filter(_.tsMicros >= watermarkUs).foreach { e =>
       idx.get(e.event_type) match {
         case Some(0) => if (e.tsMicros < minFirst) minFirst = e.tsMicros
         case Some(i) => cands(i - 1) = e.tsMicros :: cands(i - 1)
