@@ -478,10 +478,18 @@ object SimilarityOps {
   def pqTopK(
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, k: Int = 10,
-      codebookMod: Int = 29, m: Int = 8): DataFrame = {
-    val all = vecs(spark, sfDir)
-    val (_, centVecs) = centroidModel(all,
-      Tables.rowCount(spark, sfDir, "embeddings"), codebookMod)
+      codebookMod: Int = 29, m: Int = 8): DataFrame =
+    pqTopKOn(vecs(spark, sfDir),
+      Tables.rowCount(spark, sfDir, "embeddings"), nQueries, k,
+      codebookMod, m)
+
+  /** [[pqTopK]] over any (vec_id, v) frame — fixture-injectable
+    * (ScaleProbe's serving-cost rows). */
+  def pqTopKOn(
+      all: DataFrame, rows: Long,
+      nQueries: Int, k: Int,
+      codebookMod: Int, m: Int): DataFrame = {
+    val (_, centVecs) = centroidModel(all, rows, codebookMod)
     val dim = centVecs.head.size
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     val sub = dim / m
@@ -528,10 +536,18 @@ object SimilarityOps {
   def pqAdcTopK(
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, k: Int = 10,
-      codebookMod: Int = 29, m: Int = 8): DataFrame = {
-    val all = vecs(spark, sfDir)
-    val (_, centVecs) = centroidModel(all,
-      Tables.rowCount(spark, sfDir, "embeddings"), codebookMod)
+      codebookMod: Int = 29, m: Int = 8): DataFrame =
+    pqAdcTopKOn(vecs(spark, sfDir),
+      Tables.rowCount(spark, sfDir, "embeddings"), nQueries, k,
+      codebookMod, m)
+
+  /** [[pqAdcTopK]] over any (vec_id, v) frame — fixture-injectable
+    * (ScaleProbe's serving-cost rows). */
+  def pqAdcTopKOn(
+      all: DataFrame, rows: Long,
+      nQueries: Int, k: Int,
+      codebookMod: Int, m: Int): DataFrame = {
+    val (_, centVecs) = centroidModel(all, rows, codebookMod)
     val dim = centVecs.head.size
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     val sub = dim / m

@@ -82,7 +82,22 @@ object ScaleProbe {
       ("s08_ivf_nprobe4", n => SimilarityOps.ivfTopKOn(spark,
         vecsN(spark, n).selectExpr("vec_id",
           "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
-        rows = n, nprobe = 4)))
+        rows = n, nprobe = 4)),
+      // PQ serving cost: reconstruction scoring materializes a
+      // dim-length vector per (row, query) pair; ADC scores the same
+      // quantity from m table lookups. Both are linear in the corpus;
+      // WHICH constant is smaller depends on dim — at this fixture's
+      // 16 dims the reconstruction is so short that ADC's table
+      // machinery costs more, at the corpus's 64 dims ADC wins
+      // (measured both ways, SCALE_r7.md §2)
+      ("s06_pq_recon", n => SimilarityOps.pqTopKOn(
+        vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
+        rows = n, nQueries = 5, k = 10, codebookMod = 29, m = 8)),
+      ("s10_pq_adc", n => SimilarityOps.pqAdcTopKOn(
+        vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
+        rows = n, nQueries = 5, k = 10, codebookMod = 29, m = 8)))
 
     println(f"${"operator"}%-24s ${"n1"}%8s ${"t1(s)"}%8s ${"rows1"}%9s " +
       f"${"n4"}%8s ${"t4(s)"}%8s ${"rows4"}%9s ${"ratio"}%6s")
