@@ -200,8 +200,43 @@ object EventStream {
         unix_micros(col("hour")).as("hour_us"), col("event_type"),
         col("cnt"), col("sv"))
 
+  /** q72: view → purchase attribution pairs as a STREAM-STREAM inner
+    * join — the one Structured Streaming surface the other gates don't
+    * exercise. Both sides watermark their event time and the join
+    * carries a time-range condition, which is exactly what lets Spark
+    * BOUND the join state on an endless stream: a buffered view is
+    * evictable once the watermark passes view.ts + 7 days (no purchase
+    * can match it any more), a buffered purchase once the watermark
+    * passes its own timestamp — state is O(horizon + range), never
+    * O(stream). Inner join in append mode emits each matched pair
+    * exactly once as its second side arrives; for the gate's finite
+    * replay the result is the complete pair set, hash-checked against
+    * the batch self-join oracle. (Without the range condition Spark
+    * rejects the query outright rather than accumulate forever —
+    * the planner enforces the boundedness argument.) */
+  def attributionStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val views = readEvents(spark, sfDir, glob = "events.parquet")
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = readEvents(spark, sfDir, glob = "events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    StreamRun.toCompletion(
+      views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") > col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 7 DAYS"))
+        .select(col("v_user").as("user_id"),
+          unix_micros(col("v_ts")).as("view_us"),
+          unix_micros(col("p_ts")).as("purchase_us")),
+      "graft_stream_attribution")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q50_stream_hourly" -> (hourlyCountsStreamed _))
+    "q50_stream_hourly" -> (hourlyCountsStreamed _),
+    "q72_stream_attribution" -> (attributionStreamed _))
 
   /** The batch answer in DuckDB — the stream must reproduce it bucket
     * for bucket (epoch_us keeps the hour as an integer so the hash
@@ -210,7 +245,15 @@ object EventStream {
     "q50_stream_hourly" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
                 count(*) AS cnt, round(sum(value), 2) AS sv
-         FROM events GROUP BY 1, 2""")
+         FROM events GROUP BY 1, 2""",
+    // the batch self-join the stream-stream join must reproduce
+    "q72_stream_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                    FROM events)
+         SELECT v.user_id, v.us AS view_us, p.us AS purchase_us
+         FROM e v JOIN e p ON v.user_id = p.user_id
+         WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+           AND p.us > v.us AND p.us <= v.us + 604800000000""")
 }
 
 /** Runnable streaming demo: stages the events parquet into a source dir,
