@@ -211,9 +211,11 @@ object EventStream {
     * O(stream). Inner join in append mode emits each matched pair
     * exactly once as its second side arrives; for the gate's finite
     * replay the result is the complete pair set, hash-checked against
-    * the batch self-join oracle. (Without the range condition Spark
-    * rejects the query outright rather than accumulate forever —
-    * the planner enforces the boundedness argument.) */
+    * the batch self-join oracle. (The rangeless INNER form is accepted
+    * by Spark but its join state grows without bound — the range
+    * condition here is the design choice that licenses eviction; for
+    * OUTER stream-stream joins Spark enforces the constraint outright,
+    * pinned in StreamJoinSpec.) */
   def attributionStreamed(spark: SparkSession, sfDir: String): DataFrame = {
     val views = readEvents(spark, sfDir, glob = "events.parquet")
       .filter(col("event_type") === "view")
