@@ -102,12 +102,68 @@ object StreamSessions {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q65_stream_sessions" -> (sessionsStreamed _)
+    "q65_stream_sessions" -> (sessionsStreamed _),
+    "q73_stream_sessions_native" -> (sessionsNative _)
   )
 
-  /** The batch sessionize oracle verbatim. */
+  /** q73: gap-based sessions via Spark's NATIVE `session_window`
+    * aggregation — the built-in form of what q65 implements with
+    * custom state. Spark-first division of labor: where the built-in
+    * expresses the semantics (fixed gap, standard aggregates, final
+    * answer per session), USE it — state store, merge logic, and
+    * watermark finalization come for free and survive engine upgrades;
+    * q65's flatMapGroupsWithState kernel remains for what the built-in
+    * cannot produce (sequenced per-user snapshots DURING the stream,
+    * not just finalized sessions after the watermark).
+    *
+    * Boundary semantics: `session_window` merges events whose
+    * [ts, ts+gap) windows OVERLAP, so a session breaks at gap ≥ 30 min
+    * — q61/q65 break strictly-greater. The two coincide unless an
+    * event lands at EXACTLY the gap (none at any gate SF, verified);
+    * the oracle below uses the ≥ semantics so this entry stays correct
+    * if one ever appears. */
+  def sessionsNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sessions = EventStream.readEvents(spark, sfDir, glob = "events.parquet")
+      .withColumn("us", unix_micros(col("ts")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"), max("us").as("end_us"),
+        size(collect_set("event_type")).cast("bigint").as("n_types"))
+      .select("user_id", "start_us", "end_us", "n_events", "n_types")
+    // complete mode (the q50/q56 gate discipline): a finite replay must
+    // emit EVERY session — append mode only releases a session once the
+    // watermark passes its end, which permanently withholds the last
+    // horizon's sessions when the stream simply stops (measured: 24 of
+    // 9549 sessions at sf0.01). A production run would use append and
+    // accept that pending tail as the price of finalized-only output.
+    StreamRun.toCompletion(sessions, "graft_stream_sessions_native",
+      outputMode = "complete")
+  }
+
+  /** The batch sessionize oracle verbatim (q65); q73's twin emits
+    * per-session rows keyed by start time with the ≥-gap break. */
   def oracleSql: Map[String, String] = Map(
     "q65_stream_sessions" ->
-      graft.operators.EventOps.oracleSql("q61_sessionize")
+      graft.operators.EventOps.oracleSql("q61_sessionize"),
+    "q73_stream_sessions_native" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+          g AS (SELECT *,
+                       CASE WHEN us - lag(us) OVER
+                              (PARTITION BY user_id ORDER BY us, event_type)
+                            >= 1800000000 THEN 1 ELSE 0 END AS brk
+                FROM e),
+          s AS (SELECT *,
+                       sum(brk) OVER
+                         (PARTITION BY user_id ORDER BY us, event_type
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS session_idx
+                FROM g)
+        SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+               count(*) AS n_events,
+               count(DISTINCT event_type) AS n_types
+        FROM s GROUP BY user_id, session_idx"""
   )
 }
