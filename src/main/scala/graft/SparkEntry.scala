@@ -26,6 +26,7 @@ object SparkEntry {
       AsofOps.queries ++
       RangeOps.queries ++
       CurationOps.queries ++
+      CdcOps.queries ++
       EventOps.queries ++
       TokenizerOps.queries ++
       PackingOps.queries ++
@@ -39,7 +40,8 @@ object SparkEntry {
       graft.streaming.StreamDedup.queries ++
       graft.streaming.StreamCuration.queries ++
       graft.streaming.StreamFunnel.queries ++
-      graft.streaming.StreamSessions.queries
+      graft.streaming.StreamSessions.queries ++
+      graft.streaming.StreamCdc.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -53,6 +55,7 @@ object SparkEntry {
       AsofOps.oracleSql ++
       RangeOps.oracleSql ++
       CurationOps.oracleSql ++
+      CdcOps.oracleSql ++
       EventOps.oracleSql ++
       TokenizerOps.oracleSql ++
       PackingOps.oracleSql ++
@@ -66,5 +69,6 @@ object SparkEntry {
       graft.streaming.StreamDedup.oracleSql ++
       graft.streaming.StreamCuration.oracleSql ++
       graft.streaming.StreamFunnel.oracleSql ++
-      graft.streaming.StreamSessions.oracleSql
+      graft.streaming.StreamSessions.oracleSql ++
+      graft.streaming.StreamCdc.oracleSql
 }

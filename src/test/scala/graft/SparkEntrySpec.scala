@@ -20,6 +20,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "asof" -> AsofOps.queries.keySet,
     "range" -> RangeOps.queries.keySet,
     "curation" -> CurationOps.queries.keySet,
+    "cdc" -> CdcOps.queries.keySet,
     "events" -> EventOps.queries.keySet,
     "tokenizer" -> TokenizerOps.queries.keySet,
     "packing" -> PackingOps.queries.keySet,
@@ -33,7 +34,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "stream-dedup" -> graft.streaming.StreamDedup.queries.keySet,
     "stream-curation" -> graft.streaming.StreamCuration.queries.keySet,
     "stream-funnel" -> graft.streaming.StreamFunnel.queries.keySet,
-    "stream-sessions" -> graft.streaming.StreamSessions.queries.keySet)
+    "stream-sessions" -> graft.streaming.StreamSessions.queries.keySet,
+    "stream-cdc" -> graft.streaming.StreamCdc.queries.keySet)
 
   test("query keys are collision-free across operator modules") {
     for {
