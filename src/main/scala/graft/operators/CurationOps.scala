@@ -205,6 +205,34 @@ object CurationOps {
       .filter(expr(stratFilterSql))
       .select("doc_id", "lang", "source")
 
+  // ------------------------------------------------------ epoch shuffle
+  /** Deterministic training-epoch shuffle: a seeded pseudo-random
+    * permutation of the corpus, materialized as (shard, position)
+    * coordinates — the order a data loader streams one epoch in, with
+    * a DIFFERENT order per seed and the same order on every re-run of
+    * the same seed (job restarts and engine swaps resume mid-epoch at
+    * the exact same document).
+    *
+    * Scale shape: the sort key is a content-independent
+    * [[PortableHash]] of (seed, doc_id), the shard is that hash mod
+    * `numShards` — hash-uniform, so shards are balanced by
+    * construction — and the only non-map stage is one row_number
+    * window PARTITIONED BY shard: per-shard parallel rank, never a
+    * global single-partition sort. At 100 TB, numShards scales with
+    * the loader's reader count; each shard is an independently
+    * streamable file. */
+  def epochShuffle(spark: SparkSession, sfDir: String, seed: Int = 7,
+      numShards: Int = 8): DataFrame = {
+    val h = expr(graft.operators.PortableHash.packed(
+      s"'epoch' || $seed || ':' || doc_id"))
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", (col("h") % numShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("int"))
+      .select("doc_id", "shard", "pos")
+  }
+
   // ----------------------------------------------------- mix reporting
   /** Training-mix composition report: per (source, lang) document and
     * character counts plus each cell's share of the corpus — the
@@ -237,7 +265,8 @@ object CurationOps {
     "c03_pipeline" -> ((s: SparkSession, d: String) => pipeline(s, d)),
     "c04_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "c05_pii_redact" -> (piiRedact _),
-    "c07_sample_stratified" -> (sampleStratified _)
+    "c07_sample_stratified" -> (sampleStratified _),
+    "c11_epoch_shuffle" -> ((s: SparkSession, d: String) => epochShuffle(s, d))
   )
 
   /** Both engines compute the same lowercase-hex md5, so the selections
@@ -267,6 +296,13 @@ object CurationOps {
         WHERE $stratFilterSql"""
 
   def oracleSql: Map[String, String] = Map(
+    "c11_epoch_shuffle" -> {
+      val h = graft.operators.PortableHash.packed("'epoch' || 7 || ':' || doc_id")
+      s"""SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+                 CAST(row_number() OVER (PARTITION BY h % 8
+                        ORDER BY h, doc_id) AS INTEGER) AS pos
+          FROM (SELECT doc_id, $h AS h FROM documents)"""
+    },
     "c08_mix_report" ->
       """WITH cells AS (
            SELECT source, lang, count(*) AS docs,

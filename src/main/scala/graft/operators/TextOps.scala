@@ -308,7 +308,43 @@ object TextOps {
       FROM w JOIN model USING (w) CROSS JOIN t
       GROUP BY doc_id"""
 
+  // ------------------------------------------------------ heavy hitters
+  /** Corpus heavy hitters: the `k` most frequent tokens with their
+    * exact counts — the vocabulary head every tokenizer build, stopword
+    * list, and boilerplate screen starts from.
+    *
+    * Scale shape: explode → ONE hash aggregation keyed on the token.
+    * Hot tokens ('the') are exactly what partial map-side combine
+    * eats: each task emits one partial count per distinct token, so
+    * the shuffle carries vocabulary-sized traffic regardless of skew.
+    * The top-k tail is sort+limit (TakeOrderedAndProject) over the
+    * vocabulary-sized aggregate, then a rank window over k survivors
+    * (the t10/Ranks pattern — no corpus-wide window). For a
+    * memory-bounded sketch alternative see the count-min-sketch
+    * contract in HeavyHittersSpec: CMS + this exact form's candidates
+    * is the classic two-pass at 100 TB; the exact form alone is
+    * already linear + vocabulary-bounded. */
+  def heavyHitters(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame =
+    Ranks.topKRanked(
+      docs(spark, sfDir)
+        .select(explode(toks(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt")),
+      k, col("cnt").desc, col("tok"))
+      .select(col("rk"), col("tok"), col("cnt"))
+
+  val heavyHittersOracle: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+        c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t
+              GROUP BY tok),
+        ranked AS (
+          SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+                   AS INTEGER) AS rk, tok, cnt
+          FROM c)
+      SELECT rk, tok, cnt FROM ranked WHERE rk <= 25"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     "t09_unigram_logprob" -> (unigramLogprob _),
     "t08_repetition" -> (repetition _),
     "t07_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
@@ -330,6 +366,7 @@ object TextOps {
        FROM documents"""
 
   def oracleSql: Map[String, String] = Map(
+    "t12_heavy_hitters" -> heavyHittersOracle,
     "t09_unigram_logprob" -> unigramOracle,
     "t08_repetition" -> repetitionOracle,
     "t01_quality" -> qualityOracle,

@@ -86,6 +86,30 @@ object SourceFormats {
     spark.read.parquet(compDir)
   }
 
+  /** q76: schema evolution across parquet generations — the table
+    * grew a column (`c_mktsegment`) between ingest generation 1 and
+    * generation 2, the layout every long-lived corpus store ends up
+    * with. `mergeSchema` unions the footer schemas at read time and
+    * back-fills the missing column with NULL for generation-1 files —
+    * no rewrite of the old petabytes, which is the point: at 100 TB,
+    * adding a column must cost zero data movement. Generations are
+    * split by key parity so the fixture is SF-independent; the oracle
+    * replays the same union + NULL fill over the original table.
+    * (mergeSchema reads every footer; a production store caches the
+    * merged schema in a catalog — the read semantics are what's gated
+    * here.) */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val orig = Tables.load(spark, sfDir, "customer")
+    val g1 = tmp("customer_gen1")
+    val g2 = tmp("customer_gen2")
+    orig.filter(col("c_custkey") % 2 === 0)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").parquet(g1)
+    orig.filter(col("c_custkey") % 2 =!= 0)
+      .write.mode("overwrite").parquet(g2)
+    spark.read.option("mergeSchema", "true").parquet(g1, g2)
+  }
+
   /** Total parquet data bytes under `dir`, listed via the Hadoop
     * FileSystem that owns the path (works for file://, hdfs://,
     * s3a://, ... — `java.io.File` would NPE on anything non-local). */
@@ -101,7 +125,8 @@ object SourceFormats {
     "q59_compact" -> ((s: SparkSession, d: String) => compact(s, d)),
     "q52_csv_source" -> (csvRoundTrip _),
     "q53_json_source" -> (jsonRoundTrip _),
-    "q54_partitioned_sink" -> (partitionedSink _)
+    "q54_partitioned_sink" -> (partitionedSink _),
+    "q76_schema_evolution" -> (schemaEvolution _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -119,6 +144,13 @@ object SourceFormats {
          FROM customer""",
     "q54_partitioned_sink" ->
       """SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
-         FROM documents WHERE lang IN ('en', 'de') GROUP BY lang"""
+         FROM documents WHERE lang IN ('en', 'de') GROUP BY lang""",
+    "q76_schema_evolution" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                CAST(NULL AS VARCHAR) AS c_mktsegment
+         FROM customer WHERE c_custkey % 2 = 0
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 2 <> 0"""
   )
 }

@@ -236,9 +236,31 @@ object EventStream {
       "graft_stream_attribution")
   }
 
+  /** q78: SLIDING (hopping) window aggregation — 1-hour windows every
+    * 15 minutes, the form a live dashboard actually renders (a
+    * tumbling hour updates once an hour; a hopping hour refreshes
+    * every slide). Each event lands in width/slide = 4 overlapping
+    * windows; Spark expands that in the `window()` generator before
+    * the one shuffle, and state is bounded exactly like q50's —
+    * watermark-evicted per window, ×4 windows live per event-time
+    * instant. The DuckDB oracle reconstructs the same epoch-aligned
+    * window set per event with an integer `range` over the slide
+    * grid, so the engines must agree window for window. */
+  def slidingCountsStreamed(spark: SparkSession, sfDir: String): DataFrame =
+    StreamRun.toCompletion(
+      readEvents(spark, sfDir, glob = "events.parquet")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count("*").as("cnt"), round(sum("value"), 2).as("sv")),
+      "graft_stream_sliding", outputMode = "complete")
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("event_type"), col("cnt"), col("sv"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_stream_hourly" -> (hourlyCountsStreamed _),
-    "q72_stream_attribution" -> (attributionStreamed _))
+    "q72_stream_attribution" -> (attributionStreamed _),
+    "q78_stream_sliding" -> (slidingCountsStreamed _))
 
   /** The batch answer in DuckDB — the stream must reproduce it bucket
     * for bucket (epoch_us keeps the hour as an integer so the hash
@@ -248,6 +270,21 @@ object EventStream {
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
                 count(*) AS cnt, round(sum(value), 2) AS sv
          FROM events GROUP BY 1, 2""",
+    // every epoch-aligned 15-min slide whose 1-hour window covers the
+    // event: strictly-greater lower bound (a window starting exactly
+    // ts − 1 h has already closed), inclusive upper (a window starting
+    // at ts contains it)
+    "q78_stream_sliding" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS us
+                    FROM events),
+          w AS (SELECT event_type, value,
+                       unnest(range(
+                         ((us - 3600000000) // 900000000 + 1) * 900000000,
+                         us + 1, 900000000)) AS win_us
+                FROM e)
+        SELECT win_us, event_type, count(*) AS cnt,
+               round(sum(value), 2) AS sv
+        FROM w GROUP BY 1, 2""",
     // the batch self-join the stream-stream join must reproduce
     "q72_stream_attribution" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us

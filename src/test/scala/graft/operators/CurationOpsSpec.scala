@@ -60,4 +60,25 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"mega source sent ${perSource("mega")} rows to the global rank")
     assert(perSource("small") <= 8L * k)
   }
+
+  test("epoch shuffle: deterministic per seed, distinct across seeds, " +
+      "contiguous positions per shard") {
+    val sfDir = "/root/testdata/sf0.001"
+    def runIt(seed: Int): Map[Long, (Int, Int)] =
+      CurationOps.epochShuffle(spark, sfDir, seed = seed).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val a = runIt(7)
+    assert(a == runIt(7), "same seed must reproduce the same permutation")
+    val b = runIt(8)
+    assert(a != b, "different seeds must give a different permutation")
+    // every doc placed exactly once; positions within a shard are 1..n
+    val byShard = a.values.groupBy(_._1)
+    byShard.foreach { case (shard, coords) =>
+      val ps = coords.map(_._2).toSeq.sorted
+      assert(ps == (1 to ps.size), s"shard $shard positions not contiguous")
+    }
+    // hash-uniform shards: no shard holds more than 3x its fair share
+    val fair = a.size.toDouble / byShard.size
+    assert(byShard.values.map(_.size).max <= 3 * fair)
+  }
 }

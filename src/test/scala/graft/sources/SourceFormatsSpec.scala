@@ -50,4 +50,21 @@ class SourceFormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(compacted.count() ==
       Tables.load(spark, sfDir, "orders").count())
   }
+
+  test("schema evolution: merged read back-fills the new column with " +
+      "NULL for generation-1 rows only") {
+    import org.apache.spark.sql.functions.col
+    val merged = SourceFormats.schemaEvolution(spark, sfDir)
+    assert(merged.columns.contains("c_mktsegment"),
+      "merged schema must include the generation-2 column")
+    val orig = Tables.load(spark, sfDir, "customer")
+    assert(merged.count() == orig.count())
+    // gen-1 (even keys) lack the column; gen-2 (odd keys) carry it
+    assert(merged.filter(col("c_mktsegment").isNull)
+      .filter(col("c_custkey") % 2 =!= 0).count() == 0)
+    assert(merged.filter(col("c_custkey") % 2 === 0)
+      .filter(col("c_mktsegment").isNotNull).count() == 0)
+    assert(merged.filter(col("c_custkey") % 2 =!= 0)
+      .filter(col("c_mktsegment").isNull).count() == 0)
+  }
 }
