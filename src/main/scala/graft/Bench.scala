@@ -32,12 +32,17 @@ object Bench {
 
   /** Third series guarding the round-6/7 operators (zone-map manifest +
     * pruned read, pattern funnel, multi-probe and trained IVF, approx
-    * percentile). Baselines at round 7; like the r5 series it never
-    * touches [[headline]], so the legacy trajectory stays comparable. */
+    * percentile, CDC merge + incremental view, heavy hitters, epoch
+    * shuffle). Baselines at round 7; like the r5 series it never
+    * touches [[headline]], so the legacy trajectory stays comparable.
+    * Streaming entries (q75/q78) are excluded like every other series:
+    * stream-scaffold startup would dominate the number. */
   val headlineR7: Seq[String] = Seq(
     "q66_zonemap", "q69_zonemap_pruned", "q67_funnel_pattern",
     "s08_ann_ivf_multiprobe", "s09_ann_ivf_trained",
-    "q70_approx_percentile", "s10_ann_pq_adc")
+    "q70_approx_percentile", "s10_ann_pq_adc",
+    "q74_cdc_merge", "q77_incremental_view", "q79_snapshot_diff",
+    "t12_heavy_hitters", "c11_epoch_shuffle")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

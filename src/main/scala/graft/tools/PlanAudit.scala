@@ -28,7 +28,9 @@ object PlanAudit {
       "c09_pack_sequences", "t10_bm25",
       "q60_funnel", "q61_sessionize", "q62_retention", "t11_bpe_pairs",
       "q67_funnel_pattern", "q69_zonemap_pruned", "s09_ann_ivf_trained",
-      "s10_ann_pq_adc")
+      "s10_ann_pq_adc",
+      "q74_cdc_merge", "q77_incremental_view", "q79_snapshot_diff",
+      "t12_heavy_hitters", "c11_epoch_shuffle")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

@@ -97,7 +97,26 @@ object ScaleProbe {
       ("s10_pq_adc", n => SimilarityOps.pqAdcTopKOn(
         vecsN(spark, n).selectExpr("vec_id",
           "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
-        rows = n, nQueries = 5, k = 10, codebookMod = 29, m = 8)))
+        rows = n, nQueries = 5, k = 10, codebookMod = 29, m = 8)),
+      // CDC: merge folds a 20% delta into the base (broadcast anti +
+      // union — the base side is scan-only, so ~linear in base), and
+      // diff full-outer-joins two snapshots (one key shuffle, linear)
+      ("q74_cdc_merge", n => {
+        val base = spark.range(n).selectExpr(
+          "id AS k", "concat('v', id) AS v")
+        val changes = spark.range(n / 5).selectExpr(
+          "id * 5 AS key", "CAST(1 AS INT) AS seq",
+          "CASE WHEN id % 3 = 0 THEN 'D' ELSE 'U' END AS op",
+          "concat('u', id) AS v")
+        CdcOps.merge(base, changes, "k", Seq("v" -> "v"))
+      }),
+      ("q79_snapshot_diff", n => {
+        val a = spark.range(n).selectExpr(
+          "id AS k", "pmod(xxhash64(id), 100) AS v")
+        val b = spark.range(n + n / 10).selectExpr("id AS k",
+          "pmod(xxhash64(id + CASE WHEN id % 7 = 0 THEN 1 ELSE 0 END), 100) AS v")
+        CdcOps.snapshotDiff(a, b, "k", Seq("v"))
+      }))
 
     println(f"${"operator"}%-24s ${"n1"}%8s ${"t1(s)"}%8s ${"rows1"}%9s " +
       f"${"n4"}%8s ${"t4(s)"}%8s ${"rows4"}%9s ${"ratio"}%6s")
