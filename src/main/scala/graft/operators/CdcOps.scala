@@ -102,11 +102,14 @@ object CdcOps {
     * this frame. */
   def applyLatest(base: DataFrame, latest: DataFrame, baseKey: String,
       colMap: Seq[(String, String)]): DataFrame = {
+    // latest feeds two consumers (anti-join keys + surviving states);
+    // the barrier stops each from re-deriving the whole delta fold
+    val l = Persists.barrier(latest)
     val untouched = base
       .select(baseKey, colMap.map(_._2).filter(_ != baseKey): _*)
-      .join(broadcast(latest.select("key")),
+      .join(broadcast(l.select("key")),
         col(baseKey) === col("key"), "left_anti")
-    val applied = latest.filter(col("op") =!= "D")
+    val applied = l.filter(col("op") =!= "D")
       .select(col("key").as(baseKey) +:
         colMap.collect { case (c, b) if b != baseKey => col(c).as(b) }: _*)
     untouched.unionByName(applied)
@@ -141,7 +144,8 @@ object CdcOps {
     val base = Tables.load(spark, sfDir, "orders")
     val stored = base.groupBy(col("o_orderstatus").as("status"))
       .agg(count(lit(1)).as("n"), sum("o_totalprice").as("rev"))
-    val latest = latestPerKey(changeset(spark, sfDir))
+    // two consumers (minus keys + plus states) — barrier as in applyLatest
+    val latest = Persists.barrier(latestPerKey(changeset(spark, sfDir)))
     // −(old state) for every touched key that exists in the base:
     // an update moves its row across groups, a delete removes it
     val minus = base
