@@ -42,7 +42,8 @@ object Bench {
     "s08_ann_ivf_multiprobe", "s09_ann_ivf_trained",
     "q70_approx_percentile", "s10_ann_pq_adc",
     "q74_cdc_merge", "q77_incremental_view", "q79_snapshot_diff",
-    "t12_heavy_hitters", "c11_epoch_shuffle")
+    "t12_heavy_hitters", "c11_epoch_shuffle", "q80_table_stats",
+    "p10_planner_statsest")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -36,6 +36,7 @@ object SparkEntry {
       graft.sources.Bucketing.queries ++
       graft.sources.ZoneMap.queries ++
       graft.plans.PlannerQueries.queries ++
+      graft.plans.TableStats.queries ++
       graft.streaming.EventStream.queries ++
       graft.streaming.StreamDedup.queries ++
       graft.streaming.StreamCuration.queries ++
@@ -65,6 +66,7 @@ object SparkEntry {
       graft.sources.Bucketing.oracleSql ++
       graft.sources.ZoneMap.oracleSql ++
       graft.plans.PlannerQueries.oracleSql ++
+      graft.plans.TableStats.oracleSql ++
       graft.streaming.EventStream.oracleSql ++
       graft.streaming.StreamDedup.oracleSql ++
       graft.streaming.StreamCuration.oracleSql ++

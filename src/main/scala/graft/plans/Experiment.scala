@@ -211,11 +211,15 @@ object Experiment {
       query: String, planner: String, costModel: String,
       estPlanCost: Double, optPlanCost: Double, regret: Double)
 
+  /** `estTag` keys the estimate-planned side in the plan cache —
+    * distinct estimators (the naive independence heuristic, the
+    * measured-stats Selinger estimator) must not share cache rows. */
   def cardinalityRegret(
       queries: Seq[ExperimentQuery],
       planners: Seq[JoinOrderPlanner],
       cm: CostModel,
-      cache: Option[PlanCache.Store] = None): Seq[RegretRecord] =
+      cache: Option[PlanCache.Store] = None,
+      estTag: String = "est"): Seq[RegretRecord] =
     for {
       q <- queries
       p <- planners
@@ -226,7 +230,7 @@ object Experiment {
             p.plan(q.graph, card, cm))
           case None => p.plan(q.graph, card, cm)
         }
-      val estPlan = planWith(q.estCard, "est")   // planned with estimates
+      val estPlan = planWith(q.estCard, estTag)  // planned with estimates
       val optPlan = planWith(q.trueCard, "true") // planned with truth
       val estCostTrue = CostModel.treeCost(estPlan.tree, cm, q.trueCard)
       val optCostTrue = CostModel.treeCost(optPlan.tree, cm, q.trueCard)
@@ -385,6 +389,26 @@ object ExperimentMain {
         f"est-plan-cost=${r.estPlanCost}%14.1f " +
         f"opt-plan-cost=${r.optPlanCost}%14.1f regret=${r.regret}%6.3f")
     }
+
+    // the same regret under the MEASURED-stats Selinger estimator
+    // (StatsEstimator over q80 profiles) — the deployed estimator's
+    // plan-quality cost, next to the naive heuristic's above (the
+    // reference's experiment asks exactly this question of its injected
+    // estimates, QueryOptExperiment.java:481-498)
+    val statsQueries = built.map(_._1).map { q =>
+      val profiles = q.graph.relations.map(n =>
+        StatsEstimator.profileTable(spark, sfDir, n)).toVector
+      q.copy(estCard =
+        StatsEstimator.cardinality(q.graph, profiles, q.filters))
+    }
+    val regretsStats = costModels.flatMap(cm =>
+      Experiment.cardinalityRegret(statsQueries, planners, cm,
+        cache = Some(cache), estTag = "statsest"))
+    regretsStats.foreach { r =>
+      println(f"${r.query}%-10s ${r.planner}%-10s ${r.costModel}%-5s " +
+        f"statsest-plan-cost=${r.estPlanCost}%14.1f " +
+        f"opt-plan-cost=${r.optPlanCost}%14.1f regret=${r.regret}%6.3f")
+    }
     cache.save()
     // the cache's own contract, printed for the artifact reader: a warm
     // second run must show planned=0, and the plan digest — everything
@@ -393,7 +417,10 @@ object ExperimentMain {
       val basis = (records.map(r =>
         s"${r.query}|${r.planner}|${r.costModel}|${r.cost}|${r.joinOrder}") ++
         regrets.map(r => s"${r.query}|${r.planner}|${r.costModel}|" +
-          s"${r.estPlanCost}|${r.optPlanCost}")).sorted.mkString(";")
+          s"${r.estPlanCost}|${r.optPlanCost}") ++
+        regretsStats.map(r => s"stats|${r.query}|${r.planner}|" +
+          s"${r.costModel}|${r.estPlanCost}|${r.optPlanCost}"))
+        .sorted.mkString(";")
       java.security.MessageDigest.getInstance("MD5")
         .digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
@@ -401,7 +428,8 @@ object ExperimentMain {
       s"plan-digest=$planDigest")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       s"""{"records":${Experiment.recordsToJson(records)},""" +
-        s""""regrets":${Experiment.regretsToJson(regrets)}}""")
+        s""""regrets":${Experiment.regretsToJson(regrets)},""" +
+        s""""regrets_statsest":${Experiment.regretsToJson(regretsStats)}}""")
     println(s"wrote $out")
     spark.stop()
   }

@@ -76,8 +76,34 @@ object PlannerQueries {
     "p06_planner_rl" -> runFlagship(QPolicy.RolloutPlanner) _,
     "p07_planner_learned" -> runFlagship(QPolicy.Planner) _,
     "p08_planner_cycle" -> runCycle(Enumerators.DPccp) _,
-    "p09_planner_bushy" -> runFlagship(Enumerators.Bushy) _
+    "p09_planner_bushy" -> runFlagship(Enumerators.Bushy) _,
+    "p10_planner_statsest" -> (runFlagshipStats _)
   )
+
+  /** p10: the flagship planned with cardinalities estimated ONLY from
+    * measured [[TableStats]] profiles through [[StatsEstimator]] — no
+    * injected truth, no hand-tuned selectivities: the deployed
+    * stats → estimate → enumerate loop (the reference instead injects
+    * these numbers per query to study estimation error,
+    * MyMetadataQuery.java:81-162 — p10 is what its "estimated
+    * cardinalities" MEAN in a real engine). Result must hash-match the
+    * same oracle as every other planner: plan choice never changes
+    * answers. */
+  def runFlagshipStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val (g, filters) = flagshipGraph
+    val dfs = g.relations.map(n => Tables.load(spark, sfDir, n))
+    val profiles = g.relations.map(n =>
+      StatsEstimator.profileTable(spark, sfDir, n)).toVector
+    val card = StatsEstimator.cardinality(g, profiles, filters)
+    val inputs = g.relations.zip(dfs).zip(filters).map {
+      case ((n, df), f) => RelInput(n, df, f.map(expr))
+    }
+    val planned = Enumerators.DPccp.plan(g, card, CostModel.Cout)
+    JoinTreeExecutor.build(planned.tree, g, inputs, card)
+      .agg(min("o_totalprice").as("min_total"),
+        min("l_extendedprice").as("min_ext"),
+        count(lit(1)).as("cnt"))
+  }
 
   /** CYCLIC graph through the planner+executor: when the last factor of
     * a cycle joins, the closing edge surfaces as an ADDITIONAL cross

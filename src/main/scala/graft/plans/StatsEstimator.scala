@@ -1,0 +1,107 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+/** Measured-statistics cardinality estimation — the System-R /
+  * Selinger model fed by [[TableStats]] profiles: equality predicates
+  * cost 1/NDV, range predicates interpolate the min/max span, join
+  * cardinality divides by the larger key-side NDV, independence across
+  * conjuncts. This is the estimator a deployed engine actually plans
+  * with; the reference *injects* these numbers per query to study what
+  * happens when they're wrong (MyMetadataQuery.java:81-162,
+  * README: cardinality-sensitivity experiment). p10 plans the flagship
+  * query end-to-end with estimates derived ONLY from measured profiles
+  * — no injected truth anywhere — and must still produce the
+  * hash-identical result (plan choice can never change answers; cost
+  * regret vs true cardinalities is ExperimentMain's measurement).
+  */
+object StatsEstimator {
+
+  final case class ColStats(
+      ndv: Double, minN: Option[Double], maxN: Option[Double])
+  final case class Profile(rows: Double, cols: Map[String, ColStats])
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Profile]()
+
+  /** Profile `table` via the q80 collection pass; memoized per
+    * (sfDir, table) — ANALYZE is run once, plans are made many times. */
+  def profileTable(
+      spark: SparkSession, sfDir: String, table: String): Profile =
+    cache.computeIfAbsent((sfDir, table), _ => {
+      val rows = TableStats.profile(spark, sfDir, table).collect()
+      Profile(
+        rows = if (rows.isEmpty) 0.0 else rows.head.getLong(1).toDouble,
+        cols = rows.map { r =>
+          r.getString(0) -> ColStats(
+            ndv = r.getLong(3).toDouble,
+            minN = Option(r.get(4)).map(_.asInstanceOf[Double]),
+            maxN = Option(r.get(5)).map(_.asInstanceOf[Double]))
+        }.toMap)
+    })
+
+  private val EqStr = """^\s*(\w+)\s*=\s*'([^']*)'\s*$""".r
+  private val EqNum = """^\s*(\w+)\s*=\s*([0-9.+-]+)\s*$""".r
+  private val GtNum = """^\s*(\w+)\s*>\s*([0-9.+-]+)\s*$""".r
+  private val LtNum = """^\s*(\w+)\s*<\s*([0-9.+-]+)\s*$""".r
+
+  private def clamp(x: Double): Double = math.min(math.max(x, 0.0), 1.0)
+
+  /** Selectivity of one conjunct-free predicate string against a
+    * profile. Selinger's defaults: 1/NDV for equality, min-max span
+    * interpolation for ranges, 1/3 when the shape is unrecognized. */
+  def selectivityOf(p: Profile)(pred: String): Double = {
+    def eq(c: String): Double =
+      p.cols.get(c).map(s => 1.0 / math.max(s.ndv, 1.0)).getOrElse(1.0 / 3)
+    def span(c: String, f: (Double, Double, Double) => Double,
+        lit: Double): Double =
+      p.cols.get(c).flatMap(s => for (mn <- s.minN; mx <- s.maxN if mx > mn)
+        yield clamp(f(mn, mx, lit))).getOrElse(1.0 / 3)
+    pred match {
+      case EqStr(c, _) => eq(c)
+      case EqNum(c, _) => eq(c)
+      case GtNum(c, v) => span(c, (mn, mx, l) => (mx - l) / (mx - mn), v.toDouble)
+      case LtNum(c, v) => span(c, (mn, mx, l) => (l - mn) / (mx - mn), v.toDouble)
+      case _ => 1.0 / 3
+    }
+  }
+
+  /** The estimator as the planners' [[Cardinality]]: per-relation rows
+    * = measured rows × estimated filter selectivity; every join edge
+    * inside the subset divides by max(NDV(left key), NDV(right key))
+    * (containment assumption — each left key value finds its match
+    * group of size rows/NDV on the right); composite keys multiply
+    * per-column NDVs capped at the relation's rows. */
+  def cardinality(
+      g: QueryGraph, profiles: Vector[Profile],
+      filters: Vector[Option[String]]): Cardinality = {
+    val base = Array.tabulate(g.n)(i => profiles(i).rows)
+    val sel = Array.tabulate(g.n)(i =>
+      filters(i).map(selectivityOf(profiles(i))).getOrElse(1.0))
+    def keyNdv(v: Int, cols: Seq[String]): Double = {
+      val p = profiles(v)
+      val per = cols.map(c => p.cols.get(c).map(_.ndv).getOrElse(p.rows))
+      math.min(per.product, math.max(p.rows, 1.0))
+    }
+    new Cardinality {
+      def apply(s: Long): Double = {
+        var rows = 1.0
+        var rest = s
+        while (rest != 0) {
+          val i = java.lang.Long.numberOfTrailingZeros(rest)
+          rows *= math.max(base(i) * sel(i), 1.0)
+          rest &= rest - 1
+        }
+        g.edges.foreach { e =>
+          if ((e.mask & s) == e.mask)
+            rows /= math.max(
+              math.max(keyNdv(e.a, e.conds.map(_._1)),
+                keyNdv(e.b, e.conds.map(_._2))), 1.0)
+        }
+        math.max(rows, 1.0)
+      }
+      override def ndv(vertex: Int, cols: Seq[String]): Double =
+        keyNdv(vertex, cols)
+    }
+  }
+}
