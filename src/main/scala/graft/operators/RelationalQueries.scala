@@ -276,6 +276,23 @@ object RelationalQueries {
     "q39_array_ops" -> (arrayOps _),
     "q41_string_agg" -> (stringAgg _),
     "q43_pivot" -> (pivotQty _),
+    // UNPIVOT (melt): wide metric columns to (metric, value) rows —
+    // pivot's inverse, the reshape feeding per-metric aggregation and
+    // the long-format sinks ML feature stores expect. Spark's native
+    // unpivot generates rows in the scan projection (no shuffle until
+    // the aggregate); the DuckDB oracle reshapes via UNION ALL, so the
+    // gate pins the semantics, not the syntax.
+    "q81_unpivot" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.functions._
+      Tables.load(spark, sfDir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), round(sum("val"), 2).as("total"))
+    }),
     // time-bucketed aggregation over the events table (the ts column is
     // nanos in parquet; Tables.load derives a micros timestamp)
     "q26_events_daily" -> ((spark, sfDir) => {
@@ -348,7 +365,18 @@ object RelationalQueries {
     "q26_events_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
                 count(*) AS cnt, round(sum(value), 2) AS sv
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "q81_unpivot" ->
+      """WITH u AS (
+           SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', l_discount FROM lineitem
+           UNION ALL
+           SELECT 'l_tax', l_tax FROM lineitem)
+         SELECT metric, count(*) AS n, round(sum(val), 2) AS total
+         FROM u GROUP BY metric"""
   )
 
   /** Rows-only checks: value is engine-specific (approximate sketch). */

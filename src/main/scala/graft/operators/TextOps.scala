@@ -308,6 +308,50 @@ object TextOps {
       FROM w JOIN model USING (w) CROSS JOIN t
       GROUP BY doc_id"""
 
+  // --------------------------------------------- bigram LM log-prob
+  /** Bigram conditional log-probability scoring: mean ln P(wᵢ | wᵢ₋₁)
+    * under the corpus bigram model — t09's unigram proxy upgraded one
+    * order: repetitive boilerplate scores HIGH conditional probability
+    * (its transitions are predictable) while word salad that sneaks
+    * past unigram stats (common words, nonsense order) scores low —
+    * the signal CCNet's 5-gram KenLM actually uses, with the same
+    * model-is-a-DataFrame plumbing as t09.
+    *
+    * Scale shape: the pair frame is built in the scan projection
+    * (slice + zip_with + explode, no UDF), barriered once, and feeds
+    * the bigram model, the first-word marginal, and the probe join —
+    * models are observed-bigram-sized (vocabulary², sparse), joins
+    * carry partial-agg'd counts, hottest key = one bigram. */
+  def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = docs(spark, sfDir)
+      .select(col("doc_id"), toks(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val pairs = Persists.barrier(ws
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2")))
+    val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val u1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    pairs.join(bg, Seq("w1", "w2")).join(u1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("c2") / col("c1"))), 4).as("logprob"))
+  }
+
+  val bigramOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents),
+        p AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                     i -> {'w1': ws[i], 'w2': ws[i+1]}),
+                     recursive := true)
+              FROM w WHERE len(ws) >= 2),
+        bg AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY 1, 2),
+        u1 AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1)
+      SELECT doc_id, round(avg(ln(c2 / CAST(c1 AS DOUBLE))), 4) AS logprob
+      FROM p JOIN bg USING (w1, w2) JOIN u1 USING (w1)
+      GROUP BY doc_id"""
+
   // ------------------------------------------------------ heavy hitters
   /** Corpus heavy hitters: the `k` most frequent tokens with their
     * exact counts — the vocabulary head every tokenizer build, stopword
@@ -325,11 +369,17 @@ object TextOps {
     * is the classic two-pass at 100 TB; the exact form alone is
     * already linear + vocabulary-bounded. */
   def heavyHitters(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame =
-    Ranks.topKRanked(
+    heavyHittersTail(
       docs(spark, sfDir)
         .select(explode(toks(col("text"))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("cnt")),
-      k, col("cnt").desc, col("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt")), k)
+
+  /** The top-k tail over an already-aggregated (tok, cnt) frame — ONE
+    * definition shared by the batch operator and the streaming form
+    * (q83 ranks its completed complete-mode sink with this), so the
+    * rank/tie-break contract can't drift from the shared oracle. */
+  def heavyHittersTail(counts: DataFrame, k: Int = 25): DataFrame =
+    Ranks.topKRanked(counts, k, col("cnt").desc, col("tok"))
       .select(col("rk"), col("tok"), col("cnt"))
 
   val heavyHittersOracle: String =
@@ -345,6 +395,7 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t12_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
+    "t13_bigram_logprob" -> (bigramLogprob _),
     "t09_unigram_logprob" -> (unigramLogprob _),
     "t08_repetition" -> (repetition _),
     "t07_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
@@ -367,6 +418,7 @@ object TextOps {
 
   def oracleSql: Map[String, String] = Map(
     "t12_heavy_hitters" -> heavyHittersOracle,
+    "t13_bigram_logprob" -> bigramOracle,
     "t09_unigram_logprob" -> unigramOracle,
     "t08_repetition" -> repetitionOracle,
     "t01_quality" -> qualityOracle,
