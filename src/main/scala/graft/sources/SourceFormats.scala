@@ -110,6 +110,60 @@ object SourceFormats {
     spark.read.option("mergeSchema", "true").parquet(g1, g2)
   }
 
+  /** Per-lang audit frame: row count, char volume, and an
+    * order-insensitive content checksum (bit_xor of the portable
+    * content hash) — the invariants a write must preserve end to end.
+    * One aggregation, langs-sized output. */
+  def langAudit(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val h = graft.operators.PortableHash.packed("text")
+    df.groupBy("lang").agg(
+      count(lit(1)).as("docs"),
+      sum("n_chars").as("chars"),
+      expr(s"bit_xor($h)").as("checksum"))
+  }
+
+  /** q82: WRITE-AUDIT-PUBLISH — the pattern that keeps a 100 TB corpus
+    * store trustworthy: land the write in a STAGING directory nobody
+    * reads, audit the staged files by re-reading them (count + volume
+    * + order-insensitive checksum per partition, compared against the
+    * same audit of the source frame), and only then atomically rename
+    * staging into the published location readers point at. A failed
+    * audit leaves the published table untouched and throws — corrupt
+    * or truncated writes can never become visible (SourceFormatsSpec
+    * drops a partition from staging and publish refuses). Returns the
+    * audit of the PUBLISHED table, which must equal the source-side
+    * audit the DuckDB oracle computes. */
+  def writeAuditPublish(spark: SparkSession, sfDir: String): DataFrame = {
+    val staging = tmp("docs_wap_staging")
+    val published = tmp("docs_wap_published")
+    val src = Tables.load(spark, sfDir, "documents")
+    src.write.mode("overwrite").partitionBy("lang").parquet(staging)
+    publishAudited(spark, src, staging, published)
+    langAudit(spark.read.parquet(published))
+  }
+
+  /** The audit + atomic-rename half, factored so the spec can aim it
+    * at a tampered staging directory. */
+  def publishAudited(spark: SparkSession,
+      src: org.apache.spark.sql.DataFrame,
+      staging: String, published: String): Unit = {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      langAudit(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val expected = rows(src)
+    val staged = rows(spark.read.parquet(staging))
+    if (staged != expected)
+      throw new IllegalStateException(
+        s"WAP audit failed: staged $staged != expected $expected — " +
+          "refusing to publish")
+    val conf = spark.sessionState.newHadoopConf()
+    val pubPath = new org.apache.hadoop.fs.Path(published)
+    val fs = pubPath.getFileSystem(conf)
+    if (fs.exists(pubPath)) fs.delete(pubPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), pubPath)
+  }
+
   /** Total parquet data bytes under `dir`, listed via the Hadoop
     * FileSystem that owns the path (works for file://, hdfs://,
     * s3a://, ... — `java.io.File` would NPE on anything non-local). */
@@ -126,7 +180,8 @@ object SourceFormats {
     "q52_csv_source" -> (csvRoundTrip _),
     "q53_json_source" -> (jsonRoundTrip _),
     "q54_partitioned_sink" -> (partitionedSink _),
-    "q76_schema_evolution" -> (schemaEvolution _)
+    "q76_schema_evolution" -> (schemaEvolution _),
+    "q82_write_audit_publish" -> (writeAuditPublish _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -151,6 +206,15 @@ object SourceFormats {
          FROM customer WHERE c_custkey % 2 = 0
          UNION ALL
          SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-         FROM customer WHERE c_custkey % 2 <> 0"""
+         FROM customer WHERE c_custkey % 2 <> 0""",
+    // the published table's audit must equal the source's: same
+    // counts, volume, and bit_xor of the shared portable content hash
+    "q82_write_audit_publish" -> {
+      val h = graft.operators.PortableHash.packed("text")
+      s"""SELECT lang, count(*) AS docs,
+                 CAST(sum(n_chars) AS BIGINT) AS chars,
+                 bit_xor($h) AS checksum
+          FROM documents GROUP BY lang"""
+    }
   )
 }

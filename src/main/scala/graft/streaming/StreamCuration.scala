@@ -85,10 +85,30 @@ object StreamCuration {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** q83: STREAMING heavy hitters — the t12 vocabulary counts as a
+    * complete-mode streaming aggregation (state = one row per distinct
+    * token: VOCABULARY-bounded, not stream-bounded — token counts are
+    * the rare unbounded-stream aggregate whose state genuinely stays
+    * small), with t12's shared top-k tail ranked over the completed
+    * sink. Gated by t12's oracle verbatim; this pairing is the classic
+    * two-pass alternative's streaming half — the CMS contract in
+    * HeavyHittersSpec covers the case where even the vocabulary is
+    * memory-bound. */
+  def heavyHittersStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counts = StreamRun.toCompletion(
+      docsStream(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt")),
+      "graft_stream_hh", outputMode = "complete")
+    graft.operators.TextOps.heavyHittersTail(counts)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_stream_sample" -> (sampleStream _),
     "q56_stream_mix" -> (mixStream _),
-    "q71_stream_decontam" -> ((s: SparkSession, d: String) => decontamStream(s, d))
+    "q71_stream_decontam" -> ((s: SparkSession, d: String) => decontamStream(s, d)),
+    "q83_stream_heavy_hitters" -> (heavyHittersStream _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -98,6 +118,8 @@ object StreamCuration {
     "q56_stream_mix" ->
       graft.operators.CurationOps.oracleSql("c08_mix_report"),
     "q71_stream_decontam" ->
-      graft.operators.CurationOps.oracleSql("c04_decontaminate")
+      graft.operators.CurationOps.oracleSql("c04_decontaminate"),
+    "q83_stream_heavy_hitters" ->
+      graft.operators.TextOps.oracleSql("t12_heavy_hitters")
   )
 }

@@ -51,6 +51,31 @@ class SourceFormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Tables.load(spark, sfDir, "orders").count())
   }
 
+  test("WAP refuses to publish a tampered staging directory, leaving " +
+      "the published location untouched") {
+    import org.apache.spark.sql.functions.col
+    val src = Tables.load(spark, sfDir, "documents")
+    val staging = FsUtil.qualified("target/tmp/formats/wap_tamper_staging")
+    val published = FsUtil.qualified("target/tmp/formats/wap_tamper_pub")
+    // stage a write that silently lost a whole partition
+    src.filter(col("lang") =!= "de")
+      .write.mode("overwrite").partitionBy("lang").parquet(staging)
+    val e = intercept[IllegalStateException] {
+      SourceFormats.publishAudited(spark, src, staging, published)
+    }
+    assert(e.getMessage.contains("refusing to publish"))
+    assert(!FsUtil.exists(spark, published),
+      "a failed audit must never create the published table")
+  }
+
+  test("WAP publishes a faithful staging directory and the audit " +
+      "round-trips") {
+    val audit = SourceFormats.writeAuditPublish(spark, sfDir)
+    val direct = SourceFormats.langAudit(
+      Tables.load(spark, sfDir, "documents"))
+    assert(audit.collect().toSet == direct.collect().toSet)
+  }
+
   test("schema evolution: merged read back-fills the new column with " +
       "NULL for generation-1 rows only") {
     import org.apache.spark.sql.functions.col
