@@ -43,7 +43,7 @@ object Bench {
     "q70_approx_percentile", "s10_ann_pq_adc",
     "q74_cdc_merge", "q77_incremental_view", "q79_snapshot_diff",
     "t12_heavy_hitters", "c11_epoch_shuffle", "q80_table_stats",
-    "p10_planner_statsest")
+    "p10_planner_statsest", "q81_unpivot", "t13_bigram_logprob")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

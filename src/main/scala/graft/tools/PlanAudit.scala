@@ -30,7 +30,8 @@ object PlanAudit {
       "q67_funnel_pattern", "q69_zonemap_pruned", "s09_ann_ivf_trained",
       "s10_ann_pq_adc",
       "q74_cdc_merge", "q77_incremental_view", "q79_snapshot_diff",
-      "t12_heavy_hitters", "c11_epoch_shuffle", "q80_table_stats")
+      "t12_heavy_hitters", "c11_epoch_shuffle", "q80_table_stats",
+      "q81_unpivot", "t13_bigram_logprob")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature
