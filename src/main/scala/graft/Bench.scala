@@ -42,7 +42,7 @@ object Bench {
     "s08_ann_ivf_multiprobe", "s09_ann_ivf_trained",
     "q70_approx_percentile", "s10_ann_pq_adc",
     "q74_cdc_merge", "q77_incremental_view", "q79_snapshot_diff",
-    "t12_heavy_hitters", "c11_epoch_shuffle", "q80_table_stats",
+    "t12_heavy_hitters", "c11_epoch_shuffle", "q80i_table_stats_approx",
     "p10_planner_statsest", "q81_unpivot", "t13_bigram_logprob")
 
   /** Bench-only variants (not gate entries — the gate form stays the
@@ -55,7 +55,14 @@ object Bench {
   val benchOnly: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] = Map(
     "d12i_dedup_incremental" ->
-      ((s, d) => graft.operators.DedupOps.incrementalDedupFromSigs(s, d)))
+      ((s, d) => graft.operators.DedupOps.incrementalDedupFromSigs(s, d)),
+    // q80's exact multi-column countDistinct plans as an Expand (7x the
+    // input) and was 34% of total_r7 — masking the other queries, the
+    // d12-at-r6 pattern. The series times the approx-NDV production
+    // shape instead; the gate entry q80 stays the exact ANALYZE whose
+    // oracle hash-checks
+    "q80i_table_stats_approx" ->
+      ((s, d) => graft.plans.TableStats.profileApprox(s, d, "orders")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -36,7 +36,16 @@ object TableStats {
     profileOf(df)
   }
 
-  def profileOf(df: DataFrame): DataFrame = {
+  /** The 100 TB collection shape: identical profile with
+    * `approx_count_distinct` in the ndv column — no Expand, one
+    * non-multiplied pass. Bench-only (q80i): the HLL estimate is
+    * engine-specific, so the GATE keeps the exact form; q28 already
+    * gates the approx-NDV surface. */
+  def profileApprox(
+      spark: SparkSession, sfDir: String, table: String): DataFrame =
+    profileOf(Tables.load(spark, sfDir, table), approxNdv = true)
+
+  def profileOf(df: DataFrame, approxNdv: Boolean = false): DataFrame = {
     val cols = df.schema.fields.toSeq
     def isNum(f: StructField) = f.dataType match {
       case _: NumericType | _: TimestampType | TimestampNTZType => true
@@ -50,7 +59,8 @@ object TableStats {
     val aggs = cols.flatMap { f =>
       Seq(
         count(col(f.name)).as(s"nn__${f.name}"),
-        countDistinct(col(f.name)).as(s"ndv__${f.name}")) ++
+        (if (approxNdv) approx_count_distinct(col(f.name))
+         else countDistinct(col(f.name))).as(s"ndv__${f.name}")) ++
         (if (isNum(f)) Seq(
           min(numExpr(f)).as(s"minn__${f.name}"),
           max(numExpr(f)).as(s"maxn__${f.name}"))
