@@ -16,11 +16,16 @@ import graft.sources.Tables
   *
   * Scale shape: the changeset is collapsed to one row per key by a
   * map-side-combinable `max_by` aggregation (one shuffle of the DELTA,
-  * never the base), and the base is touched by a single broadcast
-  * left-anti join — the 100 TB snapshot is scanned once, shuffled
-  * never. A delta too big to broadcast degrades to a key-partitioned
-  * anti join, co-located for free when the snapshot is bucketed by key
-  * (q57's layout).
+  * never the base), and the base is touched by a single left-anti
+  * join — the 100 TB snapshot is scanned once, shuffled never. The
+  * anti join carries an explicit broadcast hint by default (the
+  * ingest-delta shape: deltas are small by nature); for a delta too
+  * big to broadcast, pass `broadcastDelta = false` and the join
+  * degrades to a key-partitioned anti join — co-located for free when
+  * the snapshot is bucketed by key (q57's layout). The hint is
+  * caller-controlled because Spark honors an explicit broadcast()
+  * regardless of size thresholds: defaulting it on and LETTING it be
+  * turned off is the honest version of "degrades".
   */
 object CdcOps {
 
@@ -32,8 +37,11 @@ object CdcOps {
     *
     * Three op families, exercising every merge path:
     *  - seq 1 'U': keys %5=0, price restated ×1.1;
-    *  - seq 1 'I': fresh keys (+1 000 000) for source rows %9=0, at
-    *    half price;
+    *  - seq 1 'I': fresh keys for source rows %9=0, at half price —
+    *    minted as NEGATIVE keys (−(src+1)), disjoint from the base key
+    *    space at EVERY scale factor (a fixed offset would collide with
+    *    real keys once the table outgrows it, silently breaking the
+    *    uniqueness contract below — the q76 SF-independence rule);
     *  - seq 2 'D'/'U': deletes at %10=0, a SECOND update ×1.2 at %15=0
     *    (CASE gives %30=0 rows the delete) — every seq-2 key also has a
     *    seq-1 row, so last-writer-wins is actually load-bearing.
@@ -56,7 +64,7 @@ object CdcOps {
               CAST(floor(($cents * 11 + 5) / 10.0) / 100.0 AS DOUBLE) AS price
        FROM orders WHERE o_orderkey % 5 = 0
        UNION ALL
-       SELECT o_orderkey + 1000000 AS key, 1 AS seq, 'I' AS op,
+       SELECT -(o_orderkey + 1) AS key, 1 AS seq, 'I' AS op,
               o_custkey AS custkey, 'N' AS status,
               CAST(floor(($cents + 1) / 2.0) / 100.0 AS DOUBLE) AS price
        FROM orders WHERE o_orderkey % 9 = 0
@@ -93,21 +101,23 @@ object CdcOps {
     * semantics) — so 'I' and 'U' need no distinction at apply time, the
     * op column only matters for 'D'. */
   def merge(base: DataFrame, changes: DataFrame, baseKey: String,
-      colMap: Seq[(String, String)]): DataFrame =
-    applyLatest(base, latestPerKey(changes), baseKey, colMap)
+      colMap: Seq[(String, String)], broadcastDelta: Boolean = true): DataFrame =
+    applyLatest(base, latestPerKey(changes), baseKey, colMap, broadcastDelta)
 
   /** The publish half of the merge, over an ALREADY-collapsed
     * latest-state frame — shared by the batch merge and the streaming
     * CDC materialization (q75), whose state store hands it exactly
     * this frame. */
   def applyLatest(base: DataFrame, latest: DataFrame, baseKey: String,
-      colMap: Seq[(String, String)]): DataFrame = {
+      colMap: Seq[(String, String)],
+      broadcastDelta: Boolean = true): DataFrame = {
     // latest feeds two consumers (anti-join keys + surviving states);
     // the barrier stops each from re-deriving the whole delta fold
     val l = Persists.barrier(latest)
+    val keys = l.select("key")
     val untouched = base
       .select(baseKey, colMap.map(_._2).filter(_ != baseKey): _*)
-      .join(broadcast(l.select("key")),
+      .join(if (broadcastDelta) broadcast(keys) else keys,
         col(baseKey) === col("key"), "left_anti")
     val applied = l.filter(col("op") =!= "D")
       .select(col("key").as(baseKey) +:
@@ -140,7 +150,8 @@ object CdcOps {
     * `viewOf` stands for the STORED view artifact; the oracle
     * recomputes the view directly over the merged snapshot, so the
     * gate asserts increment ≡ recompute. */
-  def incrementalView(spark: SparkSession, sfDir: String): DataFrame = {
+  def incrementalView(spark: SparkSession, sfDir: String,
+      broadcastDelta: Boolean = true): DataFrame = {
     val base = Tables.load(spark, sfDir, "orders")
     val stored = base.groupBy(col("o_orderstatus").as("status"))
       .agg(count(lit(1)).as("n"), sum("o_totalprice").as("rev"))
@@ -151,7 +162,8 @@ object CdcOps {
     val minus = base
       .select(col("o_orderkey").as("key"),
         col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
-      .join(broadcast(latest.select("key")), Seq("key"))
+      .join(locally { val k = latest.select("key")
+        if (broadcastDelta) broadcast(k) else k }, Seq("key"))
       .select(col("status"), lit(-1L).as("dn"), (-col("price")).as("drev"))
     // +(new state) for every non-delete final state
     val plus = latest.filter(col("op") =!= "D")
@@ -209,7 +221,8 @@ object CdcOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_cdc_merge" -> (mergeOrders _),
-    "q77_incremental_view" -> (incrementalView _),
+    "q77_incremental_view" ->
+      ((s: SparkSession, d: String) => incrementalView(s, d)),
     "q79_snapshot_diff" -> (diffOrders _)
   )
 

@@ -369,10 +369,17 @@ object TextOps {
     * is the classic two-pass at 100 TB; the exact form alone is
     * already linear + vocabulary-bounded. */
   def heavyHitters(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame =
-    heavyHittersTail(
-      docs(spark, sfDir)
-        .select(explode(toks(col("text"))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("cnt")), k)
+    heavyHittersTail(heavyHitterCounts(docs(spark, sfDir)), k)
+
+  /** The (tok, cnt) vocabulary aggregation over any frame with a
+    * `text` column — shared by the batch operator and the streaming
+    * form (q83 applies it to the document STREAM; it is
+    * streaming-legal: one stateless generator + one aggregation), so
+    * BOTH halves of the t12 contract — tokenization and ranking —
+    * have exactly one definition under the shared oracle. */
+  def heavyHitterCounts(d: DataFrame): DataFrame =
+    d.select(explode(toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
 
   /** The top-k tail over an already-aggregated (tok, cnt) frame — ONE
     * definition shared by the batch operator and the streaming form

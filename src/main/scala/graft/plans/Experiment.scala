@@ -323,6 +323,17 @@ object ExperimentMain {
     // filters, base row counts, the injected cardinality dictionary,
     // and the planner/model lineup — so a cache file survives exactly
     // as long as replanning would reproduce it
+    // the statsest regret side plans from measured TableStats profiles,
+    // so the fingerprint must cover them too — identical row counts
+    // with different value distributions (regenerated data, a changed
+    // collection) must drop the cache, or stale statsest plans survive
+    val allRels = ExperimentCorpus.all.flatMap(_.graph.relations).distinct.sorted
+    val profileFp = allRels.map { n =>
+      val p = StatsEstimator.profileTable(spark, sfDir, n)
+      n + "{" + p.cols.toSeq.sortBy(_._1).map { case (c, s) =>
+        s"$c:${s.ndv}:${s.minN.getOrElse("")}:${s.maxN.getOrElse("")}"
+      }.mkString(",") + "}"
+    }.mkString(";")
     val fpInput = ExperimentCorpus.all.map(cq =>
       s"${cq.name}|${cq.graph.relations.mkString(",")}|" +
         s"${cq.graph.edges.mkString(",")}|${cq.filters.mkString(",")}")
@@ -331,7 +342,8 @@ object ExperimentMain {
         graft.sources.Tables.rowCount(spark, sfDir, n)).mkString(","))
         .mkString(";") +
       ";" + dict.toSeq.sortBy(_._1).mkString(";") +
-      ";" + planners.map(_.name).mkString(",")
+      ";" + planners.map(_.name).mkString(",") +
+      ";" + profileFp
     val fingerprint = java.security.MessageDigest.getInstance("MD5")
       .digest(fpInput.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val cachePath = java.nio.file.Paths.get(

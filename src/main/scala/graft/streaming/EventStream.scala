@@ -241,11 +241,15 @@ object EventStream {
     * tumbling hour updates once an hour; a hopping hour refreshes
     * every slide). Each event lands in width/slide = 4 overlapping
     * windows; Spark expands that in the `window()` generator before
-    * the one shuffle, and state is bounded exactly like q50's —
-    * watermark-evicted per window, ×4 windows live per event-time
-    * instant. The DuckDB oracle reconstructs the same epoch-aligned
-    * window set per event with an integer `range` over the slide
-    * grid, so the engines must agree window for window. */
+    * the one shuffle. Like q50, the GATE runs complete mode so the
+    * finite replay emits every window — and in complete mode the
+    * watermark evicts nothing, so sink-table state spans the full
+    * window history; the production form of the same query runs
+    * update/append mode, where the watermark closes windows and live
+    * state is ×(width/slide) windows per in-horizon instant. The
+    * DuckDB oracle reconstructs the same epoch-aligned window set per
+    * event with an integer `range` over the slide grid, so the
+    * engines must agree window for window. */
   def slidingCountsStreamed(spark: SparkSession, sfDir: String): DataFrame =
     StreamRun.toCompletion(
       readEvents(spark, sfDir, glob = "events.parquet")

@@ -40,10 +40,17 @@ object StreamCdc {
   /** The q74 changeset materialized once per sfDir as a 4-file parquet
     * dir (the change-feed fixture; _SUCCESS-marked, Hadoop-FS-checked,
     * idempotent). 4 files × maxFilesPerTrigger=1 forces a MULTI-batch
-    * replay, so cross-micro-batch LWW state is what's exercised. */
+    * replay, so cross-micro-batch LWW state is what's exercised. The
+    * directory name embeds a fingerprint of [[CdcOps.changesetSql]]:
+    * an edited changeset definition must mint a NEW fixture — a bare
+    * existence check would silently replay the old rows against the
+    * freshly-rebuilt oracle. */
   def changesPath(spark: SparkSession, sfDir: String): String = {
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(CdcOps.changesetSql.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
     val dir = FsUtil.qualified(
-      "target/tmp/cdc/changes_" + FsUtil.sanitize(sfDir))
+      "target/tmp/cdc/changes_" + FsUtil.sanitize(sfDir) + "_" + fp)
     if (!FsUtil.exists(spark, dir + "/_SUCCESS"))
       CdcOps.changeset(spark, sfDir).repartition(4)
         .write.mode("overwrite").parquet(dir)

@@ -95,11 +95,8 @@ object StreamCuration {
     * HeavyHittersSpec covers the case where even the vocabulary is
     * memory-bound. */
   def heavyHittersStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     val counts = StreamRun.toCompletion(
-      docsStream(spark, sfDir)
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("cnt")),
+      graft.operators.TextOps.heavyHitterCounts(docsStream(spark, sfDir)),
       "graft_stream_hh", outputMode = "complete")
     graft.operators.TextOps.heavyHittersTail(counts)
   }

@@ -55,25 +55,26 @@ class CdcOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       math.floor((cents * mult + 5) / 10.0) / 100.0
     }
     // %30 keys: seq-1 update then seq-2 delete — the delete must win
-    assert(!got.keys.exists(k => k < 1000000 && k % 30 == 0))
+    assert(!got.keys.exists(k => k >= 0 && k % 30 == 0))
     // %15-not-%10 keys: two updates, the seq-2 ×1.2 restatement wins
-    got.collect { case (k, p) if k < 1000000 && k % 15 == 0 && k % 10 != 0 =>
+    got.collect { case (k, p) if k >= 0 && k % 15 == 0 && k % 10 != 0 =>
       assert(math.abs(p - restated(orig(k), 12)) < 1e-9,
         s"key $k: expected the seq-2 price, got $p")
     }
     // %5-only keys: the single seq-1 ×1.1 update applies
     got.collect { case (k, p)
-        if k < 1000000 && k % 5 == 0 && k % 10 != 0 && k % 15 != 0 =>
+        if k >= 0 && k % 5 == 0 && k % 10 != 0 && k % 15 != 0 =>
       assert(math.abs(p - restated(orig(k), 11)) < 1e-9)
     }
     // untouched keys pass through with their original price
-    got.collect { case (k, p) if k < 1000000 && k % 5 != 0 =>
+    got.collect { case (k, p) if k >= 0 && k % 5 != 0 =>
       assert(p == orig(k), s"untouched key $k was modified")
     }
-    // inserted keys exist exactly when the source row matched %9
-    val inserted = got.keys.filter(_ >= 1000000).map(_ - 1000000).toSet
+    // inserted keys (negative mint) exist exactly when the source row
+    // matched %9
+    val inserted = got.keys.filter(_ < 0).map(k => -k - 1).toSet
     assert(inserted == orig.keys.filter(_ % 9 == 0).toSet)
-    val statuses = merged.filter(col("o_orderkey") >= 1000000)
+    val statuses = merged.filter(col("o_orderkey") < 0)
       .select("o_orderstatus").distinct().as[String].collect().toSet
     assert(statuses == Set("N"))
   }
