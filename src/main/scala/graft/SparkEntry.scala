@@ -42,7 +42,8 @@ object SparkEntry {
       graft.streaming.StreamCuration.queries ++
       graft.streaming.StreamFunnel.queries ++
       graft.streaming.StreamSessions.queries ++
-      graft.streaming.StreamCdc.queries
+      graft.streaming.StreamCdc.queries ++
+      graft.streaming.StreamWap.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -72,5 +73,6 @@ object SparkEntry {
       graft.streaming.StreamCuration.oracleSql ++
       graft.streaming.StreamFunnel.oracleSql ++
       graft.streaming.StreamSessions.oracleSql ++
-      graft.streaming.StreamCdc.oracleSql
+      graft.streaming.StreamCdc.oracleSql ++
+      graft.streaming.StreamWap.oracleSql
 }

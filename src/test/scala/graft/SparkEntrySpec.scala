@@ -36,7 +36,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "stream-curation" -> graft.streaming.StreamCuration.queries.keySet,
     "stream-funnel" -> graft.streaming.StreamFunnel.queries.keySet,
     "stream-sessions" -> graft.streaming.StreamSessions.queries.keySet,
-    "stream-cdc" -> graft.streaming.StreamCdc.queries.keySet)
+    "stream-cdc" -> graft.streaming.StreamCdc.queries.keySet,
+    "stream-wap" -> graft.streaming.StreamWap.queries.keySet)
 
   test("query keys are collision-free across operator modules") {
     for {
