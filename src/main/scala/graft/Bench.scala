@@ -209,7 +209,15 @@ object Bench {
         f""""queries_r7":${steadyJson(resultsR7)},"total_r7":$totalR7%.3f,""" +
         f""""queries_r7_cold":${coldJson(resultsR7)},"total_r7_cold":$totalR7Cold%.3f,""" +
         f""""queries_r7_warm":${warmJson(resultsR7)},""" +
-        f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir"}""")
+        f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir",""" +
+        // compact duplicate of every series total at the very END of the
+        // line: the driver archives only the last 2000 chars of stdout,
+        // and with the totals at the head the legacy trajectory was cut
+        // out of BENCH_r07's artifact. Tail-resident totals make every
+        // round's artifact self-contained regardless of truncation.
+        f""""totals":{"legacy":$total%.3f,"legacy_cold":$totalCold%.3f,""" +
+        f""""r5":$totalR5%.3f,"r5_cold":$totalR5Cold%.3f,""" +
+        f""""r7":$totalR7%.3f,"r7_cold":$totalR7Cold%.3f,"failed":0}}""")
     spark.stop()
   }
 }

@@ -395,13 +395,20 @@ object RelationalQueries {
     // ApproxPercentileSpec pins the rank-error contract (CDF within
     // 1/accuracy of the target, discrete mass accounted) vs the exact
     // answer on the same data.
+    // Scalar columns only: the driver's rows-only harness sorts result
+    // rows in pandas before hashing, and an array<double> column is
+    // unhashable there. One sketch per output keeps each column a
+    // plain double; the per-group sketch is still built in one pass
+    // with map-side partial aggregation.
     "q70_approx_percentile" -> ((spark, sfDir) => {
       import org.apache.spark.sql.functions._
       Tables.load(spark, sfDir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           percentile_approx(col("l_quantity"),
-            array(lit(0.5), lit(0.9)), lit(10000)).as("approx_qty"),
+            lit(0.5), lit(10000)).as("approx_p50_qty"),
+          percentile_approx(col("l_quantity"),
+            lit(0.9), lit(10000)).as("approx_p90_qty"),
           percentile_approx(col("l_extendedprice"),
             lit(0.25), lit(10000)).as("approx_p25_price"))
     })

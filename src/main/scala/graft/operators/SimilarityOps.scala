@@ -378,6 +378,12 @@ object SimilarityOps {
       .filter(pmod(col("vec_id"), lit(mod)) === 0)
       .orderBy("vec_id").limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    // a sparse / non-dense vec_id domain can seed fewer than k cells;
+    // fail loudly rather than silently training a smaller model whose
+    // cell count diverges from the caller's TrainedCells
+    require(cents.size == k,
+      s"centroid seeding found ${cents.size} of k=$k seeds " +
+        s"(rows=$rows, mod=$mod) — vec_id domain too sparse for k")
     for (_ <- 0 until iters) {
       val means = all
         .withColumn("cell",

@@ -103,7 +103,13 @@ object PlanCache {
         search: => PlannedOrder): PlannedOrder = {
       val k = key(q, planner, cm, card)
       val cached = entries.get(k)
-      if (cached != null) { hitCount.incrementAndGet(); cached }
+      // EVERY hit — file-loaded or intra-run (the regret pass reusing
+      // the run pass's plans) — returns planningNanos = 0: no search
+      // ran for this call, so reporting the original search's time
+      // would double-count it
+      if (cached != null) {
+        hitCount.incrementAndGet(); cached.copy(planningNanos = 0L)
+      }
       else {
         val pl = search
         missCount.incrementAndGet()

@@ -22,14 +22,26 @@ object StatsEstimator {
   final case class Profile(rows: Double, cols: Map[String, ColStats])
 
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Profile]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Boolean), Profile]()
 
-  /** Profile `table` via the q80 collection pass; memoized per
-    * (sfDir, table) — ANALYZE is run once, plans are made many times. */
+  /** Profile `table` for planning; memoized per (sfDir, table, approx)
+    * — ANALYZE is run once, plans are made many times. The DEPLOYED
+    * default is the approx collection pass (`approx_count_distinct`:
+    * HLL, one non-Expand scan — at 100 TB the exact multi-distinct's
+    * 7× Expand makes ANALYZE the dominant cost of measured-stats
+    * planning, SCALE_r7.md §4). A planner consumes NDVs only through
+    * ratios, so HLL's ~2% error is noise against Selinger's
+    * independence assumptions; StatsEstimatorSpec pins that the
+    * flagship q-error bound AND the chosen join order survive the
+    * switch. `approx = false` is the offline-exact form q80's oracle
+    * hash-checks. */
   def profileTable(
-      spark: SparkSession, sfDir: String, table: String): Profile =
-    cache.computeIfAbsent((sfDir, table), _ => {
-      val rows = TableStats.profile(spark, sfDir, table).collect()
+      spark: SparkSession, sfDir: String, table: String,
+      approx: Boolean = true): Profile =
+    cache.computeIfAbsent((sfDir, table, approx), _ => {
+      val rows =
+        (if (approx) TableStats.profileApprox(spark, sfDir, table)
+         else TableStats.profile(spark, sfDir, table)).collect()
       Profile(
         rows = if (rows.isEmpty) 0.0 else rows.head.getLong(1).toDouble,
         cols = rows.map { r =>

@@ -38,9 +38,11 @@ object TableStats {
 
   /** The 100 TB collection shape: identical profile with
     * `approx_count_distinct` in the ndv column — no Expand, one
-    * non-multiplied pass. Bench-only (q80i): the HLL estimate is
-    * engine-specific, so the GATE keeps the exact form; q28 already
-    * gates the approx-NDV surface. */
+    * non-multiplied pass. This is what [[StatsEstimator.profileTable]]
+    * deploys by default (p10 and the regret experiment plan from it);
+    * the HLL estimate is engine-specific, so the GATE keeps the exact
+    * form (q80's oracle) and q28 already gates the approx-NDV
+    * surface. Bench times it as q80i. */
   def profileApprox(
       spark: SparkSession, sfDir: String, table: String): DataFrame =
     profileOf(Tables.load(spark, sfDir, table), approxNdv = true)

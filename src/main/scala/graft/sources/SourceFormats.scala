@@ -161,7 +161,12 @@ object SourceFormats {
     val pubPath = new org.apache.hadoop.fs.Path(published)
     val fs = pubPath.getFileSystem(conf)
     if (fs.exists(pubPath)) fs.delete(pubPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), pubPath)
+    // Hadoop rename reports failure by RETURNING false (missing parent,
+    // permissions, cross-filesystem move) — ignoring it would leave the
+    // published table silently absent after a passing audit
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), pubPath))
+      throw new IllegalStateException(
+        s"WAP publish failed: rename $staging -> $published returned false")
   }
 
   /** Total parquet data bytes under `dir`, listed via the Hadoop

@@ -427,20 +427,99 @@ object StreamFunnel {
       .dropDuplicatesWithinWatermark("user_id", "day")
       .select("user_id", "day")
 
+  /** Horizon for the bounded-twin GATE entries: wider than the whole
+    * fixture's event-time span, so the watermark never passes an event
+    * still able to change an answer — every eviction the bounded
+    * kernels may take is semantics-preserving and the result must be
+    * IDENTICAL to the exact form's. That is the point of the gate row:
+    * the production O(horizon)-state code path runs under the batch
+    * oracle, not just under its unit spec. (In production `lag` is the
+    * real reorder horizon — "1 hour" — and the same argument bounds
+    * state instead of preserving history.) */
+  val FixtureHorizon = "3650 days"
+
+  /** q85: [[funnelStreamBounded]] — the watermarked production funnel —
+    * over the finite fixture at [[FixtureHorizon]], gated by q60's
+    * DuckDB oracle VERBATIM (q63 proves the exact kernel; this row
+    * proves the bounded one). */
+  def funnelStreamedBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    val snaps = StreamRun.toCompletion(
+      funnelStreamBounded(spark,
+        EventStream.readEvents(spark, sfDir, glob = "events.parquet"),
+        lag = FixtureHorizon).toDF(),
+      "graft_stream_funnel_bounded")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("seq").desc)
+    snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"),
+        col("times").getItem(0).as("view_us"),
+        col("times").getItem(1).as("click_us"),
+        col("times").getItem(2).as("purchase_us"),
+        col("stage"))
+  }
+
+  /** q86: [[funnelPatternStreamBounded]] at [[FixtureHorizon]] — the
+    * watermarked pattern funnel under q67's oracle VERBATIM (q68
+    * proves the exact pattern kernel; this row the bounded one). */
+  def funnelPatternStreamedBounded(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val pattern = graft.operators.EventOps.DefaultPattern
+    val snaps = StreamRun.toCompletion(
+      funnelPatternStreamBounded(spark,
+        EventStream.readEvents(spark, sfDir, glob = "events.parquet"),
+        pattern, lag = FixtureHorizon).toDF(),
+      "graft_stream_funnel_pattern_bounded")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("seq").desc)
+    snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id") +:
+        pattern.zipWithIndex.map { case (st, i) =>
+          col("times").getItem(i).as(s"${st.name}_us")
+        } :+ col("stage").as("matched"): _*)
+  }
+
+  /** q87: [[retentionDaysBounded]] at [[FixtureHorizon]] — the
+    * within-watermark-dedup activity matrix under q62's oracle VERBATIM
+    * (q64 proves the keep-forever `dropDuplicates` form; this row the
+    * evicting production one). */
+  def retentionStreamedBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.EventOps
+    val days = StreamRun.toCompletion(
+      retentionDaysBounded(
+        EventStream.readEvents(spark, sfDir, glob = "events.parquet"),
+        lag = FixtureHorizon),
+      "graft_stream_retention_bounded")
+    // re-baseline the completed sink (fresh attribute ids) — same
+    // self-join hazard as [[retentionStreamed]]
+    val fresh = spark.createDataFrame(days.rdd, days.schema)
+    EventOps.retentionOnDays(fresh)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_stream_funnel" -> (funnelStreamed _),
     "q64_stream_retention" -> (retentionStreamed _),
-    "q68_stream_funnel_pattern" -> (funnelPatternStreamed _)
+    "q68_stream_funnel_pattern" -> (funnelPatternStreamed _),
+    "q85_stream_funnel_bounded" -> (funnelStreamedBounded _),
+    "q86_stream_funnel_pattern_bounded" -> (funnelPatternStreamedBounded _),
+    "q87_stream_retention_bounded" -> (retentionStreamedBounded _)
   )
 
   /** The batch oracles verbatim — the streams' final answers must
-    * reproduce them. */
+    * reproduce them (the bounded twins are held to the SAME oracles as
+    * their exact forms: at [[FixtureHorizon]] boundedness must be
+    * invisible in the result). */
   def oracleSql: Map[String, String] = Map(
     "q63_stream_funnel" ->
       graft.operators.EventOps.oracleSql("q60_funnel"),
     "q64_stream_retention" ->
       graft.operators.EventOps.oracleSql("q62_retention"),
     "q68_stream_funnel_pattern" ->
-      graft.operators.EventOps.oracleSql("q67_funnel_pattern")
+      graft.operators.EventOps.oracleSql("q67_funnel_pattern"),
+    "q85_stream_funnel_bounded" ->
+      graft.operators.EventOps.oracleSql("q60_funnel"),
+    "q86_stream_funnel_pattern_bounded" ->
+      graft.operators.EventOps.oracleSql("q67_funnel_pattern"),
+    "q87_stream_retention_bounded" ->
+      graft.operators.EventOps.oracleSql("q62_retention")
   )
 }

@@ -52,10 +52,9 @@ class ApproxPercentileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 3, "lineitem has 3 return flags")
     rows.foreach { r =>
       val flag = r.getString(0)
-      val qty = r.getSeq[Double](1)
-      cdfBrackets("l_quantity", qty(0), 0.5, flag)
-      cdfBrackets("l_quantity", qty(1), 0.9, flag)
-      cdfBrackets("l_extendedprice", r.getDouble(2), 0.25, flag)
+      cdfBrackets("l_quantity", r.getDouble(1), 0.5, flag)
+      cdfBrackets("l_quantity", r.getDouble(2), 0.9, flag)
+      cdfBrackets("l_extendedprice", r.getDouble(3), 0.25, flag)
     }
   }
 }

@@ -30,7 +30,7 @@ class StatsEstimatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   test("profile matches direct measurement on orders") {
-    val p = StatsEstimator.profileTable(spark, sfDir, "orders")
+    val p = StatsEstimator.profileTable(spark, sfDir, "orders", approx = false)
     val orders = graft.sources.Tables.load(spark, sfDir, "orders")
     assert(p.rows == orders.count().toDouble)
     val statuses = orders.select("o_orderstatus").distinct().count()
@@ -43,7 +43,7 @@ class StatsEstimatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("Selinger selectivities: 1/NDV equality, span ranges, clamped") {
-    val p = StatsEstimator.profileTable(spark, sfDir, "orders")
+    val p = StatsEstimator.profileTable(spark, sfDir, "orders", approx = false)
     val sel = StatsEstimator.selectivityOf(p) _
     assert(sel("o_orderstatus = 'F'") ==
       1.0 / p.cols("o_orderstatus").ndv)
@@ -68,6 +68,38 @@ class StatsEstimatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val est = card((1L << g.n) - 1)
     val q = math.max(est / truth, truth / est)
     assert(q < 5.0, s"q-error $q (est $est vs true $truth)")
+  }
+
+  test("approx (deployed-default) profiles keep the q-error bound and the plan") {
+    val (g, filters) = PlannerQueries.flagshipGraph
+    def cardWith(approx: Boolean) = StatsEstimator.cardinality(g,
+      g.relations.map(n =>
+        StatsEstimator.profileTable(spark, sfDir, n, approx)).toVector,
+      filters)
+    val exact = cardWith(approx = false)
+    val appr = cardWith(approx = true) // the default profileTable path
+    // HLL NDV error must stay noise against the estimate itself
+    val full = (1L << g.n) - 1
+    val q = math.max(appr(full) / exact(full), exact(full) / appr(full))
+    assert(q < 1.5, s"approx-vs-exact estimate q-error $q — HLL error " +
+      "should be ~2%, not a model change")
+    // and the ARGMIN the enumerator consumes must be unchanged: the
+    // deployed switch to approx ANALYZE may not alter the chosen order
+    val planExact = Enumerators.DPccp.plan(g, exact, CostModel.Cout)
+    val planAppr = Enumerators.DPccp.plan(g, appr, CostModel.Cout)
+    assert(PlanCache.treeToString(planAppr.tree) ==
+      PlanCache.treeToString(planExact.tree),
+      "approx profiles changed the chosen join order on testdata")
+    // the truth-relative bound of the previous test must survive too
+    graft.sources.Tables.registerAll(spark, sfDir)
+    val truth = spark.sql(
+      """SELECT count(*) FROM region, nation, customer, orders, lineitem
+         WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+           AND r_name = 'ASIA' AND o_orderstatus = 'F' AND l_quantity > 5"""
+    ).head().getLong(0).toDouble
+    val qt = math.max(appr(full) / truth, truth / appr(full))
+    assert(qt < 5.0, s"q-error $qt under approx profiles")
   }
 
   test("p10 plans and returns the flagship answer") {
