@@ -134,6 +134,27 @@ object CdcOps {
       colMap = Seq("custkey" -> "o_custkey", "status" -> "o_orderstatus",
         "price" -> "o_totalprice"))
 
+  /** q88: [[mergeOrders]]'s DEGRADED path proven exchange-free on the
+    * base — `broadcastDelta = false` against the KEY-BUCKETED snapshot
+    * (q57's layout, reused verbatim: same catalog table). The anti
+    * join plans as a sort-merge LEFT ANTI whose base side reads the
+    * bucket files' hash assignment directly — the 100 TB snapshot is
+    * scanned once and NEVER shuffled even when the delta is too big to
+    * broadcast; only the (small) delta side pays an exchange into the
+    * bucket partitioning. CdcMergeBucketedSpec asserts the plan
+    * property (zero shuffles under the anti join's base side, bucketed
+    * scan on); the gate holds the result to q74's oracle VERBATIM —
+    * layout and join strategy may never change the answer. */
+  def mergeOrdersBucketed(spark: SparkSession, sfDir: String): DataFrame =
+    merge(
+      spark.table(graft.sources.Bucketing.writeBucketed(
+        spark, sfDir, "orders", "o_orderkey", "g_orders_b")),
+      changeset(spark, sfDir),
+      baseKey = "o_orderkey",
+      colMap = Seq("custkey" -> "o_custkey", "status" -> "o_orderstatus",
+        "price" -> "o_totalprice"),
+      broadcastDelta = false)
+
   /** q77: INCREMENTAL view maintenance — refresh `orders-by-status
     * (count, revenue)` under the [[changesetSql]] delta WITHOUT
     * touching the merged snapshot: every change row contributes signed
@@ -223,7 +244,8 @@ object CdcOps {
     "q74_cdc_merge" -> (mergeOrders _),
     "q77_incremental_view" ->
       ((s: SparkSession, d: String) => incrementalView(s, d)),
-    "q79_snapshot_diff" -> (diffOrders _)
+    "q79_snapshot_diff" -> (diffOrders _),
+    "q88_cdc_merge_bucketed" -> (mergeOrdersBucketed _)
   )
 
   /** The oracle replays the same merge in plain SQL: row_number picks
@@ -231,6 +253,22 @@ object CdcOps {
     * ALL appends the surviving final states. */
   def oracleSql: Map[String, String] = Map(
     "q74_cdc_merge" ->
+      s"""WITH ch AS ($changesetSql),
+          latest AS (
+            SELECT key, op, custkey, status, price FROM (
+              SELECT ch.*, row_number() OVER (
+                       PARTITION BY key ORDER BY seq DESC) AS rn
+              FROM ch) WHERE rn = 1)
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey NOT IN (SELECT key FROM latest)
+          UNION ALL
+          SELECT key AS o_orderkey, custkey AS o_custkey,
+                 status AS o_orderstatus, price AS o_totalprice
+          FROM latest WHERE op <> 'D'""",
+    // q88 reads the bucketed COPY of orders and must land on the same
+    // bytes — layout may never change the answer, so q74's oracle is
+    // reused verbatim
+    "q88_cdc_merge_bucketed" ->
       s"""WITH ch AS ($changesetSql),
           latest AS (
             SELECT key, op, custkey, status, price FROM (

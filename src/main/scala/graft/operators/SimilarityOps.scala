@@ -463,6 +463,94 @@ object SimilarityOps {
       centVecs, nQueries, k, nprobe)
   }
 
+  /** The corpus as a CELL-PARTITIONED serving layout: every embedding
+    * written under its assigned coarse cell's partition directory
+    * (`cell=<cent_id>/…`), the ingest artifact an IVF index IS at file
+    * level. Probe restriction then prunes I/O, not rows: a query that
+    * probes `nprobe` of C cells lists and reads only those partition
+    * directories — at 100 TB the difference between "scan 62 TB and
+    * filter" and "read the probed nprobe/C of the files". Idempotent
+    * per (sfDir, rows, mod), same artifact discipline as
+    * [[trainedModelPath]] / d12i's signature table. Assignment uses
+    * the deterministic modular quantizer ([[centroidModel]]) so the
+    * layout — and s11's gate — stay oracle-reproducible; a trained
+    * model partitions identically (swap the quantizer at ingest). */
+  def cellPartitionedPath(
+      spark: SparkSession, sfDir: String, centroidMod: Int = 23): String = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val dir = graft.sources.FsUtil.qualified("target/tmp/ivf_cells/" +
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_m$centroidMod")
+    if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS")) {
+      val all = vecs(spark, sfDir)
+      val (centIds, centVecs) = centroidModel(all, n, centroidMod)
+      all
+        .withColumn("nc", nearestCents(spark, col("v"), centVecs, 1))
+        .select(col("vec_id"), col("v"),
+          element_at(typedlit(centIds), col("nc").getItem(0) + 1).as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    }
+    dir
+  }
+
+  /** s11: s08's multi-probe IVF search served FROM the cell-partitioned
+    * layout — the probed cells become a partition filter on the read,
+    * so the scan touches only nprobe-probed directories
+    * (IvfPartitionedSpec asserts `selectedPartitions` == the probed
+    * cell count, a strict subset of C). The probed-cell fetch is a
+    * ≤ nQueries·nprobe-row collect (the bounded-model pattern). Must
+    * hash-match s08's oracle verbatim: serving layout may never change
+    * the answer. */
+  def ivfTopKPartitioned(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, k: Int = 10,
+      centroidMod: Int = 23, nprobe: Int = MultiProbe): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = vecs(spark, sfDir)
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val dir = cellPartitionedPath(spark, sfDir, centroidMod)
+    val (centIds, centVecs) = centroidModel(all, n, centroidMod)
+    val idsLit = typedlit(centIds)
+    val probes = all.filter(col("vec_id") < nQueries)
+      .withColumn("nc", nearestCents(spark, col("v"), centVecs, nprobe))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(col("nc")).as("ci"))
+      .select(col("query_id"), col("qv"),
+        element_at(idsLit, col("ci") + 1).as("cell"))
+    probedScan(spark, dir, probes, k)
+  }
+
+  /** The partition-pruned candidate scan + score + top-k half of s11,
+    * split out so the spec can aim it at a known probe set. `probes` is
+    * (query_id, qv, cell); the returned frame mirrors [[ivfSearch]]'s
+    * output shape exactly. */
+  private[operators] def probedScan(
+      spark: SparkSession, dir: String, probes: DataFrame,
+      k: Int): DataFrame = {
+    // bounded collect: ≤ nQueries·nprobe longs — the partition filter
+    // must be a plan-time literal for pruning to happen at LISTING time
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val raw = spark.read.parquet(dir)
+    // match the inferred partition-column type exactly: a literal of a
+    // WIDER type would put a cast on the column and defeat pruning
+    val lits: Seq[Any] = raw.schema("cell").dataType match {
+      case org.apache.spark.sql.types.LongType => probedCells.toSeq
+      case _ => probedCells.map(_.toInt).toSeq
+    }
+    val corpus = raw.filter(col("cell").isin(lits: _*))
+    val cand = corpus.as("a").join(broadcast(probes.as("p")),
+        col("a.cell") === col("p.cell") &&
+          col("a.vec_id") =!= col("p.query_id"))
+      .select(col("p.query_id").as("query_id"),
+        col("a.vec_id").as("neighbor_id"),
+        round(expr("graft_cosine(p.qv, a.v)"), 4).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Product-quantization ANN (Jégou et al., TPAMI 2011): encode every
     * corpus vector as `m` small codebook indices (the
     * `graft_pq_codes` fused expression — subspace-wise L2 argmin over a
@@ -773,7 +861,9 @@ object SimilarityOps {
       ((s: SparkSession, d: String) => lshTopKPortable(s, d)),
     "s06_ann_pq" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
     "s07_ann_filtered" -> ((s: SparkSession, d: String) => filteredTopK(s, d)),
-    "s10_ann_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d))
+    "s10_ann_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
+    "s11_ann_ivf_partitioned" ->
+      ((s: SparkSession, d: String) => ivfTopKPartitioned(s, d))
   )
 
   /** Brute-force top-k is fully deterministic, so it oracle-checks: the
@@ -863,6 +953,9 @@ object SimilarityOps {
     "s03_vector_norms" -> normsOracle,
     "s04_ann_ivf" -> ivfOracle(2),
     "s08_ann_ivf_multiprobe" -> ivfOracle(MultiProbe),
+    // s11 reads the cell-partitioned COPY of the corpus and must land
+    // on s08's exact bytes — serving layout never changes the answer
+    "s11_ann_ivf_partitioned" -> ivfOracle(MultiProbe),
     "s05_ann_lsh_portable" -> lshPortableOracle,
     "s06_ann_pq" -> pqOracle,
     "s07_ann_filtered" -> filteredOracle,
