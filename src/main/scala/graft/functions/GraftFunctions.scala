@@ -58,6 +58,12 @@ object GraftFunctions {
       "graft_zvalue(x bigint, y bigint)")
   }
 
+  private def cmsQueryBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(sketch, key) => CmsQuery(sketch, key)
+    case _ => throw new IllegalArgumentException(
+      "graft_cms_query(sketch binary, key string)")
+  }
+
   private def pqCodesBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(v, cents, Literal(m: Int, _)) => PqCodes(v, cents, m)
     case _ => throw new IllegalArgumentException(
@@ -88,7 +94,10 @@ object GraftFunctions {
       pqCodesBuilder _),
     (FunctionIdentifier("graft_zvalue"),
       new ExpressionInfo(classOf[ZValue].getName, "graft_zvalue"),
-      zvalueBuilder _))
+      zvalueBuilder _),
+    (FunctionIdentifier("graft_cms_query"),
+      new ExpressionInfo(classOf[CmsQuery].getName, "graft_cms_query"),
+      cmsQueryBuilder _))
 
   /** Idempotent imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

@@ -389,6 +389,37 @@ object TextOps {
     Ranks.topKRanked(counts, k, col("cnt").desc, col("tok"))
       .select(col("rk"), col("tok"), col("cnt"))
 
+  /** t14: the count-min sketch SERVED — the memory-bounded two-pass
+    * heavy-hitter plan HeavyHittersSpec's contract describes, now run
+    * as one distributed query. Pass 1 builds the sketch with Spark's
+    * builtin `count_min_sketch` TypedImperativeAggregate (codegen'd,
+    * partial-merged per executor — re-implementing it would violate
+    * the builtins-first rule); pass 2 broadcast-attaches the one-row
+    * sketch to t12's exact top-k candidates and reads each estimate
+    * row-locally via the native `graft_cms_query` expression (the half
+    * Spark LACKS — without it the estimates happen on the driver).
+    *
+    * Scale shape: the sketch is ε=0.001/δ=0.99 ≈ 100 KB FIXED
+    * regardless of corpus size — the aggregation shuffles one sketch
+    * per partition instead of a vocabulary; candidates are k rows. At
+    * 100 TB this is the plan when even the vocabulary is memory-bound
+    * (the exact t12 aggregate is vocabulary-sized, this is
+    * constant-sized). Rows-only gate: the estimate column is
+    * sketch-internal (seeded hashing), and CmsServeSpec pins the CMS
+    * contract — est ≥ exact, est − exact ≤ ε·N — against t12's exact
+    * oracle-checked counts. */
+  def cmsServe(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val tokens = docs(spark, sfDir).select(explode(toks(col("text"))).as("tok"))
+    val sketch = tokens.agg(
+      expr("count_min_sketch(tok, CAST(0.001 AS DOUBLE), " +
+        "CAST(0.99 AS DOUBLE), 42)").as("sk"))
+    heavyHitters(spark, sfDir, k)
+      .crossJoin(broadcast(sketch)) // 1-row scalar attach
+      .select(col("rk"), col("tok"), col("cnt"),
+        expr("graft_cms_query(sk, tok)").as("est"))
+  }
+
   val heavyHittersOracle: String =
     """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
                   FROM documents),
@@ -402,6 +433,9 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t12_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
+    // rows-only (no oracleSql entry): est is sketch-internal; the CMS
+    // bound vs t12's exact counts is CmsServeSpec's contract
+    "t14_cms_serve" -> ((s: SparkSession, d: String) => cmsServe(s, d)),
     "t13_bigram_logprob" -> (bigramLogprob _),
     "t09_unigram_logprob" -> (unigramLogprob _),
     "t08_repetition" -> (repetition _),
