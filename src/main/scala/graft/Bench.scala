@@ -45,6 +45,15 @@ object Bench {
     "t12_heavy_hitters", "c11_epoch_shuffle", "q80i_table_stats_approx",
     "p10_planner_statsest", "q81_unpivot", "t13_bigram_logprob")
 
+  /** Fourth series guarding the round-8 operators (bucketed-base CDC
+    * merge, cell-partitioned IVF serving, served count-min sketch).
+    * Baselines at round 8; never touches the earlier series, so their
+    * trajectories stay comparable. Streaming entries (q85-q87) are
+    * excluded like every series: stream-scaffold startup would
+    * dominate. */
+  val headlineR8: Seq[String] = Seq(
+    "q88_cdc_merge_bucketed", "s11_ann_ivf_partitioned", "t14_cms_serve")
+
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
     * incremental candidate join against the PRE-MATERIALIZED signature
@@ -89,6 +98,9 @@ object Bench {
     // check), so the timed queries measure the serve path
     graft.operators.DedupOps.signatureTablePath(spark, sfDir)
     graft.operators.SimilarityOps.trainedModelPath(spark, sfDir)
+    graft.operators.SimilarityOps.cellPartitionedPath(spark, sfDir)
+    graft.sources.Bucketing.writeBucketed(
+      spark, sfDir, "orders", "o_orderkey", "g_orders_b")
 
     // Cache discipline (reference: MyUtils.clearCache drops the OS page
     // cache between timed runs, drop_cache.sh): with
@@ -165,6 +177,7 @@ object Bench {
     val results = runSeries(headline)
     val resultsR5 = runSeries(headlineR5)
     val resultsR7 = runSeries(headlineR7)
+    val resultsR8 = runSeries(headlineR8)
     val cacheState =
       if (dropCache && !dropsFailed) "dropped-before-cold-runs"
       else if (dropCache) "drop-requested-but-failed"
@@ -180,7 +193,7 @@ object Bench {
         s""""$k":${w.map(t => f"$t%.3f").mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")
     val qs = steadyJson(results)
-    val failed = (results ++ resultsR5 ++ resultsR7)
+    val failed = (results ++ resultsR5 ++ resultsR7 ++ resultsR8)
       .collect { case (k, v, _, _) if v < 0 => s""""$k"""" }
     if (failed.nonEmpty) {
       // a failing query must read as a FAILURE, not as a faster total —
@@ -199,6 +212,8 @@ object Bench {
     val totalR5Cold = resultsR5.map(_._3).sum
     val totalR7 = resultsR7.map(_._2).sum
     val totalR7Cold = resultsR7.map(_._3).sum
+    val totalR8 = resultsR8.map(_._2).sum
+    val totalR8Cold = resultsR8.map(_._3).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""queries_cold":${coldJson(results)},"total_cold":$totalCold%.3f,""" +
@@ -209,6 +224,9 @@ object Bench {
         f""""queries_r7":${steadyJson(resultsR7)},"total_r7":$totalR7%.3f,""" +
         f""""queries_r7_cold":${coldJson(resultsR7)},"total_r7_cold":$totalR7Cold%.3f,""" +
         f""""queries_r7_warm":${warmJson(resultsR7)},""" +
+        f""""queries_r8":${steadyJson(resultsR8)},"total_r8":$totalR8%.3f,""" +
+        f""""queries_r8_cold":${coldJson(resultsR8)},"total_r8_cold":$totalR8Cold%.3f,""" +
+        f""""queries_r8_warm":${warmJson(resultsR8)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir",""" +
         // compact duplicate of every series total at the very END of the
         // line: the driver archives only the last 2000 chars of stdout,
@@ -217,7 +235,8 @@ object Bench {
         // round's artifact self-contained regardless of truncation.
         f""""totals":{"legacy":$total%.3f,"legacy_cold":$totalCold%.3f,""" +
         f""""r5":$totalR5%.3f,"r5_cold":$totalR5Cold%.3f,""" +
-        f""""r7":$totalR7%.3f,"r7_cold":$totalR7Cold%.3f,"failed":0}}""")
+        f""""r7":$totalR7%.3f,"r7_cold":$totalR7Cold%.3f,""" +
+        f""""r8":$totalR8%.3f,"r8_cold":$totalR8Cold%.3f,"failed":0}}""")
     spark.stop()
   }
 }

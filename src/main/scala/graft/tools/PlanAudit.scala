@@ -31,7 +31,15 @@ object PlanAudit {
       "s10_ann_pq_adc",
       "q74_cdc_merge", "q77_incremental_view", "q79_snapshot_diff",
       "t12_heavy_hitters", "c11_epoch_shuffle", "q80_table_stats",
-      "q81_unpivot", "t13_bigram_logprob")
+      "q81_unpivot", "t13_bigram_logprob",
+      // round-8 additions: the measured-stats planner, the source-layout
+      // round trips, the bucketed CDC degraded path, partition-pruned
+      // IVF, the served CMS. Streaming entries are audited through the
+      // batch plan over their completed sink (the stateful half's plan
+      // properties are spec'd in StreamFunnel/StreamCdc specs).
+      "p10_planner_statsest", "q76_schema_evolution",
+      "q82_write_audit_publish", "q88_cdc_merge_bucketed",
+      "s11_ann_ivf_partitioned", "t14_cms_serve")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature
