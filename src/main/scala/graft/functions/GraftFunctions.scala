@@ -64,6 +64,12 @@ object GraftFunctions {
       "graft_cms_query(sketch binary, key string)")
   }
 
+  private def cmsMergeBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(sketch) => CmsMerge(sketch)
+    case _ => throw new IllegalArgumentException(
+      "graft_cms_merge(sketch binary)")
+  }
+
   private def pqCodesBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(v, cents, Literal(m: Int, _)) => PqCodes(v, cents, m)
     case _ => throw new IllegalArgumentException(
@@ -97,7 +103,10 @@ object GraftFunctions {
       zvalueBuilder _),
     (FunctionIdentifier("graft_cms_query"),
       new ExpressionInfo(classOf[CmsQuery].getName, "graft_cms_query"),
-      cmsQueryBuilder _))
+      cmsQueryBuilder _),
+    (FunctionIdentifier("graft_cms_merge"),
+      new ExpressionInfo(classOf[CmsMerge].getName, "graft_cms_merge"),
+      cmsMergeBuilder _))
 
   /** Idempotent imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

@@ -420,6 +420,33 @@ object TextOps {
         expr("graft_cms_query(sk, tok)").as("est"))
   }
 
+  /** t15: INCREMENTAL sketch maintenance — per-shard sketches (the
+    * per-ingest-batch artifact shape) merged into the corpus sketch
+    * with `graft_cms_merge`, then served through the same candidates
+    * as t14. CMS merge is EXACT (same ε/δ/seed ⇒ element-wise counter
+    * sum), so the merged sketch's estimates are IDENTICAL to t14's
+    * single-pass sketch — CmsServeSpec asserts equality row-for-row,
+    * which is the strongest possible gate for a merge operator. At
+    * 100 TB this is the nightly-refresh shape: re-sketching the corpus
+    * re-scans 100 TB; merging the stored per-batch sketches moves
+    * O(batches × 100 KB). Rows-only entry (estimates are
+    * sketch-internal), candidates oracle-backed via t12. */
+  def cmsIncremental(spark: SparkSession, sfDir: String, k: Int = 25,
+      shards: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val perShard = docs(spark, sfDir)
+      .select(pmod(col("doc_id"), lit(shards)).as("shard"),
+        explode(toks(col("text"))).as("tok"))
+      .groupBy("shard")
+      .agg(expr("count_min_sketch(tok, CAST(0.001 AS DOUBLE), " +
+        "CAST(0.99 AS DOUBLE), 42)").as("sk"))
+    val merged = perShard.agg(expr("graft_cms_merge(sk)").as("sk"))
+    heavyHitters(spark, sfDir, k)
+      .crossJoin(broadcast(merged)) // 1-row scalar attach
+      .select(col("rk"), col("tok"), col("cnt"),
+        expr("graft_cms_query(sk, tok)").as("est"))
+  }
+
   val heavyHittersOracle: String =
     """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
                   FROM documents),
@@ -436,6 +463,8 @@ object TextOps {
     // rows-only (no oracleSql entry): est is sketch-internal; the CMS
     // bound vs t12's exact counts is CmsServeSpec's contract
     "t14_cms_serve" -> ((s: SparkSession, d: String) => cmsServe(s, d)),
+    // rows-only like t14; CmsServeSpec asserts t15 == t14 exactly
+    "t15_cms_incremental" -> ((s: SparkSession, d: String) => cmsIncremental(s, d)),
     "t13_bigram_logprob" -> (bigramLogprob _),
     "t09_unigram_logprob" -> (unigramLogprob _),
     "t08_repetition" -> (repetition _),

@@ -29,7 +29,15 @@ object CostModel {
     * hash = |L| + |R|; index-NL = 2·|L| and only applies when the right
     * side is a single base relation (the "index exists on the inner"
     * assumption) (reference: MyMetadataQuery.java:164-196,203-234;
-    * `useIndexNestedLJ` flag Main.java:38,74). */
+    * `useIndexNestedLJ` flag Main.java:38,74).
+    *
+    * Deliberately NOT modeled: the reference's scan/filter term
+    * (`scanCostFactor`·rows per base scan and filter node,
+    * MyMetadataQuery.java:227-230). Scan cost is a constant across all
+    * join orders of the SAME query — every enumerator consumes only
+    * the argmin over orders, which the constant cannot move — so
+    * pricing joins alone is decision-equivalent and keeps the model a
+    * pure function of the join tree. */
   final case class MM(useIndexNLJ: Boolean = true) extends CostModel {
     val name = "mm"
     def joinCost(l: JoinTree, r: JoinTree, card: Cardinality): Double = {

@@ -52,6 +52,36 @@ class CmsServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("merged per-shard sketches serve identically to the single pass") {
+    // CMS merge is exact: same eps/confidence/seed => the merged
+    // counters are the element-wise sum, so t15 must reproduce t14's
+    // estimates bit-for-bit, not just within the bound
+    val incremental = TextOps.cmsIncremental(spark, sfDir)
+      .orderBy("rk").collect().toSeq
+    val singlePass = TextOps.cmsServe(spark, sfDir)
+      .orderBy("rk").collect().toSeq
+    assert(incremental == singlePass)
+  }
+
+  test("merging incompatible sketches fails loudly") {
+    graft.functions.GraftFunctions.register(spark)
+    val toks = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val a = toks.agg(expr("count_min_sketch(tok, CAST(0.001 AS DOUBLE), " +
+      "CAST(0.99 AS DOUBLE), 42)").as("sk"))
+    val b = toks.agg(expr("count_min_sketch(tok, CAST(0.01 AS DOUBLE), " +
+      "CAST(0.99 AS DOUBLE), 7)").as("sk"))
+    val ex = intercept[Exception] {
+      a.unionByName(b).agg(expr("graft_cms_merge(sk)")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).flatMap(c => Option(c.getMessage)).exists(
+        _.contains("incompatible sketches")),
+      s"wanted the loud incompatible-merge error, got: $ex")
+  }
+
   test("tail tokens served through the same sketch obey the bound") {
     graft.functions.GraftFunctions.register(spark)
     val tokens = graft.sources.Tables.load(spark, sfDir, "documents")
