@@ -59,7 +59,12 @@ object Persists {
       q: java.util.concurrent.ConcurrentLinkedQueue[DataFrame]): Unit = {
     var df = q.poll()
     while (df != null) {
-      df.unpersist(blocking = false)
+      // A barrier can outlive its session (global-queue frames drained
+      // by a later caller after the owning session stopped); unpersist
+      // would NPE into the dead context, and the stop already freed
+      // the blocks anyway.
+      if (!df.sparkSession.sparkContext.isStopped)
+        df.unpersist(blocking = false)
       df = q.poll()
     }
   }

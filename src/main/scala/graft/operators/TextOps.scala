@@ -21,6 +21,13 @@ object TextOps {
   /** whitespace tokens; documents.text is single-space-joined words */
   private def toks(c: Column): Column = split(c, " ")
 
+  /** The exploded token stream over any frame with a `text` column —
+    * ONE definition shared by the exact vocabulary aggregate, the
+    * batch sketch builders (t14/t15), and the streaming sketch (q89),
+    * so every token-consuming surface sees the identical tokenizer. */
+  def tokensOf(d: DataFrame): DataFrame =
+    d.select(explode(toks(col("text"))).as("tok"))
+
   def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
 
@@ -378,8 +385,7 @@ object TextOps {
     * BOTH halves of the t12 contract — tokenization and ranking —
     * have exactly one definition under the shared oracle. */
   def heavyHitterCounts(d: DataFrame): DataFrame =
-    d.select(explode(toks(col("text"))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    tokensOf(d).groupBy("tok").agg(count(lit(1)).as("cnt"))
 
   /** The top-k tail over an already-aggregated (tok, cnt) frame — ONE
     * definition shared by the batch operator and the streaming form
@@ -410,7 +416,7 @@ object TextOps {
     * oracle-checked counts. */
   def cmsServe(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val tokens = docs(spark, sfDir).select(explode(toks(col("text"))).as("tok"))
+    val tokens = tokensOf(docs(spark, sfDir))
     val sketch = tokens.agg(
       expr("count_min_sketch(tok, CAST(0.001 AS DOUBLE), " +
         "CAST(0.99 AS DOUBLE), 42)").as("sk"))

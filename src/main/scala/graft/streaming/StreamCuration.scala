@@ -101,11 +101,41 @@ object StreamCuration {
     graft.operators.TextOps.heavyHittersTail(counts)
   }
 
+  /** q89: the count-min sketch built ON the stream — q83's memory-bound
+    * sibling. q83's complete-mode token counts hold VOCABULARY-sized
+    * state; here the streaming aggregate's state is the ~100 KB sketch
+    * itself, CONSTANT no matter how many distinct tokens the stream
+    * ever carries — the shape that survives when even the vocabulary
+    * is memory-bound (HeavyHittersSpec's premise, now a live surface).
+    * Same builder aggregate as t14 (builtin `count_min_sketch`,
+    * TypedImperativeAggregate state in the state store, complete
+    * mode); the completed sink's one sketch row then serves t12's
+    * candidates exactly like t14 — whose estimates it must REPRODUCE:
+    * CMS construction is arrival-order-free (counter increments
+    * commute), so stream == batch bit-for-bit (StreamCmsSpec).
+    * Rows-only gate like t14 (estimates are sketch-internal). */
+  def cmsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val sketch = StreamRun.toCompletion(
+      graft.operators.TextOps.tokensOf(docsStream(spark, sfDir))
+        .agg(expr("count_min_sketch(tok, CAST(0.001 AS DOUBLE), " +
+          "CAST(0.99 AS DOUBLE), 42)").as("sk")),
+      "graft_stream_cms", outputMode = "complete")
+    graft.operators.TextOps.heavyHitters(spark, sfDir)
+      .crossJoin(broadcast(sketch)) // 1-row scalar attach
+      .select(col("rk"), col("tok"), col("cnt"),
+        expr("graft_cms_query(sk, tok)").as("est"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_stream_sample" -> (sampleStream _),
     "q56_stream_mix" -> (mixStream _),
     "q71_stream_decontam" -> ((s: SparkSession, d: String) => decontamStream(s, d)),
-    "q83_stream_heavy_hitters" -> (heavyHittersStream _)
+    "q83_stream_heavy_hitters" -> (heavyHittersStream _),
+    // rows-only (no oracleSql entry): estimates are sketch-internal;
+    // StreamCmsSpec pins stream == batch sketch estimates exactly
+    "q89_stream_cms" -> (cmsStream _)
   )
 
   def oracleSql: Map[String, String] = Map(
