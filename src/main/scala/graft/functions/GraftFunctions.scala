@@ -70,6 +70,41 @@ object GraftFunctions {
       "graft_cms_merge(sketch binary)")
   }
 
+  // sizing args arrive as any foldable numeric (a plain literal, a
+  // CAST around one, a decimal like 0.01) — fold to the value here
+  private def foldNum(e: Expression): Option[Any] =
+    if (e.foldable) Option(e.eval()) else None
+
+  private def bloomAggBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(key, nExpr, fppExpr) =>
+      val n = foldNum(nExpr).map {
+        case l: Long => l
+        case i: Int => i.toLong
+        case o => throw new IllegalArgumentException(
+          s"graft_bloom_agg expectedItems must be integral, got $o")
+      }
+      val fpp = foldNum(fppExpr).map {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+        case o => throw new IllegalArgumentException(
+          s"graft_bloom_agg fpp must be numeric, got $o")
+      }
+      (n, fpp) match {
+        case (Some(nn), Some(p)) => BloomAgg(key, nn, p)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg(key string, expectedItems literal long, fpp literal double)")
+      }
+    case _ => throw new IllegalArgumentException(
+      "graft_bloom_agg(key string, expectedItems literal long, fpp literal double)")
+  }
+
+  private def bloomContainsBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(sketch, key) => BloomContains(sketch, key)
+    case _ => throw new IllegalArgumentException(
+      "graft_bloom_contains(sketch binary, key string)")
+  }
+
   private def pqCodesBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(v, cents, Literal(m: Int, _)) => PqCodes(v, cents, m)
     case _ => throw new IllegalArgumentException(
@@ -106,7 +141,13 @@ object GraftFunctions {
       cmsQueryBuilder _),
     (FunctionIdentifier("graft_cms_merge"),
       new ExpressionInfo(classOf[CmsMerge].getName, "graft_cms_merge"),
-      cmsMergeBuilder _))
+      cmsMergeBuilder _),
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
+      bloomAggBuilder _),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      bloomContainsBuilder _))
 
   /** Idempotent imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

@@ -111,6 +111,20 @@ object CurationOps {
       spark: SparkSession, sfDir: String,
       evalSource: String = "src0", shingleK: Int = 8,
       minShared: Int = 1): DataFrame = {
+    val (evalSh, trainSh) = shingleSides(spark, sfDir, evalSource, shingleK)
+    trainSh.join(broadcast(evalSh), "key")
+      .groupBy("train_id", "eval_id")
+      .agg(countDistinct("key").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The exploded (doc, shingle) sides of the decontamination join —
+    * ONE definition of the tokenization shared by [[decontaminate]]
+    * and [[decontaminateBloom]], so both forms answer under the same
+    * c04 oracle. */
+  private def shingleSides(
+      spark: SparkSession, sfDir: String,
+      evalSource: String, shingleK: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(spark)
     val d = docs(spark, sfDir).select(col("doc_id"), col("source"),
       Shingles.wordShingles("text", shingleK).as("sh"))
@@ -118,7 +132,40 @@ object CurationOps {
       .select(col("doc_id").as("eval_id"), explode(col("sh")).as("key"))
     val trainSh = d.filter(col("source") =!= evalSource)
       .select(col("doc_id").as("train_id"), explode(col("sh")).as("key"))
-    trainSh.join(broadcast(evalSh), "key")
+    (evalSh, trainSh)
+  }
+
+  /** c12: [[decontaminate]] for the regime where the eval side has
+    * outgrown the broadcast-HASH-join budget (c04 broadcasts it
+    * whole). A multi-benchmark eval suite's exploded shingle set can
+    * run to billions of keys — tens of GB as a hash relation, but
+    * ~1.2 MB per million keys as a Bloom filter at 1% FP. So: build
+    * `graft_bloom_agg` over the eval keys (partial-agg, one sketch
+    * per partition crosses the shuffle), attach the 1-row sketch to
+    * the train side (broadcast scalar attach), and prefilter
+    * row-locally INSIDE the scan's codegen span — only true matches
+    * plus ≤fpp of the rest ever reach the exact join, which here is
+    * deliberately hint-free (sort-merge under the degraded regime):
+    * the shuffle carries the candidate sliver, not the corpus's
+    * exploded shingle stream. Bloom false positives are dropped by
+    * the exact join; false negatives are impossible — so the result
+    * is hash-identical to c04 and the gate runs c04's oracle
+    * VERBATIM (BloomPrefilterSpec measures the pruning itself). */
+  def decontaminateBloom(
+      spark: SparkSession, sfDir: String,
+      evalSource: String = "src0", shingleK: Int = 8,
+      minShared: Int = 1, fpp: Double = 0.01): DataFrame = {
+    val (evalSh, trainSh) = shingleSides(spark, sfDir, evalSource, shingleK)
+    // sizing pass on the SMALL side only (pre-distinct row count is a
+    // safe upper bound for distinct keys)
+    val nEval = math.max(1L, evalSh.count())
+    val bf = evalSh.agg(
+      expr(s"graft_bloom_agg(key, ${nEval}L, CAST($fpp AS DOUBLE))").as("bf"))
+    val candidates = trainSh
+      .crossJoin(broadcast(bf)) // 1-row scalar attach
+      .filter(expr("graft_bloom_contains(bf, key)"))
+      .drop("bf")
+    candidates.join(evalSh, "key")
       .groupBy("train_id", "eval_id")
       .agg(countDistinct("key").as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -264,6 +311,7 @@ object CurationOps {
     "c02_source_quota" -> ((s: SparkSession, d: String) => sourceQuota(s, d)),
     "c03_pipeline" -> ((s: SparkSession, d: String) => pipeline(s, d)),
     "c04_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
+    "c12_decontam_bloom" -> ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "c05_pii_redact" -> (piiRedact _),
     "c07_sample_stratified" -> (sampleStratified _),
     "c11_epoch_shuffle" -> ((s: SparkSession, d: String) => epochShuffle(s, d))
@@ -342,22 +390,28 @@ object CurationOps {
         SELECT doc_id, source, rk FROM ranked WHERE rk <= 10""",
     // the shingle CTE is the WordShingles contract: sliding distinct
     // 8-word windows, whole text when shorter (see d04's oracle)
-    "c04_decontaminate" ->
-      """WITH d AS (
-           SELECT doc_id, source,
-                  CASE WHEN len(string_split(text, ' ')) < 8 THEN [text]
-                       ELSE list_distinct(list_transform(
-                              range(1, len(string_split(text, ' ')) - 6),
-                              i -> array_to_string(
-                                     string_split(text, ' ')[i:i+7], ' ')))
-                  END AS shl
-           FROM documents),
-         e AS (SELECT doc_id AS eval_id, unnest(shl) AS key FROM d
-               WHERE source = 'src0'),
-         t AS (SELECT doc_id AS train_id, unnest(shl) AS key FROM d
-               WHERE source <> 'src0')
-       SELECT train_id, eval_id, count(DISTINCT key) AS n_shared
-       FROM t JOIN e USING (key)
-       GROUP BY 1, 2 HAVING count(DISTINCT key) >= 1"""
+    "c04_decontaminate" -> decontamOracle,
+    // c12 is c04 under a lossless prefilter, so the SAME oracle gates
+    // it: bloom false positives die in the exact join, false negatives
+    // cannot exist
+    "c12_decontam_bloom" -> decontamOracle
   )
+
+  private val decontamOracle: String =
+    """WITH d AS (
+         SELECT doc_id, source,
+                CASE WHEN len(string_split(text, ' ')) < 8 THEN [text]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(string_split(text, ' ')) - 6),
+                            i -> array_to_string(
+                                   string_split(text, ' ')[i:i+7], ' ')))
+                END AS shl
+         FROM documents),
+       e AS (SELECT doc_id AS eval_id, unnest(shl) AS key FROM d
+             WHERE source = 'src0'),
+       t AS (SELECT doc_id AS train_id, unnest(shl) AS key FROM d
+             WHERE source <> 'src0')
+     SELECT train_id, eval_id, count(DISTINCT key) AS n_shared
+     FROM t JOIN e USING (key)
+     GROUP BY 1, 2 HAVING count(DISTINCT key) >= 1"""
 }
