@@ -35,6 +35,7 @@ object SparkEntry {
       graft.sources.SourceFormats.queries ++
       graft.sources.Bucketing.queries ++
       graft.sources.ZoneMap.queries ++
+      graft.sources.BloomSkip.queries ++
       graft.plans.PlannerQueries.queries ++
       graft.plans.TableStats.queries ++
       graft.streaming.EventStream.queries ++
@@ -66,6 +67,7 @@ object SparkEntry {
       graft.sources.SourceFormats.oracleSql ++
       graft.sources.Bucketing.oracleSql ++
       graft.sources.ZoneMap.oracleSql ++
+      graft.sources.BloomSkip.oracleSql ++
       graft.plans.PlannerQueries.oracleSql ++
       graft.plans.TableStats.oracleSql ++
       graft.streaming.EventStream.oracleSql ++

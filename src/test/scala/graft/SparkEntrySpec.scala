@@ -29,6 +29,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "formats" -> graft.sources.SourceFormats.queries.keySet,
     "bucketing" -> graft.sources.Bucketing.queries.keySet,
     "zonemap" -> graft.sources.ZoneMap.queries.keySet,
+    "bloomskip" -> graft.sources.BloomSkip.queries.keySet,
     "planners" -> graft.plans.PlannerQueries.queries.keySet,
     "tablestats" -> graft.plans.TableStats.queries.keySet,
     "stream-events" -> graft.streaming.EventStream.queries.keySet,
