@@ -212,6 +212,47 @@ object DedupOps {
     portablePairs(spark.read.parquet(path), threshold, col("doc_id") >= cut)
   }
 
+  /** d13: LSH candidates verified by EDIT DISTANCE instead of shingle
+    * jaccard — the other standard verify stage of a near-dup pipeline
+    * (candidates are cheap and approximate; the verifier is exact and
+    * runs only on candidate pairs). Levenshtein over a `prefixLen`-char
+    * prefix bounds the verifier at O(prefixLen²) per PAIR — constant
+    * work independent of document length, the property that keeps the
+    * stage linear in candidates at 100 TB (full-text edit distance is
+    * quadratic in document size and never worth it when a prefix
+    * decides). Spark's `levenshtein` is codegen'd, so the verify runs
+    * inside the join's codegen span; production can pass the 3-arg
+    * threshold form (early-abandons above the cutoff) — the gate uses
+    * the 2-arg form for DuckDB parity. */
+  def editDistDedup(
+      spark: SparkSession, sfDir: String,
+      prefixLen: Int = 96, maxDist: Int = 24): DataFrame = {
+    val cand = bandCandidates(portableSigFrame(spark, sfDir), lit(true))
+    val pre = docs(spark, sfDir)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("pre"))
+    cand
+      .join(pre.as("ta"), col("id_a") === col("ta.doc_id"))
+      .join(pre.as("tb"), col("id_b") === col("tb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta.pre"), col("tb.pre")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
+  /** The banded candidate join alone — `(id_a, id_b)` pairs sharing
+    * any LSH band, the half every portable dedup form starts from. */
+  private def bandCandidates(
+      d: DataFrame,
+      rightFilter: org.apache.spark.sql.Column): DataFrame = {
+    val banded = d.select(
+      col("doc_id"),
+      posexplode(expr(portableBandSql)).as(Seq("band", "bsig")))
+    banded.as("x").join(banded.filter(rightFilter).as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
   /** Banded candidate pairs → jaccard-verified near-dups, with the RIGHT
     * (larger-id) side of the candidate join restricted by `rightFilter`
     * — `lit(true)` pairs the whole corpus (d06); a delta predicate
@@ -219,14 +260,7 @@ object DedupOps {
   private def portablePairs(
       d: DataFrame, threshold: Double,
       rightFilter: org.apache.spark.sql.Column): DataFrame = {
-    val banded = d.select(
-      col("doc_id"),
-      posexplode(expr(portableBandSql)).as(Seq("band", "bsig")))
-    val cand = banded.as("x").join(banded.filter(rightFilter).as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    val cand = bandCandidates(d, rightFilter)
     val sh = d.select(col("doc_id"), col("sh"))
     cand
       .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
@@ -559,6 +593,18 @@ object DedupOps {
               JOIN doc_sh b ON b.doc_id = cand.id_b)"""
   }
 
+  /** d13's oracle: the d06 candidate CTEs (the `j` jaccard CTE goes
+    * unused — DuckDB CTEs are lazy), then levenshtein over the same
+    * 96-char prefixes with the same cutoff. */
+  private val editDistOracle: String =
+    s"""WITH $minhashPortableCtes,
+        pre AS (SELECT doc_id, substr(text, 1, 96) AS pre FROM documents)
+      SELECT id_a, id_b, levenshtein(a.pre, b.pre) AS edit_dist
+      FROM cand
+      JOIN pre a ON a.doc_id = cand.id_a
+      JOIN pre b ON b.doc_id = cand.id_b
+      WHERE levenshtein(a.pre, b.pre) <= 24"""
+
   /** DuckDB twin of [[minhashPortable]] — the banding algebra verified
     * hash-exactly: same shingles, same md5-slice slot minima, same band
     * packing, same candidate join, same jaccard threshold. */
@@ -710,6 +756,8 @@ object DedupOps {
       ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "d06_dedup_minhash_portable" ->
       ((s: SparkSession, d: String) => minhashPortable(s, d)),
+    "d13_dedup_editdist" ->
+      ((s: SparkSession, d: String) => editDistDedup(s, d)),
     "d07_dedup_simhash_portable" ->
       ((s: SparkSession, d: String) => simhashPortable(s, d)),
     "d03_dedup_simhash" ->
@@ -821,6 +869,7 @@ object DedupOps {
     "d04_dedup_ngram" -> ngramOracle,
     "d05_dedup_embedding" -> embeddingOracle,
     "d06_dedup_minhash_portable" -> minhashPortableOracle,
+    "d13_dedup_editdist" -> editDistOracle,
     "d07_dedup_simhash_portable" -> simhashPortableOracle,
     "d08_dedup_clusters" -> clustersOracle,
     "d09_dedup_keep" -> keepOracle,

@@ -134,6 +134,26 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pre-materialized-signature path must equal the inline path")
   }
 
+  test("d13 edit-distance verify agrees with the jaccard verifier") {
+    val sfDir = "/root/testdata/sf0.01"
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edit = ids(DedupOps.editDistDedup(spark, sfDir))
+    assert(edit.nonEmpty, "fixture must exercise the edit-dist verifier")
+    assert(edit.forall(p => p._1 < p._2), "pairs must be id-ordered")
+    // near-identical shingle sets imply a near-identical prefix: every
+    // jaccard ≥ 0.8 pair must survive the edit-distance verifier too
+    val strong = ids(DedupOps.minhashPortable(spark, sfDir, threshold = 0.8))
+    assert(strong.nonEmpty && strong.subsetOf(edit),
+      s"high-jaccard pairs rejected by edit distance: ${strong -- edit}")
+    // and the verifier must DISCRIMINATE: it may not bless every
+    // banded candidate (else the threshold does nothing)
+    val loose = ids(DedupOps.minhashPortable(spark, sfDir, threshold = 0.0))
+    assert(edit.subsetOf(loose) && edit != loose,
+      "edit verifier must reject some banded candidates")
+  }
+
   test("connected components match union-find on random pair graphs") {
     val s = spark
     import s.implicits._
