@@ -46,13 +46,16 @@ object Bench {
     "p10_planner_statsest", "q81_unpivot", "t13_bigram_logprob")
 
   /** Fourth series guarding the round-8 operators (bucketed-base CDC
-    * merge, cell-partitioned IVF serving, served count-min sketch).
+    * merge, cell-partitioned IVF serving, served count-min sketch,
+    * bloom-prefiltered decontamination, bloom-skip point lookup,
+    * edit-distance candidate verification).
     * Baselines at round 8; never touches the earlier series, so their
     * trajectories stay comparable. Streaming entries (q85-q87) are
     * excluded like every series: stream-scaffold startup would
     * dominate. */
   val headlineR8: Seq[String] = Seq(
-    "q88_cdc_merge_bucketed", "s11_ann_ivf_partitioned", "t14_cms_serve")
+    "q88_cdc_merge_bucketed", "s11_ann_ivf_partitioned", "t14_cms_serve",
+    "c12_decontam_bloom", "q90_bloom_skip", "d13i_dedup_editdist")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -65,6 +68,11 @@ object Bench {
       org.apache.spark.sql.DataFrame] = Map(
     "d12i_dedup_incremental" ->
       ((s, d) => graft.operators.DedupOps.incrementalDedupFromSigs(s, d)),
+    // d13's inline form re-fingerprints the corpus per run (the same
+    // d12-at-r6 pattern); the series times the candidate join +
+    // levenshtein verify over the stored signature table
+    "d13i_dedup_editdist" ->
+      ((s, d) => graft.operators.DedupOps.editDistDedupFromSigs(s, d)),
     // q80's exact multi-column countDistinct plans as an Expand (7x the
     // input) and was 34% of total_r7 — masking the other queries, the
     // d12-at-r6 pattern. The series times the approx-NDV production

@@ -152,6 +152,12 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val loose = ids(DedupOps.minhashPortable(spark, sfDir, threshold = 0.0))
     assert(edit.subsetOf(loose) && edit != loose,
       "edit verifier must reject some banded candidates")
+    // the benched d13i form (stored signature table) is result-identical
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows(DedupOps.editDistDedupFromSigs(spark, sfDir)) ==
+      rows(DedupOps.editDistDedup(spark, sfDir)),
+      "pre-materialized-signature path must equal the inline path")
   }
 
   test("connected components match union-find on random pair graphs") {
