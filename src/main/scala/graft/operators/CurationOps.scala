@@ -122,7 +122,7 @@ object CurationOps {
     * ONE definition of the tokenization shared by [[decontaminate]]
     * and [[decontaminateBloom]], so both forms answer under the same
     * c04 oracle. */
-  private def shingleSides(
+  private[graft] def shingleSides(
       spark: SparkSession, sfDir: String,
       evalSource: String, shingleK: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(spark)

@@ -39,7 +39,8 @@ object PlanAudit {
       // properties are spec'd in StreamFunnel/StreamCdc specs).
       "p10_planner_statsest", "q76_schema_evolution",
       "q82_write_audit_publish", "q88_cdc_merge_bucketed",
-      "s11_ann_ivf_partitioned", "t14_cms_serve")
+      "s11_ann_ivf_partitioned", "t14_cms_serve",
+      "c12_decontam_bloom", "q90_bloom_skip", "d13_dedup_editdist")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature
