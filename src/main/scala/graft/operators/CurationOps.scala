@@ -268,6 +268,33 @@ object CurationOps {
     * global single-partition sort. At 100 TB, numShards scales with
     * the loader's reader count; each shard is an independently
     * streamable file. */
+  /** c13: document CHUNKING — fixed-width token windows with stride,
+    * the step between raw documents and sequence packing (c09) when
+    * documents exceed the training context: long docs become
+    * overlapping `width`-token chunks (overlap = width − stride keeps
+    * boundary context), short docs one chunk. Runs entirely in the
+    * scan projection (split + generated starts + explode) — no
+    * shuffle, no state, perfectly parallel over the corpus; chunk_id
+    * is position-derived so re-runs are byte-identical. Whitespace
+    * tokens stand in for a real tokenizer (t02's convention); the
+    * window algebra is tokenizer-agnostic. */
+  def chunkDocs(spark: SparkSession, sfDir: String,
+      width: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && width >= stride,
+      s"need width >= stride > 0, got width=$width stride=$stride")
+    docs(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 1, lit(stride)))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        size(slice(col("ws"), col("start") + 1, lit(width)))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("ws"), col("start") + 1, lit(width)), " ")
+          .as("chunk_text"))
+  }
+
   def epochShuffle(spark: SparkSession, sfDir: String, seed: Int = 7,
       numShards: Int = 8): DataFrame = {
     val h = expr(graft.operators.PortableHash.packed(
@@ -314,7 +341,8 @@ object CurationOps {
     "c12_decontam_bloom" -> ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "c05_pii_redact" -> (piiRedact _),
     "c07_sample_stratified" -> (sampleStratified _),
-    "c11_epoch_shuffle" -> ((s: SparkSession, d: String) => epochShuffle(s, d))
+    "c11_epoch_shuffle" -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
+    "c13_chunking" -> ((s: SparkSession, d: String) => chunkDocs(s, d))
   )
 
   /** Both engines compute the same lowercase-hex md5, so the selections
@@ -344,6 +372,19 @@ object CurationOps {
         WHERE $stratFilterSql"""
 
   def oracleSql: Map[String, String] = Map(
+    // same window algebra in DuckDB list math: range() excludes the
+    // upper bound like sequence(0, len-1, s) includes it — identical
+    // start sets for len ≥ 1; ws[a : a+w-1] is the 1-based inclusive
+    // slice matching Spark's slice(ws, a, w)
+    "c13_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+          s AS (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS start
+                FROM w)
+        SELECT doc_id, start // 48 AS chunk_id,
+               CAST(len(ws[start + 1 : start + 64]) AS BIGINT) AS n_tokens,
+               array_to_string(ws[start + 1 : start + 64], ' ') AS chunk_text
+        FROM s""",
     "c11_epoch_shuffle" -> {
       val h = graft.operators.PortableHash.packed("'epoch' || 7 || ':' || doc_id")
       s"""SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,

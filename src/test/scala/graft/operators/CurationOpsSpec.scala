@@ -81,4 +81,40 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fair = a.size.toDouble / byShard.size
     assert(byShard.values.map(_.size).max <= 3 * fair)
   }
+
+  test("c13 chunks reconstruct every document exactly under the stride") {
+    val sfDir = "/root/testdata/sf0.001"
+    val (width, stride) = (64, 48)
+    val chunks = CurationOps.chunkDocs(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getString(3)).toSeq
+      }
+    val texts = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    var sawOverlap = false
+    for ((id, text) <- texts) {
+      val ws = text.split(" ", -1).toSeq
+      val cs = chunks(id)
+      assert(cs.size == (ws.size - 1) / stride + 1,
+        s"doc $id: ${cs.size} chunks for ${ws.size} tokens")
+      // the first `stride` tokens of every non-last chunk, then the
+      // whole last chunk, must tile the document losslessly
+      val rebuilt = cs.init.flatMap(_.split(" ", -1).take(stride)) ++
+        cs.last.split(" ", -1)
+      assert(rebuilt == ws, s"doc $id: chunks do not tile the document")
+      // overlapping windows: consecutive chunks share width-stride tokens
+      if (cs.size > 1) {
+        sawOverlap = true
+        cs.sliding(2).foreach { case Seq(a2, b2) =>
+          val at = a2.split(" ", -1); val bt = b2.split(" ", -1)
+          assert(at.drop(stride).sameElements(
+            bt.take(at.length - stride)),
+            s"doc $id: overlap mismatch between consecutive chunks")
+        }
+      }
+    }
+    assert(sawOverlap, "fixture must contain at least one multi-chunk doc")
+  }
 }
