@@ -36,6 +36,7 @@ object SparkEntry {
       graft.sources.Bucketing.queries ++
       graft.sources.ZoneMap.queries ++
       graft.sources.BloomSkip.queries ++
+      graft.sources.Vacuum.queries ++
       graft.plans.PlannerQueries.queries ++
       graft.plans.TableStats.queries ++
       graft.streaming.EventStream.queries ++
@@ -68,6 +69,7 @@ object SparkEntry {
       graft.sources.Bucketing.oracleSql ++
       graft.sources.ZoneMap.oracleSql ++
       graft.sources.BloomSkip.oracleSql ++
+      graft.sources.Vacuum.oracleSql ++
       graft.plans.PlannerQueries.oracleSql ++
       graft.plans.TableStats.oracleSql ++
       graft.streaming.EventStream.oracleSql ++

@@ -279,11 +279,17 @@ object CurationOps {
     * tokens stand in for a real tokenizer (t02's convention); the
     * window algebra is tokenizer-agnostic. */
   def chunkDocs(spark: SparkSession, sfDir: String,
-      width: Int = 64, stride: Int = 48): DataFrame = {
+      width: Int = 64, stride: Int = 48): DataFrame =
+    chunkFrame(docs(spark, sfDir), width, stride)
+
+  /** The chunking projection over any (doc_id, text, ...) frame —
+    * shared by batch c13 and the streaming twin (stateless, so the
+    * same definition runs unchanged on a stream). */
+  private[graft] def chunkFrame(d: DataFrame,
+      width: Int, stride: Int): DataFrame = {
     require(stride > 0 && width >= stride,
       s"need width >= stride > 0, got width=$width stride=$stride")
-    docs(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0), size(col("ws")) - 1, lit(stride)))
           .as("start"))

@@ -128,7 +128,21 @@ object StreamCuration {
         expr("graft_cms_query(sk, tok)").as("est"))
   }
 
+  /** q91: c13's document chunking on the stream — the ingest-time
+    * shape for training-data prep: long documents become strided
+    * windows AS THEY LAND, not in a nightly re-scan. Stateless
+    * (projection + explode only: no state store, no watermark), so
+    * the batch window algebra and its DuckDB oracle apply verbatim —
+    * the gate proves the one shared [[graft.operators.CurationOps
+    * .chunkFrame]] definition survives the streaming plumbing. */
+  def chunkStream(spark: SparkSession, sfDir: String): DataFrame =
+    StreamRun.toCompletion(
+      graft.operators.CurationOps.chunkFrame(
+        docsStream(spark, sfDir), width = 64, stride = 48),
+      "graft_stream_chunk")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_stream_chunking" -> (chunkStream _),
     "q55_stream_sample" -> (sampleStream _),
     "q56_stream_mix" -> (mixStream _),
     "q71_stream_decontam" -> ((s: SparkSession, d: String) => decontamStream(s, d)),
@@ -141,6 +155,8 @@ object StreamCuration {
   def oracleSql: Map[String, String] = Map(
     // the BATCH oracles verbatim: stateless filter / complete-mode agg
     // streams must equal their batch answers
+    "q91_stream_chunking" ->
+      graft.operators.CurationOps.oracleSql("c13_chunking"),
     "q55_stream_sample" -> graft.operators.CurationOps.stratOracle,
     "q56_stream_mix" ->
       graft.operators.CurationOps.oracleSql("c08_mix_report"),

@@ -30,6 +30,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "bucketing" -> graft.sources.Bucketing.queries.keySet,
     "zonemap" -> graft.sources.ZoneMap.queries.keySet,
     "bloomskip" -> graft.sources.BloomSkip.queries.keySet,
+    "vacuum" -> graft.sources.Vacuum.queries.keySet,
     "planners" -> graft.plans.PlannerQueries.queries.keySet,
     "tablestats" -> graft.plans.TableStats.queries.keySet,
     "stream-events" -> graft.streaming.EventStream.queries.keySet,
