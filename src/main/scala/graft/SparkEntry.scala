@@ -23,6 +23,7 @@ object SparkEntry {
       SimilarityOps.queries ++
       MultimodalOps.queries ++
       SkewOps.queries ++
+      AuditOps.queries ++
       AsofOps.queries ++
       RangeOps.queries ++
       CurationOps.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
       graft.sources.ZoneMap.queries ++
       graft.sources.BloomSkip.queries ++
       graft.sources.Vacuum.queries ++
+      graft.sources.Snapshots.queries ++
       graft.plans.PlannerQueries.queries ++
       graft.plans.TableStats.queries ++
       graft.streaming.EventStream.queries ++
@@ -56,6 +58,7 @@ object SparkEntry {
       SimilarityOps.oracleSql ++
       MultimodalOps.oracleSql ++
       SkewOps.oracleSql ++
+      AuditOps.oracleSql ++
       AsofOps.oracleSql ++
       RangeOps.oracleSql ++
       CurationOps.oracleSql ++
@@ -70,6 +73,7 @@ object SparkEntry {
       graft.sources.ZoneMap.oracleSql ++
       graft.sources.BloomSkip.oracleSql ++
       graft.sources.Vacuum.oracleSql ++
+      graft.sources.Snapshots.oracleSql ++
       graft.plans.PlannerQueries.oracleSql ++
       graft.plans.TableStats.oracleSql ++
       graft.streaming.EventStream.oracleSql ++

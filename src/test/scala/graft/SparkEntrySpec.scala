@@ -17,6 +17,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "similarity" -> SimilarityOps.queries.keySet,
     "multimodal" -> MultimodalOps.queries.keySet,
     "skew" -> SkewOps.queries.keySet,
+    "audit" -> AuditOps.queries.keySet,
     "asof" -> AsofOps.queries.keySet,
     "range" -> RangeOps.queries.keySet,
     "curation" -> CurationOps.queries.keySet,
@@ -31,6 +32,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "zonemap" -> graft.sources.ZoneMap.queries.keySet,
     "bloomskip" -> graft.sources.BloomSkip.queries.keySet,
     "vacuum" -> graft.sources.Vacuum.queries.keySet,
+    "snapshots" -> graft.sources.Snapshots.queries.keySet,
     "planners" -> graft.plans.PlannerQueries.queries.keySet,
     "tablestats" -> graft.plans.TableStats.queries.keySet,
     "stream-events" -> graft.streaming.EventStream.queries.keySet,
