@@ -247,9 +247,14 @@ object DedupOps {
 
   private def editDistVerify(
       spark: SparkSession, sfDir: String, sigs: DataFrame,
+      prefixLen: Int, maxDist: Int): DataFrame =
+    editDistVerifyFrames(docs(spark, sfDir), sigs, prefixLen, maxDist)
+
+  private def editDistVerifyFrames(
+      d: DataFrame, sigs: DataFrame,
       prefixLen: Int, maxDist: Int): DataFrame = {
     val cand = bandCandidates(sigs, lit(true))
-    val pre = docs(spark, sfDir)
+    val pre = d
       .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("pre"))
     cand
       .join(pre.as("ta"), col("id_a") === col("ta.doc_id"))
@@ -257,6 +262,19 @@ object DedupOps {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("ta.pre"), col("tb.pre")).as("edit_dist"))
       .filter(col("edit_dist") <= maxDist)
+  }
+
+  /** [[editDistDedup]] over an arbitrary (doc_id, text) frame — the
+    * ScaleProbe surface: signatures computed inline behind a barrier,
+    * then the same candidate + verify pipeline. */
+  private[graft] def editDistDedupOn(
+      d: DataFrame, prefixLen: Int = 96, maxDist: Int = 24): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    val sigs = Persists.barrier(d
+      .withColumn("sh", Shingles.wordShingles("text", 4))
+      .withColumn("sig", expr(portableSigSql))
+      .select(col("doc_id"), col("sh"), col("sig")))
+    editDistVerifyFrames(d, sigs, prefixLen, maxDist)
   }
 
   /** The banded candidate join alone — `(id_a, id_b)` pairs sharing

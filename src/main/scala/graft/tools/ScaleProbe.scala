@@ -116,7 +116,22 @@ object ScaleProbe {
         val b = spark.range(n + n / 10).selectExpr("id AS k",
           "pmod(xxhash64(id + CASE WHEN id % 7 = 0 THEN 1 ELSE 0 END), 100) AS v")
         CdcOps.snapshotDiff(a, b, "k", Seq("v"))
-      }))
+      }),
+      // d13: banding bounds candidates (linear in docs at fixed dup
+      // density) and the levenshtein verify is O(prefix²) per PAIR —
+      // constant — so the whole verify stage should track candidate
+      // count, not the corpus square
+      ("d13_editdist_verify", n => DedupOps.editDistDedupOn(
+        docsN(spark, n))),
+      // c13: pure scan-projection chunking over ~200-token docs
+      // (docsN's 10-token rows would chunk 1:1) — linear by shape,
+      // probed to prove the explode does not misbehave
+      ("c13_chunking", n => CurationOps.chunkFrame(
+        spark.range(n).selectExpr("id AS doc_id",
+          """concat_ws(' ', transform(sequence(0, 199),
+               j -> concat('w', pmod(xxhash64(id * 13 + j), 500))))
+             AS text"""),
+        width = 64, stride = 48)))
 
     println(f"${"operator"}%-24s ${"n1"}%8s ${"t1(s)"}%8s ${"rows1"}%9s " +
       f"${"n4"}%8s ${"t4(s)"}%8s ${"rows4"}%9s ${"ratio"}%6s")
