@@ -22,6 +22,21 @@ import graft.sources.Tables
   */
 object RelationalQueries {
 
+  // DECLARED FIRST: vals referenced by the queries/oracleSql map vals
+  // below — Scala object vals initialize in declaration order, and a
+  // forward reference reads null (the EventOps.DayUs landmine).
+
+  /** q95's shared SQL (the d01 exactSql discipline — one string, two
+    * engines): each customer's top-2 orders by stored price,
+    * order-key tie-break, customers without orders dropped by the
+    * lateral's inner-join semantics. */
+  private val lateralTopkSql: String =
+    """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+       FROM customer, LATERAL (
+         SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t"""
+
   /** SQL that runs verbatim on Spark AND DuckDB over the same tables. */
   val sharedSql: Map[String, String] = Map(
     // --- scan / project / filter (reference predicate language:
@@ -293,6 +308,15 @@ object RelationalQueries {
         .groupBy("metric")
         .agg(count(lit(1)).as("n"), round(sum("val"), 2).as("total"))
     }),
+    // LATERAL correlated subquery with ORDER BY + LIMIT — top-k-per-
+    // group expressed as the inner query the outer row parameterizes
+    // (the form decorrelation rewrites into a ranked window; the gate
+    // pins that Spark's rewrite agrees with DuckDB's row-for-row,
+    // ties broken by key). Identical SQL text on both engines.
+    "q95_lateral_topk" -> ((spark, sfDir) => {
+      Tables.registerAll(spark, sfDir)
+      spark.sql(lateralTopkSql)
+    }),
     // time-bucketed aggregation over the events table (the ts column is
     // nanos in parquet; Tables.load derives a micros timestamp)
     "q26_events_daily" -> ((spark, sfDir) => {
@@ -376,7 +400,8 @@ object RelationalQueries {
            UNION ALL
            SELECT 'l_tax', l_tax FROM lineitem)
          SELECT metric, count(*) AS n, round(sum(val), 2) AS total
-         FROM u GROUP BY metric"""
+         FROM u GROUP BY metric""",
+    "q95_lateral_topk" -> lateralTopkSql
   )
 
   /** Rows-only checks: value is engine-specific (approximate sketch). */
