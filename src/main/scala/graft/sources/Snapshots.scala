@@ -99,14 +99,77 @@ object Snapshots {
   def timeTravelRead(spark: SparkSession, sfDir: String): DataFrame =
     readAt(spark, writeVersions(spark, sfDir), 1)
 
+  /** Full paths of a version's files. */
+  private[sources] def filesOf(
+      spark: SparkSession, dir: String, version: Int): Seq[String] =
+    spark.read.parquet(manifestPath(dir, version))
+      .select("file").collect().map(r => dir + "/" + r.getString(0)).toSeq
+
+  /** The per-file stats manifest AS OF a version, maintained
+    * INCREMENTALLY: v1's stats are a stored commit artifact; v2's are
+    * v1's rows plus stats over ONLY the appended files
+    * ([[ZoneMap.buildManifestFiles]]). Manifest refresh is therefore
+    * O(delta) per commit, never a corpus re-scan — at 100 TB the
+    * difference between per-commit stats being free and being the
+    * dominant ingest cost (the p10 ANALYZE lesson applied to file
+    * stats). SnapshotsSpec pins increment ≡ full rebuild and that the
+    * refresh read only the appended files. */
+  def statsManifestAt(
+      spark: SparkSession, sfDir: String, version: Int): DataFrame = {
+    val dir = writeVersions(spark, sfDir)
+    val m1Stats = dir + "_stats_v1"
+    if (!FsUtil.exists(spark, m1Stats + "/_SUCCESS"))
+      ZoneMap.buildManifestFiles(spark, filesOf(spark, dir, 1),
+          Seq("l_quantity"))
+        .write.mode("overwrite").parquet(m1Stats)
+    val v1 = spark.read.parquet(m1Stats)
+    if (version == 1) v1
+    else {
+      val newFiles = {
+        val v1Names = spark.read.parquet(manifestPath(dir, 1))
+          .select("file").collect().map(_.getString(0)).toSet
+        spark.read.parquet(manifestPath(dir, 2))
+          .select("file").collect().map(_.getString(0))
+          .filterNot(v1Names).map(dir + "/" + _).toSeq
+      }
+      v1.unionByName(
+        ZoneMap.buildManifestFiles(spark, newFiles, Seq("l_quantity")))
+    }
+  }
+
+  /** The q96 box: entirely inside v1's `l_quantity <= SplitQty` half,
+    * so the maintained manifest must prune EVERY appended file. */
+  private[sources] val QtyBox: Seq[(String, Long, Long)] =
+    Seq(("l_quantity", 0L, 20L))
+
+  /** q96: a range scan served through the INCREMENTALLY maintained
+    * stats manifest — consult + file-subset read + residual filter
+    * (the q69 pipeline, manifest built per-commit from the delta
+    * alone). Hash-checked against the plain predicate over the source
+    * table; SnapshotsSpec asserts the box admits only v1 files. */
+  def incrementalManifestScan(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = writeVersions(spark, sfDir)
+    ZoneMap.prunedRead(spark, statsManifestAt(spark, sfDir, 2), QtyBox)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q93_time_travel" -> (timeTravelRead _)
+    "q93_time_travel" -> (timeTravelRead _),
+    "q96_manifest_incremental" -> (incrementalManifestScan _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q93_time_travel" ->
       s"""SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
                  l_extendedprice
-          FROM lineitem WHERE l_quantity <= $SplitQty"""
+          FROM lineitem WHERE l_quantity <= $SplitQty""",
+    // the exact-for-any-manifest property under incremental
+    // maintenance: pruned scan + residual ≡ the direct predicate
+    "q96_manifest_incremental" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+                l_extendedprice
+         FROM lineitem WHERE l_quantity BETWEEN 0 AND 20"""
   )
 }

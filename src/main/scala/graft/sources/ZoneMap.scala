@@ -31,11 +31,21 @@ object ZoneMap {
     * `cols`. One distributed scan, shuffled on the (file-count-sized)
     * file name key. */
   def buildManifest(
-      spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+      spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
+    manifestOf(spark.read.parquet(dir), cols)
+
+  /** [[buildManifest]] restricted to an explicit file list — the
+    * INCREMENTAL maintenance surface: a commit's manifest refresh
+    * scans only the appended files (Snapshots.statsManifestAt). */
+  def buildManifestFiles(
+      spark: SparkSession, files: Seq[String], cols: Seq[String]): DataFrame =
+    manifestOf(spark.read.parquet(files: _*), cols)
+
+  private def manifestOf(data: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "manifest needs at least one indexed column")
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
-    spark.read.parquet(dir)
+    data
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }

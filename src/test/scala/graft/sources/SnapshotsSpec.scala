@@ -44,6 +44,35 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v2.exceptAll(base).isEmpty && base.exceptAll(v2).isEmpty)
   }
 
+  test("incremental stats manifest equals a full rebuild and reads " +
+      "only the appended files") {
+    val dir = Snapshots.writeVersions(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0).split("/").last, r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    val inc = Snapshots.statsManifestAt(spark, sfDir, 2)
+    val full = ZoneMap.buildManifest(spark, dir, Seq("l_quantity"))
+    assert(rows(inc) == rows(full),
+      "incremental maintenance must reproduce the full rebuild")
+    // the refresh's build scans ONLY the appended files
+    val v1 = Snapshots.filesOf(spark, dir, 1).map(_.split("/").last).toSet
+    val v2 = Snapshots.filesOf(spark, dir, 2).map(_.split("/").last).toSet
+    val newNames = v2 -- v1
+    assert(newNames.nonEmpty)
+    val increment = ZoneMap.buildManifestFiles(spark,
+      newNames.toSeq.map(dir + "/" + _), Seq("l_quantity"))
+    val scanned = increment.inputFiles.map(_.split("/").last).toSet
+    assert(scanned.subsetOf(newNames),
+      s"refresh scanned non-delta files: ${scanned -- newNames}")
+    // the q96 box admits only v1 files: the appended half is pruned
+    val admitted = inc.filter(
+        org.apache.spark.sql.functions.col("l_quantity_min") <= 20.0 &&
+        org.apache.spark.sql.functions.col("l_quantity_max") >= 0.0)
+      .select("file").collect().map(_.getString(0).split("/").last).toSet
+    assert(admitted.nonEmpty && admitted.subsetOf(v1),
+      s"box admitted appended files: ${admitted -- v1}")
+  }
+
   test("vacuum at the latest manifest preserves every version's files") {
     val dir = Snapshots.writeVersions(spark, sfDir)
     val deleted = Vacuum.vacuum(spark, dir, Snapshots.manifestPath(dir, 2))
