@@ -42,6 +42,19 @@ object SourceFormats {
     spark.read.schema(orig.schema).json(dir)
   }
 
+  /** q97: supplier → ORC → read back. ORC is the other columnar
+    * format Spark ships natively (predicate pushdown, column pruning
+    * and vectorized reads all apply, like parquet); a corpus store
+    * interoperating with Hive/Trino warehouses reads and writes it
+    * directly. The explicit schema keeps timestamp_ntz stable across
+    * the format boundary. */
+  def orcRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val orig = Tables.load(spark, sfDir, "supplier")
+    val dir = tmp("supplier_orc")
+    orig.write.mode("overwrite").orc(dir)
+    spark.read.schema(orig.schema).orc(dir)
+  }
+
   /** q54: documents → parquet partitioned BY lang (the hive layout a
     * production corpus store uses, one directory per partition value),
     * then an aggregate over a two-partition read. The filter on the
@@ -184,6 +197,7 @@ object SourceFormats {
     "q59_compact" -> ((s: SparkSession, d: String) => compact(s, d)),
     "q52_csv_source" -> (csvRoundTrip _),
     "q53_json_source" -> (jsonRoundTrip _),
+    "q97_orc_source" -> (orcRoundTrip _),
     "q54_partitioned_sink" -> (partitionedSink _),
     "q76_schema_evolution" -> (schemaEvolution _),
     "q82_write_audit_publish" -> (writeAuditPublish _)
@@ -195,6 +209,8 @@ object SourceFormats {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderdate, o_orderpriority
          FROM orders""",
+    "q97_orc_source" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "q52_csv_source" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderdate, o_orderpriority
