@@ -40,7 +40,9 @@ object PlanAudit {
       "p10_planner_statsest", "q76_schema_evolution",
       "q82_write_audit_publish", "q88_cdc_merge_bucketed",
       "s11_ann_ivf_partitioned", "t14_cms_serve",
-      "c12_decontam_bloom", "q90_bloom_skip", "d13_dedup_editdist")
+      "c12_decontam_bloom", "q90_bloom_skip", "d13_dedup_editdist",
+      "c13_chunking", "q92_vacuum", "q93_time_travel", "q94_dq_audit",
+      "q95_lateral_topk", "q96_manifest_incremental", "q97_orc_source")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature
