@@ -301,6 +301,40 @@ object CurationOps {
           .as("chunk_text"))
   }
 
+  /** c14: seeded NEGATIVE sampling — the contrastive-training step
+    * that pairs every anchor document with `k` pseudo-random
+    * non-matching documents. "Random" is a portable seeded hash over
+    * (seed, anchor, slot) mod corpus size — deterministic, reshuffled
+    * by seed like [[epochShuffle]], identical in both engines, and
+    * hash-uniform so every document serves as a negative equally
+    * often; a collision with the anchor itself shifts one slot over.
+    * The fetch of negative-side attributes is one equi join on the
+    * derived id (k·N rows against N — broadcast or shuffle as the
+    * planner sizes it); nothing driver-side, no RNG state to
+    * coordinate across executors — the property that makes SEEDED
+    * derivation, not sampled randomness, the scalable form (c11's
+    * argument applied to pair construction). Requires the dense
+    * 0..N−1 doc_id domain the corpus tables guarantee. */
+  def negativeSamples(spark: SparkSession, sfDir: String,
+      k: Int = 3, seed: Int = 7): DataFrame = {
+    val n = Tables.rowCount(spark, sfDir, "documents")
+    val h = graft.operators.PortableHash.packed(
+      s"'neg' || $seed || ':' || anchor_id || ':' || j")
+    val negSide = docs(spark, sfDir)
+      .select(col("doc_id").as("neg_id"), col("source").as("neg_source"))
+    docs(spark, sfDir)
+      .select(col("doc_id").as("anchor_id"),
+        explode(expr(s"sequence(0, ${k - 1})")).as("j"))
+      .withColumn("j", col("j").cast("long"))
+      .withColumn("raw", expr(h) % n)
+      .withColumn("neg_id",
+        when(col("raw") === col("anchor_id"), (col("raw") + 1) % n)
+          .otherwise(col("raw")))
+      .drop("raw")
+      .join(negSide, "neg_id")
+      .select("anchor_id", "j", "neg_id", "neg_source")
+  }
+
   def epochShuffle(spark: SparkSession, sfDir: String, seed: Int = 7,
       numShards: Int = 8): DataFrame = {
     val h = expr(graft.operators.PortableHash.packed(
@@ -348,7 +382,9 @@ object CurationOps {
     "c05_pii_redact" -> (piiRedact _),
     "c07_sample_stratified" -> (sampleStratified _),
     "c11_epoch_shuffle" -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
-    "c13_chunking" -> ((s: SparkSession, d: String) => chunkDocs(s, d))
+    "c13_chunking" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
+    "c14_negative_samples" ->
+      ((s: SparkSession, d: String) => negativeSamples(s, d))
   )
 
   /** Both engines compute the same lowercase-hex md5, so the selections
@@ -378,6 +414,22 @@ object CurationOps {
         WHERE $stratFilterSql"""
 
   def oracleSql: Map[String, String] = Map(
+    // same seeded-hash derivation in DuckDB (the PortableHash string is
+    // engine-shared; || stringifies ints identically)
+    "c14_negative_samples" -> {
+      val h = graft.operators.PortableHash.packed(
+        "'neg' || 7 || ':' || anchor_id || ':' || j")
+      s"""WITH nrow AS (SELECT count(*) AS n FROM documents),
+          a AS (SELECT doc_id AS anchor_id, unnest(range(0, 3)) AS j
+                FROM documents),
+          m AS (SELECT anchor_id, j,
+                       CASE WHEN $h % n = anchor_id
+                            THEN ($h % n + 1) % n
+                            ELSE $h % n END AS neg_id
+                FROM a, nrow)
+        SELECT anchor_id, j, neg_id, d.source AS neg_source
+        FROM m JOIN documents d ON d.doc_id = m.neg_id"""
+    },
     // same window algebra in DuckDB list math: range() excludes the
     // upper bound like sequence(0, len-1, s) includes it — identical
     // start sets for len ≥ 1; ws[a : a+w-1] is the 1-based inclusive

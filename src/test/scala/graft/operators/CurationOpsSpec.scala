@@ -82,6 +82,28 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byShard.values.map(_.size).max <= 3 * fair)
   }
 
+  test("c14 negative samples: deterministic per seed, anchor-free, " +
+      "k per anchor, roughly uniform") {
+    val sfDir = "/root/testdata/sf0.001"
+    def runIt(seed: Int) = CurationOps.negativeSamples(spark, sfDir,
+        k = 3, seed = seed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = runIt(7)
+    assert(a == runIt(7), "same seed must reproduce the same pairs")
+    assert(a != runIt(8), "different seeds must draw different negatives")
+    assert(a.forall { case (anchor, _, neg) => anchor != neg },
+      "a document must never be its own negative")
+    val n = a.map(_._1).size
+    a.groupBy(_._1).foreach { case (anchor, rows) =>
+      assert(rows.map(_._2) == Set(0L, 1L, 2L),
+        s"anchor $anchor must carry exactly slots 0..2")
+    }
+    // hash-uniform negatives: no doc serves as negative > 12x its fair
+    // share (50 docs x 3 slots / 50 candidates = 3 expected each)
+    val maxServe = a.groupBy(_._3).values.map(_.size).max
+    assert(maxServe <= 36, s"a negative id repeated $maxServe times")
+  }
+
   test("c13 chunks reconstruct every document exactly under the stride") {
     val sfDir = "/root/testdata/sf0.001"
     val (width, stride) = (64, 48)
