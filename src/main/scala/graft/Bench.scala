@@ -57,7 +57,7 @@ object Bench {
     "q88_cdc_merge_bucketed", "s11_ann_ivf_partitioned", "t14_cms_serve",
     "c12_decontam_bloom", "q90_bloom_skip", "d13i_dedup_editdist",
     "q93_time_travel", "q94_dq_audit", "q95_lateral_topk",
-    "q96_manifest_incremental")
+    "q96_manifest_incremental", "c13_chunking", "c14_negative_samples")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -335,6 +335,26 @@ object CurationOps {
       .select("anchor_id", "j", "neg_id", "neg_source")
   }
 
+  /** c15: IMPORTANCE (weight-proportional) sampling — each document
+    * kept with probability equal to its own weight, the primitive
+    * behind quality-weighted training mixtures (upsample good text,
+    * downsample boilerplate) where c07's stratified sampler keeps a
+    * FIXED rate per stratum. The uniform draw is the seeded portable
+    * hash mod M compared against weight·M — deterministic,
+    * executor-stateless, reshuffled by seed (the c11/c14 argument).
+    * Weight here is min(1, n_chars/2000) — longer docs kept
+    * proportionally more often; any row-level weight expression slots
+    * into the same comparison. */
+  def weightedSample(spark: SparkSession, sfDir: String,
+      seed: Int = 7): DataFrame = {
+    val M = 1000000L
+    val h = graft.operators.PortableHash.packed(
+      s"'wsamp' || $seed || ':' || doc_id")
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .filter(expr(h) % M < least(lit(M), col("n_chars") * lit(M / 2000)))
+  }
+
   def epochShuffle(spark: SparkSession, sfDir: String, seed: Int = 7,
       numShards: Int = 8): DataFrame = {
     val h = expr(graft.operators.PortableHash.packed(
@@ -384,7 +404,9 @@ object CurationOps {
     "c11_epoch_shuffle" -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "c13_chunking" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "c14_negative_samples" ->
-      ((s: SparkSession, d: String) => negativeSamples(s, d))
+      ((s: SparkSession, d: String) => negativeSamples(s, d)),
+    "c15_weighted_sample" ->
+      ((s: SparkSession, d: String) => weightedSample(s, d))
   )
 
   /** Both engines compute the same lowercase-hex md5, so the selections
@@ -414,6 +436,12 @@ object CurationOps {
         WHERE $stratFilterSql"""
 
   def oracleSql: Map[String, String] = Map(
+    "c15_weighted_sample" -> {
+      val h = graft.operators.PortableHash.packed(
+        "'wsamp' || 7 || ':' || doc_id")
+      s"""SELECT doc_id, source, n_chars FROM documents
+          WHERE $h % 1000000 < least(1000000, n_chars * 500)"""
+    },
     // same seeded-hash derivation in DuckDB (the PortableHash string is
     // engine-shared; || stringifies ints identically)
     "c14_negative_samples" -> {

@@ -104,6 +104,34 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxServe <= 36, s"a negative id repeated $maxServe times")
   }
 
+  test("c15 weighted sample: deterministic, weight-monotone keep rate") {
+    val sfDir = "/root/testdata/sf0.01"
+    def kept(seed: Int): Set[Long] =
+      CurationOps.weightedSample(spark, sfDir, seed = seed)
+        .collect().map(_.getLong(0)).toSet
+    val a = kept(7)
+    assert(a == kept(7), "same seed must reproduce the sample")
+    assert(a != kept(8), "different seeds must draw differently")
+    val all = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.nonEmpty && a.size < all.size,
+      "sample must keep some docs and drop some")
+    // weight-proportional: the keep RATE of the longer half must beat
+    // the shorter half's (weight is monotone in n_chars)
+    val sorted = all.toSeq.sortBy(_._2).map(_._1)
+    val (short, long) = sorted.splitAt(sorted.size / 2)
+    def rate(ids: Seq[Long]) =
+      ids.count(a).toDouble / ids.size
+    assert(rate(long) > rate(short),
+      f"longer docs must be kept more often (${rate(long)}%.2f vs " +
+        f"${rate(short)}%.2f)")
+    // saturated weights: every doc at/over the 2000-char cap is kept
+    val capped = all.filter(_._2 >= 2000).keySet
+    assert(capped.subsetOf(a),
+      s"docs at weight 1.0 must always be kept: ${capped -- a}")
+  }
+
   test("c13 chunks reconstruct every document exactly under the stride") {
     val sfDir = "/root/testdata/sf0.001"
     val (width, stride) = (64, 48)
