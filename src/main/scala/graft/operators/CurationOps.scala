@@ -355,6 +355,43 @@ object CurationOps {
       .filter(expr(h) % M < least(lit(M), col("n_chars") * lit(M / 2000)))
   }
 
+  /** c16: TEMPERATURE resampling across sources — the mixture
+    * flattener multilingual/multi-domain training uses: a source with
+    * corpus share p is kept at a rate ∝ p^(α−1) (α = 1/2 here), so
+    * effective shares become ∝ p^α — big sources damped, small ones
+    * relatively boosted — normalized so the rarest source keeps
+    * everything. Rates come from one source-count aggregate
+    * (sources-sized, broadcast back); the keep decision is the seeded
+    * hash-as-uniform-draw against rate·M, row-local like c15. Both
+    * engines compute the rate with the same IEEE sqrt/divide, so the
+    * gate is hash-exact. */
+  def temperatureMix(spark: SparkSession, sfDir: String,
+      seed: Int = 7): DataFrame =
+    temperatureMixOn(
+      docs(spark, sfDir).select(col("doc_id"), col("source")), seed)
+
+  /** [[temperatureMix]] over any (doc_id, source) frame — the gate
+    * corpus's sources are near-uniform (so flattening is ~identity
+    * there, which the oracle still hash-checks); CurationOpsSpec
+    * proves the DAMPING on a 9:1 skewed corpus. */
+  private[graft] def temperatureMixOn(
+      d: DataFrame, seed: Int = 7): DataFrame = {
+    val M = 1000000L
+    val h = graft.operators.PortableHash.packed(
+      s"'tmix' || $seed || ':' || doc_id")
+    // keep_rate(s) = (p_s)^(α-1) / max_s (p_s)^(α-1)  with α = 1/2
+    //             = sqrt(min_share / p_s)   — rarest source rate 1.0
+    val rates = d.groupBy("source").agg(count(lit(1)).as("cnt"))
+      .withColumn("min_cnt", min("cnt").over())
+      .select(col("source"),
+        sqrt(col("min_cnt").cast("double") / col("cnt")).as("rate"))
+    // floor on BOTH engines: DuckDB's double→BIGINT cast rounds where
+    // Spark's truncates, so the threshold must be floored explicitly
+    d.join(broadcast(rates), "source")
+      .filter(expr(h) % M < floor(col("rate") * M))
+      .select("doc_id", "source")
+  }
+
   def epochShuffle(spark: SparkSession, sfDir: String, seed: Int = 7,
       numShards: Int = 8): DataFrame = {
     val h = expr(graft.operators.PortableHash.packed(
@@ -406,7 +443,9 @@ object CurationOps {
     "c14_negative_samples" ->
       ((s: SparkSession, d: String) => negativeSamples(s, d)),
     "c15_weighted_sample" ->
-      ((s: SparkSession, d: String) => weightedSample(s, d))
+      ((s: SparkSession, d: String) => weightedSample(s, d)),
+    "c16_temperature_mix" ->
+      ((s: SparkSession, d: String) => temperatureMix(s, d))
   )
 
   /** Both engines compute the same lowercase-hex md5, so the selections
@@ -436,6 +475,18 @@ object CurationOps {
         WHERE $stratFilterSql"""
 
   def oracleSql: Map[String, String] = Map(
+    "c16_temperature_mix" -> {
+      val h = graft.operators.PortableHash.packed(
+        "'tmix' || 7 || ':' || doc_id")
+      s"""WITH c AS (SELECT source, count(*) AS cnt
+                     FROM documents GROUP BY source),
+          r AS (SELECT source,
+                       sqrt((SELECT min(cnt) FROM c) * 1.0 / cnt) AS rate
+                FROM c)
+        SELECT doc_id, d.source
+        FROM documents d JOIN r ON r.source = d.source
+        WHERE $h % 1000000 < CAST(floor(rate * 1000000) AS BIGINT)"""
+    },
     "c15_weighted_sample" -> {
       val h = graft.operators.PortableHash.packed(
         "'wsamp' || 7 || ':' || doc_id")

@@ -132,6 +132,29 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"docs at weight 1.0 must always be kept: ${capped -- a}")
   }
 
+  test("c16 temperature mix damps the dominant source toward sqrt shares") {
+    val s = spark
+    import s.implicits._
+    // 9:1 skew — α=1/2 keep rates: big = sqrt(100/900) = 1/3, small = 1
+    val d = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val kept = CurationOps.temperatureMixOn(d).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySource = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySource("small") == 100,
+      "the rarest source must keep everything")
+    val bigRate = bySource("big") / 900.0
+    assert(bigRate > 0.28 && bigRate < 0.39,
+      f"dominant source must keep ~1/3, kept $bigRate%.3f")
+    // deterministic per seed, reshuffled across seeds
+    val again = CurationOps.temperatureMixOn(d).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == again.toSet)
+    assert(CurationOps.temperatureMixOn(d, seed = 8).collect()
+      .map(_.getLong(0)).toSet != kept.map(_._1).toSet)
+  }
+
   test("c13 chunks reconstruct every document exactly under the stride") {
     val sfDir = "/root/testdata/sf0.001"
     val (width, stride) = (64, 48)
