@@ -72,6 +72,47 @@ object SourceFormats {
         sum("n_chars").as("chars"))
   }
 
+  /** q98: DYNAMIC partition pruning — the partition filter that cannot
+    * exist at planning time because it arrives THROUGH A JOIN: the
+    * fact table is lang-partitioned (q54's layout), the dim table
+    * carries the selection on a non-partition attribute (`keep`), and
+    * only executing the dim side reveals which partitions matter.
+    * Spark's DPP plans a dynamic pruning subquery into the fact scan:
+    * the dim's broadcast result filters the fact's PARTITIONS before
+    * any fact bytes are read — at 100 TB the difference between
+    * scanning 2 of 1000 date partitions and scanning them all, on
+    * every star-schema join whose dim filter is not a partition-column
+    * literal. DppSpec asserts the dynamicpruning expression is in the
+    * executed plan and that only the en/de directories were read. */
+  def dppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val factDir = tmp("documents_by_lang_dpp_" + FsUtil.sanitize(sfDir))
+    if (!FsUtil.exists(spark, factDir + "/_SUCCESS"))
+      Tables.load(spark, sfDir, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(factDir)
+    val dimDir = tmp("lang_dim_" + FsUtil.sanitize(sfDir))
+    if (!FsUtil.exists(spark, dimDir + "/_SUCCESS"))
+      Tables.load(spark, sfDir, "documents")
+        .select(col("lang")).distinct()
+        .withColumn("keep", col("lang").isin("en", "de"))
+        .coalesce(1).write.mode("overwrite").parquet(dimDir)
+    // DPP's benefit heuristic is BYTE-based (insert the pruning
+    // subquery only when filterRatio × fact-scan bytes beats the dim
+    // re-execution cost) and refuses at KB-scale fixture sizes; a
+    // production fact table passes it without these dials. useStats
+    // off = take the fallback ratio, raised so the KB-scale fact
+    // still clears the bar. Semantics are unaffected either way.
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
+      "10")
+    val fact = spark.read.parquet(factDir)
+    val dim = spark.read.parquet(dimDir).filter(col("keep")).select("lang")
+    fact.join(dim.hint("broadcast"), "lang")
+      .groupBy("lang").agg(
+        count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+  }
+
   /** q59: small-file compaction — the maintenance pass a streaming-
     * ingested table needs at 100 TB, where thousands of per-microbatch
     * files kill scan throughput and metadata listing. Fragment orders
@@ -198,6 +239,7 @@ object SourceFormats {
     "q52_csv_source" -> (csvRoundTrip _),
     "q53_json_source" -> (jsonRoundTrip _),
     "q97_orc_source" -> (orcRoundTrip _),
+    "q98_dpp_join" -> (dppJoin _),
     "q54_partitioned_sink" -> (partitionedSink _),
     "q76_schema_evolution" -> (schemaEvolution _),
     "q82_write_audit_publish" -> (writeAuditPublish _)
@@ -211,6 +253,13 @@ object SourceFormats {
          FROM orders""",
     "q97_orc_source" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "q98_dpp_join" ->
+      """SELECT d.lang, count(*) AS docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents d
+         JOIN (SELECT DISTINCT lang FROM documents
+               WHERE lang IN ('en', 'de')) x ON x.lang = d.lang
+         GROUP BY d.lang""",
     "q52_csv_source" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderdate, o_orderpriority
