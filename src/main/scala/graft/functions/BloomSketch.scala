@@ -98,11 +98,12 @@ final case class BloomAgg(
   * never added); `true` is "candidate" (wrong with probability ≤ the
   * builder's fpp). Row-local and codegen'd, so the prefilter runs
   * inside the scan's WholeStageCodegen span — the 100 TB side never
-  * leaves its input partition to be filtered. Deserialization is
-  * memoized per thread keyed on the sketch bytes (reference, then
-  * content — the [[CmsQuery]] discipline): one broadcast sketch
+  * leaves its input partition to be filtered. Deserialization goes
+  * through a per-thread bounded LRU cleared at task completion
+  * ([[SketchMemo]], shared with [[CmsQuery]]): one broadcast sketch
   * repeats across every row of a task, so the MB-scale decode happens
-  * once per task, not once per row. */
+  * once per task, not once per row — and alternating-sketch shapes
+  * (the per-file manifest walk in BloomSkip) don't thrash it. */
 final case class BloomContains(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -131,19 +132,10 @@ final case class BloomContains(left: Expression, right: Expression)
 }
 
 object BloomContains {
-  private val last = new ThreadLocal[(Array[Byte], BloomFilter)]
+  // bounded per-thread LRU, cleared at task completion ([[SketchMemo]])
+  private val memo = new SketchMemo[BloomFilter](
+    b => BloomFilter.readFrom(new ByteArrayInputStream(b)))
 
-  def contains(bytes: Array[Byte], key: UTF8String): Boolean = {
-    val cached = last.get()
-    val sketch =
-      if (cached != null &&
-        ((cached._1 eq bytes) || java.util.Arrays.equals(cached._1, bytes)))
-        cached._2
-      else {
-        val s = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
-        last.set((bytes, s))
-        s
-      }
-    sketch.mightContainBinary(key.getBytes)
-  }
+  def contains(bytes: Array[Byte], key: UTF8String): Boolean =
+    memo.get(bytes).mightContainBinary(key.getBytes)
 }

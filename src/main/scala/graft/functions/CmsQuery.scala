@@ -24,10 +24,10 @@ import org.apache.spark.util.sketch.CountMinSketch
   * CountMinSketchAgg adds strings via `addBinary(getBytes)`), so
   * estimates carry the CMS contract vs the true counts: never under,
   * over by ≤ ε·N with the sketch's confidence (HeavyHittersSpec /
-  * CmsServeSpec). Deserialization is memoized per thread keyed on the
-  * sketch bytes (reference, then content): the serving shape repeats
-  * ONE sketch across every candidate row, so the 100 KB decode
-  * happens once per task, not once per row. */
+  * CmsServeSpec). Deserialization goes through a per-thread bounded
+  * LRU cleared at task completion ([[SketchMemo]]): the serving shape
+  * repeats ONE sketch across every candidate row, so the 100 KB
+  * decode happens once per task, not once per row. */
 final case class CmsQuery(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -56,23 +56,10 @@ final case class CmsQuery(left: Expression, right: Expression)
 }
 
 object CmsQuery {
-  // per-thread one-entry memo: same-reference hit is free; a copied
-  // buffer (unsafe-row extraction) falls back to a content compare,
-  // still far cheaper than re-deserializing the sketch
-  private val last =
-    new ThreadLocal[(Array[Byte], CountMinSketch)]
+  // bounded per-thread LRU, cleared at task completion ([[SketchMemo]])
+  private val memo = new SketchMemo[CountMinSketch](
+    b => CountMinSketch.readFrom(new ByteArrayInputStream(b)))
 
-  def estimate(bytes: Array[Byte], key: UTF8String): Long = {
-    val cached = last.get()
-    val sketch =
-      if (cached != null &&
-        ((cached._1 eq bytes) || java.util.Arrays.equals(cached._1, bytes)))
-        cached._2
-      else {
-        val s = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
-        last.set((bytes, s))
-        s
-      }
-    sketch.estimateCount(key.getBytes)
-  }
+  def estimate(bytes: Array[Byte], key: UTF8String): Long =
+    memo.get(bytes).estimateCount(key.getBytes)
 }

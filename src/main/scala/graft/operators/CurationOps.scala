@@ -155,7 +155,12 @@ object CurationOps {
       spark: SparkSession, sfDir: String,
       evalSource: String = "src0", shingleK: Int = 8,
       minShared: Int = 1, fpp: Double = 0.01): DataFrame = {
-    val (evalSh, trainSh) = shingleSides(spark, sfDir, evalSource, shingleK)
+    val (evalShRaw, trainSh) = shingleSides(spark, sfDir, evalSource, shingleK)
+    // the eval-side explode has THREE consumers (the sizing count, the
+    // sketch build, and the final exact join) — barrier it so all
+    // three share one materialization instead of re-tokenizing the
+    // eval corpus per consumer
+    val evalSh = Persists.barrier(evalShRaw)
     // sizing pass on the SMALL side only (pre-distinct row count is a
     // safe upper bound for distinct keys)
     val nEval = math.max(1L, evalSh.count())

@@ -35,10 +35,16 @@ object StatsEstimator {
     * flagship q-error bound AND the chosen join order survive the
     * switch. `approx = false` is the offline-exact form q80's oracle
     * hash-checks. */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def profileTable(
       spark: SparkSession, sfDir: String, table: String,
       approx: Boolean = true): Profile =
     cache.computeIfAbsent((sfDir, table, approx), _ => {
+      // make the NDV source attributable: a surprising join order at a
+      // larger SF should be traceable to which ANALYZE mode fed it
+      log.info(s"graft ANALYZE $table ($sfDir) mode=" +
+        (if (approx) "approx(HLL)" else "exact"))
       val rows =
         (if (approx) TableStats.profileApprox(spark, sfDir, table)
          else TableStats.profile(spark, sfDir, table)).collect()

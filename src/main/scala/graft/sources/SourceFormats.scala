@@ -101,13 +101,20 @@ object SourceFormats {
     // production fact table passes it without these dials. useStats
     // off = take the fallback ratio, raised so the KB-scale fact
     // still clears the bar. Semantics are unaffected either way.
-    spark.conf.set(
+    // The dials live on a CLONED session (same SparkContext, own
+    // SQLConf) and the returned DataFrame is bound to it, so the
+    // caller's session keeps stock DPP heuristics for every query
+    // planned after this one; restoring the confs here instead would
+    // silently disable DPP, because the plan is only built when the
+    // caller executes the frame.
+    val dpp = spark.newSession()
+    dpp.conf.set(
       "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
-    spark.conf.set(
+    dpp.conf.set(
       "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
       "10")
-    val fact = spark.read.parquet(factDir)
-    val dim = spark.read.parquet(dimDir).filter(col("keep")).select("lang")
+    val fact = dpp.read.parquet(factDir)
+    val dim = dpp.read.parquet(dimDir).filter(col("keep")).select("lang")
     fact.join(dim.hint("broadcast"), "lang")
       .groupBy("lang").agg(
         count(lit(1)).as("docs"), sum("n_chars").as("chars"))
