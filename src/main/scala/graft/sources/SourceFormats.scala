@@ -91,9 +91,16 @@ object SourceFormats {
         .write.mode("overwrite").partitionBy("lang").parquet(factDir)
     val dimDir = tmp("lang_dim_" + FsUtil.sanitize(sfDir))
     if (!FsUtil.exists(spark, dimDir + "/_SUCCESS"))
+      // keep is an INT flag, not boolean: DPP only inserts its pruning
+      // subquery when the dim side carries a "likely selective" filter
+      // (PartitionPruning → isLikelySelective), whose pattern list has
+      // BinaryComparison but not a bare boolean attribute — and a
+      // `bool_col = true` filter constant-folds to the bare attribute
+      // before the rule runs. `keep = 1` over int survives as EqualTo.
       Tables.load(spark, sfDir, "documents")
         .select(col("lang")).distinct()
-        .withColumn("keep", col("lang").isin("en", "de"))
+        .withColumn("keep",
+          when(col("lang").isin("en", "de"), 1).otherwise(0))
         .coalesce(1).write.mode("overwrite").parquet(dimDir)
     // DPP's benefit heuristic is BYTE-based (insert the pruning
     // subquery only when filterRatio × fact-scan bytes beats the dim
@@ -114,7 +121,8 @@ object SourceFormats {
       "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
       "10")
     val fact = dpp.read.parquet(factDir)
-    val dim = dpp.read.parquet(dimDir).filter(col("keep")).select("lang")
+    val dim = dpp.read.parquet(dimDir)
+      .filter(col("keep") === 1).select("lang")
     fact.join(dim.hint("broadcast"), "lang")
       .groupBy("lang").agg(
         count(lit(1)).as("docs"), sum("n_chars").as("chars"))

@@ -38,20 +38,31 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which the parquet reader
-    // rejects by default. Set the legacy conf unconditionally HERE — the
-    // one documented session-config mutation — so read behavior never
-    // depends on cache state.
+    // Some testdata generations carry events.ts as TIMESTAMP(NANOS),
+    // which the parquet reader rejects by default. Set the legacy conf
+    // unconditionally HERE — the one documented session-config
+    // mutation — so read behavior never depends on cache state.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     dfCache.computeIfAbsent(
       (sessionKey(spark), sfDir, name), _ => {
         val df = spark.read.parquet(path(sfDir, name))
-        // Integer `div` (not `/`): epoch-nanos > 2^53 would lose
-        // precision through a double.
+        // Normalize events.ts to micro-precision TimestampType across
+        // testdata generations: TIMESTAMP(NANOS) arrives as LONG nanos
+        // under the legacy conf (integer `div`, not `/`: epoch-nanos >
+        // 2^53 would lose precision through a double); TIMESTAMP(MICROS)
+        // arrives as NTZ, an identity cast under the UTC sessions every
+        // entry point builds.
         if (name == "events")
-          df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", org.apache.spark.sql.functions.expr(
-              "timestamp_micros(ts_ns div 1000)"))
+          df.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts", org.apache.spark.sql.functions.expr(
+                  "timestamp_micros(ts_ns div 1000)"))
+            case org.apache.spark.sql.types.TimestampNTZType =>
+              df.withColumn("ts", org.apache.spark.sql.functions
+                .col("ts").cast(org.apache.spark.sql.types.TimestampType))
+            case _ => df
+          }
         else df
       })
   }

@@ -34,11 +34,23 @@ object EventStream {
       spark: SparkSession, dir: String,
       glob: String = "*.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // A stream source needs its schema up front; sniff one batch footer
+    // to learn which testdata generation this is — TIMESTAMP(NANOS)
+    // (surfaces as LONG nanos under the legacy conf) vs
+    // TIMESTAMP(MICROS) (surfaces as NTZ; the LONG stream schema then
+    // reads the raw INT64 micros). Either way the stream carries int64
+    // and the projection below normalizes to a micros timestamp.
+    val physical = spark.read.option("pathGlobFilter", glob)
+      .parquet(dir).schema("ts").dataType
+    val micros = physical match {
+      case org.apache.spark.sql.types.LongType => "ts div 1000"
+      case _                                   => "ts"
+    }
     spark.readStream
       .schema(eventSchema)
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(s"timestamp_micros($micros)"))
   }
 
   /** Hourly tumbling-window counts per event type with a 1-hour
