@@ -59,6 +59,16 @@ object Bench {
     "q93_time_travel", "q94_dq_audit", "q95_lateral_topk",
     "q96_manifest_incremental", "c13_chunking", "c14_negative_samples")
 
+  /** Fifth series guarding the round-9 operators (PageRank and
+    * triangle counting over relation-derived graphs, the embedding
+    * covariance matrix, exact-k reservoir sampling, equi-depth
+    * binning, recursive CTE, tolerance/forward as-of). Baselines at
+    * round 9; never touches the earlier series. */
+  val headlineR9: Seq[String] = Seq(
+    "g01_pagerank", "g02_knn_triangles", "s12_embedding_covariance",
+    "c17_reservoir_sample", "q100_equidepth_bins", "q101_recursive_cte",
+    "q102_asof_tolerance", "q103_asof_forward")
+
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
     * incremental candidate join against the PRE-MATERIALIZED signature
@@ -188,6 +198,7 @@ object Bench {
     val resultsR5 = runSeries(headlineR5)
     val resultsR7 = runSeries(headlineR7)
     val resultsR8 = runSeries(headlineR8)
+    val resultsR9 = runSeries(headlineR9)
     val cacheState =
       if (dropCache && !dropsFailed) "dropped-before-cold-runs"
       else if (dropCache) "drop-requested-but-failed"
@@ -203,8 +214,8 @@ object Bench {
         s""""$k":${w.map(t => f"$t%.3f").mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")
     val qs = steadyJson(results)
-    val failed = (results ++ resultsR5 ++ resultsR7 ++ resultsR8)
-      .collect { case (k, v, _, _) if v < 0 => s""""$k"""" }
+    val failed = (results ++ resultsR5 ++ resultsR7 ++ resultsR8 ++
+      resultsR9).collect { case (k, v, _, _) if v < 0 => s""""$k"""" }
     if (failed.nonEmpty) {
       // a failing query must read as a FAILURE, not as a faster total —
       // report value:-1 + the failed list and exit nonzero
@@ -224,6 +235,8 @@ object Bench {
     val totalR7Cold = resultsR7.map(_._3).sum
     val totalR8 = resultsR8.map(_._2).sum
     val totalR8Cold = resultsR8.map(_._3).sum
+    val totalR9 = resultsR9.map(_._2).sum
+    val totalR9Cold = resultsR9.map(_._3).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""queries_cold":${coldJson(results)},"total_cold":$totalCold%.3f,""" +
@@ -237,6 +250,9 @@ object Bench {
         f""""queries_r8":${steadyJson(resultsR8)},"total_r8":$totalR8%.3f,""" +
         f""""queries_r8_cold":${coldJson(resultsR8)},"total_r8_cold":$totalR8Cold%.3f,""" +
         f""""queries_r8_warm":${warmJson(resultsR8)},""" +
+        f""""queries_r9":${steadyJson(resultsR9)},"total_r9":$totalR9%.3f,""" +
+        f""""queries_r9_cold":${coldJson(resultsR9)},"total_r9_cold":$totalR9Cold%.3f,""" +
+        f""""queries_r9_warm":${warmJson(resultsR9)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir",""" +
         // compact duplicate of every series total at the very END of the
         // line: the driver archives only the last 2000 chars of stdout,
@@ -246,7 +262,8 @@ object Bench {
         f""""totals":{"legacy":$total%.3f,"legacy_cold":$totalCold%.3f,""" +
         f""""r5":$totalR5%.3f,"r5_cold":$totalR5Cold%.3f,""" +
         f""""r7":$totalR7%.3f,"r7_cold":$totalR7Cold%.3f,""" +
-        f""""r8":$totalR8%.3f,"r8_cold":$totalR8Cold%.3f,"failed":0}}""")
+        f""""r8":$totalR8%.3f,"r8_cold":$totalR8Cold%.3f,""" +
+        f""""r9":$totalR9%.3f,"r9_cold":$totalR9Cold%.3f,"failed":0}}""")
     spark.stop()
   }
 }

@@ -26,6 +26,7 @@ object SparkEntry {
       AuditOps.queries ++
       AsofOps.queries ++
       RangeOps.queries ++
+      GraphOps.queries ++
       CurationOps.queries ++
       CdcOps.queries ++
       EventOps.queries ++
@@ -61,6 +62,7 @@ object SparkEntry {
       AuditOps.oracleSql ++
       AsofOps.oracleSql ++
       RangeOps.oracleSql ++
+      GraphOps.oracleSql ++
       CurationOps.oracleSql ++
       CdcOps.oracleSql ++
       EventOps.oracleSql ++

@@ -257,6 +257,33 @@ object CurationOps {
       .filter(expr(stratFilterSql))
       .select("doc_id", "lang", "source")
 
+  // ------------------------------------------------------ reservoir
+  /** c17: deterministic EXACT-k-per-group sampling — the fixed-budget
+    * complement of c07's rate sampling (rate × group size drifts;
+    * an eval-set builder wants exactly k per stratum). The classic
+    * streaming form is reservoir sampling; the distributed-and-
+    * reproducible equivalent is top-k by a seeded content hash: rank
+    * rows within each group by md5(seed ':' doc_id) and keep rank ≤ k.
+    * Same k rows on every run, any partitioning, either engine.
+    *
+    * Scale shape: one shuffle on the group key, per-group rank window
+    * (never global). A pathologically hot group serializes only its
+    * own partition; the two-phase quota trick (c02) pre-thins such a
+    * group with a hash-threshold filter to ~k·ε candidates before the
+    * exact rank — same final rows, bounded partition. */
+  def reservoirSample(
+      spark: SparkSession, sfDir: String, k: Int = 20,
+      seed: String = "42"): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("rk_hash"), col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit(seed + ":"), col("doc_id"))).as("rk_hash"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
   // ------------------------------------------------------ epoch shuffle
   /** Deterministic training-epoch shuffle: a seeded pseudo-random
     * permutation of the corpus, materialized as (shard, position)
@@ -443,6 +470,8 @@ object CurationOps {
     "c12_decontam_bloom" -> ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "c05_pii_redact" -> (piiRedact _),
     "c07_sample_stratified" -> (sampleStratified _),
+    "c17_reservoir_sample" ->
+      ((s: SparkSession, d: String) => reservoirSample(s, d)),
     "c11_epoch_shuffle" -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "c13_chunking" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "c14_negative_samples" ->
@@ -479,7 +508,20 @@ object CurationOps {
     s"""SELECT doc_id, lang, source FROM documents
         WHERE $stratFilterSql"""
 
+  /** Same hash, same tie-break; rk CAST to INTEGER (the c01 note:
+    * Spark row_number is int32, DuckDB's is int64). */
+  private val reservoirOracle: String =
+    """SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM (
+         SELECT doc_id, source,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY md5(concat('42:', CAST(doc_id AS VARCHAR))),
+                           doc_id) AS rk
+         FROM documents)
+       WHERE rk <= 20"""
+
   def oracleSql: Map[String, String] = Map(
+    "c17_reservoir_sample" -> reservoirOracle,
     "c16_temperature_mix" -> {
       val h = graft.operators.PortableHash.packed(
         "'tmix' || 7 || ':' || doc_id")

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Graph analytics over relation-derived graphs — the link-structure
+  * signals a large-scale curation pipeline computes beside its content
+  * signals (domain authority for crawl corpora, neighborhood density
+  * for embedding spaces). Two operators:
+  *
+  *  - PageRank (fixed-iteration power method) on the bipartite
+  *    customer↔supplier co-purchase graph. Each iteration is ONE
+  *    shuffle: edges ⋈ ranks on src (ranks is the node-sized small
+  *    side), then a partial-aggregated groupBy(dst). Edges and degrees
+  *    are computed once and persisted; the iteration count is fixed, so
+  *    the whole run is `iters` shuffles of the node table plus the
+  *    edge-scan joins — the standard distributed PR shape (Pregel's
+  *    superstep = this join+agg). At 100 TB the edge table is the big
+  *    side and stays put (hash-partitioned by src, reused every
+  *    iteration); only the node-sized rank vector moves.
+  *
+  *  - Triangle counting on the mutual-kNN graph of the embedding
+  *    corpus (k=5 by rounded cosine): the local-clustering signal that
+  *    separates dense near-duplicate neighborhoods from isolated
+  *    points. Edges are oriented low-id→high-id, so each triangle is
+  *    enumerated exactly once by the two-hop join e1(a,b)⋈e2(b,c)⋈
+  *    e3(a,c) — the classic compact-forward algorithm. At fixture scale
+  *    the kNN stage is exact all-pairs (oracle-checkable); at corpus
+  *    scale the all-pairs stage swaps for the LSH/IVF candidate
+  *    generators ([[SimilarityOps]]) — the mutual filter, orientation,
+  *    and triangle join are unchanged, and the triangle join's cost is
+  *    bounded by the k-regular degree cap (each node has ≤k out-edges,
+  *    so the two-hop fan-out is ≤k² per node). Id-orientation is the
+  *    oracle-fixed choice; degree-orientation is the skew-robust
+  *    variant for power-law graphs (same joins, different order key).
+  *
+  * Float determinism follows the repo's oracle convention
+  * ([[SimilarityOps.bruteOracle]]): cast to double first, fold in array
+  * order, round BEFORE any rank/compare. PageRank additionally rounds
+  * the rank vector to 9 dp each iteration, so both engines re-enter
+  * every iteration from identical doubles and aggregation-order noise
+  * (~1e-16) never compounds across iterations.
+  */
+object GraphOps {
+
+  private val Damping = 0.85
+  private val PrIters = 5
+  private val KnnK = 5
+
+  /** Fixed-iteration PageRank over a directed edge list (`src`,
+    * `dst`). Nodes are the distinct edge endpoints (every node of an
+    * undirected graph has both in- and out-edges, so no dangling-mass
+    * term is needed — callers feeding directed graphs with sinks must
+    * add one). Returns (node, pr) with pr rounded to 9 dp. */
+  def pagerankOn(edges: DataFrame, iters: Int = PrIters,
+      damping: Double = Damping): DataFrame = {
+    val e = Persists.barrier(edges.select("src", "dst"))
+    val deg = Persists.barrier(
+      e.groupBy("src").agg(count(lit(1)).as("deg")))
+    // node count: one driver-side long — the same bounded scalar fetch
+    // every PR implementation does to size the teleport term
+    val n = deg.count().toDouble
+    val teleport = (1.0 - damping) / n
+    var pr = deg.select(col("src").as("node"),
+      round(lit(1.0 / n), 9).as("pr"))
+    for (_ <- 1 to iters) {
+      pr = e.join(pr, e("src") === pr("node"))
+        .join(deg, "src")
+        .groupBy(col("dst"))
+        .agg(round(lit(teleport) +
+          lit(damping) * sum(col("pr") / col("deg")), 9).as("pr"))
+        .withColumnRenamed("dst", "node")
+    }
+    pr
+  }
+
+  /** Mutual-kNN edges over a (vec_id, v: array&lt;double&gt;) frame:
+    * (a, b) with a &lt; b iff each is in the other's top-`k` by rounded
+    * cosine (ties broken by neighbor id — the s01 rank convention). */
+  def mutualKnnEdgesOn(vecs: DataFrame, k: Int = KnnK): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val scored = vecs.as("q").join(vecs.as("c"),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        round(expr("graft_cosine(q.v, c.v)"), 4).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val topk = Persists.barrier(scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id"))
+    topk.as("f").join(topk.as("b"),
+        col("f.query_id") === col("b.neighbor_id") &&
+          col("f.neighbor_id") === col("b.query_id") &&
+          col("f.query_id") < col("f.neighbor_id"))
+      .select(col("f.query_id").as("a"), col("f.neighbor_id").as("b"))
+  }
+
+  /** Per-node triangle participation over low→high oriented edges
+    * (`a` &lt; `b`): each triangle {a&lt;b&lt;c} found once, credited to
+    * all three corners. Returns (node, n_tri), nodes in ≥1 triangle. */
+  def trianglesOn(edges: DataFrame): DataFrame = {
+    val e = Persists.barrier(edges.select("a", "b"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") &&
+        col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"),
+        col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** The co-purchase bipartite graph: distinct (customer, supplier)
+    * pairs linked through an order's lineitems, node-encoded
+    * customer→2k, supplier→2k+1, both edge directions emitted. */
+  private def coPurchaseEdges(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val pairs = orders.join(lineitem,
+        orders("o_orderkey") === lineitem("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cn"),
+        (col("l_suppkey") * 2 + 1).as("sn"))
+      .distinct()
+    pairs.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_pagerank" -> ((spark: SparkSession, sfDir: String) => {
+      pagerankOn(coPurchaseEdges(spark, sfDir))
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+    }),
+    "g02_knn_triangles" -> ((spark: SparkSession, sfDir: String) => {
+      graft.functions.GraftFunctions.register(spark)
+      val vecs = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+      trianglesOn(mutualKnnEdgesOn(vecs))
+    })
+  )
+
+  /** The PageRank oracle unrolls the fixed iterations as chained CTEs
+    * (standard SQL bars aggregates inside a recursive term); every
+    * arithmetic step — cast, divide, damp, round — mirrors the Spark
+    * expression order so the doubles agree before each 9-dp round. */
+  private def pagerankOracle(iters: Int): String = {
+    val base =
+      """WITH pairs AS (
+           SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (
+           SELECT cn AS src, sn AS dst FROM pairs
+           UNION ALL
+           SELECT sn AS src, cn AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+         it0 AS (
+           SELECT deg.src AS node,
+                  round(CAST(1.0 AS DOUBLE) / nn.n, 9) AS pr
+           FROM deg, nn)"""
+    val its = (1 to iters).map { i =>
+      s"""it$i AS (
+           SELECT e.dst AS node,
+                  round((CAST(1.0 AS DOUBLE) - CAST($Damping AS DOUBLE))
+                          / max(nn.n) +
+                        CAST($Damping AS DOUBLE) * sum(p.pr / d.deg),
+                        9) AS pr
+           FROM edges e
+           JOIN it${i - 1} p ON e.src = p.node
+           JOIN deg d ON e.src = d.src, nn
+           GROUP BY e.dst)"""
+    }.mkString(",\n")
+    s"$base,\n$its\nSELECT node, round(pr, 6) AS pr FROM it$iters"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "g01_pagerank" -> pagerankOracle(PrIters),
+    "g02_knn_triangles" ->
+      s"""WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(q.v, c.v) /
+                        sqrt(list_sum(list_transform(q.v, x -> x * x)) *
+                             list_sum(list_transform(c.v, x -> x * x))),
+                        4) AS cosine
+           FROM v q, v c WHERE q.vec_id <> c.vec_id),
+         topk AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rank
+             FROM scored) WHERE rank <= $KnnK),
+         mutual AS (
+           SELECT f.query_id AS a, f.neighbor_id AS b
+           FROM topk f JOIN topk b
+             ON f.query_id = b.neighbor_id AND f.neighbor_id = b.query_id
+           WHERE f.query_id < f.neighbor_id),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM mutual e1
+           JOIN mutual e2 ON e1.b = e2.a
+           JOIN mutual e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT node, count(*) AS n_tri
+         FROM (SELECT x AS node FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri)
+         GROUP BY node"""
+  )
+}

@@ -308,6 +308,36 @@ object RelationalQueries {
         .groupBy("metric")
         .agg(count(lit(1)).as("n"), round(sum("val"), 2).as("total"))
     }),
+    // q100: exact equi-depth decile binning (feature discretization).
+    // The naive form — ntile(10) over a GLOBAL window — funnels every
+    // row through one partition; the scale form used here groups by
+    // VALUE first (shuffle keyed on the value, partial-agg combinable),
+    // takes the running count over the value-ordered DISTINCT frame
+    // (window over |distinct values| rows, not |rows|), and assigns
+    // bin = (10·cum) div n in pure int64 — bit-exact in any engine, no
+    // float boundary. For continuous ~all-distinct columns at 100 TB
+    // the distinct frame degenerates to the row count; the production
+    // fallback is approx_percentile boundaries (q70's sketch) feeding
+    // the same bucketize step.
+    "q100_equidepth_bins" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val grouped = li.groupBy(col("l_quantity").as("val"))
+        .agg(count(lit(1)).as("cnt"))
+      val n = Window.orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grouped
+        .withColumn("cum", sum("cnt").over(n))
+        .withColumn("total", sum("cnt").over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .withColumn("bin", least(lit(9L), expr("(cum * 10) div total")))
+        .groupBy("bin")
+        .agg(sum("cnt").as("n_rows"),
+          round(min("val"), 2).as("lo"),
+          round(max("val"), 2).as("hi"))
+    }),
     // LATERAL correlated subquery with ORDER BY + LIMIT — top-k-per-
     // group expressed as the inner query the outer row parameterizes
     // (the form decorrelation rewrites into a ranked window; the gate
@@ -316,6 +346,26 @@ object RelationalQueries {
     "q95_lateral_topk" -> ((spark, sfDir) => {
       Tables.registerAll(spark, sfDir)
       spark.sql(lateralTopkSql)
+    }),
+    // q101: WITH RECURSIVE (Spark 4's UnionLoop execution) — the
+    // iterative-closure SQL surface. The hierarchy is derived from the
+    // data (parent = s_suppkey div 2, key 0 the root), so the gate
+    // needs no extra fixture; depth is bounded by log₂(max key), and
+    // each recursion step is one broadcast-sized join — the UNION-loop
+    // shape a catalog/BOM/org-chart query runs at any scale. Only the
+    // integer-division operator differs between engines (`div` / `//`).
+    "q101_recursive_cte" -> ((spark, sfDir) => {
+      Tables.registerAll(spark, sfDir)
+      spark.sql(
+        """WITH RECURSIVE h AS (
+             SELECT s_suppkey, 0 AS depth FROM supplier WHERE s_suppkey = 0
+             UNION ALL
+             SELECT s.s_suppkey, h.depth + 1
+             FROM supplier s JOIN h ON s.s_suppkey div 2 = h.s_suppkey
+             WHERE s.s_suppkey > 0)
+           SELECT depth, count(*) AS n,
+                  min(s_suppkey) AS lo, max(s_suppkey) AS hi
+           FROM h GROUP BY depth""")
     }),
     // time-bucketed aggregation over the events table (the ts column is
     // nanos in parquet; Tables.load derives a micros timestamp)
@@ -401,7 +451,30 @@ object RelationalQueries {
            SELECT 'l_tax', l_tax FROM lineitem)
          SELECT metric, count(*) AS n, round(sum(val), 2) AS total
          FROM u GROUP BY metric""",
-    "q95_lateral_topk" -> lateralTopkSql
+    "q95_lateral_topk" -> lateralTopkSql,
+    "q100_equidepth_bins" ->
+      """WITH g AS (SELECT l_quantity AS val, count(*) AS cnt
+                    FROM lineitem GROUP BY 1),
+            c AS (SELECT val, cnt,
+                         sum(cnt) OVER (ORDER BY val
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum,
+                         sum(cnt) OVER () AS total
+                  FROM g)
+         SELECT CAST(least(9, (cum * 10) // total) AS BIGINT) AS bin,
+                CAST(sum(cnt) AS BIGINT) AS n_rows,
+                round(min(val), 2) AS lo, round(max(val), 2) AS hi
+         FROM c GROUP BY 1""",
+    "q101_recursive_cte" ->
+      """WITH RECURSIVE h AS (
+           SELECT s_suppkey, 0 AS depth FROM supplier WHERE s_suppkey = 0
+           UNION ALL
+           SELECT s.s_suppkey, h.depth + 1
+           FROM supplier s JOIN h ON s.s_suppkey // 2 = h.s_suppkey
+           WHERE s.s_suppkey > 0)
+         SELECT depth, count(*) AS n,
+                min(s_suppkey) AS lo, max(s_suppkey) AS hi
+         FROM h GROUP BY depth"""
   )
 
   /** Rows-only checks: value is engine-specific (approximate sketch). */

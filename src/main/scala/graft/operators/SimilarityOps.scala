@@ -848,7 +848,64 @@ object SimilarityOps {
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS l2
        FROM embeddings"""
 
+  /** s12: the d×d covariance matrix of the embedding corpus — the
+    * aggregation PCA / whitening / ZCA all start from. ONE distributed
+    * pass, no self-join: each row's 64×64 outer product is generated in
+    * the scan projection by a double `posexplode` (row-local, no
+    * shuffle), then a single partial-agg-combinable groupBy(i, j) over
+    * a key space bounded by d² = 4096 — at 100 TB the shuffle carries
+    * at most d² partial sums per task regardless of corpus size. Per-
+    * dim means are a second d-sized agg joined back by broadcast. The
+    * eigen-solve on the resulting 4096-row frame is model-sized driver
+    * math by design (the [[ivfTopKTrained]] centroid-model
+    * discipline). cov = E[xᵢxⱼ] − E[xᵢ]E[xⱼ], rounded 6dp AFTER the
+    * identically-ordered double arithmetic in both engines (the
+    * [[bruteOracle]] convention; sum-order noise ~1e-16 only). */
+  def covariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val n = graft.sources.Tables.rowCount(spark, sfDir, "embeddings")
+      .toDouble
+    val e1 = all.select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+    val pairs = e1.select(col("i"), col("xi"),
+      posexplode(col("v")).as(Seq("j", "xj")))
+    val sums = pairs.groupBy("i", "j")
+      .agg(sum(col("xi") * col("xj")).as("sp"))
+    val means = e1.groupBy("i").agg(sum(col("xi")).as("si"))
+    sums
+      .join(broadcast(means.select(col("i"), col("si"))), "i")
+      .join(broadcast(means.select(col("i").as("j"), col("si").as("sj"))),
+        "j")
+      .select(col("i"), col("j"),
+        // + 0.0 canonicalizes the zero: a tiny negative that rounds to
+        // zero is -0.0 in DuckDB but +0.0 through Java's BigDecimal
+        // HALF_UP, and the gate hashes the sign bit
+        (round(col("sp") / n - (col("si") / n) * (col("sj") / n), 6)
+          + lit(0.0)).as("cov"))
+  }
+
+  val covarianceOracle: String =
+    """WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+       x AS (
+         SELECT vec_id, CAST(i AS INTEGER) AS i, v.v[i + 1] AS xi
+         FROM v, UNNEST(range(len(v.v))) AS u(i)),
+       sums AS (
+         SELECT a.i, b.i AS j, sum(a.xi * b.xi) AS sp
+         FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+       means AS (SELECT i, sum(xi) AS si FROM x GROUP BY i)
+       SELECT s.i, s.j,
+              round(s.sp / nn.n - (ma.si / nn.n) * (mb.si / nn.n), 6)
+                + 0.0 AS cov
+       FROM sums s
+       JOIN means ma ON ma.i = s.i
+       JOIN means mb ON mb.i = s.j, nn"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_embedding_covariance" ->
+      ((s: SparkSession, d: String) => covariance(s, d)),
     "s01_ann_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "s03_vector_norms" -> (norms _),
@@ -949,6 +1006,7 @@ object SimilarityOps {
      SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10"""
 
   def oracleSql: Map[String, String] = Map(
+    "s12_embedding_covariance" -> covarianceOracle,
     "s01_ann_brute" -> bruteOracle,
     "s03_vector_norms" -> normsOracle,
     "s04_ann_ivf" -> ivfOracle(2),

@@ -20,6 +20,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "audit" -> AuditOps.queries.keySet,
     "asof" -> AsofOps.queries.keySet,
     "range" -> RangeOps.queries.keySet,
+    "graph" -> GraphOps.queries.keySet,
     "curation" -> CurationOps.queries.keySet,
     "cdc" -> CdcOps.queries.keySet,
     "events" -> EventOps.queries.keySet,
@@ -54,7 +55,7 @@ class SparkEntrySpec extends AnyFunSuite {
   test("every oracle key has a query; every query is named canonically") {
     val stray = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(stray.isEmpty, s"oracles without a query (never run): $stray")
-    val pattern = "^[a-z][0-9]{2}[a-z]?_[a-z0-9_]+$".r
+    val pattern = "^[a-z][0-9]{2,3}[a-z]?_[a-z0-9_]+$".r
     val bad = SparkEntry.queries.keySet.filter(k =>
       pattern.findFirstIn(k).isEmpty)
     assert(bad.isEmpty, s"non-canonical query names: $bad")

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract tests for the graph family: PageRank mass conservation /
+  * symmetry / degree ordering on hand-built graphs, and exact triangle
+  * enumeration (once per triangle, credited to all corners) plus the
+  * mutual-kNN filter dropping one-directional neighbor pairs. */
+class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def undirected(pairs: Seq[(Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+  }
+
+  test("pagerank: star center outranks leaves; mass sums to ~1") {
+    // star: 0 - {1,2,3,4}
+    val pr = GraphOps.pagerankOn(
+        undirected(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(pr(0L) > pr(1L) * 2)
+    assert(Set(1L, 2L, 3L, 4L).map(pr).size == 1) // leaves identical
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)  // stochastic: mass kept
+  }
+
+  test("pagerank: 4-cycle is uniform at exactly 1/n") {
+    val pr = GraphOps.pagerankOn(
+        undirected(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))))
+      .collect().map(_.getDouble(1)).toSet
+    assert(pr == Set(0.25)) // regular graph: the fixpoint from it0 on
+  }
+
+  test("triangles: one triangle plus a dangling edge, counted once each") {
+    val s = spark
+    import s.implicits._
+    // oriented low->high: triangle {1,2,3} + edge (3,9)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)).toDF("a", "b")
+    val out = GraphOps.trianglesOn(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // 9 not in any
+  }
+
+  test("triangles: K4 has 3 per node (4 triangles, each corner in 3)") {
+    val s = spark
+    import s.implicits._
+    val k4 = (for { a <- 0L to 3L; b <- a + 1 to 3L } yield (a, b))
+      .toDF("a", "b")
+    val out = GraphOps.trianglesOn(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("mutual-kNN keeps only reciprocated pairs") {
+    val s = spark
+    import s.implicits._
+    // 2-d points: 0,1 coincident (mutual top-1); 2 far away, whose
+    // nearest is 0 but 0's top-1 is 1 -> (0,2) must NOT survive k=1
+    val vecs = Seq(
+      (0L, Seq(0.0, 1.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 0.1)))
+      .toDF("vec_id", "v")
+    val edges = GraphOps.mutualKnnEdgesOn(vecs, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((0L, 1L)))
+  }
+}

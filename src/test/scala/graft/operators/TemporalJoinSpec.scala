@@ -56,6 +56,37 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getLong(2) == 150L, "must join the ts=150 row")
   }
 
+  test("asof tolerance: a match farther than the bound is nulled") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 200L, "near"), (1L, 500L, "far"), (2L, 90L, "none"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 150L, 10.0), (2L, 95L, 30.0)).toDF("k", "ts", "v")
+    val out = AsofOps.asofJoin(left, right, "k", "ts", Seq("v"),
+        toleranceMicros = 100L)
+      .select("tag", "_asof_v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("near") == Some(10.0)) // gap 50 <= 100
+    assert(out("far") == None)        // gap 350 > 100 -> nulled
+    assert(out("none") == None)       // right row is later
+  }
+
+  test("asof forward: earliest following row, inclusive at equality") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 100L, "eq"), (1L, 160L, "mid"), (1L, 300L, "tail"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, 1.0), (1L, 150L, 2.0), (1L, 200L, 3.0))
+      .toDF("k", "ts", "v")
+    val out = AsofOps.asofJoin(left, right, "k", "ts", Seq("v"),
+        forward = true)
+      .select("tag", "_asof_v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("eq") == Some(1.0))   // equality is inclusive
+    assert(out("mid") == Some(3.0))  // next at-or-after 160
+    assert(out("tail") == None)      // nothing follows
+  }
+
   test("range join finds every pair when intervals span many bins") {
     val s = spark
     import s.implicits._
