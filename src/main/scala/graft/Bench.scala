@@ -65,8 +65,9 @@ object Bench {
     * binning, recursive CTE, tolerance/forward as-of). Baselines at
     * round 9; never touches the earlier series. */
   val headlineR9: Seq[String] = Seq(
-    "g01_pagerank", "g02_knn_triangles", "s12_embedding_covariance",
-    "c17_reservoir_sample", "q100_equidepth_bins", "q101_recursive_cte",
+    "g01_pagerank", "g02_knn_triangles", "g03_knn_components",
+    "s12_embedding_covariance", "c17_reservoir_sample",
+    "q100_equidepth_bins", "q101_recursive_cte",
     "q102_asof_tolerance", "q103_asof_forward")
 
   /** Bench-only variants (not gate entries — the gate form stays the

@@ -48,6 +48,7 @@ object GraphOps {
   private val Damping = 0.85
   private val PrIters = 5
   private val KnnK = 5
+  private val StrongCos = 0.4
 
   /** Fixed-iteration PageRank over a directed edge list (`src`,
     * `dst`). Nodes are the distinct edge endpoints (every node of an
@@ -78,24 +79,36 @@ object GraphOps {
 
   /** Mutual-kNN edges over a (vec_id, v: array&lt;double&gt;) frame:
     * (a, b) with a &lt; b iff each is in the other's top-`k` by rounded
-    * cosine (ties broken by neighbor id — the s01 rank convention). */
-  def mutualKnnEdgesOn(vecs: DataFrame, k: Int = KnnK): DataFrame = {
+    * cosine (ties broken by neighbor id — the s01 rank convention).
+    * `minCosine` additionally floors the edge strength (g03's
+    * strong-neighbor graph); cosine is exactly symmetric (same
+    * index-ordered fold both directions), so each unordered pair is
+    * scored ONCE and mirrored — half the kernel evaluations of the
+    * naive q≠c cross score, same ranks. */
+  def mutualKnnEdgesOn(vecs: DataFrame, k: Int = KnnK,
+      minCosine: Double = -1.0): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
-    val scored = vecs.as("q").join(vecs.as("c"),
-        col("q.vec_id") =!= col("c.vec_id"))
+    // barriered: the mirror union references it twice, and without the
+    // persist the 2M-kernel cosine pass would run once per reference
+    val half = Persists.barrier(vecs.as("q").join(vecs.as("c"),
+        col("q.vec_id") < col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
-        round(expr("graft_cosine(q.v, c.v)"), 4).as("cosine"))
+        round(expr("graft_cosine(q.v, c.v)"), 4).as("cosine")))
+    val scored = half.unionAll(half.select(
+      col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"),
+      col("cosine")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     val topk = Persists.barrier(scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id"))
+      .select("query_id", "neighbor_id", "cosine"))
     topk.as("f").join(topk.as("b"),
         col("f.query_id") === col("b.neighbor_id") &&
           col("f.neighbor_id") === col("b.query_id") &&
           col("f.query_id") < col("f.neighbor_id"))
+      .filter(col("f.cosine") >= minCosine)
       .select(col("f.query_id").as("a"), col("f.neighbor_id").as("b"))
   }
 
@@ -130,17 +143,38 @@ object GraphOps {
       .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
   }
 
+  private def embVecs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> ((spark: SparkSession, sfDir: String) => {
       pagerankOn(coPurchaseEdges(spark, sfDir))
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
-    "g02_knn_triangles" -> ((spark: SparkSession, sfDir: String) => {
-      graft.functions.GraftFunctions.register(spark)
-      val vecs = Tables.load(spark, sfDir, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-      trianglesOn(mutualKnnEdgesOn(vecs))
+    "g02_knn_triangles" -> ((spark: SparkSession, sfDir: String) =>
+      trianglesOn(mutualKnnEdgesOn(embVecs(spark, sfDir)))),
+    // g03: connected components of the same mutual-kNN graph — the
+    // cluster structure of the embedding space (near-dup neighborhoods,
+    // topic islands). Reuses the dedup family's label-propagation
+    // kernel ([[DedupOps.connectedComponents]]: iterate-to-fixpoint
+    // min-label with per-round lineage truncation), so the graph family
+    // and the dedup family can never drift on component semantics.
+    // the 0.4 cosine floor keeps only STRONG mutual neighbors: the
+    // unfloored k=5 graph on this corpus is one giant component
+    // (answer: trivially flat, label-prop rounds = graph diameter);
+    // floored, the components are the similarity neighborhoods (42
+    // clusters ≤8 wide at sf0.01) and propagation converges in
+    // O(cluster diameter) rounds
+    "g03_knn_components" -> ((spark: SparkSession, sfDir: String) => {
+      val edges = mutualKnnEdgesOn(embVecs(spark, sfDir),
+          minCosine = StrongCos)
+        .select(col("a").as("id_a"), col("b").as("id_b"))
+      DedupOps.connectedComponents(edges)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
     })
   )
 
@@ -178,10 +212,13 @@ object GraphOps {
     s"$base,\n$its\nSELECT node, round(pr, 6) AS pr FROM it$iters"
   }
 
-  def oracleSql: Map[String, String] = Map(
-    "g01_pagerank" -> pagerankOracle(PrIters),
-    "g02_knn_triangles" ->
-      s"""WITH v AS (
+  /** The mutual-kNN edge CTE block shared by the g02 and g03 oracles
+    * (one definition, the [[DedupOps.clusterCtes]] discipline): cosine
+    * per the s01 convention, rank over the rounded value, reciprocity
+    * filter, low→high orientation, optional strength floor (g03). */
+  private def knnEdgeCtes(minCosine: Option[Double]): String = {
+    val floor = minCosine.map(c => s" AND f.cosine >= $c").getOrElse("")
+    s"""v AS (
            SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
@@ -193,8 +230,8 @@ object GraphOps {
                         4) AS cosine
            FROM v q, v c WHERE q.vec_id <> c.vec_id),
          topk AS (
-           SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
+           SELECT query_id, neighbor_id, cosine FROM (
+             SELECT query_id, neighbor_id, cosine,
                     row_number() OVER (PARTITION BY query_id
                       ORDER BY cosine DESC, neighbor_id) AS rank
              FROM scored) WHERE rank <= $KnnK),
@@ -202,7 +239,13 @@ object GraphOps {
            SELECT f.query_id AS a, f.neighbor_id AS b
            FROM topk f JOIN topk b
              ON f.query_id = b.neighbor_id AND f.neighbor_id = b.query_id
-           WHERE f.query_id < f.neighbor_id),
+           WHERE f.query_id < f.neighbor_id$floor)"""
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "g01_pagerank" -> pagerankOracle(PrIters),
+    "g02_knn_triangles" ->
+      s"""WITH ${knnEdgeCtes(None)},
          tri AS (
            SELECT e1.a AS x, e1.b AS y, e2.b AS z
            FROM mutual e1
@@ -212,6 +255,15 @@ object GraphOps {
          FROM (SELECT x AS node FROM tri
                UNION ALL SELECT y FROM tri
                UNION ALL SELECT z FROM tri)
-         GROUP BY node"""
+         GROUP BY node""",
+    "g03_knn_components" ->
+      s"""WITH RECURSIVE ${knnEdgeCtes(Some(StrongCos))},
+         ge AS (SELECT a AS v, b AS u FROM mutual
+                UNION ALL SELECT b, a FROM mutual),
+         cc(v, lbl) AS (
+           SELECT v, v FROM (SELECT DISTINCT v FROM ge)
+           UNION
+           SELECT e.v, cc.lbl FROM ge e JOIN cc ON cc.v = e.u)
+         SELECT v AS vec_id, min(lbl) AS cluster_id FROM cc GROUP BY v"""
   )
 }

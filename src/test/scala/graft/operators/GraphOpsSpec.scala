@@ -69,6 +69,23 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("mutual-kNN cosine floor drops weak reciprocated pairs") {
+    val s = spark
+    import s.implicits._
+    // 0,1 near-identical (cosine ~1); 2,3 mutually nearest with
+    // cosine(2,3) = 0.4/1.04 ≈ 0.3846 < 0.4, orthogonal to 0,1
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(1.0, 0.01, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.2)), (3L, Seq(0.0, 0.2, 1.0)))
+      .toDF("vec_id", "v")
+    val strong = GraphOps.mutualKnnEdgesOn(vecs, k = 1, minCosine = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = GraphOps.mutualKnnEdgesOn(vecs, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong == Set((0L, 1L)))
+    assert((all -- strong).nonEmpty) // the weak pair existed unfloored
+  }
+
   test("mutual-kNN keeps only reciprocated pairs") {
     val s = spark
     import s.implicits._
