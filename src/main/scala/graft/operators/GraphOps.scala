@@ -95,6 +95,52 @@ object GraphOps {
       .select(col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
         round(expr("graft_cosine(q.v, c.v)"), 4).as("cosine")))
+    mutualFromHalfScored(half, k, minCosine)
+  }
+
+  /** Approximate mutual-kNN: candidate pairs from banded LSH buckets
+    * (the [[DedupOps]] blocking machinery — hot buckets capped, pair
+    * scored once) instead of the all-pairs cross score; ranks, the
+    * reciprocity filter, and the strength floor are the shared tail,
+    * so exact and approximate graphs differ ONLY in which pairs get
+    * scored. Recall is the standard LSH trade (grows with `tables`);
+    * missing a candidate can also PROMOTE a farther neighbor into a
+    * node's top-k, so near-1 recall still isn't identity — gate form
+    * is rows-only with [[KnnGraphRecallSpec]] pinning the bound. At
+    * corpus scale this is THE graph-construction shape: candidate
+    * work tracks bucket populations, never n². */
+  def mutualKnnEdgesApproxOn(vecs: DataFrame, corpusRows: Long,
+      k: Int = KnnK, minCosine: Double = -1.0,
+      tables: Int = 8, planes: Int = 8,
+      maxBucketFreq: Long = 5000): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val bucketed = Persists.barrier(vecs
+      .withColumn("sigs", expr(s"graft_lsh_sigs(v, $tables, $planes)"))
+      .select(col("vec_id"), col("v"),
+        posexplode(col("sigs")).as(Seq("t", "sig"))))
+    val cold = DedupOps.dropHotBuckets(bucketed, Seq("t", "sig"),
+      maxBucketFreq, Some(corpusRows))
+    val half = Persists.barrier(cold.as("q").join(cold.as("c"),
+        col("q.t") === col("c.t") && col("q.sig") === col("c.sig") &&
+          col("q.vec_id") < col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"))
+      .distinct()
+      .join(vecs.select(col("vec_id"), col("v").as("qv")),
+        col("query_id") === col("vec_id")).drop("vec_id")
+      .join(vecs.select(col("vec_id"), col("v").as("cv")),
+        col("neighbor_id") === col("vec_id")).drop("vec_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(expr("graft_cosine(qv, cv)"), 4).as("cosine")))
+    mutualFromHalfScored(half, k, minCosine)
+  }
+
+  /** Shared tail of the exact and approximate graph builders: mirror
+    * the once-scored half pairs, rank per query (rounded cosine desc,
+    * id tie-break — the s01 convention), keep reciprocated top-`k`
+    * pairs at least `minCosine` strong, oriented low→high. */
+  private def mutualFromHalfScored(
+      half: DataFrame, k: Int, minCosine: Double): DataFrame = {
     val scored = half.unionAll(half.select(
       col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"),
       col("cosine")))
@@ -150,6 +196,31 @@ object GraphOps {
         expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
   }
 
+  /** The strong mutual-kNN edge list materialized as an ingest
+    * artifact (the [[DedupOps.signatureTablePath]] discipline,
+    * idempotent per sfDir): at corpus scale the kNN graph is built
+    * once at ingest — via the LSH/IVF candidate generators — and every
+    * downstream graph analytic (components, triangles, per-node
+    * density) serves from the stored edges. Benched as `g03i`. */
+  def knnEdgesPath(spark: SparkSession, sfDir: String): String = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val dir = graft.sources.FsUtil.qualified("target/tmp/graph/knn_" +
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n$n")
+    if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS"))
+      mutualKnnEdgesOn(embVecs(spark, sfDir), minCosine = StrongCos)
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** [[queries]]' g03 serving from the pre-built edge artifact —
+    * result-identical (same edges), benched so the r9 series isn't
+    * dominated by rebuilding the kNN graph inside every run. */
+  def componentsFromEdges(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.connectedComponents(
+      spark.read.parquet(knnEdgesPath(spark, sfDir))
+        .select(col("a").as("id_a"), col("b").as("id_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> ((spark: SparkSession, sfDir: String) => {
       pagerankOn(coPurchaseEdges(spark, sfDir))
@@ -175,7 +246,19 @@ object GraphOps {
         .select(col("a").as("id_a"), col("b").as("id_b"))
       DedupOps.connectedComponents(edges)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
-    })
+    }),
+    // g04: the LSH-candidate graph builder — the shape that replaces
+    // g02/g03's exact all-pairs stage at corpus scale, targeting the
+    // STRONG graph (g03's consumer): hyperplane collision probability
+    // decays with angle, so a θ≈66° (cosine 0.4) edge collides in a
+    // 4-plane table with p≈0.16 and across 16 tables with p≈0.94,
+    // while the sub-floor edges the strong graph discards anyway are
+    // the ones LSH loses. Approximate → rows-only;
+    // KnnGraphRecallSpec pins strong-edge recall ≥ 0.8.
+    "g04_knn_graph_lsh" -> ((spark: SparkSession, sfDir: String) =>
+      mutualKnnEdgesApproxOn(embVecs(spark, sfDir),
+        Tables.rowCount(spark, sfDir, "embeddings"),
+        minCosine = StrongCos, tables = 16, planes = 4))
   )
 
   /** The PageRank oracle unrolls the fixed iterations as chained CTEs

@@ -42,7 +42,13 @@ object PlanAudit {
       "s11_ann_ivf_partitioned", "t14_cms_serve",
       "c12_decontam_bloom", "q90_bloom_skip", "d13_dedup_editdist",
       "c13_chunking", "q92_vacuum", "q93_time_travel", "q94_dq_audit",
-      "q95_lateral_topk", "q96_manifest_incremental", "q97_orc_source")
+      "q95_lateral_topk", "q96_manifest_incremental", "q97_orc_source",
+      // round-9 additions: the graph family, the covariance single
+      // pass, the scale-shaped binning/sampling, the as-of variants
+      "g01_pagerank", "g02_knn_triangles", "g03_knn_components",
+      "s12_embedding_covariance", "c17_reservoir_sample",
+      "q100_equidepth_bins", "q101_recursive_cte",
+      "q102_asof_tolerance", "q103_asof_forward")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

@@ -131,7 +131,38 @@ object ScaleProbe {
           """concat_ws(' ', transform(sequence(0, 199),
                j -> concat('w', pmod(xxhash64(id * 13 + j), 500))))
              AS text"""),
-        width = 64, stride = 48)))
+        width = 64, stride = 48)),
+      // g01: bounded-degree random digraph (8 out-edges/node) — each
+      // iteration is one edges⋈ranks join + groupBy, so the whole run
+      // should scale with |edges| (linear in n at fixed degree)
+      ("g01_pagerank", n => GraphOps.pagerankOn(
+        spark.range(n).selectExpr("id AS src",
+          s"explode(transform(sequence(0, 7), " +
+            s"j -> pmod(xxhash64(id, j), ${n}L))) AS dst"))),
+      // g02's triangle stage: oriented bounded-degree edges (8 forward
+      // neighbors per node) — the two-hop join fans out ≤deg² per
+      // node, so cost is linear in n at fixed degree
+      ("g02_triangles", n => GraphOps.trianglesOn(
+        spark.range(n).selectExpr("id AS a",
+          "explode(transform(sequence(1, 8), j -> id + j)) AS b"))),
+      // g03's component stage: 8-node star clusters — label propagation
+      // converges in O(cluster diameter) rounds independent of n, so
+      // the total is rounds × (one join + one agg), linear in n
+      ("g03_components", n => DedupOps.connectedComponents(
+        spark.range(n).selectExpr("id AS id_a", "id - id % 8 AS id_b")
+          .where("id_a <> id_b"))),
+      // s12: the covariance outer-product explode is d² rows per input
+      // row into a d²-bounded partial agg — linear in n at fixed d
+      ("s12_covariance", n => {
+        val vecs = vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v")
+        import org.apache.spark.sql.functions._
+        val e1 = vecs.select(col("v"),
+          posexplode(col("v")).as(Seq("i", "xi")))
+        e1.select(col("i"), col("xi"),
+            posexplode(col("v")).as(Seq("j", "xj")))
+          .groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("sp"))
+      }))
 
     println(f"${"operator"}%-24s ${"n1"}%8s ${"t1(s)"}%8s ${"rows1"}%9s " +
       f"${"n4"}%8s ${"t4(s)"}%8s ${"rows4"}%9s ${"ratio"}%6s")

@@ -69,6 +69,15 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("g03i edge-artifact serving equals the inline gate form") {
+    val sf = "/root/testdata/sf0.001"
+    val inline = GraphOps.queries("g03_knn_components")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = GraphOps.componentsFromEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inline.nonEmpty && inline == served)
+  }
+
   test("mutual-kNN cosine floor drops weak reciprocated pairs") {
     val s = spark
     import s.implicits._
