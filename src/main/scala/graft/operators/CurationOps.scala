@@ -257,6 +257,41 @@ object CurationOps {
       .filter(expr(stratFilterSql))
       .select("doc_id", "lang", "source")
 
+  // ------------------------------------------------- dedup-aware split
+  /** c18: NEAR-DUP-AWARE train/eval split — the leakage guard c01's
+    * content-hash split cannot give on its own: c01 keeps EXACT
+    * duplicates together (same text ⇒ same md5), but a near-duplicate
+    * pair hashes to opposite sides and the eval answer leaks into
+    * training. Here the split key is the near-dup CLUSTER
+    * representative ([[DedupOps.dedupClusters]] — the d08 components),
+    * so every member of a cluster lands on the SAME side; singletons
+    * split on themselves. Composition of two gated operators: one left
+    * join of the corpus against the (pair-covered-docs)-sized label
+    * frame, then the same first-hex-digit rule as c01 — no new
+    * machinery, no extra shuffle beyond the label join. At 100 TB the
+    * label frame is the incremental-dedup artifact the ingest already
+    * maintains (d12's delta discipline), not a per-split recompute. */
+  def dedupAwareSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val reps = DedupOps.dedupClusters(spark, sfDir)
+    docs(spark, sfDir).join(reps, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(substring(md5(col("rep").cast("string")), 1, 1)
+          .isin("0", "1"), "eval").otherwise("train"))
+      .select("doc_id", "rep", "split")
+  }
+
+  /** c18's oracle: the shared d08 component CTEs, then the same
+    * representative election + first-hex-digit rule. */
+  private def dedupAwareSplitOracle: String =
+    s"""WITH RECURSIVE ${DedupOps.clusterCtes},
+        comp AS (SELECT v, min(lbl) AS lbl FROM cc GROUP BY v)
+      SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS rep,
+             CASE WHEN substr(md5(CAST(coalesce(c.lbl, d.doc_id)
+                                       AS VARCHAR)), 1, 1) IN ('0', '1')
+                  THEN 'eval' ELSE 'train' END AS split
+      FROM documents d LEFT JOIN comp c ON c.v = d.doc_id"""
+
   // ------------------------------------------------------ reservoir
   /** c17: deterministic EXACT-k-per-group sampling — the fixed-budget
     * complement of c07's rate sampling (rate × group size drifts;
@@ -472,6 +507,8 @@ object CurationOps {
     "c07_sample_stratified" -> (sampleStratified _),
     "c17_reservoir_sample" ->
       ((s: SparkSession, d: String) => reservoirSample(s, d)),
+    "c18_dedup_aware_split" ->
+      ((s: SparkSession, d: String) => dedupAwareSplit(s, d)),
     "c11_epoch_shuffle" -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "c13_chunking" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "c14_negative_samples" ->
@@ -522,6 +559,7 @@ object CurationOps {
 
   def oracleSql: Map[String, String] = Map(
     "c17_reservoir_sample" -> reservoirOracle,
+    "c18_dedup_aware_split" -> dedupAwareSplitOracle,
     "c16_temperature_mix" -> {
       val h = graft.operators.PortableHash.packed(
         "'tmix' || 7 || ':' || doc_id")

@@ -903,7 +903,79 @@ object SimilarityOps {
        JOIN means ma ON ma.i = s.i
        JOIN means mb ON mb.i = s.j, nn"""
 
+  /** s13: Maximal-Marginal-Relevance re-rank — the serving-side
+    * diversification step between ANN retrieval and the consumer:
+    * greedily pick the candidate maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` so the k results
+    * cover the query's neighborhood instead of k copies of its densest
+    * cluster. Greedy selection is inherently sequential PER QUERY but
+    * embarrassingly parallel ACROSS queries, and the candidate set is
+    * the retrieval stage's bounded top-`fetchN` — so the distributed
+    * shape is: one ANN/exact retrieval (any s-series entry), vectors
+    * carried, then `groupByKey(query).mapGroups` doing k·fetchN·dim
+    * scalar work per query. No cross-query state, no shuffle beyond
+    * the retrieval's own. Deterministic (fixed iteration order, ties
+    * by candidate id) but engine-specific float accumulation → rows-
+    * only gate entry; MmrRerankSpec pins λ=1 ≡ plain top-k, the
+    * diversification contract, and determinism. */
+  def mmrRerank(spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, fetchN: Int = 50, k: Int = 10,
+      lambda: Double = 0.7): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val cands = exactTopK(all, all.filter(col("vec_id") < nQueries),
+      fetchN, extra = Seq("v"))
+    mmrRerankOn(cands, k, lambda)
+  }
+
+  /** [[mmrRerank]]'s re-rank stage over any (query_id, neighbor_id,
+    * cosine, v) candidate frame — fixture-injectable. */
+  def mmrRerankOn(cands: DataFrame, k: Int, lambda: Double): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val typed = cands
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("v"))
+      .as[(Long, Long, Double, Seq[Double])]
+    typed.groupByKey(_._1).flatMapGroups { (q, it) =>
+      // candidates arrive in retrieval-rank order per group; sort by
+      // (cosine desc, id) anyway so the selection never depends on
+      // upstream partitioning
+      val cs = it.toArray.sortBy(c => (-c._3, c._2))
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def dot(a: Seq[Double], b: Seq[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      }
+      def cos(a: Seq[Double], b: Seq[Double]): Double =
+        dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+      while (sel.size < math.min(k, cs.length)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cs.length) {
+          if (!sel.contains(i)) {
+            val rel = cs(i)._3
+            var red = 0.0
+            sel.foreach { j =>
+              red = math.max(red, cos(cs(i)._4, cs(j)._4)) }
+            val score = lambda * rel - (1.0 - lambda) * red
+            // strict > with ascending scan = ties to the (cosine, id)-
+            // first candidate: deterministic
+            if (score > bestScore) { bestScore = score; best = i }
+          }
+          i += 1
+        }
+        sel += best
+      }
+      // cosine arrives already 4dp-rounded from the retrieval stage
+      sel.iterator.zipWithIndex.map { case (i, rank) =>
+        (q, rank + 1, cs(i)._2, cs(i)._3)
+      }
+    }.toDF("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_mmr_rerank" ->
+      ((s: SparkSession, d: String) => mmrRerank(s, d)),
     "s12_embedding_covariance" ->
       ((s: SparkSession, d: String) => covariance(s, d)),
     "s01_ann_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),

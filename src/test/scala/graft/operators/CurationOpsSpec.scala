@@ -190,4 +190,21 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(sawOverlap, "fixture must contain at least one multi-chunk doc")
   }
+
+  test("c18: no near-dup pair straddles the train/eval split") {
+    val sf = "/root/testdata/sf0.001"
+    val split = CurationOps.dedupAwareSplit(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // the same pair set the cluster labels were built from
+    val pairs = DedupOps.minhashPortable(spark, sf, threshold = 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dup pair ($a,$b) split across ${split(a)}/${split(b)}")
+    }
+    // both sides populated (the 2/16 hex rule keeps eval ~12.5%)
+    assert(split.values.toSet == Set("train", "eval"))
+  }
 }
