@@ -57,9 +57,13 @@ object GraphOps {
     * add one). Returns (node, pr) with pr rounded to 9 dp. */
   def pagerankOn(edges: DataFrame, iters: Int = PrIters,
       damping: Double = Damping): DataFrame = {
-    val e = Persists.barrier(edges.select("src", "dst"))
+    val e0 = edges.select("src", "dst")
     val deg = Persists.barrier(
-      e.groupBy("src").agg(count(lit(1)).as("deg")))
+      e0.groupBy("src").agg(count(lit(1)).as("deg")))
+    // degree folded INTO the persisted edge frame once — each superstep
+    // is then a single ranks join instead of re-joining the degree
+    // table every round
+    val e = Persists.barrier(e0.join(deg, "src"))
     // node count: one driver-side long — the same bounded scalar fetch
     // every PR implementation does to size the teleport term
     val n = deg.count().toDouble
@@ -68,7 +72,6 @@ object GraphOps {
       round(lit(1.0 / n), 9).as("pr"))
     for (_ <- 1 to iters) {
       pr = e.join(pr, e("src") === pr("node"))
-        .join(deg, "src")
         .groupBy(col("dst"))
         .agg(round(lit(teleport) +
           lit(damping) * sum(col("pr") / col("deg")), 9).as("pr"))
