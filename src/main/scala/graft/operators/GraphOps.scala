@@ -8,7 +8,11 @@ import graft.sources.Tables
 /** Graph analytics over relation-derived graphs — the link-structure
   * signals a large-scale curation pipeline computes beside its content
   * signals (domain authority for crawl corpora, neighborhood density
-  * for embedding spaces). Two operators:
+  * for embedding spaces). Four entries: PageRank (g01), mutual-kNN
+  * triangle counting (g02), strong-graph connected components (g03,
+  * via the shared dedup label-propagation kernel), and the LSH
+  * candidate graph builder (g04) that replaces the exact all-pairs
+  * stage at corpus scale. The first two in detail:
   *
   *  - PageRank (fixed-iteration power method) on the bipartite
   *    customer↔supplier co-purchase graph. Each iteration is ONE

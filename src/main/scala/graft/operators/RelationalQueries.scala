@@ -367,8 +367,8 @@ object RelationalQueries {
                   min(s_suppkey) AS lo, max(s_suppkey) AS hi
            FROM h GROUP BY depth""")
     }),
-    // time-bucketed aggregation over the events table (the ts column is
-    // nanos in parquet; Tables.load derives a micros timestamp)
+    // time-bucketed aggregation over the events table (Tables.load
+    // normalizes ts to a micros timestamp across testdata generations)
     "q26_events_daily" -> ((spark, sfDir) => {
       import org.apache.spark.sql.functions._
       Tables.load(spark, sfDir, "events")

@@ -27,6 +27,16 @@ object ScaleProbe {
       """transform(sequence(0, 15),
            j -> pmod(xxhash64(id, j), 1000) / 500.0d - 1.0d) AS embedding""")
 
+  /** Clustered 16-dim vectors: 8-doc near-dup groups (cluster center
+    * from the group id, small per-doc noise), so intra-group cosine is
+    * high and the group COUNT grows with n — the corpus shape where a
+    * near-dup graph is meaningful and LSH candidates are local. */
+  private def clusteredVecsN(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).selectExpr("id AS vec_id",
+      """transform(sequence(0, 15),
+           j -> pmod(xxhash64(id div 8, j), 1000) / 500.0d - 1.0d
+                + pmod(xxhash64(id, j), 100) / 1000.0d) AS v""")
+
   private def timed(f: => DataFrame): (Double, Long) = {
     val t0 = System.nanoTime()
     var rows = 0L
@@ -151,6 +161,22 @@ object ScaleProbe {
       ("g03_components", n => DedupOps.connectedComponents(
         spark.range(n).selectExpr("id AS id_a", "id - id % 8 AS id_b")
           .where("id_a <> id_b"))),
+      // the graph-builder CONTRAST (small base — the exact form is
+      // O(n²) by design): exact all-pairs lands near 16× at 4× the
+      // corpus; the LSH candidate form, WITH the d05 knob (2^planes ∝
+      // n so bucket population stays constant), tracks the corpus.
+      // Clustered vectors (8-doc near-dup groups, cluster COUNT grows
+      // with n) — the realistic corpus shape; on hash-uniform vectors
+      // strong edges are locality-free accidents and no sublinear
+      // candidate generator can find them (first probe of this pair
+      // measured exactly that: fixed-planes LSH = 15.7×, quadratic)
+      ("gx_exact_graph", n => GraphOps.mutualKnnEdgesOn(
+        clusteredVecsN(spark, n), minCosine = 0.4)),
+      ("gx_lsh_scaled", n => GraphOps.mutualKnnEdgesApproxOn(
+        clusteredVecsN(spark, n),
+        corpusRows = n, minCosine = 0.4, tables = 16,
+        planes = if (n >= 10000) 6 else 4,
+        maxBucketFreq = 2000)),
       // s12: the covariance outer-product explode is d² rows per input
       // row into a d²-bounded partial agg — linear in n at fixed d
       ("s12_covariance", n => {
@@ -169,7 +195,10 @@ object ScaleProbe {
     probes.foreach { case (name, build) =>
       val vectorOp = name.startsWith("d05") || name.startsWith("s02") ||
         name.startsWith("s04") || name.startsWith("s08")
-      val base = if (vectorOp) 25000L else 10000L
+      // the gx contrast pair includes a deliberately-quadratic exact
+      // form — probe it at a base where 16x is affordable
+      val base = if (name.startsWith("gx")) 2500L
+        else if (vectorOp) 25000L else 10000L
       // warm-up at EACH measured size: a probe whose 4x run compiles a
       // different plan (d05_planes_scaled switches planes at n=100k)
       // would otherwise fold fresh codegen cost into t4 and inflate the
