@@ -196,12 +196,10 @@ object GraphOps {
       .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
   }
 
-  private def embVecs(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-  }
+  /** The s-family's shared double-cast projection — one definition,
+    * so graph-family cosines can never drift from s01's. */
+  private def embVecs(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.vecs(spark, sfDir)
 
   /** The strong mutual-kNN edge list materialized as an ingest
     * artifact (the [[DedupOps.signatureTablePath]] discipline,

@@ -29,7 +29,11 @@ object SimilarityOps {
   /** (vec_id, v) only — `label` stays OUT of the shared projection so
     * every ANN scan that doesn't filter on it prunes the column at the
     * parquet reader (PlanAudit ReadSchema); s07 adds it explicitly. */
-  private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared across the s- and g-families (one definition of the
+    * double-cast projection, so cosines can never drift between
+    * them). */
+  private[operators] def vecs(
+      spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"),
@@ -861,11 +865,18 @@ object SimilarityOps {
     * discipline). cov = E[xᵢxⱼ] − E[xᵢ]E[xⱼ], rounded 6dp AFTER the
     * identically-ordered double arithmetic in both engines (the
     * [[bruteOracle]] convention; sum-order noise ~1e-16 only). */
-  def covariance(spark: SparkSession, sfDir: String): DataFrame = {
-    val all = vecs(spark, sfDir)
-    val n = graft.sources.Tables.rowCount(spark, sfDir, "embeddings")
-      .toDouble
-    val e1 = all.select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+  def covariance(spark: SparkSession, sfDir: String): DataFrame =
+    covarianceOn(vecs(spark, sfDir),
+      graft.sources.Tables.rowCount(spark, sfDir, "embeddings").toDouble)
+
+  /** [[covariance]] over any (vec_id, v: array&lt;double&gt;) frame with
+    * `n` rows — fixture-injectable (spec + ScaleProbe share this exact
+    * pipeline with the gate). */
+  def covarianceOn(all: DataFrame, n: Double): DataFrame = {
+    // barriered: sums and means both consume the first explode — one
+    // scan + posexplode pass, not one per aggregate
+    val e1 = Persists.barrier(all
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi"))))
     val pairs = e1.select(col("i"), col("xi"),
       posexplode(col("v")).as(Seq("j", "xj")))
     val sums = pairs.groupBy("i", "j")
@@ -941,30 +952,43 @@ object SimilarityOps {
       // (cosine desc, id) anyway so the selection never depends on
       // upstream partitioning
       val cs = it.toArray.sortBy(c => (-c._3, c._2))
-      val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
       def dot(a: Seq[Double], b: Seq[Double]): Double = {
         var s = 0.0; var i = 0
         while (i < a.length) { s += a(i) * b(i); i += 1 }; s
       }
-      def cos(a: Seq[Double], b: Seq[Double]): Double =
-        dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+      // zero-norm guard: a degenerate (all-zero) vector scores 0
+      // redundancy instead of NaN — NaN would compare false against
+      // every candidate and push the selection index to -1
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val nn = dot(a, a) * dot(b, b)
+        if (nn == 0.0) 0.0 else dot(a, b) / math.sqrt(nn)
+      }
+      // standard incremental MMR: maxRed(i) = max cosine of candidate
+      // i against the selected set so far, refreshed only against the
+      // newest pick — O(k·fetchN·dim), not O(k²·fetchN·dim)
+      val taken = new Array[Boolean](cs.length)
+      val maxRed = new Array[Double](cs.length)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
       while (sel.size < math.min(k, cs.length)) {
         var best = -1; var bestScore = Double.NegativeInfinity
         var i = 0
         while (i < cs.length) {
-          if (!sel.contains(i)) {
-            val rel = cs(i)._3
-            var red = 0.0
-            sel.foreach { j =>
-              red = math.max(red, cos(cs(i)._4, cs(j)._4)) }
-            val score = lambda * rel - (1.0 - lambda) * red
+          if (!taken(i)) {
+            val score = lambda * cs(i)._3 - (1.0 - lambda) * maxRed(i)
             // strict > with ascending scan = ties to the (cosine, id)-
             // first candidate: deterministic
             if (score > bestScore) { bestScore = score; best = i }
           }
           i += 1
         }
+        taken(best) = true
         sel += best
+        var j = 0
+        while (j < cs.length) {
+          if (!taken(j)) maxRed(j) =
+            math.max(maxRed(j), cos(cs(j)._4, cs(best)._4))
+          j += 1
+        }
       }
       // cosine arrives already 4dp-rounded from the retrieval stage
       sel.iterator.zipWithIndex.map { case (i, rank) =>

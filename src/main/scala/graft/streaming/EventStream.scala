@@ -39,9 +39,17 @@ object EventStream {
     // (surfaces as LONG nanos under the legacy conf) vs
     // TIMESTAMP(MICROS) (surfaces as NTZ; the LONG stream schema then
     // reads the raw INT64 micros). Either way the stream carries int64
-    // and the projection below normalizes to a micros timestamp.
-    val physical = spark.read.option("pathGlobFilter", glob)
-      .parquet(dir).schema("ts").dataType
+    // and the projection below normalizes to a micros timestamp. An
+    // EMPTY source directory (stream defined before the first file
+    // lands — the file-source pattern the explicit schema supports)
+    // has no footer to sniff: assume the current micros generation.
+    val physical =
+      try spark.read.option("pathGlobFilter", glob)
+        .parquet(dir).schema("ts").dataType
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          org.apache.spark.sql.types.TimestampNTZType
+      }
     val micros = physical match {
       case org.apache.spark.sql.types.LongType => "ts div 1000"
       case _                                   => "ts"

@@ -179,16 +179,11 @@ object ScaleProbe {
         maxBucketFreq = 2000)),
       // s12: the covariance outer-product explode is d² rows per input
       // row into a d²-bounded partial agg — linear in n at fixed d
-      ("s12_covariance", n => {
-        val vecs = vecsN(spark, n).selectExpr("vec_id",
-          "transform(embedding, x -> cast(x AS DOUBLE)) AS v")
-        import org.apache.spark.sql.functions._
-        val e1 = vecs.select(col("v"),
-          posexplode(col("v")).as(Seq("i", "xi")))
-        e1.select(col("i"), col("xi"),
-            posexplode(col("v")).as(Seq("j", "xj")))
-          .groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("sp"))
-      }))
+      // (the gate's own pipeline via the fixture-injectable form)
+      ("s12_covariance", n => SimilarityOps.covarianceOn(
+        vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
+        n.toDouble)))
 
     println(f"${"operator"}%-24s ${"n1"}%8s ${"t1(s)"}%8s ${"rows1"}%9s " +
       f"${"n4"}%8s ${"t4(s)"}%8s ${"rows4"}%9s ${"ratio"}%6s")

@@ -34,20 +34,8 @@ class CovarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L, Seq(1.0, 2.0)), (1L, Seq(2.0, 4.0)), (2L, Seq(3.0, 6.0)))
       .toDF("vec_id", "v")
 
-    // the covariance() gate entry is bound to the embeddings table;
-    // replicate its aggregation inline over the fixture (same ops)
-    import org.apache.spark.sql.functions._
-    val n = 3.0
-    val e1 = vecs.select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
-    val pairs = e1.select(col("i"), col("xi"),
-      posexplode(col("v")).as(Seq("j", "xj")))
-    val sums = pairs.groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("sp"))
-    val means = e1.groupBy("i").agg(sum(col("xi")).as("si"))
-    val cov = sums
-      .join(means.select(col("i"), col("si")), "i")
-      .join(means.select(col("i").as("j"), col("si").as("sj")), "j")
-      .select(col("i"), col("j"),
-        round(col("sp") / n - (col("si") / n) * (col("sj") / n), 6).as("cov"))
+    // the gate's own pipeline via the fixture-injectable form
+    val cov = SimilarityOps.covarianceOn(vecs, n = 3.0)
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
 

@@ -27,12 +27,7 @@ class KnnGraphRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def vecs = {
-    graft.functions.GraftFunctions.register(spark)
-    graft.sources.Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-  }
+  private def vecs = SimilarityOps.vecs(spark, sfDir)
 
   test("LSH strong-edge recall >= 0.8 against the exact strong graph") {
     // the g04 configuration: strong edges only (cosine >= 0.4), short

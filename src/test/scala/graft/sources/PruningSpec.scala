@@ -39,8 +39,9 @@ class PruningSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fact scan must carry a dynamic pruning subquery")
     // `df.inputFiles` is computed from the STATIC relation and always
     // lists all five lang dirs; runtime pruning only shows in the
-    // executed scan's metrics. The fixture has 5 single-file partitions
-    // and the dim keeps en/de, so a pruned scan reads exactly 2 files.
+    // executed scan's metrics. Assert on pruned PARTITION count (en,
+    // de of 5 langs) — a file count would couple the test to the
+    // fixture writer emitting exactly one file per partition.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -53,8 +54,9 @@ class PruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     val factScan = allScans(df.queryExecution.executedPlan)
       .filter(_.toString.contains("documents_by_lang_dpp"))
     assert(factScan.nonEmpty, "fact FileSourceScanExec not found")
-    val numFiles = factScan.head.metrics("numFiles").value
-    assert(numFiles == 2, s"expected 2 pruned fact files, read $numFiles")
+    val numParts = factScan.head.metrics("numPartitions").value
+    assert(numParts == 2,
+      s"expected 2 pruned fact partitions (en, de), read $numParts")
   }
 
   test("V2 parquet reader answers min/max/count from footer metadata") {
