@@ -28,11 +28,11 @@ object SimilarityOps {
 
   /** (vec_id, v) only — `label` stays OUT of the shared projection so
     * every ANN scan that doesn't filter on it prunes the column at the
-    * parquet reader (PlanAudit ReadSchema); s07 adds it explicitly. */
-  /** Shared across the s- and g-families (one definition of the
-    * double-cast projection, so cosines can never drift between
-    * them). */
-  private[operators] def vecs(
+    * parquet reader (PlanAudit ReadSchema); s07 adds it explicitly.
+    * Shared across the s- and g-families and the probe tools (one
+    * definition of the double-cast projection, so cosines can never
+    * drift between them). */
+  private[graft] def vecs(
       spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, sfDir, "embeddings")
