@@ -66,8 +66,8 @@ object Bench {
     * round 9; never touches the earlier series. */
   val headlineR9: Seq[String] = Seq(
     "g01_pagerank", "g02_knn_triangles", "g03i_knn_components",
-    "s12_embedding_covariance", "c17_reservoir_sample",
-    "q100_equidepth_bins", "q101_recursive_cte",
+    "g05_personalized_pagerank", "s12_embedding_covariance",
+    "c17_reservoir_sample", "q100_equidepth_bins", "q101_recursive_cte",
     "q102_asof_tolerance", "q103_asof_forward")
 
   /** Bench-only variants (not gate entries — the gate form stays the

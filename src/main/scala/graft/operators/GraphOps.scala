@@ -84,6 +84,45 @@ object GraphOps {
     pr
   }
 
+  /** PERSONALIZED PageRank: teleport mass restricted to a seed set —
+    * the trusted-seed authority signal (seed known-good domains, rank
+    * flows to what they co-occur with; the crawl-curation use of PR).
+    * Same superstep shape as [[pagerankOn]] — one ranks join + one
+    * partial-agg groupBy per iteration over the degree-folded
+    * persisted edges — plus a node-sized seed-flag broadcast join per
+    * iteration for the teleport CASE. Seeds outside the graph carry no
+    * mass (intersected with the node set first, both engines).
+    * Unreachable nodes legitimately hold pr = 0. */
+  def personalizedPagerankOn(edges: DataFrame, seeds: DataFrame,
+      iters: Int = PrIters, damping: Double = Damping): DataFrame = {
+    val e0 = edges.select("src", "dst")
+    val deg = Persists.barrier(
+      e0.groupBy("src").agg(count(lit(1)).as("deg")))
+    val e = Persists.barrier(e0.join(deg, "src"))
+    val nodes = deg.select(col("src").as("node"))
+    val s = Persists.barrier(
+      nodes.join(seeds.select(col("node")).distinct(), "node")
+        .withColumn("seed", lit(1)))
+    val nS = s.count().toDouble
+    val teleport = (1.0 - damping) / nS
+    def withSeedFlag(df: DataFrame): DataFrame =
+      df.join(broadcast(s), Seq("node"), "left")
+    var pr = withSeedFlag(nodes)
+      .select(col("node"), round(when(col("seed") === 1,
+        lit(1.0 / nS)).otherwise(lit(0.0)), 9).as("pr"))
+    for (_ <- 1 to iters) {
+      val m = e.join(pr, e("src") === pr("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("deg")).as("m"))
+        .withColumnRenamed("dst", "node")
+      pr = withSeedFlag(m)
+        .select(col("node"), round(
+          when(col("seed") === 1, lit(teleport)).otherwise(lit(0.0)) +
+            lit(damping) * col("m"), 9).as("pr"))
+    }
+    pr
+  }
+
   /** Mutual-kNN edges over a (vec_id, v: array&lt;double&gt;) frame:
     * (a, b) with a &lt; b iff each is in the other's top-`k` by rounded
     * cosine (ties broken by neighbor id — the s01 rank convention).
@@ -252,6 +291,17 @@ object GraphOps {
       DedupOps.connectedComponents(edges)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }),
+    // g05: personalized PageRank from nation-0 customers — authority
+    // flowing from a trusted seed set through co-purchase links; the
+    // supplier ranks answer "which suppliers do trusted customers
+    // concentrate on" (the crawl-curation domain-authority shape)
+    "g05_personalized_pagerank" -> ((spark: SparkSession, sfDir: String) => {
+      val seeds = Tables.load(spark, sfDir, "customer")
+        .filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      personalizedPagerankOn(coPurchaseEdges(spark, sfDir), seeds)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+    }),
     // g04: the LSH-candidate graph builder — the shape that replaces
     // g02/g03's exact all-pairs stage at corpus scale, targeting the
     // STRONG graph (g03's consumer): hyperplane collision probability
@@ -330,8 +380,53 @@ object GraphOps {
            WHERE f.query_id < f.neighbor_id$floor)"""
   }
 
+  /** g05's oracle: the g01 CTE prefix plus a seed set and a CASE
+    * teleport — every arithmetic step mirrors the Spark expression
+    * order (the [[pagerankOracle]] discipline). */
+  private def personalizedPagerankOracle(iters: Int): String = {
+    val base =
+      """WITH pairs AS (
+           SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (
+           SELECT cn AS src, sn AS dst FROM pairs
+           UNION ALL
+           SELECT sn AS src, cn AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         nodes AS (SELECT src AS node FROM deg),
+         seeds AS (
+           SELECT n.node FROM nodes n
+           JOIN customer c ON n.node = c.c_custkey * 2
+           WHERE c.c_nationkey = 0),
+         ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+         it0 AS (
+           SELECT n.node,
+                  round(CASE WHEN s.node IS NOT NULL
+                             THEN CAST(1.0 AS DOUBLE) / ns.n
+                             ELSE CAST(0.0 AS DOUBLE) END, 9) AS pr
+           FROM nodes n LEFT JOIN seeds s ON s.node = n.node, ns)"""
+    val its = (1 to iters).map { i =>
+      s"""m$i AS (
+           SELECT e.dst AS node, sum(p.pr / d.deg) AS m
+           FROM edges e
+           JOIN it${i - 1} p ON e.src = p.node
+           JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+         it$i AS (
+           SELECT m.node,
+                  round(CASE WHEN s.node IS NOT NULL
+                             THEN (CAST(1.0 AS DOUBLE) -
+                                   CAST($Damping AS DOUBLE)) / ns.n
+                             ELSE CAST(0.0 AS DOUBLE) END +
+                        CAST($Damping AS DOUBLE) * m.m, 9) AS pr
+           FROM m$i m LEFT JOIN seeds s ON s.node = m.node, ns)"""
+    }.mkString(",\n")
+    s"$base,\n$its\nSELECT node, round(pr, 6) AS pr FROM it$iters"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "g01_pagerank" -> pagerankOracle(PrIters),
+    "g05_personalized_pagerank" -> personalizedPagerankOracle(PrIters),
     "g02_knn_triangles" ->
       s"""WITH ${knnEdgeCtes(None)},
          tri AS (

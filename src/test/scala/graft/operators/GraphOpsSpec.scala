@@ -49,6 +49,23 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pr == Set(0.25)) // regular graph: the fixpoint from it0 on
   }
 
+  test("personalized pagerank: mass flows from the seed, unreachable = 0") {
+    val s = spark
+    import s.implicits._
+    // a triangle {0,1,2} (odd cycle -> aperiodic, converges) plus a
+    // disjoint pair {8,9}; seed = node 0. (A bare 2-clique is
+    // bipartite: the rank oscillates with period 2 and the seed can
+    // legitimately hold LESS mass on odd phases.)
+    val edges = undirected(Seq((0L, 1L), (1L, 2L), (0L, 2L), (8L, 9L)))
+    val seeds = Seq(Tuple1(0L)).toDF("node")
+    val pr = GraphOps.personalizedPagerankOn(edges, seeds)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(0L) > pr(1L) && pr(1L) > 0.0) // seed holds teleport mass
+    assert(pr(1L) == pr(2L))                // symmetric non-seeds
+    assert(pr(8L) == 0.0 && pr(9L) == 0.0)  // unreachable component
+    assert(pr.values.sum <= 1.0 + 1e-6)
+  }
+
   test("triangles: one triangle plus a dangling edge, counted once each") {
     val s = spark
     import s.implicits._
