@@ -8,11 +8,12 @@ import graft.sources.Tables
 /** Graph analytics over relation-derived graphs — the link-structure
   * signals a large-scale curation pipeline computes beside its content
   * signals (domain authority for crawl corpora, neighborhood density
-  * for embedding spaces). Four entries: PageRank (g01), mutual-kNN
+  * for embedding spaces). Five entries: PageRank (g01), mutual-kNN
   * triangle counting (g02), strong-graph connected components (g03,
-  * via the shared dedup label-propagation kernel), and the LSH
-  * candidate graph builder (g04) that replaces the exact all-pairs
-  * stage at corpus scale. The first two in detail:
+  * via the shared dedup label-propagation kernel), the LSH candidate
+  * graph builder (g04) that replaces the exact all-pairs stage at
+  * corpus scale, and personalized PageRank from a trusted seed set
+  * (g05). The first two in detail:
   *
   *  - PageRank (fixed-iteration power method) on the bipartite
   *    customer↔supplier co-purchase graph. Each iteration is ONE
@@ -59,15 +60,21 @@ object GraphOps {
     * undirected graph has both in- and out-edges, so no dangling-mass
     * term is needed — callers feeding directed graphs with sinks must
     * add one). Returns (node, pr) with pr rounded to 9 dp. */
-  def pagerankOn(edges: DataFrame, iters: Int = PrIters,
-      damping: Double = Damping): DataFrame = {
+  /** The shared PR prologue: degree folded INTO the persisted edge
+    * frame once — each superstep is then a single ranks join instead
+    * of re-joining the degree table every round. Returns (folded
+    * edges, degree frame), both barriered. */
+  private def degreeFoldedEdges(
+      edges: DataFrame): (DataFrame, DataFrame) = {
     val e0 = edges.select("src", "dst")
     val deg = Persists.barrier(
       e0.groupBy("src").agg(count(lit(1)).as("deg")))
-    // degree folded INTO the persisted edge frame once — each superstep
-    // is then a single ranks join instead of re-joining the degree
-    // table every round
-    val e = Persists.barrier(e0.join(deg, "src"))
+    (Persists.barrier(e0.join(deg, "src")), deg)
+  }
+
+  def pagerankOn(edges: DataFrame, iters: Int = PrIters,
+      damping: Double = Damping): DataFrame = {
+    val (e, deg) = degreeFoldedEdges(edges)
     // node count: one driver-side long — the same bounded scalar fetch
     // every PR implementation does to size the teleport term
     val n = deg.count().toDouble
@@ -95,15 +102,15 @@ object GraphOps {
     * Unreachable nodes legitimately hold pr = 0. */
   def personalizedPagerankOn(edges: DataFrame, seeds: DataFrame,
       iters: Int = PrIters, damping: Double = Damping): DataFrame = {
-    val e0 = edges.select("src", "dst")
-    val deg = Persists.barrier(
-      e0.groupBy("src").agg(count(lit(1)).as("deg")))
-    val e = Persists.barrier(e0.join(deg, "src"))
+    val (e, deg) = degreeFoldedEdges(edges)
     val nodes = deg.select(col("src").as("node"))
     val s = Persists.barrier(
       nodes.join(seeds.select(col("node")).distinct(), "node")
         .withColumn("seed", lit(1)))
     val nS = s.count().toDouble
+    require(nS > 0,
+      "personalizedPagerankOn: no seed intersects the graph's node " +
+        "set — teleport mass would be 0/0 (Inf/NaN ranks)")
     val teleport = (1.0 - damping) / nS
     def withSeedFlag(df: DataFrame): DataFrame =
       df.join(broadcast(s), Seq("node"), "left")

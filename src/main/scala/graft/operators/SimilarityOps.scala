@@ -931,11 +931,17 @@ object SimilarityOps {
     * diversification contract, and determinism. */
   def mmrRerank(spark: SparkSession, sfDir: String,
       nQueries: Int = 5, fetchN: Int = 50, k: Int = 10,
-      lambda: Double = 0.7): DataFrame = {
+      lambda: Double = 0.7): DataFrame =
+    mmrRerankOn(mmrCandidates(spark, sfDir, nQueries, fetchN), k, lambda)
+
+  /** The λ-independent retrieval stage of [[mmrRerank]] — exposed so a
+    * λ sweep ([[graft.tools.MmrSweep]]) fetches once and re-ranks
+    * many times. */
+  private[graft] def mmrCandidates(spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, fetchN: Int = 50): DataFrame = {
     val all = vecs(spark, sfDir)
-    val cands = exactTopK(all, all.filter(col("vec_id") < nQueries),
+    exactTopK(all, all.filter(col("vec_id") < nQueries),
       fetchN, extra = Seq("v"))
-    mmrRerankOn(cands, k, lambda)
   }
 
   /** [[mmrRerank]]'s re-rank stage over any (query_id, neighbor_id,

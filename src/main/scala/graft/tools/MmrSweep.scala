@@ -28,12 +28,17 @@ object MmrSweep {
       d / math.sqrt(na * nb)
     }
 
+    // the retrieval stage is lambda-independent: fetch once, persist,
+    // sweep only the re-rank
+    val cands = graft.operators.SimilarityOps
+      .mmrCandidates(spark, sfDir).persist()
     println(f"${"lambda"}%7s ${"meanRel"}%8s ${"meanRed"}%8s")
     for (lambda <- Seq(1.0, 0.9, 0.7, 0.5, 0.3)) {
       val sel = graft.operators.SimilarityOps
-        .mmrRerank(spark, sfDir, lambda = lambda)
+        .mmrRerankOn(cands, k = 10, lambda = lambda)
         .select("query_id", "neighbor_id", "cosine").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      require(sel.nonEmpty, s"empty selection at lambda=$lambda")
       val byQ = sel.groupBy(_._1)
       val meanRel = sel.map(_._3).sum / sel.length
       val reds = byQ.values.flatMap { rows =>
@@ -42,6 +47,7 @@ object MmrSweep {
           i <- ids.indices; j <- (i + 1) until ids.length
         } yield cos(vecsById(ids(i)), vecsById(ids(j)))
       }
+      require(reds.nonEmpty, s"no selected pairs at lambda=$lambda")
       val meanRed = reds.sum / reds.size
       println(f"$lambda%7.1f $meanRel%8.4f $meanRed%8.4f")
     }
