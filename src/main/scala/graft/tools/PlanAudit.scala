@@ -46,7 +46,9 @@ object PlanAudit {
       // round-9 additions: the graph family, the covariance single
       // pass, the scale-shaped binning/sampling, the as-of variants
       "g01_pagerank", "g02_knn_triangles", "g03_knn_components",
-      "s12_embedding_covariance", "c17_reservoir_sample",
+      "g04_knn_graph_lsh", "g05_personalized_pagerank",
+      "s12_embedding_covariance", "s13_mmr_rerank",
+      "c17_reservoir_sample", "c18_dedup_aware_split",
       "q100_equidepth_bins", "q101_recursive_cte",
       "q102_asof_tolerance", "q103_asof_forward")
     val all = graft.SparkEntry.queries
