@@ -87,6 +87,28 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("tail") == None)      // nothing follows
   }
 
+  test("interval overlap join: each overlapping pair exactly once, touching counts") {
+    val s = spark
+    import s.implicits._
+    // a0 [0,1000] overlaps b0 [500,1500] across many shared bins (the
+    // dedup case), touches b1 at exactly 1000, misses b2, wrong key b3
+    val a = Seq((1L, 0L, 1000L, "a0"), (1L, 5000L, 5100L, "a1"))
+      .toDF("ak", "alo", "ahi", "aname")
+    val b = Seq(
+      (1L, 500L, 1500L, "b0"), (1L, 1000L, 2000L, "b1"),
+      (1L, 1501L, 1600L, "b2"), (2L, 600L, 700L, "b3"),
+      (1L, 5050L, 5060L, "b4"))
+      .toDF("bk", "blo", "bhi", "bname")
+    val out = RangeOps.intervalOverlapJoin(a, b, "ak", "bk",
+        "alo", "ahi", "blo", "bhi", binMicros = 100L)
+      .select("aname", "bname").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // exactly once each — no multi-bin duplicates
+    assert(out.length == out.distinct.length)
+    assert(out.toSet == Set(
+      ("a0", "b0"), ("a0", "b1"), ("a1", "b4")))
+  }
+
   test("range join finds every pair when intervals span many bins") {
     val s = spark
     import s.implicits._
