@@ -479,6 +479,29 @@ object RelationalQueries {
 
   /** Rows-only checks: value is engine-specific (approximate sketch). */
   def noOracleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q105: the MERGEABLE sketch-column NDV pattern (Iceberg/Pinot
+    // theta/HLL column stats re-expressed on Spark's DataSketches
+    // surface): per-group HLL sketches built in one partial-agg pass,
+    // served as per-group estimates AND re-aggregated into a
+    // cross-group union estimate WITHOUT touching rows again — at
+    // 100 TB the sketches are the stored table stat, and any rollup
+    // (per-day → per-month → global) is sketch-merge, not re-scan.
+    // Sketch bytes are engine-specific → rows-only; HllSketchSpec
+    // pins the estimates against exact distinct counts.
+    "q105_hll_sketch_column" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.functions._
+      val sketches = graft.operators.Persists.barrier(
+        Tables.load(spark, sfDir, "events")
+          .groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk")))
+      val perType = sketches.select(col("event_type"),
+        hll_sketch_estimate(col("sk")).as("approx_users"))
+      val overall = sketches
+        .agg(hll_union_agg(col("sk")).as("sk"))
+        .select(lit("__all__").as("event_type"),
+          hll_sketch_estimate(col("sk")).as("approx_users"))
+      perType.unionAll(overall)
+    }),
     "q28_approx_ndv" -> ((spark, sfDir) => {
       import org.apache.spark.sql.functions._
       Tables.load(spark, sfDir, "lineitem")
