@@ -68,7 +68,8 @@ object Bench {
     "g01_pagerank", "g02_knn_triangles", "g03i_knn_components",
     "g05_personalized_pagerank", "s12_embedding_covariance",
     "c17_reservoir_sample", "q100_equidepth_bins", "q101_recursive_cte",
-    "q102_asof_tolerance", "q103_asof_forward")
+    "q102_asof_tolerance", "q103_asof_forward", "q104_interval_overlap",
+    "q105_hll_sketch_column")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
