@@ -478,6 +478,21 @@ object RelationalQueries {
   )
 
   /** Rows-only checks: value is engine-specific (approximate sketch). */
+  /** The q105 SERVE step over any (event_type, sk: hll-sketch) frame:
+    * per-group estimates plus the union-merge rollup — shared with the
+    * streaming builder (q106), so batch and stream serve through one
+    * definition. */
+  def hllServe(sketches: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perType = sketches.select(col("event_type"),
+      hll_sketch_estimate(col("sk")).as("approx_users"))
+    val overall = sketches
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .select(lit("__all__").as("event_type"),
+        hll_sketch_estimate(col("sk")).as("approx_users"))
+    perType.unionAll(overall)
+  }
+
   def noOracleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q105: the MERGEABLE sketch-column NDV pattern (Iceberg/Pinot
     // theta/HLL column stats re-expressed on Spark's DataSketches
@@ -490,17 +505,10 @@ object RelationalQueries {
     // pins the estimates against exact distinct counts.
     "q105_hll_sketch_column" -> ((spark, sfDir) => {
       import org.apache.spark.sql.functions._
-      val sketches = graft.operators.Persists.barrier(
+      hllServe(graft.operators.Persists.barrier(
         Tables.load(spark, sfDir, "events")
           .groupBy("event_type")
-          .agg(hll_sketch_agg(col("user_id")).as("sk")))
-      val perType = sketches.select(col("event_type"),
-        hll_sketch_estimate(col("sk")).as("approx_users"))
-      val overall = sketches
-        .agg(hll_union_agg(col("sk")).as("sk"))
-        .select(lit("__all__").as("event_type"),
-          hll_sketch_estimate(col("sk")).as("approx_users"))
-      perType.unionAll(overall)
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))))
     }),
     "q28_approx_ndv" -> ((spark, sfDir) => {
       import org.apache.spark.sql.functions._

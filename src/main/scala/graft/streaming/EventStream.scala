@@ -281,10 +281,30 @@ object EventStream {
       .select(unix_micros(col("window.start")).as("win_us"),
         col("event_type"), col("cnt"), col("sv"))
 
+  /** q106: the q105 HLL sketch column built ON the stream — the q89
+    * CMS discipline applied to NDV: the complete-mode aggregate's
+    * state is one fixed-size sketch per event type, never a user set;
+    * HLL union keeps the max register per bucket, so construction is
+    * arrival-order-free and the stream must reproduce the batch
+    * estimates EXACTLY (StreamHllSpec), micro-batch boundaries
+    * invisible. The completed sink's sketch rows serve through the
+    * SAME [[graft.operators.RelationalQueries.hllServe]] step as the
+    * batch entry — per-type estimates plus the union-merge rollup.
+    * Rows-only gate like q105 (sketch internals are engine-specific). */
+  def hllStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val sketches = StreamRun.toCompletion(
+      readEvents(spark, sfDir, glob = "events.parquet")
+        .groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk")),
+      "graft_stream_hll", outputMode = "complete")
+    graft.operators.RelationalQueries.hllServe(sketches)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_stream_hourly" -> (hourlyCountsStreamed _),
     "q72_stream_attribution" -> (attributionStreamed _),
-    "q78_stream_sliding" -> (slidingCountsStreamed _))
+    "q78_stream_sliding" -> (slidingCountsStreamed _),
+    "q106_stream_hll" -> (hllStream _))
 
   /** The batch answer in DuckDB — the stream must reproduce it bucket
     * for bucket (epoch_us keeps the hour as an integer so the hash
