@@ -29,7 +29,12 @@ import graft.sources.Tables
   * the latest row and emits its NULL as-is).
   *
   * Deterministic whenever (key, ts) is unique per side (duplicates are
-  * the same ambiguity DuckDB's ASOF leaves unspecified).
+  * the same ambiguity DuckDB's ASOF leaves unspecified). This covers
+  * ALL variants — backward, forward, and tolerance alike inherit the
+  * tie ambiguity, and the q102/q103 `LATERAL ... LIMIT 1` oracles are
+  * equally tie-nondeterministic; cross-engine parity holds because the
+  * events fixture keeps (user_id, ts) unique per event type, which
+  * TemporalJoinSpec asserts as a precondition rather than trusting.
   */
 object AsofOps {
 

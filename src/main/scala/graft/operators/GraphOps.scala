@@ -58,8 +58,19 @@ object GraphOps {
   /** Fixed-iteration PageRank over a directed edge list (`src`,
     * `dst`). Nodes are the distinct edge endpoints (every node of an
     * undirected graph has both in- and out-edges, so no dangling-mass
-    * term is needed — callers feeding directed graphs with sinks must
-    * add one). Returns (node, pr) with pr rounded to 9 dp. */
+    * term is needed — callers feeding directed graphs with sinks use
+    * [[pagerankDanglingOn]], which adds it). Returns (node, pr) with
+    * pr rounded to 9 dp.
+    *
+    * `checkpointEvery`: localCheckpoint the rank vector every that
+    * many supersteps (0 = off) — the [[DedupOps.connectedComponents]]
+    * lineage discipline. The unrolled logical plan nests one
+    * join+agg level per iteration; at the gate's 5 iterations that is
+    * cheap, but at production iteration counts (20-50) driver planning
+    * cost grows with the chain, so callers raising `iters` set a
+    * cadence (results are bit-identical — checkpointing only
+    * materializes the already-9dp-rounded vector; pinned by
+    * GraphOpsSpec). */
   /** The shared PR prologue: degree folded INTO the persisted edge
     * frame once — each superstep is then a single ranks join instead
     * of re-joining the degree table every round. Returns (folded
@@ -73,7 +84,7 @@ object GraphOps {
   }
 
   def pagerankOn(edges: DataFrame, iters: Int = PrIters,
-      damping: Double = Damping): DataFrame = {
+      damping: Double = Damping, checkpointEvery: Int = 0): DataFrame = {
     val (e, deg) = degreeFoldedEdges(edges)
     // node count: one driver-side long — the same bounded scalar fetch
     // every PR implementation does to size the teleport term
@@ -81,12 +92,14 @@ object GraphOps {
     val teleport = (1.0 - damping) / n
     var pr = deg.select(col("src").as("node"),
       round(lit(1.0 / n), 9).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       pr = e.join(pr, e("src") === pr("node"))
         .groupBy(col("dst"))
         .agg(round(lit(teleport) +
           lit(damping) * sum(col("pr") / col("deg")), 9).as("pr"))
         .withColumnRenamed("dst", "node")
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        pr = pr.localCheckpoint(true)
     }
     pr
   }
@@ -101,7 +114,8 @@ object GraphOps {
     * mass (intersected with the node set first, both engines).
     * Unreachable nodes legitimately hold pr = 0. */
   def personalizedPagerankOn(edges: DataFrame, seeds: DataFrame,
-      iters: Int = PrIters, damping: Double = Damping): DataFrame = {
+      iters: Int = PrIters, damping: Double = Damping,
+      checkpointEvery: Int = 0): DataFrame = {
     val (e, deg) = degreeFoldedEdges(edges)
     val nodes = deg.select(col("src").as("node"))
     val s = Persists.barrier(
@@ -117,7 +131,7 @@ object GraphOps {
     var pr = withSeedFlag(nodes)
       .select(col("node"), round(when(col("seed") === 1,
         lit(1.0 / nS)).otherwise(lit(0.0)), 9).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val m = e.join(pr, e("src") === pr("node"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("deg")).as("m"))
@@ -126,6 +140,54 @@ object GraphOps {
         .select(col("node"), round(
           when(col("seed") === 1, lit(teleport)).otherwise(lit(0.0)) +
             lit(damping) * col("m"), 9).as("pr"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        pr = pr.localCheckpoint(true)
+    }
+    pr
+  }
+
+  /** PageRank with the DANGLING-MASS term — the general-directed form
+    * for graphs with sinks (nodes with no out-edges), where
+    * [[pagerankOn]]'s update would leak the sink nodes' rank each
+    * superstep and drop nodes that only ever receive. Nodes are the
+    * distinct endpoints of EITHER side; each superstep adds to the
+    * base join+agg (i) one node-sized anti-join + scalar aggregate —
+    * the mass currently sitting on sinks — broadcast back into the
+    * update, redistributed uniformly (the standard dangling-node
+    * treatment), and (ii) a left join from the node table so
+    * in-edge-less sources keep their teleport + sink share. Total
+    * mass is exactly 1 each iteration (up to the 9-dp per-node
+    * rounding; GraphOpsSpec pins the bound). The sink-mass scalar is
+    * rounded to 9 dp before use — the same re-entry discipline as the
+    * rank vector, so both engines re-enter each iteration from
+    * identical doubles. */
+  def pagerankDanglingOn(edges: DataFrame, iters: Int = PrIters,
+      damping: Double = Damping, checkpointEvery: Int = 0): DataFrame = {
+    val e0 = edges.select("src", "dst")
+    val deg = Persists.barrier(
+      e0.groupBy("src").agg(count(lit(1)).as("deg")))
+    val e = Persists.barrier(e0.join(deg, "src"))
+    val nodes = Persists.barrier(
+      e0.select(col("src").as("node"))
+        .unionAll(e0.select(col("dst").as("node"))).distinct())
+    val n = nodes.count().toDouble
+    val teleport = (1.0 - damping) / n
+    val srcs = deg.select(col("src").as("node"))
+    var pr = nodes.select(col("node"), round(lit(1.0 / n), 9).as("pr"))
+    for (i <- 1 to iters) {
+      val sink = pr.join(srcs, Seq("node"), "left_anti")
+        .agg(coalesce(round(sum(col("pr")), 9), lit(0.0)).as("sink_mass"))
+      val m = e.join(pr, e("src") === pr("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("deg")).as("m"))
+        .withColumnRenamed("dst", "node")
+      pr = nodes.join(m, Seq("node"), "left")
+        .crossJoin(broadcast(sink))
+        .select(col("node"), round(lit(teleport) +
+          lit(damping) * (coalesce(col("m"), lit(0.0)) +
+            col("sink_mass") / lit(n)), 9).as("pr"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        pr = pr.localCheckpoint(true)
     }
     pr
   }
@@ -226,6 +288,81 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Re-orient a low→high oriented edge list by DEGREE: each
+    * undirected edge flows from the endpoint with the smaller
+    * (degree, id) to the larger — the skew-robust production
+    * orientation for power-law graphs, where id-orientation can leave
+    * a popular low-id hub with a huge forward neighborhood and the
+    * two-hop join fans out deg(hub)² from it; degree-orientation
+    * bounds every node's forward degree by ~√(2·|E|) (the classic
+    * compact-forward bound). Any orientation induced by a total order
+    * is acyclic and enumerates each triangle exactly once through the
+    * SAME two-hop join, so [[trianglesOn]] is reused unchanged and
+    * the per-node counts are identical to id-orientation — g07 shares
+    * g02's oracle and hash-checks. */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val e = Persists.barrier(edges.select("a", "b"))
+    val deg = e.select(col("a").as("u"))
+      .unionAll(e.select(col("b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("d"))
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    e.join(deg.select(col("u").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
+      .select(when(fwd, col("a")).otherwise(col("b")).as("na"),
+        when(fwd, col("b")).otherwise(col("a")).as("nb"))
+      .select(col("na").as("a"), col("nb").as("b"))
+  }
+
+  /** PageRank iterated TO CONVERGENCE instead of a fixed superstep
+    * count: run [[pagerankOn]]'s update until no node's rank moves by
+    * more than `tol`, up to `maxIters`. Returns (ranks, supersteps
+    * taken). The default `tol` is half the 6-dp SERVING grid (the
+    * precision every gate entry rounds its output to): converging
+    * tighter buys digits the serving layer immediately discards, and
+    * on a bipartite graph (the co-purchase graph is one) the
+    * oscillating component decays only as damping^k, so each extra
+    * digit costs ~14 more supersteps. `init` warm-starts from a
+    * stored rank vector (the incremental serving shape, g08): nodes
+    * missing from it — delta-new endpoints — enter at 1/n, and the
+    * teleport term re-normalizes total mass over the run. Each
+    * superstep localCheckpoints: the convergence test forces
+    * execution anyway, so the checkpoint costs nothing extra and
+    * keeps the plan O(1)-deep regardless of how many supersteps
+    * convergence takes. */
+  def pagerankConverged(edges: DataFrame, init: Option[DataFrame] = None,
+      damping: Double = Damping, maxIters: Int = 200,
+      tol: Double = 5e-7): (DataFrame, Int) = {
+    val (e, deg) = degreeFoldedEdges(edges)
+    val n = deg.count().toDouble
+    val teleport = (1.0 - damping) / n
+    val nodes = deg.select(col("src").as("node"))
+    var pr = (init match {
+      case Some(r) => nodes.join(
+          r.select(col("node"), col("pr").as("pr0")), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("pr0"), round(lit(1.0 / n), 9)).as("pr"))
+      case None => nodes.select(col("node"),
+        round(lit(1.0 / n), 9).as("pr"))
+    }).localCheckpoint(true)
+    var it = 0
+    var moved = 1L
+    while (moved > 0 && it < maxIters) {
+      val next = e.join(pr, e("src") === pr("node"))
+        .groupBy(col("dst"))
+        .agg(round(lit(teleport) +
+          lit(damping) * sum(col("pr") / col("deg")), 9).as("pr"))
+        .withColumnRenamed("dst", "node")
+        .localCheckpoint(true)
+      moved = next.as("nx")
+        .join(pr.as("ol"), col("nx.node") === col("ol.node"))
+        .filter(abs(col("nx.pr") - col("ol.pr")) > tol).count()
+      pr = next
+      it += 1
+    }
+    (pr, it)
+  }
+
   /** The co-purchase bipartite graph: distinct (customer, supplier)
     * pairs linked through an order's lineitems, node-encoded
     * customer→2k, supplier→2k+1, both edge directions emitted. */
@@ -255,12 +392,124 @@ object GraphOps {
     * density) serves from the stored edges. Benched as `g03i`. */
   def knnEdgesPath(spark: SparkSession, sfDir: String): String = {
     val n = Tables.rowCount(spark, sfDir, "embeddings")
+    // content fingerprint in the key: a driver-side testdata
+    // regeneration that keeps the row count must still invalidate the
+    // artifact (ADVICE r9) — one memoized scan, no shuffle
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
     val dir = graft.sources.FsUtil.qualified("target/tmp/graph/knn_" +
-      graft.sources.FsUtil.sanitize(sfDir) + s"_n$n")
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_$fp")
     if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS"))
       mutualKnnEdgesOn(embVecs(spark, sfDir), minCosine = StrongCos)
         .write.mode("overwrite").parquet(dir)
     dir
+  }
+
+  /** The co-purchase edge list materialized as an ingest artifact —
+    * the same [[knnEdgesPath]] / [[DedupOps.signatureTablePath]]
+    * discipline applied to the relational graph: at corpus scale the
+    * graph is derived once when a batch lands and every downstream
+    * analytic (PageRank supersteps, components) serves from the
+    * stored edges; the r9 bench re-derived the orders⋈lineitem join
+    * inside every timed g01/g05 run (62% of the series was edge
+    * derivation, VERDICT r9 §perf). Keyed by row counts AND a content
+    * fingerprint of the order keys, so regeneration invalidates.
+    * Benched as g01i/g05i; gate entries g01/g05 stay the
+    * self-contained inline form their oracles check. */
+  def coPurchaseEdgesPath(spark: SparkSession, sfDir: String): String = {
+    val n = Tables.rowCount(spark, sfDir, "orders") +
+      Tables.rowCount(spark, sfDir, "lineitem")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "orders", Seq("o_orderkey", "o_custkey")))
+    val dir = graft.sources.FsUtil.qualified("target/tmp/graph/copurchase_" +
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_$fp")
+    if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS"))
+      coPurchaseEdges(spark, sfDir).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** g01's supersteps over the pre-materialized edge artifact —
+    * result-identical to the inline gate form (same edges;
+    * GraphOpsSpec pins it), benched as g01i so the series times
+    * PageRank, not edge derivation. */
+  def pagerankFromEdges(spark: SparkSession, sfDir: String): DataFrame =
+    pagerankOn(spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)))
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+
+  /** g05's trusted seed set (nation-0 customers), one definition for
+    * the inline gate form and the artifact-served bench form. */
+  private def nationSeeds(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "customer")
+      .filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+
+  /** g05's supersteps over the pre-materialized edge artifact
+    * (benched as g05i — the [[pagerankFromEdges]] discipline). */
+  def personalizedPagerankFromEdges(
+      spark: SparkSession, sfDir: String): DataFrame =
+    personalizedPagerankOn(
+        spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)),
+        nationSeeds(spark, sfDir))
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+
+  /** The BASE co-purchase graph for the incremental-PageRank entry:
+    * edges derived from 95% of orders (o_orderkey % 20 != 0 — a
+    * deterministic subset, so both the artifact and the spec agree on
+    * what "base" means). The remaining 5% of orders are the delta a
+    * new ingest batch would contribute. */
+  def coPurchaseEdgesBase(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 20 =!= 0)
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val pairs = orders.join(lineitem,
+        orders("o_orderkey") === lineitem("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cn"),
+        (col("l_suppkey") * 2 + 1).as("sn"))
+      .distinct()
+    pairs.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+  }
+
+  /** Converged ranks on the BASE graph, materialized (the incremental
+    * family's stored-state shape, q77/q96 applied to graphs): an
+    * ingest pipeline keeps the last converged rank vector beside the
+    * edge artifact; when a delta lands, re-convergence warm-starts
+    * from it instead of from uniform ([[pagerankConverged]]). */
+  def pagerankRanksPath(spark: SparkSession, sfDir: String): String = {
+    val n = Tables.rowCount(spark, sfDir, "orders")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "orders", Seq("o_orderkey", "o_custkey")))
+    val dir = graft.sources.FsUtil.qualified("target/tmp/graph/prbase_" +
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_$fp")
+    if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS"))
+      pagerankConverged(coPurchaseEdgesBase(spark, sfDir))._1
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** g08: incremental PageRank — the FULL graph (base + the 5% order
+    * delta) re-converged warm-started from the stored base ranks.
+    * Rows-only (convergence count is the contract, not a SQL shape);
+    * GraphOpsSpec pins that the warm start converges to the same
+    * fixed point as a cold full recompute in at most half the
+    * supersteps on the fixture delta. */
+  def incrementalPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val init = spark.read.parquet(pagerankRanksPath(spark, sfDir))
+    pagerankConverged(coPurchaseEdges(spark, sfDir), Some(init))._1
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+  }
+
+  /** g08 served fully from stored state — the full-graph edge
+    * ARTIFACT plus the base rank artifact (benched as g08i): the
+    * production incremental shape, where a delta landing re-converges
+    * warm and nothing is re-derived from the relational tables inside
+    * the serving path. */
+  def incrementalPagerankFromArtifacts(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val init = spark.read.parquet(pagerankRanksPath(spark, sfDir))
+    pagerankConverged(
+        spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)), Some(init))._1
+      .select(col("node"), round(col("pr"), 6).as("pr"))
   }
 
   /** [[queries]]' g03 serving from the pre-built edge artifact —
@@ -303,12 +552,39 @@ object GraphOps {
     // supplier ranks answer "which suppliers do trusted customers
     // concentrate on" (the crawl-curation domain-authority shape)
     "g05_personalized_pagerank" -> ((spark: SparkSession, sfDir: String) => {
-      val seeds = Tables.load(spark, sfDir, "customer")
-        .filter(col("c_nationkey") === 0)
-        .select((col("c_custkey") * 2).as("node"))
-      personalizedPagerankOn(coPurchaseEdges(spark, sfDir), seeds)
+      personalizedPagerankOn(coPurchaseEdges(spark, sfDir),
+          nationSeeds(spark, sfDir))
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
+    // g06: dangling-mass PageRank on the one-way supplier→customer
+    // graph — every customer is a sink (no out-edges), every supplier
+    // a pure source (no in-edges); the general-directed form
+    // [[pagerankOn]]'s scaladoc points at. Same unrolled-CTE oracle
+    // family as g01, with the sink-mass scalar mirrored step by step.
+    "g06_pagerank_dangling" -> ((spark: SparkSession, sfDir: String) => {
+      val orders = Tables.load(spark, sfDir, "orders")
+      val lineitem = Tables.load(spark, sfDir, "lineitem")
+      val edges = orders.join(lineitem,
+          orders("o_orderkey") === lineitem("l_orderkey"))
+        .select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("o_custkey") * 2).as("dst"))
+        .distinct()
+      pagerankDanglingOn(edges)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+    }),
+    // g07: the degree-oriented triangle variant — identical per-node
+    // counts to g02 by construction (any total-order orientation
+    // enumerates each triangle once), so it shares g02's oracle and
+    // hash-checks; what changes is the SKEW bound at scale
+    // ([[orientByDegree]]).
+    "g07_triangles_degree" -> ((spark: SparkSession, sfDir: String) =>
+      trianglesOn(orientByDegree(
+        mutualKnnEdgesOn(embVecs(spark, sfDir))))),
+    // g08: incremental PageRank (warm-started re-convergence over the
+    // stored base ranks) — rows-only, the convergence contract lives
+    // in GraphOpsSpec.
+    "g08_pagerank_incremental" -> ((spark: SparkSession, sfDir: String) =>
+      incrementalPagerank(spark, sfDir)),
     // g04: the LSH-candidate graph builder — the shape that replaces
     // g02/g03's exact all-pairs stage at corpus scale, targeting the
     // STRONG graph (g03's consumer): hyperplane collision probability
@@ -431,11 +707,58 @@ object GraphOps {
     s"$base,\n$its\nSELECT node, round(pr, 6) AS pr FROM it$iters"
   }
 
-  def oracleSql: Map[String, String] = Map(
-    "g01_pagerank" -> pagerankOracle(PrIters),
-    "g05_personalized_pagerank" -> personalizedPagerankOracle(PrIters),
-    "g02_knn_triangles" ->
-      s"""WITH ${knnEdgeCtes(None)},
+  /** g06's oracle: the [[pagerankOracle]] discipline on the one-way
+    * supplier→customer graph, with the dangling machinery unrolled —
+    * per iteration a sink-mass scalar CTE (rank on nodes without
+    * out-edges, rounded to 9 dp exactly like the Spark side) and a
+    * LEFT join from the node table so in-edge-less sources keep their
+    * teleport + sink share. Every arithmetic step mirrors the Spark
+    * expression order. */
+  private def pagerankDanglingOracle(iters: Int): String = {
+    val base =
+      s"""WITH edges AS (
+           SELECT DISTINCT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         nodes AS (
+           SELECT DISTINCT node FROM (
+             SELECT src AS node FROM edges
+             UNION ALL SELECT dst FROM edges)),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         it0 AS (
+           SELECT nodes.node,
+                  round(CAST(1.0 AS DOUBLE) / nn.n, 9) AS pr
+           FROM nodes, nn)"""
+    val its = (1 to iters).map { i =>
+      s"""sm$i AS (
+           SELECT coalesce(round(sum(p.pr), 9), CAST(0.0 AS DOUBLE))
+                    AS sink_mass
+           FROM it${i - 1} p LEFT JOIN deg d ON p.node = d.src
+           WHERE d.src IS NULL),
+         m$i AS (
+           SELECT e.dst AS node, sum(p.pr / d.deg) AS m
+           FROM edges e
+           JOIN it${i - 1} p ON e.src = p.node
+           JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+         it$i AS (
+           SELECT n.node,
+                  round((CAST(1.0 AS DOUBLE) - CAST($Damping AS DOUBLE))
+                          / nn.n +
+                        CAST($Damping AS DOUBLE) *
+                          (coalesce(m.m, CAST(0.0 AS DOUBLE)) +
+                           sm.sink_mass / nn.n), 9) AS pr
+           FROM nodes n LEFT JOIN m$i m ON m.node = n.node, nn, sm$i sm)"""
+    }.mkString(",\n")
+    s"$base,\n$its\nSELECT node, round(pr, 6) AS pr FROM it$iters"
+  }
+
+  /** g02's triangle-count SQL, shared verbatim by g07: the orientation
+    * is internal to the Spark side (degree vs id), the per-node counts
+    * are provably identical, and the shared oracle is what PROVES it
+    * per round. */
+  private val triangleOracle: String =
+    s"""WITH ${knnEdgeCtes(None)},
          tri AS (
            SELECT e1.a AS x, e1.b AS y, e2.b AS z
            FROM mutual e1
@@ -445,7 +768,14 @@ object GraphOps {
          FROM (SELECT x AS node FROM tri
                UNION ALL SELECT y FROM tri
                UNION ALL SELECT z FROM tri)
-         GROUP BY node""",
+         GROUP BY node"""
+
+  def oracleSql: Map[String, String] = Map(
+    "g01_pagerank" -> pagerankOracle(PrIters),
+    "g05_personalized_pagerank" -> personalizedPagerankOracle(PrIters),
+    "g06_pagerank_dangling" -> pagerankDanglingOracle(PrIters),
+    "g07_triangles_degree" -> triangleOracle,
+    "g02_knn_triangles" -> triangleOracle,
     "g03_knn_components" ->
       s"""WITH RECURSIVE ${knnEdgeCtes(Some(StrongCos))},
          ge AS (SELECT a AS v, b AS u FROM mutual

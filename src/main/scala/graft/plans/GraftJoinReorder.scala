@@ -122,16 +122,34 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
 
     val edgeMap = edgeConds
       .groupBy(c => { val s = relsOf(c); (s.min, s.max) })
-    val edges = edgeMap.keys.toVector.sorted.map { case (a, b) => JoinEdge(a, b) }
+    val edges = edgeMap.toVector.sortBy(_._1).map { case ((a, b), cs) =>
+      JoinEdge(a, b, cs.flatMap(condCols(a, b, relOf.get)))
+    }
     val g = QueryGraph(rels.indices.map(i => s"r$i").toVector, edges)
     if (!g.connected(g.full)) return None // cross-product component: leave it
 
-    // statistics: rowCount when the plan supplies it, sizeInBytes proxy
-    // otherwise — bytes are monotone-consistent but skew the PK–FK
-    // selectivity toward WIDE tables (a 40-column dim can out-"weigh" a
-    // narrow fact); rows are the quantity the cost model actually means
-    val base = rels.map(leafRows).toArray
-    val card = HeuristicCardinality.uniform(g, base)
+    // statistics source: "plan" (default) costs from logical-plan
+    // stats; "measured" runs the deployed stats → estimate loop — the
+    // SAME memoized TableStats profiles and Selinger estimator p10
+    // plans with, resolved from the leaves' parquet scans, so
+    // arbitrary spark.sql text gets measured-cardinality join
+    // ordering (reference anchor: MyMetadataQuery.java:81-162 —
+    // injected cards driving in-planner reordering; here they are
+    // measured, not injected). Falls back to plan stats whenever a
+    // leaf isn't a plain filtered parquet scan or an edge lacks
+    // extractable key columns.
+    val statsMode =
+      conf.getConfString("spark.graft.joinReorder.stats", "plan")
+    val card = (if (statsMode == "measured" &&
+        edges.forall(_.conds.nonEmpty)) measuredCardinality(g, rels)
+      else None).getOrElse {
+      // rowCount when the plan supplies it, sizeInBytes proxy
+      // otherwise — bytes are monotone-consistent but skew the PK–FK
+      // selectivity toward WIDE tables (a 40-column dim can
+      // out-"weigh" a narrow fact); rows are the quantity the cost
+      // model actually means
+      HeuristicCardinality.uniform(g, rels.map(leafRows).toArray)
+    }
 
     val planner: JoinOrderPlanner =
       if (rels.size <= maxDpRelations) Enumerators.DPccp else Enumerators.Greedy
@@ -172,6 +190,84 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
     // createTopProject, MyLoptOptimizeJoinRule.java:517-580)
     Some(Project(original.output, filtered))
   }
+
+  /** The equi-condition's key column on each endpoint — (col on `a`,
+    * col on `b`), looking through casts; None when either side isn't
+    * a (possibly cast) base-table attribute. */
+  private def condCols(a: Int, b: Int,
+      relOf: org.apache.spark.sql.catalyst.expressions.ExprId => Option[Int])(
+      c: Expression): Option[(String, String)] = {
+    def side(e: Expression): Option[(Int, String)] = e match {
+      case at: Attribute => relOf(at.exprId).map(i => (i, at.name))
+      case ct: org.apache.spark.sql.catalyst.expressions.Cast => side(ct.child)
+      case _ => None
+    }
+    c match {
+      case EqualTo(l, r) =>
+        (side(l), side(r)) match {
+          case (Some((il, nl)), Some((ir, nr))) if il == a && ir == b =>
+            Some((nl, nr))
+          case (Some((il, nl)), Some((ir, nr))) if il == b && ir == a =>
+            Some((nr, nl))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** A flattened leaf's backing parquet scan as (dir, table) — STRICT
+    * shape match (Project/Filter chain over a v1 file relation whose
+    * root is a single `<table>.parquet` path): a leaf that is itself
+    * an aggregate or subquery must NOT have an inner scan's stats
+    * attributed to it. */
+  @annotation.tailrec
+  private def baseScanOf(plan: LogicalPlan): Option[String] = plan match {
+    case p: Project => baseScanOf(p.child)
+    case f: Filter => baseScanOf(f.child)
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.toList match {
+            case one :: Nil if one.toString.endsWith(".parquet") =>
+              Some(one.toString)
+            case _ => None
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** The measured-stats [[Cardinality]]: per-leaf [[TableStats]]
+    * profiles (memoized — ANALYZE runs once per table, plans are made
+    * many times) with filter selectivities estimated from the leaves'
+    * own Catalyst predicates. None when any leaf isn't a plain
+    * filtered parquet scan, or profiling fails — the caller falls
+    * back to plan statistics, so the rule can never make a query
+    * unplannable. */
+  private def measuredCardinality(
+      g: QueryGraph, rels: Vector[LogicalPlan]): Option[Cardinality] =
+    try {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val profiles = Vector.newBuilder[StatsEstimator.Profile]
+      val sels = Vector.newBuilder[Double]
+      rels.foreach { leaf =>
+        baseScanOf(leaf) match {
+          case None => return None
+          case Some(path) =>
+            val slash = path.lastIndexOf('/')
+            val p = StatsEstimator.profileTable(spark,
+              path.substring(0, slash),
+              path.substring(slash + 1).stripSuffix(".parquet"))
+            val conj = leaf.collect {
+              case Filter(c, _) => splitConjunctivePredicates(c)
+            }.flatten
+            profiles += p
+            sels += conj.map(StatsEstimator.selectivityOfCatalyst(p)).product
+        }
+      }
+      Some(StatsEstimator.cardinalityWithSel(g, profiles.result(),
+        sels.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 object GraftJoinReorder {

@@ -84,6 +84,57 @@ object StatsEstimator {
     }
   }
 
+  /** [[selectivityOf]]'s in-optimizer twin: the same Selinger defaults
+    * over a CATALYST conjunct instead of a predicate string — what
+    * [[GraftJoinReorder]] estimates from when the leaf filters arrive
+    * as analyzed expressions rather than harness-declared strings.
+    * `IsNotNull` is a pushdown artifact, not a user predicate:
+    * selectivity 1 (counting it 1/3 would penalize every filtered
+    * leaf Spark instrumented). Casts are looked through; unrecognized
+    * shapes get the same 1/3 default as the string form. */
+  def selectivityOfCatalyst(p: Profile)(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Double = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def attrOf(x: Expression): Option[String] = x match {
+      case a: Attribute => Some(a.name)
+      case c: Cast => attrOf(c.child)
+      case _ => None
+    }
+    def litNum(l: Literal): Option[Double] = l.value match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    def eq(c: String): Double =
+      p.cols.get(c).map(s => 1.0 / math.max(s.ndv, 1.0)).getOrElse(1.0 / 3)
+    def span(c: String, f: (Double, Double, Double) => Double,
+        l: Literal): Double =
+      (for {
+        s <- p.cols.get(c); mn <- s.minN; mx <- s.maxN
+        v <- litNum(l) if mx > mn
+      } yield clamp(f(mn, mx, v))).getOrElse(1.0 / 3)
+    e match {
+      case IsNotNull(_) => 1.0
+      case EqualTo(l, r: Literal) if attrOf(l).isDefined =>
+        eq(attrOf(l).get)
+      case EqualTo(l: Literal, r) if attrOf(r).isDefined =>
+        eq(attrOf(r).get)
+      case GreaterThan(l, r: Literal) if attrOf(l).isDefined =>
+        span(attrOf(l).get, (mn, mx, v) => (mx - v) / (mx - mn), r)
+      case GreaterThanOrEqual(l, r: Literal) if attrOf(l).isDefined =>
+        span(attrOf(l).get, (mn, mx, v) => (mx - v) / (mx - mn), r)
+      case LessThan(l, r: Literal) if attrOf(l).isDefined =>
+        span(attrOf(l).get, (mn, mx, v) => (v - mn) / (mx - mn), r)
+      case LessThanOrEqual(l, r: Literal) if attrOf(l).isDefined =>
+        span(attrOf(l).get, (mn, mx, v) => (v - mn) / (mx - mn), r)
+      case GreaterThan(l: Literal, r) if attrOf(r).isDefined =>
+        span(attrOf(r).get, (mn, mx, v) => (v - mn) / (mx - mn), l)
+      case LessThan(l: Literal, r) if attrOf(r).isDefined =>
+        span(attrOf(r).get, (mn, mx, v) => (mx - v) / (mx - mn), l)
+      case _ => 1.0 / 3
+    }
+  }
+
   /** The estimator as the planners' [[Cardinality]]: per-relation rows
     * = measured rows × estimated filter selectivity; every join edge
     * inside the subset divides by max(NDV(left key), NDV(right key))
@@ -92,10 +143,20 @@ object StatsEstimator {
     * per-column NDVs capped at the relation's rows. */
   def cardinality(
       g: QueryGraph, profiles: Vector[Profile],
-      filters: Vector[Option[String]]): Cardinality = {
+      filters: Vector[Option[String]]): Cardinality =
+    cardinalityWithSel(g, profiles, Vector.tabulate(g.n)(i =>
+      filters(i).map(selectivityOf(profiles(i))).getOrElse(1.0)))
+
+  /** [[cardinality]] with PRE-COMPUTED per-relation selectivities —
+    * the shared formula for both predicate sources (string-declared
+    * via [[selectivityOf]], Catalyst-derived via
+    * [[selectivityOfCatalyst]]), one definition so the two paths can
+    * never drift on the estimation model itself. */
+  def cardinalityWithSel(
+      g: QueryGraph, profiles: Vector[Profile],
+      selIn: Vector[Double]): Cardinality = {
     val base = Array.tabulate(g.n)(i => profiles(i).rows)
-    val sel = Array.tabulate(g.n)(i =>
-      filters(i).map(selectivityOf(profiles(i))).getOrElse(1.0))
+    val sel = Array.tabulate(g.n)(i => selIn(i))
     def keyNdv(v: Int, cols: Seq[String]): Double = {
       val p = profiles(v)
       val per = cols.map(c => p.cols.get(c).map(_.ndv).getOrElse(p.rows))

@@ -76,6 +76,27 @@ object Tables {
     countCache.computeIfAbsent((sfDir, name),
       _ => load(spark, sfDir, name).count())
 
+  private val fpCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Long]()
+
+  /** Memoized order-independent content fingerprint of `cols`: the
+    * XOR-fold of per-row xxhash64 over the named columns (bit_xor —
+    * commutative, overflow-free under ANSI) — one scan, no shuffle
+    * beyond the final scalar. Artifact writers fold this into their
+    * directory key so a driver-side testdata regeneration that happens
+    * to keep the row count still invalidates the cache (ADVICE r9: a
+    * (path, rowcount) key alone serves stale artifacts silently). */
+  def fingerprint(
+      spark: SparkSession, sfDir: String, name: String,
+      cols: Seq[String]): Long =
+    fpCache.computeIfAbsent((sfDir, name, cols.mkString(",")), _ => {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit}
+      load(spark, sfDir, name)
+        .agg(coalesce(
+          expr(s"bit_xor(xxhash64(${cols.mkString(", ")}))"), lit(0L)))
+        .head.getLong(0)
+    })
+
   /** Register every table as a temp view named after itself. Memoized:
     * a no-op while the session's views already point at this sfDir;
     * switching sfDir re-registers (views must track the LAST dir).

@@ -183,7 +183,17 @@ object ScaleProbe {
       ("s12_covariance", n => SimilarityOps.covarianceOn(
         vecsN(spark, n).selectExpr("vec_id",
           "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
-        n.toDouble)))
+        n.toDouble)),
+      // g06: the dangling-mass variant adds one node-sized anti-join +
+      // scalar agg per superstep to g01's join+agg — still linear in
+      // |edges| at fixed degree. Sources are the first 2/3 of nodes,
+      // targets the last 2/3 — the final third is dst-only (genuine
+      // sinks), so the sink path is actually exercised
+      ("g06_pr_dangling", n => GraphOps.pagerankDanglingOn(
+        spark.range(n * 2 / 3).selectExpr("id AS src",
+          s"explode(transform(sequence(0, 7), " +
+            s"j -> ${n}L div 3 + pmod(xxhash64(id, j), " +
+            s"${n}L - ${n}L div 3))) AS dst"))))
 
     println(f"${"operator"}%-24s ${"n1"}%8s ${"t1(s)"}%8s ${"rows1"}%9s " +
       f"${"n4"}%8s ${"t4(s)"}%8s ${"rows4"}%9s ${"ratio"}%6s")
@@ -204,6 +214,65 @@ object ScaleProbe {
       val (t4, r4) = timed(build(base * 4))
       println(f"$name%-24s $base%8d $t1%8.2f $r1%9d ${base * 4}%8d " +
         f"$t4%8.2f $r4%9d ${t4 / t1}%6.2f")
+    }
+
+    // ITERATION scaling (time vs supersteps at fixed data): with the
+    // checkpointEvery cadence the per-superstep cost must stay flat —
+    // iters=25 ≈ 5× iters=5, not superlinear from an unbounded 25-deep
+    // plan. (The probes above scale DATA at fixed iters; this block
+    // scales ITERS at fixed data — the claim the cadence parameter
+    // exists for.)
+    locally {
+      val n = 20000L
+      def edges = spark.range(n).selectExpr("id AS src",
+        s"explode(transform(sequence(0, 7), " +
+          s"j -> pmod(xxhash64(id, j), ${n}L))) AS dst")
+      def run(iters: Int): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Persists.scoped {
+          GraphOps.pagerankOn(edges, iters = iters, checkpointEvery = 5)
+            .count()
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      run(5) // warm-up
+      val t5 = run(5)
+      val t25 = run(25)
+      println(f"pr_iters_ckpt5           n=$n iters5=$t5%6.2f s " +
+        f"iters25=$t25%6.2f s per-iter ratio=${t25 / t5 / 5.0}%5.2f " +
+        "(1.0 = perfectly flat)")
+    }
+
+    // ORIENTATION skew contrast (the g07 claim): 8 fixed hubs at the
+    // LOW ids, hub degree ∝ n — id-orientation keeps every hub edge
+    // forward, so the two-hop join fans deg(hub)² ∝ n² per hub and the
+    // 4× ratio lands near 16×; degree-orientation points edges INTO
+    // hubs (leaf forward degree ≤ a constant) and stays near 4×. Same
+    // triangle counts either way (GraphOpsSpec pins equality).
+    locally {
+      def skewEdges(n: Long) = spark.range(8, n).selectExpr(
+        """explode(array(
+             pmod(xxhash64(id, 1), 8),
+             pmod(xxhash64(id, 2), 8),
+             8 + pmod(xxhash64(id, 3), id - 8 + 1))) AS a""",
+        "id AS b").where("a < b").distinct()
+      def run(build: Long => org.apache.spark.sql.DataFrame,
+          n: Long): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Persists.scoped { build(n).count() }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val base = 1500L
+      def byId(n: Long) = GraphOps.trianglesOn(skewEdges(n))
+      def byDeg(n: Long) =
+        GraphOps.trianglesOn(GraphOps.orientByDegree(skewEdges(n)))
+      run(byId, base); run(byDeg, base) // warm-up
+      val (i1, i4) = (run(byId, base), run(byId, base * 4))
+      val (d1, d4) = (run(byDeg, base), run(byDeg, base * 4))
+      println(f"tri_id_orient_skew       $base%8d $i1%8.2f ${base * 4}%8d " +
+        f"$i4%8.2f ratio=${i4 / i1}%6.2f (quadratic hub fan-out)")
+      println(f"tri_deg_orient_skew      $base%8d $d1%8.2f ${base * 4}%8d " +
+        f"$d4%8.2f ratio=${d4 / d1}%6.2f (bounded forward degree)")
     }
     spark.stop()
   }

@@ -112,6 +112,113 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((all -- strong).nonEmpty) // the weak pair existed unfloored
   }
 
+  test("pagerank: checkpointEvery cadence is bit-identical to no cadence") {
+    val edges = undirected(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),
+      (0L, 2L)))
+    val plain = GraphOps.pagerankOn(edges, iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cadenced = GraphOps.pagerankOn(edges, iters = 12, checkpointEvery = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(plain == cadenced) // checkpoint only materializes — bit-equal
+  }
+
+  test("dangling pagerank: no sinks ⇒ identical to the base operator") {
+    val edges = undirected(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+    val base = GraphOps.pagerankOn(edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dang = GraphOps.pagerankDanglingOn(edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(base == dang) // sink_mass = 0 every iteration ⇒ same update
+  }
+
+  test("dangling pagerank: sinks keep total mass at 1, no node dropped") {
+    val s = spark
+    import s.implicits._
+    // directed: 0→1, 0→2, 1→2; 2 is a sink, 0 a pure source — the
+    // shape pagerankOn leaks on (its update would drop node 0 after
+    // one superstep and lose 2's mass every round)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    for (iters <- Seq(1, 3, 5)) {
+      val pr = GraphOps.pagerankDanglingOn(edges, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(pr.keySet == Set(0L, 1L, 2L)) // every node present
+      // per-node 9-dp rounding bounds the drift at n·5e-10 per pass
+      assert(math.abs(pr.values.sum - 1.0) <= 1e-9 + 3 * 5e-10,
+        s"mass at iters=$iters was ${pr.values.sum}")
+    }
+    val pr = GraphOps.pagerankDanglingOn(edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(2L) > pr(1L) && pr(1L) > pr(0L)) // rank flows downstream
+  }
+
+  test("g01i/g05i edge-artifact serving equals the inline gate forms") {
+    val sf = "/root/testdata/sf0.001"
+    val inlinePr = GraphOps.queries("g01_pagerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val servedPr = GraphOps.pagerankFromEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(inlinePr.nonEmpty && inlinePr == servedPr)
+    val inlinePpr = GraphOps.queries("g05_personalized_pagerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val servedPpr = GraphOps.personalizedPagerankFromEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(inlinePpr.nonEmpty && inlinePpr == servedPpr)
+  }
+
+  test("degree orientation: same per-node triangle counts as id order") {
+    val s = spark
+    import s.implicits._
+    // skew fixture: hub 0 connected to everyone (max degree), plus a
+    // K4 {1,2,3,4} — id-orientation gives the hub a huge forward
+    // neighborhood, degree-orientation points edges AT it instead
+    val edges = ((1L to 9L).map(v => (0L, v)) ++
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      .toDF("a", "b")
+    val byId = GraphOps.trianglesOn(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDeg = GraphOps.trianglesOn(GraphOps.orientByDegree(edges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.nonEmpty && byId == byDeg)
+    // and the hub's forward degree actually shrank under (deg, id)
+    val fwd = GraphOps.orientByDegree(edges)
+      .collect().map(r => r.getLong(0)).count(_ == 0L)
+    assert(fwd == 0L, s"hub kept $fwd forward edges under degree order")
+  }
+
+  test("g08: warm-started re-convergence matches cold, in ≤ half steps") {
+    val sf = "/root/testdata/sf0.001"
+    val full = GraphOps.queries("g01_pagerank")(spark, sf)
+      .select("node") // touch to ensure tables are registered
+    full.count()
+    val edges = {
+      // the same full co-purchase graph g08 re-converges on
+      val orders = graft.sources.Tables.load(spark, sf, "orders")
+      val lineitem = graft.sources.Tables.load(spark, sf, "lineitem")
+      val pairs = orders.join(lineitem,
+          orders("o_orderkey") === lineitem("l_orderkey"))
+        .selectExpr("o_custkey * 2 AS cn", "l_suppkey * 2 + 1 AS sn")
+        .distinct()
+      pairs.selectExpr("cn AS src", "sn AS dst")
+        .unionAll(pairs.selectExpr("sn AS src", "cn AS dst"))
+    }
+    val (cold, coldIters) = GraphOps.pagerankConverged(edges)
+    val init = spark.read.parquet(GraphOps.pagerankRanksPath(spark, sf))
+    val (warm, warmIters) = GraphOps.pagerankConverged(edges, Some(init))
+    // measured (PrConvergeProbe): warm ≈ 4 vs cold ≈ 75 supersteps at
+    // the default tol — the contract pins ≤ half, with big margin
+    assert(warmIters * 2 <= coldIters,
+      s"warm=$warmIters cold=$coldIters — delta too disruptive?")
+    val c = cold.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = warm.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(c.keySet == w.keySet)
+    // both fixed points agree within the 6-dp serving grid (measured
+    // ~1e-7; the bound is 2·tol — each run stops once per-step motion
+    // is under tol, so each sits within tol/(1-damping)·damping of the
+    // true fixed point, conservatively bounded here)
+    val maxDiff = c.keys.map(k => math.abs(c(k) - w(k))).max
+    assert(maxDiff <= 1e-6, s"fixed points differ by $maxDiff")
+  }
+
   test("mutual-kNN keeps only reciprocated pairs") {
     val s = spark
     import s.implicits._

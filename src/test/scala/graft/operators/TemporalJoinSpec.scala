@@ -109,6 +109,90 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("a0", "b0"), ("a0", "b1"), ("a1", "b4")))
   }
 
+  test("asof determinism precondition: fixture (user_id, ts) unique per event type") {
+    // q102/q103's cross-engine parity rests on tie-free (key, ts)
+    // sides (AsofOps scaladoc) — assert it instead of trusting it, so
+    // a regenerated fixture that introduces ties fails HERE with a
+    // readable message, not as an opaque oracle hash mismatch
+    val events = graft.sources.Tables.load(
+      spark, "/root/testdata/sf0.001", "events")
+    val dupes = events
+      .groupBy("event_type", "user_id", "ts")
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+      .count()
+    assert(dupes == 0L,
+      s"$dupes (event_type, user_id, ts) ties — as-of oracles ambiguous")
+  }
+
+  test("interval overlap: long-outlier intervals take the residual path, exactly once") {
+    val s = spark
+    import s.implicits._
+    // bin = 100, cap = 4 bins: a_long spans 50 bins (would explode to
+    // 51 copies unguarded); expected pairs computed by the brute
+    // nested-loop definition in-test
+    val a = Seq(
+      (1L, 0L, 5000L, "a_long"), (1L, 150L, 250L, "a_s1"),
+      (1L, 6000L, 6100L, "a_s2"))
+      .toDF("ak", "alo", "ahi", "aname")
+    val b = Seq(
+      (1L, 4900L, 9000L, "b_long"), (1L, 200L, 300L, "b_s1"),
+      (1L, 5500L, 5600L, "b_s2"), (2L, 0L, 9000L, "b_wrong_key"))
+      .toDF("bk", "blo", "bhi", "bname")
+    val brute = for {
+      (ak, alo, ahi, an) <- Seq((1L, 0L, 5000L, "a_long"),
+        (1L, 150L, 250L, "a_s1"), (1L, 6000L, 6100L, "a_s2"))
+      (bk, blo, bhi, bn) <- Seq((1L, 4900L, 9000L, "b_long"),
+        (1L, 200L, 300L, "b_s1"), (1L, 5500L, 5600L, "b_s2"),
+        (2L, 0L, 9000L, "b_wrong_key"))
+      if ak == bk && alo <= bhi && blo <= ahi
+    } yield (an, bn)
+    val out = RangeOps.intervalOverlapJoin(a, b, "ak", "bk",
+        "alo", "ahi", "blo", "bhi", binMicros = 100L,
+        maxBinsPerInterval = 4)
+      .select("aname", "bname").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.length == out.distinct.length) // no path double-counts
+    assert(out.toSet == brute.toSet)
+  }
+
+  test("interval overlap: shared input column names are rejected") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, 0L, 10L)).toDF("k", "lo", "hi")
+    val ex = intercept[IllegalArgumentException] {
+      RangeOps.intervalOverlapJoin(a, a, "k", "k",
+        "lo", "hi", "lo", "hi", binMicros = 10L)
+    }
+    assert(ex.getMessage.contains("share column names"))
+  }
+
+  test("derived bin keeps the q104 explode factor at ~2-3 copies per interval") {
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.load(spark, sf, "events")
+    val signups = events
+      .filter(org.apache.spark.sql.functions.col("event_type") === "signup")
+      .selectExpr("user_id AS s_user", "event_id AS signup_id",
+        "unix_micros(ts) AS s_lo", "unix_micros(ts) + 7200000000 AS s_hi")
+    val purchases = events
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("user_id AS p_user", "event_id AS purchase_id",
+        "unix_micros(ts) AS p_lo", "unix_micros(ts) + 3600000000 AS p_hi")
+    val bin = RangeOps.deriveBinMicros(
+      signups, "s_lo", "s_hi", purchases, "p_lo", "p_hi")
+    // avg span is between the two fixed widths (3600s and 7200s)
+    assert(bin >= 3600000000L && bin <= 7200000000L)
+    // explode factor: copies per input row once binned on the derived
+    // width — each interval covers span/bin + ≤1 bins, so ≤ 3 here
+    val nIn = signups.count() + purchases.count()
+    val nExploded =
+      signups.selectExpr(s"size(sequence(s_lo div $bin, s_hi div $bin)) AS c")
+        .unionAll(purchases.selectExpr(
+          s"size(sequence(p_lo div $bin, p_hi div $bin)) AS c"))
+        .agg(org.apache.spark.sql.functions.sum("c")).head.getLong(0)
+    val factor = nExploded.toDouble / nIn
+    assert(factor <= 3.0, s"explode factor $factor")
+  }
+
   test("range join finds every pair when intervals span many bins") {
     val s = spark
     import s.implicits._

@@ -103,6 +103,76 @@ class GraftJoinReorderSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(GraftJoinReorder.leafRows(scan) == scan.stats.sizeInBytes.toDouble)
   }
 
+  // the full flagship predicate set (p10's), written in an adversarial
+  // FROM order — big tables first, the order a naive left-deep
+  // execution would be worst at
+  private val adversarialFlagshipSql =
+    """SELECT min(o_totalprice) AS min_total, count(*) AS cnt
+       FROM lineitem, orders, customer, nation, region
+       WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+         AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         AND r_name = 'ASIA' AND o_orderstatus = 'F' AND l_quantity > 5"""
+
+  /** The optimized plan's join structure as a set of per-join leaf-name
+    * sets — invariant to build/probe swaps, so "same join order" means
+    * the same sequence of intermediate results. */
+  private def joinSignature(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      Set[Set[String]] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def leafName(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+        Option[String] = p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map { r =>
+            val s = r.toString
+            s.substring(s.lastIndexOf('/') + 1).stripSuffix(".parquet")
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+    plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.collectLeaves().flatMap(leafName).toSet
+    }.toSet
+  }
+
+  test("measured stats mode plans arbitrary SQL with p10's join order") {
+    // p10's choice: DPccp over the measured-profile Selinger estimator
+    val (g, filters) = PlannerQueries.flagshipGraph
+    val profiles = g.relations.map(n =>
+      StatsEstimator.profileTable(spark, sfDir, n)).toVector
+    val card = StatsEstimator.cardinality(g, profiles, filters)
+    val planned = Enumerators.DPccp.plan(g, card, CostModel.Cout)
+    def treeSig(t: JoinTree): Set[Set[String]] = t match {
+      case Leaf(_) => Set.empty
+      case n @ Node(l, r) =>
+        def names(s: Long): Set[String] =
+          (0 until g.n).filter(i => ((s >> i) & 1L) == 1L)
+            .map(g.relations).toSet
+        treeSig(l) ++ treeSig(r) + names(n.set)
+    }
+    val expected = treeSig(planned.tree)
+
+    spark.conf.set("spark.graft.joinReorder.stats", "measured")
+    try {
+      val qe = spark.sql(adversarialFlagshipSql).queryExecution
+      val got = joinSignature(qe.optimizedPlan)
+      assert(got == expected,
+        s"in-optimizer order $got != p10's DPccp order $expected")
+      // and the measured-mode plan must produce the identical result
+      val measured = qe.toRdd // force nothing; compare via fresh runs
+      val withStats = spark.sql(adversarialFlagshipSql)
+        .collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.graft.joinReorder.enabled", "false")
+      val without = try spark.sql(adversarialFlagshipSql)
+        .collect().map(_.toSeq).toSeq
+      finally spark.conf.set("spark.graft.joinReorder.enabled", "true")
+      assert(withStats == without)
+    } finally spark.conf.unset("spark.graft.joinReorder.stats")
+  }
+
   test("non-equi multiway join does not break") {
     val rows = spark.sql(
       """SELECT count(*) AS c FROM region a, region b, region c
