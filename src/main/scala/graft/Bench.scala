@@ -73,11 +73,16 @@ object Bench {
 
   /** Sixth series guarding the round-10 operators (dangling-mass
     * PageRank, degree-oriented triangles, incremental warm-started
-    * PageRank re-convergence, stats-derived interval binning).
-    * Baselines at round 10; never touches the earlier series. */
+    * PageRank re-convergence, stats-derived interval binning, HITS,
+    * gap-fill interpolation, the mergeable histogram column, the
+    * native bounded top-k aggregate, and the lossless prefix-filtered
+    * jaccard join). Baselines at round 10; never touches the earlier
+    * series. Streaming q110 is excluded like every stream entry. */
   val headlineR10: Seq[String] = Seq(
     "g06_pagerank_dangling", "g07_triangles_degree",
-    "g08i_pagerank_incremental", "q104a_interval_overlap_auto")
+    "g08i_pagerank_incremental", "q104a_interval_overlap_auto",
+    "g09_hits", "q107_gapfill_interpolate", "q108_histogram_sketch",
+    "q109_topk_agg", "d14_dedup_prefix_jaccard")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -105,6 +105,12 @@ object GraftFunctions {
       "graft_bloom_contains(sketch binary, key string)")
   }
 
+  private def topkBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(score, payload, Literal(k: Int, _)) => TopKAgg(score, payload, k)
+    case _ => throw new IllegalArgumentException(
+      "graft_topk(score double, payload bigint, k literal int)")
+  }
+
   private def pqCodesBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(v, cents, Literal(m: Int, _)) => PqCodes(v, cents, m)
     case _ => throw new IllegalArgumentException(
@@ -147,7 +153,10 @@ object GraftFunctions {
       bloomAggBuilder _),
     (FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
-      bloomContainsBuilder _))
+      bloomContainsBuilder _),
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      topkBuilder _))
 
   /** Idempotent imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

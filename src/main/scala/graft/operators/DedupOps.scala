@@ -763,6 +763,66 @@ object DedupOps {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** d14: EXACT Jaccard threshold join via PREFIX FILTERING — the
+    * AllPairs/PPJoin family's lossless alternative to d04's canopy
+    * blocking. Tokens (the same non-overlapping 5-char grams as d04)
+    * get a global order by (document frequency asc, gram asc); each
+    * document keeps only its PREFIX — the first |G| − ⌈θ·|G|⌉ + 1
+    * tokens in that order — and candidates are pairs sharing ≥1 prefix
+    * token. The prefix-filter theorem (any pair with |A∩B| ≥ α shares
+    * a token in both length-(|x|−α+1) prefixes, with α = ⌈θ·max⌉ ≥
+    * ⌈θ·|x|⌉) makes the candidate set a SUPERSET of the true pairs,
+    * so after exact verification the output is the complete θ-join —
+    * unlike d02/d03's probabilistic recall or d04's canopy cutoff,
+    * nothing is lost, which is why the oracle is plain brute force.
+    *
+    * Scale shape: the join is an inverted index over PREFIX tokens
+    * only, and the df-ascending order puts the RAREST grams in the
+    * prefixes — candidate fan-out per token tracks the rare-token df
+    * distribution, not corpus size; the frequent grams that would
+    * quadratize an inverted-index join sort to the suffixes and never
+    * join. θ defaults to 0.5 (exact in binary fp, so ⌈θ·|G|⌉ has no
+    * float boundary; d04's threshold, letting the spec compare the
+    * lossless result against the canopy-blocked one). */
+  def prefixJaccard(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame =
+    prefixJaccardOn(docs(spark, sfDir), threshold)
+
+  /** [[prefixJaccard]] over any (doc_id, text) frame. */
+  def prefixJaccardOn(input: DataFrame, threshold: Double): DataFrame = {
+    val d = Persists.barrier(input
+      .withColumn("grams", array_distinct(expr(
+        "regexp_extract_all(text, '.{5}', 0)")))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), col("grams")))
+    val tok = d.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val dfreq = tok.groupBy("gram").agg(count(lit(1)).as("df"))
+    val sorted = tok.join(dfreq, "gram")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("gram"))))
+        .as("toks"))
+    val pre = sorted
+      .withColumn("sz", size(col("toks")))
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+      .select(col("doc_id"), explode(expr("slice(toks, 1, plen)")).as("t"))
+      .select(col("doc_id"), col("t.gram").as("gram"))
+    val cand = pre.as("x").join(pre.as("y"),
+        col("x.gram") === col("y.gram") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val g = d.select(col("doc_id"), col("grams"))
+    cand.join(g.as("ga"), col("id_a") === col("ga.doc_id"))
+      .join(g.as("gb"), col("id_b") === col("gb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("ga.grams"), col("gb.grams")))
+            .cast("double") /
+          size(array_union(col("ga.grams"), col("gb.grams"))), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Multi-signal near-dup: the union of the text-similarity pairs
     * (portable minhash banding, jaccard-verified) and the
     * embedding-similarity pairs (LSH-blocked, cosine-verified), tagged
@@ -803,6 +863,8 @@ object DedupOps {
       ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "d04_dedup_ngram" ->
       ((s: SparkSession, d: String) => ngramJaccard(s, d)),
+    "d14_dedup_prefix_jaccard" ->
+      ((s: SparkSession, d: String) => prefixJaccard(s, d)),
     "d05_dedup_embedding" ->
       ((s: SparkSession, d: String) => embeddingNearDup(s, d))
   )
@@ -813,6 +875,24 @@ object DedupOps {
     * (WordShingles semantics: step 1, distinct, whole text when < k
     * words), the same >maxCanopyFreq hot-key cutoff, and the same
     * round-then-threshold jaccard. */
+  /** d14's oracle is BRUTE FORCE — the prefix filter is lossless, so
+    * the exact all-pairs θ-join is precisely what the filtered join
+    * must produce (the round-then-threshold jaccard spelled like d04's;
+    * |union| = |A| + |B| − |A∩B| on already-distinct gram lists). */
+  private val prefixJaccardOracle: String =
+    """WITH d0 AS (
+         SELECT doc_id,
+                list_distinct(regexp_extract_all(text, '.{5}')) AS grams
+         FROM documents),
+       d AS (SELECT * FROM d0 WHERE len(grams) > 0),
+       p AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                      (len(a.grams) + len(b.grams) -
+                       len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+         FROM d a JOIN d b ON a.doc_id < b.doc_id)
+       SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5"""
+
   private val ngramOracle: String =
     """WITH d AS (
          SELECT doc_id,
@@ -906,6 +986,7 @@ object DedupOps {
     "d11_dedup_keep_quality" -> keepQualityOracle,
     "d12_dedup_incremental" -> incrementalOracle,
     "d04_dedup_ngram" -> ngramOracle,
+    "d14_dedup_prefix_jaccard" -> prefixJaccardOracle,
     "d05_dedup_embedding" -> embeddingOracle,
     "d06_dedup_minhash_portable" -> minhashPortableOracle,
     "d13_dedup_editdist" -> editDistOracle,

@@ -224,7 +224,59 @@ object EventOps {
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_off"))
       .agg(countDistinct("user_id").as("users"))
 
+  /** q107: time-series RESAMPLE — gap-fill + linear interpolation of
+    * the daily value curve per event type, the regularization step
+    * before any forecasting / anomaly model trains on event telemetry.
+    * Three declarative stages: (1) the observed daily means (one
+    * partial-agg pass), (2) the dense day grid per series via
+    * `sequence`/`explode` of the series' own [min, max] span —
+    * generated in the projection, no row explosion beyond the calendar
+    * — left-joined to the observations, (3) interpolation from four
+    * ignore-nulls window columns (prev/next observed value and day)
+    * sharing ONE series-keyed sort: filled = pv + (nv−pv)·(d−pd)/(nd−pd).
+    * Endpoints are always observed (the grid spans observed days), so
+    * no boundary extrapolation case exists. Scale: the shuffle key is
+    * the series id and a series' grid is bounded by CALENDAR DAYS, not
+    * rows — a 100 TB events table still interpolates over |series| ×
+    * |days| cells; the heavy side is stage 1's partial agg, which
+    * combines map-side. Arithmetic mirrors the DuckDB twin op for op
+    * over 6-dp-rounded anchors, so the fill is hash-exact. */
+  def gapfillInterpolate(spark: SparkSession, sfDir: String): DataFrame =
+    gapfillInterpolateOn(Tables.load(spark, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div $DayUs").as("day"), col("value")))
+
+  /** [[gapfillInterpolate]] over any (event_type, day, value) frame —
+    * fixture-injectable (the [[sessionizeOn]] pattern). */
+  def gapfillInterpolateOn(e: DataFrame): DataFrame = {
+    val daily = e.groupBy("event_type", "day")
+      .agg(round(avg("value"), 6).as("v"))
+    val grid = daily.groupBy("event_type")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    val wb = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("pv", last("v", ignoreNulls = true).over(wb))
+      .withColumn("pd",
+        last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wb))
+      .withColumn("nv", first("v", ignoreNulls = true).over(wf))
+      .withColumn("nd",
+        first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wf))
+      .select(col("event_type"), col("day"),
+        round(when(col("v").isNotNull, col("v")).otherwise(
+          col("pv") + ((col("nv") - col("pv")) *
+            (col("day") - col("pd")).cast("double")) /
+            (col("nd") - col("pd")).cast("double")), 6).as("value_filled"),
+        when(col("v").isNull, 1).otherwise(0).cast("int").as("filled"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_gapfill_interpolate" -> (gapfillInterpolate _),
     "q60_funnel" -> (funnel _),
     "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_retention" -> (retention _),
@@ -232,6 +284,45 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // q107: same three stages — observed daily means, per-series day
+    // grid, prev/next ignore-nulls windows — with the interpolation
+    // arithmetic spelled op for op like the Spark side (6-dp anchors,
+    // integer day distances cast to double before the divide)
+    "q107_gapfill_interpolate" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                           value
+                    FROM events WHERE value IS NOT NULL),
+          daily AS (SELECT event_type, day, round(avg(value), 6) AS v
+                    FROM e GROUP BY 1, 2),
+          span AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+                   FROM daily GROUP BY 1),
+          grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+                   FROM span),
+          j AS (SELECT g.event_type, g.day, d.v
+                FROM grid g LEFT JOIN daily d
+                  ON d.event_type = g.event_type AND d.day = g.day),
+          f AS (SELECT event_type, day, v,
+                       last_value(v IGNORE NULLS) OVER wb AS pv,
+                       last_value(CASE WHEN v IS NOT NULL THEN day END
+                                  IGNORE NULLS) OVER wb AS pd,
+                       first_value(v IGNORE NULLS) OVER wf AS nv,
+                       first_value(CASE WHEN v IS NOT NULL THEN day END
+                                   IGNORE NULLS) OVER wf AS nd
+                FROM j
+                WINDOW wb AS (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW),
+                       wf AS (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING))
+        SELECT event_type, day,
+               round(CASE WHEN v IS NOT NULL THEN v
+                          ELSE pv + ((nv - pv) * CAST(day - pd AS DOUBLE))
+                                    / CAST(nd - pd AS DOUBLE) END,
+                     6) AS value_filled,
+               CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INTEGER)
+                 AS filled
+        FROM f""",
     "q60_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
                     FROM events),

@@ -192,6 +192,50 @@ object GraphOps {
     pr
   }
 
+  private val HitsIters = 3
+
+  /** HITS hubs & authorities (Kleinberg) over a directed edge list —
+    * the mutually-recursive twin of PageRank's single score: a good
+    * hub points at good authorities, a good authority is pointed at by
+    * good hubs. Each iteration is TWO superstep-shaped passes (auth:
+    * edges⋈hubs joined on src, partial-agg by dst; hub: edges⋈auths
+    * joined on dst, partial-agg by src) plus one scalar L1
+    * normalization per side — a one-row aggregate broadcast back into
+    * the update (the [[pagerankDanglingOn]] sink-scalar discipline),
+    * so per iteration only the node-sized score vectors and two
+    * scalars move; the edge table stays put. All scores positive, so
+    * L1 keeps each side summing to exactly 1 (spec-pinned) and the SQL
+    * mirror needs no sqrt. Rounding: the aggregated score AND the norm
+    * scalar are 9-dp-rounded before the divide, and the quotient again
+    * — both engines re-enter every half-iteration from identical
+    * doubles. Returns (node, kind ∈ {hub, auth}, score): on a
+    * bipartite source→sink graph the hub side scores the sources and
+    * the auth side the sinks. */
+  def hitsOn(edges: DataFrame, iters: Int = HitsIters): DataFrame = {
+    val e = Persists.barrier(edges.select("src", "dst"))
+    var hub = e.select(col("src").as("node")).distinct()
+      .withColumn("h", round(lit(1.0), 9))
+    var auth: DataFrame = hub.select(col("node"), col("h").as("a"))
+    for (_ <- 1 to iters) {
+      val ar = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst")).agg(round(sum(col("h")), 9).as("a"))
+        .withColumnRenamed("dst", "node")
+      val an = ar.agg(round(sum(col("a")), 9).as("norm"))
+      auth = ar.crossJoin(broadcast(an))
+        .select(col("node"), round(col("a") / col("norm"), 9).as("a"))
+      val hr = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src")).agg(round(sum(col("a")), 9).as("h"))
+        .withColumnRenamed("src", "node")
+      val hn = hr.agg(round(sum(col("h")), 9).as("norm"))
+      hub = hr.crossJoin(broadcast(hn))
+        .select(col("node"), round(col("h") / col("norm"), 9).as("h"))
+    }
+    hub.select(col("node"), lit("hub").as("kind"),
+        round(col("h"), 6).as("score"))
+      .unionAll(auth.select(col("node"), lit("auth").as("kind"),
+        round(col("a"), 6).as("score")))
+  }
+
   /** Mutual-kNN edges over a (vec_id, v: array&lt;double&gt;) frame:
     * (a, b) with a &lt; b iff each is in the other's top-`k` by rounded
     * cosine (ties broken by neighbor id — the s01 rank convention).
@@ -585,6 +629,21 @@ object GraphOps {
     // in GraphOpsSpec.
     "g08_pagerank_incremental" -> ((spark: SparkSession, sfDir: String) =>
       incrementalPagerank(spark, sfDir)),
+    // g09: HITS on the same one-way supplier→customer graph as g06 —
+    // hub scores rank suppliers by how strongly they reach
+    // high-authority customers, authority scores rank customers by the
+    // hub mass pointing at them (the domain-authority pair every
+    // crawl-curation pipeline keeps beside PageRank).
+    "g09_hits" -> ((spark: SparkSession, sfDir: String) => {
+      val orders = Tables.load(spark, sfDir, "orders")
+      val lineitem = Tables.load(spark, sfDir, "lineitem")
+      val edges = orders.join(lineitem,
+          orders("o_orderkey") === lineitem("l_orderkey"))
+        .select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("o_custkey") * 2).as("dst"))
+        .distinct()
+      hitsOn(edges)
+    }),
     // g04: the LSH-candidate graph builder — the shape that replaces
     // g02/g03's exact all-pairs stage at corpus scale, targeting the
     // STRONG graph (g03's consumer): hyperplane collision probability
@@ -753,6 +812,39 @@ object GraphOps {
     s"$base,\n$its\nSELECT node, round(pr, 6) AS pr FROM it$iters"
   }
 
+  /** g09's oracle: the [[pagerankOracle]] unrolling discipline applied
+    * to HITS — per iteration four CTEs (auth raw, auth norm scalar,
+    * normalized auth; then the hub half), every aggregate and quotient
+    * 9-dp-rounded exactly where the Spark side rounds. */
+  private def hitsOracle(iters: Int): String = {
+    val base =
+      """WITH edges AS (
+           SELECT DISTINCT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         h0 AS (
+           SELECT DISTINCT src AS node,
+                  round(CAST(1.0 AS DOUBLE), 9) AS h
+           FROM edges)"""
+    val its = (1 to iters).map { i =>
+      s"""a${i}r AS (
+           SELECT e.dst AS node, round(sum(p.h), 9) AS a
+           FROM edges e JOIN h${i - 1} p ON e.src = p.node
+           GROUP BY e.dst),
+         a${i}n AS (SELECT round(sum(a), 9) AS norm FROM a${i}r),
+         a$i AS (SELECT node, round(a / norm, 9) AS a FROM a${i}r, a${i}n),
+         h${i}r AS (
+           SELECT e.src AS node, round(sum(q.a), 9) AS h
+           FROM edges e JOIN a$i q ON e.dst = q.node
+           GROUP BY e.src),
+         h${i}n AS (SELECT round(sum(h), 9) AS norm FROM h${i}r),
+         h$i AS (SELECT node, round(h / norm, 9) AS h FROM h${i}r, h${i}n)"""
+    }.mkString(",\n")
+    s"""$base,\n$its
+       SELECT node, 'hub' AS kind, round(h, 6) AS score FROM h$iters
+       UNION ALL
+       SELECT node, 'auth' AS kind, round(a, 6) AS score FROM a$iters"""
+  }
+
   /** g02's triangle-count SQL, shared verbatim by g07: the orientation
     * is internal to the Spark side (degree vs id), the per-node counts
     * are provably identical, and the shared oracle is what PROVES it
@@ -774,6 +866,7 @@ object GraphOps {
     "g01_pagerank" -> pagerankOracle(PrIters),
     "g05_personalized_pagerank" -> personalizedPagerankOracle(PrIters),
     "g06_pagerank_dangling" -> pagerankDanglingOracle(PrIters),
+    "g09_hits" -> hitsOracle(HitsIters),
     "g07_triangles_degree" -> triangleOracle,
     "g02_knn_triangles" -> triangleOracle,
     "g03_knn_components" ->

@@ -271,7 +271,80 @@ object RelationalQueries {
 
   /** DataFrame-API queries (operators Spark expresses natively but whose
     * SQL differs from DuckDB, or that showcase the Dataset API). */
+  /** q108's build step over any (event_type, day, value) frame: one
+    * partial-agg pass to per-(group, shard) dense bin-count arrays —
+    * the MERGEABLE histogram column. Bins are fixed-width with clamped
+    * tails (`least(greatest(floor(v/width),0),nbins-1)`), so the
+    * sketch is a pure function of the value and merging two shards'
+    * arrays elementwise-adds EXACTLY the histogram of their union —
+    * unlike q105's HLL this stored stat has no estimation error, which
+    * is what lets the gate hash-check the whole
+    * build→store→merge→serve path against a direct GROUP BY. */
+  def histogramSketch(shards: DataFrame, nbins: Int,
+      width: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    shards
+      .filter(col("value").isNotNull)
+      .withColumn("bin", least(greatest(
+        floor(col("value") / width), lit(0.0)), lit(nbins - 1.0)).cast("int"))
+      .groupBy("event_type", "day", "bin")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type", "day")
+      .agg(collect_list(struct(col("bin"), col("cnt"))).as("parts"))
+      .select(col("event_type"), col("day"),
+        expr(s"""aggregate(parts, array_repeat(0L, $nbins),
+                  (acc, p) -> transform(acc,
+                    (x, i) -> x + IF(i = p.bin, p.cnt, 0L)))""").as("hist"))
+  }
+
+  /** q108's MERGE + SERVE: elementwise-sum the shard arrays per group
+    * (`zip_with` fold — sketch-merge, no row re-scan) and explode the
+    * merged array to (group, bin, cnt) rows. The rollup a 100 TB store
+    * runs nightly: per-day histogram columns land with each ingest
+    * batch; per-month / global serving merges O(shards · nbins) longs. */
+  def histogramMergeServe(hists: DataFrame, nbins: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    hists.groupBy("event_type")
+      .agg(collect_list(col("hist")).as("hs"))
+      .select(col("event_type"),
+        posexplode(expr(s"""aggregate(hs, array_repeat(0L, $nbins),
+          (acc, h) -> zip_with(acc, h, (x, y) -> x + y))"""))
+          .as(Seq("bin", "cnt")))
+  }
+
   def dfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q108: the mergeable HISTOGRAM sketch column — q105's stored-stat
+    // discipline (build per shard at ingest, roll up by MERGE, serve
+    // without re-scanning rows) on a sketch whose merge is EXACT, so
+    // the entire path is oracle-checkable: 20 fixed-width bins over
+    // events.value, sharded by day, merged per event_type. Integer
+    // elementwise adds are order-free — collect_list's
+    // nondeterministic shard order cannot change the result.
+    "q108_histogram_sketch" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.load(spark, sfDir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
+      histogramMergeServe(
+        histogramSketch(e, nbins = 20, width = 5.0), nbins = 20)
+    }),
+    // q109: per-group top-k through the NATIVE bounded aggregate
+    // ([[graft.functions.TopKAgg]]) instead of a window sort — O(k)
+    // state per group, map-side partials, k·|groups| rows over the
+    // shuffle where the q13/q95 window forms shuffle-and-sort every
+    // row. The oracle is the window form: the two must agree row for
+    // row (ties broken by payload id).
+    "q109_topk_agg" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.register(spark)
+      Tables.load(spark, sfDir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("graft_topk(o_totalprice, o_orderkey, 5)").as("tk"))
+        .select(col("o_orderstatus"), explode(col("tk")).as("e"))
+        .select(col("o_orderstatus"),
+          col("e.payload").as("o_orderkey"),
+          col("e.score").as("o_totalprice"))
+    }),
     // left-semi join (reference: semijoin selection,
     // MyLoptOptimizeJoinRule.java:121-141)
     "q06_join_semi" -> ((spark, sfDir) => {
@@ -414,6 +487,34 @@ object RelationalQueries {
   }
 
   val dfOracleSql: Map[String, String] = Map(
+    // q108: the histogram direct from the rows — build/merge/serve on
+    // the Spark side must reproduce it exactly. The type × bin grid is
+    // dense over bins that occur anywhere in the type's days (the
+    // Spark side's merged array covers all 20 positions, but a type
+    // whose days never hit a bin still carries 0 there), so the grid
+    // is every (event_type, bin in 0..19) pair with coalesced counts.
+    "q108_histogram_sketch" ->
+      """WITH e AS (
+           SELECT event_type,
+                  CAST(least(greatest(floor(value / 5.0), 0), 19) AS INTEGER)
+                    AS bin
+           FROM events WHERE value IS NOT NULL),
+         grid AS (
+           SELECT t.event_type, b.bin
+           FROM (SELECT DISTINCT event_type FROM e) t,
+                (SELECT unnest(range(0, 20)) AS bin) b),
+         c AS (SELECT event_type, bin, count(*) AS cnt
+               FROM e GROUP BY 1, 2)
+         SELECT g.event_type, g.bin,
+                coalesce(c.cnt, 0) AS cnt
+         FROM grid g LEFT JOIN c
+           ON g.event_type = c.event_type AND g.bin = c.bin""",
+    "q109_topk_agg" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+           SELECT o_orderstatus, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 5""",
     "q41_string_agg" ->
       """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
          FROM supplier GROUP BY s_nationkey""",

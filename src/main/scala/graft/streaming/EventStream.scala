@@ -300,11 +300,32 @@ object EventStream {
     graft.operators.RelationalQueries.hllServe(sketches)
   }
 
+  /** q110: per-group top-k ON the stream through the native bounded
+    * aggregate ([[graft.functions.TopKAgg]]) — the q106 discipline
+    * applied to rankings: complete-mode state is one O(k) buffer per
+    * event type, never a sorted row set, and top-k-of-union is
+    * associative/commutative under the (score desc, id asc) total
+    * order, so micro-batch arrival order is invisible and the stream
+    * must reproduce the batch window-form oracle EXACTLY — unlike the
+    * sketch entries this one hash-checks. */
+  def topkStream(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val tk = StreamRun.toCompletion(
+      readEvents(spark, sfDir, glob = "events.parquet")
+        .groupBy("event_type")
+        .agg(expr("graft_topk(value, event_id, 5)").as("tk")),
+      "graft_stream_topk", outputMode = "complete")
+    tk.select(col("event_type"), explode(col("tk")).as("e"))
+      .select(col("event_type"), col("e.payload").as("event_id"),
+        col("e.score").as("value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_stream_hourly" -> (hourlyCountsStreamed _),
     "q72_stream_attribution" -> (attributionStreamed _),
     "q78_stream_sliding" -> (slidingCountsStreamed _),
-    "q106_stream_hll" -> (hllStream _))
+    "q106_stream_hll" -> (hllStream _),
+    "q110_stream_topk" -> (topkStream _))
 
   /** The batch answer in DuckDB — the stream must reproduce it bucket
     * for bucket (epoch_us keeps the hour as an integer so the hash
@@ -336,7 +357,15 @@ object EventStream {
          SELECT v.user_id, v.us AS view_us, p.us AS purchase_us
          FROM e v JOIN e p ON v.user_id = p.user_id
          WHERE v.event_type = 'view' AND p.event_type = 'purchase'
-           AND p.us > v.us AND p.us <= v.us + 604800000000""")
+           AND p.us > v.us AND p.us <= v.us + 604800000000""",
+    // the batch window form the streaming bounded aggregate must
+    // reproduce (same total order as q109's oracle)
+    "q110_stream_topk" ->
+      """SELECT event_type, event_id, value FROM (
+           SELECT event_type, event_id, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id) AS rn
+           FROM events WHERE value IS NOT NULL) WHERE rn <= 5""")
 }
 
 /** Runnable streaming demo: stages the events parquet into a source dir,

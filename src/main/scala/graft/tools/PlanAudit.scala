@@ -50,7 +50,21 @@ object PlanAudit {
       "s12_embedding_covariance", "s13_mmr_rerank",
       "c17_reservoir_sample", "c18_dedup_aware_split",
       "q100_equidepth_bins", "q101_recursive_cte",
-      "q102_asof_tolerance", "q103_asof_forward")
+      "q102_asof_tolerance", "q103_asof_forward",
+      // round-9 post-audit landings (VERDICT r9 §wrong item 3) + the
+      // round-10 additions: interval joins (manual + stats-derived
+      // bin), sketch columns, the graph family's new members, the
+      // resample/interpolate pass, the exact histogram column, the
+      // native bounded top-k aggregate, the lossless prefix join
+      "q104_interval_overlap", "q104a_interval_overlap_auto",
+      "q105_hll_sketch_column",
+      // the streaming sketch/topk twins audit their SERVE plan (the
+      // batch query over the completed sink — the stateful half's
+      // properties live in StreamHllSpec / the q110 oracle hash)
+      "q106_stream_hll", "q110_stream_topk",
+      "g06_pagerank_dangling", "g07_triangles_degree", "g09_hits",
+      "q107_gapfill_interpolate", "q108_histogram_sketch",
+      "q109_topk_agg", "d14_dedup_prefix_jaccard")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

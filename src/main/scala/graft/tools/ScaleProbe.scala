@@ -37,6 +37,16 @@ object ScaleProbe {
            j -> pmod(xxhash64(id div 8, j), 1000) / 500.0d - 1.0d
                 + pmod(xxhash64(id, j), 100) / 1000.0d) AS v""")
 
+  /** 4-doc near-dup groups (10 shared words from the group id + one
+    * doc-unique tail word): intra-group char-gram jaccard clears 0.5,
+    * cross-group overlap is hash noise — duplicate-cluster COUNT grows
+    * with n while cluster SIZE stays fixed, the d14/gx probe shape. */
+  private def dupDocsN(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).selectExpr("id AS doc_id",
+      """concat(concat_ws(' ', transform(sequence(0, 9),
+           j -> concat('w', pmod(xxhash64((id div 4) * 11 + j, 1), 500)))),
+         ' u', id % 4) AS text""")
+
   private def timed(f: => DataFrame): (Double, Long) = {
     val t0 = System.nanoTime()
     var rows = 0L
@@ -193,7 +203,37 @@ object ScaleProbe {
         spark.range(n * 2 / 3).selectExpr("id AS src",
           s"explode(transform(sequence(0, 7), " +
             s"j -> ${n}L div 3 + pmod(xxhash64(id, j), " +
-            s"${n}L - ${n}L div 3))) AS dst"))))
+            s"${n}L - ${n}L div 3))) AS dst"))),
+      // g09: two superstep passes + two scalar norms per iteration —
+      // linear in |edges| at fixed degree, like g01 (same edge shape)
+      ("g09_hits", n => GraphOps.hitsOn(
+        spark.range(n).selectExpr("id AS src",
+          s"explode(transform(sequence(0, 7), " +
+            s"j -> pmod(xxhash64(id, j), ${n}L))) AS dst"))),
+      // q107: the grid is bounded by CALENDAR DAYS (fixed 100-day span,
+      // 50 series), so 4x the events only grows the stage-1 partial
+      // agg — the window stage runs over a CONSTANT 5000-cell frame
+      ("q107_gapfill", n => EventOps.gapfillInterpolateOn(
+        spark.range(n).selectExpr(
+          "concat('t', id % 50) AS event_type",
+          "pmod(xxhash64(id), 100) AS day",
+          "pmod(xxhash64(id, 3), 1000) / 10.0d AS value"))),
+      // q108: one partial-agg build pass + a |shards|·nbins merge —
+      // linear in n, and the merge cost is independent of n entirely
+      ("q108_histogram", n => RelationalQueries.histogramMergeServe(
+        RelationalQueries.histogramSketch(
+          spark.range(n).selectExpr(
+            "concat('t', id % 5) AS event_type",
+            "pmod(xxhash64(id), 30) AS day",
+            "pmod(xxhash64(id, 7), 1200) / 10.0d - 10.0d AS value"),
+          20, 5.0), 20)),
+      // d14: 4-doc duplicate groups (group COUNT grows with n — the
+      // d04-probe corpus shape): true pairs are ∝ n and the prefix
+      // inverted-index join touches rare grams only, so the lossless
+      // θ-join stays near-linear where brute all-pairs is 16× at 4×
+      // (the dx_brute contrast below measures exactly that)
+      ("d14_prefix_jaccard", n => DedupOps.prefixJaccardOn(
+        dupDocsN(spark, n), threshold = 0.5)))
 
     println(f"${"operator"}%-24s ${"n1"}%8s ${"t1(s)"}%8s ${"rows1"}%9s " +
       f"${"n4"}%8s ${"t4(s)"}%8s ${"rows4"}%9s ${"ratio"}%6s")
@@ -273,6 +313,72 @@ object ScaleProbe {
         f"$i4%8.2f ratio=${i4 / i1}%6.2f (quadratic hub fan-out)")
       println(f"tri_deg_orient_skew      $base%8d $d1%8.2f ${base * 4}%8d " +
         f"$d4%8.2f ratio=${d4 / d1}%6.2f (bounded forward degree)")
+    }
+
+    // PREFIX-FILTER vs BRUTE contrast (the d14 claim): same exact
+    // θ-join answer, but brute scores all n²/2 pairs (16× at 4×) while
+    // the prefix inverted index touches candidates sharing a rare-gram
+    // prefix token (near-linear on the fixed-cluster-size corpus).
+    locally {
+      import org.apache.spark.sql.functions._
+      def brute(n: Long) = {
+        val g = dupDocsN(spark, n)
+          .withColumn("grams", array_distinct(expr(
+            "regexp_extract_all(text, '.{5}', 0)")))
+          .filter(size(col("grams")) > 0).select("doc_id", "grams")
+        g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(round(size(array_intersect(col("a.grams"), col("b.grams")))
+              .cast("double") /
+            size(array_union(col("a.grams"), col("b.grams"))), 4)
+            .as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+      }
+      def prefix(n: Long) =
+        graft.operators.DedupOps.prefixJaccardOn(dupDocsN(spark, n), 0.5)
+      def run(f: => DataFrame): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Persists.scoped { f.count() }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val base = 2500L
+      run(brute(base)); run(prefix(base)) // warm-up
+      val (b1, b4) = (run(brute(base)), run(brute(base * 4)))
+      val (p1, p4) = (run(prefix(base)), run(prefix(base * 4)))
+      println(f"dx_brute_jaccard         $base%8d $b1%8.2f ${base * 4}%8d " +
+        f"$b4%8.2f ratio=${b4 / b1}%6.2f (all-pairs)")
+      println(f"dx_prefix_jaccard        $base%8d $p1%8.2f ${base * 4}%8d " +
+        f"$p4%8.2f ratio=${p4 / p1}%6.2f (prefix inverted index)")
+    }
+
+    // TOP-K: native bounded aggregate vs the window sort (the q109
+    // claim) — same answer (TopKAggSpec pins it), but the window form
+    // shuffles and sorts every row of every group while the aggregate
+    // moves k·|groups| partial rows. Both are linear in n; the probe
+    // commits the CONSTANT gap at a realistic rows-per-group ratio.
+    locally {
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.register(spark)
+      def frame(n: Long) = spark.range(n).selectExpr(
+        "concat('g', id % 100) AS g",
+        "pmod(xxhash64(id), 100000) / 7.0d AS score", "id")
+      def viaAgg(n: Long) = frame(n).groupBy("g")
+        .agg(expr("graft_topk(score, id, 5)").as("tk"))
+        .select(explode(col("tk")))
+      def viaWindow(n: Long) = frame(n)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")
+            .orderBy(col("score").desc, col("id"))))
+        .filter(col("rn") <= 5)
+      def run(f: => DataFrame): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Persists.scoped { f.count() }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val n = 2000000L
+      run(viaAgg(n)); run(viaWindow(n)) // warm-up
+      val (ta, tw) = (run(viaAgg(n)), run(viaWindow(n)))
+      println(f"topk_agg_vs_window       n=$n agg=$ta%6.2f s " +
+        f"window=$tw%6.2f s speedup=${tw / ta}%5.2f x")
     }
     spark.stop()
   }

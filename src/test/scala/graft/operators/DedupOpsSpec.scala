@@ -204,4 +204,38 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("d14 prefix-filtered jaccard join is LOSSLESS: equals brute " +
+      "force on the fixture corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val got = DedupOps.prefixJaccardOn(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // brute force: every pair, exact verified — the prefix filter may
+    // only shrink the CANDIDATE set, never the verified result
+    val g = docs.withColumn("grams", array_distinct(expr(
+        "regexp_extract_all(text, '.{5}', 0)")))
+      .filter(size(col("grams")) > 0).select("doc_id", "grams")
+    val brute = g.as("a").join(g.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(size(array_intersect(col("a.grams"), col("b.grams")))
+            .cast("double") /
+          size(array_union(col("a.grams"), col("b.grams"))), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == brute)
+    assert(got.nonEmpty) // the fixture has true near-dup pairs
+    // canopy-blocked d04 can only lose pairs relative to the lossless
+    // join (on this fixture it loses none — both find the same set)
+    val canopy = DedupOps.ngramJaccardOn(docs, 0.5, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(canopy.subsetOf(got))
+  }
 }

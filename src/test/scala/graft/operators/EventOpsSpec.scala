@@ -112,4 +112,26 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[Long]("n_events"))).toSeq.sorted
     assert(batch == kernel)
   }
+
+  test("q107 gap-fill: observed days pass through, gaps interpolate " +
+      "linearly, endpoints never extrapolate") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // series a: days 10,13 observed (1.0, 4.0) -> 11,12 fill 2.0, 3.0;
+    // day 13 has two raw values (3.0, 5.0) -> observed mean 4.0.
+    // series b: single day -> one observed row, nothing to fill.
+    val e = Seq(
+      ("a", 10L, 1.0), ("a", 13L, 3.0), ("a", 13L, 5.0),
+      ("b", 20L, 7.0))
+      .toDF("event_type", "day", "value")
+    val got = EventOps.gapfillInterpolateOn(e)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(got == Set(
+      ("a", 10L, 1.0, 0), ("a", 11L, 2.0, 1), ("a", 12L, 3.0, 1),
+      ("a", 13L, 4.0, 0), ("b", 20L, 7.0, 0)))
+    // grid is exactly [min, max] per series: no day outside it appears
+    assert(!got.exists(r => r._1 == "a" && (r._2 < 10 || r._2 > 13)))
+  }
 }

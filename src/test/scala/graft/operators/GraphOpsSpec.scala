@@ -231,4 +231,23 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(edges == Set((0L, 1L)))
   }
+
+  test("HITS: hub/auth sides each L1-normalize to 1; ordering correct") {
+    val s = spark
+    import s.implicits._
+    // 1 -> {2,4}, 3 -> {4}: node 4 is the stronger authority (two
+    // hubs point at it), node 1 the stronger hub (points at both
+    // authorities, including the strong one)
+    val edges = Seq((1L, 2L), (1L, 4L), (3L, 4L)).toDF("src", "dst")
+    val rows = GraphOps.hitsOn(edges)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val hubs = rows.filter(_._2 == "hub").map(r => r._1 -> r._3).toMap
+    val auths = rows.filter(_._2 == "auth").map(r => r._1 -> r._3).toMap
+    assert(hubs.keySet == Set(1L, 3L)) // sources only
+    assert(auths.keySet == Set(2L, 4L)) // sinks only
+    assert(math.abs(hubs.values.sum - 1.0) <= 1e-6)
+    assert(math.abs(auths.values.sum - 1.0) <= 1e-6)
+    assert(hubs(1L) > hubs(3L))
+    assert(auths(4L) > auths(2L))
+  }
 }
