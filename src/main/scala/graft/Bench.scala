@@ -82,7 +82,9 @@ object Bench {
     "g06_pagerank_dangling", "g07_triangles_degree",
     "g08i_pagerank_incremental", "q104a_interval_overlap_auto",
     "g09_hits", "q107_gapfill_interpolate", "q108_histogram_sketch",
-    "q109_topk_agg", "d14_dedup_prefix_jaccard")
+    "q109_topk_agg", "d14_dedup_prefix_jaccard",
+    "g10_khop_bfs", "g11_pagerank_weighted", "q111_rolling_zscore",
+    "q112_event_transitions", "q113_skyline", "t16_shard_divergence")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

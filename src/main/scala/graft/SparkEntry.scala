@@ -23,6 +23,7 @@ object SparkEntry {
       SimilarityOps.queries ++
       MultimodalOps.queries ++
       SkewOps.queries ++
+      SkylineOps.queries ++
       AuditOps.queries ++
       AsofOps.queries ++
       RangeOps.queries ++
@@ -59,6 +60,7 @@ object SparkEntry {
       SimilarityOps.oracleSql ++
       MultimodalOps.oracleSql ++
       SkewOps.oracleSql ++
+      SkylineOps.oracleSql ++
       AuditOps.oracleSql ++
       AsofOps.oracleSql ++
       RangeOps.oracleSql ++

@@ -275,8 +275,80 @@ object EventOps {
         when(col("v").isNull, 1).otherwise(0).cast("int").as("filled"))
   }
 
+  /** q111: rolling z-score anomaly detection — the streaming-telemetry
+    * outlier flag every event pipeline computes before a value feeds a
+    * model: each event's value scored against the TRAILING window of
+    * its series (the current row is excluded from its own baseline, so
+    * a spike can't mask itself). One series-keyed sort carries all
+    * four window columns (count / sum / sum-of-squares over ROWS
+    * [lookback PRECEDING, 1 PRECEDING]); mean and the sample variance
+    * derive arithmetically, events with fewer than `minN` predecessors
+    * or a degenerate (≤0 after 6-dp rounding) variance are unscored
+    * and dropped. Scale: the partition key is the series (event_type
+    * here; (entity, metric) in production) — the window never sees
+    * more than `lookback` rows per frame and no global sort exists.
+    * Determinism: values are 6-dp-rounded at source, every windowed
+    * sum and each derived stat is 6-dp-rounded before the next step,
+    * and the sort key (us, event_id) is unique — the PR-oracle
+    * re-entry discipline applied to sliding frames. */
+  def rollingZscore(spark: SparkSession, sfDir: String): DataFrame =
+    rollingZscoreOn(Tables.load(spark, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value")))
+
+  /** [[rollingZscore]] over any (event_id, event_type, us, value)
+    * frame — fixture-injectable (the [[sessionizeOn]] pattern). */
+  def rollingZscoreOn(e: DataFrame, lookback: Int = 20, minN: Int = 10,
+      threshold: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+      .rowsBetween(-lookback, -1)
+    e.withColumn("v", round(col("value"), 6))
+      .withColumn("n", count("v").over(w))
+      .withColumn("s1", round(sum("v").over(w), 6))
+      .withColumn("s2", round(sum(col("v") * col("v")).over(w), 6))
+      .filter(col("n") >= minN)
+      .withColumn("mean", round(col("s1") / col("n"), 6))
+      .withColumn("vr", round(
+        (col("s2") - col("s1") * col("s1") / col("n")) /
+          (col("n") - lit(1)), 6))
+      .filter(col("vr") > 0)
+      .withColumn("z",
+        round((col("v") - col("mean")) / sqrt(col("vr")), 4))
+      .select(col("event_id"), col("event_type"), col("us"),
+        col("v").as("value"), col("z"),
+        (abs(col("z")) > threshold).cast("int").as("is_anomaly"))
+  }
+
+  /** q112: first-order event-transition matrix (the Markov-chain
+    * summary of per-user behavior — the sequence prior a behavioral
+    * model or session simulator trains on): consecutive event-type
+    * bigrams per user, counted globally, with the per-source-state
+    * transition probability. One user-keyed sort carries the lag, the
+    * bigram count partial-aggregates map-side, and the probability
+    * normalizer is a window over the |types|² matrix — bounded by the
+    * TYPE VOCABULARY, not the event volume, so the final stage is
+    * tiny at any scale. */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame =
+    eventTransitionsOn(events(spark, sfDir))
+
+  /** [[eventTransitions]] over any (event_id, user_id, event_type, us)
+    * frame. */
+  def eventTransitionsOn(e: DataFrame): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e.withColumn("prev_type", lag("event_type", 1).over(order))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"))
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(
+        col("n") / sum("n").over(Window.partitionBy("prev_type")), 6))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_gapfill_interpolate" -> (gapfillInterpolate _),
+    "q111_rolling_zscore" -> (rollingZscore _),
+    "q112_event_transitions" -> (eventTransitions _),
     "q60_funnel" -> (funnel _),
     "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_retention" -> (retention _),
@@ -284,6 +356,44 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // q111: the same trailing frame (ROWS 20 PRECEDING..1 PRECEDING on
+    // the unique (us, event_id) sort), the same 6-dp rounding after
+    // every windowed sum and derived stat, the same minN / positive-
+    // variance gates — arithmetic mirrored op for op
+    "q111_rolling_zscore" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us,
+                           round(value, 6) AS v
+                    FROM events WHERE value IS NOT NULL),
+          w AS (SELECT event_id, event_type, us, v,
+                       count(v) OVER win AS n,
+                       round(sum(v) OVER win, 6) AS s1,
+                       round(sum(v * v) OVER win, 6) AS s2
+                FROM e
+                WINDOW win AS (PARTITION BY event_type ORDER BY us, event_id
+                               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+          d AS (SELECT *, round(s1 / n, 6) AS mean,
+                       round((s2 - s1 * s1 / n) / (n - 1), 6) AS vr
+                FROM w WHERE n >= 10)
+        SELECT event_id, event_type, us, v AS value,
+               round((v - mean) / sqrt(vr), 4) AS z,
+               CAST(abs(round((v - mean) / sqrt(vr), 4)) > 3.0 AS INTEGER)
+                 AS is_anomaly
+        FROM d WHERE vr > 0""",
+    // q112: lag over the same unique per-user sort, global bigram
+    // counts, window-normalized per source state
+    "q112_event_transitions" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+          b AS (SELECT lag(event_type) OVER
+                         (PARTITION BY user_id ORDER BY us, event_id)
+                         AS prev_type,
+                       event_type AS next_type
+                FROM e),
+          c AS (SELECT prev_type, next_type, count(*) AS n
+                FROM b WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        SELECT prev_type, next_type, n,
+               round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        FROM c""",
     // q107: same three stages — observed daily means, per-series day
     // grid, prev/next ignore-nulls windows — with the interpolation
     // arithmetic spelled op for op like the Spark side (6-dp anchors,

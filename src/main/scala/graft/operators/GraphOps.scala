@@ -192,6 +192,76 @@ object GraphOps {
     pr
   }
 
+  /** Multi-source BFS: hop distance from a seed set, out to `maxHops`
+    * supersteps — the reachability/proximity signal beside the rank
+    * signals (how many links from a trusted seed is this node?).
+    * Frontier-based: each superstep joins the edge list with ONLY the
+    * newly-discovered frontier (not the whole visited set), dedups the
+    * neighbor expansion, and anti-joins the visited set — the textbook
+    * distributed BFS, where total work is O(sum of frontier-adjacent
+    * edges) ≈ O(|E|) across ALL supersteps rather than per superstep.
+    * The visited set is barriered each round (it is read twice: the
+    * anti-join and the final union) and the union chain is bounded by
+    * `maxHops`. Seeds outside the graph's node set carry no distance
+    * (intersected first — the [[personalizedPagerankOn]] discipline).
+    * Integer-only arithmetic: no float determinism caveats at all.
+    * Returns (node, dist), dist ∈ [0, maxHops]; unreached nodes are
+    * absent. */
+  def bfsHopsOn(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 4): DataFrame = {
+    val e = Persists.barrier(edges.select("src", "dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    var visited = Persists.barrier(
+      nodes.join(seeds.select(col("node")).distinct(), "node")
+        .select(col("node"), lit(0).cast("int").as("dist")))
+    var frontier = visited.select("node")
+    for (i <- 1 to maxHops) {
+      frontier = Persists.barrier(
+        e.join(frontier, e("src") === frontier("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti"))
+      visited = Persists.barrier(visited.unionAll(
+        frontier.select(col("node"), lit(i).cast("int").as("dist"))))
+    }
+    visited
+  }
+
+  /** WEIGHTED PageRank: edge weights (here co-purchase multiplicity —
+    * how many distinct orders link the pair) replace the uniform
+    * 1/deg split; a supplier a customer buys from constantly passes
+    * proportionally more rank than a one-off. Identical superstep
+    * shape to [[pagerankOn]] — the weighted out-degree is folded into
+    * the persisted edge frame once, each iteration is one ranks join
+    * + one partial-agg groupBy — so the 100 TB story (edges stay put,
+    * only the node-sized rank vector moves) is unchanged. Weights are
+    * exact longs; the rank arithmetic follows the 9-dp re-entry
+    * discipline. */
+  def pagerankWeightedOn(edges: DataFrame, iters: Int = PrIters,
+      damping: Double = Damping, checkpointEvery: Int = 0): DataFrame = {
+    val e0 = edges.select("src", "dst", "w")
+    val wdeg = Persists.barrier(
+      e0.groupBy("src").agg(sum(col("w")).as("wdeg")))
+    val e = Persists.barrier(e0.join(wdeg, "src"))
+    val n = wdeg.count().toDouble
+    val teleport = (1.0 - damping) / n
+    var pr = wdeg.select(col("src").as("node"),
+      round(lit(1.0 / n), 9).as("pr"))
+    for (i <- 1 to iters) {
+      pr = e.join(pr, e("src") === pr("node"))
+        .groupBy(col("dst"))
+        .agg(round(lit(teleport) +
+          lit(damping) * sum(col("pr") * col("w") / col("wdeg")), 9)
+          .as("pr"))
+        .withColumnRenamed("dst", "node")
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        pr = pr.localCheckpoint(true)
+    }
+    pr
+  }
+
+  private val BfsHops = 4
+
   private val HitsIters = 3
 
   /** HITS hubs & authorities (Kleinberg) over a directed edge list —
@@ -231,9 +301,9 @@ object GraphOps {
         .select(col("node"), round(col("h") / col("norm"), 9).as("h"))
     }
     hub.select(col("node"), lit("hub").as("kind"),
-        round(col("h"), 6).as("score"))
+        col("h").as("score"))
       .unionAll(auth.select(col("node"), lit("auth").as("kind"),
-        round(col("a"), 6).as("score")))
+        col("a").as("score")))
   }
 
   /** Mutual-kNN edges over a (vec_id, v: array&lt;double&gt;) frame:
@@ -423,6 +493,23 @@ object GraphOps {
       .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
   }
 
+  /** g11's weighted co-purchase edges: weight = distinct orders
+    * linking the (customer, supplier) pair, mirrored in both
+    * directions (same weight each way — the undirected convention). */
+  private def coPurchaseWeightedEdges(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val pairs = orders.join(lineitem,
+        orders("o_orderkey") === lineitem("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("cn"),
+        (col("l_suppkey") * 2 + 1).as("sn"))
+      .agg(countDistinct(col("o_orderkey")).as("w"))
+    pairs.select(col("cn").as("src"), col("sn").as("dst"), col("w"))
+      .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst"),
+        col("w")))
+  }
+
   /** The s-family's shared double-cast projection — one definition,
     * so graph-family cosines can never drift from s01's. */
   private def embVecs(spark: SparkSession, sfDir: String): DataFrame =
@@ -478,7 +565,7 @@ object GraphOps {
     * PageRank, not edge derivation. */
   def pagerankFromEdges(spark: SparkSession, sfDir: String): DataFrame =
     pagerankOn(spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)))
-      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .select(col("node"), col("pr"))
 
   /** g05's trusted seed set (nation-0 customers), one definition for
     * the inline gate form and the artifact-served bench form. */
@@ -494,7 +581,7 @@ object GraphOps {
     personalizedPagerankOn(
         spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)),
         nationSeeds(spark, sfDir))
-      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .select(col("node"), col("pr"))
 
   /** The BASE co-purchase graph for the incremental-PageRank entry:
     * edges derived from 95% of orders (o_orderkey % 20 != 0 — a
@@ -540,7 +627,7 @@ object GraphOps {
   def incrementalPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val init = spark.read.parquet(pagerankRanksPath(spark, sfDir))
     pagerankConverged(coPurchaseEdges(spark, sfDir), Some(init))._1
-      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .select(col("node"), col("pr"))
   }
 
   /** g08 served fully from stored state — the full-graph edge
@@ -553,7 +640,7 @@ object GraphOps {
     val init = spark.read.parquet(pagerankRanksPath(spark, sfDir))
     pagerankConverged(
         spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)), Some(init))._1
-      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .select(col("node"), col("pr"))
   }
 
   /** [[queries]]' g03 serving from the pre-built edge artifact —
@@ -568,7 +655,7 @@ object GraphOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> ((spark: SparkSession, sfDir: String) => {
       pagerankOn(coPurchaseEdges(spark, sfDir))
-        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .select(col("node"), col("pr"))
     }),
     "g02_knn_triangles" -> ((spark: SparkSession, sfDir: String) =>
       trianglesOn(mutualKnnEdgesOn(embVecs(spark, sfDir)))),
@@ -598,7 +685,7 @@ object GraphOps {
     "g05_personalized_pagerank" -> ((spark: SparkSession, sfDir: String) => {
       personalizedPagerankOn(coPurchaseEdges(spark, sfDir),
           nationSeeds(spark, sfDir))
-        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .select(col("node"), col("pr"))
     }),
     // g06: dangling-mass PageRank on the one-way supplier→customer
     // graph — every customer is a sink (no out-edges), every supplier
@@ -614,7 +701,7 @@ object GraphOps {
           (col("o_custkey") * 2).as("dst"))
         .distinct()
       pagerankDanglingOn(edges)
-        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .select(col("node"), col("pr"))
     }),
     // g07: the degree-oriented triangle variant — identical per-node
     // counts to g02 by construction (any total-order orientation
@@ -643,6 +730,20 @@ object GraphOps {
           (col("o_custkey") * 2).as("dst"))
         .distinct()
       hitsOn(edges)
+    }),
+    // g10: multi-source BFS hop distance from the g05 trusted seed set
+    // over the co-purchase graph — the "how many links from a trusted
+    // seed" proximity signal; integer-exact, so the oracle unrolling
+    // has no float discipline at all.
+    "g10_khop_bfs" -> ((spark: SparkSession, sfDir: String) =>
+      bfsHopsOn(coPurchaseEdges(spark, sfDir),
+        nationSeeds(spark, sfDir), BfsHops)),
+    // g11: weighted PageRank — co-purchase multiplicity (distinct
+    // orders linking the pair) as the edge weight, so rank flows
+    // proportionally to relationship strength.
+    "g11_pagerank_weighted" -> ((spark: SparkSession, sfDir: String) => {
+      pagerankWeightedOn(coPurchaseWeightedEdges(spark, sfDir))
+        .select(col("node"), col("pr"))
     }),
     // g04: the LSH-candidate graph builder — the shape that replaces
     // g02/g03's exact all-pairs stage at corpus scale, targeting the
@@ -689,7 +790,7 @@ object GraphOps {
            JOIN deg d ON e.src = d.src, nn
            GROUP BY e.dst)"""
     }.mkString(",\n")
-    s"$base,\n$its\nSELECT node, round(pr, 6) AS pr FROM it$iters"
+    s"$base,\n$its\nSELECT node, pr FROM it$iters"
   }
 
   /** The mutual-kNN edge CTE block shared by the g02 and g03 oracles
@@ -763,7 +864,7 @@ object GraphOps {
                         CAST($Damping AS DOUBLE) * m.m, 9) AS pr
            FROM m$i m LEFT JOIN seeds s ON s.node = m.node, ns)"""
     }.mkString(",\n")
-    s"$base,\n$its\nSELECT node, round(pr, 6) AS pr FROM it$iters"
+    s"$base,\n$its\nSELECT node, pr FROM it$iters"
   }
 
   /** g06's oracle: the [[pagerankOracle]] discipline on the one-way
@@ -809,7 +910,7 @@ object GraphOps {
                            sm.sink_mass / nn.n), 9) AS pr
            FROM nodes n LEFT JOIN m$i m ON m.node = n.node, nn, sm$i sm)"""
     }.mkString(",\n")
-    s"$base,\n$its\nSELECT node, round(pr, 6) AS pr FROM it$iters"
+    s"$base,\n$its\nSELECT node, pr FROM it$iters"
   }
 
   /** g09's oracle: the [[pagerankOracle]] unrolling discipline applied
@@ -840,9 +941,9 @@ object GraphOps {
          h$i AS (SELECT node, round(h / norm, 9) AS h FROM h${i}r, h${i}n)"""
     }.mkString(",\n")
     s"""$base,\n$its
-       SELECT node, 'hub' AS kind, round(h, 6) AS score FROM h$iters
+       SELECT node, 'hub' AS kind, h AS score FROM h$iters
        UNION ALL
-       SELECT node, 'auth' AS kind, round(a, 6) AS score FROM a$iters"""
+       SELECT node, 'auth' AS kind, a AS score FROM a$iters"""
   }
 
   /** g02's triangle-count SQL, shared verbatim by g07: the orientation
@@ -862,7 +963,79 @@ object GraphOps {
                UNION ALL SELECT z FROM tri)
          GROUP BY node"""
 
+  /** g10's oracle: the frontier recursion unrolled hop by hop — each
+    * hop a distinct-expansion CTE anti-joined (NOT EXISTS) against the
+    * running visited set, exactly the Spark superstep. All-integer, so
+    * nothing to round. */
+  private def bfsOracle(hops: Int): String = {
+    val base =
+      """WITH pairs AS (
+           SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (
+           SELECT cn AS src, sn AS dst FROM pairs
+           UNION ALL
+           SELECT sn AS src, cn AS dst FROM pairs),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         v0 AS (
+           SELECT n.node, CAST(0 AS INTEGER) AS dist
+           FROM nodes n JOIN customer c ON n.node = c.c_custkey * 2
+           WHERE c.c_nationkey = 0),
+         f0 AS (SELECT node FROM v0)"""
+    val its = (1 to hops).map { i =>
+      s"""f$i AS (
+           SELECT DISTINCT e.dst AS node
+           FROM edges e JOIN f${i - 1} f ON e.src = f.node
+           WHERE NOT EXISTS (
+             SELECT 1 FROM v${i - 1} v WHERE v.node = e.dst)),
+         v$i AS (
+           SELECT node, dist FROM v${i - 1}
+           UNION ALL
+           SELECT node, CAST($i AS INTEGER) FROM f$i)"""
+    }.mkString(",\n")
+    s"$base,\n$its\nSELECT node, dist FROM v$hops"
+  }
+
+  /** g11's oracle: [[pagerankOracle]] with the uniform 1/deg split
+    * replaced by w/wdeg — every arithmetic step (multiply before
+    * divide, 9-dp re-entry round) mirrors the Spark expression
+    * order. */
+  private def pagerankWeightedOracle(iters: Int): String = {
+    val base =
+      """WITH pairs AS (
+           SELECT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn,
+                  count(DISTINCT o_orderkey) AS w
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT cn AS src, sn AS dst, w FROM pairs
+           UNION ALL
+           SELECT sn AS src, cn AS dst, w FROM pairs),
+         wdeg AS (SELECT src, sum(w) AS wdeg FROM edges GROUP BY src),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM wdeg),
+         it0 AS (
+           SELECT wdeg.src AS node,
+                  round(CAST(1.0 AS DOUBLE) / nn.n, 9) AS pr
+           FROM wdeg, nn)"""
+    val its = (1 to iters).map { i =>
+      s"""it$i AS (
+           SELECT e.dst AS node,
+                  round((CAST(1.0 AS DOUBLE) - CAST($Damping AS DOUBLE))
+                          / max(nn.n) +
+                        CAST($Damping AS DOUBLE) *
+                          sum(p.pr * e.w / d.wdeg),
+                        9) AS pr
+           FROM edges e
+           JOIN it${i - 1} p ON e.src = p.node
+           JOIN wdeg d ON e.src = d.src, nn
+           GROUP BY e.dst)"""
+    }.mkString(",\n")
+    s"$base,\n$its\nSELECT node, pr FROM it$iters"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "g10_khop_bfs" -> bfsOracle(BfsHops),
+    "g11_pagerank_weighted" -> pagerankWeightedOracle(PrIters),
     "g01_pagerank" -> pagerankOracle(PrIters),
     "g05_personalized_pagerank" -> personalizedPagerankOracle(PrIters),
     "g06_pagerank_dangling" -> pagerankDanglingOracle(PrIters),

@@ -464,7 +464,76 @@ object TextOps {
           FROM c)
       SELECT rk, tok, cnt FROM ranked WHERE rk <= 25"""
 
+  /** t16: corpus-shard divergence — per-token Jensen-Shannon
+    * contributions between two shards of the corpus (doc_id-parity
+    * here; train-vs-holdout or source-vs-source in production). The
+    * distribution-drift detector every data pipeline runs before
+    * mixing corpora: JSD(P‖Q) = Σ_tok ½·p·ln(p/m) + ½·q·ln(q/m) with
+    * m = (p+q)/2, and the per-token terms ARE the drift explanation
+    * (which tokens moved). Pipeline: one exploded token count per
+    * (shard, token) — partial-aggregates map-side — a 1-row shard
+    * total broadcast, a full-outer token join (a token present in one
+    * shard contributes from the other side's zero), and pure scalar
+    * arithmetic per token. Nothing here ever sums doubles across rows
+    * (the probabilities divide exact longs), so every output value is
+    * deterministic without any re-entry rounding discipline; the
+    * caller sums `jsd` for the scalar divergence. */
+  def shardDivergence(spark: SparkSession, sfDir: String): DataFrame =
+    shardDivergenceOn(docs(spark, sfDir)
+      .select((col("doc_id") % 2).cast("int").as("shard"), col("text")))
+
+  /** [[shardDivergence]] over any (shard ∈ {0,1}, text) frame. */
+  def shardDivergenceOn(d: DataFrame): DataFrame = {
+    val counts = d.select(col("shard"), explode(toks(col("text"))).as("tok"))
+      .groupBy("shard", "tok").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(
+      sum(when(col("shard") === 0, col("c"))).as("t0"),
+      sum(when(col("shard") === 1, col("c"))).as("t1"))
+    val a = counts.filter(col("shard") === 0)
+      .select(col("tok"), col("c").as("c0"))
+    val b = counts.filter(col("shard") === 1)
+      .select(col("tok"), col("c").as("c1"))
+    a.join(b, Seq("tok"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .withColumn("p0", coalesce(col("c0"), lit(0L)) / col("t0"))
+      .withColumn("p1", coalesce(col("c1"), lit(0L)) / col("t1"))
+      .withColumn("m", (col("p0") + col("p1")) / lit(2))
+      .select(col("tok"),
+        round(col("p0"), 9).as("p0"),
+        round(col("p1"), 9).as("p1"),
+        round(
+          lit(0.5) * when(col("p0") > 0,
+            col("p0") * log(col("p0") / col("m"))).otherwise(lit(0.0)) +
+          lit(0.5) * when(col("p1") > 0,
+            col("p1") * log(col("p1") / col("m"))).otherwise(lit(0.0)),
+          9).as("jsd"))
+  }
+
+  val shardDivergenceOracle: String =
+    """WITH tk AS (SELECT doc_id % 2 AS shard,
+                          unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        c AS (SELECT shard, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        tt AS (SELECT sum(CASE WHEN shard = 0 THEN c END) AS t0,
+                      sum(CASE WHEN shard = 1 THEN c END) AS t1
+               FROM c),
+        a AS (SELECT tok, c AS c0 FROM c WHERE shard = 0),
+        b AS (SELECT tok, c AS c1 FROM c WHERE shard = 1),
+        j AS (SELECT coalesce(a.tok, b.tok) AS tok, c0, c1
+              FROM a FULL OUTER JOIN b ON a.tok = b.tok),
+        p AS (SELECT tok, coalesce(c0, 0) / t0 AS p0,
+                     coalesce(c1, 0) / t1 AS p1
+              FROM j, tt),
+        q AS (SELECT tok, p0, p1, (p0 + p1) / 2 AS m FROM p)
+      SELECT tok, round(p0, 9) AS p0, round(p1, 9) AS p1,
+             round(0.5 * (CASE WHEN p0 > 0 THEN p0 * ln(p0 / m)
+                               ELSE 0.0 END) +
+                   0.5 * (CASE WHEN p1 > 0 THEN p1 * ln(p1 / m)
+                               ELSE 0.0 END), 9) AS jsd
+      FROM q"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_shard_divergence" -> (shardDivergence _),
     "t12_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     // rows-only (no oracleSql entry): est is sketch-internal; the CMS
     // bound vs t12's exact counts is CmsServeSpec's contract
@@ -493,6 +562,7 @@ object TextOps {
        FROM documents"""
 
   def oracleSql: Map[String, String] = Map(
+    "t16_shard_divergence" -> shardDivergenceOracle,
     "t12_heavy_hitters" -> heavyHittersOracle,
     "t13_bigram_logprob" -> bigramOracle,
     "t09_unigram_logprob" -> unigramOracle,

@@ -64,7 +64,12 @@ object PlanAudit {
       "q106_stream_hll", "q110_stream_topk",
       "g06_pagerank_dangling", "g07_triangles_degree", "g09_hits",
       "q107_gapfill_interpolate", "q108_histogram_sketch",
-      "q109_topk_agg", "d14_dedup_prefix_jaccard")
+      "q109_topk_agg", "d14_dedup_prefix_jaccard",
+      // round-10 second batch: BFS proximity, weighted PR, rolling
+      // anomaly scoring, the transition matrix, the two-phase skyline,
+      // the shard-divergence drift detector
+      "g10_khop_bfs", "g11_pagerank_weighted", "q111_rolling_zscore",
+      "q112_event_transitions", "q113_skyline", "t16_shard_divergence")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

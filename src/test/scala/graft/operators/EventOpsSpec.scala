@@ -134,4 +134,70 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // grid is exactly [min, max] per series: no day outside it appears
     assert(!got.exists(r => r._1 == "a" && (r._2 < 10 || r._2 > 13)))
   }
+
+  test("rollingZscore: trailing baseline excludes the current row") {
+    val s = spark
+    import s.implicits._
+    // 12 calm events at 10.0 ± 0.5 (alternating 9.5/10.5), then a spike
+    // at 100.0: the spike's baseline is the 12 calm predecessors (its
+    // own value excluded), so z is huge; the calm rows before index
+    // minN have n < minN and are unscored.
+    val calm = (1 to 12).map(i =>
+      (i.toLong, "m", i.toLong * 60L, if (i % 2 == 0) 10.5 else 9.5))
+    val e = (calm :+ (13L, "m", 13L * 60L, 100.0))
+      .toDF("event_id", "event_type", "us", "value")
+    val got = EventOps.rollingZscoreOn(e, lookback = 20, minN = 10)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Double]("z"), r.getAs[Int]("is_anomaly"))).toMap
+    // events 1..10 have <10 predecessors: unscored
+    assert(!got.contains(1L) && !got.contains(10L))
+    // events 11..13 scored; only the spike flags
+    assert(got.contains(11L) && got.contains(12L))
+    assert(got(11L)._2 == 0 && got(12L)._2 == 0)
+    assert(got(13L)._2 == 1 && got(13L)._1 > 100)
+    // baseline excludes the current row: mean of the 12 calm rows is
+    // 10.0 and sd ~0.52, so z ≈ (100-10)/0.522 ≈ 172.4
+    assert(math.abs(got(13L)._1 - 172.4) < 1.0)
+  }
+
+  test("rollingZscore: zero-variance baselines are unscored") {
+    val s = spark
+    import s.implicits._
+    val e = (1 to 15).map(i => (i.toLong, "m", i.toLong * 60L, 5.0))
+      .toDF("event_id", "event_type", "us", "value")
+    assert(EventOps.rollingZscoreOn(e, lookback = 20, minN = 10)
+      .count() == 0)
+  }
+
+  test("eventTransitions: bigrams per user, probabilities per source") {
+    val s = spark
+    import s.implicits._
+    // u1: a->b->a; u2: a->b. transitions: a->b x2, b->a x1.
+    // from 'a': p(b)=1.0; from 'b': p(a)=1.0
+    val e = Seq(
+      (1L, 1L, "a", 10L), (2L, 1L, "b", 20L), (3L, 1L, "a", 30L),
+      (4L, 2L, "a", 10L), (5L, 2L, "b", 20L))
+      .toDF("event_id", "user_id", "event_type", "us")
+    val got = EventOps.eventTransitionsOn(e).collect()
+      .map(r => (r.getAs[String]("prev_type"),
+        r.getAs[String]("next_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    assert(got == Map(("a", "b") -> (2L, 1.0), ("b", "a") -> (1L, 1.0)))
+    // no cross-user bigram: u1's last 'a' never pairs with u2's first 'a'
+    assert(!got.contains(("a", "a")))
+  }
+
+  test("eventTransitions: probabilities sum to 1 per source state") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (1L, 1L, "a", 1L), (2L, 1L, "b", 2L), (3L, 1L, "c", 3L),
+      (4L, 1L, "a", 4L), (5L, 1L, "c", 5L))
+      .toDF("event_id", "user_id", "event_type", "us")
+    val bySrc = EventOps.eventTransitionsOn(e).collect()
+      .groupBy(_.getAs[String]("prev_type"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Double]("p")).sum }
+    bySrc.values.foreach(p => assert(math.abs(p - 1.0) < 1e-6))
+  }
 }

@@ -250,4 +250,58 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hubs(1L) > hubs(3L))
     assert(auths(4L) > auths(2L))
   }
+
+  test("bfsHops: frontier distances, out-of-graph seeds, hop cap") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5 plus isolated-from-seed node pair 8-9, undirected
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // seed 1 in-graph; seed 99 absent from the graph (must carry no dist)
+    val seeds = Seq(1L, 99L).toDF("node")
+    val got = GraphOps.bfsHopsOn(edges, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 5 is 4 hops out: beyond the cap, absent; 8/9 unreachable, absent
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("bfsHops: a node keeps its FIRST discovery distance") {
+    val s = spark
+    import s.implicits._
+    // triangle 1-2-3: node 3 reachable at hop 1 (direct) and hop 2
+    // (via 2) — must report 1
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.bfsHopsOn(edges, Seq(1L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1))
+  }
+
+  test("pagerankWeighted: uniform weights reproduce unweighted PR") {
+    val s = spark
+    import s.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val ew = e.withColumn("w",
+      org.apache.spark.sql.functions.lit(1L))
+    val base = GraphOps.pagerankOn(e).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w1 = GraphOps.pagerankWeightedOn(ew).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(base == w1) // bit-identical: same arithmetic, w/wdeg = 1/deg
+  }
+
+  test("pagerankWeighted: rank follows the heavy edge; mass conserved") {
+    val s = spark
+    import s.implicits._
+    // 1 splits its rank 9:1 between 2 and 3 (undirected, all nodes
+    // also point back so no dangling mass)
+    val und = Seq((1L, 2L, 9L), (1L, 3L, 1L))
+    val e = (und ++ und.map(t => (t._2, t._1, t._3)))
+      .toDF("src", "dst", "w")
+    val got = GraphOps.pagerankWeightedOn(e).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(2L) > got(3L))
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
 }
