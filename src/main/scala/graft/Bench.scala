@@ -84,7 +84,8 @@ object Bench {
     "g09_hits", "q107_gapfill_interpolate", "q108_histogram_sketch",
     "q109_topk_agg", "d14_dedup_prefix_jaccard",
     "g10_khop_bfs", "g11_pagerank_weighted", "q111_rolling_zscore",
-    "q112_event_transitions", "q113_skyline", "t16_shard_divergence")
+    "q112_event_transitions", "q113_skyline", "t16_shard_divergence",
+    "g12_components_star", "q115_attribution", "c19_temporal_split")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -496,7 +496,42 @@ object CurationOps {
         round(col("chars") / sum("chars").over(all), 4))
   }
 
+  /** c19: leakage-safe TEMPORAL split — train on the first `trainPct`
+    * percent of the observed day span, hold out everything after an
+    * `embargoDays` quarantine, drop the quarantine itself (the split
+    * every time-series / behavioral model needs: a random hash split
+    * (c01) leaks future context into training whenever rows are
+    * temporally correlated; the embargo kills boundary leakage from
+    * lagged features that straddle the cutoff). Cutoff arithmetic is
+    * exact integer math on epoch-days from ONE scalar min/max agg
+    * (broadcast) — no percentile estimate, no float. Output: per-split
+    * event and distinct-user counts (the report a pipeline logs before
+    * training; the row-level assignment is the same `when` chain). */
+  def temporalSplit(spark: SparkSession, sfDir: String): DataFrame =
+    temporalSplitOn(graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day")))
+
+  /** [[temporalSplit]] over any (user_id, day) frame. */
+  def temporalSplitOn(e: DataFrame, trainPct: Int = 70,
+      embargoDays: Int = 2): DataFrame = {
+    require(trainPct > 0 && trainPct < 100,
+      s"temporalSplit: trainPct must be in (0,100), got $trainPct")
+    val bounds = e.agg(min("day").as("lo"), max("day").as("hi"))
+    e.crossJoin(broadcast(bounds))
+      .withColumn("cutoff",
+        expr(s"lo + (hi - lo) * $trainPct div 100"))
+      .withColumn("split",
+        when(col("day") <= col("cutoff"), "train")
+          .when(col("day") > col("cutoff") + embargoDays, "test")
+          .otherwise("embargo"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c19_temporal_split" -> (temporalSplit _),
     "c08_mix_report" -> (mixReport _),
     "c01_hash_split" -> (hashSplit _),
     "c02_source_quota" -> ((s: SparkSession, d: String) => sourceQuota(s, d)),
@@ -558,6 +593,22 @@ object CurationOps {
        WHERE rk <= 20"""
 
   def oracleSql: Map[String, String] = Map(
+    // c19: the same exact-integer cutoff arithmetic (epoch-day grid,
+    // integer division) and the same three-way CASE
+    "c19_temporal_split" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+                    FROM events),
+          b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+          s AS (SELECT user_id,
+                       CASE WHEN day <= lo + (hi - lo) * 70 // 100
+                            THEN 'train'
+                            WHEN day > lo + (hi - lo) * 70 // 100 + 2
+                            THEN 'test'
+                            ELSE 'embargo' END AS split
+                FROM e, b)
+        SELECT split, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM s GROUP BY split""",
     "c17_reservoir_sample" -> reservoirOracle,
     "c18_dedup_aware_split" -> dedupAwareSplitOracle,
     "c16_temperature_mix" -> {

@@ -345,10 +345,52 @@ object EventOps {
         col("n") / sum("n").over(Window.partitionBy("prev_type")), 6))
   }
 
+  /** q115: LAST-TOUCH attribution — each conversion credited to the
+    * most recent preceding marketing touch within the lookback
+    * window, else 'none' (organic). The funnel family's revenue twin:
+    * where q60 asks "did the chain complete", attribution asks "which
+    * channel gets the credit". Two ignore-nulls window columns (the
+    * last touch's time and type) on ONE user-keyed sort — the q60
+    * single-pass discipline; a same-microsecond touch counts as
+    * preceding via the (us, event_id) row order, mirrored in the
+    * oracle's identical frame. The final rollup is bounded by the
+    * touch-type vocabulary. Revenue follows the repo's money
+    * discipline: 2-dp at source, summed, 2-dp served (sum-order noise
+    * ~1e-10 vs the 2-dp grid — the documented negligible class). */
+  def lastTouchAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    lastTouchAttributionOn(Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value")))
+
+  /** [[lastTouchAttribution]] over any (event_id, user_id, event_type,
+    * us, value) frame. */
+  def lastTouchAttributionOn(e: DataFrame,
+      touchTypes: Seq[String] = Seq("view", "click"),
+      convType: String = "purchase",
+      windowUs: Long = 7L * DayUs): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin(touchTypes: _*)
+    e.withColumn("t_us",
+        last(when(isTouch, col("us")), ignoreNulls = true).over(w))
+      .withColumn("t_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === convType)
+      .withColumn("touch",
+        when(col("t_us").isNotNull &&
+          col("us") - col("t_us") <= windowUs, col("t_type"))
+          .otherwise(lit("none")))
+      .groupBy("touch")
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(round(coalesce(col("value"), lit(0.0)), 2)), 2)
+          .as("revenue"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_gapfill_interpolate" -> (gapfillInterpolate _),
     "q111_rolling_zscore" -> (rollingZscore _),
     "q112_event_transitions" -> (eventTransitions _),
+    "q115_attribution" -> (lastTouchAttribution _),
     "q60_funnel" -> (funnel _),
     "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_retention" -> (retention _),
@@ -379,6 +421,32 @@ object EventOps {
                CAST(abs(round((v - mean) / sqrt(vr), 4)) > 3.0 AS INTEGER)
                  AS is_anomaly
         FROM d WHERE vr > 0""",
+    // q115: the same trailing ignore-nulls windows on the same unique
+    // (us, event_id) sort; 7-day window in exact micros; revenue on
+    // the 2-dp grid at source and serve
+    "q115_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+                           value
+                    FROM events),
+          t AS (SELECT *,
+                       last_value(CASE WHEN event_type IN ('view', 'click')
+                                       THEN us END IGNORE NULLS)
+                         OVER w AS t_us,
+                       last_value(CASE WHEN event_type IN ('view', 'click')
+                                       THEN event_type END IGNORE NULLS)
+                         OVER w AS t_type
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)),
+          p AS (SELECT CASE WHEN t_us IS NOT NULL
+                             AND us - t_us <= 604800000000
+                            THEN t_type ELSE 'none' END AS touch,
+                       round(coalesce(value, 0.0), 2) AS v
+                FROM t WHERE event_type = 'purchase')
+        SELECT touch, count(*) AS n_conversions,
+               round(sum(v), 2) AS revenue
+        FROM p GROUP BY touch""",
     // q112: lag over the same unique per-user sort, global bigram
     // counts, window-normalized per source state
     "q112_event_transitions" ->

@@ -262,6 +262,81 @@ object GraphOps {
 
   private val BfsHops = 4
 
+  /** Connected components by STAR CONTRACTION (Kiveris et al., "
+    * Connected Components in MapReduce and Beyond", SoCC'14):
+    * alternate large-star (every neighbor larger than u hooks to u's
+    * min-neighborhood) and small-star (every neighbor ≤ u hooks to
+    * it) until the edge set stabilizes — at fixpoint every component
+    * is a star centered on its minimum id. The round count is
+    * O(log n) on ANY graph, vs the label-propagation kernel's
+    * O(diameter) ([[DedupOps.connectedComponents]]) — the variant
+    * that wins on long-path topologies (web graphs, road networks,
+    * chained near-dup clusters), while label-prop wins on the shallow
+    * clustered graphs the dedup family sees. Both are kept: g03
+    * gates label-prop, g12 gates this one AGAINST THE SAME ORACLE,
+    * so the two kernels can never drift on component semantics.
+    *
+    * Each round is two joins + two aggs over the current edge set;
+    * the set shrinks toward one edge per non-min node. Fixpoint is
+    * detected by a deterministic (count, xor-hash) signature — one
+    * tiny scalar agg per round, the [[DedupOps.connectedComponents]]
+    * count() discipline — and every round localCheckpoints, keeping
+    * O(1) live lineage. All-integer arithmetic.
+    *
+    * Input: (id_a, id_b) pairs (either orientation). Output:
+    * (doc_id, cluster_id = component min) — the label-prop kernel's
+    * exact output contract. */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    val p = Persists.barrier(pairs)
+    // canonical undirected pairs (a < b), deduped
+    var e = p.select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    // one star operation over the canonical pair set: symmetrize for
+    // the per-center neighborhoods, hook the selected side of each
+    // center's neighborhood to m(center) = min(Γ⁺(center)), return
+    // canonical pairs again
+    def star(pairsDf: DataFrame, large: Boolean): DataFrame = {
+      val sym = pairsDf.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(pairsDf.select(col("b").as("u"), col("a").as("v")))
+      val m = sym.unionAll(
+          sym.select(col("u"), col("u").as("v")).distinct())
+        .groupBy("u").agg(min("v").as("m"))
+      val j = sym.join(m, "u")
+      val hooks =
+        if (large) j.filter(col("v") > col("u"))
+          .select(col("v").as("x"), col("m").as("y"))
+        else j.filter(col("v") <= col("u"))
+          .select(col("v").as("x"), col("m").as("y"))
+          .unionAll(m.select(col("u").as("x"), col("m").as("y")))
+      hooks.filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .distinct()
+    }
+    // deterministic fixpoint signature: (count, xor of pair hashes) —
+    // one tiny scalar agg per round
+    def sig(pairsDf: DataFrame): (Long, Long) = {
+      val r = pairsDf.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var s = sig(e)
+    var stable = false
+    while (!stable) {
+      e = star(star(e, large = true), large = false).localCheckpoint(true)
+      val s2 = sig(e)
+      stable = s2 == s
+      s = s2
+    }
+    // fixpoint: every component is a star on its min — (a, b) pairs
+    // have a = component min; centers label themselves
+    e.select(col("b").as("doc_id"), col("a").as("cluster_id"))
+      .unionAll(e.select(col("a").as("doc_id"), col("a").as("cluster_id")))
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+  }
+
   private val HitsIters = 3
 
   /** HITS hubs & authorities (Kleinberg) over a directed edge list —
@@ -731,6 +806,17 @@ object GraphOps {
         .distinct()
       hitsOn(edges)
     }),
+    // g12: the same strong-graph components as g03, computed by STAR
+    // CONTRACTION instead of label propagation — O(log n) rounds vs
+    // O(diameter); gated against g03's oracle verbatim so the kernels
+    // can never drift on component semantics.
+    "g12_components_star" -> ((spark: SparkSession, sfDir: String) => {
+      val edges = mutualKnnEdgesOn(embVecs(spark, sfDir),
+          minCosine = StrongCos)
+        .select(col("a").as("id_a"), col("b").as("id_b"))
+      connectedComponentsStar(edges)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    }),
     // g10: multi-source BFS hop distance from the g05 trusted seed set
     // over the co-purchase graph — the "how many links from a trusted
     // seed" proximity signal; integer-exact, so the oracle unrolling
@@ -1042,8 +1128,18 @@ object GraphOps {
     "g09_hits" -> hitsOracle(HitsIters),
     "g07_triangles_degree" -> triangleOracle,
     "g02_knn_triangles" -> triangleOracle,
-    "g03_knn_components" ->
-      s"""WITH RECURSIVE ${knnEdgeCtes(Some(StrongCos))},
+    "g03_knn_components" -> componentsOracle,
+    // g12 shares g03's oracle VERBATIM — the per-round proof that the
+    // star-contraction and label-propagation kernels agree on
+    // component semantics (the g02/g07 shared-oracle discipline)
+    "g12_components_star" -> componentsOracle
+  )
+
+  /** The component oracle shared by g03 (label propagation) and g12
+    * (star contraction): DuckDB's recursive CTE computes the true
+    * min-label components of the strong mutual-kNN graph. */
+  private def componentsOracle: String =
+    s"""WITH RECURSIVE ${knnEdgeCtes(Some(StrongCos))},
          ge AS (SELECT a AS v, b AS u FROM mutual
                 UNION ALL SELECT b, a FROM mutual),
          cc(v, lbl) AS (
@@ -1051,5 +1147,4 @@ object GraphOps {
            UNION
            SELECT e.v, cc.lbl FROM ge e JOIN cc ON cc.v = e.u)
          SELECT v AS vec_id, min(lbl) AS cluster_id FROM cc GROUP BY v"""
-  )
 }

@@ -233,7 +233,50 @@ object ScaleProbe {
       // θ-join stays near-linear where brute all-pairs is 16× at 4×
       // (the dx_brute contrast below measures exactly that)
       ("d14_prefix_jaccard", n => DedupOps.prefixJaccardOn(
-        dupDocsN(spark, n), threshold = 0.5)))
+        dupDocsN(spark, n), threshold = 0.5)),
+      // g10: frontier BFS on the bounded-degree digraph — total work
+      // is O(sum of frontier-adjacent edges) ≤ O(|E|) across ALL hops,
+      // so 4x the nodes (at fixed degree) should land near 4x
+      ("g10_bfs", n => GraphOps.bfsHopsOn(
+        spark.range(n).selectExpr("id AS src",
+          s"explode(transform(sequence(0, 7), " +
+            s"j -> pmod(xxhash64(id, j), ${n}L))) AS dst"),
+        spark.range(100).selectExpr("id AS node"), maxHops = 4)),
+      // g11: identical superstep shape to g01 with w/wdeg in place of
+      // 1/deg — the weight column rides the persisted edges, so the
+      // scaling story must match g01's (linear in |edges|)
+      ("g11_pr_weighted", n => GraphOps.pagerankWeightedOn(
+        spark.range(n).selectExpr("id AS src",
+          s"explode(transform(sequence(0, 7), " +
+            s"j -> pmod(xxhash64(id, j), ${n}L))) AS dst")
+          .selectExpr("src", "dst",
+            "1L + pmod(xxhash64(src, dst), 5) AS w"))),
+      // q111: three window columns on ONE series-keyed sort, frames
+      // capped at 20 rows — linear in events at fixed series count
+      ("q111_zscore", n => EventOps.rollingZscoreOn(
+        spark.range(n).selectExpr("id AS event_id",
+          "concat('t', id % 50) AS event_type", "id AS us",
+          "pmod(xxhash64(id, 3), 1000) / 10.0d AS value"))),
+      // q112: one user-keyed lag + a partial-agg bigram count; the
+      // probability window runs over the |types|² matrix (constant)
+      ("q112_transitions", n => EventOps.eventTransitionsOn(
+        spark.range(n).selectExpr("id AS event_id",
+          "pmod(xxhash64(id), 1000) AS user_id",
+          "concat('t', pmod(xxhash64(id, 5), 8)) AS event_type",
+          "id AS us"))),
+      // q113: per-price collapse + constant bucket frame + in-bucket
+      // windows + one final semi-join — every stage linear in n, the
+      // O(n²) dominance join exists only in the oracle
+      ("q113_skyline", n => SkylineOps.skyline2D(
+        spark.range(n).selectExpr("id",
+          "pmod(xxhash64(id), 100000) / 7.0d AS price",
+          "CAST(pmod(xxhash64(id, 2), 10000) AS INT) AS size"),
+        "price", "size")),
+      // t16: one exploded token count per shard + a vocabulary-sized
+      // outer join — linear in tokens at fixed vocabulary
+      ("t16_divergence", n => TextOps.shardDivergenceOn(
+        docsN(spark, n).selectExpr(
+          "CAST(doc_id % 2 AS INT) AS shard", "text"))))
 
     println(f"${"operator"}%-24s ${"n1"}%8s ${"t1(s)"}%8s ${"rows1"}%9s " +
       f"${"n4"}%8s ${"t4(s)"}%8s ${"rows4"}%9s ${"ratio"}%6s")

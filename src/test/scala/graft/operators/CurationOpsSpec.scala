@@ -207,4 +207,24 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // both sides populated (the 2/16 hex rule keeps eval ~12.5%)
     assert(split.values.toSet == Set("train", "eval"))
   }
+
+  test("temporalSplit: integer cutoff, inclusive train edge, embargo band") {
+    val s = spark
+    import s.implicits._
+    // days 0..10, one event per day, one shared user plus a per-day
+    // user: cutoff = 0 + (10-0)*70 div 100 = 7; embargo = days 8-9;
+    // test = day 10
+    val e = (0L to 10L).flatMap(d => Seq((1L, d), (100L + d, d)))
+      .toDF("user_id", "day")
+    val got = CurationOps.temporalSplitOn(e, trainPct = 70, embargoDays = 2)
+      .collect().map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_users"))).toMap
+    assert(got == Map(
+      "train" -> (16L, 9L), // days 0..7: 8 shared + 8 daily users
+      "embargo" -> (4L, 3L), // days 8,9
+      "test" -> (2L, 2L))) // day 10
+    // leakage guard: no test day at or below the embargo ceiling
+    val split = CurationOps.temporalSplitOn(e).collect()
+    assert(split.map(_.getAs[Long]("n_events")).sum == 22L)
+  }
 }

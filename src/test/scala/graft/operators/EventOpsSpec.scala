@@ -170,6 +170,36 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0)
   }
 
+  test("lastTouchAttribution: window boundary, organic, same-us touch") {
+    val s = spark
+    import s.implicits._
+    val Day = 86400000000L
+    val e = Seq(
+      // u1: click 1 day before purchase -> attributed to click
+      (1L, 1L, "click", 0L, null.asInstanceOf[java.lang.Double]),
+      (2L, 1L, "purchase", Day, java.lang.Double.valueOf(10.0)),
+      // u2: view exactly 7 days before -> still inside (<=) the window
+      (3L, 2L, "view", 0L, null.asInstanceOf[java.lang.Double]),
+      (4L, 2L, "purchase", 7L * Day, java.lang.Double.valueOf(20.0)),
+      // u3: view 8 days before -> outside, organic
+      (5L, 3L, "view", 0L, null.asInstanceOf[java.lang.Double]),
+      (6L, 3L, "purchase", 8L * Day, java.lang.Double.valueOf(40.0)),
+      // u4: touch at the SAME microsecond with a lower event_id counts
+      // as preceding (the (us, event_id) row order)
+      (7L, 4L, "click", 5L * Day, null.asInstanceOf[java.lang.Double]),
+      (8L, 4L, "purchase", 5L * Day, java.lang.Double.valueOf(80.0)),
+      // u5: purchase with no touch at all -> organic
+      (9L, 5L, "purchase", Day, java.lang.Double.valueOf(160.0)))
+      .toDF("event_id", "user_id", "event_type", "us", "value")
+    val got = EventOps.lastTouchAttributionOn(e).collect()
+      .map(r => r.getAs[String]("touch") ->
+        (r.getAs[Long]("n_conversions"), r.getAs[Double]("revenue"))).toMap
+    assert(got == Map(
+      "click" -> (2L, 90.0), // u1 + u4
+      "view" -> (1L, 20.0), // u2 (boundary inclusive)
+      "none" -> (2L, 200.0))) // u3 (expired) + u5 (organic)
+  }
+
   test("eventTransitions: bigrams per user, probabilities per source") {
     val s = spark
     import s.implicits._

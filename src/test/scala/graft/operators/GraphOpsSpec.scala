@@ -291,6 +291,39 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(base == w1) // bit-identical: same arithmetic, w/wdeg = 1/deg
   }
 
+  test("star-contraction components equal label propagation") {
+    val s = spark
+    import s.implicits._
+    // the adversarial topology for label-prop (O(diameter) rounds):
+    // a 40-node path, plus a star, plus singleton pairs, plus a cycle
+    val path = (0L until 39L).map(i => (i, i + 1))
+    val star = (101L to 108L).map(i => (100L, i))
+    val cycle = Seq((200L, 201L), (201L, 202L), (202L, 200L))
+    val pairs = (path ++ star ++ cycle ++ Seq((300L, 301L)))
+      .toDF("id_a", "id_b")
+    val viaStar = GraphOps.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = DedupOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaProp)
+    assert(viaStar(39L) == 0L && viaStar(108L) == 100L &&
+      viaStar(202L) == 200L && viaStar(301L) == 300L)
+  }
+
+  test("star-contraction components equal label prop on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 300).map(_ =>
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val viaStar = GraphOps.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = DedupOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaProp)
+  }
+
   test("pagerankWeighted: rank follows the heavy edge; mass conserved") {
     val s = spark
     import s.implicits._
