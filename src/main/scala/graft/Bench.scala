@@ -85,7 +85,8 @@ object Bench {
     "q109_topk_agg", "d14_dedup_prefix_jaccard",
     "g10_khop_bfs", "g11_pagerank_weighted", "q111_rolling_zscore",
     "q112_event_transitions", "q113_skyline", "t16_shard_divergence",
-    "g12_components_star", "q115_attribution", "c19_temporal_split")
+    "g12_components_star", "q115_attribution", "c19_temporal_split",
+    "g13_clustering_coeff", "t17_ngram_novelty")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -695,7 +695,16 @@ object DedupOps {
     * localCheckpoint cuts the plan at a materialized RDD; a cluster job
     * with a fault-tolerance requirement would use reliable
     * `checkpoint()` to HDFS instead — same shape, durable storage. */
-  def connectedComponents(pairs0: DataFrame): DataFrame = {
+  def connectedComponents(pairs0: DataFrame): DataFrame =
+    connectedComponentsCounted(pairs0)._1
+
+  /** [[connectedComponents]] plus the propagation-round count — the
+    * measured quantity the g12 star-contraction contrast reports
+    * (label-prop rounds track the component DIAMETER; star contraction
+    * tracks log n). */
+  private[graft] def connectedComponentsCounted(
+      pairs0: DataFrame): (DataFrame, Int) = {
+    var rounds = 0
     val pairs = Persists.barrier(pairs0)
     val edges = Persists.barrier(pairs.union(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
@@ -704,6 +713,7 @@ object DedupOps {
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
+      rounds += 1
       val viaNbr = edges.join(labels,
           edges("id_b") === labels("doc_id"))
         .select(edges("id_a").as("doc_id"), col("cluster_id"))
@@ -718,7 +728,7 @@ object DedupOps {
       // the component diameter
       labels = next
     }
-    labels
+    (labels, rounds)
   }
 
   /** Cluster members that lost the min-id representative election —

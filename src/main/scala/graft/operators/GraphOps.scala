@@ -286,7 +286,15 @@ object GraphOps {
     * Input: (id_a, id_b) pairs (either orientation). Output:
     * (doc_id, cluster_id = component min) — the label-prop kernel's
     * exact output contract. */
-  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+  def connectedComponentsStar(pairs: DataFrame): DataFrame =
+    connectedComponentsStarCounted(pairs)._1
+
+  /** [[connectedComponentsStar]] plus the contraction-round count (one
+    * round = one large-star + one small-star) — the measured side of
+    * the star-vs-labelprop contrast (CcRoundsProbe, EXPERIMENT_r10). */
+  private[graft] def connectedComponentsStarCounted(
+      pairs: DataFrame): (DataFrame, Int) = {
+    var rounds = 0
     val p = Persists.barrier(pairs)
     // canonical undirected pairs (a < b), deduped
     var e = p.select(least(col("id_a"), col("id_b")).as("a"),
@@ -325,6 +333,7 @@ object GraphOps {
     var s = sig(e)
     var stable = false
     while (!stable) {
+      rounds += 1
       e = star(star(e, large = true), large = false).localCheckpoint(true)
       val s2 = sig(e)
       stable = s2 == s
@@ -332,9 +341,10 @@ object GraphOps {
     }
     // fixpoint: every component is a star on its min — (a, b) pairs
     // have a = component min; centers label themselves
-    e.select(col("b").as("doc_id"), col("a").as("cluster_id"))
+    (e.select(col("b").as("doc_id"), col("a").as("cluster_id"))
       .unionAll(e.select(col("a").as("doc_id"), col("a").as("cluster_id")))
-      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")),
+      rounds)
   }
 
   private val HitsIters = 3
@@ -477,6 +487,25 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Local clustering coefficient per node over a low→high oriented
+    * edge list (`a`, `b`): cc = 2·tri / deg·(deg−1), with deg from one
+    * symmetric count and tri from [[trianglesOn]] over the SAME
+    * barriered frame; deg < 2 nodes get cc = 0. Exact integer counts,
+    * one deterministic division, 6-dp serve. */
+  def clusteringCoefficientOn(edges0: DataFrame): DataFrame = {
+    val edges = Persists.barrier(edges0.select("a", "b"))
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.join(trianglesOn(edges), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)), 6).as("cc"))
+  }
+
   /** Re-orient a low→high oriented edge list by DEGREE: each
     * undirected edge flows from the endpoint with the smaller
     * (degree, id) to the larger — the skew-robust production
@@ -575,11 +604,14 @@ object GraphOps {
       spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.load(spark, sfDir, "orders")
     val lineitem = Tables.load(spark, sfDir, "lineitem")
-    val pairs = orders.join(lineitem,
+    // barriered: referenced by both union directions, and the weighted
+    // degree fold re-reads the union — unbarriered, the orders⋈lineitem
+    // join ran three times (PlanAudit r10: scans=6, exchanges=15)
+    val pairs = Persists.barrier(orders.join(lineitem,
         orders("o_orderkey") === lineitem("l_orderkey"))
       .groupBy((col("o_custkey") * 2).as("cn"),
         (col("l_suppkey") * 2 + 1).as("sn"))
-      .agg(countDistinct(col("o_orderkey")).as("w"))
+      .agg(countDistinct(col("o_orderkey")).as("w")))
     pairs.select(col("cn").as("src"), col("sn").as("dst"), col("w"))
       .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst"),
         col("w")))
@@ -806,6 +838,15 @@ object GraphOps {
         .distinct()
       hitsOn(edges)
     }),
+    // g13: LOCAL CLUSTERING COEFFICIENT per node — how close each
+    // node's neighborhood is to a clique (2·tri / deg·(deg−1)), the
+    // per-node density signal that separates tight near-dup
+    // neighborhoods (cc→1) from hub-like bridge nodes (cc→0) in the
+    // embedding graph. Reuses g02's triangle counts and one symmetric
+    // degree agg over the SAME barriered edge frame; exact integer
+    // counts, one deterministic division, served at 6 dp.
+    "g13_clustering_coeff" -> ((spark: SparkSession, sfDir: String) =>
+      clusteringCoefficientOn(mutualKnnEdgesOn(embVecs(spark, sfDir)))),
     // g12: the same strong-graph components as g03, computed by STAR
     // CONTRACTION instead of label propagation — O(log n) rounds vs
     // O(diameter); gated against g03's oracle verbatim so the kernels
@@ -1128,6 +1169,32 @@ object GraphOps {
     "g09_hits" -> hitsOracle(HitsIters),
     "g07_triangles_degree" -> triangleOracle,
     "g02_knn_triangles" -> triangleOracle,
+    // g13: g02's triangle CTEs plus a symmetric degree count and the
+    // coefficient arithmetic mirrored op for op
+    "g13_clustering_coeff" ->
+      s"""WITH ${knnEdgeCtes(None)},
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM mutual e1
+           JOIN mutual e2 ON e1.b = e2.a
+           JOIN mutual e3 ON e3.a = e1.a AND e3.b = e2.b),
+         tc AS (
+           SELECT node, count(*) AS n_tri
+           FROM (SELECT x AS node FROM tri
+                 UNION ALL SELECT y FROM tri
+                 UNION ALL SELECT z FROM tri)
+           GROUP BY node),
+         deg AS (
+           SELECT node, count(*) AS deg
+           FROM (SELECT a AS node FROM mutual
+                 UNION ALL SELECT b FROM mutual)
+           GROUP BY node)
+         SELECT d.node, d.deg, coalesce(tc.n_tri, 0) AS n_tri,
+                round(CASE WHEN d.deg >= 2
+                           THEN 2.0 * coalesce(tc.n_tri, 0) /
+                                (d.deg * (d.deg - 1))
+                           ELSE 0.0 END, 6) AS cc
+         FROM deg d LEFT JOIN tc ON tc.node = d.node""",
     "g03_knn_components" -> componentsOracle,
     // g12 shares g03's oracle VERBATIM — the per-round proof that the
     // star-contraction and label-propagation kernels agree on

@@ -54,8 +54,10 @@ object SkylineOps {
     * `maxCol`. Returns the input rows (all columns) that no other row
     * dominates. */
   def skyline2D(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
-    val prices = df.groupBy(col(minCol).as("p"))
-      .agg(max(col(maxCol)).as("eqmax"))
+    // barriered: the collapsed price frame feeds the bounds scalar AND
+    // the bucketing — unbarriered, the base table scanned three times
+    val prices = Persists.barrier(df.groupBy(col(minCol).as("p"))
+      .agg(max(col(maxCol)).as("eqmax")))
     val bounds = prices.agg(min("p").as("lo"), max("p").as("hi"))
     // degenerate single-price input: everything lands in bucket 0
     val width = (col("hi") - col("lo")) / lit(Buckets.toDouble)

@@ -532,7 +532,53 @@ object TextOps {
                                ELSE 0.0 END), 9) AS jsd
       FROM q"""
 
+  /** t17: n-gram NOVELTY — per document, the share of its distinct
+    * 5-char grams (d04's exact gram definition: non-overlapping
+    * `regexp_extract_all(text, '.{5}', 0)`) that appear NOWHERE else
+    * in the corpus. The memorization/boilerplate dial for curation:
+    * novelty → 0 flags template/boilerplate documents whose every
+    * gram recurs elsewhere, novelty → 1 flags unique content worth
+    * keeping (or PII-risky one-off strings worth auditing). One
+    * exploded distinct-gram frame (barriered: feeds both the global
+    * document-frequency agg and the per-doc rollup), one gram-keyed
+    * shuffle for df, one join back, one per-doc agg — linear in
+    * corpus chars at any scale, and the df frame is the vocabulary,
+    * not the corpus. Exact integer counts; one deterministic
+    * division, served at 4 dp. Documents shorter than one gram have
+    * no grams and no row (both engines). */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    ngramNoveltyOn(docs(spark, sfDir))
+
+  /** [[ngramNovelty]] over any (doc_id, text) frame. */
+  def ngramNoveltyOn(d: DataFrame): DataFrame = {
+    val grams = graft.operators.Persists.barrier(
+      d.select(col("doc_id"), explode(array_distinct(
+        expr("regexp_extract_all(text, '.{5}', 0)"))).as("gram")))
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique") / col("n_grams"), 4))
+  }
+
+  val ngramNoveltyOracle: String =
+    """WITH g AS (SELECT doc_id,
+                         unnest(list_distinct(
+                           regexp_extract_all(text, '.{5}', 0))) AS gram
+                  FROM documents),
+        df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+      SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+             round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   / count(*), 4) AS novelty
+      FROM g JOIN df USING (gram)
+      GROUP BY doc_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_ngram_novelty" -> (ngramNovelty _),
     "t16_shard_divergence" -> (shardDivergence _),
     "t12_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     // rows-only (no oracleSql entry): est is sketch-internal; the CMS
@@ -562,6 +608,7 @@ object TextOps {
        FROM documents"""
 
   def oracleSql: Map[String, String] = Map(
+    "t17_ngram_novelty" -> ngramNoveltyOracle,
     "t16_shard_divergence" -> shardDivergenceOracle,
     "t12_heavy_hitters" -> heavyHittersOracle,
     "t13_bigram_logprob" -> bigramOracle,

@@ -70,7 +70,8 @@ object PlanAudit {
       // the shard-divergence drift detector
       "g10_khop_bfs", "g11_pagerank_weighted", "q111_rolling_zscore",
       "q112_event_transitions", "q113_skyline", "t16_shard_divergence",
-      "g12_components_star", "q115_attribution", "c19_temporal_split")
+      "g12_components_star", "q115_attribution", "c19_temporal_split",
+      "g13_clustering_coeff", "t17_ngram_novelty")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

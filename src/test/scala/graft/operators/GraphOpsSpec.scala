@@ -291,6 +291,24 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(base == w1) // bit-identical: same arithmetic, w/wdeg = 1/deg
   }
 
+  test("clustering coefficient: clique = 1, path = 0, mixed exact") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4} (cc = 1 everywhere) plus a pendant 4-5 edge:
+    // node 5 has deg 1 -> cc 0; node 4 has deg 4, still 3 triangles ->
+    // cc = 2*3/(4*3) = 0.5
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = GraphOps.clusteringCoefficientOn(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got(1L) == (3L, 3L, 1.0))
+    assert(got(2L) == (3L, 3L, 1.0))
+    assert(got(3L) == (3L, 3L, 1.0))
+    assert(got(4L) == (4L, 3L, 0.5))
+    assert(got(5L) == (1L, 0L, 0.0))
+  }
+
   test("star-contraction components equal label propagation") {
     val s = spark
     import s.implicits._
