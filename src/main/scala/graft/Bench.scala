@@ -86,7 +86,9 @@ object Bench {
     "g10_khop_bfs", "g11_pagerank_weighted", "q111_rolling_zscore",
     "q112_event_transitions", "q113_skyline", "t16_shard_divergence",
     "g12_components_star", "q115_attribution", "c19_temporal_split",
-    "g13_clustering_coeff", "t17_ngram_novelty")
+    "g13_clustering_coeff", "t17_ngram_novelty",
+    "g14_assortativity", "q116_concurrency", "s14_kmeans_step",
+    "c20_neardup_decontam")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

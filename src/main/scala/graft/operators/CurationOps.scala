@@ -530,7 +530,60 @@ object CurationOps {
         countDistinct("user_id").as("n_users"))
   }
 
+  /** c20: NEAR-DUP decontamination — c04/c12 catch verbatim eval
+    * leakage (shared exact shingles); this catches the paraphrased /
+    * lightly-edited leak class, flagging train documents whose shingle
+    * JACCARD with any eval document clears `threshold`. Candidate
+    * generation is the d06 portable MinHash banding restricted to
+    * CROSS-SET pairs only: the band join's left side is train
+    * signatures, the right side eval signatures, so per-bucket work is
+    * train_in_bucket × eval_in_bucket — the eval suite is tiny next to
+    * a 100 TB corpus, which makes the candidate stage effectively
+    * linear in the corpus (the d12 delta-join asymmetry, applied to
+    * decontamination). Signature/banding/jaccard algebra is shared
+    * verbatim with [[DedupOps]] (`portableSigSql`/`portableBandSql`),
+    * so the oracle is the d06 CTE discipline with a source split.
+    * Output: (train_id, eval_id, jaccard) flags — the audit trail a
+    * pipeline stores before dropping the train side. */
+  def neardupDecontam(
+      spark: SparkSession, sfDir: String,
+      evalSource: String = "src0", threshold: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    neardupDecontamOn(docs(spark, sfDir), evalSource, threshold)
+  }
+
+  /** [[neardupDecontam]] over any (doc_id, source, text) frame. */
+  private[graft] def neardupDecontamOn(
+      d: DataFrame, evalSource: String, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    // persist: the signature frame feeds both band sides AND the
+    // jaccard verify (the d06 CollapseProject hazard)
+    val sigs = graft.operators.Persists.barrier(d
+      .withColumn("sh", Shingles.wordShingles("text", 4))
+      .withColumn("sig", expr(DedupOps.portableSigSql))
+      .select(col("doc_id"), col("source"), col("sh"), col("sig")))
+    val banded = sigs.select(col("doc_id"), col("source"),
+      posexplode(expr(DedupOps.portableBandSql)).as(Seq("band", "bsig")))
+    val trainB = banded.filter(col("source") =!= evalSource)
+      .select(col("doc_id").as("train_id"), col("band"), col("bsig"))
+    val evalB = banded.filter(col("source") === evalSource)
+      .select(col("doc_id").as("eval_id"), col("band"), col("bsig"))
+    val cand = trainB.join(evalB, Seq("band", "bsig"))
+      .select("train_id", "eval_id").distinct()
+    val sh = sigs.select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.as("sa"), col("train_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("eval_id") === col("sb.doc_id"))
+      .select(col("train_id"), col("eval_id"),
+        round(size(array_intersect(col("sa.sh"), col("sb.sh")))
+            .cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c20_neardup_decontam" ->
+      ((s: SparkSession, d: String) => neardupDecontam(s, d)),
     "c19_temporal_split" -> (temporalSplit _),
     "c08_mix_report" -> (mixReport _),
     "c01_hash_split" -> (hashSplit _),
@@ -592,7 +645,48 @@ object CurationOps {
          FROM documents)
        WHERE rk <= 20"""
 
+  /** c20's DuckDB twin: the d06 signature/banding/jaccard CTE algebra
+    * (same md5-slice slot minima via [[DedupOps.portableSlot]], same
+    * band packing, same jaccard) with the candidate join restricted to
+    * train × eval. */
+  private val neardupDecontamOracle: String = {
+    val mins = (0 until 8).map(i =>
+      s"min(${DedupOps.portableSlot(i)}) AS m$i").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, source, text,
+                          string_split(text, ' ') AS ws
+                   FROM documents),
+        doc_sh AS (SELECT doc_id, source,
+                          CASE WHEN len(ws) < 4 THEN [text]
+                               ELSE list_distinct(list_transform(
+                                      range(1, len(ws) - 2),
+                                      i -> array_to_string(ws[i:i+3], ' ')))
+                          END AS shl
+                   FROM w),
+        sh AS (SELECT doc_id, unnest(shl) AS s FROM doc_sh),
+        sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band, m0 * 2147483648 + m1 AS bsig FROM sig
+          UNION ALL SELECT doc_id, 1, m2 * 2147483648 + m3 FROM sig
+          UNION ALL SELECT doc_id, 2, m4 * 2147483648 + m5 FROM sig
+          UNION ALL SELECT doc_id, 3, m6 * 2147483648 + m7 FROM sig),
+        bsrc AS (SELECT b.doc_id, b.band, b.bsig, d.source
+                 FROM bands b JOIN doc_sh d USING (doc_id)),
+        cand AS (SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+                 FROM bsrc t JOIN bsrc e
+                   ON t.band = e.band AND t.bsig = e.bsig
+                 WHERE t.source <> 'src0' AND e.source = 'src0'),
+        j AS (SELECT train_id, eval_id,
+                     round(CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE) /
+                           len(list_distinct(list_concat(a.shl, b.shl))),
+                           4) AS jaccard
+              FROM cand
+              JOIN doc_sh a ON a.doc_id = cand.train_id
+              JOIN doc_sh b ON b.doc_id = cand.eval_id)
+      SELECT train_id, eval_id, jaccard FROM j WHERE jaccard >= 0.4"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "c20_neardup_decontam" -> neardupDecontamOracle,
     // c19: the same exact-integer cutoff arithmetic (epoch-day grid,
     // integer division) and the same three-way CASE
     "c19_temporal_split" ->

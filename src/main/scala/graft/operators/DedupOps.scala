@@ -126,7 +126,7 @@ object DedupOps {
   /** chars 4i+1..4i+4 of md5(s), ascii-packed — ONE string shared by the
     * Spark implementation and the DuckDB oracle (identical SQL text, so
     * the two can never drift). */
-  private def portableSlot(i: Int): String =
+  private[graft] def portableSlot(i: Int): String =
     (0 until 4).map { c =>
       s"ascii(substr(md5(s), ${4 * i + c + 1}, 1)) * ${1L << (8 * (3 - c))}"
     }.mkString("(", " + ", ")")

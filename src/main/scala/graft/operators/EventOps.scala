@@ -386,7 +386,47 @@ object EventOps {
           .as("revenue"))
   }
 
+  /** q116: CONCURRENCY SWEEP — the classic interval-stabbing timeline:
+    * each signup opens a half-open 2-hour session `[us, us + 2h)`, and
+    * the output is the number of simultaneously-open sessions after
+    * every boundary instant (the peak is one `max` away). The sweep is
+    * the +1/−1 trick: +1 at each `lo`, −1 at each `hi`, net per
+    * instant, running sum. The running sum is the scale problem — a
+    * single unpartitioned window serializes the corpus through one
+    * task — so it runs as a TWO-LEVEL distributed prefix sum: in-DAY
+    * cumulative sums under a day-partitioned window (parallel across
+    * days) plus a day-level base offset from a calendar-bounded rollup
+    * (|days| rows — the only unpartitioned window, explicitly bounded
+    * by the calendar, never by event volume). Exact integer counts
+    * end to end; the oracle is the single flat cumulative sum. */
+  def concurrency(spark: SparkSession, sfDir: String): DataFrame =
+    concurrencyOn(Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "signup")
+      .select(unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + 7200000000L).as("hi")))
+
+  /** [[concurrency]] over any half-open (lo, hi) interval frame. */
+  def concurrencyOn(iv: DataFrame): DataFrame = {
+    val b = iv.select(col("lo").as("t"), lit(1L).as("d"))
+      .unionAll(iv.select(col("hi").as("t"), lit(-1L).as("d")))
+    val net = b.groupBy("t").agg(sum("d").as("net"))
+      .withColumn("day", expr(s"t div $DayUs"))
+    // calendar-bounded rollup: one row per day — the unpartitioned
+    // window runs over |days| rows, not |events|
+    val dayBase = net.groupBy("day").agg(sum("net").as("day_net"))
+      .withColumn("base", coalesce(sum("day_net").over(
+        Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("day", "base")
+    net.join(dayBase, "day")
+      .withColumn("conc", col("base") + sum("net").over(
+        Window.partitionBy("day").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("t"), col("net"), col("conc"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_concurrency" -> (concurrency _),
     "q107_gapfill_interpolate" -> (gapfillInterpolate _),
     "q111_rolling_zscore" -> (rollingZscore _),
     "q112_event_transitions" -> (eventTransitions _),
@@ -398,6 +438,19 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // q116: the flat single-window cumulative sum the two-level
+    // distributed prefix sum must reproduce exactly
+    "q116_concurrency" ->
+      """WITH iv AS (SELECT epoch_us(ts) AS lo,
+                            epoch_us(ts) + 7200000000 AS hi
+                     FROM events WHERE event_type = 'signup'),
+          b AS (SELECT lo AS t, 1 AS d FROM iv
+                UNION ALL SELECT hi, -1 FROM iv),
+          net AS (SELECT t, CAST(sum(d) AS BIGINT) AS net
+                  FROM b GROUP BY t)
+        SELECT t, net,
+               CAST(sum(net) OVER (ORDER BY t) AS BIGINT) AS conc
+        FROM net""",
     // q111: the same trailing frame (ROWS 20 PRECEDING..1 PRECEDING on
     // the unique (us, event_id) sort), the same 6-dp rounding after
     // every windowed sum and derived stat, the same minN / positive-

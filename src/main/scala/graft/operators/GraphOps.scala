@@ -506,6 +506,43 @@ object GraphOps {
           .otherwise(lit(0.0)), 6).as("cc"))
   }
 
+  /** Degree ASSORTATIVITY (Newman, PRL 2002) over a low→high oriented
+    * edge list: the Pearson correlation of endpoint degrees across the
+    * SYMMETRIZED edge list (each undirected edge contributes both
+    * (deg u, deg v) and (deg v, deg u), the standard undirected
+    * convention — the correlation is then symmetric by construction).
+    * Positive = hubs link hubs (social-graph shape); negative =
+    * hubs link leaves (star/hierarchy shape). One degree agg, two
+    * node-keyed joins, one scalar `corr` — no per-pair state, linear
+    * in |E| at any scale. Degrees are exact longs; the single corr
+    * scalar is 6-dp-rounded at serve (corr is scale-invariant, so
+    * sample-vs-population variants agree exactly). Returns one row
+    * (n_endpoints = 2·|E|, assortativity; null if degrees have zero
+    * variance). */
+  def degreeAssortativityOn(edges0: DataFrame): DataFrame = {
+    val edges = Persists.barrier(edges0.select("a", "b"))
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val sym = edges.select(col("a").as("u"), col("b").as("w"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("w")))
+    // Pearson r from population moments rather than `corr`: ANSI mode
+    // makes corr THROW on zero-variance degree sequences (regular
+    // graphs) where the contract — and DuckDB — return null. The
+    // moment ratio is algebraically identical (the 1/n factors
+    // cancel), guarded by sd > 0.
+    sym.join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("w"), col("deg").as("dw")), "w")
+      .agg(count(lit(1)).as("n_endpoints"),
+        covar_pop(col("du").cast("double"), col("dw").cast("double"))
+          .as("cv"),
+        stddev_pop(col("du").cast("double")).as("sx"),
+        stddev_pop(col("dw").cast("double")).as("sy"))
+      .select(col("n_endpoints"),
+        round(when(col("sx") > 0 && col("sy") > 0,
+          col("cv") / (col("sx") * col("sy"))), 6).as("assortativity"))
+  }
+
   /** Re-orient a low→high oriented edge list by DEGREE: each
     * undirected edge flows from the endpoint with the smaller
     * (degree, id) to the larger — the skew-robust production
@@ -847,6 +884,12 @@ object GraphOps {
     // counts, one deterministic division, served at 6 dp.
     "g13_clustering_coeff" -> ((spark: SparkSession, sfDir: String) =>
       clusteringCoefficientOn(mutualKnnEdgesOn(embVecs(spark, sfDir)))),
+    // g14: DEGREE ASSORTATIVITY of the mutual-kNN graph — the one-
+    // scalar global answer to "do dense near-dup neighborhoods link to
+    // each other or to bridge nodes" (positive = clustered corpus,
+    // negative = hub-and-spoke). Exact integer degrees, one corr.
+    "g14_assortativity" -> ((spark: SparkSession, sfDir: String) =>
+      degreeAssortativityOn(mutualKnnEdgesOn(embVecs(spark, sfDir)))),
     // g12: the same strong-graph components as g03, computed by STAR
     // CONTRACTION instead of label propagation — O(log n) rounds vs
     // O(diameter); gated against g03's oracle verbatim so the kernels
@@ -1169,6 +1212,23 @@ object GraphOps {
     "g09_hits" -> hitsOracle(HitsIters),
     "g07_triangles_degree" -> triangleOracle,
     "g02_knn_triangles" -> triangleOracle,
+    // g14: the same symmetric degree count as g13, both endpoints
+    // resolved by node-keyed joins, one corr over the symmetrized list
+    "g14_assortativity" ->
+      s"""WITH ${knnEdgeCtes(None)},
+         deg AS (
+           SELECT node, count(*) AS deg
+           FROM (SELECT a AS node FROM mutual
+                 UNION ALL SELECT b FROM mutual)
+           GROUP BY node),
+         sym AS (SELECT a AS u, b AS w FROM mutual
+                 UNION ALL SELECT b, a FROM mutual)
+         SELECT count(*) AS n_endpoints,
+                round(corr(CAST(du.deg AS DOUBLE),
+                           CAST(dw.deg AS DOUBLE)), 6) AS assortativity
+         FROM sym
+         JOIN deg du ON du.node = sym.u
+         JOIN deg dw ON dw.node = sym.w""",
     // g13: g02's triangle CTEs plus a symmetric degree count and the
     // coefficient arithmetic mirrored op for op
     "g13_clustering_coeff" ->

@@ -1003,7 +1003,47 @@ object SimilarityOps {
     }.toDF("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** s14: one exact LLOYD ITERATION of k-means over the embedding
+    * corpus — the building block of IVF training (s09 runs this loop
+    * with sampled init; here the step itself is gated exactly).
+    * Centroids are the k lowest-`vec_id` vectors (deterministic
+    * seeding — a production k-means‖ would replace the SEED choice,
+    * not the step shape). Assignment: corpus ⋈ broadcast(k centroid
+    * rows) — k·n scored pairs but only k rows move to every executor,
+    * never a second corpus copy; squared-L2 is one sequential
+    * `aggregate(zip_with(...))` fold (codegen'd, same term order as
+    * the oracle's `list_sum`), 9-dp-rounded before the argmin so both
+    * engines rank the same grid; argmin via `min(struct(d, cent_id))`
+    * — ties (equal 9-dp distance) break to the smaller centroid id in
+    * both engines. Update: posexplode to (cent_id, dim) cells — the
+    * partial agg is k·d-bounded, so the recompute never shuffles
+    * vectors, only cell partials (the s12 outer-product discipline).
+    * Output: (cent_id, dim, n, mean) — the new centroid matrix plus
+    * cluster sizes; empty clusters vanish in both engines. */
+  def kmeansStep(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansStepOn(vecs(spark, sfDir))
+
+  /** [[kmeansStep]] over any (vec_id, v) frame. */
+  def kmeansStepOn(corpus: DataFrame, k: Int = 8): DataFrame = {
+    val c = Persists.barrier(corpus.select("vec_id", "v"))
+    // the centroid artifact: k rows, broadcast — never collected
+    val cents = c.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    c.crossJoin(broadcast(cents))
+      .withColumn("d", round(expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (acc, x) -> acc + x)"), 9))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cent_id"), col("v"))).as("m"))
+      .select(col("m.cent_id").as("cent_id"),
+        posexplode(col("m.v")).as(Seq("dim", "x")))
+      .groupBy("cent_id", "dim")
+      .agg(count(lit(1)).as("n"), round(avg("x"), 6).as("mean"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_kmeans_step" ->
+      ((s: SparkSession, d: String) => kmeansStep(s, d)),
     "s13_mmr_rerank" ->
       ((s: SparkSession, d: String) => mmrRerank(s, d)),
     "s12_embedding_covariance" ->
@@ -1110,6 +1150,32 @@ object SimilarityOps {
   def oracleSql: Map[String, String] = Map(
     "s12_embedding_covariance" -> covarianceOracle,
     "s01_ann_brute" -> bruteOracle,
+    // s14: the same double-cast vectors, the same ordered squared-L2
+    // fold (list_sum over ascending dims ≡ the sequential aggregate
+    // fold), the same 9-dp pre-argmin grid and (d, cent_id) tie-break,
+    // the same 6-dp mean serve; dim is 0-based in both engines
+    "s14_kmeans_step" ->
+      """WITH v AS (SELECT vec_id,
+                           list_transform(embedding,
+                             x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+          cent AS (SELECT vec_id AS cent_id, v AS cv
+                   FROM v ORDER BY vec_id LIMIT 8),
+          d AS (SELECT v.vec_id, cent.cent_id, v.v,
+                       round(list_sum(list_transform(range(1, 65),
+                         i -> (v.v[i] - cent.cv[i]) *
+                              (v.v[i] - cent.cv[i]))), 9) AS d
+                FROM v CROSS JOIN cent),
+          a AS (SELECT vec_id, cent_id, v,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cent_id) AS rn
+                FROM d),
+          ex AS (SELECT cent_id, CAST(dims.dim AS INTEGER) AS dim,
+                        a.v[dims.dim + 1] AS x
+                 FROM (SELECT cent_id, v FROM a WHERE rn = 1) a
+                 CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) dims)
+        SELECT cent_id, dim, count(*) AS n, round(avg(x), 6) AS mean
+        FROM ex GROUP BY cent_id, dim""",
     "s03_vector_norms" -> normsOracle,
     "s04_ann_ivf" -> ivfOracle(2),
     "s08_ann_ivf_multiprobe" -> ivfOracle(MultiProbe),

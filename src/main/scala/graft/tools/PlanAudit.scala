@@ -71,7 +71,9 @@ object PlanAudit {
       "g10_khop_bfs", "g11_pagerank_weighted", "q111_rolling_zscore",
       "q112_event_transitions", "q113_skyline", "t16_shard_divergence",
       "g12_components_star", "q115_attribution", "c19_temporal_split",
-      "g13_clustering_coeff", "t17_ngram_novelty")
+      "g13_clustering_coeff", "t17_ngram_novelty",
+      "g14_assortativity", "q116_concurrency", "s14_kmeans_step",
+      "c20_neardup_decontam")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

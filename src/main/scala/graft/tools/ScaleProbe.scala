@@ -276,7 +276,39 @@ object ScaleProbe {
       // outer join — linear in tokens at fixed vocabulary
       ("t16_divergence", n => TextOps.shardDivergenceOn(
         docsN(spark, n).selectExpr(
-          "CAST(doc_id % 2 AS INT) AS shard", "text"))))
+          "CAST(doc_id % 2 AS INT) AS shard", "text"))),
+      // g13: one symmetric degree agg + the g02 triangle stage over the
+      // same bounded-degree oriented edges — linear in n at fixed degree
+      ("g13_clustering", n => GraphOps.clusteringCoefficientOn(
+        spark.range(n).selectExpr("id AS a",
+          "explode(transform(sequence(1, 8), j -> id + j)) AS b"))),
+      // g14: degree agg + two node-keyed joins + one scalar corr over
+      // the same edges — linear in |E|, output is ONE row at any n
+      ("g14_assortativity", n => GraphOps.degreeAssortativityOn(
+        spark.range(n).selectExpr("id AS a",
+          "explode(transform(sequence(1, 8), j -> id + j)) AS b"))),
+      // t17: one exploded distinct-gram frame + a gram-keyed df agg +
+      // one join back — linear in corpus chars; dup-group corpus so
+      // novelty has real structure (intra-group grams recur)
+      ("t17_novelty", n => TextOps.ngramNoveltyOn(dupDocsN(spark, n))),
+      // q116: one t-keyed agg + day-partitioned windows; the only
+      // unpartitioned window is the |days| rollup (constant 100 days)
+      ("q116_concurrency", n => EventOps.concurrencyOn(
+        spark.range(n).selectExpr(
+          "pmod(xxhash64(id), 8640000000000) AS lo",
+          "pmod(xxhash64(id), 8640000000000) + 3600000000 AS hi"))),
+      // s14: k broadcast centroid rows against the corpus, then a
+      // k·d-bounded cell partial agg — linear in n at fixed (k, d)
+      ("s14_kmeans_step", n => SimilarityOps.kmeansStepOn(
+        vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v"))),
+      // c20: cross-set banded candidates — per bucket train×eval with a
+      // FIXED eval fraction, so candidates track the corpus linearly
+      ("c20_neardup_decontam", n => CurationOps.neardupDecontamOn(
+        dupDocsN(spark, n).selectExpr("doc_id",
+          "CASE WHEN doc_id % 16 = 0 THEN 'eval' " +
+            "ELSE concat('s', doc_id % 3) END AS source", "text"),
+        evalSource = "eval", threshold = 0.5)))
 
     println(f"${"operator"}%-24s ${"n1"}%8s ${"t1(s)"}%8s ${"rows1"}%9s " +
       f"${"n4"}%8s ${"t4(s)"}%8s ${"rows4"}%9s ${"ratio"}%6s")

@@ -227,4 +227,27 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val split = CurationOps.temporalSplitOn(e).collect()
     assert(split.map(_.getAs[Long]("n_events")).sum == 22L)
   }
+
+  test("c20: flags only cross-set near-dups, never within-set pairs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "eval", "alpha beta gamma delta epsilon zeta"),
+      // exact duplicate of the eval doc, train side: every band
+      // collides, jaccard = 1 — MUST be flagged
+      (2L, "src1", "alpha beta gamma delta epsilon zeta"),
+      // second exact duplicate, also train: flagged against eval 1,
+      // but the (2,3) train-train pair must NOT appear
+      (3L, "src2", "alpha beta gamma delta epsilon zeta"),
+      // eval-side duplicate of doc 1: eval-eval pair must NOT appear
+      (4L, "eval", "alpha beta gamma delta epsilon zeta"),
+      // unrelated train doc: no flag
+      (5L, "src1", "one two three four five six seven eight"))
+      .toDF("doc_id", "source", "text")
+    val got = CurationOps.neardupDecontamOn(docs, "eval", 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((2L, 1L, 1.0), (2L, 4L, 1.0),
+      (3L, 1L, 1.0), (3L, 4L, 1.0)))
+  }
 }

@@ -230,4 +230,30 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map { case (k, rs) => k -> rs.map(_.getAs[Double]("p")).sum }
     bySrc.values.foreach(p => assert(math.abs(p - 1.0) < 1e-6))
   }
+
+  test("concurrency: sweep counts overlapping half-open intervals") {
+    val s = spark
+    import s.implicits._
+    // [0,10) [5,15) [5,8) [20,30): conc 1,3,2,1,0,1,0 at the boundary
+    // instants; equal starts collapse into one +2 net
+    val got = EventOps.concurrencyOn(
+      Seq((0L, 10L), (5L, 15L), (5L, 8L), (20L, 30L)).toDF("lo", "hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 1L, 1L), (5L, 2L, 3L), (8L, -1L, 2L),
+      (10L, -1L, 1L), (15L, -1L, 0L), (20L, 1L, 1L), (30L, -1L, 0L)))
+  }
+
+  test("concurrency: day-crossing intervals thread the day-base offset") {
+    val s = spark
+    import s.implicits._
+    val D = EventOps.DayUs
+    // one interval spanning days 0-2, one inside day 1: the day-1 and
+    // day-2 boundaries only work if the cross-day base offset carries
+    val got = EventOps.concurrencyOn(
+      Seq((0L, 2 * D), (D, D + 10L)).toDF("lo", "hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq ==
+      Seq((0L, 1L), (D, 2L), (D + 10L, 1L), (2 * D, 0L)))
+  }
 }

@@ -309,6 +309,23 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == (1L, 0L, 0.0))
   }
 
+  test("assortativity: star = -1, hand fixture = -0.5, regular = null") {
+    val s = spark
+    import s.implicits._
+    def r(edges: Seq[(Long, Long)]): (Long, Any) = {
+      val row = GraphOps.degreeAssortativityOn(edges.toDF("a", "b"))
+        .collect().head
+      (row.getLong(0), if (row.isNullAt(1)) null else row.getDouble(1))
+    }
+    // K1,4 star: deg(center)=4, deg(leaf)=1 — perfectly disassortative
+    assert(r(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))) == (8L, -1.0))
+    // hand fixture: edges (1,2),(3,4),(1,3) — degrees 1:2, 2:1, 3:2,
+    // 4:1; symmetrized endpoint-degree pairs give r = -0.5 exactly
+    assert(r(Seq((1L, 2L), (3L, 4L), (1L, 3L))) == (6L, -0.5))
+    // 4-cycle: every degree 2 — zero variance, corr undefined
+    assert(r(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))) == (8L, null))
+  }
+
   test("star-contraction components equal label propagation") {
     val s = spark
     import s.implicits._
