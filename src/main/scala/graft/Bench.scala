@@ -88,7 +88,8 @@ object Bench {
     "g12_components_star", "q115_attribution", "c19_temporal_split",
     "g13_clustering_coeff", "t17_ngram_novelty",
     "g14_assortativity", "q116_concurrency", "s14_kmeans_step",
-    "c20_neardup_decontam")
+    "c20_neardup_decontam", "m06_ahash", "d15_cdc_chunks",
+    "q117_mad_outliers")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

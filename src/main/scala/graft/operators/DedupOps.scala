@@ -277,6 +277,57 @@ object DedupOps {
     editDistVerifyFrames(d, sigs, prefixLen, maxDist)
   }
 
+  // ------------------------------------- content-defined chunking (CDC)
+  /** d15: CONTENT-DEFINED CHUNKING dedup census — the storage-dedup /
+    * partial-overlap primitive the document-level forms (d01 exact,
+    * d04/d06 near-dup) can't express: two documents that share a long
+    * PASSAGE but differ elsewhere share the CHUNKS covering it.
+    * Boundaries are content-defined (after token i iff the portable
+    * token hash ≡ 0 mod 8 — expected ~8-token chunks), so an
+    * insertion near the front only perturbs its own chunk: the
+    * classic rolling-boundary property fixed-width chunking (c13)
+    * lacks. Chunking is map-only (per-doc list algebra, no shuffle);
+    * the census is ONE chunk-hash-keyed aggregation — linear in
+    * corpus tokens at any scale. Output: (chunk_hash, n_docs, n_occ)
+    * for chunks of ≥ `minChunkChars` chars occurring ≥ 2 times — the
+    * audit table a pipeline joins back to strip boilerplate passages.
+    * Exact integers; the boundary hash is [[PortableHash]] so the
+    * oracle mirrors the algebra verbatim. */
+  def cdcChunkCensus(
+      spark: SparkSession, sfDir: String,
+      minChunkChars: Int = 20): DataFrame =
+    cdcChunkCensusOn(docs(spark, sfDir), minChunkChars)
+
+  /** [[cdcChunkCensus]] over any (doc_id, text) frame. */
+  private[graft] def cdcChunkCensusOn(
+      d: DataFrame, minChunkChars: Int = 20): DataFrame = {
+    val h = PortableHash.packed("element_at(ws, CAST(i AS INT))")
+    // barrier: `bounds` references ws per token and `chunks` references
+    // bounds twice per chunk — unbarriered, CollapseProject inlines the
+    // full re-tokenization into every reference
+    val bounded = Persists.barrier(d
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("bounds", expr(
+        s"""concat(array(0L),
+              CASE WHEN size(ws) <= 1 THEN array()
+                   ELSE filter(sequence(1L, CAST(size(ws) - 1 AS BIGINT)),
+                               i -> $h % 8 = 0) END,
+              array(CAST(size(ws) AS BIGINT)))""")))
+    bounded
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(bounds) - 1), c ->
+             array_join(slice(ws,
+               CAST(element_at(bounds, c) + 1 AS INT),
+               CAST(element_at(bounds, c + 1) - element_at(bounds, c)
+                    AS INT)), ' '))""")).as("chunk"))
+      .filter(length(col("chunk")) >= minChunkChars)
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"))
+      .groupBy("chunk_hash")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+  }
+
   /** The banded candidate join alone — `(id_a, id_b)` pairs sharing
     * any LSH band, the half every portable dedup form starts from. */
   private def bandCandidates(
@@ -876,7 +927,9 @@ object DedupOps {
     "d14_dedup_prefix_jaccard" ->
       ((s: SparkSession, d: String) => prefixJaccard(s, d)),
     "d05_dedup_embedding" ->
-      ((s: SparkSession, d: String) => embeddingNearDup(s, d))
+      ((s: SparkSession, d: String) => embeddingNearDup(s, d)),
+    "d15_cdc_chunks" ->
+      ((s: SparkSession, d: String) => cdcChunkCensus(s, d))
   )
 
   /** d04 is deterministic end-to-end (no hash-dependent recall): the
@@ -991,7 +1044,34 @@ object DedupOps {
       SELECT doc_id, lang, source, n_chars FROM documents
       WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)"""
 
+  /** d15's DuckDB twin: same tokenization, same portable boundary hash
+    * mod 8, same [0]+boundaries+[n] bounds algebra, same chunk join,
+    * same min-length gate and ≥2 census. */
+  private val cdcChunkOracle: String = {
+    val h = PortableHash.packed("ws[CAST(i AS INTEGER)]")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        b AS (SELECT doc_id, ws,
+                list_concat(list_concat([CAST(0 AS BIGINT)],
+                  list_filter(range(1, len(ws)), i -> $h % 8 = 0)),
+                  [CAST(len(ws) AS BIGINT)]) AS bounds
+              FROM w),
+        ch AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(bounds)),
+                   c -> array_to_string(ws[
+                          CAST(bounds[CAST(c AS INTEGER)] + 1 AS INTEGER):
+                          CAST(bounds[CAST(c + 1 AS INTEGER)] AS INTEGER)],
+                        ' '))) AS chunk
+               FROM b),
+        f AS (SELECT doc_id, md5(chunk) AS chunk_hash FROM ch
+              WHERE length(chunk) >= 20)
+      SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_occ
+      FROM f GROUP BY chunk_hash HAVING count(*) >= 2"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "d15_cdc_chunks" -> cdcChunkOracle,
     "d01_dedup_exact" -> exactSql,
     "d11_dedup_keep_quality" -> keepQualityOracle,
     "d12_dedup_incremental" -> incrementalOracle,

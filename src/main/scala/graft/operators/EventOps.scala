@@ -409,8 +409,12 @@ object EventOps {
   def concurrencyOn(iv: DataFrame): DataFrame = {
     val b = iv.select(col("lo").as("t"), lit(1L).as("d"))
       .unionAll(iv.select(col("hi").as("t"), lit(-1L).as("d")))
-    val net = b.groupBy("t").agg(sum("d").as("net"))
-      .withColumn("day", expr(s"t div $DayUs"))
+    // barriered: net feeds BOTH the day rollup and the final join —
+    // unbarriered, the boundary union + agg ran twice (plan audit:
+    // scans=4 on the events fixture)
+    val net = graft.operators.Persists.barrier(
+      b.groupBy("t").agg(sum("d").as("net"))
+        .withColumn("day", expr(s"t div $DayUs")))
     // calendar-bounded rollup: one row per day — the unpartitioned
     // window runs over |days| rows, not |events|
     val dayBase = net.groupBy("day").agg(sum("net").as("day_net"))
@@ -425,7 +429,44 @@ object EventOps {
       .select(col("t"), col("net"), col("conc"))
   }
 
+  /** q117: MAD-based robust outlier detection — the heavy-tail
+    * complement to q111's rolling z-score: median and median absolute
+    * deviation are 50%-breakdown statistics, so a contaminated series
+    * can't drag its own threshold the way mean/stddev let it. Two
+    * grouped EXACT percentiles (the oracle anchor — a 100 TB run swaps
+    * in the q70 approx-percentile sketch, same plan shape), each
+    * followed by a |types|-row broadcast join back; robust z =
+    * (v − med) / (1.4826 · mad) with every statistic 6-dp-rounded at
+    * the re-entry and rz served at 4 dp; zero-MAD series (over half
+    * the values at the median) are excluded — a scale-free threshold
+    * is meaningless there (both engines). */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    madOutliersOn(Tables.load(spark, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("v")))
+
+  /** [[madOutliers]] over any (event_id, event_type, v) frame. */
+  def madOutliersOn(e0: DataFrame): DataFrame = {
+    val e = graft.operators.Persists.barrier(e0)
+    val med = e.groupBy("event_type")
+      .agg(round(expr("percentile(v, 0.5d)"), 6).as("med"))
+    val dev = graft.operators.Persists.barrier(
+      e.join(broadcast(med), "event_type")
+        .withColumn("dev", round(abs(col("v") - col("med")), 6)))
+    val mad = dev.groupBy("event_type")
+      .agg(round(expr("percentile(dev, 0.5d)"), 6).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0)
+      .withColumn("rz",
+        round((col("v") - col("med")) / (lit(1.4826) * col("mad")), 4))
+      .select(col("event_id"), col("event_type"), col("v").as("value"),
+        col("med"), col("mad"), col("rz"),
+        (abs(col("rz")) > 3.5).cast("int").as("is_outlier"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_mad_outliers" -> (madOutliers _),
     "q116_concurrency" -> (concurrency _),
     "q107_gapfill_interpolate" -> (gapfillInterpolate _),
     "q111_rolling_zscore" -> (rollingZscore _),
@@ -438,6 +479,25 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // q117: quantile_cont is the same exact interpolating median as
+    // Spark's percentile; every statistic 6-dp-rounded at re-entry,
+    // rz at 4 dp, the same constants and zero-MAD gate
+    "q117_mad_outliers" ->
+      """WITH e AS (SELECT event_id, event_type, round(value, 6) AS v
+                    FROM events WHERE value IS NOT NULL),
+          m AS (SELECT event_type, round(quantile_cont(v, 0.5), 6) AS med
+                FROM e GROUP BY event_type),
+          d AS (SELECT e.event_id, e.event_type, e.v, m.med,
+                       round(abs(e.v - m.med), 6) AS dev
+                FROM e JOIN m USING (event_type)),
+          md AS (SELECT event_type,
+                        round(quantile_cont(dev, 0.5), 6) AS mad
+                 FROM d GROUP BY event_type)
+        SELECT d.event_id, d.event_type, d.v AS value, d.med, md.mad,
+               round((d.v - d.med) / (1.4826 * md.mad), 4) AS rz,
+               CAST(abs(round((d.v - d.med) / (1.4826 * md.mad), 4)) > 3.5
+                    AS INTEGER) AS is_outlier
+        FROM d JOIN md USING (event_type) WHERE md.mad > 0""",
     // q116: the flat single-window cumulative sum the two-level
     // distributed prefix sum must reproduce exactly
     "q116_concurrency" ->

@@ -235,7 +235,56 @@ object MultimodalOps {
       col("media_id"), col("mime"),
       length(col("payload")).as("byte_len"))
 
+  /** m06: perceptual AVERAGE-HASH fingerprint per media item — the
+    * image-dedup primitive (aHash: partition the signal into 64
+    * blocks, bit j = block-j mean above the global mean), emitted as
+    * FOUR 16-bit chunk columns in the d07 band layout so pairing is
+    * one `posexplode` + band self-join away when real image payloads
+    * arrive. Every comparison is an integer CROSS-MULTIPLY
+    * (`block_sum · len > total · block_len`) — no float division
+    * anywhere, so the hash oracle-checks bit for bit. The payload
+    * stands in for decoded pixel rows (the m04 stub discipline:
+    * production swaps the decode, the plan — one narrow map over
+    * binary columns, no shuffle — is already the real one). Items
+    * shorter than 64 units have empty blocks and are excluded (both
+    * engines). The per-char code expansion is computed once behind a
+    * barrier: the 64 block-slice aggregates below each reference it,
+    * and unbarriered CollapseProject would inline the transform into
+    * every reference. */
+  def ahash(spark: SparkSession, sfDir: String): DataFrame =
+    ahashOn(mediaTable(spark, sfDir)
+      .select(col("media_id"), expr("decode(payload, 'utf-8')").as("txt")))
+
+  /** [[ahash]] over any (media_id, txt) frame. */
+  private[graft] def ahashOn(d: DataFrame): DataFrame = {
+    val codes = graft.operators.Persists.barrier(
+      d.filter(length(col("txt")) >= 64)
+        .select(col("media_id"),
+          length(col("txt")).cast("long").as("len"),
+          expr("""transform(sequence(1, length(txt)),
+                    i -> CAST(ascii(substr(txt, i, 1)) AS BIGINT))""")
+            .as("codes"))
+        .withColumn("total",
+          expr("aggregate(codes, 0L, (a, x) -> a + x)")))
+    def chunk(b: Int): String = {
+      val bits = (0 until 16).map { j =>
+        val k = b * 16 + j
+        s"""CASE WHEN aggregate(slice(codes,
+                CAST($k * len div 64 + 1 AS INT),
+                CAST(($k + 1) * len div 64 - $k * len div 64 AS INT)),
+                0L, (a, x) -> a + x) * len
+              > total * ((${k + 1}) * len div 64 - $k * len div 64)
+            THEN ${1L << j}L ELSE 0L END"""
+      }
+      bits.mkString("(", " + ", ")")
+    }
+    codes.select(col("media_id"),
+      expr(chunk(0)).as("c0"), expr(chunk(1)).as("c1"),
+      expr(chunk(2)).as("c2"), expr(chunk(3)).as("c3"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m06_ahash" -> (ahash _),
     "m01_binary_meta" -> (binaryMeta _),
     "m01b_byte_len" -> (byteLen _),
     "m02_feature_extract" -> (featureExtract _),
@@ -252,6 +301,31 @@ object MultimodalOps {
     * DuckDB's string substring slices the same bytes as Spark's binary
     * substring in m03. */
   def oracleSql: Map[String, String] = Map(
+    // m06: same per-char code expansion, same integer cross-multiply
+    // per block, same 16-bit chunk packing — exact in both engines
+    "m06_ahash" ->
+      """WITH d AS (
+           SELECT doc_id AS media_id, text,
+                  CAST(length(text) AS BIGINT) AS len,
+                  list_transform(range(1, length(text) + 1),
+                    i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1))
+                              AS BIGINT)) AS codes
+           FROM documents WHERE length(text) >= 64),
+         t AS (SELECT *, CAST(list_sum(codes) AS BIGINT) AS total FROM d),
+         h AS (SELECT media_id,
+                 list_transform(range(0, 4), b ->
+                   CAST(list_sum(list_transform(range(0, 16), j ->
+                     CASE WHEN list_sum(codes[
+                                CAST((b*16+j)*len//64 + 1 AS INTEGER):
+                                CAST((b*16+j+1)*len//64 AS INTEGER)]) * len
+                               > total * ((b*16+j+1)*len//64
+                                          - (b*16+j)*len//64)
+                          THEN 1 << CAST(j AS INTEGER)
+                          ELSE 0 END)) AS BIGINT)) AS chunks
+               FROM t)
+         SELECT media_id, chunks[1] AS c0, chunks[2] AS c1,
+                chunks[3] AS c2, chunks[4] AS c3
+         FROM h""",
     "m01_binary_meta" ->
       """SELECT doc_id AS media_id, 'image/fake' AS mime,
                 CAST((doc_id * 13 + length(text) * 7) % 1280 + 32 AS INTEGER)

@@ -73,7 +73,8 @@ object PlanAudit {
       "g12_components_star", "q115_attribution", "c19_temporal_split",
       "g13_clustering_coeff", "t17_ngram_novelty",
       "g14_assortativity", "q116_concurrency", "s14_kmeans_step",
-      "c20_neardup_decontam")
+      "c20_neardup_decontam", "m06_ahash", "d15_cdc_chunks",
+      "q117_mad_outliers")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

@@ -308,11 +308,34 @@ object ScaleProbe {
         dupDocsN(spark, n).selectExpr("doc_id",
           "CASE WHEN doc_id % 16 = 0 THEN 'eval' " +
             "ELSE concat('s', doc_id % 3) END AS source", "text"),
-        evalSource = "eval", threshold = 0.5)))
+        evalSource = "eval", threshold = 0.5)),
+      // m06: one narrow map per item (64 block aggregates over the
+      // barriered code expansion) — linear in total payload bytes
+      ("m06_ahash", n => MultimodalOps.ahashOn(
+        spark.range(n).selectExpr("id AS media_id",
+          """concat_ws(' ', transform(sequence(0, 39),
+               j -> concat('w', pmod(xxhash64(id * 7 + j), 500))))
+             AS txt"""))),
+      // d15: map-only chunking + ONE chunk-hash-keyed census shuffle —
+      // linear in corpus tokens; dup-group corpus so shared chunks exist
+      ("d15_cdc_chunks", n => DedupOps.cdcChunkCensusOn(
+        dupDocsN(spark, n))),
+      // q117: two grouped exact percentiles + two |types|-row broadcast
+      // joins — n log n in the per-type sort, linear shuffle volume
+      ("q117_mad_outliers", n => EventOps.madOutliersOn(
+        spark.range(n).selectExpr("id AS event_id",
+          "concat('t', id % 50) AS event_type",
+          "round(pmod(xxhash64(id, 3), 1000) / 10.0d, 6) AS v"))))
+
+    // optional args: probe names to run (default all) — fast local
+    // iteration on a newly-added probe without the full sweep
+    val selected =
+      if (args.isEmpty) probes
+      else probes.filter { case (name, _) => args.contains(name) }
 
     println(f"${"operator"}%-24s ${"n1"}%8s ${"t1(s)"}%8s ${"rows1"}%9s " +
       f"${"n4"}%8s ${"t4(s)"}%8s ${"rows4"}%9s ${"ratio"}%6s")
-    probes.foreach { case (name, build) =>
+    selected.foreach { case (name, build) =>
       val vectorOp = name.startsWith("d05") || name.startsWith("s02") ||
         name.startsWith("s04") || name.startsWith("s08")
       // the gx contrast pair includes a deliberately-quadratic exact
@@ -337,7 +360,7 @@ object ScaleProbe {
     // plan. (The probes above scale DATA at fixed iters; this block
     // scales ITERS at fixed data — the claim the cadence parameter
     // exists for.)
-    locally {
+    if (args.isEmpty) {
       val n = 20000L
       def edges = spark.range(n).selectExpr("id AS src",
         s"explode(transform(sequence(0, 7), " +
@@ -364,7 +387,7 @@ object ScaleProbe {
     // 4× ratio lands near 16×; degree-orientation points edges INTO
     // hubs (leaf forward degree ≤ a constant) and stays near 4×. Same
     // triangle counts either way (GraphOpsSpec pins equality).
-    locally {
+    if (args.isEmpty) locally {
       def skewEdges(n: Long) = spark.range(8, n).selectExpr(
         """explode(array(
              pmod(xxhash64(id, 1), 8),
@@ -394,7 +417,7 @@ object ScaleProbe {
     // θ-join answer, but brute scores all n²/2 pairs (16× at 4×) while
     // the prefix inverted index touches candidates sharing a rare-gram
     // prefix token (near-linear on the fixed-cluster-size corpus).
-    locally {
+    if (args.isEmpty) locally {
       import org.apache.spark.sql.functions._
       def brute(n: Long) = {
         val g = dupDocsN(spark, n)
@@ -430,7 +453,7 @@ object ScaleProbe {
     // shuffles and sorts every row of every group while the aggregate
     // moves k·|groups| partial rows. Both are linear in n; the probe
     // commits the CONSTANT gap at a realistic rows-per-group ratio.
-    locally {
+    if (args.isEmpty) locally {
       import org.apache.spark.sql.functions._
       graft.functions.GraftFunctions.register(spark)
       def frame(n: Long) = spark.range(n).selectExpr(

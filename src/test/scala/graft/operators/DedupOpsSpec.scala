@@ -238,4 +238,29 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSet
     assert(canopy.subsetOf(got))
   }
+
+  test("d15 CDC census: shared passages share chunks; edits stay local") {
+    val s = spark
+    import s.implicits._
+    val passage = (0 until 30).map(i => s"tok$i").mkString(" ")
+    def census(rows: (Long, String)*): Map[String, (Long, Long)] =
+      DedupOps.cdcChunkCensusOn(rows.toDF("doc_id", "text")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // identical docs: every (>= 20 char) chunk is shared by both
+    val dup = census(1L -> passage, 2L -> passage)
+    assert(dup.nonEmpty && dup.values.forall(_ == (2L, 2L)))
+    // the SAME passage embedded in different prefix/suffix context:
+    // content-defined boundaries keep interior chunks identical, so
+    // at least one shared chunk survives — the property fixed-width
+    // chunking (c13) loses to offset shift
+    val ctx = census(
+      1L -> s"unrelated prefix words here $passage",
+      2L -> s"$passage and then a different tail entirely")
+    assert(ctx.exists { case (_, (nd, _)) => nd == 2L },
+      "shared passage must surface at least one cross-doc chunk")
+    // disjoint docs: nothing shared
+    val far = census(1L -> passage,
+      2L -> (30 until 60).map(i => s"w$i").mkString(" "))
+    assert(!far.exists { case (_, (nd, _)) => nd == 2L })
+  }
 }

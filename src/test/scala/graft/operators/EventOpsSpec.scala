@@ -244,6 +244,26 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (10L, -1L, 1L), (15L, -1L, 0L), (20L, 1L, 1L), (30L, -1L, 0L)))
   }
 
+  test("mad outliers: robust flag, exact rz, zero-MAD series excluded") {
+    val s = spark
+    import s.implicits._
+    val rows =
+      (1 to 9).map(i => (i.toLong, "a", i.toDouble)) :+
+        (10L, "a", 1000.0) :+
+        // degenerate series: mad = 0 (majority at the median) — the
+        // whole series must be excluded, even its wild point
+        (11L, "b", 5.0) :+ (12L, "b", 5.0) :+ (13L, "b", 5.0) :+
+        (14L, "b", 5.0) :+ (15L, "b", 9.0)
+    val got = EventOps.madOutliersOn(rows.toDF("event_id", "event_type", "v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(5), r.getInt(6))).toMap
+    assert(got.keySet == (1L to 10L).toSet) // series b fully excluded
+    // med=5.5, mad=2.5: rz(1) = -4.5/(1.4826*2.5) -> -1.2141 at 4 dp
+    assert(got(1L) == (-1.2141, 0))
+    assert(got(10L)._2 == 1) // the 1000 point is the only outlier
+    assert(got.values.count(_._2 == 1) == 1)
+  }
+
   test("concurrency: day-crossing intervals thread the day-base offset") {
     val s = spark
     import s.implicits._

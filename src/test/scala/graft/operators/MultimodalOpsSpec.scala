@@ -93,4 +93,26 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1L) == 50, "valid PPM must take the REAL decode path")
     assert(rows(2L) == 57, "non-PPM must take the deterministic fallback")
   }
+
+  test("m06 ahash: block-mean bits, identical inputs, length gate") {
+    val s = spark
+    import s.implicits._
+    // 64 chars: first 32 are 'a' (97), last 32 are 'z' (122) — global
+    // mean 109.5, so blocks 0-31 (each one 'a') sit below, 32-63
+    // above: c0 = c1 = 0, c2 = c3 = 0xFFFF
+    val half = "a" * 32 + "z" * 32
+    // uniform text: every block equals the mean, strict > fails, all
+    // chunks 0
+    val flat = "m" * 100
+    val got = MultimodalOps.ahashOn(Seq(
+      (1L, half), (2L, half), (3L, flat), (4L, "short"))
+      .toDF("media_id", "txt"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == (0L, 0L, 65535L, 65535L))
+    assert(got(2L) == got(1L)) // identical payloads, identical hash
+    assert(got(3L) == (0L, 0L, 0L, 0L))
+    assert(!got.contains(4L)) // < 64 units: excluded, both engines
+  }
 }
