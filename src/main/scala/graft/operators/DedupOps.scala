@@ -755,13 +755,53 @@ object DedupOps {
     * tracks log n). */
   private[graft] def connectedComponentsCounted(
       pairs0: DataFrame): (DataFrame, Int) = {
-    var rounds = 0
+    val edges = symmetrized(pairs0)
+    ccLoop(edges, edges.select(col("id_a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")))
+  }
+
+  /** WARM-STARTED components — the g08 incremental discipline applied
+    * to the CC kernel: propagation initialized from a PRIOR labeling
+    * (e.g. the stored labels of the pre-delta graph) instead of
+    * node = own label. Min-label propagation is monotone, so any
+    * initialization where each node's label is SOME member id of its
+    * (old) component converges to the identical fixed point as the
+    * cold run — per-merged-component min — which is why g15 shares
+    * g03/g12's oracle verbatim. The payoff is round count: warm labels
+    * already agree within unmerged components, so only the
+    * delta-induced merges propagate (≤ merge diameter rounds, vs the
+    * full component diameter cold). Nodes absent from `labels0` (the
+    * newly-arrived vertices) start as their own label. */
+  def connectedComponentsWarm(
+      pairs0: DataFrame, labels0: DataFrame): DataFrame =
+    connectedComponentsWarmCounted(pairs0, labels0)._1
+
+  private[graft] def connectedComponentsWarmCounted(
+      pairs0: DataFrame, labels0: DataFrame): (DataFrame, Int) = {
+    val edges = symmetrized(pairs0)
+    val init = edges.select(col("id_a").as("doc_id")).distinct()
+      .join(labels0.select(col("doc_id"),
+        col("cluster_id").as("warm_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("warm_id"), col("doc_id")).as("cluster_id"))
+    ccLoop(edges, init)
+  }
+
+  /** Both directions of an undirected pair set, barriered (every loop
+    * round joins it). */
+  private def symmetrized(pairs0: DataFrame): DataFrame = {
     val pairs = Persists.barrier(pairs0)
-    val edges = Persists.barrier(pairs.union(
+    Persists.barrier(pairs.union(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
-    var labels = edges.select(col("id_a").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
+  }
+
+  /** The min-label propagation loop shared by the cold and warm forms:
+    * one join + one min-agg per round, localCheckpoint per round
+    * (lineage truncation), exit when no label strictly decreases. */
+  private def ccLoop(
+      edges: DataFrame, init: DataFrame): (DataFrame, Int) = {
+    var rounds = 0
+    var labels = init.localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
       rounds += 1
@@ -862,12 +902,16 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("gram"))))
         .as("toks"))
-    val pre = sorted
+    // barriered: the candidate self-join reads the prefix frame TWICE,
+    // and everything above it (df agg + per-doc sort-collect) is the
+    // expensive half of the operator — unbarriered it all ran twice
+    // (the r10 bench measured d14 at 95 s before this)
+    val pre = Persists.barrier(sorted
       .withColumn("sz", size(col("toks")))
       .withColumn("plen",
         (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
       .select(col("doc_id"), explode(expr("slice(toks, 1, plen)")).as("t"))
-      .select(col("doc_id"), col("t.gram").as("gram"))
+      .select(col("doc_id"), col("t.gram").as("gram")))
     val cand = pre.as("x").join(pre.as("y"),
         col("x.gram") === col("y.gram") &&
           col("x.doc_id") < col("y.doc_id"))

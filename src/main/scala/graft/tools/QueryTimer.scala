@@ -22,7 +22,7 @@ object QueryTimer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val all = graft.SparkEntry.queries
+    val all = graft.SparkEntry.queries ++ graft.Bench.benchOnly
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       graft.operators.Persists.scoped {

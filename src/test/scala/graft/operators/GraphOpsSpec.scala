@@ -95,6 +95,29 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inline.nonEmpty && inline == served)
   }
 
+  test("g15i artifact serving equals the inline incremental gate form") {
+    val sf = "/root/testdata/sf0.001"
+    val inline = GraphOps.queries("g15_components_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = GraphOps.incrementalComponentsFromArtifacts(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inline.nonEmpty && inline == served)
+  }
+
+  test("g06i/g09i/g10i/g12i artifact serving equals inline forms") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(GraphOps.queries("g06_pagerank_dangling")(spark, sf)) ==
+      rows(GraphOps.pagerankDanglingFromEdges(spark, sf)))
+    assert(rows(GraphOps.queries("g09_hits")(spark, sf)) ==
+      rows(GraphOps.hitsFromEdges(spark, sf)))
+    assert(rows(GraphOps.queries("g10_khop_bfs")(spark, sf)) ==
+      rows(GraphOps.bfsFromEdges(spark, sf)))
+    assert(rows(GraphOps.queries("g12_components_star")(spark, sf)) ==
+      rows(GraphOps.starComponentsFromEdges(spark, sf)))
+  }
+
   test("mutual-kNN cosine floor drops weak reciprocated pairs") {
     val s = spark
     import s.implicits._
@@ -324,6 +347,30 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(Seq((1L, 2L), (3L, 4L), (1L, 3L))) == (6L, -0.5))
     // 4-cycle: every degree 2 — zero variance, corr undefined
     assert(r(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))) == (8L, null))
+  }
+
+  test("warm-started components: same fixed point, fewer rounds") {
+    val s = spark
+    import s.implicits._
+    // base: a diameter-7 path 1..8 (labels converge to 1) plus an
+    // isolated pair (10, 11); delta: edge (8, 9) extends the path and
+    // (20, 21) arrives as a brand-new component
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (10L, 11L)).toDF("id_a", "id_b")
+    val delta = Seq((8L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val full = base.unionAll(delta)
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels0 = DedupOps.connectedComponents(base)
+    val (warm, warmRounds) =
+      DedupOps.connectedComponentsWarmCounted(full, labels0)
+    val (cold, coldRounds) = DedupOps.connectedComponentsCounted(full)
+    assert(labelMap(warm) == labelMap(cold)) // identical fixed point
+    // cold pays the full diameter-8 path; warm only propagates the
+    // single merge at the path's tail plus the new pair
+    assert(coldRounds >= 8 && warmRounds <= 3,
+      s"cold=$coldRounds warm=$warmRounds")
+    assert(labelMap(warm)(9L) == 1L && labelMap(warm)(21L) == 20L)
   }
 
   test("star-contraction components equal label propagation") {
