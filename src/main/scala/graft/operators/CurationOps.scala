@@ -581,7 +581,32 @@ object CurationOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** c21: per-eval-doc CONTAMINATION REPORT — the two leak signals
+    * (c04's exact shared-shingle hits, c20's MinHash near-dup flags)
+    * rolled up to the eval suite's grain: how many train documents
+    * leak into each eval document, verbatim and paraphrased. This is
+    * the table an eval owner actually reads (and the one that decides
+    * whether a benchmark is burned); the row-level pair audits stay in
+    * c04/c20. Full-outer merge of the two |eval|-bounded rollups —
+    * every stage after the base signals is eval-suite-sized. */
+  def contaminationReport(
+      spark: SparkSession, sfDir: String,
+      evalSource: String = "src0"): DataFrame = {
+    val exact = decontaminate(spark, sfDir, evalSource)
+      .groupBy("eval_id")
+      .agg(countDistinct("train_id").as("n_exact_train"))
+    val near = neardupDecontam(spark, sfDir, evalSource)
+      .groupBy("eval_id")
+      .agg(countDistinct("train_id").as("n_neardup_train"))
+    exact.join(near, Seq("eval_id"), "full_outer")
+      .select(col("eval_id"),
+        coalesce(col("n_exact_train"), lit(0L)).as("n_exact_train"),
+        coalesce(col("n_neardup_train"), lit(0L)).as("n_neardup_train"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c21_contamination_report" ->
+      ((s: SparkSession, d: String) => contaminationReport(s, d)),
     "c20_neardup_decontam" ->
       ((s: SparkSession, d: String) => neardupDecontam(s, d)),
     "c19_temporal_split" -> (temporalSplit _),
@@ -685,7 +710,69 @@ object CurationOps {
       SELECT train_id, eval_id, jaccard FROM j WHERE jaccard >= 0.4"""
   }
 
+  /** c21's DuckDB twin: the c04 CTE family (8-word shingles, renamed
+    * d8/e8/t8) and the c20 family side by side, each rolled up to
+    * eval grain, full-outer merged. */
+  private val contaminationReportOracle: String = {
+    val mins = (0 until 8).map(i =>
+      s"min(${DedupOps.portableSlot(i)}) AS m$i").mkString(", ")
+    s"""WITH d8 AS (
+         SELECT doc_id, source,
+                CASE WHEN len(string_split(text, ' ')) < 8 THEN [text]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(string_split(text, ' ')) - 6),
+                            i -> array_to_string(
+                                   string_split(text, ' ')[i:i+7], ' ')))
+                END AS shl
+         FROM documents),
+       e8 AS (SELECT doc_id AS eval_id, unnest(shl) AS key FROM d8
+              WHERE source = 'src0'),
+       t8 AS (SELECT doc_id AS train_id, unnest(shl) AS key FROM d8
+              WHERE source <> 'src0'),
+       exact AS (SELECT eval_id,
+                        count(DISTINCT train_id) AS n_exact
+                 FROM t8 JOIN e8 USING (key) GROUP BY eval_id),
+       w AS (SELECT doc_id, source, text,
+                    string_split(text, ' ') AS ws
+             FROM documents),
+       doc_sh AS (SELECT doc_id, source,
+                         CASE WHEN len(ws) < 4 THEN [text]
+                              ELSE list_distinct(list_transform(
+                                     range(1, len(ws) - 2),
+                                     i -> array_to_string(ws[i:i+3], ' ')))
+                         END AS shl
+                  FROM w),
+       sh AS (SELECT doc_id, unnest(shl) AS s FROM doc_sh),
+       sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, 0 AS band, m0 * 2147483648 + m1 AS bsig FROM sig
+         UNION ALL SELECT doc_id, 1, m2 * 2147483648 + m3 FROM sig
+         UNION ALL SELECT doc_id, 2, m4 * 2147483648 + m5 FROM sig
+         UNION ALL SELECT doc_id, 3, m6 * 2147483648 + m7 FROM sig),
+       bsrc AS (SELECT b.doc_id, b.band, b.bsig, d.source
+                FROM bands b JOIN doc_sh d USING (doc_id)),
+       cand AS (SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+                FROM bsrc t JOIN bsrc e
+                  ON t.band = e.band AND t.bsig = e.bsig
+                WHERE t.source <> 'src0' AND e.source = 'src0'),
+       j AS (SELECT train_id, eval_id,
+                    round(CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE) /
+                          len(list_distinct(list_concat(a.shl, b.shl))),
+                          4) AS jaccard
+             FROM cand
+             JOIN doc_sh a ON a.doc_id = cand.train_id
+             JOIN doc_sh b ON b.doc_id = cand.eval_id),
+       near AS (SELECT eval_id,
+                       count(DISTINCT train_id) AS n_near
+                FROM j WHERE jaccard >= 0.4 GROUP BY eval_id)
+      SELECT coalesce(exact.eval_id, near.eval_id) AS eval_id,
+             coalesce(n_exact, 0) AS n_exact_train,
+             coalesce(n_near, 0) AS n_neardup_train
+      FROM exact FULL OUTER JOIN near ON exact.eval_id = near.eval_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "c21_contamination_report" -> contaminationReportOracle,
     "c20_neardup_decontam" -> neardupDecontamOracle,
     // c19: the same exact-integer cutoff arithmetic (epoch-day grid,
     // integer division) and the same three-way CASE

@@ -283,7 +283,43 @@ object MultimodalOps {
       expr(chunk(2)).as("c2"), expr(chunk(3)).as("c3"))
   }
 
+  /** m07: aHash candidate PAIRS — the d07 simhash-banding discipline
+    * over [[ahash]]'s chunk columns: media sharing ANY 16-bit chunk
+    * band-collide, and each candidate carries its full 64-bit Hamming
+    * distance (4 × codegen'd `bit_count(xor)`). By pigeonhole, every
+    * pair within Hamming ≤ 3 shares a chunk, so the candidate set is
+    * LOSSLESS for the near-dup band; the unfiltered distance column is
+    * the audit signal (the fixture's text-derived payloads bottom out
+    * at hamming 9 — real resized/re-encoded images land ≤ 3, and this
+    * operator's recall there is guaranteed, not sampled). Per-bucket
+    * work is bucket², bounded by the 16-bit chunk space exactly like
+    * d07. */
+  def ahashCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    ahashCandidatesOn(mediaTable(spark, sfDir)
+      .select(col("media_id"), expr("decode(payload, 'utf-8')").as("txt")))
+
+  /** [[ahashCandidates]] over any (media_id, txt) frame. */
+  private[graft] def ahashCandidatesOn(d: DataFrame): DataFrame = {
+    val h = graft.operators.Persists.barrier(ahashOn(d))
+    val bands = h.select(col("media_id"),
+      posexplode(expr("array(c0, c1, c2, c3)")).as(Seq("band", "chunk")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+      .distinct()
+    cand
+      .join(h.as("a"), col("id_a") === col("a.media_id"))
+      .join(h.as("b"), col("id_b") === col("b.media_id"))
+      .select(col("id_a"), col("id_b"),
+        (expr("bit_count(a.c0 ^ b.c0) + bit_count(a.c1 ^ b.c1) + " +
+          "bit_count(a.c2 ^ b.c2) + bit_count(a.c3 ^ b.c3)"))
+          .cast("long").as("hamming"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_ahash_candidates" -> (ahashCandidates _),
     "m06_ahash" -> (ahash _),
     "m01_binary_meta" -> (binaryMeta _),
     "m01b_byte_len" -> (byteLen _),
@@ -301,6 +337,42 @@ object MultimodalOps {
     * DuckDB's string substring slices the same bytes as Spark's binary
     * substring in m03. */
   def oracleSql: Map[String, String] = Map(
+    // m07: the m06 hash CTEs + the d07-style band self-join, Hamming
+    // as xor/bit_count per chunk — integers end to end
+    "m07_ahash_candidates" ->
+      """WITH d AS (
+           SELECT doc_id AS media_id, text,
+                  CAST(length(text) AS BIGINT) AS len,
+                  list_transform(range(1, length(text) + 1),
+                    i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1))
+                              AS BIGINT)) AS codes
+           FROM documents WHERE length(text) >= 64),
+         t AS (SELECT *, CAST(list_sum(codes) AS BIGINT) AS total FROM d),
+         h AS (SELECT media_id,
+                 list_transform(range(0, 4), b ->
+                   CAST(list_sum(list_transform(range(0, 16), j ->
+                     CASE WHEN list_sum(codes[
+                                CAST((b*16+j)*len//64 + 1 AS INTEGER):
+                                CAST((b*16+j+1)*len//64 AS INTEGER)]) * len
+                               > total * ((b*16+j+1)*len//64
+                                          - (b*16+j)*len//64)
+                          THEN 1 << CAST(j AS INTEGER)
+                          ELSE 0 END)) AS BIGINT)) AS chunks
+               FROM t),
+         bands AS (SELECT media_id, unnest(range(0, 4)) AS band,
+                          unnest(chunks) AS chunk FROM h),
+         cand AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.chunk = y.chunk
+                   AND x.media_id < y.media_id)
+         SELECT id_a, id_b,
+                CAST(list_sum(list_transform(range(0, 4),
+                  b -> bit_count(xor(a.chunks[CAST(b + 1 AS INTEGER)],
+                                     c.chunks[CAST(b + 1 AS INTEGER)]))))
+                     AS BIGINT) AS hamming
+         FROM cand
+         JOIN h a ON a.media_id = cand.id_a
+         JOIN h c ON c.media_id = cand.id_b""",
     // m06: same per-char code expansion, same integer cross-multiply
     // per block, same 16-bit chunk packing — exact in both engines
     "m06_ahash" ->

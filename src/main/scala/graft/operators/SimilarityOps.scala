@@ -1041,7 +1041,49 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n"), round(avg("x"), 6).as("mean"))
   }
 
+  /** s16: one PQ CODEBOOK-TRAINING step — the s14 Lloyd iteration run
+    * independently in each of `m` subspaces (the training loop behind
+    * the s06/s10 codebooks, whose gate forms use a hash codebook
+    * precisely because training was not yet a gated operator). The
+    * vector explode to (vec_id, subspace, sub-vector) rows is one
+    * narrow map; seeds are the k lowest-id vectors' sub-vectors (m·k
+    * broadcast rows); assignment and update are the s14 discipline per
+    * subspace — 9-dp pre-argmin grid, (d, cent_id) tie-break, m·k·(d/m)
+    * bounded cell partial agg. Output: (subspace, cent_id, dim, n,
+    * mean) — the new codebook matrix with per-cell occupancy. */
+  def pqTrainStep(spark: SparkSession, sfDir: String): DataFrame =
+    pqTrainStepOn(vecs(spark, sfDir))
+
+  /** [[pqTrainStep]] over any (vec_id, v) frame; `dim` must divide
+    * evenly into `m` subspaces. */
+  def pqTrainStepOn(
+      corpus: DataFrame, m: Int = 8, k: Int = 4,
+      dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val w = dim / m
+    val subExpr =
+      s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $w + 1, $w))"
+    val c = Persists.barrier(corpus.select("vec_id", "v"))
+    val sub = Persists.barrier(c.select(col("vec_id"),
+      posexplode(expr(subExpr)).as(Seq("subspace", "sv"))))
+    val seeds = c.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cent_id"),
+        posexplode(expr(subExpr)).as(Seq("subspace", "cv")))
+    sub.join(broadcast(seeds), "subspace")
+      .withColumn("d", round(expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (acc, x) -> acc + x)"), 9))
+      .groupBy("vec_id", "subspace")
+      .agg(min(struct(col("d"), col("cent_id"), col("sv"))).as("mm"))
+      .select(col("subspace"), col("mm.cent_id").as("cent_id"),
+        posexplode(col("mm.sv")).as(Seq("dim", "x")))
+      .groupBy("subspace", "cent_id", "dim")
+      .agg(count(lit(1)).as("n"), round(avg("x"), 6).as("mean"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_pq_train" ->
+      ((s: SparkSession, d: String) => pqTrainStep(s, d)),
     "s14_kmeans_step" ->
       ((s: SparkSession, d: String) => kmeansStep(s, d)),
     "s13_mmr_rerank" ->
@@ -1150,6 +1192,41 @@ object SimilarityOps {
   def oracleSql: Map[String, String] = Map(
     "s12_embedding_covariance" -> covarianceOracle,
     "s01_ann_brute" -> bruteOracle,
+    // s16: the s14 mirror per subspace — 1-based slices sv = v[8s+1 ..
+    // 8s+8], seeds from the 4 lowest ids, same 9-dp grid/tie-break,
+    // subspace and dim cast to INTEGER (Spark posexplode emits int)
+    "s16_pq_train" ->
+      """WITH v AS (SELECT vec_id,
+                           list_transform(embedding,
+                             x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+          sub AS (SELECT vec_id, CAST(s.s AS INTEGER) AS subspace,
+                         v.v[CAST(s.s * 8 + 1 AS INTEGER):
+                             CAST(s.s * 8 + 8 AS INTEGER)] AS sv
+                  FROM v CROSS JOIN
+                    (SELECT unnest(range(0, 8)) AS s) s),
+          seeds AS (SELECT vec_id AS cent_id, subspace, sv AS cv
+                    FROM sub
+                    WHERE vec_id IN (SELECT vec_id FROM v
+                                     ORDER BY vec_id LIMIT 4)),
+          d AS (SELECT sub.vec_id, sub.subspace, seeds.cent_id, sub.sv,
+                       round(list_sum(list_transform(range(1, 9),
+                         i -> (sub.sv[i] - seeds.cv[i]) *
+                              (sub.sv[i] - seeds.cv[i]))), 9) AS d
+                FROM sub JOIN seeds USING (subspace)),
+          a AS (SELECT vec_id, subspace, cent_id, sv,
+                       row_number() OVER (PARTITION BY vec_id, subspace
+                                          ORDER BY d, cent_id) AS rn
+                FROM d),
+          ex AS (SELECT subspace, cent_id,
+                        CAST(dims.dim AS INTEGER) AS dim,
+                        a.sv[dims.dim + 1] AS x
+                 FROM (SELECT subspace, cent_id, sv FROM a
+                       WHERE rn = 1) a
+                 CROSS JOIN (SELECT unnest(range(0, 8)) AS dim) dims)
+        SELECT subspace, cent_id, dim, count(*) AS n,
+               round(avg(x), 6) AS mean
+        FROM ex GROUP BY subspace, cent_id, dim""",
     // s14: the same double-cast vectors, the same ordered squared-L2
     // fold (list_sum over ascending dims ≡ the sequential aggregate
     // fold), the same 9-dp pre-argmin grid and (d, cent_id) tie-break,

@@ -250,4 +250,21 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((2L, 1L, 1.0), (2L, 4L, 1.0),
       (3L, 1L, 1.0), (3L, 4L, 1.0)))
   }
+
+  test("c21 report equals the c04/c20 signals rolled up to eval grain") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = CurationOps.decontaminate(spark, sf).collect()
+      .groupBy(_.getAs[Long]("eval_id"))
+      .view.mapValues(_.map(_.getAs[Long]("train_id")).distinct.length.toLong)
+      .toMap
+    val near = CurationOps.neardupDecontam(spark, sf).collect()
+      .groupBy(_.getAs[Long]("eval_id"))
+      .view.mapValues(_.map(_.getAs[Long]("train_id")).distinct.length.toLong)
+      .toMap
+    val got = CurationOps.contaminationReport(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = (exact.keySet ++ near.keySet).map(k =>
+      k -> (exact.getOrElse(k, 0L), near.getOrElse(k, 0L))).toMap
+    assert(got == want && got.nonEmpty)
+  }
 }

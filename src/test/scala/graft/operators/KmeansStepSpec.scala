@@ -44,6 +44,29 @@ class KmeansStepSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 4)
   }
 
+  test("s16 PQ training step: independent Lloyd step per subspace") {
+    val s = spark
+    import s.implicits._
+    // 4-dim vectors, m=2 subspaces of 2 dims, k=2 seeds (ids 0, 1).
+    // Subspace 0 seeds: c0=(0,0), c1=(10,10); subspace 1 seeds are the
+    // SAME ids' second halves: c0=(10,10), c1=(0,0) — the per-subspace
+    // independence is exactly what the fixture checks
+    val got = SimilarityOps.pqTrainStepOn(Seq(
+      0L -> Seq(0.0, 0.0, 10.0, 10.0), 1L -> Seq(10.0, 10.0, 0.0, 0.0),
+      2L -> Seq(1.0, 1.0, 9.0, 9.0), 3L -> Seq(9.0, 9.0, 1.0, 1.0))
+      .toDF("vec_id", "v"), m = 2, k = 2, dim = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    for (d <- 0 to 1) {
+      assert(got((0, 0L, d)) == (2L, 0.5)) // sub0: {0,2} -> c0
+      assert(got((0, 1L, d)) == (2L, 9.5)) // sub0: {1,3} -> c1
+      assert(got((1, 0L, d)) == (2L, 9.5)) // sub1: {0,2} -> c0=(10,10)
+      assert(got((1, 1L, d)) == (2L, 0.5)) // sub1: {1,3} -> c1=(0,0)
+    }
+    assert(got.size == 8)
+  }
+
   test("a centroid that wins no vectors emits no rows") {
     // c0=(0,0) absorbs everything incl. c1's own seed position tie?
     // no: c1=(1,0) keeps itself (d=0) but 2,3 sit at (0,1),(0,2) ->

@@ -115,4 +115,18 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == (0L, 0L, 0L, 0L))
     assert(!got.contains(4L)) // < 64 units: excluded, both engines
   }
+
+  test("m07 candidates: chunk collisions pair up, hamming exact") {
+    val s = spark
+    import s.implicits._
+    val half = "a" * 32 + "z" * 32 // chunks (0, 0, 0xFFFF, 0xFFFF)
+    val flat = "m" * 100 // chunks (0, 0, 0, 0): collides on bands 0-1
+    val got = MultimodalOps.ahashCandidatesOn(Seq(
+      (1L, half), (2L, half), (3L, flat)).toDF("media_id", "txt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // identical pair at hamming 0; the flat item collides with both
+    // halves on the zero chunks and reports the true 32-bit distance
+    assert(got == Set((1L, 2L, 0L), (1L, 3L, 32L), (2L, 3L, 32L)))
+  }
 }
