@@ -90,7 +90,8 @@ object Bench {
     "g14_assortativity", "q116_concurrency", "s14_kmeans_step",
     "c20_neardup_decontam", "m06_ahash", "d15_cdc_chunks",
     "q117_mad_outliers", "g15i_components_incremental",
-    "s16_pq_train", "m07_ahash_candidates", "c21_contamination_report")
+    "s16_pq_train", "m07_ahash_candidates", "c21_contamination_report",
+    "c22_token_budget_mix")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -604,7 +604,36 @@ object CurationOps {
         coalesce(col("n_neardup_train"), lit(0L)).as("n_neardup_train"))
   }
 
+  /** c22: TOKEN-budget source quotas — c02's per-source cap measured
+    * in the unit a training mixture is actually specified in (tokens,
+    * not documents): per source, documents accumulate in ingest order
+    * (doc_id — the deterministic arrival proxy) until the running
+    * token total would exceed `budgetTokens`; the straddling document
+    * is excluded (a budget is a ceiling, not a target). One
+    * source-keyed window sort, exact integer arithmetic; at 100 TB
+    * the partition key is the source — hundreds of small partitions,
+    * no global sort anywhere. Output keeps the running total so the
+    * mixture report downstream needs no re-scan. */
+  def tokenBudgetMix(
+      spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 800L): DataFrame =
+    tokenBudgetMixOn(docs(spark, sfDir), budgetTokens)
+
+  /** [[tokenBudgetMix]] over any (doc_id, source, text) frame. */
+  private[graft] def tokenBudgetMixOn(
+      d: DataFrame, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d.withColumn("tokens",
+        size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_tokens", sum("tokens").over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select("doc_id", "source", "tokens", "cum_tokens")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c22_token_budget_mix" ->
+      ((s: SparkSession, d: String) => tokenBudgetMix(s, d)),
     "c21_contamination_report" ->
       ((s: SparkSession, d: String) => contaminationReport(s, d)),
     "c20_neardup_decontam" ->
@@ -772,6 +801,20 @@ object CurationOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // c22: same token count (space split), same inclusive running sum
+    // on the same (source, doc_id) order, same ceiling semantics
+    "c22_token_budget_mix" ->
+      """SELECT doc_id, source, tokens, cum_tokens
+         FROM (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT)
+                        AS tokens,
+                      CAST(sum(len(string_split(text, ' ')))
+                             OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS BIGINT)
+                        AS cum_tokens
+               FROM documents)
+         WHERE cum_tokens <= 800""",
     "c21_contamination_report" -> contaminationReportOracle,
     "c20_neardup_decontam" -> neardupDecontamOracle,
     // c19: the same exact-integer cutoff arithmetic (epoch-day grid,

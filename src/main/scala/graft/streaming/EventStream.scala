@@ -320,7 +320,44 @@ object EventStream {
         col("e.score").as("value"))
   }
 
+  /** q118: the q108 mergeable HISTOGRAM built ON the stream —
+    * completing the streaming-sketch family (q89 CMS, q106 HLL, q110
+    * top-k): on a stream the batch form's build-per-shard → merge
+    * rollup COLLAPSES into one continuously-merged partial aggregate,
+    * which is the whole point of a mergeable summary. Complete-mode
+    * state is |types|·nbins longs (never rows); integer bin adds are
+    * arrival-order-free, so the stream must reproduce q108's batch
+    * grid EXACTLY — a hash-checked streaming entry sharing q108's
+    * oracle semantics (zero bins included via the same grid serve). */
+  def histogramStream(
+      spark: SparkSession, sfDir: String, nbins: Int = 20,
+      width: Double = 5.0): DataFrame = {
+    val counts = StreamRun.toCompletion(
+      readEvents(spark, sfDir, glob = "events.parquet")
+        .filter(col("value").isNotNull)
+        .withColumn("bin", least(greatest(
+          floor(col("value") / width), lit(0.0)), lit(nbins - 1.0))
+          .cast("int"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("cnt")),
+      "graft_stream_histogram", outputMode = "complete")
+    // |types|-bounded fetch: the completed sink's view can't self-join
+    // (conflicting memory-plan attributes), and the type vocabulary is
+    // a handful of strings — build the zero grid from the literal list
+    import spark.implicits._
+    val types = counts.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val grid = types.toDF("event_type")
+      .crossJoin(spark.range(0, nbins)
+        .select(col("id").cast("int").as("bin")))
+    grid.join(counts, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_stream_histogram" -> ((s: SparkSession, d: String) =>
+      histogramStream(s, d)),
     "q50_stream_hourly" -> (hourlyCountsStreamed _),
     "q72_stream_attribution" -> (attributionStreamed _),
     "q78_stream_sliding" -> (slidingCountsStreamed _),
@@ -331,6 +368,24 @@ object EventStream {
     * for bucket (epoch_us keeps the hour as an integer so the hash
     * compare never sees timestamp-precision skew). */
   def oracleSql: Map[String, String] = Map(
+    // q118: q108's batch oracle verbatim — the stream must land on the
+    // identical zero-gridded histogram
+    "q118_stream_histogram" ->
+      """WITH e AS (
+           SELECT event_type,
+                  CAST(least(greatest(floor(value / 5.0), 0), 19) AS INTEGER)
+                    AS bin
+           FROM events WHERE value IS NOT NULL),
+         grid AS (
+           SELECT t.event_type, b.bin
+           FROM (SELECT DISTINCT event_type FROM e) t,
+                (SELECT unnest(range(0, 20)) AS bin) b),
+         c AS (SELECT event_type, bin, count(*) AS cnt
+               FROM e GROUP BY 1, 2)
+         SELECT g.event_type, g.bin,
+                coalesce(c.cnt, 0) AS cnt
+         FROM grid g LEFT JOIN c
+           ON g.event_type = c.event_type AND g.bin = c.bin""",
     "q50_stream_hourly" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
                 count(*) AS cnt, round(sum(value), 2) AS sv

@@ -75,7 +75,8 @@ object PlanAudit {
       "g14_assortativity", "q116_concurrency", "s14_kmeans_step",
       "c20_neardup_decontam", "m06_ahash", "d15_cdc_chunks",
       "q117_mad_outliers", "g15_components_incremental",
-      "s16_pq_train", "m07_ahash_candidates", "c21_contamination_report")
+      "s16_pq_train", "m07_ahash_candidates", "c21_contamination_report",
+      "c22_token_budget_mix")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

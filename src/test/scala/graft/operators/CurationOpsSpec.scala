@@ -251,6 +251,20 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 1L, 1.0), (3L, 4L, 1.0)))
   }
 
+  test("c22 token budget: inclusive ceiling, per-source, ingest order") {
+    val s = spark
+    import s.implicits._
+    def doc(id: Long, src: String, n: Int) =
+      (id, src, (1 to n).map(i => s"t$i").mkString(" "))
+    val got = CurationOps.tokenBudgetMixOn(Seq(
+      doc(1, "a", 5), doc(2, "a", 5), doc(3, "a", 5), // cum 5,10,15
+      doc(4, "b", 5), doc(5, "b", 7), // cum 5,12 — 12 == budget kept
+      doc(6, "c", 13)) // first doc already over: source fully dropped
+      .toDF("doc_id", "source", "text"), budgetTokens = 12L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 5L, 2L -> 10L, 4L -> 5L, 5L -> 12L))
+  }
+
   test("c21 report equals the c04/c20 signals rolled up to eval grain") {
     val sf = "/root/testdata/sf0.001"
     val exact = CurationOps.decontaminate(spark, sf).collect()
