@@ -465,7 +465,44 @@ object EventOps {
         (abs(col("rz")) > 3.5).cast("int").as("is_outlier"))
   }
 
+  /** q119: grouped TREND — ordinary least squares of value on
+    * epoch-day per series, from the five classical sums (n, Σx, Σy,
+    * Σxy, Σx²) in ONE grouped aggregation pass: slope =
+    * (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n.
+    * The drift detector that catches slow decay where q111/q117 catch
+    * spikes. One partial-agg shuffle of five doubles per series — no
+    * window, no second pass, embarrassingly scalable; x is the small
+    * integer day index so the x-side sums are integer-exact, slope
+    * and intercept are 6-dp-rounded at serve (the scalar arithmetic
+    * after the sums is single-rounded IEEE, deterministic given the
+    * sums). Zero-variance-x series (single active day) are excluded
+    * in both engines. */
+  def trendOls(spark: SparkSession, sfDir: String): DataFrame =
+    trendOlsOn(Tables.load(spark, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        round(col("value"), 6).as("v")))
+
+  /** [[trendOls]] over any (event_type, day, v) frame. */
+  def trendOlsOn(e: DataFrame): DataFrame =
+    e.groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("day").cast("double")).as("sx"),
+        sum(col("v")).as("sy"),
+        sum(col("day") * col("v")).as("sxy"),
+        sum((col("day") * col("day")).cast("double")).as("sxx"))
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        round(col("slope"), 6).as("slope"),
+        round((col("sy") - col("slope") * col("sx")) / col("n"), 6)
+          .as("intercept"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_trend_ols" -> (trendOls _),
     "q117_mad_outliers" -> (madOutliers _),
     "q116_concurrency" -> (concurrency _),
     "q107_gapfill_interpolate" -> (gapfillInterpolate _),
@@ -479,6 +516,27 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // q119: the same five sums, the same closed-form slope/intercept
+    // arithmetic, the same zero-x-variance gate and 6-dp serve
+    "q119_trend_ols" ->
+      """WITH e AS (SELECT event_type,
+                           epoch_us(ts) // 86400000000 AS day,
+                           round(value, 6) AS v
+                    FROM events WHERE value IS NOT NULL),
+          s AS (SELECT event_type,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       sum(CAST(day AS DOUBLE)) AS sx,
+                       sum(v) AS sy,
+                       sum(day * v) AS sxy,
+                       sum(CAST(day * day AS DOUBLE)) AS sxx
+                FROM e GROUP BY event_type),
+          t AS (SELECT *,
+                       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+                FROM s WHERE n * sxx - sx * sx > 0)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               round(slope, 6) AS slope,
+               round((sy - slope * sx) / n, 6) AS intercept
+        FROM t""",
     // q117: quantile_cont is the same exact interpolating median as
     // Spark's percentile; every statistic 6-dp-rounded at re-entry,
     // rz at 4 dp, the same constants and zero-MAD gate

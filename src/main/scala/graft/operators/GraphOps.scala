@@ -519,6 +519,43 @@ object GraphOps {
           .otherwise(lit(0.0)), 6).as("cc"))
   }
 
+  /** K-CORE peeling, fixed rounds: repeatedly drop nodes of degree
+    * &lt; `k` (and their incident edges) for exactly `rounds` sweeps —
+    * the dense-subgraph extractor that separates tight near-dup
+    * families from the sparse periphery (a node in the k-core has ≥ k
+    * surviving neighbors, transitively). Fixed-round semantics (the
+    * PrIters discipline) rather than convergence makes the operator
+    * a deterministic SQL shape: the oracle unrolls the same `rounds`
+    * sweeps as CTEs, and because peeling is MONOTONE (a converged
+    * graph peels to itself), extra rounds are no-ops — on any fixture
+    * where convergence needs ≤ `rounds`, the result IS the exact
+    * k-core. Each sweep is one degree agg + one semi-join over the
+    * shrinking edge set (localCheckpoint per round bounds lineage);
+    * work is O(|E|) per round. Returns (node, deg) of survivors. */
+  private val KcoreRounds = 6
+
+  def kcorePeelOn(edges0: DataFrame, k: Int = 3,
+      rounds: Int = KcoreRounds): DataFrame = {
+    var e = Persists.barrier(edges0.select("a", "b"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+    }
+    // survivors with their residual degree — NO extra filter: the
+    // output is exactly "after `rounds` sweeps", which the oracle
+    // unrolls verbatim (converged fixtures make it the true k-core)
+    e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
   /** Degree ASSORTATIVITY (Newman, PRL 2002) over a low→high oriented
     * edge list: the Pearson correlation of endpoint degrees across the
     * SYMMETRIZED edge list (each undirected edge contributes both
@@ -998,6 +1035,11 @@ object GraphOps {
     // negative = hub-and-spoke). Exact integer degrees, one corr.
     "g14_assortativity" -> ((spark: SparkSession, sfDir: String) =>
       degreeAssortativityOn(mutualKnnEdgesOn(embVecs(spark, sfDir)))),
+    // g16: K-CORE peeling (fixed 6 sweeps, k=3) over the mutual-kNN
+    // graph — dense near-dup families survive, the sparse periphery
+    // peels off; integer-exact, oracle unrolls the sweeps verbatim.
+    "g16_kcore" -> ((spark: SparkSession, sfDir: String) =>
+      kcorePeelOn(mutualKnnEdgesOn(embVecs(spark, sfDir)))),
     // g12: the same strong-graph components as g03, computed by STAR
     // CONTRACTION instead of label propagation — O(log n) rounds vs
     // O(diameter); gated against g03's oracle verbatim so the kernels
@@ -1320,6 +1362,31 @@ object GraphOps {
     "g09_hits" -> hitsOracle(HitsIters),
     "g07_triangles_degree" -> triangleOracle,
     "g02_knn_triangles" -> triangleOracle,
+    // g16: the 6 peel sweeps unrolled — each round one degree CTE, one
+    // survivor CTE, one doubly-semi-joined edge CTE, mirrored op for
+    // op. Every per-round CTE is MATERIALIZED: each references its
+    // predecessor 2-3 times, and DuckDB's default inlining would
+    // expand the chain exponentially (observed as fd exhaustion on the
+    // base parquet before the hint).
+    "g16_kcore" -> {
+      val rounds = (1 to KcoreRounds).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT node, count(*) AS deg
+               FROM (SELECT a AS node FROM e${r - 1}
+                     UNION ALL SELECT b FROM e${r - 1})
+               GROUP BY node),
+           k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= 3),
+           e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+                   JOIN k$r x ON e.a = x.node
+                   JOIN k$r y ON e.b = y.node)"""
+      }.mkString(",\n")
+      s"""WITH ${knnEdgeCtes(None)},
+         e0 AS MATERIALIZED (SELECT a, b FROM mutual),
+         $rounds
+         SELECT node, count(*) AS deg
+         FROM (SELECT a AS node FROM e$KcoreRounds
+               UNION ALL SELECT b FROM e$KcoreRounds)
+         GROUP BY node"""
+    },
     // g14: the same symmetric degree count as g13, both endpoints
     // resolved by node-keyed joins, one corr over the symmetrized list
     "g14_assortativity" ->

@@ -17,6 +17,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "similarity" -> SimilarityOps.queries.keySet,
     "multimodal" -> MultimodalOps.queries.keySet,
     "skew" -> SkewOps.queries.keySet,
+    "skyline" -> SkylineOps.queries.keySet,
     "audit" -> AuditOps.queries.keySet,
     "asof" -> AsofOps.queries.keySet,
     "range" -> RangeOps.queries.keySet,

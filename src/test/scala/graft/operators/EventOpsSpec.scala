@@ -244,6 +244,25 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (10L, -1L, 1L), (15L, -1L, 0L), (20L, 1L, 1L), (30L, -1L, 0L)))
   }
 
+  test("trend OLS: exact closed form, zero-x-variance series excluded") {
+    val s = spark
+    import s.implicits._
+    val got = EventOps.trendOlsOn(Seq(
+      // perfect line v = 2*day + 1
+      ("a", 0L, 1.0), ("a", 1L, 3.0), ("a", 2L, 5.0),
+      // flat series: slope 0, intercept = mean
+      ("b", 0L, 4.0), ("b", 2L, 4.0),
+      // single active day: x variance 0 -> excluded
+      ("c", 5L, 1.0), ("c", 5L, 9.0))
+      .toDF("event_type", "day", "v"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(got == Map(
+      "a" -> (3L, 2.0, 1.0),
+      "b" -> (2L, 0.0, 4.0)))
+  }
+
   test("mad outliers: robust flag, exact rz, zero-MAD series excluded") {
     val s = spark
     import s.implicits._

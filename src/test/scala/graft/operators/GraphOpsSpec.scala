@@ -349,6 +349,21 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))) == (8L, null))
   }
 
+  test("k-core peel: dense core survives, chains peel, idempotent") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4} (3-core) + a chain 4-5-6-7 hanging off it: the
+    // chain peels end-inward over sweeps, the clique survives intact
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    def run(rounds: Int) = GraphOps.kcorePeelOn(edges, k = 3, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(6)
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // monotone: once converged, extra sweeps are no-ops
+    assert(run(8) == got)
+  }
+
   test("warm-started components: same fixed point, fewer rounds") {
     val s = spark
     import s.implicits._
