@@ -325,6 +325,30 @@ object ScaleProbe {
       ("q117_mad_outliers", n => EventOps.madOutliersOn(
         spark.range(n).selectExpr("id AS event_id",
           "concat('t', id % 50) AS event_type",
+          "round(pmod(xxhash64(id, 3), 1000) / 10.0d, 6) AS v"))),
+      // s16: m broadcast seed groups against the sub-vector explode —
+      // m·n scored sub-pairs, m·k·(d/m)-bounded update agg
+      ("s16_pq_train", n => SimilarityOps.pqTrainStepOn(
+        vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
+        m = 2, k = 4, dim = 16)),
+      // c21: the c04 + c20 signals (both ~linear) plus eval-bounded
+      // rollups — dominated by the underlying decontamination joins
+      ("c22_token_budget", n => CurationOps.tokenBudgetMixOn(
+        docsN(spark, n), budgetTokens = 200L)),
+      // g16: `rounds` sweeps of one degree agg + two semi-joins over a
+      // shrinking edge set — O(rounds·|E|) worst case, linear at fixed
+      // degree; bounded-degree graph so most nodes survive every sweep
+      ("g16_kcore_peel", n => GraphOps.kcorePeelOn(
+        spark.range(n).selectExpr("id AS a",
+          "explode(transform(sequence(1, 8), j -> id + j)) AS b"),
+        k = 3)),
+      // q119: one grouped partial agg of five doubles per series —
+      // pure map-side-combine shape, linear by construction
+      ("q119_trend_ols", n => EventOps.trendOlsOn(
+        spark.range(n).selectExpr(
+          "concat('t', id % 50) AS event_type",
+          "pmod(xxhash64(id), 100) AS day",
           "round(pmod(xxhash64(id, 3), 1000) / 10.0d, 6) AS v"))))
 
     // optional args: probe names to run (default all) — fast local
