@@ -91,7 +91,8 @@ object Bench {
     "c20_neardup_decontam", "m06_ahash", "d15_cdc_chunks",
     "q117_mad_outliers", "g15i_components_incremental",
     "s16_pq_train", "m07_ahash_candidates", "c21_contamination_report",
-    "c22_token_budget_mix", "g16_kcore", "q119_trend_ols")
+    "c22_token_budget_mix", "g16_kcore", "q119_trend_ols",
+    "s17_sq8_report", "q120_session_paths")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

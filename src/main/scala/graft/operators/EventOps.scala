@@ -501,7 +501,46 @@ object EventOps {
         round((col("sy") - col("slope") * col("sx")) / col("n"), 6)
           .as("intercept"))
 
+  /** q120: session PATH analysis — the product-analytics "what do
+    * sessions look like" query: q61's gap-sessionization re-derived
+    * on the same single user-keyed sort, each session reduced to the
+    * '>'-joined sequence of its FIRST `maxLen` event types, paths
+    * counted globally, top `k` served under a (count desc, path)
+    * total order so the limit is deterministic. The per-session
+    * reduce is `sort_array(collect_list(struct(us, event_id,
+    * type)))` — the unique (us, event_id) sort key makes the
+    * collected order deterministic despite collect_list's
+    * arrival-order freedom (both engines agree; the oracle's
+    * `string_agg ... ORDER BY` is the same contract). Paths are
+    * capped at `maxLen`, so reduce state is bounded per session. */
+  def sessionPaths(spark: SparkSession, sfDir: String): DataFrame =
+    sessionPathsOn(events(spark, sfDir))
+
+  /** [[sessionPaths]] over any (event_id, user_id, event_type, us)
+    * frame. */
+  def sessionPathsOn(e: DataFrame, gapMinutes: Int = 30,
+      maxLen: Int = 5, k: Int = 20): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = order.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    e.withColumn("brk",
+        when(col("us") - lag("us", 1).over(order) > gapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_idx", sum("brk").over(run))
+      .groupBy("user_id", "session_idx")
+      .agg(expr(
+        s"""array_join(transform(
+              slice(sort_array(collect_list(
+                struct(us, event_id, event_type))), 1, $maxLen),
+              s -> s.event_type), '>')""").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_session_paths" -> (sessionPaths _),
     "q119_trend_ols" -> (trendOls _),
     "q117_mad_outliers" -> (madOutliers _),
     "q116_concurrency" -> (concurrency _),
@@ -516,6 +555,32 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // q120: the same gap windows on the same unique sort,
+    // string_agg ORDER BY as the deterministic path reduce, the same
+    // (count desc, path) total order under the limit
+    "q120_session_paths" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           epoch_us(ts) AS us
+                    FROM events),
+          s AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+                               THEN 1 ELSE 0 END AS brk
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          s2 AS (SELECT *, sum(brk) OVER
+                        (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_idx
+                 FROM s),
+          r AS (SELECT *, row_number() OVER
+                       (PARTITION BY user_id, session_idx
+                        ORDER BY us, event_id) AS rn
+                FROM s2),
+          p AS (SELECT user_id, session_idx,
+                       string_agg(event_type, '>'
+                                  ORDER BY us, event_id) AS path
+                FROM r WHERE rn <= 5 GROUP BY user_id, session_idx)
+        SELECT path, count(*) AS n_sessions
+        FROM p GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT 20""",
     // q119: the same five sums, the same closed-form slope/intercept
     // arithmetic, the same zero-x-variance gate and 6-dp serve
     "q119_trend_ols" ->

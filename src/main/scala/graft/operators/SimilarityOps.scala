@@ -1081,7 +1081,42 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n"), round(avg("x"), 6).as("mean"))
   }
 
+  /** s17: INT8 scalar quantization with a per-dimension reconstruction
+    * -error report — the serving-compression primitive beside PQ
+    * (4× smaller vectors, table-free decode): per dim, an affine
+    * [min, max] → [0, 255] code grid from ONE grouped min/max pass
+    * (exact SELECTIONS, no float accumulation — both engines pick
+    * identical doubles), then codes and reconstructions per cell and
+    * the per-dim max/mean absolute error the serving layer publishes
+    * as its quality contract. All scalar arithmetic after the min/max
+    * is single-rounded IEEE on identical inputs, so max_abs_err is
+    * bit-identical cross-engine (9-dp serve); mean is a float sum
+    * (6-dp serve). Degenerate constant dims code to 0 with error 0.
+    * The exploded cell frame is d·n rows into a d-bounded stats agg
+    * and a d-row broadcast back — the s12 shuffle discipline. */
+  def sq8Report(spark: SparkSession, sfDir: String): DataFrame =
+    sq8ReportOn(vecs(spark, sfDir))
+
+  /** [[sq8Report]] over any (vec_id, v) frame. */
+  def sq8ReportOn(corpus: DataFrame): DataFrame = {
+    val ex = Persists.barrier(corpus.select(col("vec_id"),
+      posexplode(col("v")).as(Seq("dim", "x"))))
+    val stats = ex.groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+    ex.join(broadcast(stats), "dim")
+      .withColumn("code", when(col("mx") > col("mn"),
+        least(lit(255L), floor((col("x") - col("mn")) * 255.0 /
+          (col("mx") - col("mn"))))).otherwise(lit(0L)))
+      .withColumn("rec",
+        col("mn") + col("code") * (col("mx") - col("mn")) / 255.0)
+      .groupBy("dim", "mn", "mx")
+      .agg(round(max(abs(col("x") - col("rec"))), 9).as("max_abs_err"),
+        round(avg(abs(col("x") - col("rec"))), 6).as("mean_abs_err"))
+      .select("dim", "mn", "mx", "max_abs_err", "mean_abs_err")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_sq8_report" ->
+      ((s: SparkSession, d: String) => sq8Report(s, d)),
     "s16_pq_train" ->
       ((s: SparkSession, d: String) => pqTrainStep(s, d)),
     "s14_kmeans_step" ->
@@ -1192,6 +1227,32 @@ object SimilarityOps {
   def oracleSql: Map[String, String] = Map(
     "s12_embedding_covariance" -> covarianceOracle,
     "s01_ann_brute" -> bruteOracle,
+    // s17: the same exact min/max selections, the same single-rounded
+    // affine code/reconstruct arithmetic, 9-dp max / 6-dp mean serve
+    "s17_sq8_report" ->
+      """WITH v AS (SELECT vec_id,
+                           list_transform(embedding,
+                             x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+          ex AS (SELECT vec_id, CAST(d.dim AS INTEGER) AS dim,
+                        v.v[CAST(d.dim + 1 AS INTEGER)] AS x
+                 FROM v CROSS JOIN
+                   (SELECT unnest(range(0, 64)) AS dim) d),
+          st AS (SELECT dim, min(x) AS mn, max(x) AS mx
+                 FROM ex GROUP BY dim),
+          c AS (SELECT ex.dim, ex.x, st.mn, st.mx,
+                       CASE WHEN st.mx > st.mn
+                            THEN least(255, CAST(floor((ex.x - st.mn) *
+                                   255.0 / (st.mx - st.mn)) AS BIGINT))
+                            ELSE 0 END AS code
+                FROM ex JOIN st USING (dim)),
+          r AS (SELECT dim, mn, mx, x,
+                       mn + code * (mx - mn) / 255.0 AS rec
+                FROM c)
+        SELECT dim, mn, mx,
+               round(max(abs(x - rec)), 9) AS max_abs_err,
+               round(avg(abs(x - rec)), 6) AS mean_abs_err
+        FROM r GROUP BY dim, mn, mx""",
     // s16: the s14 mirror per subspace — 1-based slices sv = v[8s+1 ..
     // 8s+8], seeds from the 4 lowest ids, same 9-dp grid/tie-break,
     // subspace and dim cast to INTEGER (Spark posexplode emits int)

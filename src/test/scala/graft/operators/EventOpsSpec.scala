@@ -244,6 +244,23 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (10L, -1L, 1L), (15L, -1L, 0L), (20L, 1L, 1L), (30L, -1L, 0L)))
   }
 
+  test("session paths: gap splits, 5-event cap, deterministic order") {
+    val s = spark
+    import s.implicits._
+    // u1: six events one minute apart -> ONE session, path capped at 5
+    // u2: two events, a >30-min gap, then one more -> two sessions
+    val rows =
+      Seq("a", "b", "c", "d", "e", "f").zipWithIndex.map { case (t, i) =>
+        (i.toLong, 1L, t, i * Min)
+      } ++ Seq((10L, 2L, "a", 0L), (11L, 2L, "b", Min),
+        (12L, 2L, "c", 90 * Min))
+    val got = EventOps.sessionPathsOn(
+      rows.toDF("event_id", "user_id", "event_type", "us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // all counts 1 -> lexicographic path order under the tie-break
+    assert(got.toSeq == Seq(("a>b", 1L), ("a>b>c>d>e", 1L), ("c", 1L)))
+  }
+
   test("trend OLS: exact closed form, zero-x-variance series excluded") {
     val s = spark
     import s.implicits._

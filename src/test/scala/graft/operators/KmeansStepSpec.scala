@@ -67,6 +67,21 @@ class KmeansStepSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 8)
   }
 
+  test("s17 SQ8: endpoints code exactly, constant dims are error-free") {
+    val s = spark
+    import s.implicits._
+    // dim 0: {0, 3, 10} — endpoints land on codes 0/255 (error 0),
+    // 3.0 codes to floor(76.5)=76, rec 76*10/255, err 0.019607843
+    // dim 1: constant 5.0 — degenerate: code 0, rec = mn, error 0
+    val got = SimilarityOps.sq8ReportOn(Seq(
+      0L -> Seq(0.0, 5.0), 1L -> Seq(3.0, 5.0), 2L -> Seq(10.0, 5.0))
+      .toDF("vec_id", "v")).collect()
+      .map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(0) == (0.0, 10.0, 0.019607843))
+    assert(got(1) == (5.0, 5.0, 0.0))
+  }
+
   test("a centroid that wins no vectors emits no rows") {
     // c0=(0,0) absorbs everything incl. c1's own seed position tie?
     // no: c1=(1,0) keeps itself (d=0) but 2,3 sit at (0,1),(0,2) ->
