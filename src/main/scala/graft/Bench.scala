@@ -92,7 +92,8 @@ object Bench {
     "q117_mad_outliers", "g15i_components_incremental",
     "s16_pq_train", "m07_ahash_candidates", "c21_contamination_report",
     "c22_token_budget_mix", "g16_kcore", "q119_trend_ols",
-    "s17_sq8_report", "q120_session_paths")
+    "s17_sq8_report", "q120_session_paths", "g17_copart_projection",
+    "g18_label_spread")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

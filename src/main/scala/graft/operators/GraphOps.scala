@@ -556,6 +556,72 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
+  /** BIPARTITE PROJECTION with a data-derived co-occurrence floor:
+    * project a (left, right) incidence list onto the RIGHT side —
+    * (r1 &lt; r2, w = distinct shared left neighbors) — keeping pairs
+    * whose weight reaches the exact `floorQuantile` of the weight
+    * distribution. The co-occurrence mining primitive (suppliers
+    * co-supplying parts, docs sharing authors); a QUANTILE floor
+    * keeps the top slice at any scale factor, where an absolute (or
+    * even median-relative) constant either empties or floods tight
+    * distributions. The self-join fans out deg(left)² per left node —
+    * the scale hazard — so `maxLeftDeg` drops hub left-nodes first
+    * (the dropHotBuckets discipline; lossless on the gate fixture
+    * where max deg ≪ the cap, load-shedding documented at 100 TB).
+    * One incidence barrier, one self-join, one pair agg, one scalar
+    * percentile. */
+  def bipartiteProjectOn(
+      inc0: DataFrame, floorQuantile: Double = 0.9,
+      maxLeftDeg: Long = 1000L): DataFrame = {
+    val inc = Persists.barrier(inc0.select("l", "r").distinct())
+    val cold = Persists.barrier(inc.join(
+      inc.groupBy("l").agg(count(lit(1)).as("ld"))
+        .filter(col("ld") <= maxLeftDeg).select("l"), Seq("l"), "semi"))
+    val w = Persists.barrier(cold.as("x").join(cold.as("y"),
+        col("x.l") === col("y.l") && col("x.r") < col("y.r"))
+      .groupBy(col("x.r").as("r1"), col("y.r").as("r2"))
+      .agg(countDistinct(col("x.l")).as("w")))
+    val floor = w.agg(
+      expr(s"percentile(w, ${floorQuantile}d)").as("f"))
+    w.crossJoin(broadcast(floor)).filter(col("w") >= col("f"))
+      .select("r1", "r2", "w")
+  }
+
+  /** Semi-supervised LABEL SPREADING over an undirected graph —
+    * categorical propagation beside the numeric kernels (PR ranks,
+    * CC min-labels): seed nodes carry ground-truth labels; each round
+    * every still-unlabeled node with ≥1 labeled neighbor takes the
+    * MAJORITY label among labeled neighbors (ties to the smaller
+    * label), and once assigned a label is CLAMPED. Fixed `rounds`
+    * sweeps (the PrIters discipline) keep the operator a
+    * deterministic SQL shape the oracle unrolls. Each round is one
+    * neighbor join + one (node, label) count agg + one window argmax
+    * over the labeled frontier; the label table is barriered per
+    * round (referenced three times: vote join, anti-join, union). */
+  def labelSpreadOn(edges0: DataFrame, seeds: DataFrame,
+      rounds: Int = LabelSpreadRounds): DataFrame = {
+    val edges = Persists.barrier(edges0.select("a", "b"))
+    val sym = Persists.barrier(
+      edges.select(col("a").as("node"), col("b").as("nbr"))
+        .unionAll(edges.select(col("b").as("node"), col("a").as("nbr"))))
+    var labels = Persists.barrier(seeds.select("node", "label"))
+    for (_ <- 1 to rounds) {
+      val votes = sym.join(
+          labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+        .groupBy("node", "label").agg(count(lit(1)).as("n"))
+      val best = votes.withColumn("rn", row_number().over(
+          Window.partitionBy("node")
+            .orderBy(col("n").desc, col("label"))))
+        .filter(col("rn") === 1).select("node", "label")
+      val newly = best.join(labels.select("node"), Seq("node"),
+        "left_anti")
+      labels = Persists.barrier(labels.unionByName(newly))
+    }
+    labels
+  }
+
+  private val LabelSpreadRounds = 3
+
   /** Degree ASSORTATIVITY (Newman, PRL 2002) over a low→high oriented
     * edge list: the Pearson correlation of endpoint degrees across the
     * SYMMETRIZED edge list (each undirected edge contributes both
@@ -1040,6 +1106,23 @@ object GraphOps {
     // peels off; integer-exact, oracle unrolls the sweeps verbatim.
     "g16_kcore" -> ((spark: SparkSession, sfDir: String) =>
       kcorePeelOn(mutualKnnEdgesOn(embVecs(spark, sfDir)))),
+    // g17: bipartite PROJECTION of the part→supplier incidence onto
+    // suppliers — co-supply mining with the floor RELATIVE to the
+    // exact median weight, so the entry survives any scale factor.
+    "g17_copart_projection" -> ((spark: SparkSession, sfDir: String) =>
+      bipartiteProjectOn(Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_partkey").as("l"), col("l_suppkey").as("r")))),
+    // g18: semi-supervised LABEL SPREADING over the mutual-kNN graph —
+    // 20% of vectors (vec_id % 5 = 0) keep their ground-truth label,
+    // three clamped majority rounds spread the rest; the data-labeling
+    // primitive beside the dedup/rank kernels.
+    "g18_label_spread" -> ((spark: SparkSession, sfDir: String) =>
+      labelSpreadOn(
+        mutualKnnEdgesOn(embVecs(spark, sfDir)),
+        Tables.load(spark, sfDir, "embeddings")
+          .filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("node"), col("label")))
+        .select(col("node").as("vec_id"), col("label"))),
     // g12: the same strong-graph components as g03, computed by STAR
     // CONTRACTION instead of label propagation — O(log n) rounds vs
     // O(diameter); gated against g03's oracle verbatim so the kernels
@@ -1386,6 +1469,48 @@ object GraphOps {
          FROM (SELECT a AS node FROM e$KcoreRounds
                UNION ALL SELECT b FROM e$KcoreRounds)
          GROUP BY node"""
+    },
+    // g17: same distinct incidence, same self-join + distinct-count
+    // weights, same exact-p90 scalar floor (quantile_cont ≡ Spark's
+    // exact percentile on integer weights)
+    "g17_copart_projection" ->
+      """WITH inc AS MATERIALIZED (
+           SELECT DISTINCT l_partkey AS l, l_suppkey AS r FROM lineitem),
+         w AS MATERIALIZED (
+           SELECT x.r AS r1, y.r AS r2, count(DISTINCT x.l) AS w
+           FROM inc x JOIN inc y ON x.l = y.l AND x.r < y.r
+           GROUP BY x.r, y.r),
+         f AS (SELECT quantile_cont(w, 0.9) AS f FROM w)
+       SELECT r1, r2, w FROM w, f WHERE w >= f""",
+    // g18: the three clamped majority rounds unrolled — votes, window
+    // argmax with the (n desc, label) tie-break, anti-joined union;
+    // every multi-referenced CTE MATERIALIZED (the g16 lesson)
+    "g18_label_spread" -> {
+      val rounds = (1 to LabelSpreadRounds).map { r =>
+        s"""v$r AS MATERIALIZED (
+             SELECT s.node, l.label, count(*) AS n
+             FROM sym s JOIN l${r - 1} l ON l.node = s.nbr
+             GROUP BY s.node, l.label),
+           b$r AS MATERIALIZED (
+             SELECT node, label FROM (
+               SELECT node, label, row_number() OVER
+                 (PARTITION BY node ORDER BY n DESC, label) AS rn
+               FROM v$r) WHERE rn = 1),
+           l$r AS MATERIALIZED (
+             SELECT node, label FROM l${r - 1}
+             UNION ALL
+             SELECT b.node, b.label FROM b$r b
+             WHERE b.node NOT IN (SELECT node FROM l${r - 1}))"""
+      }.mkString(",\n")
+      s"""WITH ${knnEdgeCtes(None)},
+         sym AS MATERIALIZED (
+           SELECT a AS node, b AS nbr FROM mutual
+           UNION ALL SELECT b, a FROM mutual),
+         l0 AS MATERIALIZED (
+           SELECT vec_id AS node, label FROM embeddings
+           WHERE vec_id % 5 = 0),
+         $rounds
+         SELECT node AS vec_id, label FROM l$LabelSpreadRounds"""
     },
     // g14: the same symmetric degree count as g13, both endpoints
     // resolved by node-keyed joins, one corr over the symmetrized list

@@ -77,7 +77,8 @@ object PlanAudit {
       "q117_mad_outliers", "g15_components_incremental",
       "s16_pq_train", "m07_ahash_candidates", "c21_contamination_report",
       "c22_token_budget_mix", "g16_kcore", "q119_trend_ols",
-      "s17_sq8_report", "q120_session_paths")
+      "s17_sq8_report", "q120_session_paths", "g17_copart_projection",
+      "g18_label_spread")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

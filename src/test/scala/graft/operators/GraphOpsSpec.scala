@@ -349,6 +349,38 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))) == (8L, null))
   }
 
+  test("bipartite projection: weights exact, median floor, hub cap") {
+    val s = spark
+    import s.implicits._
+    // left 1 connects r{1,2,3}; left 2 connects r{1,2}; left 3
+    // connects r{1,2}: w(1,2)=3, w(1,3)=1, w(2,3)=1 -> p90 of
+    // [1,1,3] interpolates to 2.6 -> only (1,2,3) survives
+    val inc = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L)).toDF("l", "r")
+    val got = GraphOps.bipartiteProjectOn(inc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 3L)))
+    // hub cap: dropping left node 1 (deg 3 > cap 2) removes r3
+    // entirely; the floor self-recalibrates on the capped
+    // distribution (p90 of the single weight {2} = 2, kept)
+    val capped = GraphOps.bipartiteProjectOn(inc, maxLeftDeg = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq == Seq((1L, 2L, 2L)))
+  }
+
+  test("label spread: majority vote, tie to smaller, clamped rounds") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5 with seeds 1->7 and 5->9: round 1 labels 2 (7)
+    // and 4 (9); round 2 labels 3 — neighbors 2 (7) and 4 (9) tie at
+    // one vote each -> smaller label 7 wins; seeds never change
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val seeds = Seq((1L, 7), (5L, 9)).toDF("node", "label")
+    val got = GraphOps.labelSpreadOn(edges, seeds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 7, 2L -> 7, 3L -> 7, 4L -> 9, 5L -> 9))
+  }
+
   test("k-core peel: dense core survives, chains peel, idempotent") {
     val s = spark
     import s.implicits._
