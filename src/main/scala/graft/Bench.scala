@@ -63,9 +63,13 @@ object Bench {
     * triangle counting over relation-derived graphs, the embedding
     * covariance matrix, exact-k reservoir sampling, equi-depth
     * binning, recursive CTE, tolerance/forward as-of). Baselines at
-    * round 9; never touches the earlier series. */
+    * round 9; never touches the earlier series. (Round 11 restores
+    * g02_knn_triangles here: round 10 had silently swapped in the
+    * served g02i form (~0.4 s vs ~3.5 s inline), breaking
+    * comparability with BENCH_r09's recording — ADVICE r10. The served
+    * form is benched in the r11 series instead.) */
   val headlineR9: Seq[String] = Seq(
-    "g01i_pagerank", "g02i_knn_triangles", "g03i_knn_components",
+    "g01i_pagerank", "g02_knn_triangles", "g03i_knn_components",
     "g05i_personalized_pagerank", "s12_embedding_covariance",
     "c17_reservoir_sample", "q100_equidepth_bins", "q101_recursive_cte",
     "q102_asof_tolerance", "q103_asof_forward", "q104_interval_overlap",
@@ -94,6 +98,17 @@ object Bench {
     "c22_token_budget_mix", "g16i_kcore", "q119_trend_ols",
     "s17_sq8_report", "q120_session_paths", "g17_copart_projection",
     "g18i_label_spread")
+
+  /** Seventh series guarding the round-11 operators. Baselines at
+    * round 11; never touches the earlier series. Also hosts
+    * g02i_knn_triangles (the served triangle form round 10 had
+    * wrongly swapped into the frozen r9 series — see [[headlineR9]]).
+    * NOTE: the r10-series totals recorded in BENCH_r10.json were
+    * load-corrupted (VERDICT r10) — BENCH_r11's r10-series totals,
+    * produced under the blocking-drain discipline in `once()`, are
+    * the enforceable r10 baseline (BASELINE.md round-11 note). */
+  val headlineR11: Seq[String] = Seq(
+    "g02i_knn_triangles")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -242,12 +257,27 @@ object Bench {
           sys.error(s"bench series names unknown query '$name'"))
         locally {
           def once(): Double = {
-            val t0 = System.nanoTime()
-            // per-query barrier scope: build + execute inside, release after
-            graft.operators.Persists.scoped {
+            // Timing sits INSIDE the barrier scope and the drain is
+            // BLOCKING: the r10 record showed what the old shape costs —
+            // ~90 queries of async-unpersist backlog starved the
+            // barrier-dense graph kernels' storage pool (g09i recorded
+            // 133.6 s vs 7.7 s standalone, VERDICT r10), and a blocking
+            // drain timed AROUND the scope would bill cleanup to the
+            // query instead.
+            var dt = 0.0
+            graft.operators.Persists.scopedBlocking {
+              val t0 = System.nanoTime()
               fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              dt = (System.nanoTime() - t0) / 1e9
             }
-            (System.nanoTime() - t0) / 1e9
+            // Residual state the scope can't see, dropped outside the
+            // timed region: catalog-cached frames persisted outside the
+            // barrier discipline, and the iterative kernels'
+            // localCheckpoint blocks (freed by ContextCleaner only after
+            // the RDD references are collected — hence the gc nudge).
+            spark.catalog.clearCache()
+            System.gc()
+            dt
           }
           try {
             if (dropCache && !tryDropCache()) dropsFailed = true
@@ -280,6 +310,7 @@ object Bench {
     val resultsR8 = runSeries(headlineR8)
     val resultsR9 = runSeries(headlineR9)
     val resultsR10 = runSeries(headlineR10)
+    val resultsR11 = runSeries(headlineR11)
     val cacheState =
       if (dropCache && !dropsFailed) "dropped-before-cold-runs"
       else if (dropCache) "drop-requested-but-failed"
@@ -296,7 +327,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val qs = steadyJson(results)
     val failed = (results ++ resultsR5 ++ resultsR7 ++ resultsR8 ++
-      resultsR9 ++ resultsR10)
+      resultsR9 ++ resultsR10 ++ resultsR11)
       .collect { case (k, v, _, _) if v < 0 => s""""$k"""" }
     if (failed.nonEmpty) {
       // a failing query must read as a FAILURE, not as a faster total —
@@ -321,6 +352,8 @@ object Bench {
     val totalR9Cold = resultsR9.map(_._3).sum
     val totalR10 = resultsR10.map(_._2).sum
     val totalR10Cold = resultsR10.map(_._3).sum
+    val totalR11 = resultsR11.map(_._2).sum
+    val totalR11Cold = resultsR11.map(_._3).sum
     // compact totals object, duplicated in BOTH output lines: the
     // driver archives only the last 2000 chars of stdout, so the
     // per-query detail line alone is truncation-prone as series
@@ -331,7 +364,8 @@ object Bench {
         f""""r7":$totalR7%.3f,"r7_cold":$totalR7Cold%.3f,""" +
         f""""r8":$totalR8%.3f,"r8_cold":$totalR8Cold%.3f,""" +
         f""""r9":$totalR9%.3f,"r9_cold":$totalR9Cold%.3f,""" +
-        f""""r10":$totalR10%.3f,"r10_cold":$totalR10Cold%.3f,"failed":0}"""
+        f""""r10":$totalR10%.3f,"r10_cold":$totalR10Cold%.3f,""" +
+        f""""r11":$totalR11%.3f,"r11_cold":$totalR11Cold%.3f,"failed":0}"""
     // line 1: full per-query detail (head of stdout — complete in the
     // build log even when the archived tail cuts it)
     println(
@@ -353,6 +387,9 @@ object Bench {
         f""""queries_r10":${steadyJson(resultsR10)},"total_r10":$totalR10%.3f,""" +
         f""""queries_r10_cold":${coldJson(resultsR10)},"total_r10_cold":$totalR10Cold%.3f,""" +
         f""""queries_r10_warm":${warmJson(resultsR10)},""" +
+        f""""queries_r11":${steadyJson(resultsR11)},"total_r11":$totalR11%.3f,""" +
+        f""""queries_r11_cold":${coldJson(resultsR11)},"total_r11_cold":$totalR11Cold%.3f,""" +
+        f""""queries_r11_warm":${warmJson(resultsR11)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir",""" +
         totalsJson + "}")
     // line 2 (LAST line, short and bounded): a self-contained summary
@@ -362,6 +399,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
         totalsJson + "," +
         f""""queries_r10":${steadyJson(resultsR10)},""" +
+        f""""queries_r11":${steadyJson(resultsR11)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -110,8 +110,14 @@ object CurationOps {
   def decontaminate(
       spark: SparkSession, sfDir: String,
       evalSource: String = "src0", shingleK: Int = 8,
+      minShared: Int = 1): DataFrame =
+    decontaminateOn(docs(spark, sfDir), evalSource, shingleK, minShared)
+
+  /** [[decontaminate]] over any (doc_id, source, text) frame. */
+  private[graft] def decontaminateOn(
+      d: DataFrame, evalSource: String, shingleK: Int = 8,
       minShared: Int = 1): DataFrame = {
-    val (evalSh, trainSh) = shingleSides(spark, sfDir, evalSource, shingleK)
+    val (evalSh, trainSh) = shingleSidesOn(d, evalSource, shingleK)
     trainSh.join(broadcast(evalSh), "key")
       .groupBy("train_id", "eval_id")
       .agg(countDistinct("key").as("n_shared"))
@@ -124,9 +130,14 @@ object CurationOps {
     * c04 oracle. */
   private[graft] def shingleSides(
       spark: SparkSession, sfDir: String,
-      evalSource: String, shingleK: Int): (DataFrame, DataFrame) = {
-    graft.functions.GraftFunctions.register(spark)
-    val d = docs(spark, sfDir).select(col("doc_id"), col("source"),
+      evalSource: String, shingleK: Int): (DataFrame, DataFrame) =
+    shingleSidesOn(docs(spark, sfDir), evalSource, shingleK)
+
+  private[graft] def shingleSidesOn(
+      d0: DataFrame, evalSource: String,
+      shingleK: Int): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(d0.sparkSession)
+    val d = d0.select(col("doc_id"), col("source"),
       Shingles.wordShingles("text", shingleK).as("sh"))
     val evalSh = d.filter(col("source") === evalSource)
       .select(col("doc_id").as("eval_id"), explode(col("sh")).as("key"))
@@ -592,10 +603,17 @@ object CurationOps {
   def contaminationReport(
       spark: SparkSession, sfDir: String,
       evalSource: String = "src0"): DataFrame = {
-    val exact = decontaminate(spark, sfDir, evalSource)
+    graft.functions.GraftFunctions.register(spark)
+    contaminationReportOn(docs(spark, sfDir), evalSource)
+  }
+
+  /** [[contaminationReport]] over any (doc_id, source, text) frame. */
+  private[graft] def contaminationReportOn(
+      d: DataFrame, evalSource: String): DataFrame = {
+    val exact = decontaminateOn(d, evalSource)
       .groupBy("eval_id")
       .agg(countDistinct("train_id").as("n_exact_train"))
-    val near = neardupDecontam(spark, sfDir, evalSource)
+    val near = neardupDecontamOn(d, evalSource, threshold = 0.4)
       .groupBy("eval_id")
       .agg(countDistinct("train_id").as("n_neardup_train"))
     exact.join(near, Seq("eval_id"), "full_outer")

@@ -42,21 +42,35 @@ object Persists {
     * barrier taken during `f` (on this thread) is unpersisted on exit.
     * `f` must consume the result (write/collect) before returning —
     * release happens immediately after. */
-  def scoped[A](f: => A): A = {
+  def scoped[A](f: => A): A = scopedImpl(blocking = false)(f)
+
+  /** [[scoped]] with a BLOCKING exit drain: returns only after the
+    * executors actually dropped the barrier blocks. Benchmark runners
+    * use this so one query's storage memory is genuinely free before
+    * the next timing starts — the r10 bench's async drains let ~90
+    * queries of lazily-freed barriers pile up in the shared storage
+    * pool and inflated the barrier-dense graph kernels 13–17×
+    * (g09i recorded 133.6 s vs 7.7 s standalone; VERDICT r10). The
+    * drain cost must sit OUTSIDE the caller's timed region — time
+    * inside `f`, not around the call. */
+  def scopedBlocking[A](f: => A): A = scopedImpl(blocking = true)(f)
+
+  private def scopedImpl[A](blocking: Boolean)(f: => A): A = {
     val q = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
     scopes.set(q :: scopes.get())
     try f
     finally {
       scopes.set(scopes.get().tail)
-      drain(q)
+      drain(q, blocking)
     }
   }
 
   /** Unpersist every UNSCOPED live barrier (non-blocking). */
-  def releaseAll(): Unit = drain(global)
+  def releaseAll(): Unit = drain(global, blocking = false)
 
   private def drain(
-      q: java.util.concurrent.ConcurrentLinkedQueue[DataFrame]): Unit = {
+      q: java.util.concurrent.ConcurrentLinkedQueue[DataFrame],
+      blocking: Boolean): Unit = {
     var df = q.poll()
     while (df != null) {
       // A barrier can outlive its session (global-queue frames drained
@@ -64,7 +78,7 @@ object Persists {
       // would NPE into the dead context, and the stop already freed
       // the blocks anyway.
       if (!df.sparkSession.sparkContext.isStopped)
-        df.unpersist(blocking = false)
+        df.unpersist(blocking)
       df = q.poll()
     }
   }

@@ -334,6 +334,13 @@ object ScaleProbe {
         m = 2, k = 4, dim = 16)),
       // c21: the c04 + c20 signals (both ~linear) plus eval-bounded
       // rollups — dominated by the underlying decontamination joins
+      ("c21_contamination_report", n => CurationOps.contaminationReportOn(
+        dupDocsN(spark, n).selectExpr("doc_id",
+          "CASE WHEN doc_id % 16 = 0 THEN 'eval' " +
+            "ELSE concat('s', doc_id % 3) END AS source", "text"),
+        evalSource = "eval")),
+      // c22: one source-keyed window sort with a cumulative-sum cut —
+      // linear shuffle volume, per-source partitions stay small
       ("c22_token_budget", n => CurationOps.tokenBudgetMixOn(
         docsN(spark, n), budgetTokens = 200L)),
       // g16: `rounds` sweeps of one degree agg + two semi-joins over a
