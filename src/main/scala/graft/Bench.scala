@@ -108,7 +108,8 @@ object Bench {
     * produced under the blocking-drain discipline in `once()`, are
     * the enforceable r10 baseline (BASELINE.md round-11 note). */
   val headlineR11: Seq[String] = Seq(
-    "g02i_knn_triangles")
+    "g02i_knn_triangles", "d16_substring_overlap",
+    "c23_substring_decontam")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -649,7 +649,26 @@ object CurationOps {
       .select("doc_id", "source", "tokens", "cum_tokens")
   }
 
+  /** c23: EXACT-SUBSTRING decontamination — for every (train, eval)
+    * pair sharing a run of ≥ N consecutive identical tokens, the
+    * longest such run. The "≥N-token exact overlap" removal standard
+    * (the modality between c04's fixed-width shingle hits and c20's
+    * MinHash near-dup): it flags an eval answer pasted inside an
+    * otherwise-original train doc, reports the overlap LENGTH the
+    * removal policy thresholds on, and catches runs shorter than
+    * c04's 8-token shingle (gate N = 6). Candidates meet only ACROSS
+    * the split per window value — |eval|-bounded per window, linear
+    * in the corpus (the c20 asymmetry); hot boilerplate windows are
+    * capped on both sides, mirrored in the oracle. Machinery shared
+    * verbatim with d16 ([[DedupOps.substringCrossOverlapOn]]). */
+  def substringDecontam(
+      spark: SparkSession, sfDir: String,
+      evalSource: String = "src0"): DataFrame =
+    DedupOps.substringCrossOverlapOn(docs(spark, sfDir), evalSource)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c23_substring_decontam" ->
+      ((s: SparkSession, d: String) => substringDecontam(s, d)),
     "c22_token_budget_mix" ->
       ((s: SparkSession, d: String) => tokenBudgetMix(s, d)),
     "c21_contamination_report" ->
@@ -819,6 +838,13 @@ object CurationOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // c23: d16's window/island oracle with the candidate join split
+    // across the train/eval boundary (src0 = eval, the c04 convention)
+    "c23_substring_decontam" -> DedupOps.substringOracle(
+      """SELECT a.doc_id AS ka, b.doc_id AS kb, a.pos AS pa, b.pos AS pb
+         FROM cold a JOIN cold b
+           ON a.w = b.w AND a.source <> 'src0' AND b.source = 'src0'""",
+      "train_id", "eval_id"),
     // c22: same token count (space split), same inclusive running sum
     // on the same (source, doc_id) order, same ceiling semantics
     "c22_token_budget_mix" ->

@@ -945,7 +945,123 @@ object DedupOps {
     text.unionByName(emb)
   }
 
+  // ------------------------------------------- exact-substring overlap
+  /** Gate window width: a 6-token run is BELOW c04's 8-token shingle
+    * (so d16 provably catches overlaps the shingle set cannot — see
+    * SubstringOverlapSpec) while long enough that the fixture's
+    * ~30-word vocabulary makes cross-doc window collisions dominated
+    * by real duplication (30⁶ ≈ 7·10⁸ possible windows vs ~4·10⁵
+    * windows in the corpus). Production corpora run this at ~50. */
+  val SubstringWindowTokens = 6
+
+  /** Hot-window cap (the [[dropHotBuckets]] discipline): a window
+    * shared by more than this many positions — boilerplate headers,
+    * license blocks — is dropped from BOTH sides of the candidate
+    * join, bounding per-window pair work at cap². Mirrored VERBATIM in
+    * the oracle's HAVING clause, so the gate equivalence does not
+    * depend on the fixture staying under the cap (the g17 ADVICE-r10
+    * lesson); fixture max window frequency is 4. */
+  val SubstringMaxWindowFreq = 5000L
+
+  /** The rolling `n`-token windows of each doc WITH their positions:
+    * (doc_id, extra…, pos, w), pos 1-based, docs shorter than n words
+    * yield no windows. One narrow map (split → transform → explode) —
+    * no shuffle; window count = token count, so the frame is
+    * corpus-token-sized. */
+  private[graft] def windowPositions(
+      d: DataFrame, n: Int, extra: Seq[String] = Nil): DataFrame = {
+    val keep = (Seq("doc_id") ++ extra).map(col)
+    d.select(keep :+ split(col("text"), " ").as("toks"): _*)
+      .filter(size(col("toks")) >= n)
+      .select(keep :+ explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> struct(i AS pos, array_join(slice(toks, i, $n), ' ') AS w))"))
+        .as("pw"): _*)
+      .select(keep ++ Seq(col("pw.pos").as("pos"), col("pw.w").as("w")): _*)
+  }
+
+  /** Windows minus the hot ones (> `cap` occurrences corpus-wide). */
+  private[graft] def coldWindows(win: DataFrame, cap: Long): DataFrame =
+    win.join(broadcast(win.groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") > cap).select("w")), Seq("w"), "left_anti")
+
+  /** MAXIMAL exact run length per doc pair from matched window
+    * positions (aKey, bKey, pa, pb): windows matching at a constant
+    * offset pa−pb in CONSECUTIVE positions belong to one shared token
+    * run of length (#consecutive windows + n − 1) — the classic
+    * gaps-and-islands grouping (island id = pa − row_number within
+    * (pair, offset) ordered by pa). Output: (aKey, bKey,
+    * max_overlap_tokens ≥ n). */
+  private def maxRunFromMatches(
+      m: DataFrame, n: Int, aKey: String, bKey: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(aKey), col(bKey), col("off")).orderBy(col("pa"))
+    m.withColumn("off", col("pa") - col("pb"))
+      .withColumn("g", col("pa") - row_number().over(w))
+      .groupBy(col(aKey), col(bKey), col("off"), col("g"))
+      .agg((count(lit(1)) + (n - 1)).as("run_len"))
+      .groupBy(col(aKey), col(bKey))
+      .agg(max("run_len").as("max_overlap_tokens"))
+  }
+
+  /** d16: EXACT-SUBSTRING overlap dedup — for every doc pair sharing
+    * at least one run of `n` consecutive identical tokens, the length
+    * of the LONGEST shared run. The standard "remove any ≥N-token
+    * exact overlap" primitive beside MinHash (d06) and whole-doc
+    * jaccard (d14): it catches a copied paragraph embedded in an
+    * otherwise-unrelated document (jaccard ≈ 0) and overlaps shorter
+    * than c04's fixed shingle width, and — unlike any shingle-SET
+    * operator — reports the actual maximal overlap length, the number
+    * an exact-substring policy thresholds on (suffix-array dedup's
+    * answer, computed as a rolling-window equi-join).
+    *
+    * Scale shape: windows are bucketed BY VALUE (an equi-join key, the
+    * LSH-band discipline with windows as the bands) with the hot-window
+    * cap bounding boilerplate fan-out — never all-pairs; the island
+    * agg is one shuffle on (pair, offset), output-pair-sized. */
+  def substringOverlap(
+      spark: SparkSession, sfDir: String,
+      n: Int = SubstringWindowTokens,
+      maxWindowFreq: Long = SubstringMaxWindowFreq): DataFrame =
+    substringOverlapOn(docs(spark, sfDir), n, maxWindowFreq)
+
+  /** [[substringOverlap]] over any (doc_id, text) frame. */
+  private[graft] def substringOverlapOn(
+      d: DataFrame, n: Int = SubstringWindowTokens,
+      maxWindowFreq: Long = SubstringMaxWindowFreq): DataFrame = {
+    // barriered: the cold frame feeds the hot-count anti-join build
+    // AND both sides of the candidate self-join
+    val cold = Persists.barrier(
+      coldWindows(windowPositions(d, n), maxWindowFreq))
+    val m = cold.as("a").join(cold.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    maxRunFromMatches(m, n, "doc_a", "doc_b")
+  }
+
+  /** c23's core (cross-set form of [[substringOverlapOn]]): maximal
+    * exact train↔eval run per pair — candidates only meet ACROSS the
+    * split, so candidate work is |eval|-bounded per window (the c20
+    * asymmetry applied to exact-substring decontamination). */
+  private[graft] def substringCrossOverlapOn(
+      d: DataFrame, evalSource: String,
+      n: Int = SubstringWindowTokens,
+      maxWindowFreq: Long = SubstringMaxWindowFreq): DataFrame = {
+    val cold = Persists.barrier(coldWindows(
+      windowPositions(d, n, Seq("source")), maxWindowFreq))
+    val train = cold.filter(col("source") =!= evalSource)
+      .select(col("doc_id").as("train_id"), col("pos").as("pa"), col("w"))
+    val ev = cold.filter(col("source") === evalSource)
+      .select(col("doc_id").as("eval_id"), col("pos").as("pb"), col("w"))
+    maxRunFromMatches(train.join(ev, "w")
+        .select(col("train_id"), col("eval_id"), col("pa"), col("pb")),
+      n, "train_id", "eval_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_substring_overlap" ->
+      ((s: SparkSession, d: String) => substringOverlap(s, d)),
     "d01_dedup_exact" -> ((spark: SparkSession, sfDir: String) => {
       Tables.registerAll(spark, sfDir); spark.sql(exactSql)
     }),
@@ -1114,7 +1230,49 @@ object DedupOps {
       FROM f GROUP BY chunk_hash HAVING count(*) >= 2"""
   }
 
+  /** d16's DuckDB twin: same windows (list_slice ≡ Spark slice, both
+    * 1-based inclusive-length), same ≤cap HAVING mirror of the hot
+    * filter, same island grouping. Shared by c23 (source-split join)
+    * via [[substringOracle]]. */
+  private[graft] def substringOracle(
+      joinSides: String, outA: String, outB: String): String = {
+    val n = SubstringWindowTokens
+    s"""WITH tok AS MATERIALIZED (
+         SELECT doc_id, source, string_split(text, ' ') AS toks
+         FROM documents),
+       win AS MATERIALIZED (
+         SELECT doc_id, source, u.i AS pos,
+                array_to_string(list_slice(toks, u.i, u.i + ${n - 1}), ' ')
+                  AS w
+         FROM tok, unnest(generate_series(1, len(toks) - ${n - 1}))
+           AS u(i)
+         WHERE len(toks) >= $n),
+       cold AS MATERIALIZED (
+         SELECT * FROM win WHERE w IN (
+           SELECT w FROM win GROUP BY w
+           HAVING count(*) <= $SubstringMaxWindowFreq)),
+       m AS MATERIALIZED ($joinSides),
+       isl AS (
+         SELECT ka, kb, pa - pb AS off, pa,
+                pa - row_number() OVER
+                  (PARTITION BY ka, kb, pa - pb ORDER BY pa) AS g
+         FROM m),
+       runs AS (
+         SELECT ka, kb, count(*) + ${n - 1} AS run_len
+         FROM isl GROUP BY ka, kb, off, g)
+       SELECT ka AS $outA, kb AS $outB,
+              max(run_len) AS max_overlap_tokens
+       FROM runs GROUP BY ka, kb"""
+  }
+
+  private val substringOverlapOracle: String = substringOracle(
+    """SELECT a.doc_id AS ka, b.doc_id AS kb, a.pos AS pa, b.pos AS pb
+       FROM cold a JOIN cold b
+         ON a.w = b.w AND a.doc_id < b.doc_id""",
+    "doc_a", "doc_b")
+
   def oracleSql: Map[String, String] = Map(
+    "d16_substring_overlap" -> substringOverlapOracle,
     "d15_cdc_chunks" -> cdcChunkOracle,
     "d01_dedup_exact" -> exactSql,
     "d11_dedup_keep_quality" -> keepQualityOracle,

@@ -332,6 +332,11 @@ object ScaleProbe {
         vecsN(spark, n).selectExpr("vec_id",
           "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
         m = 2, k = 4, dim = 16)),
+      // d16: window equi-join candidates — pair work tracks window-
+      // value bucket populations (dup-group-bounded on this corpus),
+      // never all-pairs; island agg is output-pair-sized
+      ("d16_substring_overlap", n => DedupOps.substringOverlapOn(
+        dupDocsN(spark, n))),
       // c21: the c04 + c20 signals (both ~linear) plus eval-bounded
       // rollups — dominated by the underlying decontamination joins
       ("c21_contamination_report", n => CurationOps.contaminationReportOn(
