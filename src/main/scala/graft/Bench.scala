@@ -109,7 +109,8 @@ object Bench {
     * the enforceable r10 baseline (BASELINE.md round-11 note). */
   val headlineR11: Seq[String] = Seq(
     "g02i_knn_triangles", "d16_substring_overlap",
-    "c23_substring_decontam")
+    "c23_substring_decontam", "t18_langid_model",
+    "c24_temperature_mix_langid")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

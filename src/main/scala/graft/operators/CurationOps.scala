@@ -666,7 +666,23 @@ object CurationOps {
       evalSource: String = "src0"): DataFrame =
     DedupOps.substringCrossOverlapOn(docs(spark, sfDir), evalSource)
 
+  /** c24: c16's temperature mix keyed on the DERIVED language — t18's
+    * model-as-DataFrame langid feeds the mixer instead of a
+    * pre-existing metadata column, closing the loop a real
+    * multilingual pipeline runs (langid → per-language flattening).
+    * Same √-flattening, same seeded portable hash; the grouping key is
+    * t18's lang_pred, so a high-resource language is downsampled
+    * toward the rarest DETECTED one. Output (doc_id, lang). */
+  def temperatureMixLangid(
+      spark: SparkSession, sfDir: String, seed: Int = 7): DataFrame =
+    temperatureMixOn(
+      TextOps.langIdModelOn(docs(spark, sfDir))
+        .select(col("doc_id"), col("lang").as("source")), seed)
+      .select(col("doc_id"), col("source").as("lang"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c24_temperature_mix_langid" ->
+      ((s: SparkSession, d: String) => temperatureMixLangid(s, d)),
     "c23_substring_decontam" ->
       ((s: SparkSession, d: String) => substringDecontam(s, d)),
     "c22_token_budget_mix" ->
@@ -838,6 +854,21 @@ object CurationOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // c24: t18's langid oracle embedded as the source of the c16 mix —
+    // same √-flattening, same seeded portable hash, keyed on lang_pred
+    "c24_temperature_mix_langid" -> {
+      val h = graft.operators.PortableHash.packed(
+        "'tmix' || 7 || ':' || doc_id")
+      s"""WITH langid AS MATERIALIZED (
+           SELECT * FROM (${TextOps.langIdModelOracle}) q),
+         c AS (SELECT lang, count(*) AS cnt FROM langid GROUP BY lang),
+         r AS (SELECT lang,
+                      sqrt((SELECT min(cnt) FROM c) * 1.0 / cnt) AS rate
+               FROM c)
+       SELECT l.doc_id, l.lang
+       FROM langid l JOIN r ON r.lang = l.lang
+       WHERE $h % 1000000 < CAST(floor(rate * 1000000) AS BIGINT)"""
+    },
     // c23: d16's window/island oracle with the candidate join split
     // across the train/eval boundary (src0 = eval, the c04 convention)
     "c23_substring_decontam" -> DedupOps.substringOracle(

@@ -185,6 +185,98 @@ object TextOps {
         FROM (SELECT doc_id, lang AS lang_actual, $scoreDefs FROM documents)"""
   }
 
+  /** t18's frozen language-profile model — (lang, gram, weight) rows,
+    * integer weights, the fastText-style model-as-data shape (t09
+    * discipline): scoring is a broadcast join against this table, so
+    * swapping in a real trained profile set changes DATA, not the
+    * plan. Latin-script languages carry character TRIGRAMS (shared
+    * Romance grams like 'que' at weight 1, distinctive ones at 2);
+    * zh carries single-character grams (charset evidence — the
+    * standard CJK shortcut), which only unigram tokens can match. */
+  private[graft] val langModelRows: Seq[(String, String, Int)] = Seq(
+    ("en", "the", 2), ("en", " th", 1), ("en", "he ", 1),
+    ("en", "and", 2), ("en", "ing", 2), ("en", " of", 2),
+    ("de", "der", 2), ("de", "die", 1), ("de", "und", 2),
+    ("de", "sch", 2), ("de", "ich", 2), ("de", "ein", 1),
+    ("es", "que", 1), ("es", " el", 2), ("es", "los", 2),
+    ("es", "ión", 2), ("es", "ado", 2), ("es", "nte", 1),
+    ("fr", " le", 2), ("fr", "les", 1), ("fr", "ent", 1),
+    ("fr", "que", 1), ("fr", "eur", 2), ("fr", "ait", 2),
+    ("zh", "的", 2), ("zh", "是", 2), ("zh", "了", 2),
+    ("zh", "在", 2), ("zh", "我", 2), ("zh", "有", 2))
+
+  /** t18: language ID against the FROZEN model table — t05's heuristic
+    * re-expressed as the production shape: explode each doc into its
+    * character trigrams AND unigrams (one narrow map, 2× chars rows),
+    * broadcast-join the 30-row model, sum integer weights per
+    * (doc, lang), argmax with the (score desc, lang) tie-break. Docs
+    * matching no profile gram land on 'und' with score 0 (the spine
+    * left-join). Emits (doc_id, lang, score) — the derived column
+    * c24 feeds into the temperature mix. Integer scoring end-to-end,
+    * so the gate is hash-anchored; LangIdModelSpec recovers true
+    * languages on a hand multilingual fixture (the synthetic gate
+    * corpus is English-vocabulary at every `lang` value, so there the
+    * model's output is uniform — and still hash-checked). */
+  def langIdModel(spark: SparkSession, sfDir: String): DataFrame =
+    langIdModelOn(docs(spark, sfDir))
+
+  /** [[langIdModel]] over any (doc_id, text) frame. */
+  private[graft] def langIdModelOn(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val m = langModelRows.toDF("lang", "g", "w")
+    val grams = d.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        """concat(
+             CASE WHEN length(text) >= 3
+               THEN transform(sequence(1, length(text) - 2),
+                              i -> substring(text, i, 3))
+               ELSE cast(array() AS array<string>) END,
+             transform(sequence(1, length(text)),
+                       i -> substring(text, i, 1)))""")).as("g"))
+    val scores = grams.join(broadcast(m), "g")
+      .groupBy("doc_id", "lang").agg(sum("w").as("score"))
+    val best = scores.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("lang"))))
+      .filter(col("rn") === 1).select("doc_id", "lang", "score")
+    d.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lang"), lit("und")).as("lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** t18's DuckDB twin: same gram explode (trigrams ∪ unigrams), same
+    * VALUES model, same integer sum and (score desc, lang) argmax,
+    * same 'und' spine fallback. */
+  val langIdModelOracle: String = {
+    val values = langModelRows.map { case (l, g, w) =>
+      s"('$l', '${g.replace("'", "''")}', $w)"
+    }.mkString(", ")
+    s"""WITH model(lang, g, w) AS (VALUES $values),
+       grams AS MATERIALIZED (
+         SELECT doc_id, u.g FROM documents,
+           unnest(list_concat(
+             CASE WHEN length(text) >= 3
+               THEN list_transform(generate_series(1, length(text) - 2),
+                                   i -> substring(text, i, 3))
+               ELSE [] END,
+             list_transform(generate_series(1, length(text)),
+                            i -> substring(text, i, 1)))) AS u(g)
+         WHERE length(text) >= 1),
+       scores AS (
+         SELECT doc_id, lang, sum(w) AS score
+         FROM grams JOIN model USING (g) GROUP BY doc_id, lang),
+       best AS (
+         SELECT doc_id, lang, score FROM (
+           SELECT doc_id, lang, score, row_number() OVER
+             (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+           FROM scores) WHERE rn = 1)
+       SELECT d.doc_id, coalesce(b.lang, 'und') AS lang,
+              coalesce(b.score, 0) AS score
+       FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id"""
+  }
+
   /** TF-IDF keyword extraction: per-document top-`k` terms by
     * tf · ln(N/df). Three distributed stages: term frequencies (one
     * shuffle on (doc, token)), document frequencies (an aggregate over
@@ -588,6 +680,7 @@ object TextOps {
     "t15_cms_incremental" -> ((s: SparkSession, d: String) => cmsIncremental(s, d)),
     "t13_bigram_logprob" -> (bigramLogprob _),
     "t09_unigram_logprob" -> (unigramLogprob _),
+    "t18_langid_model" -> (langIdModel _),
     "t08_repetition" -> (repetition _),
     "t07_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "t01_quality" -> qualityStats _,
@@ -613,6 +706,7 @@ object TextOps {
     "t12_heavy_hitters" -> heavyHittersOracle,
     "t13_bigram_logprob" -> bigramOracle,
     "t09_unigram_logprob" -> unigramOracle,
+    "t18_langid_model" -> langIdModelOracle,
     "t08_repetition" -> repetitionOracle,
     "t01_quality" -> qualityOracle,
     "t02_tokens" -> tokenOracle,

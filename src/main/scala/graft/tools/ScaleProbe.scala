@@ -332,6 +332,9 @@ object ScaleProbe {
         vecsN(spark, n).selectExpr("vec_id",
           "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
         m = 2, k = 4, dim = 16)),
+      // t18: 2×-chars gram explode into a 30-row broadcast join and a
+      // (doc, lang)-keyed partial agg — linear in corpus chars
+      ("t18_langid_model", n => TextOps.langIdModelOn(docsN(spark, n))),
       // d16: window equi-join candidates — pair work tracks window-
       // value bucket populations (dup-group-bounded on this corpus),
       // never all-pairs; island agg is output-pair-sized

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** t18 model-table language ID: real sentences in each profiled
+  * language must classify correctly, ties and unknowns must be
+  * deterministic, and c24's derived-lang temperature mix must flatten
+  * toward the rarest DETECTED language. */
+class LangIdModelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def multilingual = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox is jumping over one of the lazy dogs"),
+      (2L, "der schnelle braune fuchs springt und ich sehe die schule"),
+      (3L, "el zorro marrón ha saltado sobre los perros que el niño adora"),
+      (4L, "le renard rapide saute par dessus les chiens qui mangent leur pain"),
+      (5L, "我是一个学生 我的书在这里 我有很多朋友"),
+      (6L, "xxxx yyyy zzzz qqqq"))
+      .toDF("doc_id", "text")
+  }
+
+  test("recovers the true language of real sentences in all five profiles") {
+    val got = TextOps.langIdModelOn(multilingual)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got(1L)._1 === "en")
+    assert(got(2L)._1 === "de")
+    assert(got(3L)._1 === "es")
+    assert(got(4L)._1 === "fr")
+    assert(got(5L)._1 === "zh")
+    // every detected doc carries a positive integer score
+    (1L to 5L).foreach(id => assert(got(id)._2 > 0L))
+    // no profile gram at all → the deterministic 'und' fallback, score 0
+    assert(got(6L) === ("und", 0L))
+  }
+
+  test("argmax tie-break is the lexicographically smaller language") {
+    val s = spark
+    import s.implicits._
+    // 'que' carries weight 1 in BOTH es and fr — a doc whose only
+    // profile hit is 'que' ties es/fr and must land on 'es'
+    val d = Seq((1L, "quq quq que")).toDF("doc_id", "text")
+    val got = TextOps.langIdModelOn(d).collect().head
+    assert(got.getString(1) === "es")
+    assert(got.getLong(2) === 1L)
+  }
+
+  test("c24's mix flattens toward the rarest detected language") {
+    val s = spark
+    import s.implicits._
+    // 40 English docs vs 5 Chinese: after √-temperature flattening the
+    // en keep-rate is √(5/40) ≈ 0.354 while zh keeps everything, so
+    // the en:zh ratio must compress from 8:1 to at most ~4:1
+    val en = (0 until 40).map(i =>
+      (i.toLong, s"the cat $i is jumping over one of the dogs"))
+    val zh = (100 until 105).map(i => (i.toLong, "我的书在这里 我有朋友"))
+    val d = (en ++ zh).toDF("doc_id", "text")
+    val mixed = CurationOps.temperatureMixOn(
+        TextOps.langIdModelOn(d)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("lang").as("source")))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixed("zh") === 5L, s"zh (rarest) must keep all: $mixed")
+    assert(mixed("en") < 40L && mixed("en") >= 5L,
+      s"en must be damped but not emptied: $mixed")
+    assert(mixed("en").toDouble / mixed("zh") <= 4.5,
+      s"8:1 raw ratio must compress: $mixed")
+  }
+}
