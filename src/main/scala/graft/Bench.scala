@@ -110,7 +110,8 @@ object Bench {
   val headlineR11: Seq[String] = Seq(
     "g02i_knn_triangles", "d16_substring_overlap",
     "c23_substring_decontam", "t18_langid_model",
-    "c24_temperature_mix_langid")
+    "c24_temperature_mix_langid", "s18_kmeans_train",
+    "t19_bpe_merges")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -1041,6 +1041,57 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n"), round(avg("x"), 6).as("mean"))
   }
 
+  /** Fixed Lloyd round count for the gated training loop — enough for
+    * the movement contract to show convergence on clustered data
+    * (KmeansTrainSpec) while keeping the unrolled oracle bounded. */
+  val KmeansTrainRounds = 3
+
+  /** s18: the s14 Lloyd step ITERATED to a fixed round count — the
+    * training loop run as a gated operator (replacing the ungated
+    * [[trainCentroids]] driver loop as the oracle-checkable form).
+    * Every round re-enters from the 6-dp-rounded means exactly as
+    * serialized (the hitsOn re-entry discipline: both engines compute
+    * round r+1 from identical doubles), distances are 9-dp-rounded
+    * pre-argmin with the (d, cent_id) tie-break, and a cell that
+    * empties simply vanishes for later rounds in both engines. The
+    * model never leaves the cluster: each round is one broadcast
+    * cross-join against the ≤k-row centroid frame + one k·dim-bounded
+    * cell partial agg — per-round cost is corpus-linear and FLAT
+    * across rounds (state is k·dim, independent of r). Output after
+    * round `rounds`: (cent_id, dim, n, mean) — s14's contract. */
+  def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansTrainOn(vecs(spark, sfDir))
+
+  /** [[kmeansTrain]] over any (vec_id, v) frame. */
+  def kmeansTrainOn(corpus: DataFrame, k: Int = 8,
+      rounds: Int = KmeansTrainRounds): DataFrame = {
+    require(rounds >= 1, s"kmeansTrain needs rounds >= 1, got $rounds")
+    val c = Persists.barrier(corpus.select("vec_id", "v"))
+    var cents = c.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    var means: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val assigned = c.crossJoin(broadcast(cents))
+        .withColumn("d", round(expr(
+          "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), " +
+            "0D, (acc, x) -> acc + x)"), 9))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cent_id"), col("v"))).as("m"))
+      // barriered per round: the means feed the next round's centroid
+      // rebuild AND (final round) the output — and the per-round
+      // lineage nests (the loop-body rule)
+      means = Persists.barrier(assigned
+        .select(col("m.cent_id").as("cent_id"),
+          posexplode(col("m.v")).as(Seq("dim", "x")))
+        .groupBy("cent_id", "dim")
+        .agg(count(lit(1)).as("n"), round(avg("x"), 6).as("mean")))
+      cents = means.groupBy("cent_id").agg(
+        expr("transform(array_sort(collect_list(struct(dim, mean))), " +
+          "s -> s.mean)").as("cv"))
+    }
+    means
+  }
+
   /** s16: one PQ CODEBOOK-TRAINING step — the s14 Lloyd iteration run
     * independently in each of `m` subspaces (the training loop behind
     * the s06/s10 codebooks, whose gate forms use a hash codebook
@@ -1117,6 +1168,8 @@ object SimilarityOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s17_sq8_report" ->
       ((s: SparkSession, d: String) => sq8Report(s, d)),
+    "s18_kmeans_train" ->
+      ((s: SparkSession, d: String) => kmeansTrain(s, d)),
     "s16_pq_train" ->
       ((s: SparkSession, d: String) => pqTrainStep(s, d)),
     "s14_kmeans_step" ->
@@ -1292,6 +1345,41 @@ object SimilarityOps {
     // fold (list_sum over ascending dims ≡ the sequential aggregate
     // fold), the same 9-dp pre-argmin grid and (d, cent_id) tie-break,
     // the same 6-dp mean serve; dim is 0-based in both engines
+    // s18: s14's round unrolled KmeansTrainRounds times — every CTE
+    // that later rounds re-read is MATERIALIZED (the g16 lesson);
+    // round r's cent table is rebuilt from round r-1's 6-dp means
+    // (list(mean ORDER BY dim) ≡ Spark's sorted-struct transform), so
+    // both engines re-enter each round from identical doubles
+    "s18_kmeans_train" -> {
+      val rounds = (1 to KmeansTrainRounds).map { r =>
+        s"""d$r AS (SELECT v.vec_id, c.cent_id, v.v,
+                 round(list_sum(list_transform(range(1, 65),
+                   i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))), 9) AS d
+               FROM v CROSS JOIN c${r - 1} c),
+           a$r AS (SELECT vec_id, cent_id, v,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d, cent_id) AS rn
+               FROM d$r),
+           m$r AS MATERIALIZED (
+             SELECT cent_id, CAST(dims.dim AS INTEGER) AS dim,
+                    count(*) AS n, round(avg(a.v[dims.dim + 1]), 6) AS mean
+             FROM (SELECT cent_id, v FROM a$r WHERE rn = 1) a
+             CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) dims
+             GROUP BY cent_id, dims.dim),
+           c$r AS MATERIALIZED (
+             SELECT cent_id, list(mean ORDER BY dim) AS cv
+             FROM m$r GROUP BY cent_id)"""
+      }.mkString(",\n")
+      s"""WITH v AS MATERIALIZED (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c0 AS MATERIALIZED (
+           SELECT vec_id AS cent_id, v AS cv
+           FROM v ORDER BY vec_id LIMIT 8),
+         $rounds
+         SELECT cent_id, dim, n, mean FROM m$KmeansTrainRounds"""
+    },
     "s14_kmeans_step" ->
       """WITH v AS (SELECT vec_id,
                            list_transform(embedding,

@@ -32,11 +32,161 @@ object TokenizerOps {
       .select(col("rk"), col("pair"), col("cnt"))
   }
 
+  /** Fixed merge count for the gated multi-merge loop (t19). */
+  val BpeMerges = 5
+
+  /** t19: BPE TRAINING run `merges` rounds as a gated operator — t11's
+    * count-the-pairs step closed into the real count→argmax→merge loop
+    * (Sennrich et al., ACL 2016). State is the VOCABULARY's symbol
+    * sequences weighted by word frequency — (word, wcnt, pos, sym) —
+    * never the corpus: after the one corpus-wide word count, every
+    * round's cost is vocabulary-sized and FLAT across rounds. Per
+    * round: adjacent-pair counts (co-partitioned self-join on word,
+    * one bounded-key agg), the argmax pair with the
+    * (cnt desc, s1, s2) tie-break (1-row broadcast), then the merge
+    * applied with LEFTMOST-NON-OVERLAPPING semantics spelled as
+    * gaps-and-islands SQL — consecutive candidate positions form an
+    * island, the odd-ranked ones apply (exactly greedy left-to-right
+    * for same-pair chains like "a a a"), consumed successors drop,
+    * positions renumber. Both engines run the identical relational
+    * algebra — no string `replace`, whose resume-after-replacement
+    * semantics differ subtly across engines. Output: one row per
+    * round, (merge_round, s1, s2, cnt) — the trained merge list. */
+  def bpeTrain(
+      spark: SparkSession, sfDir: String,
+      merges: Int = BpeMerges): DataFrame =
+    bpeTrainOn(Tables.load(spark, sfDir, "documents"), merges)
+
+  /** [[bpeTrain]] over any frame with a `text` column. */
+  private[graft] def bpeTrainOn(d: DataFrame, merges: Int): DataFrame = {
+    require(merges >= 1, s"bpeTrain needs merges >= 1, got $merges")
+    val W = org.apache.spark.sql.expressions.Window
+    val words = d.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+    // localCheckpoint, not persist: round r's plan references round
+    // r-1's syms FIVE times (pair self-join, merge rebuild's three
+    // joins), so the un-truncated LOGICAL plan grows ~5^r and the
+    // analyzer's DeduplicateRelations goes quadratic on it (observed:
+    // analysis alone ran minutes at merges=5). Checkpointing cuts the
+    // lineage each round — the g12 star-contraction discipline.
+    var syms = words.select(col("word"), col("wcnt"),
+      posexplode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as(Seq("p0", "sym")))
+      .select(col("word"), col("wcnt"), (col("p0") + 1).as("pos"),
+        col("sym"))
+      .localCheckpoint(true)
+    var out: DataFrame = null
+    for (r <- 1 to merges) {
+      val adj = Persists.barrier(syms.as("a").join(syms.as("b"),
+          col("a.word") === col("b.word") &&
+            col("b.pos") === col("a.pos") + 1)
+        .select(col("a.word").as("word"), col("a.wcnt").as("wcnt"),
+          col("a.pos").as("pos"), col("a.sym").as("s1"),
+          col("b.sym").as("s2")))
+      val top = Persists.barrier(adj.groupBy("s1", "s2")
+        .agg(sum("wcnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("s1"), col("s2")).limit(1))
+      val cand = adj.join(broadcast(top.select("s1", "s2")), Seq("s1", "s2"))
+        .select("word", "pos")
+      val applied = Persists.barrier(cand
+        .withColumn("g", col("pos") -
+          row_number().over(W.partitionBy("word").orderBy("pos")))
+        .withColumn("rn",
+          row_number().over(W.partitionBy("word", "g").orderBy("pos")))
+        .filter(col("rn") % 2 === 1).select("word", "pos"))
+      syms = syms.as("s")
+        .join(applied.as("ap"), col("s.word") === col("ap.word") &&
+          col("s.pos") === col("ap.pos"), "left")
+        .join(applied.as("dp"), col("s.word") === col("dp.word") &&
+          col("s.pos") === col("dp.pos") + 1, "left")
+        .join(syms.as("n"), col("s.word") === col("n.word") &&
+          col("n.pos") === col("s.pos") + 1, "left")
+        .filter(col("dp.pos").isNull)
+        .select(col("s.word").as("word"), col("s.wcnt").as("wcnt"),
+          col("s.pos").as("opos"),
+          when(col("ap.pos").isNotNull,
+            concat(col("s.sym"), col("n.sym")))
+            .otherwise(col("s.sym")).as("sym"))
+        .withColumn("pos",
+          row_number().over(W.partitionBy("word").orderBy("opos")))
+        .select("word", "wcnt", "pos", "sym")
+        .localCheckpoint(true)
+      val row = top.select(lit(r).as("merge_round"), col("s1"),
+        col("s2"), col("cnt"))
+      out = if (out == null) row else out.unionByName(row)
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t11_bpe_pairs" -> ((s: SparkSession, d: String) => bpePairCounts(s, d))
+    "t11_bpe_pairs" -> ((s: SparkSession, d: String) => bpePairCounts(s, d)),
+    "t19_bpe_merges" -> ((s: SparkSession, d: String) => bpeTrain(s, d))
   )
 
+  /** t19's DuckDB twin: the count→argmax→merge loop unrolled
+    * [[BpeMerges]] times — identical relational algebra per round
+    * (adjacent self-join, (cnt DESC, s1, s2) LIMIT 1, island-parity
+    * merge application, renumber); every re-read CTE MATERIALIZED
+    * (the g16 lesson — s_r feeds the next round three times). */
+  private val bpeTrainOracle: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      val p = r - 1
+      s"""adj$r AS MATERIALIZED (
+           SELECT a.word, a.wcnt, a.pos, a.sym AS s1, b.sym AS s2
+           FROM s$p a JOIN s$p b
+             ON a.word = b.word AND b.pos = a.pos + 1),
+         top$r AS MATERIALIZED (
+           SELECT s1, s2, sum(wcnt) AS cnt FROM adj$r
+           GROUP BY s1, s2 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         cand$r AS (
+           SELECT a.word, a.pos FROM adj$r a
+           JOIN top$r t ON a.s1 = t.s1 AND a.s2 = t.s2),
+         app$r AS MATERIALIZED (
+           SELECT word, pos FROM (
+             SELECT word, pos, row_number() OVER
+               (PARTITION BY word, g ORDER BY pos) AS rn
+             FROM (SELECT word, pos, pos - row_number() OVER
+                     (PARTITION BY word ORDER BY pos) AS g
+                   FROM cand$r))
+           WHERE rn % 2 = 1),
+         s$r AS MATERIALIZED (
+           SELECT word, wcnt,
+                  CAST(row_number() OVER
+                    (PARTITION BY word ORDER BY opos) AS INTEGER) AS pos,
+                  sym
+           FROM (
+             SELECT s.word, s.wcnt, s.pos AS opos,
+                    CASE WHEN ap.pos IS NOT NULL THEN s.sym || n.sym
+                         ELSE s.sym END AS sym
+             FROM s$p s
+             LEFT JOIN app$r ap
+               ON ap.word = s.word AND ap.pos = s.pos
+             LEFT JOIN app$r dp
+               ON dp.word = s.word AND dp.pos = s.pos - 1
+             LEFT JOIN s$p n
+               ON n.word = s.word AND n.pos = s.pos + 1
+             WHERE dp.pos IS NULL))"""
+    }.mkString(",\n")
+    val unions = (1 to BpeMerges).map(r =>
+      s"SELECT $r AS merge_round, s1, s2, cnt FROM top$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH words AS MATERIALIZED (
+         SELECT w AS word, count(*) AS wcnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents)
+         WHERE w <> '' GROUP BY w),
+       s0 AS MATERIALIZED (
+         SELECT word, wcnt, CAST(u.i AS INTEGER) AS pos,
+                substring(word, u.i, 1) AS sym
+         FROM words, unnest(generate_series(1, length(word))) AS u(i)),
+       $rounds
+       $unions"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "t19_bpe_merges" -> bpeTrainOracle,
     "t11_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
                     FROM documents),

@@ -332,6 +332,17 @@ object ScaleProbe {
         vecsN(spark, n).selectExpr("vec_id",
           "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
         m = 2, k = 4, dim = 16)),
+      // s18: 3 Lloyd rounds, each one broadcast cross-join + k·d-
+      // bounded cell agg — linear in n at fixed (k, d, rounds); round
+      // cost is flat (state is k·d, independent of round index)
+      ("s18_kmeans_train", n => SimilarityOps.kmeansTrainOn(
+        vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v"))),
+      // t19: corpus cost is ONE word-count agg; the 5 merge rounds run
+      // on vocabulary-sized state, so doubling the corpus roughly
+      // doubles only the count stage
+      ("t19_bpe_merges", n => TokenizerOps.bpeTrainOn(
+        docsN(spark, n), merges = 5)),
       // t18: 2×-chars gram explode into a 30-row broadcast join and a
       // (doc, lang)-keyed partial agg — linear in corpus chars
       ("t18_langid_model", n => TextOps.langIdModelOn(docsN(spark, n))),
