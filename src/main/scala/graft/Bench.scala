@@ -111,7 +111,7 @@ object Bench {
     "g02i_knn_triangles", "d16_substring_overlap",
     "c23_substring_decontam", "t18_langid_model",
     "c24_temperature_mix_langid", "s18_kmeans_train",
-    "t19_bpe_merges")
+    "t19_bpe_merges", "s19_ann_ivfpq")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -214,6 +214,7 @@ object Bench {
     graft.operators.DedupOps.signatureTablePath(spark, sfDir)
     graft.operators.SimilarityOps.trainedModelPath(spark, sfDir)
     graft.operators.SimilarityOps.cellPartitionedPath(spark, sfDir)
+    graft.operators.SimilarityOps.ivfPqPath(spark, sfDir)
     graft.operators.GraphOps.knnEdgesPath(spark, sfDir)
     graft.operators.GraphOps.coPurchaseEdgesPath(spark, sfDir)
     graft.operators.GraphOps.pagerankRanksPath(spark, sfDir)

@@ -459,13 +459,20 @@ object SimilarityOps {
       nQueries: Int = 5, k: Int = 10,
       cells: Int = TrainedCells, iters: Int = TrainedIters,
       nprobe: Int = TrainedProbe): DataFrame = {
-    val path = trainedModelPath(spark, sfDir, cells, iters)
-    val centVecs = spark.read.parquet(path)
-      .select("cent_id", "v").orderBy("cent_id")
-      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val centVecs = trainedCentroids(spark, sfDir, cells, iters)
     ivfSearch(spark, vecs(spark, sfDir), 0L until centVecs.size.toLong,
       centVecs, nQueries, k, nprobe)
   }
+
+  /** The trained coarse model as plan-time vectors — ≤`cells` rows,
+    * the bounded model fetch shared by s09 and the s19 composition. */
+  private def trainedCentroids(
+      spark: SparkSession, sfDir: String,
+      cells: Int = TrainedCells, iters: Int = TrainedIters)
+      : Seq[Seq[Double]] =
+    spark.read.parquet(trainedModelPath(spark, sfDir, cells, iters))
+      .select("cent_id", "v").orderBy("cent_id")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
 
   /** The corpus as a CELL-PARTITIONED serving layout: every embedding
     * written under its assigned coarse cell's partition directory
@@ -552,6 +559,128 @@ object SimilarityOps {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** s19: the COMPOSED IVF-PQ index artifact — the production serving
+    * structure both halves have been building toward: the TRAINED
+    * coarse quantizer (s09's model) assigns each vector a cell, PQ
+    * codes the RESIDUAL v − centroid(cell) (residuals are what PQ
+    * codebooks are trained on in production — they're smaller and
+    * better-centered than raw vectors), and the layout is
+    * cell-PARTITIONED parquet of (vec_id, codes, rn2) — m ints + one
+    * precomputed reconstruction norm per row, NO raw vectors: probe
+    * restriction prunes I/O at listing time (s11's layout) and
+    * everything that moves afterwards is codes (s10's compression).
+    * The residual codebook (deterministic modular sample of
+    * residuals, the s06 discipline) is stored beside the data so the
+    * serve path scores with byte-identical centroids. Idempotent per
+    * (sfDir, rows, m, content fingerprint). */
+  def ivfPqPath(
+      spark: SparkSession, sfDir: String, m: Int = 8): String = {
+    graft.functions.GraftFunctions.register(spark)
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
+    val dir = graft.sources.FsUtil.qualified("target/tmp/ivfpq/" +
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_m${m}_$fp")
+    if (!graft.sources.FsUtil.exists(spark, dir + "/data/_SUCCESS")) {
+      val coarse = trainedCentroids(spark, sfDir)
+      val coarseLit = typedlit(coarse)
+      val dim = coarse.head.size
+      require(dim % m == 0, s"dim $dim must split into $m subspaces")
+      val sub = dim / m
+      // barriered: the residual frame feeds the codebook sample AND
+      // the encode pass
+      val assigned = Persists.barrier(vecs(spark, sfDir)
+        .withColumn("cell",
+          nearestCents(spark, col("v"), coarse, 1).getItem(0))
+        .withColumn("cc", element_at(coarseLit, col("cell") + 1))
+        .withColumn("resid", zip_with(col("v"), col("cc"),
+          (x, y) => x - y)))
+      val (_, rcents) = centroidModel(
+        assigned.select(col("vec_id"), col("resid").as("v")), n, 29)
+      val rLit = typedlit(rcents)
+      val recon = flatten(transform(col("codes"),
+        (c: Column, s: Column) =>
+          slice(element_at(rLit, c + 1), s * sub + 1, lit(sub))))
+      assigned
+        .withColumn("codes",
+          call_function("graft_pq_codes", col("resid"), rLit, lit(m)))
+        .withColumn("vhat", zip_with(col("cc"), recon, (a, b) => a + b))
+        .withColumn("rn2", aggregate(col("vhat"), lit(0.0d),
+          (acc, x) => acc + x * x))
+        .select("vec_id", "codes", "rn2", "cell")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(dir + "/data")
+      import spark.implicits._
+      rcents.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("rc_id", "rv")
+        .coalesce(1).write.mode("overwrite").parquet(dir + "/codebook")
+    }
+    dir
+  }
+
+  /** s19's serve path: probe the `nprobe` nearest TRAINED cells, read
+    * ONLY those partitions of the [[ivfPqPath]] layout, and score by
+    * residual-ADC — per (query, cell) one coarse dot scalar, per query
+    * one m × C residual lookup table; each candidate row costs m table
+    * lookups + the stored norm. dot(q, v̂) = dot(q, cc) + Σ_s
+    * tbl[s][code_s] because the reconstruction is cc + residual-recon
+    * and both dots decompose per subspace (s10's algebra over
+    * residuals). Rows-only gate entry (float decomposition ≠ any
+    * full-fold oracle bit-for-bit); IvfPqRecallSpec pins the recall@10
+    * floor vs brute s01 and the partition-pruned, codes-only plan. */
+  def ivfPqTopK(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, k: Int = 10, m: Int = 8,
+      nprobe: Int = TrainedProbe): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = ivfPqPath(spark, sfDir, m)
+    val coarse = trainedCentroids(spark, sfDir)
+    val coarseLit = typedlit(coarse)
+    val rcents = spark.read.parquet(dir + "/codebook").orderBy("rc_id")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val rLit = typedlit(rcents)
+    val dim = coarse.head.size
+    val sub = dim / m
+    val subsIdx = sequence(lit(0), lit(m - 1))
+    def fold(c: Column): Column =
+      aggregate(c, lit(0.0d), (acc, x) => acc + x)
+    def sliceDot(a: Column, b: Column, s: Column): Column =
+      fold(zip_with(slice(a, s * sub + 1, lit(sub)),
+        slice(b, s * sub + 1, lit(sub)), (x, y) => x * y))
+    // barriered: the probe frame feeds the bounded probed-cell collect
+    // AND the broadcast join
+    val probes = Persists.barrier(vecs(spark, sfDir)
+      .filter(col("vec_id") < nQueries)
+      .withColumn("nc", nearestCents(spark, col("v"), coarse, nprobe))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(col("nc")).as("cell"))
+      .withColumn("ccdot", fold(zip_with(col("qv"),
+        element_at(coarseLit, col("cell") + 1), (x, y) => x * y)))
+      .withColumn("tbl", transform(subsIdx,
+        s => transform(rLit, c => sliceDot(col("qv"), c, s))))
+      .withColumn("qn2", fold(transform(col("qv"), x => x * x))))
+    // bounded collect: ≤ nQueries·nprobe ints — the partition filter
+    // must be a plan-time literal for LISTING-time pruning (s11)
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val corpus = spark.read.parquet(dir + "/data")
+      .filter(col("cell").isin(probedCells: _*))
+    val scored = corpus.as("a").join(broadcast(probes.as("p")),
+        col("a.cell") === col("p.cell") &&
+          col("a.vec_id") =!= col("p.query_id"))
+      .select(col("p.query_id").as("query_id"),
+        col("a.vec_id").as("neighbor_id"),
+        round((col("p.ccdot") + fold(zip_with(col("a.codes"),
+            col("p.tbl"), (c, t) => element_at(t, c + 1)))) /
+          sqrt(col("p.qn2") * col("a.rn2")), 4).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
@@ -1170,6 +1299,11 @@ object SimilarityOps {
       ((s: SparkSession, d: String) => sq8Report(s, d)),
     "s18_kmeans_train" ->
       ((s: SparkSession, d: String) => kmeansTrain(s, d)),
+    // rows-only by design: the residual-ADC decomposition is float
+    // algebra no full-fold DuckDB twin reproduces bit-for-bit;
+    // IvfPqRecallSpec is the contract (recall floor + pruned plan)
+    "s19_ann_ivfpq" ->
+      ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
     "s16_pq_train" ->
       ((s: SparkSession, d: String) => pqTrainStep(s, d)),
     "s14_kmeans_step" ->
