@@ -111,7 +111,8 @@ object Bench {
     "g02i_knn_triangles", "d16_substring_overlap",
     "c23_substring_decontam", "t18_langid_model",
     "c24_temperature_mix_langid", "s18_kmeans_train",
-    "t19_bpe_merges", "s19_ann_ivfpq")
+    "t19_bpe_merges", "s19_ann_ivfpq", "g19i_scc_knn",
+    "g20i_components_scc")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -186,7 +187,14 @@ object Bench {
     "g16i_kcore" ->
       ((s, d) => graft.operators.GraphOps.kcoreFromEdges(s, d)),
     "g18i_label_spread" ->
-      ((s, d) => graft.operators.GraphOps.labelSpreadFromEdges(s, d)))
+      ((s, d) => graft.operators.GraphOps.labelSpreadFromEdges(s, d)),
+    // g19/g20 over stored edge artifacts (their gate forms rebuild the
+    // quadratic kNN graph inline as the oracle anchor; GraphOpsSpec's
+    // served≡inline pins cover the same artifacts)
+    "g19i_scc_knn" ->
+      ((s, d) => graft.operators.GraphOps.sccFromEdges(s, d)),
+    "g20i_components_scc" ->
+      ((s, d) => graft.operators.GraphOps.componentsSccFromEdges(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -216,6 +224,7 @@ object Bench {
     graft.operators.SimilarityOps.cellPartitionedPath(spark, sfDir)
     graft.operators.SimilarityOps.ivfPqPath(spark, sfDir)
     graft.operators.GraphOps.knnEdgesPath(spark, sfDir)
+    graft.operators.GraphOps.knnDirectedEdgesPath(spark, sfDir)
     graft.operators.GraphOps.coPurchaseEdgesPath(spark, sfDir)
     graft.operators.GraphOps.pagerankRanksPath(spark, sfDir)
     graft.sources.Bucketing.writeBucketed(

@@ -489,6 +489,121 @@ object GraphOps {
       .select(col("f.query_id").as("a"), col("f.neighbor_id").as("b"))
   }
 
+  /** DIRECTED kNN edges over a (vec_id, v) frame: (src → dst) iff dst
+    * is in src's top-`k` by rounded cosine (ties by neighbor id — the
+    * s01 rank convention), WITHOUT the reciprocity filter that makes
+    * [[mutualKnnEdgesOn]] undirected. The natural directed graph over
+    * an embedding corpus (kNN membership is asymmetric), and the g19
+    * SCC substrate: reciprocated pairs form 2-cycles, one-way edges
+    * don't. Same once-scored half-pair kernel as the mutual builder. */
+  def directedKnnEdgesOn(vecs: DataFrame, k: Int = KnnK): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val half = Persists.barrier(vecs.as("q").join(vecs.as("c"),
+        col("q.vec_id") < col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        round(expr("graft_cosine(q.v, c.v)"), 4).as("cosine")))
+    val scored = half.unionAll(half.select(
+      col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"),
+      col("cosine")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+  }
+
+  /** g19: STRONGLY-CONNECTED COMPONENTS of a directed edge list — the
+    * directed sibling of the three undirected CC kernels (g03 label
+    * propagation, g12 star contraction, g15 incremental), by the
+    * COLORING algorithm (Orzan 2004; the FW-BW peel family every
+    * distributed SCC implementation descends from): each peel round
+    * (1) propagates the min node id FORWARD to a fixpoint — c(v) =
+    * min(ancestors(v) ∪ {v}); (2) marks, BACKWARD within each color,
+    * the nodes that can reach their color root r = c(v) through
+    * same-color nodes — exactly SCC(r), because every member of
+    * SCC(r) provably carries color r and every same-color path
+    * witness sits in SCC(r); (3) peels the marked nodes and repeats
+    * on the remainder. scc_id = the component's minimum node id (so
+    * on a SYMMETRIC edge list the output equals connected components
+    * — gated under g03's oracle verbatim as g20). Deterministic
+    * regardless of round count; every fixpoint is signature-checked
+    * and every round-crossing frame localCheckpoint'd (the g12
+    * lineage discipline). Peel count is bounded by the condensation
+    * depth — at 100 TB the standard prologue (trim in/out-degree-0
+    * singleton SCCs first) bounds the tail; the kernel here IS that
+    * loop's body shape. Returns ((node, scc_id), peels). */
+  def sccWithRounds(edges0: DataFrame): (DataFrame, Int) = {
+    def sigNC(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(node, c))"), lit(0L)).as("h"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def sigN(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(node))"), lit(0L)).as("h"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = edges0.select("src", "dst").distinct().localCheckpoint(true)
+    var nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var result: DataFrame = null
+    var peels = 0
+    while (!nodes.isEmpty) {
+      peels += 1
+      // (1) forward min-color fixpoint: colors flow along src→dst
+      var c = nodes.withColumn("c", col("node")).localCheckpoint(true)
+      var s = sigNC(c)
+      var stable = false
+      while (!stable) {
+        c = c.as("cv").join(e, col("cv.node") === col("src"))
+          .select(col("dst").as("node"), col("cv.c").as("c"))
+          .unionAll(c)
+          .groupBy("node").agg(min("c").as("c"))
+          .localCheckpoint(true)
+        val s2 = sigNC(c); stable = s2 == s; s = s2
+      }
+      // (2) backward mark within color, seeded at the color roots
+      var m = c.filter(col("c") === col("node")).select("node")
+        .localCheckpoint(true)
+      var sm = sigN(m)
+      stable = false
+      while (!stable) {
+        m = e.join(m.select(col("node").as("dst")), Seq("dst"))
+          .join(c.select(col("node").as("src"), col("c").as("cs")),
+            Seq("src"))
+          .join(c.select(col("node").as("dst"), col("c").as("cd")),
+            Seq("dst"))
+          .filter(col("cs") === col("cd"))
+          .select(col("src").as("node"))
+          .unionAll(m)
+          .distinct()
+          .localCheckpoint(true)
+        val s2 = sigN(m); stable = s2 == sm; sm = s2
+      }
+      // (3) peel: marked nodes are complete SCCs labeled by color
+      val scc = m.join(c, "node")
+        .select(col("node"), col("c").as("scc_id")).localCheckpoint(true)
+      result =
+        if (result == null) scc
+        else result.unionAll(scc).localCheckpoint(true)
+      nodes = nodes.join(m, Seq("node"), "left_anti").localCheckpoint(true)
+      e = e.join(m.select(col("node").as("src")), Seq("src"), "left_anti")
+        .join(m.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .select("src", "dst").localCheckpoint(true)
+    }
+    (if (result == null)
+      edges0.sparkSession.emptyDataFrame
+        .select(lit(0L).as("node"), lit(0L).as("scc_id")).limit(0)
+    else result, peels)
+  }
+
+  /** [[sccWithRounds]] without the peel count. */
+  def sccOn(edges: DataFrame): DataFrame = sccWithRounds(edges)._1
+
   /** Per-node triangle participation over low→high oriented edges
     * (`a` &lt; `b`): each triangle {a&lt;b&lt;c} found once, credited to
     * all three corners. Returns (node, n_tri), nodes in ≥1 triangle. */
@@ -901,6 +1016,36 @@ object GraphOps {
   private def knnAllEdges(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(knnEdgesAllPath(spark, sfDir)).select("a", "b")
 
+  /** The DIRECTED kNN edge artifact (g19's substrate — the mutual
+    * artifacts store only reciprocated pairs), keyed on the embedding
+    * content fingerprint like [[knnEdgesAllPath]]. */
+  def knnDirectedEdgesPath(spark: SparkSession, sfDir: String): String = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
+    val dir = graft.sources.FsUtil.qualified("target/tmp/graph/knndir_" +
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_$fp")
+    if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS"))
+      directedKnnEdgesOn(embVecs(spark, sfDir))
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** g19's peels over the stored directed edges (benched g19i). */
+  def sccFromEdges(spark: SparkSession, sfDir: String): DataFrame =
+    sccOn(spark.read.parquet(knnDirectedEdgesPath(spark, sfDir)))
+      .select(col("node").as("vec_id"), col("scc_id"))
+
+  /** g20's kernel over the stored strong mutual edges, symmetrized
+    * (benched g20i — same artifact the g12i serve reads). */
+  def componentsSccFromEdges(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val mut = spark.read.parquet(knnEdgesPath(spark, sfDir))
+    sccOn(mut.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(mut.select(col("b").as("src"), col("a").as("dst"))))
+      .select(col("node").as("vec_id"), col("scc_id").as("cluster_id"))
+  }
+
   /** The unfloored-graph analytics over the stored edge artifact —
     * benched as g02i/g07i/g13i/g14i/g16i/g18i (each spec-pinned equal
     * to its inline gate form). */
@@ -1076,6 +1221,25 @@ object GraphOps {
     // floored, the components are the similarity neighborhoods (42
     // clusters ≤8 wide at sf0.01) and propagation converges in
     // O(cluster diameter) rounds
+    // g19: directed SCC over the DIRECTED kNN graph — reciprocated
+    // neighbor pairs form 2-cycles, asymmetric kNN membership forms
+    // one-way edges; the coloring kernel peels true strongly-
+    // connected sets (the web-graph staple beside PageRank/HITS).
+    "g19_scc_knn" -> ((spark: SparkSession, sfDir: String) =>
+      sccOn(directedKnnEdgesOn(embVecs(spark, sfDir)))
+        .select(col("node").as("vec_id"), col("scc_id"))),
+    // g20: the SAME kernel on the SYMMETRIZED strong graph — SCC of a
+    // symmetric relation IS connected components, so this gates under
+    // g03's oracle VERBATIM (fourth kernel under that oracle, the
+    // g12/g15 shared-oracle discipline)
+    "g20_components_scc" -> ((spark: SparkSession, sfDir: String) => {
+      val mut = mutualKnnEdgesOn(embVecs(spark, sfDir),
+        minCosine = StrongCos)
+      sccOn(mut.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(mut.select(col("b").as("src"), col("a").as("dst"))))
+        .select(col("node").as("vec_id"),
+          col("scc_id").as("cluster_id"))
+    }),
     "g03_knn_components" -> ((spark: SparkSession, sfDir: String) => {
       val edges = mutualKnnEdgesOn(embVecs(spark, sfDir),
           minCosine = StrongCos)
@@ -1614,6 +1778,14 @@ object GraphOps {
                                 (d.deg * (d.deg - 1))
                            ELSE 0.0 END, 6) AS cc
          FROM deg d LEFT JOIN tc ON tc.node = d.node""",
+    // g19: ground truth straight from the definition — the recursive
+    // transitive closure of the directed kNN edges, scc_id(v) =
+    // min({v} ∪ {u : u ⇝ v AND v ⇝ u}); the kernel's peel rounds
+    // must land on exactly this, however many rounds they take
+    "g19_scc_knn" -> sccOracle,
+    // g20 runs the SCC kernel on the symmetrized strong graph and
+    // must reproduce the undirected components oracle verbatim
+    "g20_components_scc" -> componentsOracle,
     "g03_knn_components" -> componentsOracle,
     // g12 shares g03's oracle VERBATIM — the per-round proof that the
     // star-contraction and label-propagation kernels agree on
@@ -1627,6 +1799,23 @@ object GraphOps {
   /** The component oracle shared by g03 (label propagation) and g12
     * (star contraction): DuckDB's recursive CTE computes the true
     * min-label components of the strong mutual-kNN graph. */
+  private def sccOracle: String =
+    s"""WITH RECURSIVE ${knnEdgeCtes(None)},
+         de AS MATERIALIZED (
+           SELECT query_id AS src, neighbor_id AS dst FROM topk),
+         reach(src, dst) AS (
+           SELECT src, dst FROM de
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN de e ON r.dst = e.src),
+         mut AS (SELECT a.src AS u, a.dst AS v FROM reach a
+                 JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+         nodes AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM de UNION ALL SELECT dst FROM de))
+       SELECT n.node AS vec_id,
+              least(n.node, coalesce(min(m.u), n.node)) AS scc_id
+       FROM nodes n LEFT JOIN mut m ON m.v = n.node
+       GROUP BY n.node"""
+
   private def componentsOracle: String =
     s"""WITH RECURSIVE ${knnEdgeCtes(Some(StrongCos))},
          ge AS (SELECT a AS v, b AS u FROM mutual

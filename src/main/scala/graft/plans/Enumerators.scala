@@ -105,8 +105,17 @@ object Enumerators {
         val union = s1 | s2
         // both operand orders, like the reference (ExhaustiveDPJoinOrderRule.java:151-156)
         var bestHere = best.getOrElse(union, (null: JoinTree, Double.PositiveInfinity))
+        // the `bestHere._1 == null` arms: costs can be INFINITE (a
+        // checkpointed/RDD-backed leaf defaults to sizeInBytes =
+        // Long.MaxValue and Cout's products overflow), and `inf < inf`
+        // is false — without them the memo stores (null, ∞) and a later
+        // tryJoin NPEs on the null operand (found by g19's gate run
+        // under the injected rule). A valid tree at infinite cost is
+        // still a plan; the strict-improvement gate upstream then
+        // simply declines to rewrite.
         val cA = c1 + c2 + cm.joinCost(t1, t2, card)
-        if (cA < bestHere._2) bestHere = (Node(t1, t2), cA)
+        if (cA < bestHere._2 || bestHere._1 == null)
+          bestHere = (Node(t1, t2), cA)
         val cB = c1 + c2 + cm.joinCost(t2, t1, card)
         if (cB < bestHere._2) bestHere = (Node(t2, t1), cB)
         best(union) = bestHere
@@ -140,7 +149,9 @@ object Enumerators {
               val (t1, c1) = solve(s1); val (t2, c2) = solve(s2)
               Seq((t1, t2), (t2, t1)).foreach { case (a, b) =>
                 val c = c1 + c2 + cm.joinCost(a, b, card)
-                if (c < bestC) { bestC = c; bestT = Node(a, b) }
+                // accept the first candidate even at infinite cost
+                // (inf < inf is false — see DPccp.tryJoin)
+                if (c < bestC || bestT == null) { bestC = c; bestT = Node(a, b) }
               }
             }
           }
@@ -180,7 +191,11 @@ object Enumerators {
             val i = java.lang.Long.numberOfTrailingZeros(cand)
             val grown = s | (1L << i)
             val cost = c + cm.joinCost(t, Leaf(i), card)
-            if (cost < next.getOrElse(grown, (null, Double.PositiveInfinity))._2)
+            // the null arm admits infinite-cost extensions (see
+            // DPccp.tryJoin) — otherwise the frontier empties and the
+            // "disconnected" require fires on a connected graph
+            val cur = next.getOrElse(grown, (null: JoinTree, Double.PositiveInfinity))
+            if (cost < cur._2 || cur._1 == null)
               next(grown) = (Node(t, Leaf(i)), cost)
             cand &= cand - 1
           }
@@ -289,7 +304,8 @@ object Enumerators {
         }
         if (ok) {
           val c = CostModel.treeCost(tree, cm, card)
-          if (c < bestC) { bestC = c; bestT = tree }
+          // accept the first complete tree even at infinite cost
+          if (c < bestC || bestT == null) { bestC = c; bestT = tree }
         }
       }
       require(bestT != null, "greedy: graph disconnected")
@@ -310,7 +326,10 @@ object Enumerators {
       var bestC = Double.PositiveInfinity
       var bestT: JoinTree = null
       def rec(factors: List[JoinTree], costSoFar: Double): Unit = {
-        if (costSoFar >= bestC) return // prune
+        // prune only once SOME complete tree exists: with all-infinite
+        // costs (checkpointed leaves, see DPccp.tryJoin) `inf >= inf`
+        // would otherwise prune every branch and return null
+        if (bestT != null && costSoFar >= bestC) return // prune
         if (factors.size == 1) {
           if (java.lang.Long.bitCount(factors.head.set) == g.n) {
             bestC = costSoFar; bestT = factors.head

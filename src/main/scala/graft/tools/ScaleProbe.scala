@@ -332,6 +332,14 @@ object ScaleProbe {
         vecsN(spark, n).selectExpr("vec_id",
           "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
         m = 2, k = 4, dim = 16)),
+      // g19: superstep fixpoints over a bounded-SCC digraph (8-cycles
+      // with backward one-way bridges) — inner rounds track the SCC
+      // diameter (8), peels stay at 1, so cost is O(|E|) per doubling
+      ("g19_scc", n => GraphOps.sccOn(
+        spark.range(n).selectExpr("id AS src",
+            "CASE WHEN (id + 1) % 8 = 0 THEN id - 7 ELSE id + 1 END AS dst")
+          .unionAll(spark.range(n / 8).filter("id > 0")
+            .selectExpr("id * 8 AS src", "(id - 1) * 8 AS dst")))),
       // s18: 3 Lloyd rounds, each one broadcast cross-join + k·d-
       // bounded cell agg — linear in n at fixed (k, d, rounds); round
       // cost is flat (state is k·d, independent of round index)

@@ -136,6 +136,16 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("g19i/g20i artifact serving equals the inline SCC forms") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(GraphOps.queries("g19_scc_knn")(spark, sf)) ==
+      rows(GraphOps.sccFromEdges(spark, sf)))
+    assert(rows(GraphOps.queries("g20_components_scc")(spark, sf)) ==
+      rows(GraphOps.componentsSccFromEdges(spark, sf)))
+  }
+
   test("mutual-kNN cosine floor drops weak reciprocated pairs") {
     val s = spark
     import s.implicits._
