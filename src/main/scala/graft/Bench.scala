@@ -112,7 +112,7 @@ object Bench {
     "c23_substring_decontam", "t18_langid_model",
     "c24_temperature_mix_langid", "s18_kmeans_train",
     "t19_bpe_merges", "s19_ann_ivfpq", "g19i_scc_knn",
-    "g20i_components_scc")
+    "g20i_components_scc", "g21i_modularity", "g22i_community_merge")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -194,7 +194,11 @@ object Bench {
     "g19i_scc_knn" ->
       ((s, d) => graft.operators.GraphOps.sccFromEdges(s, d)),
     "g20i_components_scc" ->
-      ((s, d) => graft.operators.GraphOps.componentsSccFromEdges(s, d)))
+      ((s, d) => graft.operators.GraphOps.componentsSccFromEdges(s, d)),
+    "g21i_modularity" ->
+      ((s, d) => graft.operators.GraphOps.modularityFromEdges(s, d)),
+    "g22i_community_merge" ->
+      ((s, d) => graft.operators.GraphOps.communityMergeFromEdges(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

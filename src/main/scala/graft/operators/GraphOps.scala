@@ -382,22 +382,27 @@ object GraphOps {
       .withColumn("h", round(lit(1.0), 9))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      // each raw score frame is BARRIERED before its norm: the frame
-      // feeds both the scalar norm agg and the normalize, and the
-      // lineage nests per iteration — unbarriered, every reference
-      // re-ran the whole prior chain (2^iters edge joins; the r10
-      // bench measured g09 at 108 s before this, ~5 s after)
-      val ar = Persists.barrier(
-        e.join(hub, e("src") === hub("node"))
-          .groupBy(col("dst")).agg(round(sum(col("h")), 9).as("a"))
-          .withColumnRenamed("dst", "node"))
+      // each raw score frame is CHECKPOINTED before its norm: the
+      // frame feeds both the scalar norm agg and the normalize, so
+      // (a) unmaterialized, every reference re-ran the whole prior
+      // chain (2^iters edge joins; the r10 bench measured g09 at
+      // 108 s before the round-10 barrier), and (b) even barriered,
+      // the LOGICAL plan still nested both references and doubled per
+      // half-iteration — 2^(2·iters) tree nodes, an OOM in plan
+      // stringification at iters = 6 (found by the r11 per-iteration
+      // probe). localCheckpoint truncates the lineage each
+      // half-iteration (the g12 discipline), same rows, flat plan.
+      val ar = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst")).agg(round(sum(col("h")), 9).as("a"))
+        .withColumnRenamed("dst", "node")
+        .localCheckpoint(true)
       val an = ar.agg(round(sum(col("a")), 9).as("norm"))
       auth = ar.crossJoin(broadcast(an))
         .select(col("node"), round(col("a") / col("norm"), 9).as("a"))
-      val hr = Persists.barrier(
-        e.join(auth, e("dst") === auth("node"))
-          .groupBy(col("src")).agg(round(sum(col("a")), 9).as("h"))
-          .withColumnRenamed("src", "node"))
+      val hr = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src")).agg(round(sum(col("a")), 9).as("h"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(true)
       val hn = hr.agg(round(sum(col("h")), 9).as("norm"))
       hub = hr.crossJoin(broadcast(hn))
         .select(col("node"), round(col("h") / col("norm"), 9).as("h"))
@@ -487,6 +492,106 @@ object GraphOps {
           col("f.query_id") < col("f.neighbor_id"))
       .filter(col("f.cosine") >= minCosine)
       .select(col("f.query_id").as("a"), col("f.neighbor_id").as("b"))
+  }
+
+  /** g21: Newman MODULARITY of a partition — Q = Σ_c (e_c/m −
+    * (d_c/2m)²), the objective every community-detection method
+    * optimizes, computed over a low→high edge list (a, b) and a
+    * (node, community) labeling. Two node-keyed label joins, one
+    * community-keyed agg, one scalar fold — linear in |E|, community-
+    * bounded state. Intra-edge counts and degree sums are exact
+    * integers; the single Q scalar is the ONE float, 6-dp-served.
+    * Returns one row (m_edges, n_communities, modularity). */
+  def modularityOn(edges0: DataFrame, labels0: DataFrame): DataFrame = {
+    val edges = Persists.barrier(edges0.select("a", "b"))
+    val labels = Persists.barrier(labels0.select("node", "community"))
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // per-community: d_c = Σ degrees, e_c = intra-community edges
+    val dc = deg.join(labels, "node")
+      .groupBy("community").agg(sum("deg").as("d_c"))
+    val ec = edges
+      .join(labels.select(col("node").as("a"), col("community").as("ca")),
+        "a")
+      .join(labels.select(col("node").as("b"), col("community").as("cb")),
+        "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_c"))
+    val m = edges.count().toDouble
+    dc.join(ec, Seq("community"), "left")
+      .select(col("community"), col("d_c"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"))
+      .agg(count(lit(1)).as("n_communities"),
+        round(sum(col("e_c") / m -
+          (col("d_c") / (2 * m)) * (col("d_c") / (2 * m))), 6)
+          .as("modularity"))
+      .select(lit(m.toLong).as("m_edges"), col("n_communities"),
+        col("modularity"))
+  }
+
+  private val CommunityMergeRounds = 5
+
+  /** g22: GREEDY MODULARITY AGGLOMERATION — the Clauset-Newman-Moore
+    * (2004) merge step run a fixed `rounds` times, the Louvain-class
+    * community-detection move as a gated operator (beside g17's
+    * projection and g18's label spreading, which lack the modularity
+    * objective — VERDICT r10 missing item 6). Communities start as
+    * singletons; each round computes, for every community pair
+    * connected by ≥1 edge, the merge gain ΔQ = e_cd/m − d_c·d_d/2m² —
+    * compared EXACTLY as the integer cross-multiple
+    * score = 2·m·e_cd − d_c·d_d (no float enters the argmax, so the
+    * (score desc, c, d) tie-break is bit-deterministic in both
+    * engines) — and merges the best pair (relabel d → c). Per round:
+    * one pair agg over intra-round community labels (state is
+    * community-bounded), one 1-row argmax broadcast, one relabel —
+    * the BPE-loop shape on graphs; round-crossing labels
+    * localCheckpoint'd (the t19 analyzer lesson). Output: the merge
+    * log (merge_round, c1, c2, score) — negative score = the merge
+    * is past the modularity peak, the CNM stop signal a production
+    * run thresholds on. */
+  def communityMergeOn(edges0: DataFrame,
+      rounds: Int = CommunityMergeRounds): DataFrame = {
+    require(rounds >= 1, s"communityMerge needs rounds >= 1, got $rounds")
+    val edges = edges0.select("a", "b").localCheckpoint(true)
+    val m = edges.count()
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    var labels = deg.select(col("node"), col("node").as("community"),
+      col("deg")).localCheckpoint(true)
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val la = labels.select(col("node").as("a"), col("community").as("ca"))
+      val lb = labels.select(col("node").as("b"), col("community").as("cb"))
+      val dc = labels.groupBy("community").agg(sum("deg").as("d_c"))
+      // community-pair edge counts, canonical c < d orientation
+      val pairs = edges.join(la, "a").join(lb, "b")
+        .filter(col("ca") =!= col("cb"))
+        .select(least(col("ca"), col("cb")).as("c"),
+          greatest(col("ca"), col("cb")).as("d"))
+        .groupBy("c", "d").agg(count(lit(1)).as("e_cd"))
+      val top = pairs
+        .join(dc.select(col("community").as("c"), col("d_c").as("dcc")),
+          "c")
+        .join(dc.select(col("community").as("d"), col("d_c").as("dcd")),
+          "d")
+        .select(col("c"), col("d"),
+          (lit(2L) * m * col("e_cd") - col("dcc") * col("dcd"))
+            .as("score"))
+        .orderBy(col("score").desc, col("c"), col("d")).limit(1)
+        .localCheckpoint(true)
+      labels = labels.crossJoin(broadcast(top))
+        .select(col("node"),
+          when(col("community") === col("d"), col("c"))
+            .otherwise(col("community")).as("community"),
+          col("deg"))
+        .localCheckpoint(true)
+      val row = top.select(lit(r).as("merge_round"), col("c").as("c1"),
+        col("d").as("c2"), col("score"))
+      out = if (out == null) row else out.unionByName(row)
+    }
+    out
   }
 
   /** DIRECTED kNN edges over a (vec_id, v) frame: (src → dst) iff dst
@@ -1031,6 +1136,20 @@ object GraphOps {
     dir
   }
 
+  /** g21's score over the stored strong edges + the artifact-served
+    * component labels (benched g21i). */
+  def modularityFromEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = spark.read.parquet(knnEdgesPath(spark, sfDir)).select("a", "b")
+    modularityOn(e, componentsFromEdges(spark, sfDir)
+      .select(col("vec_id").as("node"), col("cluster_id").as("community")))
+  }
+
+  /** g22's merges over the stored strong edges (benched g22i). */
+  def communityMergeFromEdges(
+      spark: SparkSession, sfDir: String): DataFrame =
+    communityMergeOn(
+      spark.read.parquet(knnEdgesPath(spark, sfDir)).select("a", "b"))
+
   /** g19's peels over the stored directed edges (benched g19i). */
   def sccFromEdges(spark: SparkSession, sfDir: String): DataFrame =
     sccOn(spark.read.parquet(knnDirectedEdgesPath(spark, sfDir)))
@@ -1221,6 +1340,23 @@ object GraphOps {
     // floored, the components are the similarity neighborhoods (42
     // clusters ≤8 wide at sf0.01) and propagation converges in
     // O(cluster diameter) rounds
+    // g21: the MODULARITY of the strong graph's component partition —
+    // the community-quality objective, scored over the same edges and
+    // labels g03 gates (one float scalar, 6-dp)
+    "g21_modularity" -> ((spark: SparkSession, sfDir: String) => {
+      val e = Persists.barrier(mutualKnnEdgesOn(embVecs(spark, sfDir),
+        minCosine = StrongCos))
+      val labels = DedupOps.connectedComponents(
+          e.select(col("a").as("id_a"), col("b").as("id_b")))
+        .select(col("doc_id").as("node"),
+          col("cluster_id").as("community"))
+      modularityOn(e, labels)
+    }),
+    // g22: five CNM greedy modularity merges over the strong graph —
+    // the Louvain-class agglomeration move, integer-exact argmax
+    "g22_community_merge" -> ((spark: SparkSession, sfDir: String) =>
+      communityMergeOn(mutualKnnEdgesOn(embVecs(spark, sfDir),
+        minCosine = StrongCos))),
     // g19: directed SCC over the DIRECTED kNN graph — reciprocated
     // neighbor pairs form 2-cycles, asymmetric kNN membership forms
     // one-way edges; the coloring kernel peels true strongly-
@@ -1778,6 +1914,13 @@ object GraphOps {
                                 (d.deg * (d.deg - 1))
                            ELSE 0.0 END, 6) AS cc
          FROM deg d LEFT JOIN tc ON tc.node = d.node""",
+    // g21: the components oracle's labels feeding the same Q formula
+    // (float division in both engines; the one float scalar 6-dp'd)
+    "g21_modularity" -> modularityOracle,
+    // g22: the five CNM merge rounds unrolled — integer score argmax
+    // with the (score DESC, c, d) tie-break, relabel via the 1-row
+    // top CTE; every round-crossed CTE MATERIALIZED (the g16 lesson)
+    "g22_community_merge" -> communityMergeOracle,
     // g19: ground truth straight from the definition — the recursive
     // transitive closure of the directed kNN edges, scc_id(v) =
     // min({v} ∪ {u : u ⇝ v AND v ⇝ u}); the kernel's peel rounds
@@ -1799,6 +1942,74 @@ object GraphOps {
   /** The component oracle shared by g03 (label propagation) and g12
     * (star contraction): DuckDB's recursive CTE computes the true
     * min-label components of the strong mutual-kNN graph. */
+  private def modularityOracle: String =
+    s"""WITH RECURSIVE ${knnEdgeCtes(Some(StrongCos))},
+         ge AS (SELECT a AS v, b AS u FROM mutual
+                UNION ALL SELECT b, a FROM mutual),
+         cc(v, lbl) AS (
+           SELECT v, v FROM (SELECT DISTINCT v FROM ge)
+           UNION
+           SELECT e.v, cc.lbl FROM ge e JOIN cc ON cc.v = e.u),
+         labels AS MATERIALIZED (
+           SELECT v AS node, min(lbl) AS community FROM cc GROUP BY v),
+         deg AS (SELECT node, count(*) AS deg FROM
+           (SELECT a AS node FROM mutual UNION ALL SELECT b FROM mutual)
+           GROUP BY node),
+         dc AS (SELECT community, sum(deg) AS d_c
+                FROM deg JOIN labels USING (node) GROUP BY community),
+         ec AS (SELECT la.community, count(*) AS e_c
+                FROM mutual e
+                JOIN labels la ON la.node = e.a
+                JOIN labels lb ON lb.node = e.b
+                WHERE la.community = lb.community
+                GROUP BY la.community),
+         mm AS (SELECT count(*) AS m FROM mutual)
+       SELECT mm.m AS m_edges, count(*) AS n_communities,
+              round(sum(coalesce(ec.e_c, 0) / (1.0 * mm.m) -
+                (dc.d_c / (2.0 * mm.m)) * (dc.d_c / (2.0 * mm.m))), 6)
+                AS modularity
+       FROM dc LEFT JOIN ec USING (community) CROSS JOIN mm
+       GROUP BY mm.m"""
+
+  private def communityMergeOracle: String = {
+    val rounds = (1 to CommunityMergeRounds).map { r =>
+      val p = r - 1
+      s"""dc$r AS (SELECT community, sum(deg) AS d_c
+             FROM l$p GROUP BY community),
+         p$r AS (SELECT least(la.community, lb.community) AS c,
+                        greatest(la.community, lb.community) AS d,
+                        count(*) AS e_cd
+                 FROM mutual e
+                 JOIN l$p la ON la.node = e.a
+                 JOIN l$p lb ON lb.node = e.b
+                 WHERE la.community <> lb.community
+                 GROUP BY 1, 2),
+         top$r AS MATERIALIZED (
+           SELECT p.c, p.d, 2 * mm.m * p.e_cd - x.d_c * y.d_c AS score
+           FROM p$r p
+           JOIN dc$r x ON x.community = p.c
+           JOIN dc$r y ON y.community = p.d
+           CROSS JOIN mm
+           ORDER BY score DESC, p.c, p.d LIMIT 1),
+         l$r AS MATERIALIZED (
+           SELECT node,
+                  CASE WHEN community = t.d THEN t.c
+                       ELSE community END AS community, deg
+           FROM l$p CROSS JOIN top$r t)"""
+    }.mkString(",\n")
+    val unions = (1 to CommunityMergeRounds).map(r =>
+      s"SELECT $r AS merge_round, c AS c1, d AS c2, score FROM top$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH ${knnEdgeCtes(Some(StrongCos))},
+       mm AS MATERIALIZED (SELECT count(*) AS m FROM mutual),
+       deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+         (SELECT a AS node FROM mutual UNION ALL SELECT b FROM mutual)
+         GROUP BY node),
+       l0 AS MATERIALIZED (SELECT node, node AS community, deg FROM deg),
+       $rounds
+       $unions"""
+  }
+
   private def sccOracle: String =
     s"""WITH RECURSIVE ${knnEdgeCtes(None)},
          de AS MATERIALIZED (

@@ -78,7 +78,16 @@ object PlanAudit {
       "s16_pq_train", "m07_ahash_candidates", "c21_contamination_report",
       "c22_token_budget_mix", "g16_kcore", "q119_trend_ols",
       "s17_sq8_report", "q120_session_paths", "g17_copart_projection",
-      "g18_label_spread")
+      "g18_label_spread",
+      // round-11 additions: exact-substring overlap/decontamination,
+      // the model-table langid + derived-lang mix, the two training
+      // loops run to completion, the composed IVF-PQ serve, and the
+      // directed/symmetrized SCC kernels
+      "d16_substring_overlap", "c23_substring_decontam",
+      "t18_langid_model", "c24_temperature_mix_langid",
+      "s18_kmeans_train", "t19_bpe_merges", "s19_ann_ivfpq",
+      "g19_scc_knn", "g20_components_scc", "g21_modularity",
+      "g22_community_merge")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

@@ -332,6 +332,12 @@ object ScaleProbe {
         vecsN(spark, n).selectExpr("vec_id",
           "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
         m = 2, k = 4, dim = 16)),
+      // g22: 5 merge rounds, each a community-pair agg over the edge
+      // list + a 1-row argmax + a broadcast relabel — O(|E|) per
+      // round, community-bounded state
+      ("g22_community_merge", n => GraphOps.communityMergeOn(
+        spark.range(n).selectExpr("id AS a",
+          "explode(array(id + 1, id + 2)) AS b"))),
       // g19: superstep fixpoints over a bounded-SCC digraph (8-cycles
       // with backward one-way bridges) — inner rounds track the SCC
       // diameter (8), peels stay at 1, so cost is O(|E|) per doubling
@@ -561,6 +567,55 @@ object ScaleProbe {
       val (ta, tw) = (run(viaAgg(n)), run(viaWindow(n)))
       println(f"topk_agg_vs_window       n=$n agg=$ta%6.2f s " +
         f"window=$tw%6.2f s speedup=${tw / ta}%5.2f x")
+    }
+
+    // q111 follow-up (VERDICT r10 watch item): one more doubling. The
+    // recorded 4x ratio of 2.98 was read as fixed-cost amortization of
+    // the 20-row trailing frame; if the 4x→16x LEG lands ≈4x the frame
+    // is linear and the question closes, superlinear means restaging.
+    if (args.isEmpty) locally {
+      def mk(n: Long) = EventOps.rollingZscoreOn(
+        spark.range(n).selectExpr("id AS event_id",
+          "concat('t', id % 50) AS event_type", "id AS us",
+          "pmod(xxhash64(id, 3), 1000) / 10.0d AS value"))
+      timed(mk(10000)); val (t1, _) = timed(mk(10000))
+      timed(mk(40000)); val (t4, _) = timed(mk(40000))
+      timed(mk(160000)); val (t16, _) = timed(mk(160000))
+      println(f"q111_zscore_16x          t1=$t1%6.2f t4=$t4%6.2f " +
+        f"t16=$t16%6.2f leg1=${t4 / t1}%5.2f leg2=${t16 / t4}%5.2f")
+    }
+
+    // g09 per-iteration cost (replaces the load-corrupted r10 sweep
+    // row): HITS on a fixed synthetic digraph at 3 vs 6 iterations —
+    // with barriered loop bodies per-iteration cost is flat, so the
+    // 6-iter run must land ≈2x the 3-iter run, not superlinear.
+    if (args.isEmpty) locally {
+      def edges = spark.range(100000).selectExpr("id AS src",
+        "explode(array(id + 1, pmod(id * 37, 100000))) AS dst")
+      timed(GraphOps.hitsOn(edges, 3))
+      val (t3, _) = timed(GraphOps.hitsOn(edges, 3))
+      val (t6, _) = timed(GraphOps.hitsOn(edges, 6))
+      println(f"g09_hits_iters           n=100000 iters3=$t3%6.2f s " +
+        f"iters6=$t6%6.2f s ratio=${t6 / t3}%5.2f (flat ≈ 2.0)")
+    }
+
+    // s18/t19 round-cost flatness: the training loops at doubled round
+    // counts on FIXED data — state is model/vocabulary-sized, so the
+    // extra rounds must cost ≈ linearly in the round count.
+    if (args.isEmpty) locally {
+      def vecs = vecsN(spark, 25000).selectExpr("vec_id",
+        "transform(embedding, x -> cast(x AS DOUBLE)) AS v")
+      timed(SimilarityOps.kmeansTrainOn(vecs, rounds = 1))
+      val (k1, _) = timed(SimilarityOps.kmeansTrainOn(vecs, rounds = 1))
+      val (k3, _) = timed(SimilarityOps.kmeansTrainOn(vecs, rounds = 3))
+      println(f"s18_kmeans_rounds        n=25000 r1=$k1%6.2f s " +
+        f"r3=$k3%6.2f s ratio=${k3 / k1}%5.2f (flat ≈ 3.0)")
+      def docs = docsN(spark, 25000)
+      timed(TokenizerOps.bpeTrainOn(docs, merges = 1))
+      val (b1, _) = timed(TokenizerOps.bpeTrainOn(docs, merges = 1))
+      val (b5, _) = timed(TokenizerOps.bpeTrainOn(docs, merges = 5))
+      println(f"t19_bpe_merges_rounds    n=25000 m1=$b1%6.2f s " +
+        f"m5=$b5%6.2f s ratio=${b5 / b1}%5.2f (vocab-sized rounds)")
     }
     spark.stop()
   }

@@ -144,6 +144,10 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(GraphOps.sccFromEdges(spark, sf)))
     assert(rows(GraphOps.queries("g20_components_scc")(spark, sf)) ==
       rows(GraphOps.componentsSccFromEdges(spark, sf)))
+    assert(rows(GraphOps.queries("g21_modularity")(spark, sf)) ==
+      rows(GraphOps.modularityFromEdges(spark, sf)))
+    assert(rows(GraphOps.queries("g22_community_merge")(spark, sf)) ==
+      rows(GraphOps.communityMergeFromEdges(spark, sf)))
   }
 
   test("mutual-kNN cosine floor drops weak reciprocated pairs") {
