@@ -112,7 +112,8 @@ object Bench {
     "c23_substring_decontam", "t18_langid_model",
     "c24_temperature_mix_langid", "s18_kmeans_train",
     "t19_bpe_merges", "s19_ann_ivfpq", "g19i_scc_knn",
-    "g20i_components_scc", "g21i_modularity", "g22i_community_merge")
+    "g20i_components_scc", "g21i_modularity", "g22i_community_merge",
+    "t20_bpe_encode")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

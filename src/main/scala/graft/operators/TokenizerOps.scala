@@ -58,7 +58,13 @@ object TokenizerOps {
     bpeTrainOn(Tables.load(spark, sfDir, "documents"), merges)
 
   /** [[bpeTrain]] over any frame with a `text` column. */
-  private[graft] def bpeTrainOn(d: DataFrame, merges: Int): DataFrame = {
+  private[graft] def bpeTrainOn(d: DataFrame, merges: Int): DataFrame =
+    bpeLoop(d, merges)._1
+
+  /** The count→argmax→merge loop, returning BOTH the merge log and
+    * the final per-word symbol table — one definition shared by t19
+    * (the log) and t20 (the encode). */
+  private def bpeLoop(d: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     require(merges >= 1, s"bpeTrain needs merges >= 1, got $merges")
     val W = org.apache.spark.sql.expressions.Window
     val words = d.select(explode(split(col("text"), " ")).as("word"))
@@ -117,12 +123,42 @@ object TokenizerOps {
         col("s2"), col("cnt"))
       out = if (out == null) row else out.unionByName(row)
     }
-    out
+    (out, syms)
+  }
+
+  /** t20: ENCODE the corpus with the trained merges — the apply step
+    * that closes t19's train loop (train once on the vocabulary,
+    * tokenize everything). The final per-word symbol table from the
+    * SAME loop tokenizes each distinct word once; the corpus is then
+    * one word-explode joined against that vocabulary-sized table.
+    * Output per doc: (doc_id, n_words, n_chars = pre-merge character
+    * tokens, n_tokens_bpe = symbols under the trained vocab) — the
+    * compression accounting a tokenizer owner reads (bpe < chars by
+    * exactly the merge applications landing in that doc's words).
+    * Integer-only, hash-anchored; the oracle reuses t19's unrolled
+    * CTEs and reads the final symbol table instead of the tops. */
+  def bpeEncode(
+      spark: SparkSession, sfDir: String,
+      merges: Int = BpeMerges): DataFrame =
+    bpeEncodeOn(Tables.load(spark, sfDir, "documents"), merges)
+
+  /** [[bpeEncode]] over any (doc_id, text) frame. */
+  private[graft] def bpeEncodeOn(d: DataFrame, merges: Int): DataFrame = {
+    val syms = bpeLoop(d, merges)._2
+    val wordTok = syms.groupBy("word").agg(count(lit(1)).as("n_sym"))
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(wordTok, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        sum("n_sym").as("n_tokens_bpe"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_bpe_pairs" -> ((s: SparkSession, d: String) => bpePairCounts(s, d)),
-    "t19_bpe_merges" -> ((s: SparkSession, d: String) => bpeTrain(s, d))
+    "t19_bpe_merges" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
+    "t20_bpe_encode" -> ((s: SparkSession, d: String) => bpeEncode(s, d))
   )
 
   /** t19's DuckDB twin: the count→argmax→merge loop unrolled
@@ -130,7 +166,9 @@ object TokenizerOps {
     * (adjacent self-join, (cnt DESC, s1, s2) LIMIT 1, island-parity
     * merge application, renumber); every re-read CTE MATERIALIZED
     * (the g16 lesson — s_r feeds the next round three times). */
-  private val bpeTrainOracle: String = {
+  /** The shared WITH-body of the t19/t20 oracles: word counts, the
+    * initial symbol table, and the [[BpeMerges]] unrolled rounds. */
+  private def bpeCtes: String = {
     val rounds = (1 to BpeMerges).map { r =>
       val p = r - 1
       s"""adj$r AS MATERIALIZED (
@@ -169,10 +207,7 @@ object TokenizerOps {
                ON n.word = s.word AND n.pos = s.pos + 1
              WHERE dp.pos IS NULL))"""
     }.mkString(",\n")
-    val unions = (1 to BpeMerges).map(r =>
-      s"SELECT $r AS merge_round, s1, s2, cnt FROM top$r")
-      .mkString("\n UNION ALL ")
-    s"""WITH words AS MATERIALIZED (
+    s"""words AS MATERIALIZED (
          SELECT w AS word, count(*) AS wcnt
          FROM (SELECT unnest(string_split(text, ' ')) AS w
                FROM documents)
@@ -181,12 +216,34 @@ object TokenizerOps {
          SELECT word, wcnt, CAST(u.i AS INTEGER) AS pos,
                 substring(word, u.i, 1) AS sym
          FROM words, unnest(generate_series(1, length(word))) AS u(i)),
-       $rounds
-       $unions"""
+       $rounds"""
   }
+
+  private val bpeTrainOracle: String = {
+    val unions = (1 to BpeMerges).map(r =>
+      s"SELECT $r AS merge_round, s1, s2, cnt FROM top$r")
+      .mkString("\n UNION ALL ")
+    s"WITH $bpeCtes\n $unions"
+  }
+
+  /** t20's twin: the t19 CTEs, read at the FINAL symbol table. */
+  private val bpeEncodeOracle: String =
+    s"""WITH $bpeCtes,
+       wt AS (SELECT word, count(*) AS n_sym
+              FROM s$BpeMerges GROUP BY word),
+       dw AS (SELECT doc_id, w AS word FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+              WHERE w <> '')
+     SELECT doc_id, count(*) AS n_words,
+            sum(length(word)) AS n_chars,
+            sum(n_sym) AS n_tokens_bpe
+     FROM dw JOIN wt USING (word)
+     GROUP BY doc_id"""
 
   def oracleSql: Map[String, String] = Map(
     "t19_bpe_merges" -> bpeTrainOracle,
+    "t20_bpe_encode" -> bpeEncodeOracle,
     "t11_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
                     FROM documents),

@@ -87,7 +87,7 @@ object PlanAudit {
       "t18_langid_model", "c24_temperature_mix_langid",
       "s18_kmeans_train", "t19_bpe_merges", "s19_ann_ivfpq",
       "g19_scc_knn", "g20_components_scc", "g21_modularity",
-      "g22_community_merge")
+      "g22_community_merge", "t20_bpe_encode")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

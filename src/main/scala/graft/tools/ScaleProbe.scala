@@ -357,6 +357,11 @@ object ScaleProbe {
       // doubles only the count stage
       ("t19_bpe_merges", n => TokenizerOps.bpeTrainOn(
         docsN(spark, n), merges = 5)),
+      // t20: train on the vocabulary, then one corpus word-explode
+      // joined against the vocabulary-sized tokenization — linear in
+      // corpus words on top of t19's cost
+      ("t20_bpe_encode", n => TokenizerOps.bpeEncodeOn(
+        docsN(spark, n), merges = 5)),
       // t18: 2×-chars gram explode into a 30-row broadcast join and a
       // (doc, lang)-keyed partial agg — linear in corpus chars
       ("t18_langid_model", n => TextOps.langIdModelOn(docsN(spark, n))),

@@ -69,4 +69,19 @@ class BpeTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = train(Seq("cd ab cd ab"), 1)
     assert(got(0) === ((1, "a", "b", 2L)))
   }
+
+  test("encode applies the trained merges: token counts shrink by the merge hits") {
+    val s = spark
+    import s.implicits._
+    // corpus "abc abc abc de": merge 1 = (a,b) cnt 3, merge 2 =
+    // (ab,c) cnt 3. Encoded: "abc" -> 1 symbol, "de" -> 2 symbols.
+    // doc tokens: 3 words, chars 3+3+3+2=11, bpe 1+1+1+2 = 5... one
+    // doc with all four words:
+    val d = Seq((7L, "abc abc abc de")).toDF("doc_id", "text")
+    val got = TokenizerOps.bpeEncodeOn(d, merges = 2).collect().head
+    assert(got.getLong(0) === 7L)
+    assert(got.getLong(1) === 4L)  // n_words
+    assert(got.getLong(2) === 11L) // n_chars (pre-merge symbols)
+    assert(got.getLong(3) === 5L)  // 3x"abc"->1 sym + "de"->2 syms
+  }
 }
