@@ -1004,6 +1004,56 @@ object DedupOps {
       .agg(max("run_len").as("max_overlap_tokens"))
   }
 
+  /** d17: SEMANTIC dedup with CLUSTER blocking (the SemDeDup shape,
+    * Abbas et al. 2023 §2: k-means cells as the candidate blocks,
+    * pairwise cosine inside each cell): every embedding assigns to
+    * its nearest coarse centroid (the deterministic modular model —
+    * the s04 quantizer, so the gate is fully oracle-able where d05's
+    * LSH banding needs a portable-hash twin), and only same-cell
+    * pairs are scored; pairs at rounded cosine ≥ `threshold` flag as
+    * semantic duplicates (id_a < id_b — d05's output contract; the
+    * gate threshold 0.3 is d05's, the band that BINDS on the
+    * structureless synthetic corpus — 201 flagged pairs at both gate
+    * SFs — where a real-corpus run uses ~0.95). At
+    * scale the blocking IS the point: candidate work is Σ_cells
+    * |cell|²/2 ≈ n²/C instead of n², with C ≈ √n making it n^1.5,
+    * and cells are embarrassingly partition-parallel (each cell's
+    * pairs co-locate under one shuffle key). A same-threshold near-
+    * dup that straddles a Voronoi boundary is the documented recall
+    * loss vs brute (SemDeDup's own trade); d05's LSH path catches it
+    * with independent hash tables. */
+  def semdedupCells(
+      spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3, centroidMod: Int = 23): DataFrame =
+    semdedupCellsOn(graft.operators.SimilarityOps.vecs(spark, sfDir),
+      Tables.rowCount(spark, sfDir, "embeddings"), threshold, centroidMod)
+
+  /** [[semdedupCells]] over any (vec_id, v) frame with a known row
+    * count — fixture-injectable (ScaleProbe). */
+  private[graft] def semdedupCellsOn(
+      all: DataFrame, rows: Long,
+      threshold: Double, centroidMod: Int = 23): DataFrame = {
+    val spark = all.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val (centIds, centVecs) =
+      graft.operators.SimilarityOps.centroidModel(all, rows, centroidMod)
+    val idsLit =
+      org.apache.spark.sql.functions.typedlit(centIds)
+    // barriered: the assigned frame feeds both sides of the
+    // within-cell pair join
+    val assigned = Persists.barrier(all
+      .withColumn("nc", graft.operators.SimilarityOps.nearestCents(
+        spark, col("v"), centVecs, 1))
+      .select(col("vec_id"), col("v"),
+        element_at(idsLit, col("nc").getItem(0) + 1).as("cell")))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(expr("graft_cosine(a.v, b.v)"), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** d16: EXACT-SUBSTRING overlap dedup — for every doc pair sharing
     * at least one run of `n` consecutive identical tokens, the length
     * of the LONGEST shared run. The standard "remove any ≥N-token
@@ -1062,6 +1112,8 @@ object DedupOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d16_substring_overlap" ->
       ((s: SparkSession, d: String) => substringOverlap(s, d)),
+    "d17_semdedup_cells" ->
+      ((s: SparkSession, d: String) => semdedupCells(s, d)),
     "d01_dedup_exact" -> ((spark: SparkSession, sfDir: String) => {
       Tables.registerAll(spark, sfDir); spark.sql(exactSql)
     }),
@@ -1271,8 +1323,42 @@ object DedupOps {
          ON a.w = b.w AND a.doc_id < b.doc_id""",
     "doc_a", "doc_b")
 
+  /** d17's DuckDB twin: the s04 oracle's Voronoi assignment (argmax
+    * unrounded cosine, ties to the lower cent_id) feeding a same-cell
+    * pair join and the rounded-cosine threshold. */
+  private val semdedupOracle: String =
+    """WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       cents AS (SELECT vec_id AS cent_id, v FROM v WHERE vec_id % 23 = 0),
+       sim AS (
+         SELECT a.vec_id, c.cent_id,
+                list_dot_product(a.v, c.v) /
+                  sqrt(list_sum(list_transform(a.v, x -> x * x)) *
+                       list_sum(list_transform(c.v, x -> x * x))) AS s
+         FROM v a, cents c),
+       assign AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cent_id) AS rn
+           FROM sim) WHERE rn = 1),
+       scored AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(x.v, y.v) /
+                      sqrt(list_sum(list_transform(x.v, t -> t * t)) *
+                           list_sum(list_transform(y.v, t -> t * t))),
+                      4) AS cosine
+         FROM assign a JOIN assign b
+           ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         JOIN v x ON x.vec_id = a.vec_id
+         JOIN v y ON y.vec_id = b.vec_id)
+     SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3"""
+
   def oracleSql: Map[String, String] = Map(
     "d16_substring_overlap" -> substringOverlapOracle,
+    "d17_semdedup_cells" -> semdedupOracle,
     "d15_cdc_chunks" -> cdcChunkOracle,
     "d01_dedup_exact" -> exactSql,
     "d11_dedup_keep_quality" -> keepQualityOracle,

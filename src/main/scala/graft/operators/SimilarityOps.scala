@@ -79,6 +79,41 @@ object SimilarityOps {
     exactTopK(all, all.filter(col("vec_id") < nQueries), k)
   }
 
+  /** s20: HARD-NEGATIVE mining for contrastive training — per anchor,
+    * the top-`k` most-similar corpus vectors that are NOT near-
+    * duplicates (cosine < `dupThreshold`): the highest-value negatives
+    * a contrastive objective can see, with the positives/duplicates
+    * (≥ threshold — d05/d17's flag band) excluded so a training pair
+    * never contrasts a document against its own copy. c14's seeded
+    * RANDOM negatives are the baseline; this is the ANN-powered
+    * upgrade every embedding-model pipeline runs. Same brute scoring
+    * kernel and (cosine desc, id) rank as s01 — the dup filter sits
+    * between scoring and ranking, so rank 1 is the hardest VALID
+    * negative. The gate threshold 0.33 is the band that BINDS on the
+    * structureless corpus (it excludes the raw top-1 of 4-5 of the 5
+    * anchors at both gate SFs, so the gated output provably differs
+    * from s01); a real-corpus run sets the d17/d05 dup threshold
+    * (~0.95). */
+  def hardNegatives(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, k: Int = 10,
+      dupThreshold: Double = 0.33): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = vecs(spark, sfDir)
+    val scored = all.as("c").join(
+        broadcast(all.filter(col("vec_id") < nQueries).as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        round(cosineExpr, 4).as("cosine"))
+      .filter(col("cosine") < dupThreshold)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** LSH-bucketed ANN: `tables` independent hash tables of `planes`-bit
     * signatures; a candidate appears if it collides with the query in ANY
     * table. Approximate — recall grows with `tables`. */
@@ -1304,6 +1339,8 @@ object SimilarityOps {
     // IvfPqRecallSpec is the contract (recall floor + pruned plan)
     "s19_ann_ivfpq" ->
       ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
+    "s20_hard_negatives" ->
+      ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "s16_pq_train" ->
       ((s: SparkSession, d: String) => pqTrainStep(s, d)),
     "s14_kmeans_step" ->
@@ -1414,6 +1451,30 @@ object SimilarityOps {
   def oracleSql: Map[String, String] = Map(
     "s12_embedding_covariance" -> covarianceOracle,
     "s01_ann_brute" -> bruteOracle,
+    // s20: s01's oracle with the duplicate band excluded BETWEEN
+    // scoring and ranking (rank 1 = hardest valid negative)
+    "s20_hard_negatives" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(q.v, c.v) /
+                        sqrt(list_sum(list_transform(q.v, x -> x * x)) *
+                             list_sum(list_transform(c.v, x -> x * x))),
+                        4) AS cosine
+           FROM v q, v c
+           WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT query_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+                    AS rank,
+                  neighbor_id, cosine
+           FROM scored WHERE cosine < 0.33)
+       SELECT query_id, rank, neighbor_id, cosine
+       FROM ranked WHERE rank <= 10""",
     // s17: the same exact min/max selections, the same single-rounded
     // affine code/reconstruct arithmetic, 9-dp max / 6-dp mean serve
     "s17_sq8_report" ->

@@ -332,6 +332,12 @@ object ScaleProbe {
         vecsN(spark, n).selectExpr("vec_id",
           "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
         m = 2, k = 4, dim = 16)),
+      // d17: same-cell pair join — candidate work Σ|cell|²/2 ≈ n²/C
+      // with C = n/mod growing WITH the corpus, so per-cell population
+      // is ~constant and total work stays ~linear (the clustered-vec
+      // corpus keeps dup groups cell-local)
+      ("d17_semdedup_cells", n => DedupOps.semdedupCellsOn(
+        clusteredVecsN(spark, n), n, threshold = 0.9)),
       // g22: 5 merge rounds, each a community-pair agg over the edge
       // list + a 1-row argmax + a broadcast relabel — O(|E|) per
       // round, community-bounded state
