@@ -680,7 +680,34 @@ object CurationOps {
         .select(col("doc_id"), col("lang").as("source")), seed)
       .select(col("doc_id"), col("source").as("lang"))
 
+  /** c25: the MULTILINGUAL CURATION PIPELINE — the three round-11
+    * primitives composed the way a real corpus build runs them:
+    * (1) t18's model-table langid derives each doc's language,
+    * (2) c16's √-temperature mix flattens across the DETECTED
+    * languages, (3) c23's exact-substring decontamination drops every
+    * surviving train doc sharing a ≥6-token run with the eval suite.
+    * One gated entry proves the composition (not just the parts)
+    * hash-reproduces — the c03/c10 pipeline discipline. Output:
+    * (doc_id, lang), the curated train set. Each stage is the already
+    * -gated operator verbatim, so the pipeline inherits their scale
+    * shapes (broadcast model scan; per-lang hash filter; window-value
+    * banded candidates). */
+  def multilingualPipeline(
+      spark: SparkSession, sfDir: String,
+      evalSource: String = "src0", seed: Int = 7): DataFrame = {
+    val d = docs(spark, sfDir)
+    val kept = temperatureMixOn(
+      TextOps.langIdModelOn(d)
+        .select(col("doc_id"), col("lang").as("source")), seed)
+      .select(col("doc_id"), col("source").as("lang"))
+    val contaminated = DedupOps.substringCrossOverlapOn(d, evalSource)
+      .select(col("train_id").as("doc_id")).distinct()
+    kept.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c25_multilingual_pipeline" ->
+      ((s: SparkSession, d: String) => multilingualPipeline(s, d)),
     "c24_temperature_mix_langid" ->
       ((s: SparkSession, d: String) => temperatureMixLangid(s, d)),
     "c23_substring_decontam" ->
@@ -854,6 +881,30 @@ object CurationOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // c25: the c24 oracle (langid → mix) anti-joined against c23's
+    // contaminated train ids — stage oracles composed verbatim
+    "c25_multilingual_pipeline" -> {
+      val h = graft.operators.PortableHash.packed(
+        "'tmix' || 7 || ':' || doc_id")
+      val contamSql = DedupOps.substringOracle(
+        """SELECT a.doc_id AS ka, b.doc_id AS kb, a.pos AS pa, b.pos AS pb
+           FROM cold a JOIN cold b
+             ON a.w = b.w AND a.source <> 'src0' AND b.source = 'src0'""",
+        "train_id", "eval_id")
+      s"""WITH langid AS MATERIALIZED (
+           SELECT * FROM (${TextOps.langIdModelOracle}) q),
+         c AS (SELECT lang, count(*) AS cnt FROM langid GROUP BY lang),
+         r AS (SELECT lang,
+                      sqrt((SELECT min(cnt) FROM c) * 1.0 / cnt) AS rate
+               FROM c),
+         kept AS (
+           SELECT l.doc_id, l.lang
+           FROM langid l JOIN r ON r.lang = l.lang
+           WHERE $h % 1000000 < CAST(floor(rate * 1000000) AS BIGINT)),
+         contam AS (SELECT DISTINCT train_id FROM ($contamSql))
+       SELECT doc_id, lang FROM kept
+       WHERE doc_id NOT IN (SELECT train_id FROM contam)"""
+    },
     // c24: t18's langid oracle embedded as the source of the c16 mix —
     // same √-flattening, same seeded portable hash, keyed on lang_pred
     "c24_temperature_mix_langid" -> {

@@ -64,6 +64,23 @@ class LangIdModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getLong(2) === 1L)
   }
 
+  test("c25 pipeline = mix output minus the contaminated train docs") {
+    val sf = "/root/testdata/sf0.001"
+    val piped = CurationOps.multilingualPipeline(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val mixed = CurationOps.temperatureMixLangid(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val contam = DedupOps.substringCrossOverlapOn(
+        org.apache.spark.sql.SparkSession.active.read
+          .parquet(s"$sf/documents.parquet"), "src0")
+      .collect().map(_.getLong(0)).toSet
+    assert(piped === mixed.diff(contam))
+    assert(piped.intersect(contam).isEmpty)
+    // the decontamination stage BINDS on this fixture: at least one
+    // mixed doc is contaminated and actually dropped
+    assert(mixed.intersect(contam).nonEmpty)
+  }
+
   test("c24's mix flattens toward the rarest detected language") {
     val s = spark
     import s.implicits._
