@@ -114,7 +114,7 @@ object Bench {
     "t19_bpe_merges", "s19_ann_ivfpq", "g19i_scc_knn",
     "g20i_components_scc", "g21i_modularity", "g22i_community_merge",
     "t20_bpe_encode", "d17_semdedup_cells", "s20_hard_negatives",
-    "c25_multilingual_pipeline")
+    "c25_multilingual_pipeline", "s21_pq_train_full")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -1296,6 +1296,59 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n"), round(avg("x"), 6).as("mean"))
   }
 
+  /** Fixed round count for the gated PQ-codebook training loop. */
+  val PqTrainRounds = 3
+
+  /** s21: the s16 per-subspace Lloyd step ITERATED to a fixed round
+    * count — the PQ codebook trained to completion as a gated
+    * operator (s18's discipline applied in each of the m subspaces):
+    * every round re-enters from the 6-dp-serialized sub-centroid
+    * means, 9-dp distances with the (d, cent_id) tie-break, emptied
+    * cells vanish identically; the sub-vector explode happens ONCE
+    * (barriered) and every round is a broadcast join against the
+    * ≤ m·k-row codebook + an m·k·(d/m)-bounded cell agg — per-round
+    * cost corpus-linear and flat. Output after round `rounds`:
+    * (subspace, cent_id, dim, n, mean) — s16's contract. */
+  def pqTrainFull(spark: SparkSession, sfDir: String): DataFrame =
+    pqTrainFullOn(vecs(spark, sfDir))
+
+  /** [[pqTrainFull]] over any (vec_id, v) frame; `dim` must divide
+    * evenly into `m` subspaces. */
+  def pqTrainFullOn(
+      corpus: DataFrame, m: Int = 8, k: Int = 4, dim: Int = 64,
+      rounds: Int = PqTrainRounds): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(rounds >= 1, s"pqTrainFull needs rounds >= 1, got $rounds")
+    val w = dim / m
+    val subExpr =
+      s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $w + 1, $w))"
+    val c = Persists.barrier(corpus.select("vec_id", "v"))
+    val sub = Persists.barrier(c.select(col("vec_id"),
+      posexplode(expr(subExpr)).as(Seq("subspace", "sv"))))
+    var cents = c.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cent_id"),
+        posexplode(expr(subExpr)).as(Seq("subspace", "cv")))
+    var means: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val assigned = sub.join(broadcast(cents), "subspace")
+        .withColumn("d", round(expr(
+          "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+            "0D, (acc, x) -> acc + x)"), 9))
+        .groupBy("vec_id", "subspace")
+        .agg(min(struct(col("d"), col("cent_id"), col("sv"))).as("mm"))
+      // barriered per round (the s18 loop-body rule)
+      means = Persists.barrier(assigned
+        .select(col("subspace"), col("mm.cent_id").as("cent_id"),
+          posexplode(col("mm.sv")).as(Seq("dim", "x")))
+        .groupBy("subspace", "cent_id", "dim")
+        .agg(count(lit(1)).as("n"), round(avg("x"), 6).as("mean")))
+      cents = means.groupBy("subspace", "cent_id").agg(
+        expr("transform(array_sort(collect_list(struct(dim, mean))), " +
+          "s -> s.mean)").as("cv"))
+    }
+    means
+  }
+
   /** s17: INT8 scalar quantization with a per-dimension reconstruction
     * -error report — the serving-compression primitive beside PQ
     * (4× smaller vectors, table-free decode): per dim, an affine
@@ -1341,6 +1394,8 @@ object SimilarityOps {
       ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
     "s20_hard_negatives" ->
       ((s: SparkSession, d: String) => hardNegatives(s, d)),
+    "s21_pq_train_full" ->
+      ((s: SparkSession, d: String) => pqTrainFull(s, d)),
     "s16_pq_train" ->
       ((s: SparkSession, d: String) => pqTrainStep(s, d)),
     "s14_kmeans_step" ->
@@ -1504,6 +1559,49 @@ object SimilarityOps {
     // s16: the s14 mirror per subspace — 1-based slices sv = v[8s+1 ..
     // 8s+8], seeds from the 4 lowest ids, same 9-dp grid/tie-break,
     // subspace and dim cast to INTEGER (Spark posexplode emits int)
+    // s21: s16's round unrolled PqTrainRounds times — the s18 oracle
+    // pattern per subspace; round-r sub-centroids rebuilt from the
+    // 6-dp means via list(mean ORDER BY dim)
+    "s21_pq_train_full" -> {
+      val rounds = (1 to PqTrainRounds).map { r =>
+        s"""d$r AS (SELECT sub.vec_id, sub.subspace, c.cent_id, sub.sv,
+                 round(list_sum(list_transform(range(1, 9),
+                   i -> (sub.sv[i] - c.cv[i]) *
+                        (sub.sv[i] - c.cv[i]))), 9) AS d
+               FROM sub JOIN c${r - 1} c USING (subspace)),
+           a$r AS (SELECT vec_id, subspace, cent_id, sv,
+                 row_number() OVER (PARTITION BY vec_id, subspace
+                                    ORDER BY d, cent_id) AS rn
+               FROM d$r),
+           m$r AS MATERIALIZED (
+             SELECT subspace, cent_id, CAST(dims.dim AS INTEGER) AS dim,
+                    count(*) AS n, round(avg(a.sv[dims.dim + 1]), 6)
+                      AS mean
+             FROM (SELECT subspace, cent_id, sv FROM a$r WHERE rn = 1) a
+             CROSS JOIN (SELECT unnest(range(0, 8)) AS dim) dims
+             GROUP BY subspace, cent_id, dims.dim),
+           c$r AS MATERIALIZED (
+             SELECT subspace, cent_id, list(mean ORDER BY dim) AS cv
+             FROM m$r GROUP BY subspace, cent_id)"""
+      }.mkString(",\n")
+      s"""WITH v AS MATERIALIZED (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         sub AS MATERIALIZED (
+           SELECT vec_id, CAST(s.s AS INTEGER) AS subspace,
+                  v.v[CAST(s.s * 8 + 1 AS INTEGER):
+                      CAST(s.s * 8 + 8 AS INTEGER)] AS sv
+           FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s),
+         c0 AS MATERIALIZED (
+           SELECT vec_id AS cent_id, subspace, sv AS cv
+           FROM sub
+           WHERE vec_id IN (SELECT vec_id FROM v
+                            ORDER BY vec_id LIMIT 4)),
+         $rounds
+         SELECT subspace, cent_id, dim, n, mean
+         FROM m$PqTrainRounds"""
+    },
     "s16_pq_train" ->
       """WITH v AS (SELECT vec_id,
                            list_transform(embedding,

@@ -88,7 +88,8 @@ object PlanAudit {
       "s18_kmeans_train", "t19_bpe_merges", "s19_ann_ivfpq",
       "g19_scc_knn", "g20_components_scc", "g21_modularity",
       "g22_community_merge", "t20_bpe_encode", "d17_semdedup_cells",
-      "s20_hard_negatives", "c25_multilingual_pipeline")
+      "s20_hard_negatives", "c25_multilingual_pipeline",
+      "s21_pq_train_full")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

@@ -352,6 +352,12 @@ object ScaleProbe {
             "CASE WHEN (id + 1) % 8 = 0 THEN id - 7 ELSE id + 1 END AS dst")
           .unionAll(spark.range(n / 8).filter("id > 0")
             .selectExpr("id * 8 AS src", "(id - 1) * 8 AS dst")))),
+      // s21: 3 per-subspace Lloyd rounds over the once-exploded
+      // sub-vector frame — linear in n at fixed (m, k, d, rounds)
+      ("s21_pq_train_full", n => SimilarityOps.pqTrainFullOn(
+        vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
+        m = 2, k = 4, dim = 16)),
       // s18: 3 Lloyd rounds, each one broadcast cross-join + k·d-
       // bounded cell agg — linear in n at fixed (k, d, rounds); round
       // cost is flat (state is k·d, independent of round index)

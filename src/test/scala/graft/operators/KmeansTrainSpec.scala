@@ -71,6 +71,30 @@ class KmeansTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one === step)
   }
 
+  test("PQ training round 1 equals the gated single step (s16)") {
+    val d = blobs
+    val one = SimilarityOps.pqTrainFullOn(d, m = 2, k = 4, dim = 64,
+        rounds = 1)
+      .orderBy("subspace", "cent_id", "dim").collect().toSeq
+    val step = SimilarityOps.pqTrainStepOn(d, m = 2, k = 4, dim = 64)
+      .orderBy("subspace", "cent_id", "dim").collect().toSeq
+    assert(one === step)
+  }
+
+  test("PQ training converges per subspace on the blob fixture") {
+    val d = blobs
+    def cents(rounds: Int) =
+      SimilarityOps.pqTrainFullOn(d, m = 2, k = 2, dim = 64,
+          rounds = rounds)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))
+          -> r.getDouble(4)).toMap
+    val r2 = cents(2); val r3 = cents(3)
+    val keys = r2.keySet.intersect(r3.keySet)
+    val move = keys.toSeq.map(k => math.abs(r2(k) - r3(k))).max
+    assert(move === 0.0,
+      s"two ±1 blobs must fixpoint per subspace by round 3, moved $move")
+  }
+
   test("cluster sizes cover the corpus every round") {
     val d = blobs
     val out = SimilarityOps.kmeansTrainOn(d, k = 2, rounds = 3)
