@@ -114,7 +114,8 @@ object Bench {
     "t19_bpe_merges", "s19_ann_ivfpq", "g19i_scc_knn",
     "g20i_components_scc", "g21i_modularity", "g22i_community_merge",
     "t20_bpe_encode", "d17_semdedup_cells", "s20_hard_negatives",
-    "c25_multilingual_pipeline", "s21_pq_train_full")
+    "c25_multilingual_pipeline", "s21_pq_train_full",
+    "g23i_louvain_move")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -200,7 +201,9 @@ object Bench {
     "g21i_modularity" ->
       ((s, d) => graft.operators.GraphOps.modularityFromEdges(s, d)),
     "g22i_community_merge" ->
-      ((s, d) => graft.operators.GraphOps.communityMergeFromEdges(s, d)))
+      ((s, d) => graft.operators.GraphOps.communityMergeFromEdges(s, d)),
+    "g23i_louvain_move" ->
+      ((s, d) => graft.operators.GraphOps.louvainFromEdges(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -594,6 +594,82 @@ object GraphOps {
     out
   }
 
+  private val LouvainMoveRounds = 3
+
+  /** g23: LOUVAIN PHASE-1 LOCAL MOVES — the node-level move that
+    * defines the Louvain method (Blondel et al. 2008), run a fixed
+    * `rounds` times from singleton communities: each round, every
+    * eligible node considers its neighbors' communities plus its own
+    * and relabels to the one maximizing the modularity gain of
+    * adopting it, compared EXACTLY as the integer cross-multiple
+    * score = 2·m·k_vc − deg_v·(d_c − [c = own]·deg_v) (the g22
+    * argmax discipline — no float ever enters the comparison, ties
+    * by community id, so the gate is hash-anchored). Complements g22:
+    * CNM merges whole communities; this moves individual nodes — the
+    * two phases a production Louvain alternates.
+    *
+    * A NAIVE synchronous sweep oscillates on symmetric structure (two
+    * singleton neighbors adopt EACH OTHER's label forever); parallel
+    * Louvain implementations break the symmetry by partitioning nodes
+    * into independent-ish classes and moving one class per sub-round
+    * (the coloring heuristic in Lu, Halappanavar & Kalyanaraman,
+    * "Parallel heuristics for scalable community detection", 2015).
+    * Here the classes are the trivial 2-coloring by node-id parity:
+    * round r moves only nodes with node % 2 = r % 2 — deterministic,
+    * engine-independent, and enough for the two-triangle fixture to
+    * converge to the exact triangle partition in 3 rounds
+    * (LouvainMoveSpec walks the hand sequence).
+    *
+    * Per round: one incidence⋈labels join + a (v, c) agg (candidate
+    * state is Σ_v distinct neighbor communities ≤ |E|), one
+    * community-degree agg, one per-node argmax window — all
+    * key-partitioned, no driver state but the one |E| scalar; labels
+    * localCheckpoint'd per round (the g12 lineage discipline).
+    * Returns (vec_id, community) after `rounds` rounds. */
+  def louvainMoveOn(edges0: DataFrame,
+      rounds: Int = LouvainMoveRounds): DataFrame = {
+    require(rounds >= 1, s"louvainMove needs rounds >= 1, got $rounds")
+    val edges = edges0.select("a", "b").localCheckpoint(true)
+    val m = edges.count() // bounded collect: one |E| scalar
+    val inc = Persists.barrier(
+      edges.select(col("a").as("v"), col("b").as("u"))
+        .unionAll(edges.select(col("b").as("v"), col("a").as("u"))))
+    val deg = inc.groupBy("v").agg(count(lit(1)).as("deg"))
+    var labels = deg.select(col("v").as("node"), col("v").as("community"),
+      col("deg")).localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val par = r % 2
+      val lu = labels.select(col("node").as("u"), col("community").as("c"))
+      val dc = labels.groupBy("community").agg(sum("deg").as("d_c"))
+      val movers = labels.filter(col("node") % 2 === par)
+      // k_vc per mover: edges into each neighbor community, plus the
+      // stay candidate (own community, k += 0) so a node with no
+      // same-community neighbor still scores staying
+      val cand = inc.filter(col("v") % 2 === par)
+        .join(lu, "u")
+        .select(col("v"), col("c"), lit(1L).as("k"))
+        .unionByName(movers.select(col("node").as("v"),
+          col("community").as("c"), lit(0L).as("k")))
+        .groupBy("v", "c").agg(sum("k").as("k"))
+      val scored = cand
+        .join(movers.select(col("node").as("v"),
+          col("community").as("own"), col("deg")), "v")
+        .join(dc.select(col("community").as("c"), col("d_c")), "c")
+        .select(col("v"), col("c"), col("deg"),
+          (lit(2L * m) * col("k") - col("deg") *
+            (col("d_c") - when(col("c") === col("own"), col("deg"))
+              .otherwise(lit(0L)))).as("score"))
+      val w = Window.partitionBy("v")
+        .orderBy(col("score").desc, col("c"))
+      val moved = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v").as("node"), col("c").as("community"), col("deg"))
+      labels = labels.filter(col("node") % 2 =!= par)
+        .unionByName(moved).localCheckpoint(true)
+    }
+    labels.select(col("node").as("vec_id"), col("community"))
+  }
+
   /** DIRECTED kNN edges over a (vec_id, v) frame: (src → dst) iff dst
     * is in src's top-`k` by rounded cosine (ties by neighbor id — the
     * s01 rank convention), WITHOUT the reciprocity filter that makes
@@ -1150,6 +1226,11 @@ object GraphOps {
     communityMergeOn(
       spark.read.parquet(knnEdgesPath(spark, sfDir)).select("a", "b"))
 
+  /** g23's moves over the stored strong edges (benched g23i). */
+  def louvainFromEdges(spark: SparkSession, sfDir: String): DataFrame =
+    louvainMoveOn(
+      spark.read.parquet(knnEdgesPath(spark, sfDir)).select("a", "b"))
+
   /** g19's peels over the stored directed edges (benched g19i). */
   def sccFromEdges(spark: SparkSession, sfDir: String): DataFrame =
     sccOn(spark.read.parquet(knnDirectedEdgesPath(spark, sfDir)))
@@ -1356,6 +1437,12 @@ object GraphOps {
     // the Louvain-class agglomeration move, integer-exact argmax
     "g22_community_merge" -> ((spark: SparkSession, sfDir: String) =>
       communityMergeOn(mutualKnnEdgesOn(embVecs(spark, sfDir),
+        minCosine = StrongCos))),
+    // g23: three parity-alternating Louvain phase-1 move rounds over
+    // the strong graph — the node-level sibling of g22's community
+    // merges, integer-exact argmax, hash-anchored labels
+    "g23_louvain_move" -> ((spark: SparkSession, sfDir: String) =>
+      louvainMoveOn(mutualKnnEdgesOn(embVecs(spark, sfDir),
         minCosine = StrongCos))),
     // g19: directed SCC over the DIRECTED kNN graph — reciprocated
     // neighbor pairs form 2-cycles, asymmetric kNN membership forms
@@ -1917,6 +2004,10 @@ object GraphOps {
     // g21: the components oracle's labels feeding the same Q formula
     // (float division in both engines; the one float scalar 6-dp'd)
     "g21_modularity" -> modularityOracle,
+    // g23: the three parity-alternating move rounds unrolled — the
+    // same integer cross-multiple score, per-node argmax via
+    // row_number, non-movers carried through each round untouched
+    "g23_louvain_move" -> louvainMoveOracle,
     // g22: the five CNM merge rounds unrolled — integer score argmax
     // with the (score DESC, c, d) tie-break, relabel via the 1-row
     // top CTE; every round-crossed CTE MATERIALIZED (the g16 lesson)
@@ -2008,6 +2099,50 @@ object GraphOps {
        l0 AS MATERIALIZED (SELECT node, node AS community, deg FROM deg),
        $rounds
        $unions"""
+  }
+
+  private def louvainMoveOracle: String = {
+    val rounds = (1 to LouvainMoveRounds).map { r =>
+      val p = r - 1
+      val par = r % 2
+      s"""cand$r AS (
+           SELECT v, c, sum(k) AS k FROM (
+             SELECT i.v, lu.community AS c, 1 AS k
+             FROM inc i JOIN l$p lu ON lu.node = i.u
+             WHERE i.v % 2 = $par
+             UNION ALL
+             SELECT node AS v, community AS c, 0 AS k
+             FROM l$p WHERE node % 2 = $par)
+           GROUP BY v, c),
+         sc$r AS (
+           SELECT cd.v, cd.c, lv.deg,
+                  2 * mm.m * cd.k - lv.deg *
+                    (dc.d_c - CASE WHEN cd.c = lv.community
+                                   THEN lv.deg ELSE 0 END) AS score
+           FROM cand$r cd
+           JOIN l$p lv ON lv.node = cd.v
+           JOIN (SELECT community, sum(deg) AS d_c
+                 FROM l$p GROUP BY community) dc
+             ON dc.community = cd.c
+           CROSS JOIN mm),
+         l$r AS MATERIALIZED (
+           SELECT node, community, deg FROM l$p WHERE node % 2 <> $par
+           UNION ALL
+           SELECT v AS node, c AS community, deg FROM (
+             SELECT v, c, deg,
+                    row_number() OVER (PARTITION BY v
+                      ORDER BY score DESC, c) AS rn
+             FROM sc$r) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH ${knnEdgeCtes(Some(StrongCos))},
+       mm AS MATERIALIZED (SELECT count(*) AS m FROM mutual),
+       inc AS MATERIALIZED (SELECT a AS v, b AS u FROM mutual
+                            UNION ALL SELECT b, a FROM mutual),
+       deg AS MATERIALIZED (
+         SELECT v AS node, count(*) AS deg FROM inc GROUP BY v),
+       l0 AS MATERIALIZED (SELECT node, node AS community, deg FROM deg),
+       $rounds
+       SELECT node AS vec_id, community FROM l$LouvainMoveRounds"""
   }
 
   private def sccOracle: String =

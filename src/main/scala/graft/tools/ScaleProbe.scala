@@ -344,6 +344,12 @@ object ScaleProbe {
       ("g22_community_merge", n => GraphOps.communityMergeOn(
         spark.range(n).selectExpr("id AS a",
           "explode(array(id + 1, id + 2)) AS b"))),
+      // g23: 3 parity-alternating move rounds, each one
+      // incidence⋈labels join + (v, c) candidate agg + per-node argmax
+      // window — O(|E|) per round, no community-count dependence
+      ("g23_louvain_move", n => GraphOps.louvainMoveOn(
+        spark.range(n).selectExpr("id AS a",
+          "explode(array(id + 1, id + 2)) AS b"))),
       // g19: superstep fixpoints over a bounded-SCC digraph (8-cycles
       // with backward one-way bridges) — inner rounds track the SCC
       // diameter (8), peels stay at 1, so cost is O(|E|) per doubling

@@ -148,6 +148,8 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(GraphOps.modularityFromEdges(spark, sf)))
     assert(rows(GraphOps.queries("g22_community_merge")(spark, sf)) ==
       rows(GraphOps.communityMergeFromEdges(spark, sf)))
+    assert(rows(GraphOps.queries("g23_louvain_move")(spark, sf)) ==
+      rows(GraphOps.louvainFromEdges(spark, sf)))
   }
 
   test("mutual-kNN cosine floor drops weak reciprocated pairs") {

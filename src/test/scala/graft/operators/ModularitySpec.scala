@@ -78,4 +78,41 @@ class ModularitySpec extends AnyFunSuite with BeforeAndAfterAll {
       (4, 4L, 5L, 16L),
       (5, 1L, 4L, -35L)))
   }
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("g23 Louvain moves converge to the exact triangle partition in 3 rounds") {
+    // Hand-walked parity-alternating sequence (m = 7):
+    //   r1 (odd movers 1,3,5): 1→2 (score 14−4=10), 3→1 (tie 8 between
+    //      c1/c2 → c asc), 5→6 (10); even nodes untouched
+    //   r2 (even movers 2,4,6): 2 stays c2 (own 10 vs c1 8), 4→6
+    //      (k=2 into {5,6}: 28−12=16), 6 stays c6 (own 10 vs c4 8)
+    //   r3 (odd movers): 3→2 (k=2 into {1,2}: 28−12=16, bridge −7),
+    //      1 and 5 stay (own scores 10 and 18 dominate)
+    val got = labelsOf(GraphOps.louvainMoveOn(bridgeGraph, rounds = 3))
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      4L -> 6L, 5L -> 6L, 6L -> 6L))
+  }
+
+  test("g23 round 1 moves only odd nodes (the parity discipline)") {
+    val got = labelsOf(GraphOps.louvainMoveOn(bridgeGraph, rounds = 1))
+    // odd nodes moved to their best neighbor community; even nodes are
+    // still singletons — the conflict-avoidance rule a naive
+    // synchronous sweep lacks (1 and 2 would adopt EACH OTHER's label
+    // and flip forever)
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 1L,
+      4L -> 4L, 5L -> 6L, 6L -> 6L))
+  }
+
+  test("g23's final partition scores the known modularity peak") {
+    val s = spark
+    import s.implicits._
+    val labels = GraphOps.louvainMoveOn(bridgeGraph, rounds = 3)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("node"),
+        org.apache.spark.sql.functions.col("community"))
+    val q = GraphOps.modularityOn(bridgeGraph, labels)
+      .collect().head.getDouble(2)
+    assert(q === 0.357143) // the two-triangle optimum g21 hand-pins
+  }
 }
