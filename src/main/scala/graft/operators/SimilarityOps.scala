@@ -1349,6 +1349,111 @@ object SimilarityOps {
     means
   }
 
+  /** Fixed round count for the gated power-iteration loop — on real
+    * covariance spectra the Rayleigh quotient stabilizes at 6-dp well
+    * within 5 rounds (PcaPowerSpec pins an exact 1-round fixpoint on
+    * its rank-1 fixture). */
+  val PcaPowerRounds = 5
+
+  /** s23: TOP PRINCIPAL COMPONENT by POWER ITERATION — the eigen-step
+    * PCA/whitening needs after s12's covariance, run as the fourth
+    * gated training loop (s18 coarse k-means, s21 PQ codebook, t19
+    * BPE; this one trains the projection): v_{r+1} =
+    * normalize(C·v_r) for a fixed `rounds` from the deterministic
+    * uniform unit start 1/√d. The corpus is touched ONCE (s12's
+    * covariance build, barriered); every round after that is a join
+    * over the d²-row covariance frame against the d-row vector — at
+    * 100 TB the iteration cost does not see the corpus at all, the
+    * property that makes driver-free distributed PCA viable. The
+    * cross-engine float discipline is s18's re-entry rule end to end:
+    * covariance enters at its 6-dp serialization, the norm scalar is
+    * 9-dp-rounded (the hitsOn norm discipline), each round's vector
+    * re-enters from its 6-dp grid, so both engines compute round r+1
+    * from identical doubles and the gate is hash-anchored. Output:
+    * (dim, component, eigenvalue) — the unit component plus its
+    * 6-dp Rayleigh quotient vᵀCv. */
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame =
+    pcaPowerOn(vecs(spark, sfDir),
+      graft.sources.Tables.rowCount(spark, sfDir, "embeddings").toDouble)
+
+  /** [[pcaPower]] over any (vec_id, v) frame with `n` rows. */
+  def pcaPowerOn(corpus: DataFrame, n: Double,
+      rounds: Int = PcaPowerRounds): DataFrame = {
+    require(rounds >= 1, s"pcaPower needs rounds >= 1, got $rounds")
+    // localCheckpoint, not persist: each round references w TWICE
+    // (norm + normalize), so an un-truncated LOGICAL plan doubles per
+    // round on top of the covariance subtree and planning time
+    // explodes data-size-independently (the t19/hitsOn analyzer
+    // lesson — measured 44 s/run before the cut, 2 s after)
+    val cov = covarianceOn(corpus, n).localCheckpoint(true)
+    val dd = cov.agg(countDistinct("i").cast("double").as("d"))
+    var vcur = cov.select(col("i").as("dim")).distinct()
+      .crossJoin(broadcast(dd))
+      .select(col("dim"),
+        (round(lit(1.0) / sqrt(col("d")), 6) + lit(0.0)).as("x"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val w = cov.join(vcur.select(col("dim").as("j"), col("x")), "j")
+        .groupBy("i").agg(sum(col("cov") * col("x")).as("w"))
+      val nrm = w.agg(round(sqrt(sum(col("w") * col("w"))), 9).as("nrm"))
+      vcur = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("dim"),
+          (round(col("w") / col("nrm"), 6) + lit(0.0)).as("x"))
+        .localCheckpoint(true)
+    }
+    val lam = cov
+      .join(vcur.select(col("dim").as("i"), col("x").as("xi")), "i")
+      .join(vcur.select(col("dim").as("j"), col("x").as("xj")), "j")
+      .agg((round(sum(col("cov") * col("xi") * col("xj")), 6) + lit(0.0))
+        .as("eigenvalue"))
+    vcur.crossJoin(broadcast(lam))
+      .select(col("dim"), col("x").as("component"), col("eigenvalue"))
+  }
+
+  private def pcaPowerOracle: String = {
+    val rounds = (1 to PcaPowerRounds).map { r =>
+      val p = r - 1
+      s"""w$r AS (
+           SELECT c.i, sum(c.cov * p.x) AS w
+           FROM cov c JOIN v$p p ON p.dim = c.j GROUP BY c.i),
+         nm$r AS (SELECT round(sqrt(sum(w * w)), 9) AS nrm FROM w$r),
+         v$r AS MATERIALIZED (
+           SELECT i AS dim, round(w / nrm, 6) + 0.0 AS x
+           FROM w$r, nm$r)"""
+    }.mkString(",\n")
+    s"""WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+       x AS (
+         SELECT vec_id, CAST(i AS INTEGER) AS i, v.v[i + 1] AS xi
+         FROM v, UNNEST(range(len(v.v))) AS u(i)),
+       sums AS (
+         SELECT a.i, b.i AS j, sum(a.xi * b.xi) AS sp
+         FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+       means AS (SELECT i, sum(xi) AS si FROM x GROUP BY i),
+       cov AS MATERIALIZED (
+         SELECT s.i, s.j,
+                round(s.sp / nn.n - (ma.si / nn.n) * (mb.si / nn.n), 6)
+                  + 0.0 AS cov
+         FROM sums s
+         JOIN means ma ON ma.i = s.i
+         JOIN means mb ON mb.i = s.j, nn),
+       dd AS (SELECT CAST(count(DISTINCT i) AS DOUBLE) AS d FROM cov),
+       v0 AS MATERIALIZED (
+         SELECT DISTINCT i AS dim, round(1.0 / sqrt(dd.d), 6) + 0.0 AS x
+         FROM cov, dd),
+       $rounds,
+       lam AS (
+         SELECT round(sum(c.cov * a.x * b.x), 6) + 0.0 AS eigenvalue
+         FROM cov c
+         JOIN v$PcaPowerRounds a ON a.dim = c.i
+         JOIN v$PcaPowerRounds b ON b.dim = c.j)
+       SELECT v.dim, v.x AS component, lam.eigenvalue
+       FROM v$PcaPowerRounds v, lam"""
+  }
+
   /** s17: INT8 scalar quantization with a per-dimension reconstruction
     * -error report — the serving-compression primitive beside PQ
     * (4× smaller vectors, table-free decode): per dim, an affine
@@ -1396,6 +1501,10 @@ object SimilarityOps {
       ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "s21_pq_train_full" ->
       ((s: SparkSession, d: String) => pqTrainFull(s, d)),
+    // s23: the eigen-step after s12 — 5 power-iteration rounds on the
+    // d²-row covariance, corpus touched once, 6-dp re-entry per round
+    "s23_pca_power" ->
+      ((s: SparkSession, d: String) => pcaPower(s, d)),
     "s16_pq_train" ->
       ((s: SparkSession, d: String) => pqTrainStep(s, d)),
     "s14_kmeans_step" ->
@@ -1602,6 +1711,10 @@ object SimilarityOps {
          SELECT subspace, cent_id, dim, n, mean
          FROM m$PqTrainRounds"""
     },
+    // s23: the s12 covariance CTEs feeding PcaPowerRounds unrolled
+    // matvec+normalize rounds — 9-dp norm scalar, 6-dp vector
+    // re-entry per round, Rayleigh quotient off the final vector
+    "s23_pca_power" -> pcaPowerOracle,
     "s16_pq_train" ->
       """WITH v AS (SELECT vec_id,
                            list_transform(embedding,

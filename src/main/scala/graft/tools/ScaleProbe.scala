@@ -370,6 +370,13 @@ object ScaleProbe {
       ("s18_kmeans_train", n => SimilarityOps.kmeansTrainOn(
         vecsN(spark, n).selectExpr("vec_id",
           "transform(embedding, x -> cast(x AS DOUBLE)) AS v"))),
+      // s23: the corpus pays ONE covariance pass (d²-bounded partial
+      // agg); the 5 matvec rounds run on the d²-row frame and never
+      // see the corpus — linear in n at fixed (d, rounds)
+      ("s23_pca_power", n => SimilarityOps.pcaPowerOn(
+        vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
+        n.toDouble)),
       // t19: corpus cost is ONE word-count agg; the 5 merge rounds run
       // on vocabulary-sized state, so doubling the corpus roughly
       // doubles only the count stage
