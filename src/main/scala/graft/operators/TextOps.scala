@@ -669,7 +669,78 @@ object TextOps {
       FROM g JOIN df USING (gram)
       GROUP BY doc_id"""
 
+  /** t21: EXACT PHRASE SEARCH over a positional inverted index — the
+    * search primitive BM25 (t10) cannot express: t10 ranks bags of
+    * words; "these words, adjacent, in this order" needs positions.
+    * The phrase is DERIVED from the corpus (its most frequent
+    * trigram, ties lexicographic — self-contained and stable across
+    * testdata regenerations), then every occurrence is found by the
+    * classic positional-index AND *without an L-way self-join*: each
+    * posting matching term i votes for anchor = pos − i, and an
+    * anchor with all L distinct term-offsets matched is an
+    * occurrence. One (doc, anchor)-keyed agg over the
+    * phrase-filtered postings — the filter is a broadcast join
+    * against the L-row term list, so at 100 TB the shuffle carries
+    * only postings of the L phrase tokens, never the index. Trigram
+    * derivation is row-local array work (no join), one
+    * vocabulary³-bounded partial agg. Handles repeated-token phrases
+    * and overlapping occurrences exactly (PhraseSearchSpec's
+    * "b b b b" law). Output: (doc_id, pos, phrase) per occurrence —
+    * integer-exact, hash-anchored. */
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame =
+    phraseSearchOn(docs(spark, sfDir))
+
+  /** [[phraseSearch]] over any (doc_id, text) frame. */
+  def phraseSearchOn(d: DataFrame): DataFrame = {
+    // barriered: feeds the trigram derivation AND the postings scan
+    val dd = graft.operators.Persists.barrier(
+      d.select(col("doc_id"), toks(col("text")).as("tk")))
+    // the size >= 3 guard matters: sequence(0, n) with n < 0 is a
+    // DESCENDING sequence in Spark, not empty
+    val top = graft.operators.Persists.barrier(dd
+      .filter(size(col("tk")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 3), " +
+          "i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))")).as("phrase"))
+      .groupBy("phrase").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("phrase")).limit(1))
+    val terms = top
+      .select(posexplode(split(col("phrase"), " ")).as(Seq("i", "tok")))
+    val postings = dd
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "token")))
+    postings.join(broadcast(terms), col("token") === col("tok"))
+      .select(col("doc_id"), (col("pos") - col("i")).as("pos"), col("i"))
+      .groupBy("doc_id", "pos")
+      .agg(countDistinct("i").as("nmatch"))
+      .filter(col("nmatch") === 3)
+      .crossJoin(broadcast(top.select("phrase")))
+      .select(col("doc_id"), col("pos"), col("phrase"))
+  }
+
+  val phraseSearchOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents),
+        tri AS (SELECT tk[CAST(u.i + 1 AS INTEGER)] || ' ' ||
+                       tk[CAST(u.i + 2 AS INTEGER)] || ' ' ||
+                       tk[CAST(u.i + 3 AS INTEGER)] AS phrase
+                FROM d, UNNEST(range(0, len(tk) - 2)) AS u(i)),
+        top1 AS MATERIALIZED (
+          SELECT phrase, count(*) AS cnt FROM tri GROUP BY phrase
+          ORDER BY cnt DESC, phrase LIMIT 1),
+        terms AS (SELECT CAST(u.i - 1 AS INTEGER) AS i, t.ts[u.i] AS tok
+                  FROM (SELECT string_split(phrase, ' ') AS ts
+                        FROM top1) t,
+                  UNNEST(range(1, len(t.ts) + 1)) AS u(i)),
+        p AS (SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos,
+                     tk[u.i] AS token
+              FROM d, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+        hits AS (SELECT p.doc_id, p.pos - terms.i AS pos
+                 FROM p JOIN terms ON p.token = terms.tok
+                 GROUP BY 1, 2 HAVING count(DISTINCT terms.i) = 3)
+       SELECT h.doc_id, h.pos, t.phrase FROM hits h, top1 t"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_phrase_search" -> (phraseSearch _),
     "t17_ngram_novelty" -> (ngramNovelty _),
     "t16_shard_divergence" -> (shardDivergence _),
     "t12_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
@@ -701,6 +772,7 @@ object TextOps {
        FROM documents"""
 
   def oracleSql: Map[String, String] = Map(
+    "t21_phrase_search" -> phraseSearchOracle,
     "t17_ngram_novelty" -> ngramNoveltyOracle,
     "t16_shard_divergence" -> shardDivergenceOracle,
     "t12_heavy_hitters" -> heavyHittersOracle,

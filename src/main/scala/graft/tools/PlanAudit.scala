@@ -89,7 +89,8 @@ object PlanAudit {
       "g19_scc_knn", "g20_components_scc", "g21_modularity",
       "g22_community_merge", "t20_bpe_encode", "d17_semdedup_cells",
       "s20_hard_negatives", "c25_multilingual_pipeline",
-      "s21_pq_train_full", "g23_louvain_move", "s23_pca_power")
+      "s21_pq_train_full", "g23_louvain_move", "s23_pca_power",
+      "t21_phrase_search")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

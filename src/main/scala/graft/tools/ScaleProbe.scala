@@ -387,6 +387,10 @@ object ScaleProbe {
       // corpus words on top of t19's cost
       ("t20_bpe_encode", n => TokenizerOps.bpeEncodeOn(
         docsN(spark, n), merges = 5)),
+      // t21: row-local trigram derive + a broadcast term filter over
+      // the postings — the shuffle carries only the 3 phrase tokens'
+      // postings; linear in corpus tokens
+      ("t21_phrase_search", n => TextOps.phraseSearchOn(docsN(spark, n))),
       // t18: 2×-chars gram explode into a 30-row broadcast join and a
       // (doc, lang)-keyed partial agg — linear in corpus chars
       ("t18_langid_model", n => TextOps.langIdModelOn(docsN(spark, n))),
