@@ -115,7 +115,8 @@ object Bench {
     "g20i_components_scc", "g21i_modularity", "g22i_community_merge",
     "t20_bpe_encode", "d17_semdedup_cells", "s20_hard_negatives",
     "c25_multilingual_pipeline", "s21_pq_train_full",
-    "g23i_louvain_move", "s23_pca_power", "t21_phrase_search")
+    "g23i_louvain_move", "s23_pca_power", "t21_phrase_search",
+    "s22_random_projection")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

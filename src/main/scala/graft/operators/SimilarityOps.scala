@@ -1349,6 +1349,76 @@ object SimilarityOps {
     means
   }
 
+  /** s22 output dimensionality (k) and the corpus dim it projects
+    * from. k = 8 keeps the ±1/√k sign matrix at 512 frozen entries —
+    * broadcast-sized at any corpus scale. */
+  val JlOutDims = 8
+  private val JlInDims = 64
+
+  /** The frozen ±1 sign for projection cell (j, i) — ONE SQL string
+    * shared verbatim by the Spark build and the DuckDB oracle (the
+    * d06 portable-md5 discipline: identical text, identical hex,
+    * identical signs — the model can never drift cross-engine). */
+  private val jlSignSql: String =
+    "CASE WHEN ascii(substr(md5(concat(j, '_', i)), 1, 1)) % 2 = 0 " +
+      "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+
+  /** s22: JOHNSON-LINDENSTRAUSS SIGN RANDOM PROJECTION — compress the
+    * embedding corpus 64 → 8 dims with the ±1/√k sign matrix
+    * (Achlioptas 2003: database-friendly random projections — sign
+    * entries preserve pairwise distances in expectation exactly like
+    * Gaussian ones, with integer-friendly arithmetic). The matrix is
+    * FROZEN DATA, not code: a 512-row (j, i, sgn) DataFrame derived
+    * from portable md5 parity (the t09/t18 model-as-DataFrame
+    * discipline), so the gate hash-checks the projection end to end.
+    * Pipeline shape: one posexplode + a broadcast join against the
+    * k·d-row matrix + a (vec, j)-keyed partial agg — map-side combine
+    * collapses to n·k rows before the shuffle, so at 100 TB the
+    * shuffle is k/d = 1/8th of the corpus and the matrix never
+    * leaves broadcast. The reduction feeds any downstream s-family
+    * consumer (brute/IVF/k-means) at 8× less I/O; JlProjectionSpec
+    * pins the distance-preservation contract (mean pairwise distance
+    * ratio ≈ 1) plus the frozen matrix's exact +1 population.
+    * Output: (vec_id, out_dim, y) at the 6-dp grid. */
+  def randomProjection(spark: SparkSession, sfDir: String): DataFrame =
+    randomProjectionOn(spark, vecs(spark, sfDir))
+
+  /** [[randomProjection]] over any (vec_id, v) frame. */
+  def randomProjectionOn(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val r = jlMatrix(spark)
+    corpus.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xi")))
+      .join(broadcast(r), "i")
+      .groupBy("vec_id", "j")
+      .agg((round(sum(col("sgn") * col("xi")) / math.sqrt(JlOutDims), 6)
+        + lit(0.0)).as("y"))
+      .select(col("vec_id"), col("j").as("out_dim"), col("y"))
+  }
+
+  /** The frozen (j, i, sgn) projection matrix. */
+  private[graft] def jlMatrix(spark: SparkSession): DataFrame =
+    spark.range(JlOutDims).selectExpr("CAST(id AS INT) AS j")
+      .crossJoin(spark.range(JlInDims).selectExpr("CAST(id AS INT) AS i"))
+      .selectExpr("j", "i", s"$jlSignSql AS sgn")
+
+  private def randomProjectionOracle: String =
+    s"""WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       x AS (
+         SELECT vec_id, CAST(u.i AS INTEGER) AS i, v.v[u.i + 1] AS xi
+         FROM v, UNNEST(range(len(v.v))) AS u(i)),
+       r AS (
+         SELECT CAST(a.j AS INTEGER) AS j, CAST(b.i AS INTEGER) AS i,
+                $jlSignSql AS sgn
+         FROM UNNEST(range($JlOutDims)) AS a(j),
+              UNNEST(range($JlInDims)) AS b(i))
+       SELECT x.vec_id, r.j AS out_dim,
+              round(sum(r.sgn * x.xi) / sqrt(CAST($JlOutDims AS DOUBLE)),
+                    6) + 0.0 AS y
+       FROM x JOIN r USING (i)
+       GROUP BY x.vec_id, r.j"""
+
   /** Fixed round count for the gated power-iteration loop — on real
     * covariance spectra the Rayleigh quotient stabilizes at 6-dp well
     * within 5 rounds (PcaPowerSpec pins an exact 1-round fixpoint on
@@ -1505,6 +1575,9 @@ object SimilarityOps {
     // d²-row covariance, corpus touched once, 6-dp re-entry per round
     "s23_pca_power" ->
       ((s: SparkSession, d: String) => pcaPower(s, d)),
+    // s22: 64→8 JL sign projection off the frozen portable-md5 matrix
+    "s22_random_projection" ->
+      ((s: SparkSession, d: String) => randomProjection(s, d)),
     "s16_pq_train" ->
       ((s: SparkSession, d: String) => pqTrainStep(s, d)),
     "s14_kmeans_step" ->
@@ -1715,6 +1788,8 @@ object SimilarityOps {
     // matvec+normalize rounds — 9-dp norm scalar, 6-dp vector
     // re-entry per round, Rayleigh quotient off the final vector
     "s23_pca_power" -> pcaPowerOracle,
+    // s22: the sign matrix rebuilt from the SAME md5-parity SQL text
+    "s22_random_projection" -> randomProjectionOracle,
     "s16_pq_train" ->
       """WITH v AS (SELECT vec_id,
                            list_transform(embedding,

@@ -370,6 +370,11 @@ object ScaleProbe {
       ("s18_kmeans_train", n => SimilarityOps.kmeansTrainOn(
         vecsN(spark, n).selectExpr("vec_id",
           "transform(embedding, x -> cast(x AS DOUBLE)) AS v"))),
+      // s22: one posexplode + 512-row broadcast join + (vec, j)
+      // partial agg — map-side combine shrinks the shuffle to n·k
+      ("s22_random_projection", n => SimilarityOps.randomProjectionOn(
+        spark, vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v"))),
       // s23: the corpus pays ONE covariance pass (d²-bounded partial
       // agg); the 5 matvec rounds run on the d²-row frame and never
       // see the corpus — linear in n at fixed (d, rounds)
