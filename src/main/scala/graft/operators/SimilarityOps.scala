@@ -1419,6 +1419,113 @@ object SimilarityOps {
        FROM x JOIN r USING (i)
        GROUP BY x.vec_id, r.j"""
 
+  /** s24: COMPRESSED-RETRIEVAL ANN SERVE — the two-stage pattern that
+    * makes s22's projection a serving component: stage 1 generates
+    * `fetchN` candidates per query by squared-L2 in the 8-dim
+    * PROJECTED space (8× less I/O and arithmetic than s01's 64-dim
+    * brute — and at full scale the projected corpus is what an IVF
+    * layout like s11's would partition), stage 2 re-ranks ONLY those
+    * candidates by exact cosine in the original space — s01's 4-dp
+    * grid and (cosine desc, id) tie-break, so the output is directly
+    * comparable to brute. The re-rank join touches nq·fetchN rows,
+    * never the corpus. Fully deterministic end to end (6-dp projected
+    * grid, 9-dp distance grid, exact re-rank) → hash-anchored, with
+    * the oracle composing s22's projection CTEs into the two ranking
+    * stages. JlProjectionSpec pins the identity contract (fetchN ≥
+    * corpus ⇒ output ≡ s01 exactly) and the measured recall@10 floor
+    * of the compressed first pass. */
+  def projectedTopK(spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, fetchN: Int = 50, k: Int = 10): DataFrame =
+    projectedTopKOn(spark, vecs(spark, sfDir), nQueries, fetchN, k)
+
+  /** [[projectedTopK]] over any (vec_id, v) frame. */
+  def projectedTopKOn(spark: SparkSession, corpus: DataFrame,
+      nQueries: Int = 5, fetchN: Int = 50, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(corpus.select("vec_id", "v"))
+    // projected corpus re-assembled to arrays (the s18 sorted-struct
+    // transform over the s22 kernel)
+    val proj = Persists.barrier(randomProjectionOn(spark, all)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(out_dim, y)))" +
+        ", s -> s.y)").as("pv")))
+    val q = proj.filter(col("vec_id") < nQueries)
+    val cand = proj.as("c").join(broadcast(q.as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        round(expr("aggregate(zip_with(q.pv, c.pv, " +
+          "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"), 9)
+          .as("pd2"))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("pd2"), col("neighbor_id"))
+    val short = cand.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") <= fetchN).select("query_id", "neighbor_id")
+    val scored = short
+      .join(all.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        "query_id")
+      .join(all.select(col("vec_id").as("neighbor_id"),
+        col("v").as("cv")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(expr("graft_cosine(qv, cv)"), 4).as("cosine"))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  private def projectedTopKOracle: String =
+    s"""WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       x AS (
+         SELECT vec_id, CAST(u.i AS INTEGER) AS i, v.v[u.i + 1] AS xi
+         FROM v, UNNEST(range(len(v.v))) AS u(i)),
+       r AS (
+         SELECT CAST(a.j AS INTEGER) AS j, CAST(b.i AS INTEGER) AS i,
+                $jlSignSql AS sgn
+         FROM UNNEST(range($JlOutDims)) AS a(j),
+              UNNEST(range($JlInDims)) AS b(i)),
+       p AS (
+         SELECT x.vec_id, r.j AS out_dim,
+                round(sum(r.sgn * x.xi) /
+                      sqrt(CAST($JlOutDims AS DOUBLE)), 6) + 0.0 AS y
+         FROM x JOIN r USING (i) GROUP BY x.vec_id, r.j),
+       pv AS MATERIALIZED (
+         SELECT vec_id, list(y ORDER BY out_dim) AS pv
+         FROM p GROUP BY vec_id),
+       cand AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                round(list_sum(list_transform(range(1, 9),
+                  i -> (q.pv[i] - c.pv[i]) * (q.pv[i] - c.pv[i]))), 9)
+                  AS pd2
+         FROM pv q JOIN pv c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       short AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY pd2, neighbor_id) AS rn
+           FROM cand) WHERE rn <= 50),
+       scored AS (
+         SELECT s.query_id, s.neighbor_id,
+                round(list_dot_product(q.v, c.v) /
+                      sqrt(list_sum(list_transform(q.v, x -> x * x)) *
+                           list_sum(list_transform(c.v, x -> x * x))),
+                      4) AS cosine
+         FROM short s
+         JOIN v q ON q.vec_id = s.query_id
+         JOIN v c ON c.vec_id = s.neighbor_id),
+       ranked AS (
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+                neighbor_id, cosine
+         FROM scored)
+       SELECT query_id, rank, neighbor_id, cosine
+       FROM ranked WHERE rank <= 10"""
+
   /** Fixed round count for the gated power-iteration loop — on real
     * covariance spectra the Rayleigh quotient stabilizes at 6-dp well
     * within 5 rounds (PcaPowerSpec pins an exact 1-round fixpoint on
@@ -1578,6 +1685,9 @@ object SimilarityOps {
     // s22: 64→8 JL sign projection off the frozen portable-md5 matrix
     "s22_random_projection" ->
       ((s: SparkSession, d: String) => randomProjection(s, d)),
+    // s24: projected-space candidates + exact re-rank — s22 serving
+    "s24_ann_projected" ->
+      ((s: SparkSession, d: String) => projectedTopK(s, d)),
     "s16_pq_train" ->
       ((s: SparkSession, d: String) => pqTrainStep(s, d)),
     "s14_kmeans_step" ->
@@ -1790,6 +1900,8 @@ object SimilarityOps {
     "s23_pca_power" -> pcaPowerOracle,
     // s22: the sign matrix rebuilt from the SAME md5-parity SQL text
     "s22_random_projection" -> randomProjectionOracle,
+    // s24: the s22 CTEs composed into candidate-gen + exact re-rank
+    "s24_ann_projected" -> projectedTopKOracle,
     "s16_pq_train" ->
       """WITH v AS (SELECT vec_id,
                            list_transform(embedding,

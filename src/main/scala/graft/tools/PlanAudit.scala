@@ -90,7 +90,8 @@ object PlanAudit {
       "g22_community_merge", "t20_bpe_encode", "d17_semdedup_cells",
       "s20_hard_negatives", "c25_multilingual_pipeline",
       "s21_pq_train_full", "g23_louvain_move", "s23_pca_power",
-      "t21_phrase_search", "s22_random_projection")
+      "t21_phrase_search", "s22_random_projection",
+      "s24_ann_projected")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

@@ -370,6 +370,12 @@ object ScaleProbe {
       ("s18_kmeans_train", n => SimilarityOps.kmeansTrainOn(
         vecsN(spark, n).selectExpr("vec_id",
           "transform(embedding, x -> cast(x AS DOUBLE)) AS v"))),
+      // s24: projected 8-dim brute over n (8× cheaper arithmetic than
+      // 64-dim s01) + an nq·fetchN-bounded exact re-rank — linear in
+      // n at fixed (nq, fetchN, k)
+      ("s24_ann_projected", n => SimilarityOps.projectedTopKOn(
+        spark, vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v"))),
       // s22: one posexplode + 512-row broadcast join + (vec, j)
       // partial agg — map-side combine shrinks the shuffle to n·k
       ("s22_random_projection", n => SimilarityOps.randomProjectionOn(

@@ -53,6 +53,28 @@ class JlProjectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s24 with fetchN >= corpus IS exact brute top-k (identity contract)") {
+    val sf = "/root/testdata/sf0.001"
+    val brute = SimilarityOps.bruteForceTopK(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val full = SimilarityOps.projectedTopK(spark, sf, fetchN = 600)
+      .collect().map(_.toSeq).toSet
+    assert(brute.nonEmpty && full === brute)
+  }
+
+  test("s24 compressed first pass keeps useful recall at fetchN = 50") {
+    val sf = "/root/testdata/sf0.001"
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = top(SimilarityOps.bruteForceTopK(spark, sf))
+    val proj = top(SimilarityOps.projectedTopK(spark, sf))
+    val recall = (brute & proj).size.toDouble / brute.size
+    // 8 of 64 dims, 50 of 500 candidates: the structureless synthetic
+    // corpus is the HARD case for JL (all pairwise distances nearly
+    // equal), so the floor is modest; measured ~0.3-0.5
+    assert(recall >= 0.2, s"recall@10 $recall")
+  }
+
   test("pairwise distances survive 64 -> 8 in expectation (JL contract)") {
     val proj = SimilarityOps.randomProjection(spark, "/root/testdata/sf0.001")
       .collect()
