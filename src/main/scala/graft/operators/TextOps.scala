@@ -221,7 +221,14 @@ object TextOps {
     langIdModelOn(docs(spark, sfDir))
 
   /** [[langIdModel]] over any (doc_id, text) frame. */
-  private[graft] def langIdModelOn(d: DataFrame): DataFrame = {
+  private[graft] def langIdModelOn(d: DataFrame): DataFrame =
+    langIdFinish(d, langGramScores(d))
+
+  /** t18's heavy half — gram explode, broadcast model join,
+    * (doc, lang) integer score agg — factored out so the STREAMING
+    * form (q121) runs the identical stages on a document stream:
+    * one definition, no drift. */
+  private[graft] def langGramScores(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
     val m = langModelRows.toDF("lang", "g", "w")
@@ -234,13 +241,19 @@ object TextOps {
                ELSE cast(array() AS array<string>) END,
              transform(sequence(1, length(text)),
                        i -> substring(text, i, 1)))""")).as("g"))
-    val scores = grams.join(broadcast(m), "g")
+    grams.join(broadcast(m), "g")
       .groupBy("doc_id", "lang").agg(sum("w").as("score"))
+  }
+
+  /** t18's tail — the (score desc, lang) argmax plus the 'und'
+    * spine-fallback over `spine` (any frame with doc_id). */
+  private[graft] def langIdFinish(
+      spine: DataFrame, scores: DataFrame): DataFrame = {
     val best = scores.withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("lang"))))
       .filter(col("rn") === 1).select("doc_id", "lang", "score")
-    d.select("doc_id").join(best, Seq("doc_id"), "left")
+    spine.select("doc_id").join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("lang"), lit("und")).as("lang"),
         coalesce(col("score"), lit(0L)).as("score"))

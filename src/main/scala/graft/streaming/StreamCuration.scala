@@ -141,7 +141,30 @@ object StreamCuration {
         docsStream(spark, sfDir), width = 64, stride = 48),
       "graft_stream_chunk")
 
+  /** q121: t18's model-table LANGUAGE ID as documents land — the first
+    * filter of every multilingual ingest, run at ingest time instead
+    * of a nightly re-scan. The stream half is t18's heavy half
+    * verbatim (ONE definition, `TextOps.langGramScores`): gram
+    * explode → 30-row broadcast model join → (doc, lang) integer
+    * score agg in complete mode — per-doc state is ≤ |langs| rows
+    * and, in the production watermarked-append form, evicted once a
+    * doc's file is past the horizon; the finite-replay gate runs
+    * complete mode like q56/q83. The (score desc, lang) argmax and
+    * 'und' spine fallback are batch post-processing on the completed
+    * sink (`TextOps.langIdFinish` — window functions can't run inside
+    * a streaming agg; the q56/q64 pattern), so the result must equal
+    * t18's batch answer EXACTLY — gated by t18's DuckDB oracle
+    * verbatim. */
+  def langIdStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val scores = StreamRun.toCompletion(
+      graft.operators.TextOps.langGramScores(docsStream(spark, sfDir)),
+      "graft_stream_langid", outputMode = "complete")
+    graft.operators.TextOps.langIdFinish(
+      graft.sources.Tables.load(spark, sfDir, "documents"), scores)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_stream_langid" -> (langIdStream _),
     "q91_stream_chunking" -> (chunkStream _),
     "q55_stream_sample" -> (sampleStream _),
     "q56_stream_mix" -> (mixStream _),
@@ -155,6 +178,8 @@ object StreamCuration {
   def oracleSql: Map[String, String] = Map(
     // the BATCH oracles verbatim: stateless filter / complete-mode agg
     // streams must equal their batch answers
+    "q121_stream_langid" ->
+      graft.operators.TextOps.oracleSql("t18_langid_model"),
     "q91_stream_chunking" ->
       graft.operators.CurationOps.oracleSql("c13_chunking"),
     "q55_stream_sample" -> graft.operators.CurationOps.stratOracle,
