@@ -470,6 +470,91 @@ object CurationOps {
       .select("doc_id", "source")
   }
 
+  private val CurriculumBands = 3
+  private val CurriculumShards = 8
+
+  /** c26: CURRICULUM ORDERING — the baby-steps schedule (Bengio et
+    * al. 2009 "Curriculum learning"; Spitkovsky et al. 2010, "From
+    * baby steps to leapfrog"): band the corpus into `bands`
+    * difficulty tiers and let epoch e train on tiers 1..e — easy
+    * first, full corpus last. Difficulty here is the token count
+    * (longer docs are harder; any derived score — t01 quality, t13
+    * LM logprob — drops into the same banding). Tiers are EQUI-DEPTH
+    * via the q100 discipline: the cumulative window runs over the
+    * DISTINCT-difficulty frame (a few hundred rows however large the
+    * corpus), band = ((cum − cnt)·bands) div total + 1 in pure int64
+    * (left-edge convention — lands exact terciles on uniform
+    * difficulty, never needs a cap), and the per-value band map
+    * broadcasts back. Within an epoch the order is the c11 portable
+    * epoch shuffle, seeded BY epoch (each pass sees a fresh order):
+    * shard = hash % shards, pos within (epoch, shard) — the trainer
+    * streams shards independently, so no stage ever sorts a whole
+    * epoch on one partition. Output (epoch, shard, pos, doc_id,
+    * band) — integer-exact, hash-anchored. */
+  def curriculum(spark: SparkSession, sfDir: String): DataFrame =
+    curriculumOn(docs(spark, sfDir))
+
+  /** [[curriculum]] over any (doc_id, text) frame. */
+  def curriculumOn(d: DataFrame,
+      bands: Int = CurriculumBands,
+      shards: Int = CurriculumShards): DataFrame = {
+    val scored = Persists.barrier(d.select(col("doc_id"),
+      size(split(col("text"), " ")).as("difficulty")))
+    val wCum = Window.orderBy("difficulty")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bandMap = scored.groupBy("difficulty")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("total", sum("cnt").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("difficulty"),
+        expr(s"((cum - cnt) * $bands) div total + 1")
+          .cast("int").as("band"))
+    val banded = scored.join(broadcast(bandMap), "difficulty")
+    val epochs = (1 to bands).map(e => banded
+        .filter(col("band") <= e)
+        .select(col("doc_id"), col("band"), lit(e).as("epoch")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy("epoch", "shard")
+      .orderBy(col("h"), col("doc_id"))
+    epochs
+      .withColumn("h", expr(graft.operators.PortableHash.packed(
+        "'cur' || epoch || ':' || doc_id")))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("int"))
+      .select("epoch", "shard", "pos", "doc_id", "band")
+  }
+
+  private[graft] val curriculumOracle: String = {
+    val h = graft.operators.PortableHash.packed(
+      "'cur' || epoch || ':' || doc_id")
+    s"""WITH s AS (
+         SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INTEGER)
+                  AS difficulty
+         FROM documents),
+       g AS (SELECT difficulty, count(*) AS cnt
+             FROM s GROUP BY difficulty),
+       b AS (SELECT difficulty,
+                    CAST(((sum(cnt) OVER (ORDER BY difficulty
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - cnt) * $CurriculumBands)
+                      // (sum(cnt) OVER ()) + 1 AS INTEGER) AS band
+             FROM g),
+       bd AS (SELECT s.doc_id, b.band FROM s JOIN b USING (difficulty)),
+       e AS (SELECT doc_id, band, ep.epoch
+             FROM bd, (VALUES (1), (2), (3)) AS ep(epoch)
+             WHERE band <= ep.epoch),
+       hh AS (SELECT doc_id, band, epoch, $h AS h FROM e)
+       SELECT epoch, CAST(h % $CurriculumShards AS INTEGER) AS shard,
+              CAST(row_number() OVER (
+                PARTITION BY epoch, h % $CurriculumShards
+                ORDER BY h, doc_id) AS INTEGER) AS pos,
+              doc_id, band
+       FROM hh"""
+  }
+
   def epochShuffle(spark: SparkSession, sfDir: String, seed: Int = 7,
       numShards: Int = 8): DataFrame = {
     val h = expr(graft.operators.PortableHash.packed(
@@ -731,6 +816,7 @@ object CurationOps {
       ((s: SparkSession, d: String) => reservoirSample(s, d)),
     "c18_dedup_aware_split" ->
       ((s: SparkSession, d: String) => dedupAwareSplit(s, d)),
+    "c26_curriculum" -> ((s: SparkSession, d: String) => curriculum(s, d)),
     "c11_epoch_shuffle" -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "c13_chunking" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "c14_negative_samples" ->
@@ -1008,6 +1094,7 @@ object CurationOps {
                CAST(len(ws[start + 1 : start + 64]) AS BIGINT) AS n_tokens,
                array_to_string(ws[start + 1 : start + 64], ' ') AS chunk_text
         FROM s""",
+    "c26_curriculum" -> curriculumOracle,
     "c11_epoch_shuffle" -> {
       val h = graft.operators.PortableHash.packed("'epoch' || 7 || ':' || doc_id")
       s"""SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,

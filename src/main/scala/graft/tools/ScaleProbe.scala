@@ -398,6 +398,10 @@ object ScaleProbe {
       // corpus words on top of t19's cost
       ("t20_bpe_encode", n => TokenizerOps.bpeEncodeOn(
         docsN(spark, n), merges = 5)),
+      // c26: one distinct-difficulty window (value-bounded) broadcast
+      // back + bands unions + sharded rank windows — linear in docs,
+      // output = Σ_e |bands ≤ e| rows
+      ("c26_curriculum", n => CurationOps.curriculumOn(docsN(spark, n))),
       // t21: row-local trigram derive + a broadcast term filter over
       // the postings — the shuffle carries only the 3 phrase tokens'
       // postings; linear in corpus tokens
