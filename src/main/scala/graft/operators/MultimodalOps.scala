@@ -298,12 +298,31 @@ object MultimodalOps {
     ahashCandidatesOn(mediaTable(spark, sfDir)
       .select(col("media_id"), expr("decode(payload, 'utf-8')").as("txt")))
 
+  /** Band buckets larger than this are dropped before the pair join —
+    * the d05 `dropHotBuckets` discipline, added after the m08 probe
+    * measured 9.8× pair work at 4× corpus on dup-dense payloads
+    * (bucket² with linearly growing buckets): flat/boilerplate media
+    * concentrate into few 16-bit chunk values, and a hot bucket's
+    * pairs are near-useless boilerplate collisions anyway. 64 bounds
+    * per-bucket work at 64²/2 and does NOT bind on the gate corpora
+    * (max bucket 7 at both SFs); the cap is MIRRORED in the shared
+    * oracle CTE (the g17 lesson), so equivalence never depends on it
+    * staying slack. */
+  private val AhashMaxBucket = 64L
+
   /** [[ahashCandidates]] over any (media_id, txt) frame. */
-  private[graft] def ahashCandidatesOn(d: DataFrame): DataFrame = {
+  private[graft] def ahashCandidatesOn(
+      d: DataFrame, maxBucket: Long = AhashMaxBucket): DataFrame = {
     val h = graft.operators.Persists.barrier(ahashOn(d))
-    val bands = h.select(col("media_id"),
-      posexplode(expr("array(c0, c1, c2, c3)")).as(Seq("band", "chunk")))
-    val cand = bands.as("x").join(bands.as("y"),
+    // barriered: feeds the bucket census AND the pair join
+    val bands = graft.operators.Persists.barrier(
+      h.select(col("media_id"),
+        posexplode(expr("array(c0, c1, c2, c3)")).as(Seq("band", "chunk"))))
+    val cold = bands.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= maxBucket).select("band", "chunk")
+    val bc = bands.join(cold, Seq("band", "chunk"), "semi")
+    val cand = bc.as("x").join(bc.as("y"),
         col("x.band") === col("y.band") &&
           col("x.chunk") === col("y.chunk") &&
           col("x.media_id") < col("y.media_id"))
@@ -318,7 +337,42 @@ object MultimodalOps {
           .cast("long").as("hamming"))
   }
 
+  private val ClusterMaxHamming = 16L
+
+  /** m08: MEDIA NEAR-DUP CLUSTERS + KEEP LIST — the end-to-end image
+    * dedup m06/m07 build toward: candidate pairs within the Hamming
+    * band cluster by connected components (the d08 min-label kernel
+    * SHARED with text dedup — one CC implementation serves the text,
+    * media, and graph families), and each cluster keeps its min-id
+    * representative (the d09 keep rule); hash-less spine media are
+    * their own singletons. The 16-bit band collision is LOSSLESS for
+    * production's hamming ≤ 3 (pigeonhole, m07); the gate band 16 is
+    * the corpus-binding stand-in on the text-derived fixture
+    * payloads, whose distances bottom out at 8 (the d17/s20
+    * threshold discipline — verified binding at both gate SFs: 18
+    * and 10 in-band pairs). Output (media_id, cluster_id, kept). */
+  def ahashClusters(spark: SparkSession, sfDir: String): DataFrame =
+    ahashClustersOn(mediaTable(spark, sfDir)
+      .select(col("media_id"), expr("decode(payload, 'utf-8')").as("txt")))
+
+  /** [[ahashClusters]] over any (media_id, txt) frame. */
+  private[graft] def ahashClustersOn(d: DataFrame): DataFrame = {
+    val dd = graft.operators.Persists.barrier(d)
+    val pairs = ahashCandidatesOn(dd)
+      .filter(col("hamming") <= ClusterMaxHamming)
+      .select(col("id_a"), col("id_b"))
+    val cc = graft.operators.DedupOps.connectedComponents(pairs)
+      .select(col("doc_id").as("media_id"), col("cluster_id"))
+    dd.filter(length(col("txt")) >= 64).select("media_id")
+      .join(cc, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("cluster_id"), col("media_id")).as("cluster_id"))
+      .withColumn("kept",
+        when(col("media_id") === col("cluster_id"), 1).otherwise(0))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m08_ahash_clusters" -> (ahashClusters _),
     "m07_ahash_candidates" -> (ahashCandidates _),
     "m06_ahash" -> (ahash _),
     "m01_binary_meta" -> (binaryMeta _),
@@ -336,11 +390,11 @@ object MultimodalOps {
     * arithmetic, checksums are md5, and documents.text is ASCII so
     * DuckDB's string substring slices the same bytes as Spark's binary
     * substring in m03. */
-  def oracleSql: Map[String, String] = Map(
-    // m07: the m06 hash CTEs + the d07-style band self-join, Hamming
-    // as xor/bit_count per chunk — integers end to end
-    "m07_ahash_candidates" ->
-      """WITH d AS (
+  /** The m06 hash + band-pair CTE body (d, t, h, bands, cand, hm) —
+    * ONE string shared by the m07 and m08 oracles so the pairing
+    * algebra can never drift between them. */
+  private val ahashPairCtes: String =
+    """d AS (
            SELECT doc_id AS media_id, text,
                   CAST(length(text) AS BIGINT) AS len,
                   list_transform(range(1, length(text) + 1),
@@ -361,18 +415,49 @@ object MultimodalOps {
                FROM t),
          bands AS (SELECT media_id, unnest(range(0, 4)) AS band,
                           unnest(chunks) AS chunk FROM h),
+         cold AS (SELECT band, chunk FROM bands
+                  GROUP BY band, chunk HAVING count(*) <= 64),
+         bc AS (SELECT b.media_id, b.band, b.chunk
+                FROM bands b JOIN cold USING (band, chunk)),
          cand AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
-                  FROM bands x JOIN bands y
+                  FROM bc x JOIN bc y
                     ON x.band = y.band AND x.chunk = y.chunk
-                   AND x.media_id < y.media_id)
-         SELECT id_a, id_b,
+                   AND x.media_id < y.media_id),
+         hm AS (SELECT id_a, id_b,
                 CAST(list_sum(list_transform(range(0, 4),
                   b -> bit_count(xor(a.chunks[CAST(b + 1 AS INTEGER)],
                                      c.chunks[CAST(b + 1 AS INTEGER)]))))
                      AS BIGINT) AS hamming
          FROM cand
          JOIN h a ON a.media_id = cand.id_a
-         JOIN h c ON c.media_id = cand.id_b""",
+         JOIN h c ON c.media_id = cand.id_b)"""
+
+  def oracleSql: Map[String, String] = Map(
+    // m07: the m06 hash CTEs + the d07-style band self-join, Hamming
+    // as xor/bit_count per chunk — integers end to end
+    "m07_ahash_candidates" ->
+      s"""WITH $ahashPairCtes
+         SELECT id_a, id_b, hamming FROM hm""",
+    // m08: the shared pair CTEs filtered to the Hamming band, the
+    // recursive min-label components, the d09 keep rule, left-joined
+    // to the hashed spine so singletons keep themselves
+    "m08_ahash_clusters" ->
+      s"""WITH RECURSIVE $ahashPairCtes,
+         pairs AS (SELECT id_a, id_b FROM hm WHERE hamming <= 16),
+         ge AS (SELECT id_a AS v, id_b AS u FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+         cc(v, lbl) AS (
+           SELECT v, v FROM (SELECT DISTINCT v FROM ge)
+           UNION
+           SELECT e.v, cc.lbl FROM ge e JOIN cc ON cc.v = e.u),
+         lab AS (SELECT v AS media_id, min(lbl) AS cluster_id
+                 FROM cc GROUP BY v)
+         SELECT h.media_id,
+                coalesce(lab.cluster_id, h.media_id) AS cluster_id,
+                CAST(CASE WHEN coalesce(lab.cluster_id, h.media_id)
+                               = h.media_id
+                          THEN 1 ELSE 0 END AS INTEGER) AS kept
+         FROM h LEFT JOIN lab ON lab.media_id = h.media_id""",
     // m06: same per-char code expansion, same integer cross-multiply
     // per block, same 16-bit chunk packing — exact in both engines
     "m06_ahash" ->

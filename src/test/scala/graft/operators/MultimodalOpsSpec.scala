@@ -129,4 +129,41 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // halves on the zero chunks and reports the true 32-bit distance
     assert(got == Set((1L, 2L, 0L), (1L, 3L, 32L), (2L, 3L, 32L)))
   }
+
+  test("m07/m08 hot-bucket cap drops boilerplate buckets, keeps cold pairs") {
+    val s = spark
+    import s.implicits._
+    val half = "a" * 32 + "z" * 32
+    // 70 identical flat payloads: every band bucket holds 70 > 64 and
+    // is dropped — zero pairs from the boilerplate group; the cold
+    // identical pair survives untouched
+    val rows = (10L until 80L).map(i => (i, "m" * 100)) ++
+      Seq((1L, half), (2L, half))
+    val got = MultimodalOps.ahashCandidatesOn(rows.toDF("media_id", "txt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+    // and with the cap lifted the boilerplate group pairs quadratically
+    val uncapped = MultimodalOps.ahashCandidatesOn(
+      rows.toDF("media_id", "txt"), maxBucket = 1000L).count()
+    assert(uncapped === 70L * 69 / 2 + 1 + 140) // group pairs + cold pair
+      // + 70×2 flat-vs-half collisions on the zero chunks
+  }
+
+  test("m08 clusters: band pairs merge, min-id keeps, singletons self") {
+    val s = spark
+    import s.implicits._
+    val half = "a" * 32 + "z" * 32 // 1 and 2 pair at hamming 0
+    val flat = "m" * 100 // collides with both at hamming 32 > 16: no edge
+    val other = "b" * 16 + "y" * 16 + "b" * 16 + "y" * 16 // no collision
+    val got = MultimodalOps.ahashClustersOn(Seq(
+      (1L, half), (2L, half), (3L, flat), (4L, other), (5L, "tiny"))
+      .toDF("media_id", "txt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // {1,2} cluster under min-id 1 (1 kept, 2 dropped); 3 and 4 are
+    // singletons keeping themselves; 5 is under the length gate and
+    // has no row at all
+    assert(got == Set((1L, 1L, 1), (2L, 1L, 0), (3L, 3L, 1),
+      (4L, 4L, 1)))
+  }
 }
