@@ -116,7 +116,8 @@ object Bench {
     "t20_bpe_encode", "d17_semdedup_cells", "s20_hard_negatives",
     "c25_multilingual_pipeline", "s21_pq_train_full",
     "g23i_louvain_move", "s23_pca_power", "t21_phrase_search",
-    "s22_random_projection", "s24_ann_projected", "c26_curriculum")
+    "s22_random_projection", "s24_ann_projected", "c26_curriculum",
+    "m08_ahash_clusters", "c27_dsir_select", "t22_quality_classifier")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -790,7 +790,69 @@ object CurationOps {
     kept.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  private val DsirBuckets = 4096
+  private val DsirTopN = 100
+
+  /** c27: DSIR DATA SELECTION — hashed-n-gram importance resampling
+    * (Xie et al. 2023, "Data selection for language models via
+    * importance resampling"): score every raw-pool document by how
+    * much more likely its hashed bigram features are under the TARGET
+    * distribution (here the `src0` docs — the high-quality domain)
+    * than under the raw pool, and keep the top-N. Features are word
+    * bigrams hashed into `DsirBuckets` buckets with the portable
+    * md5-packed hash (identical SQL text both engines — the d06
+    * discipline); per-bucket add-1-smoothed log-probability ratios
+    * ln p̂_target(b) − ln p̂_raw(b) come from ONE 4096-row census, and
+    * a doc's weight is the sum of the ratio over its bigram
+    * OCCURRENCES (repeats count — the unigram-LM view), rounded to
+    * 4 dp (the t13 float discipline) before the (weight desc, doc_id)
+    * top-N cut so the boundary tie-break is engine-identical.
+    *
+    * Scale shape: one explode linear in corpus tokens, a 4096-bucket
+    * partial-agg census, the ratio table BROADCAST back onto the
+    * feature stream, a per-doc hash agg, and a TakeOrdered top-N — no
+    * self-join, no global sort, nothing grows with the corpus except
+    * the two linear passes. Output (doc_id, weight), the selected
+    * training subset. */
+  def dsirSelect(spark: SparkSession, sfDir: String,
+      target: String = "src0"): DataFrame =
+    dsirSelectOn(docs(spark, sfDir).select("doc_id", "source", "text"),
+      target)
+
+  /** [[dsirSelect]] over any (doc_id, source, text) frame. */
+  private[graft] def dsirSelectOn(d: DataFrame, target: String,
+      buckets: Int = DsirBuckets, topN: Int = DsirTopN): DataFrame = {
+    // barriered: the feature stream feeds the bucket census AND the
+    // per-doc weight join
+    val feats = Persists.barrier(d
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          """transform(sequence(1, size(split(text, ' ')) - 1),
+               i -> concat(element_at(split(text, ' '), i), ' ',
+                           element_at(split(text, ' '), i + 1)))"""))
+          .as("feat"))
+      .select(col("doc_id"), col("source"),
+        expr(s"${graft.operators.PortableHash.packed("feat", 6)}"
+          + s" % $buckets").as("b")))
+    val cnt = feats.groupBy("b").agg(
+      sum(when(col("source") === target, 1L).otherwise(0L)).as("ct"),
+      sum(when(col("source") =!= target, 1L).otherwise(0L)).as("cr"))
+    val tot = cnt.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val lr = cnt.crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        s"ln((ct + 1) / (tt + $buckets.0)) -"
+          + s" ln((cr + 1) / (tr + $buckets.0))").as("lr"))
+    feats.filter(col("source") =!= target)
+      .join(broadcast(lr), "b")
+      .groupBy("doc_id").agg(round(sum("lr"), 4).as("weight"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(topN)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c27_dsir_select" ->
+      ((s: SparkSession, d: String) => dsirSelect(s, d)),
     "c25_multilingual_pipeline" ->
       ((s: SparkSession, d: String) => multilingualPipeline(s, d)),
     "c24_temperature_mix_langid" ->
@@ -967,6 +1029,36 @@ object CurationOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // c27: same bigram explode, same md5-packed bucket hash (shared
+    // SQL text), same add-1 log-ratio census, same 4-dp rounding
+    // before the (weight desc, doc_id) top-N cut
+    "c27_dsir_select" -> {
+      val b = graft.operators.PortableHash.packed("feat", 6)
+      s"""WITH toks AS (
+           SELECT doc_id, source, string_split(text, ' ') AS t
+           FROM documents),
+         f AS (SELECT doc_id, source,
+                      unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i + 1])) AS feat
+               FROM toks WHERE len(t) >= 2),
+         fb AS (SELECT doc_id, source, $b % $DsirBuckets AS b FROM f),
+         cnt AS (SELECT b,
+                        sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                          AS ct,
+                        sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+                          AS cr
+                 FROM fb GROUP BY b),
+         tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt),
+         lr AS (SELECT b, ln((ct + 1) / (tt + $DsirBuckets.0)) -
+                          ln((cr + 1) / (tr + $DsirBuckets.0)) AS lr
+                FROM cnt, tot),
+         w AS (SELECT doc_id, round(sum(lr), 4) AS weight
+               FROM fb JOIN lr USING (b)
+               WHERE source <> 'src0'
+               GROUP BY doc_id)
+         SELECT doc_id, weight FROM w
+         ORDER BY weight DESC, doc_id LIMIT $DsirTopN"""
+    },
     // c25: the c24 oracle (langid → mix) anti-joined against c23's
     // contaminated train ids — stage oracles composed verbatim
     "c25_multilingual_pipeline" -> {

@@ -35,9 +35,13 @@ object TextOps {
   /** Per-document quality stats: char/word counts, average word length,
     * stopword ratio — the usual "keep or drop" features for corpus
     * filtering. */
-  def qualityStats(spark: SparkSession, sfDir: String): DataFrame = {
+  def qualityStats(spark: SparkSession, sfDir: String): DataFrame =
+    qualityStatsOn(docs(spark, sfDir))
+
+  /** [[qualityStats]] over any (doc_id, text) frame. */
+  private[graft] def qualityStatsOn(d: DataFrame): DataFrame = {
     val inList = stopwords.map(s => s"'$s'").mkString(", ")
-    docs(spark, sfDir).select(
+    d.select(
       col("doc_id"),
       length(col("text")).as("chars"),
       size(toks(col("text"))).as("words"),
@@ -348,8 +352,11 @@ object TextOps {
     * hottest possible key is one word within one document. The second
     * aggregation is per-doc and tiny. No UDFs, no windows. */
   def repetition(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    repetitionOn(docs(spark, sfDir))
+
+  /** [[repetition]] over any (doc_id, text) frame. */
+  private[graft] def repetitionOn(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
         sum("c").as("words"),
@@ -752,7 +759,87 @@ object TextOps {
                  GROUP BY 1, 2 HAVING count(DISTINCT terms.i) = 3)
        SELECT h.doc_id, h.pos, t.phrase FROM hits h, top1 t"""
 
+  // ------------------------------------------- model-based quality filter
+  /** Frozen logistic-regression weights for t22, (feature, weight) as a
+    * MODEL TABLE (the t09/t18 model-as-DataFrame discipline): natural
+    * text is stopword-dense and repetition-light, so repetition signals
+    * weigh negative and stopword density positive. Clean one-decimal
+    * stand-in weights — any real trained vector drops into the same
+    * table without touching the plan. */
+  private[graft] val qualityLrModel: Seq[(String, Double)] = Seq(
+    ("rep_ratio", -4.0), ("top_word_frac", -6.0),
+    ("stopword_ratio", 3.0), ("avg_word_len", -0.5))
+  private val QualityLrBias = 2.0
+
+  /** t22: MODEL-BASED QUALITY FILTER — the classifier gate real
+    * pipelines run after the heuristic filters (FineWeb-Edu's
+    * classifier scoring, Llama-class "quality model" filtering): the
+    * four already-gated quality signals (t01's stopword_ratio /
+    * avg_word_len, t08's rep_ratio / top_word_frac — the SAME code
+    * paths, factored to On forms) unpivoted to (doc_id, feature,
+    * value), broadcast-joined to the frozen 4-row weight table, dot
+    * product + bias through the logistic link. The score is rounded
+    * to 4 dp (the t13 float discipline) and `kept` thresholds the
+    * ROUNDED score at 0.5, so the boundary decision is
+    * engine-identical. Output (doc_id, score, kept).
+    *
+    * Scale shape: two linear per-doc feature passes, a 4n-row
+    * unpivot, a 4-row broadcast join, one per-doc hash agg — no
+    * window, no self-join, no UDF; the model table swaps for a
+    * trained one of any width without changing the plan. */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
+    qualityClassifierOn(docs(spark, sfDir))
+
+  /** [[qualityClassifier]] over any (doc_id, text) frame. */
+  private[graft] def qualityClassifierOn(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val m = qualityLrModel.toDF("feature", "w")
+    val feats = qualityStatsOn(d).join(repetitionOn(d), "doc_id")
+      .select(col("doc_id"), expr(
+        """stack(4, 'rep_ratio', rep_ratio,
+                    'top_word_frac', top_word_frac,
+                    'stopword_ratio', stopword_ratio,
+                    'avg_word_len', avg_word_len)""")
+        .as(Seq("feature", "value")))
+    feats.join(broadcast(m), "feature")
+      .groupBy("doc_id")
+      .agg(round(lit(1.0) / (lit(1.0) +
+        exp(-(lit(QualityLrBias) + sum(col("value") * col("w"))))), 4)
+        .as("score"))
+      .withColumn("kept", col("score") >= 0.5)
+  }
+
+  /** t22's DuckDB twin: the t01 and t08 oracles as CTEs, the same
+    * VALUES model table, same dot product + logistic link, same 4-dp
+    * rounding BEFORE the 0.5 threshold. */
+  val qualityClassifierOracle: String = {
+    val values = qualityLrModel.map { case (f, w) => s"('$f', $w)" }
+      .mkString(", ")
+    s"""WITH q AS ($qualityOracle),
+       r AS ($repetitionOracle),
+       j AS MATERIALIZED (
+         SELECT q.doc_id, rep_ratio, top_word_frac, stopword_ratio,
+                avg_word_len
+         FROM q JOIN r ON q.doc_id = r.doc_id),
+       f AS (
+         SELECT doc_id, 'rep_ratio' AS feature, rep_ratio AS value FROM j
+         UNION ALL
+         SELECT doc_id, 'top_word_frac', top_word_frac FROM j
+         UNION ALL
+         SELECT doc_id, 'stopword_ratio', stopword_ratio FROM j
+         UNION ALL
+         SELECT doc_id, 'avg_word_len', avg_word_len FROM j),
+       model(feature, w) AS (VALUES $values),
+       z AS (SELECT doc_id, $QualityLrBias + sum(value * w) AS z
+             FROM f JOIN model USING (feature) GROUP BY doc_id)
+       SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score,
+              round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS kept
+       FROM z"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_quality_classifier" -> (qualityClassifier _),
     "t21_phrase_search" -> (phraseSearch _),
     "t17_ngram_novelty" -> (ngramNovelty _),
     "t16_shard_divergence" -> (shardDivergence _),
@@ -785,6 +872,7 @@ object TextOps {
        FROM documents"""
 
   def oracleSql: Map[String, String] = Map(
+    "t22_quality_classifier" -> qualityClassifierOracle,
     "t21_phrase_search" -> phraseSearchOracle,
     "t17_ngram_novelty" -> ngramNoveltyOracle,
     "t16_shard_divergence" -> shardDivergenceOracle,

@@ -91,7 +91,8 @@ object PlanAudit {
       "s20_hard_negatives", "c25_multilingual_pipeline",
       "s21_pq_train_full", "g23_louvain_move", "s23_pca_power",
       "t21_phrase_search", "s22_random_projection",
-      "s24_ann_projected", "c26_curriculum")
+      "s24_ann_projected", "c26_curriculum", "m08_ahash_clusters",
+      "c27_dsir_select", "t22_quality_classifier")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

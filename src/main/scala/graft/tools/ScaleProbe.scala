@@ -316,6 +316,31 @@ object ScaleProbe {
           """concat_ws(' ', transform(sequence(0, 39),
                j -> concat('w', pmod(xxhash64(id * 7 + j), 500))))
              AS txt"""))),
+      // m08: m07's band pairs (16-bit-chunk-bounded buckets) + the
+      // min-label CC over the in-band edges — linear in payload bytes
+      // plus CC rounds on the (bounded) near-dup subgraph; dup-group
+      // payloads so in-band pairs exist at any n
+      ("m08_ahash_clusters", n => MultimodalOps.ahashClustersOn(
+        spark.range(n).selectExpr("id AS media_id",
+          """concat_ws(' ', transform(sequence(0, 39),
+               j -> concat('w', pmod(xxhash64((id div 4) * 7 + j), 500))))
+             AS txt"""))),
+      // c27: one bigram explode (linear in tokens), a 4096-bucket
+      // census, broadcast ratio join, per-doc agg, TakeOrdered —
+      // linear end to end; 10% of docs form the target pool
+      ("c27_dsir_select", n => CurationOps.dsirSelectOn(
+        spark.range(n).selectExpr("id AS doc_id",
+          "CASE WHEN id % 10 = 0 THEN 'tgt' ELSE 'raw' END AS source",
+          """concat_ws(' ', transform(sequence(0, 39),
+               j -> concat('w', pmod(xxhash64(id * 11 + j), 300))))
+             AS text"""), target = "tgt")),
+      // t22: two linear per-doc feature passes + 4-row broadcast model
+      // join + per-doc agg — linear in corpus tokens
+      ("t22_quality_classifier", n => TextOps.qualityClassifierOn(
+        spark.range(n).selectExpr("id AS doc_id",
+          """concat_ws(' ', transform(sequence(0, 39),
+               j -> concat('w', pmod(xxhash64(id * 13 + j), 400))))
+             AS text"""))),
       // d15: map-only chunking + ONE chunk-hash-keyed census shuffle —
       // linear in corpus tokens; dup-group corpus so shared chunks exist
       ("d15_cdc_chunks", n => DedupOps.cdcChunkCensusOn(

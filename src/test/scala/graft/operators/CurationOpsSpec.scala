@@ -281,4 +281,29 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       k -> (exact.getOrElse(k, 0L), near.getOrElse(k, 0L))).toMap
     assert(got == want && got.nonEmpty)
   }
+
+  test("c27 dsir: target-like raw docs outrank unlike; repeats count") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "tgt", "cat sat cat sat cat sat"),
+      (2L, "tgt", "cat sat cat sat"),
+      // raw pool: 10 repeats the target bigrams, 12 mixes, 11 has none
+      (10L, "raw", "cat sat cat sat"),
+      (11L, "raw", "dog ran dog ran"),
+      (12L, "raw", "cat sat dog ran"))
+      .toDF("doc_id", "source", "text")
+    val all = CurationOps.dsirSelectOn(rows, target = "tgt", topN = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // only raw docs are scored; target-bigram mass orders them
+    assert(all.keySet == Set(10L, 11L, 12L))
+    assert(all(10L) > all(12L) && all(12L) > all(11L))
+    // importance weights are log-ratios: target-like positive mass,
+    // target-free strictly negative
+    assert(all(10L) > 0 && all(11L) < 0)
+    // the top-N cut keeps the best by (weight desc, doc_id)
+    val top = CurationOps.dsirSelectOn(rows, target = "tgt", topN = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(10L, 12L))
+  }
 }
