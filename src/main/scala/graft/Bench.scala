@@ -117,7 +117,8 @@ object Bench {
     "c25_multilingual_pipeline", "s21_pq_train_full",
     "g23i_louvain_move", "s23_pca_power", "t21_phrase_search",
     "s22_random_projection", "s24_ann_projected", "c26_curriculum",
-    "m08_ahash_clusters", "c27_dsir_select", "t22_quality_classifier")
+    "m08_ahash_clusters", "c27_dsir_select", "t22_quality_classifier",
+    "d18_intradoc_dedup", "s25_ann_recall", "q122_ewma_daily")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

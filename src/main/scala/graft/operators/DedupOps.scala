@@ -1109,7 +1109,79 @@ object DedupOps {
       n, "train_id", "eval_id")
   }
 
+  // ------------------------------------------------- intra-document dedup
+  private val IntraChunkTokens = 8
+
+  /** d18: INTRA-DOCUMENT DEDUP — the Gopher-class repetition-removal
+    * filter (Rae et al. 2021 §A1.2) that trims duplicated SPANS inside
+    * one document (boilerplate headers, templated repeats, generation
+    * loops) rather than dropping whole docs: the doc splits into
+    * fixed-`k`-token chunks, only the FIRST occurrence of each
+    * distinct chunk survives (row_number over (doc, chunk) by
+    * position — per-doc keys, no global hot key), and the kept chunks
+    * re-join in original order. Emits (doc_id, clean_text, n_chunks,
+    * n_dropped). The synthetic gate corpus is random-word text, so
+    * 8-token repeats are absent there and the gate checks the
+    * identity path (engine equivalence — the t18 uniform-corpus
+    * precedent); DedupOpsSpec proves the trimming on repeat-dense
+    * fixtures.
+    *
+    * Scale shape: one explode linear in corpus tokens, a per-doc
+    * window (partition key = (doc_id, chunk) — bounded by the doc),
+    * one per-doc agg rebuilding the text. Nothing crosses documents:
+    * embarrassingly parallel at any corpus size. */
+  def intraDocDedup(spark: SparkSession, sfDir: String): DataFrame =
+    intraDocDedupOn(docs(spark, sfDir))
+
+  /** [[intraDocDedup]] over any (doc_id, text) frame. */
+  private[graft] def intraDocDedupOn(
+      d: DataFrame, k: Int = IntraChunkTokens): DataFrame = {
+    val chunks = d
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(t) + ${k - 1}) div $k - 1),
+              i -> array_join(slice(t, i * $k + 1, $k), ' '))"""))
+        .as(Seq("ci", "chunk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "chunk").orderBy("ci")
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id").agg(
+        expr("""array_join(transform(
+                  array_sort(collect_list(
+                    CASE WHEN rn = 1 THEN struct(ci, chunk) END)),
+                  s -> s.chunk), ' ')""").as("clean_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
+  /** d18's DuckDB twin: same k-token chunking, same first-occurrence
+    * rule, same in-order re-join (string_agg skips the non-first
+    * occurrences' NULLs). */
+  private[graft] val intraDocOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+       ch AS (SELECT doc_id, i AS ci,
+                     array_to_string(
+                       list_slice(t, i * $IntraChunkTokens + 1,
+                                  i * $IntraChunkTokens
+                                    + $IntraChunkTokens), ' ') AS chunk
+              FROM t, unnest(range(0, (len(t) + ${IntraChunkTokens - 1})
+                                      // $IntraChunkTokens)) AS u(i)),
+       rn AS (SELECT doc_id, ci, chunk,
+                     row_number() OVER (PARTITION BY doc_id, chunk
+                                        ORDER BY ci) AS rn
+              FROM ch)
+       SELECT doc_id,
+              string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                         ORDER BY ci) AS clean_text,
+              count(*) AS n_chunks,
+              CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dropped
+       FROM rn GROUP BY doc_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_intradoc_dedup" ->
+      ((s: SparkSession, d: String) => intraDocDedup(s, d)),
     "d16_substring_overlap" ->
       ((s: SparkSession, d: String) => substringOverlap(s, d)),
     "d17_semdedup_cells" ->
@@ -1357,6 +1429,7 @@ object DedupOps {
      SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3"""
 
   def oracleSql: Map[String, String] = Map(
+    "d18_intradoc_dedup" -> intraDocOracle,
     "d16_substring_overlap" -> substringOverlapOracle,
     "d17_semdedup_cells" -> semdedupOracle,
     "d15_cdc_chunks" -> cdcChunkOracle,

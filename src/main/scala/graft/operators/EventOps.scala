@@ -539,7 +539,77 @@ object EventOps {
       .limit(k)
   }
 
+  // -------------------------------------------- exponential smoothing
+  private val EwmaLookback = 20
+  private val EwmaAlpha = 0.25
+
+  /** q122: EWMA TREND over the daily event series — the exponentially
+    * weighted moving average (the standard smoother next to q111's
+    * rolling z-score and q119's OLS trend), in the FINITE-window
+    * normalized form: over the last `lookback` days of each type's
+    * series, ewma = Σ x_j·(1−α)^(m−1−j) / Σ (1−α)^(m−1−j), newest
+    * weighted heaviest. The frame is a bounded ROWS window, weights
+    * come from an indexed transform over the frame-ordered list (both
+    * engines index the list explicitly — no fold-order dependence),
+    * and the result rounds to 4 dp. The day series is q26's daily
+    * aggregation verbatim (sv coalesced so a null never desyncs
+    * Spark's null-skipping collect_list from DuckDB's null-keeping
+    * list()).
+    *
+    * Scale shape: one per-type day-ordered window over the DAILY
+    * frame (series-sized — days × types, not event volume), frames
+    * bounded at `lookback` elements. The event-volume stage is the
+    * q26 partial-agg'd groupBy. */
+  def ewmaDaily(spark: SparkSession, sfDir: String): DataFrame =
+    ewmaOn(Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+        col("event_type"))
+      .agg(round(coalesce(sum("value"), lit(0.0)), 2).as("v")))
+
+  /** [[ewmaDaily]] over any (event_type, day, v) series frame. */
+  private[graft] def ewmaOn(series: DataFrame,
+      lookback: Int = EwmaLookback,
+      alpha: Double = EwmaAlpha): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-(lookback - 1), 0)
+    val decay = 1.0 - alpha
+    series
+      .withColumn("xs", collect_list(col("v")).over(w))
+      .withColumn("ewma", expr(
+        s"""round(
+              aggregate(transform(sequence(0, size(xs) - 1),
+                  i -> element_at(xs, i + 1)
+                         * power($decay, size(xs) - 1 - i)),
+                0D, (acc, x) -> acc + x) /
+              aggregate(transform(sequence(0, size(xs) - 1),
+                  i -> power($decay, size(xs) - 1 - i)),
+                0D, (acc, x) -> acc + x), 4)"""))
+      .select("event_type", "day", "v", "ewma")
+  }
+
+  /** q122's DuckDB twin: same daily series, same frame-ordered list,
+    * same indexed weight transform and 4-dp rounding. */
+  private[graft] val ewmaOracle: String = {
+    val decay = 1.0 - EwmaAlpha
+    s"""WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                          event_type,
+                          round(coalesce(sum(value), 0.0), 2) AS v
+                   FROM events GROUP BY 1, 2),
+       w AS (SELECT event_type, day, v,
+                    list(v) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN ${EwmaLookback - 1}
+                                  PRECEDING AND CURRENT ROW) AS xs
+             FROM d)
+       SELECT event_type, day, v,
+              round(list_sum(list_transform(range(0, len(xs)),
+                      i -> xs[i + 1] * pow($decay, len(xs) - 1 - i))) /
+                    list_sum(list_transform(range(0, len(xs)),
+                      i -> pow($decay, len(xs) - 1 - i))), 4) AS ewma
+       FROM w"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_ewma_daily" -> (ewmaDaily _),
     "q120_session_paths" -> (sessionPaths _),
     "q119_trend_ols" -> (trendOls _),
     "q117_mad_outliers" -> (madOutliers _),
@@ -555,6 +625,7 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q122_ewma_daily" -> ewmaOracle,
     // q120: the same gap windows on the same unique sort,
     // string_agg ORDER BY as the deterministic path reduce, the same
     // (count desc, path) total order under the limit

@@ -1664,7 +1664,54 @@ object SimilarityOps {
       .select("dim", "mn", "mx", "max_abs_err", "mean_abs_err")
   }
 
+  // ------------------------------------------------- index evaluation
+  /** s25: ANN RECALL@K EVALUATION — the measurement every serving
+    * pipeline runs before swapping an index in: the approximate
+    * retriever (s05's portable-LSH top-k — the deterministic twin, so
+    * the WHOLE evaluation carries a DuckDB oracle) joined against the
+    * exact brute truth (s01) per query, emitting (query_id, hits,
+    * recall). Both sides are the already-gated operators VERBATIM, so
+    * the metric can never drift from what the gates check; the
+    * rows-only s02/s09/s13 entries get their recall from contract
+    * specs, and this entry makes the evaluation ITSELF a gated,
+    * engine-exact operator.
+    *
+    * Scale shape: truth is nQueries·k rows, approx is nQueries·k rows
+    * — the join and agg are query-set-sized, trivially broadcastable;
+    * cost is the two retrievals it measures. */
+  def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = bruteForceTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = lshTopKPortable(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id").agg(
+        count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        round(col("hits") / col("k"), 4).as("recall"))
+  }
+
+  /** s25's DuckDB twin: the s01 and s05 oracles embedded verbatim as
+    * derived tables, same left join + per-query hit count. (A `def`:
+    * bruteOracle is declared later in the object, so a val here would
+    * capture null at initialization.) */
+  private def annRecallOracle: String =
+    s"""WITH truth AS (SELECT query_id, neighbor_id
+                       FROM ($bruteOracle) b),
+       approx AS (SELECT query_id, neighbor_id, 1 AS hit
+                  FROM ($lshPortableOracle) a)
+       SELECT t.query_id,
+              CAST(sum(coalesce(hit, 0)) AS BIGINT) AS hits,
+              round(sum(coalesce(hit, 0)) / CAST(count(*) AS DOUBLE), 4)
+                AS recall
+       FROM truth t LEFT JOIN approx x
+         ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+       GROUP BY t.query_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s25_ann_recall" ->
+      ((s: SparkSession, d: String) => annRecallEval(s, d)),
     "s17_sq8_report" ->
       ((s: SparkSession, d: String) => sq8Report(s, d)),
     "s18_kmeans_train" ->
@@ -1796,6 +1843,7 @@ object SimilarityOps {
      SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10"""
 
   def oracleSql: Map[String, String] = Map(
+    "s25_ann_recall" -> annRecallOracle,
     "s12_embedding_covariance" -> covarianceOracle,
     "s01_ann_brute" -> bruteOracle,
     // s20: s01's oracle with the duplicate band excluded BETWEEN

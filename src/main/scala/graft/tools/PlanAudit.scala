@@ -92,7 +92,8 @@ object PlanAudit {
       "s21_pq_train_full", "g23_louvain_move", "s23_pca_power",
       "t21_phrase_search", "s22_random_projection",
       "s24_ann_projected", "c26_curriculum", "m08_ahash_clusters",
-      "c27_dsir_select", "t22_quality_classifier")
+      "c27_dsir_select", "t22_quality_classifier",
+      "d18_intradoc_dedup", "s25_ann_recall", "q122_ewma_daily")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

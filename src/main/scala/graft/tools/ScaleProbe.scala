@@ -341,6 +341,20 @@ object ScaleProbe {
           """concat_ws(' ', transform(sequence(0, 39),
                j -> concat('w', pmod(xxhash64(id * 13 + j), 400))))
              AS text"""))),
+      // d18: explode linear in tokens, per-doc window + per-doc agg —
+      // nothing crosses documents; dup-dense payloads so trims happen
+      ("d18_intradoc_dedup", n => DedupOps.intraDocDedupOn(
+        spark.range(n).selectExpr("id AS doc_id",
+          """concat_ws(' ', transform(sequence(0, 39),
+               j -> concat('w', pmod(xxhash64(id * 3 + j div 8), 50))))
+             AS text"""))),
+      // q122: the event-volume stage is the q26 partial-agg'd daily
+      // groupBy; the window runs on the series frame (days × types)
+      ("q122_ewma_daily", n => EventOps.ewmaOn(
+        spark.range(n).selectExpr(
+          "concat('t', id % 5) AS event_type",
+          "date_add(date'2024-01-01', cast(id div 5 as int)) AS day",
+          "cast(pmod(xxhash64(id), 100) as double) AS v"))),
       // d15: map-only chunking + ONE chunk-hash-keyed census shuffle —
       // linear in corpus tokens; dup-group corpus so shared chunks exist
       ("d15_cdc_chunks", n => DedupOps.cdcChunkCensusOn(

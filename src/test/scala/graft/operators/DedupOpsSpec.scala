@@ -263,4 +263,26 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       2L -> (30 until 60).map(i => s"w$i").mkString(" "))
     assert(!far.exists { case (_, (nd, _)) => nd == 2L })
   }
+
+  test("d18 intra-doc dedup: first chunk occurrence kept, order intact") {
+    val s = spark
+    import s.implicits._
+    def run(rows: (Long, String)*) =
+      DedupOps.intraDocDedupOn(rows.toDF("doc_id", "text"), k = 2)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+          r.getLong(3))).toMap
+    val got = run(
+      1L -> "a b c d a b", // chunk 0 repeats at 2: drop the repeat
+      2L -> "x y x y x y", // one distinct chunk, two repeats
+      3L -> "a b c d e",   // partial tail chunk, all distinct
+      4L -> "a b a")       // tail "a" ≠ chunk "a b": both kept
+    assert(got(1L) == ("a b c d", 3L, 1L))
+    assert(got(2L) == ("x y", 3L, 2L))
+    assert(got(3L) == ("a b c d e", 3L, 0L))
+    assert(got(4L) == ("a b a", 2L, 0L))
+    // repeats NOT aligned to the chunk grid survive (the documented
+    // fixed-grid limit — d16's window join is the exhaustive form)
+    assert(run(5L -> "z a b a b x")(5L)._3 == 0L)
+  }
 }

@@ -312,4 +312,26 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq ==
       Seq((0L, 1L), (D, 2L), (D + 10L, 1L), (2 * D, 0L)))
   }
+
+  test("q122 ewma: finite-window weights, newest heaviest, per type") {
+    val s = spark
+    import s.implicits._
+    val series = Seq(
+      ("a", "2024-01-01", 1.0), ("a", "2024-01-02", 2.0),
+      ("a", "2024-01-03", 4.0),
+      ("b", "2024-01-01", 10.0), ("b", "2024-01-02", 10.0))
+      .toDF("event_type", "d", "v")
+      .selectExpr("event_type", "to_date(d) AS day", "v")
+    val got = EventOps.ewmaOn(series, lookback = 2, alpha = 0.25)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getDouble(3))
+      .toMap
+    // day 1: frame [1] → 1; day 2: (0.75·1 + 2)/1.75; day 3 drops
+    // day 1 from the frame: (0.75·2 + 4)/1.75
+    assert(got(("a", "2024-01-01")) == 1.0)
+    assert(got(("a", "2024-01-02")) == 1.5714)
+    assert(got(("a", "2024-01-03")) == 3.1429)
+    // constant series smooths to itself; type b never sees type a
+    assert(got(("b", "2024-01-02")) == 10.0)
+  }
 }

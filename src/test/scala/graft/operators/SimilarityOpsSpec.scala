@@ -65,4 +65,26 @@ class SimilarityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == ids.sorted)
     assert(ids.forall(_ % mod == 0))
   }
+
+  test("s25 recall eval equals the manual join of s01 truth and s05") {
+    val sf = "/root/testdata/sf0.001"
+    val truth = SimilarityOps.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val approx = SimilarityOps.lshTopKPortable(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val want = truth.groupBy(_._1).view.mapValues { ns =>
+      val hits = ns.count(approx.contains).toLong
+      (hits, BigDecimal(hits.toDouble / ns.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = SimilarityOps.annRecallEval(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want)
+    // every query graded, recall within [0,1], and the evaluation is
+    // non-degenerate on the gate corpus (LSH finds SOMETHING)
+    assert(got.keySet == truth.map(_._1).toSet)
+    assert(got.values.forall { case (h, r) => h >= 0 && r >= 0 && r <= 1 })
+    assert(got.values.map(_._1).sum > 0)
+  }
 }
