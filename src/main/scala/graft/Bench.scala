@@ -118,7 +118,8 @@ object Bench {
     "g23i_louvain_move", "s23_pca_power", "t21_phrase_search",
     "s22_random_projection", "s24_ann_projected", "c26_curriculum",
     "m08_ahash_clusters", "c27_dsir_select", "t22_quality_classifier",
-    "d18_intradoc_dedup", "s25_ann_recall", "q122_ewma_daily")
+    "d18_intradoc_dedup", "s25_ann_recall", "q122_ewma_daily",
+    "t23_quality_tiers", "g24i_harmonic_landmarks")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -174,6 +175,10 @@ object Bench {
       ((s, d) => graft.operators.GraphOps.pagerankDanglingFromEdges(s, d)),
     "g09i_hits" ->
       ((s, d) => graft.operators.GraphOps.hitsFromEdges(s, d)),
+    // g24's labeled landmark BFS over the same stored edge artifact
+    // (the g10i discipline; GraphOpsSpec pins served ≡ inline)
+    "g24i_harmonic_landmarks" ->
+      ((s, d) => graft.operators.GraphOps.harmonicFromEdges(s, d)),
     "g10i_khop_bfs" ->
       ((s, d) => graft.operators.GraphOps.bfsFromEdges(s, d)),
     "g12i_components_star" ->

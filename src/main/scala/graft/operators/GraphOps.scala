@@ -1178,6 +1178,13 @@ object GraphOps {
     bfsHopsOn(spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)),
       nationSeeds(spark, sfDir), BfsHops)
 
+  /** g24's labeled BFS over the stored co-purchase edges (benched
+    * g24i — the gate form re-derives orders⋈lineitem). */
+  def harmonicFromEdges(spark: SparkSession, sfDir: String): DataFrame =
+    harmonicCentralityOn(
+      spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)),
+      HarmonicLandmarks, BfsHops)
+
   /** The UNFLOORED mutual-kNN edge artifact ([[knnEdgesPath]] stores
     * the strong ≥ 0.4 graph) — shared by the g02/g07/g13/g14/g16/g18
     * bench forms, whose gate forms rebuild the quadratic exact graph
@@ -1402,7 +1409,91 @@ object GraphOps {
       spark.read.parquet(baseComponentLabelsPath(spark, sfDir)))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
 
+  private val HarmonicLandmarks = 4
+
+  /** g24: LANDMARK HARMONIC CENTRALITY — closeness-family centrality
+    * by the landmark approximation (the standard scale trick:
+    * exact closeness needs all-pairs distances; k landmarks bound the
+    * work at k BFS sweeps): harmonic(v) = Σ_landmarks 1/d(l, v) over
+    * reachable landmarks within [[BfsHops]] hops (harmonic, not
+    * closeness, so unreachable landmarks contribute 0 instead of
+    * breaking the mean — the Boldi–Vigna argument). One LABELED
+    * multi-source BFS carries all landmarks at once: state
+    * (lm, node, dist), each hop one edges⋈frontier join + an
+    * anti-join against visited — the g10 superstep with the landmark
+    * id threaded through, so state is |landmarks|·|nodes| bounded.
+    * Landmarks are the `k` lowest node ids (deterministic; a
+    * production run swaps in a seeded sample — the c11 argument).
+    * Output (node, harmonic, n_landmarks). */
+  def harmonicCentrality(spark: SparkSession, sfDir: String): DataFrame =
+    harmonicCentralityOn(coPurchaseEdges(spark, sfDir),
+      HarmonicLandmarks, BfsHops)
+
+  /** [[harmonicCentrality]] over any (src, dst) edge frame. */
+  private[graft] def harmonicCentralityOn(edges: DataFrame,
+      nLandmarks: Int, maxHops: Int): DataFrame = {
+    val e = Persists.barrier(edges.select("src", "dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    val lms = nodes.orderBy("node").limit(nLandmarks)
+      .select(col("node").as("lm"))
+    var visited = Persists.barrier(lms.select(col("lm"),
+      col("lm").as("node"), lit(0).cast("int").as("dist")))
+    var frontier = visited.select("lm", "node")
+    for (i <- 1 to maxHops) {
+      frontier = Persists.barrier(
+        e.join(frontier, e("src") === frontier("node"))
+          .select(col("lm"), col("dst").as("node")).distinct()
+          .join(visited.select("lm", "node"), Seq("lm", "node"),
+            "left_anti"))
+      visited = Persists.barrier(visited.unionAll(
+        frontier.select(col("lm"), col("node"),
+          lit(i).cast("int").as("dist"))))
+    }
+    visited.filter(col("dist") > 0)
+      .groupBy("node").agg(
+        round(sum(lit(1.0) / col("dist")), 4).as("harmonic"),
+        count(lit(1)).as("n_landmarks"))
+  }
+
+  /** g24's oracle: the g10 unrolling with the landmark id threaded
+    * through every hop CTE, then the 1/d roll-up. */
+  private def harmonicOracle(hops: Int, k: Int): String = {
+    val base =
+      s"""WITH pairs AS (
+           SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (
+           SELECT cn AS src, sn AS dst FROM pairs
+           UNION ALL
+           SELECT sn AS src, cn AS dst FROM pairs),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         lmk AS (SELECT node AS lm FROM nodes ORDER BY node LIMIT $k),
+         v0 AS (SELECT lm, lm AS node, CAST(0 AS INTEGER) AS dist
+                FROM lmk),
+         f0 AS (SELECT lm, node FROM v0)"""
+    val its = (1 to hops).map { i =>
+      s"""f$i AS (
+           SELECT DISTINCT f.lm, e.dst AS node
+           FROM edges e JOIN f${i - 1} f ON e.src = f.node
+           WHERE NOT EXISTS (
+             SELECT 1 FROM v${i - 1} v
+             WHERE v.lm = f.lm AND v.node = e.dst)),
+         v$i AS (
+           SELECT lm, node, dist FROM v${i - 1}
+           UNION ALL
+           SELECT lm, node, CAST($i AS INTEGER) FROM f$i)"""
+    }.mkString(",\n")
+    s"""$base,
+       $its
+       SELECT node, round(sum(CAST(1 AS DOUBLE) / dist), 4) AS harmonic,
+              count(*) AS n_landmarks
+       FROM v$hops WHERE dist > 0 GROUP BY node"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g24_harmonic_landmarks" ->
+      ((s: SparkSession, d: String) => harmonicCentrality(s, d)),
     "g01_pagerank" -> ((spark: SparkSession, sfDir: String) => {
       pagerankOn(coPurchaseEdges(spark, sfDir))
         .select(col("node"), col("pr"))
@@ -1876,6 +1967,8 @@ object GraphOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "g24_harmonic_landmarks" ->
+      harmonicOracle(BfsHops, HarmonicLandmarks),
     "g10_khop_bfs" -> bfsOracle(BfsHops),
     "g11_pagerank_weighted" -> pagerankWeightedOracle(PrIters),
     "g01_pagerank" -> pagerankOracle(PrIters),

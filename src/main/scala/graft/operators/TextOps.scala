@@ -427,6 +427,59 @@ object TextOps {
       FROM w JOIN model USING (w) CROSS JOIN t
       GROUP BY doc_id"""
 
+  /** t23: CCNet QUALITY TIERS — the head/middle/tail bucketing CCNet
+    * applies to its LM-perplexity scores (Wenzek et al. 2020 §4.3):
+    * t09's unigram logprob (the already-gated operator VERBATIM)
+    * banded into equi-depth terciles with the c26 left-edge
+    * convention — the cumulative window runs over the
+    * DISTINCT-logprob frame (value-bounded however large the corpus),
+    * band = ((cum − cnt)·3) div total + 1 in pure int64, broadcast
+    * back. Ascending logprob ⇒ band 1 = tail (least fluent),
+    * 3 = head. Output (doc_id, logprob, tier).
+    *
+    * Scale shape: t09's two linear passes + a value-bounded window +
+    * a broadcast band-map join — the c26 banding argument verbatim. */
+  def qualityTiers(spark: SparkSession, sfDir: String): DataFrame =
+    qualityTiersOn(unigramLogprob(spark, sfDir))
+
+  /** [[qualityTiers]] over any (doc_id, logprob) frame. */
+  private[graft] def qualityTiersOn(lp0: DataFrame): DataFrame = {
+    val lp = Persists.barrier(lp0)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy("logprob")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val bandMap = lp.groupBy("logprob").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("total", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(col("logprob"),
+        expr("((cum - cnt) * 3) div total + 1").cast("int").as("band"))
+    lp.join(broadcast(bandMap), "logprob")
+      .select(col("doc_id"), col("logprob"),
+        when(col("band") === 1, "tail").when(col("band") === 2, "middle")
+          .otherwise("head").as("tier"))
+  }
+
+  /** t23's DuckDB twin: the t09 oracle as a CTE + the c26 banding
+    * algebra on the distinct-logprob frame. */
+  def qualityTiersOracle: String =
+    s"""WITH lp AS MATERIALIZED ($unigramOracle),
+       g AS (SELECT logprob, count(*) AS cnt FROM lp GROUP BY logprob),
+       b AS (SELECT logprob,
+                    ((sum(cnt) OVER (ORDER BY logprob
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - cnt) * 3)
+                      // (sum(cnt) OVER ()) + 1 AS band
+             FROM g)
+       SELECT lp.doc_id, lp.logprob,
+              CASE b.band WHEN 1 THEN 'tail' WHEN 2 THEN 'middle'
+                   ELSE 'head' END AS tier
+       FROM lp JOIN b USING (logprob)"""
+
   // --------------------------------------------- bigram LM log-prob
   /** Bigram conditional log-probability scoring: mean ln P(wᵢ | wᵢ₋₁)
     * under the corpus bigram model — t09's unigram proxy upgraded one
@@ -839,6 +892,7 @@ object TextOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_quality_tiers" -> (qualityTiers _),
     "t22_quality_classifier" -> (qualityClassifier _),
     "t21_phrase_search" -> (phraseSearch _),
     "t17_ngram_novelty" -> (ngramNovelty _),
@@ -872,6 +926,7 @@ object TextOps {
        FROM documents"""
 
   def oracleSql: Map[String, String] = Map(
+    "t23_quality_tiers" -> qualityTiersOracle,
     "t22_quality_classifier" -> qualityClassifierOracle,
     "t21_phrase_search" -> phraseSearchOracle,
     "t17_ngram_novelty" -> ngramNoveltyOracle,

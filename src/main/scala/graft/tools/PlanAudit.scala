@@ -93,7 +93,8 @@ object PlanAudit {
       "t21_phrase_search", "s22_random_projection",
       "s24_ann_projected", "c26_curriculum", "m08_ahash_clusters",
       "c27_dsir_select", "t22_quality_classifier",
-      "d18_intradoc_dedup", "s25_ann_recall", "q122_ewma_daily")
+      "d18_intradoc_dedup", "s25_ann_recall", "q122_ewma_daily",
+      "t23_quality_tiers", "g24_harmonic_landmarks")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

@@ -355,6 +355,18 @@ object ScaleProbe {
           "concat('t', id % 5) AS event_type",
           "date_add(date'2024-01-01', cast(id div 5 as int)) AS day",
           "cast(pmod(xxhash64(id), 100) as double) AS v"))),
+      // t23: the t09 passes + a value-bounded banding window + a
+      // broadcast band-map join — linear in docs
+      ("t23_quality_tiers", n => TextOps.qualityTiersOn(
+        spark.range(n).selectExpr("id AS doc_id",
+          "round(cast(pmod(xxhash64(id), 997) as double) / -100, 4)"
+            + " AS logprob"))),
+      // g24: k landmark BFS sweeps in ONE labeled frontier — state
+      // |landmarks|·|nodes| bounded; ladder graph keeps frontiers live
+      ("g24_harmonic_landmarks", n => GraphOps.harmonicCentralityOn(
+        spark.range(n).selectExpr("id AS src", "id + 1 AS dst")
+          .unionAll(spark.range(n).selectExpr("id + 1 AS src",
+            "id AS dst")), nLandmarks = 4, maxHops = 4)),
       // d15: map-only chunking + ONE chunk-hash-keyed census shuffle —
       // linear in corpus tokens; dup-group corpus so shared chunks exist
       ("d15_cdc_chunks", n => DedupOps.cdcChunkCensusOn(

@@ -116,6 +116,8 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(GraphOps.bfsFromEdges(spark, sf)))
     assert(rows(GraphOps.queries("g12_components_star")(spark, sf)) ==
       rows(GraphOps.starComponentsFromEdges(spark, sf)))
+    assert(rows(GraphOps.queries("g24_harmonic_landmarks")(spark, sf)) ==
+      rows(GraphOps.harmonicFromEdges(spark, sf)))
   }
 
   test("unfloored-kNN artifact serving equals the six inline forms") {
@@ -499,5 +501,21 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got(2L) > got(3L))
     assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
+
+  test("g24 harmonic: labeled BFS sums 1/d over reachable landmarks") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5; landmarks = the 2 lowest ids {1, 2}; 3 hops
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.harmonicCentralityOn(e, nLandmarks = 2,
+        maxHops = 3).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // self-distances are excluded; 5 is beyond hop 3 from landmark 1
+    assert(got(1L) == (1.0, 1L) && got(2L) == (1.0, 1L))
+    assert(got(3L) == (1.5, 2L))
+    assert(got(4L) == (0.8333, 2L))
+    assert(got(5L) == (0.3333, 1L))
   }
 }

@@ -69,4 +69,22 @@ class QualityClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(id)._2 == (score >= 0.5), s"doc $id kept")
     }
   }
+
+  test("t23 tiers: equi-depth terciles, left edge, ties stay together") {
+    val s = spark
+    import s.implicits._
+    def run(rows: (Long, Double)*) =
+      TextOps.qualityTiersOn(rows.toDF("doc_id", "logprob"))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // 9 distinct values: exact terciles by ascending logprob
+    val nine = run((1L to 9L).map(i => i -> (i.toDouble - 10)): _*)
+    assert((1L to 3L).forall(nine(_) == "tail"))
+    assert((4L to 6L).forall(nine(_) == "middle"))
+    assert((7L to 9L).forall(nine(_) == "head"))
+    // duplicated values land in ONE band (left-edge convention)
+    val dup = run(1L -> -5.0, 2L -> -5.0, 3L -> -5.0,
+      4L -> -2.0, 5L -> -2.0, 6L -> -1.0)
+    assert(dup == Map(1L -> "tail", 2L -> "tail", 3L -> "tail",
+      4L -> "middle", 5L -> "middle", 6L -> "head"))
+  }
 }
