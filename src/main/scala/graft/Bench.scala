@@ -119,7 +119,8 @@ object Bench {
     "s22_random_projection", "s24_ann_projected", "c26_curriculum",
     "m08_ahash_clusters", "c27_dsir_select", "t22_quality_classifier",
     "d18_intradoc_dedup", "s25_ann_recall", "q122_ewma_daily",
-    "t23_quality_tiers", "g24i_harmonic_landmarks")
+    "t23_quality_tiers", "g24i_harmonic_landmarks",
+    "t24_fertility_by_lang", "d19_dedup_report", "s26_embedding_drift")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -1179,7 +1179,60 @@ object DedupOps {
                 AS n_dropped
        FROM rn GROUP BY doc_id"""
 
+  /** d19: DEDUP TELEMETRY BY SOURCE — the per-source duplication
+    * report corpus operations actually watch (which crawl/source is
+    * flooding the mix with copies, and whose content leaks across
+    * sources): per source, total docs, within-source exact-dup count
+    * (docs beyond the first per fingerprint), and the count of docs
+    * whose content also appears in ANOTHER source. Fingerprint is
+    * md5(text) — the d01 key — so the report is exact and
+    * hash-anchored.
+    *
+    * Scale shape: one fingerprint projection, two fingerprint-keyed
+    * aggs (16-byte shuffle keys, partial map-side), a semi join
+    * against the cross-source fingerprint set, and a sources-sized
+    * roll-up. No self-join, no windows over the corpus. */
+  def dedupReport(spark: SparkSession, sfDir: String): DataFrame =
+    dedupReportOn(docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  /** [[dedupReport]] over any (doc_id, source, text) frame. */
+  private[graft] def dedupReportOn(d: DataFrame): DataFrame = {
+    val h = Persists.barrier(
+      d.select(col("source"), md5(col("text")).as("fp")))
+    val cross = h.groupBy("fp")
+      .agg(countDistinct("source").as("ns"))
+      .filter(col("ns") >= 2).select("fp")
+    val base = h.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct("fp").as("n_distinct"))
+    val leak = h.join(cross, Seq("fp"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_cross_source"))
+    base.join(leak, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - col("n_distinct")).as("n_exact_dups"),
+        coalesce(col("n_cross_source"), lit(0L)).as("n_cross_source"))
+  }
+
+  /** d19's DuckDB twin: same md5 key, same three aggregations. */
+  private[graft] val dedupReportOracle: String =
+    """WITH h AS (SELECT source, md5(text) AS fp FROM documents),
+       cross_fp AS (SELECT fp FROM h GROUP BY fp
+                    HAVING count(DISTINCT source) >= 2),
+       base AS (SELECT source, count(*) AS n_docs,
+                       count(DISTINCT fp) AS n_distinct
+                FROM h GROUP BY source),
+       leak AS (SELECT source, count(*) AS n_cross_source
+                FROM h SEMI JOIN cross_fp USING (fp)
+                GROUP BY source)
+       SELECT base.source, n_docs,
+              n_docs - n_distinct AS n_exact_dups,
+              coalesce(n_cross_source, 0) AS n_cross_source
+       FROM base LEFT JOIN leak ON base.source = leak.source"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_dedup_report" ->
+      ((s: SparkSession, d: String) => dedupReport(s, d)),
     "d18_intradoc_dedup" ->
       ((s: SparkSession, d: String) => intraDocDedup(s, d)),
     "d16_substring_overlap" ->
@@ -1429,6 +1482,7 @@ object DedupOps {
      SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3"""
 
   def oracleSql: Map[String, String] = Map(
+    "d19_dedup_report" -> dedupReportOracle,
     "d18_intradoc_dedup" -> intraDocOracle,
     "d16_substring_overlap" -> substringOverlapOracle,
     "d17_semdedup_cells" -> semdedupOracle,

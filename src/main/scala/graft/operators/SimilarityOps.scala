@@ -1709,7 +1709,53 @@ object SimilarityOps {
          ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
        GROUP BY t.query_id"""
 
+  /** s26: EMBEDDING SHARD DRIFT — the per-dimension distribution
+    * check an embedding pipeline runs between two batches (encoder
+    * version bump, corpus shift) before mixing them into one index:
+    * the corpus split into two shards (here by vec_id parity — a
+    * production run compares batch N vs N+1), per-dimension means of
+    * each shard, and the per-dim delta. A drifted encoder shows up as
+    * a structured delta vector; healthy re-ingestion shows noise
+    * around 0. Output (dim, mean_a, mean_b, diff), the diff computed
+    * FROM the 6-dp rounded means so both engines subtract identical
+    * doubles.
+    *
+    * Scale shape: one posexplode (corpus × dims rows, map-only) into
+    * a dims-sized partial-agg'd groupBy — the s12 covariance shape
+    * without the d² blow-up. */
+  def embeddingDrift(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingDriftOn(vecs(spark, sfDir))
+
+  /** [[embeddingDrift]] over any (vec_id, v) frame. */
+  private[graft] def embeddingDriftOn(v: DataFrame): DataFrame =
+    v.select((col("vec_id") % 2).as("shard"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(
+        round(avg(when(col("shard") === 0, col("x"))), 6).as("mean_a"),
+        round(avg(when(col("shard") === 1, col("x"))), 6).as("mean_b"))
+      .select(col("dim"), col("mean_a"), col("mean_b"),
+        round(col("mean_a") - col("mean_b"), 6).as("diff"))
+
+  /** s26's DuckDB twin: same parity split, same indexed explode, same
+    * 6-dp means and rounded-operand delta. */
+  private val embeddingDriftOracle: String =
+    """WITH x AS (
+         SELECT vec_id % 2 AS shard, CAST(i AS INTEGER) AS dim,
+                CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) AS x
+         FROM embeddings, unnest(range(0, len(embedding))) AS u(i)),
+       m AS (SELECT dim,
+                    round(avg(CASE WHEN shard = 0 THEN x END), 6)
+                      AS mean_a,
+                    round(avg(CASE WHEN shard = 1 THEN x END), 6)
+                      AS mean_b
+             FROM x GROUP BY dim)
+       SELECT dim, mean_a, mean_b,
+              round(mean_a - mean_b, 6) AS diff
+       FROM m"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s26_embedding_drift" ->
+      ((s: SparkSession, d: String) => embeddingDrift(s, d)),
     "s25_ann_recall" ->
       ((s: SparkSession, d: String) => annRecallEval(s, d)),
     "s17_sq8_report" ->
@@ -1843,6 +1889,7 @@ object SimilarityOps {
      SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10"""
 
   def oracleSql: Map[String, String] = Map(
+    "s26_embedding_drift" -> embeddingDriftOracle,
     "s25_ann_recall" -> annRecallOracle,
     "s12_embedding_covariance" -> covarianceOracle,
     "s01_ann_brute" -> bruteOracle,

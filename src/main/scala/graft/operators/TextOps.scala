@@ -812,6 +812,53 @@ object TextOps {
                  GROUP BY 1, 2 HAVING count(DISTINCT terms.i) = 3)
        SELECT h.doc_id, h.pos, t.phrase FROM hits h, top1 t"""
 
+  /** t24: TOKENIZER FERTILITY BY LANGUAGE — the per-language
+    * subwords-per-word ratio every multilingual tokenizer evaluation
+    * reports (fertility ≫ 1 on a language means the vocabulary
+    * under-serves it — the signal that drives vocab re-budgeting):
+    * t18's model-table langid derives the language (the gated
+    * operator verbatim), t02's whitespace tokens and t06's fixed-4
+    * subword segmentation supply the counts, and the roll-up is one
+    * |langs|-row aggregate. Output (lang, n_docs, n_tokens,
+    * n_subwords, fertility).
+    *
+    * Scale shape: the langid broadcast-model pass + one linear
+    * feature projection + a languages-sized agg (partial map-side) —
+    * all corpus-linear, nothing keyed hotter than a language. */
+  def fertilityByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Persists.barrier(docs(spark, sfDir))
+    val lang = langIdModelOn(d).select("doc_id", "lang")
+    val feat = d.select(col("doc_id"),
+      size(toks(col("text"))).cast("long").as("nt"),
+      size(expr("""flatten(transform(split(text, ' '),
+            w -> regexp_extract_all(w, '.{1,4}', 0)))"""))
+        .cast("long").as("ns"))
+    lang.join(feat, "doc_id").groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("nt").as("n_tokens"),
+      sum("ns").as("n_subwords"),
+      round(sum("ns").cast("double") / sum("nt"), 4).as("fertility"))
+  }
+
+  /** t24's DuckDB twin: the t18 oracle as a CTE, the t02/t06 count
+    * expressions, the same per-language roll-up. */
+  def fertilityOracle: String =
+    s"""WITH langid AS MATERIALIZED (
+         SELECT * FROM ($langIdModelOracle) q),
+       feat AS (
+         SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                CAST(len(flatten(list_transform(string_split(text, ' '),
+                       w -> regexp_extract_all(w, '.{1,4}', 0))))
+                     AS BIGINT) AS ns
+         FROM documents)
+       SELECT lang, count(*) AS n_docs,
+              CAST(sum(nt) AS BIGINT) AS n_tokens,
+              CAST(sum(ns) AS BIGINT) AS n_subwords,
+              round(sum(ns) / CAST(sum(nt) AS DOUBLE), 4) AS fertility
+       FROM langid JOIN feat USING (doc_id)
+       GROUP BY lang"""
+
   // ------------------------------------------- model-based quality filter
   /** Frozen logistic-regression weights for t22, (feature, weight) as a
     * MODEL TABLE (the t09/t18 model-as-DataFrame discipline): natural
@@ -892,6 +939,7 @@ object TextOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_fertility_by_lang" -> (fertilityByLang _),
     "t23_quality_tiers" -> (qualityTiers _),
     "t22_quality_classifier" -> (qualityClassifier _),
     "t21_phrase_search" -> (phraseSearch _),
@@ -926,6 +974,7 @@ object TextOps {
        FROM documents"""
 
   def oracleSql: Map[String, String] = Map(
+    "t24_fertility_by_lang" -> fertilityOracle,
     "t23_quality_tiers" -> qualityTiersOracle,
     "t22_quality_classifier" -> qualityClassifierOracle,
     "t21_phrase_search" -> phraseSearchOracle,

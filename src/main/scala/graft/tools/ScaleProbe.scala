@@ -367,6 +367,20 @@ object ScaleProbe {
         spark.range(n).selectExpr("id AS src", "id + 1 AS dst")
           .unionAll(spark.range(n).selectExpr("id + 1 AS src",
             "id AS dst")), nLandmarks = 4, maxHops = 4)),
+      // d19: fingerprint projection + two 16-byte-keyed aggs + a
+      // sources-sized roll-up — linear; 10 sources, 25% dup corpus
+      ("d19_dedup_report", n => DedupOps.dedupReportOn(
+        spark.range(n).selectExpr("id AS doc_id",
+          "concat('s', id % 10) AS source",
+          """concat_ws(' ', transform(sequence(0, 19),
+               j -> concat('w', pmod(xxhash64((id div 4) * 5 + j), 200))))
+             AS text"""))),
+      // s26: one posexplode into a dims-sized partial agg — linear
+      ("s26_embedding_drift", n => SimilarityOps.embeddingDriftOn(
+        spark.range(n).selectExpr("id AS vec_id",
+          """transform(sequence(0, 63),
+               j -> cast(pmod(xxhash64(id * 67 + j), 100) as double))
+             AS v"""))),
       // d15: map-only chunking + ONE chunk-hash-keyed census shuffle —
       // linear in corpus tokens; dup-group corpus so shared chunks exist
       ("d15_cdc_chunks", n => DedupOps.cdcChunkCensusOn(

@@ -285,4 +285,20 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fixed-grid limit — d16's window join is the exhaustive form)
     assert(run(5L -> "z a b a b x")(5L)._3 == 0L)
   }
+
+  test("d19 report: within-source dups and cross-source leaks split") {
+    val s = spark
+    import s.implicits._
+    val got = DedupOps.dedupReportOn(Seq(
+      (1L, "a", "same text"), (2L, "a", "same text"),
+      (3L, "a", "unique in a"),
+      (4L, "b", "same text"), (5L, "b", "only b"))
+      .toDF("doc_id", "source", "text"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // a: 3 docs, 1 within-source copy, 2 docs whose content also
+    // lives in b; b: no within-source dup, 1 leaked doc
+    assert(got == Map("a" -> (3L, 1L, 2L), "b" -> (2L, 0L, 1L)))
+  }
 }

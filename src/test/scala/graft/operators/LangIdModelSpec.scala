@@ -103,4 +103,26 @@ class LangIdModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mixed("en").toDouble / mixed("zh") <= 4.5,
       s"8:1 raw ratio must compress: $mixed")
   }
+
+  test("t24 fertility equals the roll-up of t18 × t02 × t06 outputs") {
+    val sf = "/root/testdata/sf0.001"
+    val lang = TextOps.langIdModel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nt = TextOps.tokenCounts(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val ns = TextOps.subwordCounts(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val want = lang.keys.toSeq.groupBy(lang).view.mapValues { ids =>
+      val (t, s) = (ids.map(nt).sum, ids.map(ns).sum)
+      (ids.size.toLong, t, s, BigDecimal(s.toDouble / t)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = TextOps.fertilityByLang(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got == want && got.nonEmpty)
+    // fixed-4 segmentation can never split below one subword per word
+    assert(got.values.forall(_._4 >= 1.0))
+  }
 }

@@ -87,4 +87,20 @@ class SimilarityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.forall { case (h, r) => h >= 0 && r >= 0 && r <= 1 })
     assert(got.values.map(_._1).sum > 0)
   }
+
+  test("s26 drift: per-dim shard means and rounded-operand delta") {
+    val s = spark
+    import s.implicits._
+    // even ids (shard a): dim0 mean 2.0, dim1 mean 0.0
+    // odd ids (shard b):  dim0 mean 1.0, dim1 mean 0.5
+    val v = Seq(
+      (0L, Seq(1.0, 0.0)), (2L, Seq(3.0, 0.0)),
+      (1L, Seq(1.0, 1.0)), (3L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "v")
+    val got = SimilarityOps.embeddingDriftOn(v).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(got(0) == (2.0, 1.0, 1.0))
+    assert(got(1) == (0.0, 0.5, -0.5))
+  }
 }
