@@ -120,7 +120,8 @@ object Bench {
     "m08_ahash_clusters", "c27_dsir_select", "t22_quality_classifier",
     "d18_intradoc_dedup", "s25_ann_recall", "q122_ewma_daily",
     "t23_quality_tiers", "g24i_harmonic_landmarks",
-    "t24_fertility_by_lang", "d19_dedup_report", "s26_embedding_drift")
+    "t24_fertility_by_lang", "d19_dedup_report", "s26_embedding_drift",
+    "q123_scd2_intervals", "m09_dct_phash")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -608,7 +608,60 @@ object EventOps {
        FROM w"""
   }
 
+  /** q123: SCD2 VALIDITY INTERVALS — the slowly-changing-dimension
+    * history build (Kimball type 2) from an event stream: per user,
+    * collapse consecutive equal states into one row and emit
+    * (user_id, state, valid_from, valid_to, is_current) where
+    * valid_to = the next change's timestamp (NULL on the open
+    * current row). Two windows on ONE user-keyed sort (the q112
+    * ordering, (us, event_id) tie-broken): lag finds the change
+    * points, lead closes the intervals. Integer-exact end to end.
+    *
+    * Scale shape: one partitionBy(user) sort carries both windows —
+    * per-user keys, no global window, no join; the output is
+    * change-count-sized, not event-count-sized. */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame =
+    scd2IntervalsOn(Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")))
+
+  /** [[scd2Intervals]] over any (event_id, user_id, event_type, us)
+    * frame. */
+  private[graft] def scd2IntervalsOn(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val changes = e
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("valid_to", lead("us", 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("us").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+  }
+
+  /** q123's DuckDB twin: same change-point lag, same interval lead,
+    * same (us, event_id) total order. */
+  private[graft] val scd2Oracle: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+                         epoch_us(ts) AS us
+                  FROM events),
+       c AS (SELECT *,
+                    lag(event_type) OVER
+                      (PARTITION BY user_id ORDER BY us, event_id)
+                      AS prev
+             FROM e),
+       ch AS (SELECT * FROM c
+              WHERE prev IS NULL OR prev <> event_type)
+       SELECT user_id, event_type AS state, us AS valid_from,
+              lead(us) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id) AS valid_to,
+              CAST(CASE WHEN lead(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS INTEGER) AS is_current
+       FROM ch"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_scd2_intervals" -> (scd2Intervals _),
     "q122_ewma_daily" -> (ewmaDaily _),
     "q120_session_paths" -> (sessionPaths _),
     "q119_trend_ols" -> (trendOls _),
@@ -625,6 +678,7 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q123_scd2_intervals" -> scd2Oracle,
     "q122_ewma_daily" -> ewmaOracle,
     // q120: the same gap windows on the same unique sort,
     // string_agg ORDER BY as the deterministic path reduce, the same

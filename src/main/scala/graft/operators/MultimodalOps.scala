@@ -371,7 +371,135 @@ object MultimodalOps {
         when(col("media_id") === col("cluster_id"), 1).otherwise(0))
   }
 
+  /** Frozen integer DCT-II coefficient table for m09: K(f, t) =
+    * round(cos((2t+1)·f·π/16) · 10⁴), computed ONCE here and embedded
+    * as literals in BOTH engines (the t09/t18 frozen-model
+    * discipline) — no engine evaluates cos(), so the hash is
+    * integer-exact end to end. */
+  private[graft] val dctK: Seq[(Int, Int, Long)] =
+    for (f <- 0 until 8; t <- 0 until 8) yield (f, t,
+      math.round(math.cos((2 * t + 1) * f * math.Pi / 16) * 10000))
+
+  /** m09: DCT PERCEPTUAL HASH (pHash) — the frequency-domain sibling
+    * of m06's aHash (robust to brightness/contrast shifts that flip
+    * aHash bits, because it thresholds DCT structure against the
+    * median rather than raw means against the mean): the m06 64-block
+    * signal grid becomes an 8×8 integer mean image (scaled ×100,
+    * integer division — deterministic), a SEPARABLE 2-D DCT runs as
+    * two broadcast joins against the 64-row frozen coefficient table
+    * (row pass Σ_y M·K[v][y], column pass Σ_x T·K[u][x] — int64-safe:
+    * |D| ≤ 8·8·2.6e4·1e8 ≈ 1.7e14), and bit k = AC coefficient k
+    * above the per-media MEDIAN AC (32nd smallest of 63 — exact
+    * integer order statistic). Emitted as the m06/d07 4×16-bit chunk
+    * layout so m07/m08's banding runs on it unchanged (DC bit 0 is
+    * always 0).
+    *
+    * Scale shape: per media exactly 64→512→64 rows through the two
+    * coefficient joins (both broadcast), one bounded collect_list for
+    * the median — corpus-linear, no cross-media key anywhere. */
+  def dctPhash(spark: SparkSession, sfDir: String): DataFrame =
+    dctPhashOn(mediaTable(spark, sfDir)
+      .select(col("media_id"), expr("decode(payload, 'utf-8')").as("txt")))
+
+  /** [[dctPhash]] over any (media_id, txt) frame. */
+  private[graft] def dctPhashOn(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val k = broadcast(dctK.toDF("f", "t", "w"))
+    val codes = d.filter(length(col("txt")) >= 64)
+      .select(col("media_id"),
+        length(col("txt")).cast("long").as("len"),
+        expr("""transform(sequence(1, length(txt)),
+                  i -> CAST(ascii(substr(txt, i, 1)) AS BIGINT))""")
+          .as("codes"))
+    // scaled integer block means M[x][y], k = 8x + y over the m06 grid
+    val m = codes
+      .select(col("media_id"), col("len"), col("codes"),
+        explode(expr("sequence(0, 63)")).as("bk"))
+      .select(col("media_id"),
+        (col("bk") / 8).cast("int").as("x"),
+        (col("bk") % 8).cast("int").as("y"),
+        expr("""aggregate(slice(codes,
+                  CAST(bk * len div 64 + 1 AS INT),
+                  CAST((bk + 1) * len div 64 - bk * len div 64 AS INT)),
+                0L, (a, c) -> a + c) * 100
+              div ((bk + 1) * len div 64 - bk * len div 64)""").as("m"))
+    // row pass: T[x][v] = Σ_y M[x][y] · K[v][y]
+    val t1 = m.join(k, col("t") === col("y"))
+      .groupBy(col("media_id"), col("x"), col("f").as("v"))
+      .agg(sum(col("m") * col("w")).as("tv"))
+    // column pass: D[u][v] = Σ_x T[x][v] · K[u][x]
+    val dct = Persists.barrier(t1.join(k, col("t") === col("x"))
+      .groupBy(col("media_id"), col("f").as("u"), col("v"))
+      .agg(sum(col("tv") * col("w")).as("dc"))
+      .select(col("media_id"),
+        (col("u") * 8 + col("v")).cast("int").as("bk"), col("dc"))
+      .filter(col("bk") > 0))
+    // exact median AC (32nd smallest of 63), then the chunk bits
+    val med = dct.groupBy("media_id").agg(
+      expr("element_at(array_sort(collect_list(dc)), 32)").as("med"))
+    def chunk(c: Int): org.apache.spark.sql.Column = sum(
+      when(col("bk") >= c * 16 && col("bk") < (c + 1) * 16 &&
+        col("dc") > col("med"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bk % 16 AS INT))"))
+        .otherwise(0L))
+    dct.join(med, "media_id").groupBy("media_id").agg(
+      chunk(0).as("p0"), chunk(1).as("p1"),
+      chunk(2).as("p2"), chunk(3).as("p3"))
+  }
+
+  /** m09's DuckDB twin: same frozen VALUES coefficient table, same
+    * separable two-pass integer DCT, same 32nd-smallest median and
+    * chunk packing. */
+  private[graft] def dctPhashOracle: String = {
+    val values = dctK.map { case (f, t, w) => s"($f, $t, $w)" }
+      .mkString(", ")
+    s"""WITH kc(f, t, w) AS (VALUES $values),
+       d AS (SELECT media_id, text AS txt FROM (
+               SELECT doc_id AS media_id, text FROM documents) q
+             WHERE length(text) >= 64),
+       codes AS (SELECT media_id,
+                        CAST(length(txt) AS BIGINT) AS len,
+                        list_transform(range(1, length(txt) + 1),
+                          i -> CAST(ascii(substr(txt, CAST(i AS INTEGER),
+                                    1)) AS BIGINT)) AS codes
+                 FROM d),
+       m AS (SELECT media_id,
+                    CAST(bk // 8 AS INTEGER) AS x,
+                    CAST(bk % 8 AS INTEGER) AS y,
+                    list_sum(list_slice(codes,
+                        CAST(bk * len // 64 + 1 AS INTEGER),
+                        CAST((bk + 1) * len // 64 AS INTEGER))) * 100
+                      // ((bk + 1) * len // 64 - bk * len // 64) AS m
+             FROM codes, unnest(range(0, 64)) AS u(bk)),
+       t1 AS (SELECT media_id, x, kc.f AS v,
+                     CAST(sum(m * w) AS BIGINT) AS tv
+              FROM m JOIN kc ON kc.t = m.y
+              GROUP BY media_id, x, kc.f),
+       dct AS (SELECT media_id,
+                      CAST(kc.f * 8 + v AS INTEGER) AS bk,
+                      CAST(sum(tv * w) AS BIGINT) AS dc
+               FROM t1 JOIN kc ON kc.t = t1.x
+               GROUP BY media_id, kc.f, v
+               HAVING kc.f * 8 + v > 0),
+       med AS (SELECT media_id,
+                      list_sort(list(dc))[32] AS med
+               FROM dct GROUP BY media_id)
+       SELECT dct.media_id,
+              CAST(sum(CASE WHEN bk < 16 AND dc > med
+                   THEN 1 << (bk % 16) ELSE 0 END) AS BIGINT) AS p0,
+              CAST(sum(CASE WHEN bk >= 16 AND bk < 32 AND dc > med
+                   THEN 1 << (bk % 16) ELSE 0 END) AS BIGINT) AS p1,
+              CAST(sum(CASE WHEN bk >= 32 AND bk < 48 AND dc > med
+                   THEN 1 << (bk % 16) ELSE 0 END) AS BIGINT) AS p2,
+              CAST(sum(CASE WHEN bk >= 48 AND dc > med
+                   THEN 1 << (bk % 16) ELSE 0 END) AS BIGINT) AS p3
+       FROM dct JOIN med ON dct.media_id = med.media_id
+       GROUP BY dct.media_id"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m09_dct_phash" -> (dctPhash _),
     "m08_ahash_clusters" -> (ahashClusters _),
     "m07_ahash_candidates" -> (ahashCandidates _),
     "m06_ahash" -> (ahash _),
@@ -433,6 +561,7 @@ object MultimodalOps {
          JOIN h c ON c.media_id = cand.id_b)"""
 
   def oracleSql: Map[String, String] = Map(
+    "m09_dct_phash" -> dctPhashOracle,
     // m07: the m06 hash CTEs + the d07-style band self-join, Hamming
     // as xor/bit_count per chunk — integers end to end
     "m07_ahash_candidates" ->

@@ -381,6 +381,19 @@ object ScaleProbe {
           """transform(sequence(0, 63),
                j -> cast(pmod(xxhash64(id * 67 + j), 100) as double))
              AS v"""))),
+      // q123: one user-keyed sort carries both windows — linear;
+      // 100 users, state flips every ~3 events
+      ("q123_scd2_intervals", n => EventOps.scd2IntervalsOn(
+        spark.range(n).selectExpr("id AS event_id", "id % 100 AS user_id",
+          "concat('s', pmod(xxhash64(id div 3), 4)) AS event_type",
+          "id AS us"))),
+      // m09: per media exactly 64→512→64 rows through two broadcast
+      // coefficient joins + one bounded median list — corpus-linear
+      ("m09_dct_phash", n => MultimodalOps.dctPhashOn(
+        spark.range(n).selectExpr("id AS media_id",
+          """concat_ws('', transform(sequence(0, 99),
+               j -> chr(97 + cast(pmod(xxhash64(id * 7 + j), 26) as int))))
+             AS txt"""))),
       // d15: map-only chunking + ONE chunk-hash-keyed census shuffle —
       // linear in corpus tokens; dup-group corpus so shared chunks exist
       ("d15_cdc_chunks", n => DedupOps.cdcChunkCensusOn(

@@ -334,4 +334,20 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // constant series smooths to itself; type b never sees type a
     assert(got(("b", "2024-01-02")) == 10.0)
   }
+
+  test("q123 scd2: consecutive equal states collapse, lead closes") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (10L, 1L, "A", 1L), (11L, 1L, "A", 2L), // same state: collapses
+      (12L, 1L, "B", 3L), (13L, 1L, "A", 4L), // back to A: NEW row
+      (20L, 2L, "A", 5L))
+      .toDF("event_id", "user_id", "event_type", "us")
+    val got = EventOps.scd2IntervalsOn(e).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4))).toSet
+    assert(got == Set(
+      (1L, "A", 1L, 3L, 0), (1L, "B", 3L, 4L, 0),
+      (1L, "A", 4L, -1L, 1), (2L, "A", 5L, -1L, 1)))
+  }
 }

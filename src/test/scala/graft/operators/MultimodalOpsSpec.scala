@@ -149,6 +149,51 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // + 70×2 flat-vs-half collisions on the zero chunks
   }
 
+  /** Independent scalar reference of m09's integer pHash pipeline —
+    * same grid, same frozen coefficients, no Spark. */
+  private def refPhash(txt: String): Seq[Long] = {
+    val len = txt.length.toLong
+    val codes = txt.map(_.toInt.toLong)
+    val m = (0 until 64).map { bk =>
+      val a = (bk * len / 64).toInt
+      val b = ((bk + 1) * len / 64).toInt
+      codes.slice(a, b).sum * 100 / (b - a)
+    }
+    val k = MultimodalOps.dctK.map { case (f, t, w) => (f, t) -> w }.toMap
+    val d = for (u <- 0 until 8; v <- 0 until 8) yield
+      (u * 8 + v,
+        (for (x <- 0 until 8; y <- 0 until 8)
+          yield m(8 * x + y) * k((v, y)) * k((u, x))).sum)
+    val ac = d.filter(_._1 > 0)
+    val med = ac.map(_._2).sorted.apply(31)
+    (0 until 4).map { c =>
+      ac.filter { case (bk, dc) =>
+        bk >= c * 16 && bk < (c + 1) * 16 && dc > med
+      }.map { case (bk, _) => 1L << (bk % 16) }.sum
+    }
+  }
+
+  test("m09 pHash equals the scalar reference; invariances hold") {
+    val s = spark
+    import s.implicits._
+    val grad = (0 until 128).map(i => ('a' + i % 26).toChar).mkString
+    val flat = "m" * 100
+    val rows = Seq((1L, grad), (2L, flat), (3L, grad + "zzzzqqqq"))
+    val got = MultimodalOps.dctPhashOn(rows.toDF("media_id", "txt"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    rows.foreach { case (id, txt) =>
+      assert(got(id) == refPhash(txt), s"media $id")
+    }
+    // constant signal: every AC coefficient is 0, nothing exceeds the
+    // median → all-zero hash (the brightness-invariance base case)
+    assert(got(2L) == Seq(0L, 0L, 0L, 0L))
+    // structured signal must produce a non-trivial hash
+    assert(got(1L).exists(_ != 0L))
+  }
+
   test("m08 clusters: band pairs merge, min-id keeps, singletons self") {
     val s = spark
     import s.implicits._
