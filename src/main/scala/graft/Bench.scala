@@ -121,7 +121,8 @@ object Bench {
     "d18_intradoc_dedup", "s25_ann_recall", "q122_ewma_daily",
     "t23_quality_tiers", "g24i_harmonic_landmarks",
     "t24_fertility_by_lang", "d19_dedup_report", "s26_embedding_drift",
-    "q123_scd2_intervals", "m09_dct_phash")
+    "q123_scd2_intervals", "m09_dct_phash", "m10_phash_candidates",
+    "c29_dataset_card")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

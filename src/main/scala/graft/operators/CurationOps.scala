@@ -850,7 +850,73 @@ object CurationOps {
       .limit(topN)
   }
 
+  /** c29: DATASET CARD — the per-source release manifest every corpus
+    * ships (the "data card" of Gebru et al.'s datasheets, reduced to
+    * the measurable rows): per source, document and token counts, the
+    * d19 duplication telemetry, the dominant DETECTED language (t18's
+    * langid, (count desc, lang) argmax), and the mean t22 classifier
+    * quality. One gated entry proving the four already-gated signal
+    * pipelines COMPOSE into the report hash-reproducibly — the
+    * c03/c25 composition discipline.
+    *
+    * Scale shape: each input is its gated operator verbatim (all
+    * corpus-linear); the joins are per-doc equi joins and the report
+    * is sources-sized. */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Persists.barrier(docs(spark, sfDir))
+    val rep = DedupOps.dedupReportOn(
+      d.select(col("doc_id"), col("source"), col("text")))
+    val toks = d.groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long"))
+        .as("n_tokens"))
+    val lm = d.select(col("doc_id"), col("source"))
+      .join(TextOps.langIdModelOn(d).select("doc_id", "lang"), "doc_id")
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("c").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    val mq = d.select(col("doc_id"), col("source"))
+      .join(TextOps.qualityClassifierOn(d).select("doc_id", "score"),
+        "doc_id")
+      .groupBy("source").agg(round(avg("score"), 4).as("mean_quality"))
+    rep.join(toks, "source").join(lm, "source").join(mq, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_exact_dups"), col("n_cross_source"), col("top_lang"),
+        col("mean_quality"))
+  }
+
+  /** c29's DuckDB twin: the d19, t18, and t22 oracles embedded
+    * verbatim, plus the token roll-up and the per-source argmax. */
+  private[graft] def datasetCardOracle: String =
+    s"""WITH rep AS (SELECT * FROM (${DedupOps.dedupReportOracle}) r),
+       toks AS (SELECT source,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                         AS n_tokens
+                FROM documents GROUP BY source),
+       langid AS MATERIALIZED (
+         SELECT * FROM (${TextOps.langIdModelOracle}) q1),
+       lm AS (SELECT source, lang AS top_lang FROM (
+                SELECT d.source, l.lang,
+                       row_number() OVER (PARTITION BY d.source
+                         ORDER BY count(*) DESC, l.lang) AS rn
+                FROM documents d JOIN langid l ON d.doc_id = l.doc_id
+                GROUP BY d.source, l.lang) z
+              WHERE rn = 1),
+       qs AS MATERIALIZED (
+         SELECT * FROM (${TextOps.qualityClassifierOracle}) q2),
+       mq AS (SELECT d.source, round(avg(qs.score), 4) AS mean_quality
+              FROM documents d JOIN qs ON d.doc_id = qs.doc_id
+              GROUP BY d.source)
+       SELECT rep.source, n_docs, n_tokens, n_exact_dups,
+              n_cross_source, top_lang, mean_quality
+       FROM rep JOIN toks USING (source) JOIN lm USING (source)
+       JOIN mq USING (source)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c29_dataset_card" ->
+      ((s: SparkSession, d: String) => datasetCard(s, d)),
     "c27_dsir_select" ->
       ((s: SparkSession, d: String) => dsirSelect(s, d)),
     "c25_multilingual_pipeline" ->
@@ -1029,6 +1095,7 @@ object CurationOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "c29_dataset_card" -> datasetCardOracle,
     // c27: same bigram explode, same md5-packed bucket hash (shared
     // SQL text), same add-1 log-ratio census, same 4-dp rounding
     // before the (weight desc, doc_id) top-N cut

@@ -312,8 +312,15 @@ object MultimodalOps {
 
   /** [[ahashCandidates]] over any (media_id, txt) frame. */
   private[graft] def ahashCandidatesOn(
-      d: DataFrame, maxBucket: Long = AhashMaxBucket): DataFrame = {
-    val h = graft.operators.Persists.barrier(ahashOn(d))
+      d: DataFrame, maxBucket: Long = AhashMaxBucket): DataFrame =
+    chunkCandidates(ahashOn(d), maxBucket)
+
+  /** The band-pair kernel over ANY (media_id, c0..c3) 16-bit-chunk
+    * hash frame — shared by m07 (aHash) and m10 (pHash), so the
+    * banding algebra exists once. */
+  private[graft] def chunkCandidates(
+      h0: DataFrame, maxBucket: Long = AhashMaxBucket): DataFrame = {
+    val h = graft.operators.Persists.barrier(h0)
     // barriered: feeds the bucket census AND the pair join
     val bands = graft.operators.Persists.barrier(
       h.select(col("media_id"),
@@ -498,7 +505,45 @@ object MultimodalOps {
        GROUP BY dct.media_id"""
   }
 
+  /** m10: pHASH CANDIDATE PAIRS — m07's banding + Hamming audit run
+    * over m09's DCT hash instead of m06's aHash (ONE shared
+    * [[chunkCandidates]] kernel, so the banding algebra cannot drift
+    * between the two hash families). Same 16-bit chunk bands, same
+    * hot-bucket cap 64 (mirrored in the oracle), same pigeonhole
+    * guarantee: any pair within Hamming ≤ 3 of the 64-bit pHash
+    * shares a chunk and is never lost. */
+  def phashCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    chunkCandidates(dctPhash(spark, sfDir)
+      .select(col("media_id"), col("p0").as("c0"), col("p1").as("c1"),
+        col("p2").as("c2"), col("p3").as("c3")))
+
+  /** m10's DuckDB twin: the m09 oracle as the hash source, then the
+    * m07 pair algebra verbatim (band unnest, ≤64 cold cap, ordered
+    * pair join, xor/bit_count Hamming). */
+  private[graft] def phashCandidatesOracle: String =
+    s"""WITH hs AS MATERIALIZED (${dctPhashOracle}),
+       h AS (SELECT media_id, [p0, p1, p2, p3] AS chunks FROM hs),
+       bands AS (SELECT media_id, unnest(range(0, 4)) AS band,
+                        unnest(chunks) AS chunk FROM h),
+       cold AS (SELECT band, chunk FROM bands
+                GROUP BY band, chunk HAVING count(*) <= 64),
+       bc AS (SELECT b.media_id, b.band, b.chunk
+              FROM bands b JOIN cold USING (band, chunk)),
+       cand AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+                FROM bc x JOIN bc y
+                  ON x.band = y.band AND x.chunk = y.chunk
+                 AND x.media_id < y.media_id)
+       SELECT id_a, id_b,
+              CAST(list_sum(list_transform(range(0, 4),
+                b -> bit_count(xor(a.chunks[CAST(b + 1 AS INTEGER)],
+                                   c.chunks[CAST(b + 1 AS INTEGER)]))))
+                   AS BIGINT) AS hamming
+       FROM cand
+       JOIN h a ON a.media_id = cand.id_a
+       JOIN h c ON c.media_id = cand.id_b"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_phash_candidates" -> (phashCandidates _),
     "m09_dct_phash" -> (dctPhash _),
     "m08_ahash_clusters" -> (ahashClusters _),
     "m07_ahash_candidates" -> (ahashCandidates _),
@@ -561,6 +606,7 @@ object MultimodalOps {
          JOIN h c ON c.media_id = cand.id_b)"""
 
   def oracleSql: Map[String, String] = Map(
+    "m10_phash_candidates" -> phashCandidatesOracle,
     "m09_dct_phash" -> dctPhashOracle,
     // m07: the m06 hash CTEs + the d07-style band self-join, Hamming
     // as xor/bit_count per chunk — integers end to end

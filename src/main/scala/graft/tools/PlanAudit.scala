@@ -96,7 +96,8 @@ object PlanAudit {
       "d18_intradoc_dedup", "s25_ann_recall", "q122_ewma_daily",
       "t23_quality_tiers", "g24_harmonic_landmarks",
       "t24_fertility_by_lang", "d19_dedup_report", "s26_embedding_drift",
-      "q123_scd2_intervals", "m09_dct_phash")
+      "q123_scd2_intervals", "m09_dct_phash", "m10_phash_candidates",
+      "c29_dataset_card")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

@@ -394,6 +394,16 @@ object ScaleProbe {
           """concat_ws('', transform(sequence(0, 99),
                j -> chr(97 + cast(pmod(xxhash64(id * 7 + j), 26) as int))))
              AS txt"""))),
+      // m10: m09's linear hash + the bucket-bounded band pair join
+      // (dup-grouped payloads so collisions exist at any n)
+      ("m10_phash_candidates", n => MultimodalOps.chunkCandidates(
+        MultimodalOps.dctPhashOn(spark.range(n).selectExpr(
+          "id AS media_id",
+          """concat_ws('', transform(sequence(0, 99),
+               j -> chr(97 + cast(pmod(xxhash64((id div 4) * 7 + j), 26)
+                                  as int)))) AS txt"""))
+          .selectExpr("media_id", "p0 AS c0", "p1 AS c1", "p2 AS c2",
+            "p3 AS c3"))),
       // d15: map-only chunking + ONE chunk-hash-keyed census shuffle —
       // linear in corpus tokens; dup-group corpus so shared chunks exist
       ("d15_cdc_chunks", n => DedupOps.cdcChunkCensusOn(

@@ -306,4 +306,40 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(top == Set(10L, 12L))
   }
+
+  test("c29 card equals the independent roll-up of its gated inputs") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "source",
+        "size(split(text, ' ')) AS nt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
+    val srcOf = docs.map(d => d._1 -> d._2).toMap
+    val lang = TextOps.langIdModel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val score = TextOps.qualityClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rep = DedupOps.dedupReport(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val got = CurationOps.datasetCard(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5), r.getDouble(6)))
+      .toMap
+    assert(got.keySet == rep.keySet && got.nonEmpty)
+    got.foreach { case (src, (nd, ntk, dups, cross, top, mean)) =>
+      val ids = docs.filter(_._2 == src)
+      assert((nd, dups, cross) == rep(src), src)
+      assert(ntk == ids.map(_._3).sum, src)
+      val modes = ids.map(d => lang(d._1)).groupBy(identity)
+        .view.mapValues(_.length).toSeq
+      val best = modes.sortBy { case (l, c) => (-c, l) }.head._1
+      assert(top == best, src)
+      val scores = ids.map(d => score(d._1))
+      val want = BigDecimal(scores.sum / scores.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(mean - want) <= 0.0001, src)
+    }
+    // srcOf is the id→source map the roll-ups above derive from
+    assert(srcOf.size == docs.length)
+  }
 }

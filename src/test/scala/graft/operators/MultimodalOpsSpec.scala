@@ -194,6 +194,28 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L).exists(_ != 0L))
   }
 
+  test("m10 phash candidates: shared kernel pairs identical media") {
+    val s = spark
+    import s.implicits._
+    val grad = (0 until 128).map(i => ('a' + i % 26).toChar).mkString
+    val flat = "m" * 100
+    val got = MultimodalOps.chunkCandidates(
+      MultimodalOps.dctPhashOn(
+        Seq((1L, grad), (2L, grad), (3L, flat))
+          .toDF("media_id", "txt"))
+        .selectExpr("media_id", "p0 AS c0", "p1 AS c1", "p2 AS c2",
+          "p3 AS c3"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // identical payloads: identical pHash, hamming 0
+    assert(got((1L, 2L)) == 0L)
+    // the flat doc's hash is all-zero; it band-collides with the grad
+    // docs only on grad's zero chunks, and the hamming it reports is
+    // grad's full popcount
+    val pop = refPhash(grad).map(java.lang.Long.bitCount(_).toLong).sum
+    got.get((1L, 3L)).foreach(h => assert(h == pop))
+  }
+
   test("m08 clusters: band pairs merge, min-id keeps, singletons self") {
     val s = spark
     import s.implicits._
