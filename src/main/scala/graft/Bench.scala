@@ -122,7 +122,7 @@ object Bench {
     "t23_quality_tiers", "g24i_harmonic_landmarks",
     "t24_fertility_by_lang", "d19_dedup_report", "s26_embedding_drift",
     "q123_scd2_intervals", "m09_dct_phash", "m10_phash_candidates",
-    "c29_dataset_card")
+    "c29_dataset_card", "q124_ab_report", "g25i_ktruss")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -182,6 +182,9 @@ object Bench {
     // (the g10i discipline; GraphOpsSpec pins served ≡ inline)
     "g24i_harmonic_landmarks" ->
       ((s, d) => graft.operators.GraphOps.harmonicFromEdges(s, d)),
+    // g25's truss sweeps over the stored unfloored-kNN edges
+    "g25i_ktruss" ->
+      ((s, d) => graft.operators.GraphOps.ktrussFromEdges(s, d)),
     "g10i_khop_bfs" ->
       ((s, d) => graft.operators.GraphOps.bfsFromEdges(s, d)),
     "g12i_components_star" ->

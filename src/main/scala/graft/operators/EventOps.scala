@@ -660,7 +660,73 @@ object EventOps {
                         THEN 1 ELSE 0 END AS INTEGER) AS is_current
        FROM ch"""
 
+  /** q124: A/B EXPERIMENT REPORT — the conversion read-out every
+    * product experiment ships: users split into two variants
+    * (user_id parity here — a production run swaps in the c11 seeded
+    * hash; the REPORT algebra is what's gated), a user converts if a
+    * purchase lands strictly after their first view (the q60 funnel
+    * rule), and each variant row carries users, converters, the 4-dp
+    * conversion rate, and lift vs the control variant (computed FROM
+    * the rounded rates, 1-row broadcast — the HITS norm pattern).
+    *
+    * Scale shape: one first-view agg + one purchase semi-check per
+    * user (both user-keyed partial aggs), a 2-row report, a 1-row
+    * broadcast for the lift divisor. */
+  def abReport(spark: SparkSession, sfDir: String): DataFrame =
+    abReportOn(Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")))
+
+  /** [[abReport]] over any (user_id, event_type, us) frame. */
+  private[graft] def abReportOn(e0: DataFrame): DataFrame = {
+    val e = Persists.barrier(e0)
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v0"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id").filter(col("us") > col("v0"))
+      .select("user_id").distinct().withColumn("c", lit(1L))
+    val agg = firstView
+      .select(col("user_id"), (col("user_id") % 2).as("variant"))
+      .join(conv, Seq("user_id"), "left")
+      .groupBy("variant").agg(
+        count(lit(1)).as("n_users"),
+        sum(coalesce(col("c"), lit(0L))).as("n_converted"))
+      .withColumn("conv_rate", round(
+        col("n_converted").cast("double") / col("n_users"), 4))
+    val ctrl = agg.filter(col("variant") === 0)
+      .select(col("conv_rate").as("ctrl_rate"))
+    agg.crossJoin(broadcast(ctrl))
+      .select(col("variant"), col("n_users"), col("n_converted"),
+        col("conv_rate"),
+        round(col("conv_rate") / col("ctrl_rate"), 4).as("lift"))
+  }
+
+  /** q124's DuckDB twin: same first-view rule, same strict-after
+    * conversion, same rounded-rate lift. */
+  private[graft] val abReportOracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                  FROM events),
+       fv AS (SELECT user_id, min(us) AS v0 FROM e
+              WHERE event_type = 'view' GROUP BY user_id),
+       conv AS (SELECT DISTINCT e.user_id, 1 AS c
+                FROM e JOIN fv ON e.user_id = fv.user_id
+                WHERE e.event_type = 'purchase' AND e.us > fv.v0),
+       agg AS (SELECT fv.user_id % 2 AS variant,
+                      count(*) AS n_users,
+                      CAST(sum(coalesce(c, 0)) AS BIGINT) AS n_converted
+               FROM fv LEFT JOIN conv ON fv.user_id = conv.user_id
+               GROUP BY fv.user_id % 2),
+       r AS (SELECT variant, n_users, n_converted,
+                    round(n_converted / CAST(n_users AS DOUBLE), 4)
+                      AS conv_rate
+             FROM agg),
+       ctrl AS (SELECT conv_rate AS ctrl_rate FROM r WHERE variant = 0)
+       SELECT variant, n_users, n_converted, conv_rate,
+              round(conv_rate / ctrl_rate, 4) AS lift
+       FROM r, ctrl"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_ab_report" -> (abReport _),
     "q123_scd2_intervals" -> (scd2Intervals _),
     "q122_ewma_daily" -> (ewmaDaily _),
     "q120_session_paths" -> (sessionPaths _),
@@ -678,6 +744,7 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q124_ab_report" -> abReportOracle,
     "q123_scd2_intervals" -> scd2Oracle,
     "q122_ewma_daily" -> ewmaOracle,
     // q120: the same gap windows on the same unique sort,

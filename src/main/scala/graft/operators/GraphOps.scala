@@ -856,6 +856,41 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
+  private val KtrussRounds = 4
+
+  /** g25: K-TRUSS peeling — k-core's edge-strength sibling (Cohen
+    * 2008): an edge survives only while it closes ≥ k−2 triangles
+    * with surviving edges, so trusses isolate the cohesive cores that
+    * degree alone (g16) can't separate from hub spokes. Fixed
+    * `rounds` sweeps (the g16 output contract: "after R sweeps",
+    * which the oracle unrolls verbatim; converged fixtures make it
+    * the true truss): each round one oriented (x&lt;y&lt;z) triangle
+    * join over the a&lt;b edge list, per-edge support from the three
+    * edge projections, and a semi-join keep. Per-round cost is the
+    * g02 triangle join — Σ deg² bounded, and the kNN gate graph is
+    * degree-capped by construction. Zero-triangle edges have no
+    * support row and drop in round 1. Output: the surviving (a, b)
+    * truss edges. */
+  def ktrussOn(edges0: DataFrame, k: Int = 4,
+      rounds: Int = KtrussRounds): DataFrame = {
+    var e = Persists.barrier(edges0.select("a", "b"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val t = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"),
+          col("e2.b").as("z"))
+      val sup = t.select(col("x").as("a"), col("y").as("b"))
+        .unionAll(t.select(col("y").as("a"), col("z").as("b")))
+        .unionAll(t.select(col("x").as("a"), col("z").as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      e = e.join(sup.filter(col("sup") >= k - 2), Seq("a", "b"), "semi")
+        .localCheckpoint(true)
+    }
+    e
+  }
+
   /** BIPARTITE PROJECTION with a data-derived co-occurrence floor:
     * project a (left, right) incidence list onto the RIGHT side —
     * (r1 &lt; r2, w = distinct shared left neighbors) — keeping pairs
@@ -1258,6 +1293,10 @@ object GraphOps {
     * to its inline gate form). */
   def trianglesFromEdges(spark: SparkSession, sfDir: String): DataFrame =
     trianglesOn(knnAllEdges(spark, sfDir))
+  /** g25's sweeps over the stored unfloored-kNN edges (benched g25i;
+    * gate k = 3 — see the queries-map entry). */
+  def ktrussFromEdges(spark: SparkSession, sfDir: String): DataFrame =
+    ktrussOn(knnAllEdges(spark, sfDir), k = 3)
   def trianglesDegreeFromEdges(
       spark: SparkSession, sfDir: String): DataFrame =
     trianglesOn(orientByDegree(knnAllEdges(spark, sfDir)))
@@ -1642,6 +1681,13 @@ object GraphOps {
     "g17_copart_projection" -> ((spark: SparkSession, sfDir: String) =>
       bipartiteProjectOn(Tables.load(spark, sfDir, "lineitem")
         .select(col("l_partkey").as("l"), col("l_suppkey").as("r")))),
+    // g25: k-truss peeling (fixed 4 sweeps) over the mutual-kNN
+    // graph — k-core's edge-strength sibling. Gate k = 3 (support
+    // ≥ 1): the band that BINDS on the structureless gate corpus
+    // (4-truss is empty there — the d17/s20 threshold discipline);
+    // KtrussSpec proves the k = 4 semantics on clique fixtures.
+    "g25_ktruss" -> ((spark: SparkSession, sfDir: String) =>
+      ktrussOn(mutualKnnEdgesOn(embVecs(spark, sfDir)), k = 3)),
     // g18: semi-supervised LABEL SPREADING over the mutual-kNN graph —
     // 20% of vectors (vec_id % 5 = 0) keep their ground-truth label,
     // three clamped majority rounds spread the rest; the data-labeling
@@ -2001,6 +2047,31 @@ object GraphOps {
          FROM (SELECT a AS node FROM e$KcoreRounds
                UNION ALL SELECT b FROM e$KcoreRounds)
          GROUP BY node"""
+    },
+    // g25: the 4 truss sweeps unrolled — per round one oriented
+    // triangle CTE, one 3-projection support CTE, one keep join;
+    // every round-crossed CTE MATERIALIZED (the g16 lesson)
+    "g25_ktruss" -> {
+      val rounds = (1 to KtrussRounds).map { r =>
+        s"""t$r AS MATERIALIZED (
+             SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             FROM e${r - 1} e1
+             JOIN e${r - 1} e2 ON e1.b = e2.a
+             JOIN e${r - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+           s$r AS MATERIALIZED (
+             SELECT a, b, count(*) AS sup FROM (
+               SELECT x AS a, y AS b FROM t$r
+               UNION ALL SELECT y, z FROM t$r
+               UNION ALL SELECT x, z FROM t$r) u
+             GROUP BY a, b),
+           e$r AS MATERIALIZED (
+             SELECT e.a, e.b FROM e${r - 1} e
+             JOIN s$r s ON s.a = e.a AND s.b = e.b AND s.sup >= 1)"""
+      }.mkString(",\n")
+      s"""WITH ${knnEdgeCtes(None)},
+         e0 AS MATERIALIZED (SELECT a, b FROM mutual),
+         $rounds
+         SELECT a, b FROM e$KtrussRounds"""
     },
     // g17: same distinct incidence, same ≤1000 left-degree hub cap
     // (mirrored here so the equivalence holds even if a future fixture

@@ -404,6 +404,21 @@ object ScaleProbe {
                                   as int)))) AS txt"""))
           .selectExpr("media_id", "p0 AS c0", "p1 AS c1", "p2 AS c2",
             "p3 AS c3"))),
+      // g25: per-round oriented triangle join, Σ deg² bounded — the
+      // probe graph is disjoint 4-cliques (degree constant at any n),
+      // so rounds cost O(|E|)
+      ("g25_ktruss", n => GraphOps.ktrussOn(
+        spark.range(n / 4).selectExpr("id AS g",
+          """explode(array(struct(0L, 1L), struct(0L, 2L),
+               struct(0L, 3L), struct(1L, 2L), struct(1L, 3L),
+               struct(2L, 3L))) AS p""")
+          .selectExpr("g * 4 + p.col1 AS a", "g * 4 + p.col2 AS b"))),
+      // q124: two user-keyed partial aggs + a 2-row report — linear
+      ("q124_ab_report", n => EventOps.abReportOn(
+        spark.range(n).selectExpr("id % 1000 AS user_id",
+          "CASE WHEN id % 3 = 0 THEN 'view' WHEN id % 3 = 1 " +
+            "THEN 'click' ELSE 'purchase' END AS event_type",
+          "id AS us"))),
       // d15: map-only chunking + ONE chunk-hash-keyed census shuffle —
       // linear in corpus tokens; dup-group corpus so shared chunks exist
       ("d15_cdc_chunks", n => DedupOps.cdcChunkCensusOn(

@@ -350,4 +350,23 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "A", 1L, 3L, 0), (1L, "B", 3L, 4L, 0),
       (1L, "A", 4L, -1L, 1), (2L, "A", 5L, -1L, 1)))
   }
+
+  test("q124 ab report: strict-after conversion, rounded-rate lift") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (0L, "view", 1L), (0L, "purchase", 2L),  // v0: converts
+      (2L, "view", 1L),                        // v0: no purchase
+      (4L, "view", 1L),                        // v0: no purchase
+      (1L, "view", 1L), (1L, "purchase", 2L),  // v1: converts
+      (3L, "view", 5L), (3L, "purchase", 3L),  // purchase BEFORE view
+      (5L, "purchase", 1L))                    // no view: not exposed
+      .toDF("user_id", "event_type", "us")
+    val got = EventOps.abReportOn(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(0L) == (3L, 1L, 0.3333, 1.0))
+    assert(got(1L) == (2L, 1L, 0.5, 1.5002)) // 0.5 / 0.3333, 4 dp
+    assert(got.size == 2)
+  }
 }

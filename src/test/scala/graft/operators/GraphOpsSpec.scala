@@ -131,7 +131,8 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "g13_clustering_coeff" -> GraphOps.clusteringFromEdges(spark, sf),
       "g14_assortativity" -> GraphOps.assortativityFromEdges(spark, sf),
       "g16_kcore" -> GraphOps.kcoreFromEdges(spark, sf),
-      "g18_label_spread" -> GraphOps.labelSpreadFromEdges(spark, sf))
+      "g18_label_spread" -> GraphOps.labelSpreadFromEdges(spark, sf),
+      "g25_ktruss" -> GraphOps.ktrussFromEdges(spark, sf))
     pairs.foreach { case (name, served) =>
       assert(rows(GraphOps.queries(name)(spark, sf)) == rows(served),
         s"$name served != inline")
@@ -517,5 +518,18 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == (1.5, 2L))
     assert(got(4L) == (0.8333, 2L))
     assert(got(5L) == (0.3333, 1L))
+  }
+
+  test("g25 ktruss: 4-clique survives, lone triangle and bridge peel") {
+    val s = spark
+    import s.implicits._
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    // a lone triangle (each edge support 1 < 2) and a bridge edge
+    // hanging off the clique (support 0)
+    val e = (k4 ++ Seq((5L, 6L), (5L, 7L), (6L, 7L), (4L, 8L)))
+      .toDF("a", "b")
+    val got = GraphOps.ktrussOn(e, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == k4.toSet)
   }
 }
