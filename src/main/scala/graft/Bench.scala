@@ -122,7 +122,8 @@ object Bench {
     "t23_quality_tiers", "g24i_harmonic_landmarks",
     "t24_fertility_by_lang", "d19_dedup_report", "s26_embedding_drift",
     "q123_scd2_intervals", "m09_dct_phash", "m10_phash_candidates",
-    "c29_dataset_card", "q124_ab_report", "g25i_ktruss")
+    "c29_dataset_card", "q124_ab_report", "g25i_ktruss",
+    "c30_waterfill_budget")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -914,7 +914,90 @@ object CurationOps {
        FROM rep JOIN toks USING (source) JOIN lm USING (source)
        JOIN mq USING (source)"""
 
+  /** c30: WATER-FILLING TOKEN BUDGET — the fair-share allocator for
+    * "fit these sources into a B-token budget": small sources keep
+    * everything they have, large sources are clipped to one common
+    * level chosen so the budget is exactly exhausted (max-min
+    * fairness — the classic water-filling solution, closed-form).
+    * All integer: the budget here is half the corpus tokens
+    * (data-derived so it BINDS at any SF — the d17/s20 discipline),
+    * the full/clipped test is the cross-multiply
+    * a_k·(n−k+1) ≤ B − cum_{k−1} over the avail-ascending order
+    * (full-funding is a prefix property of that order), and the clip
+    * level is an integer floor div (≤ n−1 tokens go unallocated —
+    * documented, deterministic). Output (source, avail_tokens,
+    * alloc_tokens, funded_fully).
+    *
+    * Scale shape: one corpus-linear token count, then every window
+    * runs on the SOURCES-sized frame (the q100/c26 value-bounded
+    * window argument — sources, not documents). */
+  def waterfillBudget(spark: SparkSession, sfDir: String): DataFrame =
+    waterfillOn(docs(spark, sfDir).groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long"))
+        .as("avail")))
+
+  /** [[waterfillBudget]] over any (source, avail) frame; budget =
+    * Σavail div 2. */
+  private[graft] def waterfillOn(avail: DataFrame): DataFrame = {
+    val wCum = Window.orderBy(col("avail"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    avail
+      .withColumn("k", row_number().over(
+        Window.orderBy(col("avail"), col("source"))))
+      .withColumn("cum", sum("avail").over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("b", (sum("avail").over(wAll) / 2).cast("long"))
+      .withColumn("full",
+        col("avail") * (col("n") - col("k") + 1) <=
+          col("b") - (col("cum") - col("avail")))
+      .withColumn("kstar",
+        max(when(col("full"), col("k")).otherwise(0)).over(wAll))
+      .withColumn("cumfull",
+        max(when(col("full"), col("cum")).otherwise(0L)).over(wAll))
+      .withColumn("level", when(col("kstar") < col("n"),
+        expr("(b - cumfull) div (n - kstar)")).otherwise(lit(0L)))
+      .select(col("source"), col("avail").as("avail_tokens"),
+        when(col("full"), col("avail")).otherwise(col("level"))
+          .as("alloc_tokens"),
+        col("full").cast("int").as("funded_fully"))
+  }
+
+  /** c30's DuckDB twin: same avail-ascending order, same integer
+    * cross-multiply prefix test, same floor-div clip level. */
+  private[graft] val waterfillOracle: String =
+    """WITH avail AS (
+         SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                  AS avail
+         FROM documents GROUP BY source),
+       r AS (SELECT source, avail,
+                    row_number() OVER (ORDER BY avail, source) AS k,
+                    sum(avail) OVER (ORDER BY avail, source
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+                    count(*) OVER () AS n,
+                    (sum(avail) OVER ()) // 2 AS b
+             FROM avail),
+       f AS (SELECT *,
+                    (avail * (n - k + 1) <= b - (cum - avail)) AS fl
+             FROM r),
+       s AS (SELECT *,
+                    max(CASE WHEN fl THEN k ELSE 0 END) OVER () AS kstar,
+                    max(CASE WHEN fl THEN cum ELSE 0 END) OVER ()
+                      AS cumfull
+             FROM f)
+       SELECT source, CAST(avail AS BIGINT) AS avail_tokens,
+              CAST(CASE WHEN fl THEN avail
+                   WHEN kstar < n THEN (b - cumfull) // (n - kstar)
+                   ELSE 0 END AS BIGINT) AS alloc_tokens,
+              CAST(CASE WHEN fl THEN 1 ELSE 0 END AS INTEGER)
+                AS funded_fully
+       FROM s"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c30_waterfill_budget" ->
+      ((s: SparkSession, d: String) => waterfillBudget(s, d)),
     "c29_dataset_card" ->
       ((s: SparkSession, d: String) => datasetCard(s, d)),
     "c27_dsir_select" ->
@@ -1095,6 +1178,7 @@ object CurationOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "c30_waterfill_budget" -> waterfillOracle,
     "c29_dataset_card" -> datasetCardOracle,
     // c27: same bigram explode, same md5-packed bucket hash (shared
     // SQL text), same add-1 log-ratio census, same 4-dp rounding

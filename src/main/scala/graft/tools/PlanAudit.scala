@@ -97,7 +97,8 @@ object PlanAudit {
       "t23_quality_tiers", "g24_harmonic_landmarks",
       "t24_fertility_by_lang", "d19_dedup_report", "s26_embedding_drift",
       "q123_scd2_intervals", "m09_dct_phash", "m10_phash_candidates",
-      "c29_dataset_card", "q124_ab_report", "g25_ktruss")
+      "c29_dataset_card", "q124_ab_report", "g25_ktruss",
+      "c30_waterfill_budget")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

@@ -342,4 +342,24 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // srcOf is the id→source map the roll-ups above derive from
     assert(srcOf.size == docs.length)
   }
+
+  test("c30 waterfill: small sources full, big ones clip to one level") {
+    val s = spark
+    import s.implicits._
+    def run(rows: (String, Long)*) =
+      CurationOps.waterfillOn(rows.toDF("source", "avail"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    // total 15, budget 7: only the smallest is fully fundable
+    // (4·2 = 8 > 7−2 = 5), clip level (7−2)/2 = 2
+    val a = run("x" -> 2L, "y" -> 4L, "z" -> 9L)
+    assert(a == Map("x" -> (2L, 2L, 1), "y" -> (4L, 2L, 0),
+      "z" -> (9L, 2L, 0)))
+    // total 12, budget 6: the two small sources keep everything,
+    // the hub gets the exact remainder (sum == budget)
+    val b = run("p" -> 1L, "q" -> 1L, "r" -> 10L)
+    assert(b == Map("p" -> (1L, 1L, 1), "q" -> (1L, 1L, 1),
+      "r" -> (10L, 4L, 0)))
+    assert(b.values.map(_._2).sum == 6L)
+  }
 }
