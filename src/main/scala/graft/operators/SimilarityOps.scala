@@ -1753,7 +1753,129 @@ object SimilarityOps {
               round(mean_a - mean_b, 6) AS diff
        FROM m"""
 
+  /** s27: RECIPROCAL-RANK FUSION — the standard ensemble rule for
+    * combining retrievers (Cormack et al. 2009; the hybrid-search
+    * fusion every production retrieval stack runs): each candidate
+    * scores Σ 1/(60 + rank) over the retrievers that returned it,
+    * re-ranked by (rrf desc, id). Fused here: s01's exact brute
+    * retriever and s24's projected-space serve (both gated operators
+    * verbatim, both oracles embedded verbatim — the s25 discipline,
+    * so the FUSION algebra itself is engine-exact; a dense+sparse
+    * production pair drops into the same shape). The 1/(60+r) terms
+    * are exact small-rational doubles, summed pairwise and rounded
+    * 6 dp before the rank so the tie-break is engine-identical.
+    *
+    * Scale shape: both inputs are nQueries·k-row frames; the fusion
+    * join, window, and cut are query-set-sized. */
+  def rrfFusion(spark: SparkSession, sfDir: String,
+      kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    val a = bruteForceTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("ra"))
+    val b = projectedTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rb"))
+    val fused = a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rb")), lit(0.0)), 6)
+          .as("rrf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("neighbor_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "rrf")
+  }
+
+  /** s27's DuckDB twin: the s01 and s24 oracles embedded verbatim,
+    * same full-outer fusion, same rounded 1/(60+r) sum and rank. */
+  private def rrfFusionOracle: String =
+    s"""WITH a AS (SELECT query_id, neighbor_id, rank AS ra
+                   FROM ($bruteOracle) x),
+       b AS (SELECT query_id, neighbor_id, rank AS rb
+             FROM ($projectedTopKOracle) y),
+       f AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+                    coalesce(a.neighbor_id, b.neighbor_id)
+                      AS neighbor_id,
+                    round(coalesce(CAST(1 AS DOUBLE) / (60 + ra), 0) +
+                          coalesce(CAST(1 AS DOUBLE) / (60 + rb), 0), 6)
+                      AS rrf
+             FROM a FULL OUTER JOIN b
+               ON a.query_id = b.query_id
+              AND a.neighbor_id = b.neighbor_id),
+       r AS (SELECT query_id,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY rrf DESC, neighbor_id) AS INTEGER)
+                      AS rank,
+                    neighbor_id, rrf
+             FROM f)
+       SELECT query_id, rank, neighbor_id, rrf FROM r
+       WHERE rank <= 10"""
+
+  /** s28: IVF CELL-BALANCE TELEMETRY — the index-health report an
+    * IVF deployment watches (cell skew is what breaks IVF latency at
+    * scale: a hot cell makes every probe that hits it scan it): the
+    * s04 coarse assignment (same centroid model, same argmax
+    * tie-break the s04 oracle pins), per-cell population, and
+    * load_factor = n·C / total (1.0 = perfectly balanced), rounded
+    * 4 dp. Output (cent_id, n_vectors, load_factor) — cells-sized.
+    *
+    * Scale shape: one broadcast-model assignment pass + a
+    * cells-sized census + a 1-row broadcast for the normalizer. */
+  def ivfBalance(spark: SparkSession, sfDir: String,
+      centroidMod: Int = 23): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = vecs(spark, sfDir)
+    val rows = Tables.rowCount(spark, sfDir, "embeddings")
+    val (centIds, centVecs) = centroidModel(all, rows, centroidMod)
+    val idsLit = typedlit(centIds)
+    val cells = Persists.barrier(all
+      .withColumn("nc", nearestCents(spark, col("v"), centVecs, 1))
+      .select(col("vec_id"),
+        element_at(idsLit, col("nc").getItem(0) + 1).as("cent_id"))
+      .groupBy("cent_id").agg(count(lit(1)).as("n_vectors")))
+    val stats = cells.agg(count(lit(1)).as("ncells"),
+      sum("n_vectors").as("total"))
+    cells.crossJoin(broadcast(stats))
+      .select(col("cent_id"), col("n_vectors"),
+        round(col("n_vectors") * col("ncells") /
+          col("total").cast("double"), 4).as("load_factor"))
+  }
+
+  /** s28's DuckDB twin: the s04 oracle's assignment CTEs verbatim,
+    * then the census and normalizer. */
+  private def ivfBalanceOracle: String =
+    """WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       cents AS (SELECT vec_id AS cent_id, v FROM v
+                 WHERE vec_id % 23 = 0),
+       sim AS (
+         SELECT a.vec_id, c.cent_id,
+                list_dot_product(a.v, c.v) /
+                  sqrt(list_sum(list_transform(a.v, x -> x * x)) *
+                       list_sum(list_transform(c.v, x -> x * x))) AS s
+         FROM v a, cents c),
+       assign AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cent_id) AS rn
+           FROM sim) WHERE rn = 1),
+       cells AS (SELECT cent_id, count(*) AS n_vectors
+                 FROM assign GROUP BY cent_id),
+       t AS (SELECT count(*) AS ncells, sum(n_vectors) AS total
+             FROM cells)
+       SELECT cent_id, n_vectors,
+              round(n_vectors * ncells / CAST(total AS DOUBLE), 4)
+                AS load_factor
+       FROM cells, t"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s27_rrf_fusion" ->
+      ((s: SparkSession, d: String) => rrfFusion(s, d)),
+    "s28_ivf_balance" ->
+      ((s: SparkSession, d: String) => ivfBalance(s, d)),
     "s26_embedding_drift" ->
       ((s: SparkSession, d: String) => embeddingDrift(s, d)),
     "s25_ann_recall" ->
@@ -1889,6 +2011,8 @@ object SimilarityOps {
      SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10"""
 
   def oracleSql: Map[String, String] = Map(
+    "s27_rrf_fusion" -> rrfFusionOracle,
+    "s28_ivf_balance" -> ivfBalanceOracle,
     "s26_embedding_drift" -> embeddingDriftOracle,
     "s25_ann_recall" -> annRecallOracle,
     "s12_embedding_covariance" -> covarianceOracle,

@@ -103,4 +103,50 @@ class SimilarityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0) == (2.0, 1.0, 1.0))
     assert(got(1) == (0.0, 0.5, -0.5))
   }
+
+  test("s27 rrf equals the manual fusion of s01 and s24 rankings") {
+    val sf = "/root/testdata/sf0.001"
+    def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[Int]("rank")).toMap
+    val a = ranks(SimilarityOps.bruteForceTopK(spark, sf))
+    val b = ranks(SimilarityOps.projectedTopK(spark, sf))
+    val want = (a.keySet ++ b.keySet).map { key =>
+      val s = a.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        b.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      key -> BigDecimal(s).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = SimilarityOps.rrfFusion(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getInt(1),
+        r.getDouble(3)))
+    got.foreach { case (key, _, rrf) =>
+      assert(rrf == want(key), s"$key")
+    }
+    // per query: exactly topK rows, ranks 1..10, rrf non-increasing
+    got.groupBy(_._1._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 10))
+      val byRank = rows.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("s28 balance: census covers the corpus, load factors normalize") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SimilarityOps.ivfBalance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val total = got.map(_._2).sum
+    assert(total == 500L) // every vector lands in exactly one cell
+    val c = got.length.toLong
+    got.foreach { case (_, n, lf) =>
+      val want = BigDecimal(n.toDouble * c / total)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(lf == want)
+    }
+    // the mean of load factors weighted by population is 1 by
+    // construction — sanity that the normalizer is the right one
+    val weighted = got.map { case (_, n, lf) => n * lf }.sum / total
+    assert(math.abs(weighted - got.map(t => t._2 * t._2).sum.toDouble
+      * c / (total.toDouble * total)) < 1e-9)
+  }
 }
