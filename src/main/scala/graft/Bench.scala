@@ -123,7 +123,8 @@ object Bench {
     "t24_fertility_by_lang", "d19_dedup_report", "s26_embedding_drift",
     "q123_scd2_intervals", "m09_dct_phash", "m10_phash_candidates",
     "c29_dataset_card", "q124_ab_report", "g25i_ktruss",
-    "c30_waterfill_budget", "s27_rrf_fusion", "s28_ivf_balance")
+    "c30_waterfill_budget", "s27_rrf_fusion", "s28_ivf_balance",
+    "t25_langid_margin")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -266,11 +266,14 @@ object TextOps {
   /** t18's DuckDB twin: same gram explode (trigrams ∪ unigrams), same
     * VALUES model, same integer sum and (score desc, lang) argmax,
     * same 'und' spine fallback. */
-  val langIdModelOracle: String = {
+  /** The t18 model/gram/score CTE chain — ONE string shared by the
+    * t18 argmax oracle and t25's margin oracle so the scoring algebra
+    * can never drift between them. */
+  private[graft] val langIdScoreCtes: String = {
     val values = langModelRows.map { case (l, g, w) =>
       s"('$l', '${g.replace("'", "''")}', $w)"
     }.mkString(", ")
-    s"""WITH model(lang, g, w) AS (VALUES $values),
+    s"""model(lang, g, w) AS (VALUES $values),
        grams AS MATERIALIZED (
          SELECT doc_id, u.g FROM documents,
            unnest(list_concat(
@@ -283,7 +286,11 @@ object TextOps {
          WHERE length(text) >= 1),
        scores AS (
          SELECT doc_id, lang, sum(w) AS score
-         FROM grams JOIN model USING (g) GROUP BY doc_id, lang),
+         FROM grams JOIN model USING (g) GROUP BY doc_id, lang)"""
+  }
+
+  val langIdModelOracle: String = {
+    s"""WITH $langIdScoreCtes,
        best AS (
          SELECT doc_id, lang, score FROM (
            SELECT doc_id, lang, score, row_number() OVER
@@ -812,6 +819,60 @@ object TextOps {
                  GROUP BY 1, 2 HAVING count(DISTINCT terms.i) = 3)
        SELECT h.doc_id, h.pos, t.phrase FROM hits h, top1 t"""
 
+  /** t25: LANGID CONFIDENCE MARGIN — the decision signal a langid
+    * filter actually thresholds on (CLD/fastText pipelines route on
+    * top1−top2, not the raw score: a doc matching two languages'
+    * profiles equally is UNDECIDED however high its top score): t18's
+    * gram scores (the shared `langGramScores`, one definition with
+    * t18/q121), the (score desc, lang) top-2 per doc, margin =
+    * top1 − top2 (top2 = 0 when only one language matched; spine
+    * docs matching nothing land on ('und', 0, 0)). Integer
+    * end-to-end. Output (doc_id, lang, score, margin).
+    *
+    * Scale shape: t18's broadcast-model pass plus one per-doc
+    * bounded window over ≤ |langs| rows per doc. */
+  def langIdMargin(spark: SparkSession, sfDir: String): DataFrame =
+    langIdMarginOn(docs(spark, sfDir))
+
+  /** [[langIdMargin]] over any (doc_id, text) frame. */
+  private[graft] def langIdMarginOn(d: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+    val top = langGramScores(d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("doc_id").agg(
+        max(when(col("rn") === 1, col("lang"))).as("lang"),
+        max(when(col("rn") === 1, col("score"))).as("score"),
+        coalesce(max(when(col("rn") === 2, col("score"))), lit(0L))
+          .as("s2"))
+    d.select("doc_id").join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lang"), lit("und")).as("lang"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        coalesce(col("score") - col("s2"), lit(0L)).as("margin"))
+  }
+
+  /** t25's DuckDB twin: the shared t18 score CTEs + the top-2 window
+    * and margin. */
+  def langIdMarginOracle: String =
+    s"""WITH $langIdScoreCtes,
+       ranked AS (
+         SELECT doc_id, lang, score, row_number() OVER
+           (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         FROM scores),
+       top AS (
+         SELECT doc_id,
+                max(CASE WHEN rn = 1 THEN lang END) AS lang,
+                max(CASE WHEN rn = 1 THEN score END) AS score,
+                coalesce(max(CASE WHEN rn = 2 THEN score END), 0) AS s2
+         FROM ranked WHERE rn <= 2 GROUP BY doc_id)
+       SELECT d.doc_id,
+              coalesce(t.lang, 'und') AS lang,
+              CAST(coalesce(t.score, 0) AS BIGINT) AS score,
+              CAST(coalesce(t.score - t.s2, 0) AS BIGINT) AS margin
+       FROM documents d LEFT JOIN top t ON d.doc_id = t.doc_id"""
+
   /** t24: TOKENIZER FERTILITY BY LANGUAGE — the per-language
     * subwords-per-word ratio every multilingual tokenizer evaluation
     * reports (fertility ≫ 1 on a language means the vocabulary
@@ -939,6 +1000,7 @@ object TextOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_langid_margin" -> (langIdMargin _),
     "t24_fertility_by_lang" -> (fertilityByLang _),
     "t23_quality_tiers" -> (qualityTiers _),
     "t22_quality_classifier" -> (qualityClassifier _),
@@ -974,6 +1036,7 @@ object TextOps {
        FROM documents"""
 
   def oracleSql: Map[String, String] = Map(
+    "t25_langid_margin" -> langIdMarginOracle,
     "t24_fertility_by_lang" -> fertilityOracle,
     "t23_quality_tiers" -> qualityTiersOracle,
     "t22_quality_classifier" -> qualityClassifierOracle,

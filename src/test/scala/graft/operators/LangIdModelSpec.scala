@@ -125,4 +125,31 @@ class LangIdModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fixed-4 segmentation can never split below one subword per word
     assert(got.values.forall(_._4 >= 1.0))
   }
+
+  test("t25 margin: top1−top2 of the t18 scores, und for no-match") {
+    val got = TextOps.langIdMarginOn(multilingual).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // same argmax as t18 on every doc
+    val t18 = TextOps.langIdModelOn(multilingual).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    got.foreach { case (id, (lang, score, _)) =>
+      assert((lang, score) == t18(id), s"doc $id")
+    }
+    // margin recomputed independently from the raw score table
+    val sc = TextOps.langGramScores(multilingual).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    got.foreach { case (id, (_, _, margin)) =>
+      val want = sc.get(id).map { rows =>
+        val sorted = rows.sortBy(t => (-t._3, t._2)).map(_._3)
+        sorted.head - (if (sorted.length > 1) sorted(1) else 0L)
+      }.getOrElse(0L)
+      assert(margin == want, s"doc $id")
+    }
+    // the gibberish doc matches nothing: und, zero margin
+    assert(got(6L) == ("und", 0L, 0L))
+    // real sentences decide with positive margin
+    assert(got(1L)._3 > 0 && got(5L)._3 > 0)
+  }
 }
