@@ -124,7 +124,7 @@ object Bench {
     "q123_scd2_intervals", "m09_dct_phash", "m10_phash_candidates",
     "c29_dataset_card", "q124_ab_report", "g25i_ktruss",
     "c30_waterfill_budget", "s27_rrf_fusion", "s28_ivf_balance",
-    "t25_langid_margin")
+    "t25_langid_margin", "d20i_minhash_calibration")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -142,6 +142,9 @@ object Bench {
     // levenshtein verify over the stored signature table
     "d13i_dedup_editdist" ->
       ((s, d) => graft.operators.DedupOps.editDistDedupFromSigs(s, d)),
+    // d20's calibration roll-up over the stored signature table
+    "d20i_minhash_calibration" ->
+      ((s, d) => graft.operators.DedupOps.minhashCalibrationFromSigs(s, d)),
     // q80's exact multi-column countDistinct plans as an Expand (7x the
     // input) and was 34% of total_r7 — masking the other queries, the
     // d12-at-r6 pattern. The series times the approx-NDV production

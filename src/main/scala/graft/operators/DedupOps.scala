@@ -1179,6 +1179,69 @@ object DedupOps {
                 AS n_dropped
        FROM rn GROUP BY doc_id"""
 
+  /** d20: MINHASH CALIBRATION REPORT — the "is my signature length
+    * enough" telemetry a MinHash deployment checks before trusting
+    * signature-estimated similarity (E[matching/slots] = true
+    * jaccard; with only 8 slots the estimator is coarse, and THIS
+    * report shows exactly how coarse on the live corpus): for every
+    * d06 band candidate pair, the matching-slot count of the two
+    * 8-slot portable signatures next to the EXACT shingle jaccard,
+    * rolled up per matching-slot count — (matching_slots, n_pairs,
+    * mean_jaccard, est_jaccard = slots/8). Per-pair jaccard is
+    * rounded 4 dp BEFORE the mean (mirroring the d06 `j` algebra
+    * verbatim), mean rounded 4 dp.
+    *
+    * Scale shape: the d06 banded candidate join (never all-pairs) +
+    * a 9-row roll-up. */
+  def minhashCalibration(spark: SparkSession, sfDir: String): DataFrame =
+    minhashCalibrationOn(portableSigFrame(spark, sfDir))
+
+  /** [[minhashCalibration]] reading the pre-materialized signature
+    * table (benched d20i — the d12i serve discipline; DedupOpsSpec
+    * pins served ≡ inline). */
+  def minhashCalibrationFromSigs(
+      spark: SparkSession, sfDir: String): DataFrame =
+    minhashCalibrationOn(
+      spark.read.parquet(signatureTablePath(spark, sfDir)))
+
+  /** [[minhashCalibration]] over any (doc_id, sh, sig) frame. */
+  private[graft] def minhashCalibrationOn(d: DataFrame): DataFrame =
+    bandCandidates(d, lit(true))
+      .join(d.select(col("doc_id"), col("sh"), col("sig")).as("a"),
+        col("id_a") === col("a.doc_id"))
+      .join(d.select(col("doc_id"), col("sh"), col("sig")).as("b"),
+        col("id_b") === col("b.doc_id"))
+      .select(
+        expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y)," +
+          " v -> v))").as("matching_slots"),
+        round(size(array_intersect(col("a.sh"), col("b.sh")))
+          .cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))), 4).as("jacc"))
+      .groupBy("matching_slots").agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg("jacc"), 4).as("mean_jaccard"))
+      .withColumn("est_jaccard",
+        round(col("matching_slots") / 8.0, 4))
+
+  /** d20's DuckDB twin: the d06 CTEs verbatim (cand for the pair set,
+    * sig for the slots, j for the exact per-pair jaccard), the same
+    * slot-equality count and roll-up. */
+  private def minhashCalibrationOracle: String = {
+    val slotEq = (0 until 8).map(i =>
+      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $minhashPortableCtes,
+       ms AS (SELECT cand.id_a, cand.id_b, ($slotEq) AS matching_slots
+              FROM cand
+              JOIN sig a ON a.doc_id = cand.id_a
+              JOIN sig b ON b.doc_id = cand.id_b)
+       SELECT matching_slots,
+              count(*) AS n_pairs,
+              round(avg(jaccard), 4) AS mean_jaccard,
+              round(matching_slots / 8.0, 4) AS est_jaccard
+       FROM ms JOIN j ON ms.id_a = j.id_a AND ms.id_b = j.id_b
+       GROUP BY matching_slots"""
+  }
+
   /** d19: DEDUP TELEMETRY BY SOURCE — the per-source duplication
     * report corpus operations actually watch (which crawl/source is
     * flooding the mix with copies, and whose content leaks across
@@ -1231,6 +1294,8 @@ object DedupOps {
        FROM base LEFT JOIN leak ON base.source = leak.source"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_minhash_calibration" ->
+      ((s: SparkSession, d: String) => minhashCalibration(s, d)),
     "d19_dedup_report" ->
       ((s: SparkSession, d: String) => dedupReport(s, d)),
     "d18_intradoc_dedup" ->
@@ -1482,6 +1547,7 @@ object DedupOps {
      SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3"""
 
   def oracleSql: Map[String, String] = Map(
+    "d20_minhash_calibration" -> minhashCalibrationOracle,
     "d19_dedup_report" -> dedupReportOracle,
     "d18_intradoc_dedup" -> intraDocOracle,
     "d16_substring_overlap" -> substringOverlapOracle,

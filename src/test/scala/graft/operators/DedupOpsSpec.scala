@@ -286,6 +286,31 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(5L -> "z a b a b x")(5L)._3 == 0L)
   }
 
+  test("d20 calibration: identical docs bin at 8/8 slots, jaccard 1") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val txt = (1 to 12).map(i => s"w$i").mkString(" ")
+    val other = (20 to 40).map(i => s"x$i").mkString(" ")
+    val d = Seq((1L, txt), (2L, txt), (3L, other)).toDF("doc_id", "text")
+      .withColumn("sh", Shingles.wordShingles("text", 4))
+      .withColumn("sig", org.apache.spark.sql.functions.expr(
+        DedupOps.portableSigSql))
+    val got = DedupOps.minhashCalibrationOn(d).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    // the identical pair is the only band collision: one bin, all 8
+    // slots match, exact jaccard 1, estimator 8/8 = 1
+    assert(got == Map(8 -> (1L, 1.0, 1.0)))
+    // the d20i serve over the stored signature table is identical
+    val sf = "/root/testdata/sf0.001"
+    val inline = DedupOps.minhashCalibration(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val served = DedupOps.minhashCalibrationFromSigs(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(inline.nonEmpty && inline == served)
+  }
+
   test("d19 report: within-source dups and cross-source leaks split") {
     val s = spark
     import s.implicits._
