@@ -677,20 +677,26 @@ object EventOps {
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us")))
 
-  /** [[abReport]] over any (user_id, event_type, us) frame. */
-  private[graft] def abReportOn(e0: DataFrame): DataFrame = {
-    val e = Persists.barrier(e0)
-    val firstView = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("us").as("v0"))
-    val conv = e.filter(col("event_type") === "purchase")
-      .join(firstView, "user_id").filter(col("us") > col("v0"))
-      .select("user_id").distinct().withColumn("c", lit(1L))
-    val agg = firstView
-      .select(col("user_id"), (col("user_id") % 2).as("variant"))
-      .join(conv, Seq("user_id"), "left")
+  /** [[abReport]] over any (user_id, event_type, us) frame — ONE
+    * per-user agg (exists-purchase-after-first-view ⟺
+    * max purchase us > min view us), then the shared tail. */
+  private[graft] def abReportOn(e0: DataFrame): DataFrame =
+    abReportFromUser(e0.groupBy("user_id").agg(
+      min(when(col("event_type") === "view", col("us"))).as("v0"),
+      max(when(col("event_type") === "purchase", col("us")))
+        .as("pmax")))
+
+  /** q124's report tail over per-user (v0, pmax) aggregates — shared
+    * VERBATIM with the streaming twin (q125), whose stateful half
+    * produces exactly this frame, so the two forms can never drift. */
+  private[graft] def abReportFromUser(u: DataFrame): DataFrame = {
+    val agg = u.filter(col("v0").isNotNull)
+      .select((col("user_id") % 2).as("variant"),
+        (col("pmax").isNotNull && col("pmax") > col("v0"))
+          .cast("long").as("c"))
       .groupBy("variant").agg(
         count(lit(1)).as("n_users"),
-        sum(coalesce(col("c"), lit(0L))).as("n_converted"))
+        sum("c").as("n_converted"))
       .withColumn("conv_rate", round(
         col("n_converted").cast("double") / col("n_users"), 4))
     val ctrl = agg.filter(col("variant") === 0)

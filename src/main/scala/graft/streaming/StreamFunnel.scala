@@ -495,7 +495,32 @@ object StreamFunnel {
     EventOps.retentionOnDays(fresh)
   }
 
+  /** q125: q124's A/B report as events LAND — the experiment read-out
+    * computed at ingest time instead of a nightly batch. The stateful
+    * half is ONE per-user aggregation (min view us, max purchase us —
+    * both commutative, so the stream must reproduce the batch answer
+    * EXACTLY regardless of arrival order; complete mode here, state =
+    * one row per user; the production watermarked form evicts on the
+    * decision horizon). The report tail is q124's
+    * [[graft.operators.EventOps.abReportFromUser]] VERBATIM on the
+    * completed sink (the q64 pattern), gated by q124's oracle. */
+  def abReportStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.EventOps
+    val u = StreamRun.toCompletion(
+      EventStream.readEvents(spark, sfDir, glob = "events.parquet")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .groupBy("user_id").agg(
+          min(when(col("event_type") === "view", col("us"))).as("v0"),
+          max(when(col("event_type") === "purchase", col("us")))
+            .as("pmax")),
+      "graft_stream_ab", outputMode = "complete")
+    val fresh = spark.createDataFrame(u.rdd, u.schema)
+    EventOps.abReportFromUser(fresh)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_stream_ab" -> (abReportStreamed _),
     "q63_stream_funnel" -> (funnelStreamed _),
     "q64_stream_retention" -> (retentionStreamed _),
     "q68_stream_funnel_pattern" -> (funnelPatternStreamed _),
@@ -509,6 +534,8 @@ object StreamFunnel {
     * their exact forms: at [[FixtureHorizon]] boundedness must be
     * invisible in the result). */
   def oracleSql: Map[String, String] = Map(
+    "q125_stream_ab" ->
+      graft.operators.EventOps.oracleSql("q124_ab_report"),
     "q63_stream_funnel" ->
       graft.operators.EventOps.oracleSql("q60_funnel"),
     "q64_stream_retention" ->

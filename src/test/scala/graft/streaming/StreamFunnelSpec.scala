@@ -117,4 +117,13 @@ class StreamFunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("q125 stream A/B report equals the batch q124 row for row") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val batch = rows(graft.operators.EventOps.abReport(spark, sf))
+    val streamed = rows(StreamFunnel.abReportStreamed(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
 }
