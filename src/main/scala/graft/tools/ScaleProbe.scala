@@ -325,6 +325,14 @@ object ScaleProbe {
           """concat_ws(' ', transform(sequence(0, 39),
                j -> concat('w', pmod(xxhash64((id div 4) * 7 + j), 500))))
              AS txt"""))),
+      // m08x: DIAGNOSTIC ONLY (not a gate entry) — the same dup-dense
+      // corpus with the hot-bucket cap lifted, the measured basis for
+      // the 64-cap: buckets grow with n, pairs grow bucket²
+      ("m08x_uncapped_diag", n => MultimodalOps.ahashCandidatesOn(
+        spark.range(n).selectExpr("id AS media_id",
+          """concat_ws(' ', transform(sequence(0, 39),
+               j -> concat('w', pmod(xxhash64((id div 4) * 7 + j), 500))))
+             AS txt"""), maxBucket = Long.MaxValue)),
       // c27: one bigram explode (linear in tokens), a 4096-bucket
       // census, broadcast ratio join, per-doc agg, TakeOrdered —
       // linear end to end; 10% of docs form the target pool
