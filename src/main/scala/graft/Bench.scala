@@ -124,7 +124,8 @@ object Bench {
     "q123_scd2_intervals", "m09_dct_phash", "m10_phash_candidates",
     "c29_dataset_card", "q124_ab_report", "g25i_ktruss",
     "c30_waterfill_budget", "s27_rrf_fusion", "s28_ivf_balance",
-    "t25_langid_margin", "d20i_minhash_calibration")
+    "t25_langid_margin", "d20i_minhash_calibration",
+    "g26i_diameter_sweep")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -190,6 +191,9 @@ object Bench {
     // g25's truss sweeps over the stored unfloored-kNN edges
     "g25i_ktruss" ->
       ((s, d) => graft.operators.GraphOps.ktrussFromEdges(s, d)),
+    // g26's double sweep over the stored co-purchase edges
+    "g26i_diameter_sweep" ->
+      ((s, d) => graft.operators.GraphOps.diameterFromEdges(s, d)),
     "g10i_khop_bfs" ->
       ((s, d) => graft.operators.GraphOps.bfsFromEdges(s, d)),
     "g12i_components_star" ->

@@ -856,6 +856,90 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
+  /** g26: DOUBLE-SWEEP DIAMETER ESTIMATE — the standard two-BFS lower
+    * bound on graph diameter (Magnien–Latapy–Habib 2009: sweep 1 from
+    * an arbitrary start finds an eccentric node, sweep 2 from that
+    * node yields ecc(far1) ≤ diameter; on real graphs the bound is
+    * usually tight): start = the min node id (deterministic; a
+    * production run sweeps a seeded sample of starts and takes the
+    * max), both sweeps the g10 frontier kernel capped at `maxHops`
+    * (the estimate is "within the 2·maxHops horizon" — the dense
+    * co-purchase gate graph's diameter sits well inside it), argmaxes
+    * tie-broken (dist desc, node). Output one row: (start_node,
+    * far_node, far_dist, far2_node, diameter_lb).
+    *
+    * Scale shape: two BFS sweeps (hops × O(|E|) superstep joins) and
+    * two 1-row TakeOrdered argmaxes — no all-pairs anything. */
+  def diameterEstimate(spark: SparkSession, sfDir: String): DataFrame =
+    diameterEstimateOn(coPurchaseEdges(spark, sfDir), BfsHops)
+
+  /** [[diameterEstimate]] over any (src, dst) edge frame.
+    *
+    * Sweep 1's argmax is truncated with an eager `localCheckpoint`
+    * before seeding sweep 2: [[bfsHopsOn]]'s visited tree duplicates
+    * its seed ~2^hops times in the LOGICAL plan, so chaining two
+    * sweeps squares the nesting (the t19/g12 lineage discipline) —
+    * a barrier alone left the analyzer spinning for minutes on a
+    * 4-node fixture. */
+  private[graft] def diameterEstimateOn(
+      edges: DataFrame, maxHops: Int): DataFrame = {
+    val e = Persists.barrier(edges.select("src", "dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    val start = nodes.orderBy("node").limit(1)
+    val far1 = bfsHopsOn(e, start, maxHops)
+      .orderBy(col("dist").desc, col("node")).limit(1)
+    val far1b = far1.localCheckpoint(true)
+    val far2 = bfsHopsOn(e, far1b.select("node"), maxHops)
+      .orderBy(col("dist").desc, col("node")).limit(1)
+    start.select(col("node").as("start_node"))
+      .crossJoin(far1b.select(col("node").as("far_node"),
+        col("dist").as("far_dist")))
+      .crossJoin(far2.select(col("node").as("far2_node"),
+        col("dist").as("diameter_lb")))
+  }
+
+  /** g26's oracle: the g10 unrolling twice — sweep 1 from the min
+    * node, sweep 2 from sweep 1's (dist desc, node) argmax. */
+  private def diameterOracle(hops: Int): String = {
+    def sweep(pfx: String, seed: String): String = {
+      val base =
+        s"""${pfx}v0 AS (SELECT node, CAST(0 AS INTEGER) AS dist
+                         FROM $seed),
+           ${pfx}f0 AS (SELECT node FROM ${pfx}v0)"""
+      val its = (1 to hops).map { i =>
+        s"""${pfx}f$i AS (
+             SELECT DISTINCT e.dst AS node
+             FROM edges e JOIN ${pfx}f${i - 1} f ON e.src = f.node
+             WHERE NOT EXISTS (
+               SELECT 1 FROM ${pfx}v${i - 1} v WHERE v.node = e.dst)),
+           ${pfx}v$i AS (
+             SELECT node, dist FROM ${pfx}v${i - 1}
+             UNION ALL
+             SELECT node, CAST($i AS INTEGER) FROM ${pfx}f$i)"""
+      }.mkString(",\n")
+      s"$base,\n$its"
+    }
+    s"""WITH pairs AS MATERIALIZED (
+         SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       edges AS MATERIALIZED (
+         SELECT cn AS src, sn AS dst FROM pairs
+         UNION ALL
+         SELECT sn AS src, cn AS dst FROM pairs),
+       st AS (SELECT min(src) AS node FROM edges),
+       ${sweep("a", "st")},
+       far1 AS (SELECT node, dist FROM av$hops
+                ORDER BY dist DESC, node LIMIT 1),
+       ${sweep("b", "far1")},
+       far2 AS (SELECT node, dist FROM bv$hops
+                ORDER BY dist DESC, node LIMIT 1)
+       SELECT st.node AS start_node, far1.node AS far_node,
+              far1.dist AS far_dist, far2.node AS far2_node,
+              far2.dist AS diameter_lb
+       FROM st, far1, far2"""
+  }
+
   private val KtrussRounds = 4
 
   /** g25: K-TRUSS peeling — k-core's edge-strength sibling (Cohen
@@ -1220,6 +1304,12 @@ object GraphOps {
       spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)),
       HarmonicLandmarks, BfsHops)
 
+  /** g26's two sweeps over the stored co-purchase edges (benched
+    * g26i). */
+  def diameterFromEdges(spark: SparkSession, sfDir: String): DataFrame =
+    diameterEstimateOn(
+      spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)), BfsHops)
+
   /** The UNFLOORED mutual-kNN edge artifact ([[knnEdgesPath]] stores
     * the strong ≥ 0.4 graph) — shared by the g02/g07/g13/g14/g16/g18
     * bench forms, whose gate forms rebuild the quadratic exact graph
@@ -1531,6 +1621,8 @@ object GraphOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g26_diameter_sweep" ->
+      ((s: SparkSession, d: String) => diameterEstimate(s, d)),
     "g24_harmonic_landmarks" ->
       ((s: SparkSession, d: String) => harmonicCentrality(s, d)),
     "g01_pagerank" -> ((spark: SparkSession, sfDir: String) => {
@@ -2013,6 +2105,7 @@ object GraphOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "g26_diameter_sweep" -> diameterOracle(BfsHops),
     "g24_harmonic_landmarks" ->
       harmonicOracle(BfsHops, HarmonicLandmarks),
     "g10_khop_bfs" -> bfsOracle(BfsHops),

@@ -99,7 +99,8 @@ object PlanAudit {
       "q123_scd2_intervals", "m09_dct_phash", "m10_phash_candidates",
       "c29_dataset_card", "q124_ab_report", "g25_ktruss",
       "c30_waterfill_budget", "s27_rrf_fusion", "s28_ivf_balance",
-      "t25_langid_margin", "d20_minhash_calibration")
+      "t25_langid_margin", "d20_minhash_calibration",
+      "g26_diameter_sweep")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

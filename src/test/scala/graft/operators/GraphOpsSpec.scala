@@ -118,6 +118,8 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(GraphOps.starComponentsFromEdges(spark, sf)))
     assert(rows(GraphOps.queries("g24_harmonic_landmarks")(spark, sf)) ==
       rows(GraphOps.harmonicFromEdges(spark, sf)))
+    assert(rows(GraphOps.queries("g26_diameter_sweep")(spark, sf)) ==
+      rows(GraphOps.diameterFromEdges(spark, sf)))
   }
 
   test("unfloored-kNN artifact serving equals the six inline forms") {
@@ -518,6 +520,25 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == (1.5, 2L))
     assert(got(4L) == (0.8333, 2L))
     assert(got(5L) == (0.3333, 1L))
+  }
+
+  test("g26 double sweep: path graph yields the exact diameter") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4: start = 1, far1 = 4 (dist 3), sweep 2 from 4
+    // reaches 1 at dist 3 = the true diameter
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.diameterEstimateOn(e, maxHops = 4).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+      r.getInt(4)) == (1L, 4L, 3, 1L, 3))
+    // a star: diameter 2, found from any leaf
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val se = (star ++ star.map(_.swap)).toDF("src", "dst")
+    val sr = GraphOps.diameterEstimateOn(se, maxHops = 4).collect().head
+    assert(sr.getInt(4) == 2)
   }
 
   test("g25 ktruss: 4-clique survives, lone triangle and bridge peel") {
