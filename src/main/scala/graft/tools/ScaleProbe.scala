@@ -575,7 +575,13 @@ object ScaleProbe {
         spark.range(n).selectExpr("id AS a",
           "explode(transform(sequence(1, 8), j -> id + j)) AS b"),
         spark.range(n / 5).selectExpr("id * 5 AS node",
-          "CAST(pmod(xxhash64(id), 10) AS INT) AS label"))))
+          "CAST(pmod(xxhash64(id), 10) AS INT) AS label"))),
+      // g26: two capped BFS sweeps + two 1-row argmaxes — linear in
+      // |E|; ladder graph (the g24 shape) keeps every frontier live
+      ("g26_diameter_sweep", n => GraphOps.diameterEstimateOn(
+        spark.range(n).selectExpr("id AS src", "id + 1 AS dst")
+          .unionAll(spark.range(n).selectExpr("id + 1 AS src",
+            "id AS dst")), maxHops = 4)))
 
     // optional args: probe names to run (default all) — fast local
     // iteration on a newly-added probe without the full sweep
