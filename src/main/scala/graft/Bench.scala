@@ -125,7 +125,7 @@ object Bench {
     "c29_dataset_card", "q124_ab_report", "g25i_ktruss",
     "c30_waterfill_budget", "s27_rrf_fusion", "s28_ivf_balance",
     "t25_langid_margin", "d20i_minhash_calibration",
-    "g26i_diameter_sweep")
+    "g26i_diameter_sweep", "g27i_link_prediction")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -194,6 +194,9 @@ object Bench {
     // g26's double sweep over the stored co-purchase edges
     "g26i_diameter_sweep" ->
       ((s, d) => graft.operators.GraphOps.diameterFromEdges(s, d)),
+    // g27's wedge scoring over the stored co-purchase edges
+    "g27i_link_prediction" ->
+      ((s, d) => graft.operators.GraphOps.linkPredictionFromEdges(s, d)),
     "g10i_khop_bfs" ->
       ((s, d) => graft.operators.GraphOps.bfsFromEdges(s, d)),
     "g12i_components_star" ->

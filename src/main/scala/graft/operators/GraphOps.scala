@@ -940,6 +940,87 @@ object GraphOps {
        FROM st, far1, far2"""
   }
 
+  private val LinkPredMaxDeg = 300L
+  private val LinkPredTopK = 100
+
+  /** g27: LINK PREDICTION SCORES — the three classic neighborhood
+    * heuristics (Liben-Nowell & Kleinberg 2003) for every
+    * non-adjacent candidate pair, top-K by common-neighbor count:
+    * cn = |Γ(a)∩Γ(b)|, aa = Σ_z 1/ln(deg z) (Adamic–Adar), and
+    * jac = cn / |Γ(a)∪Γ(b)|. Candidates come from wedges (two edges
+    * sharing a center z), so only pairs with cn ≥ 1 ever materialize —
+    * never all-pairs. The wedge fan-out is deg(z)² per center, THE
+    * scale hazard, so centers above `maxDeg` are dropped (the g17 hub
+    * cap, mirrored in the oracle): exactly the centers Adamic–Adar
+    * down-weights toward 0 anyway (1/ln deg), so the cap sheds the
+    * negligible terms first. Degrees in jac stay UNCAPPED (full
+    * neighborhood sizes). Ordering is integer-deterministic:
+    * (cn desc, a, b); aa/jac are carried 4-dp-rounded scores, not
+    * ordering keys. On the bipartite co-purchase gate graph same-side
+    * pairs are never edges, but the anti-join is semantic (link
+    * prediction scores NON-edges) and binds on general graphs —
+    * spec-pinned on a triangle+pendant fixture. */
+  def linkPrediction(spark: SparkSession, sfDir: String): DataFrame =
+    linkPredictionOn(coPurchaseEdges(spark, sfDir),
+      LinkPredMaxDeg, LinkPredTopK)
+
+  /** [[linkPrediction]] over any (src, dst) edge frame (both
+    * directions present — the undirected convention). */
+  private[graft] def linkPredictionOn(
+      edges: DataFrame, maxDeg: Long, k: Int): DataFrame = {
+    val e = Persists.barrier(edges.select("src", "dst").distinct())
+    val deg = Persists.barrier(
+      e.groupBy("src").agg(count(lit(1)).as("d")))
+    val cold = Persists.barrier(
+      e.join(deg.filter(col("d") <= maxDeg), "src"))
+    val scored = cold.as("x").join(cold.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("a"), col("y.dst").as("b"))
+      .agg(count(lit(1)).as("cn"),
+        round(sum(lit(1.0) / log(col("x.d"))), 4).as("aa"))
+    scored.join(e, scored("a") === e("src") && scored("b") === e("dst"),
+        "left_anti")
+      .join(deg.select(col("src").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("src").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"), col("aa"),
+        round(col("cn") * lit(1.0) / (col("da") + col("db") - col("cn")),
+          4).as("jac"))
+      .orderBy(col("cn").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** g27's oracle: identical wedge → score → anti-join algebra, the
+    * center cap mirrored (the g17 discipline). */
+  private def linkPredictionOracle(maxDeg: Long, k: Int): String =
+    s"""WITH pairs AS MATERIALIZED (
+         SELECT DISTINCT o_custkey * 2 AS cu, l_suppkey * 2 + 1 AS sn
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       edges AS MATERIALIZED (
+         SELECT cu AS src, sn AS dst FROM pairs
+         UNION ALL
+         SELECT sn AS src, cu AS dst FROM pairs),
+       deg AS MATERIALIZED (
+         SELECT src, count(*) AS d FROM edges GROUP BY src),
+       cold AS MATERIALIZED (
+         SELECT e.src, e.dst, g.d FROM edges e
+         JOIN deg g ON g.src = e.src WHERE g.d <= $maxDeg),
+       scored AS MATERIALIZED (
+         SELECT x.dst AS a, y.dst AS b, count(*) AS cn,
+                round(sum(1.0 / ln(x.d)), 4) AS aa
+         FROM cold x JOIN cold y ON x.src = y.src AND x.dst < y.dst
+         GROUP BY x.dst, y.dst),
+       nonedge AS (
+         SELECT s.a, s.b, s.cn, s.aa FROM scored s
+         WHERE NOT EXISTS (
+           SELECT 1 FROM edges e WHERE e.src = s.a AND e.dst = s.b))
+       SELECT n.a, n.b, n.cn, n.aa,
+              round(n.cn * 1.0 / (da.d + db.d - n.cn), 4) AS jac
+       FROM nonedge n
+       JOIN deg da ON da.src = n.a
+       JOIN deg db ON db.src = n.b
+       ORDER BY n.cn DESC, n.a, n.b
+       LIMIT $k"""
+
   private val KtrussRounds = 4
 
   /** g25: K-TRUSS peeling — k-core's edge-strength sibling (Cohen
@@ -1229,8 +1310,14 @@ object GraphOps {
   def coPurchaseEdgesPath(spark: SparkSession, sfDir: String): String = {
     val n = Tables.rowCount(spark, sfDir, "orders") +
       Tables.rowCount(spark, sfDir, "lineitem")
-    val fp = java.lang.Long.toHexString(Tables.fingerprint(
-      spark, sfDir, "orders", Seq("o_orderkey", "o_custkey")))
+    // keyed on BOTH inputs' content (the oneWayEdgesPath discipline,
+    // ADVICE r10): a lineitem-only regeneration must not serve stale
+    // edges
+    val fp = java.lang.Long.toHexString(
+      Tables.fingerprint(
+        spark, sfDir, "orders", Seq("o_orderkey", "o_custkey")) ^
+      Tables.fingerprint(
+        spark, sfDir, "lineitem", Seq("l_orderkey", "l_suppkey")))
     val dir = graft.sources.FsUtil.qualified("target/tmp/graph/copurchase_" +
       graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_$fp")
     if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS"))
@@ -1309,6 +1396,13 @@ object GraphOps {
   def diameterFromEdges(spark: SparkSession, sfDir: String): DataFrame =
     diameterEstimateOn(
       spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)), BfsHops)
+
+  /** g27's scoring over the stored co-purchase edges (benched g27i). */
+  def linkPredictionFromEdges(
+      spark: SparkSession, sfDir: String): DataFrame =
+    linkPredictionOn(
+      spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)),
+      LinkPredMaxDeg, LinkPredTopK)
 
   /** The UNFLOORED mutual-kNN edge artifact ([[knnEdgesPath]] stores
     * the strong ≥ 0.4 graph) — shared by the g02/g07/g13/g14/g16/g18
@@ -1623,6 +1717,8 @@ object GraphOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g26_diameter_sweep" ->
       ((s: SparkSession, d: String) => diameterEstimate(s, d)),
+    "g27_link_prediction" ->
+      ((s: SparkSession, d: String) => linkPrediction(s, d)),
     "g24_harmonic_landmarks" ->
       ((s: SparkSession, d: String) => harmonicCentrality(s, d)),
     "g01_pagerank" -> ((spark: SparkSession, sfDir: String) => {
@@ -2106,6 +2202,8 @@ object GraphOps {
 
   def oracleSql: Map[String, String] = Map(
     "g26_diameter_sweep" -> diameterOracle(BfsHops),
+    "g27_link_prediction" ->
+      linkPredictionOracle(LinkPredMaxDeg, LinkPredTopK),
     "g24_harmonic_landmarks" ->
       harmonicOracle(BfsHops, HarmonicLandmarks),
     "g10_khop_bfs" -> bfsOracle(BfsHops),

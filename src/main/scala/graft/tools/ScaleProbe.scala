@@ -581,7 +581,17 @@ object ScaleProbe {
       ("g26_diameter_sweep", n => GraphOps.diameterEstimateOn(
         spark.range(n).selectExpr("id AS src", "id + 1 AS dst")
           .unionAll(spark.range(n).selectExpr("id + 1 AS src",
-            "id AS dst")), maxHops = 4)))
+            "id AS dst")), maxHops = 4)),
+      // g27: wedge fan-out is deg² per center — constant-degree graph
+      // (8 neighbors each way) keeps it linear in n; cap never binds
+      ("g27_link_prediction", n => GraphOps.linkPredictionOn(
+        spark.range(n).selectExpr("id AS a",
+          "explode(transform(sequence(1, 8), j -> id + j)) AS b")
+          .selectExpr("a AS src", "b AS dst")
+          .unionAll(spark.range(n).selectExpr("id AS a",
+            "explode(transform(sequence(1, 8), j -> id + j)) AS b")
+            .selectExpr("b AS src", "a AS dst")),
+        maxDeg = 300, k = 100)))
 
     // optional args: probe names to run (default all) — fast local
     // iteration on a newly-added probe without the full sweep

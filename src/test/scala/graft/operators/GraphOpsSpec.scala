@@ -120,6 +120,8 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(GraphOps.harmonicFromEdges(spark, sf)))
     assert(rows(GraphOps.queries("g26_diameter_sweep")(spark, sf)) ==
       rows(GraphOps.diameterFromEdges(spark, sf)))
+    assert(rows(GraphOps.queries("g27_link_prediction")(spark, sf)) ==
+      rows(GraphOps.linkPredictionFromEdges(spark, sf)))
   }
 
   test("unfloored-kNN artifact serving equals the six inline forms") {
@@ -539,6 +541,34 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val se = (star ++ star.map(_.swap)).toDF("src", "dst")
     val sr = GraphOps.diameterEstimateOn(se, maxHops = 4).collect().head
     assert(sr.getInt(4) == 2)
+  }
+
+  test("g27 link prediction: scores, anti-join, and center cap bind") {
+    val s = spark
+    import s.implicits._
+    // triangle 1-2-3 plus pendant 4-1: wedges propose (2,3),(2,4),
+    // (3,4) at center 1 and (1,3)/(1,2) at centers 2/3; the anti-join
+    // drops the three existing edges, keeping (2,4),(3,4) — cn=1
+    // via center 1 (deg 3), aa=1/ln3, jac=1/(2+1-1)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.linkPredictionOn(e, maxDeg = 10, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val aa = math.round(1.0 / math.log(3) * 1e4) / 1e4
+    assert(got == Set((2L, 4L, 1L, aa, 0.5), (3L, 4L, 1L, aa, 0.5)))
+    // cap at 2: node 1 (deg 3) is no longer a wedge center; the only
+    // surviving proposals are existing edges -> empty
+    assert(GraphOps.linkPredictionOn(e, maxDeg = 2, k = 100).count() == 0)
+    // 4-cycle 1-2-3-4-1: the two diagonals, cn=2, jac=1 (shared
+    // neighborhood IS the union), aa=2/ln2
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val ce = (cyc ++ cyc.map(_.swap)).toDF("src", "dst")
+    val cg = GraphOps.linkPredictionOn(ce, maxDeg = 10, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val aa2 = math.round(2.0 / math.log(2) * 1e4) / 1e4
+    assert(cg == Set((1L, 3L, 2L, aa2, 1.0), (2L, 4L, 2L, aa2, 1.0)))
   }
 
   test("g25 ktruss: 4-clique survives, lone triangle and bridge peel") {
