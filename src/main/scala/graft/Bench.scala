@@ -125,7 +125,8 @@ object Bench {
     "c29_dataset_card", "q124_ab_report", "g25i_ktruss",
     "c30_waterfill_budget", "s27_rrf_fusion", "s28_ivf_balance",
     "t25_langid_margin", "d20i_minhash_calibration",
-    "g26i_diameter_sweep", "g27i_link_prediction")
+    "g26i_diameter_sweep", "g27i_link_prediction",
+    "q126_markov_transitions")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -731,7 +731,42 @@ object EventOps {
               round(conv_rate / ctrl_rate, 4) AS lift
        FROM r, ctrl"""
 
+  /** q126: MARKOV TRANSITION MATRIX over event types — the
+    * user-journey model behind q120's raw paths: for every
+    * consecutive same-user event pair within a session (gap ≤
+    * `gapMinutes`, the q61 boundary rule), count the (src_type →
+    * dst_type) transition and serve the row-normalized probability
+    * p = n / Σ_dst n (4 dp). First-in-session events have no
+    * predecessor and contribute nothing (lag is null or the gap
+    * breaks). Output (src_type, dst_type, n, p) — the full matrix is
+    * |types|² bounded, no limit needed.
+    *
+    * Scale shape: ONE user-keyed sort window over events (the q61
+    * shuffle), then a types²-sized agg and a types-sized
+    * normalization window — nothing wider than the event volume
+    * moves, and the served matrix is tiny at any corpus size. */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame =
+    markovTransitionsOn(events(spark, sfDir))
+
+  /** [[markovTransitions]] over any (event_id, user_id, event_type,
+    * us) frame. */
+  def markovTransitionsOn(
+      e: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val t = e
+      .withColumn("src_type", lag("event_type", 1).over(order))
+      .withColumn("gap", col("us") - lag("us", 1).over(order))
+      .filter(col("src_type").isNotNull && col("gap") <= gapUs)
+    t.groupBy(col("src_type"), col("event_type").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") * lit(1.0) /
+        sum("n").over(Window.partitionBy("src_type")), 4))
+      .orderBy("src_type", "dst_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_markov_transitions" -> (markovTransitions _),
     "q124_ab_report" -> (abReport _),
     "q123_scd2_intervals" -> (scd2Intervals _),
     "q122_ewma_daily" -> (ewmaDaily _),
@@ -750,6 +785,25 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // q126: the same lagged pair extraction on the same unique sort,
+    // the same session-gap filter, the same row-normalized 4-dp p
+    "q126_markov_transitions" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           epoch_us(ts) AS us
+                    FROM events),
+          t AS (SELECT event_type,
+                       lag(event_type) OVER w AS src_type,
+                       us - lag(us) OVER w AS gap
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          n AS (SELECT src_type, event_type AS dst_type, count(*) AS n
+                FROM t
+                WHERE src_type IS NOT NULL AND gap <= 1800000000
+                GROUP BY src_type, event_type)
+        SELECT src_type, dst_type, n,
+               round(n * 1.0 / sum(n) OVER (PARTITION BY src_type), 4)
+                 AS p
+        FROM n""",
     "q124_ab_report" -> abReportOracle,
     "q123_scd2_intervals" -> scd2Oracle,
     "q122_ewma_daily" -> ewmaOracle,

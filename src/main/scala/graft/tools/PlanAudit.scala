@@ -100,7 +100,8 @@ object PlanAudit {
       "c29_dataset_card", "q124_ab_report", "g25_ktruss",
       "c30_waterfill_budget", "s27_rrf_fusion", "s28_ivf_balance",
       "t25_langid_margin", "d20_minhash_calibration",
-      "g26_diameter_sweep", "g27_link_prediction")
+      "g26_diameter_sweep", "g27_link_prediction",
+      "q126_markov_transitions")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

@@ -582,6 +582,13 @@ object ScaleProbe {
         spark.range(n).selectExpr("id AS src", "id + 1 AS dst")
           .unionAll(spark.range(n).selectExpr("id + 1 AS src",
             "id AS dst")), maxHops = 4)),
+      // q126: one user-keyed sort window + a types²-sized agg +
+      // types-sized normalization window — linear in events
+      ("q126_markov_transitions", n => EventOps.markovTransitionsOn(
+        spark.range(n).selectExpr("id AS event_id",
+          "pmod(xxhash64(id), 2000) AS user_id",
+          "concat('t', pmod(xxhash64(id, 5), 6)) AS event_type",
+          "id * 60000000 AS us"))),
       // g27: wedge fan-out is deg² per center — constant-degree graph
       // (8 neighbors each way) keeps it linear in n; cap never binds
       ("g27_link_prediction", n => GraphOps.linkPredictionOn(

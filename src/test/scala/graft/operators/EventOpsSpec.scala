@@ -369,4 +369,26 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) == (2L, 1L, 0.5, 1.5002)) // 0.5 / 0.3333, 4 dp
     assert(got.size == 2)
   }
+
+  test("q126 markov: session gap breaks pairs, rows normalize to 1") {
+    val s = spark
+    import s.implicits._
+    // u1: A>B>A in one session, then a 2h gap to C>D (A->C dropped);
+    // u2: A>C 10s apart — so from A: ->B once, ->C once (p=0.5 each)
+    val e = Seq(
+      (1L, 1L, "A", 0L), (2L, 1L, "B", Min), (3L, 1L, "A", 2L * Min),
+      (4L, 1L, "C", 122L * Min), (5L, 1L, "D", 123L * Min),
+      (6L, 2L, "A", 0L), (7L, 2L, "C", 10L * 1000000L))
+      .toDF("event_id", "user_id", "event_type", "us")
+    val got = EventOps.markovTransitionsOn(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      ("A", "B") -> (1L, 0.5), ("A", "C") -> (1L, 0.5),
+      ("B", "A") -> (1L, 1.0), ("C", "D") -> (1L, 1.0)))
+    // exactly-30-min gap is WITHIN the session (<= bound, q61 rule)
+    val b = Seq((1L, 1L, "A", 0L), (2L, 1L, "B", 30L * Min))
+      .toDF("event_id", "user_id", "event_type", "us")
+    assert(EventOps.markovTransitionsOn(b).count() == 1)
+  }
 }
