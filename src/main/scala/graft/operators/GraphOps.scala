@@ -940,6 +940,95 @@ object GraphOps {
        FROM st, far1, far2"""
   }
 
+  private val WalkSteps = 3
+
+  /** The per-step walk hash — the first 4 hex chars of
+    * md5("walkid:step:candidate") ascii-packed to an int, ONE SQL
+    * string shared verbatim by the Spark implementation and the
+    * DuckDB oracle (the d06 portableSlot discipline: identical text,
+    * so the two can never drift). Ties break on the candidate id. */
+  private def walkHashSql(t: Int): String = {
+    val s = s"concat(cast(walk_id as string), ':$t:', " +
+      "cast(dst as string))"
+    (0 until 4).map { c =>
+      s"ascii(substr(md5($s), ${c + 1}, 1)) * ${1L << (8 * (3 - c))}"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** g28: DETERMINISTIC RANDOM-WALK CORPUS — the node2vec/DeepWalk
+    * input stage (Perozzi et al. 2014): one `steps`-step walk per
+    * node, the training corpus a skip-gram embedding consumes. The
+    * "random" next hop is derandomized the engine-portable way: from
+    * node v at step t, the walk moves to the neighbor minimizing
+    * ([[walkHashSql]], id) — a hash-seeded uniform choice both
+    * engines compute identically (a production run varies a seed in
+    * the hash string per epoch). Walks at an out-degree-0 node end
+    * early (inner join; can't happen on the doubled undirected gate
+    * graph). Output (walk_id, step, node), steps 0..`steps`.
+    *
+    * Scale shape: per step, ONE walker⋈edges join (Σ deg(pos) ≈ O(|E|)
+    * candidate rows worst case) into a walker-keyed argmin window —
+    * walker state is one row per walk, never a path blob; the corpus
+    * is emitted as rows, not accumulated driver-side. */
+  def randomWalks(spark: SparkSession, sfDir: String): DataFrame =
+    randomWalksOn(coPurchaseEdges(spark, sfDir), WalkSteps)
+
+  /** [[randomWalks]] over any (src, dst) edge frame. */
+  private[graft] def randomWalksOn(
+      edges: DataFrame, steps: Int): DataFrame = {
+    val e = Persists.barrier(edges.select("src", "dst").distinct())
+    val nodes = e.select(col("src").as("node")).distinct()
+    var walks = nodes.select(col("node").as("walk_id"),
+      col("node").as("pos"))
+    var out = walks.select(col("walk_id"),
+      lit(0).cast("int").as("step"), col("pos").as("node"))
+    for (t <- 1 to steps) {
+      val byWalk = Window.partitionBy("walk_id")
+        .orderBy(col("h"), col("dst"))
+      walks = Persists.barrier(
+        e.join(walks, e("src") === walks("pos"))
+          .select(col("walk_id"), col("dst"),
+            expr(walkHashSql(t)).as("h"))
+          .withColumn("rn", row_number().over(byWalk))
+          .filter(col("rn") === 1)
+          .select(col("walk_id"), col("dst").as("pos")))
+      out = out.unionAll(walks.select(col("walk_id"),
+        lit(t).cast("int").as("step"), col("pos").as("node")))
+    }
+    out
+  }
+
+  /** g28's oracle: the identical per-step hash-argmin unrolled, the
+    * hash expression string shared with the implementation. */
+  private def randomWalksOracle(steps: Int): String = {
+    val stepCtes = (1 to steps).map { t =>
+      s"""c$t AS (
+           SELECT w.walk_id, e.dst, ${walkHashSql(t)} AS h
+           FROM w${t - 1} w JOIN edges e ON e.src = w.pos),
+         r$t AS (
+           SELECT walk_id, dst,
+                  row_number() OVER (PARTITION BY walk_id
+                                     ORDER BY h, dst) AS rn
+           FROM c$t),
+         w$t AS (SELECT walk_id, dst AS pos FROM r$t WHERE rn = 1)"""
+    }.mkString(",\n")
+    val unions = (1 to steps).map { t =>
+      s"SELECT walk_id, CAST($t AS INTEGER) AS step, pos AS node FROM w$t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pairs AS MATERIALIZED (
+         SELECT DISTINCT o_custkey * 2 AS cu, l_suppkey * 2 + 1 AS sn
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       edges AS MATERIALIZED (
+         SELECT cu AS src, sn AS dst FROM pairs
+         UNION ALL
+         SELECT sn AS src, cu AS dst FROM pairs),
+       w0 AS (SELECT DISTINCT src AS walk_id, src AS pos FROM edges),
+       $stepCtes
+       SELECT walk_id, CAST(0 AS INTEGER) AS step, pos AS node FROM w0
+       UNION ALL
+       $unions"""
+  }
+
   private val LinkPredMaxDeg = 300L
   private val LinkPredTopK = 100
 
@@ -1404,6 +1493,12 @@ object GraphOps {
       spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)),
       LinkPredMaxDeg, LinkPredTopK)
 
+  /** g28's walks over the stored co-purchase edges (benched g28i). */
+  def randomWalksFromEdges(
+      spark: SparkSession, sfDir: String): DataFrame =
+    randomWalksOn(
+      spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)), WalkSteps)
+
   /** The UNFLOORED mutual-kNN edge artifact ([[knnEdgesPath]] stores
     * the strong ≥ 0.4 graph) — shared by the g02/g07/g13/g14/g16/g18
     * bench forms, whose gate forms rebuild the quadratic exact graph
@@ -1719,6 +1814,8 @@ object GraphOps {
       ((s: SparkSession, d: String) => diameterEstimate(s, d)),
     "g27_link_prediction" ->
       ((s: SparkSession, d: String) => linkPrediction(s, d)),
+    "g28_random_walks" ->
+      ((s: SparkSession, d: String) => randomWalks(s, d)),
     "g24_harmonic_landmarks" ->
       ((s: SparkSession, d: String) => harmonicCentrality(s, d)),
     "g01_pagerank" -> ((spark: SparkSession, sfDir: String) => {
@@ -2204,6 +2301,7 @@ object GraphOps {
     "g26_diameter_sweep" -> diameterOracle(BfsHops),
     "g27_link_prediction" ->
       linkPredictionOracle(LinkPredMaxDeg, LinkPredTopK),
+    "g28_random_walks" -> randomWalksOracle(WalkSteps),
     "g24_harmonic_landmarks" ->
       harmonicOracle(BfsHops, HarmonicLandmarks),
     "g10_khop_bfs" -> bfsOracle(BfsHops),

@@ -589,6 +589,15 @@ object ScaleProbe {
           "pmod(xxhash64(id), 2000) AS user_id",
           "concat('t', pmod(xxhash64(id, 5), 6)) AS event_type",
           "id * 60000000 AS us"))),
+      // g28: per step one walker⋈edges join + walker-keyed argmin —
+      // O(steps · |E|) candidates at constant degree, linear in n
+      ("g28_random_walks", n => GraphOps.randomWalksOn(
+        spark.range(n).selectExpr("id AS a",
+          "explode(transform(sequence(1, 8), j -> id + j)) AS b")
+          .selectExpr("a AS src", "b AS dst")
+          .unionAll(spark.range(n).selectExpr("id AS a",
+            "explode(transform(sequence(1, 8), j -> id + j)) AS b")
+            .selectExpr("b AS src", "a AS dst")), steps = 3)),
       // g27: wedge fan-out is deg² per center — constant-degree graph
       // (8 neighbors each way) keeps it linear in n; cap never binds
       ("g27_link_prediction", n => GraphOps.linkPredictionOn(

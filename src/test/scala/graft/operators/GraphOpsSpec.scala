@@ -122,6 +122,8 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(GraphOps.diameterFromEdges(spark, sf)))
     assert(rows(GraphOps.queries("g27_link_prediction")(spark, sf)) ==
       rows(GraphOps.linkPredictionFromEdges(spark, sf)))
+    assert(rows(GraphOps.queries("g28_random_walks")(spark, sf)) ==
+      rows(GraphOps.randomWalksFromEdges(spark, sf)))
   }
 
   test("unfloored-kNN artifact serving equals the six inline forms") {
@@ -569,6 +571,34 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getDouble(3), r.getDouble(4))).toSet
     val aa2 = math.round(2.0 / math.log(2) * 1e4) / 1e4
     assert(cg == Set((1L, 3L, 2L, aa2, 1.0), (2L, 4L, 2L, aa2, 1.0)))
+  }
+
+  test("g28 walks: edge-respecting, deterministic, dead-ends end early") {
+    val s = spark
+    import s.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val rows = GraphOps.randomWalksOn(e, steps = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // one walk per node, each full length (no dead ends when doubled)
+    assert(rows.count(_._2 == 0) == 4 && rows.length == 16)
+    assert(rows.filter(_._2 == 0).forall(r => r._1 == r._3))
+    // every consecutive hop is a real edge
+    val edgeSet = (und ++ und.map(_.swap)).toSet
+    val byWalk = rows.groupBy(_._1).values
+    byWalk.foreach { w =>
+      w.sortBy(_._2).sliding(2).foreach { case Array(a, b) =>
+        assert(edgeSet.contains((a._3, b._3)), s"$a -> $b not an edge") }
+    }
+    // determinism: a second run reproduces bit-identically
+    val again = GraphOps.randomWalksOn(e, steps = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSet == again.toSet)
+    // a directed dead-end ends the walk early instead of failing
+    val dir = Seq((1L, 2L)).toDF("src", "dst")
+    val d = GraphOps.randomWalksOn(dir, steps = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(d == Set((1L, 0, 1L), (1L, 1, 2L)))
   }
 
   test("g25 ktruss: 4-clique survives, lone triangle and bridge peel") {
