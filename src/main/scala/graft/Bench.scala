@@ -126,7 +126,8 @@ object Bench {
     "c30_waterfill_budget", "s27_rrf_fusion", "s28_ivf_balance",
     "t25_langid_margin", "d20i_minhash_calibration",
     "g26i_diameter_sweep", "g27i_link_prediction",
-    "q126_markov_transitions", "g28i_random_walks")
+    "q126_markov_transitions", "g28i_random_walks",
+    "g29i_skipgram_pairs")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -201,6 +202,9 @@ object Bench {
     // g28's walk supersteps over the stored co-purchase edges
     "g28i_random_walks" ->
       ((s, d) => graft.operators.GraphOps.randomWalksFromEdges(s, d)),
+    // g29's windowed pair counts over walks from the stored edges
+    "g29i_skipgram_pairs" ->
+      ((s, d) => graft.operators.GraphOps.skipGramFromEdges(s, d)),
     "g10i_khop_bfs" ->
       ((s, d) => graft.operators.GraphOps.bfsFromEdges(s, d)),
     "g12i_components_star" ->

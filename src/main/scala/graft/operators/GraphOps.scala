@@ -998,9 +998,11 @@ object GraphOps {
     out
   }
 
-  /** g28's oracle: the identical per-step hash-argmin unrolled, the
-    * hash expression string shared with the implementation. */
-  private def randomWalksOracle(steps: Int): String = {
+  /** The g28 walk corpus as oracle CTEs ending in
+    * `corpus(walk_id, step, node)` — the per-step hash-argmin
+    * unrolled, the hash expression string shared with the
+    * implementation. Shared by the g28 and g29 oracles. */
+  private def walkCorpusCtes(steps: Int): String = {
     val stepCtes = (1 to steps).map { t =>
       s"""c$t AS (
            SELECT w.walk_id, e.dst, ${walkHashSql(t)} AS h
@@ -1012,7 +1014,7 @@ object GraphOps {
            FROM c$t),
          w$t AS (SELECT walk_id, dst AS pos FROM r$t WHERE rn = 1)"""
     }.mkString(",\n")
-    val unions = (1 to steps).map { t =>
+    val unions = (0 to steps).map { t =>
       s"SELECT walk_id, CAST($t AS INTEGER) AS step, pos AS node FROM w$t"
     }.mkString("\nUNION ALL\n")
     s"""WITH pairs AS MATERIALIZED (
@@ -1023,11 +1025,54 @@ object GraphOps {
          UNION ALL
          SELECT sn AS src, cu AS dst FROM pairs),
        w0 AS (SELECT DISTINCT src AS walk_id, src AS pos FROM edges),
-       $stepCtes
-       SELECT walk_id, CAST(0 AS INTEGER) AS step, pos AS node FROM w0
-       UNION ALL
-       $unions"""
+       $stepCtes,
+       corpus AS MATERIALIZED (
+         $unions)"""
   }
+
+  private def randomWalksOracle(steps: Int): String =
+    s"""${walkCorpusCtes(steps)}
+       SELECT walk_id, step, node FROM corpus"""
+
+  private val SkipGramWindow = 2
+
+  /** g29: SKIP-GRAM PAIR COUNTS over the g28 walk corpus — the
+    * (center, context) co-occurrence table a word2vec-style graph
+    * embedding actually trains on (Mikolov et al. 2013): every
+    * ordered pair of distinct positions in the same walk at most
+    * `window` steps apart, counted over the whole corpus. Token-level
+    * semantics: a node revisited at two positions co-occurs with
+    * itself, exactly as a repeated word does in text. Output
+    * (center, context, n).
+    *
+    * Scale shape: the walk corpus is walk_id-keyed and each walk is
+    * (steps+1) rows, so the self-join fans out a CONSTANT
+    * (steps+1)·2·window per walk — linear in walks. The corpus frame
+    * is barriered (referenced twice). */
+  def skipGramPairs(spark: SparkSession, sfDir: String): DataFrame =
+    skipGramPairsOn(randomWalks(spark, sfDir), SkipGramWindow)
+
+  /** [[skipGramPairs]] over any (walk_id, step, node) corpus. */
+  private[graft] def skipGramPairsOn(
+      walks: DataFrame, window: Int): DataFrame = {
+    val w = Persists.barrier(walks.select("walk_id", "step", "node"))
+    w.as("a").join(w.as("b"),
+        col("a.walk_id") === col("b.walk_id") &&
+        col("a.step") =!= col("b.step") &&
+        abs(col("a.step") - col("b.step")) <= window)
+      .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** g29's oracle: the shared walk-corpus CTEs + the identical
+    * windowed self-join. */
+  private def skipGramOracle(steps: Int, window: Int): String =
+    s"""${walkCorpusCtes(steps)}
+       SELECT a.node AS center, b.node AS context, count(*) AS n
+       FROM corpus a JOIN corpus b
+         ON a.walk_id = b.walk_id AND a.step <> b.step
+        AND abs(a.step - b.step) <= $window
+       GROUP BY a.node, b.node"""
 
   private val LinkPredMaxDeg = 300L
   private val LinkPredTopK = 100
@@ -1499,6 +1544,11 @@ object GraphOps {
     randomWalksOn(
       spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)), WalkSteps)
 
+  /** g29's pair counts over walks from the stored co-purchase edges
+    * (benched g29i). */
+  def skipGramFromEdges(spark: SparkSession, sfDir: String): DataFrame =
+    skipGramPairsOn(randomWalksFromEdges(spark, sfDir), SkipGramWindow)
+
   /** The UNFLOORED mutual-kNN edge artifact ([[knnEdgesPath]] stores
     * the strong ≥ 0.4 graph) — shared by the g02/g07/g13/g14/g16/g18
     * bench forms, whose gate forms rebuild the quadratic exact graph
@@ -1816,6 +1866,8 @@ object GraphOps {
       ((s: SparkSession, d: String) => linkPrediction(s, d)),
     "g28_random_walks" ->
       ((s: SparkSession, d: String) => randomWalks(s, d)),
+    "g29_skipgram_pairs" ->
+      ((s: SparkSession, d: String) => skipGramPairs(s, d)),
     "g24_harmonic_landmarks" ->
       ((s: SparkSession, d: String) => harmonicCentrality(s, d)),
     "g01_pagerank" -> ((spark: SparkSession, sfDir: String) => {
@@ -2302,6 +2354,7 @@ object GraphOps {
     "g27_link_prediction" ->
       linkPredictionOracle(LinkPredMaxDeg, LinkPredTopK),
     "g28_random_walks" -> randomWalksOracle(WalkSteps),
+    "g29_skipgram_pairs" -> skipGramOracle(WalkSteps, SkipGramWindow),
     "g24_harmonic_landmarks" ->
       harmonicOracle(BfsHops, HarmonicLandmarks),
     "g10_khop_bfs" -> bfsOracle(BfsHops),

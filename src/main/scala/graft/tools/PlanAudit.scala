@@ -101,7 +101,8 @@ object PlanAudit {
       "c30_waterfill_budget", "s27_rrf_fusion", "s28_ivf_balance",
       "t25_langid_margin", "d20_minhash_calibration",
       "g26_diameter_sweep", "g27_link_prediction",
-      "q126_markov_transitions", "g28_random_walks")
+      "q126_markov_transitions", "g28_random_walks",
+      "g29_skipgram_pairs")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

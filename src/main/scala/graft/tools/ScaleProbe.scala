@@ -598,6 +598,14 @@ object ScaleProbe {
           .unionAll(spark.range(n).selectExpr("id AS a",
             "explode(transform(sequence(1, 8), j -> id + j)) AS b")
             .selectExpr("b AS src", "a AS dst")), steps = 3)),
+      // g29: walk_id-keyed self-join with constant (steps+1)·2·window
+      // fan-out per walk — linear in walks (synthetic 4-row walks)
+      ("g29_skipgram_pairs", n => GraphOps.skipGramPairsOn(
+        spark.range(n).selectExpr("id AS walk_id",
+          "explode(sequence(0, 3)) AS step")
+          .selectExpr("walk_id", "CAST(step AS INT) AS step",
+            "pmod(xxhash64(walk_id, step), 5000) AS node"),
+        window = 2)),
       // g27: wedge fan-out is deg² per center — constant-degree graph
       // (8 neighbors each way) keeps it linear in n; cap never binds
       ("g27_link_prediction", n => GraphOps.linkPredictionOn(

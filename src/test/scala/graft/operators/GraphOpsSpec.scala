@@ -124,6 +124,8 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(GraphOps.linkPredictionFromEdges(spark, sf)))
     assert(rows(GraphOps.queries("g28_random_walks")(spark, sf)) ==
       rows(GraphOps.randomWalksFromEdges(spark, sf)))
+    assert(rows(GraphOps.queries("g29_skipgram_pairs")(spark, sf)) ==
+      rows(GraphOps.skipGramFromEdges(spark, sf)))
   }
 
   test("unfloored-kNN artifact serving equals the six inline forms") {
@@ -599,6 +601,26 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d = GraphOps.randomWalksOn(dir, steps = 3).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(d == Set((1L, 0, 1L), (1L, 1, 2L)))
+  }
+
+  test("g29 skipgram: windowed pairs, revisits self-pair, walk-local") {
+    val s = spark
+    import s.implicits._
+    // walk 1 revisits node 10 (A B A); walk 2 is disjoint (C D)
+    val corpus = Seq(
+      (1L, 0, 10L), (1L, 1, 20L), (1L, 2, 10L),
+      (2L, 0, 30L), (2L, 1, 40L))
+      .toDF("walk_id", "step", "node")
+    def pairs(win: Int) =
+      GraphOps.skipGramPairsOn(corpus, window = win).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs(2) == Map(
+      (10L, 20L) -> 2L, (20L, 10L) -> 2L, (10L, 10L) -> 2L,
+      (30L, 40L) -> 1L, (40L, 30L) -> 1L))
+    // window 1 drops the distance-2 self-pair, keeps adjacency
+    assert(pairs(1) == Map(
+      (10L, 20L) -> 2L, (20L, 10L) -> 2L,
+      (30L, 40L) -> 1L, (40L, 30L) -> 1L))
   }
 
   test("g25 ktruss: 4-clique survives, lone triangle and bridge peel") {
