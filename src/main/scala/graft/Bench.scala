@@ -127,7 +127,7 @@ object Bench {
     "t25_langid_margin", "d20i_minhash_calibration",
     "g26i_diameter_sweep", "g27i_link_prediction",
     "q126_markov_transitions", "g28i_random_walks",
-    "g29i_skipgram_pairs")
+    "g29i_skipgram_pairs", "g30i_ppmi_scores")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -205,6 +205,9 @@ object Bench {
     // g29's windowed pair counts over walks from the stored edges
     "g29i_skipgram_pairs" ->
       ((s, d) => graft.operators.GraphOps.skipGramFromEdges(s, d)),
+    // g30's PPMI over pairs from the stored edges
+    "g30i_ppmi_scores" ->
+      ((s, d) => graft.operators.GraphOps.ppmiFromEdges(s, d)),
     "g10i_khop_bfs" ->
       ((s, d) => graft.operators.GraphOps.bfsFromEdges(s, d)),
     "g12i_components_star" ->

@@ -1074,6 +1074,55 @@ object GraphOps {
         AND abs(a.step - b.step) <= $window
        GROUP BY a.node, b.node"""
 
+  /** g30: PPMI ASSOCIATION SCORES over the g29 pair counts — the
+    * closed-form stand-in for the skip-gram objective itself (Levy &
+    * Goldberg 2014: SGNS implicitly factorizes the shifted-PMI
+    * matrix): ppmi = max(0, ln(n·N / (n_center·n_context))), N the
+    * corpus pair total. Completes the embedding-input arc — walks
+    * (g28) → training pairs (g29) → association matrix (g30), each
+    * hash-anchored. Output (center, context, n, ppmi) at 4 dp.
+    *
+    * Scale shape: two key-partitioned window sums over the pair table
+    * (corpus-co-occurrence-sized, sparse) + ONE broadcast 1-row total
+    * — no all-pairs densification; zeros never materialize. */
+  def ppmiScores(spark: SparkSession, sfDir: String): DataFrame =
+    ppmiScoresOn(skipGramPairs(spark, sfDir))
+
+  /** [[ppmiScores]] over any (center, context, n) pair-count frame. */
+  private[graft] def ppmiScoresOn(pairs: DataFrame): DataFrame = {
+    val p = Persists.barrier(pairs.select("center", "context", "n"))
+    val tot = p.agg(sum("n").as("tn"))
+    p.withColumn("nc",
+        sum("n").over(Window.partitionBy("center")))
+      .withColumn("nx",
+        sum("n").over(Window.partitionBy("context")))
+      .crossJoin(broadcast(tot))
+      .select(col("center"), col("context"), col("n"),
+        round(greatest(lit(0.0),
+          log(col("n") * lit(1.0) * col("tn") /
+            (col("nc") * lit(1.0) * col("nx")))), 4).as("ppmi"))
+  }
+
+  /** g30's oracle: the shared walk+pair CTEs plus the identical
+    * window-sum PPMI algebra. */
+  private def ppmiOracle(steps: Int, window: Int): String =
+    s"""${walkCorpusCtes(steps)},
+       pr AS MATERIALIZED (
+         SELECT a.node AS center, b.node AS context, count(*) AS n
+         FROM corpus a JOIN corpus b
+           ON a.walk_id = b.walk_id AND a.step <> b.step
+          AND abs(a.step - b.step) <= $window
+         GROUP BY a.node, b.node),
+       tot AS (SELECT sum(n) AS tn FROM pr),
+       w AS (SELECT center, context, n,
+                    sum(n) OVER (PARTITION BY center) AS nc,
+                    sum(n) OVER (PARTITION BY context) AS nx
+             FROM pr)
+       SELECT center, context, n,
+              round(greatest(0.0,
+                ln(n * 1.0 * tn / (nc * 1.0 * nx))), 4) AS ppmi
+       FROM w CROSS JOIN tot"""
+
   private val LinkPredMaxDeg = 300L
   private val LinkPredTopK = 100
 
@@ -1549,6 +1598,11 @@ object GraphOps {
   def skipGramFromEdges(spark: SparkSession, sfDir: String): DataFrame =
     skipGramPairsOn(randomWalksFromEdges(spark, sfDir), SkipGramWindow)
 
+  /** g30's PPMI over pairs from the stored co-purchase edges
+    * (benched g30i). */
+  def ppmiFromEdges(spark: SparkSession, sfDir: String): DataFrame =
+    ppmiScoresOn(skipGramFromEdges(spark, sfDir))
+
   /** The UNFLOORED mutual-kNN edge artifact ([[knnEdgesPath]] stores
     * the strong ≥ 0.4 graph) — shared by the g02/g07/g13/g14/g16/g18
     * bench forms, whose gate forms rebuild the quadratic exact graph
@@ -1868,6 +1922,8 @@ object GraphOps {
       ((s: SparkSession, d: String) => randomWalks(s, d)),
     "g29_skipgram_pairs" ->
       ((s: SparkSession, d: String) => skipGramPairs(s, d)),
+    "g30_ppmi_scores" ->
+      ((s: SparkSession, d: String) => ppmiScores(s, d)),
     "g24_harmonic_landmarks" ->
       ((s: SparkSession, d: String) => harmonicCentrality(s, d)),
     "g01_pagerank" -> ((spark: SparkSession, sfDir: String) => {
@@ -2355,6 +2411,7 @@ object GraphOps {
       linkPredictionOracle(LinkPredMaxDeg, LinkPredTopK),
     "g28_random_walks" -> randomWalksOracle(WalkSteps),
     "g29_skipgram_pairs" -> skipGramOracle(WalkSteps, SkipGramWindow),
+    "g30_ppmi_scores" -> ppmiOracle(WalkSteps, SkipGramWindow),
     "g24_harmonic_landmarks" ->
       harmonicOracle(BfsHops, HarmonicLandmarks),
     "g10_khop_bfs" -> bfsOracle(BfsHops),

@@ -606,6 +606,13 @@ object ScaleProbe {
           .selectExpr("walk_id", "CAST(step AS INT) AS step",
             "pmod(xxhash64(walk_id, step), 5000) AS node"),
         window = 2)),
+      // g30: two key-partitioned window sums + one broadcast total
+      // over the pair table — linear in pairs
+      ("g30_ppmi_scores", n => GraphOps.ppmiScoresOn(
+        spark.range(n).selectExpr(
+          "pmod(xxhash64(id), 3000) AS center",
+          "pmod(xxhash64(id, 2), 3000) AS context",
+          "1 + pmod(xxhash64(id, 3), 5) AS n"))),
       // g27: wedge fan-out is deg² per center — constant-degree graph
       // (8 neighbors each way) keeps it linear in n; cap never binds
       ("g27_link_prediction", n => GraphOps.linkPredictionOn(

@@ -126,6 +126,8 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(GraphOps.randomWalksFromEdges(spark, sf)))
     assert(rows(GraphOps.queries("g29_skipgram_pairs")(spark, sf)) ==
       rows(GraphOps.skipGramFromEdges(spark, sf)))
+    assert(rows(GraphOps.queries("g30_ppmi_scores")(spark, sf)) ==
+      rows(GraphOps.ppmiFromEdges(spark, sf)))
   }
 
   test("unfloored-kNN artifact serving equals the six inline forms") {
@@ -621,6 +623,23 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(1) == Map(
       (10L, 20L) -> 2L, (20L, 10L) -> 2L,
       (30L, 40L) -> 1L, (40L, 30L) -> 1L))
+  }
+
+  test("g30 ppmi: marginals, total, and the zero clamp") {
+    val s = spark
+    import s.implicits._
+    // N=38; (1,2)/(2,1) are rare between common tokens -> negative
+    // PMI, clamped; the strong (x,3) links land at ln(1.9)
+    val pairs = Seq(
+      (1L, 2L, 1L), (2L, 1L, 1L), (1L, 3L, 9L), (3L, 1L, 9L),
+      (2L, 3L, 9L), (3L, 2L, 9L)).toDF("center", "context", "n")
+    val got = GraphOps.ppmiScoresOn(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val strong = math.round(math.log(9.0 * 38 / (10 * 18)) * 1e4) / 1e4
+    assert(got == Map(
+      (1L, 2L) -> 0.0, (2L, 1L) -> 0.0,
+      (1L, 3L) -> strong, (3L, 1L) -> strong,
+      (2L, 3L) -> strong, (3L, 2L) -> strong))
   }
 
   test("g25 ktruss: 4-clique survives, lone triangle and bridge peel") {
