@@ -519,7 +519,36 @@ object StreamFunnel {
     EventOps.abReportFromUser(fresh)
   }
 
+  /** q127: q126's Markov transition matrix as events LAND. The
+    * stateful half is one per-user `collect_list` aggregation — a
+    * MULTISET union, commutative, so the completed state is
+    * arrival-order independent even though transitions themselves are
+    * order-sensitive; `sort_array` at emission plus the batch tail's
+    * own (us, event_id) sort make the pairing deterministic. Complete
+    * mode, one state row per user (the production watermarked form
+    * evicts users on the session horizon — a user silent past the gap
+    * can emit no further in-session transition). The tail is q126's
+    * [[graft.operators.EventOps.markovTransitionsOn]] VERBATIM on the
+    * exploded sink (the q125/q64 pattern), gated by q126's oracle. */
+  def markovStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.EventOps
+    val u = StreamRun.toCompletion(
+      EventStream.readEvents(spark, sfDir, glob = "events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("us"), col("event_id"),
+          col("event_type")))).as("evs")),
+      "graft_stream_markov", outputMode = "complete")
+    val fresh = spark.createDataFrame(u.rdd, u.schema)
+    EventOps.markovTransitionsOn(
+      fresh.select(col("user_id"), explode(col("evs")).as("e"))
+        .select(col("e.event_id").as("event_id"), col("user_id"),
+          col("e.event_type").as("event_type"), col("e.us").as("us")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_stream_markov" -> (markovStreamed _),
     "q125_stream_ab" -> (abReportStreamed _),
     "q63_stream_funnel" -> (funnelStreamed _),
     "q64_stream_retention" -> (retentionStreamed _),
@@ -534,6 +563,8 @@ object StreamFunnel {
     * their exact forms: at [[FixtureHorizon]] boundedness must be
     * invisible in the result). */
   def oracleSql: Map[String, String] = Map(
+    "q127_stream_markov" ->
+      graft.operators.EventOps.oracleSql("q126_markov_transitions"),
     "q125_stream_ab" ->
       graft.operators.EventOps.oracleSql("q124_ab_report"),
     "q63_stream_funnel" ->

@@ -126,4 +126,13 @@ class StreamFunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
     val streamed = rows(StreamFunnel.abReportStreamed(spark, sf))
     assert(batch.nonEmpty && batch == streamed)
   }
+
+  test("q127 stream markov matrix equals the batch q126 row for row") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val batch = rows(graft.operators.EventOps.markovTransitions(spark, sf))
+    val streamed = rows(StreamFunnel.markovStreamed(spark, sf))
+    assert(batch.nonEmpty && batch == streamed)
+  }
 }
