@@ -202,12 +202,12 @@ object Bench {
     // g28's walk supersteps over the stored co-purchase edges
     "g28i_random_walks" ->
       ((s, d) => graft.operators.GraphOps.randomWalksFromEdges(s, d)),
-    // g29's windowed pair counts over walks from the stored edges
+    // g29's windowed pair counts over the stored walk corpus
     "g29i_skipgram_pairs" ->
-      ((s, d) => graft.operators.GraphOps.skipGramFromEdges(s, d)),
-    // g30's PPMI over pairs from the stored edges
+      ((s, d) => graft.operators.GraphOps.skipGramFromWalks(s, d)),
+    // g30's PPMI over pairs from the stored walk corpus
     "g30i_ppmi_scores" ->
-      ((s, d) => graft.operators.GraphOps.ppmiFromEdges(s, d)),
+      ((s, d) => graft.operators.GraphOps.ppmiFromWalks(s, d)),
     "g10i_khop_bfs" ->
       ((s, d) => graft.operators.GraphOps.bfsFromEdges(s, d)),
     "g12i_components_star" ->
@@ -272,6 +272,7 @@ object Bench {
     graft.operators.GraphOps.knnEdgesPath(spark, sfDir)
     graft.operators.GraphOps.knnDirectedEdgesPath(spark, sfDir)
     graft.operators.GraphOps.coPurchaseEdgesPath(spark, sfDir)
+    graft.operators.GraphOps.walkCorpusPath(spark, sfDir)
     graft.operators.GraphOps.pagerankRanksPath(spark, sfDir)
     graft.sources.Bucketing.writeBucketed(
       spark, sfDir, "orders", "o_orderkey", "g_orders_b")

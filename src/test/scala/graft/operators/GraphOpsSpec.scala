@@ -125,9 +125,9 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(GraphOps.queries("g28_random_walks")(spark, sf)) ==
       rows(GraphOps.randomWalksFromEdges(spark, sf)))
     assert(rows(GraphOps.queries("g29_skipgram_pairs")(spark, sf)) ==
-      rows(GraphOps.skipGramFromEdges(spark, sf)))
+      rows(GraphOps.skipGramFromWalks(spark, sf)))
     assert(rows(GraphOps.queries("g30_ppmi_scores")(spark, sf)) ==
-      rows(GraphOps.ppmiFromEdges(spark, sf)))
+      rows(GraphOps.ppmiFromWalks(spark, sf)))
   }
 
   test("unfloored-kNN artifact serving equals the six inline forms") {
