@@ -1871,7 +1871,110 @@ object SimilarityOps {
                 AS load_factor
        FROM cells, t"""
 
+  /** s29: MATRYOSHKA PREFIX-DIM ANN SERVE (Kusupati et al. 2022's MRL
+    * serving trick, the funnel retrieval every MRL-trained embedding
+    * stack runs): stage 1 scores the corpus by cosine over only the
+    * FIRST `prefixDims` coordinates of the stored vector — MRL
+    * embeddings front-load information, so the 16-dim prefix is a
+    * usable coarse score at 25% of the flops and (with a column layout
+    * storing the prefix separately) 25% of the scan bytes — and keeps
+    * the top `fetchN` per query; stage 2 re-ranks ONLY those
+    * candidates by full-dim exact cosine on s01's 4-dp grid and
+    * (cosine desc, id) tie-break. Differs from s24 in the coarse
+    * representation: NO projection model, the prefix IS the vector's
+    * own leading slice, so serving needs zero extra artifacts. Coarse
+    * scores rank on a 9-dp grid (s24's pd2 discipline) so the
+    * candidate cut is engine-identical; fully deterministic end to
+    * end → hash-anchored. MatryoshkaSpec pins the identity contract
+    * (fetchN ≥ corpus ⇒ output ≡ s01) and the measured prefix-pass
+    * recall@10 floor.
+    *
+    * Scale shape: stage 1 is the same broadcast-queries corpus scan as
+    * s01 at a quarter of the arithmetic; the re-rank join touches
+    * nq·fetchN rows, never the corpus — candidate frame is broadcast
+    * into the corpus lookup, so no corpus shuffle anywhere. */
+  def matryoshkaTopK(spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, prefixDims: Int = 16, fetchN: Int = 50,
+      k: Int = 10): DataFrame =
+    matryoshkaTopKOn(spark, vecs(spark, sfDir), nQueries, prefixDims,
+      fetchN, k)
+
+  /** [[matryoshkaTopK]] over any (vec_id, v) frame. */
+  def matryoshkaTopKOn(spark: SparkSession, corpus: DataFrame,
+      nQueries: Int, prefixDims: Int, fetchN: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // referenced by the coarse pass AND both sides of the re-rank lookup
+    val all = Persists.barrier(corpus.select("vec_id", "v"))
+    val q = all.filter(col("vec_id") < nQueries)
+    val coarse = all.as("c").join(broadcast(q.as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        round(expr(s"graft_cosine(slice(q.v, 1, $prefixDims), " +
+          s"slice(c.v, 1, $prefixDims))"), 9).as("pc"))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("pc").desc, col("neighbor_id"))
+    val short = coarse.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") <= fetchN).select("query_id", "neighbor_id")
+    val scored = short
+      .join(all.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        "query_id")
+      .join(all.select(col("vec_id").as("neighbor_id"),
+        col("v").as("cv")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(expr("graft_cosine(qv, cv)"), 4).as("cosine"))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** s29's DuckDB twin: list_slice for the prefix, the shared cosine
+    * kernel in both stages, same 9-dp coarse grid / 4-dp final grid /
+    * tie-breaks. */
+  private def matryoshkaOracle(nQueries: Int, prefixDims: Int,
+      fetchN: Int, k: Int): String =
+    s"""WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       coarse AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                round(list_dot_product(list_slice(q.v, 1, $prefixDims),
+                                       list_slice(c.v, 1, $prefixDims)) /
+                      sqrt(list_sum(list_transform(
+                             list_slice(q.v, 1, $prefixDims), x -> x * x)) *
+                           list_sum(list_transform(
+                             list_slice(c.v, 1, $prefixDims), x -> x * x))),
+                      9) AS pc
+         FROM v q, v c
+         WHERE q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+       short AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY pc DESC, neighbor_id) AS rn
+           FROM coarse) WHERE rn <= $fetchN),
+       scored AS (
+         SELECT s.query_id, s.neighbor_id,
+                round(list_dot_product(q.v, c.v) /
+                      sqrt(list_sum(list_transform(q.v, x -> x * x)) *
+                           list_sum(list_transform(c.v, x -> x * x))),
+                      4) AS cosine
+         FROM short s
+         JOIN v q ON q.vec_id = s.query_id
+         JOIN v c ON c.vec_id = s.neighbor_id)
+     SELECT query_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+            neighbor_id, cosine
+     FROM scored
+     QUALIFY rank <= $k"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s29_ann_matryoshka" ->
+      ((s: SparkSession, d: String) => matryoshkaTopK(s, d)),
     "s27_rrf_fusion" ->
       ((s: SparkSession, d: String) => rrfFusion(s, d)),
     "s28_ivf_balance" ->
@@ -2011,6 +2114,7 @@ object SimilarityOps {
      SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10"""
 
   def oracleSql: Map[String, String] = Map(
+    "s29_ann_matryoshka" -> matryoshkaOracle(5, 16, 50, 10),
     "s27_rrf_fusion" -> rrfFusionOracle,
     "s28_ivf_balance" -> ivfBalanceOracle,
     "s26_embedding_drift" -> embeddingDriftOracle,

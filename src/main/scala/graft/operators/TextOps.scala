@@ -999,7 +999,131 @@ object TextOps {
        FROM z"""
   }
 
+  // ------------------------------------------- Gopher n-gram repetition
+  /** t26: GOPHER-STYLE N-GRAM REPETITION SIGNALS (Rae et al. 2021 §A1.1,
+    * the repetition block of the Gopher/MassiveText quality rules; the
+    * same family ships in every public corpus-cleaning stack since).
+    * t08 measures WORD-level repetition; this measures PHRASE-level
+    * repetition, the signal that actually catches boilerplate: per
+    * document,
+    *   - `top2_frac` / `top3_frac` — fraction of the document's
+    *     characters covered by occurrences of its single most frequent
+    *     word 2-gram / 3-gram (count · gram length / n_chars; ties on
+    *     count break to the lexicographically smallest gram),
+    *   - `dup5_frac` — fraction of characters in DUPLICATED 5-grams
+    *     (all occurrences of every 5-gram appearing ≥ 2×; overlapping
+    *     occurrences each count, so the score may exceed 1 on
+    *     pathological loops — it is a screening score, not a measure),
+    *   - `keep` — the Gopher-shaped AND of the three thresholds. The
+    *     0.20 top-2-gram cut BINDS on the gate corpus (observed range
+    *     0.007–0.33 at both gate SFs, so both keep values appear); the
+    *     3-gram and duplicate-5-gram cuts bind on the crafted
+    *     boilerplate fixture in GopherRepetitionSpec and are mirrored
+    *     verbatim in the oracle (the g17 threshold discipline).
+    *
+    * Scale shape: n-grams are assembled MAP-SIDE from the token array
+    * (`transform(sequence(...))` + one explode per n — no self-join,
+    * no window over the token stream), then hash-aggregated on
+    * (doc_id, gram) where partial map-side combine collapses each
+    * document's repeats before the only shuffle; the hottest possible
+    * key is one gram within one document. The top-1 pick runs over the
+    * already-aggregated per-doc distinct-gram rows (row_number per
+    * doc_id — bounded by document length, no global hot key). Three
+    * linear passes over the corpus, all inside whole-stage codegen. */
+  def gopherRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    gopherRepetitionOn(docs(spark, sfDir))
+
+  /** [[gopherRepetition]] over any (doc_id, text, n_chars) frame. */
+  private[graft] def gopherRepetitionOn(d: DataFrame): DataFrame = {
+    // token array referenced by all three gram passes — barrier so the
+    // split runs once, not once per explode (the loop-body rule)
+    val a = Persists.barrier(
+      d.select(col("doc_id"), col("n_chars"), toks(col("text")).as("a")))
+    def grams(n: Int): DataFrame = a.filter(size(col("a")) >= n)
+      .select(col("doc_id"), col("n_chars"),
+        explode(expr(s"transform(sequence(1, size(a) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(a, i, $n)))")).as("g"))
+      .groupBy("doc_id", "n_chars", "g").agg(count(lit(1)).as("c"))
+    def topFrac(n: Int, frac: String, gram: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("c").desc, col("g"))
+      grams(n).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("g").as(gram),
+          round(col("c") * length(col("g")) / col("n_chars").cast("double"),
+            4).as(frac))
+    }
+    val dup5 = grams(5).groupBy("doc_id").agg(
+      round(coalesce(sum(when(col("c") >= 2, col("c") * length(col("g")))),
+        lit(0L)) / first(col("n_chars")).cast("double"), 4).as("dup5_frac"))
+    a.select("doc_id").join(topFrac(2, "top2_frac", "top2_gram"), Seq("doc_id"), "left")
+      .join(topFrac(3, "top3_frac", "top3_gram"), Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top2_gram"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        col("top3_gram"),
+        coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
+        coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
+      .withColumn("keep",
+        col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
+          col("dup5_frac") <= 0.15)
+  }
+
+  /** t26's DuckDB twin: identical gram assembly (list_transform over
+    * range — DuckDB range() excludes its end, Spark sequence() includes
+    * it, hence the differing end arithmetic), identical (count desc,
+    * gram) tie-break, identical 4-dp grid and thresholds. */
+  val gopherRepetitionOracle: String =
+    """WITH a AS (SELECT doc_id, n_chars, string_split(text, ' ') AS a
+                  FROM documents),
+        g2 AS (SELECT doc_id, n_chars,
+                      unnest(list_transform(range(1, len(a)),
+                        i -> a[i] || ' ' || a[i+1])) AS g
+               FROM a WHERE len(a) >= 2),
+        c2 AS (SELECT doc_id, n_chars, g, count(*) AS c
+               FROM g2 GROUP BY 1, 2, 3),
+        t2 AS (SELECT doc_id, g AS top2_gram,
+                      round(c * length(g) / CAST(n_chars AS DOUBLE), 4)
+                        AS top2_frac
+               FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, g) AS rn FROM c2) WHERE rn = 1),
+        g3 AS (SELECT doc_id, n_chars,
+                      unnest(list_transform(range(1, len(a) - 1),
+                        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g
+               FROM a WHERE len(a) >= 3),
+        c3 AS (SELECT doc_id, n_chars, g, count(*) AS c
+               FROM g3 GROUP BY 1, 2, 3),
+        t3 AS (SELECT doc_id, g AS top3_gram,
+                      round(c * length(g) / CAST(n_chars AS DOUBLE), 4)
+                        AS top3_frac
+               FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, g) AS rn FROM c3) WHERE rn = 1),
+        g5 AS (SELECT doc_id, n_chars,
+                      unnest(list_transform(range(1, len(a) - 3),
+                        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                             || a[i+3] || ' ' || a[i+4])) AS g
+               FROM a WHERE len(a) >= 5),
+        c5 AS (SELECT doc_id, n_chars, g, count(*) AS c
+               FROM g5 GROUP BY 1, 2, 3),
+        d5 AS (SELECT doc_id,
+                      round(coalesce(sum(CASE WHEN c >= 2
+                          THEN c * length(g) END), 0)
+                        / CAST(any_value(n_chars) AS DOUBLE), 4)
+                        AS dup5_frac
+               FROM c5 GROUP BY 1)
+      SELECT a.doc_id, top2_gram,
+             coalesce(top2_frac, 0.0) AS top2_frac,
+             top3_gram,
+             coalesce(top3_frac, 0.0) AS top3_frac,
+             coalesce(dup5_frac, 0.0) AS dup5_frac,
+             (coalesce(top2_frac, 0.0) <= 0.20
+              AND coalesce(top3_frac, 0.0) <= 0.18
+              AND coalesce(dup5_frac, 0.0) <= 0.15) AS keep
+      FROM a LEFT JOIN t2 ON a.doc_id = t2.doc_id
+             LEFT JOIN t3 ON a.doc_id = t3.doc_id
+             LEFT JOIN d5 ON a.doc_id = d5.doc_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_gopher_repetition" -> (gopherRepetition _),
     "t25_langid_margin" -> (langIdMargin _),
     "t24_fertility_by_lang" -> (fertilityByLang _),
     "t23_quality_tiers" -> (qualityTiers _),
@@ -1036,6 +1160,7 @@ object TextOps {
        FROM documents"""
 
   def oracleSql: Map[String, String] = Map(
+    "t26_gopher_repetition" -> gopherRepetitionOracle,
     "t25_langid_margin" -> langIdMarginOracle,
     "t24_fertility_by_lang" -> fertilityOracle,
     "t23_quality_tiers" -> qualityTiersOracle,

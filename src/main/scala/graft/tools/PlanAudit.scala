@@ -102,7 +102,8 @@ object PlanAudit {
       "t25_langid_margin", "d20_minhash_calibration",
       "g26_diameter_sweep", "g27_link_prediction",
       "q126_markov_transitions", "g28_random_walks",
-      "g29_skipgram_pairs", "g30_ppmi_scores")
+      "g29_skipgram_pairs", "g30_ppmi_scores",
+      "t26_gopher_repetition", "s29_ann_matryoshka")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

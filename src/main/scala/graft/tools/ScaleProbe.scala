@@ -622,7 +622,20 @@ object ScaleProbe {
           .unionAll(spark.range(n).selectExpr("id AS a",
             "explode(transform(sequence(1, 8), j -> id + j)) AS b")
             .selectExpr("b AS src", "a AS dst")),
-        maxDeg = 300, k = 100)))
+        maxDeg = 300, k = 100)),
+      // t26: three map-side gram explodes, each into a (doc, gram)
+      // partial-agg'd groupBy + a doc-bounded top-1 window — linear in
+      // corpus tokens, hottest key = one gram within one doc
+      ("t26_gopher_repetition", n => TextOps.gopherRepetitionOn(
+        docsN(spark, n).selectExpr("doc_id", "text",
+          "CAST(length(text) AS BIGINT) AS n_chars"))),
+      // s29: prefix-dim coarse scan (quarter arithmetic of full-dim
+      // brute) + an nq·fetchN-bounded exact re-rank — the s24 shape
+      // with the vector's own leading slice as the coarse code
+      ("s29_ann_matryoshka", n => SimilarityOps.matryoshkaTopKOn(
+        spark, vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
+        nQueries = 5, prefixDims = 4, fetchN = 50, k = 10)))
 
     // optional args: probe names to run (default all) — fast local
     // iteration on a newly-added probe without the full sweep
