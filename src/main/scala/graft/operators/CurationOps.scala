@@ -995,7 +995,81 @@ object CurationOps {
                 AS funded_fully
        FROM s"""
 
+  // ------------------------------------------------ c31 DoReMi step
+  /** c31: DOREMI DOMAIN-WEIGHT STEP (Xie et al. 2023) — one
+    * exponentiated-gradient update of the training-mix domain weights
+    * from per-domain excess loss, the reweighting loop that produced
+    * the Pile/GLaM mixture revisions: domains whose documents score
+    * WORSE than the corpus under the reference model get upweighted.
+    * The reference model here is t09's corpus unigram LM (the
+    * already-gated operator verbatim — a real run swaps in trained
+    * proxy-model losses without changing the plan): per domain,
+    *   loss_d   = mean over the domain's docs of −logprob  (6 dp)
+    *   baseline = the same mean over ALL docs              (6 dp)
+    *   excess_d = max(0, loss_d − baseline)
+    *   weight_d = (1−s) · softmax_d(η · excess) + s/D
+    * with η = 1, smoothing s = 0.1 — uniform-prior EG with the
+    * DoReMi smoothing mix. The max(0,·) clamp BINDS on the gate
+    * corpus: domain means straddle the doc-weighted baseline, so
+    * both zero and positive excesses appear. Output (source, loss,
+    * excess, weight), Σ weight = 1 on the 6-dp grid.
+    *
+    * Scale shape: t09's two linear passes + a doc_id join to carry
+    * source, then everything runs on DOMAIN-sized frames (D rows):
+    * one partial-agg'd per-source mean, a 1-row baseline broadcast,
+    * a 1-row softmax-normalizer broadcast. No window, no driver
+    * collect; the heavy stage is exactly t09's, already probed. */
+  def doremiStep(spark: SparkSession, sfDir: String,
+      eta: Double = 1.0, smooth: Double = 0.1): DataFrame =
+    doremiStepOn(TextOps.unigramLogprob(spark, sfDir)
+      .join(Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "source"), "doc_id")
+      .select(col("source"), (-col("logprob")).as("nll")), eta, smooth)
+
+  /** [[doremiStep]] over any per-doc (source, nll) frame — the seam a
+    * trained proxy model's losses plug into. */
+  private[graft] def doremiStepOn(nll0: DataFrame,
+      eta: Double = 1.0, smooth: Double = 0.1): DataFrame = {
+    val nll = Persists.barrier(nll0)
+    val dom = nll.groupBy("source").agg(round(avg("nll"), 6).as("loss"))
+    val base = nll.select(round(avg("nll"), 6).as("baseline"))
+    val ex = dom.crossJoin(base)
+      .select(col("source"), col("loss"),
+        round(greatest(lit(0.0), col("loss") - col("baseline")), 6)
+          .as("excess"))
+    val ew = ex.withColumn("ew", exp(lit(eta) * col("excess")))
+    val tot = ew.select(sum("ew").as("z"),
+      count(lit(1)).cast("double").as("d"))
+    ew.crossJoin(tot)
+      .select(col("source"), col("loss"), col("excess"),
+        round(lit(1.0 - smooth) * col("ew") / col("z") +
+          lit(smooth) / col("d"), 6).as("weight"))
+  }
+
+  /** c31's DuckDB twin: t09's oracle as the per-doc scorer CTE, same
+    * 6-dp loss/baseline grids, same clamp, same EG + smoothing
+    * arithmetic. */
+  private val doremiOracle: String =
+    s"""WITH lp AS (${TextOps.unigramOracle}),
+       nll AS (SELECT d.source, -lp.logprob AS nll
+               FROM lp JOIN documents d USING (doc_id)),
+       dom AS (SELECT source, round(avg(nll), 6) AS loss
+               FROM nll GROUP BY 1),
+       base AS (SELECT round(avg(nll), 6) AS baseline FROM nll),
+       ex AS (SELECT source, loss,
+                     round(greatest(0.0, loss - baseline), 6) AS excess
+              FROM dom CROSS JOIN base),
+       ew AS (SELECT source, loss, excess,
+                     exp(1.0 * excess) AS ew FROM ex),
+       tot AS (SELECT sum(ew) AS z, CAST(count(*) AS DOUBLE) AS d
+               FROM ew)
+     SELECT source, loss, excess,
+            round(0.9 * ew / z + 0.1 / d, 6) AS weight
+     FROM ew CROSS JOIN tot"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c31_doremi_weights" ->
+      ((s: SparkSession, d: String) => doremiStep(s, d)),
     "c30_waterfill_budget" ->
       ((s: SparkSession, d: String) => waterfillBudget(s, d)),
     "c29_dataset_card" ->
@@ -1178,6 +1252,7 @@ object CurationOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "c31_doremi_weights" -> doremiOracle,
     "c30_waterfill_budget" -> waterfillOracle,
     "c29_dataset_card" -> datasetCardOracle,
     // c27: same bigram explode, same md5-packed bucket hash (shared

@@ -587,6 +587,107 @@ object EventOps {
       .select("event_type", "day", "v", "ewma")
   }
 
+  // ------------------------------------------------ q128 Holt trend
+  private val HoltAlpha = 0.5
+  private val HoltBeta = 0.3
+
+  /** q128: HOLT LINEAR-TREND SMOOTHING over the daily event series —
+    * double exponential smoothing (Holt 1957), the level+trend
+    * forecaster one step up from q122's EWMA (which tracks level only
+    * and lags every ramp): per event_type, over the day-ordered daily
+    * totals,
+    *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * with l_1 = y_1, b_1 = 0, and the one-step-ahead in-sample
+    * forecast fitted_t = l_{t−1} + b_{t−1} (NULL at t = 1). The
+    * recursion is genuinely sequential, so determinism comes from
+    * identical inputs and identical op order, not commutativity: both
+    * engines fold the SAME 2-dp daily series (q26's aggregation
+    * verbatim) through the textually identical update formulas —
+    * Spark in a left-to-right `aggregate` over the day-sorted struct
+    * array, DuckDB in a row_number-stepped recursive CTE — and emit
+    * on a 6-dp grid (the s18 re-entry discipline).
+    *
+    * Scale shape: the event-volume stage is the q26 partial-agg'd
+    * daily groupBy; the fold runs per type on the SERIES frame (days
+    * × types, bounded — a year is 365 elements), one row per group
+    * through a codegen'd higher-order aggregate. At horizon lengths
+    * where a series stops fitting one array, the recursion re-stages
+    * as the q127 pattern (chunked prefix folds); the gate form keeps
+    * the closed single-fold shape. */
+  def holtDaily(spark: SparkSession, sfDir: String): DataFrame =
+    holtOn(Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+        col("event_type"))
+      .agg(round(coalesce(sum("value"), lit(0.0)), 2).as("v")))
+
+  /** [[holtDaily]] over any (event_type, day, v) series frame. */
+  private[graft] def holtOn(series: DataFrame,
+      alpha: Double = HoltAlpha, beta: Double = HoltBeta): DataFrame = {
+    val (a, b) = (alpha, beta)
+    val (ca, cb) = (1.0 - alpha, 1.0 - beta)
+    // the new level appears inside the trend update too — the lambda
+    // cannot bind an intermediate, so the expression is duplicated
+    // TEXTUALLY IDENTICALLY (same arithmetic, same result) here and
+    // in the oracle's recursive arm
+    def newL(y: String) = s"$a * $y + $ca * (acc.l + acc.b)"
+    series.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("v"))))
+        .as("s"))
+      .select(col("event_type"), explode(expr(
+        s"""aggregate(
+              slice(s, 2, greatest(size(s) - 1, 0)),
+              struct(
+                CAST(s[0].v AS DOUBLE) AS l,
+                CAST(0.0 AS DOUBLE) AS b,
+                array(struct(s[0].day AS day, s[0].v AS v,
+                  CAST(s[0].v AS DOUBLE) AS level,
+                  CAST(0.0 AS DOUBLE) AS trend,
+                  CAST(NULL AS DOUBLE) AS fitted)) AS out),
+              (acc, x) -> struct(
+                ${newL("x.v")} AS l,
+                $b * (${newL("x.v")} - acc.l) + $cb * acc.b AS b,
+                concat(acc.out, array(struct(x.day AS day, x.v AS v,
+                  ${newL("x.v")} AS level,
+                  $b * (${newL("x.v")} - acc.l) + $cb * acc.b AS trend,
+                  acc.l + acc.b AS fitted))) AS out),
+              acc -> acc.out)""")).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        col("r.v").as("v"),
+        round(col("r.level"), 6).as("level"),
+        round(col("r.trend"), 6).as("trend"),
+        round(col("r.fitted"), 6).as("fitted"))
+  }
+
+  /** q128's DuckDB twin: the same 2-dp daily series stepped through
+    * the textually identical update formulas by a recursive CTE on
+    * the per-type row_number, same 6-dp emission grid. */
+  private[graft] val holtOracle: String = {
+    val (a, b) = (HoltAlpha, HoltBeta)
+    val (ca, cb) = (1.0 - HoltAlpha, 1.0 - HoltBeta)
+    val newL = s"$a * i.v + $ca * (h.l + h.b)"
+    s"""WITH RECURSIVE d AS (
+         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                round(coalesce(sum(value), 0.0), 2) AS v
+         FROM events GROUP BY 1, 2),
+       i AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY day) AS rn FROM d),
+       h AS (
+         SELECT event_type, day, v, rn, CAST(v AS DOUBLE) AS l,
+                CAST(0.0 AS DOUBLE) AS b, CAST(NULL AS DOUBLE) AS fitted
+         FROM i WHERE rn = 1
+         UNION ALL
+         SELECT i.event_type, i.day, i.v, i.rn,
+                $newL,
+                $b * ($newL - h.l) + $cb * h.b,
+                h.l + h.b
+         FROM h JOIN i ON i.event_type = h.event_type
+                      AND i.rn = h.rn + 1)
+       SELECT event_type, day, v, round(l, 6) AS level,
+              round(b, 6) AS trend, round(fitted, 6) AS fitted
+       FROM h"""
+  }
+
   /** q122's DuckDB twin: same daily series, same frame-ordered list,
     * same indexed weight transform and 4-dp rounding. */
   private[graft] val ewmaOracle: String = {
@@ -767,6 +868,7 @@ object EventOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_markov_transitions" -> (markovTransitions _),
+    "q128_holt_trend" -> (holtDaily _),
     "q124_ab_report" -> (abReport _),
     "q123_scd2_intervals" -> (scd2Intervals _),
     "q122_ewma_daily" -> (ewmaDaily _),
@@ -785,6 +887,7 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q128_holt_trend" -> holtOracle,
     // q126: the same lagged pair extraction on the same unique sort,
     // the same session-gap filter, the same row-normalized 4-dp p
     "q126_markov_transitions" ->

@@ -103,7 +103,8 @@ object PlanAudit {
       "g26_diameter_sweep", "g27_link_prediction",
       "q126_markov_transitions", "g28_random_walks",
       "g29_skipgram_pairs", "g30_ppmi_scores",
-      "t26_gopher_repetition", "s29_ann_matryoshka")
+      "t26_gopher_repetition", "s29_ann_matryoshka",
+      "c31_doremi_weights", "q128_holt_trend")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

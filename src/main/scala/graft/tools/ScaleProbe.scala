@@ -635,7 +635,25 @@ object ScaleProbe {
       ("s29_ann_matryoshka", n => SimilarityOps.matryoshkaTopKOn(
         spark, vecsN(spark, n).selectExpr("vec_id",
           "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
-        nQueries = 5, prefixDims = 4, fetchN = 50, k = 10)))
+        nQueries = 5, prefixDims = 4, fetchN = 50, k = 10)),
+      // c31: the t09 passes carry source through; every post-scoring
+      // stage runs on the D-row domain frame — corpus-linear
+      ("c31_doremi_weights", n => CurationOps.doremiStepOn(
+        docsN(spark, n).selectExpr("source",
+          "round(cast(pmod(xxhash64(doc_id), 997) as double) / 100, 4)"
+            + " AS nll"))),
+      // q128: the daily groupBy is the event-volume stage; the fold
+      // runs once per type on the bounded series frame
+      ("q128_holt_trend", n => EventOps.holtOn(
+        spark.range(n).selectExpr(
+          "concat('t', id % 5) AS event_type",
+          "date_add(date'2024-01-01', cast(pmod(id div 5, 365) as int))"
+            + " AS day",
+          "cast(pmod(xxhash64(id), 100) as double) AS v")
+          .groupBy("event_type", "day")
+          .agg(org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.sum("v"), 2)
+            .as("v")))))
 
     // optional args: probe names to run (default all) — fast local
     // iteration on a newly-added probe without the full sweep
