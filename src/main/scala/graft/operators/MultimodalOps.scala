@@ -283,6 +283,56 @@ object MultimodalOps {
       expr(chunk(2)).as("c2"), expr(chunk(3)).as("c3"))
   }
 
+  /** m11: perceptual DIFFERENCE-HASH (dHash) fingerprint — the third
+    * standard perceptual hash beside m06's aHash (global-mean
+    * threshold) and m09's DCT pHash: bit k compares ADJACENT block
+    * means (gradient sign), which survives global brightness/contrast
+    * shifts that move every block relative to m06's global mean but
+    * leave the local gradient direction intact. 65 blocks → 64
+    * adjacent comparisons, emitted in the same FOUR 16-bit chunk
+    * columns so [[chunkCandidates]] (the m07/m10 banding kernel)
+    * pairs it unchanged. Each bit is an integer CROSS-MULTIPLY
+    * (`sum_k · len_{k+1} > sum_{k+1} · len_k` — block lengths differ
+    * by at most one, so the mean comparison needs the cross terms) —
+    * no float division, hash oracle-checks bit for bit. Items
+    * shorter than 65 units are excluded (every block must be
+    * non-empty; both engines). Same stub discipline as m06: the
+    * payload stands in for decoded pixel rows, the plan (one narrow
+    * barriered map, no shuffle) is the production one. */
+  def dhash(spark: SparkSession, sfDir: String): DataFrame =
+    dhashOn(mediaTable(spark, sfDir)
+      .select(col("media_id"), expr("decode(payload, 'utf-8')").as("txt")))
+
+  /** [[dhash]] over any (media_id, txt) frame. */
+  private[graft] def dhashOn(d: DataFrame): DataFrame = {
+    val codes = graft.operators.Persists.barrier(
+      d.filter(length(col("txt")) >= 65)
+        .select(col("media_id"),
+          length(col("txt")).cast("long").as("len"),
+          expr("""transform(sequence(1, length(txt)),
+                    i -> CAST(ascii(substr(txt, i, 1)) AS BIGINT))""")
+            .as("codes")))
+    def blockSum(k: Int): String =
+      s"""aggregate(slice(codes,
+            CAST($k * len div 65 + 1 AS INT),
+            CAST((${k + 1}) * len div 65 - $k * len div 65 AS INT)),
+            0L, (a, x) -> a + x)"""
+    def blockLen(k: Int): String =
+      s"((${k + 1}) * len div 65 - $k * len div 65)"
+    def chunk(b: Int): String = {
+      val bits = (0 until 16).map { j =>
+        val k = b * 16 + j
+        s"""CASE WHEN ${blockSum(k)} * ${blockLen(k + 1)}
+                   > ${blockSum(k + 1)} * ${blockLen(k)}
+              THEN ${1L << j}L ELSE 0L END"""
+      }
+      bits.mkString("(", " + ", ")")
+    }
+    codes.select(col("media_id"),
+      expr(chunk(0)).as("c0"), expr(chunk(1)).as("c1"),
+      expr(chunk(2)).as("c2"), expr(chunk(3)).as("c3"))
+  }
+
   /** m07: aHash candidate PAIRS — the d07 simhash-banding discipline
     * over [[ahash]]'s chunk columns: media sharing ANY 16-bit chunk
     * band-collide, and each candidate carries its full 64-bit Hamming
@@ -548,6 +598,7 @@ object MultimodalOps {
     "m08_ahash_clusters" -> (ahashClusters _),
     "m07_ahash_candidates" -> (ahashCandidates _),
     "m06_ahash" -> (ahash _),
+    "m11_dhash" -> (dhash _),
     "m01_binary_meta" -> (binaryMeta _),
     "m01b_byte_len" -> (byteLen _),
     "m02_feature_extract" -> (featureExtract _),
@@ -633,6 +684,33 @@ object MultimodalOps {
                                = h.media_id
                           THEN 1 ELSE 0 END AS INTEGER) AS kept
          FROM h LEFT JOIN lab ON lab.media_id = h.media_id""",
+    // m11: same code expansion as m06, adjacent-block cross-multiply
+    // (65 blocks -> 64 gradient bits), same 16-bit chunk packing
+    "m11_dhash" ->
+      """WITH d AS (
+           SELECT doc_id AS media_id, text,
+                  CAST(length(text) AS BIGINT) AS len,
+                  list_transform(range(1, length(text) + 1),
+                    i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1))
+                              AS BIGINT)) AS codes
+           FROM documents WHERE length(text) >= 65),
+         h AS (SELECT media_id,
+                 list_transform(range(0, 4), b ->
+                   CAST(list_sum(list_transform(range(0, 16), j ->
+                     CASE WHEN list_sum(codes[
+                                CAST((b*16+j)*len//65 + 1 AS INTEGER):
+                                CAST((b*16+j+1)*len//65 AS INTEGER)])
+                              * ((b*16+j+2)*len//65 - (b*16+j+1)*len//65)
+                            > list_sum(codes[
+                                CAST((b*16+j+1)*len//65 + 1 AS INTEGER):
+                                CAST((b*16+j+2)*len//65 AS INTEGER)])
+                              * ((b*16+j+1)*len//65 - (b*16+j)*len//65)
+                          THEN 1 << CAST(j AS INTEGER)
+                          ELSE 0 END)) AS BIGINT)) AS chunks
+               FROM d)
+         SELECT media_id, chunks[1] AS c0, chunks[2] AS c1,
+                chunks[3] AS c2, chunks[4] AS c3
+         FROM h""",
     // m06: same per-char code expansion, same integer cross-multiply
     // per block, same 16-bit chunk packing — exact in both engines
     "m06_ahash" ->

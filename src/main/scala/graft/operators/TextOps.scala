@@ -1122,7 +1122,82 @@ object TextOps {
              LEFT JOIN t3 ON a.doc_id = t3.doc_id
              LEFT JOIN d5 ON a.doc_id = d5.doc_id"""
 
+  // ---------------------------------------------------- Zipf slope
+  /** t27: ZIPF SLOPE PER SOURCE — log-log OLS of word frequency
+    * against frequency rank, the corpus-statistics fingerprint every
+    * data-quality report carries: natural language runs slope ≈ −1
+    * (Zipf's law); machine-generated or template text flattens toward
+    * 0 (near-uniform frequencies) and a slope drift between shards or
+    * snapshots is a cheap distribution-shift alarm beside t16's
+    * divergence test. Per source: word counts, rank by (count desc,
+    * word) — the deterministic t26 tie-break — then the q119
+    * closed-form OLS over (ln rank, ln count), slope/intercept on the
+    * 4-dp grid with the fit size n_vocab. Single-word vocabularies
+    * have a zero OLS denominator and emit NULL slope (both engines).
+    *
+    * Scale shape: one token explode into a (source, word) partial-
+    * agg'd count — vocabulary-sized output however big the corpus —
+    * then a source-partitioned rank window and a 5-double closed-form
+    * aggregate, both on the vocabulary frame. No corpus-sized window,
+    * no collect. */
+  def zipfSlope(spark: SparkSession, sfDir: String): DataFrame =
+    zipfSlopeOn(docs(spark, sfDir))
+
+  /** [[zipfSlope]] over any (source, text) frame. */
+  private[graft] def zipfSlopeOn(d: DataFrame): DataFrame = {
+    val counts = d.select(col("source"), explode(toks(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c").desc, col("w"))
+    val xy = counts.withColumn("rank", row_number().over(win))
+      .select(col("source"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    xy.groupBy("source").agg(
+      count(lit(1)).as("n_vocab"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+      // nullif on the OLS denominator: a single-word vocabulary has
+      // den = 0, where Spark's IEEE double division would yield
+      // Infinity but DuckDB's would not — NULL/NULL in both instead
+      .withColumn("num",
+        col("n_vocab") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", expr(
+        "nullif(n_vocab * sxx - sx * sx, 0.0D)"))
+      .select(col("source"), col("n_vocab"),
+        round(col("num") / col("den"), 4).as("slope"),
+        round((col("sy") - col("num") / col("den") * col("sx")) /
+          col("n_vocab"), 4).as("intercept"))
+  }
+
+  /** t27's DuckDB twin: same counts, same (count desc, word) rank,
+    * same closed-form OLS, same nullif'd denominator and 4-dp grid. */
+  val zipfSlopeOracle: String =
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+        c AS (SELECT source, w, count(*) AS c FROM w GROUP BY 1, 2),
+        r AS (SELECT source,
+                     ln(CAST(row_number() OVER (PARTITION BY source
+                          ORDER BY c DESC, w) AS DOUBLE)) AS x,
+                     ln(CAST(c AS DOUBLE)) AS y
+              FROM c),
+        s AS (SELECT source, count(*) AS n_vocab,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM r GROUP BY 1),
+        f AS (SELECT source, n_vocab,
+                     n_vocab * sxy - sx * sy AS num,
+                     nullif(n_vocab * sxx - sx * sx, 0.0) AS den,
+                     sx, sy
+              FROM s)
+      SELECT source, n_vocab,
+             round(num / den, 4) AS slope,
+             round((sy - num / den * sx) / n_vocab, 4) AS intercept
+      FROM f"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_zipf_slope" -> (zipfSlope _),
     "t26_gopher_repetition" -> (gopherRepetition _),
     "t25_langid_margin" -> (langIdMargin _),
     "t24_fertility_by_lang" -> (fertilityByLang _),
@@ -1160,6 +1235,7 @@ object TextOps {
        FROM documents"""
 
   def oracleSql: Map[String, String] = Map(
+    "t27_zipf_slope" -> zipfSlopeOracle,
     "t26_gopher_repetition" -> gopherRepetitionOracle,
     "t25_langid_margin" -> langIdMarginOracle,
     "t24_fertility_by_lang" -> fertilityOracle,

@@ -104,7 +104,8 @@ object PlanAudit {
       "q126_markov_transitions", "g28_random_walks",
       "g29_skipgram_pairs", "g30_ppmi_scores",
       "t26_gopher_repetition", "s29_ann_matryoshka",
-      "c31_doremi_weights", "q128_holt_trend")
+      "c31_doremi_weights", "q128_holt_trend",
+      "m11_dhash", "t27_zipf_slope")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

@@ -653,7 +653,18 @@ object ScaleProbe {
           .groupBy("event_type", "day")
           .agg(org.apache.spark.sql.functions.round(
             org.apache.spark.sql.functions.sum("v"), 2)
-            .as("v")))))
+            .as("v")))),
+      // m11: one narrow barriered map per item (130 adjacent block
+      // aggregates over the code expansion) — linear in payload bytes
+      ("m11_dhash", n => MultimodalOps.dhashOn(
+        spark.range(n).selectExpr("id AS media_id",
+          """concat_ws(' ', transform(sequence(0, 39),
+               j -> concat('w', pmod(xxhash64(id * 7 + j), 500))))
+             AS txt"""))),
+      // t27: one token explode into a vocabulary-sized (source, word)
+      // partial agg; rank window + OLS run on the vocabulary frame
+      ("t27_zipf_slope", n => TextOps.zipfSlopeOn(
+        docsN(spark, n))))
 
     // optional args: probe names to run (default all) — fast local
     // iteration on a newly-added probe without the full sweep
