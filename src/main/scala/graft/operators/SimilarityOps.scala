@@ -1972,7 +1972,105 @@ object SimilarityOps {
      FROM scored
      QUALIFY rank <= $k"""
 
+  /** s30: FARTHEST-FIRST CENTER SEEDING (Gonzalez 1985 maxmin
+    * traversal — the deterministic sibling of k-means++ D² sampling,
+    * and a 2-approximation for k-center in its own right): seed with
+    * the min-id vector, then k−1 rounds of "add the point farthest
+    * from its nearest chosen center" (squared L2 on the s24 9-dp
+    * grid; ties to the lower vec_id). This is the principled
+    * initializer for s18's Lloyd iterations — s14/s18 currently seed
+    * from a modular sample, which on a clustered corpus can start two
+    * centers inside one cluster; maxmin provably spreads them.
+    * Deterministic end to end → hash-anchored against a k-round
+    * unrolled MATERIALIZED-CTE oracle (the g16 discipline). Output
+    * (seq, vec_id, dist2): the selection order and each center's
+    * coverage radius at selection time — the radii are the k-center
+    * quality certificate (dist2 is non-increasing in seq, pinned in
+    * FarthestFirstSpec).
+    *
+    * Scale shape: k−1 rounds, each one broadcast of the ≤k-row
+    * center frame against the corpus (narrow map, no corpus
+    * shuffle), a per-point min, and a 1-row TakeOrdered argmax —
+    * O(k·n) distance work, the textbook bound; center frames are
+    * barriered per round (the loop-body rule). Already-chosen
+    * centers are anti-joined out so a degenerate all-identical
+    * corpus cannot re-pick the seed. */
+  def farthestFirst(spark: SparkSession, sfDir: String,
+      k: Int = 8): DataFrame =
+    farthestFirstOn(spark, vecs(spark, sfDir), k)
+
+  /** [[farthestFirst]] over any (vec_id, v) frame. */
+  def farthestFirstOn(spark: SparkSession, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val all = Persists.barrier(corpus.select("vec_id", "v"))
+    val d2 = "round(aggregate(zip_with(p.v, cv, " +
+      "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x), 9)"
+    // localCheckpoint, not barrier: round r's plan references round
+    // r-1's centers on BOTH sides of the next join — persist-only
+    // barriers leave the logical plan nesting geometrically and
+    // analysis goes quadratic (the s23/g12 lesson; measured 38 s at
+    // n=10k before the cut, ~4 s after)
+    var cents = all.orderBy("vec_id").limit(1)
+      .select(lit(0).as("seq"), col("vec_id"), col("v"),
+        lit(0.0).as("dist2"))
+      .localCheckpoint(true)
+    for (r <- 1 until k) {
+      val mind = all.as("p")
+        .join(broadcast(cents.select(col("v").as("cv"))), lit(true))
+        .select(col("p.vec_id").as("vec_id"), expr(d2).as("d"))
+        .groupBy("vec_id").agg(min("d").as("dist2"))
+        .join(cents.select("vec_id"), Seq("vec_id"), "left_anti")
+      val next = mind
+        .orderBy(col("dist2").desc, col("vec_id")).limit(1)
+        .join(all, "vec_id")
+        .select(lit(r).as("seq"), col("vec_id"), col("v"), col("dist2"))
+      cents = cents.unionByName(next).localCheckpoint(true)
+    }
+    cents.select("seq", "vec_id", "dist2")
+  }
+
+  /** s30's DuckDB twin: the same k rounds unrolled as MATERIALIZED
+    * CTEs — same 9-dp distance grid, same (dist2 desc, vec_id)
+    * argmax, same anti-join exclusion. */
+  private def farthestFirstOracle(k: Int, dim: Int): String = {
+    def centsUnion(r: Int): String =
+      (0 until r).map(i => s"SELECT vec_id, v FROM c$i")
+        .mkString(" UNION ALL ")
+    def idsUnion(r: Int): String =
+      (0 until r).map(i => s"SELECT vec_id FROM c$i")
+        .mkString(" UNION ALL ")
+    val rounds = (1 until k).map { r =>
+      s"""m$r AS MATERIALIZED (
+           SELECT p.vec_id,
+                  min(round(list_sum(list_transform(range(1, ${dim + 1}),
+                    i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))), 9))
+                    AS dist2
+           FROM v p, (${centsUnion(r)}) c
+           WHERE p.vec_id NOT IN (${idsUnion(r)})
+           GROUP BY p.vec_id),
+         c$r AS MATERIALIZED (
+           SELECT $r AS seq, m.vec_id, v.v, m.dist2
+           FROM (SELECT vec_id, dist2 FROM m$r
+                 ORDER BY dist2 DESC, vec_id LIMIT 1) m
+           JOIN v USING (vec_id))"""
+    }.mkString(",\n")
+    val out = (0 until k)
+      .map(i => s"SELECT seq, vec_id, dist2 FROM c$i")
+      .mkString(" UNION ALL ")
+    s"""WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       c0 AS MATERIALIZED (
+         SELECT 0 AS seq, vec_id, v, 0.0 AS dist2 FROM v
+         WHERE vec_id = (SELECT min(vec_id) FROM v)),
+       $rounds
+     $out"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s30_farthest_first" ->
+      ((s: SparkSession, d: String) => farthestFirst(s, d)),
     "s29_ann_matryoshka" ->
       ((s: SparkSession, d: String) => matryoshkaTopK(s, d)),
     "s27_rrf_fusion" ->
@@ -2114,6 +2212,7 @@ object SimilarityOps {
      SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10"""
 
   def oracleSql: Map[String, String] = Map(
+    "s30_farthest_first" -> farthestFirstOracle(8, 64),
     "s29_ann_matryoshka" -> matryoshkaOracle(5, 16, 50, 10),
     "s27_rrf_fusion" -> rrfFusionOracle,
     "s28_ivf_balance" -> ivfBalanceOracle,

@@ -220,6 +220,32 @@ object EventStream {
         unix_micros(col("hour")).as("hour_us"), col("event_type"),
         col("cnt"), col("sv"))
 
+  /** q129: STREAMING HOLT TREND — q128's level+trend smoother fed by
+    * the live event stream. The Holt recursion is order-sensitive,
+    * but the series it folds is a COMMUTATIVE per-(type, day) sum —
+    * so the stateful half is exactly that daily aggregation (complete
+    * mode; state = days × types rows, never event volume — the
+    * production form watermarks `ts` and emits closed days in append
+    * mode, re-folding only the tail) and the serve tail is
+    * `EventOps.holtOn` VERBATIM on the completed sink, with the same
+    * 2-dp series rounding applied at emission. Gated by q128's
+    * oracle: the streamed fold must reproduce the batch smoother row
+    * for row (EventStreamSpec pins it in-process too). */
+  def holtStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = StreamRun.toCompletion(
+      readEvents(spark, sfDir, glob = "events.parquet")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+          col("event_type"))
+        .agg(sum("value").as("sv")),
+      "graft_stream_holt", outputMode = "complete")
+    // re-plan from the sink contents: the serve tail is a batch
+    // window/fold over a frame the streaming query already finished
+    val fresh = spark.createDataFrame(daily.rdd, daily.schema)
+    graft.operators.EventOps.holtOn(
+      fresh.select(col("event_type"), col("day"),
+        round(coalesce(col("sv"), lit(0.0)), 2).as("v")))
+  }
+
   /** q72: view → purchase attribution pairs as a STREAM-STREAM inner
     * join — the one Structured Streaming surface the other gates don't
     * exercise. Both sides watermark their event time and the join
@@ -359,6 +385,7 @@ object EventStream {
     "q118_stream_histogram" -> ((s: SparkSession, d: String) =>
       histogramStream(s, d)),
     "q50_stream_hourly" -> (hourlyCountsStreamed _),
+    "q129_stream_holt" -> (holtStreamed _),
     "q72_stream_attribution" -> (attributionStreamed _),
     "q78_stream_sliding" -> (slidingCountsStreamed _),
     "q106_stream_hll" -> (hllStream _),
@@ -390,6 +417,10 @@ object EventStream {
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
                 count(*) AS cnt, round(sum(value), 2) AS sv
          FROM events GROUP BY 1, 2""",
+    // q129: q128's batch oracle verbatim — the streamed daily fold
+    // must reproduce the batch smoother row for row
+    "q129_stream_holt" ->
+      graft.operators.EventOps.oracleSql("q128_holt_trend"),
     // every epoch-aligned 15-min slide whose 1-hour window covers the
     // event: strictly-greater lower bound (a window starting exactly
     // ts − 1 h has already closed), inclusive upper (a window starting

@@ -664,7 +664,13 @@ object ScaleProbe {
       // t27: one token explode into a vocabulary-sized (source, word)
       // partial agg; rank window + OLS run on the vocabulary frame
       ("t27_zipf_slope", n => TextOps.zipfSlopeOn(
-        docsN(spark, n))))
+        docsN(spark, n))),
+      // s30: k-1 rounds of a <=k-row broadcast against the corpus +
+      // a 1-row argmax — O(k*n) distance work, linear at fixed k
+      ("s30_farthest_first", n => SimilarityOps.farthestFirstOn(
+        spark, vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
+        k = 8)))
 
     // optional args: probe names to run (default all) — fast local
     // iteration on a newly-added probe without the full sweep
