@@ -130,7 +130,8 @@ object Bench {
     "g29i_skipgram_pairs", "g30i_ppmi_scores",
     "t26_gopher_repetition", "s29_ann_matryoshka",
     "c31_doremi_weights", "q128_holt_trend",
-    "m11_dhash", "t27_zipf_slope", "s30_farthest_first")
+    "m11_dhash", "t27_zipf_slope", "s30_farthest_first",
+    "c32_doremi_waterfill", "q130_holt_anomalies")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -1067,7 +1067,102 @@ object CurationOps {
             round(0.9 * ew / z + 0.1 / d, 6) AS weight
      FROM ew CROSS JOIN tot"""
 
+  // -------------------------------------- c32 weighted water-filling
+  /** c32: DOREMI-WEIGHTED WATER-FILLING — c31's optimized mix applied
+    * under real supply constraints, the composition a pipeline
+    * actually runs: give each domain its DoReMi share w_d of the
+    * token budget, except that a domain cannot contribute more than
+    * it HAS (avail_d); surplus from supply-capped domains
+    * redistributes to the rest in proportion to their weights
+    * (progressive filling — the weighted generalization of c30's
+    * max-min allocator, which this reduces to at uniform weights).
+    * Closed form on the avail/weight-ascending order: domain k is
+    * capped iff avail_k·W_rem ≤ B_rem·w_k with the remaining budget/
+    * weight computed over the prefix (cappedness is a prefix property
+    * of the ratio order), uncapped domains get ⌊λ·w_d⌋ tokens at the
+    * common rate λ = B_rem / W_rem. Budget = Σavail div 2 (the c30
+    * data-derived binding). Output (source, avail_tokens, weight,
+    * alloc_tokens, supply_capped).
+    *
+    * Scale shape: one corpus-linear token count + c31's scorer; the
+    * allocation itself runs entirely on the SOURCES-sized frame
+    * (value-bounded windows, the c30 argument). */
+  def doremiWaterfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val avail = docs(spark, sfDir).groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail"))
+    weightedWaterfillOn(avail,
+      doremiStep(spark, sfDir).select("source", "weight"))
+  }
+
+  /** [[doremiWaterfill]] over any (source, avail) + (source, weight)
+    * frames. */
+  private[graft] def weightedWaterfillOn(
+      avail: DataFrame, weights: DataFrame): DataFrame = {
+    val ord = Window.orderBy(col("avail") / col("weight"), col("source"))
+    val wCum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    avail.join(weights, "source")
+      .withColumn("cum", sum("avail").over(wCum))
+      .withColumn("cw", sum("weight").over(wCum))
+      .withColumn("wsum", sum("weight").over(wAll))
+      .withColumn("b", (sum("avail").over(wAll) / 2).cast("long"))
+      .withColumn("capped",
+        col("avail") * (col("wsum") - (col("cw") - col("weight"))) <=
+          (col("b") - (col("cum") - col("avail"))) * col("weight"))
+      .withColumn("cumcap",
+        max(when(col("capped"), col("cum")).otherwise(0L)).over(wAll))
+      .withColumn("cwcap",
+        max(when(col("capped"), col("cw")).otherwise(0.0)).over(wAll))
+      .select(col("source"), col("avail").as("avail_tokens"),
+        col("weight"),
+        when(col("capped"), col("avail")).otherwise(
+          floor((col("b") - col("cumcap")) /
+            (col("wsum") - col("cwcap")) * col("weight")))
+          .as("alloc_tokens"),
+        col("capped").cast("int").as("supply_capped"))
+  }
+
+  /** c32's DuckDB twin: c31's oracle as the weight CTE, the same
+    * ratio order, prefix test, and floor'd common rate. */
+  private val doremiWaterfillOracle: String =
+    s"""WITH dw AS ($doremiOracle),
+       avail AS (
+         SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                  AS avail
+         FROM documents GROUP BY source),
+       j AS (SELECT a.source, a.avail, dw.weight
+             FROM avail a JOIN dw ON a.source = dw.source),
+       r AS (SELECT source, avail, weight,
+                    sum(avail) OVER (ORDER BY avail / weight, source
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+                    sum(weight) OVER (ORDER BY avail / weight, source
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+                    sum(weight) OVER () AS wsum,
+                    (sum(avail) OVER ()) // 2 AS b
+             FROM j),
+       f AS (SELECT *,
+                    (avail * (wsum - (cw - weight))
+                     <= (b - (cum - avail)) * weight) AS capped
+             FROM r),
+       s AS (SELECT *,
+                    max(CASE WHEN capped THEN cum ELSE 0 END) OVER ()
+                      AS cumcap,
+                    max(CASE WHEN capped THEN cw ELSE 0 END) OVER ()
+                      AS cwcap
+             FROM f)
+     SELECT source, avail AS avail_tokens, weight,
+            CAST(CASE WHEN capped THEN avail
+                 ELSE floor((b - cumcap) / (wsum - cwcap) * weight)
+                 END AS BIGINT) AS alloc_tokens,
+            CAST(CASE WHEN capped THEN 1 ELSE 0 END AS INTEGER)
+              AS supply_capped
+     FROM s"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c32_doremi_waterfill" ->
+      ((s: SparkSession, d: String) => doremiWaterfill(s, d)),
     "c31_doremi_weights" ->
       ((s: SparkSession, d: String) => doremiStep(s, d)),
     "c30_waterfill_budget" ->
@@ -1252,6 +1347,7 @@ object CurationOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "c32_doremi_waterfill" -> doremiWaterfillOracle,
     "c31_doremi_weights" -> doremiOracle,
     "c30_waterfill_budget" -> waterfillOracle,
     "c29_dataset_card" -> datasetCardOracle,

@@ -447,7 +447,17 @@ object EventOps {
         round(col("value"), 6).as("v")))
 
   /** [[madOutliers]] over any (event_id, event_type, v) frame. */
-  def madOutliersOn(e0: DataFrame): DataFrame = {
+  def madOutliersOn(e0: DataFrame): DataFrame =
+    madFlag(e0, Seq("event_id"))
+      .withColumnRenamed("v", "value")
+      .select("event_id", "event_type", "value", "med", "mad", "rz",
+        "is_outlier")
+
+  /** The robust-z MAD kernel shared by q117 (raw per-event values)
+    * and q130 (Holt forecast residuals per day): per event_type exact
+    * median and MAD on the 6-dp grid, |rz| > 3.5 flag; `idCols` ride
+    * through untouched. */
+  private def madFlag(e0: DataFrame, idCols: Seq[String]): DataFrame = {
     val e = graft.operators.Persists.barrier(e0)
     val med = e.groupBy("event_type")
       .agg(round(expr("percentile(v, 0.5d)"), 6).as("med"))
@@ -460,10 +470,63 @@ object EventOps {
       .filter(col("mad") > 0)
       .withColumn("rz",
         round((col("v") - col("med")) / (lit(1.4826) * col("mad")), 4))
-      .select(col("event_id"), col("event_type"), col("v").as("value"),
+      .select((idCols.map(col) ++ Seq(col("event_type"), col("v"),
         col("med"), col("mad"), col("rz"),
-        (abs(col("rz")) > 3.5).cast("int").as("is_outlier"))
+        (abs(col("rz")) > 3.5).cast("int").as("is_outlier"))): _*)
   }
+
+  /** q130: FORECAST-RESIDUAL ANOMALIES — q128's Holt smoother and
+    * q117's robust-z kernel composed into the standard model-based
+    * anomaly detector: a day is anomalous when the ACTUAL daily total
+    * sits far from the one-step-ahead FORECAST, measured in
+    * median/MAD units of that series' own residual distribution.
+    * Catches what the primitives alone miss: q111/q117 flag raw
+    * outliers (a legitimately growing series trips them), while the
+    * residual of a trend-following forecast is level- and
+    * trend-invariant. resid = v − fitted on the 6-dp grid (first day
+    * per type has no forecast and is excluded in both engines), then
+    * the q117 kernel verbatim per event_type. Output (day,
+    * event_type, resid, med, mad, rz, is_anomaly).
+    *
+    * Scale shape: q128's series-frame fold, then two exact grouped
+    * percentiles + two broadcast joins on the days×types frame —
+    * nothing here ever re-touches event volume. */
+  def holtAnomalies(spark: SparkSession, sfDir: String): DataFrame =
+    holtAnomaliesOn(holtDaily(spark, sfDir))
+
+  /** [[holtAnomalies]] over any [[holtOn]]-shaped smoother output. */
+  private[graft] def holtAnomaliesOn(holt: DataFrame): DataFrame =
+    madFlag(holt
+      .filter(col("fitted").isNotNull)
+      .select(col("event_type"), col("day"),
+        round(col("v") - col("fitted"), 6).as("v")), Seq("day"))
+      .select(col("day"), col("event_type"), col("v").as("resid"),
+        col("med"), col("mad"), col("rz"),
+        col("is_outlier").as("is_anomaly"))
+
+  /** q130's DuckDB twin: q128's recursive-CTE oracle as the series
+    * CTE, the q117 oracle arithmetic verbatim over the residuals.
+    * A `def`, not a val: it interpolates [[holtOracle]], which is
+    * declared LATER in this object — a val here would read null at
+    * init (the DefaultPattern declaration-order trap at the top of
+    * this file). */
+  private[graft] def holtAnomalyOracle: String =
+    s"""WITH h AS ($holtOracle),
+       e AS (SELECT event_type, day, round(v - fitted, 6) AS v
+             FROM h WHERE fitted IS NOT NULL),
+       m AS (SELECT event_type, round(quantile_cont(v, 0.5), 6) AS med
+             FROM e GROUP BY event_type),
+       d AS (SELECT e.day, e.event_type, e.v, m.med,
+                    round(abs(e.v - m.med), 6) AS dev
+             FROM e JOIN m USING (event_type)),
+       md AS (SELECT event_type,
+                     round(quantile_cont(dev, 0.5), 6) AS mad
+              FROM d GROUP BY event_type)
+     SELECT d.day, d.event_type, d.v AS resid, d.med, md.mad,
+            round((d.v - d.med) / (1.4826 * md.mad), 4) AS rz,
+            CAST(abs(round((d.v - d.med) / (1.4826 * md.mad), 4)) > 3.5
+                 AS INTEGER) AS is_anomaly
+     FROM d JOIN md USING (event_type) WHERE md.mad > 0"""
 
   /** q119: grouped TREND — ordinary least squares of value on
     * epoch-day per series, from the five classical sums (n, Σx, Σy,
@@ -869,6 +932,7 @@ object EventOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_markov_transitions" -> (markovTransitions _),
     "q128_holt_trend" -> (holtDaily _),
+    "q130_holt_anomalies" -> (holtAnomalies _),
     "q124_ab_report" -> (abReport _),
     "q123_scd2_intervals" -> (scd2Intervals _),
     "q122_ewma_daily" -> (ewmaDaily _),
@@ -888,6 +952,7 @@ object EventOps {
 
   def oracleSql: Map[String, String] = Map(
     "q128_holt_trend" -> holtOracle,
+    "q130_holt_anomalies" -> holtAnomalyOracle,
     // q126: the same lagged pair extraction on the same unique sort,
     // the same session-gap filter, the same row-normalized 4-dp p
     "q126_markov_transitions" ->

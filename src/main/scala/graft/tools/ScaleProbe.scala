@@ -670,7 +670,28 @@ object ScaleProbe {
       ("s30_farthest_first", n => SimilarityOps.farthestFirstOn(
         spark, vecsN(spark, n).selectExpr("vec_id",
           "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
-        k = 8)))
+        k = 8)),
+      // c32: one corpus-linear token count; the ratio sort, prefix
+      // test, and rate fill all run on the sources-sized frame
+      ("c32_doremi_waterfill", n => CurationOps.weightedWaterfillOn(
+        docsN(spark, n).groupBy("source")
+          .agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.expr(
+              "CAST(size(split(text, ' ')) AS BIGINT)")).as("avail")),
+        docsN(spark, n).select("source").distinct()
+          .selectExpr("source", "0.05 AS weight"))),
+      // q130: q128's series fold + two grouped percentiles on the
+      // days×types frame — event volume pays only the daily agg
+      ("q130_holt_anomalies", n => EventOps.holtAnomaliesOn(
+        EventOps.holtOn(
+          spark.range(n).selectExpr(
+            "concat('t', id % 5) AS event_type",
+            "date_add(date'2024-01-01', cast(pmod(id div 5, 365) as int))"
+              + " AS day",
+            "cast(pmod(xxhash64(id), 100) as double) AS v")
+            .groupBy("event_type", "day")
+            .agg(org.apache.spark.sql.functions.round(
+              org.apache.spark.sql.functions.sum("v"), 2).as("v"))))))
 
     // optional args: probe names to run (default all) — fast local
     // iteration on a newly-added probe without the full sweep
