@@ -1293,7 +1293,95 @@ object DedupOps {
               coalesce(n_cross_source, 0) AS n_cross_source
        FROM base LEFT JOIN leak ON base.source = leak.source"""
 
+  // ------------------------------------------------ d21 containment
+  /** d21: SHINGLE CONTAINMENT DEDUP (Broder 1997's containment
+    * coefficient beside his resemblance/jaccard) — the asymmetric
+    * near-dup modality the jaccard family structurally misses: a
+    * document EMBEDDED in a much larger one (quoted article, page +
+    * boilerplate wrapper, excerpt) has tiny jaccard (∩ / big ∪) but
+    * containment |A∩B| / |A| ≈ 1 from the small side. Per candidate
+    * pair (inverted-index join on shared distinct 5-word shingles,
+    * hot-shingle cap mirrored in the oracle — the d04 canopy
+    * discipline), both directional coefficients on the 4-dp grid;
+    * pairs where the MAX direction ≥ 0.9 emit with `contained_id` =
+    * the more-contained side (ties → the lower id, matching the
+    * c_a ≥ c_b branch). The 0.9 cut BINDS on the gate corpus (28/8
+    * and 25/12 above/below at the two SFs). ContainmentSpec proves
+    * the asymmetric case: an excerpt inside a 10× doc flags here
+    * with jaccard ≈ 0.1 — invisible to d04 at any useful threshold.
+    *
+    * Scale shape: candidates only through shared-shingle buckets
+    * (per-key work capped at maxShingleFreq²/2, boilerplate keys
+    * dropped on both sides); the verify join touches candidate
+    * pairs, never all pairs — the d04 argument verbatim. */
+  def containmentDedup(spark: SparkSession, sfDir: String): DataFrame =
+    containmentDedupOn(docs(spark, sfDir))
+
+  /** [[containmentDedup]] over any (doc_id, text) frame. */
+  private[graft] def containmentDedupOn(
+      input: DataFrame, threshold: Double = 0.9,
+      maxShingleFreq: Long = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(input.sparkSession)
+    val d = Persists.barrier(input
+      .select(col("doc_id"), Shingles.wordShingles("text", 5).as("sh")))
+    val keys = d.select(col("doc_id"), explode(col("sh")).as("key"))
+    val hot = keys.groupBy("key").count()
+      .filter(col("count") > maxShingleFreq).select("key")
+    val cold = keys.join(broadcast(hot), Seq("key"), "left_anti")
+    val cand = cold.as("x").join(cold.as("y"),
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(d.as("a"), col("id_a") === col("a.doc_id"))
+      .join(d.as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("a.sh"), col("b.sh")))
+          .cast("double") / size(col("a.sh")), 4).as("cont_a"),
+        round(size(array_intersect(col("a.sh"), col("b.sh")))
+          .cast("double") / size(col("b.sh")), 4).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .withColumn("contained_id",
+        when(col("cont_a") >= col("cont_b"), col("id_a"))
+          .otherwise(col("id_b")))
+  }
+
+  /** d21's DuckDB twin: the graft_shingles expansion (with its <k
+    * whole-text fallback), the same hot-key cut, both directional
+    * coefficients on the same grid. */
+  private val containmentOracle: String =
+    """WITH d AS (
+         SELECT doc_id,
+                CASE WHEN len(string_split(text, ' ')) < 5 THEN [text]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(string_split(text, ' ')) - 3),
+                            i -> array_to_string(
+                                   string_split(text, ' ')[i:i+4], ' ')))
+                END AS sh
+         FROM documents),
+       keys AS (SELECT doc_id, unnest(sh) AS key FROM d),
+       hot AS (SELECT key FROM keys GROUP BY key HAVING count(*) > 100),
+       cold AS (SELECT doc_id, key FROM keys
+                WHERE key NOT IN (SELECT key FROM hot)),
+       cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM cold x JOIN cold y
+                  ON x.key = y.key AND x.doc_id < y.doc_id),
+       j AS (SELECT id_a, id_b,
+                    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                          / len(a.sh), 4) AS cont_a,
+                    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                          / len(b.sh), 4) AS cont_b
+             FROM cand
+             JOIN d a ON a.doc_id = cand.id_a
+             JOIN d b ON b.doc_id = cand.id_b)
+     SELECT id_a, id_b, cont_a, cont_b,
+            CASE WHEN cont_a >= cont_b THEN id_a ELSE id_b END
+              AS contained_id
+     FROM j WHERE greatest(cont_a, cont_b) >= 0.9"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_dedup_containment" ->
+      ((s: SparkSession, d: String) => containmentDedup(s, d)),
     "d20_minhash_calibration" ->
       ((s: SparkSession, d: String) => minhashCalibration(s, d)),
     "d19_dedup_report" ->
@@ -1557,6 +1645,7 @@ object DedupOps {
     "d11_dedup_keep_quality" -> keepQualityOracle,
     "d12_dedup_incremental" -> incrementalOracle,
     "d04_dedup_ngram" -> ngramOracle,
+    "d21_dedup_containment" -> containmentOracle,
     "d14_dedup_prefix_jaccard" -> prefixJaccardOracle,
     "d05_dedup_embedding" -> embeddingOracle,
     "d06_dedup_minhash_portable" -> minhashPortableOracle,

@@ -333,6 +333,64 @@ object MultimodalOps {
       expr(chunk(2)).as("c2"), expr(chunk(3)).as("c3"))
   }
 
+  /** m12: SHOT-BOUNDARY DETECTION — the standard hash-based video
+    * segmentation trick (per-frame perceptual hash, cut where
+    * consecutive frames' Hamming distance jumps), composed from the
+    * m03 frame fan-out and the m06 block-hash kernel: each complete
+    * 64-unit frame gets a 16-bit aHash (16 equal blocks of 4, bit =
+    * block sum · 16 > frame total — equal blocks, so the
+    * cross-multiply needs no per-block lengths), then one lag over
+    * (media_id, frame_no) scores `hamming = bit_count(xor)` against
+    * the previous frame and flags `is_boundary = hamming ≥ tau`.
+    * Unrelated adjacent text-frames land near Binomial(16, ½) ≈ 8,
+    * so tau = 12 sits in the upper tail and BINDS on the gate corpus
+    * (both flag values appear at both SFs). Incomplete tail frames
+    * are dropped (both engines). The stub discipline: payload chars
+    * stand in for decoded frames; production swaps the decode, and
+    * the plan — one narrow map + one media-keyed frame-bounded
+    * window — is already the real one.
+    *
+    * Scale shape: frames explode map-side (length/64 rows per item),
+    * the hash is per-frame local arithmetic, and the only shuffle
+    * keys on media_id with per-partition size = that item's frame
+    * count. Nothing crosses media items. */
+  def shotBoundaries(spark: SparkSession, sfDir: String,
+      tau: Int = 12): DataFrame =
+    shotBoundariesOn(mediaTable(spark, sfDir)
+      .select(col("media_id"), expr("decode(payload, 'utf-8')").as("txt")),
+      tau)
+
+  /** [[shotBoundaries]] over any (media_id, txt) frame. */
+  private[graft] def shotBoundariesOn(
+      d: DataFrame, tau: Int = 12): DataFrame = {
+    val frames = d.filter(length(col("txt")) >= 64)
+      .select(col("media_id"),
+        posexplode(expr(
+          """transform(sequence(0, int(length(txt) div 64) - 1),
+               f -> substring(txt, f * 64 + 1, 64))"""))
+          .as(Seq("frame_no", "frame")))
+    val bits = (0 until 16).map { j =>
+      s"""CASE WHEN aggregate(slice(codes, ${j * 4 + 1}, 4),
+                0L, (a, x) -> a + x) * 16 > total
+            THEN ${1L << j}L ELSE 0L END"""
+    }.mkString("(", " + ", ")")
+    val h = frames
+      .select(col("media_id"), col("frame_no"),
+        expr("""transform(sequence(1, 64),
+                  i -> CAST(ascii(substr(frame, i, 1)) AS BIGINT))""")
+          .as("codes"))
+      .withColumn("total", expr("aggregate(codes, 0L, (a, x) -> a + x)"))
+      .select(col("media_id"), col("frame_no"), expr(bits).as("fhash"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_no")
+    h.withColumn("prev", lag("fhash", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("hamming", expr("CAST(bit_count(fhash ^ prev) AS INT)"))
+      .select(col("media_id"), col("frame_no"), col("fhash"),
+        col("hamming"),
+        (col("hamming") >= tau).cast("int").as("is_boundary"))
+  }
+
   /** m07: aHash candidate PAIRS — the d07 simhash-banding discipline
     * over [[ahash]]'s chunk columns: media sharing ANY 16-bit chunk
     * band-collide, and each candidate carries its full 64-bit Hamming
@@ -599,6 +657,8 @@ object MultimodalOps {
     "m07_ahash_candidates" -> (ahashCandidates _),
     "m06_ahash" -> (ahash _),
     "m11_dhash" -> (dhash _),
+    "m12_shot_boundaries" -> ((s: SparkSession, d: String) =>
+      shotBoundaries(s, d)),
     "m01_binary_meta" -> (binaryMeta _),
     "m01b_byte_len" -> (byteLen _),
     "m02_feature_extract" -> (featureExtract _),
@@ -684,6 +744,41 @@ object MultimodalOps {
                                = h.media_id
                           THEN 1 ELSE 0 END AS INTEGER) AS kept
          FROM h LEFT JOIN lab ON lab.media_id = h.media_id""",
+    // m12: same frame fan-out as m03, the m06 cross-multiply per
+    // 4-unit block, the same lag/xor/bit_count scoring
+    "m12_shot_boundaries" ->
+      """WITH f AS (
+           SELECT media_id, CAST(f AS INTEGER) AS frame_no,
+                  substring(text, CAST(f * 64 + 1 AS INTEGER), 64)
+                    AS frame
+           FROM (SELECT doc_id AS media_id, text,
+                        unnest(range(0, length(text) // 64)) AS f
+                 FROM documents WHERE length(text) >= 64)),
+         c AS (SELECT media_id, frame_no,
+                      list_transform(range(1, 65),
+                        i -> CAST(ascii(substr(frame,
+                               CAST(i AS INTEGER), 1)) AS BIGINT))
+                        AS codes
+               FROM f),
+         t AS (SELECT *, CAST(list_sum(codes) AS BIGINT) AS total
+               FROM c),
+         h AS (SELECT media_id, frame_no,
+                      CAST(list_sum(list_transform(range(0, 16), j ->
+                        CASE WHEN list_sum(codes[
+                                   CAST(j*4 + 1 AS INTEGER):
+                                   CAST(j*4 + 4 AS INTEGER)]) * 16 > total
+                             THEN 1 << CAST(j AS INTEGER)
+                             ELSE 0 END)) AS BIGINT) AS fhash
+               FROM t),
+         l AS (SELECT media_id, frame_no, fhash,
+                      lag(fhash) OVER (PARTITION BY media_id
+                                       ORDER BY frame_no) AS prev
+               FROM h)
+       SELECT media_id, frame_no, fhash,
+              CAST(bit_count(xor(fhash, prev)) AS INTEGER) AS hamming,
+              CAST(bit_count(xor(fhash, prev)) >= 12 AS INTEGER)
+                AS is_boundary
+       FROM l WHERE prev IS NOT NULL""",
     // m11: same code expansion as m06, adjacent-block cross-multiply
     // (65 blocks -> 64 gradient bits), same 16-bit chunk packing
     "m11_dhash" ->

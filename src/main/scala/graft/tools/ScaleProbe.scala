@@ -680,6 +680,18 @@ object ScaleProbe {
               "CAST(size(split(text, ' ')) AS BIGINT)")).as("avail")),
         docsN(spark, n).select("source").distinct()
           .selectExpr("source", "0.05 AS weight"))),
+      // d21: candidates only via shared-shingle buckets (dup-group
+      // corpus so shared keys exist); verify join is pair-bounded —
+      // the d04 shape with the asymmetric coefficient
+      ("d21_dedup_containment", n => DedupOps.containmentDedupOn(
+        dupDocsN(spark, n), threshold = 0.5, maxShingleFreq = 2000)),
+      // m12: map-side frame explode + per-frame local hash + ONE
+      // media-keyed window bounded by that item's frame count
+      ("m12_shot_boundaries", n => MultimodalOps.shotBoundariesOn(
+        spark.range(n).selectExpr("id AS media_id",
+          """concat_ws('', transform(sequence(0, 199),
+               j -> chr(97 + cast(pmod(xxhash64(id * 7 + j), 26) as int))))
+             AS txt"""))),
       // q130: q128's series fold + two grouped percentiles on the
       // days×types frame — event volume pays only the daily agg
       ("q130_holt_anomalies", n => EventOps.holtAnomaliesOn(
