@@ -132,7 +132,8 @@ object Bench {
     "c31_doremi_weights", "q128_holt_trend",
     "m11_dhash", "t27_zipf_slope", "s30_farthest_first",
     "c32_doremi_waterfill", "q130_holt_anomalies",
-    "d21_dedup_containment", "m12_shot_boundaries")
+    "d21_dedup_containment", "m12_shot_boundaries",
+    "t28_trigram_backoff", "q131_funnel_lag")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

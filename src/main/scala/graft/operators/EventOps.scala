@@ -112,6 +112,72 @@ object EventOps {
         reached.cast("int").as("stage"): _*)
   }
 
+  /** q131: FUNNEL CONVERSION LAG — how LONG each funnel step takes,
+    * the second question every funnel report answers after q60's how
+    * MANY: per adjacent stage pair over [[funnelOn]]'s per-user stage
+    * timestamps, the converted-user count and the exact
+    * p50/p90/mean of (next stage − previous stage) in micros.
+    * Integer lags from the q60 chain (strictly-after semantics, so
+    * every lag is positive); percentiles interpolate on the exact
+    * per-user lag sets (the q117 percentile kernel) and round to the
+    * 2-dp grid. Output (step, transition, n_converted, p50_us,
+    * p90_us, mean_us).
+    *
+    * Scale shape: q60's ONE user-keyed shuffle, then a stage-pair
+    * union on the users-sized frame into a 2-row grouped percentile
+    * — nothing re-touches event volume. */
+  def funnelLag(spark: SparkSession, sfDir: String): DataFrame =
+    funnelLagOn(funnelOn(events(spark, sfDir)))
+
+  /** [[funnelLag]] over any [[funnelOn]]-shaped stage-times frame. */
+  private[graft] def funnelLagOn(
+      f0: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val f = graft.operators.Persists.barrier(f0)
+    val pairs = stages.sliding(2).toSeq.zipWithIndex.map {
+      case (Seq(a, b), i) =>
+        f.filter(col(s"${a}_us").isNotNull && col(s"${b}_us").isNotNull)
+          .select(lit(i + 1).as("step"),
+            lit(s"$a->$b").as("transition"),
+            (col(s"${b}_us") - col(s"${a}_us")).as("lag_us"))
+      case _ => sys.error("unreachable: sliding(2) on nonempty stages")
+    }
+    pairs.reduce(_ unionByName _)
+      .groupBy("step", "transition")
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lag_us, 0.5d)"), 2).as("p50_us"),
+        round(expr("percentile(lag_us, 0.9d)"), 2).as("p90_us"),
+        round(avg("lag_us"), 2).as("mean_us"))
+  }
+
+  /** q131's DuckDB twin: q60's funnel CTEs, the same pair union and
+    * interpolated percentiles on the same 2-dp grid. */
+  private[graft] val funnelLagOracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                  FROM events),
+        v AS (SELECT user_id, min(us) AS view_us FROM e
+              WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.us) AS click_us
+              FROM e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.us > v.view_us
+              GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.us) AS purchase_us
+              FROM e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.us > c.click_us
+              GROUP BY 1),
+        lags AS (
+          SELECT 1 AS step, 'view->click' AS transition,
+                 c.click_us - v.view_us AS lag_us
+          FROM v JOIN c ON v.user_id = c.user_id
+          UNION ALL
+          SELECT 2, 'click->purchase', p.purchase_us - c.click_us
+          FROM c JOIN p ON c.user_id = p.user_id)
+      SELECT step, transition, count(*) AS n_converted,
+             round(quantile_cont(lag_us, 0.5), 2) AS p50_us,
+             round(quantile_cont(lag_us, 0.9), 2) AS p90_us,
+             round(avg(lag_us), 2) AS mean_us
+      FROM lags GROUP BY 1, 2"""
+
   /** One stage of a [[funnelPatternOn]] sequence pattern. `optional`
     * stages are measured but never gate the chain (the anchor the next
     * stage matches after advances on REQUIRED stages only — the
@@ -945,6 +1011,7 @@ object EventOps {
     "q112_event_transitions" -> (eventTransitions _),
     "q115_attribution" -> (lastTouchAttribution _),
     "q60_funnel" -> (funnel _),
+    "q131_funnel_lag" -> (funnelLag _),
     "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_retention" -> (retention _),
     "q67_funnel_pattern" -> (funnelPattern _)
@@ -953,6 +1020,7 @@ object EventOps {
   def oracleSql: Map[String, String] = Map(
     "q128_holt_trend" -> holtOracle,
     "q130_holt_anomalies" -> holtAnomalyOracle,
+    "q131_funnel_lag" -> funnelLagOracle,
     // q126: the same lagged pair extraction on the same unique sort,
     // the same session-gap filter, the same row-normalized 4-dp p
     "q126_markov_transitions" ->

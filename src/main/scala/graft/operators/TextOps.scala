@@ -1196,7 +1196,135 @@ object TextOps {
              round((sy - num / den * sx) / n_vocab, 4) AS intercept
       FROM f"""
 
+  // ------------------------------------------ trigram stupid backoff
+  /** t28: TRIGRAM STUPID-BACKOFF SCORING (Brants et al. 2007 — the
+    * web-scale LM scoring rule: no discounting to fit, just
+    * count-ratio with a fixed 0.4 penalty per backoff level) — the
+    * held-out sibling of t09/t13's in-corpus scorers: the model
+    * (trigram/bigram/unigram count tables + total) is built from the
+    * TRAIN sources (source ≠ 'src0') and SCORES the held-out src0
+    * docs, so unseen grams actually occur and the backoff chain
+    * genuinely fires (an in-corpus model scores its own trigrams —
+    * every branch but the first is dead; the split is what makes
+    * this the CCNet "score the new shard against the reference
+    * corpus" shape). Per position: c3/c2p if the trigram is known,
+    * else 0.4·c2/c1m, else 0.16·c1/T, else the 0.16/T OOV floor;
+    * per doc the mean ln score and the backed-off fraction, both
+    * 4 dp. Output (doc_id, logprob_bo, n_trigrams, bo_frac).
+    *
+    * Scale shape: counts are vocabulary-sized aggregates (the t09
+    * argument); scoring is one struct-transform explode (map-side)
+    * into five gram-keyed shuffle joins against those tables + one
+    * per-doc agg. Model width is a data property, never a plan
+    * change. */
+  def trigramBackoff(spark: SparkSession, sfDir: String,
+      heldOut: String = "src0"): DataFrame =
+    trigramBackoffOn(docs(spark, sfDir), heldOut)
+
+  /** [[trigramBackoff]] over any (doc_id, source, text) frame. */
+  private[graft] def trigramBackoffOn(
+      d0: DataFrame, heldOut: String): DataFrame = {
+    val d = Persists.barrier(
+      d0.select(col("doc_id"), col("source"), toks(col("text")).as("a")))
+    val train = d.filter(col("source") =!= heldOut)
+    def gramCounts(n: Int): DataFrame = train
+      .filter(size(col("a")) >= n)
+      .select(explode(expr(s"transform(sequence(1, size(a) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice(a, i, $n)))")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+    val t3 = gramCounts(3)
+    val t2 = gramCounts(2)
+    val t1 = gramCounts(1)
+    val tot = t1.select(sum("c").as("t"))
+    val pos = d.filter(col("source") === heldOut)
+      .filter(size(col("a")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(a) - 2), i -> struct(
+             concat_ws(' ', slice(a, i, 3)) AS k3,
+             concat_ws(' ', slice(a, i, 2)) AS k2p,
+             concat_ws(' ', slice(a, i + 1, 2)) AS k2,
+             element_at(a, i + 1) AS k1m,
+             element_at(a, i + 2) AS k1))""")).as("p"))
+      .select(col("doc_id"), col("p.k3"), col("p.k2p"), col("p.k2"),
+        col("p.k1m"), col("p.k1"))
+    val scored = pos
+      .join(t3.select(col("g").as("k3"), col("c").as("c3")), Seq("k3"), "left")
+      .join(t2.select(col("g").as("k2p"), col("c").as("c2p")), Seq("k2p"), "left")
+      .join(t2.select(col("g").as("k2"), col("c").as("c2")), Seq("k2"), "left")
+      .join(t1.select(col("g").as("k1m"), col("c").as("c1m")), Seq("k1m"), "left")
+      .join(t1.select(col("g").as("k1"), col("c").as("c1")), Seq("k1"), "left")
+      .crossJoin(tot)
+      .select(col("doc_id"),
+        expr("""CASE WHEN coalesce(c3, 0) > 0
+                     THEN ln(c3 / CAST(c2p AS DOUBLE))
+                     WHEN coalesce(c2, 0) > 0
+                     THEN ln(0.4 * (c2 / CAST(c1m AS DOUBLE)))
+                     WHEN coalesce(c1, 0) > 0
+                     THEN ln(0.16 * (c1 / CAST(t AS DOUBLE)))
+                     ELSE ln(0.16 * (1.0 / CAST(t AS DOUBLE))) END""")
+          .as("s"),
+        expr("CASE WHEN coalesce(c3, 0) > 0 THEN 0 ELSE 1 END").as("bo"))
+    scored.groupBy("doc_id").agg(
+      round(avg("s"), 4).as("logprob_bo"),
+      count(lit(1)).as("n_trigrams"),
+      round(avg("bo"), 4).as("bo_frac"))
+  }
+
+  /** t28's DuckDB twin: the same train/held-out split, gram tables,
+    * backoff CASE (0.4 / 0.16 constants verbatim), and 4-dp grids;
+    * position keys come from five range-indexed CTEs joined on
+    * (doc_id, pos) where Spark uses one struct explode. */
+  val trigramBackoffOracle: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS a
+                  FROM documents),
+        t3 AS (SELECT g, count(*) AS c FROM (
+                 SELECT unnest(list_transform(range(1, len(a) - 1),
+                   i -> array_to_string(a[i:i+2], ' '))) AS g
+                 FROM d WHERE source <> 'src0' AND len(a) >= 3)
+               GROUP BY g),
+        t2 AS (SELECT g, count(*) AS c FROM (
+                 SELECT unnest(list_transform(range(1, len(a)),
+                   i -> array_to_string(a[i:i+1], ' '))) AS g
+                 FROM d WHERE source <> 'src0' AND len(a) >= 2)
+               GROUP BY g),
+        t1 AS (SELECT g, count(*) AS c FROM (
+                 SELECT unnest(a) AS g
+                 FROM d WHERE source <> 'src0')
+               GROUP BY g),
+        tot AS (SELECT sum(c) AS t FROM t1),
+        pos AS (SELECT doc_id, unnest(range(1, len(a) - 1)) AS i, a
+                FROM d WHERE source = 'src0' AND len(a) >= 3),
+        keys AS (SELECT doc_id, i,
+                        array_to_string(a[i:i+2], ' ') AS k3,
+                        array_to_string(a[i:i+1], ' ') AS k2p,
+                        array_to_string(a[i+1:i+2], ' ') AS k2,
+                        a[i+1] AS k1m, a[i+2] AS k1
+                 FROM pos),
+        scored AS (
+          SELECT doc_id,
+                 CASE WHEN coalesce(c3.c, 0) > 0
+                      THEN ln(c3.c / CAST(c2p.c AS DOUBLE))
+                      WHEN coalesce(c2.c, 0) > 0
+                      THEN ln(0.4 * (c2.c / CAST(c1m.c AS DOUBLE)))
+                      WHEN coalesce(c1.c, 0) > 0
+                      THEN ln(0.16 * (c1.c / CAST(tot.t AS DOUBLE)))
+                      ELSE ln(0.16 * (1.0 / CAST(tot.t AS DOUBLE))) END
+                   AS s,
+                 CASE WHEN coalesce(c3.c, 0) > 0 THEN 0 ELSE 1 END AS bo
+          FROM keys
+          LEFT JOIN t3 c3 ON c3.g = keys.k3
+          LEFT JOIN t2 c2p ON c2p.g = keys.k2p
+          LEFT JOIN t2 c2 ON c2.g = keys.k2
+          LEFT JOIN t1 c1m ON c1m.g = keys.k1m
+          LEFT JOIN t1 c1 ON c1.g = keys.k1
+          CROSS JOIN tot)
+      SELECT doc_id, round(avg(s), 4) AS logprob_bo,
+             count(*) AS n_trigrams, round(avg(bo), 4) AS bo_frac
+      FROM scored GROUP BY doc_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_trigram_backoff" -> ((s: SparkSession, d: String) =>
+      trigramBackoff(s, d)),
     "t27_zipf_slope" -> (zipfSlope _),
     "t26_gopher_repetition" -> (gopherRepetition _),
     "t25_langid_margin" -> (langIdMargin _),
@@ -1235,6 +1363,7 @@ object TextOps {
        FROM documents"""
 
   def oracleSql: Map[String, String] = Map(
+    "t28_trigram_backoff" -> trigramBackoffOracle,
     "t27_zipf_slope" -> zipfSlopeOracle,
     "t26_gopher_repetition" -> gopherRepetitionOracle,
     "t25_langid_margin" -> langIdMarginOracle,

@@ -107,7 +107,8 @@ object PlanAudit {
       "c31_doremi_weights", "q128_holt_trend",
       "m11_dhash", "t27_zipf_slope", "s30_farthest_first",
       "c32_doremi_waterfill", "q130_holt_anomalies",
-      "d21_dedup_containment", "m12_shot_boundaries")
+      "d21_dedup_containment", "m12_shot_boundaries",
+      "t28_trigram_backoff", "q131_funnel_lag")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

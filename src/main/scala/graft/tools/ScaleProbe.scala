@@ -692,6 +692,23 @@ object ScaleProbe {
           """concat_ws('', transform(sequence(0, 199),
                j -> chr(97 + cast(pmod(xxhash64(id * 7 + j), 26) as int))))
              AS txt"""))),
+      // t28: vocabulary-sized gram tables + one struct explode into
+      // five gram-keyed joins — linear in held-out tokens; 10% of
+      // docs are the held-out shard
+      ("t28_trigram_backoff", n => TextOps.trigramBackoffOn(
+        spark.range(n).selectExpr("id AS doc_id",
+          "CASE WHEN id % 10 = 0 THEN 'held' ELSE 's' END AS source",
+          """concat_ws(' ', transform(sequence(0, 39),
+               j -> concat('w', pmod(xxhash64(id * 11 + j), 300))))
+             AS text"""), heldOut = "held")),
+      // q131: q60's one user-keyed shuffle, then users-sized lag
+      // union into a 2-row percentile agg
+      ("q131_funnel_lag", n => EventOps.funnelLagOn(
+        EventOps.funnelOn(spark.range(n).selectExpr(
+          "pmod(xxhash64(id), 2000) AS user_id",
+          "CASE WHEN id % 3 = 0 THEN 'view' WHEN id % 3 = 1 " +
+            "THEN 'click' ELSE 'purchase' END AS event_type",
+          "id * 60000000 AS us")))),
       // q130: q128's series fold + two grouped percentiles on the
       // days×types frame — event volume pays only the daily agg
       ("q130_holt_anomalies", n => EventOps.holtAnomaliesOn(
