@@ -133,7 +133,8 @@ object Bench {
     "m11_dhash", "t27_zipf_slope", "s30_farthest_first",
     "c32_doremi_waterfill", "q130_holt_anomalies",
     "d21_dedup_containment", "m12_shot_boundaries",
-    "t28_trigram_backoff", "q131_funnel_lag")
+    "t28_trigram_backoff", "q131_funnel_lag",
+    "q132_markov_attribution")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -178,6 +178,203 @@ object EventOps {
              round(avg(lag_us), 2) AS mean_us
       FROM lags GROUP BY 1, 2"""
 
+  /** q132: MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2016 —
+    * the data-driven attribution model that replaced last-touch in
+    * marketing analytics): model user journeys as a first-order
+    * Markov chain over session event-type paths (START → … →
+    * CONV/NULL absorbing states; q61's 30-min session gap, paths
+    * truncated at the first conversion), then score each channel by
+    * its REMOVAL EFFECT — how much the absorbing-into-CONV
+    * probability from START drops when every visit to that channel
+    * is lost: removal_c = 1 − P_c(conv)/P(conv), shares normalized
+    * over channels. q115's last-touch and q126's raw matrix are the
+    * inputs-level views; this is the counterfactual one.
+    *
+    * Absorption probabilities run `iters` fixed synchronous
+    * Jacobi rounds (p ← P·p with CONV ≡ 1, NULL ≡ 0; a removed
+    * channel is read as 0), each round re-gridded at 9 dp in BOTH
+    * engines (the s18 re-entry discipline) so the fixed-round form
+    * is engine-identical; the spec measures convergence well inside
+    * the grid by round 30 on the gate data. The transition matrix is
+    * collected to the driver for the solve — a BOUNDED model collect
+    * ((|event_types|+1)·(|event_types|+2) ≤ 42 rows on this schema),
+    * not data; the corpus-sized work (sessionize + truncate + pair
+    * counts) all stays distributed, and the oracle unrolls the same
+    * rounds as MATERIALIZED CTEs.
+    *
+    * Scale shape: one user-keyed session sort + a types²-bounded
+    * count agg (the q126 argument); the solve touches ≤ 42 numbers
+    * per channel. Output (channel, removal_effect,
+    * attribution_share), 6 dp. */
+  def markovAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    markovAttributionOn(events(spark, sfDir))
+
+  /** [[markovAttribution]] over any (event_id, user_id, event_type,
+    * us) frame. */
+  private[graft] def markovAttributionOn(e: DataFrame,
+      gapUs: Long = 1800000000L, iters: Int = 30,
+      conversion: String = "purchase"): DataFrame = {
+    val spark = e.sparkSession
+    val order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = order.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val sessions = e
+      .withColumn("brk",
+        when(col("us") - lag("us", 1).over(order) > gapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_idx", sum("brk").over(run))
+      .groupBy("user_id", "session_idx")
+      .agg(expr("""transform(sort_array(collect_list(
+             struct(us, event_id, event_type))),
+             s -> s.event_type)""").as("types"))
+    val counts = sessions.select(explode(expr(
+      s"""CASE WHEN array_position(types, '$conversion') > 0
+           THEN concat(
+             transform(
+               sequence(1, int(array_position(types, '$conversion'))),
+               i -> struct(
+                 IF(i = 1, 'START', element_at(types, i - 1)) AS src,
+                 element_at(types, i) AS dst)),
+             array(struct('$conversion' AS src, 'CONV' AS dst)))
+           ELSE concat(
+             transform(sequence(1, size(types)),
+               i -> struct(
+                 IF(i = 1, 'START', element_at(types, i - 1)) AS src,
+                 element_at(types, i) AS dst)),
+             array(struct(element_at(types, size(types)) AS src,
+                          'NULL' AS dst)))
+         END""")).as("t"))
+      .groupBy(col("t.src").as("src"), col("t.dst").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    // BOUNDED collect: the transition matrix of a types-closed chain
+    // — ≤ (|types|+1)·(|types|+2) rows, a model not data
+    val raw = counts.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val totals = raw.groupBy(_._1).map { case (s, rs) =>
+      s -> rs.map(_._3).sum.toDouble }
+    // P rows sorted by dst: the fixed summation order the oracle's
+    // ≤7-term aggregation agrees with on the 9-dp grid
+    val pm = raw.groupBy(_._1).map { case (s, rs) =>
+      s -> rs.sortBy(_._2).map { case (_, t, n) =>
+        (t, r9(n / totals(s))) }.toSeq
+    }
+    val states = pm.keySet
+    def solve(removed: Option[String]): Double = {
+      var p = states.map(_ -> 0.0).toMap
+      for (_ <- 1 to iters) {
+        val next = states.map { s =>
+          s -> r9(pm(s).map { case (t, pr) =>
+            val vt =
+              if (t == "CONV") 1.0
+              else if (t == "NULL") 0.0
+              else if (removed.contains(t)) 0.0
+              else p.getOrElse(t, 0.0)
+            pr * vt
+          }.sum)
+        }.toMap
+        p = removed.fold(next)(c => next.updated(c, 0.0))
+      }
+      p.getOrElse("START", 0.0)
+    }
+    val pBase = solve(None)
+    val channels = (states - "START" - conversion).toSeq.sorted
+    val removals = channels.map(c => c -> r6(1.0 - solve(Some(c)) / pBase))
+    val sumRem = removals.map(_._2).sum
+    val out =
+      if (pBase <= 0.0) Seq.empty[(String, Double, Double)]
+      else removals.map { case (c, rem) =>
+        (c, rem, if (sumRem == 0.0) Double.NaN else r6(rem / sumRem))
+      }
+    import spark.implicits._
+    out.toDF("channel", "removal_effect", "attribution_share")
+  }
+
+  /** q132's DuckDB twin: the q61 session CTEs + truncation, the same
+    * pair counts and 9-dp row-normalized matrix, and one unrolled
+    * `iters`-round MATERIALIZED chain per (base + channel) with the
+    * removed channel read as zero — the gate schema's four
+    * non-conversion channels are enumerated statically. */
+  private[graft] def markovAttributionOracle(iters: Int): String = {
+    val channels = Seq("click", "error", "signup", "view")
+    def chain(tag: String, clamp: Option[String]): String = {
+      val zero = s"""${tag}0 AS (
+        SELECT src, 0.0 AS p FROM (SELECT DISTINCT src FROM pm))"""
+      val rounds = (1 to iters).map { k =>
+        val clampArm = clamp
+          .map(c => s"WHEN p.dst = '$c' THEN 0.0\n                    ")
+          .getOrElse("")
+        s"""$tag$k AS MATERIALIZED (
+           SELECT p.src,
+                  round(sum(p.pr * CASE WHEN p.dst = 'CONV' THEN 1.0
+                    WHEN p.dst = 'NULL' THEN 0.0
+                    ${clampArm}ELSE coalesce(q.p, 0.0) END), 9) AS p
+           FROM pm p LEFT JOIN $tag${k - 1} q ON q.src = p.dst
+           GROUP BY p.src)"""
+      }
+      (zero +: rounds).mkString(",\n")
+    }
+    val chains = (chain("b", None) +:
+      channels.map(c => chain(s"r_$c", Some(c)))).mkString(",\n")
+    val rem = channels.map { c =>
+      s"""SELECT '$c' AS channel,
+            round(1.0 - c.p / b.p, 6) AS removal_effect
+          FROM (SELECT p FROM b$iters WHERE src = 'START') b,
+               (SELECT p FROM r_$c$iters WHERE src = 'START') c
+          WHERE b.p > 0"""
+    }.mkString("\n          UNION ALL\n          ")
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+                          epoch_us(ts) AS us
+                   FROM events),
+       g AS (SELECT *, CASE WHEN us - lag(us) OVER
+                (PARTITION BY user_id ORDER BY us, event_id)
+                > 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+       s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                AS sid FROM g),
+       r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                ORDER BY us, event_id) AS rn FROM s),
+       fp AS (SELECT user_id, sid,
+                     min(CASE WHEN event_type = 'purchase'
+                         THEN rn END) AS prn,
+                     max(rn) AS mrn
+              FROM r GROUP BY 1, 2),
+       kept AS (SELECT r.*, fp.prn, fp.mrn
+                FROM r JOIN fp USING (user_id, sid)
+                WHERE fp.prn IS NULL OR r.rn <= fp.prn),
+       tr1 AS (SELECT CASE WHEN rn = 1 THEN 'START'
+                      ELSE lag(event_type) OVER
+                        (PARTITION BY user_id, sid ORDER BY rn) END
+                        AS src,
+                      event_type AS dst
+               FROM kept),
+       term AS (SELECT CASE WHEN prn IS NOT NULL THEN 'purchase'
+                       ELSE event_type END AS src,
+                       CASE WHEN prn IS NOT NULL THEN 'CONV'
+                       ELSE 'NULL' END AS dst
+                FROM kept
+                WHERE (prn IS NOT NULL AND rn = prn)
+                   OR (prn IS NULL AND rn = mrn)),
+       cnt AS (SELECT src, dst, count(*) AS n
+               FROM (SELECT * FROM tr1 UNION ALL SELECT * FROM term)
+               GROUP BY 1, 2),
+       pm AS MATERIALIZED (
+         SELECT src, dst,
+                round(n / CAST(sum(n) OVER (PARTITION BY src)
+                               AS DOUBLE), 9) AS pr
+         FROM cnt),
+       $chains,
+       rem AS ($rem)
+     SELECT channel, removal_effect,
+            round(removal_effect /
+                  nullif(sum(removal_effect) OVER (), 0), 6)
+              AS attribution_share
+     FROM rem"""
+  }
+
   /** One stage of a [[funnelPatternOn]] sequence pattern. `optional`
     * stages are measured but never gate the chain (the anchor the next
     * stage matches after advances on REQUIRED stages only — the
@@ -1012,6 +1209,7 @@ object EventOps {
     "q115_attribution" -> (lastTouchAttribution _),
     "q60_funnel" -> (funnel _),
     "q131_funnel_lag" -> (funnelLag _),
+    "q132_markov_attribution" -> (markovAttribution _),
     "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_retention" -> (retention _),
     "q67_funnel_pattern" -> (funnelPattern _)
@@ -1021,6 +1219,7 @@ object EventOps {
     "q128_holt_trend" -> holtOracle,
     "q130_holt_anomalies" -> holtAnomalyOracle,
     "q131_funnel_lag" -> funnelLagOracle,
+    "q132_markov_attribution" -> markovAttributionOracle(30),
     // q126: the same lagged pair extraction on the same unique sort,
     // the same session-gap filter, the same row-normalized 4-dp p
     "q126_markov_transitions" ->

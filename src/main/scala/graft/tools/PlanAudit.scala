@@ -108,7 +108,8 @@ object PlanAudit {
       "m11_dhash", "t27_zipf_slope", "s30_farthest_first",
       "c32_doremi_waterfill", "q130_holt_anomalies",
       "d21_dedup_containment", "m12_shot_boundaries",
-      "t28_trigram_backoff", "q131_funnel_lag")
+      "t28_trigram_backoff", "q131_funnel_lag",
+      "q132_markov_attribution")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

@@ -709,6 +709,16 @@ object ScaleProbe {
           "CASE WHEN id % 3 = 0 THEN 'view' WHEN id % 3 = 1 " +
             "THEN 'click' ELSE 'purchase' END AS event_type",
           "id * 60000000 AS us")))),
+      // q132: one user-keyed session sort + a types²-bounded count
+      // agg; the Jacobi solve reads <=42 collected numbers per
+      // channel — corpus volume pays only the sessionization
+      ("q132_markov_attribution", n => EventOps.markovAttributionOn(
+        spark.range(n).selectExpr("id AS event_id",
+          "pmod(xxhash64(id), 2000) AS user_id",
+          "CASE pmod(xxhash64(id, 5), 5) WHEN 0 THEN 'view' " +
+            "WHEN 1 THEN 'click' WHEN 2 THEN 'signup' " +
+            "WHEN 3 THEN 'error' ELSE 'purchase' END AS event_type",
+          "id * 60000000 AS us"))),
       // q130: q128's series fold + two grouped percentiles on the
       // days×types frame — event volume pays only the daily agg
       ("q130_holt_anomalies", n => EventOps.holtAnomaliesOn(
