@@ -494,6 +494,137 @@ object GraphOps {
       .select(col("f.query_id").as("a"), col("f.neighbor_id").as("b"))
   }
 
+  /** g31: LINK-PREDICTION AUC EVAL — the measurement harness that
+    * closes the g27 arc: hold out 20% of the mutual-kNN graph's
+    * edges by a PORTABLE hash of the pair, score candidates on the
+    * REMAINING graph with g27's three heuristics (common-neighbor /
+    * Adamic–Adar / jaccard, same wedge kernel, train edges
+    * anti-joined out), then rank-sum AUC of each score at telling
+    * apart held-out true edges from never-edges — the standard
+    * Mann–Whitney with tie-averaged ranks, P(score_pos > score_neg)
+    * + ½P(tie). One row: (n_pos, n_neg, auc_cn, auc_aa, auc_jac),
+    * AUCs 6 dp. AUC ≫ 0.5 is the evidence the heuristics carry
+    * signal on this graph; comparing the three columns is model
+    * selection. (The co-purchase graph can't host this eval — it is
+    * bipartite, wedge candidates are always same-side pairs, and no
+    * held-out cross-side edge could ever be recovered — so the eval
+    * runs on the kNN graph, built inline like g02's gate form.)
+    *
+    * Scale shape: the AUC avoids any global rank sort — scores
+    * aggregate to a (score, n_pos, n_neg) frame first (VALUE-bounded:
+    * 4-dp grid / small integers — the c26/q100 argument), and the
+    * cumulative-negatives window runs on that distinct-score frame,
+    * never on candidates. Wedge generation inherits g27's hub cap. */
+  def linkPredAuc(spark: SparkSession, sfDir: String): DataFrame =
+    linkPredAucOn(mutualKnnEdgesOn(embVecs(spark, sfDir)))
+
+  /** [[linkPredAuc]] over any undirected (a, b) a<b pair frame. A
+    * pre-existing `is_test` column is honored verbatim (the seam for
+    * an externally-defined holdout — and for the spec's hand
+    * splits); otherwise the portable-hash 1-in-`testMod` split is
+    * derived here. */
+  private[graft] def linkPredAucOn(pairs0: DataFrame,
+      testMod: Int = 5, maxDeg: Long = 300): DataFrame = {
+    val hash = graft.operators.PortableHash.packed("'lp' || a || ':' || b", 4)
+    val split =
+      if (pairs0.columns.contains("is_test")) pairs0.select("a", "b", "is_test")
+      else pairs0.select(col("a"), col("b"),
+        (expr(hash) % testMod === 0).as("is_test"))
+    val pairs = Persists.barrier(split)
+    val train = pairs.filter(!col("is_test")).select("a", "b")
+    val tedges = train.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(train.select(col("b").as("src"), col("a").as("dst")))
+    val deg = Persists.barrier(
+      tedges.groupBy("src").agg(count(lit(1)).as("d")))
+    val cold = Persists.barrier(
+      tedges.join(deg.filter(col("d") <= maxDeg), "src"))
+    val scored = cold.as("x").join(cold.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("a"), col("y.dst").as("b"))
+      .agg(count(lit(1)).as("cn"),
+        round(sum(lit(1.0) / log(col("x.d"))), 4).as("aa"))
+    val cand = Persists.barrier(scored
+      .join(train, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("src").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("src").as("b"), col("d").as("db")), "b")
+      .join(pairs.filter(col("is_test")).select(col("a"), col("b"),
+        lit(1).as("lbl")), Seq("a", "b"), "left")
+      .select(col("cn"), col("aa"),
+        round(col("cn") * lit(1.0) / (col("da") + col("db") - col("cn")),
+          4).as("jac"),
+        coalesce(col("lbl"), lit(0)).as("lbl")))
+    def auc(s: String): DataFrame = {
+      val g = cand.groupBy(col(s).as("score"))
+        .agg(sum("lbl").as("np"), sum(lit(1) - col("lbl")).as("nn"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cumneg", coalesce(sum("nn").over(w), lit(0L)))
+        .agg(sum(col("np") * (col("cumneg") + col("nn") / 2.0)).as("num"),
+          sum("np").as("npos"), sum("nn").as("nneg"))
+        .select(round(col("num") / (col("npos") * col("nneg")), 6)
+          .as(s"auc_$s"), col("npos"), col("nneg"))
+    }
+    auc("cn").select(col("npos").as("n_pos"), col("nneg").as("n_neg"),
+        col("auc_cn"))
+      .crossJoin(auc("aa").select("auc_aa"))
+      .crossJoin(auc("jac").select("auc_jac"))
+  }
+
+  /** g31's oracle: the shared kNN CTE prefix, the same hash split,
+    * g27's wedge algebra on the train graph, and the value-bounded
+    * rank-sum AUC per score. */
+  private def linkPredAucOracle(testMod: Int, maxDeg: Long): String = {
+    val hash = graft.operators.PortableHash.packed("'lp' || a || ':' || b", 4)
+    def aucCte(s: String): String =
+      s"""g_$s AS (SELECT $s AS score, sum(lbl) AS np,
+                        sum(1 - lbl) AS nn
+                 FROM cand GROUP BY 1),
+         w_$s AS (SELECT *, coalesce(sum(nn) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cumneg
+                  FROM g_$s),
+         a_$s AS (SELECT round(sum(np * (cumneg + nn / 2.0)) /
+                    (sum(np) * sum(nn)), 6) AS auc_$s,
+                    sum(np) AS npos, sum(nn) AS nneg
+                  FROM w_$s)"""
+    s"""WITH ${knnEdgeCtes(None)},
+       pairs AS MATERIALIZED (
+         SELECT a, b, ($hash % $testMod = 0) AS is_test FROM mutual),
+       train AS MATERIALIZED (
+         SELECT a, b FROM pairs WHERE NOT is_test),
+       tedges AS MATERIALIZED (
+         SELECT a AS src, b AS dst FROM train
+         UNION ALL
+         SELECT b AS src, a AS dst FROM train),
+       deg AS MATERIALIZED (
+         SELECT src, count(*) AS d FROM tedges GROUP BY src),
+       cold AS MATERIALIZED (
+         SELECT e.src, e.dst, g.d FROM tedges e
+         JOIN deg g ON g.src = e.src WHERE g.d <= $maxDeg),
+       wsc AS MATERIALIZED (
+         SELECT x.dst AS a, y.dst AS b, count(*) AS cn,
+                round(sum(1.0 / ln(x.d)), 4) AS aa
+         FROM cold x JOIN cold y ON x.src = y.src AND x.dst < y.dst
+         GROUP BY x.dst, y.dst),
+       cand AS MATERIALIZED (
+         SELECT s.cn, s.aa,
+                round(s.cn * 1.0 / (da.d + db.d - s.cn), 4) AS jac,
+                CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END AS lbl
+         FROM wsc s
+         JOIN deg da ON da.src = s.a
+         JOIN deg db ON db.src = s.b
+         LEFT JOIN (SELECT a, b FROM pairs WHERE is_test) t
+           ON t.a = s.a AND t.b = s.b
+         WHERE NOT EXISTS (SELECT 1 FROM train tr
+                           WHERE tr.a = s.a AND tr.b = s.b)),
+       ${aucCte("cn")},
+       ${aucCte("aa")},
+       ${aucCte("jac")}
+     SELECT a_cn.npos AS n_pos, a_cn.nneg AS n_neg,
+            a_cn.auc_cn, a_aa.auc_aa, a_jac.auc_jac
+     FROM a_cn, a_aa, a_jac"""
+  }
+
   /** g21: Newman MODULARITY of a partition — Q = Σ_c (e_c/m −
     * (d_c/2m)²), the objective every community-detection method
     * optimizes, computed over a low→high edge list (a, b) and a
@@ -1950,6 +2081,8 @@ object GraphOps {
       ((s: SparkSession, d: String) => diameterEstimate(s, d)),
     "g27_link_prediction" ->
       ((s: SparkSession, d: String) => linkPrediction(s, d)),
+    "g31_linkpred_auc" ->
+      ((s: SparkSession, d: String) => linkPredAuc(s, d)),
     "g28_random_walks" ->
       ((s: SparkSession, d: String) => randomWalks(s, d)),
     "g29_skipgram_pairs" ->
@@ -2441,6 +2574,7 @@ object GraphOps {
     "g26_diameter_sweep" -> diameterOracle(BfsHops),
     "g27_link_prediction" ->
       linkPredictionOracle(LinkPredMaxDeg, LinkPredTopK),
+    "g31_linkpred_auc" -> linkPredAucOracle(5, 300),
     "g28_random_walks" -> randomWalksOracle(WalkSteps),
     "g29_skipgram_pairs" -> skipGramOracle(WalkSteps, SkipGramWindow),
     "g30_ppmi_scores" -> ppmiOracle(WalkSteps, SkipGramWindow),

@@ -109,7 +109,7 @@ object PlanAudit {
       "c32_doremi_waterfill", "q130_holt_anomalies",
       "d21_dedup_containment", "m12_shot_boundaries",
       "t28_trigram_backoff", "q131_funnel_lag",
-      "q132_markov_attribution")
+      "q132_markov_attribution", "g31_linkpred_auc")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

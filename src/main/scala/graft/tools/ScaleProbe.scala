@@ -709,6 +709,12 @@ object ScaleProbe {
           "CASE WHEN id % 3 = 0 THEN 'view' WHEN id % 3 = 1 " +
             "THEN 'click' ELSE 'purchase' END AS event_type",
           "id * 60000000 AS us")))),
+      // g31: g27's capped wedge kernel on the train split + a
+      // VALUE-bounded distinct-score AUC window (never a global
+      // candidate sort) — constant-degree ladder keeps wedges linear
+      ("g31_linkpred_auc", n => GraphOps.linkPredAucOn(
+        spark.range(n).selectExpr("id AS a",
+          "explode(array(id + 1, id + 2)) AS b"))),
       // q132: one user-keyed session sort + a types²-bounded count
       // agg; the Jacobi solve reads <=42 collected numbers per
       // channel — corpus volume pays only the sessionization
