@@ -134,7 +134,8 @@ object Bench {
     "c32_doremi_waterfill", "q130_holt_anomalies",
     "d21_dedup_containment", "m12_shot_boundaries",
     "t28_trigram_backoff", "q131_funnel_lag",
-    "q132_markov_attribution", "g31_linkpred_auc")
+    "q132_markov_attribution", "g31_linkpred_auc",
+    "p11_planner_anneal", "q133_seasonality_index")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -1014,6 +1014,64 @@ object EventOps {
        FROM h"""
   }
 
+  /** q133: DAY-OF-WEEK SEASONALITY INDEX — the multiplicative
+    * seasonal component at weekly period (the classical-decomposition
+    * sibling of q128, whose level+trend smoother deliberately carries
+    * NO seasonal term): per event_type, index(dow) = mean observed
+    * daily total on that weekday / mean observed daily total overall
+    * — index > 1 marks an above-trend weekday; the vector of seven
+    * indexes deseasonalizes any of the q122/q128 forecasts by one
+    * division. Weekday comes from PORTABLE integer arithmetic on
+    * epoch days (pmod(days + 3, 7): 0 = Monday — engine date
+    * functions disagree on week anchors, 1970-01-01 was a Thursday),
+    * means are over OBSERVED days only (a day with no events is
+    * absent, not zero), and the index lands on the 4-dp grid with a
+    * nullif'd denominator. Output (event_type, dow, n_days,
+    * dow_mean, index).
+    *
+    * Scale shape: the q26 daily partial-agg, then everything runs on
+    * the days×types series frame into a 7×types result. */
+  def seasonalityIndex(spark: SparkSession, sfDir: String): DataFrame =
+    seasonalityIndexOn(Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+        col("event_type"))
+      .agg(round(coalesce(sum("value"), lit(0.0)), 2).as("v")))
+
+  /** [[seasonalityIndex]] over any (event_type, day, v) series. */
+  private[graft] def seasonalityIndexOn(series: DataFrame): DataFrame = {
+    val s = Persists.barrier(series.withColumn("dow",
+      pmod(datediff(col("day"), lit("1970-01-01")) + 3, lit(7))))
+    val byDow = s.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"),
+        round(avg("v"), 4).as("dow_mean"))
+    val byType = s.groupBy("event_type")
+      .agg(round(avg("v"), 4).as("type_mean"))
+    byDow.join(byType, "event_type")
+      .select(col("event_type"), col("dow"), col("n_days"),
+        col("dow_mean"),
+        round(col("dow_mean") / expr("nullif(type_mean, 0.0D)"), 4)
+          .as("index"))
+  }
+
+  /** q133's DuckDB twin: the same daily series, epoch-day weekday
+    * arithmetic, observed-day means, and 4-dp grids. */
+  private[graft] val seasonalityOracle: String =
+    """WITH d AS (SELECT event_type,
+                         CAST(date_trunc('day', ts) AS DATE) AS day,
+                         round(coalesce(sum(value), 0.0), 2) AS v
+                  FROM events GROUP BY 1, 2),
+        w AS (SELECT *,
+                     ((day - DATE '1970-01-01') + 3) % 7 AS dow
+              FROM d),
+        bd AS (SELECT event_type, dow, count(*) AS n_days,
+                      round(avg(v), 4) AS dow_mean
+               FROM w GROUP BY 1, 2),
+        bt AS (SELECT event_type, round(avg(v), 4) AS type_mean
+               FROM w GROUP BY 1)
+      SELECT bd.event_type, bd.dow, bd.n_days, bd.dow_mean,
+             round(bd.dow_mean / nullif(bt.type_mean, 0.0), 4) AS index
+      FROM bd JOIN bt ON bd.event_type = bt.event_type"""
+
   /** q122's DuckDB twin: same daily series, same frame-ordered list,
     * same indexed weight transform and 4-dp rounding. */
   private[graft] val ewmaOracle: String = {
@@ -1210,6 +1268,7 @@ object EventOps {
     "q60_funnel" -> (funnel _),
     "q131_funnel_lag" -> (funnelLag _),
     "q132_markov_attribution" -> (markovAttribution _),
+    "q133_seasonality_index" -> (seasonalityIndex _),
     "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_retention" -> (retention _),
     "q67_funnel_pattern" -> (funnelPattern _)
@@ -1220,6 +1279,7 @@ object EventOps {
     "q130_holt_anomalies" -> holtAnomalyOracle,
     "q131_funnel_lag" -> funnelLagOracle,
     "q132_markov_attribution" -> markovAttributionOracle(30),
+    "q133_seasonality_index" -> seasonalityOracle,
     // q126: the same lagged pair extraction on the same unique sort,
     // the same session-gap filter, the same row-normalized 4-dp p
     "q126_markov_transitions" ->

@@ -421,7 +421,77 @@ object Enumerators {
     }
   }
 
+  /** Simulated-annealing join-order search (the Ioannidis & Kang 1990
+    * 2PO family's stochastic half — the classic enumerator between
+    * the reference's random baseline and its learned policy: local
+    * moves + a cooling schedule instead of uniform shuffles or a
+    * trained Q-table). State = a left-deep permutation; start = the
+    * BFS-from-relation-0 order (always cross-product-free on a
+    * connected graph); move = swap two positions, REJECTED outright
+    * if any prefix of the new permutation would need a cross product
+    * (validity is structural, never priced); accept improvements
+    * always and regressions with probability exp(−Δ/T) under a
+    * geometric schedule T ← 0.95·T from T₀ = the start cost. Fully
+    * deterministic given the seed; the best-ever valid order is
+    * returned. Beats [[RandomOrder]] by construction (it starts
+    * valid and only ever improves the incumbent best) and is the
+    * cheap non-exhaustive fallback when n is past DPccp's range
+    * ([[BranchAndBound]]'s refusal zone). */
+  final case class Annealing(seed: Long = 17L, steps: Int = 200)
+      extends JoinOrderPlanner {
+    val name = "anneal"
+    protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree = {
+      require(g.connected(g.full), "anneal requires a connected join graph")
+      // BFS order from relation 0: each appended relation touches the
+      // visited set, so every prefix is connected
+      val start = {
+        val seen = mutable.ArrayBuffer(0)
+        while (seen.size < g.n) {
+          val next = (0 until g.n).find(i => !seen.contains(i) &&
+            g.crossEdges(seen.map(1L << _).reduce(_ | _), 1L << i).nonEmpty)
+          seen += next.getOrElse(
+            sys.error("anneal: graph disconnected"))
+        }
+        seen.toVector
+      }
+      def treeOf(perm: Vector[Int]): Option[JoinTree] = {
+        var acc: JoinTree = Leaf(perm.head)
+        for (i <- perm.tail) {
+          if (g.crossEdges(acc.set, 1L << i).isEmpty) return None
+          acc = Node(acc, Leaf(i))
+        }
+        Some(acc)
+      }
+      def costOf(perm: Vector[Int]): Option[(JoinTree, Double)] =
+        treeOf(perm).map(t => t -> CostModel.treeCost(t, cm, card))
+      val rnd = new scala.util.Random(seed)
+      var (curTree, curCost) = costOf(start).get
+      var cur = start
+      var (bestTree, bestCost) = (curTree, curCost)
+      var temp = math.max(curCost, 1.0)
+      for (_ <- 0 until steps) {
+        val i = rnd.nextInt(g.n)
+        val j = rnd.nextInt(g.n)
+        if (i != j) {
+          val prop = cur.updated(i, cur(j)).updated(j, cur(i))
+          costOf(prop) match {
+            case Some((t, c)) =>
+              val accept = c <= curCost ||
+                rnd.nextDouble() < math.exp((curCost - c) / temp)
+              if (accept) {
+                cur = prop; curTree = t; curCost = c
+                if (c < bestCost) { bestTree = t; bestCost = c }
+              }
+            case None => // cross-product move: structurally rejected
+          }
+        }
+        temp = math.max(temp * 0.95, 1e-9)
+      }
+      bestTree
+    }
+  }
+
   val all: Seq[JoinOrderPlanner] =
     Seq(DPccp, NaiveDP, LeftDeepDP, Greedy, Bushy, BranchAndBound(),
-      RandomOrder())
+      RandomOrder(), Annealing())
 }

@@ -77,7 +77,10 @@ object PlannerQueries {
     "p07_planner_learned" -> runFlagship(QPolicy.Planner) _,
     "p08_planner_cycle" -> runCycle(Enumerators.DPccp) _,
     "p09_planner_bushy" -> runFlagship(Enumerators.Bushy) _,
-    "p10_planner_statsest" -> (runFlagshipStats _)
+    "p10_planner_statsest" -> (runFlagshipStats _),
+    // p11: simulated annealing — the stochastic local-search member
+    // of §2b between p04's uniform shuffle and p07's learned policy
+    "p11_planner_anneal" -> runFlagship(Enumerators.Annealing()) _
   )
 
   /** p10: the flagship planned with cardinalities estimated ONLY from

@@ -109,7 +109,8 @@ object PlanAudit {
       "c32_doremi_waterfill", "q130_holt_anomalies",
       "d21_dedup_containment", "m12_shot_boundaries",
       "t28_trigram_backoff", "q131_funnel_lag",
-      "q132_markov_attribution", "g31_linkpred_auc")
+      "q132_markov_attribution", "g31_linkpred_auc",
+      "p11_planner_anneal", "q133_seasonality_index")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature

@@ -715,6 +715,17 @@ object ScaleProbe {
       ("g31_linkpred_auc", n => GraphOps.linkPredAucOn(
         spark.range(n).selectExpr("id AS a",
           "explode(array(id + 1, id + 2)) AS b"))),
+      // q133: the q26 daily partial agg; index math on the 7×types
+      // frame — linear in events by construction
+      ("q133_seasonality_index", n => EventOps.seasonalityIndexOn(
+        spark.range(n).selectExpr(
+          "concat('t', id % 5) AS event_type",
+          "date_add(date'2024-01-01', cast(pmod(id div 5, 365) as int))"
+            + " AS day",
+          "cast(pmod(xxhash64(id), 100) as double) AS v")
+          .groupBy("event_type", "day")
+          .agg(org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.sum("v"), 2).as("v")))),
       // q132: one user-keyed session sort + a types²-bounded count
       // agg; the Jacobi solve reads <=42 collected numbers per
       // channel — corpus volume pays only the sessionization

@@ -51,7 +51,9 @@ class EnumeratorsSpec extends AnyFunSuite {
         val gr = Enumerators.Greedy.plan(g, card, cm)
         val bu = Enumerators.Bushy.plan(g, card, cm)
         val rd = Enumerators.RandomOrder().plan(g, card, cm)
-        Seq(dp, naive, bnb, ld, gr, bu, rd).foreach(p => assertValid(p.tree, g))
+        val an = Enumerators.Annealing().plan(g, card, cm)
+        Seq(dp, naive, bnb, ld, gr, bu, rd, an)
+          .foreach(p => assertValid(p.tree, g))
         val eps = 1e-6 * math.max(1.0, naive.cost)
         assert(math.abs(dp.cost - naive.cost) <= eps,
           s"trial $trial ${cm.name}: DPccp ${dp.cost} != naive ${naive.cost}")
@@ -61,6 +63,10 @@ class EnumeratorsSpec extends AnyFunSuite {
         assert(gr.cost >= naive.cost - eps, "greedy below optimum?!")
         assert(bu.cost >= naive.cost - eps, "bushy below optimum?!")
         assert(rd.cost >= naive.cost - eps, "random below optimum?!")
+        // annealing searches the left-deep space: bounded below by the
+        // left-deep OPTIMUM (and so by the global optimum)
+        assert(an.cost >= ld.cost - eps && an.cost >= naive.cost - eps,
+          s"trial $trial ${cm.name}: anneal ${an.cost} beat exhaustive?!")
       }
     }
   }
@@ -234,5 +240,38 @@ class EnumeratorsSpec extends AnyFunSuite {
     val card = randomCard(g, rnd)
     val p = Enumerators.DPccp.plan(g, card, CostModel.Cout)
     assert(math.abs(p.perJoinCosts.sum - p.cost) < 1e-9)
+  }
+
+  test("annealing is deterministic under a fixed seed") {
+    val rnd = new Random(13)
+    val g = randomGraph(7, 3, rnd)
+    val card = randomCard(g, rnd)
+    val a = Enumerators.Annealing(seed = 5).plan(g, card, CostModel.Cout)
+    val b = Enumerators.Annealing(seed = 5).plan(g, card, CostModel.Cout)
+    assert(a.tree == b.tree && a.cost == b.cost)
+  }
+
+  test("annealing converges to the left-deep optimum on small graphs") {
+    // with 200 proposals over <= 7 relations the swap neighborhood is
+    // covered many times over — on 20 random graphs the incumbent best
+    // must reach the left-deep optimum in at least 15
+    val rnd = new Random(21)
+    val hits = (1 to 20).count { _ =>
+      val g = randomGraph(2 + rnd.nextInt(5), rnd.nextInt(3), rnd)
+      val card = randomCard(g, rnd)
+      val an = Enumerators.Annealing().plan(g, card, CostModel.Cout)
+      val ld = Enumerators.LeftDeepDP.plan(g, card, CostModel.Cout)
+      an.cost <= ld.cost + 1e-6 * math.max(1.0, ld.cost)
+    }
+    assert(hits >= 15, s"annealing hit the left-deep optimum $hits/20")
+  }
+
+  test("annealing refuses a disconnected graph instead of crossing") {
+    val g = QueryGraph(Vector("a", "b", "c"), Vector(JoinEdge(0, 1)))
+    val rnd = new Random(9)
+    val card = randomCard(g, rnd)
+    assertThrows[IllegalArgumentException] {
+      Enumerators.Annealing().plan(g, card, CostModel.Cout)
+    }
   }
 }
