@@ -135,7 +135,8 @@ object Bench {
     "d21_dedup_containment", "m12_shot_boundaries",
     "t28_trigram_backoff", "q131_funnel_lag",
     "q132_markov_attribution", "g31_linkpred_auc",
-    "p11_planner_anneal", "q133_seasonality_index")
+    "p11_planner_anneal", "q133_seasonality_index",
+    "c33_mix_anneal", "m13_silence_trim")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

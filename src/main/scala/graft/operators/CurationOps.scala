@@ -1160,7 +1160,56 @@ object CurationOps {
               AS supply_capped
      FROM s"""
 
+  // --------------------------------------------- c33 mix annealing
+  /** c33: MIXTURE-ANNEALING SCHEDULE — the per-epoch domain-weight
+    * plan that turns c31's single optimized mix into a TRAINING
+    * CURRICULUM (the data-scheduling practice behind staged mixes:
+    * open at the reweighted distribution, anneal linearly to uniform
+    * by the final epoch so late training sees every domain evenly —
+    * the mirror-image schedule is one sign flip): for epoch e of E,
+    * t = e/(E−1) and weight_{e,d} = (1−t)·w_d + t/D on the 6-dp
+    * grid. Σ_d weight = 1 at every epoch (each epoch is a convex
+    * combination of two unit simplices — MixAnnealSpec asserts it on
+    * the grid). Output (epoch, source, weight).
+    *
+    * Scale shape: c31's scorer plus a D×E literal-range cross join —
+    * the schedule frame is domains × epochs however big the corpus. */
+  def mixAnneal(spark: SparkSession, sfDir: String,
+      epochs: Int = 4): DataFrame =
+    mixAnnealOn(doremiStep(spark, sfDir).select("source", "weight"),
+      epochs)
+
+  /** [[mixAnneal]] over any (source, weight) mix frame. */
+  private[graft] def mixAnnealOn(
+      weights: DataFrame, epochs: Int): DataFrame = {
+    require(epochs >= 2, s"a schedule needs >= 2 epochs, got $epochs")
+    val w = Persists.barrier(weights)
+    val d = w.select(count(lit(1)).cast("double").as("nd"))
+    w.crossJoin(d)
+      .select(col("source"), col("weight"), col("nd"),
+        explode(expr(s"sequence(0, ${epochs - 1})")).as("epoch"))
+      .select(col("epoch").cast("int").as("epoch"), col("source"),
+        round((lit(1.0) - col("epoch") / lit((epochs - 1).toDouble)) *
+          col("weight") +
+          (col("epoch") / lit((epochs - 1).toDouble)) / col("nd"), 6)
+          .as("weight"))
+  }
+
+  /** c33's DuckDB twin: c31's oracle as the weight CTE, the same
+    * linear interpolation on the same 6-dp grid. */
+  private def mixAnnealOracle(epochs: Int): String =
+    s"""WITH dw AS ($doremiOracle),
+       d AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM dw),
+       e AS (SELECT unnest(range(0, $epochs)) AS epoch)
+     SELECT CAST(e.epoch AS INTEGER) AS epoch, dw.source,
+            round((1.0 - e.epoch / ${(epochs - 1).toDouble}) * dw.weight
+                  + (e.epoch / ${(epochs - 1).toDouble}) / d.nd, 6)
+              AS weight
+     FROM dw CROSS JOIN d CROSS JOIN e"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c33_mix_anneal" ->
+      ((s: SparkSession, d: String) => mixAnneal(s, d)),
     "c32_doremi_waterfill" ->
       ((s: SparkSession, d: String) => doremiWaterfill(s, d)),
     "c31_doremi_weights" ->
@@ -1347,6 +1396,7 @@ object CurationOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "c33_mix_anneal" -> mixAnnealOracle(4),
     "c32_doremi_waterfill" -> doremiWaterfillOracle,
     "c31_doremi_weights" -> doremiOracle,
     "c30_waterfill_budget" -> waterfillOracle,

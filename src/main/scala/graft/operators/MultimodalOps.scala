@@ -391,6 +391,54 @@ object MultimodalOps {
         (col("hamming") >= tau).cast("int").as("is_boundary"))
   }
 
+  /** m13: SILENCE-TRIM SEGMENTATION (VAD-style) — the audio
+    * preprocessing every speech pipeline runs before feature
+    * extraction: classify fixed frames as silent when their energy
+    * falls below a fraction of the item's mean frame energy, then
+    * emit the maximal ACTIVE spans (gaps-and-islands over frame_no)
+    * as (media_id, span_start, span_end, n_frames). Energy here is
+    * the frame's code sum (the m06 stand-in for decoded amplitude);
+    * the silence test is the integer CROSS-MULTIPLY
+    * 50·frame_total·n_frames < 49·media_total (θ = 0.98 of the item
+    * mean — BINDS on the gate corpus, where frame means vary ±4%),
+    * the island id is the classic frame_no − row_number difference
+    * over active frames. Incomplete tail frames are dropped (the m12
+    * convention). The stub discipline: payload chars stand in for
+    * samples; the plan — map-side frame explode, one media-keyed
+    * window, one (media, island) agg — is the production one, and
+    * nothing crosses media items. */
+  def silenceTrim(spark: SparkSession, sfDir: String): DataFrame =
+    silenceTrimOn(mediaTable(spark, sfDir)
+      .select(col("media_id"), expr("decode(payload, 'utf-8')").as("txt")))
+
+  /** [[silenceTrim]] over any (media_id, txt) frame. */
+  private[graft] def silenceTrimOn(d: DataFrame): DataFrame = {
+    val frames = d.filter(length(col("txt")) >= 64)
+      .select(col("media_id"),
+        posexplode(expr(
+          """transform(sequence(0, int(length(txt) div 64) - 1),
+               f -> aggregate(transform(sequence(1, 64),
+                 i -> CAST(ascii(substr(txt, f * 64 + i, 1)) AS BIGINT)),
+                 0L, (a, x) -> a + x))"""))
+          .as(Seq("frame_no", "ftotal")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("media_id")
+    val active = frames
+      .withColumn("mtotal", sum("ftotal").over(w))
+      .withColumn("nf", count(lit(1)).over(w))
+      .filter(lit(50) * col("ftotal") * col("nf") >=
+        lit(49) * col("mtotal"))
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_no")
+    active
+      .withColumn("island",
+        col("frame_no") - row_number().over(wo))
+      .groupBy("media_id", "island")
+      .agg(min("frame_no").as("span_start"),
+        max("frame_no").as("span_end"),
+        count(lit(1)).cast("int").as("n_frames"))
+      .select("media_id", "span_start", "span_end", "n_frames")
+  }
+
   /** m07: aHash candidate PAIRS — the d07 simhash-banding discipline
     * over [[ahash]]'s chunk columns: media sharing ANY 16-bit chunk
     * band-collide, and each candidate carries its full 64-bit Hamming
@@ -659,6 +707,7 @@ object MultimodalOps {
     "m11_dhash" -> (dhash _),
     "m12_shot_boundaries" -> ((s: SparkSession, d: String) =>
       shotBoundaries(s, d)),
+    "m13_silence_trim" -> (silenceTrim _),
     "m01_binary_meta" -> (binaryMeta _),
     "m01b_byte_len" -> (byteLen _),
     "m02_feature_extract" -> (featureExtract _),
@@ -744,6 +793,32 @@ object MultimodalOps {
                                = h.media_id
                           THEN 1 ELSE 0 END AS INTEGER) AS kept
          FROM h LEFT JOIN lab ON lab.media_id = h.media_id""",
+    // m13: the m12 frame fan-out reduced to energy sums, the same
+    // integer cross-multiply threshold, islands by rn difference
+    "m13_silence_trim" ->
+      """WITH f AS (
+           SELECT media_id, CAST(f AS INTEGER) AS frame_no,
+                  CAST(list_sum(list_transform(range(1, 65),
+                    i -> ascii(substr(text,
+                           CAST(f * 64 + i AS INTEGER), 1))))
+                    AS BIGINT) AS ftotal
+           FROM (SELECT doc_id AS media_id, text,
+                        unnest(range(0, length(text) // 64)) AS f
+                 FROM documents WHERE length(text) >= 64)),
+         t AS (SELECT *,
+                      sum(ftotal) OVER (PARTITION BY media_id)
+                        AS mtotal,
+                      count(*) OVER (PARTITION BY media_id) AS nf
+               FROM f),
+         act AS (SELECT media_id, frame_no,
+                        frame_no - row_number() OVER
+                          (PARTITION BY media_id ORDER BY frame_no)
+                          AS island
+                 FROM t WHERE 50 * ftotal * nf >= 49 * mtotal)
+       SELECT media_id, min(frame_no) AS span_start,
+              max(frame_no) AS span_end,
+              CAST(count(*) AS INTEGER) AS n_frames
+       FROM act GROUP BY media_id, island""",
     // m12: same frame fan-out as m03, the m06 cross-multiply per
     // 4-unit block, the same lag/xor/bit_count scoring
     "m12_shot_boundaries" ->

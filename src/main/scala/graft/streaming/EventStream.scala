@@ -246,6 +246,24 @@ object EventStream {
         round(coalesce(col("sv"), lit(0.0)), 2).as("v")))
   }
 
+  /** q134: STREAMING SEASONALITY — q133's weekday index as events
+    * land, on the SAME commutative per-(type, day) sum state as q129
+    * (one daily-aggregation query shape serves the whole q122/q128/
+    * q133 family); the serve tail is `seasonalityIndexOn` VERBATIM
+    * on the completed sink, gated by q133's oracle. */
+  def seasonalityStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = StreamRun.toCompletion(
+      readEvents(spark, sfDir, glob = "events.parquet")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+          col("event_type"))
+        .agg(sum("value").as("sv")),
+      "graft_stream_seasonality", outputMode = "complete")
+    val fresh = spark.createDataFrame(daily.rdd, daily.schema)
+    graft.operators.EventOps.seasonalityIndexOn(
+      fresh.select(col("event_type"), col("day"),
+        round(coalesce(col("sv"), lit(0.0)), 2).as("v")))
+  }
+
   /** q72: view → purchase attribution pairs as a STREAM-STREAM inner
     * join — the one Structured Streaming surface the other gates don't
     * exercise. Both sides watermark their event time and the join
@@ -386,6 +404,7 @@ object EventStream {
       histogramStream(s, d)),
     "q50_stream_hourly" -> (hourlyCountsStreamed _),
     "q129_stream_holt" -> (holtStreamed _),
+    "q134_stream_seasonality" -> (seasonalityStreamed _),
     "q72_stream_attribution" -> (attributionStreamed _),
     "q78_stream_sliding" -> (slidingCountsStreamed _),
     "q106_stream_hll" -> (hllStream _),
@@ -421,6 +440,9 @@ object EventStream {
     // must reproduce the batch smoother row for row
     "q129_stream_holt" ->
       graft.operators.EventOps.oracleSql("q128_holt_trend"),
+    // q134: q133's batch oracle verbatim
+    "q134_stream_seasonality" ->
+      graft.operators.EventOps.oracleSql("q133_seasonality_index"),
     // every epoch-aligned 15-min slide whose 1-hour window covers the
     // event: strictly-greater lower bound (a window starting exactly
     // ts − 1 h has already closed), inclusive upper (a window starting

@@ -715,6 +715,13 @@ object ScaleProbe {
       ("g31_linkpred_auc", n => GraphOps.linkPredAucOn(
         spark.range(n).selectExpr("id AS a",
           "explode(array(id + 1, id + 2)) AS b"))),
+      // m13: map-side frame-energy explode + one media-keyed window
+      // + (media, island) agg — nothing crosses media items
+      ("m13_silence_trim", n => MultimodalOps.silenceTrimOn(
+        spark.range(n).selectExpr("id AS media_id",
+          """concat_ws('', transform(sequence(0, 199),
+               j -> chr(97 + cast(pmod(xxhash64(id * 7 + j), 26) as int))))
+             AS txt"""))),
       // q133: the q26 daily partial agg; index math on the 7×types
       // frame — linear in events by construction
       ("q133_seasonality_index", n => EventOps.seasonalityIndexOn(
