@@ -491,7 +491,119 @@ object Enumerators {
     }
   }
 
+  /** IKKBZ — the polynomial-time OPTIMAL left-deep enumerator for
+    * acyclic query graphs under ASI cost functions (Ibaraki & Kameda,
+    * TODS'84; Krishnamurthy, Boral & Zaniolo, VLDB'86; the
+    * rank/normalize presentation follows Moerkotte, "Building Query
+    * Compilers" §3.2.3). The classical third pole of the enumerator
+    * space next to exponential exact DP (p01/p02) and unguaranteed
+    * local search (p03/p11): O(n²) with a proof, on tree graphs, for
+    * exactly the C_out metric the reference's MyCostFactory prices
+    * (MyCostFactory.java:64-69).
+    *
+    * Per root: build the precedence tree, recursively normalize each
+    * subtree into a rank-ascending chain of modules (merging a module
+    * into its successor whenever rank(pred) > rank(succ) — the ASI
+    * exchange argument makes the merged order locally forced), merge
+    * sibling chains by ascending rank, and emit root ∷ chain; the best
+    * root wins. rank(S) = (T(S)−1)/C(S) with T(i) = s_i·n_i,
+    * C(i) = T(i), T(AB) = T(A)·T(B), C(AB) = C(A)+T(A)·C(B).
+    *
+    * CYCLIC graphs get the standard generalization (Steinbrunn,
+    * Moerkotte & Kemper, VLDB J.'97 §4.1): run IKKBZ on the
+    * maximum-selectivity-first spanning tree (Kruskal over ascending
+    * edge selectivity). Exact on trees, heuristic on cycles; every
+    * emitted prefix is connected in the spanning tree and therefore in
+    * the full graph, so no cross products either way. Final candidate
+    * trees are priced with the SESSION cost model, so under MM/CM2 the
+    * ranks act as a (good) heuristic while the root choice stays
+    * honest. */
+  case object Ikkbz extends JoinOrderPlanner {
+    val name = "ikkbz"
+
+    /** A maximal run of relations forced into adjacency by
+      * normalization, with its aggregate T (selectivity·rows product)
+      * and C (ASI cost) values. */
+    private final case class Module(rels: Vector[Int], t: Double, c: Double) {
+      def rank: Double = if (c <= 0.0) 0.0 else (t - 1.0) / c
+    }
+
+    private def combine(a: Module, b: Module): Module =
+      Module(a.rels ++ b.rels, a.t * b.t, a.c + a.t * b.c)
+
+    /** Merge two rank-ascending chains into one (stable: ties keep the
+      * left chain first, so the result is deterministic). */
+    private def mergeByRank(a: List[Module], b: List[Module]): List[Module] =
+      (a, b) match {
+        case (Nil, ys) => ys
+        case (xs, Nil) => xs
+        case (x :: xs, y :: ys) =>
+          if (x.rank <= y.rank) x :: mergeByRank(xs, y :: ys)
+          else y :: mergeByRank(x :: xs, ys)
+      }
+
+    /** Prepend `head` to an ascending chain, folding it into successive
+      * heads while the rank inversion persists (IKKBZ-Normalize). */
+    private def normalize(head: Module, rest: List[Module]): List[Module] = {
+      var h = head; var r = rest
+      while (r.nonEmpty && h.rank > r.head.rank) { h = combine(h, r.head); r = r.tail }
+      h :: r
+    }
+
+    protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree = {
+      require(g.connected(g.full), "ikkbz requires a connected join graph")
+      val n = g.n
+      val nRows = Array.tabulate(n)(i => card(1L << i))
+      def sel(e: JoinEdge): Double =
+        card(e.mask) / math.max(nRows(e.a) * nRows(e.b), Double.MinPositiveValue)
+
+      // Kruskal spanning tree, most selective edges first (identity on
+      // an already-acyclic graph — sel order then never drops an edge)
+      val uf = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (uf(r) != r) r = uf(r)
+        var c = x; while (uf(c) != r) { val nx = uf(c); uf(c) = r; c = nx }
+        r
+      }
+      val adj = Array.fill(n)(List.empty[(Int, Double)])
+      g.edges.sortBy(e => (sel(e), e.a, e.b)).foreach { e =>
+        val (ra, rb) = (find(e.a), find(e.b))
+        if (ra != rb) {
+          uf(ra) = rb
+          val s = sel(e)
+          adj(e.a) ::= (e.b, s); adj(e.b) ::= (e.a, s)
+        }
+      }
+
+      def orderFor(root: Int): Vector[Int] = {
+        def sub(v: Int, parent: Int, sParent: Double): List[Module] = {
+          val kidChains = adj(v).filter(_._1 != parent).sortBy(_._1)
+            .map { case (u, s) => sub(u, v, s) }
+          val merged = kidChains.foldLeft(List.empty[Module])(mergeByRank)
+          val tv = sParent * nRows(v)
+          normalize(Module(Vector(v), tv, tv), merged)
+        }
+        val chains = adj(root).sortBy(_._1).map { case (u, s) => sub(u, root, s) }
+        root +: chains.foldLeft(List.empty[Module])(mergeByRank)
+          .flatMap(_.rels).toVector
+      }
+
+      var bestT: JoinTree = null
+      var bestC = Double.PositiveInfinity
+      (0 until n).foreach { r =>
+        val ord = orderFor(r)
+        val tree = ord.tail.foldLeft(Leaf(ord.head): JoinTree)(
+          (t, i) => Node(t, Leaf(i)))
+        val c = CostModel.treeCost(tree, cm, card)
+        // first candidate accepted even at infinite cost (inf < inf is
+        // false — see DPccp.tryJoin)
+        if (c < bestC || bestT == null) { bestC = c; bestT = tree }
+      }
+      bestT
+    }
+  }
+
   val all: Seq[JoinOrderPlanner] =
     Seq(DPccp, NaiveDP, LeftDeepDP, Greedy, Bushy, BranchAndBound(),
-      RandomOrder(), Annealing())
+      RandomOrder(), Annealing(), Ikkbz)
 }

@@ -80,7 +80,10 @@ object PlannerQueries {
     "p10_planner_statsest" -> (runFlagshipStats _),
     // p11: simulated annealing — the stochastic local-search member
     // of §2b between p04's uniform shuffle and p07's learned policy
-    "p11_planner_anneal" -> runFlagship(Enumerators.Annealing()) _
+    "p11_planner_anneal" -> runFlagship(Enumerators.Annealing()) _,
+    // p12: IKKBZ — polynomial-time PROVABLY-optimal left-deep ordering
+    // on the (acyclic) flagship chain; IkkbzSpec pins the optimality
+    "p12_planner_ikkbz" -> runFlagship(Enumerators.Ikkbz) _
   )
 
   /** p10: the flagship planned with cardinalities estimated ONLY from

@@ -52,7 +52,8 @@ class EnumeratorsSpec extends AnyFunSuite {
         val bu = Enumerators.Bushy.plan(g, card, cm)
         val rd = Enumerators.RandomOrder().plan(g, card, cm)
         val an = Enumerators.Annealing().plan(g, card, cm)
-        Seq(dp, naive, bnb, ld, gr, bu, rd, an)
+        val ik = Enumerators.Ikkbz.plan(g, card, cm)
+        Seq(dp, naive, bnb, ld, gr, bu, rd, an, ik)
           .foreach(p => assertValid(p.tree, g))
         val eps = 1e-6 * math.max(1.0, naive.cost)
         assert(math.abs(dp.cost - naive.cost) <= eps,
@@ -67,6 +68,10 @@ class EnumeratorsSpec extends AnyFunSuite {
         // left-deep OPTIMUM (and so by the global optimum)
         assert(an.cost >= ld.cost - eps && an.cost >= naive.cost - eps,
           s"trial $trial ${cm.name}: anneal ${an.cost} beat exhaustive?!")
+        // ikkbz searches the left-deep space (possibly on a spanning
+        // tree when the graph is cyclic): bounded below by both optima
+        assert(ik.cost >= ld.cost - eps && ik.cost >= naive.cost - eps,
+          s"trial $trial ${cm.name}: ikkbz ${ik.cost} beat exhaustive?!")
       }
     }
   }
