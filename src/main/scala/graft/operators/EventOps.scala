@@ -1053,6 +1053,112 @@ object EventOps {
           .as("index"))
   }
 
+  /** CUSUM slack (in σ units, subtracted per step) and alarm
+    * threshold — Page's classic k = 0.5σ, h = 4σ operating point on
+    * the STANDARDIZED series, where they become plain constants. */
+  private val CusumK = 0.5
+  private val CusumH = 4.0
+
+  /** q137: CUSUM CHANGEPOINT DETECTION (Page 1954) over the daily
+    * event series — the sequential drift detector that catches small
+    * persistent level shifts q117's pointwise MAD outliers ignore and
+    * q130's Holt residuals only see one day at a time: per
+    * event_type, standardize the daily totals (6-dp z against the
+    * type's mean/stddev), then fold the two one-sided sums
+    *   s_hi_t = max(0, s_hi_{t−1} + z_t − k)
+    *   s_lo_t = max(0, s_lo_{t−1} − z_t − k)
+    * with k = [[CusumK]], alarming when either rounded sum exceeds
+    * h = [[CusumH]]. The recursion is sequential, so determinism is
+    * the q128 discipline: both engines fold the SAME 6-dp z series
+    * through textually identical updates — Spark a left-to-right
+    * `aggregate` over the day-sorted array, DuckDB a row_number-
+    * stepped recursive CTE — and emit on the 6-dp grid.
+    *
+    * Scale shape: q26's partial-agg'd daily rollup, one stats agg and
+    * one fold per type on the bounded SERIES frame (days × types);
+    * the q127 chunked-prefix restage applies if a series outgrows one
+    * array. */
+  def cusumChangepoints(spark: SparkSession, sfDir: String): DataFrame =
+    cusumOn(Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+        col("event_type"))
+      .agg(round(coalesce(sum("value"), lit(0.0)), 2).as("v")))
+
+  /** [[cusumChangepoints]] over any (event_type, day, v) series. */
+  private[graft] def cusumOn(series: DataFrame): DataFrame = {
+    val k = CusumK
+    val s0 = Persists.barrier(series)
+    val st = s0.groupBy("event_type")
+      .agg(round(avg("v"), 6).as("m"),
+        round(coalesce(nanvl(stddev_samp(col("v")), lit(0.0)),
+          lit(0.0)), 6).as("sd"))
+    val z = s0.join(st, "event_type")
+      .withColumn("z", round(coalesce(
+        (col("v") - col("m")) / expr("nullif(sd, 0.0D)"), lit(0.0)), 6))
+    z.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("v"), col("z"))))
+        .as("s"))
+      .select(col("event_type"), explode(expr(
+        s"""aggregate(
+              slice(s, 2, greatest(size(s) - 1, 0)),
+              struct(
+                greatest(CAST(0.0 AS DOUBLE), s[0].z - $k) AS hi,
+                greatest(CAST(0.0 AS DOUBLE), -s[0].z - $k) AS lo,
+                array(struct(s[0].day AS day, s[0].v AS v, s[0].z AS z,
+                  greatest(CAST(0.0 AS DOUBLE), s[0].z - $k) AS hi,
+                  greatest(CAST(0.0 AS DOUBLE), -s[0].z - $k) AS lo))
+                  AS out),
+              (acc, x) -> struct(
+                greatest(CAST(0.0 AS DOUBLE), acc.hi + x.z - $k) AS hi,
+                greatest(CAST(0.0 AS DOUBLE), acc.lo - x.z - $k) AS lo,
+                concat(acc.out, array(struct(x.day AS day, x.v AS v,
+                  x.z AS z,
+                  greatest(CAST(0.0 AS DOUBLE), acc.hi + x.z - $k) AS hi,
+                  greatest(CAST(0.0 AS DOUBLE), acc.lo - x.z - $k) AS lo)))
+                  AS out),
+              acc -> acc.out)""")).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        col("r.v").as("v"), col("r.z").as("z"),
+        round(col("r.hi"), 6).as("s_hi"),
+        round(col("r.lo"), 6).as("s_lo"),
+        (round(col("r.hi"), 6) > CusumH ||
+          round(col("r.lo"), 6) > CusumH).as("alarm"))
+  }
+
+  /** q137's DuckDB twin: same 2-dp daily series, same 6-dp z, same
+    * fold stepped by a recursive CTE, same rounded alarm compare. */
+  private[graft] val cusumOracle: String = {
+    val k = CusumK
+    s"""WITH RECURSIVE d AS (
+         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                round(coalesce(sum(value), 0.0), 2) AS v
+         FROM events GROUP BY 1, 2),
+       st AS (SELECT event_type, round(avg(v), 6) AS m,
+                     round(coalesce(stddev_samp(v), 0.0), 6) AS sd
+              FROM d GROUP BY 1),
+       i AS (SELECT d.event_type, d.day, d.v,
+                    round(coalesce((d.v - st.m) / nullif(st.sd, 0.0),
+                          0.0), 6) AS z,
+                    row_number() OVER (PARTITION BY d.event_type
+                                       ORDER BY d.day) AS rn
+             FROM d JOIN st USING (event_type)),
+       c AS (
+         SELECT event_type, day, v, z, rn,
+                greatest(CAST(0.0 AS DOUBLE), z - $k) AS hi,
+                greatest(CAST(0.0 AS DOUBLE), -z - $k) AS lo
+         FROM i WHERE rn = 1
+         UNION ALL
+         SELECT i.event_type, i.day, i.v, i.z, i.rn,
+                greatest(CAST(0.0 AS DOUBLE), c.hi + i.z - $k),
+                greatest(CAST(0.0 AS DOUBLE), c.lo - i.z - $k)
+         FROM c JOIN i ON i.event_type = c.event_type
+                      AND i.rn = c.rn + 1)
+       SELECT event_type, day, v, z,
+              round(hi, 6) AS s_hi, round(lo, 6) AS s_lo,
+              (round(hi, 6) > $CusumH OR round(lo, 6) > $CusumH) AS alarm
+       FROM c"""
+  }
+
   /** q133's DuckDB twin: the same daily series, epoch-day weekday
     * arithmetic, observed-day means, and 4-dp grids. */
   private[graft] val seasonalityOracle: String =
@@ -1269,6 +1375,7 @@ object EventOps {
     "q131_funnel_lag" -> (funnelLag _),
     "q132_markov_attribution" -> (markovAttribution _),
     "q133_seasonality_index" -> (seasonalityIndex _),
+    "q137_cusum_changepoints" -> (cusumChangepoints _),
     "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_retention" -> (retention _),
     "q67_funnel_pattern" -> (funnelPattern _)
@@ -1280,6 +1387,7 @@ object EventOps {
     "q131_funnel_lag" -> funnelLagOracle,
     "q132_markov_attribution" -> markovAttributionOracle(30),
     "q133_seasonality_index" -> seasonalityOracle,
+    "q137_cusum_changepoints" -> cusumOracle,
     // q126: the same lagged pair extraction on the same unique sort,
     // the same session-gap filter, the same row-normalized 4-dp p
     "q126_markov_transitions" ->

@@ -312,7 +312,120 @@ object RelationalQueries {
           .as(Seq("bin", "cnt")))
   }
 
+  /** q135: RFM SEGMENTATION — the classic customer-value triage
+    * (Hughes 1994): per customer, Recency = days from last order to
+    * the corpus anchor (max order date), Frequency = order count,
+    * Monetary = 2-dp spend; each scored 1–4 by EXACT quartile
+    * THRESHOLDS, then a CASE segment label. Deliberately NOT ntile():
+    * a global ntile is one unpartitioned sort — the 100 TB
+    * anti-pattern — and its tie assignments are engine-dependent.
+    * Threshold scoring needs only two 1-row broadcast scalars (anchor,
+    * then the 9 quartile bounds) and a map-side CASE; ties land
+    * deterministically on the same side of each bound in both engines
+    * because bounds and metrics are rounded to the shared 4-dp grid
+    * (quartile interpolation fractions are k/4, so integer-metric
+    * bounds are exact and 2-dp-sum bounds sit on the 4-dp grid). */
+  private def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pc = Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        round(sum("o_totalprice"), 2).as("monetary"))
+    val anchor = pc.agg(max("last_order").as("anchor"))
+    val r = Persists.barrier(pc.crossJoin(broadcast(anchor))
+      .withColumn("recency_days", datediff(col("anchor"), col("last_order")))
+      .drop("anchor", "last_order"))
+    val th = r.agg(
+      expr("percentile(recency_days, array(0.25D, 0.5D, 0.75D))").as("rq"),
+      expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").as("fq"),
+      expr("percentile(monetary, array(0.25D, 0.5D, 0.75D))").as("mq"))
+      .select(
+        round(col("rq")(0), 4).as("r1"), round(col("rq")(1), 4).as("r2"),
+        round(col("rq")(2), 4).as("r3"),
+        round(col("fq")(0), 4).as("f1"), round(col("fq")(1), 4).as("f2"),
+        round(col("fq")(2), 4).as("f3"),
+        round(col("mq")(0), 4).as("m1"), round(col("mq")(1), 4).as("m2"),
+        round(col("mq")(2), 4).as("m3"))
+    r.crossJoin(broadcast(th))
+      .select(col("c_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        expr("""CASE WHEN recency_days <= r1 THEN 4
+                     WHEN recency_days <= r2 THEN 3
+                     WHEN recency_days <= r3 THEN 2 ELSE 1 END""").as("r_score"),
+        expr("""CASE WHEN frequency <= f1 THEN 1
+                     WHEN frequency <= f2 THEN 2
+                     WHEN frequency <= f3 THEN 3 ELSE 4 END""").as("f_score"),
+        expr("""CASE WHEN monetary <= m1 THEN 1
+                     WHEN monetary <= m2 THEN 2
+                     WHEN monetary <= m3 THEN 3 ELSE 4 END""").as("m_score"))
+      .withColumn("segment", expr(RfmSegmentCase))
+  }
+
+  /** One segment-label CASE, shared verbatim by both engines. */
+  private val RfmSegmentCase: String =
+    """CASE WHEN r_score = 4 AND f_score >= 3 AND m_score >= 3
+              THEN 'champion'
+            WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2
+              THEN 'hibernating'
+            ELSE 'regular' END"""
+
+  /** Max distinct parts per order admitted to pair generation — the
+    * d05/g17 hub-cap discipline: one pathological basket of B items
+    * contributes B² candidate pairs, so the cap bounds the self-join
+    * blow-up at corpus scale. MIRRORED in the q136 oracle (ADVICE r10:
+    * a cap only on the Spark side silently narrows the equivalence). */
+  private val MaxBasket = 50
+
+  /** q136: MARKET-BASKET ASSOCIATION RULES — Apriori's 2-itemset level
+    * (Agrawal & Srikant, VLDB'94) over order baskets: distinct
+    * (order, part) incidences, size-capped baskets ([[MaxBasket]]),
+    * pair supports from ONE `p1 < p2` self-join per order, then both
+    * rule directions with confidence = sc/|antecedent baskets| and
+    * lift = sc·N / (|a|·|c|). Support floor ≥ 2 co-occurrences keeps
+    * the rule set signal-bearing at any SF.
+    *
+    * Scale shape: the self-join is keyed on the order (baskets are
+    * bounded by the cap, so per-order work is ≤ B²), item counts and
+    * N are partial-agg'd, and the two dimension joins on part counts
+    * broadcast at |parts| ≪ |pairs|. Never all-pairs across orders. */
+  private def basketRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val items0 = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val sized = items0.groupBy("ok").agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= MaxBasket).select("ok")
+    val items = Persists.barrier(items0.join(sized, Seq("ok"), "left_semi"))
+    val n = items.agg(
+      countDistinct(col("ok")).cast("double").as("n"))
+    val cnt = items.groupBy("pk").agg(count(lit(1)).as("c"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("sc"))
+      .filter(col("sc") >= 2)
+    val rules = pairs.select(col("p1").as("antecedent"),
+        col("p2").as("consequent"), col("sc"))
+      .unionAll(pairs.select(col("p2").as("antecedent"),
+        col("p1").as("consequent"), col("sc")))
+    rules.crossJoin(broadcast(n))
+      .join(broadcast(cnt.select(col("pk").as("antecedent"),
+        col("c").as("ca"))), "antecedent")
+      .join(broadcast(cnt.select(col("pk").as("consequent"),
+        col("c").as("cc"))), "consequent")
+      .select(col("antecedent"), col("consequent"),
+        col("sc").as("support_cnt"),
+        round(col("sc") / col("n"), 6).as("support"),
+        round(col("sc") / col("ca"), 6).as("confidence"),
+        round(col("sc") * col("n") / (col("ca") * col("cc")), 6).as("lift"))
+  }
+
   def dfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_rfm_segments" -> (rfmSegments _),
+    "q136_basket_rules" -> (basketRules _),
     // q108: the mergeable HISTOGRAM sketch column — q105's stored-stat
     // discipline (build per shard at ingest, roll up by MERGE, serve
     // without re-scanning rows) on a sketch whose merge is EXACT, so
@@ -487,6 +600,75 @@ object RelationalQueries {
   }
 
   val dfOracleSql: Map[String, String] = Map(
+    // q135: same per-customer rollup, same anchor scalar, same exact
+    // quartile bounds (quantile_cont = Spark's percentile, both R-7
+    // linear interpolation) on the same 4-dp grid, same CASE ladders
+    // (segment CASE shared VERBATIM via RfmSegmentCase)
+    "q135_rfm_segments" ->
+      s"""WITH pc AS (
+            SELECT o_custkey AS c_custkey,
+                   max(CAST(o_orderdate AS DATE)) AS last_order,
+                   count(*) AS frequency,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY 1),
+          a AS (SELECT max(last_order) AS anchor FROM pc),
+          r AS (SELECT pc.c_custkey, pc.frequency, pc.monetary,
+                       date_diff('day', pc.last_order, a.anchor)
+                         AS recency_days
+                FROM pc, a),
+          th AS (SELECT
+              round(quantile_cont(recency_days, 0.25), 4) AS r1,
+              round(quantile_cont(recency_days, 0.50), 4) AS r2,
+              round(quantile_cont(recency_days, 0.75), 4) AS r3,
+              round(quantile_cont(frequency, 0.25), 4) AS f1,
+              round(quantile_cont(frequency, 0.50), 4) AS f2,
+              round(quantile_cont(frequency, 0.75), 4) AS f3,
+              round(quantile_cont(monetary, 0.25), 4) AS m1,
+              round(quantile_cont(monetary, 0.50), 4) AS m2,
+              round(quantile_cont(monetary, 0.75), 4) AS m3
+            FROM r),
+          s AS (SELECT c_custkey, recency_days, frequency, monetary,
+              CASE WHEN recency_days <= r1 THEN 4
+                   WHEN recency_days <= r2 THEN 3
+                   WHEN recency_days <= r3 THEN 2 ELSE 1 END AS r_score,
+              CASE WHEN frequency <= f1 THEN 1
+                   WHEN frequency <= f2 THEN 2
+                   WHEN frequency <= f3 THEN 3 ELSE 4 END AS f_score,
+              CASE WHEN monetary <= m1 THEN 1
+                   WHEN monetary <= m2 THEN 2
+                   WHEN monetary <= m3 THEN 3 ELSE 4 END AS m_score
+            FROM r, th)
+        SELECT s.*, $RfmSegmentCase AS segment FROM s""",
+    // q136: same capped incidence frame, same p1<p2 pair join, same
+    // ≥2 support floor, both rule directions, same 6-dp metric grid
+    "q136_basket_rules" ->
+      s"""WITH items0 AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+          sized AS (SELECT ok FROM items0
+                    GROUP BY ok HAVING count(*) <= $MaxBasket),
+          items AS (SELECT items0.* FROM items0
+                    JOIN sized USING (ok)),
+          n AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n
+                FROM items),
+          cnt AS (SELECT pk, count(*) AS c FROM items GROUP BY pk),
+          pairs AS (
+            SELECT a.pk AS p1, b.pk AS p2, count(*) AS sc
+            FROM items a JOIN items b
+              ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          rules AS (
+            SELECT p1 AS antecedent, p2 AS consequent, sc FROM pairs
+            UNION ALL
+            SELECT p2, p1, sc FROM pairs)
+        SELECT r.antecedent, r.consequent, r.sc AS support_cnt,
+               round(r.sc / n.n, 6) AS support,
+               round(r.sc / ca.c, 6) AS confidence,
+               round(r.sc * n.n / (ca.c * cc.c), 6) AS lift
+        FROM rules r
+        JOIN cnt ca ON ca.pk = r.antecedent
+        JOIN cnt cc ON cc.pk = r.consequent
+        CROSS JOIN n""",
     // q108: the histogram direct from the rows — build/merge/serve on
     // the Spark side must reproduce it exactly. The type × bin grid is
     // dense over bins that occur anywhere in the type's days (the
