@@ -136,7 +136,10 @@ object Bench {
     "t28_trigram_backoff", "q131_funnel_lag",
     "q132_markov_attribution", "g31_linkpred_auc",
     "p11_planner_anneal", "q133_seasonality_index",
-    "c33_mix_anneal", "m13_silence_trim")
+    "c33_mix_anneal", "m13_silence_trim",
+    "p12_planner_ikkbz", "q135_rfm_segments", "q136_basket_rules",
+    "q137_cusum_changepoints", "q138_acf_daily", "q139_benford_audit",
+    "g32_rich_club")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -76,8 +76,45 @@ object AuditOps {
     scalars.unionByName(pk).unionByName(fk)
   }
 
+  /** q139: BENFORD FIRST-DIGIT AUDIT (Newcomb 1881 / Benford 1938 —
+    * the fraud-detection screen auditors run on monetary columns):
+    * the distribution of leading significant digits of o_totalprice
+    * against the Benford expectation P(d) = log10(1 + 1/d), with the
+    * per-digit deviation and the χ² contribution n·(share−exp)²/exp.
+    * TPC-H-ish prices are uniform-ish within a band, so the audit
+    * correctly reports a LARGE deviation — the gate checks the
+    * computation, not conformance.
+    *
+    * The leading digit deliberately avoids log10: a price sitting on
+    * a power of ten rounds to 2.9999… in one engine and 3.0 in the
+    * other, flipping `floor`. Both engines instead take the first
+    * character of the C-format '%.2f' rendering — identical strings
+    * for identical doubles, no float boundary anywhere. Positive
+    * prices only (first char of a negative is '-').
+    *
+    * Scale shape: one map-side digit projection into a 9-row
+    * partial-agg'd count; the expectation join is against a 9-row
+    * literal frame. */
+  def benfordAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val digits = graft.sources.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 0)
+      .select(expr("CAST(substring(format_string('%.2f', o_totalprice)," +
+        " 1, 1) AS INT)").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").cast("double").as("total"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("share", round(col("n") / col("total"), 6))
+      .withColumn("expected",
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6))
+      .select(col("digit"), col("n"), col("share"), col("expected"),
+        round(col("share") - col("expected"), 6).as("dev"),
+        round(col("total") * pow(col("share") - col("expected"), 2)
+          / col("expected"), 4).as("chi2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q94_dq_audit" -> (dqAudit _)
+    "q94_dq_audit" -> (dqAudit _),
+    "q139_benford_audit" -> (benfordAudit _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -96,6 +133,25 @@ object AuditOps {
         FROM base WHERE o_custkey IS NULL
         UNION ALL
         SELECT 'price_range_rows', CAST(count(*) AS BIGINT)
-        FROM base WHERE o_totalprice <= 0"""
+        FROM base WHERE o_totalprice <= 0""",
+    // q139: same %.2f-string leading digit (C-format in both engines;
+    // exact .xx5 ties are unrepresentable doubles, so the renderings
+    // agree), same 6-dp share/expected grid feeding dev and χ²
+    "q139_benford_audit" ->
+      """WITH d AS (
+           SELECT CAST(substr(printf('%.2f', o_totalprice), 1, 1)
+                    AS INTEGER) AS digit
+           FROM orders WHERE o_totalprice > 0),
+         c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+         s AS (SELECT c.digit, c.n, t.total,
+                      round(c.n / t.total, 6) AS share,
+                      round(log10(1 + 1.0 / c.digit), 6) AS expected
+               FROM c, t)
+       SELECT digit, n, share, expected,
+              round(share - expected, 6) AS dev,
+              round(total * pow(share - expected, 2) / expected, 4)
+                AS chi2
+       FROM s"""
   )
 }

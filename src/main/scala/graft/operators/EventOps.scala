@@ -1053,6 +1053,83 @@ object EventOps {
           .as("index"))
   }
 
+  /** Max autocorrelation lag for q138 — a week of daily lags. */
+  private val AcfMaxLag = 7
+
+  /** q138: AUTOCORRELATION FUNCTION over the daily event series —
+    * the Box-Jenkins identification tool that DETECTS the weekly
+    * structure q133's seasonality index assumes: per event_type,
+    * r_ℓ = Σ_t dev_t·dev_{t−ℓ} / Σ_t dev_t² for ℓ = 1..[[AcfMaxLag]],
+    * devs against the type's 6-dp mean, lags by OBSERVED-row offset
+    * on the day order (a gap day shifts the index, as in any
+    * observed-series ACF; q107's gap-fill restores calendar lags
+    * upstream when that matters). A weekly cycle surfaces as the
+    * ℓ = 7 peak. Output (event_type, lag, n_pairs, acf), 4-dp.
+    *
+    * Scale shape: q26's partial-agg'd daily rollup; the lag columns
+    * are one window pass over the bounded SERIES frame and the
+    * per-lag sums are vocabulary-sized aggs — nothing touches raw
+    * events twice. */
+  def acfDaily(spark: SparkSession, sfDir: String): DataFrame =
+    acfOn(Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+        col("event_type"))
+      .agg(round(coalesce(sum("value"), lit(0.0)), 2).as("v")))
+
+  /** [[acfDaily]] over any (event_type, day, v) series. */
+  private[graft] def acfOn(series: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s0 = Persists.barrier(series)
+    val mu = s0.groupBy("event_type").agg(round(avg("v"), 6).as("mu"))
+    val dev = Persists.barrier(s0.join(mu, "event_type")
+      .withColumn("dev", col("v") - col("mu")))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = dev.select(col("event_type") +: col("dev") +:
+      (1 to AcfMaxLag).map(l => lag("dev", l).over(w).as(s"d$l")): _*)
+    val den = dev.groupBy("event_type")
+      .agg(sum(col("dev") * col("dev")).as("den"))
+    val num = lagged.select(col("event_type"),
+      posexplode(array((1 to AcfMaxLag).map(l => col(s"d$l")): _*))
+        .as(Seq("l0", "dl")), col("dev"))
+      .filter(col("dl").isNotNull)
+      .groupBy(col("event_type"), (col("l0") + 1).as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dev") * col("dl")).as("num"))
+    num.join(den, "event_type")
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        round(col("num") / expr("nullif(den, 0.0D)"), 4).as("acf"))
+  }
+
+  /** q138's DuckDB twin: same 6-dp mean, same observed-row lag
+    * windows (7-arm unroll), same Σ·/Σ² quotient on the 4-dp grid. */
+  private[graft] val acfOracle: String = {
+    val arms = (1 to AcfMaxLag).map { l =>
+      s"""SELECT event_type, $l AS lag, count(*) AS n_pairs,
+                 sum(dev * d$l) AS num
+          FROM lg WHERE d$l IS NOT NULL GROUP BY 1"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (
+         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                round(coalesce(sum(value), 0.0), 2) AS v
+         FROM events GROUP BY 1, 2),
+       m AS (SELECT event_type, round(avg(v), 6) AS mu
+             FROM d GROUP BY 1),
+       e AS (SELECT d.event_type, d.day, d.v - m.mu AS dev
+             FROM d JOIN m USING (event_type)),
+       lg AS (SELECT event_type, dev,
+                     ${(1 to AcfMaxLag).map(l =>
+                       s"lag(dev, $l) OVER w AS d$l").mkString(", ")}
+              FROM e
+              WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       den AS (SELECT event_type, sum(dev * dev) AS den
+               FROM e GROUP BY 1),
+       num AS ($arms)
+      SELECT n.event_type, n.lag, n.n_pairs,
+             round(n.num / nullif(den.den, 0.0), 4) AS acf
+      FROM num n JOIN den USING (event_type)
+      WHERE n.n_pairs > 0"""
+  }
+
   /** CUSUM slack (in σ units, subtracted per step) and alarm
     * threshold — Page's classic k = 0.5σ, h = 4σ operating point on
     * the STANDARDIZED series, where they become plain constants. */
@@ -1376,6 +1453,7 @@ object EventOps {
     "q132_markov_attribution" -> (markovAttribution _),
     "q133_seasonality_index" -> (seasonalityIndex _),
     "q137_cusum_changepoints" -> (cusumChangepoints _),
+    "q138_acf_daily" -> (acfDaily _),
     "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_retention" -> (retention _),
     "q67_funnel_pattern" -> (funnelPattern _)
@@ -1388,6 +1466,7 @@ object EventOps {
     "q132_markov_attribution" -> markovAttributionOracle(30),
     "q133_seasonality_index" -> seasonalityOracle,
     "q137_cusum_changepoints" -> cusumOracle,
+    "q138_acf_daily" -> acfOracle,
     // q126: the same lagged pair extraction on the same unique sort,
     // the same session-gap filter, the same row-normalized 4-dp p
     "q126_markov_transitions" ->

@@ -950,6 +950,43 @@ object GraphOps {
           .otherwise(lit(0.0)), 6).as("cc"))
   }
 
+  /** RICH-CLUB COEFFICIENT (Zhou & Mondragón 2004) over a low→high
+    * oriented edge list: for each degree cutoff k, φ(k) =
+    * 2·E_{&gt;k} / (N_{&gt;k}·(N_{&gt;k}−1)) — the edge density among
+    * the nodes of degree &gt; k. A rising φ(k) means the hubs wire to
+    * each other (the "rich club" of a co-purchase or citation graph);
+    * the flat-or-falling profile of the mutual-kNN graph says its
+    * high-degree docs sit in SEPARATE dense neighborhoods. Cutoffs
+    * 1..maxK; k rows appear only while some node clears the cutoff,
+    * and the φ denominator nulls at N ≤ 1.
+    *
+    * Scale shape: one symmetric degree agg; the k-sweep multiplies
+    * the |nodes| and |edges| frames by the CONSTANT maxK (a bounded
+    * explode, never a self-join), then two k-grouped counts. */
+  def richClubOn(edges0: DataFrame, maxK: Int = 10): DataFrame = {
+    val edges = Persists.barrier(edges0.select("a", "b"))
+    val deg = Persists.barrier(
+      edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg")))
+    val nk = deg
+      .select(col("deg"), explode(expr(s"sequence(1, $maxK)")).as("k"))
+      .filter(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val ek = edges
+      .join(deg.select(col("node").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("degb")), "b")
+      .select(explode(expr(s"sequence(1, $maxK)")).as("k"),
+        col("dega"), col("degb"))
+      .filter(col("dega") > col("k") && col("degb") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    nk.join(ek, Seq("k"), "left")
+      .select(col("k"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        round(lit(2.0) * coalesce(col("n_edges"), lit(0L)) /
+          expr("nullif(n_nodes * (n_nodes - 1), 0)"), 6).as("phi"))
+  }
+
   /** K-CORE peeling, fixed rounds: repeatedly drop nodes of degree
     * &lt; `k` (and their incident edges) for exactly `rounds` sweeps —
     * the dense-subgraph extractor that separates tight near-dup
@@ -2097,6 +2134,11 @@ object GraphOps {
     }),
     "g02_knn_triangles" -> ((spark: SparkSession, sfDir: String) =>
       trianglesOn(mutualKnnEdgesOn(embVecs(spark, sfDir)))),
+    // g32: rich-club density profile of the same mutual-kNN graph —
+    // whether the highest-degree documents form one interconnected
+    // hub set or separate dense neighborhoods
+    "g32_rich_club" -> ((spark: SparkSession, sfDir: String) =>
+      richClubOn(mutualKnnEdgesOn(embVecs(spark, sfDir)))),
     // g03: connected components of the same mutual-kNN graph — the
     // cluster structure of the embedding space (near-dup neighborhoods,
     // topic islands). Reuses the dedup family's label-propagation
@@ -2588,6 +2630,33 @@ object GraphOps {
     "g09_hits" -> hitsOracle(HitsIters),
     "g07_triangles_degree" -> triangleOracle,
     "g02_knn_triangles" -> triangleOracle,
+    // g32: same symmetric degree count, same bounded k-sweep (a
+    // range join against the constant cutoff list), same 6-dp φ
+    "g32_rich_club" ->
+      s"""WITH ${knnEdgeCtes(None)},
+           deg AS (
+             SELECT node, count(*) AS deg
+             FROM (SELECT a AS node FROM mutual
+                   UNION ALL SELECT b FROM mutual)
+             GROUP BY node),
+           ks AS (SELECT unnest(range(1, 11)) AS k),
+           nk AS (
+             SELECT ks.k, count(*) AS n_nodes
+             FROM ks JOIN deg ON deg.deg > ks.k GROUP BY 1),
+           ek AS (
+             SELECT ks.k, count(*) AS n_edges
+             FROM ks JOIN (
+               SELECT da.deg AS dega, db.deg AS degb
+               FROM mutual m
+               JOIN deg da ON da.node = m.a
+               JOIN deg db ON db.node = m.b) e
+               ON e.dega > ks.k AND e.degb > ks.k
+             GROUP BY 1)
+         SELECT nk.k, nk.n_nodes,
+                coalesce(ek.n_edges, 0) AS n_edges,
+                round(2.0 * coalesce(ek.n_edges, 0) /
+                      nullif(nk.n_nodes * (nk.n_nodes - 1), 0), 6) AS phi
+         FROM nk LEFT JOIN ek ON nk.k = ek.k""",
     // g16: the 6 peel sweeps unrolled — each round one degree CTE, one
     // survivor CTE, one doubly-semi-joined edge CTE, mirrored op for
     // op. Every per-round CTE is MATERIALIZED: each references its

@@ -379,6 +379,24 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == (1L, 0L, 0.0))
   }
 
+  test("rich club: clique-plus-pendant profile is exact at every cutoff") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4} plus pendant 4-5: degs = (3,3,3,4,1)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = GraphOps.richClubOn(edges, maxK = 10).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    // k=1,2: club = {1,2,3,4}, all 6 K4 edges -> phi = 12/12 = 1
+    assert(got(1) == (4L, 6L, 1.0))
+    assert(got(2) == (4L, 6L, 1.0))
+    // k=3: club = {4} alone -> 0 edges, phi null (denominator 0)
+    assert(got(3) == (1L, 0L, null))
+    // k >= 4: no node clears the cutoff -> no row at all
+    assert(!got.contains(4) && got.size == 3)
+  }
+
   test("assortativity: star = -1, hand fixture = -0.5, regular = null") {
     val s = spark
     import s.implicits._
