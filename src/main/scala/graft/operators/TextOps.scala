@@ -1322,7 +1322,73 @@ object TextOps {
              count(*) AS n_trigrams, round(avg(bo), 4) AS bo_frac
       FROM scored GROUP BY doc_id"""
 
+  /** t29: TOKEN-MASS CONCENTRATION per source — the dataset-card
+    * inequality telemetry (who owns the tokens?): per source, the
+    * Gini coefficient of per-doc token counts (0 = every doc equal,
+    * → 1 = a few docs hold all mass) from the classic sorted-rank
+    * identity G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n, plus the token share
+    * of the top decile of docs (⌈n/10⌉ by count, id tie-break). A
+    * mix schedule (c16/c31) that balances DOC counts across sources
+    * still under-trains a source whose tokens sit in its tail — this
+    * is the report that catches it.
+    *
+    * All-integer until the two final divisions (rank·count products
+    * are exact bigints), so both engines divide identical integers —
+    * no float-sum jitter anywhere. Scale shape: one per-source
+    * window sort of the doc-count frame (docs, not tokens), then a
+    * partial-agg'd rollup to |sources| rows. */
+  def giniConcentration(spark: SparkSession, sfDir: String): DataFrame =
+    giniConcentrationOn(Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(toks(col("text"))).cast("long").as("x")))
+
+  /** [[giniConcentration]] over any (source, doc_id, x) count frame. */
+  private[graft] def giniConcentrationOn(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy("source")
+    val ranked = d
+      .withColumn("i", row_number().over(
+        bySrc.orderBy(col("x").asc, col("doc_id").asc)).cast("long"))
+      .withColumn("rd", row_number().over(
+        bySrc.orderBy(col("x").desc, col("doc_id").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySrc))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("x").as("total_tokens"),
+        sum(col("i") * col("x")).as("ix"),
+        sum(when(col("rd") <= expr("(n + 9) div 10"), col("x"))
+          .otherwise(lit(0L))).as("top_x"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(lit(2.0) * col("ix") / (col("n_docs") * col("total_tokens"))
+          - (col("n_docs") + lit(1.0)) / col("n_docs"), 6).as("gini"),
+        round(col("top_x").cast("double") / col("total_tokens"), 6)
+          .as("top_decile_share"))
+  }
+
+  /** t29's DuckDB twin: same rank windows, same integer top-decile
+    * cutoff, same two divisions on the 6-dp grid. */
+  private val giniOracle: String =
+    """WITH d AS (
+         SELECT source, doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+         FROM documents),
+       r AS (SELECT source, x,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY x, doc_id) AS i,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY x DESC, doc_id) AS rd,
+                    count(*) OVER (PARTITION BY source) AS n
+             FROM d)
+      SELECT source, count(*) AS n_docs, sum(x) AS total_tokens,
+             round(2.0 * sum(i * x) / (count(*) * sum(x))
+                   - (count(*) + 1.0) / count(*), 6) AS gini,
+             round(CAST(sum(CASE WHEN rd <= (n + 9) // 10
+                                 THEN x ELSE 0 END) AS DOUBLE)
+                   / sum(x), 6) AS top_decile_share
+      FROM r GROUP BY source"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_gini_concentration" -> (giniConcentration _),
     "t28_trigram_backoff" -> ((s: SparkSession, d: String) =>
       trigramBackoff(s, d)),
     "t27_zipf_slope" -> (zipfSlope _),
@@ -1363,6 +1429,7 @@ object TextOps {
        FROM documents"""
 
   def oracleSql: Map[String, String] = Map(
+    "t29_gini_concentration" -> giniOracle,
     "t28_trigram_backoff" -> trigramBackoffOracle,
     "t27_zipf_slope" -> zipfSlopeOracle,
     "t26_gopher_repetition" -> gopherRepetitionOracle,

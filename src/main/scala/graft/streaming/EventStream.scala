@@ -264,6 +264,28 @@ object EventStream {
         round(coalesce(col("sv"), lit(0.0)), 2).as("v")))
   }
 
+  /** q140: STREAMING CUSUM — q137's changepoint fold as events land,
+    * on the same commutative per-(type, day) sum state as
+    * q129/q134 (the daily-aggregation query shape shared by the
+    * whole forecasting family); the serve tail is `cusumOn` VERBATIM
+    * on the completed sink, gated by q137's oracle. The monitoring
+    * deployment this models: the stream keeps the cheap commutative
+    * state, and each trigger's serve re-folds the bounded SERIES
+    * frame — alarms are a days×types-sized recomputation, never a
+    * raw-event rescan. */
+  def cusumStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = StreamRun.toCompletion(
+      readEvents(spark, sfDir, glob = "events.parquet")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+          col("event_type"))
+        .agg(sum("value").as("sv")),
+      "graft_stream_cusum", outputMode = "complete")
+    val fresh = spark.createDataFrame(daily.rdd, daily.schema)
+    graft.operators.EventOps.cusumOn(
+      fresh.select(col("event_type"), col("day"),
+        round(coalesce(col("sv"), lit(0.0)), 2).as("v")))
+  }
+
   /** q72: view → purchase attribution pairs as a STREAM-STREAM inner
     * join — the one Structured Streaming surface the other gates don't
     * exercise. Both sides watermark their event time and the join
@@ -405,6 +427,7 @@ object EventStream {
     "q50_stream_hourly" -> (hourlyCountsStreamed _),
     "q129_stream_holt" -> (holtStreamed _),
     "q134_stream_seasonality" -> (seasonalityStreamed _),
+    "q140_stream_cusum" -> (cusumStreamed _),
     "q72_stream_attribution" -> (attributionStreamed _),
     "q78_stream_sliding" -> (slidingCountsStreamed _),
     "q106_stream_hll" -> (hllStream _),
@@ -443,6 +466,10 @@ object EventStream {
     // q134: q133's batch oracle verbatim
     "q134_stream_seasonality" ->
       graft.operators.EventOps.oracleSql("q133_seasonality_index"),
+    // q140: q137's batch oracle verbatim — the streamed daily state
+    // must land on the identical changepoint fold
+    "q140_stream_cusum" ->
+      graft.operators.EventOps.oracleSql("q137_cusum_changepoints"),
     // every epoch-aligned 15-min slide whose 1-hour window covers the
     // event: strictly-greater lower bound (a window starting exactly
     // ts − 1 h has already closed), inclusive upper (a window starting
