@@ -139,7 +139,7 @@ object Bench {
     "c33_mix_anneal", "m13_silence_trim",
     "p12_planner_ikkbz", "q135_rfm_segments", "q136_basket_rules",
     "q137_cusum_changepoints", "q138_acf_daily", "q139_benford_audit",
-    "g32_rich_club", "t29_gini_concentration")
+    "g32_rich_club", "t29_gini_concentration", "g33i_betweenness")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -202,6 +202,9 @@ object Bench {
     // (the g10i discipline; GraphOpsSpec pins served ≡ inline)
     "g24i_harmonic_landmarks" ->
       ((s, d) => graft.operators.GraphOps.harmonicFromEdges(s, d)),
+    // g33's σ/δ sweeps over the same stored edge artifact
+    "g33i_betweenness" ->
+      ((s, d) => graft.operators.GraphOps.betweennessFromEdges(s, d)),
     // g25's truss sweeps over the stored unfloored-kNN edges
     "g25i_ktruss" ->
       ((s, d) => graft.operators.GraphOps.ktrussFromEdges(s, d)),

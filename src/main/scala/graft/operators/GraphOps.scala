@@ -2078,6 +2078,148 @@ object GraphOps {
         count(lit(1)).as("n_landmarks"))
   }
 
+  /** g33: HOP-BOUNDED PIVOT BETWEENNESS — Brandes' dependency
+    * accumulation (Brandes 2001) from a deterministic pivot set
+    * (the sampled-source approximation of Brandes & Pich 2007),
+    * truncated at `maxHops` like every BFS in this family. Completes
+    * the centrality triad beside PageRank/HITS (eigenvector family)
+    * and g24's harmonic (distance family): betweenness scores the
+    * BROKERS — nodes sitting ON shortest paths — which no
+    * degree/distance measure surfaces.
+    *
+    * Forward: level-synchronous multi-source BFS carrying σ (the
+    * shortest-path COUNT, summed over same-level predecessors; the
+    * per-pivot anti-join pins BFS distances, so σ only ever flows
+    * distance-monotonically). Backward, per level from the cutoff
+    * down: δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w)), 9-dp
+    * re-entry rounds; bc(v) = Σ over pivots of δ, source excluded,
+    * 6-dp serve. Both sweeps are superstep joins keyed (pivot, node)
+    * — state is O(pivots·nodes) and the pivot COUNT (not the graph)
+    * bounds the multiplier, which is the published scale lever:
+    * accuracy grows with pivots, cost linearly, never |V|·|E|.
+    */
+  private[graft] def betweennessOn(edges: DataFrame,
+      nPivots: Int, maxHops: Int): DataFrame = {
+    val e = Persists.barrier(edges.select("src", "dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    val pivots = nodes.orderBy("node").limit(nPivots)
+      .select(col("node").as("s"))
+    // per-round localCheckpoints, not persist-only barriers: each level
+    // references visited (itself a union chain) and is referenced by
+    // BOTH sweeps — lazy persists leave a plan whose ANALYSIS cost
+    // explodes with hops (the s23 planning-cost lesson, SCALE_r11 §1:
+    // 44 s of data-size-independent planning until the round frames
+    // were checkpointed)
+    var level = pivots
+      .select(col("s"), col("s").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var visited = level.select("s", "node")
+    val levels = scala.collection.mutable.ArrayBuffer(level)
+    for (_ <- 1 to maxHops) {
+      level = e.join(level, e("src") === level("node"))
+        .select(col("s"), col("dst").as("node"), col("sigma"))
+        .join(visited, Seq("s", "node"), "left_anti")
+        .groupBy("s", "node").agg(sum("sigma").as("sigma"))
+        .localCheckpoint(true)
+      visited = visited.unionAll(level.select("s", "node"))
+        .localCheckpoint(true)
+      levels += level
+    }
+    var above = levels(maxHops).withColumn("delta", lit(0.0))
+      .localCheckpoint(true)
+    var acc = above.select(col("s"), col("node"), col("delta"))
+    for (l <- (maxHops - 1) to 1 by -1) {
+      val vside = levels(l).select(col("s"), col("node").as("v"),
+        col("sigma").as("sv"))
+      val wside = above.select(col("s"), col("node").as("w"),
+        col("sigma").as("sw"), col("delta").as("dw"))
+      val contrib = vside
+        .join(e.select(col("src").as("v"), col("dst").as("w")), "v")
+        .join(wside, Seq("s", "w"))
+        .groupBy(col("s"), col("v"))
+        .agg(round(sum(col("sv") / col("sw") * (lit(1.0) + col("dw"))), 9)
+          .as("c"))
+      above = vside.join(contrib, Seq("s", "v"), "left")
+        .select(col("s"), col("v").as("node"), col("sv").as("sigma"),
+          round(coalesce(col("c"), lit(0.0)), 9).as("delta"))
+        .localCheckpoint(true)
+      acc = acc.unionAll(above.select(col("s"), col("node"), col("delta")))
+    }
+    acc.groupBy("node")
+      .agg(round(sum("delta"), 6).as("betweenness"),
+        count(lit(1)).as("n_pivots"))
+  }
+
+  /** g33 over the co-purchase graph ([[BfsHops]] hops,
+    * [[BetweennessPivots]] lowest-id pivots — the g24 landmark
+    * convention). */
+  def betweennessCentrality(spark: SparkSession, sfDir: String): DataFrame =
+    betweennessOn(coPurchaseEdges(spark, sfDir), BetweennessPivots, BfsHops)
+
+  /** g33's sweeps over the stored co-purchase edges (benched g33i). */
+  def betweennessFromEdges(spark: SparkSession, sfDir: String): DataFrame =
+    betweennessOn(spark.read.parquet(coPurchaseEdgesPath(spark, sfDir)),
+      BetweennessPivots, BfsHops)
+
+  private val BetweennessPivots = 4
+
+  /** g33's oracle: the harmonic unrolling carrying σ through each
+    * forward hop (GROUP BY accumulates same-level predecessors),
+    * then the backward δ levels with the same 9-dp re-entry rounds;
+    * every CTE MATERIALIZED (the g16 inlining lesson). */
+  private def betweennessOracle(hops: Int, k: Int): String = {
+    val base =
+      s"""WITH pairs AS (
+           SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (
+           SELECT cn AS src, sn AS dst FROM pairs
+           UNION ALL
+           SELECT sn AS src, cn AS dst FROM pairs),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         pvt AS (SELECT node AS s FROM nodes ORDER BY node LIMIT $k),
+         f0 AS (SELECT s, s AS node, CAST(1 AS BIGINT) AS sigma FROM pvt),
+         v0 AS (SELECT s, node FROM f0)"""
+    val fwd = (1 to hops).map { i =>
+      s"""f$i AS MATERIALIZED (
+           SELECT f.s, e.dst AS node, sum(f.sigma) AS sigma
+           FROM edges e JOIN f${i - 1} f ON e.src = f.node
+           WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v
+                             WHERE v.s = f.s AND v.node = e.dst)
+           GROUP BY 1, 2),
+         v$i AS MATERIALIZED (
+           SELECT s, node FROM v${i - 1}
+           UNION ALL
+           SELECT s, node FROM f$i)"""
+    }.mkString(",\n")
+    val bwd = (s"""d$hops AS MATERIALIZED (
+           SELECT s, node, sigma, CAST(0.0 AS DOUBLE) AS delta
+           FROM f$hops)""" +:
+      ((hops - 1) to 1 by -1).map { l =>
+        s"""c$l AS MATERIALIZED (
+             SELECT f.s, f.node,
+                    round(sum(f.sigma / d.sigma * (1.0 + d.delta)), 9) AS c
+             FROM f$l f
+             JOIN edges e ON e.src = f.node
+             JOIN d${l + 1} d ON d.s = f.s AND d.node = e.dst
+             GROUP BY 1, 2),
+           d$l AS MATERIALIZED (
+             SELECT f.s, f.node, f.sigma,
+                    round(coalesce(c.c, 0.0), 9) AS delta
+             FROM f$l f LEFT JOIN c$l c
+               ON c.s = f.s AND c.node = f.node)"""
+      }).mkString(",\n")
+    val arms = (1 to hops)
+      .map(l => s"SELECT s, node, delta FROM d$l").mkString(" UNION ALL ")
+    s"""$base,
+       $fwd,
+       $bwd
+       SELECT node, round(sum(delta), 6) AS betweenness,
+              count(*) AS n_pivots
+       FROM ($arms) GROUP BY node"""
+  }
+
   /** g24's oracle: the g10 unrolling with the landmark id threaded
     * through every hop CTE, then the 1/d roll-up. */
   private def harmonicOracle(hops: Int, k: Int): String = {
@@ -2128,6 +2270,8 @@ object GraphOps {
       ((s: SparkSession, d: String) => ppmiScores(s, d)),
     "g24_harmonic_landmarks" ->
       ((s: SparkSession, d: String) => harmonicCentrality(s, d)),
+    "g33_betweenness" ->
+      ((s: SparkSession, d: String) => betweennessCentrality(s, d)),
     "g01_pagerank" -> ((spark: SparkSession, sfDir: String) => {
       pagerankOn(coPurchaseEdges(spark, sfDir))
         .select(col("node"), col("pr"))
@@ -2622,6 +2766,8 @@ object GraphOps {
     "g30_ppmi_scores" -> ppmiOracle(WalkSteps, SkipGramWindow),
     "g24_harmonic_landmarks" ->
       harmonicOracle(BfsHops, HarmonicLandmarks),
+    "g33_betweenness" ->
+      betweennessOracle(BfsHops, BetweennessPivots),
     "g10_khop_bfs" -> bfsOracle(BfsHops),
     "g11_pagerank_weighted" -> pagerankWeightedOracle(PrIters),
     "g01_pagerank" -> pagerankOracle(PrIters),

@@ -379,6 +379,30 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == (1L, 0L, 0.0))
   }
 
+  test("betweenness: path-graph dependencies and diamond path splitting") {
+    val s = spark
+    import s.implicits._
+    def sym(pairs: Seq[(Long, Long)]) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    // path 1-2-3-4-5, pivots {1,2,3,4}: hand-summed Brandes deltas
+    val path = GraphOps.betweennessOn(
+      sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))),
+      nPivots = 4, maxHops = 4).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(path(1L) == ((0.0, 3L)))
+    assert(path(2L) == ((5.0, 3L)))
+    assert(path(3L) == ((6.0, 3L)))
+    assert(path(4L) == ((3.0, 3L)))
+    assert(path(5L) == ((0.0, 4L)))
+    // diamond 1-2-4, 1-3-4: two equal shortest paths split sigma —
+    // every node gets 4 * 0.25 = 1.0 with all four pivots
+    val diamond = GraphOps.betweennessOn(
+      sym(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))),
+      nPivots = 4, maxHops = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(diamond == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0))
+  }
+
   test("rich club: clique-plus-pendant profile is exact at every cutoff") {
     val s = spark
     import s.implicits._
