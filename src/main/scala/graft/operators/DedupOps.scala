@@ -864,6 +864,32 @@ object DedupOps {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** d22: SOFT DEDUP — duplicate-count REWEIGHTING instead of
+    * removal (the SlimPajama/"soft dedup" alternative: d09/d11 DROP
+    * losers, which discards paraphrase diversity; here every doc
+    * stays, downweighted so each near-dup cluster contributes total
+    * training mass 1). Per document: its d08 cluster (MinHash ≥ 0.4
+    * components; singletons = docs outside every pair are their own
+    * cluster), the cluster size, and weight = 1/size on the 6-dp
+    * grid — the column a loss-weighted training loader consumes.
+    *
+    * Scale shape: the d08 component labels plus one cluster-size agg
+    * and one size join — all keyed aggs over the doc-id frame; the
+    * corpus text is only touched by the signature stage d08 already
+    * owns. */
+  def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id")
+    val labeled = Persists.barrier(
+      d.join(dedupClusters(spark, sfDir), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")))
+    val sizes = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
+
   /** d14: EXACT Jaccard threshold join via PREFIX FILTERING — the
     * AllPairs/PPJoin family's lossless alternative to d04's canopy
     * blocking. Tokens (the same non-overlapping 5-char grams as d04)
@@ -1392,6 +1418,7 @@ object DedupOps {
       ((s: SparkSession, d: String) => substringOverlap(s, d)),
     "d17_semdedup_cells" ->
       ((s: SparkSession, d: String) => semdedupCells(s, d)),
+    "d22_soft_dedup_weights" -> (softDedupWeights _),
     "d01_dedup_exact" -> ((spark: SparkSession, sfDir: String) => {
       Tables.registerAll(spark, sfDir); spark.sql(exactSql)
     }),
@@ -1534,6 +1561,19 @@ object DedupOps {
       SELECT doc_id, lang, source, n_chars FROM documents
       WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)"""
 
+  /** d22's oracle: the same components, every document labeled (its
+    * component min or itself), one size roll-up, 6-dp weights. */
+  private val softDedupOracle: String =
+    s"""WITH RECURSIVE $clusterCtes,
+        comp AS (SELECT v, min(lbl) AS lbl FROM cc GROUP BY v),
+        lab AS (SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN comp c ON c.v = d.doc_id),
+        sz AS (SELECT cluster_id, count(*) AS cluster_size
+               FROM lab GROUP BY 1)
+      SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+             round(1.0 / sz.cluster_size, 6) AS weight
+      FROM lab JOIN sz USING (cluster_id)"""
+
   /** d15's DuckDB twin: same tokenization, same portable boundary hash
     * mod 8, same [0]+boundaries+[n] bounds algebra, same chunk join,
     * same min-length gate and ≥2 census. */
@@ -1635,6 +1675,7 @@ object DedupOps {
      SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3"""
 
   def oracleSql: Map[String, String] = Map(
+    "d22_soft_dedup_weights" -> softDedupOracle,
     "d20_minhash_calibration" -> minhashCalibrationOracle,
     "d19_dedup_report" -> dedupReportOracle,
     "d18_intradoc_dedup" -> intraDocOracle,

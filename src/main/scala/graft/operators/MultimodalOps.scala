@@ -698,7 +698,47 @@ object MultimodalOps {
        JOIN h a ON a.media_id = cand.id_a
        JOIN h c ON c.media_id = cand.id_b"""
 
+  /** m14: MIME SNIFFING — magic-byte type detection over the binary
+    * payload column, validated against the declared mime (the ingest
+    * audit every multimodal corpus runs: extensions and upload
+    * headers lie; the bytes don't). The fixture plants deterministic
+    * magic prefixes by doc-id class — including one class whose
+    * DECLARED mime contradicts its bytes (the q94 pollution
+    * discipline), so the audit provably DETECTS rather than
+    * rubber-stamping. The sniff itself is real binary plumbing:
+    * `substring` on the BinaryType column compared against magic-byte
+    * literals, all inside whole-stage codegen — a narrow map over the
+    * payload column, never decoding past the first 4 bytes. Unknown
+    * magic defers to the declaration (octet-stream contradicts
+    * nothing). */
+  def mimeSniff(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Tables.load(spark, sfDir, "documents").select(
+      col("doc_id").as("media_id"),
+      expr("""to_binary(CASE WHEN doc_id % 5 = 0 THEN concat('P6 ', text)
+                             WHEN doc_id % 5 = 1 THEN concat('RIFF', text)
+                             WHEN doc_id % 5 = 2 THEN concat('OggS', text)
+                             ELSE text END, 'utf-8')""").as("payload"),
+      expr("""CASE WHEN doc_id % 5 = 0 THEN 'image/x-portable-pixmap'
+                   WHEN doc_id % 5 IN (1, 2) THEN 'audio/wav'
+                   ELSE 'text/plain' END""").as("declared_mime"))
+    media
+      .withColumn("sniffed_mime", expr(
+        """CASE WHEN substring(payload, 1, 3) = to_binary('P6 ', 'utf-8')
+                  THEN 'image/x-portable-pixmap'
+                WHEN substring(payload, 1, 4) = to_binary('RIFF', 'utf-8')
+                  THEN 'audio/wav'
+                WHEN substring(payload, 1, 4) = to_binary('OggS', 'utf-8')
+                  THEN 'audio/ogg'
+                ELSE 'application/octet-stream' END"""))
+      .select(col("media_id"), col("declared_mime"), col("sniffed_mime"),
+        expr("""CASE WHEN sniffed_mime = 'application/octet-stream'
+                     THEN TRUE
+                     ELSE sniffed_mime = declared_mime END""")
+          .as("mime_match"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_mime_sniff" -> (mimeSniff _),
     "m10_phash_candidates" -> (phashCandidates _),
     "m09_dct_phash" -> (dctPhash _),
     "m08_ahash_clusters" -> (ahashClusters _),
@@ -766,6 +806,33 @@ object MultimodalOps {
          JOIN h c ON c.media_id = cand.id_b)"""
 
   def oracleSql: Map[String, String] = Map(
+    // m14: the payload is utf-8(text), so the oracle sniffs the same
+    // magic on the TEXT prefix — equivalence is byte-for-byte because
+    // the magics are pure ASCII
+    "m14_mime_sniff" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+                  CASE WHEN doc_id % 5 = 0 THEN 'P6 ' || text
+                       WHEN doc_id % 5 = 1 THEN 'RIFF' || text
+                       WHEN doc_id % 5 = 2 THEN 'OggS' || text
+                       ELSE text END AS p,
+                  CASE WHEN doc_id % 5 = 0 THEN 'image/x-portable-pixmap'
+                       WHEN doc_id % 5 IN (1, 2) THEN 'audio/wav'
+                       ELSE 'text/plain' END AS declared_mime
+           FROM documents),
+         s AS (
+           SELECT media_id, declared_mime,
+                  CASE WHEN substr(p, 1, 3) = 'P6 '
+                         THEN 'image/x-portable-pixmap'
+                       WHEN substr(p, 1, 4) = 'RIFF' THEN 'audio/wav'
+                       WHEN substr(p, 1, 4) = 'OggS' THEN 'audio/ogg'
+                       ELSE 'application/octet-stream' END AS sniffed_mime
+           FROM m)
+       SELECT media_id, declared_mime, sniffed_mime,
+              CASE WHEN sniffed_mime = 'application/octet-stream'
+                   THEN TRUE
+                   ELSE sniffed_mime = declared_mime END AS mime_match
+       FROM s""",
     "m10_phash_candidates" -> phashCandidatesOracle,
     "m09_dct_phash" -> dctPhashOracle,
     // m07: the m06 hash CTEs + the d07-style band self-join, Hamming
