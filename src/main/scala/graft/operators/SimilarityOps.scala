@@ -79,6 +79,47 @@ object SimilarityOps {
     exactTopK(all, all.filter(col("vec_id") < nQueries), k)
   }
 
+  /** s31: ROCCHIO PSEUDO-RELEVANCE FEEDBACK (Rocchio 1971, the
+    * classic query-expansion loop): round 1 retrieves the top-`fb`
+    * neighbors exactly (s01's kernel), the query moves toward their
+    * centroid — q' = α·q + β·mean(top-fb vectors), α = 1, β = 0.75,
+    * γ = 0 (no negative feedback) — and round 2 re-retrieves top-`k`
+    * with the moved query. The two-round embedding-space analog of
+    * the BM25 expansion every IR stack ships; on an embedding corpus
+    * it pulls the query into its local cluster before the final
+    * ranking.
+    *
+    * Determinism: the feedback mean is an EXPLICIT 5-term elementwise
+    * sum in rank order (no aggregate-order jitter), re-entering round
+    * 2 on an 8-dp grid; both rounds rank on 4-dp cosines with id
+    * tie-breaks. Scale shape: two broadcast-query scans plus a
+    * k-vector centroid per query — the corpus is read twice and
+    * shuffled never. */
+  def rocchioTopK(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, fb: Int = 5, k: Int = 10,
+      alpha: Double = 1.0, beta: Double = 0.75): DataFrame = {
+    require(fb == 5, "the explicit 5-term feedback sum is fb=5-specific")
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val q0 = all.filter(col("vec_id") < nQueries)
+    val r1 = exactTopK(all, q0, fb)
+    val nb = r1
+      .join(all.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+        "neighbor_id")
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("rank"), col("nv"))))
+        .as("nvs"))
+    val expanded = q0.select(col("vec_id").as("query_id"), col("v"))
+      .join(nb, "query_id")
+      .select(col("query_id").as("vec_id"), expr(
+        s"""transform(sequence(1, size(v)), i -> round(
+              $alpha * element_at(v, i) + $beta * (
+                (element_at(nvs[0].nv, i) + element_at(nvs[1].nv, i) +
+                 element_at(nvs[2].nv, i) + element_at(nvs[3].nv, i) +
+                 element_at(nvs[4].nv, i)) / 5.0D), 8))""").as("v"))
+    exactTopK(all, expanded, k)
+  }
+
   /** s20: HARD-NEGATIVE mining for contrastive training — per anchor,
     * the top-`k` most-similar corpus vectors that are NOT near-
     * duplicates (cosine < `dupThreshold`): the highest-value negatives
@@ -2113,6 +2154,8 @@ object SimilarityOps {
     "s12_embedding_covariance" ->
       ((s: SparkSession, d: String) => covariance(s, d)),
     "s01_ann_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
+    "s31_rocchio_feedback" -> ((s: SparkSession, d: String) =>
+      rocchioTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "s03_vector_norms" -> (norms _),
     "s04_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
@@ -2220,6 +2263,53 @@ object SimilarityOps {
     "s25_ann_recall" -> annRecallOracle,
     "s12_embedding_covariance" -> covarianceOracle,
     "s01_ann_brute" -> bruteOracle,
+    // s31: round-1 brute ranks, the same rank-ordered explicit 5-term
+    // feedback mean on the 8-dp grid, round-2 brute ranks with the
+    // moved query — term-for-term the Spark expression order
+    "s31_rocchio_feedback" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         scored1 AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(q.v, c.v) /
+                        sqrt(list_sum(list_transform(q.v, x -> x * x)) *
+                             list_sum(list_transform(c.v, x -> x * x))),
+                        4) AS cosine
+           FROM v q, v c
+           WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         r1 AS (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored1),
+         fbv AS (
+           SELECT r.query_id, list(c.v ORDER BY r.rank) AS lvs
+           FROM r1 r JOIN v c ON c.vec_id = r.neighbor_id
+           WHERE r.rank <= 5 GROUP BY r.query_id),
+         e AS (
+           SELECT q.vec_id AS query_id,
+                  list_transform(range(1, len(q.v) + 1), i -> round(
+                    1.0 * q.v[i] + 0.75 * (
+                      (f.lvs[1][i] + f.lvs[2][i] + f.lvs[3][i] +
+                       f.lvs[4][i] + f.lvs[5][i]) / 5.0), 8)) AS v
+           FROM v q JOIN fbv f ON f.query_id = q.vec_id),
+         scored2 AS (
+           SELECT e.query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(e.v, c.v) /
+                        sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+                             list_sum(list_transform(c.v, x -> x * x))),
+                        4) AS cosine
+           FROM e, v c WHERE e.query_id <> c.vec_id),
+         ranked AS (
+           SELECT query_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+                  neighbor_id, cosine
+           FROM scored2)
+       SELECT query_id, rank, neighbor_id, cosine
+       FROM ranked WHERE rank <= 10""",
     // s20: s01's oracle with the duplicate band excluded BETWEEN
     // scoring and ranking (rank 1 = hardest valid negative)
     "s20_hard_negatives" ->
