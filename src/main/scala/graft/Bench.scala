@@ -140,7 +140,8 @@ object Bench {
     "p12_planner_ikkbz", "q135_rfm_segments", "q136_basket_rules",
     "q137_cusum_changepoints", "q138_acf_daily", "q139_benford_audit",
     "g32_rich_club", "t29_gini_concentration", "g33i_betweenness",
-    "d22_soft_dedup_weights", "m14_mime_sniff")
+    "d22_soft_dedup_weights", "m14_mime_sniff",
+    "s31_rocchio_feedback")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

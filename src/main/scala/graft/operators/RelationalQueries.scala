@@ -393,9 +393,14 @@ object RelationalQueries {
     * broadcast at |parts| ≪ |pairs|. Never all-pairs across orders. */
   private def basketRules(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val items0 = Tables.load(spark, sfDir, "lineitem")
+    basketRulesOn(Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .distinct())
+  }
+
+  /** [[basketRules]] over any distinct (ok, pk) incidence frame. */
+  private[graft] def basketRulesOn(items0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
     val sized = items0.groupBy("ok").agg(count(lit(1)).as("bs"))
       .filter(col("bs") <= MaxBasket).select("ok")
     val items = Persists.barrier(items0.join(sized, Seq("ok"), "left_semi"))

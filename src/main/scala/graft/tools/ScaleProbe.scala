@@ -743,6 +743,41 @@ object ScaleProbe {
             "WHEN 1 THEN 'click' WHEN 2 THEN 'signup' " +
             "WHEN 3 THEN 'error' ELSE 'purchase' END AS event_type",
           "id * 60000000 AS us"))),
+      // g33: 4 forward σ levels + 3 backward δ levels, each one
+      // superstep join keyed (pivot, node) — O(pivots·|E|) per level
+      // with the pivot COUNT (not the graph) as the state multiplier;
+      // ladder graph (the g24 shape) keeps every frontier live
+      ("g33_betweenness", n => GraphOps.betweennessOn(
+        spark.range(n).selectExpr("id AS src", "id + 1 AS dst")
+          .unionAll(spark.range(n).selectExpr("id + 1 AS src",
+            "id AS dst")), nPivots = 4, maxHops = 4)),
+      // g32: one symmetric degree agg + the constant-maxK bounded
+      // explode (a row multiplier, never a join) — linear in |E|
+      ("g32_rich_club", n => GraphOps.richClubOn(
+        spark.range(n).selectExpr("id AS a", "id + 1 AS b"))),
+      // q136: pair generation is the per-basket self-join — baskets
+      // of fixed size 4 (id div 4 grouping), so candidate pairs track
+      // the ORDER count linearly; dimension joins broadcast
+      ("q136_basket_rules", n => RelationalQueries.basketRulesOn(
+        spark.range(n).selectExpr("id div 4 AS ok",
+          "pmod(xxhash64(id), 500) AS pk").distinct())),
+      // q137: q26's daily partial-agg then one stats agg + one fold
+      // per type on the bounded SERIES frame — event volume pays only
+      // the daily rollup (the q128 shape)
+      ("q137_cusum", n => EventOps.cusumOn(
+        spark.range(n).selectExpr(
+          "concat('t', id % 5) AS event_type",
+          "date_add(date'2024-01-01', cast(pmod(id div 5, 365) as int))"
+            + " AS day",
+          "cast(pmod(xxhash64(id), 100) as double) AS v")
+          .groupBy("event_type", "day")
+          .agg(org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.sum("v"), 2).as("v")))),
+      // t29: one per-source window sort of the doc-COUNT frame plus a
+      // sources-sized rollup — linear in docs, never touches tokens
+      ("t29_gini", n => TextOps.giniConcentrationOn(
+        spark.range(n).selectExpr("concat('s', id % 20) AS source",
+          "id AS doc_id", "pmod(xxhash64(id), 1000) AS x"))),
       // q130: q128's series fold + two grouped percentiles on the
       // days×types frame — event volume pays only the daily agg
       ("q130_holt_anomalies", n => EventOps.holtAnomaliesOn(
