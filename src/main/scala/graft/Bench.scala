@@ -141,7 +141,8 @@ object Bench {
     "q137_cusum_changepoints", "q138_acf_daily", "q139_benford_audit",
     "g32_rich_club", "t29_gini_concentration", "g33i_betweenness",
     "d22_soft_dedup_weights", "m14_mime_sniff",
-    "s31_rocchio_feedback")
+    "s31_rocchio_feedback", "t30_flesch_kincaid",
+    "q141_rolling_median")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

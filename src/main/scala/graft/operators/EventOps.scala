@@ -1053,6 +1053,62 @@ object EventOps {
           .as("index"))
   }
 
+  /** q141: ROLLING MEDIAN over the daily event series — the robust
+    * trailing-week trend line (q122's EWMA follows every spike;
+    * q117's MAD flags outliers pointwise; the rolling median is the
+    * smoother that IGNORES them): per event_type, the median of the
+    * 7-row trailing window on the day order, with the even-count
+    * interpolation spelled out EXPLICITLY in both engines (sorted
+    * window list; odd → middle element, even → mean of the two) so
+    * no engine-specific median() semantics ever enter. Output
+    * (event_type, day, v, n_win, rolling_median), 4-dp.
+    *
+    * Scale shape: q26's daily rollup, one per-type window pass over
+    * the bounded SERIES frame; window state is the constant 7
+    * elements. */
+  def rollingMedian(spark: SparkSession, sfDir: String): DataFrame =
+    rollingMedianOn(Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+        col("event_type"))
+      .agg(round(coalesce(sum("value"), lit(0.0)), 2).as("v")))
+
+  /** [[rollingMedian]] over any (event_type, day, v) series. */
+  private[graft] def rollingMedianOn(series: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    series
+      .withColumn("s", sort_array(collect_list(col("v")).over(w)))
+      .select(col("event_type"), col("day"), col("v"),
+        size(col("s")).as("n_win"),
+        round(expr(
+          """CASE WHEN size(s) % 2 = 1
+                  THEN element_at(s, CAST((size(s) + 1) div 2 AS INT))
+                  ELSE (element_at(s, CAST(size(s) div 2 AS INT)) +
+                        element_at(s, CAST(size(s) div 2 + 1 AS INT)))
+                       / 2.0D END"""),
+          4).as("rolling_median"))
+  }
+
+  /** q141's DuckDB twin: same window list, same explicit middle
+    * selection, same 4-dp grid. */
+  private[graft] val rollingMedianOracle: String =
+    """WITH d AS (
+         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                round(coalesce(sum(value), 0.0), 2) AS v
+         FROM events GROUP BY 1, 2),
+       w AS (SELECT event_type, day, v,
+                    list_sort(list(v) OVER (PARTITION BY event_type
+                      ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS s
+             FROM d)
+      SELECT event_type, day, v, len(s) AS n_win,
+             round(CASE WHEN len(s) % 2 = 1
+                        THEN s[(len(s) + 1) // 2]
+                        ELSE (s[len(s) // 2] + s[len(s) // 2 + 1]) / 2.0
+                   END, 4) AS rolling_median
+      FROM w"""
+
   /** Max autocorrelation lag for q138 — a week of daily lags. */
   private val AcfMaxLag = 7
 
@@ -1454,6 +1510,7 @@ object EventOps {
     "q133_seasonality_index" -> (seasonalityIndex _),
     "q137_cusum_changepoints" -> (cusumChangepoints _),
     "q138_acf_daily" -> (acfDaily _),
+    "q141_rolling_median" -> (rollingMedian _),
     "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_retention" -> (retention _),
     "q67_funnel_pattern" -> (funnelPattern _)
@@ -1467,6 +1524,7 @@ object EventOps {
     "q133_seasonality_index" -> seasonalityOracle,
     "q137_cusum_changepoints" -> cusumOracle,
     "q138_acf_daily" -> acfOracle,
+    "q141_rolling_median" -> rollingMedianOracle,
     // q126: the same lagged pair extraction on the same unique sort,
     // the same session-gap filter, the same row-normalized 4-dp p
     "q126_markov_transitions" ->

@@ -1387,7 +1387,55 @@ object TextOps {
                    / sum(x), 6) AS top_decile_share
       FROM r GROUP BY source"""
 
+  /** t30: FLESCH-KINCAID READABILITY (Kincaid et al. 1975) — the
+    * grade-level quality feature CCNet-style filters bin on:
+    * 0.39·(words/sentences) + 11.8·(syllables/word) − 15.59, with
+    * syllables approximated as VOWEL GROUPS (`[aeiouy]+` runs — the
+    * standard dictionary-free heuristic) and sentences as
+    * `[.!?]` terminators floored at 1 (the synthetic corpus is
+    * unpunctuated, so every doc reads as one sentence — the floor is
+    * explicit in both engines, not an accident of the data). Both
+    * regexes are shared character classes with identical semantics
+    * under Java regex and RE2. Output (doc_id, n_words, n_sentences,
+    * n_syllables, fk_grade), grade on the 4-dp grid.
+    *
+    * Scale shape: one narrow codegen'd map over the text column into
+    * a doc-sized frame — no shuffle at all. */
+  def fleschKincaid(spark: SparkSession, sfDir: String): DataFrame =
+    fleschKincaidOn(Tables.load(spark, sfDir, "documents"))
+
+  /** [[fleschKincaid]] over any (doc_id, text) frame. */
+  private[graft] def fleschKincaidOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_words"),
+        greatest(size(expr("regexp_extract_all(text, '[.!?]', 0)"))
+          .cast("long"), lit(1L)).as("n_sentences"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast("long").as("n_syllables"))
+      .withColumn("fk_grade", round(
+        lit(0.39) * col("n_words") / col("n_sentences") +
+          lit(11.8) * col("n_syllables") / col("n_words") - lit(15.59), 4))
+
+  /** t30's DuckDB twin: same token/terminator/vowel-group counts,
+    * same floored sentence divisor, same 4-dp grade. */
+  private val fleschKincaidOracle: String =
+    """SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+              greatest(CAST(len(regexp_extract_all(text, '[.!?]'))
+                         AS BIGINT), 1) AS n_sentences,
+              CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS n_syllables,
+              round(0.39 * len(string_split(text, ' '))
+                      / greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+                    + 11.8 * len(regexp_extract_all(lower(text),
+                                                    '[aeiouy]+'))
+                      / len(string_split(text, ' '))
+                    - 15.59, 4) AS fk_grade
+       FROM documents"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_flesch_kincaid" -> (fleschKincaid _),
     "t29_gini_concentration" -> (giniConcentration _),
     "t28_trigram_backoff" -> ((s: SparkSession, d: String) =>
       trigramBackoff(s, d)),
@@ -1429,6 +1477,7 @@ object TextOps {
        FROM documents"""
 
   def oracleSql: Map[String, String] = Map(
+    "t30_flesch_kincaid" -> fleschKincaidOracle,
     "t29_gini_concentration" -> giniOracle,
     "t28_trigram_backoff" -> trigramBackoffOracle,
     "t27_zipf_slope" -> zipfSlopeOracle,
