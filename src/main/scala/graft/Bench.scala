@@ -142,7 +142,8 @@ object Bench {
     "g32_rich_club", "t29_gini_concentration", "g33i_betweenness",
     "d22_soft_dedup_weights", "m14_mime_sniff",
     "s31_rocchio_feedback", "t30_flesch_kincaid",
-    "q141_rolling_median")
+    "q141_rolling_median", "g34_feature_propagation",
+    "t31_encoding_audit", "p13_planner_auto")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -2078,6 +2078,65 @@ object GraphOps {
         count(lit(1)).as("n_landmarks"))
   }
 
+  /** g34: GRAPH FEATURE PROPAGATION — the 2-layer mean-aggregation
+    * smoothing (the GraphSAGE-mean / label-propagation-on-features
+    * kernel, Hamilton et al. 2017's aggregator without the learned
+    * weights): each layer replaces every node's vector with the mean
+    * of itself and its neighbors, h' = (h + Σ_nb h_nb)/(1 + deg),
+    * elementwise, 6-dp re-entry per layer. On the mutual-kNN graph
+    * this is embedding smoothing — isolated noise shrinks toward the
+    * neighborhood consensus, the standard pre-step before clustering
+    * or label spread (g18 spreads LABELS; this spreads the features
+    * themselves). Emitted relationally as (node, dim, h) — the m02
+    * explode discipline, so the oracle and any SQL consumer sort and
+    * hash scalar rows.
+    *
+    * Arithmetic is EXACT FIXED-POINT: coordinates enter as
+    * micro-units on a +2 offset (positive, so Spark's truncating
+    * `div` and DuckDB's flooring `//` agree), each layer is an
+    * integer sum + one integer division, and the serve undoes the
+    * offset on the 6-dp grid. The first float draft diverged at
+    * 6-dp TIE quotients (sum-order last-ulp differences flipping
+    * round() across engines) — small-denominator means land ON
+    * rounding boundaries often enough that the usual re-entry-round
+    * discipline is not sufficient here; the mean(x)+c = mean(x+c)
+    * affine identity is what makes the positive offset free.
+    *
+    * Scale shape: per layer ONE edges⋈features join partial-agg'd on
+    * (node, dim) plus a node-sized left join — features move along
+    * edges once per layer, nothing is ever all-pairs. Layer frames
+    * are localCheckpointed (the 4c lesson: later layers re-read
+    * them). */
+  private[graft] def featurePropagationOn(
+      edges0: DataFrame, feats: DataFrame, layers: Int = 2): DataFrame = {
+    val e = Persists.barrier(
+      edges0.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(edges0.select(col("b").as("src"), col("a").as("dst"))))
+    var h = feats
+      .select(col("node"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("node"), col("i"),
+        expr("CAST(round((x + 2.0D) * 1000000D, 0) AS BIGINT)").as("x"))
+      .localCheckpoint(true)
+    for (_ <- 1 to layers) {
+      val nb = e.join(h.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("i"))
+        .agg(sum("x").as("nx"), count(lit(1)).as("nc"))
+      h = h.join(nb, Seq("node", "i"), "left")
+        .select(col("node"), col("i"),
+          expr("(x + coalesce(nx, 0L)) div (1L + coalesce(nc, 0L))")
+            .as("x"))
+        .localCheckpoint(true)
+    }
+    h.select(col("node"), col("i").as("dim"),
+      round(col("x") / lit(1000000.0) - lit(2.0), 6).as("h"))
+  }
+
+  /** g34 over the mutual-kNN graph with the embeddings as features. */
+  def featurePropagation(spark: SparkSession, sfDir: String): DataFrame =
+    featurePropagationOn(
+      mutualKnnEdgesOn(embVecs(spark, sfDir)),
+      embVecs(spark, sfDir).select(col("vec_id").as("node"), col("v")))
+
   /** g33: HOP-BOUNDED PIVOT BETWEENNESS — Brandes' dependency
     * accumulation (Brandes 2001) from a deterministic pivot set
     * (the sampled-source approximation of Brandes & Pich 2007),
@@ -2272,6 +2331,8 @@ object GraphOps {
       ((s: SparkSession, d: String) => harmonicCentrality(s, d)),
     "g33_betweenness" ->
       ((s: SparkSession, d: String) => betweennessCentrality(s, d)),
+    "g34_feature_propagation" ->
+      ((s: SparkSession, d: String) => featurePropagation(s, d)),
     "g01_pagerank" -> ((spark: SparkSession, sfDir: String) => {
       pagerankOn(coPurchaseEdges(spark, sfDir))
         .select(col("node"), col("pr"))
@@ -2768,6 +2829,39 @@ object GraphOps {
       harmonicOracle(BfsHops, HarmonicLandmarks),
     "g33_betweenness" ->
       betweennessOracle(BfsHops, BetweennessPivots),
+    // g34: the shared kNN CTEs, then the same exact fixed-point
+    // layers — integer micro-unit sums and one floor division each
+    // (operands positive, so // matches Spark's div), offset undone
+    // on the 6-dp serve grid
+    "g34_feature_propagation" -> {
+      val layers = (1 to 2).map { l =>
+        s"""n$l AS MATERIALIZED (
+             SELECT e.dst AS node, h.i, sum(h.x) AS nx, count(*) AS nc
+             FROM e2 e JOIN h${l - 1} h ON h.node = e.src
+             GROUP BY 1, 2),
+           h$l AS MATERIALIZED (
+             SELECT h.node, h.i,
+                    (h.x + coalesce(n.nx, 0)) //
+                      (1 + coalesce(n.nc, 0)) AS x
+             FROM h${l - 1} h LEFT JOIN n$l n
+               ON n.node = h.node AND n.i = h.i)"""
+      }.mkString(",\n")
+      s"""WITH ${knnEdgeCtes(None)},
+           e2 AS (SELECT a AS src, b AS dst FROM mutual
+                  UNION ALL SELECT b, a FROM mutual),
+           h0a AS (SELECT vec_id AS node, v,
+                          unnest(range(0, len(v))) AS i
+                   FROM v),
+           h0 AS MATERIALIZED (
+             SELECT node, i,
+                    CAST(round((v[CAST(i + 1 AS INTEGER)] + 2.0)
+                               * 1000000, 0) AS BIGINT) AS x
+             FROM h0a),
+           $layers
+         SELECT node, i AS dim,
+                round(x / 1000000.0 - 2.0, 6) AS h
+         FROM h2"""
+    },
     "g10_khop_bfs" -> bfsOracle(BfsHops),
     "g11_pagerank_weighted" -> pagerankWeightedOracle(PrIters),
     "g01_pagerank" -> pagerankOracle(PrIters),

@@ -1387,6 +1387,68 @@ object TextOps {
                    / sum(x), 6) AS top_decile_share
       FROM r GROUP BY source"""
 
+  /** t31: ENCODING-CLEANLINESS AUDIT — the first cleaning pass every
+    * ingest runs: per doc, counts of CONTROL characters (C0/DEL minus
+    * tab/LF/CR), U+FFFD replacement characters (the mojibake
+    * tombstone a lossy transcode leaves), the non-ASCII character
+    * ratio, and a clean flag (no control, no tombstone, ratio ≤ 0.3).
+    * The gate plants both pollution classes by doc-id (the q94/m14
+    * discipline: the corpus is clean ASCII, so an un-planted audit
+    * would rubber-stamp zeros instead of provably DETECTING).
+    * Character classes are shared `[\\x..]` ranges with identical
+    * Java-regex/RE2 semantics; counts are characters, not bytes, in
+    * both engines.
+    *
+    * Scale shape: one narrow codegen'd map over text into a doc-sized
+    * report — no shuffle. */
+  def encodingAudit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN doc_id % 7 = 0 THEN concat(text, chr(7))
+                 WHEN doc_id % 7 = 1 THEN concat(text, '$Tombstone')
+                 ELSE text END""").as("t"))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(t, '$ControlClass', 0)"))
+          .cast("long").as("n_control"),
+        size(expr(s"regexp_extract_all(t, '$Tombstone', 0)"))
+          .cast("long").as("n_replacement"),
+        round(size(expr("regexp_extract_all(t, '[^\\\\x00-\\\\x7F]', 0)"))
+          .cast("double") / length(col("t")), 6).as("non_ascii_ratio"))
+      .withColumn("clean",
+        col("n_control") === 0 && col("n_replacement") === 0 &&
+          col("non_ascii_ratio") <= 0.3)
+
+  /** C0 controls + DEL, excluding tab/LF/CR (legitimate whitespace). */
+  private val ControlClass =
+    "[\\\\x00-\\\\x08\\\\x0B\\\\x0C\\\\x0E-\\\\x1F\\\\x7F]"
+
+  /** U+FFFD, embedded literally so both engines see the same char. */
+  private val Tombstone = "�"
+
+  /** t31's DuckDB twin: same planted classes, same character-class
+    * regexes, same character-counted ratio and clean predicate. */
+  private val encodingAuditOracle: String =
+    s"""WITH p AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || chr(7)
+                      WHEN doc_id % 7 = 1 THEN text || '$Tombstone'
+                      ELSE text END AS t
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t,
+                   '${ControlClass.replace("\\\\", "\\")}')) AS BIGINT)
+                   AS n_control,
+                 CAST(len(regexp_extract_all(t, '$Tombstone')) AS BIGINT)
+                   AS n_replacement,
+                 round(CAST(len(regexp_extract_all(t, '[^\\x00-\\x7F]'))
+                         AS DOUBLE) / length(t), 6) AS non_ascii_ratio
+          FROM p)
+      SELECT doc_id, n_control, n_replacement, non_ascii_ratio,
+             (n_control = 0 AND n_replacement = 0
+              AND non_ascii_ratio <= 0.3) AS clean
+      FROM c"""
+
   /** t30: FLESCH-KINCAID READABILITY (Kincaid et al. 1975) — the
     * grade-level quality feature CCNet-style filters bin on:
     * 0.39·(words/sentences) + 11.8·(syllables/word) − 15.59, with
@@ -1435,6 +1497,7 @@ object TextOps {
        FROM documents"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t31_encoding_audit" -> (encodingAudit _),
     "t30_flesch_kincaid" -> (fleschKincaid _),
     "t29_gini_concentration" -> (giniConcentration _),
     "t28_trigram_backoff" -> ((s: SparkSession, d: String) =>
@@ -1477,6 +1540,7 @@ object TextOps {
        FROM documents"""
 
   def oracleSql: Map[String, String] = Map(
+    "t31_encoding_audit" -> encodingAuditOracle,
     "t30_flesch_kincaid" -> fleschKincaidOracle,
     "t29_gini_concentration" -> giniOracle,
     "t28_trigram_backoff" -> trigramBackoffOracle,

@@ -603,7 +603,21 @@ object Enumerators {
     }
   }
 
+  /** Adaptive enumerator selection — the deployment policy every real
+    * optimizer ships (and the reference's Main encodes as per-run rule
+    * flags, Main.java:38-74): exhaustive DPccp while the graph is
+    * small enough to afford it, the polynomial IKKBZ heuristic past
+    * the exact-search budget. The boundary reuses BranchAndBound's
+    * documented refusal zone (≥ 12 edges) so "affordable" is defined
+    * once in the file. */
+  final case class Auto(maxExactEdges: Int = 12) extends JoinOrderPlanner {
+    val name = "auto"
+    protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree =
+      if (g.edges.size < maxExactEdges) DPccp.plan(g, card, cm).tree
+      else Ikkbz.plan(g, card, cm).tree
+  }
+
   val all: Seq[JoinOrderPlanner] =
     Seq(DPccp, NaiveDP, LeftDeepDP, Greedy, Bushy, BranchAndBound(),
-      RandomOrder(), Annealing(), Ikkbz)
+      RandomOrder(), Annealing(), Ikkbz, Auto())
 }

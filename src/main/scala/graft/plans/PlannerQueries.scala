@@ -83,7 +83,10 @@ object PlannerQueries {
     "p11_planner_anneal" -> runFlagship(Enumerators.Annealing()) _,
     // p12: IKKBZ — polynomial-time PROVABLY-optimal left-deep ordering
     // on the (acyclic) flagship chain; IkkbzSpec pins the optimality
-    "p12_planner_ikkbz" -> runFlagship(Enumerators.Ikkbz) _
+    "p12_planner_ikkbz" -> runFlagship(Enumerators.Ikkbz) _,
+    // p13: the deployed policy — exact DP under the budget, IKKBZ past
+    // it (picks DPccp on the 4-edge flagship; AutoSpec pins the switch)
+    "p13_planner_auto" -> runFlagship(Enumerators.Auto()) _
   )
 
   /** p10: the flagship planned with cardinalities estimated ONLY from

@@ -379,6 +379,30 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == (1L, 0L, 0.0))
   }
 
+  test("feature propagation: exact fixed-point means on a 3-path") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    def feats(xs: (Long, Double)*) =
+      xs.map { case (n, x) => (n, Seq(x)) }.toDF("node", "v")
+    // offsets: 2.0→2_000_000 µ-units; layer = (self + Σnb) div (1+deg)
+    val l1 = GraphOps.featurePropagationOn(edges,
+      feats(1L -> 0.0, 2L -> 0.6, 3L -> 0.0), layers = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(l1 == Map(1L -> 0.3, 2L -> 0.2, 3L -> 0.3))
+    val l2 = GraphOps.featurePropagationOn(edges,
+      feats(1L -> 0.0, 2L -> 0.6, 3L -> 0.0), layers = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // node 2 layer 2: (2_200_000 + 2·2_300_000) div 3 = 2_266_666 µ
+    assert(l2 == Map(1L -> 0.25, 2L -> 0.266666, 3L -> 0.25))
+    // negative inputs ride the offset: isolated pair averages exactly
+    val neg = GraphOps.featurePropagationOn(
+      Seq((7L, 8L)).toDF("a", "b"),
+      feats(7L -> -0.5, 8L -> 0.1), layers = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(neg == Map(7L -> -0.2, 8L -> -0.2))
+  }
+
   test("betweenness: path-graph dependencies and diamond path splitting") {
     val s = spark
     import s.implicits._
