@@ -143,6 +143,7 @@ object Bench {
     "d22_soft_dedup_weights", "m14_mime_sniff",
     "s31_rocchio_feedback", "t30_flesch_kincaid",
     "q141_rolling_median", "g34_feature_propagation",
+    "c34_neyman_sample", "d23_band_planner",
     "t31_encoding_audit", "p13_planner_auto")
 
   /** Bench-only variants (not gate entries — the gate form stays the

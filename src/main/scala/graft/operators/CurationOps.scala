@@ -1207,7 +1207,69 @@ object CurationOps {
               AS weight
      FROM dw CROSS JOIN d CROSS JOIN e"""
 
+  /** The c34 selection hash — one string, both engines. */
+  private val NeymanHash =
+    graft.operators.PortableHash.packed("'ney7:' || doc_id")
+
+  /** c34: NEYMAN-ALLOCATED STRATIFIED SAMPLE (Neyman 1934) — the
+    * statistically optimal audit-sample allocator: where c07 keeps a
+    * fixed RATE per stratum, Neyman allocation sizes each stratum's
+    * sample ∝ N_h·S_h (size × spread), so a fixed labeling budget
+    * buys the minimum-variance estimate of corpus quality — the
+    * allocator behind every "manually audit 100 docs" QA pass.
+    * Strata = source, measurement = n_chars; allocation is EXACT
+    * integer arithmetic (weights land on a 1e-4 grid as longs, the
+    * budget share is one integer division — the g34 lesson: never
+    * let a float sum feed a floor), capped at the stratum
+    * population; selection inside a stratum is the seeded portable
+    * hash order with doc-id tie-break (the c11/c14 discipline).
+    * Output: the selected rows with their stratum's allocation. */
+  def neymanSample(spark: SparkSession, sfDir: String,
+      budget: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Persists.barrier(
+      docs(spark, sfDir).select("doc_id", "source", "n_chars"))
+    val st = d.groupBy("source").agg(count(lit(1)).as("nh"),
+      round(coalesce(nanvl(stddev_samp(col("n_chars")), lit(0.0)),
+        lit(0.0)), 6).as("sh"))
+      .withColumn("wi",
+        expr("CAST(round(nh * sh * 10000, 0) AS BIGINT)"))
+    val tot = st.agg(sum("wi").as("tw"))
+    val alloc = st.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(col("nh"), expr(s"($budget * wi) div tw")).as("alloc"))
+    val w = Window.partitionBy("source")
+      .orderBy(expr(NeymanHash).asc, col("doc_id").asc)
+    d.join(broadcast(alloc), "source")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("alloc"))
+      .select("doc_id", "source", "n_chars", "alloc")
+  }
+
+  /** c34's DuckDB twin: same 6-dp stddev, same 1e-4 integer weight
+    * grid and integer budget share, same hash-ordered pick. */
+  private val neymanOracle: String =
+    s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        st AS (SELECT source, count(*) AS nh,
+                      round(coalesce(stddev_samp(n_chars), 0.0), 6)
+                        AS sh
+               FROM d GROUP BY 1),
+        w AS (SELECT source, nh,
+                     CAST(round(nh * sh * 10000, 0) AS BIGINT) AS wi
+              FROM st),
+        t AS (SELECT sum(wi) AS tw FROM w),
+        a AS (SELECT w.source,
+                     least(w.nh, (100 * w.wi) // t.tw) AS alloc
+              FROM w, t),
+        r AS (SELECT d.doc_id, d.source, d.n_chars, a.alloc,
+                     row_number() OVER (PARTITION BY d.source
+                       ORDER BY $NeymanHash, d.doc_id) AS rk
+              FROM d JOIN a USING (source))
+      SELECT doc_id, source, n_chars, alloc FROM r WHERE rk <= alloc"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c34_neyman_sample" ->
+      ((s: SparkSession, d: String) => neymanSample(s, d)),
     "c33_mix_anneal" ->
       ((s: SparkSession, d: String) => mixAnneal(s, d)),
     "c32_doremi_waterfill" ->
@@ -1396,6 +1458,7 @@ object CurationOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "c34_neyman_sample" -> neymanOracle,
     "c33_mix_anneal" -> mixAnnealOracle(4),
     "c32_doremi_waterfill" -> doremiWaterfillOracle,
     "c31_doremi_weights" -> doremiOracle,

@@ -864,6 +864,55 @@ object DedupOps {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** d23: LSH BAND PLANNER — the design-time half of d20's measured
+    * calibration: for a signature of `sigLen` MinHashes, enumerate
+    * every (bands, rows) factorization, score each with the
+    * closed-form S-curve — collision threshold t ≈ (1/b)^(1/r) and
+    * P(candidate | j) = 1 − (1 − j^r)^b at three reference jaccards
+    * bracketing the target — and flag the factorization whose
+    * threshold sits closest to θ (ties to fewer bands = cheaper).
+    * This is the table every LSH deployment derives by hand from
+    * Leskovec/Rajaraman/Ullman ch. 3; shipping it as an operator
+    * makes the (8, 4) choice d02/d06 hard-code an AUDITABLE output.
+    * Pure closed-form arithmetic on a divisor-count-sized frame; the
+    * global rank window is over those ≤ d(sigLen) rows, not data. */
+  def bandPlanner(spark: SparkSession, sfDir: String,
+      sigLen: Int = 32, theta: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = spark.range(1, sigLen + 1L)
+      .withColumnRenamed("id", "b")
+      .filter(lit(sigLen) % col("b") === 0)
+      .withColumn("r", expr(s"$sigLen div b"))
+      .withColumn("threshold",
+        round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 6))
+      .withColumn("p_03",
+        round(lit(1.0) - pow(lit(1.0) - pow(lit(0.3), col("r")), col("b")), 6))
+      .withColumn("p_04",
+        round(lit(1.0) - pow(lit(1.0) - pow(lit(0.4), col("r")), col("b")), 6))
+      .withColumn("p_05",
+        round(lit(1.0) - pow(lit(1.0) - pow(lit(0.5), col("r")), col("b")), 6))
+    val w = Window.orderBy(abs(col("threshold") - lit(theta)), col("b"))
+    cand.withColumn("chosen", row_number().over(w) === 1)
+  }
+
+  /** d23's DuckDB twin: same divisor enumeration, same S-curve
+    * algebra on the 6-dp grid, same argmin flag. */
+  private val bandPlannerOracle: String =
+    """WITH c AS (
+         SELECT b, 32 // b AS r
+         FROM (SELECT unnest(range(1, 33)) AS b) WHERE 32 % b = 0),
+       s AS (
+         SELECT b, r,
+                round(pow(1.0 / b, 1.0 / r), 6) AS threshold,
+                round(1.0 - pow(1.0 - pow(0.3, r), b), 6) AS p_03,
+                round(1.0 - pow(1.0 - pow(0.4, r), b), 6) AS p_04,
+                round(1.0 - pow(1.0 - pow(0.5, r), b), 6) AS p_05
+         FROM c)
+      SELECT b, r, threshold, p_03, p_04, p_05,
+             (row_number() OVER (ORDER BY abs(threshold - 0.4), b) = 1)
+               AS chosen
+      FROM s"""
+
   /** d22: SOFT DEDUP — duplicate-count REWEIGHTING instead of
     * removal (the SlimPajama/"soft dedup" alternative: d09/d11 DROP
     * losers, which discards paraphrase diversity; here every doc
@@ -1419,6 +1468,8 @@ object DedupOps {
     "d17_semdedup_cells" ->
       ((s: SparkSession, d: String) => semdedupCells(s, d)),
     "d22_soft_dedup_weights" -> (softDedupWeights _),
+    "d23_band_planner" -> ((s: SparkSession, d: String) =>
+      bandPlanner(s, d)),
     "d01_dedup_exact" -> ((spark: SparkSession, sfDir: String) => {
       Tables.registerAll(spark, sfDir); spark.sql(exactSql)
     }),
@@ -1676,6 +1727,7 @@ object DedupOps {
 
   def oracleSql: Map[String, String] = Map(
     "d22_soft_dedup_weights" -> softDedupOracle,
+    "d23_band_planner" -> bandPlannerOracle,
     "d20_minhash_calibration" -> minhashCalibrationOracle,
     "d19_dedup_report" -> dedupReportOracle,
     "d18_intradoc_dedup" -> intraDocOracle,
