@@ -144,6 +144,7 @@ object Bench {
     "s31_rocchio_feedback", "t30_flesch_kincaid",
     "q141_rolling_median", "g34_feature_propagation",
     "c34_neyman_sample", "d23_band_planner",
+    "g35_weighted_sssp", "t32_rake_keywords",
     "t31_encoding_audit", "p13_planner_auto")
 
   /** Bench-only variants (not gate entries — the gate form stays the

@@ -2078,6 +2078,67 @@ object GraphOps {
         count(lit(1)).as("n_landmarks"))
   }
 
+  /** g35: HOP-BOUNDED WEIGHTED SHORTEST PATHS — Bellman-Ford relax
+    * rounds over the weighted co-purchase graph (g11's edges: weight
+    * = distinct orders linking the pair, the "cost" of crossing the
+    * relationship), seeded like g10's BFS: after `rounds` supersteps
+    * every node holds the cheapest total weight over paths of
+    * ≤ rounds hops (the hop-bounded SSSP; g10's BFS is this operator
+    * at weight ≡ 1). Relaxation is an all-integer min — commutative
+    * and order-free, so there is nothing to round anywhere.
+    *
+    * Scale shape: per round one edges⋈dist join + one min agg keyed
+    * by node — the PR superstep shape: edges stay put, only the
+    * node-sized dist vector moves; round frames localCheckpoint (the
+    * 4c lesson). */
+  private[graft] def weightedSsspOn(edgesW: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = Persists.barrier(edgesW.select("src", "dst", "w"))
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relax = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relax)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** g35 over the weighted co-purchase graph, nation-0 seeds. */
+  def weightedSssp(spark: SparkSession, sfDir: String): DataFrame =
+    weightedSsspOn(coPurchaseWeightedEdges(spark, sfDir),
+      nationSeeds(spark, sfDir), BfsHops)
+
+  /** g35's oracle: per round one relax CTE and one min roll-up —
+    * all-integer, nothing to round. */
+  private def weightedSsspOracle(rounds: Int): String = {
+    val base =
+      """WITH pairs AS (
+           SELECT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn,
+                  count(DISTINCT o_orderkey) AS w
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT cn AS src, sn AS dst, w FROM pairs
+           UNION ALL
+           SELECT sn AS src, cn AS dst, w FROM pairs),
+         d0 AS (
+           SELECT DISTINCT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+           FROM customer WHERE c_nationkey = 0)"""
+    val its = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+           SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d${i - 1}
+             UNION ALL
+             SELECT e.dst AS node, d.dist + e.w AS dist
+             FROM edges e JOIN d${i - 1} d ON d.node = e.src)
+           GROUP BY node)"""
+    }.mkString(",\n")
+    s"$base,\n$its\nSELECT node, dist FROM d$rounds"
+  }
+
   /** g34: GRAPH FEATURE PROPAGATION — the 2-layer mean-aggregation
     * smoothing (the GraphSAGE-mean / label-propagation-on-features
     * kernel, Hamilton et al. 2017's aggregator without the learned
@@ -2333,6 +2394,8 @@ object GraphOps {
       ((s: SparkSession, d: String) => betweennessCentrality(s, d)),
     "g34_feature_propagation" ->
       ((s: SparkSession, d: String) => featurePropagation(s, d)),
+    "g35_weighted_sssp" ->
+      ((s: SparkSession, d: String) => weightedSssp(s, d)),
     "g01_pagerank" -> ((spark: SparkSession, sfDir: String) => {
       pagerankOn(coPurchaseEdges(spark, sfDir))
         .select(col("node"), col("pr"))
@@ -2829,6 +2892,7 @@ object GraphOps {
       harmonicOracle(BfsHops, HarmonicLandmarks),
     "g33_betweenness" ->
       betweennessOracle(BfsHops, BetweennessPivots),
+    "g35_weighted_sssp" -> weightedSsspOracle(BfsHops),
     // g34: the shared kNN CTEs, then the same exact fixed-point
     // layers — integer micro-unit sums and one floor division each
     // (operands positive, so // matches Spark's div), offset undone

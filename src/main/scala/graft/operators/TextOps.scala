@@ -1387,6 +1387,87 @@ object TextOps {
                    / sum(x), 6) AS top_decile_share
       FROM r GROUP BY source"""
 
+  /** t32: RAKE KEYWORD EXTRACTION (Rose et al. 2010) — the
+    * dictionary-free keyphrase miner: candidate phrases are the
+    * maximal stopword-free runs (split on the shared stopword list
+    * with word boundaries), each word scores deg/freq over the doc's
+    * phrase set (deg = Σ lengths of phrases containing it, freq =
+    * its phrase occurrences — long words embedded in long phrases
+    * win), and a phrase scores the sum of its word scores; top-3
+    * distinct phrases per doc by (score desc, phrase). Word scores
+    * are exact-integer quotients on the 4-dp grid; the phrase sum
+    * re-rounds values whose TRUE total is already a grid multiple,
+    * so summation order cannot move it.
+    *
+    * Scale shape: explode to (doc, phrase, word), two doc-keyed aggs
+    * and one top-k window — all partial-agg'd, corpus-linear. */
+  def rakeKeywords(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    rakeKeywordsOn(Tables.load(spark, sfDir, "documents"), k)
+
+  /** [[rakeKeywords]] over any (doc_id, text) frame. */
+  private[graft] def rakeKeywordsOn(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopAlt = stopwords.mkString("|")
+    val phrases = docs
+      .select(col("doc_id"), explode(expr(
+        s"""filter(transform(
+              split(regexp_replace(text, '\\\\b($stopAlt)\\\\b', '|'),
+                    '[|]'),
+              p -> trim(p)), p -> p <> '')""")).as("phrase"))
+      .distinct()
+    val pw = Persists.barrier(phrases
+      .withColumn("ws", split(col("phrase"), " +"))
+      .select(col("doc_id"), col("phrase"),
+        size(col("ws")).cast("long").as("plen"),
+        explode(col("ws")).as("word")))
+    val wordScore = pw.groupBy("doc_id", "word")
+      .agg(round(sum("plen").cast("double") / count(lit(1)), 4)
+        .as("wscore"))
+    val phraseScore = pw.join(wordScore, Seq("doc_id", "word"))
+      .groupBy("doc_id", "phrase")
+      .agg(round(sum("wscore"), 4).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("phrase").asc)
+    phraseScore.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "phrase", "score")
+  }
+
+  /** t32's DuckDB twin: same boundary-split phrases, same deg/freq
+    * quotients and grid sums, same (score desc, phrase) top-3. */
+  private def rakeOracle: String = {
+    val stopAlt = stopwords.mkString("|")
+    s"""WITH ph AS (
+          SELECT DISTINCT doc_id, p AS phrase
+          FROM (SELECT doc_id,
+                       trim(unnest(string_split_regex(
+                         regexp_replace(text, '\\b($stopAlt)\\b', '|',
+                                        'g'),
+                         '[|]'))) AS p
+                FROM documents)
+          WHERE p <> ''),
+        pw AS (
+          SELECT doc_id, phrase,
+                 CAST(len(string_split_regex(phrase, ' +')) AS BIGINT)
+                   AS plen,
+                 unnest(string_split_regex(phrase, ' +')) AS word
+          FROM ph),
+        ws AS (
+          SELECT doc_id, word,
+                 round(CAST(sum(plen) AS DOUBLE) / count(*), 4) AS wscore
+          FROM pw GROUP BY 1, 2),
+        ps AS (
+          SELECT pw.doc_id, pw.phrase, round(sum(ws.wscore), 4) AS score
+          FROM pw JOIN ws ON ws.doc_id = pw.doc_id AND ws.word = pw.word
+          GROUP BY 1, 2),
+        r AS (
+          SELECT doc_id, phrase, score,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, phrase) AS INTEGER) AS rank
+          FROM ps)
+      SELECT doc_id, rank, phrase, score FROM r WHERE rank <= 3"""
+  }
+
   /** t31: ENCODING-CLEANLINESS AUDIT — the first cleaning pass every
     * ingest runs: per doc, counts of CONTROL characters (C0/DEL minus
     * tab/LF/CR), U+FFFD replacement characters (the mojibake
@@ -1498,6 +1579,8 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t31_encoding_audit" -> (encodingAudit _),
+    "t32_rake_keywords" -> ((s: SparkSession, d: String) =>
+      rakeKeywords(s, d)),
     "t30_flesch_kincaid" -> (fleschKincaid _),
     "t29_gini_concentration" -> (giniConcentration _),
     "t28_trigram_backoff" -> ((s: SparkSession, d: String) =>
@@ -1541,6 +1624,7 @@ object TextOps {
 
   def oracleSql: Map[String, String] = Map(
     "t31_encoding_audit" -> encodingAuditOracle,
+    "t32_rake_keywords" -> rakeOracle,
     "t30_flesch_kincaid" -> fleschKincaidOracle,
     "t29_gini_concentration" -> giniOracle,
     "t28_trigram_backoff" -> trigramBackoffOracle,
