@@ -145,6 +145,7 @@ object Bench {
     "q141_rolling_median", "g34_feature_propagation",
     "c34_neyman_sample", "d23_band_planner",
     "g35_weighted_sssp", "t32_rake_keywords",
+    "q142_time_weighted_avg", "t33_canonicalize",
     "t31_encoding_audit", "p13_planner_auto")
 
   /** Bench-only variants (not gate entries — the gate form stays the

@@ -1053,6 +1053,53 @@ object EventOps {
           .as("index"))
   }
 
+  /** q142: TIME-WEIGHTED AVERAGE — the irregular-sampling mean every
+    * sensor/finance pipeline needs where q26's plain daily mean
+    * over-weights bursts: per event_type, each observed value holds
+    * until the next observation, so TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_n−t₁)
+    * over the type's event sequence (the step-function integral; the
+    * final observation carries no interval and duration weights are
+    * exact integer MICROSECONDS). Types with one event (zero span)
+    * emit NULL, spelled with the same nullif in both engines. Output
+    * (event_type, n_events, span_us, twa), 4-dp.
+    *
+    * Scale shape: one per-type window pass (lead) + one partial-agg'd
+    * rollup — weights are exact longs, so only the final Σ v·w is
+    * floating point, rounded on the grid. */
+  def timeWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("us").asc, col("event_id").asc)
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("dur", lead("us", 1).over(w) - col("us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (max("us") - min("us")).as("span_us"),
+        round(sum(col("value") * col("dur")) /
+          expr("nullif(CAST(max(us) - min(us) AS DOUBLE), 0.0D)"), 4)
+          .as("twa"))
+  }
+
+  /** q142's DuckDB twin: same (us, event_id) order, same exact
+    * integer durations, same nullif'd span divisor on the 4-dp
+    * grid. */
+  private[graft] val timeWeightedAvgOracle: String =
+    """WITH e AS (
+         SELECT event_id, event_type, value, epoch_us(ts) AS us
+         FROM events),
+       d AS (SELECT event_type, value, us,
+                    lead(us) OVER (PARTITION BY event_type
+                      ORDER BY us, event_id) - us AS dur
+             FROM e)
+      SELECT event_type, count(*) AS n_events,
+             max(us) - min(us) AS span_us,
+             round(sum(value * dur) /
+                   nullif(CAST(max(us) - min(us) AS DOUBLE), 0.0), 4)
+               AS twa
+      FROM d GROUP BY event_type"""
+
   /** q141: ROLLING MEDIAN over the daily event series — the robust
     * trailing-week trend line (q122's EWMA follows every spike;
     * q117's MAD flags outliers pointwise; the rolling median is the
@@ -1511,6 +1558,7 @@ object EventOps {
     "q137_cusum_changepoints" -> (cusumChangepoints _),
     "q138_acf_daily" -> (acfDaily _),
     "q141_rolling_median" -> (rollingMedian _),
+    "q142_time_weighted_avg" -> (timeWeightedAvg _),
     "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_retention" -> (retention _),
     "q67_funnel_pattern" -> (funnelPattern _)
@@ -1525,6 +1573,7 @@ object EventOps {
     "q137_cusum_changepoints" -> cusumOracle,
     "q138_acf_daily" -> acfOracle,
     "q141_rolling_median" -> rollingMedianOracle,
+    "q142_time_weighted_avg" -> timeWeightedAvgOracle,
     // q126: the same lagged pair extraction on the same unique sort,
     // the same session-gap filter, the same row-normalized 4-dp p
     "q126_markov_transitions" ->

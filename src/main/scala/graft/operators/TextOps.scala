@@ -1387,6 +1387,54 @@ object TextOps {
                    / sum(x), 6) AS top_decile_share
       FROM r GROUP BY source"""
 
+  /** t33: TEXT CANONICALIZATION — the normalization layer exact
+    * dedup should key on (raw-byte equality misses trivial variants):
+    * lowercase, strip everything outside `[a-z0-9 ]`, collapse
+    * whitespace runs, trim; emit the canonical md5 plus a `changed`
+    * flag marking docs the normalization actually moved. d01 keyed on
+    * this hash collapses case/punctuation variants the raw-md5 key
+    * treats as distinct. The gate plants three variant classes by
+    * doc-id (uppercase, trailing punctuation, leading whitespace —
+    * the q94/m14 pollution discipline: this corpus is already
+    * canonical, and the planted classes must land on the SAME hash
+    * as their clean text, provably collapsing). Pure shared-regex
+    * string algebra — one narrow codegen'd map, no shuffle. */
+  def canonicalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        """CASE WHEN doc_id % 6 = 0 THEN upper(text)
+                WHEN doc_id % 6 = 1 THEN concat(text, '!!')
+                WHEN doc_id % 6 = 2 THEN concat('  ', text)
+                ELSE text END""").as("text"))
+      .select(col("doc_id"), col("text"),
+        expr("""trim(regexp_replace(
+                  regexp_replace(lower(text), '[^a-z0-9 ]', ' '),
+                  ' +', ' '))""").as("canonical"))
+      .select(col("doc_id"), md5(col("canonical")).as("canonical_hash"),
+        (col("canonical") =!= col("text")).as("changed"),
+        length(col("canonical")).cast("long").as("canonical_len"))
+
+  /** t33's DuckDB twin: same planted classes, same two regex passes,
+    * same trim, same md5 and changed flag. */
+  private val canonicalizeOracle: String =
+    """WITH p AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 6 = 0 THEN upper(text)
+                     WHEN doc_id % 6 = 1 THEN text || '!!'
+                     WHEN doc_id % 6 = 2 THEN '  ' || text
+                     ELSE text END AS text
+         FROM documents),
+       c AS (
+         SELECT doc_id, text,
+                trim(regexp_replace(
+                  regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                  ' +', ' ', 'g')) AS canonical
+         FROM p)
+      SELECT doc_id, md5(canonical) AS canonical_hash,
+             (canonical <> text) AS changed,
+             CAST(length(canonical) AS BIGINT) AS canonical_len
+      FROM c"""
+
   /** t32: RAKE KEYWORD EXTRACTION (Rose et al. 2010) — the
     * dictionary-free keyphrase miner: candidate phrases are the
     * maximal stopword-free runs (split on the shared stopword list
@@ -1581,6 +1629,7 @@ object TextOps {
     "t31_encoding_audit" -> (encodingAudit _),
     "t32_rake_keywords" -> ((s: SparkSession, d: String) =>
       rakeKeywords(s, d)),
+    "t33_canonicalize" -> (canonicalize _),
     "t30_flesch_kincaid" -> (fleschKincaid _),
     "t29_gini_concentration" -> (giniConcentration _),
     "t28_trigram_backoff" -> ((s: SparkSession, d: String) =>
@@ -1625,6 +1674,7 @@ object TextOps {
   def oracleSql: Map[String, String] = Map(
     "t31_encoding_audit" -> encodingAuditOracle,
     "t32_rake_keywords" -> rakeOracle,
+    "t33_canonicalize" -> canonicalizeOracle,
     "t30_flesch_kincaid" -> fleschKincaidOracle,
     "t29_gini_concentration" -> giniOracle,
     "t28_trigram_backoff" -> trigramBackoffOracle,
