@@ -140,12 +140,13 @@ object Bench {
     "p12_planner_ikkbz", "q135_rfm_segments", "q136_basket_rules",
     "q137_cusum_changepoints", "q138_acf_daily", "q139_benford_audit",
     "g32_rich_club", "t29_gini_concentration", "g33i_betweenness",
-    "d22_soft_dedup_weights", "m14_mime_sniff",
+    "d22i_soft_dedup_weights", "m14_mime_sniff",
     "s31_rocchio_feedback", "t30_flesch_kincaid",
     "q141_rolling_median", "g34_feature_propagation",
     "c34_neyman_sample", "d23_band_planner",
     "g35_weighted_sssp", "t32_rake_keywords",
     "q142_time_weighted_avg", "t33_canonicalize",
+    "d24_dedup_canonical",
     "t31_encoding_audit", "p13_planner_auto")
 
   /** Bench-only variants (not gate entries — the gate form stays the
@@ -167,6 +168,10 @@ object Bench {
     // d20's calibration roll-up over the stored signature table
     "d20i_minhash_calibration" ->
       ((s, d) => graft.operators.DedupOps.minhashCalibrationFromSigs(s, d)),
+    // d22's weighting over the stored signature table (the d12i serve
+    // discipline; SoftDedupMimeSpec pins served = inline)
+    "d22i_soft_dedup_weights" ->
+      ((s, d) => graft.operators.DedupOps.softDedupWeightsFromSigs(s, d)),
     // q80's exact multi-column countDistinct plans as an Expand (7x the
     // input) and was 34% of total_r7 — masking the other queries, the
     // d12-at-r6 pattern. The series times the approx-NDV production

@@ -864,6 +864,37 @@ object DedupOps {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** The d24 pollution fixture, shared VERBATIM with its oracle (the
+    * q94 fixtureSql discipline): the corpus plus an UPPERCASED and a
+    * punctuated variant of every 50th doc, minted at collision-free
+    * id offsets — known 3-member canonical families whose raw md5
+    * keys are all distinct. */
+  private[graft] val canonicalFixtureSql: String =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 10000000, upper(text) FROM documents
+       WHERE doc_id % 50 = 0
+       UNION ALL
+       SELECT doc_id + 20000000, text || '!!' FROM documents
+       WHERE doc_id % 50 = 0"""
+
+  /** d24: CANONICAL-HASH DEDUP CENSUS — d01's exact dedup keyed on
+    * t33's normalized text instead of raw bytes: case, punctuation,
+    * and whitespace variants (which raw md5 scatters into distinct
+    * keys) collapse into one group. Runs over the planted fixture, so
+    * the census provably CATCHES the variant families the d01 key
+    * misses — every 50th doc forms a known 3-member group with the
+    * min-id keeper (the d08/d09 convention). The normalize+hash stage
+    * is t33's narrow map; the census is one hash-keyed partial agg —
+    * the d01 scale shape unchanged. */
+  def canonicalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    TextOps.canonicalizeOn(spark.sql(canonicalFixtureSql))
+      .groupBy("canonical_hash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** d23: LSH BAND PLANNER — the design-time half of d20's measured
     * calibration: for a signature of `sigLen` MinHashes, enumerate
     * every (bands, rows) factorization, score each with the
@@ -926,10 +957,22 @@ object DedupOps {
     * and one size join — all keyed aggs over the doc-id frame; the
     * corpus text is only touched by the signature stage d08 already
     * owns. */
-  def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame = {
+  def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame =
+    softDedupWeightsFrom(spark, sfDir, dedupClusters(spark, sfDir))
+
+  /** [[softDedupWeights]] over the PRE-MATERIALIZED signature table
+    * (the d12i serve discipline; benched d22i). */
+  def softDedupWeightsFromSigs(
+      spark: SparkSession, sfDir: String): DataFrame =
+    softDedupWeightsFrom(spark, sfDir, connectedComponents(
+      portablePairs(spark.read.parquet(signatureTablePath(spark, sfDir)),
+        0.4, lit(true)).select("id_a", "id_b")))
+
+  private def softDedupWeightsFrom(
+      spark: SparkSession, sfDir: String, comp: DataFrame): DataFrame = {
     val d = docs(spark, sfDir).select("doc_id")
     val labeled = Persists.barrier(
-      d.join(dedupClusters(spark, sfDir), Seq("doc_id"), "left")
+      d.join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")))
     val sizes = labeled.groupBy("cluster_id")
@@ -1470,6 +1513,7 @@ object DedupOps {
     "d22_soft_dedup_weights" -> (softDedupWeights _),
     "d23_band_planner" -> ((s: SparkSession, d: String) =>
       bandPlanner(s, d)),
+    "d24_dedup_canonical" -> (canonicalDedup _),
     "d01_dedup_exact" -> ((spark: SparkSession, sfDir: String) => {
       Tables.registerAll(spark, sfDir); spark.sql(exactSql)
     }),
@@ -1728,6 +1772,17 @@ object DedupOps {
   def oracleSql: Map[String, String] = Map(
     "d22_soft_dedup_weights" -> softDedupOracle,
     "d23_band_planner" -> bandPlannerOracle,
+    // d24: the shared fixture, t33's normalize algebra, the d01 census
+    "d24_dedup_canonical" ->
+      s"""WITH p AS ($canonicalFixtureSql),
+          c AS (SELECT doc_id,
+                       md5(trim(regexp_replace(
+                         regexp_replace(lower(text), '[^a-z0-9 ]', ' ',
+                                        'g'),
+                         ' +', ' ', 'g'))) AS canonical_hash
+                FROM p)
+        SELECT canonical_hash, count(*) AS n_docs, min(doc_id) AS keeper
+        FROM c GROUP BY 1 HAVING count(*) >= 2""",
     "d20_minhash_calibration" -> minhashCalibrationOracle,
     "d19_dedup_report" -> dedupReportOracle,
     "d18_intradoc_dedup" -> intraDocOracle,

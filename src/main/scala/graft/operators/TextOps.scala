@@ -1400,12 +1400,16 @@ object TextOps {
     * as their clean text, provably collapsing). Pure shared-regex
     * string algebra — one narrow codegen'd map, no shuffle. */
   def canonicalize(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, sfDir, "documents")
+    canonicalizeOn(Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), expr(
         """CASE WHEN doc_id % 6 = 0 THEN upper(text)
                 WHEN doc_id % 6 = 1 THEN concat(text, '!!')
                 WHEN doc_id % 6 = 2 THEN concat('  ', text)
-                ELSE text END""").as("text"))
+                ELSE text END""").as("text")))
+
+  /** The t33 normalize+hash stage over any (doc_id, text) frame. */
+  private[graft] def canonicalizeOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"),
         expr("""trim(regexp_replace(
                   regexp_replace(lower(text), '[^a-z0-9 ]', ' '),
@@ -1416,7 +1420,7 @@ object TextOps {
 
   /** t33's DuckDB twin: same planted classes, same two regex passes,
     * same trim, same md5 and changed flag. */
-  private val canonicalizeOracle: String =
+  private[graft] val canonicalizeOracle: String =
     """WITH p AS (
          SELECT doc_id,
                 CASE WHEN doc_id % 6 = 0 THEN upper(text)

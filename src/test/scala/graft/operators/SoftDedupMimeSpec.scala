@@ -47,6 +47,27 @@ class SoftDedupMimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.filter(_.getLong(2) == 1L).foreach(r => assert(r.getDouble(3) == 1.0))
   }
 
+  test("d24: every planted variant family forms one 3-member group") {
+    val groups = DedupOps.canonicalDedup(spark, sf).collect()
+      .map(r => r.getLong(2) -> r.getLong(1)).toMap // keeper -> n_docs
+    val nBases = graft.sources.Tables.load(spark, sf, "documents")
+      .filter("doc_id % 50 = 0").count()
+    assert(nBases > 0 && groups.size == nBases,
+      s"expected $nBases planted families, got ${groups.size}")
+    groups.foreach { case (keeper, n) =>
+      assert(keeper % 50 == 0, "keeper is the min-id clean doc")
+      assert(n == 3L, "base + uppercase + punctuated variant")
+    }
+  }
+
+  test("d22: the sigs-served form equals the inline gate form") {
+    val inline = DedupOps.softDedupWeights(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val served = DedupOps.softDedupWeightsFromSigs(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(inline == served && inline.nonEmpty)
+  }
+
   test("m14: planted magic classes sniff correctly; only OggS-vs-wav mismatches") {
     val rows = MultimodalOps.mimeSniff(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
