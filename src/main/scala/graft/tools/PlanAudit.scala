@@ -111,7 +111,23 @@ object PlanAudit {
       "t28_trigram_backoff", "q131_funnel_lag",
       "q132_markov_attribution", "g31_linkpred_auc",
       "p11_planner_anneal", "q133_seasonality_index",
-      "c33_mix_anneal", "m13_silence_trim")
+      "c33_mix_anneal", "m13_silence_trim",
+      // session-two additions: the new planner members, the customer/
+      // basket mining pair, the forecasting-family extensions, the
+      // centrality/propagation graph members, the text-quality and
+      // audit passes, the dedup/sampling additions
+      "p12_planner_ikkbz", "p13_planner_auto",
+      "q135_rfm_segments", "q136_basket_rules",
+      "q137_cusum_changepoints", "q138_acf_daily",
+      "q139_benford_audit", "q141_rolling_median",
+      "q142_time_weighted_avg",
+      "g32_rich_club", "g33_betweenness", "g34_feature_propagation",
+      "g35_weighted_sssp",
+      "t29_gini_concentration", "t30_flesch_kincaid",
+      "t31_encoding_audit", "t32_rake_keywords", "t33_canonicalize",
+      "d22_soft_dedup_weights", "d23_band_planner",
+      "d24_dedup_canonical",
+      "c34_neyman_sample", "m14_mime_sniff", "s31_rocchio_feedback")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature
