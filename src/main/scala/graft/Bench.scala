@@ -146,7 +146,8 @@ object Bench {
     "c34_neyman_sample", "d23_band_planner",
     "g35_weighted_sssp", "t32_rake_keywords",
     "q142_time_weighted_avg", "t33_canonicalize",
-    "d24_dedup_canonical",
+    "d24_dedup_canonical", "s32_ann_ivf_filtered",
+    "q143_csv_malformed", "g36_degree_slope",
     "t31_encoding_audit", "p13_planner_auto")
 
   /** Bench-only variants (not gate entries — the gate form stays the

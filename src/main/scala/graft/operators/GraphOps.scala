@@ -2078,6 +2078,79 @@ object GraphOps {
         count(lit(1)).as("n_landmarks"))
   }
 
+  /** g36: DEGREE-DISTRIBUTION POWER-LAW FIT — the graph-card metric
+    * beside g14's assortativity: the log-log OLS slope of the degree
+    * histogram (count of nodes at each degree), t27's Zipf-fit
+    * algebra applied to graph degrees — a scale-free co-purchase /
+    * citation graph shows slope ≈ −2..−3, a kNN graph (degree capped
+    * at k by construction) shows the flat profile that says "not a
+    * hub graph". Same closed-form OLS, same nullif'd denominator and
+    * 4-dp grid as t27. Output (n_nodes, n_edges, n_degrees, slope,
+    * intercept) — one row.
+    *
+    * Scale shape: one symmetric degree agg, a ≤max-degree-sized
+    * histogram, and a scalar OLS — nothing bigger than the degree
+    * support ever aggregates. */
+  private[graft] def degreeSlopeOn(edges0: DataFrame): DataFrame = {
+    val edges = Persists.barrier(edges0.select("a", "b"))
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val hist = deg.groupBy("deg").agg(count(lit(1)).as("cnt"))
+    val xy = hist.select(
+      log(col("deg").cast("double")).as("x"),
+      log(col("cnt").cast("double")).as("y"),
+      col("cnt"))
+    xy.agg(
+      sum("cnt").as("n_nodes"),
+      count(lit(1)).as("n_degrees"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+      .withColumn("num",
+        col("n_degrees") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", expr(
+        "nullif(n_degrees * sxx - sx * sx, 0.0D)"))
+      .select(col("n_nodes"), col("n_edges"), col("n_degrees"),
+        round(col("num") / col("den"), 4).as("slope"),
+        round((col("sy") - col("num") / col("den") * col("sx")) /
+          col("n_degrees"), 4).as("intercept"))
+  }
+
+  /** g36 over the co-purchase graph (low→high orientation). */
+  def degreeSlope(spark: SparkSession, sfDir: String): DataFrame =
+    degreeSlopeOn(coPurchaseEdges(spark, sfDir)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")))
+
+  /** g36's oracle: same degree histogram, same log-log OLS text. */
+  private val degreeSlopeOracle: String =
+    """WITH pairs AS (
+         SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       deg AS (
+         SELECT node, count(*) AS deg
+         FROM (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+         GROUP BY node),
+       hist AS (SELECT deg, count(*) AS cnt FROM deg GROUP BY deg),
+       xy AS (SELECT ln(CAST(deg AS DOUBLE)) AS x,
+                     ln(CAST(cnt AS DOUBLE)) AS y, cnt
+              FROM hist),
+       s AS (SELECT sum(cnt) AS n_nodes, count(*) AS n_degrees,
+                    sum(x) AS sx, sum(y) AS sy,
+                    sum(x * y) AS sxy, sum(x * x) AS sxx
+             FROM xy),
+       e AS (SELECT count(*) AS n_edges FROM pairs),
+       f AS (SELECT s.*, e.n_edges,
+                    s.n_degrees * s.sxy - s.sx * s.sy AS num,
+                    nullif(s.n_degrees * s.sxx - s.sx * s.sx, 0.0) AS den
+             FROM s, e)
+      SELECT n_nodes, n_edges, n_degrees,
+             round(num / den, 4) AS slope,
+             round((sy - num / den * sx) / n_degrees, 4) AS intercept
+      FROM f"""
+
   /** g35: HOP-BOUNDED WEIGHTED SHORTEST PATHS — Bellman-Ford relax
     * rounds over the weighted co-purchase graph (g11's edges: weight
     * = distinct orders linking the pair, the "cost" of crossing the
@@ -2396,6 +2469,8 @@ object GraphOps {
       ((s: SparkSession, d: String) => featurePropagation(s, d)),
     "g35_weighted_sssp" ->
       ((s: SparkSession, d: String) => weightedSssp(s, d)),
+    "g36_degree_slope" ->
+      ((s: SparkSession, d: String) => degreeSlope(s, d)),
     "g01_pagerank" -> ((spark: SparkSession, sfDir: String) => {
       pagerankOn(coPurchaseEdges(spark, sfDir))
         .select(col("node"), col("pr"))
@@ -2893,6 +2968,7 @@ object GraphOps {
     "g33_betweenness" ->
       betweennessOracle(BfsHops, BetweennessPivots),
     "g35_weighted_sssp" -> weightedSsspOracle(BfsHops),
+    "g36_degree_slope" -> degreeSlopeOracle,
     // g34: the shared kNN CTEs, then the same exact fixed-point
     // layers — integer micro-unit sums and one floor division each
     // (operands positive, so // matches Spark's div), offset undone

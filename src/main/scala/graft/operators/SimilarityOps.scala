@@ -389,19 +389,44 @@ object SimilarityOps {
     ivfSearch(spark, all, centIds, centVecs, nQueries, k, nprobe)
   }
 
+  /** s32: FILTERED ANN — IVF probing with a metadata predicate pushed
+    * into the CANDIDATE side (the "filtered vector search" every
+    * retrieval stack now exposes): the index (cells, probes) is built
+    * on the FULL corpus, and only the label-matching members of the
+    * probed cells are scored — pre-filtering at the cell-member scan,
+    * so a 10%-selective filter cuts candidate work ~10× instead of
+    * post-filtering a mostly-wrong top-k (s07 is the exact
+    * brute-force twin of this semantics). Queries are NOT filtered —
+    * any query may search any label slice. Deterministic end-to-end
+    * (modular-sample quantizer), so it hash-checks like s04/s08. */
+  def ivfTopKFiltered(
+      spark: SparkSession, sfDir: String, label: Int = 1,
+      nQueries: Int = 5, k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val all = vecsWithLabel(spark, sfDir)
+    val rows = Tables.rowCount(spark, sfDir, "embeddings")
+    val (centIds, centVecs) =
+      centroidModel(all.select(col("vec_id"), col("v")), rows, 23)
+    ivfSearch(spark, all, centIds, centVecs, nQueries, k, nprobe,
+      corpusFilter = col("label") === label)
+  }
+
   /** The IVF probe/search half, shared by the modular-sample gate path
-    * (s04/s08) and the trained path (s09): assign the corpus to its
-    * nearest cell, probe each query's `nprobe` nearest cells, score the
-    * probed candidates. Model-agnostic — `centIds`/`centVecs` are
-    * whatever coarse quantizer the caller built. */
+    * (s04/s08), the trained path (s09), and the label-filtered path
+    * (s32 — `corpusFilter` prunes the candidate side before
+    * assignment; the quantizer itself stays full-corpus). Assign the
+    * corpus to its nearest cell, probe each query's `nprobe` nearest
+    * cells, score the probed candidates. Model-agnostic —
+    * `centIds`/`centVecs` are whatever coarse quantizer the caller
+    * built. */
   private[graft] def ivfSearch(
       spark: SparkSession, all: DataFrame,
       centIds: Seq[Long], centVecs: Seq[Seq[Double]],
-      nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+      nQueries: Int, k: Int, nprobe: Int,
+      corpusFilter: Column = lit(true)): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val idsLit = typedlit(centIds) // C longs — tiny either way
 
-    val assignment = all
+    val assignment = all.filter(corpusFilter)
       .withColumn("nc", nearestCents(spark, col("v"), centVecs, 1))
       .select(col("vec_id"), col("v"),
         element_at(idsLit, col("nc").getItem(0) + 1).as("cent_id"))
@@ -2159,6 +2184,8 @@ object SimilarityOps {
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "s03_vector_norms" -> (norms _),
     "s04_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
+    "s32_ann_ivf_filtered" -> ((s: SparkSession, d: String) =>
+      ivfTopKFiltered(s, d)),
     "s08_ann_ivf_multiprobe" ->
       ((s: SparkSession, d: String) => ivfTopK(s, d, nprobe = MultiProbe)),
     "s09_ann_ivf_trained" ->
@@ -2209,7 +2236,10 @@ object SimilarityOps {
     * is term-for-term the shared kernel (see bruteOracle), so the
     * unrounded assignment comparison agrees bit-for-bit across
     * engines. */
-  def ivfOracle(nprobe: Int): String =
+  def ivfOracle(nprobe: Int, labelFilter: Option[Int] = None): String = {
+    val extraJoin = labelFilter.map(l =>
+      s"JOIN embeddings e ON e.vec_id = a.vec_id AND e.label = $l")
+      .getOrElse("")
     s"""WITH v AS (
          SELECT vec_id,
                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2236,7 +2266,8 @@ object SimilarityOps {
        cand AS (
          SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
          FROM probes p JOIN assign a
-           ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id),
+           ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+         $extraJoin),
        scored AS (
          SELECT c.query_id, c.neighbor_id,
                 round(list_dot_product(q.v, n.v) /
@@ -2253,6 +2284,7 @@ object SimilarityOps {
                 neighbor_id, cosine
          FROM scored)
      SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "s30_farthest_first" -> farthestFirstOracle(8, 64),
@@ -2509,6 +2541,9 @@ object SimilarityOps {
         FROM ex GROUP BY cent_id, dim""",
     "s03_vector_norms" -> normsOracle,
     "s04_ann_ivf" -> ivfOracle(2),
+    // s32: the s04 oracle with the label predicate joined into the
+    // probed-candidate set — filter-before-score, queries unfiltered
+    "s32_ann_ivf_filtered" -> ivfOracle(4, labelFilter = Some(1)),
     "s08_ann_ivf_multiprobe" -> ivfOracle(MultiProbe),
     // s11 reads the cell-partitioned COPY of the corpus and must land
     // on s08's exact bytes — serving layout never changes the answer

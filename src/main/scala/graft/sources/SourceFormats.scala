@@ -32,6 +32,47 @@ object SourceFormats {
     spark.read.schema(orig.schema).option("header", "true").csv(dir)
   }
 
+  /** q143: MALFORMED-ROW CSV INGESTION — the robustness contract of
+    * a real ingest: a feed with corrupted records must load in
+    * PERMISSIVE mode, quarantine the bad rows via
+    * `_corrupt_record`, and report clean/corrupt counts per source
+    * instead of failing the batch (FAILFAST) or silently dropping
+    * (DROPMALFORMED). The fixture plants a type-corrupt `n_chars`
+    * ('xx' where an int belongs) on every 41st doc — the q94
+    * pollution discipline — so the quarantine provably CATCHES a
+    * known row set; the oracle recomputes the expected split from
+    * the clean table and the plant rule, which is exactly the claim
+    * "the parser classifies precisely the planted rows". Output
+    * (source, n_good, n_corrupt, good_chars). */
+  def csvMalformed(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = tmp("documents_badcsv")
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("""CASE WHEN doc_id % 41 = 0 THEN 'xx'
+                     ELSE CAST(n_chars AS STRING) END""").as("n_chars"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("n_chars", IntegerType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .groupBy("source")
+      .agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+          .as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt"),
+        coalesce(sum(when(col("_corrupt_record").isNull,
+          col("n_chars").cast("long"))), lit(0L)).as("good_chars"))
+  }
+
   /** q53: customer → JSON lines → read back with the parquet schema.
     * JSON-lines is the LLM-corpus interchange format; the explicit
     * schema keeps doubles doubles (inference would widen/narrow). */
@@ -252,6 +293,7 @@ object SourceFormats {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_compact" -> ((s: SparkSession, d: String) => compact(s, d)),
     "q52_csv_source" -> (csvRoundTrip _),
+    "q143_csv_malformed" -> (csvMalformed _),
     "q53_json_source" -> (jsonRoundTrip _),
     "q97_orc_source" -> (orcRoundTrip _),
     "q98_dpp_join" -> (dppJoin _),
@@ -261,6 +303,16 @@ object SourceFormats {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // q143: the expected quarantine split recomputed from the clean
+    // table and the plant rule — "the parser classifies precisely the
+    // planted rows" IS the oracle claim
+    "q143_csv_malformed" ->
+      """SELECT source,
+                count(*) FILTER (WHERE doc_id % 41 <> 0) AS n_good,
+                count(*) FILTER (WHERE doc_id % 41 = 0) AS n_corrupt,
+                coalesce(sum(n_chars) FILTER (WHERE doc_id % 41 <> 0), 0)
+                  AS good_chars
+         FROM documents GROUP BY source""",
     // fidelity oracles: the round-trip must equal the ORIGINAL table
     "q59_compact" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
