@@ -139,15 +139,15 @@ object Bench {
     "c33_mix_anneal", "m13_silence_trim",
     "p12_planner_ikkbz", "q135_rfm_segments", "q136_basket_rules",
     "q137_cusum_changepoints", "q138_acf_daily", "q139_benford_audit",
-    "g32_rich_club", "t29_gini_concentration", "g33i_betweenness",
+    "g32i_rich_club", "t29_gini_concentration", "g33i_betweenness",
     "d22i_soft_dedup_weights", "m14_mime_sniff",
     "s31_rocchio_feedback", "t30_flesch_kincaid",
-    "q141_rolling_median", "g34_feature_propagation",
+    "q141_rolling_median", "g34i_feature_propagation",
     "c34_neyman_sample", "d23_band_planner",
     "g35_weighted_sssp", "t32_rake_keywords",
     "q142_time_weighted_avg", "t33_canonicalize",
     "d24_dedup_canonical", "s32_ann_ivf_filtered",
-    "q143_csv_malformed", "g36_degree_slope",
+    "q143_csv_malformed", "g36i_degree_slope",
     "t31_encoding_audit", "p13_planner_auto")
 
   /** Bench-only variants (not gate entries — the gate form stays the
@@ -218,6 +218,14 @@ object Bench {
     // g33's σ/δ sweeps over the same stored edge artifact
     "g33i_betweenness" ->
       ((s, d) => graft.operators.GraphOps.betweennessFromEdges(s, d)),
+    // g32/g34/g36 over their stored edge artifacts (the g02i/g03i
+    // serve discipline; GraphOpsSpec pins served = inline)
+    "g32i_rich_club" ->
+      ((s, d) => graft.operators.GraphOps.richClubFromEdges(s, d)),
+    "g34i_feature_propagation" ->
+      ((s, d) => graft.operators.GraphOps.featurePropagationFromEdges(s, d)),
+    "g36i_degree_slope" ->
+      ((s, d) => graft.operators.GraphOps.degreeSlopeFromEdges(s, d)),
     // g25's truss sweeps over the stored unfloored-kNN edges
     "g25i_ktruss" ->
       ((s, d) => graft.operators.GraphOps.ktrussFromEdges(s, d)),

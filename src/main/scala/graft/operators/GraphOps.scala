@@ -1876,6 +1876,26 @@ object GraphOps {
     * to its inline gate form). */
   def trianglesFromEdges(spark: SparkSession, sfDir: String): DataFrame =
     trianglesOn(knnAllEdges(spark, sfDir))
+
+  /** g32's k-sweep over the stored unfloored-kNN edges (benched
+    * g32i — the gate form re-derives the kNN graph inline). */
+  def richClubFromEdges(spark: SparkSession, sfDir: String): DataFrame =
+    richClubOn(knnAllEdges(spark, sfDir))
+
+  /** g34's layers over the stored unfloored-kNN edges (benched
+    * g34i). */
+  def featurePropagationFromEdges(
+      spark: SparkSession, sfDir: String): DataFrame =
+    featurePropagationOn(knnAllEdges(spark, sfDir),
+      embVecs(spark, sfDir).select(col("vec_id").as("node"), col("v")))
+
+  /** g36's histogram fit over the stored co-purchase edges (benched
+    * g36i) — orientation recovered by src &lt; dst, the same pair
+    * set the inline derivation produces. */
+  def degreeSlopeFromEdges(spark: SparkSession, sfDir: String): DataFrame =
+    degreeSlopeOn(spark.read.parquet(coPurchaseEdgesPath(spark, sfDir))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")))
   /** g25's sweeps over the stored unfloored-kNN edges (benched g25i;
     * gate k = 3 — see the queries-map entry). */
   def ktrussFromEdges(spark: SparkSession, sfDir: String): DataFrame =

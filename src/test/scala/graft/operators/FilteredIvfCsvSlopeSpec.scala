@@ -55,6 +55,17 @@ class FilteredIvfCsvSlopeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("g32i/g34i/g36i: edge-artifact serving equals the inline gate forms") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(GraphOps.richClubFromEdges(spark, sf)) ==
+      rows(GraphOps.queries("g32_rich_club")(spark, sf)))
+    assert(rows(GraphOps.featurePropagationFromEdges(spark, sf)) ==
+      rows(GraphOps.queries("g34_feature_propagation")(spark, sf)))
+    assert(rows(GraphOps.degreeSlopeFromEdges(spark, sf)) ==
+      rows(GraphOps.degreeSlope(spark, sf)))
+  }
+
   test("g36: a star's two-point degree histogram fits slope -1") {
     val s = spark
     import s.implicits._
