@@ -148,6 +148,7 @@ object Bench {
     "q142_time_weighted_avg", "t33_canonicalize",
     "d24_dedup_canonical", "s32_ann_ivf_filtered",
     "q143_csv_malformed", "g36i_degree_slope",
+    "g37_transitivity", "q144_scd2_pit_join", "c35_canary_scan",
     "t31_encoding_audit", "p13_planner_auto")
 
   /** Bench-only variants (not gate entries — the gate form stays the

@@ -1207,6 +1207,59 @@ object CurationOps {
               AS weight
      FROM dw CROSS JOIN d CROSS JOIN e"""
 
+  /** The two planted canary GUIDs — one string pair, both engines. */
+  private val CanaryA = "canary:eval-alpha-3f9c"
+  private val CanaryB = "canary:eval-beta-77d2"
+
+  /** c35: CANARY-GUID SCAN — the BIG-bench-style contamination
+    * tripwire: benchmark suites embed a unique canary string in every
+    * document, and a training corpus is audited by SCANNING for the
+    * GUIDs — any hit means eval data leaked into training wholesale
+    * (the cheap exact complement to c21's n-gram overlap report,
+    * which catches PARTIAL leaks). The gate plants two suite canaries
+    * on every 97th doc by parity (the q94 pollution discipline), and
+    * the scan must recover exactly those rows per canary. Output
+    * (canary, n_docs, first_doc, last_doc).
+    *
+    * Scale shape: the canary list is a tiny broadcast frame; the scan
+    * is one narrow `contains` map over text (a substring screen
+    * whole-stage-codegen'd into the scan) with a canary-keyed partial
+    * agg — no shuffle wider than canaries × partitions. */
+  def canaryScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = docs(spark, sfDir).select(col("doc_id"), expr(
+      s"""CASE WHEN doc_id % 97 = 0 AND doc_id % 2 = 0
+               THEN concat(text, ' $CanaryA')
+               WHEN doc_id % 97 = 0
+               THEN concat(text, ' $CanaryB')
+               ELSE text END""").as("text"))
+    val canaries = spark.range(2).select(
+      when(col("id") === 0, lit(CanaryA)).otherwise(lit(CanaryB))
+        .as("canary"))
+    planted.crossJoin(broadcast(canaries))
+      .filter(expr("contains(text, canary)"))
+      .groupBy("canary")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
+  /** c35's DuckDB twin: same plants, same contains screen, same
+    * roll-up. */
+  private val canaryOracle: String =
+    s"""WITH p AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 97 = 0 AND doc_id % 2 = 0
+                      THEN text || ' $CanaryA'
+                      WHEN doc_id % 97 = 0
+                      THEN text || ' $CanaryB'
+                      ELSE text END AS text
+          FROM documents),
+        c AS (SELECT '$CanaryA' AS canary
+              UNION ALL SELECT '$CanaryB')
+      SELECT c.canary, count(*) AS n_docs,
+             min(p.doc_id) AS first_doc, max(p.doc_id) AS last_doc
+      FROM p JOIN c ON contains(p.text, c.canary)
+      GROUP BY c.canary"""
+
   /** The c34 selection hash — one string, both engines. */
   private val NeymanHash =
     graft.operators.PortableHash.packed("'ney7:' || doc_id")
@@ -1270,6 +1323,7 @@ object CurationOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c34_neyman_sample" ->
       ((s: SparkSession, d: String) => neymanSample(s, d)),
+    "c35_canary_scan" -> (canaryScan _),
     "c33_mix_anneal" ->
       ((s: SparkSession, d: String) => mixAnneal(s, d)),
     "c32_doremi_waterfill" ->
@@ -1459,6 +1513,7 @@ object CurationOps {
 
   def oracleSql: Map[String, String] = Map(
     "c34_neyman_sample" -> neymanOracle,
+    "c35_canary_scan" -> canaryOracle,
     "c33_mix_anneal" -> mixAnnealOracle(4),
     "c32_doremi_waterfill" -> doremiWaterfillOracle,
     "c31_doremi_weights" -> doremiOracle,

@@ -1431,6 +1431,45 @@ object EventOps {
                         THEN 1 ELSE 0 END AS INTEGER) AS is_current
        FROM ch"""
 
+  /** q144: SCD2 POINT-IN-TIME JOIN — the warehouse dimension join
+    * q123's history build exists FOR: every purchase event joined to
+    * the user's state interval valid AT its timestamp
+    * (valid_from ≤ ts < valid_to, NULL = open tail). Because the
+    * intervals derive from the same event stream, a purchase that
+    * itself changes state lands in its OWN new interval (≥ is the
+    * deterministic convention, mirrored in the oracle). Output
+    * (event_id, user_id, us, state) — one row per purchase.
+    *
+    * Scale shape: the join is keyed on user_id with the interval
+    * predicate as a residual — per-user interval counts are bounded
+    * by that user's state changes, so the shuffle is fact-sized, the
+    * q48/q104 interval-join argument. */
+  def scd2PitJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val dim = Persists.barrier(scd2IntervalsOn(e))
+    val facts = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    facts.join(dim,
+        facts("user_id") === dim("user_id") &&
+          facts("us") >= dim("valid_from") &&
+          (dim("valid_to").isNull || facts("us") < dim("valid_to")))
+      .select(facts("event_id"), facts("user_id"), col("us"),
+        col("state"))
+  }
+
+  /** q144's DuckDB twin: q123's oracle as the dimension CTE, the
+    * same half-open interval predicate. */
+  private[graft] val scd2PitOracle: String =
+    s"""WITH s AS ($scd2Oracle),
+        f AS (SELECT event_id, user_id, epoch_us(ts) AS us
+              FROM events WHERE event_type = 'purchase')
+      SELECT f.event_id, f.user_id, f.us, s.state
+      FROM f JOIN s ON s.user_id = f.user_id
+                   AND f.us >= s.valid_from
+                   AND (s.valid_to IS NULL OR f.us < s.valid_to)"""
+
   /** q124: A/B EXPERIMENT REPORT — the conversion read-out every
     * product experiment ships: users split into two variants
     * (user_id parity here — a production run swaps in the c11 seeded
@@ -1559,6 +1598,7 @@ object EventOps {
     "q138_acf_daily" -> (acfDaily _),
     "q141_rolling_median" -> (rollingMedian _),
     "q142_time_weighted_avg" -> (timeWeightedAvg _),
+    "q144_scd2_pit_join" -> (scd2PitJoin _),
     "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_retention" -> (retention _),
     "q67_funnel_pattern" -> (funnelPattern _)
@@ -1574,6 +1614,7 @@ object EventOps {
     "q138_acf_daily" -> acfOracle,
     "q141_rolling_median" -> rollingMedianOracle,
     "q142_time_weighted_avg" -> timeWeightedAvgOracle,
+    "q144_scd2_pit_join" -> scd2PitOracle,
     // q126: the same lagged pair extraction on the same unique sort,
     // the same session-gap filter, the same row-normalized 4-dp p
     "q126_markov_transitions" ->

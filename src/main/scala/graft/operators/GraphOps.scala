@@ -2098,6 +2098,58 @@ object GraphOps {
         count(lit(1)).as("n_landmarks"))
   }
 
+  /** g37: GLOBAL TRANSITIVITY — the one-scalar closure ratio
+    * C = 3·triangles / connected-triples (Σ C(deg,2)): the graph-card
+    * companion to g13's per-node clustering coefficients (their
+    * weighted mean ≠ this ratio — transitivity weights hubs by their
+    * wedge count). All-integer until the single 6-dp division.
+    * Output one row (n_nodes, n_wedges, n_triangles, transitivity).
+    *
+    * Scale shape: one symmetric degree agg (wedges are a scalar fold
+    * of it) + the g02 oriented triangle join — nothing new moves. */
+  private[graft] def transitivityOn(edges0: DataFrame): DataFrame = {
+    val edges = Persists.barrier(edges0.select("a", "b"))
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val w = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val t = trianglesOn(edges)
+      .agg(expr("sum(n_tri) div 3").as("n_triangles"))
+    w.crossJoin(broadcast(t))
+      .select(col("n_nodes"), col("n_wedges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(lit(3.0) * coalesce(col("n_triangles"), lit(0L)) /
+          expr("nullif(n_wedges, 0)"), 6).as("transitivity"))
+  }
+
+  /** g37 over the mutual-kNN graph (the g02 substrate). */
+  def transitivity(spark: SparkSession, sfDir: String): DataFrame =
+    transitivityOn(mutualKnnEdgesOn(embVecs(spark, sfDir)))
+
+  /** g37's oracle: the shared kNN CTEs, the g02 triangle algebra,
+    * the same integer wedge fold and 6-dp quotient. */
+  private val transitivityOracle: String =
+    s"""WITH ${knnEdgeCtes(None)},
+         deg AS (
+           SELECT node, count(*) AS deg
+           FROM (SELECT a AS node FROM mutual
+                 UNION ALL SELECT b FROM mutual)
+           GROUP BY node),
+         w AS (SELECT count(*) AS n_nodes,
+                      sum(deg * (deg - 1) // 2) AS n_wedges
+               FROM deg),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM mutual e1
+           JOIN mutual e2 ON e1.b = e2.a
+           JOIN mutual e3 ON e3.a = e1.a AND e3.b = e2.b),
+         t AS (SELECT count(*) AS n_triangles FROM tri)
+       SELECT w.n_nodes, w.n_wedges, t.n_triangles,
+              round(3.0 * t.n_triangles / nullif(w.n_wedges, 0), 6)
+                AS transitivity
+       FROM w, t"""
+
   /** g36: DEGREE-DISTRIBUTION POWER-LAW FIT — the graph-card metric
     * beside g14's assortativity: the log-log OLS slope of the degree
     * histogram (count of nodes at each degree), t27's Zipf-fit
@@ -2491,6 +2543,8 @@ object GraphOps {
       ((s: SparkSession, d: String) => weightedSssp(s, d)),
     "g36_degree_slope" ->
       ((s: SparkSession, d: String) => degreeSlope(s, d)),
+    "g37_transitivity" ->
+      ((s: SparkSession, d: String) => transitivity(s, d)),
     "g01_pagerank" -> ((spark: SparkSession, sfDir: String) => {
       pagerankOn(coPurchaseEdges(spark, sfDir))
         .select(col("node"), col("pr"))
@@ -2989,6 +3043,7 @@ object GraphOps {
       betweennessOracle(BfsHops, BetweennessPivots),
     "g35_weighted_sssp" -> weightedSsspOracle(BfsHops),
     "g36_degree_slope" -> degreeSlopeOracle,
+    "g37_transitivity" -> transitivityOracle,
     // g34: the shared kNN CTEs, then the same exact fixed-point
     // layers — integer micro-unit sums and one floor division each
     // (operands positive, so // matches Spark's div), offset undone
