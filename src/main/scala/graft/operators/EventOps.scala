@@ -1431,6 +1431,77 @@ object EventOps {
                         THEN 1 ELSE 0 END AS INTEGER) AS is_current
        FROM ch"""
 
+  /** q145: CONVERSION RATE WITH WILSON BOUNDS — the daily
+    * purchase SHARE of view+purchase traffic with the Wilson 95%
+    * score interval (Wilson 1927) — a true binomial proportion
+    * (purchases over view+purchase trials; raw purchases/views can
+    * exceed 1 on purchase-heavy days, which is a ratio, not a
+    * proportion, and has no binomial interval), the statistically
+    * honest band q124's plain rate lacks: on low-volume days the
+    * interval widens instead of the point estimate lying. center = (p + z²/2n)/(1 + z²/n), half-width =
+    * z·√(p(1−p)/n + z²/4n²)/(1 + z²/n), z = 1.96 — closed-form
+    * arithmetic on exact integer counts, so both engines compute
+    * identical doubles onto the 6-dp grid. Output (day, n_views,
+    * n_purchases, rate, wilson_lo, wilson_hi); days without views
+    * emit NULL bounds via the shared nullif.
+    *
+    * Scale shape: one conditional-agg pass over the daily rollup —
+    * the q26 shape with two more columns. */
+  def wilsonConversion(spark: SparkSession, sfDir: String): DataFrame = {
+    val z = 1.96
+    val z2 = z * z
+    Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("n_views"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .withColumn("n",
+        expr("CAST(nullif(n_views + n_purchases, 0) AS DOUBLE)"))
+      .withColumn("p", col("n_purchases") / col("n"))
+      .withColumn("center",
+        (col("p") + lit(z2) / (lit(2.0) * col("n"))) /
+          (lit(1.0) + lit(z2) / col("n")))
+      .withColumn("hw",
+        lit(z) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+          lit(z2) / (lit(4.0) * col("n") * col("n"))) /
+          (lit(1.0) + lit(z2) / col("n")))
+      .select(col("day"), col("n_views"), col("n_purchases"),
+        round(col("p"), 6).as("rate"),
+        round(col("center") - col("hw"), 6).as("wilson_lo"),
+        round(col("center") + col("hw"), 6).as("wilson_hi"))
+  }
+
+  /** q145's DuckDB twin: same counts, same closed form, same grid. */
+  private[graft] val wilsonOracle: String = {
+    val z = 1.96
+    val z2 = z * z
+    s"""WITH d AS (
+         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS n_views,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS n_purchases
+         FROM events GROUP BY 1),
+       w AS (
+         SELECT day, n_views, n_purchases,
+                CAST(nullif(n_views + n_purchases, 0) AS DOUBLE) AS n,
+                n_purchases /
+                  CAST(nullif(n_views + n_purchases, 0) AS DOUBLE) AS p
+         FROM d),
+       c AS (
+         SELECT day, n_views, n_purchases, p,
+                (p + $z2 / (2.0 * n)) / (1.0 + $z2 / n) AS center,
+                $z * sqrt(p * (1.0 - p) / n + $z2 / (4.0 * n * n)) /
+                  (1.0 + $z2 / n) AS hw
+         FROM w)
+      SELECT day, n_views, n_purchases, round(p, 6) AS rate,
+             round(center - hw, 6) AS wilson_lo,
+             round(center + hw, 6) AS wilson_hi
+      FROM c"""
+  }
+
   /** q144: SCD2 POINT-IN-TIME JOIN — the warehouse dimension join
     * q123's history build exists FOR: every purchase event joined to
     * the user's state interval valid AT its timestamp
@@ -1599,6 +1670,7 @@ object EventOps {
     "q141_rolling_median" -> (rollingMedian _),
     "q142_time_weighted_avg" -> (timeWeightedAvg _),
     "q144_scd2_pit_join" -> (scd2PitJoin _),
+    "q145_wilson_conversion" -> (wilsonConversion _),
     "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_retention" -> (retention _),
     "q67_funnel_pattern" -> (funnelPattern _)
@@ -1615,6 +1687,7 @@ object EventOps {
     "q141_rolling_median" -> rollingMedianOracle,
     "q142_time_weighted_avg" -> timeWeightedAvgOracle,
     "q144_scd2_pit_join" -> scd2PitOracle,
+    "q145_wilson_conversion" -> wilsonOracle,
     // q126: the same lagged pair extraction on the same unique sort,
     // the same session-gap filter, the same row-normalized 4-dp p
     "q126_markov_transitions" ->

@@ -389,6 +389,42 @@ object SimilarityOps {
     ivfSearch(spark, all, centIds, centVecs, nQueries, k, nprobe)
   }
 
+  /** s33: kNN-CLASSIFIER EMBEDDING EVAL — the standard intrinsic
+    * probe of embedding quality (better spaces put same-label points
+    * closer): the first `nQueries` vectors are classified by the
+    * MAJORITY label of their exact top-`k` neighbors (ties to the
+    * smaller label — a total order both engines share), compared to
+    * their own label, and rolled into one accuracy row plus the
+    * per-query detail. On structureless synthetic labels the accuracy
+    * is its ~1/nlabels base rate — the gate checks the computation;
+    * on a real corpus this number moving is what re-embedding buys.
+    * Output (query_id, true_label, pred_label, correct).
+    *
+    * Scale shape: s01's broadcast-query scan, a (query, label)
+    * partial agg, one argmax window over queries×labels. */
+  def knnClassifierEval(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 50, k: Int = 5): DataFrame = {
+    val all = Persists.barrier(vecsWithLabel(spark, sfDir))
+    val ranked = exactTopK(all.select(col("vec_id"), col("v")),
+      all.select(col("vec_id"), col("v")).filter(col("vec_id") < nQueries),
+      k)
+    val votes = ranked
+      .join(all.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nb_label")), "neighbor_id")
+      .groupBy(col("query_id"), col("nb_label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n").desc, col("nb_label").asc)
+    val pred = votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("nb_label").as("pred_label"))
+    pred.join(all.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), "query_id")
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        (col("pred_label") === col("true_label")).as("correct"))
+  }
+
   /** s32: FILTERED ANN — IVF probing with a metadata predicate pushed
     * into the CANDIDATE side (the "filtered vector search" every
     * retrieval stack now exposes): the index (cells, probes) is built
@@ -2186,6 +2222,8 @@ object SimilarityOps {
     "s04_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "s32_ann_ivf_filtered" -> ((s: SparkSession, d: String) =>
       ivfTopKFiltered(s, d)),
+    "s33_knn_classifier" -> ((s: SparkSession, d: String) =>
+      knnClassifierEval(s, d)),
     "s08_ann_ivf_multiprobe" ->
       ((s: SparkSession, d: String) => ivfTopK(s, d, nprobe = MultiProbe)),
     "s09_ann_ivf_trained" ->
@@ -2544,6 +2582,39 @@ object SimilarityOps {
     // s32: the s04 oracle with the label predicate joined into the
     // probed-candidate set — filter-before-score, queries unfiltered
     "s32_ann_ivf_filtered" -> ivfOracle(4, labelFilter = Some(1)),
+    // s33: the brute ranks, a (query, label) vote count, the same
+    // (n desc, label asc) argmax, the self-label compare
+    "s33_knn_classifier" ->
+      """WITH v AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  c.label AS nb_label,
+                  round(list_dot_product(q.v, c.v) /
+                        sqrt(list_sum(list_transform(q.v, x -> x * x)) *
+                             list_sum(list_transform(c.v, x -> x * x))),
+                        4) AS cosine
+           FROM v q, v c
+           WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT query_id, nb_label,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored),
+         votes AS (
+           SELECT query_id, nb_label, count(*) AS n
+           FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+         pred AS (
+           SELECT query_id, nb_label AS pred_label FROM (
+             SELECT query_id, nb_label,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY n DESC, nb_label) AS rk
+             FROM votes) WHERE rk = 1)
+       SELECT p.query_id, q.label AS true_label, p.pred_label,
+              (p.pred_label = q.label) AS correct
+       FROM pred p JOIN v q ON q.vec_id = p.query_id""",
     "s08_ann_ivf_multiprobe" -> ivfOracle(MultiProbe),
     // s11 reads the cell-partitioned COPY of the corpus and must land
     // on s08's exact bytes — serving layout never changes the answer

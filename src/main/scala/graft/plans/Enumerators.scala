@@ -454,6 +454,37 @@ object Enumerators {
         }
         seen.toVector
       }
+      Enumerators.annealFrom(g, card, cm, start, seed, steps)
+    }
+  }
+
+  /** 2PO — TWO-PHASE OPTIMIZATION (Ioannidis & Kang, SIGMOD'90): a
+    * good deterministic heuristic seed, then simulated-annealing
+    * refinement around it. Phase 1 here is [[Ikkbz]] (exact on
+    * acyclic graphs, spanning-tree heuristic on cyclic — the paper
+    * used iterative improvement; IKKBZ is the stronger published
+    * seed), phase 2 is [[Annealing]]'s swap/accept schedule started
+    * FROM that order instead of the BFS order. Never worse than its
+    * seed (best-ever incumbent), usually the optimum on cyclic
+    * graphs where IKKBZ alone drops edges from its spanning tree. */
+  final case class TwoPhase(seed: Long = 17L, steps: Int = 200)
+      extends JoinOrderPlanner {
+    val name = "2po"
+    protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree = {
+      require(g.connected(g.full), "2po requires a connected join graph")
+      val start = Ikkbz.plan(g, card, cm).tree.leaves
+      Enumerators.annealFrom(g, card, cm, start, seed, steps)
+    }
+  }
+
+  /** The annealing core shared by [[Annealing]] and [[TwoPhase]]:
+    * left-deep permutation state from `start`, structural
+    * cross-product rejection, exp(−Δ/T) acceptance, geometric
+    * cooling, best-ever incumbent returned. */
+  private def annealFrom(
+      g: QueryGraph, card: Cardinality, cm: CostModel,
+      start: Vector[Int], seed: Long, steps: Int): JoinTree = {
+    {
       def treeOf(perm: Vector[Int]): Option[JoinTree] = {
         var acc: JoinTree = Leaf(perm.head)
         for (i <- perm.tail) {
@@ -619,5 +650,5 @@ object Enumerators {
 
   val all: Seq[JoinOrderPlanner] =
     Seq(DPccp, NaiveDP, LeftDeepDP, Greedy, Bushy, BranchAndBound(),
-      RandomOrder(), Annealing(), Ikkbz, Auto())
+      RandomOrder(), Annealing(), Ikkbz, Auto(), TwoPhase())
 }

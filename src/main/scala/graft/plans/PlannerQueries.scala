@@ -86,7 +86,11 @@ object PlannerQueries {
     "p12_planner_ikkbz" -> runFlagship(Enumerators.Ikkbz) _,
     // p13: the deployed policy — exact DP under the budget, IKKBZ past
     // it (picks DPccp on the 4-edge flagship; AutoSpec pins the switch)
-    "p13_planner_auto" -> runFlagship(Enumerators.Auto()) _
+    "p13_planner_auto" -> runFlagship(Enumerators.Auto()) _,
+    // p14: 2PO — IKKBZ seed + annealing refinement, never worse than
+    // the seed; the CYCLIC gate shape (like p08), where the phase-2
+    // moves can recover what the phase-1 spanning tree dropped
+    "p14_planner_2po" -> runCycle(Enumerators.TwoPhase()) _
   )
 
   /** p10: the flagship planned with cardinalities estimated ONLY from
@@ -156,8 +160,10 @@ object PlannerQueries {
          AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
          AND s_nationkey = n_nationkey AND o_orderstatus = 'F'"""
 
+  private val cycleShaped = Set("p08_planner_cycle", "p14_planner_2po")
+
   def oracleSql: Map[String, String] =
     queries.keys.map(k =>
-      k -> (if (k == "p08_planner_cycle") cycleOracle else flagshipOracle))
+      k -> (if (cycleShaped(k)) cycleOracle else flagshipOracle))
       .toMap
 }
