@@ -1387,6 +1387,60 @@ object TextOps {
                    / sum(x), 6) AS top_decile_share
       FROM r GROUP BY source"""
 
+  /** t34: SOURCE VOCABULARY-OVERLAP MATRIX — the pairwise top-100
+    * vocabulary Jaccard between sources: the dataset-similarity
+    * input a mix designer reads BEFORE setting c16/c31 weights (two
+    * near-identical sources shouldn't both get full weight), and the
+    * cross-SOURCE companion of t16's cross-shard divergence. Top-k
+    * per source by (count desc, word) — a total order — then one
+    * word-keyed self-join over the k·|sources| frame;
+    * |∪| = 2k − |∩| exactly because both sides are size-k sets, so
+    * the quotient is all-integer until the 6-dp division.
+    *
+    * Scale shape: the corpus pays one token count; everything after
+    * runs on the bounded top-k frame (never a corpus self-join). */
+  def vocabOverlap(spark: SparkSession, sfDir: String,
+      k: Int = 100): DataFrame =
+    vocabOverlapOn(Tables.load(spark, sfDir, "documents"), k)
+
+  /** [[vocabOverlap]] over any (source, text) frame. */
+  private[graft] def vocabOverlapOn(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val win = Window.partitionBy("source")
+      .orderBy(col("c").desc, col("w"))
+    val top = Persists.barrier(counts
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k).select("source", "w"))
+    top.as("a").join(top.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common") /
+          (lit(2.0 * k) - col("n_common")), 6).as("jaccard"))
+  }
+
+  /** t34's DuckDB twin: same (count desc, word) top-k, same
+    * intersect join, same 2k − n union algebra. */
+  private def vocabOverlapOracle(k: Int): String =
+    s"""WITH c AS (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        n AS (SELECT source, w, count(*) AS c FROM c GROUP BY 1, 2),
+        t AS (SELECT source, w FROM (
+                SELECT source, w,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY c DESC, w) AS rk
+                FROM n) WHERE rk <= $k)
+      SELECT a.source AS src_a, b.source AS src_b,
+             count(*) AS n_common,
+             round(count(*) / (${2.0 * k} - count(*)), 6) AS jaccard
+      FROM t a JOIN t b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2"""
+
   /** t33: TEXT CANONICALIZATION — the normalization layer exact
     * dedup should key on (raw-byte equality misses trivial variants):
     * lowercase, strip everything outside `[a-z0-9 ]`, collapse
@@ -1634,6 +1688,8 @@ object TextOps {
     "t32_rake_keywords" -> ((s: SparkSession, d: String) =>
       rakeKeywords(s, d)),
     "t33_canonicalize" -> (canonicalize _),
+    "t34_vocab_overlap" -> ((s: SparkSession, d: String) =>
+      vocabOverlap(s, d)),
     "t30_flesch_kincaid" -> (fleschKincaid _),
     "t29_gini_concentration" -> (giniConcentration _),
     "t28_trigram_backoff" -> ((s: SparkSession, d: String) =>
@@ -1679,6 +1735,7 @@ object TextOps {
     "t31_encoding_audit" -> encodingAuditOracle,
     "t32_rake_keywords" -> rakeOracle,
     "t33_canonicalize" -> canonicalizeOracle,
+    "t34_vocab_overlap" -> vocabOverlapOracle(100),
     "t30_flesch_kincaid" -> fleschKincaidOracle,
     "t29_gini_concentration" -> giniOracle,
     "t28_trigram_backoff" -> trigramBackoffOracle,

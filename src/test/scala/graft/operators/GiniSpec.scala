@@ -52,6 +52,21 @@ class GiniSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("h")._4 == 0.4)
   }
 
+  test("t34: vocab overlap jaccard from hand-built top-k sets") {
+    // k=2 tops: a = {x, y} (w drops at rank 3), b = {x, z},
+    // c = {p, q} — a∩b = {x} → jaccard 1/(4−1); a/b∩c = ∅ → no row
+    val s = spark
+    import s.implicits._
+    val rows = TextOps.vocabOverlapOn(Seq(
+      ("a", "x x x y y w"), ("b", "x x x x x z z z z v"),
+      ("c", "p p q q")).toDF("source", "text"), k = 2).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 1L)
+    assert(r.getDouble(3) == math.rint(1.0 / 3.0 * 1e6) / 1e6)
+  }
+
   test("rank ties break on doc_id identically in both orders") {
     // all-equal counts: any tie order gives gini 0 — determinism check
     val m = run((1L to 23L).map(i => ("t", i, 7L)))
