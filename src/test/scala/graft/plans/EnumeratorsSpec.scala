@@ -53,7 +53,9 @@ class EnumeratorsSpec extends AnyFunSuite {
         val rd = Enumerators.RandomOrder().plan(g, card, cm)
         val an = Enumerators.Annealing().plan(g, card, cm)
         val ik = Enumerators.Ikkbz.plan(g, card, cm)
-        Seq(dp, naive, bnb, ld, gr, bu, rd, an, ik)
+        val tp = Enumerators.TwoPhase().plan(g, card, cm)
+        val au = Enumerators.Auto().plan(g, card, cm)
+        Seq(dp, naive, bnb, ld, gr, bu, rd, an, ik, tp, au)
           .foreach(p => assertValid(p.tree, g))
         val eps = 1e-6 * math.max(1.0, naive.cost)
         assert(math.abs(dp.cost - naive.cost) <= eps,
@@ -72,6 +74,13 @@ class EnumeratorsSpec extends AnyFunSuite {
         // tree when the graph is cyclic): bounded below by both optima
         assert(ik.cost >= ld.cost - eps && ik.cost >= naive.cost - eps,
           s"trial $trial ${cm.name}: ikkbz ${ik.cost} beat exhaustive?!")
+        // 2PO refines its IKKBZ seed: never worse than the seed (the
+        // incumbent-best rule) and never below the left-deep optimum
+        assert(tp.cost <= ik.cost + eps,
+          s"trial $trial ${cm.name}: 2po ${tp.cost} worse than seed ${ik.cost}")
+        assert(tp.cost >= ld.cost - eps && tp.cost >= naive.cost - eps)
+        // auto under the edge budget IS DPccp on these small graphs
+        assert(math.abs(au.cost - dp.cost) <= eps || g.edges.size >= 12)
       }
     }
   }
