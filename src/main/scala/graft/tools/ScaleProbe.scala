@@ -778,6 +778,48 @@ object ScaleProbe {
       ("t29_gini", n => TextOps.giniConcentrationOn(
         spark.range(n).selectExpr("concat('s', id % 20) AS source",
           "id AS doc_id", "pmod(xxhash64(id), 1000) AS x"))),
+      // q144: the PIT join is keyed on user_id with the interval
+      // predicate residual — per-user intervals bounded by state
+      // changes, so the shuffle is fact-sized; 100 users, ~n/5
+      // purchases
+      ("q144_scd2_pit", n => {
+        val e = spark.range(n).selectExpr("id AS event_id",
+          "id % 100 AS user_id",
+          "CASE pmod(xxhash64(id, 3), 5) WHEN 0 THEN 'purchase' " +
+            "WHEN 1 THEN 'view' WHEN 2 THEN 'click' " +
+            "WHEN 3 THEN 'signup' ELSE 'error' END AS event_type",
+          "id * 60000000 AS us")
+        val dim = EventOps.scd2IntervalsOn(e)
+        val facts = e.filter(org.apache.spark.sql.functions
+          .col("event_type") === "purchase")
+          .select(org.apache.spark.sql.functions.col("event_id"),
+            org.apache.spark.sql.functions.col("user_id"),
+            org.apache.spark.sql.functions.col("us"))
+        facts.join(dim,
+          facts("user_id") === dim("user_id") &&
+            facts("us") >= dim("valid_from") &&
+            (dim("valid_to").isNull || facts("us") < dim("valid_to")))
+          .select(facts("event_id"),
+            org.apache.spark.sql.functions.col("state"))
+      }),
+      // t34: the corpus pays one token count; the pairwise join runs
+      // on the bounded top-k frame (sources × k rows) — corpus growth
+      // re-prices only the count stage
+      ("t34_vocab_overlap", n => TextOps.vocabOverlapOn(
+        docsN(spark, n), k = 100)),
+      // g37: one degree agg + the oriented triangle join — the g02
+      // shape with a scalar fold on top; ladder graph
+      ("g37_transitivity", n => GraphOps.transitivityOn(
+        spark.range(n).selectExpr("id AS a", "id + 1 AS b"))),
+      // c35: a narrow contains screen (canaries broadcast) + a
+      // 2-row roll-up — pure scan-linear (the gate shape inlined over
+      // the synthetic corpus with the same plant rule)
+      ("c35_canary_scan", n => docsN(spark, n).selectExpr("doc_id",
+          """CASE WHEN doc_id % 97 = 0 THEN
+               concat(text, ' canary:eval-alpha-3f9c')
+             ELSE text END AS text""")
+        .filter("contains(text, 'canary:eval-alpha-3f9c')")
+        .selectExpr("count(*) AS n_docs", "min(doc_id) AS first_doc")),
       // q130: q128's series fold + two grouped percentiles on the
       // days×types frame — event volume pays only the daily agg
       ("q130_holt_anomalies", n => EventOps.holtAnomaliesOn(
