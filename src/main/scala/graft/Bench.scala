@@ -150,7 +150,7 @@ object Bench {
     "q143_csv_malformed", "g36i_degree_slope",
     "g37_transitivity", "q144_scd2_pit_join", "c35_canary_scan",
     "q145_wilson_conversion", "s33_knn_classifier", "p14_planner_2po",
-    "t34_vocab_overlap",
+    "t34_vocab_overlap", "s34_ann_graph_beam",
     "t31_encoding_audit", "p13_planner_auto")
 
   /** Bench-only variants (not gate entries — the gate form stays the

@@ -2793,7 +2793,7 @@ object GraphOps {
     * (one definition, the [[DedupOps.clusterCtes]] discipline): cosine
     * per the s01 convention, rank over the rounded value, reciprocity
     * filter, low→high orientation, optional strength floor (g03). */
-  private def knnEdgeCtes(minCosine: Option[Double]): String = {
+  private[operators] def knnEdgeCtes(minCosine: Option[Double]): String = {
     val floor = minCosine.map(c => s" AND f.cosine >= $c").getOrElse("")
     s"""v AS (
            SELECT vec_id,

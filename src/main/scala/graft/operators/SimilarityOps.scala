@@ -389,6 +389,68 @@ object SimilarityOps {
     ivfSearch(spark, all, centIds, centVecs, nQueries, k, nprobe)
   }
 
+  /** s34: GRAPH-BASED ANN — beam search over the mutual-kNN graph,
+    * the navigable-small-world serving pattern behind HNSW/NSG (the
+    * modern in-memory ANN default), re-expressed as supersteps: all
+    * queries start at ONE deterministic entry vertex (the min node
+    * id), and each step expands the beam's out-neighbors, scores
+    * them against the query (4-dp cosine), and keeps the top-`beam`
+    * — greedy navigation climbs the similarity surface toward the
+    * query's neighborhood. Fixed `steps` (the dial: more steps =
+    * deeper navigation; HNSW's layer hierarchy is the production
+    * accelerant of exactly this walk) keeps the operator
+    * deterministic end-to-end, so unlike s02's LSH it HASH-checks
+    * against an unrolled oracle. The beam can only improve
+    * monotonically (the incumbent set is always a candidate), pinned
+    * in GraphBeamSpec; on a disconnected kNN graph the walk is
+    * confined to the entry's component — the documented limit of
+    * single-entry NSW, which production builds address with multiple
+    * entries.
+    *
+    * Scale shape: per step one frontier⋈edges join (frontier is
+    * queries×beam rows — TINY) plus a broadcast-queries score; the
+    * corpus is touched only through the stored kNN edges and the
+    * candidate-id vector fetch, never scanned whole. */
+  def graphBeamAnn(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val edges0 = GraphOps.mutualKnnEdgesOn(all)
+    val e = Persists.barrier(
+      edges0.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(edges0.select(col("b").as("src"), col("a").as("dst"))))
+    val q = Persists.barrier(all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    var f: DataFrame = q.crossJoin(
+        broadcast(e.agg(min(col("src")).as("node"))))
+      .select(col("query_id"), col("node"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("node"))
+    for (_ <- 1 to steps) {
+      val cand = f.select("query_id", "node")
+        .unionAll(f.join(e, f("node") === e("src"))
+          .select(col("query_id"), col("dst").as("node")))
+        .distinct()
+      f = cand
+        .join(all.select(col("vec_id").as("node"), col("v")), "node")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("node"),
+          round(expr("graft_cosine(qv, v)"), 4).as("cosine"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= beam)
+        .select("query_id", "node", "cosine")
+        .localCheckpoint(true)
+    }
+    f.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("node").as("neighbor_id"), col("cosine"))
+  }
+
   /** s33: kNN-CLASSIFIER EMBEDDING EVAL — the standard intrinsic
     * probe of embedding quality (better spaces put same-label points
     * closer): the first `nQueries` vectors are classified by the
@@ -2224,6 +2286,8 @@ object SimilarityOps {
       ivfTopKFiltered(s, d)),
     "s33_knn_classifier" -> ((s: SparkSession, d: String) =>
       knnClassifierEval(s, d)),
+    "s34_ann_graph_beam" -> ((s: SparkSession, d: String) =>
+      graphBeamAnn(s, d)),
     "s08_ann_ivf_multiprobe" ->
       ((s: SparkSession, d: String) => ivfTopK(s, d, nprobe = MultiProbe)),
     "s09_ann_ivf_trained" ->
@@ -2582,6 +2646,47 @@ object SimilarityOps {
     // s32: the s04 oracle with the label predicate joined into the
     // probed-candidate set — filter-before-score, queries unfiltered
     "s32_ann_ivf_filtered" -> ivfOracle(4, labelFilter = Some(1)),
+    // s34: the shared kNN CTEs, the same single entry vertex, and the
+    // 6 unrolled beam steps — candidates, 4-dp scores, top-8 — then
+    // the self-excluded top-5
+    "s34_ann_graph_beam" -> {
+      val stepBlocks = (1 to 6).map { i =>
+        s"""c$i AS MATERIALIZED (
+             SELECT DISTINCT query_id, node FROM (
+               SELECT query_id, node FROM f${i - 1}
+               UNION ALL
+               SELECT f.query_id, e.dst AS node
+               FROM f${i - 1} f JOIN e2 e ON e.src = f.node)),
+           s$i AS MATERIALIZED (
+             SELECT c.query_id, c.node,
+                    round(list_dot_product(q.qv, n.v) /
+                          sqrt(list_sum(list_transform(q.qv, x -> x * x)) *
+                               list_sum(list_transform(n.v, x -> x * x))),
+                          4) AS cosine
+             FROM c$i c
+             JOIN q ON q.query_id = c.query_id
+             JOIN v n ON n.vec_id = c.node),
+           f$i AS MATERIALIZED (
+             SELECT query_id, node, cosine FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, node) AS rk
+               FROM s$i) WHERE rk <= 8)"""
+      }.mkString(",\n")
+      s"""WITH ${GraphOps.knnEdgeCtes(None)},
+           e2 AS (SELECT a AS src, b AS dst FROM mutual
+                  UNION ALL SELECT b, a FROM mutual),
+           ent AS (SELECT min(src) AS node FROM e2),
+           q AS (SELECT vec_id AS query_id, v AS qv
+                 FROM v WHERE vec_id < 5),
+           f0 AS (SELECT q.query_id, ent.node FROM q, ent),
+           $stepBlocks
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, node) AS INTEGER) AS rank,
+                node AS neighbor_id, cosine
+         FROM f6 WHERE node <> query_id
+         QUALIFY rank <= 5"""
+    },
     // s33: the brute ranks, a (query, label) vote count, the same
     // (n desc, label asc) argmax, the self-label compare
     "s33_knn_classifier" ->
