@@ -127,7 +127,11 @@ object PlanAudit {
       "t31_encoding_audit", "t32_rake_keywords", "t33_canonicalize",
       "d22_soft_dedup_weights", "d23_band_planner",
       "d24_dedup_canonical",
-      "c34_neyman_sample", "m14_mime_sniff", "s31_rocchio_feedback")
+      "c34_neyman_sample", "m14_mime_sniff", "s31_rocchio_feedback",
+      "g37_transitivity", "q144_scd2_pit_join", "c35_canary_scan",
+      "q145_wilson_conversion", "s33_knn_classifier",
+      "p14_planner_2po", "t34_vocab_overlap", "s32_ann_ivf_filtered",
+      "q143_csv_malformed", "g36_degree_slope", "s34_ann_graph_beam")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature
