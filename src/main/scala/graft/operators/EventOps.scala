@@ -1431,6 +1431,40 @@ object EventOps {
                         THEN 1 ELSE 0 END AS INTEGER) AS is_current
        FROM ch"""
 
+  /** q146: CUMULATIVE UNIQUE USERS — the growth curve every product
+    * dashboard opens with, computed the scale-right way: a windowed
+    * COUNT(DISTINCT) over an expanding frame re-scans all history per
+    * day, but "cumulative distinct" ≡ "count of users whose FIRST
+    * event is ≤ day" — one user-keyed min, a days-sized new-user
+    * rollup, and a running sum over the bounded SERIES frame.
+    * All-integer. Output (day, n_new, cum_users).
+    *
+    * Scale shape: the user min is one partial-agg'd pass; everything
+    * after runs on |days| rows (the q122 bounded-frame argument). */
+  def cumulativeUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = Tables.load(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(min(date_trunc("day", col("ts")).cast("date")).as("day"))
+    val byDay = first.groupBy("day").agg(count(lit(1)).as("n_new"))
+    byDay.withColumn("cum_users",
+      sum("n_new").over(Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** q146's DuckDB twin: same first-seen min, same running sum. */
+  private[graft] val cumulativeUsersOracle: String =
+    """WITH f AS (
+         SELECT user_id,
+                min(CAST(date_trunc('day', ts) AS DATE)) AS day
+         FROM events GROUP BY user_id),
+       d AS (SELECT day, count(*) AS n_new FROM f GROUP BY day)
+      SELECT day, n_new,
+             sum(n_new) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_users
+      FROM d"""
+
   /** q145: CONVERSION RATE WITH WILSON BOUNDS — the daily
     * purchase SHARE of view+purchase traffic with the Wilson 95%
     * score interval (Wilson 1927) — a true binomial proportion
@@ -1671,6 +1705,7 @@ object EventOps {
     "q142_time_weighted_avg" -> (timeWeightedAvg _),
     "q144_scd2_pit_join" -> (scd2PitJoin _),
     "q145_wilson_conversion" -> (wilsonConversion _),
+    "q146_cumulative_users" -> (cumulativeUsers _),
     "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_retention" -> (retention _),
     "q67_funnel_pattern" -> (funnelPattern _)
@@ -1688,6 +1723,7 @@ object EventOps {
     "q142_time_weighted_avg" -> timeWeightedAvgOracle,
     "q144_scd2_pit_join" -> scd2PitOracle,
     "q145_wilson_conversion" -> wilsonOracle,
+    "q146_cumulative_users" -> cumulativeUsersOracle,
     // q126: the same lagged pair extraction on the same unique sort,
     // the same session-gap filter, the same row-normalized 4-dp p
     "q126_markov_transitions" ->

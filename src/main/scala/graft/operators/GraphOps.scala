@@ -2150,6 +2150,89 @@ object GraphOps {
                 AS transitivity
        FROM w, t"""
 
+  /** g38: KATZ CENTRALITY, hop-bounded (Katz 1953) — the walk-count
+    * centrality completing the family's fourth pole (eigen-family
+    * g01/g09, distance g24, brokerage g33): c(v) = Σ_{ℓ=1..L} αˡ·wℓ(v)
+    * with wℓ(v) = the number of length-ℓ walks ENDING at v — unlike
+    * PageRank no degree normalization, so a node reachable along many
+    * short walks scores high even with modest degree. Walk counts are
+    * EXACT INTEGERS built by the σ-style superstep (sum over
+    * in-edges, no BFS restriction — walks revisit freely), and the
+    * attenuation is ALSO exact: with α = 1/20 every term αˡ·wℓ is
+    * wℓ·20^(L−ℓ) in α^L units, so the whole accumulation is an
+    * integer sum — the serve multiplies the exact unit total by the
+    * one α^L literal and emits that double UNROUNDED (identical in
+    * both engines; a decimal round here would sit on .5-boundary
+    * ties at ~25% of nodes — the g34 failure class, measured before
+    * this form). α = 0.05 keeps the series far under the 1/λmax
+    * divergence bound at the gate graphs' degree scale.
+    *
+    * Scale shape: L supersteps of one edges⋈counts join + a node-
+    * keyed partial agg — the g01 shape with integer payloads; counts
+    * grow ~(αλ)ˡ-controlled but stay exact longs at L = 4. */
+  private[graft] def katzOn(edges: DataFrame, alpha: Double,
+      rounds: Int): DataFrame = {
+    val inv = math.round(1.0 / alpha)
+    require(math.abs(inv * alpha - 1.0) < 1e-12,
+      "katz needs an integral 1/alpha so the unit algebra stays exact")
+    val e = Persists.barrier(edges.select("src", "dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    var w = nodes.withColumn("w", lit(1L)).localCheckpoint(true)
+    var acc: DataFrame = null
+    for (l <- 1 to rounds) {
+      w = e.join(w, e("src") === w("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("w").as("w"))
+        .localCheckpoint(true)
+      val unitWeight = math.pow(inv.toDouble, (rounds - l).toDouble).toLong
+      val term = w.select(col("node"),
+        (col("w") * lit(unitWeight)).as("t"))
+      acc = if (acc == null) term else acc.unionAll(term)
+    }
+    acc.groupBy("node").agg(sum("t").as("units"))
+      .select(col("node"),
+        (col("units") * lit(math.pow(alpha, rounds))).as("katz"))
+  }
+
+  /** g38 over the co-purchase graph. */
+  def katzCentrality(spark: SparkSession, sfDir: String): DataFrame =
+    katzOn(coPurchaseEdges(spark, sfDir), KatzAlpha, BfsHops)
+
+  private val KatzAlpha = 0.05
+
+  /** g38's oracle: per round one in-edge walk-count CTE (exact
+    * integers), the same exact 20^(L−ℓ) unit weights summed as
+    * integers, the same single α^L multiply, no round. */
+  private def katzOracle(alpha: Double, rounds: Int): String = {
+    val inv = math.round(1.0 / alpha)
+    val base =
+      """WITH pairs AS (
+           SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (
+           SELECT cn AS src, sn AS dst FROM pairs
+           UNION ALL
+           SELECT sn AS src, cn AS dst FROM pairs),
+         w0 AS (
+           SELECT node, CAST(1 AS BIGINT) AS w FROM (
+             SELECT DISTINCT src AS node FROM edges))"""
+    val its = (1 to rounds).map { i =>
+      s"""w$i AS MATERIALIZED (
+           SELECT e.dst AS node, sum(p.w) AS w
+           FROM edges e JOIN w${i - 1} p ON e.src = p.node
+           GROUP BY e.dst)"""
+    }.mkString(",\n")
+    val arms = (1 to rounds).map { l =>
+      val unitWeight = math.pow(inv.toDouble, (rounds - l).toDouble).toLong
+      s"SELECT node, w * CAST($unitWeight AS BIGINT) AS t FROM w$l"
+    }.mkString(" UNION ALL ")
+    s"""$base,\n$its
+       SELECT node,
+              CAST(sum(t) AS DOUBLE) * ${math.pow(alpha, rounds)} AS katz
+       FROM ($arms) GROUP BY node"""
+  }
+
   /** g36: DEGREE-DISTRIBUTION POWER-LAW FIT — the graph-card metric
     * beside g14's assortativity: the log-log OLS slope of the degree
     * histogram (count of nodes at each degree), t27's Zipf-fit
@@ -2545,6 +2628,8 @@ object GraphOps {
       ((s: SparkSession, d: String) => degreeSlope(s, d)),
     "g37_transitivity" ->
       ((s: SparkSession, d: String) => transitivity(s, d)),
+    "g38_katz_centrality" ->
+      ((s: SparkSession, d: String) => katzCentrality(s, d)),
     "g01_pagerank" -> ((spark: SparkSession, sfDir: String) => {
       pagerankOn(coPurchaseEdges(spark, sfDir))
         .select(col("node"), col("pr"))
@@ -3044,6 +3129,7 @@ object GraphOps {
     "g35_weighted_sssp" -> weightedSsspOracle(BfsHops),
     "g36_degree_slope" -> degreeSlopeOracle,
     "g37_transitivity" -> transitivityOracle,
+    "g38_katz_centrality" -> katzOracle(KatzAlpha, BfsHops),
     // g34: the shared kNN CTEs, then the same exact fixed-point
     // layers — integer micro-unit sums and one floor division each
     // (operands positive, so // matches Spark's div), offset undone

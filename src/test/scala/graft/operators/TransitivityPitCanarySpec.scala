@@ -67,6 +67,41 @@ class TransitivityPitCanarySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("g38: katz walk counts on a path graph, exact attenuation") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3 (symmetric): per-node walk counts by hand
+    // w1 = (1,2,1); w2 = (2,2,2); w3 = (2,4,2); w4 = (4,4,4)
+    // α=0.05: katz(1) = .05·1+.0025·2+1.25e-4·2+6.25e-6·4
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val got = GraphOps.katzOn(edges, alpha = 0.05, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the operator's exact serve: integer units × the math.pow
+    // literal (one ulp off the decimal 6.25e-6 — same in both engines)
+    def k(w: Seq[Long]) =
+      (w(0) * 8000L + w(1) * 400L + w(2) * 20L + w(3)) *
+        math.pow(0.05, 4)
+    assert(got(1L) == k(Seq(1L, 2L, 2L, 4L)))
+    assert(got(2L) == k(Seq(2L, 2L, 4L, 4L)))
+    assert(got(3L) == k(Seq(1L, 2L, 2L, 4L)))
+    // middle node carries the most walks
+    assert(got(2L) > got(1L))
+  }
+
+  test("q146: cumulative users is monotone and ends at total users") {
+    val rows = EventOps.cumulativeUsers(spark, sf).collect()
+      .sortBy(_.getDate(0).getTime)
+    val total = graft.sources.Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.last.getLong(2) == total)
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(2) == a.getLong(2) + b.getLong(1))
+      case _ =>
+    }
+  }
+
   test("c35: the scan recovers exactly the planted canary rows") {
     val rows = CurationOps.canaryScan(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
