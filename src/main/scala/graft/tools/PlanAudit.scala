@@ -131,7 +131,8 @@ object PlanAudit {
       "g37_transitivity", "q144_scd2_pit_join", "c35_canary_scan",
       "q145_wilson_conversion", "s33_knn_classifier",
       "p14_planner_2po", "t34_vocab_overlap", "s32_ann_ivf_filtered",
-      "q143_csv_malformed", "g36_degree_slope", "s34_ann_graph_beam")
+      "q143_csv_malformed", "g36_degree_slope", "s34_ann_graph_beam",
+      "g38_katz_centrality", "q146_cumulative_users")
     val all = graft.SparkEntry.queries
     interesting.foreach { name =>
       // build INSIDE the scope: construction-time barriers (signature
