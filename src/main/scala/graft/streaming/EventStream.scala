@@ -286,6 +286,29 @@ object EventStream {
         round(coalesce(col("sv"), lit(0.0)), 2).as("v")))
   }
 
+  /** q147: STREAMING CUMULATIVE USERS — q146's growth curve as
+    * events land: the streaming state is the per-user FIRST-SEEN day
+    * (a commutative min — the same replay-safe state class as the
+    * daily sums serving q129/q134/q140), and the serve tail is the
+    * days-frame rollup + running sum verbatim, gated by q146's
+    * oracle. The deployment: the user-min state is user-count-sized
+    * however long the stream runs; each trigger's growth-curve serve
+    * touches only |days| rows. */
+  def cumulativeUsersStreamed(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = StreamRun.toCompletion(
+      readEvents(spark, sfDir, glob = "events.parquet")
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts")).cast("date")).as("day")),
+      "graft_stream_cumusers", outputMode = "complete")
+    val fresh = spark.createDataFrame(firstSeen.rdd, firstSeen.schema)
+    fresh.groupBy("day").agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users",
+        sum("n_new").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** q72: view → purchase attribution pairs as a STREAM-STREAM inner
     * join — the one Structured Streaming surface the other gates don't
     * exercise. Both sides watermark their event time and the join
@@ -428,6 +451,7 @@ object EventStream {
     "q129_stream_holt" -> (holtStreamed _),
     "q134_stream_seasonality" -> (seasonalityStreamed _),
     "q140_stream_cusum" -> (cusumStreamed _),
+    "q147_stream_cumulative_users" -> (cumulativeUsersStreamed _),
     "q72_stream_attribution" -> (attributionStreamed _),
     "q78_stream_sliding" -> (slidingCountsStreamed _),
     "q106_stream_hll" -> (hllStream _),
@@ -470,6 +494,10 @@ object EventStream {
     // must land on the identical changepoint fold
     "q140_stream_cusum" ->
       graft.operators.EventOps.oracleSql("q137_cusum_changepoints"),
+    // q147: q146's batch oracle verbatim — the streamed first-seen
+    // state must land on the identical growth curve
+    "q147_stream_cumulative_users" ->
+      graft.operators.EventOps.oracleSql("q146_cumulative_users"),
     // every epoch-aligned 15-min slide whose 1-hour window covers the
     // event: strictly-greater lower bound (a window starting exactly
     // ts − 1 h has already closed), inclusive upper (a window starting
