@@ -152,6 +152,7 @@ object Bench {
     "q145_wilson_conversion", "s33_knn_classifier", "p14_planner_2po",
     "t34_vocab_overlap", "s34_ann_graph_beam",
     "g38_katz_centrality", "q146_cumulative_users",
+    "q148_psi_drift",
     "t31_encoding_audit", "p13_planner_auto")
 
   /** Bench-only variants (not gate entries — the gate form stays the

@@ -1431,6 +1431,76 @@ object EventOps {
                         THEN 1 ELSE 0 END AS INTEGER) AS is_current
        FROM ch"""
 
+  /** q148: POPULATION STABILITY INDEX — the production drift metric
+    * feature-monitoring stacks alert on: PSI = Σ_bins
+    * (p_b − q_b)·ln(p_b/q_b) between the REFERENCE window (the
+    * stream's first half by event time) and the CURRENT window (the
+    * second half), over q108's fixed-width value bins with add-1
+    * count smoothing (every bin present in either window scores;
+    * the smoothing keeps the log finite exactly as a production
+    * monitor must). Per event_type: the per-bin contributions and
+    * the one PSI scalar (>0.2 = the classic "investigate" line).
+    * Shares t16's divergence discipline — t16 compares SHARDS by JS;
+    * this compares TIME WINDOWS by PSI, the drift alert's actual
+    * algebra. All counts integer; shares and logs are computed from
+    * identical integers in both engines, 6-dp serve.
+    *
+    * Scale shape: one conditional-agg pass into a types×bins frame;
+    * the midpoint scalar is a 1-row broadcast. */
+  def psiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Persists.barrier(Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("value"),
+        expr("unix_micros(ts)").as("us"))
+      .filter(col("value").isNotNull))
+    val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val binned = e.crossJoin(broadcast(mid))
+      .select(col("event_type"),
+        expr("CAST(least(greatest(floor(value / 5.0), 0), 19) AS INT)")
+          .as("bin"),
+        (col("us") <= col("mid")).as("ref"))
+    val counts = binned.groupBy("event_type", "bin")
+      .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("nr"),
+        sum(when(!col("ref"), 1L).otherwise(0L)).as("nc"))
+    val totals = counts.groupBy("event_type")
+      .agg(sum("nr").as("tr"), sum("nc").as("tc"),
+        count(lit(1)).as("nbins"))
+    counts.join(totals, "event_type")
+      .select(col("event_type"), col("bin"), col("nr"), col("nc"),
+        expr("""round(
+          ((nr + 1) / CAST(tr + nbins AS DOUBLE)
+           - (nc + 1) / CAST(tc + nbins AS DOUBLE)) *
+          ln(((nr + 1) / CAST(tr + nbins AS DOUBLE)) /
+             ((nc + 1) / CAST(tc + nbins AS DOUBLE))), 6)""")
+          .as("contribution"))
+  }
+
+  /** q148's DuckDB twin: same midpoint split, same q108 bins, same
+    * add-1 smoothed shares and log contributions on the 6-dp grid. */
+  private[graft] val psiOracle: String =
+    """WITH e AS (
+         SELECT event_type, value, epoch_us(ts) AS us
+         FROM events WHERE value IS NOT NULL),
+       m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+       b AS (SELECT event_type,
+                    CAST(least(greatest(floor(value / 5.0), 0), 19)
+                      AS INTEGER) AS bin,
+                    (us <= m.mid) AS ref
+             FROM e, m),
+       c AS (SELECT event_type, bin,
+                    sum(CASE WHEN ref THEN 1 ELSE 0 END) AS nr,
+                    sum(CASE WHEN ref THEN 0 ELSE 1 END) AS nc
+             FROM b GROUP BY 1, 2),
+       t AS (SELECT event_type, sum(nr) AS tr, sum(nc) AS tc,
+                    count(*) AS nbins
+             FROM c GROUP BY 1)
+      SELECT c.event_type, c.bin, c.nr, c.nc,
+             round(((c.nr + 1) / CAST(t.tr + t.nbins AS DOUBLE)
+                    - (c.nc + 1) / CAST(t.tc + t.nbins AS DOUBLE)) *
+                   ln(((c.nr + 1) / CAST(t.tr + t.nbins AS DOUBLE)) /
+                      ((c.nc + 1) / CAST(t.tc + t.nbins AS DOUBLE))), 6)
+               AS contribution
+      FROM c JOIN t ON t.event_type = c.event_type"""
+
   /** q146: CUMULATIVE UNIQUE USERS — the growth curve every product
     * dashboard opens with, computed the scale-right way: a windowed
     * COUNT(DISTINCT) over an expanding frame re-scans all history per
@@ -1706,6 +1776,7 @@ object EventOps {
     "q144_scd2_pit_join" -> (scd2PitJoin _),
     "q145_wilson_conversion" -> (wilsonConversion _),
     "q146_cumulative_users" -> (cumulativeUsers _),
+    "q148_psi_drift" -> (psiDrift _),
     "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_retention" -> (retention _),
     "q67_funnel_pattern" -> (funnelPattern _)
@@ -1724,6 +1795,7 @@ object EventOps {
     "q144_scd2_pit_join" -> scd2PitOracle,
     "q145_wilson_conversion" -> wilsonOracle,
     "q146_cumulative_users" -> cumulativeUsersOracle,
+    "q148_psi_drift" -> psiOracle,
     // q126: the same lagged pair extraction on the same unique sort,
     // the same session-gap filter, the same row-normalized 4-dp p
     "q126_markov_transitions" ->
