@@ -155,6 +155,15 @@ object Bench {
     "q148_psi_drift",
     "t31_encoding_audit", "p13_planner_auto")
 
+  /** Eighth series guarding the round-12 operators; baselines at
+    * round 12, never touches the earlier series. Hosts the VERDICT
+    * r11 perf items: g31i/s25i serve their expensive inline halves
+    * from stored artifacts (specs pin served ≡ inline), and
+    * m08i times m08's CAPPED production band beside the
+    * deliberately-wide gate contrast entry. */
+  val headlineR12: Seq[String] = Seq(
+    "g31i_linkpred_auc", "s25i_ann_recall", "m08i_ahash_production")
+
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
     * incremental candidate join against the PRE-MATERIALIZED signature
@@ -281,7 +290,21 @@ object Bench {
     "g22i_community_merge" ->
       ((s, d) => graft.operators.GraphOps.communityMergeFromEdges(s, d)),
     "g23i_louvain_move" ->
-      ((s, d) => graft.operators.GraphOps.louvainFromEdges(s, d)))
+      ((s, d) => graft.operators.GraphOps.louvainFromEdges(s, d)),
+    // g31's AUC eval over the stored unfloored-kNN pair artifact (the
+    // gate form rebuilds the exact kNN graph inline as its oracle
+    // anchor — 13.2 s of every timed run, VERDICT r11 defect #4)
+    "g31i_linkpred_auc" ->
+      ((s, d) => graft.operators.GraphOps.linkPredAucFromEdges(s, d)),
+    // s25's recall eval with the exact brute TRUTH served from its
+    // stored artifact — the timed work is the LSH retrieval under
+    // evaluation, not the truth rebuild
+    "s25i_ann_recall" ->
+      ((s, d) => graft.operators.SimilarityOps.annRecallEvalFromTruth(s, d)),
+    // m08's capped production band (hamming ≤ 3); the gate entry
+    // keeps the deliberately-wide hamming ≤ 16 contrast band
+    "m08i_ahash_production" ->
+      ((s, d) => graft.operators.MultimodalOps.ahashClustersProduction(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -311,7 +334,9 @@ object Bench {
     graft.operators.SimilarityOps.cellPartitionedPath(spark, sfDir)
     graft.operators.SimilarityOps.ivfPqPath(spark, sfDir)
     graft.operators.GraphOps.knnEdgesPath(spark, sfDir)
+    graft.operators.GraphOps.knnEdgesAllPath(spark, sfDir)
     graft.operators.GraphOps.knnDirectedEdgesPath(spark, sfDir)
+    graft.operators.SimilarityOps.bruteTruthPath(spark, sfDir)
     graft.operators.GraphOps.coPurchaseEdgesPath(spark, sfDir)
     graft.operators.GraphOps.walkCorpusPath(spark, sfDir)
     graft.operators.GraphOps.pagerankRanksPath(spark, sfDir)
@@ -412,6 +437,7 @@ object Bench {
     val resultsR9 = runSeries(headlineR9)
     val resultsR10 = runSeries(headlineR10)
     val resultsR11 = runSeries(headlineR11)
+    val resultsR12 = runSeries(headlineR12)
     val cacheState =
       if (dropCache && !dropsFailed) "dropped-before-cold-runs"
       else if (dropCache) "drop-requested-but-failed"
@@ -428,7 +454,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val qs = steadyJson(results)
     val failed = (results ++ resultsR5 ++ resultsR7 ++ resultsR8 ++
-      resultsR9 ++ resultsR10 ++ resultsR11)
+      resultsR9 ++ resultsR10 ++ resultsR11 ++ resultsR12)
       .collect { case (k, v, _, _) if v < 0 => s""""$k"""" }
     if (failed.nonEmpty) {
       // a failing query must read as a FAILURE, not as a faster total —
@@ -455,6 +481,8 @@ object Bench {
     val totalR10Cold = resultsR10.map(_._3).sum
     val totalR11 = resultsR11.map(_._2).sum
     val totalR11Cold = resultsR11.map(_._3).sum
+    val totalR12 = resultsR12.map(_._2).sum
+    val totalR12Cold = resultsR12.map(_._3).sum
     // compact totals object, duplicated in BOTH output lines: the
     // driver archives only the last 2000 chars of stdout, so the
     // per-query detail line alone is truncation-prone as series
@@ -466,7 +494,8 @@ object Bench {
         f""""r8":$totalR8%.3f,"r8_cold":$totalR8Cold%.3f,""" +
         f""""r9":$totalR9%.3f,"r9_cold":$totalR9Cold%.3f,""" +
         f""""r10":$totalR10%.3f,"r10_cold":$totalR10Cold%.3f,""" +
-        f""""r11":$totalR11%.3f,"r11_cold":$totalR11Cold%.3f,"failed":0}"""
+        f""""r11":$totalR11%.3f,"r11_cold":$totalR11Cold%.3f,""" +
+        f""""r12":$totalR12%.3f,"r12_cold":$totalR12Cold%.3f,"failed":0}"""
     // line 1: full per-query detail (head of stdout — complete in the
     // build log even when the archived tail cuts it)
     println(
@@ -491,17 +520,26 @@ object Bench {
         f""""queries_r11":${steadyJson(resultsR11)},"total_r11":$totalR11%.3f,""" +
         f""""queries_r11_cold":${coldJson(resultsR11)},"total_r11_cold":$totalR11Cold%.3f,""" +
         f""""queries_r11_warm":${warmJson(resultsR11)},""" +
+        f""""queries_r12":${steadyJson(resultsR12)},"total_r12":$totalR12%.3f,""" +
+        f""""queries_r12_cold":${coldJson(resultsR12)},"total_r12_cold":$totalR12Cold%.3f,""" +
+        f""""queries_r12_warm":${warmJson(resultsR12)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir",""" +
         totalsJson + "}")
-    // line 2 (LAST line, short and bounded): a self-contained summary
-    // with every series total plus the newest series' per-query
-    // detail — whatever the 2000-char tail keeps, the totals parse.
+    // line 2: newest-series per-query detail (secondary visibility —
+    // may truncate in the archived tail; the totals do NOT live here)
+    println(
+      f"""{"metric":"detail_recent","unit":"sec",""" +
+        f""""queries_r11":${steadyJson(resultsR11)},""" +
+        f""""queries_r12":${steadyJson(resultsR12)},""" +
+        f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir"}""")
+    // line 3 — LAST line, totals ONLY, bounded forever regardless of
+    // how many series accumulate: the driver archives the final
+    // 2000 chars of stdout, and r7/r9/r11 each re-hit truncation by
+    // letting per-query detail share the last line with the totals.
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-        totalsJson + "," +
-        f""""queries_r10":${steadyJson(resultsR10)},""" +
-        f""""queries_r11":${steadyJson(resultsR11)},""" +
-        f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir"}""")
+        totalsJson +
+        f""","runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir"}""")
     spark.stop()
   }
 }

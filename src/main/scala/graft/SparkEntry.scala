@@ -41,6 +41,7 @@ object SparkEntry {
       graft.sources.BloomSkip.queries ++
       graft.sources.Vacuum.queries ++
       graft.sources.Snapshots.queries ++
+      graft.sources.Deletes.queries ++
       graft.plans.PlannerQueries.queries ++
       graft.plans.TableStats.queries ++
       graft.streaming.EventStream.queries ++
@@ -78,6 +79,7 @@ object SparkEntry {
       graft.sources.BloomSkip.oracleSql ++
       graft.sources.Vacuum.oracleSql ++
       graft.sources.Snapshots.oracleSql ++
+      graft.sources.Deletes.oracleSql ++
       graft.plans.PlannerQueries.oracleSql ++
       graft.plans.TableStats.oracleSql ++
       graft.streaming.EventStream.oracleSql ++

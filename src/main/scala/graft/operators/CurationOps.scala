@@ -1310,7 +1310,7 @@ object CurationOps {
         w AS (SELECT source, nh,
                      CAST(round(nh * sh * 10000, 0) AS BIGINT) AS wi
               FROM st),
-        t AS (SELECT sum(wi) AS tw FROM w),
+        t AS (SELECT CAST(sum(wi) AS BIGINT) AS tw FROM w),
         a AS (SELECT w.source,
                      least(w.nh, (100 * w.wi) // t.tw) AS alloc
               FROM w, t),

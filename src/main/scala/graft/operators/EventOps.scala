@@ -1487,10 +1487,13 @@ object EventOps {
                     (us <= m.mid) AS ref
              FROM e, m),
        c AS (SELECT event_type, bin,
-                    sum(CASE WHEN ref THEN 1 ELSE 0 END) AS nr,
-                    sum(CASE WHEN ref THEN 0 ELSE 1 END) AS nc
+                    CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nr,
+                    CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END)
+                      AS BIGINT) AS nc
              FROM b GROUP BY 1, 2),
-       t AS (SELECT event_type, sum(nr) AS tr, sum(nc) AS tc,
+       t AS (SELECT event_type, CAST(sum(nr) AS BIGINT) AS tr,
+                    CAST(sum(nc) AS BIGINT) AS tc,
                     count(*) AS nbins
              FROM c GROUP BY 1)
       SELECT c.event_type, c.bin, c.nr, c.nc,
@@ -1530,9 +1533,9 @@ object EventOps {
          FROM events GROUP BY user_id),
        d AS (SELECT day, count(*) AS n_new FROM f GROUP BY day)
       SELECT day, n_new,
-             sum(n_new) OVER (ORDER BY day
+             CAST(sum(n_new) OVER (ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_users
+               AS BIGINT) AS cum_users
       FROM d"""
 
   /** q145: CONVERSION RATE WITH WILSON BOUNDS — the daily
@@ -1583,9 +1586,11 @@ object EventOps {
     val z2 = z * z
     s"""WITH d AS (
          SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                CAST(sum(CASE WHEN event_type = 'view'
+                              THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_views,
-                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_purchases
          FROM events GROUP BY 1),
        w AS (

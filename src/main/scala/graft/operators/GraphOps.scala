@@ -583,9 +583,13 @@ object GraphOps {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                     0) AS cumneg
                   FROM g_$s),
-         a_$s AS (SELECT round(sum(np * (cumneg + nn / 2.0)) /
-                    (sum(np) * sum(nn)), 6) AS auc_$s,
-                    sum(np) AS npos, sum(nn) AS nneg
+         a_$s AS (SELECT round(
+                    sum(CAST(np AS DOUBLE) *
+                        (cumneg + CAST(nn AS DOUBLE) / 2.0)) /
+                    (CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE)),
+                    6) AS auc_$s,
+                    CAST(sum(np) AS BIGINT) AS npos,
+                    CAST(sum(nn) AS BIGINT) AS nneg
                   FROM w_$s)"""
     s"""WITH ${knnEdgeCtes(None)},
        pairs AS MATERIALIZED (
@@ -1882,6 +1886,15 @@ object GraphOps {
   def richClubFromEdges(spark: SparkSession, sfDir: String): DataFrame =
     richClubOn(knnAllEdges(spark, sfDir))
 
+  /** g31's rank-sum AUC eval over the stored unfloored-kNN pair
+    * artifact (benched g31i) — the gate form rebuilds the quadratic
+    * exact kNN graph inline as its oracle anchor, which was the
+    * largest single r11-series bench entry (13.2 s, VERDICT r11);
+    * the holdout/wedge/AUC work it measures is a fraction of that.
+    * GraphOpsSpec pins served ≡ inline. */
+  def linkPredAucFromEdges(spark: SparkSession, sfDir: String): DataFrame =
+    linkPredAucOn(knnAllEdges(spark, sfDir))
+
   /** g34's layers over the stored unfloored-kNN edges (benched
     * g34i). */
   def featurePropagationFromEdges(
@@ -2137,7 +2150,8 @@ object GraphOps {
                  UNION ALL SELECT b FROM mutual)
            GROUP BY node),
          w AS (SELECT count(*) AS n_nodes,
-                      sum(deg * (deg - 1) // 2) AS n_wedges
+                      CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+                        AS n_wedges
                FROM deg),
          tri AS (
            SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -2146,7 +2160,8 @@ object GraphOps {
            JOIN mutual e3 ON e3.a = e1.a AND e3.b = e2.b),
          t AS (SELECT count(*) AS n_triangles FROM tri)
        SELECT w.n_nodes, w.n_wedges, t.n_triangles,
-              round(3.0 * t.n_triangles / nullif(w.n_wedges, 0), 6)
+              round(3.0 * CAST(t.n_triangles AS DOUBLE)
+                    / CAST(nullif(w.n_wedges, 0) AS DOUBLE), 6)
                 AS transitivity
        FROM w, t"""
 
@@ -2292,7 +2307,8 @@ object GraphOps {
        xy AS (SELECT ln(CAST(deg AS DOUBLE)) AS x,
                      ln(CAST(cnt AS DOUBLE)) AS y, cnt
               FROM hist),
-       s AS (SELECT sum(cnt) AS n_nodes, count(*) AS n_degrees,
+       s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_nodes,
+                    count(*) AS n_degrees,
                     sum(x) AS sx, sum(y) AS sy,
                     sum(x * y) AS sxy, sum(x * x) AS sxx
              FROM xy),
@@ -3428,7 +3444,8 @@ object GraphOps {
            FROM l$p CROSS JOIN top$r t)"""
     }.mkString(",\n")
     val unions = (1 to CommunityMergeRounds).map(r =>
-      s"SELECT $r AS merge_round, c AS c1, d AS c2, score FROM top$r")
+      s"""SELECT $r AS merge_round, c AS c1, d AS c2,
+            CAST(score AS BIGINT) AS score FROM top$r""")
       .mkString("\n UNION ALL ")
     s"""WITH ${knnEdgeCtes(Some(StrongCos))},
        mm AS MATERIALIZED (SELECT count(*) AS m FROM mutual),

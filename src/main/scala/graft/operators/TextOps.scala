@@ -297,7 +297,7 @@ object TextOps {
              (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
            FROM scores) WHERE rn = 1)
        SELECT d.doc_id, coalesce(b.lang, 'und') AS lang,
-              coalesce(b.score, 0) AS score
+              CAST(coalesce(b.score, 0) AS BIGINT) AS score
        FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id"""
   }
 
@@ -1379,12 +1379,15 @@ object TextOps {
                                        ORDER BY x DESC, doc_id) AS rd,
                     count(*) OVER (PARTITION BY source) AS n
              FROM d)
-      SELECT source, count(*) AS n_docs, sum(x) AS total_tokens,
-             round(2.0 * sum(i * x) / (count(*) * sum(x))
-                   - (count(*) + 1.0) / count(*), 6) AS gini,
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(x) AS BIGINT) AS total_tokens,
+             round(2.0 * CAST(sum(i * x) AS DOUBLE)
+                     / (count(*) * CAST(sum(x) AS DOUBLE))
+                   - (count(*) + 1.0) / CAST(count(*) AS DOUBLE), 6)
+               AS gini,
              round(CAST(sum(CASE WHEN rd <= (n + 9) // 10
                                  THEN x ELSE 0 END) AS DOUBLE)
-                   / sum(x), 6) AS top_decile_share
+                   / CAST(sum(x) AS DOUBLE), 6) AS top_decile_share
       FROM r GROUP BY source"""
 
   /** t34: SOURCE VOCABULARY-OVERLAP MATRIX — the pairwise top-100

@@ -221,7 +221,8 @@ object TokenizerOps {
 
   private val bpeTrainOracle: String = {
     val unions = (1 to BpeMerges).map(r =>
-      s"SELECT $r AS merge_round, s1, s2, cnt FROM top$r")
+      s"""SELECT $r AS merge_round, s1, s2,
+            CAST(cnt AS BIGINT) AS cnt FROM top$r""")
       .mkString("\n UNION ALL ")
     s"WITH $bpeCtes\n $unions"
   }
@@ -236,8 +237,8 @@ object TokenizerOps {
                 FROM documents)
               WHERE w <> '')
      SELECT doc_id, count(*) AS n_words,
-            sum(length(word)) AS n_chars,
-            sum(n_sym) AS n_tokens_bpe
+            CAST(sum(length(word)) AS BIGINT) AS n_chars,
+            CAST(sum(n_sym) AS BIGINT) AS n_tokens_bpe
      FROM dw JOIN wt USING (word)
      GROUP BY doc_id"""
 

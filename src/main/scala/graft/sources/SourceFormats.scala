@@ -310,8 +310,9 @@ object SourceFormats {
       """SELECT source,
                 count(*) FILTER (WHERE doc_id % 41 <> 0) AS n_good,
                 count(*) FILTER (WHERE doc_id % 41 = 0) AS n_corrupt,
-                coalesce(sum(n_chars) FILTER (WHERE doc_id % 41 <> 0), 0)
-                  AS good_chars
+                CAST(coalesce(
+                    sum(n_chars) FILTER (WHERE doc_id % 41 <> 0), 0)
+                  AS BIGINT) AS good_chars
          FROM documents GROUP BY source""",
     // fidelity oracles: the round-trip must equal the ORIGINAL table
     "q59_compact" ->

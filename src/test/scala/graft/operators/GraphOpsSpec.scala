@@ -142,7 +142,8 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "g14_assortativity" -> GraphOps.assortativityFromEdges(spark, sf),
       "g16_kcore" -> GraphOps.kcoreFromEdges(spark, sf),
       "g18_label_spread" -> GraphOps.labelSpreadFromEdges(spark, sf),
-      "g25_ktruss" -> GraphOps.ktrussFromEdges(spark, sf))
+      "g25_ktruss" -> GraphOps.ktrussFromEdges(spark, sf),
+      "g31_linkpred_auc" -> GraphOps.linkPredAucFromEdges(spark, sf))
     pairs.foreach { case (name, served) =>
       assert(rows(GraphOps.queries(name)(spark, sf)) == rows(served),
         s"$name served != inline")

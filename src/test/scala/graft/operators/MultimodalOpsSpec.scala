@@ -233,4 +233,32 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((1L, 1L, 1), (2L, 1L, 0), (3L, 3L, 1),
       (4L, 4L, 1)))
   }
+
+  test("m08i production band: hamming<=3 merges twins, drops far pairs") {
+    val s = spark
+    import s.implicits._
+    val half = "a" * 32 + "z" * 32 // 1 and 2 pair at hamming 0
+    val flat = "m" * 100 // hamming 32 from half: outside EVERY band
+    val got = MultimodalOps.ahashClustersOn(
+        Seq((1L, half), (2L, half), (3L, flat)).toDF("media_id", "txt"),
+        maxHamming = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // exact twins still merge at the production band; flat stays its
+    // own singleton exactly as under the wide gate band
+    assert(got == Set((1L, 1L, 1), (2L, 1L, 0), (3L, 3L, 1)))
+  }
+
+  test("m08i fixture: production band keeps a superset of the gate band") {
+    val sf = "/root/testdata/sf0.001"
+    def byId(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val gate = byId(MultimodalOps.ahashClusters(spark, sf))
+    val prod = byId(MultimodalOps.ahashClustersProduction(spark, sf))
+    assert(gate.nonEmpty && gate.keySet == prod.keySet)
+    // a tighter band can only split clusters -> every gate keeper is
+    // still kept, and the production band never keeps fewer
+    gate.foreach { case (id, kept) =>
+      if (kept == 1) assert(prod(id) == 1, s"gate keeper $id dropped")
+    }
+  }
 }

@@ -88,6 +88,15 @@ class SimilarityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.map(_._1).sum > 0)
   }
 
+  test("s25i truth-artifact serving equals the inline eval") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val inline = rows(SimilarityOps.annRecallEval(spark, sf))
+    val served = rows(SimilarityOps.annRecallEvalFromTruth(spark, sf))
+    assert(inline.nonEmpty && inline == served)
+  }
+
   test("s26 drift: per-dim shard means and rounded-operand delta") {
     val s = spark
     import s.implicits._

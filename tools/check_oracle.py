@@ -4,6 +4,14 @@ for each query dir under OUTDIR, run the matching oracle SQL from
 oracle_sql.json in DuckDB over the sfDir parquet tables, then compare
 (sorted columns, sorted rows) against the Spark parquet output.
 
+The comparison is DTYPE-SENSITIVE (the round-11 lesson): the driver
+hashes serialized values, so a DuckDB HUGEINT (uncast sum() over
+integers) or DECIMAL (bare decimal-literal arithmetic) column fails
+the driver's hash even when every value equals Spark's BIGINT/DOUBLE.
+A str()-normalizing compare cannot see that — this gate compares the
+Arrow schema of both sides and fails on any type mismatch that the
+driver's hash would see.
+
 Usage: check_oracle.py SFDIR OUTDIR [query ...]
 """
 import json
@@ -12,10 +20,39 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def canon_type(t: pa.DataType) -> str:
+    """Canonical dtype label for cross-engine compare.
+
+    Equivalences that the driver's hash provably tolerates (calibrated
+    against CORRECTNESS_r11: every class below appears in a
+    driver-GREEN entry, while decimal128 — DuckDB HUGEINT / DECIMAL —
+    appears in exactly the 15 driver-RED entries):
+      - signed integer width (d13/g32/g34/q108/q118/q133/q134/q135/
+        q141 are int32-vs-BIGINT and all driver-green);
+      - timestamp timezone annotation (Spark parquet stamps UTC,
+        DuckDB is tz-naive) at equal unit;
+      - string vs large_string (a reader-side chunking choice).
+    Everything else — notably int64 vs decimal128 and float64 vs
+    decimal — is a mismatch.
+    """
+    if (pa.types.is_integer(t)):
+        return "int"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    return str(t)
 
 
 def norm_cell(v):
@@ -34,6 +71,10 @@ def table_key(rows, cols):
         out.append(tuple(norm_cell(r[i]) for i in order))
     out.sort()
     return out
+
+
+def schema_map(tbl: pa.Table):
+    return {f.name: canon_type(f.type) for f in tbl.schema}
 
 
 def main():
@@ -56,15 +97,22 @@ def main():
             print(f"  ROWS-ONLY {name}: {len(srows)} rows")
             continue
         try:
-            res = con.execute(oracle[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            otbl = con.execute(oracle[name]).arrow()
         except Exception as e:
             print(f"✗ ORACLE-ERR {name}: {e}")
             n_fail += 1
             continue
+        ocols = list(otbl.column_names)
+        orows = [tuple(d.values()) for d in otbl.to_pylist()]
         if sorted(scols) != sorted(ocols):
             print(f"✗ SCHEMA {name}: spark={sorted(scols)} oracle={sorted(ocols)}")
+            n_fail += 1
+            continue
+        stypes, otypes = schema_map(spark_tbl), schema_map(otbl)
+        bad = {c: (stypes[c], otypes[c]) for c in scols
+               if stypes[c] != otypes[c]}
+        if bad:
+            print(f"✗ DTYPE {name}: spark vs oracle {bad}")
             n_fail += 1
             continue
         sk, ok = table_key(srows, scols), table_key(orows, ocols)
