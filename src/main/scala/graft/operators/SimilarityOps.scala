@@ -2067,6 +2067,101 @@ object SimilarityOps {
                 AS load_factor
        FROM cells, t"""
 
+  /** The s35 delta-batch split — shared with the oracle. */
+  val DeltaIngestMod = 7
+  val DeltaIngestRem = 3
+
+  /** The assignment kernel over any (vec_id, v) batch and a fixed
+    * cell model — ONE definition shared by the s35 gate form, the
+    * trained-model production twin, and the incremental≡full spec
+    * pin. One broadcast-model codegen'd map, no shuffle. */
+  private[graft] def assignBatchOn(
+      spark: SparkSession, batch: DataFrame,
+      centIds: Seq[Long], centVecs: Seq[Seq[Double]]): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    batch.withColumn("nc", nearestCents(spark, col("v"), centVecs, 1))
+      .select(col("vec_id"),
+        element_at(typedlit(centIds), col("nc").getItem(0) + 1)
+          .as("cent_id"))
+  }
+
+  /** s35: INCREMENTAL IVF ASSIGNMENT — the index-maintenance step a
+    * serving deployment runs per ingest batch (VERDICT r11 "what's
+    * missing" #4): the NEW batch (here the `vec_id % 7 = 3` slice —
+    * the d12 delta-vs-corpus discipline) is assigned into the
+    * EXISTING index's cells without retraining — the model is built
+    * from the BASE corpus only, so a delta vector lands where the
+    * running index would route it, never where a fresh train would.
+    * Gate form uses the deterministic modular model (the s04/s08
+    * oracle stand-in) so the whole assignment hash-checks; the
+    * trained-model twin ([[ivfAssignDeltaTrained]]) is the
+    * production path, pinned incremental ≡ full by
+    * IncrementalIvfSpec. Retrain is TRIGGERED, not scheduled: s28's
+    * balance report feeds [[ivfRetrainNeeded]].
+    *
+    * Scale shape: delta-sized work — one broadcast-model map over
+    * the batch; the corpus and the stored index are never rescanned
+    * (the difference between per-batch maintenance being free and
+    * being a full rebuild at 100 TB). */
+  def ivfAssignDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val isDelta = pmod(col("vec_id"), lit(DeltaIngestMod)) ===
+      DeltaIngestRem
+    val rows = Tables.rowCount(spark, sfDir, "embeddings")
+    val (centIds, centVecs) = centroidModel(all.filter(!isDelta), rows, 23)
+    assignBatchOn(spark, all.filter(isDelta), centIds, centVecs)
+  }
+
+  /** s35's production twin (benched s35i): the delta batch assigned
+    * into the STORED trained cells ([[trainedModelPath]] — the
+    * artifact the serving index actually runs on), no retrain. */
+  def ivfAssignDeltaTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = trainedCentroids(spark, sfDir)
+    assignBatchOn(spark,
+      vecs(spark, sfDir).filter(
+        pmod(col("vec_id"), lit(DeltaIngestMod)) === DeltaIngestRem),
+      0L until cents.size.toLong, cents)
+  }
+
+  /** The drift-triggered retrain decision over an s28-shaped balance
+    * report (cent_id, n_vectors, load_factor): retrain when some cell
+    * runs hotter than `threshold`× balanced or starves below
+    * 1/threshold — the rule that turns s28 from telemetry into the
+    * maintenance loop's actuator. One row:
+    * (ncells, max_load, min_load, retrain). */
+  def ivfRetrainNeeded(
+      report: DataFrame, threshold: Double = 2.0): DataFrame =
+    report.agg(count(lit(1)).as("ncells"),
+        max("load_factor").as("max_load"),
+        min("load_factor").as("min_load"))
+      .select(col("ncells"), col("max_load"), col("min_load"),
+        (col("max_load") > threshold ||
+          col("min_load") < 1.0 / threshold).as("retrain"))
+
+  /** s35's DuckDB twin: base-only modular centroids, delta-only
+    * assignment, the s04 oracle's cosine-argmax tie-break verbatim. */
+  private def ivfAssignDeltaOracle: String =
+    s"""WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       cents AS (SELECT vec_id AS cent_id, v FROM v
+                 WHERE vec_id % 23 = 0
+                   AND vec_id % $DeltaIngestMod <> $DeltaIngestRem),
+       delta AS (SELECT vec_id, v FROM v
+                 WHERE vec_id % $DeltaIngestMod = $DeltaIngestRem),
+       sim AS (
+         SELECT d.vec_id, c.cent_id,
+                list_dot_product(d.v, c.v) /
+                  sqrt(list_sum(list_transform(d.v, x -> x * x)) *
+                       list_sum(list_transform(c.v, x -> x * x))) AS s
+         FROM delta d, cents c)
+       SELECT vec_id, cent_id FROM (
+         SELECT vec_id, cent_id,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY s DESC, cent_id) AS rn
+         FROM sim) WHERE rn = 1"""
+
   /** s29: MATRYOSHKA PREFIX-DIM ANN SERVE (Kusupati et al. 2022's MRL
     * serving trick, the funnel retrieval every MRL-trained embedding
     * stack runs): stage 1 scores the corpus by cosine over only the
@@ -2265,6 +2360,8 @@ object SimilarityOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s35_ivf_assign_delta" ->
+      ((s: SparkSession, d: String) => ivfAssignDelta(s, d)),
     "s30_farthest_first" ->
       ((s: SparkSession, d: String) => farthestFirst(s, d)),
     "s29_ann_matryoshka" ->
@@ -2421,6 +2518,7 @@ object SimilarityOps {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "s35_ivf_assign_delta" -> ivfAssignDeltaOracle,
     "s30_farthest_first" -> farthestFirstOracle(8, 64),
     "s29_ann_matryoshka" -> matryoshkaOracle(5, 16, 50, 10),
     "s27_rrf_fusion" -> rrfFusionOracle,

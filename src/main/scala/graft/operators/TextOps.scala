@@ -1496,6 +1496,97 @@ object TextOps {
              CAST(length(canonical) AS BIGINT) AS canonical_len
       FROM c"""
 
+  /** The t35 HTML fixture plant — ONE SQL string both engines run
+    * over `documents` (the t33/c35 plant discipline): every doc
+    * wrapped in a realistic page shell with the four boilerplate
+    * classes a web-corpus extractor must drop (head/title + CSS,
+    * a nav menu, inline script, a footer) and an entity in the
+    * heading so decode is exercised. */
+  private val HtmlPlant: String =
+    """'<html><head><title>Doc ' || doc_id || '</title>' ||
+       '<style>body{margin:0;color:#333}</style></head><body>' ||
+       '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>' ||
+       '<h1>Doc ' || doc_id || ' &amp; notes</h1><p>' || text ||
+       '</p><script>var t=1;</script>' ||
+       '<footer>(c) Example Corp</footer></body></html>'"""
+
+  /** t35: HTML / BOILERPLATE TEXT EXTRACTION — the markup-strip +
+    * boilerplate-removal pass every web-corpus pipeline runs BEFORE
+    * any text analysis (the trafilatura/WET step; VERDICT r11
+    * "what's missing" #3): drop non-content containers wholesale
+    * (head, script, style, nav, footer — navigation chrome and code
+    * are not training text), strip the remaining tags, decode the
+    * common entities, collapse whitespace. Output (doc_id, clean,
+    * n_raw, n_clean) over the planted page shell — hash-gated, so
+    * the extraction algebra is engine-exact, and HtmlExtractSpec
+    * pins that extraction moves the downstream quality signals
+    * (t01/t08) that raw markup poisons.
+    *
+    * Scale shape: one narrow codegen'd regex map over the corpus —
+    * no shuffle, no UDF; exactly the t33 canonicalization shape. */
+  def htmlExtract(spark: SparkSession, sfDir: String): DataFrame =
+    htmlExtractOn(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(HtmlPlant).as("html")))
+
+  /** The t35 extraction stage over any (doc_id, html) frame: five
+    * sequential container drops (RE2 lacks backreferences, so the
+    * chain is spelled per-container IDENTICALLY in both engines —
+    * never an alternation-with-\1 on one side), tag strip, entity
+    * decode, whitespace collapse (' +': every removal inserts a
+    * plain space and the corpus text is single-space-joined, the
+    * t33 discipline that keeps the collapse regex escape-free). */
+  private[graft] def htmlExtractOn(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("html"),
+        expr("""trim(regexp_replace(
+            replace(replace(replace(replace(replace(
+              regexp_replace(
+              regexp_replace(
+              regexp_replace(
+              regexp_replace(
+              regexp_replace(
+              regexp_replace(html,
+                '(?s)<head[^>]*>.*?</head>', ' '),
+                '(?s)<script[^>]*>.*?</script>', ' '),
+                '(?s)<style[^>]*>.*?</style>', ' '),
+                '(?s)<nav[^>]*>.*?</nav>', ' '),
+                '(?s)<footer[^>]*>.*?</footer>', ' '),
+              '<[^>]*>', ' '),
+              '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+              '&quot;', '"'), '&nbsp;', ' '),
+            ' +', ' '))""").as("clean"))
+      .select(col("doc_id"), col("clean"),
+        length(col("html")).cast("long").as("n_raw"),
+        length(col("clean")).cast("long").as("n_clean"))
+
+  /** t35's DuckDB twin: same plant, same per-container drop chain,
+    * same tag-strip / entity-decode / collapse. */
+  private[graft] val htmlExtractOracle: String =
+    s"""WITH p AS (SELECT doc_id, $HtmlPlant AS html FROM documents),
+       c AS (
+         SELECT doc_id, html,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(
+                    regexp_replace(
+                    regexp_replace(
+                    regexp_replace(
+                    regexp_replace(
+                    regexp_replace(
+                    regexp_replace(html,
+                      '(?s)<head[^>]*>.*?</head>', ' ', 'g'),
+                      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                      '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
+                      '(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
+                    '<[^>]*>', ' ', 'g'),
+                  '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                  '&quot;', '"'), '&nbsp;', ' '),
+                ' +', ' ', 'g')) AS clean
+         FROM p)
+      SELECT doc_id, clean,
+             CAST(length(html) AS BIGINT) AS n_raw,
+             CAST(length(clean) AS BIGINT) AS n_clean
+      FROM c"""
+
   /** t32: RAKE KEYWORD EXTRACTION (Rose et al. 2010) — the
     * dictionary-free keyphrase miner: candidate phrases are the
     * maximal stopword-free runs (split on the shared stopword list
@@ -1693,6 +1784,7 @@ object TextOps {
     "t33_canonicalize" -> (canonicalize _),
     "t34_vocab_overlap" -> ((s: SparkSession, d: String) =>
       vocabOverlap(s, d)),
+    "t35_html_extract" -> (htmlExtract _),
     "t30_flesch_kincaid" -> (fleschKincaid _),
     "t29_gini_concentration" -> (giniConcentration _),
     "t28_trigram_backoff" -> ((s: SparkSession, d: String) =>
@@ -1739,6 +1831,7 @@ object TextOps {
     "t32_rake_keywords" -> rakeOracle,
     "t33_canonicalize" -> canonicalizeOracle,
     "t34_vocab_overlap" -> vocabOverlapOracle(100),
+    "t35_html_extract" -> htmlExtractOracle,
     "t30_flesch_kincaid" -> fleschKincaidOracle,
     "t29_gini_concentration" -> giniOracle,
     "t28_trigram_backoff" -> trigramBackoffOracle,
