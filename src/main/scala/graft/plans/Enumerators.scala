@@ -323,13 +323,34 @@ object Enumerators {
     protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree = {
       require(g.edges.size < maxEdges,
         s"branch-and-bound refuses ≥$maxEdges edges (got ${g.edges.size})")
-      var bestC = Double.PositiveInfinity
-      var bestT: JoinTree = null
+      // Seed the incumbent with Greedy's complete tree (textbook B&B
+      // practice): pruning is active from the first branch instead of
+      // only after the search stumbles onto its own first complete
+      // tree. Without this the JOB-scale corpus exposed pure
+      // enumeration: 10-12 relation trees under the edge bound ran
+      // past the 600 s planning timeout (round-12 finding); with the
+      // greedy bound they plan in milliseconds-to-seconds. The
+      // incumbent is only a BOUND — any strictly better tree found
+      // below replaces it, and correctness is unchanged (the greedy
+      // tree is itself a valid complete join tree).
+      val seed = Greedy.plan(g, card, cm)
+      var bestC = seed.cost
+      var bestT: JoinTree = if (bestC.isInfinite) null else seed.tree
+      // Dominance memo on the remaining-factor partition (sorted
+      // masks): permutations of the same merges reach the same state,
+      // and on tie-heavy shapes (a PK star: every spoke order costs
+      // the same) incumbent pruning alone never fires before the last
+      // level — the second half of the round-12 blowup. A state
+      // revisited at ≥ its best-known partial cost cannot improve.
+      val seen = scala.collection.mutable.HashMap.empty[List[Long], Double]
       def rec(factors: List[JoinTree], costSoFar: Double): Unit = {
         // prune only once SOME complete tree exists: with all-infinite
         // costs (checkpointed leaves, see DPccp.tryJoin) `inf >= inf`
         // would otherwise prune every branch and return null
         if (bestT != null && costSoFar >= bestC) return // prune
+        val key = factors.map(_.set).sorted
+        if (seen.get(key).exists(_ <= costSoFar)) return
+        seen(key) = costSoFar
         if (factors.size == 1) {
           if (java.lang.Long.bitCount(factors.head.set) == g.n) {
             bestC = costSoFar; bestT = factors.head

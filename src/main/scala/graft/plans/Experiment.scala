@@ -76,14 +76,22 @@ object Experiment {
           case None => p.plan(q.graph, q.trueCard, cm)
         }))
       futures.map { case (q, p, fut) =>
+        // a planner may REFUSE a query (the reference keeps BnB's
+        // ≥12-edge refusal, ExhaustiveJoinOrderRule.java:107-109) —
+        // record the refusal like a timeout instead of killing the
+        // whole loop (the JOB corpus deliberately crosses the bound)
         val planned =
-          try Some(Await.result(fut, planningTimeoutSecs.seconds))
-          catch { case _: TimeoutException => None }
+          try Right(Await.result(fut, planningTimeoutSecs.seconds))
+          catch {
+            case _: TimeoutException => Left("PLANNING-TIMEOUT")
+            case e: IllegalArgumentException =>
+              Left(s"PLANNING-REFUSED(${e.getMessage})")
+          }
         planned match {
-          case None =>
+          case Left(why) =>
             PlannerRecord(q.name, p.name, cm.name, Double.PositiveInfinity,
-              "PLANNING-TIMEOUT", planningTimeoutSecs * 1000.0, Vector.empty)
-          case Some(pl) =>
+              why, planningTimeoutSecs * 1000.0, Vector.empty)
+          case Right(pl) =>
             val runtimes =
               if (!execute) Vector.empty[Double]
               else Vector.fill(runsPerQuery)(
@@ -158,7 +166,7 @@ object Experiment {
       spark: SparkSession, sfDir: String,
       q: ExperimentQuery, planned: PlannedOrder): org.apache.spark.sql.DataFrame = {
     val inputs = q.graph.relations.zip(
-      q.graph.relations.map(n => graft.sources.Tables.load(spark, sfDir, n)))
+      q.graph.relations.map(n => AliasedRels.load(spark, sfDir, n)))
       .zip(q.filters).map { case ((n, df), f) =>
         RelInput(n, df, f.map(org.apache.spark.sql.functions.expr))
       }
@@ -220,7 +228,7 @@ object Experiment {
       cm: CostModel,
       cache: Option[PlanCache.Store] = None,
       estTag: String = "est"): Seq[RegretRecord] =
-    for {
+    (for {
       q <- queries
       p <- planners
     } yield {
@@ -230,13 +238,16 @@ object Experiment {
             p.plan(q.graph, card, cm))
           case None => p.plan(q.graph, card, cm)
         }
-      val estPlan = planWith(q.estCard, estTag)  // planned with estimates
-      val optPlan = planWith(q.trueCard, "true") // planned with truth
-      val estCostTrue = CostModel.treeCost(estPlan.tree, cm, q.trueCard)
-      val optCostTrue = CostModel.treeCost(optPlan.tree, cm, q.trueCard)
-      RegretRecord(q.name, p.name, cm.name, estCostTrue, optCostTrue,
-        if (optCostTrue > 0) estCostTrue / optCostTrue else 1.0)
-    }
+      // refusals (BnB past its edge bound) simply have no regret row
+      try {
+        val estPlan = planWith(q.estCard, estTag)  // planned with estimates
+        val optPlan = planWith(q.trueCard, "true") // planned with truth
+        val estCostTrue = CostModel.treeCost(estPlan.tree, cm, q.trueCard)
+        val optCostTrue = CostModel.treeCost(optPlan.tree, cm, q.trueCard)
+        Some(RegretRecord(q.name, p.name, cm.name, estCostTrue, optCostTrue,
+          if (optCostTrue > 0) estCostTrue / optCostTrue else 1.0))
+      } catch { case _: IllegalArgumentException => None }
+    }).flatten
 
   def recordsToJson(rs: Seq[PlannerRecord]): String =
     rs.map { r =>
@@ -275,6 +286,15 @@ object ExperimentMain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = args.lift(1).getOrElse("/tmp/experiment.json")
+    // arg 3 picks the corpus: "core" (the original ≤6-relation shapes)
+    // or "job" (JobCorpus — 8-14 relations, the reference's workload
+    // regime); each keeps its own truth fixture and plan cache
+    val corpusName = args.lift(2).getOrElse("core")
+    val corpus = corpusName match {
+      case "core" => ExperimentCorpus.all
+      case "job" => JobCorpus.all
+      case other => sys.error(s"unknown corpus '$other' (core|job)")
+    }
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -284,7 +304,8 @@ object ExperimentMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val fixture = sys.env.getOrElse("GRAFT_CARDS_JSON",
-      "fixtures/cards_sf0.001.json")
+      if (corpusName == "job") "fixtures/cards_job_sf0.001.json"
+      else "fixtures/cards_sf0.001.json")
     val dict: Map[String, Map[String, Double]] =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(fixture)))
         CardinalityStore.parseJson(
@@ -293,9 +314,9 @@ object ExperimentMain {
 
     // (query, its true-card store when fixture-backed) — stores kept so
     // misses can be checked after planning
-    val built = ExperimentCorpus.all.map { cq =>
+    val built = corpus.map { cq =>
       val base = cq.graph.relations.map(n =>
-        graft.sources.Tables.rowCount(spark, sfDir, n).toDouble).toArray
+        AliasedRels.rowCount(spark, sfDir, n).toDouble).toArray
       val est = HeuristicCardinality.uniform(cq.graph, base)
       val store = dict.get(cq.name).map(m =>
         new CardinalityStore(cq.graph, m, est, cq.filters))
@@ -327,19 +348,19 @@ object ExperimentMain {
     // so the fingerprint must cover them too — identical row counts
     // with different value distributions (regenerated data, a changed
     // collection) must drop the cache, or stale statsest plans survive
-    val allRels = ExperimentCorpus.all.flatMap(_.graph.relations).distinct.sorted
+    val allRels = corpus.flatMap(_.graph.relations).distinct.sorted
     val profileFp = allRels.map { n =>
-      val p = StatsEstimator.profileTable(spark, sfDir, n)
+      val p = AliasedRels.profile(spark, sfDir, n)
       n + "{" + p.cols.toSeq.sortBy(_._1).map { case (c, s) =>
         s"$c:${s.ndv}:${s.minN.getOrElse("")}:${s.maxN.getOrElse("")}"
       }.mkString(",") + "}"
     }.mkString(";")
-    val fpInput = ExperimentCorpus.all.map(cq =>
+    val fpInput = corpus.map(cq =>
       s"${cq.name}|${cq.graph.relations.mkString(",")}|" +
         s"${cq.graph.edges.mkString(",")}|${cq.filters.mkString(",")}")
       .mkString(";") +
       ";" + built.map(_._1.graph.relations.map(n =>
-        graft.sources.Tables.rowCount(spark, sfDir, n)).mkString(","))
+        AliasedRels.rowCount(spark, sfDir, n)).mkString(","))
         .mkString(";") +
       ";" + dict.toSeq.sortBy(_._1).mkString(";") +
       ";" + planners.map(_.name).mkString(",") +
@@ -349,7 +370,8 @@ object ExperimentMain {
     val cachePath = java.nio.file.Paths.get(
       sys.env.getOrElse("GRAFT_PLAN_CACHE",
         "target/tmp/plan_cache/" +
-          graft.sources.FsUtil.sanitize(sfDir) + ".tsv"))
+          graft.sources.FsUtil.sanitize(sfDir) +
+          (if (corpusName == "core") "" else s"_$corpusName") + ".tsv"))
     val cache = new PlanCache.Store(cachePath, fingerprint)
     println(s"[plan-cache] $cachePath loaded=${cache.loadedEntries} " +
       s"fingerprint=$fingerprint")
@@ -409,7 +431,7 @@ object ExperimentMain {
     // estimates, QueryOptExperiment.java:481-498)
     val statsQueries = built.map(_._1).map { q =>
       val profiles = q.graph.relations.map(n =>
-        StatsEstimator.profileTable(spark, sfDir, n)).toVector
+        AliasedRels.profile(spark, sfDir, n)).toVector
       q.copy(estCard =
         StatsEstimator.cardinality(q.graph, profiles, q.filters))
     }

@@ -90,8 +90,39 @@ object PlannerQueries {
     // p14: 2PO — IKKBZ seed + annealing refinement, never worse than
     // the seed; the CYCLIC gate shape (like p08), where the phase-2
     // moves can recover what the phase-1 spanning tree dropped
-    "p14_planner_2po" -> runCycle(Enumerators.TwoPhase()) _
+    "p14_planner_2po" -> runCycle(Enumerators.TwoPhase()) _,
+    // p15/p16: the JOB-SCALE gate pair (the reference's actual regime,
+    // runtime_test.sh:5-6 — ≥10 relations with repeated tables) —
+    // Auto's routing exercised BOTH ways on real tables: tree11 has
+    // 10 edges (< 12 → DPccp inside Auto), tree13 has 12 (≥ 12 →
+    // IKKBZ inside Auto, the ExhaustiveJoinOrderRule.java:107-109
+    // refusal boundary); JobPlannerSpec pins each route's tree equals
+    // the routed enumerator's. Same contract as every p-entry: the
+    // planned 11/13-way join must hash-match the declarative oracle.
+    "p15_planner_job_exact" ->
+      runJob(JobCorpus.tree11, Enumerators.Auto()) _,
+    "p16_planner_job_ikkbz" ->
+      runJob(JobCorpus.tree13, Enumerators.Auto()) _
   )
+
+  /** Plan + execute a [[JobCorpus]] query (aliased relations resolved
+    * through [[AliasedRels]]) and aggregate to the oracle's columns. */
+  def runJob(cq: ExperimentCorpus.CorpusQuery, planner: JoinOrderPlanner)(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val g = cq.graph
+    val dfs = g.relations.map(n => AliasedRels.load(spark, sfDir, n))
+    val base = g.relations.map(n =>
+      AliasedRels.rowCount(spark, sfDir, n).toDouble).toArray
+    val card = HeuristicCardinality.uniform(g, base)
+    val inputs = g.relations.zip(dfs).zip(cq.filters).map {
+      case ((n, df), f) => RelInput(n, df, f.map(expr))
+    }
+    val planned = planner.plan(g, card, CostModel.Cout)
+    JoinTreeExecutor.build(planned.tree, g, inputs, card)
+      .agg(min("o_totalprice").as("min_total"),
+        min("l_extendedprice").as("min_ext"),
+        count(lit(1)).as("cnt"))
+  }
 
   /** p10: the flagship planned with cardinalities estimated ONLY from
     * measured [[TableStats]] profiles through [[StatsEstimator]] — no
@@ -162,8 +193,51 @@ object PlannerQueries {
 
   private val cycleShaped = Set("p08_planner_cycle", "p14_planner_2po")
 
+  /** tree11's declarative twin — every join edge and filter of
+    * JobCorpus.tree11, aliases spelled as SQL table aliases. */
+  private val jobTree11Oracle: String =
+    """SELECT min(o_totalprice) AS min_total,
+              min(l_extendedprice) AS min_ext, count(*) AS cnt
+       FROM lineitem li
+       JOIN orders o    ON li.l_orderkey = o.o_orderkey
+       JOIN customer c  ON o.o_custkey = c.c_custkey
+       JOIN nation n    ON c.c_nationkey = n.n_nationkey
+       JOIN region r    ON n.n_regionkey = r.r_regionkey
+       JOIN part p      ON li.l_partkey = p.p_partkey
+       JOIN documents d ON p.p_partkey = d.doc_id
+       JOIN supplier s  ON li.l_suppkey = s.s_suppkey
+       JOIN events e    ON c.c_custkey = e.user_id
+       JOIN embeddings em ON d.doc_id = em.vec_id
+       JOIN nation n2   ON s.s_nationkey = n2.n_nationkey
+       WHERE li.l_quantity > 30 AND o.o_orderstatus = 'F'
+         AND e.event_type = 'purchase'"""
+
+  /** tree13's twin: tree11 + the second region and documents leaves. */
+  private val jobTree13Oracle: String =
+    """SELECT min(o_totalprice) AS min_total,
+              min(l_extendedprice) AS min_ext, count(*) AS cnt
+       FROM lineitem li
+       JOIN orders o    ON li.l_orderkey = o.o_orderkey
+       JOIN customer c  ON o.o_custkey = c.c_custkey
+       JOIN nation n    ON c.c_nationkey = n.n_nationkey
+       JOIN region r    ON n.n_regionkey = r.r_regionkey
+       JOIN part p      ON li.l_partkey = p.p_partkey
+       JOIN documents d ON p.p_partkey = d.doc_id
+       JOIN supplier s  ON li.l_suppkey = s.s_suppkey
+       JOIN events e    ON c.c_custkey = e.user_id
+       JOIN embeddings em ON d.doc_id = em.vec_id
+       JOIN nation n2   ON s.s_nationkey = n2.n_nationkey
+       JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+       JOIN documents d2 ON p.p_partkey = d2.doc_id
+       WHERE li.l_quantity > 30 AND o.o_orderstatus = 'F'
+         AND e.event_type = 'purchase' AND d2.lang = 'en'"""
+
   def oracleSql: Map[String, String] =
     queries.keys.map(k =>
-      k -> (if (cycleShaped(k)) cycleOracle else flagshipOracle))
-      .toMap
+      k -> (k match {
+        case "p15_planner_job_exact" => jobTree11Oracle
+        case "p16_planner_job_ikkbz" => jobTree13Oracle
+        case k2 if cycleShaped(k2) => cycleOracle
+        case _ => flagshipOracle
+      })).toMap
 }

@@ -12,7 +12,10 @@
 // the query's filters applied (they are the true cardinalities of the
 // filtered subquery).
 //
-// Usage: runMain graft.tools.CardDump [sfDir [outJson]]
+// Usage: runMain graft.tools.CardDump [sfDir [outJson [corpus]]]
+//   corpus: "core" (default, ExperimentCorpus) or "job" (JobCorpus —
+//   the 8-14-relation JOB-scale workload; dump at sf0.001, where the
+//   full connected-subset sweep stays minutes, not hours)
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
@@ -22,14 +25,19 @@ object CardDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = args.lift(1).getOrElse("fixtures/cards_sf0.001.json")
+    val corpus = args.lift(2).getOrElse("core") match {
+      case "core" => ExperimentCorpus.all
+      case "job" => JobCorpus.all
+      case other => sys.error(s"unknown corpus '$other' (core|job)")
+    }
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val entries = ExperimentCorpus.all.map { cq =>
+    val entries = corpus.map { cq =>
       val g = cq.graph
-      val dfs = g.relations.map(n => graft.sources.Tables.load(spark, sfDir, n))
+      val dfs = g.relations.map(n => AliasedRels.load(spark, sfDir, n))
       val inputs = g.relations.zip(dfs).zip(cq.filters).map { case ((n, df), f) =>
         RelInput(n, df, f.map(org.apache.spark.sql.functions.expr))
       }
