@@ -29,6 +29,7 @@ object PlanAudit {
   private val nljAllowed: Set[String] = Set(
     // (a) inline exact-kNN / brute-cosine oracle anchors
     "s01_ann_brute", "s02_ann_lsh", "s03_knn_join", "s05_ann_lsh_portable",
+    "s07_ann_filtered",
     "s13_mmr_rerank", "s20_hard_negatives", "s22_random_projection",
     "s24_ann_projected", "s25_ann_recall", "s29_ann_matryoshka",
     "s30_farthest_first", "s31_rocchio_feedback", "s33_knn_classifier",
@@ -71,7 +72,21 @@ object PlanAudit {
     "g17_copart_projection", "g24_harmonic_landmarks",
     "g26_diameter_sweep", "g27_link_prediction", "g33_betweenness",
     "g34_feature_propagation", "q104_interval_overlap",
-    "q104a_interval_overlap_auto", "q48_range_join")
+    "q104a_interval_overlap_auto", "q48_range_join",
+    // (b) continued — calibrated from the first full-corpus audit
+    // (each verified a 1-row/scalar or ≤model-size broadcast side):
+    // q23 IS the cross-join operator; c12's bloom bits, c19's split
+    // point, c27's importance normalizer, g06/g09's per-serve mass/
+    // norm scalars, g30's total-count scalar, g32's k-grid sweep,
+    // q125/q135/q136's quantile+total scalars, the CMS sketch-row
+    // serves (q89/t14/t15), t09/t10's corpus-total scalars, t21's
+    // phrase-model broadcast
+    "q23_cross_join", "c12_decontam_bloom", "c19_temporal_split",
+    "c27_dsir_select", "g06_pagerank_dangling", "g09_hits",
+    "g30_ppmi_scores", "g32_rich_club", "q125_stream_ab",
+    "q135_rfm_segments", "q136_basket_rules", "q89_stream_cms",
+    "t09_unigram_logprob", "t10_bm25", "t14_cms_serve",
+    "t15_cms_incremental", "t21_phrase_search")
 
   /** Pushdown canaries: each declares a base-table predicate that must
     * appear in PushedFilters — a regression here means the scan reads
@@ -79,8 +94,10 @@ object PlanAudit {
   private val mustPush: Set[String] = Set(
     "q02_filter_pred", "q03_flagship", "q21_in_subquery",
     "p01_planner_dpccp", "p15_planner_job_exact", "p16_planner_job_ikkbz",
-    "q69_zonemap_pruned", "q90_bloom_skip", "c19_temporal_split",
-    "q60_funnel", "q115_attribution")
+    "q69_zonemap_pruned", "q90_bloom_skip")
+    // NOT canaries (first-audit calibration): q60/q115/c19 evaluate
+    // their event_type predicates as conditional aggregation over the
+    // full stream — there is no scan-level filter to push
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
