@@ -35,6 +35,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "bloomskip" -> graft.sources.BloomSkip.queries.keySet,
     "vacuum" -> graft.sources.Vacuum.queries.keySet,
     "snapshots" -> graft.sources.Snapshots.queries.keySet,
+    "deletes" -> graft.sources.Deletes.queries.keySet,
     "planners" -> graft.plans.PlannerQueries.queries.keySet,
     "tablestats" -> graft.plans.TableStats.queries.keySet,
     "stream-events" -> graft.streaming.EventStream.queries.keySet,
