@@ -46,6 +46,12 @@ object GraftFunctions {
       "graft_lsh_sigs(v array<double>, tables literal int, planes literal int)")
   }
 
+  private def portableSigsBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(v, Literal(t: Int, _), Literal(p: Int, _)) => PortableSigs(v, t, p)
+    case _ => throw new IllegalArgumentException(
+      "graft_portable_sigs(v array<double>, tables literal int, planes literal int)")
+  }
+
   private def nearestCentsBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(v, cents, Literal(n: Int, _)) => NearestCentroids(v, cents, n)
     case _ => throw new IllegalArgumentException(
@@ -133,6 +139,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_lsh_sigs"),
       new ExpressionInfo(classOf[HyperplaneSigs].getName, "graft_lsh_sigs"),
       lshSigsBuilder _),
+    (FunctionIdentifier("graft_portable_sigs"),
+      new ExpressionInfo(classOf[PortableSigs].getName, "graft_portable_sigs"),
+      portableSigsBuilder _),
     (FunctionIdentifier("graft_nearest_cents"),
       new ExpressionInfo(classOf[NearestCentroids].getName, "graft_nearest_cents"),
       nearestCentsBuilder _),

@@ -213,6 +213,28 @@ object SimilarityOps {
   private val portTables = 4
   private val portPlanes = 8
 
+  /** The engine-side portable signatures: the native codegen'd
+    * expression ([[graft.functions.PortableSigs]]) — bit-identical to
+    * the SQL fold the oracle runs (left-to-right accumulation, `>= 0`
+    * sign, `1 << p` packing; PortableSigsSpec pins equality on the
+    * real table). The interpreted 32-HOF SQL form cost ~9 s at sf0.1
+    * purely in lambda interpretation (round-12 bench finding). */
+  private def portableSigsCol: Column =
+    call_function("graft_portable_sigs",
+      col("v"), lit(portTables), lit(portPlanes))
+
+  /** The SQL-text twin of [[portableSigsCol]] — kept ONLY as the
+    * spec's equivalence anchor (it is the algebra the DuckDB oracle
+    * mirrors). */
+  private[graft] def portableSigsSqlExpr: String =
+    (0 until portTables).map { t =>
+      (0 until portPlanes).map { p =>
+        s"""CASE WHEN aggregate(sequence(0, 63), 0D,
+              (acc, j) -> acc + element_at(v, j + 1) * ${coefSql(t, p)})
+              >= 0 THEN ${1 << p} ELSE 0 END"""
+      }.mkString("(", " + ", ")")
+    }.mkString("array(", ", ", ")")
+
   /** [[lshTopK]] with the PORTABLE hyperplane family: per (table,
     * plane), the projection is Σ_j v[j]·coef(t,p,j) folded
     * left-to-right (bit-parity across engines — see s03), the per-table
@@ -229,15 +251,8 @@ object SimilarityOps {
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, k: Int = 10): DataFrame = {
     val all = vecs(spark, sfDir)
-    val sigExpr = (0 until portTables).map { t =>
-      (0 until portPlanes).map { p =>
-        s"""CASE WHEN aggregate(sequence(0, 63), 0D,
-              (acc, j) -> acc + element_at(v, j + 1) * ${coefSql(t, p)})
-              >= 0 THEN ${1 << p} ELSE 0 END"""
-      }.mkString("(", " + ", ")")
-    }.mkString("array(", ", ", ")")
     val bucketed = Persists.barrier(all
-      .withColumn("sigs", expr(sigExpr))
+      .withColumn("sigs", portableSigsCol)
       .select(col("vec_id"), col("v"),
         posexplode(col("sigs")).as(Seq("t", "sig"))))
     val q = bucketed.filter(col("vec_id") < nQueries)

@@ -84,6 +84,29 @@ object ScaleProbe {
         maxBucketFreq = 2000)),
       ("c02_source_quota", n => CurationOps.sourceQuotaOn(
         docsN(spark, n), k = 100)),
+      // round-12 operators: each must scale ~linearly —
+      // t35 is one narrow regex map; s35 is a delta-sized
+      // broadcast-model map (the batch is n/7 of the corpus at a
+      // fixed C=n/23-capped model); m15 is one mapPartitions of
+      // two codec round-trips per row
+      ("t35_html_extract", n => TextOps.htmlExtractOn(
+        docsN(spark, n).selectExpr("doc_id",
+          """'<html><head><title>Doc ' || doc_id ||
+             '</title><style>b{c:d}</style></head><body>' ||
+             '<nav>Home | About</nav><h1>Doc ' || doc_id ||
+             ' &amp; notes</h1><p>' || text ||
+             '</p><script>var t=1;</script>' ||
+             '<footer>(c) x</footer></body></html>' AS html"""))),
+      ("s35_ivf_assign", n => {
+        val v = vecsN(spark, n).selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS DOUBLE)) AS v")
+        val (ids, cents) = SimilarityOps.centroidModel(
+          v.filter("vec_id % 7 <> 3"), n, 23)
+        SimilarityOps.assignBatchOn(
+          spark, v.filter("vec_id % 7 = 3"), ids, cents)
+      }),
+      ("m15_imageio_decode", n => MultimodalOps.imageioDecodeOn(
+        spark, spark.range(n).selectExpr("id AS media_id"))),
       ("t10_bm25", n => SearchOps.bm25TopKOn(
         docsN(spark, n), corpusRows = n,
         terms = Seq("w1", "w2", "w3"), k = 20)),
