@@ -165,7 +165,9 @@ object Bench {
     "g31i_linkpred_auc", "s25i_ann_recall", "m08i_ahash_production",
     "t35_html_extract", "q149_takedown_read", "q150_takedown_compact",
     "s35_ivf_assign_delta", "s35i_ivf_assign_trained",
-    "m15_imageio_decode", "p15_planner_job_exact", "p16_planner_job_ikkbz")
+    "m15_imageio_decode", "p15_planner_job_exact", "p16_planner_job_ikkbz",
+    "q151_stream_html_extract", "q152_stream_takedown",
+    "q153_stats_after_takedown")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

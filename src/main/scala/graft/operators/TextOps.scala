@@ -1525,8 +1525,12 @@ object TextOps {
     * Scale shape: one narrow codegen'd regex map over the corpus —
     * no shuffle, no UDF; exactly the t33 canonicalization shape. */
   def htmlExtract(spark: SparkSession, sfDir: String): DataFrame =
-    htmlExtractOn(Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), expr(HtmlPlant).as("html")))
+    htmlExtractOn(htmlPlanted(Tables.load(spark, sfDir, "documents")))
+
+  /** The t35 page-shell plant over any (doc_id, text) frame — shared
+    * by the batch gate form and the q151 streaming ingest twin. */
+  private[graft] def htmlPlanted(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), expr(HtmlPlant).as("html"))
 
   /** The t35 extraction stage over any (doc_id, html) frame: five
     * sequential container drops (RE2 lacks backreferences, so the

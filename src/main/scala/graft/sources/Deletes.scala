@@ -68,7 +68,7 @@ object Deletes {
     files.toDF("file").coalesce(1).write.mode("overwrite").parquet(mpath)
   }
 
-  private def filesOf(
+  private[sources] def filesOf(
       spark: SparkSession, dir: String, version: Int): Seq[String] =
     spark.read.parquet(manifestPath(dir, version))
       .select("file").collect().map(r => dir + "/" + r.getString(0)).toSeq
@@ -155,6 +155,56 @@ object Deletes {
     orphans
   }
 
+  /** Per-file stats manifest AS OF a takedown version, maintained
+    * INCREMENTALLY across the copy-on-write commit — the q96 append
+    * discipline ([[Snapshots.statsManifestAt]]) applied to DELETES:
+    * v1's stats are a commit artifact; v3's rows are v1's MINUS the
+    * replaced files PLUS stats over ONLY the rewritten files —
+    * O(affected files) per takedown, never a corpus re-scan. v2
+    * deliberately serves v1's stats unchanged: under equality
+    * deletes, file stats are UPPER BOUNDS (standard table-format
+    * semantics — pruning stays exact, counts may overcount until the
+    * CoW compaction lands). Stats are keyed by file NAME so they
+    * join the version manifests. */
+  def statsManifestAt(
+      spark: SparkSession, sfDir: String, version: Int): DataFrame = {
+    val dir = writeTakedownVersions(spark, sfDir)
+    def withNames(df: DataFrame): DataFrame =
+      df.withColumn("file",
+        element_at(split(col("file"), "/"), -1))
+    val m1Stats = dir + "_stats_v1"
+    if (!FsUtil.exists(spark, m1Stats + "/_SUCCESS"))
+      withNames(ZoneMap.buildManifestFiles(
+          spark, filesOf(spark, dir, 1), Seq("n_chars")))
+        .coalesce(1).write.mode("overwrite").parquet(m1Stats)
+    val v1 = spark.read.parquet(m1Stats)
+    if (version <= 2) v1
+    else {
+      val v1Names = spark.read.parquet(manifestPath(dir, 1))
+        .select("file").collect().map(_.getString(0)).toSet
+      val v3Names = spark.read.parquet(manifestPath(dir, 3))
+        .select("file").collect().map(_.getString(0)).toSet
+      val rewritten = (v3Names -- v1Names).toSeq.sorted
+      val kept = v1.filter(col("file")
+        .isin((v1Names & v3Names).toSeq: _*))
+      if (rewritten.isEmpty) kept
+      else kept.unionByName(withNames(ZoneMap.buildManifestFiles(
+        spark, rewritten.map(dir + "/" + _), Seq("n_chars"))))
+    }
+  }
+
+  /** q153: the post-takedown stats roll-up served from the
+    * INCREMENTALLY maintained v3 manifest — hash-checked against a
+    * direct recompute over the takedown-filtered table, so the gate
+    * passes only if the O(affected) refresh describes EXACTLY the
+    * post-delete data (a stale or double-counted file shows up as a
+    * wrong n_rows). */
+  def takedownStatsRollup(spark: SparkSession, sfDir: String): DataFrame =
+    statsManifestAt(spark, sfDir, 3).agg(
+      sum("n_rows").cast("long").as("n_rows"),
+      min("n_chars_min").as("min_chars"),
+      max("n_chars_max").as("max_chars"))
+
   /** q149: the MERGE-ON-READ takedown read — v2's files with the
     * equality-delete keys anti-joined out. Hash-checked against the
     * source table minus the takedown predicate: the gate passes only
@@ -171,15 +221,20 @@ object Deletes {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_takedown_read" -> (takedownRead _),
-    "q150_takedown_compact" -> (takedownCompactRead _)
+    "q150_takedown_compact" -> (takedownCompactRead _),
+    "q153_stats_after_takedown" -> (takedownStatsRollup _)
   )
 
-  private val takedownOracle: String =
+  private[sources] val takedownOracle: String =
     s"""SELECT doc_id, source, lang, n_chars
         FROM documents WHERE doc_id % $TakedownMod <> 0"""
 
   def oracleSql: Map[String, String] = Map(
     "q149_takedown_read" -> takedownOracle,
-    "q150_takedown_compact" -> takedownOracle
+    "q150_takedown_compact" -> takedownOracle,
+    "q153_stats_after_takedown" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 min(n_chars) AS min_chars, max(n_chars) AS max_chars
+          FROM documents WHERE doc_id % $TakedownMod <> 0"""
   )
 }

@@ -163,7 +163,40 @@ object StreamCuration {
       graft.sources.Tables.load(spark, sfDir, "documents"), scores)
   }
 
+  /** q151: t35's HTML/boilerplate extraction as documents land — the
+    * markup-strip ingest stage every web-corpus pipeline runs FIRST,
+    * at ingest time instead of a nightly re-scan. Stateless map (the
+    * q55 class: no state store, no watermark, exactly-once per
+    * micro-batch), the t35 regex chain VERBATIM (one definition,
+    * `TextOps.htmlExtractOn`), gated by t35's batch oracle. */
+  def htmlExtractStream(spark: SparkSession, sfDir: String): DataFrame =
+    StreamRun.toCompletion(
+      graft.operators.TextOps.htmlExtractOn(
+        graft.operators.TextOps.htmlPlanted(docsStream(spark, sfDir))),
+      "graft_stream_html")
+
+  /** q152: INGEST-TIME TAKEDOWN — the q149 equality-delete keys
+    * applied as documents land, via a stream-static LEFT ANTI join
+    * (the takedown list is static by nature; the corpus streams):
+    * stateless on the stream side, no state store — a taken-down
+    * doc_id is dropped in the micro-batch it arrives in and can never
+    * reach the sink. Gated by q149's batch oracle: ingest-time
+    * filtering and read-time merge-on-read must agree exactly. */
+  def takedownStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keys = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") %
+        graft.sources.Deletes.TakedownMod === 0)
+      .select("doc_id")
+    StreamRun.toCompletion(
+      docsStream(spark, sfDir).join(keys, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "lang", "n_chars"),
+      "graft_stream_takedown")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_stream_html_extract" -> (htmlExtractStream _),
+    "q152_stream_takedown" -> (takedownStream _),
     "q121_stream_langid" -> (langIdStream _),
     "q91_stream_chunking" -> (chunkStream _),
     "q55_stream_sample" -> (sampleStream _),
@@ -178,6 +211,10 @@ object StreamCuration {
   def oracleSql: Map[String, String] = Map(
     // the BATCH oracles verbatim: stateless filter / complete-mode agg
     // streams must equal their batch answers
+    "q151_stream_html_extract" ->
+      graft.operators.TextOps.oracleSql("t35_html_extract"),
+    "q152_stream_takedown" ->
+      graft.sources.Deletes.oracleSql("q149_takedown_read"),
     "q121_stream_langid" ->
       graft.operators.TextOps.oracleSql("t18_langid_model"),
     "q91_stream_chunking" ->

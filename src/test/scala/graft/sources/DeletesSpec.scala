@@ -45,6 +45,29 @@ class DeletesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(Deletes.readAt(spark, dir, 1)) == all, "v1 history intact")
   }
 
+  test("incremental v3 stats equal a full rebuild, reusing v1 rows") {
+    val dir = Deletes.writeTakedownVersions(spark, sfDir)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val inc = key(Deletes.statsManifestAt(spark, sfDir, 3))
+    val full = key(ZoneMap.buildManifestFiles(
+        spark, Deletes.filesOf(spark, dir, 3),
+        Seq("n_chars"))
+      .withColumn("file", org.apache.spark.sql.functions
+        .element_at(org.apache.spark.sql.functions
+          .split(org.apache.spark.sql.functions.col("file"), "/"), -1)))
+    assert(inc.nonEmpty && inc == full,
+      "O(affected) refresh must equal the full rebuild")
+    // the unaffected files' stats rows are the v1 ARTIFACT's rows —
+    // the increment never re-scanned them
+    val v1 = key(Deletes.statsManifestAt(spark, sfDir, 1))
+    val shared = inc.keySet & v1.keySet
+    assert(shared.nonEmpty, "CoW must keep some unaffected files")
+    shared.foreach(f => assert(inc(f) == v1(f), s"$f was re-scanned"))
+    // v2 serves v1's stats (upper bounds under equality deletes)
+    assert(key(Deletes.statsManifestAt(spark, sfDir, 2)) == v1)
+  }
+
   test("CoW rewrites only affected files; vacuum honors retention") {
     val s = spark
     import s.implicits._
