@@ -167,7 +167,8 @@ object Bench {
     "s35_ivf_assign_delta", "s35i_ivf_assign_trained",
     "m15_imageio_decode", "p15_planner_job_exact", "p16_planner_job_ikkbz",
     "q151_stream_html_extract", "q152_stream_takedown",
-    "q153_stats_after_takedown")
+    "q153_stats_after_takedown", "p17_planner_job_insql",
+    "c36_k_anonymity", "q154_kaplan_meier")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -1211,6 +1211,45 @@ object CurationOps {
   private val CanaryA = "canary:eval-alpha-3f9c"
   private val CanaryB = "canary:eval-beta-77d2"
 
+  /** The c36 anonymity threshold and quasi-identifier bucket width —
+    * shared with the oracle. */
+  val KAnonThreshold = 5
+  val KAnonBucket = 200
+
+  /** c36: K-ANONYMITY AUDIT + SUPPRESSION — the privacy screen a
+    * corpus release runs beside c05's PII redaction: treat
+    * (source, lang, ⌊n_chars/bucket⌋) as the quasi-identifier tuple
+    * (the columns an adversary could link on), count each
+    * equivalence class, and SUPPRESS classes smaller than k — a
+    * document that is one of < k with its attribute combination is
+    * re-identifiable even with the text redacted (Sweeney 2002).
+    * Output per class: the QI tuple, its size, and `released`
+    * (class size ≥ k); the release set is the released classes'
+    * docs. All-integer, hash-anchored.
+    *
+    * Scale shape: one partial-agg'd groupBy on the QI tuple
+    * (classes ≤ sources × langs × buckets — bounded), then a
+    * broadcast-back semi filter for the release; no window, no
+    * self-join. */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(col("source"), col("lang"),
+        // integer division (`div` truncates, DuckDB `//` floors —
+        // they agree on the non-negative n_chars domain)
+        expr(s"n_chars div $KAnonBucket").cast("long").as("chars_bucket"))
+      .agg(count(lit(1)).as("class_n"))
+      .select(col("source"), col("lang"), col("chars_bucket"),
+        col("class_n"),
+        (col("class_n") >= KAnonThreshold).as("released"))
+
+  /** c36's DuckDB twin: same QI tuple, same integer bucket, same k. */
+  private val kAnonymityOracle: String =
+    s"""SELECT source, lang,
+               CAST(n_chars // $KAnonBucket AS BIGINT) AS chars_bucket,
+               count(*) AS class_n,
+               (count(*) >= $KAnonThreshold) AS released
+        FROM documents GROUP BY 1, 2, 3"""
+
   /** c35: CANARY-GUID SCAN — the BIG-bench-style contamination
     * tripwire: benchmark suites embed a unique canary string in every
     * document, and a training corpus is audited by SCANNING for the
@@ -1321,6 +1360,7 @@ object CurationOps {
       SELECT doc_id, source, n_chars, alloc FROM r WHERE rk <= alloc"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c36_k_anonymity" -> (kAnonymity _),
     "c34_neyman_sample" ->
       ((s: SparkSession, d: String) => neymanSample(s, d)),
     "c35_canary_scan" -> (canaryScan _),
@@ -1514,6 +1554,7 @@ object CurationOps {
   def oracleSql: Map[String, String] = Map(
     "c34_neyman_sample" -> neymanOracle,
     "c35_canary_scan" -> canaryOracle,
+    "c36_k_anonymity" -> kAnonymityOracle,
     "c33_mix_anneal" -> mixAnnealOracle(4),
     "c32_doremi_waterfill" -> doremiWaterfillOracle,
     "c31_doremi_weights" -> doremiOracle,

@@ -1014,6 +1014,115 @@ object EventOps {
        FROM h"""
   }
 
+  /** Right-censoring horizon for q154 (days before stream end). */
+  private val KmCensorGap = 7
+
+  /** q154: KAPLAN–MEIER SURVIVAL (Kaplan & Meier 1958) — the churn
+    * curve product analytics actually reports (q62's retention grid
+    * is its fixed-cohort cousin): per user, lifetime = days between
+    * first and last event; a user whose last event is within
+    * [[KmCensorGap]] days of the stream end is RIGHT-CENSORED (still
+    * alive as far as the data can say), everyone else churned at
+    * their lifetime. The estimator steps only on observed lifetimes:
+    * S(t) = Π_{t_i ≤ t} (n_i − d_i)/n_i with n_i = users still at
+    * risk at t_i — censored users leave the risk set without forcing
+    * a step down, which is the entire point of KM over a naive
+    * "fraction retained" curve. Counts are exact integers; the
+    * survival recurrence is genuinely sequential, so both engines
+    * fold the SAME integers through the textually identical factor
+    * (the q128/q137 recurrence discipline: Spark left-to-right
+    * `aggregate`, DuckDB row_number-stepped recursive CTE), 6-dp
+    * serve. Output (duration, n_risk, n_events, n_censored,
+    * survival).
+    *
+    * Scale shape: one user-keyed min/max partial agg, then
+    * everything runs on the durations frame (≤ stream-span days —
+    * bounded), one row per step through a codegen'd fold. */
+  def kaplanMeier(spark: SparkSession, sfDir: String): DataFrame =
+    kaplanMeierOn(Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts"))
+        .cast("date").as("day")))
+
+  /** [[kaplanMeier]] over any (user_id, day DATE) observation frame. */
+  private[graft] def kaplanMeierOn(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ends = e.agg(max("day").as("endd"))
+    val users = e.groupBy("user_id")
+      .agg(min("day").as("f"), max("day").as("l"))
+      .crossJoin(broadcast(ends))
+      .select(datediff(col("l"), col("f")).cast("long").as("duration"),
+        (col("l") <= date_sub(col("endd"), KmCensorGap)).as("churned"))
+    val roll = users.groupBy("duration").agg(
+      sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+      sum(when(!col("churned"), 1L).otherwise(0L)).as("c"))
+    // at-risk = suffix sum over duration order (no global total needed)
+    val wSuffix = Window.orderBy("duration")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risked = roll.withColumn("n_risk",
+      sum(col("d") + col("c")).over(wSuffix))
+    risked
+      .agg(sort_array(collect_list(
+        struct(col("duration"), col("d"), col("c"), col("n_risk"))))
+        .as("s"))
+      .select(explode(expr(
+        """aggregate(
+             slice(s, 2, greatest(size(s) - 1, 0)),
+             struct(
+               (s[0].n_risk - s[0].d) / CAST(s[0].n_risk AS DOUBLE) AS sv,
+               array(struct(s[0].duration AS duration,
+                 s[0].n_risk AS n_risk, s[0].d AS d, s[0].c AS c,
+                 (s[0].n_risk - s[0].d) / CAST(s[0].n_risk AS DOUBLE)
+                   AS sv)) AS out),
+             (acc, x) -> struct(
+               acc.sv * ((x.n_risk - x.d) / CAST(x.n_risk AS DOUBLE))
+                 AS sv,
+               concat(acc.out, array(struct(x.duration AS duration,
+                 x.n_risk AS n_risk, x.d AS d, x.c AS c,
+                 acc.sv * ((x.n_risk - x.d) / CAST(x.n_risk AS DOUBLE))
+                   AS sv))) AS out),
+             acc -> acc.out)""")).as("r"))
+      .select(col("r.duration").as("duration"),
+        col("r.n_risk").as("n_risk"),
+        col("r.d").as("n_events"), col("r.c").as("n_censored"),
+        round(col("r.sv"), 6).as("survival"))
+  }
+
+  /** q154's DuckDB twin: same lifetimes and censor rule, same suffix
+    * n_risk, the identical factor text stepped by a recursive CTE. */
+  private[graft] val kaplanMeierOracle: String =
+    s"""WITH RECURSIVE e AS (
+         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+         FROM events),
+       g AS (SELECT max(day) AS endd FROM e),
+       u AS (SELECT user_id, min(day) AS f, max(day) AS l
+             FROM e GROUP BY 1),
+       du AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS duration,
+                     (l <= endd - INTERVAL $KmCensorGap DAY) AS churned
+              FROM u, g),
+       r AS (SELECT duration,
+                    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d,
+                    CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END)
+                      AS BIGINT) AS c
+             FROM du GROUP BY 1),
+       k AS (SELECT duration, d, c,
+                    CAST(sum(d + c) OVER (ORDER BY duration
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                      AS BIGINT) AS n_risk,
+                    row_number() OVER (ORDER BY duration) AS rn
+             FROM r),
+       h AS (
+         SELECT duration, n_risk, d, c, rn,
+                (n_risk - d) / CAST(n_risk AS DOUBLE) AS sv
+         FROM k WHERE rn = 1
+         UNION ALL
+         SELECT i.duration, i.n_risk, i.d, i.c, i.rn,
+                h.sv * ((i.n_risk - i.d) / CAST(i.n_risk AS DOUBLE))
+         FROM h JOIN k i ON i.rn = h.rn + 1)
+      SELECT duration, n_risk, d AS n_events, c AS n_censored,
+             round(sv, 6) AS survival
+      FROM h"""
+
   /** q133: DAY-OF-WEEK SEASONALITY INDEX — the multiplicative
     * seasonal component at weekly period (the classical-decomposition
     * sibling of q128, whose level+trend smoother deliberately carries
@@ -1782,6 +1891,7 @@ object EventOps {
     "q145_wilson_conversion" -> (wilsonConversion _),
     "q146_cumulative_users" -> (cumulativeUsers _),
     "q148_psi_drift" -> (psiDrift _),
+    "q154_kaplan_meier" -> (kaplanMeier _),
     "q61_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_retention" -> (retention _),
     "q67_funnel_pattern" -> (funnelPattern _)
@@ -1801,6 +1911,7 @@ object EventOps {
     "q145_wilson_conversion" -> wilsonOracle,
     "q146_cumulative_users" -> cumulativeUsersOracle,
     "q148_psi_drift" -> psiOracle,
+    "q154_kaplan_meier" -> kaplanMeierOracle,
     // q126: the same lagged pair extraction on the same unique sort,
     // the same session-gap filter, the same row-normalized 4-dp p
     "q126_markov_transitions" ->

@@ -102,8 +102,43 @@ object PlannerQueries {
     "p15_planner_job_exact" ->
       runJob(JobCorpus.tree11, Enumerators.Auto()) _,
     "p16_planner_job_ikkbz" ->
-      runJob(JobCorpus.tree13, Enumerators.Auto()) _
+      runJob(JobCorpus.tree13, Enumerators.Auto()) _,
+    // p17: the SAME 11-relation snowflake as p15, but as SPARK SQL
+    // TEXT through the INJECTED optimizer rule (GraftJoinReorder,
+    // measured stats — the deployed stats→estimate→enumerate loop on
+    // arbitrary user SQL): 11 relations is inside maxDpRelations, so
+    // DPccp runs INSIDE Catalyst on a real JOB-scale query. Same
+    // oracle as p15 — the in-optimizer path may never change answers.
+    "p17_planner_job_insql" -> (runJobSql _)
   )
+
+  /** p17's body: register the (alias-suffixed) relations as temp
+    * views, then let the injected rule reorder the declarative
+    * 11-way SQL under measured statistics. */
+  def runJobSql(spark: SparkSession, sfDir: String): DataFrame = {
+    JobCorpus.tree11.graph.relations.foreach { r =>
+      AliasedRels.load(spark, sfDir, r)
+        .createOrReplaceTempView(r.replace('@', '_'))
+    }
+    val prev = spark.conf.getOption("spark.graft.joinReorder.stats")
+    spark.conf.set("spark.graft.joinReorder.stats", "measured")
+    try spark.sql(
+      """SELECT min(o_totalprice) AS min_total,
+                min(l_extendedprice) AS min_ext, count(*) AS cnt
+         FROM lineitem, orders, customer, nation, region, part,
+              documents, supplier, events, embeddings, nation_2
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND l_partkey = p_partkey AND p_partkey = doc_id
+           AND l_suppkey = s_suppkey AND c_custkey = user_id
+           AND doc_id = vec_id AND s_nationkey = n_nationkey_a2
+           AND l_quantity > 30 AND o_orderstatus = 'F'
+           AND event_type = 'purchase'""")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.joinReorder.stats", v)
+      case None => spark.conf.unset("spark.graft.joinReorder.stats")
+    }
+  }
 
   /** Plan + execute a [[JobCorpus]] query (aliased relations resolved
     * through [[AliasedRels]]) and aggregate to the oracle's columns. */
@@ -237,6 +272,7 @@ object PlannerQueries {
       k -> (k match {
         case "p15_planner_job_exact" => jobTree11Oracle
         case "p16_planner_job_ikkbz" => jobTree13Oracle
+        case "p17_planner_job_insql" => jobTree11Oracle
         case k2 if cycleShaped(k2) => cycleOracle
         case _ => flagshipOracle
       })).toMap

@@ -53,6 +53,35 @@ class GraftJoinReorderSpec extends AnyFunSuite with BeforeAndAfterAll {
           if j.condition.isEmpty => j
     }.size
 
+  test("p17: the rule reorders the 11-relation JOB snowflake in-SQL") {
+    // the p17 gate proves result correctness; this pins that the rule
+    // actually FIRED at 11 relations: written fact-first, the naive
+    // syntactic order joins lineitem to region with no condition —
+    // a cross product unless OUR rule (Spark's ReorderJoin excluded
+    // above) rebuilds the join graph
+    val sql =
+      """SELECT count(*) AS cnt
+         FROM lineitem, region, nation, customer, orders, part,
+              documents, supplier, events, embeddings, nation_2
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND l_partkey = p_partkey AND p_partkey = doc_id
+           AND l_suppkey = s_suppkey AND c_custkey = user_id
+           AND doc_id = vec_id AND s_nationkey = n_nationkey_a2"""
+    AliasedRels.load(spark, sfDir, "nation@2")
+      .createOrReplaceTempView("nation_2")
+    assert(crossJoins(sql) == 0, "11-relation reorder must connect joins")
+    // and the reordered plan still answers exactly (vs rule disabled)
+    val on = spark.sql(sql).collect().head.getLong(0)
+    spark.conf.set("spark.graft.joinReorder.enabled", "false")
+    try {
+      assert(crossJoins(sql) > 0, "fixture must be cross-joined naively")
+      assert(spark.sql(sql).collect().head.getLong(0) == on)
+    }
+    finally spark.conf.set("spark.graft.joinReorder.enabled", "true")
+    assert(on > 0)
+  }
+
   test("rule fires: bad FROM order loses its cross product (Spark's ReorderJoin excluded)") {
     assert(crossJoins(badOrderSql) == 0,
       "graft reorder should connect all joins")
