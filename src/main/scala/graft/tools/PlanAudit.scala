@@ -50,7 +50,8 @@ object PlanAudit {
     "q132_markov_attribution", "q133_seasonality_index",
     "q134_stream_seasonality", "q137_cusum_changepoints",
     "q138_acf_daily", "q139_benford_audit", "q141_rolling_median",
-    "q148_psi_drift", "q28_approx_ndv", "q70_approx_percentile",
+    "q148_psi_drift", "q154_kaplan_meier", "q28_approx_ndv",
+    "q70_approx_percentile",
     "t16_shard_divergence", "t27_zipf_slope", "t28_trigram_backoff",
     "t30_flesch_kincaid", "c16_temperature_mix", "c21_contamination_report",
     "c22_token_budget_mix", "c24_temperature_mix_langid",
