@@ -5,8 +5,19 @@ import scala.collection.immutable.BitSet
 /** Global attribute registry: every column of every table mapped to a
   * stable global offset — the featurization space of the "DQ" one-hot
   * encoding (reference: DbInfo.java:19-73 `attrCount` /
-  * `tableFeaturesOffsetMap` / `getDQFeatures`). */
-final class AttributeRegistry(tables: Seq[(String, Seq[String])]) {
+  * `tableFeaturesOffsetMap` / `getDQFeatures`).
+  *
+  * `selBuckets > 0` appends, per base table, that many SELECTIVITY
+  * BUCKET slots after the schema attributes. DQ proper scales a
+  * filtered attribute's one-hot entry by the predicate's selectivity
+  * (arXiv:1808.03196 §4.1); this is the discretized variant of the
+  * same signal that stays inside the BitSet feature space — an env
+  * given `selOf` sets the bucket bit matching each leaf's filtered
+  * fraction, so a policy can learn "join the heavily-filtered table
+  * early" in a way that TRANSFERS across queries. Default 0: features
+  * are byte-identical to the historical encoding. */
+final class AttributeRegistry(tables: Seq[(String, Seq[String])],
+    val selBuckets: Int = 0) {
   private val offsets: Map[String, Int] = {
     var off = 0
     val b = Map.newBuilder[String, Int]
@@ -15,15 +26,34 @@ final class AttributeRegistry(tables: Seq[(String, Seq[String])]) {
     }
     b.result()
   }
-  val attrCount: Int = offsets.size
+  private val bucketBase: Map[String, Int] = {
+    var off = offsets.size
+    tables.map(_._1).sorted.map { t =>
+      val e = t -> off; off += selBuckets; e
+    }.toMap
+  }
+  val attrCount: Int = offsets.size + bucketBase.size * selBuckets
 
-  def offset(table: String, column: String): Int = offsets(s"$table.$column")
+  /** Offset of base table `table`'s selectivity-bucket slot `bucket`. */
+  def selBucketOffset(table: String, bucket: Int): Int = {
+    require(bucket >= 0 && bucket < selBuckets, s"bucket $bucket")
+    bucketBase(AliasedRels.baseOf(table)) + bucket
+  }
 
-  /** All attributes of a table, as a global-offset bitset. */
-  def tableAttrs(table: String): BitSet =
+  def offset(table: String, column: String): Int =
+    offsets(s"${AliasedRels.baseOf(table)}.$column")
+
+  /** All attributes of a table, as a global-offset bitset. An ALIASED
+    * relation ("orders@2") resolves to its base table's attributes —
+    * DQ features are SCHEMA attributes, and an alias has the same
+    * schema; sharing the features is what lets a policy trained on
+    * one query transfer to another that repeats the table. */
+  def tableAttrs(table: String): BitSet = {
+    val base = AliasedRels.baseOf(table)
     BitSet.fromSpecific(offsets.collect {
-      case (k, v) if k.startsWith(table + ".") => v
+      case (k, v) if k.startsWith(base + ".") => v
     })
+  }
 }
 
 object AttributeRegistry {
@@ -54,7 +84,8 @@ final class JoinOrderEnv(
     g: QueryGraph,
     card: Cardinality,
     cm: CostModel,
-    registry: Option[AttributeRegistry] = None) {
+    registry: Option[AttributeRegistry] = None,
+    selOf: Option[Int => Double] = None) {
 
   private var factors: Vector[JoinTree] = _
   private var lastReward: Double = 0.0
@@ -114,6 +145,23 @@ final class JoinOrderEnv(
   def attrCount: Int = registry.getOrElse(
     throw new IllegalStateException("no AttributeRegistry provided")).attrCount
 
+  /** Per-leaf feature bitset: the base table's schema attributes, plus
+    * (when the registry allocates buckets and `selOf` is given) the
+    * leaf's selectivity-bucket bit — bucket b covers filtered fractions
+    * in (10^-(b+1)·5, 10^-b·5]; an unfiltered leaf (sel ≥ 0.5) sets no
+    * bucket bit, keeping the historical encoding as the zero case. */
+  private def leafFeatures(reg: AttributeRegistry, i: Int): BitSet = {
+    val attrs = reg.tableAttrs(g.relations(i))
+    (selOf, reg.selBuckets) match {
+      case (Some(sf), nb) if nb > 0 =>
+        val sel = math.max(sf(i), 1e-300)
+        val bucket = math.floor(math.log10(0.5 / sel)).toInt
+        if (bucket < 0) attrs
+        else attrs + reg.selBucketOffset(g.relations(i), math.min(bucket, nb - 1))
+      case _ => attrs
+    }
+  }
+
   /** DQ featurization of the current state: per-factor one-hot bitset
     * over the global attribute space (reference: QueryGraph.java:306-332
     * mapToDBFeatures / getVisibleAttributes). */
@@ -121,7 +169,7 @@ final class JoinOrderEnv(
     val reg = registry.getOrElse(
       throw new IllegalStateException("no AttributeRegistry provided"))
     factors.map { f =>
-      f.leaves.map(i => reg.tableAttrs(g.relations(i)))
+      f.leaves.map(i => leafFeatures(reg, i))
         .foldLeft(BitSet.empty)(_ | _)
     }
   }
@@ -133,7 +181,7 @@ final class JoinOrderEnv(
       throw new IllegalStateException("no AttributeRegistry provided"))
     val (i, j) = actions(a)
     def attrs(f: JoinTree) =
-      f.leaves.map(k => reg.tableAttrs(g.relations(k)))
+      f.leaves.map(k => leafFeatures(reg, k))
         .foldLeft(BitSet.empty)(_ | _)
     (attrs(factors(i)), attrs(factors(j)))
   }
