@@ -38,10 +38,14 @@ object AliasedRels {
     * an alias has identical statistics to its base by construction,
     * so the ANALYZE pass runs once per TABLE, never per alias. */
   def profile(spark: SparkSession, sfDir: String,
-      rel: String): StatsEstimator.Profile = {
+      rel: String, hist: Boolean = false): StatsEstimator.Profile = {
     val (base, suf) = split(rel)
-    val p = StatsEstimator.profileTable(spark, sfDir, base)
+    val p =
+      if (hist) StatsEstimator.profileTableHist(spark, sfDir, base)
+      else StatsEstimator.profileTable(spark, sfDir, base)
     if (suf.isEmpty) p
-    else p.copy(cols = p.cols.map { case (c, s) => (c + suf, s) })
+    else p.copy(
+      cols = p.cols.map { case (c, s) => (c + suf, s) },
+      bounds = p.bounds.map { case (c, b) => (c + suf, b) })
   }
 }

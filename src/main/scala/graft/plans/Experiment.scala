@@ -293,7 +293,10 @@ object ExperimentMain {
     val corpus = corpusName match {
       case "core" => ExperimentCorpus.all
       case "job" => JobCorpus.all
-      case other => sys.error(s"unknown corpus '$other' (core|job)")
+      // the skew-tail twin corpus: where the histogram estimator tier
+      // (regrets_histest) separates from plain measured stats
+      case "tail" => JobCorpus.tails
+      case other => sys.error(s"unknown corpus '$other' (core|job|tail)")
     }
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -305,6 +308,7 @@ object ExperimentMain {
 
     val fixture = sys.env.getOrElse("GRAFT_CARDS_JSON",
       if (corpusName == "job") "fixtures/cards_job_sf0.001.json"
+      else if (corpusName == "tail") "fixtures/cards_tail_sf0.001.json"
       else "fixtures/cards_sf0.001.json")
     val dict: Map[String, Map[String, Double]] =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(fixture)))
@@ -350,9 +354,14 @@ object ExperimentMain {
     // collection) must drop the cache, or stale statsest plans survive
     val allRels = corpus.flatMap(_.graph.relations).distinct.sorted
     val profileFp = allRels.map { n =>
-      val p = AliasedRels.profile(spark, sfDir, n)
+      // hist=true so the fingerprint also covers the equi-depth bounds
+      // the histest regret side plans from — a changed distribution at
+      // identical row counts must drop the cache
+      val p = AliasedRels.profile(spark, sfDir, n, hist = true)
       n + "{" + p.cols.toSeq.sortBy(_._1).map { case (c, s) =>
         s"$c:${s.ndv}:${s.minN.getOrElse("")}:${s.maxN.getOrElse("")}"
+      }.mkString(",") + "|" + p.bounds.toSeq.sortBy(_._1).map {
+        case (c, b) => s"$c:${b.mkString("~")}"
       }.mkString(",") + "}"
     }.mkString(";")
     val fpInput = corpus.map(cq =>
@@ -443,6 +452,25 @@ object ExperimentMain {
         f"statsest-plan-cost=${r.estPlanCost}%14.1f " +
         f"opt-plan-cost=${r.optPlanCost}%14.1f regret=${r.regret}%6.3f")
     }
+
+    // third estimator tier: Selinger NDVs + EQUI-DEPTH HISTOGRAM range
+    // selectivity (TableStats.equiDepthBounds) — the measured answer to
+    // what statsest's residual worst case costs (uniform min-max span
+    // interpolation on skewed/filtered-tail range predicates)
+    val histQueries = built.map(_._1).map { q =>
+      val profiles = q.graph.relations.map(n =>
+        AliasedRels.profile(spark, sfDir, n, hist = true)).toVector
+      q.copy(estCard =
+        StatsEstimator.cardinality(q.graph, profiles, q.filters))
+    }
+    val regretsHist = costModels.flatMap(cm =>
+      Experiment.cardinalityRegret(histQueries, planners, cm,
+        cache = Some(cache), estTag = "histest"))
+    regretsHist.foreach { r =>
+      println(f"${r.query}%-10s ${r.planner}%-10s ${r.costModel}%-5s " +
+        f"histest-plan-cost=${r.estPlanCost}%14.1f " +
+        f"opt-plan-cost=${r.optPlanCost}%14.1f regret=${r.regret}%6.3f")
+    }
     cache.save()
     // the cache's own contract, printed for the artifact reader: a warm
     // second run must show planned=0, and the plan digest — everything
@@ -453,6 +481,8 @@ object ExperimentMain {
         regrets.map(r => s"${r.query}|${r.planner}|${r.costModel}|" +
           s"${r.estPlanCost}|${r.optPlanCost}") ++
         regretsStats.map(r => s"stats|${r.query}|${r.planner}|" +
+          s"${r.costModel}|${r.estPlanCost}|${r.optPlanCost}") ++
+        regretsHist.map(r => s"hist|${r.query}|${r.planner}|" +
           s"${r.costModel}|${r.estPlanCost}|${r.optPlanCost}"))
         .sorted.mkString(";")
       java.security.MessageDigest.getInstance("MD5")
@@ -463,7 +493,8 @@ object ExperimentMain {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       s"""{"records":${Experiment.recordsToJson(records)},""" +
         s""""regrets":${Experiment.regretsToJson(regrets)},""" +
-        s""""regrets_statsest":${Experiment.regretsToJson(regretsStats)}}""")
+        s""""regrets_statsest":${Experiment.regretsToJson(regretsStats)},""" +
+        s""""regrets_histest":${Experiment.regretsToJson(regretsHist)}}""")
     println(s"wrote $out")
     spark.stop()
   }

@@ -324,4 +324,25 @@ object JobCorpus {
     tree9, tree9Sel, tree11, tree12, tree13,
     cycle8, cycle10, cycle10Sel, cycle12, kite10,
     clique6)
+
+  // -------------------------------------------- skew-tail twin corpus
+  /** tree9 with the events branch filtered on the SKEWED `value` tail:
+    * `value > 294` keeps ~0.1% of events while uniform min-max span
+    * interpolation estimates ~10% — a 100× leaf misestimate that only
+    * the equi-depth histogram tier sees through (events.value is the
+    * one genuinely non-uniform numeric column in the testdata; every
+    * other range filter in [[all]] sits on near-uniform columns where
+    * span is already right). Kept OUT of [[all]] so the 21-query
+    * corpus, its truth fixture, and everything gated on them stay
+    * frozen; ExperimentMain runs it as corpus "tail" against
+    * fixtures/cards_tail_sf0.001.json. */
+  val tree9Tail: CorpusQuery = q("tree9_tail",
+    tree9Rels.map { r =>
+      r.rel match {
+        case "events" => r.copy(filter = Some("value > 294.0"))
+        case _ => r
+      }
+    }: _*)
+
+  val tails: Seq[CorpusQuery] = Seq(tree9Tail)
 }

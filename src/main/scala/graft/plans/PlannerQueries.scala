@@ -77,7 +77,8 @@ object PlannerQueries {
     "p07_planner_learned" -> runFlagship(QPolicy.Planner) _,
     "p08_planner_cycle" -> runCycle(Enumerators.DPccp) _,
     "p09_planner_bushy" -> runFlagship(Enumerators.Bushy) _,
-    "p10_planner_statsest" -> (runFlagshipStats _),
+    "p10_planner_statsest" ->
+      ((s: SparkSession, d: String) => runFlagshipStats(s, d)),
     // p11: simulated annealing — the stochastic local-search member
     // of §2b between p04's uniform shuffle and p07's learned policy
     "p11_planner_anneal" -> runFlagship(Enumerators.Annealing()) _,
@@ -109,7 +110,15 @@ object PlannerQueries {
     // arbitrary user SQL): 11 relations is inside maxDpRelations, so
     // DPccp runs INSIDE Catalyst on a real JOB-scale query. Same
     // oracle as p15 — the in-optimizer path may never change answers.
-    "p17_planner_job_insql" -> (runJobSql _)
+    "p17_planner_job_insql" -> (runJobSql _),
+    // p18: the flagship planned under measured stats WITH equi-depth
+    // histogram range selectivity (TableStats.equiDepthBounds — the
+    // third estimator tier measured in ExperimentMain's regret loop:
+    // naive independence → Selinger NDV/span → histogram). The
+    // l_quantity > 5 range filter is what the histogram re-estimates;
+    // plan choice may differ from p10's, the answer may not.
+    "p18_planner_histstats" ->
+      ((s: SparkSession, d: String) => runFlagshipStats(s, d, hist = true))
   )
 
   /** p17's body: register the (alias-suffixed) relations as temp
@@ -168,11 +177,13 @@ object PlannerQueries {
     * cardinalities" MEAN in a real engine). Result must hash-match the
     * same oracle as every other planner: plan choice never changes
     * answers. */
-  def runFlagshipStats(spark: SparkSession, sfDir: String): DataFrame = {
+  def runFlagshipStats(spark: SparkSession, sfDir: String,
+      hist: Boolean = false): DataFrame = {
     val (g, filters) = flagshipGraph
     val dfs = g.relations.map(n => Tables.load(spark, sfDir, n))
     val profiles = g.relations.map(n =>
-      StatsEstimator.profileTable(spark, sfDir, n)).toVector
+      if (hist) StatsEstimator.profileTableHist(spark, sfDir, n)
+      else StatsEstimator.profileTable(spark, sfDir, n)).toVector
     val card = StatsEstimator.cardinality(g, profiles, filters)
     val inputs = g.relations.zip(dfs).zip(filters).map {
       case ((n, df), f) => RelInput(n, df, f.map(expr))

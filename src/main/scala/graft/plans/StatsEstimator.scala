@@ -19,10 +19,19 @@ object StatsEstimator {
 
   final case class ColStats(
       ndv: Double, minN: Option[Double], maxN: Option[Double])
-  final case class Profile(rows: Double, cols: Map[String, ColStats])
+
+  /** `bounds`: optional equi-depth histogram cut points per column
+    * (B-1 interior boundaries → B equal-mass buckets between the
+    * column's min/max). Empty map = no histograms = the classic
+    * Selinger profile; range selectivity then falls back to uniform
+    * min-max span interpolation. */
+  final case class Profile(rows: Double, cols: Map[String, ColStats],
+      bounds: Map[String, Vector[Double]] = Map.empty)
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Boolean), Profile]()
+  private val histCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Map[String, Vector[Double]]]()
 
   /** Profile `table` for planning; memoized per (sfDir, table, approx)
     * — ANALYZE is run once, plans are made many times. The DEPLOYED
@@ -58,6 +67,42 @@ object StatsEstimator {
         }.toMap)
     })
 
+  /** [[profileTable]] plus equi-depth histogram bounds on every
+    * numeric column — the HISTOGRAM estimator's input. Kept a separate
+    * (memoized) collection so plain Selinger planning never pays the
+    * percentile pass; both pieces are deployed-approx (HLL NDVs, KLL
+    * percentiles) — one scan each. */
+  def profileTableHist(
+      spark: SparkSession, sfDir: String, table: String,
+      buckets: Int = 32, approx: Boolean = true): Profile = {
+    val p = profileTable(spark, sfDir, table, approx)
+    val b = histCache.computeIfAbsent((sfDir, table, buckets), _ => {
+      log.info(s"graft HISTOGRAM $table ($sfDir) buckets=$buckets")
+      TableStats.equiDepthBounds(spark, sfDir, table, buckets)
+    })
+    p.copy(bounds = b)
+  }
+
+  /** Fraction of a column's rows with value ≤ v under the equi-depth
+    * histogram (cuts = B-1 interior boundaries, min/max from the
+    * profile): whole buckets below v count 1/B each, the bucket
+    * containing v contributes linear interpolation WITHIN the bucket —
+    * uniformity is assumed only inside one bucket's 1/B mass, which is
+    * what makes skewed tails estimable. */
+  private[plans] def histFracBelow(
+      mn: Double, mx: Double, cuts: Vector[Double], v: Double): Double = {
+    val bounds = mn +: cuts :+ mx
+    val b = bounds.size - 1
+    if (v <= bounds.head) 0.0
+    else if (v >= bounds.last) 1.0
+    else {
+      val k = math.min(math.max(bounds.lastIndexWhere(_ <= v), 0), b - 1)
+      val lo = bounds(k); val hi = bounds(k + 1)
+      val frac = if (hi > lo) (v - lo) / (hi - lo) else 1.0
+      (k + frac) / b
+    }
+  }
+
   private val EqStr = """^\s*(\w+)\s*=\s*'([^']*)'\s*$""".r
   private val EqNum = """^\s*(\w+)\s*=\s*([0-9.+-]+)\s*$""".r
   private val GtNum = """^\s*(\w+)\s*>\s*([0-9.+-]+)\s*$""".r
@@ -65,21 +110,34 @@ object StatsEstimator {
 
   private def clamp(x: Double): Double = math.min(math.max(x, 0.0), 1.0)
 
+  /** Range selectivity for `col (<|>) v`: equi-depth histogram when
+    * the profile carries bounds for the column ([[histFracBelow]]),
+    * uniform min-max span interpolation otherwise — ONE definition
+    * shared by the string and Catalyst predicate paths, so adding
+    * histograms upgraded both at once. */
+  private def rangeSel(
+      p: Profile, c: String, v: Double, greater: Boolean): Option[Double] =
+    for { s <- p.cols.get(c); mn <- s.minN; mx <- s.maxN if mx > mn } yield {
+      val below = p.bounds.get(c).filter(_.nonEmpty)
+        .map(cuts => histFracBelow(mn, mx, cuts, v))
+        .getOrElse(clamp((v - mn) / (mx - mn)))
+      clamp(if (greater) 1.0 - below else below)
+    }
+
   /** Selectivity of one conjunct-free predicate string against a
-    * profile. Selinger's defaults: 1/NDV for equality, min-max span
-    * interpolation for ranges, 1/3 when the shape is unrecognized. */
+    * profile. Selinger's defaults: 1/NDV for equality, histogram or
+    * min-max span interpolation for ranges ([[rangeSel]]), 1/3 when
+    * the shape is unrecognized. */
   def selectivityOf(p: Profile)(pred: String): Double = {
     def eq(c: String): Double =
       p.cols.get(c).map(s => 1.0 / math.max(s.ndv, 1.0)).getOrElse(1.0 / 3)
-    def span(c: String, f: (Double, Double, Double) => Double,
-        lit: Double): Double =
-      p.cols.get(c).flatMap(s => for (mn <- s.minN; mx <- s.maxN if mx > mn)
-        yield clamp(f(mn, mx, lit))).getOrElse(1.0 / 3)
     pred match {
       case EqStr(c, _) => eq(c)
       case EqNum(c, _) => eq(c)
-      case GtNum(c, v) => span(c, (mn, mx, l) => (mx - l) / (mx - mn), v.toDouble)
-      case LtNum(c, v) => span(c, (mn, mx, l) => (l - mn) / (mx - mn), v.toDouble)
+      case GtNum(c, v) => rangeSel(p, c, v.toDouble, greater = true)
+        .getOrElse(1.0 / 3)
+      case LtNum(c, v) => rangeSel(p, c, v.toDouble, greater = false)
+        .getOrElse(1.0 / 3)
       case _ => 1.0 / 3
     }
   }
@@ -107,12 +165,8 @@ object StatsEstimator {
     }
     def eq(c: String): Double =
       p.cols.get(c).map(s => 1.0 / math.max(s.ndv, 1.0)).getOrElse(1.0 / 3)
-    def span(c: String, f: (Double, Double, Double) => Double,
-        l: Literal): Double =
-      (for {
-        s <- p.cols.get(c); mn <- s.minN; mx <- s.maxN
-        v <- litNum(l) if mx > mn
-      } yield clamp(f(mn, mx, v))).getOrElse(1.0 / 3)
+    def rng(c: String, l: Literal, greater: Boolean): Double =
+      litNum(l).flatMap(v => rangeSel(p, c, v, greater)).getOrElse(1.0 / 3)
     e match {
       case IsNotNull(_) => 1.0
       case EqualTo(l, r: Literal) if attrOf(l).isDefined =>
@@ -120,17 +174,17 @@ object StatsEstimator {
       case EqualTo(l: Literal, r) if attrOf(r).isDefined =>
         eq(attrOf(r).get)
       case GreaterThan(l, r: Literal) if attrOf(l).isDefined =>
-        span(attrOf(l).get, (mn, mx, v) => (mx - v) / (mx - mn), r)
+        rng(attrOf(l).get, r, greater = true)
       case GreaterThanOrEqual(l, r: Literal) if attrOf(l).isDefined =>
-        span(attrOf(l).get, (mn, mx, v) => (mx - v) / (mx - mn), r)
+        rng(attrOf(l).get, r, greater = true)
       case LessThan(l, r: Literal) if attrOf(l).isDefined =>
-        span(attrOf(l).get, (mn, mx, v) => (v - mn) / (mx - mn), r)
+        rng(attrOf(l).get, r, greater = false)
       case LessThanOrEqual(l, r: Literal) if attrOf(l).isDefined =>
-        span(attrOf(l).get, (mn, mx, v) => (v - mn) / (mx - mn), r)
+        rng(attrOf(l).get, r, greater = false)
       case GreaterThan(l: Literal, r) if attrOf(r).isDefined =>
-        span(attrOf(r).get, (mn, mx, v) => (v - mn) / (mx - mn), l)
+        rng(attrOf(r).get, l, greater = false)
       case LessThan(l: Literal, r) if attrOf(r).isDefined =>
-        span(attrOf(r).get, (mn, mx, v) => (mx - v) / (mx - mn), l)
+        rng(attrOf(r).get, l, greater = true)
       case _ => 1.0 / 3
     }
   }

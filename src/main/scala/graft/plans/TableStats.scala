@@ -89,6 +89,47 @@ object TableStats {
     one.select(explode(array(structs: _*)).as("s")).select("s.*")
   }
 
+  /** Equi-depth histogram boundaries for every numeric/timestamp
+    * column of `table`, collected in ONE additional pass:
+    * `approx_percentile` at k/B for k = 1..B-1 (the KLL/GK sketch —
+    * one non-multiplied scan regardless of column count, the same
+    * deployed-approx discipline as [[profileApprox]]'s HLL NDVs).
+    * Returns B-1 interior cut points per column; together with the
+    * profile's min/max they bound B equal-mass buckets. The planner
+    * consumes these through [[StatsEstimator]]'s range selectivity —
+    * the uniform min-max span interpolation is the single biggest
+    * estimation error left after measured NDVs (EXPERIMENT_r12 §2:
+    * tree9_sel's far-tail `o_totalprice > 450000` filter), and an
+    * equi-depth histogram is the textbook fix (Selinger's successors;
+    * Piatetsky-Shapiro & Connell 1984). */
+  def equiDepthBounds(spark: SparkSession, sfDir: String, table: String,
+      buckets: Int = 32): Map[String, Vector[Double]] = {
+    require(buckets >= 2, s"buckets $buckets")
+    val df = Tables.load(spark, sfDir, table)
+    val numCols = df.schema.fields.filter(f => f.dataType match {
+      case _: NumericType | _: TimestampType | TimestampNTZType => true
+      case _ => false
+    }).toSeq
+    if (numCols.isEmpty) return Map.empty
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    def numExpr(f: StructField) = f.dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(f.name).cast("timestamp")).cast("double")
+      case _ => col(f.name).cast("double")
+    }
+    val aggs = numCols.map(f =>
+      percentile_approx(numExpr(f),
+        array(ps.map(lit): _*), lit(10000)).as(s"q__${f.name}"))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    numCols.zipWithIndex.flatMap { case (f, i) =>
+      Option(row.get(i)).map { v =>
+        f.name -> v.asInstanceOf[scala.collection.Seq[Any]].collect {
+          case d: java.lang.Double => d.doubleValue
+        }.toVector
+      }.filter(_._2.size == buckets - 1) // all-null columns carry no hist
+    }.toMap
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_table_stats" -> ((s: SparkSession, d: String) => profile(s, d, "orders"))
   )

@@ -28,7 +28,8 @@ object CardDump {
     val corpus = args.lift(2).getOrElse("core") match {
       case "core" => ExperimentCorpus.all
       case "job" => JobCorpus.all
-      case other => sys.error(s"unknown corpus '$other' (core|job)")
+      case "tail" => JobCorpus.tails
+      case other => sys.error(s"unknown corpus '$other' (core|job|tail)")
     }
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
