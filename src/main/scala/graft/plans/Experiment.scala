@@ -471,6 +471,26 @@ object ExperimentMain {
         f"histest-plan-cost=${r.estPlanCost}%14.1f " +
         f"opt-plan-cost=${r.optPlanCost}%14.1f regret=${r.regret}%6.3f")
     }
+
+    // fourth estimator tier: JOIN-SAMPLE SYNOPSES (SampleEstimator) —
+    // the only tier that can see cross-relation correlation (empty
+    // intersections, anti-correlated bands); per-column stats cannot,
+    // by construction (EstimateDiagnose on tree9_sel: true=0 subsets
+    // with near-exact marginals)
+    val sampleQueries = built.map(_._1).map { q =>
+      val profiles = q.graph.relations.map(n =>
+        AliasedRels.profile(spark, sfDir, n)).toVector
+      q.copy(estCard = SampleEstimator.cardinality(
+        spark, sfDir, q.graph, q.filters, profiles))
+    }
+    val regretsSample = costModels.flatMap(cm =>
+      Experiment.cardinalityRegret(sampleQueries, planners, cm,
+        cache = Some(cache), estTag = "samplest"))
+    regretsSample.foreach { r =>
+      println(f"${r.query}%-10s ${r.planner}%-10s ${r.costModel}%-5s " +
+        f"samplest-plan-cost=${r.estPlanCost}%14.1f " +
+        f"opt-plan-cost=${r.optPlanCost}%14.1f regret=${r.regret}%6.3f")
+    }
     cache.save()
     // the cache's own contract, printed for the artifact reader: a warm
     // second run must show planned=0, and the plan digest — everything
@@ -483,6 +503,8 @@ object ExperimentMain {
         regretsStats.map(r => s"stats|${r.query}|${r.planner}|" +
           s"${r.costModel}|${r.estPlanCost}|${r.optPlanCost}") ++
         regretsHist.map(r => s"hist|${r.query}|${r.planner}|" +
+          s"${r.costModel}|${r.estPlanCost}|${r.optPlanCost}") ++
+        regretsSample.map(r => s"sample|${r.query}|${r.planner}|" +
           s"${r.costModel}|${r.estPlanCost}|${r.optPlanCost}"))
         .sorted.mkString(";")
       java.security.MessageDigest.getInstance("MD5")
@@ -494,7 +516,8 @@ object ExperimentMain {
       s"""{"records":${Experiment.recordsToJson(records)},""" +
         s""""regrets":${Experiment.regretsToJson(regrets)},""" +
         s""""regrets_statsest":${Experiment.regretsToJson(regretsStats)},""" +
-        s""""regrets_histest":${Experiment.regretsToJson(regretsHist)}}""")
+        s""""regrets_histest":${Experiment.regretsToJson(regretsHist)},""" +
+        s""""regrets_samplest":${Experiment.regretsToJson(regretsSample)}}""")
     println(s"wrote $out")
     spark.stop()
   }
