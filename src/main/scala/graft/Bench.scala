@@ -168,7 +168,8 @@ object Bench {
     "m15_imageio_decode", "p15_planner_job_exact", "p16_planner_job_ikkbz",
     "q151_stream_html_extract", "q152_stream_takedown",
     "q153_stats_after_takedown", "p17_planner_job_insql",
-    "c36_k_anonymity", "q154_kaplan_meier", "p18_planner_histstats")
+    "c36_k_anonymity", "q154_kaplan_meier", "p18_planner_histstats",
+    "p19_planner_samplest", "p20_planner_insql_sample")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -135,14 +135,23 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
     // arbitrary spark.sql text gets measured-cardinality join
     // ordering (reference anchor: MyMetadataQuery.java:81-162 —
     // injected cards driving in-planner reordering; here they are
-    // measured, not injected). Falls back to plan stats whenever a
-    // leaf isn't a plain filtered parquet scan or an edge lacks
-    // extractable key columns.
+    // measured, not injected); "hist" is "measured" plus equi-depth
+    // histogram range selectivity (the p18 tier); "sample" estimates
+    // from driver-held join-sample synopses ([[SampleEstimator]] —
+    // the only tier that sees cross-relation correlation). Falls back
+    // to plan stats whenever a leaf isn't a plain filtered parquet
+    // scan, an edge lacks extractable key columns, or (sample mode)
+    // the query repeats a table — same-named key columns would
+    // collide in the synopsis join.
     val statsMode =
       conf.getConfString("spark.graft.joinReorder.stats", "plan")
-    val card = (if (statsMode == "measured" &&
-        edges.forall(_.conds.nonEmpty)) measuredCardinality(g, rels)
-      else None).getOrElse {
+    val keyed = edges.forall(_.conds.nonEmpty)
+    val card = (statsMode match {
+      case "measured" if keyed => measuredCardinality(g, rels)
+      case "hist" if keyed => measuredCardinality(g, rels, hist = true)
+      case "sample" if keyed => sampleCardinality(g, rels)
+      case _ => None
+    }).getOrElse {
       // rowCount when the plan supplies it, sizeInBytes proxy
       // otherwise — bytes are monotone-consistent but skew the PK–FK
       // selectivity toward WIDE tables (a 40-column dim can
@@ -245,7 +254,8 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
     * back to plan statistics, so the rule can never make a query
     * unplannable. */
   private def measuredCardinality(
-      g: QueryGraph, rels: Vector[LogicalPlan]): Option[Cardinality] =
+      g: QueryGraph, rels: Vector[LogicalPlan],
+      hist: Boolean = false): Option[Cardinality] =
     try {
       val spark = org.apache.spark.sql.SparkSession.active
       val profiles = Vector.newBuilder[StatsEstimator.Profile]
@@ -255,9 +265,13 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
           case None => return None
           case Some(path) =>
             val slash = path.lastIndexOf('/')
-            val p = StatsEstimator.profileTable(spark,
-              path.substring(0, slash),
-              path.substring(slash + 1).stripSuffix(".parquet"))
+            val p =
+              if (hist) StatsEstimator.profileTableHist(spark,
+                path.substring(0, slash),
+                path.substring(slash + 1).stripSuffix(".parquet"))
+              else StatsEstimator.profileTable(spark,
+                path.substring(0, slash),
+                path.substring(slash + 1).stripSuffix(".parquet"))
             val conj = leaf.collect {
               case Filter(c, _) => splitConjunctivePredicates(c)
             }.flatten
@@ -267,6 +281,45 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
       }
       Some(StatsEstimator.cardinalityWithSel(g, profiles.result(),
         sels.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The join-sample synopsis [[Cardinality]] for in-optimizer use:
+    * leaves resolved to (dir, table), Catalyst filter conjuncts
+    * rendered back to SQL text for the sample collector. None (→ plan
+    * stats) when a leaf isn't a plain filtered scan, leaves span
+    * different directories, the query repeats a table (key-column
+    * names would collide in the driver-side synopsis join), or a
+    * predicate doesn't render — the rule can never make a query
+    * unplannable. */
+  private def sampleCardinality(
+      g: QueryGraph, rels: Vector[LogicalPlan]): Option[Cardinality] =
+    try {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val names = Vector.newBuilder[String]
+      val dirs = Vector.newBuilder[String]
+      val filters = Vector.newBuilder[Option[String]]
+      val profiles = Vector.newBuilder[StatsEstimator.Profile]
+      rels.foreach { leaf =>
+        baseScanOf(leaf) match {
+          case None => return None
+          case Some(path) =>
+            val slash = path.lastIndexOf('/')
+            val dir = path.substring(0, slash)
+            val table = path.substring(slash + 1).stripSuffix(".parquet")
+            val conj = leaf.collect {
+              case Filter(c, _) => splitConjunctivePredicates(c)
+            }.flatten
+            names += table
+            dirs += dir
+            filters += (if (conj.isEmpty) None
+              else Some(conj.map(_.sql).mkString(" AND ")))
+            profiles += StatsEstimator.profileTable(spark, dir, table)
+        }
+      }
+      val (ns, ds) = (names.result(), dirs.result())
+      if (ns.distinct.size != ns.size || ds.distinct.size != 1) return None
+      Some(SampleEstimator.cardinality(spark, ds.head,
+        g.copy(relations = ns), filters.result(), profiles.result()))
     } catch { case scala.util.control.NonFatal(_) => None }
 }
 

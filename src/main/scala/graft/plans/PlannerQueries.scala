@@ -118,7 +118,17 @@ object PlannerQueries {
     // l_quantity > 5 range filter is what the histogram re-estimates;
     // plan choice may differ from p10's, the answer may not.
     "p18_planner_histstats" ->
-      ((s: SparkSession, d: String) => runFlagshipStats(s, d, hist = true))
+      ((s: SparkSession, d: String) => runFlagshipStats(s, d, hist = true)),
+    // p19: the flagship planned from JOIN-SAMPLE SYNOPSES — the fourth
+    // estimator tier (SampleEstimator: subset joins executed on
+    // driver-held hash samples, the only tier that sees cross-relation
+    // correlation). Same contract: estimates move plans, never answers.
+    "p19_planner_samplest" -> (runFlagshipSample _),
+    // p20: the flagship as SPARK SQL TEXT with the injected rule
+    // estimating from sample synopses (stats=sample) — the deployed
+    // correlation-aware loop on arbitrary user SQL. Same oracle.
+    "p20_planner_insql_sample" ->
+      ((s: SparkSession, d: String) => runFlagshipSql(s, d, "sample"))
   )
 
   /** p17's body: register the (alias-suffixed) relations as temp
@@ -177,6 +187,48 @@ object PlannerQueries {
     * cardinalities" MEAN in a real engine). Result must hash-match the
     * same oracle as every other planner: plan choice never changes
     * answers. */
+  /** p19's body: [[runFlagshipStats]] with the estimates swapped for
+    * the join-sample synopsis tier — one `estCard` substitution, which
+    * is the deployment story (all four tiers share [[Cardinality]]). */
+  def runFlagshipSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val (g, filters) = flagshipGraph
+    val dfs = g.relations.map(n => Tables.load(spark, sfDir, n))
+    val profiles = g.relations.map(n =>
+      StatsEstimator.profileTable(spark, sfDir, n)).toVector
+    val card = SampleEstimator.cardinality(spark, sfDir, g, filters, profiles)
+    val inputs = g.relations.zip(dfs).zip(filters).map {
+      case ((n, df), f) => RelInput(n, df, f.map(expr))
+    }
+    val planned = Enumerators.DPccp.plan(g, card, CostModel.Cout)
+    JoinTreeExecutor.build(planned.tree, g, inputs, card)
+      .agg(min("o_totalprice").as("min_total"),
+        min("l_extendedprice").as("min_ext"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** p20's body: the flagship as declarative SQL through the injected
+    * GraftJoinReorder rule under the given stats mode. */
+  def runFlagshipSql(spark: SparkSession, sfDir: String,
+      statsMode: String): DataFrame = {
+    val (g, _) = flagshipGraph
+    g.relations.foreach(r =>
+      Tables.load(spark, sfDir, r).createOrReplaceTempView(r))
+    val prev = spark.conf.getOption("spark.graft.joinReorder.stats")
+    spark.conf.set("spark.graft.joinReorder.stats", statsMode)
+    try spark.sql(
+      """SELECT min(o_totalprice) AS min_total,
+                min(l_extendedprice) AS min_ext, count(*) AS cnt
+         FROM region, nation, customer, orders, lineitem
+         WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+           AND r_name = 'ASIA' AND o_orderstatus = 'F'
+           AND l_quantity > 5""")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.joinReorder.stats", v)
+      case None => spark.conf.unset("spark.graft.joinReorder.stats")
+    }
+  }
+
   def runFlagshipStats(spark: SparkSession, sfDir: String,
       hist: Boolean = false): DataFrame = {
     val (g, filters) = flagshipGraph

@@ -202,6 +202,42 @@ class GraftJoinReorderSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.joinReorder.stats")
   }
 
+  test("hist and sample stats modes answer identically and reorder") {
+    val plain = spark.sql(flagshipSql).collect().map(_.toSeq).toSeq
+    Seq("hist", "sample").foreach { mode =>
+      spark.conf.set("spark.graft.joinReorder.stats", mode)
+      try {
+        assert(crossJoins(badOrderSql) == 0,
+          s"$mode mode must still connect the bad-order join graph")
+        val got = spark.sql(flagshipSql).collect().map(_.toSeq).toSeq
+        assert(got == plain, s"$mode mode changed answers")
+      } finally spark.conf.unset("spark.graft.joinReorder.stats")
+    }
+  }
+
+  test("sample mode falls back safely when the query repeats a table") {
+    // two lineitem scans: key-column names collide in the driver-side
+    // synopsis join, so sampleCardinality must return None (→ plan
+    // stats), not throw — the self-join still answers exactly
+    spark.conf.set("spark.graft.joinReorder.stats", "sample")
+    try {
+      val cnt = spark.sql(
+        """SELECT count(*) AS c
+           FROM lineitem a, lineitem b, orders
+           WHERE a.l_orderkey = b.l_orderkey
+             AND b.l_orderkey = o_orderkey AND a.l_quantity > 45
+             AND b.l_quantity > 45""").collect().head.getLong(0)
+      spark.conf.unset("spark.graft.joinReorder.stats")
+      val expect = spark.sql(
+        """SELECT count(*) AS c
+           FROM lineitem a, lineitem b, orders
+           WHERE a.l_orderkey = b.l_orderkey
+             AND b.l_orderkey = o_orderkey AND a.l_quantity > 45
+             AND b.l_quantity > 45""").collect().head.getLong(0)
+      assert(cnt == expect)
+    } finally spark.conf.unset("spark.graft.joinReorder.stats")
+  }
+
   test("non-equi multiway join does not break") {
     val rows = spark.sql(
       """SELECT count(*) AS c FROM region a, region b, region c
