@@ -37,40 +37,86 @@ import org.apache.spark.sql.functions._
 object SampleEstimator {
 
   /** Driver-held sample of one (aliased, filtered) relation: join-key
-    * tuples of the sampled rows, plus the exact sampling rate. */
-  final case class RelSample(rows: Vector[Map[String, Any]], p: Double)
+    * tuples of the sampled rows, plus the exact sampling rate.
+    * `hashes` (parallel to `rows`) carries each row's sampling-hash
+    * bucket so the synopsis can be MAINTAINED incrementally
+    * ([[refresh]]): threshold sampling has the subset property — the
+    * sample at a smaller rate is exactly a filter of the sample at a
+    * larger one, so an append never forces a full-table rescan. */
+  final case class RelSample(rows: Vector[Map[String, Any]], p: Double,
+      hashes: Vector[Long] = Vector.empty)
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, String, Int), RelSample]()
 
   private val D = 10000L
 
+  private def thresholdOf(total: Double, cap: Int): Long =
+    math.max(1L, math.ceil(math.min(1.0, cap / math.max(total, 1.0)) * D).toLong)
+
+  /** Generic collector: deterministic threshold hash sample of `df`
+    * (already filtered), rate derived from `total` (the UNfiltered
+    * base count) and `cap`; pruned to `keyCols`, numeric keys
+    * normalized to Double so cross-width equi-keys (int vs bigint)
+    * compare equal driver-side. Each row's hash bucket rides along
+    * for incremental [[refresh]]. */
+  def sampleOf(df: org.apache.spark.sql.DataFrame, total: Double,
+      keyCols: Seq[String], cap: Int): RelSample = {
+    val k = thresholdOf(total, cap)
+    val dataCols = df.columns.toSeq
+    val bucket = pmod(xxhash64(struct(dataCols.map(col): _*)), lit(D))
+    val sampled =
+      if (k >= D) df.withColumn("__graft_bucket", bucket)
+      else df.withColumn("__graft_bucket", bucket)
+        .where(col("__graft_bucket") < lit(k))
+    val numeric = df.schema.fields.map(f =>
+      f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    ).toMap
+    val proj = keyCols.map(c =>
+      (if (numeric(c)) col(c).cast("double") else col(c)).as(c)) :+
+      col("__graft_bucket")
+    val collected = sampled.select(proj: _*).collect().toVector
+    val rows = collected.map(r =>
+      keyCols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+    val hashes = collected.map(_.getLong(keyCols.size))
+    RelSample(rows, if (k >= D) 1.0 else k.toDouble / D, hashes)
+  }
+
+  /** INCREMENTAL synopsis maintenance: the sample after `delta`
+    * arrives, built WITHOUT rescanning the base table. Threshold
+    * sampling is monotone — the new (smaller) threshold's sample is a
+    * strict subset of the old one — so the old synopsis is
+    * re-thresholded driver-side and only the delta is scanned. The
+    * result is SET-EQUAL to a full rebuild over base ∪ delta by
+    * construction (same deterministic hash, same threshold), which is
+    * what makes the d12/q96/s35 incremental discipline apply to
+    * planner synopses too: at 100 TB an ingest batch refreshes every
+    * table's synopsis at delta-scan cost. `delta` must carry the same
+    * relation filter as the original sample. */
+  def refresh(prev: RelSample, delta: org.apache.spark.sql.DataFrame,
+      newTotal: Double, keyCols: Seq[String], cap: Int): RelSample = {
+    require(prev.hashes.size == prev.rows.size,
+      "refresh needs a synopsis collected with hash buckets")
+    val k = thresholdOf(newTotal, cap)
+    val kept = prev.rows.zip(prev.hashes).filter(_._2 < k)
+    // same rate inputs → same threshold: the predicate is pushed into
+    // the DELTA scan; the base is never touched
+    val deltaSample = sampleOf(delta, newTotal, keyCols, cap)
+    val all = kept ++ deltaSample.rows.zip(deltaSample.hashes)
+    RelSample(all.map(_._1), if (k >= D) 1.0 else k.toDouble / D,
+      all.map(_._2))
+  }
+
   /** Deterministic hash sample of `rel` (filter applied first — the
-    * two commute for a row-wise hash predicate), pruned to `keyCols`,
-    * numeric keys normalized to Double so cross-width equi-keys
-    * (int vs bigint) compare equal driver-side. */
+    * two commute for a row-wise hash predicate); see [[sampleOf]]. */
   def sampleRel(spark: SparkSession, sfDir: String, rel: String,
       filter: Option[String], keyCols: Seq[String], cap: Int): RelSample =
     cache.computeIfAbsent(
       (sfDir, rel, filter.getOrElse(""), keyCols.sorted.mkString(","), cap), _ => {
         val base = AliasedRels.load(spark, sfDir, rel)
         val total = AliasedRels.rowCount(spark, sfDir, rel).toDouble
-        val p = math.min(1.0, cap / math.max(total, 1.0))
-        val k = math.max(1L, math.ceil(p * D).toLong)
-        val pExact = k.toDouble / D
         val filtered = filter.map(f => base.where(expr(f))).getOrElse(base)
-        val sampled =
-          if (k >= D) filtered
-          else filtered.where(
-            pmod(xxhash64(struct(base.columns.map(col): _*)), lit(D)) < lit(k))
-        val numeric = base.schema.fields.map(f =>
-          f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-        ).toMap
-        val proj = keyCols.map(c =>
-          (if (numeric(c)) col(c).cast("double") else col(c)).as(c))
-        val rows = sampled.select(proj: _*).collect().toVector
-          .map(r => keyCols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
-        RelSample(rows, if (k >= D) 1.0 else pExact)
+        sampleOf(filtered, total, keyCols, cap)
       })
 
   /** Join-key columns of each relation, as the query graph uses them. */

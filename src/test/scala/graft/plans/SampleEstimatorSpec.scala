@@ -117,6 +117,31 @@ class SampleEstimatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(a(s) == b(s)))
   }
 
+  test("incremental refresh == full rebuild (threshold subset property)") {
+    // split lineitem into base (first 2/3) and delta (last 1/3) by key;
+    // refresh(sample(base), delta) must be SET-EQUAL to sample(base ∪
+    // delta) — same deterministic hash, same threshold, base unscanned
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    val total = li.count().toDouble
+    val cut = li.selectExpr("percentile(l_orderkey, 0.66)").head.getDouble(0)
+    val base = li.where(s"l_orderkey <= $cut")
+    val delta = li.where(s"l_orderkey > $cut")
+    val keyCols = Seq("l_orderkey", "l_partkey")
+    val cap = 1500 // below total so thresholds actually bind
+    val baseSample = SampleEstimator.sampleOf(
+      base, base.count().toDouble, keyCols, cap)
+    val refreshed = SampleEstimator.refresh(
+      baseSample, delta, total, keyCols, cap)
+    val rebuilt = SampleEstimator.sampleOf(li, total, keyCols, cap)
+    assert(refreshed.p == rebuilt.p)
+    def keySet(s: SampleEstimator.RelSample) =
+      s.rows.map(_.toSeq.sortBy(_._1).mkString("|")).sorted
+    assert(keySet(refreshed) == keySet(rebuilt))
+    // the append SHRANK the threshold (rows dropped, none invented —
+    // the set-equality above is what proves no invention)
+    assert(refreshed.p < baseSample.p)
+  }
+
   test("sampled facts scale by 1/p: lineitem singleton within 25% of truth") {
     val g = QueryGraph(Vector("lineitem"), Vector.empty)
     // no edges -> no key columns; the sample is count-only
