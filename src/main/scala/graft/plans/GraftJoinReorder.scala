@@ -21,7 +21,8 @@ import org.apache.spark.sql.catalyst.trees.TreeNodeTag
   * Scale note: join order is THE dominant cost factor for multiway joins
   * at 100 TB — a bad order materializes huge intermediates. DPccp over
   * the join graph (≤ [[GraftJoinReorder.maxDpRelations]] relations,
-  * greedy beyond) minimizes the modeled intermediate volume; physical
+  * greedy-bushy GOO beyond — the measured-best cheap fallback on the
+  * JOB corpus) minimizes the modeled intermediate volume; physical
   * join selection (broadcast/SMJ/SHJ) stays Spark's, and AQE can still
   * re-plan at runtime. Filters remain where Catalyst pushed them — only
   * the join shape changes.
@@ -160,8 +161,16 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
       HeuristicCardinality.uniform(g, rels.map(leafRows).toArray)
     }
 
+    // past the exact-search budget, GOO (greedy-bushy) is the measured
+    // fallback: on the JOB-scale corpus under truth cardinalities it
+    // plans at geomean 1.04× / max 1.5× of exact vs Greedy-Lopt's
+    // 1.48× / 7.4× and IKKBZ's 2.1× / 23×, stays ≤1.05 under every
+    // estimator tier, and is the cheapest planner measured (1.1 ms
+    // median, SCALE_r12 §2). Enumerators.Auto keeps its IKKBZ route —
+    // it mirrors the REFERENCE's refusal-boundary policy; this
+    // fallback is our deployment choice, so it follows the data.
     val planner: JoinOrderPlanner =
-      if (rels.size <= maxDpRelations) Enumerators.DPccp else Enumerators.Greedy
+      if (rels.size <= maxDpRelations) Enumerators.DPccp else Enumerators.Bushy
     val tree = planner.plan(g, card, CostModel.Cout).tree
 
     // STRICT-improvement gate: rewrite only when the chosen order beats

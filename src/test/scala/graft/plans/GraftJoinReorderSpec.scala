@@ -202,6 +202,36 @@ class GraftJoinReorderSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.joinReorder.stats")
   }
 
+  test("past maxDpRelations the GOO fallback still reorders (13 relations)") {
+    // tree13's shape as SQL: 13 relations > maxDpRelations = 12, so
+    // the rule routes to Enumerators.Bushy (the measured-best cheap
+    // fallback) instead of DPccp; written fact-first the naive order
+    // cross-joins, so a connected plan proves the fallback fired
+    Seq("nation@2", "region@2", "documents@2").foreach { r =>
+      AliasedRels.load(spark, sfDir, r)
+        .createOrReplaceTempView(r.replace('@', '_'))
+    }
+    val sql =
+      """SELECT count(*) AS cnt
+         FROM lineitem, region, nation, customer, orders, part,
+              documents, supplier, events, embeddings, nation_2,
+              region_2, documents_2
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND l_partkey = p_partkey AND p_partkey = doc_id
+           AND l_suppkey = s_suppkey AND c_custkey = user_id
+           AND doc_id = vec_id AND s_nationkey = n_nationkey_a2
+           AND n_regionkey_a2 = r_regionkey_a2
+           AND p_partkey = doc_id_a2"""
+    assert(crossJoins(sql) == 0, "13-relation GOO reorder must connect joins")
+    val on = spark.sql(sql).collect().head.getLong(0)
+    spark.conf.set("spark.graft.joinReorder.enabled", "false")
+    try {
+      assert(crossJoins(sql) > 0, "fixture must be cross-joined naively")
+      assert(spark.sql(sql).collect().head.getLong(0) == on)
+    } finally spark.conf.set("spark.graft.joinReorder.enabled", "true")
+  }
+
   test("hist and sample stats modes answer identically and reorder") {
     val plain = spark.sql(flagshipSql).collect().map(_.toSeq).toSeq
     Seq("hist", "sample").foreach { mode =>
