@@ -19,6 +19,14 @@ final case class PlannedOrder(
   * (SURVEY.md §2b). Instead of mutating a Volcano planner we emit a
   * [[JoinTree]]; [[JoinTreeExecutor]] then constructs the DataFrame join
   * tree in exactly that order. */
+/** A planner DECLINING a query it considers out of budget (the
+  * reference's ≥12-edge refusal, ExhaustiveJoinOrderRule.java:107-109)
+  * — a policy decision, not a bug. Distinct from the
+  * IllegalArgumentException a genuine invariant violation raises, so
+  * the experiment loop can record refusals without swallowing real
+  * failures (estimator/cost-model `require`s must propagate). */
+final class PlanningRefused(msg: String) extends IllegalArgumentException(msg)
+
 trait JoinOrderPlanner {
   def name: String
   protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree
@@ -321,8 +329,9 @@ object Enumerators {
   final case class BranchAndBound(maxEdges: Int = 12) extends JoinOrderPlanner {
     val name = "bnb"
     protected def search(g: QueryGraph, card: Cardinality, cm: CostModel): JoinTree = {
-      require(g.edges.size < maxEdges,
-        s"branch-and-bound refuses ≥$maxEdges edges (got ${g.edges.size})")
+      if (g.edges.size >= maxEdges)
+        throw new PlanningRefused(
+          s"branch-and-bound refuses ≥$maxEdges edges (got ${g.edges.size})")
       // Seed the incumbent with Greedy's complete tree (textbook B&B
       // practice): pruning is active from the first branch instead of
       // only after the search stumbles onto its own first complete

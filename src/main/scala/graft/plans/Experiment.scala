@@ -80,11 +80,15 @@ object Experiment {
         // ≥12-edge refusal, ExhaustiveJoinOrderRule.java:107-109) —
         // record the refusal like a timeout instead of killing the
         // whole loop (the JOB corpus deliberately crosses the bound)
+        // only the DEDICATED refusal type is recorded (BnB's edge
+        // bound); a genuine require() failure in an estimator, cost
+        // model, or graph construction must propagate as a bug, not
+        // quietly shrink the measured corpus
         val planned =
           try Right(Await.result(fut, planningTimeoutSecs.seconds))
           catch {
             case _: TimeoutException => Left("PLANNING-TIMEOUT")
-            case e: IllegalArgumentException =>
+            case e: PlanningRefused =>
               Left(s"PLANNING-REFUSED(${e.getMessage})")
           }
         planned match {
@@ -238,7 +242,8 @@ object Experiment {
             p.plan(q.graph, card, cm))
           case None => p.plan(q.graph, card, cm)
         }
-      // refusals (BnB past its edge bound) simply have no regret row
+      // refusals (BnB past its edge bound) simply have no regret row;
+      // any OTHER failure propagates — see the run() loop's rationale
       try {
         val estPlan = planWith(q.estCard, estTag)  // planned with estimates
         val optPlan = planWith(q.trueCard, "true") // planned with truth
@@ -246,7 +251,7 @@ object Experiment {
         val optCostTrue = CostModel.treeCost(optPlan.tree, cm, q.trueCard)
         Some(RegretRecord(q.name, p.name, cm.name, estCostTrue, optCostTrue,
           if (optCostTrue > 0) estCostTrue / optCostTrue else 1.0))
-      } catch { case _: IllegalArgumentException => None }
+      } catch { case _: PlanningRefused => None }
     }).flatten
 
   def recordsToJson(rs: Seq[PlannerRecord]): String =

@@ -139,11 +139,11 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
     // measured, not injected); "hist" is "measured" plus equi-depth
     // histogram range selectivity (the p18 tier); "sample" estimates
     // from driver-held join-sample synopses ([[SampleEstimator]] —
-    // the only tier that sees cross-relation correlation). Falls back
-    // to plan stats whenever a leaf isn't a plain filtered parquet
-    // scan, an edge lacks extractable key columns, or (sample mode)
-    // the query repeats a table — same-named key columns would
-    // collide in the synopsis join.
+    // the only tier that sees cross-relation correlation; sample
+    // values are keyed (vertex, column) driver-side, so JOB-style
+    // repeated tables and shared column names are safe — the p21
+    // gate). Falls back to plan stats whenever a leaf isn't a plain
+    // filtered parquet scan or an edge lacks extractable key columns.
     val statsMode =
       conf.getConfString("spark.graft.joinReorder.stats", "plan")
     val keyed = edges.forall(_.conds.nonEmpty)
@@ -183,6 +183,9 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
     // decreases on every rewrite, so the batch converges immediately.
     val chosenCost = CostModel.treeCost(tree, CostModel.Cout, card)
     val currentCost = CostModel.treeCost(currentShape, CostModel.Cout, card)
+    if (GraftJoinReorder.debug)
+      println(s"[graft-reorder] statsMode=$statsMode chosen=$chosenCost " +
+        s"current=$currentCost tree=${tree.describe(g)}")
     if (chosenCost >= currentCost) return None
 
     def build(t: JoinTree): LogicalPlan = t match {
@@ -294,10 +297,11 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
 
   /** The join-sample synopsis [[Cardinality]] for in-optimizer use:
     * leaves resolved to (dir, table), Catalyst filter conjuncts
-    * rendered back to SQL text for the sample collector. None (→ plan
-    * stats) when a leaf isn't a plain filtered scan, leaves span
-    * different directories, the query repeats a table (key-column
-    * names would collide in the driver-side synopsis join), or a
+    * rendered back to SQL text for the sample collector. Repeated
+    * tables (JOB self-joins) are fine: [[SampleEstimator]] keys
+    * sample values by (vertex, column) and prices a tuple by its
+    * DISTINCT base rows. None (→ plan stats) when a leaf isn't a
+    * plain filtered scan, leaves span different directories, or a
     * predicate doesn't render — the rule can never make a query
     * unplannable. */
   private def sampleCardinality(
@@ -320,16 +324,30 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
             }.flatten
             names += table
             dirs += dir
-            filters += (if (conj.isEmpty) None
-              else Some(conj.map(_.sql).mkString(" AND ")))
+            // render UNQUALIFIED: the leaf's attributes carry the SQL
+            // alias as qualifier (`e1.event_type`), which can't resolve
+            // against the bare table the sample collector loads
+            val bare = conj.map(_.transform {
+              case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+                a.withQualifier(Seq.empty)
+            })
+            filters += (if (bare.isEmpty) None
+              else Some(bare.map(_.sql).mkString(" AND ")))
             profiles += StatsEstimator.profileTable(spark, dir, table)
         }
       }
       val (ns, ds) = (names.result(), dirs.result())
-      if (ns.distinct.size != ns.size || ds.distinct.size != 1) return None
+      if (ds.distinct.size != 1) return None
+      if (GraftJoinReorder.debug)
+        println(s"[graft-reorder] sample rels=$ns filters=${filters.result()}")
       Some(SampleEstimator.cardinality(spark, ds.head,
         g.copy(relations = ns), filters.result(), profiles.result()))
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (GraftJoinReorder.debug)
+          println(s"[graft-reorder] sample fallback: $e")
+        None
+    }
 }
 
 object GraftJoinReorder {

@@ -128,7 +128,17 @@ object PlannerQueries {
     // estimating from sample synopses (stats=sample) — the deployed
     // correlation-aware loop on arbitrary user SQL. Same oracle.
     "p20_planner_insql_sample" ->
-      ((s: SparkSession, d: String) => runFlagshipSql(s, d, "sample"))
+      ((s: SparkSession, d: String) => runFlagshipSql(s, d, "sample")),
+    // p21: a REPEATED-TABLE query (JOB's defining feature — the
+    // reference's workload self-joins title/movie_info under aliases,
+    // runtime_test.sh:5-6; its cardinality keys qualify repeats by
+    // filter, MyMetadataQuery.java:134-146) as SQL text under
+    // stats=sample: the synopsis estimator keys values by (vertex,
+    // column), so the two `events` scans get their own filtered
+    // samples instead of falling back to plan stats.
+    // GraftJoinReorderSpec pins the chosen join structure equals the
+    // DataFrame-path DPccp's on the aliased twin graph.
+    "p21_planner_insql_repeat" -> (runRepeatSql _)
   )
 
   /** p17's body: register the (alias-suffixed) relations as temp
@@ -204,6 +214,44 @@ object PlannerQueries {
       .agg(min("o_totalprice").as("min_total"),
         min("l_extendedprice").as("min_ext"),
         count(lit(1)).as("cnt"))
+  }
+
+  /** p21's SQL — `events` twice under different filters, both fanned
+    * off customer. Shared as a val so the gate entry and the
+    * structure-pinning spec can never drift on the query text. */
+  val repeatSql: String =
+    """SELECT min(o_totalprice) AS min_total, count(*) AS cnt
+       FROM customer, orders, events e1, events e2
+       WHERE o_custkey = c_custkey AND e1.user_id = c_custkey
+         AND e2.user_id = c_custkey
+         AND e1.event_type = 'purchase' AND e2.event_type = 'error'
+         AND o_orderstatus = 'F'"""
+
+  /** p21's DataFrame-path twin graph (aliased naming, suffixed
+    * columns) — what the spec plans with DPccp + [[SampleEstimator]]
+    * directly to pin the in-SQL rule's chosen structure. */
+  def repeatGraph: (QueryGraph, Vector[Option[String]]) = (
+    QueryGraph(
+      Vector("customer", "orders", "events", "events@2"),
+      Vector(
+        JoinEdge(0, 1, Seq("c_custkey" -> "o_custkey")),
+        JoinEdge(0, 2, Seq("c_custkey" -> "user_id")),
+        JoinEdge(0, 3, Seq("c_custkey" -> "user_id_a2")))),
+    Vector(None, Some("o_orderstatus = 'F'"),
+      Some("event_type = 'purchase'"), Some("event_type_a2 = 'error'")))
+
+  /** p21's body: register the base views, then let the injected rule
+    * plan the repeated-table SQL from sample synopses. */
+  def runRepeatSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders", "events").foreach(r =>
+      Tables.load(spark, sfDir, r).createOrReplaceTempView(r))
+    val prev = spark.conf.getOption("spark.graft.joinReorder.stats")
+    spark.conf.set("spark.graft.joinReorder.stats", "sample")
+    try spark.sql(repeatSql)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.joinReorder.stats", v)
+      case None => spark.conf.unset("spark.graft.joinReorder.stats")
+    }
   }
 
   /** p20's body: the flagship as declarative SQL through the injected
@@ -336,6 +384,7 @@ object PlannerQueries {
         case "p15_planner_job_exact" => jobTree11Oracle
         case "p16_planner_job_ikkbz" => jobTree13Oracle
         case "p17_planner_job_insql" => jobTree11Oracle
+        case "p21_planner_insql_repeat" => repeatSql
         case k2 if cycleShaped(k2) => cycleOracle
         case _ => flagshipOracle
       })).toMap

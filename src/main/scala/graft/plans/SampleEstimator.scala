@@ -29,6 +29,21 @@ import org.apache.spark.sql.functions._
   * little for genuinely rare non-empty joins — documented, measured
   * in EXPERIMENT_r12 §2c).
   *
+  * REPEATED TABLES (JOB's defining feature — the reference's
+  * cardinality keys qualify repeats by filter,
+  * MyMetadataQuery.java:134-146): estimation keys every sample value
+  * by (vertex, column), so two vertices of the same base table — or
+  * two different tables sharing a column name — can never collide in
+  * the synopsis join. Because the sampling predicate is the SAME
+  * deterministic row hash for every vertex of one base table, a row's
+  * inclusion is ONE event across all of them, so the unbiased scale
+  * for a joined tuple is Π 1/p over the tuple's DISTINCT base rows —
+  * a self-join pair (r, r) survives with probability p, not p²; the
+  * naive Π 1/pᵢ over vertices would overestimate self-joins by
+  * ~|A|·(1/p − 1). Each sampled row carries its full 64-bit row hash
+  * as identity ([[RelSample.ids]]), shared across aliases because the
+  * hash is over VALUES, not column names.
+  *
   * The reference never estimates join cardinalities at all — it
   * INJECTS truth per query (MyMetadataQuery.java:81-162) precisely
   * because estimation is the hard open problem its experiments study;
@@ -42,44 +57,68 @@ object SampleEstimator {
     * bucket so the synopsis can be MAINTAINED incrementally
     * ([[refresh]]): threshold sampling has the subset property — the
     * sample at a smaller rate is exactly a filter of the sample at a
-    * larger one, so an append never forces a full-table rescan. */
+    * larger one, so an append never forces a full-table rescan.
+    * `ids` (also parallel) carries the full 64-bit row hash as a
+    * cross-alias row IDENTITY — two vertices sampling the same base
+    * table see the same id for the same physical row, which is what
+    * the self-join-aware distinct-row scaling keys on. */
   final case class RelSample(rows: Vector[Map[String, Any]], p: Double,
-      hashes: Vector[Long] = Vector.empty)
+      hashes: Vector[Long] = Vector.empty, ids: Vector[Long] = Vector.empty)
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String, String, Int), RelSample]()
+    (String, String, String, String, Int, String), RelSample]()
 
   private val D = 10000L
 
   private def thresholdOf(total: Double, cap: Int): Long =
     math.max(1L, math.ceil(math.min(1.0, cap / math.max(total, 1.0)) * D).toLong)
 
+  /** Cheap table fingerprint for synopsis-cache invalidation: the
+    * backing parquet file listing's (name, size, mtime) — a driver
+    * metadata op, no scan — so an ingest commit (new/rewritten files)
+    * drops the cached synopsis instead of planning from stale samples
+    * in a long-lived session. */
+  private[plans] def listingFp(sfDir: String, rel: String): String = {
+    val dir = sfDir.stripPrefix("file:")
+    val f = new java.io.File(dir, AliasedRels.baseOf(rel) + ".parquet")
+    def sig(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
+    val basis =
+      if (!f.exists) "absent"
+      else if (f.isFile) sig(f)
+      else Option(f.listFiles()).map(_.filterNot(_.getName.startsWith("_"))
+        .map(sig).sorted.mkString(";")).getOrElse("unlistable")
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(basis).toLong & 0xffffffffL)
+  }
+
   /** Generic collector: deterministic threshold hash sample of `df`
     * (already filtered), rate derived from `total` (the UNfiltered
     * base count) and `cap`; pruned to `keyCols`, numeric keys
     * normalized to Double so cross-width equi-keys (int vs bigint)
     * compare equal driver-side. Each row's hash bucket rides along
-    * for incremental [[refresh]]. */
+    * for incremental [[refresh]]; the full row hash rides along as
+    * the cross-alias row identity. */
   def sampleOf(df: org.apache.spark.sql.DataFrame, total: Double,
       keyCols: Seq[String], cap: Int): RelSample = {
     val k = thresholdOf(total, cap)
     val dataCols = df.columns.toSeq
-    val bucket = pmod(xxhash64(struct(dataCols.map(col): _*)), lit(D))
+    val rowHash = xxhash64(struct(dataCols.map(col): _*))
     val sampled =
-      if (k >= D) df.withColumn("__graft_bucket", bucket)
-      else df.withColumn("__graft_bucket", bucket)
-        .where(col("__graft_bucket") < lit(k))
+      if (k >= D) df.withColumn("__graft_rowhash", rowHash)
+      else df.withColumn("__graft_rowhash", rowHash)
+        .where(pmod(col("__graft_rowhash"), lit(D)) < lit(k))
     val numeric = df.schema.fields.map(f =>
       f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
     ).toMap
     val proj = keyCols.map(c =>
       (if (numeric(c)) col(c).cast("double") else col(c)).as(c)) :+
-      col("__graft_bucket")
+      col("__graft_rowhash")
     val collected = sampled.select(proj: _*).collect().toVector
     val rows = collected.map(r =>
       keyCols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
-    val hashes = collected.map(_.getLong(keyCols.size))
-    RelSample(rows, if (k >= D) 1.0 else k.toDouble / D, hashes)
+    val ids = collected.map(_.getLong(keyCols.size))
+    RelSample(rows, if (k >= D) 1.0 else k.toDouble / D,
+      ids.map(h => java.lang.Math.floorMod(h, D)), ids)
   }
 
   /** INCREMENTAL synopsis maintenance: the sample after `delta`
@@ -98,21 +137,31 @@ object SampleEstimator {
     require(prev.hashes.size == prev.rows.size,
       "refresh needs a synopsis collected with hash buckets")
     val k = thresholdOf(newTotal, cap)
-    val kept = prev.rows.zip(prev.hashes).filter(_._2 < k)
+    val prevIds =
+      if (prev.ids.size == prev.rows.size) prev.ids
+      else prev.hashes // pre-ids synopsis: buckets are the best identity
+    val kept = prev.rows.lazyZip(prev.hashes).lazyZip(prevIds).toVector
+      .filter(_._2 < k)
     // same rate inputs → same threshold: the predicate is pushed into
     // the DELTA scan; the base is never touched
     val deltaSample = sampleOf(delta, newTotal, keyCols, cap)
-    val all = kept ++ deltaSample.rows.zip(deltaSample.hashes)
+    val all = kept ++
+      deltaSample.rows.lazyZip(deltaSample.hashes).lazyZip(deltaSample.ids)
+        .toVector
     RelSample(all.map(_._1), if (k >= D) 1.0 else k.toDouble / D,
-      all.map(_._2))
+      all.map(_._2), all.map(_._3))
   }
 
   /** Deterministic hash sample of `rel` (filter applied first — the
-    * two commute for a row-wise hash predicate); see [[sampleOf]]. */
+    * two commute for a row-wise hash predicate); see [[sampleOf]].
+    * Memoized per (dir, rel, filter, keys, cap, FILE LISTING) — the
+    * listing fingerprint is what lets an ingest commit invalidate the
+    * synopsis without anyone wiring an explicit hook. */
   def sampleRel(spark: SparkSession, sfDir: String, rel: String,
       filter: Option[String], keyCols: Seq[String], cap: Int): RelSample =
     cache.computeIfAbsent(
-      (sfDir, rel, filter.getOrElse(""), keyCols.sorted.mkString(","), cap), _ => {
+      (sfDir, rel, filter.getOrElse(""), keyCols.sorted.mkString(","), cap,
+        listingFp(sfDir, rel)), _ => {
         val base = AliasedRels.load(spark, sfDir, rel)
         val total = AliasedRels.rowCount(spark, sfDir, rel).toDouble
         val filtered = filter.map(f => base.where(expr(f))).getOrElse(base)
@@ -130,10 +179,14 @@ object SampleEstimator {
     }
 
   /** The sample-synopsis [[Cardinality]]: subset rows = the subset's
-    * join executed over the driver-held samples, scaled by Π 1/pᵢ,
-    * floored at 1; per-subset results memoized (DP enumerators ask for
-    * each connected subset many times). NDVs delegate to the measured
-    * profiles — sampling estimates cardinality, not key distinctness. */
+    * join executed over the driver-held samples, each joined tuple
+    * weighted by Π 1/p over its DISTINCT base rows (self-join-aware —
+    * see the object doc), floored at 1; per-subset results memoized
+    * (DP enumerators ask for each connected subset many times). NDVs
+    * delegate to the measured profiles — sampling estimates
+    * cardinality, not key distinctness. Sample values are keyed by
+    * (vertex, column) driver-side, so repeated tables and shared
+    * column names across relations are safe by construction. */
   def cardinality(spark: SparkSession, sfDir: String, g: QueryGraph,
       filters: Vector[Option[String]], profiles: Vector[StatsEstimator.Profile],
       cap: Int = 2000): Cardinality = {
@@ -141,12 +194,32 @@ object SampleEstimator {
     val samples = Vector.tabulate(g.n)(i =>
       sampleRel(spark, sfDir, g.relations(i), filters.lift(i).flatten,
         keyCols(i), cap))
+    // population index: vertices of the same BASE table sample the
+    // same rows under the same hash threshold, so a shared row id is
+    // one inclusion event, not two
+    val popNames = g.relations.map(AliasedRels.baseOf).distinct
+    val popOf = Array.tabulate(g.n)(i =>
+      popNames.indexOf(AliasedRels.baseOf(g.relations(i))))
     val memo = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
+
+    // one in-flight tuple of the sampled join: values keyed by
+    // (vertex, column); the distinct (population, rowId) set that
+    // prices it
+    final case class Tup(vals: Map[(Int, String), Any], rows: Set[(Int, Long)])
 
     def estimate(s: Long): Double = {
       val first = java.lang.Long.numberOfTrailingZeros(s)
       var inSet = 1L << first
-      var cur = samples(first).rows
+      def tuplesOf(v: Int): Vector[Tup] = {
+        val sm = samples(v)
+        sm.rows.lazyZip(
+          if (sm.ids.size == sm.rows.size) sm.ids
+          else Vector.tabulate(sm.rows.size)(_.toLong)).toVector.map {
+          case (r, id) =>
+            Tup(r.map { case (c, x) => (v, c) -> x }, Set(popOf(v) -> id))
+        }
+      }
+      var cur = tuplesOf(first)
       val used = scala.collection.mutable.BitSet.empty
       var changed = true
       while (changed) {
@@ -156,36 +229,41 @@ object SampleEstimator {
             val aIn = (inSet & (1L << e.a)) != 0
             val bIn = (inSet & (1L << e.b)) != 0
             if (aIn && bIn) { // closing edge of a cycle: post-filter
-              cur = cur.filter(r => e.conds.forall { case (ca, cb) =>
-                val va = r(ca); val vb = r(cb)
+              cur = cur.filter(t => e.conds.forall { case (ca, cb) =>
+                val va = t.vals((e.a, ca)); val vb = t.vals((e.b, cb))
                 va != null && va == vb
               })
               used += idx; changed = true
             } else if (aIn || bIn) { // grow the joined set by one relation
-              val (next, curCols, nextCols) =
-                if (aIn) (e.b, e.conds.map(_._1), e.conds.map(_._2))
-                else (e.a, e.conds.map(_._2), e.conds.map(_._1))
-              val index = samples(next).rows
-                .filter(r => nextCols.forall(r(_) != null))
-                .groupBy(r => nextCols.map(r(_)))
-              cur = cur.flatMap { r =>
-                val key = curCols.map(r(_))
+              val (next, curKey, nextCols) =
+                if (aIn) (e.b, e.conds.map(c => (e.a, c._1)), e.conds.map(_._2))
+                else (e.a, e.conds.map(c => (e.b, c._2)), e.conds.map(_._1))
+              val index = tuplesOf(next)
+                .filter(t => nextCols.forall(c => t.vals((next, c)) != null))
+                .groupBy(t => nextCols.map(c => t.vals((next, c))))
+              cur = cur.flatMap { t =>
+                val key = curKey.map(t.vals(_))
                 if (key.exists(_ == null)) Vector.empty
-                else index.getOrElse(key, Vector.empty).map(o => r ++ o)
+                else index.getOrElse(key, Vector.empty).map(o =>
+                  Tup(t.vals ++ o.vals, t.rows ++ o.rows))
               }
               inSet |= 1L << next; used += idx; changed = true
             }
           }
         }
       }
-      var scale = 1.0
-      var rest = s
-      while (rest != 0) {
-        val i = java.lang.Long.numberOfTrailingZeros(rest)
-        scale /= samples(i).p
-        rest &= rest - 1
+      // Π over vertices of 1/p, deduplicated to distinct base rows:
+      // within one population every vertex's p is identical (same
+      // total, same cap ⇒ same threshold), so each distinct row
+      // contributes that population's 1/p exactly once
+      val popP = Array.tabulate(popNames.size) { pi =>
+        (0 until g.n).find(v => popOf(v) == pi && ((s >> v) & 1L) == 1L)
+          .map(samples(_).p).getOrElse(1.0)
       }
-      math.max(cur.size * scale, 1.0)
+      val total = cur.iterator.map { t =>
+        t.rows.iterator.map { case (pop, _) => 1.0 / popP(pop) }.product
+      }.sum
+      math.max(total, 1.0)
     }
 
     new Cardinality {

@@ -243,7 +243,9 @@ class EnumeratorsSpec extends AnyFunSuite {
     val rnd = new Random(3)
     val g = randomGraph(14, 0, rnd) // 13 edges ≥ default max 12
     val card = randomCard(g, rnd)
-    assertThrows[IllegalArgumentException] {
+    // the DEDICATED refusal type — the experiment loop records exactly
+    // this as PLANNING-REFUSED and lets every other failure propagate
+    assertThrows[PlanningRefused] {
       Enumerators.BranchAndBound().plan(g, card, CostModel.Cout)
     }
   }

@@ -245,26 +245,82 @@ class GraftJoinReorderSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("sample mode falls back safely when the query repeats a table") {
-    // two lineitem scans: key-column names collide in the driver-side
-    // synopsis join, so sampleCardinality must return None (→ plan
-    // stats), not throw — the self-join still answers exactly
+  test("sample mode plans repeated-table SQL from synopses, answers exactly") {
+    // two lineitem scans used to force a fallback to plan stats (key
+    // columns collided in the synopsis join); SampleEstimator now
+    // keys values by (vertex, column), so the self-join plans from
+    // synopses — and must still answer exactly
+    val sql =
+      """SELECT count(*) AS c
+         FROM lineitem a, lineitem b, orders
+         WHERE a.l_orderkey = b.l_orderkey
+           AND b.l_orderkey = o_orderkey AND a.l_quantity > 45
+           AND b.l_quantity > 45"""
     spark.conf.set("spark.graft.joinReorder.stats", "sample")
     try {
-      val cnt = spark.sql(
-        """SELECT count(*) AS c
-           FROM lineitem a, lineitem b, orders
-           WHERE a.l_orderkey = b.l_orderkey
-             AND b.l_orderkey = o_orderkey AND a.l_quantity > 45
-             AND b.l_quantity > 45""").collect().head.getLong(0)
+      val cnt = spark.sql(sql).collect().head.getLong(0)
       spark.conf.unset("spark.graft.joinReorder.stats")
-      val expect = spark.sql(
-        """SELECT count(*) AS c
-           FROM lineitem a, lineitem b, orders
-           WHERE a.l_orderkey = b.l_orderkey
-             AND b.l_orderkey = o_orderkey AND a.l_quantity > 45
-             AND b.l_quantity > 45""").collect().head.getLong(0)
+      val expect = spark.sql(sql).collect().head.getLong(0)
       assert(cnt == expect)
+    } finally spark.conf.unset("spark.graft.joinReorder.stats")
+  }
+
+  /** [[joinSignature]] with MULTIPLICITY: per-join member lists keep
+    * repeated leaf names (a repeated-table tree's members would
+    * collapse in a Set). */
+  private def joinSignatureMulti(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      Vector[List[String]] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def leafName(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+        Option[String] = p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map { r =>
+            val s = r.toString
+            s.substring(s.lastIndexOf('/') + 1).stripSuffix(".parquet")
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+    plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.collectLeaves().flatMap(leafName).sorted.toList
+    }.toVector.sortBy(_.mkString(","))
+  }
+
+  test("p21: repeated-table SQL under stats=sample picks the DataFrame-path DPccp structure") {
+    // plan p21's aliased twin graph directly (DPccp over the sample-
+    // synopsis estimator) — the in-SQL rule must choose the same join
+    // structure for the same query, repeated table and all
+    val (g, filters) = PlannerQueries.repeatGraph
+    val profiles = g.relations.map(n =>
+      AliasedRels.profile(spark, sfDir, n)).toVector
+    val card = SampleEstimator.cardinality(spark, sfDir, g, filters, profiles)
+    val planned = Enumerators.DPccp.plan(g, card, CostModel.Cout)
+    def treeSig(t: JoinTree): Vector[List[String]] = t match {
+      case Leaf(_) => Vector.empty
+      case n @ Node(l, r) =>
+        def names(s: Long): List[String] =
+          (0 until g.n).filter(i => ((s >> i) & 1L) == 1L)
+            .map(i => AliasedRels.baseOf(g.relations(i))).sorted.toList
+        treeSig(l) ++ treeSig(r) :+ names(n.set)
+    }
+    val expected = treeSig(planned.tree).sortBy(_.mkString(","))
+    spark.conf.set("spark.graft.joinReorder.stats", "sample")
+    try {
+      val qe = spark.sql(PlannerQueries.repeatSql).queryExecution
+      val got = joinSignatureMulti(qe.optimizedPlan)
+      assert(got == expected,
+        s"in-SQL repeated-table order $got != DataFrame-path DPccp $expected")
+      val withStats = spark.sql(PlannerQueries.repeatSql)
+        .collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.graft.joinReorder.enabled", "false")
+      val without = try spark.sql(PlannerQueries.repeatSql)
+        .collect().map(_.toSeq).toSeq
+      finally spark.conf.set("spark.graft.joinReorder.enabled", "true")
+      assert(withStats == without)
     } finally spark.conf.unset("spark.graft.joinReorder.stats")
   }
 

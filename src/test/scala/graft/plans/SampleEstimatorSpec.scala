@@ -142,6 +142,46 @@ class SampleEstimatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(refreshed.p < baseSample.p)
   }
 
+  test("repeated table: near-unique self-join prices distinct rows once") {
+    // lineitem ⋈ lineitem on (l_orderkey, l_partkey) — a near-unique
+    // composite, so the truth is diagonal-dominated (≈|A|). Both
+    // vertices sample the SAME rows (one deterministic hash over
+    // values), so a diagonal pair (r, r) survives with probability p,
+    // not p²: the naive Π 1/p-over-VERTICES estimator would land near
+    // (1/p)·truth ≈ 3× here (p ≈ 1/3 at sf0.001). Distinct-row
+    // weighting must keep it near truth.
+    val g = QueryGraph(Vector("lineitem", "lineitem@2"),
+      Vector(JoinEdge(0, 1, Seq(
+        "l_orderkey" -> "l_orderkey_a2", "l_partkey" -> "l_partkey_a2"))))
+    val none = Vector(None, None)
+    val est = SampleEstimator.cardinality(
+      spark, sfDir, g, none, profilesOf(g))(3L)
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    import org.apache.spark.sql.functions.{col, sum}
+    val truth = li.groupBy("l_orderkey", "l_partkey").count()
+      .agg(sum(col("count") * col("count"))).head.getLong(0).toDouble
+    assert(est / truth < 1.25 && truth / est < 1.25,
+      s"self-join estimate $est vs truth $truth (naive vertex scaling " +
+        "would land near 3× truth)")
+  }
+
+  test("repeated table: fanning self-join estimate tracks Σc² truth") {
+    // the grouped form (many rows per order): truth = Σ per-key c².
+    // The naive vertex scaling's bias is +|A|·(1/p−1) ≈ +12,000 on a
+    // ≈24,000 truth (~1.5×) — the distinct-row weight must not pay it.
+    val g = QueryGraph(Vector("lineitem", "lineitem@2"),
+      Vector(JoinEdge(0, 1, Seq("l_orderkey" -> "l_orderkey_a2"))))
+    val none = Vector(None, None)
+    val est = SampleEstimator.cardinality(
+      spark, sfDir, g, none, profilesOf(g))(3L)
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    import org.apache.spark.sql.functions.{col, sum}
+    val truth = li.groupBy("l_orderkey").count()
+      .agg(sum(col("count") * col("count"))).head.getLong(0).toDouble
+    assert(est / truth < 1.3 && truth / est < 1.3,
+      s"grouped self-join estimate $est vs truth $truth")
+  }
+
   test("sampled facts scale by 1/p: lineitem singleton within 25% of truth") {
     val g = QueryGraph(Vector("lineitem"), Vector.empty)
     // no edges -> no key columns; the sample is count-only
