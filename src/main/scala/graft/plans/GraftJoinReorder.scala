@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 
@@ -147,12 +147,13 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
     val statsMode =
       conf.getConfString("spark.graft.joinReorder.stats", "plan")
     val keyed = edges.forall(_.conds.nonEmpty)
-    val card = (statsMode match {
+    val cardOpt = statsMode match {
       case "measured" if keyed => measuredCardinality(g, rels)
       case "hist" if keyed => measuredCardinality(g, rels, hist = true)
       case "sample" if keyed => sampleCardinality(g, rels)
       case _ => None
-    }).getOrElse {
+    }
+    val card = cardOpt.getOrElse {
       // rowCount when the plan supplies it, sizeInBytes proxy
       // otherwise — bytes are monotone-consistent but skew the PK–FK
       // selectivity toward WIDE tables (a 40-column dim can
@@ -188,6 +189,21 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
         s"current=$currentCost tree=${tree.describe(g)}")
     if (chosenCost >= currentCost) return None
 
+    // PHYSICAL steering from the ladder's estimates (the MM cost
+    // model's hash-vs-INL choice has this role in the reference,
+    // MyMetadataQuery.java:164-196): when a side's ESTIMATED bytes
+    // (estimated rows × measured per-row width) fit under the
+    // broadcast threshold, attach a BROADCAST hint — plan-stats sizes
+    // can't see filter selectivity without CBO, so a tiny-after-filter
+    // side would otherwise sort-merge. Only estimate-backed modes
+    // qualify; an estimate is strictly better information than the
+    // byte-proxy Spark would use.
+    val widths: Option[Array[Double]] =
+      if (cardOpt.isEmpty || conf.autoBroadcastJoinThreshold <= 0 ||
+          !conf.getConfString(
+            "spark.graft.joinReorder.broadcastHints", "true").toBoolean) None
+      else leafWidths(rels)
+
     def build(t: JoinTree): LogicalPlan = t match {
       case Leaf(i) => rels(i)
       case Node(l, r) =>
@@ -199,7 +215,23 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
                 (in(l.set, b) && in(r.set, a)) => cs
         }.flatten.toSeq
         val cond = conds.reduceOption(And)
-        val join = Join(lp, rp, Inner, cond, JoinHint.NONE)
+        val hint = widths.map { w =>
+          def estBytes(s: Long): Double = {
+            var width = 0.0; var rest = s
+            while (rest != 0) {
+              width += w(java.lang.Long.numberOfTrailingZeros(rest))
+              rest &= rest - 1
+            }
+            card(s) * width
+          }
+          val (bl, br) = (estBytes(l.set), estBytes(r.set))
+          val th = conf.autoBroadcastJoinThreshold.toDouble
+          val info = HintInfo(strategy = Some(BROADCAST))
+          if (math.min(bl, br) > th) JoinHint.NONE
+          else if (bl <= br) JoinHint(Some(info), None)
+          else JoinHint(None, Some(info))
+        }.getOrElse(JoinHint.NONE)
+        val join = Join(lp, rp, Inner, cond, hint)
         join.setTagValue(REORDERED, true)
         join
     }
@@ -257,6 +289,33 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
       }
     case _ => None
   }
+
+  /** Per-leaf bytes-per-row for the broadcast-hint arithmetic: the
+    * leaf's plan-stats sizeInBytes (column pruning already applied by
+    * Catalyst's size visitor) over the table's MEASURED row count —
+    * the profile is memoized, so this re-reads a cached number. None
+    * when any leaf isn't a plain scan (no hints rather than wrong
+    * ones). */
+  private def leafWidths(rels: Vector[LogicalPlan]): Option[Array[Double]] =
+    try {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = Array.ofDim[Double](rels.size)
+      var i = 0
+      while (i < rels.size) {
+        baseScanOf(rels(i)) match {
+          case None => return None
+          case Some(path) =>
+            val slash = path.lastIndexOf('/')
+            val p = StatsEstimator.profileTable(spark,
+              path.substring(0, slash),
+              path.substring(slash + 1).stripSuffix(".parquet"))
+            out(i) = math.max(
+              rels(i).stats.sizeInBytes.toDouble / math.max(p.rows, 1.0), 1.0)
+        }
+        i += 1
+      }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The measured-stats [[Cardinality]]: per-leaf [[TableStats]]
     * profiles (memoized — ANALYZE runs once per table, plans are made

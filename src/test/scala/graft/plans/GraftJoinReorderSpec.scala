@@ -324,6 +324,38 @@ class GraftJoinReorderSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.joinReorder.stats")
   }
 
+  test("broadcast hints: ladder estimates force BHJ where plan-stats sizes sort-merge") {
+    // threshold 500 B sits BETWEEN the filtered region side's
+    // estimated bytes (1 row × ~190 B/row measured width after the
+    // r_name = 'ASIA' filter) and every leaf's plan-stats sizeInBytes
+    // (the PRUNED region scan still sizes ~940 B; non-CBO Filter stats
+    // pass the child size through) — so without the hint nothing
+    // broadcasts statically, and with it the region join becomes a BHJ
+    val prevTh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "500")
+    spark.conf.set("spark.graft.joinReorder.stats", "measured")
+    try {
+      def bhjCount() = spark.sql(adversarialFlagshipSql).queryExecution
+        .sparkPlan.toString.sliding("BroadcastHashJoin".length)
+        .count(_ == "BroadcastHashJoin")
+      val hinted = bhjCount()
+      assert(hinted > 0, "estimate-backed hint must produce a static BHJ")
+      val withHints = spark.sql(adversarialFlagshipSql)
+        .collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.graft.joinReorder.broadcastHints", "false")
+      assert(bhjCount() == 0,
+        "without hints, plan-stats sizes must pick SMJ at this threshold " +
+          "(otherwise this test proves nothing)")
+      val without = spark.sql(adversarialFlagshipSql)
+        .collect().map(_.toSeq).toSeq
+      assert(withHints == without, "hints may steer physics, never answers")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevTh)
+      spark.conf.unset("spark.graft.joinReorder.stats")
+      spark.conf.unset("spark.graft.joinReorder.broadcastHints")
+    }
+  }
+
   test("non-equi multiway join does not break") {
     val rows = spark.sql(
       """SELECT count(*) AS c FROM region a, region b, region c
