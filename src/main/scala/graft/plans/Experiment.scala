@@ -496,6 +496,33 @@ object ExperimentMain {
         f"samplest-plan-cost=${r.estPlanCost}%14.1f " +
         f"opt-plan-cost=${r.optPlanCost}%14.1f regret=${r.regret}%6.3f")
     }
+    // fifth leg: stats=AUTO — histograms by default, per-query
+    // escalation to the sample tier when the AutoEstimator trigger
+    // fires (a ≤4-subset whose sample and independence estimates
+    // disagree ≥10×). The measurement asks: does routing recover
+    // ≈samplest regret while paying sample-collection scans only for
+    // the flagged queries?
+    val autoBuilt = built.map(_._1).map { q =>
+      val profiles = q.graph.relations.map(n =>
+        AliasedRels.profile(spark, sfDir, n, hist = true)).toVector
+      val (card, escalated) = AutoEstimator.cardinality(
+        spark, sfDir, q.graph, q.filters, profiles)
+      (q.copy(estCard = card), escalated)
+    }
+    autoBuilt.foreach { case (q, esc) =>
+      println(s"AUTO ${q.name}: ${if (esc) "ESCALATED (sample tier)"
+        else "histogram tier"}")
+    }
+    println(s"AUTO escalated ${autoBuilt.count(_._2)} of ${autoBuilt.size} " +
+      "queries (only those paid per-(table, filter) sample collection)")
+    val regretsAuto = costModels.flatMap(cm =>
+      Experiment.cardinalityRegret(autoBuilt.map(_._1), planners, cm,
+        cache = Some(cache), estTag = "autoest"))
+    regretsAuto.foreach { r =>
+      println(f"${r.query}%-10s ${r.planner}%-10s ${r.costModel}%-5s " +
+        f"autoest-plan-cost=${r.estPlanCost}%14.1f " +
+        f"opt-plan-cost=${r.optPlanCost}%14.1f regret=${r.regret}%6.3f")
+    }
     cache.save()
     // the cache's own contract, printed for the artifact reader: a warm
     // second run must show planned=0, and the plan digest — everything
@@ -510,6 +537,8 @@ object ExperimentMain {
         regretsHist.map(r => s"hist|${r.query}|${r.planner}|" +
           s"${r.costModel}|${r.estPlanCost}|${r.optPlanCost}") ++
         regretsSample.map(r => s"sample|${r.query}|${r.planner}|" +
+          s"${r.costModel}|${r.estPlanCost}|${r.optPlanCost}") ++
+        regretsAuto.map(r => s"auto|${r.query}|${r.planner}|" +
           s"${r.costModel}|${r.estPlanCost}|${r.optPlanCost}"))
         .sorted.mkString(";")
       java.security.MessageDigest.getInstance("MD5")
@@ -522,7 +551,10 @@ object ExperimentMain {
         s""""regrets":${Experiment.regretsToJson(regrets)},""" +
         s""""regrets_statsest":${Experiment.regretsToJson(regretsStats)},""" +
         s""""regrets_histest":${Experiment.regretsToJson(regretsHist)},""" +
-        s""""regrets_samplest":${Experiment.regretsToJson(regretsSample)}}""")
+        s""""regrets_samplest":${Experiment.regretsToJson(regretsSample)},""" +
+        s""""regrets_auto":${Experiment.regretsToJson(regretsAuto)},""" +
+        s""""auto_escalated":${autoBuilt.filter(_._2).map(q =>
+          "\"" + q._1.name + "\"").mkString("[", ",", "]")}}""")
     println(s"wrote $out")
     spark.stop()
   }

@@ -147,10 +147,17 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
     val statsMode =
       conf.getConfString("spark.graft.joinReorder.stats", "plan")
     val keyed = edges.forall(_.conds.nonEmpty)
+    // "auto" routes per query: histogram estimates by default,
+    // escalated to sample synopses when the AutoEstimator trigger
+    // detects cross-relation correlation (a ≤3-subset whose sample
+    // and independence estimates disagree ≥10×) — the measured
+    // default-vs-insurance split from EXPERIMENT_r12 §2, now a
+    // decision instead of a knob
     val cardOpt = statsMode match {
       case "measured" if keyed => measuredCardinality(g, rels)
       case "hist" if keyed => measuredCardinality(g, rels, hist = true)
       case "sample" if keyed => sampleCardinality(g, rels)
+      case "auto" if keyed => autoCardinality(g, rels)
       case _ => None
     }
     val card = cardOpt.getOrElse {
@@ -289,6 +296,56 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
       }
     case _ => None
   }
+
+  /** stats=auto in the optimizer: resolve leaves like the other
+    * modes, estimate from HISTOGRAM profiles by default, and escalate
+    * to [[sampleCardinality]] only when [[AutoEstimator]]'s
+    * correlation trigger fires on the query — evaluated driver-side
+    * against the amortized unfiltered full-width synopses, so an
+    * unflagged query never pays a sample-collection scan. None (→
+    * plan stats) only when a leaf isn't a plain filtered scan. */
+  private def autoCardinality(
+      g: QueryGraph, rels: Vector[LogicalPlan]): Option[Cardinality] =
+    try {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val names = Vector.newBuilder[String]
+      val dirs = Vector.newBuilder[String]
+      val conjs = Vector.newBuilder[Seq[Expression]]
+      val profiles = Vector.newBuilder[StatsEstimator.Profile]
+      rels.foreach { leaf =>
+        baseScanOf(leaf) match {
+          case None => return None
+          case Some(path) =>
+            val slash = path.lastIndexOf('/')
+            val dir = path.substring(0, slash)
+            names += path.substring(slash + 1).stripSuffix(".parquet")
+            dirs += dir
+            conjs += leaf.collect {
+              case Filter(c, _) => splitConjunctivePredicates(c)
+            }.flatten
+            profiles += StatsEstimator.profileTableHist(spark, dir,
+              path.substring(slash + 1).stripSuffix(".parquet"))
+        }
+      }
+      val (ns, ds, cs, ps) =
+        (names.result(), dirs.result(), conjs.result(), profiles.result())
+      val sels = Vector.tabulate(g.n)(i =>
+        cs(i).map(StatsEstimator.selectivityOfCatalyst(ps(i))).product)
+      val hist = StatsEstimator.cardinalityWithSel(g, ps, sels)
+      if (ds.distinct.size != 1) return Some(hist) // no synopsis dir: stay hist
+      val vf = Vector.tabulate(g.n)(i => AutoEstimator.fromCatalyst(cs(i), ps(i)))
+      val flags = AutoEstimator.escalationFlags(spark, ds.head,
+        g.copy(relations = ns), vf, hist)
+      if (GraftJoinReorder.debug && flags.nonEmpty)
+        println(s"[graft-reorder] auto escalated: ${flags.size} flagged subsets")
+      if (flags.isEmpty) Some(hist)
+      else sampleCardinality(g, rels).orElse(Some(hist))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (GraftJoinReorder.debug)
+          println(s"[graft-reorder] auto fallback: $e")
+        None
+    }
 
   /** Per-leaf bytes-per-row for the broadcast-hint arithmetic: the
     * leaf's plan-stats sizeInBytes (column pruning already applied by

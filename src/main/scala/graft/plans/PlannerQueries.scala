@@ -138,7 +138,13 @@ object PlannerQueries {
     // samples instead of falling back to plan stats.
     // GraftJoinReorderSpec pins the chosen join structure equals the
     // DataFrame-path DPccp's on the aliased twin graph.
-    "p21_planner_insql_repeat" -> (runRepeatSql _)
+    "p21_planner_insql_repeat" -> (runRepeatSql _),
+    // p22: the flagship as SQL text under stats=auto — the estimator
+    // ladder as a per-query ROUTING decision (histograms by default,
+    // sample synopses when the AutoEstimator correlation trigger
+    // fires). Same oracle: routing moves plans, never answers.
+    "p22_planner_insql_auto" ->
+      ((s: SparkSession, d: String) => runFlagshipSql(s, d, "auto"))
   )
 
   /** p17's body: register the (alias-suffixed) relations as temp

@@ -194,6 +194,26 @@ object SampleEstimator {
     val samples = Vector.tabulate(g.n)(i =>
       sampleRel(spark, sfDir, g.relations(i), filters.lift(i).flatten,
         keyCols(i), cap))
+    val est = subsetEstimator(g, samples, Vector.fill(g.n)(1.0))
+    new Cardinality {
+      def apply(s: Long): Double = est(s)
+      override def ndv(vertex: Int, cols: Seq[String]): Double = {
+        val p = profiles(vertex)
+        val per = cols.map(c => p.cols.get(c).map(_.ndv).getOrElse(p.rows))
+        math.min(per.product, math.max(p.rows, 1.0))
+      }
+    }
+  }
+
+  /** The core subset-join estimator over ALREADY-COLLECTED synopses
+    * (memoized per mask): execute the subset's join driver-side,
+    * weight each tuple by Π 1/p over its distinct base rows, multiply
+    * by each member's `extraSel` (a residual selectivity for filter
+    * conjuncts applied OUTSIDE the synopsis — 1.0 when the synopsis
+    * rows are already fully filtered), floor at 1. Shared by
+    * [[cardinality]] and [[AutoEstimator]]'s escalation trigger. */
+  private[plans] def subsetEstimator(g: QueryGraph, samples: Vector[RelSample],
+      extraSel: Vector[Double]): Long => Double = {
     // population index: vertices of the same BASE table sample the
     // same rows under the same hash threshold, so a shared row id is
     // one inclusion event, not two
@@ -263,17 +283,15 @@ object SampleEstimator {
       val total = cur.iterator.map { t =>
         t.rows.iterator.map { case (pop, _) => 1.0 / popP(pop) }.product
       }.sum
-      math.max(total, 1.0)
+      var sel = 1.0
+      var rest2 = s
+      while (rest2 != 0) {
+        sel *= extraSel(java.lang.Long.numberOfTrailingZeros(rest2))
+        rest2 &= rest2 - 1
+      }
+      math.max(total * sel, 1.0)
     }
 
-    new Cardinality {
-      def apply(s: Long): Double =
-        memo.computeIfAbsent(s, estimate(_))
-      override def ndv(vertex: Int, cols: Seq[String]): Double = {
-        val p = profiles(vertex)
-        val per = cols.map(c => p.cols.get(c).map(_.ndv).getOrElse(p.rows))
-        math.min(per.product, math.max(p.rows, 1.0))
-      }
-    }
+    (s: Long) => memo.computeIfAbsent(s, estimate(_))
   }
 }

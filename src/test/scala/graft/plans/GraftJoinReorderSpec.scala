@@ -232,9 +232,9 @@ class GraftJoinReorderSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.graft.joinReorder.enabled", "true")
   }
 
-  test("hist and sample stats modes answer identically and reorder") {
+  test("hist, sample, and auto stats modes answer identically and reorder") {
     val plain = spark.sql(flagshipSql).collect().map(_.toSeq).toSeq
-    Seq("hist", "sample").foreach { mode =>
+    Seq("hist", "sample", "auto").foreach { mode =>
       spark.conf.set("spark.graft.joinReorder.stats", mode)
       try {
         assert(crossJoins(badOrderSql) == 0,
