@@ -110,6 +110,94 @@ object Deletes {
       v1Files.filterNot(affected) ++ rewritten)
   }
 
+  /** The POSITION-delete manifest committed with a version (the
+    * Iceberg position-delete-file analog: rows of (file, pos)). */
+  def posDeletesPath(dir: String, version: Int): String =
+    dir + s"_posdeletes_v$version"
+
+  /** The positional-delete three-commit chain — the OTHER half of the
+    * standard v2 table-format delete surface beside [[commitChain]]'s
+    * equality deletes, and the cheap path when the offender rows are
+    * already LOCATED: v2 commits only (file, row-position) pairs (the
+    * one locating scan uses the parquet `_metadata.file_path` +
+    * `_metadata.row_index` columns — positions are stable because
+    * data files are immutable); v3 is the same file-level CoW
+    * compaction as the equality chain (affected files = the manifest's
+    * DISTINCT file list, a metadata-sized driver set — no join needed
+    * to find them, which is exactly why positional is the cheap
+    * form). */
+  private[sources] def commitChainPositional(
+      spark: SparkSession, dir: String,
+      base: DataFrame, offenders: org.apache.spark.sql.Column): Unit = {
+    base.select(Cols.map(col): _*)
+      .repartition(Files, col("doc_id"))
+      .write.mode("overwrite").parquet(dir)
+    val v1Files = dataFiles(spark, dir)
+    writeManifest(spark, manifestPath(dir, 1), v1Files)
+    // v2: locate once, commit positions — data files unchanged
+    val keyed = spark.read.parquet(v1Files.map(dir + "/" + _): _*)
+      .withColumn("fname",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("pos", col("_metadata.row_index"))
+    keyed.filter(offenders)
+      .select(col("fname").as("file"), col("pos"))
+      .coalesce(1).write.mode("overwrite").parquet(posDeletesPath(dir, 2))
+    writeManifest(spark, manifestPath(dir, 2), v1Files)
+    // v3: copy-on-write — affected files read straight off the
+    // manifest, survivors of ONLY those files rewritten
+    val dels = spark.read.parquet(posDeletesPath(dir, 2))
+      .withColumnRenamed("pos", "dpos")
+    val affected = dels.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val before = dataFiles(spark, dir).toSet
+    keyed.filter(col("fname").isin(affected.toSeq: _*))
+      .join(broadcast(dels),
+        col("fname") === col("file") && col("pos") === col("dpos"),
+        "left_anti")
+      .select(Cols.map(col): _*)
+      .write.mode("append").parquet(dir)
+    val rewritten = dataFiles(spark, dir).filterNot(before)
+    writeManifest(spark, manifestPath(dir, 3),
+      v1Files.filterNot(affected) ++ rewritten)
+  }
+
+  /** Read AS OF `version` under POSITIONAL deletes: that manifest's
+    * files minus its (file, row-position) pairs — the row identity is
+    * recomputed from the same metadata columns the locator used, and
+    * the pair manifest is takedown-sized, so the anti-join
+    * broadcasts. Versions without a position manifest (v1 history,
+    * v3 post-compaction) read plain. */
+  def readAtPos(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    val files = filesOf(spark, dir, version)
+    require(files.nonEmpty, s"manifest v$version lists no files")
+    val df = spark.read.parquet(files: _*)
+    val ppath = posDeletesPath(dir, version)
+    if (!FsUtil.exists(spark, ppath + "/_SUCCESS")) df
+    else {
+      val dels = spark.read.parquet(ppath)
+        .withColumnRenamed("file", "dfile").withColumnRenamed("pos", "dpos")
+      df.withColumn("__fname",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(broadcast(dels),
+          col("__fname") === col("dfile") && col("__pos") === col("dpos"),
+          "left_anti")
+        .drop("__fname", "__pos")
+    }
+  }
+
+  /** The positional gate artifact: same takedown predicate as the
+    * equality chain, committed as located (file, pos) pairs. */
+  def writeTakedownPositionalVersions(
+      spark: SparkSession, sfDir: String): String = {
+    val dir = tmp("documents_pos_" + FsUtil.sanitize(sfDir))
+    if (!FsUtil.exists(spark, manifestPath(dir, 3) + "/_SUCCESS"))
+      commitChainPositional(spark, dir,
+        Tables.load(spark, sfDir, "documents"),
+        col("doc_id") % TakedownMod === 0)
+    dir
+  }
+
   /** The gate artifact: documents under a `doc_id % TakedownMod = 0`
     * takedown, all three versions committed. Idempotent per sfDir. */
   def writeTakedownVersions(spark: SparkSession, sfDir: String): String = {
@@ -219,10 +307,25 @@ object Deletes {
   def takedownCompactRead(spark: SparkSession, sfDir: String): DataFrame =
     readAt(spark, writeTakedownVersions(spark, sfDir), 3)
 
+  /** q155: the POSITIONAL merge-on-read takedown — v2's files with the
+    * located (file, row-position) pairs anti-joined out. Same oracle
+    * as q149: equality and positional deletes of the same offenders
+    * must agree exactly. */
+  def takedownPositionalRead(spark: SparkSession, sfDir: String): DataFrame =
+    readAtPos(spark, writeTakedownPositionalVersions(spark, sfDir), 2)
+
+  /** q156: the positional chain after its CoW compaction — v3 reads
+    * plain (no merge work left), still the same oracle. */
+  def takedownPositionalCompact(
+      spark: SparkSession, sfDir: String): DataFrame =
+    readAtPos(spark, writeTakedownPositionalVersions(spark, sfDir), 3)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_takedown_read" -> (takedownRead _),
     "q150_takedown_compact" -> (takedownCompactRead _),
-    "q153_stats_after_takedown" -> (takedownStatsRollup _)
+    "q153_stats_after_takedown" -> (takedownStatsRollup _),
+    "q155_takedown_positional" -> (takedownPositionalRead _),
+    "q156_takedown_pos_compact" -> (takedownPositionalCompact _)
   )
 
   private[sources] val takedownOracle: String =
@@ -232,6 +335,8 @@ object Deletes {
   def oracleSql: Map[String, String] = Map(
     "q149_takedown_read" -> takedownOracle,
     "q150_takedown_compact" -> takedownOracle,
+    "q155_takedown_positional" -> takedownOracle,
+    "q156_takedown_pos_compact" -> takedownOracle,
     "q153_stats_after_takedown" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
                  min(n_chars) AS min_chars, max(n_chars) AS max_chars

@@ -68,6 +68,60 @@ class DeletesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(key(Deletes.statsManifestAt(spark, sfDir, 2)) == v1)
   }
 
+  test("positional deletes: merge-on-read, CoW, and equality all agree") {
+    val dir = Deletes.writeTakedownPositionalVersions(spark, sfDir)
+    val base = Tables.load(spark, sfDir, "documents")
+    val want = rows(base.filter(col("doc_id") % Deletes.TakedownMod =!= 0))
+    assert(rows(Deletes.readAtPos(spark, dir, 2)) == want,
+      "v2 positional merge-on-read")
+    assert(rows(Deletes.readAtPos(spark, dir, 3)) == want,
+      "v3 positional copy-on-write")
+    assert(rows(Deletes.readAtPos(spark, dir, 1)) == rows(base),
+      "v1 history intact")
+    // the two delete FORMS of the same offenders agree exactly
+    val eqDir = Deletes.writeTakedownVersions(spark, sfDir)
+    assert(rows(Deletes.readAt(spark, eqDir, 2)) == want)
+    // the position manifest is (file, pos) pairs, one per offender —
+    // the locating scan ran once; nothing is keyed
+    val dels = spark.read.parquet(Deletes.posDeletesPath(dir, 2))
+    assert(dels.columns.toSet == Set("file", "pos"))
+    assert(dels.count() ==
+      base.filter(col("doc_id") % Deletes.TakedownMod === 0).count())
+  }
+
+  test("positional CoW rewrites only affected files; vacuum honors retention") {
+    val s = spark
+    import s.implicits._
+    val dir = FsUtil.qualified("target/tmp/deletes/spec_fixture_pos")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    (1 to 3).foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(
+        Deletes.manifestPath(dir, v)), true)
+      f.delete(new org.apache.hadoop.fs.Path(
+        Deletes.posDeletesPath(dir, v)), true)
+    }
+    val base = (1L to 60L).map(i =>
+      (i, s"src${i % 3}", "en", i * 10)).toDF(
+      "doc_id", "source", "lang", "n_chars")
+    Deletes.commitChainPositional(spark, dir, base,
+      col("doc_id") % Deletes.TakedownMod === 0)
+    def names(v: Int): Set[String] =
+      spark.read.parquet(Deletes.manifestPath(dir, v))
+        .select("file").collect().map(_.getString(0)).toSet
+    val v1n = names(1); val v3n = names(3)
+    assert((v1n & v3n).nonEmpty, "CoW must keep unaffected files")
+    assert((v3n -- v1n).nonEmpty && (v1n -- v3n).nonEmpty,
+      "CoW must replace the affected files")
+    assert(Deletes.vacuumRetaining(spark, dir, Seq(1, 2, 3)).isEmpty)
+    assert(Deletes.readAtPos(spark, dir, 1).count() == 60)
+    assert(Deletes.readAtPos(spark, dir, 2).count() == 59)
+    val dropped = Deletes.vacuumRetaining(spark, dir, Seq(3))
+    assert(dropped.toSet == (v1n -- v3n), "vacuum drops only superseded")
+    assert(Deletes.readAtPos(spark, dir, 3).count() == 59)
+  }
+
   test("CoW rewrites only affected files; vacuum honors retention") {
     val s = spark
     import s.implicits._
