@@ -432,35 +432,96 @@ object SimilarityOps {
       k: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val all = Persists.barrier(vecs(spark, sfDir))
+    val e = beamEdges(all)
+    beamWalk(all, e, e.agg(min(col("src")).as("node")),
+      nQueries, beam, steps, k)
+  }
+
+  /** s36: MULTI-ENTRY GRAPH-BEAM ANN — s34 with the documented
+    * single-entry fix: the walk starts from s34's entry vertex (the
+    * min graph node) AUGMENTED with `entries` deterministic
+    * farthest-first seeds (s30's maxmin traversal — provably spread,
+    * so a disconnected kNN graph's components each get a chance of
+    * holding an entry), which is how production NSW/HNSW builds lift
+    * the component-confinement ceiling. The seed set is a SUPERSET of
+    * the single-entry start, and everything downstream is s34
+    * verbatim (same beam, steps, scoring grid), so the entry still
+    * HASH-checks: the oracle prefixes s34's unrolled walk with s30's
+    * unrolled maxmin rounds. GraphBeamSpec pins multi-entry recall
+    * ≥ single-entry recall against the brute truth — the measured
+    * payoff the single-entry doc promised.
+    *
+    * Scale shape: s34's exactly — the only addition is the s30 seed
+    * computation, O(entries·n) distance work with no corpus
+    * shuffle, and a frontier that starts entries-wide then is
+    * beam-trimmed on the first step. */
+  def graphBeamAnnMulti(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val e = beamEdges(all)
+    // AUGMENT s34's entry (the min graph node), don't replace it:
+    // the seed set is a superset of the single-entry start, so the
+    // walk keeps every region the single entry reaches and adds the
+    // maxmin-spread ones
+    val ent = e.agg(min(col("src")).as("node"))
+      .unionAll(farthestFirstOn(spark, all, entries)
+        .select(col("vec_id").as("node")))
+      .distinct()
+    beamWalk(all, e, ent, nQueries, beam, steps, k)
+  }
+
+  /** The symmetrized mutual-kNN edge frame shared by s34/s36. */
+  private def beamEdges(all: DataFrame): DataFrame = {
     val edges0 = GraphOps.mutualKnnEdgesOn(all)
-    val e = Persists.barrier(
+    Persists.barrier(
       edges0.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(edges0.select(col("b").as("src"), col("a").as("dst"))))
+  }
+
+  /** The beam walk itself — entry-set-agnostic; s34 passes the min
+    * graph node, s36 the farthest-first seeds. Each entry runs an
+    * INDEPENDENT walk (beam partitioned by (query, entry)) and the
+    * final top-k merges the branch beams: with a shared beam, extra
+    * seeds can evict the stepping stones another entry's path needs
+    * (measured: query 2's only truth hit lost, recall 0.2 → 0.0);
+    * with independent branches the single-entry walk is literally
+    * one branch of the multi-entry run, and any node displacing a
+    * truth member in the merged top-k has strictly higher cosine —
+    * i.e. is itself a truth member — so per-query recall dominance
+    * is a theorem, not an observation. */
+  private def beamWalk(
+      all: DataFrame, e: DataFrame, entryNodes: DataFrame,
+      nQueries: Int, beam: Int, steps: Int, k: Int): DataFrame = {
     val q = Persists.barrier(all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv")))
-    var f: DataFrame = q.crossJoin(
-        broadcast(e.agg(min(col("src")).as("node"))))
-      .select(col("query_id"), col("node"))
+    var f: DataFrame = q.crossJoin(broadcast(entryNodes.select("node")))
+      .select(col("query_id"), col("node").as("entry"), col("node"))
       .localCheckpoint(true)
-    val w = Window.partitionBy("query_id")
+    val w = Window.partitionBy("query_id", "entry")
       .orderBy(col("cosine").desc, col("node"))
     for (_ <- 1 to steps) {
-      val cand = f.select("query_id", "node")
+      val cand = f.select("query_id", "entry", "node")
         .unionAll(f.join(e, f("node") === e("src"))
-          .select(col("query_id"), col("dst").as("node")))
+          .select(col("query_id"), col("entry"), col("dst").as("node")))
         .distinct()
       f = cand
         .join(all.select(col("vec_id").as("node"), col("v")), "node")
         .join(broadcast(q), "query_id")
-        .select(col("query_id"), col("node"),
+        .select(col("query_id"), col("entry"), col("node"),
           round(expr("graft_cosine(qv, v)"), 4).as("cosine"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= beam)
-        .select("query_id", "node", "cosine")
+        .select("query_id", "entry", "node", "cosine")
         .localCheckpoint(true)
     }
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("node"))
     f.filter(col("node") =!= col("query_id"))
-      .withColumn("rank", row_number().over(w))
+      .select("query_id", "node", "cosine").distinct()
+      .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("node").as("neighbor_id"), col("cosine"))
@@ -2432,6 +2493,8 @@ object SimilarityOps {
       knnClassifierEval(s, d)),
     "s34_ann_graph_beam" -> ((s: SparkSession, d: String) =>
       graphBeamAnn(s, d)),
+    "s36_ann_graph_beam_multi" -> ((s: SparkSession, d: String) =>
+      graphBeamAnnMulti(s, d)),
     "s08_ann_ivf_multiprobe" ->
       ((s: SparkSession, d: String) => ivfTopK(s, d, nprobe = MultiProbe)),
     "s09_ann_ivf_trained" ->
@@ -2531,6 +2594,35 @@ object SimilarityOps {
          FROM scored)
      SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10"""
   }
+
+  /** The s34/s36 unrolled beam-walk CTE chain: `steps` rounds of
+    * candidates (frontier ∪ out-neighbors), 4-dp cosine scores, and
+    * the per-(query, entry) top-`beam` trim — entry-set-agnostic
+    * (each entry is an independent branch, mirroring [[beamWalk]]),
+    * expects `e2`, `q`, and `f0 (query_id, entry, node)` upstream. */
+  private def beamStepBlocks(steps: Int, beam: Int): String =
+    (1 to steps).map { i =>
+      s"""c$i AS MATERIALIZED (
+           SELECT DISTINCT query_id, entry, node FROM (
+             SELECT query_id, entry, node FROM f${i - 1}
+             UNION ALL
+             SELECT f.query_id, f.entry, e.dst AS node
+             FROM f${i - 1} f JOIN e2 e ON e.src = f.node)),
+         s$i AS MATERIALIZED (
+           SELECT c.query_id, c.entry, c.node,
+                  round(list_dot_product(q.qv, n.v) /
+                        sqrt(list_sum(list_transform(q.qv, x -> x * x)) *
+                             list_sum(list_transform(n.v, x -> x * x))),
+                        4) AS cosine
+           FROM c$i c
+           JOIN q ON q.query_id = c.query_id
+           JOIN v n ON n.vec_id = c.node),
+         f$i AS MATERIALIZED (
+           SELECT query_id, entry, node, cosine FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id, entry
+               ORDER BY cosine DESC, node) AS rk
+             FROM s$i) WHERE rk <= $beam)"""
+    }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
     "s35_ivf_assign_delta" -> ivfAssignDeltaOracle,
@@ -2794,42 +2886,68 @@ object SimilarityOps {
     // s34: the shared kNN CTEs, the same single entry vertex, and the
     // 6 unrolled beam steps — candidates, 4-dp scores, top-8 — then
     // the self-excluded top-5
-    "s34_ann_graph_beam" -> {
-      val stepBlocks = (1 to 6).map { i =>
-        s"""c$i AS MATERIALIZED (
-             SELECT DISTINCT query_id, node FROM (
-               SELECT query_id, node FROM f${i - 1}
-               UNION ALL
-               SELECT f.query_id, e.dst AS node
-               FROM f${i - 1} f JOIN e2 e ON e.src = f.node)),
-           s$i AS MATERIALIZED (
-             SELECT c.query_id, c.node,
-                    round(list_dot_product(q.qv, n.v) /
-                          sqrt(list_sum(list_transform(q.qv, x -> x * x)) *
-                               list_sum(list_transform(n.v, x -> x * x))),
-                          4) AS cosine
-             FROM c$i c
-             JOIN q ON q.query_id = c.query_id
-             JOIN v n ON n.vec_id = c.node),
-           f$i AS MATERIALIZED (
-             SELECT query_id, node, cosine FROM (
-               SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY cosine DESC, node) AS rk
-               FROM s$i) WHERE rk <= 8)"""
-      }.mkString(",\n")
+    "s34_ann_graph_beam" ->
       s"""WITH ${GraphOps.knnEdgeCtes(None)},
            e2 AS (SELECT a AS src, b AS dst FROM mutual
                   UNION ALL SELECT b, a FROM mutual),
            ent AS (SELECT min(src) AS node FROM e2),
            q AS (SELECT vec_id AS query_id, v AS qv
                  FROM v WHERE vec_id < 5),
-           f0 AS (SELECT q.query_id, ent.node FROM q, ent),
-           $stepBlocks
+           f0 AS (SELECT q.query_id, ent.node AS entry, ent.node
+                  FROM q, ent),
+           ${beamStepBlocks(6, 8)}
          SELECT query_id,
                 CAST(row_number() OVER (PARTITION BY query_id
                   ORDER BY cosine DESC, node) AS INTEGER) AS rank,
                 node AS neighbor_id, cosine
-         FROM f6 WHERE node <> query_id
+         FROM (SELECT DISTINCT query_id, node, cosine FROM f6
+               WHERE node <> query_id)
+         QUALIFY rank <= 5""",
+    // s36: s34's unrolled walk prefixed with s30's unrolled maxmin
+    // rounds — the entry set is the only change
+    "s36_ann_graph_beam_multi" -> {
+      val ents = 4
+      val ffRounds = (1 until ents).map { r =>
+        val centsUnion = (0 until r)
+          .map(i => s"SELECT vec_id, v FROM ec$i").mkString(" UNION ALL ")
+        val idsUnion = (0 until r)
+          .map(i => s"SELECT vec_id FROM ec$i").mkString(" UNION ALL ")
+        s"""em$r AS MATERIALIZED (
+             SELECT p.vec_id,
+                    min(round(list_sum(list_transform(range(1, 65),
+                      i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))), 9))
+                      AS dist2
+             FROM v p, ($centsUnion) c
+             WHERE p.vec_id NOT IN ($idsUnion)
+             GROUP BY p.vec_id),
+           ec$r AS MATERIALIZED (
+             SELECT m.vec_id, v.v
+             FROM (SELECT vec_id FROM em$r
+                   ORDER BY dist2 DESC, vec_id LIMIT 1) m
+             JOIN v ON v.vec_id = m.vec_id)"""
+      }.mkString(",\n")
+      val entUnion = "SELECT DISTINCT node FROM (" +
+        ("SELECT min(src) AS node FROM e2" +: (0 until ents)
+          .map(i => s"SELECT vec_id AS node FROM ec$i"))
+          .mkString(" UNION ALL ") + ")"
+      s"""WITH ${GraphOps.knnEdgeCtes(None)},
+           e2 AS (SELECT a AS src, b AS dst FROM mutual
+                  UNION ALL SELECT b, a FROM mutual),
+           ec0 AS MATERIALIZED (
+             SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 1),
+           $ffRounds,
+           ent AS ($entUnion),
+           q AS (SELECT vec_id AS query_id, v AS qv
+                 FROM v WHERE vec_id < 5),
+           f0 AS (SELECT q.query_id, ent.node AS entry, ent.node
+                  FROM q, ent),
+           ${beamStepBlocks(6, 8)}
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, node) AS INTEGER) AS rank,
+                node AS neighbor_id, cosine
+         FROM (SELECT DISTINCT query_id, node, cosine FROM f6
+               WHERE node <> query_id)
          QUALIFY rank <= 5"""
     },
     // s33: the brute ranks, a (query, label) vote count, the same

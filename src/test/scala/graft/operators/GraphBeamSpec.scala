@@ -47,4 +47,35 @@ class GraphBeamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rs.forall(_.getLong(2) != q))
     }
   }
+
+  // Per-query recall@5 of an approx frame against the brute truth.
+  private def recall5(approx: org.apache.spark.sql.DataFrame)
+      : Map[Long, Double] =
+    SimilarityOps.annRecallOn(
+        SimilarityOps.bruteForceTopK(spark, sf, nQueries = 5, k = 5),
+        approx)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+
+  test("multi-entry recall >= single-entry recall, per query") {
+    val single = recall5(SimilarityOps.graphBeamAnn(spark, sf))
+    val multi = recall5(SimilarityOps.graphBeamAnnMulti(spark, sf))
+    assert(single.keySet == multi.keySet && single.nonEmpty)
+    single.keys.foreach { q =>
+      assert(multi(q) >= single(q) - 1e-9,
+        s"query $q: multi-entry recall ${multi(q)} below " +
+          s"single-entry ${single(q)}")
+    }
+    // and the seeds buy something in aggregate, not just tie
+    assert(multi.values.sum >= single.values.sum)
+  }
+
+  test("multi-entry deterministic; entries=1 matches s34's shape") {
+    val a = SimilarityOps.graphBeamAnnMulti(spark, sf).collect()
+    val b = SimilarityOps.graphBeamAnnMulti(spark, sf).collect()
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet && a.nonEmpty)
+    a.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      assert(rs.forall(_.getLong(2) != q))
+    }
+  }
 }
