@@ -33,22 +33,23 @@ object RlGeneralization {
 
   /** One held-out query per shape family — the policy never sees
     * these graphs during training. */
-  private val TestNames =
+  private[tools] val TestNames =
     Set("chain12_sel", "star10_sel", "tree12", "cycle10_sel", "kite10")
 
   /** Early-stopping split: excluded from gradient updates, used only
     * to pick the checkpoint that test evaluation gets. */
-  private val ValNames = Set("chain8_sel", "star12", "cycle8", "tree13")
+  private[tools] val ValNames = Set("chain8_sel", "star12", "cycle8", "tree13")
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val out = args.lift(1).getOrElse("fixtures/rl_generalization_r12.json")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+  final case class Q(name: String, g: QueryGraph,
+      env: JoinOrderEnv, opt: Double, greedy: Double)
 
-    val fixture = "fixtures/cards_job_sf0.001.json"
+  /** JOB-corpus envs with true-cardinality stores, DPccp optima, and
+    * greedy-rollout baselines — the shared substrate of the
+    * generalization and warm-start experiments. */
+  private[tools] def prepare(
+      spark: SparkSession, sfDir: String,
+      fixture: String = "fixtures/cards_job_sf0.001.json")
+      : (AttributeRegistry, Seq[Q]) = {
     val dict = CardinalityStore.parseJson(
       java.nio.file.Files.readString(java.nio.file.Paths.get(fixture)))
     // 4 selectivity buckets per base table: the discretized form of
@@ -60,9 +61,6 @@ object RlGeneralization {
         t -> graft.sources.Tables.load(spark, sfDir, t).schema.fieldNames.toSeq
       }, selBuckets = 4)
     val cm: CostModel = CostModel.Cout
-
-    final case class Q(name: String, g: QueryGraph,
-        env: JoinOrderEnv, opt: Double, greedy: Double)
     val qs = JobCorpus.all.map { cq =>
       val base = cq.graph.relations.map(n =>
         AliasedRels.rowCount(spark, sfDir, n).toDouble).toArray
@@ -77,49 +75,63 @@ object RlGeneralization {
       JoinOrderEnv.greedyRollout(env)
       Q(cq.name, cq.graph, env, opt, env.totalCost)
     }
+    (registry, qs)
+  }
+
+  // plan-quality ratios are multiplicative — geometric mean, so one
+  // outlier query can't own checkpoint selection
+  private[tools] def geomean(m: Map[String, Double]): Double =
+    math.exp(m.values.map(v => math.log(math.max(v, 1e-12))).sum / m.size)
+
+  final case class Fit(
+      trainR: Map[String, Double], validR: Map[String, Double],
+      testR: Map[String, Double], bestValRound: Int,
+      valCurve: Seq[Double], testCurve: Seq[Double])
+
+  /** Train one model (linear QPolicy or MLP) under the shared
+    * protocol: interleaved rounds — per round, a few episodes on
+    * EVERY train query at the round's ε (per-query ε-decay would
+    * overfit the last-trained graph), returns scaled by each query's
+    * greedy cost, best-on-validation (geomean) checkpoint kept for
+    * test. On exit the model HOLDS the best-on-validation weights. */
+  private[tools] def runFit[S](
+      train: Seq[Q], valid: Seq[Q], test: Seq[Q],
+      trainQ: (Q, Double) => Unit, rollout: Q => Double,
+      snapshot: () => S, restore: S => Unit, rounds: Int = 60): Fit = {
+    def evalSplit(split: Seq[Q]): Map[String, Double] =
+      split.map(q => q.name ->
+        (if (q.opt > 0) rollout(q) / q.opt else 1.0)).toMap
+    var bestVal = Double.MaxValue
+    var bestSnap = snapshot()
+    val curve = (0 until rounds).map { r =>
+      val eps = 0.5 + (0.02 - 0.5) * r / (rounds - 1)
+      train.foreach(q => trainQ(q, eps))
+      val vm = geomean(evalSplit(valid))
+      if (vm < bestVal) { bestVal = vm; bestSnap = snapshot() }
+      (vm, geomean(evalSplit(test)))
+    }
+    restore(bestSnap) // test sees the best-on-validation policy
+    Fit(evalSplit(train), evalSplit(valid), evalSplit(test),
+      curve.map(_._1).zipWithIndex.minBy(_._1)._2,
+      curve.map(_._1), curve.map(_._2))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("fixtures/rl_generalization_r12.json")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val (registry, qs) = prepare(spark, sfDir)
     val (test, rest) = qs.partition(q => TestNames(q.name))
     val (valid, train) = rest.partition(q => ValNames(q.name))
     require(test.size == TestNames.size && valid.size == ValNames.size,
       "held-out split incomplete")
 
-    // plan-quality ratios are multiplicative — geometric mean, so one
-    // outlier query can't own checkpoint selection
-    def mean(m: Map[String, Double]): Double =
-      math.exp(m.values.map(v => math.log(math.max(v, 1e-12))).sum / m.size)
-
-    /** Train one model (linear QPolicy or MLP) under the shared
-      * protocol: interleaved rounds — per round, a few episodes on
-      * EVERY train query at the round's ε (per-query ε-decay would
-      * overfit the last-trained graph), returns scaled by each query's
-      * greedy cost, best-on-validation (geomean) checkpoint kept for
-      * test. */
-    final case class Fit(
-        trainR: Map[String, Double], validR: Map[String, Double],
-        testR: Map[String, Double], bestValRound: Int,
-        valCurve: Seq[Double], testCurve: Seq[Double])
-    def run[S](trainQ: (Q, Double) => Unit, rollout: Q => Double,
-        snapshot: () => S, restore: S => Unit): Fit = {
-      def evalSplit(split: Seq[Q]): Map[String, Double] =
-        split.map(q => q.name ->
-          (if (q.opt > 0) rollout(q) / q.opt else 1.0)).toMap
-      val rounds = 60
-      var bestVal = Double.MaxValue
-      var bestSnap = snapshot()
-      val curve = (0 until rounds).map { r =>
-        val eps = 0.5 + (0.02 - 0.5) * r / (rounds - 1)
-        train.foreach(q => trainQ(q, eps))
-        val vm = mean(evalSplit(valid))
-        if (vm < bestVal) { bestVal = vm; bestSnap = snapshot() }
-        (vm, mean(evalSplit(test)))
-      }
-      restore(bestSnap) // test sees the best-on-validation policy
-      Fit(evalSplit(train), evalSplit(valid), evalSplit(test),
-        curve.map(_._1).zipWithIndex.minBy(_._1)._2,
-        curve.map(_._1), curve.map(_._2))
-    }
-
     val linear = new QPolicy(registry.attrCount, tabular = false)
-    val linFit = run[Array[Double]](
+    val linFit = runFit[Array[Double]](train, valid, test,
       (q, eps) => { linear.train(q.env, episodes = 5,
         epsilonStart = eps, epsilonEnd = eps,
         returnScale = math.max(q.greedy, 1.0)); () },
@@ -127,7 +139,8 @@ object RlGeneralization {
       () => linear.weightSnapshot, linear.restoreWeights)
 
     val mlp = new MlpQPolicy(registry.attrCount)
-    val mlpFit = run[(Array[Array[Double]], Array[Double], Array[Double], Double)](
+    val mlpFit = runFit[(Array[Array[Double]], Array[Double], Array[Double], Double)](
+      train, valid, test,
       (q, eps) => { mlp.train(q.env, episodes = 5,
         epsilonStart = eps, epsilonEnd = eps,
         returnScale = math.max(q.greedy, 1.0)); () },
