@@ -86,6 +86,7 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     n_pass = n_fail = 0
+    rows_only, failed = [], []
     for qdir in sorted(Path(outdir).iterdir()):
         if not qdir.is_dir() or (only and qdir.name not in only):
             continue
@@ -95,18 +96,21 @@ def main():
         srows = [tuple(d.values()) for d in spark_tbl.to_pylist()]
         if name not in oracle:
             print(f"  ROWS-ONLY {name}: {len(srows)} rows")
+            rows_only.append(name)
             continue
         try:
             otbl = con.execute(oracle[name]).arrow()
         except Exception as e:
             print(f"✗ ORACLE-ERR {name}: {e}")
             n_fail += 1
+            failed.append(name)
             continue
         ocols = list(otbl.column_names)
         orows = [tuple(d.values()) for d in otbl.to_pylist()]
         if sorted(scols) != sorted(ocols):
             print(f"✗ SCHEMA {name}: spark={sorted(scols)} oracle={sorted(ocols)}")
             n_fail += 1
+            failed.append(name)
             continue
         stypes, otypes = schema_map(spark_tbl), schema_map(otbl)
         bad = {c: (stypes[c], otypes[c]) for c in scols
@@ -114,6 +118,7 @@ def main():
         if bad:
             print(f"✗ DTYPE {name}: spark vs oracle {bad}")
             n_fail += 1
+            failed.append(name)
             continue
         sk, ok = table_key(srows, scols), table_key(orows, ocols)
         if sk == ok:
@@ -121,10 +126,18 @@ def main():
             n_pass += 1
         else:
             n_fail += 1
+            failed.append(name)
             diff = [(a, b) for a, b in zip(sk, ok) if a != b][:3]
             print(f"✗ VALUES {name}: spark {len(sk)} rows vs oracle {len(ok)}; "
                   f"first diffs: {diff}")
     print(f"\n{n_pass} pass, {n_fail} fail")
+    # machine-readable summary for tools/closing_block.py — tallies are
+    # GENERATED from this artifact, never typed by hand
+    if not only:
+        (Path(outdir) / "gate_summary.json").write_text(json.dumps({
+            "total": n_pass + n_fail + len(rows_only),
+            "hash_green": n_pass, "fail": n_fail,
+            "rows_only": sorted(rows_only), "failed": sorted(failed)}))
     sys.exit(1 if n_fail else 0)
 
 
