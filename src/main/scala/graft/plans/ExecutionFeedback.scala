@@ -1,0 +1,230 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, Expression, IsNotNull}
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** LEO-style execution feedback (Stillger et al., "LEO — DB2's
+  * LEarning Optimizer", VLDB 2001): observed row counts harvested from
+  * EXECUTED physical plans, keyed canonically by (table, filter) leaf
+  * sets and join-key edges, consulted at the NEXT planning of any
+  * query over the same subsets (`stats=feedback` in
+  * [[GraftJoinReorder]]). This closes the reference's actual workflow
+  * loop inside the engine: the reference executes plans, records true
+  * cardinalities into an injected per-query dictionary, and re-plans
+  * under them (QueryOptExperiment round-robin + pg.json →
+  * MyMetadataQuery.java:81-162) — here the dictionary populates
+  * ITSELF from the metrics Spark already collects, no second counting
+  * pass, no injection.
+  *
+  * Scale shape: harvesting walks an executed plan's node tree on the
+  * driver and reads already-aggregated SQL metrics — zero extra
+  * cluster work; the store is a driver-resident string→double map,
+  * bounded by the number of DISTINCT (leaf-set, edge-set) subsets the
+  * workload actually executes. Estimation from it never touches the
+  * cluster (the synopsis-tier discipline).
+  */
+object ExecutionFeedback {
+
+  private val observed = TrieMap.empty[String, Double]
+
+  def size: Int = observed.size
+  def clear(): Unit = observed.clear()
+  def lookup(key: String): Option[Double] = observed.get(key)
+  def record(key: String, rows: Double): Unit = observed.put(key, rows)
+  def all: Map[String, Double] = observed.toMap
+
+  // ---- canonical keys (shared by harvest and planning — ONE
+  // definition, so the two sides can never drift) ----
+
+  /** Conjuncts normalized for cross-phase compare: IsNotNull dropped
+    * (constraint inference adds them at different phases), qualifiers
+    * stripped (SQL aliases qualify logical attributes, physical
+    * attributes are bare), rendered to SQL, sorted. */
+  def normConjuncts(conjs: Seq[Expression]): Seq[String] =
+    conjs.filterNot(_.isInstanceOf[IsNotNull])
+      .filterNot(_.exists(_.getClass.getSimpleName.startsWith("DynamicPruning")))
+      .map(_.transform {
+        case a: AttributeReference => a.withQualifier(Seq.empty)
+      }.sql)
+      .sorted
+
+  def leafKey(table: String, conjs: Seq[Expression]): String =
+    s"$table[${normConjuncts(conjs).mkString(" AND ")}]"
+
+  /** One equi-edge as an unordered column pair. */
+  def edgeKey(a: String, b: String): String =
+    if (a <= b) s"$a=$b" else s"$b=$a"
+
+  /** The subset key: the leaf-key MULTISET (repeated tables stay
+    * distinguishable by their filters; identical twins collapse to the
+    * same estimate, which is correct — they have the same cardinality)
+    * plus the edge set joined inside the subset. */
+  def subsetKey(leafKeys: Seq[String], edges: Seq[String]): String =
+    leafKeys.sorted.mkString("|") + "||" + edges.distinct.sorted.mkString(",")
+
+  // ---- harvest ----
+
+  /** Child traversal that descends through the adaptive-execution
+    * wrappers (AQE final plans live inside query stages). */
+  private def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case q: QueryStageExec => Seq(q.plan)
+    case r: ReusedExchangeExec => Seq(r.child)
+    case other => other.children
+  }
+
+  private def metric(p: SparkPlan, name: String): Option[Double] =
+    p.metrics.get(name).map(_.value.toDouble).filter(_ >= 0)
+
+  /** A scan leaf resolved to its table name (single
+    * `<dir>/<table>.parquet` root — the [[GraftJoinReorder]] shape
+    * contract). */
+  private def scanTable(s: FileSourceScanExec): Option[String] =
+    s.relation.location.rootPaths.toList match {
+      case one :: Nil if one.toString.endsWith(".parquet") =>
+        val p = one.toString
+        Some(p.substring(p.lastIndexOf('/') + 1).stripSuffix(".parquet"))
+      case _ => None
+    }
+
+  private def scansUnder(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case s: FileSourceScanExec => Seq(s)
+    case other => kids(other).flatMap(scansUnder)
+  }
+
+  private def joinsUnder(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case _: SortMergeJoinExec | _: BroadcastHashJoinExec |
+           _: ShuffledHashJoinExec => Seq(p)
+      case _ => Seq.empty
+    }
+    self ++ kids(p).flatMap(joinsUnder)
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: Attribute => Some(a.name)
+    case c: Cast => attrName(c.child)
+    case _ => None
+  }
+
+  private def joinEdges(j: SparkPlan): Seq[String] = {
+    val (l, r) = j match {
+      case s: SortMergeJoinExec => (s.leftKeys, s.rightKeys)
+      case b: BroadcastHashJoinExec => (b.leftKeys, b.rightKeys)
+      case h: ShuffledHashJoinExec => (h.leftKeys, h.rightKeys)
+      case _ => (Seq.empty, Seq.empty)
+    }
+    l.zip(r).flatMap { case (a, b) =>
+      for (an <- attrName(a); bn <- attrName(b)) yield edgeKey(an, bn)
+    }
+  }
+
+  /** The leaf key of a filtered scan subtree: the FilterExec holds the
+    * EXACT predicate (parquet pushdown is row-group-granular, the
+    * filter node re-evaluates), so its conjuncts and its output metric
+    * are the truth for (table, filter). */
+  private def leafFeedback(p: SparkPlan): Seq[(String, Double)] = p match {
+    case f: FilterExec if joinsUnder(f).isEmpty =>
+      scansUnder(f) match {
+        case Seq(s) =>
+          scanTable(s).flatMap(t =>
+            metric(f, "numOutputRows").map(rows =>
+              (leafKey(t, splitConj(f.condition)), rows))).toSeq
+        case _ => Seq.empty
+      }
+    case s: FileSourceScanExec if s.dataFilters.isEmpty =>
+      scanTable(s).flatMap(t =>
+        metric(s, "numOutputRows").map(rows =>
+          (leafKey(t, Seq.empty), rows))).toSeq
+    case other => kids(other).flatMap(leafFeedback)
+  }
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConj(l) ++ splitConj(r)
+    case other => Seq(other)
+  }
+
+  /** Harvest an EXECUTED DataFrame (run an action first — metrics are
+    * empty before execution): every inner equi-join node becomes an
+    * observed subset cardinality, every filtered scan an observed leaf
+    * cardinality. Returns the number of observations recorded. */
+  def harvest(df: DataFrame): Int = {
+    val root = df.queryExecution.executedPlan
+    var n = 0
+    leafFeedback(root).foreach { case (k, v) => record(k, v); n += 1 }
+    joinsUnder(root).foreach { j =>
+      val scans = scansUnder(j)
+      val tables = scans.map(scanTable)
+      if (scans.size >= 2 && tables.forall(_.isDefined)) {
+        // each scan's leaf key needs its OWN filter: re-derive by
+        // pairing every scan with the innermost FilterExec above it
+        val lks = leafKeysUnder(j)
+        if (lks.size == scans.size) {
+          val edges = joinsUnder(j).flatMap(joinEdges)
+          metric(j, "numOutputRows").foreach { rows =>
+            record(subsetKey(lks, edges), rows); n += 1
+          }
+        }
+      }
+    }
+    n
+  }
+
+  /** Leaf keys under a node: a filtered scan contributes
+    * (table, FilterExec conjuncts), a bare scan (table, ∅). */
+  private def leafKeysUnder(p: SparkPlan): Seq[String] = p match {
+    case f: FilterExec if joinsUnder(f).isEmpty &&
+        scansUnder(f).size == 1 =>
+      scanTable(scansUnder(f).head)
+        .map(t => leafKey(t, splitConj(f.condition))).toSeq
+    case s: FileSourceScanExec =>
+      scanTable(s).map(t => leafKey(t, Seq.empty)).toSeq
+    case other => kids(other).flatMap(leafKeysUnder)
+  }
+
+  // ---- planning side ----
+
+  /** The [[Cardinality]] consulted by `stats=feedback`: observed
+    * subset/leaf counts where the workload has executed them, the
+    * histogram-tier estimate everywhere else — LEO's
+    * adjustment-with-fallback, on the reference's dictionary-first
+    * lookup shape (CardinalityStore). */
+  final class FeedbackCardinality(
+      g: QueryGraph, leafKeys: Vector[String],
+      edgeStrs: Map[(Int, Int), Seq[String]],
+      fallback: Cardinality) extends Cardinality {
+    private var hit = 0
+    def hits: Int = hit
+
+    private def keyOf(s: Long): String = {
+      val lks = Vector.newBuilder[String]
+      var rest = s
+      while (rest != 0) {
+        lks += leafKeys(java.lang.Long.numberOfTrailingZeros(rest))
+        rest &= rest - 1
+      }
+      def in(i: Int) = ((s >> i) & 1L) == 1L
+      val es = edgeStrs.collect {
+        case ((a, b), ss) if in(a) && in(b) => ss
+      }.flatten.toSeq
+      subsetKey(lks.result(), es)
+    }
+
+    def apply(s: Long): Double =
+      (if (java.lang.Long.bitCount(s) == 1)
+        lookup(leafKeys(java.lang.Long.numberOfTrailingZeros(s)))
+      else lookup(keyOf(s))) match {
+        case Some(v) => hit += 1; math.max(v, 1.0)
+        case None => fallback(s)
+      }
+    override def ndv(vertex: Int, cols: Seq[String]): Double =
+      fallback.ndv(vertex, cols)
+  }
+}

@@ -153,11 +153,17 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
     // and independence estimates disagree ≥10×) — the measured
     // default-vs-insurance split from EXPERIMENT_r12 §2, now a
     // decision instead of a knob
+    // "feedback" is the LEO tier: observed row counts harvested from
+    // previously EXECUTED plans (ExecutionFeedback.harvest) override
+    // the histogram estimates subset-by-subset — the reference's
+    // execute→record-true-cards→re-plan loop (pg.json →
+    // MyMetadataQuery.java:81-162) closed inside the engine.
     val cardOpt = statsMode match {
       case "measured" if keyed => measuredCardinality(g, rels)
       case "hist" if keyed => measuredCardinality(g, rels, hist = true)
       case "sample" if keyed => sampleCardinality(g, rels)
       case "auto" if keyed => autoCardinality(g, rels)
+      case "feedback" if keyed => feedbackCardinality(g, rels, edges)
       case _ => None
     }
     val card = cardOpt.getOrElse {
@@ -345,6 +351,35 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
         if (GraftJoinReorder.debug)
           println(s"[graft-reorder] auto fallback: $e")
         None
+    }
+
+  /** stats=feedback: the histogram-tier estimates with every subset
+    * the workload has ALREADY EXECUTED overridden by its observed row
+    * count ([[ExecutionFeedback]]) — LEO's adjustment-with-fallback.
+    * Leaf keys use the leaves' own Catalyst conjuncts, normalized by
+    * the same function the harvest side uses, so a repeated table
+    * under different filters gets distinct observations (the
+    * reference's filter-qualified keys, MyMetadataQuery.java:134-146).
+    * None (→ plan stats) when a leaf isn't a plain filtered scan. */
+  private def feedbackCardinality(
+      g: QueryGraph, rels: Vector[LogicalPlan],
+      edges: Vector[JoinEdge]): Option[Cardinality] =
+    measuredCardinality(g, rels, hist = true).map { fallback =>
+      val leafKeys = rels.map { leaf =>
+        val table = baseScanOf(leaf) match {
+          case Some(path) =>
+            path.substring(path.lastIndexOf('/') + 1).stripSuffix(".parquet")
+          case None => return None // unreachable: measured already resolved
+        }
+        val conj = leaf.collect {
+          case Filter(c, _) => splitConjunctivePredicates(c)
+        }.flatten
+        ExecutionFeedback.leafKey(table, conj)
+      }
+      val edgeStrs = edges.map(e => (e.a, e.b) ->
+        e.conds.map { case (ca, cb) => ExecutionFeedback.edgeKey(ca, cb) })
+        .toMap
+      new ExecutionFeedback.FeedbackCardinality(g, leafKeys, edgeStrs, fallback)
     }
 
   /** Per-leaf bytes-per-row for the broadcast-hint arithmetic: the

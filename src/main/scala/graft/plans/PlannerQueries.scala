@@ -144,8 +144,36 @@ object PlannerQueries {
     // sample synopses when the AutoEstimator correlation trigger
     // fires). Same oracle: routing moves plans, never answers.
     "p22_planner_insql_auto" ->
-      ((s: SparkSession, d: String) => runFlagshipSql(s, d, "auto"))
+      ((s: SparkSession, d: String) => runFlagshipSql(s, d, "auto")),
+    // p23: the LEO loop — execute the flagship once under histogram
+    // estimates, HARVEST every executed join/leaf row count from the
+    // plan's own metrics (ExecutionFeedback — the reference's
+    // execute→record-true-cards→re-plan workflow, pg.json →
+    // MyMetadataQuery.java:81-162, closed inside the engine with no
+    // second counting pass), then re-plan the same SQL under
+    // stats=feedback where observed subsets override the estimates.
+    // Same oracle: feedback moves plans, never answers.
+    "p23_planner_insql_feedback" -> (runFeedbackSql _)
   )
+
+  /** p23's body: run → harvest → re-plan under stats=feedback. */
+  def runFeedbackSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val (g, _) = flagshipGraph
+    g.relations.foreach(r =>
+      Tables.load(spark, sfDir, r).createOrReplaceTempView(r))
+    val prev = spark.conf.getOption("spark.graft.joinReorder.stats")
+    try {
+      spark.conf.set("spark.graft.joinReorder.stats", "hist")
+      val warm = spark.sql(flagshipSqlText)
+      warm.collect() // execute: metrics populate only after an action
+      ExecutionFeedback.harvest(warm)
+      spark.conf.set("spark.graft.joinReorder.stats", "feedback")
+      spark.sql(flagshipSqlText)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.joinReorder.stats", v)
+      case None => spark.conf.unset("spark.graft.joinReorder.stats")
+    }
+  }
 
   /** p17's body: register the (alias-suffixed) relations as temp
     * views, then let the injected rule reorder the declarative
@@ -260,6 +288,17 @@ object PlannerQueries {
     }
   }
 
+  /** The flagship as SQL text — shared by p20/p22/p23 and their
+    * specs so the query and its gates can never drift. */
+  val flagshipSqlText: String =
+    """SELECT min(o_totalprice) AS min_total,
+              min(l_extendedprice) AS min_ext, count(*) AS cnt
+       FROM region, nation, customer, orders, lineitem
+       WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+         AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         AND r_name = 'ASIA' AND o_orderstatus = 'F'
+         AND l_quantity > 5"""
+
   /** p20's body: the flagship as declarative SQL through the injected
     * GraftJoinReorder rule under the given stats mode. */
   def runFlagshipSql(spark: SparkSession, sfDir: String,
@@ -269,14 +308,7 @@ object PlannerQueries {
       Tables.load(spark, sfDir, r).createOrReplaceTempView(r))
     val prev = spark.conf.getOption("spark.graft.joinReorder.stats")
     spark.conf.set("spark.graft.joinReorder.stats", statsMode)
-    try spark.sql(
-      """SELECT min(o_totalprice) AS min_total,
-                min(l_extendedprice) AS min_ext, count(*) AS cnt
-         FROM region, nation, customer, orders, lineitem
-         WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
-           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
-           AND r_name = 'ASIA' AND o_orderstatus = 'F'
-           AND l_quantity > 5""")
+    try spark.sql(flagshipSqlText)
     finally prev match {
       case Some(v) => spark.conf.set("spark.graft.joinReorder.stats", v)
       case None => spark.conf.unset("spark.graft.joinReorder.stats")

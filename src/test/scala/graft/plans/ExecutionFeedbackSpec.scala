@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The LEO loop (p23): harvested observations are EXACT (they are the
+  * executed plan's own metrics), the feedback cardinality serves them
+  * with estimator fallback, and a changed observation moves the in-SQL
+  * plan without ever changing answers. */
+class ExecutionFeedbackSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.ReorderJoin")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.registerAll(spark, sfDir)
+  }
+
+  override def afterAll(): Unit = {
+    ExecutionFeedback.clear()
+    if (spark != null) spark.stop()
+  }
+
+  private def harvestFlagship(): Unit = {
+    ExecutionFeedback.clear()
+    spark.conf.set("spark.graft.joinReorder.stats", "hist")
+    try {
+      val df = spark.sql(PlannerQueries.flagshipSqlText)
+      df.collect()
+      assert(ExecutionFeedback.harvest(df) > 0, "harvest found nothing")
+    } finally spark.conf.unset("spark.graft.joinReorder.stats")
+  }
+
+  test("harvested leaf and join observations equal directly-counted truth") {
+    harvestFlagship()
+    val obs = ExecutionFeedback.all
+    // leaf: the filtered orders scan
+    val ordersLeaf = obs.filter { case (k, _) =>
+      k.startsWith("orders[") && !k.contains("||") }
+    assert(ordersLeaf.size == 1, s"orders leaf keys: ${ordersLeaf.keys}")
+    val ordersTruth = spark.sql(
+      "SELECT count(*) FROM orders WHERE o_orderstatus = 'F'")
+      .collect()(0).getLong(0).toDouble
+    assert(ordersLeaf.head._2 == ordersTruth)
+    // subset: the full 5-way join (always observed — it's the root join)
+    val full = obs.filter { case (k, _) =>
+      k.contains("||") && k.split("\\|\\|")(0).split("\\|").length == 5 }
+    assert(full.size == 1, s"full-subset keys: ${full.keys}")
+    val joinTruth = spark.sql(
+      """SELECT count(*) FROM region, nation, customer, orders, lineitem
+         WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+           AND r_name = 'ASIA' AND o_orderstatus = 'F' AND l_quantity > 5""")
+      .collect()(0).getLong(0).toDouble
+    assert(full.head._2 == joinTruth,
+      s"observed ${full.head._2} != counted $joinTruth")
+  }
+
+  test("FeedbackCardinality serves observations, falls back elsewhere") {
+    ExecutionFeedback.clear()
+    val g = QueryGraph(Vector("a", "b", "c"),
+      Vector(JoinEdge(0, 1, Seq("x" -> "y")), JoinEdge(1, 2, Seq("y" -> "z"))))
+    val leafKeys = Vector("a[]", "b[(f = 1)]", "c[]")
+    val fallback = HeuristicCardinality.uniform(g, Array(10.0, 20.0, 30.0))
+    val card = new ExecutionFeedback.FeedbackCardinality(g, leafKeys,
+      Map((0, 1) -> Seq(ExecutionFeedback.edgeKey("x", "y")),
+        (1, 2) -> Seq(ExecutionFeedback.edgeKey("y", "z"))), fallback)
+    // nothing recorded: pure fallback
+    assert(card(1L) == fallback(1L) && card(3L) == fallback(3L))
+    // record a leaf and the {a,b} subset
+    ExecutionFeedback.record("b[(f = 1)]", 7.0)
+    ExecutionFeedback.record(ExecutionFeedback.subsetKey(
+      Seq("a[]", "b[(f = 1)]"), Seq("x=y")), 123.0)
+    assert(card(2L) == 7.0, "observed leaf must override")
+    assert(card(3L) == 123.0, "observed subset must override")
+    assert(card(6L) == fallback(6L), "unobserved subset stays estimated")
+    assert(card.hits == 2)
+  }
+
+  /** Optimized plan's join structure (the GraftJoinReorderSpec helper). */
+  private def joinSignature(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      Set[Set[String]] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def leafName(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+        Option[String] = p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map { r =>
+            val s = r.toString
+            s.substring(s.lastIndexOf('/') + 1).stripSuffix(".parquet")
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+    plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.collectLeaves().flatMap(leafName).toSet
+    }.toSet
+  }
+
+  test("a changed observation moves the in-SQL plan; answers never change") {
+    harvestFlagship()
+    spark.conf.set("spark.graft.joinReorder.stats", "hist")
+    val histSig = try joinSignature(
+      spark.sql(PlannerQueries.flagshipSqlText).queryExecution.optimizedPlan)
+    finally spark.conf.unset("spark.graft.joinReorder.stats")
+    // poison the hist tree's FIRST pair: any 2-leaf observed subset is
+    // a pair the executed tree materialized; pricing it absurdly makes
+    // every tree that avoids materializing that pair cheaper
+    val pair = ExecutionFeedback.all.keys.find(k =>
+      k.contains("||") && k.split("\\|\\|")(0).split("\\|").length == 2)
+    assert(pair.isDefined, "executed tree exposed no 2-leaf subset")
+    ExecutionFeedback.record(pair.get, 1e12)
+    spark.conf.set("spark.graft.joinReorder.stats", "feedback")
+    try {
+      val qe = spark.sql(PlannerQueries.flagshipSqlText).queryExecution
+      val fbSig = joinSignature(qe.optimizedPlan)
+      assert(fbSig != histSig,
+        s"poisoned pair ${pair.get} did not move the plan: $fbSig")
+      val withFb = spark.sql(PlannerQueries.flagshipSqlText)
+        .collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.graft.joinReorder.enabled", "false")
+      val without = try spark.sql(PlannerQueries.flagshipSqlText)
+        .collect().map(_.toSeq).toSeq
+      finally spark.conf.set("spark.graft.joinReorder.enabled", "true")
+      assert(withFb == without)
+    } finally spark.conf.unset("spark.graft.joinReorder.stats")
+  }
+
+  test("p23 gate body: harvest + re-plan returns the oracle's answer") {
+    ExecutionFeedback.clear()
+    val fb = PlannerQueries.runFeedbackSql(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val plain = spark.sql(PlannerQueries.flagshipSqlText)
+      .collect().map(_.toSeq).toSeq
+    assert(fb == plain)
+    assert(ExecutionFeedback.size > 0)
+  }
+}
