@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project, SHUFFLE_HASH}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 
@@ -239,10 +239,26 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
           }
           val (bl, br) = (estBytes(l.set), estBytes(r.set))
           val th = conf.autoBroadcastJoinThreshold.toDouble
-          val info = HintInfo(strategy = Some(BROADCAST))
-          if (math.min(bl, br) > th) JoinHint.NONE
-          else if (bl <= br) JoinHint(Some(info), None)
-          else JoinHint(None, Some(info))
+          val (mn, mx) = (math.min(bl, br), math.max(bl, br))
+          // SHUFFLE_HASH tier below BROADCAST (the rest of the MM
+          // model's hash-vs-sort choice): too big to ship to every
+          // executor, small enough per shuffle partition to hash —
+          // Spark's OWN local-hash-map criteria (size ≤ threshold ×
+          // shuffle partitions, ≥3× smaller than the probe side),
+          // evaluated on the ladder's estimates instead of the
+          // filter-blind plan-stats bytes, skipping both sorts.
+          val strat =
+            if (mn <= th) Some(BROADCAST)
+            else if (mn <= th * conf.numShufflePartitions && mn * 3 <= mx &&
+                conf.getConfString(
+                  "spark.graft.joinReorder.shuffleHashHints", "true").toBoolean)
+              Some(SHUFFLE_HASH)
+            else None
+          strat.map { s =>
+            val info = HintInfo(strategy = Some(s))
+            if (bl <= br) JoinHint(Some(info), None)
+            else JoinHint(None, Some(info))
+          }.getOrElse(JoinHint.NONE)
         }.getOrElse(JoinHint.NONE)
         val join = Join(lp, rp, Inner, cond, hint)
         join.setTagValue(REORDERED, true)

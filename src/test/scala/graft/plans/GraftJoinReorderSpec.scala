@@ -356,6 +356,38 @@ class GraftJoinReorderSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("shuffle-hash hints: the tier between broadcast and sort-merge") {
+    // threshold 100 B: the filtered region side estimates ~190 B —
+    // ABOVE broadcast (190 > 100) but inside the local-hash-map bound
+    // (190 ≤ 100 × 4 partitions) and ≥3× smaller than its probe side,
+    // so the estimate-backed hint picks ShuffledHashJoin where both
+    // defaults (no hint / hints off) sort-merge
+    val prevTh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100")
+    spark.conf.set("spark.graft.joinReorder.stats", "measured")
+    try {
+      def count(op: String) = spark.sql(adversarialFlagshipSql)
+        .queryExecution.sparkPlan.toString.sliding(op.length)
+        .count(_ == op)
+      assert(count("ShuffledHashJoin") > 0,
+        "estimate-backed hint must produce a static SHJ")
+      assert(count("BroadcastHashJoin") == 0,
+        "at 100 B nothing may broadcast — SHJ must be the hint tier")
+      val withHints = spark.sql(adversarialFlagshipSql)
+        .collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.graft.joinReorder.shuffleHashHints", "false")
+      assert(count("ShuffledHashJoin") == 0,
+        "without the hint, plan-stats sizes must sort-merge here")
+      val without = spark.sql(adversarialFlagshipSql)
+        .collect().map(_.toSeq).toSeq
+      assert(withHints == without, "hints may steer physics, never answers")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevTh)
+      spark.conf.unset("spark.graft.joinReorder.stats")
+      spark.conf.unset("spark.graft.joinReorder.shuffleHashHints")
+    }
+  }
+
   test("non-equi multiway join does not break") {
     val rows = spark.sql(
       """SELECT count(*) AS c FROM region a, region b, region c
