@@ -39,6 +39,41 @@ object ExecutionFeedback {
   def record(key: String, rows: Double): Unit = observed.put(key, rows)
   def all: Map[String, Double] = observed.toMap
 
+  /** Persist the dictionary (sorted keys — byte-stable for equal
+    * contents) so a new session starts with the workload's accumulated
+    * observations: the durable form of LEO's statistics adjustments,
+    * and the engine-maintained analog of the reference's pg.json file
+    * (which ITS Python client persists between runs). */
+  def save(path: String): Unit = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val json = observed.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":$v""" }
+      .mkString("{", ",", "}")
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, json)
+  }
+
+  /** Merge persisted observations into the live dictionary (current
+    * values win on key conflict — fresher metrics beat stale files). */
+  def load(path: String): Int = {
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    // the writer's flat {"key":num,...} grammar — no nesting, numbers
+    // only, so a split on unescaped quotes is a full parser
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*([-0-9.eE]+)""".r
+    var n = 0
+    entry.findAllMatchIn(text).foreach { m =>
+      val key = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+      if (!observed.contains(key)) { observed.put(key, m.group(2).toDouble); n += 1 }
+    }
+    n
+  }
+
   // ---- canonical keys (shared by harvest and planning — ONE
   // definition, so the two sides can never drift) ----
 

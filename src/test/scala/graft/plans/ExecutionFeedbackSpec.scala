@@ -141,6 +141,23 @@ class ExecutionFeedbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.joinReorder.stats")
   }
 
+  test("save/load round-trips; live observations win over stale files") {
+    ExecutionFeedback.clear()
+    ExecutionFeedback.record("""t["weird \" key"]""", 42.0)
+    ExecutionFeedback.record("a[]|b[]||x=y", 7.0)
+    val path = "target/tmp/feedback_spec.json"
+    ExecutionFeedback.save(path)
+    ExecutionFeedback.clear()
+    assert(ExecutionFeedback.load(path) == 2)
+    assert(ExecutionFeedback.lookup("""t["weird \" key"]""").contains(42.0))
+    assert(ExecutionFeedback.lookup("a[]|b[]||x=y").contains(7.0))
+    // a fresher live value is not overwritten by a stale file
+    ExecutionFeedback.record("a[]|b[]||x=y", 9.0)
+    assert(ExecutionFeedback.load(path) == 0)
+    assert(ExecutionFeedback.lookup("a[]|b[]||x=y").contains(9.0))
+    ExecutionFeedback.clear()
+  }
+
   test("p23 gate body: harvest + re-plan returns the oracle's answer") {
     ExecutionFeedback.clear()
     val fb = PlannerQueries.runFeedbackSql(spark, sfDir)
