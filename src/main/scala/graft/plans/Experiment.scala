@@ -254,10 +254,16 @@ object Experiment {
       } catch { case _: PlanningRefused => None }
     }).flatten
 
+  /** Non-finite doubles (a BnB refusal's Infinity cost) are not valid
+    * JSON tokens — serialize them as null so the artifact stays
+    * parseable by any reader. */
+  private def num(d: Double): String =
+    if (java.lang.Double.isFinite(d)) d.toString else "null"
+
   def recordsToJson(rs: Seq[PlannerRecord]): String =
     rs.map { r =>
       s"""{"query":"${r.query}","planner":"${r.planner}",""" +
-        s""""costModel":"${r.costModel}","cost":${r.cost},""" +
+        s""""costModel":"${r.costModel}","cost":${num(r.cost)},""" +
         s""""joinOrder":"${r.joinOrder}","planningMs":${r.planningMs},""" +
         s""""runtimesMs":${r.runtimesMs.mkString("[", ",", "]")},""" +
         s""""resultHash":"${r.resultHash}"}"""
@@ -267,8 +273,9 @@ object Experiment {
     rs.map { r =>
       s"""{"query":"${r.query}","planner":"${r.planner}",""" +
         s""""costModel":"${r.costModel}",""" +
-        s""""estPlanCost":${r.estPlanCost},"optPlanCost":${r.optPlanCost},""" +
-        s""""regret":${r.regret}}"""
+        s""""estPlanCost":${num(r.estPlanCost)},""" +
+        s""""optPlanCost":${num(r.optPlanCost)},""" +
+        s""""regret":${num(r.regret)}}"""
     }.mkString("[", ",", "]")
 }
 

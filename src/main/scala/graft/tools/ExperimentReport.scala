@@ -17,8 +17,12 @@ object ExperimentReport {
     val root = new ObjectMapper().readTree(
       java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
 
+    // refusal rows (BnB past its edge bound) carry null costs — they
+    // are recorded for visibility, excluded from aggregation
     val records = root.get("records").elements().asScala.toVector
+      .filterNot(_.get("cost").isNull)
     val regrets = root.get("regrets").elements().asScala.toVector
+      .filterNot(r => r.get("regret").isNull || r.get("estPlanCost").isNull)
 
     println("== per (planner, costModel): regret + times ==")
     regrets.groupBy(r =>

@@ -41,6 +41,8 @@ object PlanAudit {
     "g37_transitivity", "d17_semdedup_cells", "s23_pca_power",
     "s26_embedding_drift", "s12_embedding_covariance",
     "s32_ann_ivf_filtered", "s34_ann_graph_beam",
+    // s36 reuses s34's walk plus s30's broadcast-centers maxmin kernel
+    "s36_ann_graph_beam_multi",
     "s35_ivf_assign_delta",
     // (b) bounded-broadcast crossJoins (1-row scalars / ≤k models /
     // value-bounded grids, each documented at the call site)
