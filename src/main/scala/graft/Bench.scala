@@ -171,6 +171,17 @@ object Bench {
     "c36_k_anonymity", "q154_kaplan_meier", "p18_planner_histstats",
     "p19_planner_samplest", "p20_planner_insql_sample")
 
+  /** Ninth series guarding the round-13 operators; baselines at
+    * round 13, never touches the earlier series. The planner gates
+    * time the deployed in-SQL estimator tiers (synopsis/profile
+    * collection is fingerprint-cached, so cold includes it once and
+    * warm measures the plan-execute path); p23 times the full LEO
+    * loop (execute under hist + harvest + re-plan under feedback). */
+  val headlineR13: Seq[String] = Seq(
+    "p21_planner_insql_repeat", "p22_planner_insql_auto",
+    "p23_planner_insql_feedback", "q155_takedown_positional",
+    "q156_takedown_pos_compact", "s36_ann_graph_beam_multi")
+
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
     * incremental candidate join against the PRE-MATERIALIZED signature
@@ -449,6 +460,7 @@ object Bench {
     val resultsR10 = runSeries(headlineR10)
     val resultsR11 = runSeries(headlineR11)
     val resultsR12 = runSeries(headlineR12)
+    val resultsR13 = runSeries(headlineR13)
     val cacheState =
       if (dropCache && !dropsFailed) "dropped-before-cold-runs"
       else if (dropCache) "drop-requested-but-failed"
@@ -465,7 +477,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val qs = steadyJson(results)
     val failed = (results ++ resultsR5 ++ resultsR7 ++ resultsR8 ++
-      resultsR9 ++ resultsR10 ++ resultsR11 ++ resultsR12)
+      resultsR9 ++ resultsR10 ++ resultsR11 ++ resultsR12 ++ resultsR13)
       .collect { case (k, v, _, _) if v < 0 => s""""$k"""" }
     if (failed.nonEmpty) {
       // a failing query must read as a FAILURE, not as a faster total —
@@ -494,6 +506,8 @@ object Bench {
     val totalR11Cold = resultsR11.map(_._3).sum
     val totalR12 = resultsR12.map(_._2).sum
     val totalR12Cold = resultsR12.map(_._3).sum
+    val totalR13 = resultsR13.map(_._2).sum
+    val totalR13Cold = resultsR13.map(_._3).sum
     // compact totals object, duplicated in BOTH output lines: the
     // driver archives only the last 2000 chars of stdout, so the
     // per-query detail line alone is truncation-prone as series
@@ -506,7 +520,8 @@ object Bench {
         f""""r9":$totalR9%.3f,"r9_cold":$totalR9Cold%.3f,""" +
         f""""r10":$totalR10%.3f,"r10_cold":$totalR10Cold%.3f,""" +
         f""""r11":$totalR11%.3f,"r11_cold":$totalR11Cold%.3f,""" +
-        f""""r12":$totalR12%.3f,"r12_cold":$totalR12Cold%.3f,"failed":0}"""
+        f""""r12":$totalR12%.3f,"r12_cold":$totalR12Cold%.3f,""" +
+        f""""r13":$totalR13%.3f,"r13_cold":$totalR13Cold%.3f,"failed":0}"""
     // line 1: full per-query detail (head of stdout — complete in the
     // build log even when the archived tail cuts it)
     println(
@@ -534,6 +549,9 @@ object Bench {
         f""""queries_r12":${steadyJson(resultsR12)},"total_r12":$totalR12%.3f,""" +
         f""""queries_r12_cold":${coldJson(resultsR12)},"total_r12_cold":$totalR12Cold%.3f,""" +
         f""""queries_r12_warm":${warmJson(resultsR12)},""" +
+        f""""queries_r13":${steadyJson(resultsR13)},"total_r13":$totalR13%.3f,""" +
+        f""""queries_r13_cold":${coldJson(resultsR13)},"total_r13_cold":$totalR13Cold%.3f,""" +
+        f""""queries_r13_warm":${warmJson(resultsR13)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir",""" +
         totalsJson + "}")
     // line 2: newest-series per-query detail (secondary visibility —
@@ -542,6 +560,7 @@ object Bench {
       f"""{"metric":"detail_recent","unit":"sec",""" +
         f""""queries_r11":${steadyJson(resultsR11)},""" +
         f""""queries_r12":${steadyJson(resultsR12)},""" +
+        f""""queries_r13":${steadyJson(resultsR13)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir"}""")
     // line 3 — LAST line, totals ONLY, bounded forever regardless of
     // how many series accumulate: the driver archives the final
