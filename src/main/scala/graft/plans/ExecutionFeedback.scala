@@ -212,6 +212,16 @@ object ExecutionFeedback {
     n
   }
 
+  /** The executed query's TRUE C_out over its join intermediates: the
+    * sum of every join node's observed output rows. Because the
+    * metrics ARE the true cardinalities, comparing this across two
+    * plans of the same query is an exact true-cost comparison — no
+    * counting queries, no estimates (used by the re-optimization
+    * convergence experiment and its spec). */
+  def observedJoinTotal(df: DataFrame): Double =
+    joinsUnder(df.queryExecution.executedPlan)
+      .flatMap(metric(_, "numOutputRows")).sum
+
   /** Leaf keys under a node: a filtered scan contributes
     * (table, FilterExec conjuncts), a bare scan (table, ∅). */
   private def leafKeysUnder(p: SparkPlan): Seq[String] = p match {

@@ -158,6 +158,38 @@ class ExecutionFeedbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     ExecutionFeedback.clear()
   }
 
+  test("repeated-table scans harvest DISTINCT leaf keys by filter") {
+    ExecutionFeedback.clear()
+    spark.conf.set("spark.graft.joinReorder.stats", "hist")
+    try {
+      val df = spark.sql(PlannerQueries.repeatSql) // events × 2 filters
+      df.collect()
+      ExecutionFeedback.harvest(df)
+      val eventLeaves = ExecutionFeedback.all.keys.filter(k =>
+        k.startsWith("events[") && !k.contains("||"))
+      assert(eventLeaves.size == 2,
+        s"two filtered events scans must harvest two keys: $eventLeaves")
+      assert(eventLeaves.exists(_.contains("purchase")) &&
+        eventLeaves.exists(_.contains("error")))
+    } finally spark.conf.unset("spark.graft.joinReorder.stats")
+  }
+
+  test("re-planning under feedback reaches a structure fixpoint") {
+    harvestFlagship()
+    spark.conf.set("spark.graft.joinReorder.stats", "feedback")
+    try {
+      def sig() = joinSignature(
+        spark.sql(PlannerQueries.flagshipSqlText).queryExecution.optimizedPlan)
+      val s1 = sig()
+      // execute the feedback-planned tree and harvest ITS subsets too
+      val df = spark.sql(PlannerQueries.flagshipSqlText)
+      df.collect()
+      ExecutionFeedback.harvest(df)
+      assert(sig() == s1,
+        "a second harvest of the chosen tree must not move the plan")
+    } finally spark.conf.unset("spark.graft.joinReorder.stats")
+  }
+
   test("p23 gate body: harvest + re-plan returns the oracle's answer") {
     ExecutionFeedback.clear()
     val fb = PlannerQueries.runFeedbackSql(spark, sfDir)
