@@ -185,5 +185,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.SelfJoinElimination())
     ext.injectOptimizerRule(_ => graft.plans.OuterJoinRemoval())
     ext.injectOptimizerRule(_ => graft.plans.GraftJoinReorder())
+    // estimate-backed partial-agg pushdown; opt-in via
+    // spark.graft.eagerAgg.enabled (q157 gates it)
+    ext.injectOptimizerRule(_ => graft.plans.EagerAggregation())
   }
 }

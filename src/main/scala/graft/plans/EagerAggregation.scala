@@ -1,0 +1,188 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, ShortType, ByteType}
+
+/** EAGER AGGREGATION (Yan & Larson, VLDB 1995): push a partial
+  * aggregate BELOW a join, grouping the fact side by its join keys +
+  * its group-by columns, and re-aggregate above. Semantics-preserving
+  * for inner joins with SUM/COUNT/MIN/MAX (non-distinct, unfiltered):
+  * the partial group-by collapses only rows with identical values for
+  * every attribute the join condition and final grouping can see, so
+  * each collapsed group joins exactly the rows each of its members
+  * would have — SUM/MIN/MAX pass through re-aggregation, COUNT
+  * becomes SUM of partial counts (and a joined-pair count is exactly
+  * the sum of fact-side partial counts across matches). No uniqueness
+  * assumption on the other side is needed.
+  *
+  * This is the transform that matters at 100 TB: a fact→dim join
+  * whose final aggregate groups by a low-NDV key currently shuffles
+  * EVERY fact row into the join; pre-aggregation shrinks the shuffle
+  * to the key-group count before any join bytes move. Spark's
+  * optimizer does not do this (no CollapseProject analog exists for
+  * aggregates below joins).
+  *
+  * Deployment posture: estimate-backed and conservative — the rule
+  * fires only when `spark.graft.eagerAgg.enabled` is set AND the
+  * measured profile of the fact side's scan predicts at least
+  * `spark.graft.eagerAgg.minReduction` (default 4×) row reduction
+  * from the partial grouping (group NDV bound = Π per-column NDV,
+  * capped at the filtered row count — the Selinger bound). No
+  * profile → no rewrite: a blind pre-aggregation on a near-unique
+  * key would ADD a shuffle.
+  *
+  * Reference anchor: the reference optimizes join ORDER only
+  * (MyLoptOptimizeJoinRule et al.); eager aggregation is the
+  * complementary logical transform its workload (ungrouped MIN over
+  * snowflake joins, Query.java) would benefit from at scale.
+  */
+case class EagerAggregation() extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.eagerAgg.enabled", "false").toBoolean)
+      plan
+    else plan.transformDown {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+
+  /** Types whose SUM re-aggregates losslessly (decimal widens its
+    * precision per level and would change the result type). */
+  private def sumSafe(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType => true
+    case _ => false
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val join = agg.child match {
+      case j: Join => j
+      case Project(exprs, j: Join)
+          if exprs.forall(_.isInstanceOf[Attribute]) => j
+      case _ => return None
+    }
+    if (join.joinType != Inner) return None
+
+    val aes = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    }).distinct
+    if (aes.isEmpty) return None
+    if (aes.exists(ae => ae.isDistinct || ae.filter.isDefined)) return None
+    val supported = aes.forall(_.aggregateFunction match {
+      case s: Sum => sumSafe(s.child)
+      case _: Count | _: Min | _: Max => true
+      case _ => false
+    })
+    if (!supported) return None
+    // grouping must be plain attributes (pass-through above the join)
+    if (!agg.groupingExpressions.forall(_.isInstanceOf[Attribute]))
+      return None
+
+    // the fact side: every aggregated expression's references must sit
+    // on ONE side; ref-free aggs (count(*)) are side-agnostic
+    val refs = aes.flatMap(_.references)
+    val side =
+      if (refs.isEmpty) join.left
+      else if (refs.forall(join.left.outputSet.contains)) join.left
+      else if (refs.forall(join.right.outputSet.contains)) join.right
+      else return None
+    if (side.isInstanceOf[Aggregate]) return None // idempotence guard
+
+    // partial group-by: every fact-side attribute the join condition
+    // or the final grouping observes
+    val needed = (join.condition.toSeq.flatMap(_.references) ++
+      agg.groupingExpressions.flatMap(_.references))
+      .filter(side.outputSet.contains).map(_.asInstanceOf[Attribute])
+    val partialKeys = needed.groupBy(_.exprId).map(_._2.head).toSeq
+      .sortBy(_.exprId.id)
+    if (partialKeys.isEmpty) return None
+
+    // estimate-backed profitability from the fact scan's profile
+    if (!profitable(side, partialKeys)) return None
+
+    // partial aggregate: one alias per distinct aggregate call
+    val partialAliases: Map[AggregateExpression, Alias] =
+      aes.zipWithIndex.map { case (ae, i) =>
+        val fn = ae.aggregateFunction match {
+          case c: Count => Count(c.children) // fact-side row count
+          case other => other
+        }
+        ae -> Alias(AggregateExpression(fn, Complete, isDistinct = false),
+          s"_eager_$i")()
+      }.toMap
+    val partial = Aggregate(partialKeys,
+      partialKeys ++ aes.map(partialAliases), side)
+
+    val newJoin =
+      if (side eq join.left) join.copy(left = partial)
+      else join.copy(right = partial)
+
+    // final aggregate: SUM/MIN/MAX re-aggregate their partial column;
+    // COUNT becomes coalesce(SUM(partial count), 0) — the coalesce
+    // matters for the ungrouped-over-empty-join case, where count(*)
+    // is 0 but sum() is null
+    val rewritten = agg.aggregateExpressions.map(_.transform {
+      case ae: AggregateExpression if partialAliases.contains(ae) =>
+        val col = partialAliases(ae).toAttribute
+        def rewrap(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
+          AggregateExpression(f, Complete, isDistinct = false)
+        ae.aggregateFunction match {
+          case _: Count =>
+            Coalesce(Seq(rewrap(Sum(col)), Literal(0L)))
+          case _: Sum => rewrap(Sum(col))
+          case _: Min => rewrap(Min(col))
+          case _: Max => rewrap(Max(col))
+          case _ => ae // unreachable: filtered above
+        }
+    }.asInstanceOf[NamedExpression])
+    Some(Aggregate(agg.groupingExpressions, rewritten, newJoin))
+  }
+
+  /** True when the fact side resolves to a plain (possibly filtered)
+    * parquet scan whose measured profile predicts ≥ minReduction
+    * rows-per-group (group NDV = Π per-column NDV capped at filtered
+    * rows — the Selinger bound). */
+  private def profitable(side: LogicalPlan, keys: Seq[Attribute]): Boolean =
+    try {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val minReduction = conf.getConfString(
+        "spark.graft.eagerAgg.minReduction", "4").toDouble
+      baseScan(side) match {
+        case None => false
+        case Some(path) =>
+          val slash = path.lastIndexOf('/')
+          val p = StatsEstimator.profileTable(spark,
+            path.substring(0, slash),
+            path.substring(slash + 1).stripSuffix(".parquet"))
+          val sel = side.collect {
+            case Filter(c, _) => splitConjunctivePredicates(c)
+          }.flatten.map(StatsEstimator.selectivityOfCatalyst(p)).product
+          val rows = math.max(p.rows * sel, 1.0)
+          val groupNdv = keys.foldLeft(1.0) { (acc, k) =>
+            p.cols.get(k.name).map(c => acc * math.max(c.ndv, 1.0))
+              .getOrElse(return false)
+          }
+          rows / math.min(groupNdv, rows) >= minReduction
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  @annotation.tailrec
+  private def baseScan(plan: LogicalPlan): Option[String] = plan match {
+    case p: Project => baseScan(p.child)
+    case f: Filter => baseScan(f.child)
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.toList match {
+            case one :: Nil if one.toString.endsWith(".parquet") =>
+              Some(one.toString)
+            case _ => None
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+}

@@ -153,8 +153,35 @@ object PlannerQueries {
     // second counting pass), then re-plan the same SQL under
     // stats=feedback where observed subsets override the estimates.
     // Same oracle: feedback moves plans, never answers.
-    "p23_planner_insql_feedback" -> (runFeedbackSql _)
+    "p23_planner_insql_feedback" -> (runFeedbackSql _),
+    // q157: eager aggregation (Yan & Larson) — the partial aggregate
+    // pushed below the fact→dim join when the measured profile
+    // predicts the grouping collapses the shuffle (EagerAggregation;
+    // ~470× here: 47k filtered lineitem rows → 100 supplier groups
+    // before any join bytes move). Same answer as the direct plan —
+    // the oracle is the query itself.
+    "q157_eager_agg" -> (runEagerAgg _)
   )
+
+  /** q157's SQL — shared with EagerAggregationSpec. */
+  val eagerAggSql: String =
+    """SELECT s_name, sum(l_quantity) AS sum_qty, count(*) AS cnt,
+              min(l_extendedprice) AS min_ext
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       WHERE l_quantity > 10
+       GROUP BY s_name"""
+
+  def runEagerAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "supplier").foreach(r =>
+      Tables.load(spark, sfDir, r).createOrReplaceTempView(r))
+    val prev = spark.conf.getOption("spark.graft.eagerAgg.enabled")
+    spark.conf.set("spark.graft.eagerAgg.enabled", "true")
+    try spark.sql(eagerAggSql)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.eagerAgg.enabled", v)
+      case None => spark.conf.unset("spark.graft.eagerAgg.enabled")
+    }
+  }
 
   /** p23's body: run → harvest → re-plan under stats=feedback. */
   def runFeedbackSql(spark: SparkSession, sfDir: String): DataFrame = {
@@ -423,6 +450,7 @@ object PlannerQueries {
         case "p16_planner_job_ikkbz" => jobTree13Oracle
         case "p17_planner_job_insql" => jobTree11Oracle
         case "p21_planner_insql_repeat" => repeatSql
+        case "q157_eager_agg" => eagerAggSql
         case k2 if cycleShaped(k2) => cycleOracle
         case _ => flagshipOracle
       })).toMap

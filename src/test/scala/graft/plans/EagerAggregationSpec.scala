@@ -1,0 +1,120 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Eager aggregation (q157): the partial aggregate appears below the
+  * join exactly when enabled AND profitable, shrinks the join's true
+  * input, never changes answers — including the empty-join count(*)
+  * null trap — and refuses the unsupported shapes. */
+class EagerAggregationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.registerAll(spark, sfDir)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def aggCount(sql: String): Int =
+    spark.sql(sql).queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+
+  private def withEager[T](on: Boolean)(f: => T): T = {
+    spark.conf.set("spark.graft.eagerAgg.enabled", on.toString)
+    try f finally spark.conf.unset("spark.graft.eagerAgg.enabled")
+  }
+
+  private def rows(sql: String): Seq[Seq[Any]] =
+    spark.sql(sql).collect().map(_.toSeq).toSeq
+      .sortBy(_.mkString("|"))
+
+  test("partial aggregate appears below the join; answers identical") {
+    val sql = PlannerQueries.eagerAggSql
+    val (nOn, on) = withEager(true) { (aggCount(sql), rows(sql)) }
+    val (nOff, off) = withEager(false) { (aggCount(sql), rows(sql)) }
+    assert(nOff == 1 && nOn == 2,
+      s"expected 1 aggregate off / 2 on, got $nOff / $nOn")
+    assert(on == off)
+    assert(on.nonEmpty)
+  }
+
+  test("the rewrite shrinks the join's true input") {
+    val sql = PlannerQueries.eagerAggSql
+    def joinTotal(on: Boolean): Double = withEager(on) {
+      val df = spark.sql(sql)
+      df.collect()
+      ExecutionFeedback.observedJoinTotal(df)
+    }
+    val (tOn, tOff) = (joinTotal(true), joinTotal(false))
+    assert(tOn < tOff / 10,
+      s"pre-aggregated join output $tOn not ≪ direct $tOff")
+  }
+
+  test("empty join: count(*) stays 0, sum stays null (the coalesce trap)") {
+    val sql =
+      """SELECT count(*) AS cnt, sum(l_quantity) AS s
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE l_quantity > 1e9"""
+    // force profitability past the floored-selectivity estimate
+    spark.conf.set("spark.graft.eagerAgg.minReduction", "0.0001")
+    try {
+      val on = withEager(true) {
+        assert(aggCount(sql) == 2, "rewrite must fire at this threshold")
+        rows(sql)
+      }
+      val off = withEager(false) { rows(sql) }
+      assert(on == off && on.head.head == 0L && on.head(1) == null)
+    } finally spark.conf.unset("spark.graft.eagerAgg.minReduction")
+  }
+
+  test("unsupported shapes refuse: distinct, avg, non-inner, mixed sides") {
+    val shapes = Seq(
+      // distinct agg
+      """SELECT count(DISTINCT l_partkey) AS c
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
+      // avg (not decomposed)
+      """SELECT avg(l_quantity) AS a
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
+      // refs from both sides in one agg
+      """SELECT sum(l_quantity * s_acctbal) AS s
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
+      // outer join
+      """SELECT sum(l_quantity) AS s
+         FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey""")
+    withEager(true) {
+      shapes.foreach { sql =>
+        assert(aggCount(sql) == 1, s"must not rewrite: $sql")
+      }
+    }
+  }
+
+  test("unprofitable grouping (near-unique key) refuses") {
+    // l_orderkey NDV ≈ rows/4 — reduction ~4 misses the 8× bar
+    spark.conf.set("spark.graft.eagerAgg.minReduction", "8")
+    try withEager(true) {
+      val sql =
+        """SELECT o_orderpriority, sum(l_quantity) AS s
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY o_orderpriority"""
+      assert(aggCount(sql) == 1, "near-unique partial key must refuse")
+    } finally spark.conf.unset("spark.graft.eagerAgg.minReduction")
+  }
+
+  test("disabled by default: no plan change without the conf") {
+    assert(aggCount(PlannerQueries.eagerAggSql) == 1)
+  }
+}
