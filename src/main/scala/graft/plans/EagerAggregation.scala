@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -10,7 +10,8 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType,
 /** EAGER AGGREGATION (Yan & Larson, VLDB 1995): push a partial
   * aggregate BELOW a join, grouping the fact side by its join keys +
   * its group-by columns, and re-aggregate above. Semantics-preserving
-  * for inner joins with SUM/COUNT/MIN/MAX (non-distinct, unfiltered):
+  * for inner joins with SUM/COUNT/MIN/MAX/AVG (non-distinct,
+  * unfiltered; AVG decomposed into partial sum + partial count):
   * the partial group-by collapses only rows with identical values for
   * every attribute the join condition and final grouping can see, so
   * each collapsed group joins exactly the rows each of its members
@@ -73,6 +74,9 @@ case class EagerAggregation() extends Rule[LogicalPlan] with PredicateHelper {
     if (aes.exists(ae => ae.isDistinct || ae.filter.isDefined)) return None
     val supported = aes.forall(_.aggregateFunction match {
       case s: Sum => sumSafe(s.child)
+      // avg decomposes to Σpartial-sum / Σpartial-count (null-safe:
+      // a null numerator propagates, matching avg-of-empty)
+      case a: Average => sumSafe(a.child) && a.dataType == DoubleType
       case _: Count | _: Min | _: Max => true
       case _ => false
     })
@@ -103,18 +107,22 @@ case class EagerAggregation() extends Rule[LogicalPlan] with PredicateHelper {
     // estimate-backed profitability from the fact scan's profile
     if (!profitable(side, partialKeys)) return None
 
-    // partial aggregate: one alias per distinct aggregate call
-    val partialAliases: Map[AggregateExpression, Alias] =
+    // partial aggregate: one alias per distinct aggregate call (two
+    // for avg: its partial sum and partial non-null count)
+    val partialAliases: Map[AggregateExpression, Seq[Alias]] =
       aes.zipWithIndex.map { case (ae, i) =>
-        val fn = ae.aggregateFunction match {
-          case c: Count => Count(c.children) // fact-side row count
-          case other => other
-        }
-        ae -> Alias(AggregateExpression(fn, Complete, isDistinct = false),
-          s"_eager_$i")()
+        def mk(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
+            suffix: String) =
+          Alias(AggregateExpression(f, Complete, isDistinct = false),
+            s"_eager_$i$suffix")()
+        ae -> (ae.aggregateFunction match {
+          case a: Average =>
+            Seq(mk(Sum(a.child), "s"), mk(Count(Seq(a.child)), "c"))
+          case other => Seq(mk(other, ""))
+        })
       }.toMap
     val partial = Aggregate(partialKeys,
-      partialKeys ++ aes.map(partialAliases), side)
+      partialKeys ++ aes.flatMap(partialAliases), side)
 
     val newJoin =
       if (side eq join.left) join.copy(left = partial)
@@ -126,15 +134,18 @@ case class EagerAggregation() extends Rule[LogicalPlan] with PredicateHelper {
     // is 0 but sum() is null
     val rewritten = agg.aggregateExpressions.map(_.transform {
       case ae: AggregateExpression if partialAliases.contains(ae) =>
-        val col = partialAliases(ae).toAttribute
+        val cols = partialAliases(ae).map(_.toAttribute)
         def rewrap(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
           AggregateExpression(f, Complete, isDistinct = false)
         ae.aggregateFunction match {
           case _: Count =>
-            Coalesce(Seq(rewrap(Sum(col)), Literal(0L)))
-          case _: Sum => rewrap(Sum(col))
-          case _: Min => rewrap(Min(col))
-          case _: Max => rewrap(Max(col))
+            Coalesce(Seq(rewrap(Sum(cols.head)), Literal(0L)))
+          case _: Sum => rewrap(Sum(cols.head))
+          case _: Min => rewrap(Min(cols.head))
+          case _: Max => rewrap(Max(cols.head))
+          case _: Average =>
+            Divide(Cast(rewrap(Sum(cols.head)), DoubleType),
+              Cast(rewrap(Sum(cols(1))), DoubleType))
           case _ => ae // unreachable: filtered above
         }
     }.asInstanceOf[NamedExpression])

@@ -81,13 +81,21 @@ class EagerAggregationSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.eagerAgg.minReduction")
   }
 
-  test("unsupported shapes refuse: distinct, avg, non-inner, mixed sides") {
+  test("avg decomposes to partial sum/count; groupwise answers exact") {
+    val sql =
+      """SELECT s_name, avg(l_quantity) AS avg_qty, count(*) AS cnt
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name"""
+    val (nOn, on) = withEager(true) { (aggCount(sql), rows(sql)) }
+    val off = withEager(false) { rows(sql) }
+    assert(nOn == 2, "avg must not block the rewrite")
+    assert(on == off && on.nonEmpty)
+  }
+
+  test("unsupported shapes refuse: distinct, mixed sides, non-inner") {
     val shapes = Seq(
       // distinct agg
       """SELECT count(DISTINCT l_partkey) AS c
-         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
-      // avg (not decomposed)
-      """SELECT avg(l_quantity) AS a
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
       // refs from both sides in one agg
       """SELECT sum(l_quantity * s_acctbal) AS s
