@@ -180,7 +180,8 @@ object Bench {
   val headlineR13: Seq[String] = Seq(
     "p21_planner_insql_repeat", "p22_planner_insql_auto",
     "p23_planner_insql_feedback", "q155_takedown_positional",
-    "q156_takedown_pos_compact", "s36_ann_graph_beam_multi")
+    "q156_takedown_pos_compact", "s36_ann_graph_beam_multi",
+    "q157_eager_agg")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the

@@ -97,7 +97,10 @@ object PlanAudit {
   private val mustPush: Set[String] = Set(
     "q02_filter_pred", "q03_flagship", "q21_in_subquery",
     "p01_planner_dpccp", "p15_planner_job_exact", "p16_planner_job_ikkbz",
-    "q69_zonemap_pruned", "q90_bloom_skip")
+    "q69_zonemap_pruned", "q90_bloom_skip",
+    // q157: the l_quantity predicate must reach the scan BELOW the
+    // pushed partial aggregate
+    "q157_eager_agg")
     // NOT canaries (first-audit calibration): q60/q115/c19 evaluate
     // their event_type predicates as conditional aggregation over the
     // full stream — there is no scan-level filter to push
