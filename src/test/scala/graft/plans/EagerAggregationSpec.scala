@@ -122,7 +122,9 @@ class EagerAggregationSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.eagerAgg.minReduction")
   }
 
-  test("disabled by default: no plan change without the conf") {
-    assert(aggCount(PlannerQueries.eagerAggSql) == 1)
+  test("enabled by default; conf=false disables") {
+    assert(aggCount(PlannerQueries.eagerAggSql) == 2,
+      "default-on: the gate shape must rewrite with no conf set")
+    assert(withEager(false) { aggCount(PlannerQueries.eagerAggSql) } == 1)
   }
 }
