@@ -185,8 +185,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.SelfJoinElimination())
     ext.injectOptimizerRule(_ => graft.plans.OuterJoinRemoval())
     ext.injectOptimizerRule(_ => graft.plans.GraftJoinReorder())
-    // estimate-backed partial-agg pushdown; opt-in via
-    // spark.graft.eagerAgg.enabled (q157 gates it)
+    // estimate-backed partial-agg pushdown; ON by default after the
+    // 361-entry differential check, disabled via
+    // spark.graft.eagerAgg.enabled=false (q157/q158 gate it)
     ext.injectOptimizerRule(_ => graft.plans.EagerAggregation())
   }
 }

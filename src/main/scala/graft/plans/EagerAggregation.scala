@@ -120,7 +120,12 @@ case class EagerAggregation() extends Rule[LogicalPlan] with PredicateHelper {
             s"_eager_$i$suffix")()
         ae -> (ae.aggregateFunction match {
           case a: Average =>
-            Seq(mk(Sum(a.child), "s"), mk(Count(Seq(a.child)), "c"))
+            // partial sum in DOUBLE, matching native Average's
+            // accumulator — Sum over an integral child accumulates in
+            // LongType, which can overflow at scale where the
+            // unrewritten plan would not (ADVICE r13)
+            Seq(mk(Sum(Cast(a.child, DoubleType)), "s"),
+              mk(Count(Seq(a.child)), "c"))
           case other => Seq(mk(other, ""))
         })
       }.toMap

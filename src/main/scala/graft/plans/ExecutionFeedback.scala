@@ -4,9 +4,10 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, Expression, IsNotNull}
-import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, ProjectExec, SortExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
 /** LEO-style execution feedback (Stillger et al., "LEO — DB2's
@@ -128,11 +129,6 @@ object ExecutionFeedback {
       case _ => None
     }
 
-  private def scansUnder(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-    case s: FileSourceScanExec => Seq(s)
-    case other => kids(other).flatMap(scansUnder)
-  }
-
   private def joinsUnder(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {
       case _: SortMergeJoinExec | _: BroadcastHashJoinExec |
@@ -142,13 +138,31 @@ object ExecutionFeedback {
     self ++ kids(p).flatMap(joinsUnder)
   }
 
-  private def attrName(e: Expression): Option[String] = e match {
-    case a: Attribute => Some(a.name)
-    case c: Cast => attrName(c.child)
+  /** Only INNER joins carry the subset-cardinality semantics the
+    * planning side consults (`stats=feedback` reorders inner islands
+    * only); an outer/semi join's output metric keyed like an inner
+    * subset would poison the dictionary. */
+  private def isInnerEqui(j: SparkPlan): Boolean = j match {
+    case s: SortMergeJoinExec => s.joinType == Inner
+    case b: BroadcastHashJoinExec => b.joinType == Inner
+    case h: ShuffledHashJoinExec => h.joinType == Inner
+    case _ => false
+  }
+
+  private def baseAttr(e: Expression): Option[Attribute] = e match {
+    case a: Attribute => Some(a)
+    case c: Cast => baseAttr(c.child)
     case _ => None
   }
 
-  private def joinEdges(j: SparkPlan): Seq[String] = {
+  /** A join node's equi-edges with endpoints QUALIFIED by the owning
+    * scan's leaf key (`attrLeaf`: scan-output exprId → leaf key), so
+    * two edges over identically-named columns of different leaves
+    * (self-join corpora, cross-table name collisions) stay distinct
+    * (ADVICE r13). A key whose attribute doesn't resolve to a scan
+    * output (a derived column) yields no edge — a missed observation,
+    * never a wrong one. */
+  private def joinEdges(j: SparkPlan, attrLeaf: Map[Long, String]): Seq[String] = {
     val (l, r) = j match {
       case s: SortMergeJoinExec => (s.leftKeys, s.rightKeys)
       case b: BroadcastHashJoinExec => (b.leftKeys, b.rightKeys)
@@ -156,8 +170,32 @@ object ExecutionFeedback {
       case _ => (Seq.empty, Seq.empty)
     }
     l.zip(r).flatMap { case (a, b) =>
-      for (an <- attrName(a); bn <- attrName(b)) yield edgeKey(an, bn)
+      for {
+        an <- baseAttr(a); bn <- baseAttr(b)
+        aq <- attrLeaf.get(an.exprId.id)
+        bq <- attrLeaf.get(bn.exprId.id)
+      } yield edgeKey(s"$aq.${an.name}", s"$bq.${bn.name}")
     }
+  }
+
+  /** The scan a filter/leaf observation is about, reached ONLY through
+    * row-preserving projection nodes (Project, codegen and columnar
+    * adapters, AQE wrappers). An aggregate, window, generate, or
+    * second filter between the node and the scan means the output
+    * metric is NOT the scan-filter cardinality — no observation
+    * (ADVICE r13: the old any-descendant scan search recorded wrong
+    * leaf counts for filter-over-aggregate shapes). */
+  @annotation.tailrec
+  private def plainScanOf(p: SparkPlan): Option[FileSourceScanExec] = p match {
+    case s: FileSourceScanExec => Some(s)
+    case _: ProjectExec | _: ColumnarToRowExec | _: InputAdapter |
+         _: WholeStageCodegenExec | _: AdaptiveSparkPlanExec |
+         _: QueryStageExec | _: ReusedExchangeExec =>
+      kids(p) match {
+        case Seq(one) => plainScanOf(one)
+        case _ => None
+      }
+    case _ => None
   }
 
   /** The leaf key of a filtered scan subtree: the FilterExec holds the
@@ -165,13 +203,13 @@ object ExecutionFeedback {
     * filter node re-evaluates), so its conjuncts and its output metric
     * are the truth for (table, filter). */
   private def leafFeedback(p: SparkPlan): Seq[(String, Double)] = p match {
-    case f: FilterExec if joinsUnder(f).isEmpty =>
-      scansUnder(f) match {
-        case Seq(s) =>
+    case f: FilterExec =>
+      plainScanOf(f.child) match {
+        case Some(s) =>
           scanTable(s).flatMap(t =>
             metric(f, "numOutputRows").map(rows =>
               (leafKey(t, splitConj(f.condition)), rows))).toSeq
-        case _ => Seq.empty
+        case None => kids(f).flatMap(leafFeedback)
       }
     case s: FileSourceScanExec if s.dataFilters.isEmpty =>
       scanTable(s).flatMap(t =>
@@ -190,23 +228,29 @@ object ExecutionFeedback {
     * empty before execution): every inner equi-join node becomes an
     * observed subset cardinality, every filtered scan an observed leaf
     * cardinality. Returns the number of observations recorded. */
-  def harvest(df: DataFrame): Int = {
-    val root = df.queryExecution.executedPlan
+  def harvest(df: DataFrame): Int = harvestPlan(df.queryExecution.executedPlan)
+
+  /** The physical-plan form, for [[graft.functions.FeedbackListener]]
+    * (QueryExecutionListener callbacks hold a QueryExecution, not a
+    * DataFrame). Driver-only: walks the node tree, reads
+    * already-aggregated SQL metrics. */
+  def harvestPlan(root: SparkPlan): Int = {
     var n = 0
     leafFeedback(root).foreach { case (k, v) => record(k, v); n += 1 }
-    joinsUnder(root).foreach { j =>
-      val scans = scansUnder(j)
-      val tables = scans.map(scanTable)
-      if (scans.size >= 2 && tables.forall(_.isDefined)) {
-        // each scan's leaf key needs its OWN filter: re-derive by
-        // pairing every scan with the innermost FilterExec above it
-        val lks = leafKeysUnder(j)
-        if (lks.size == scans.size) {
-          val edges = joinsUnder(j).flatMap(joinEdges)
+    joinsUnder(root).filter(isInnerEqui).foreach { j =>
+      leafScansUnder(j) match {
+        case Some(pairs) if pairs.size >= 2 =>
+          val attrLeaf: Map[Long, String] = pairs.flatMap { case (s, lk) =>
+            s.output.map(_.exprId.id -> lk)
+          }.toMap
+          val edges =
+            joinsUnder(j).filter(isInnerEqui).flatMap(joinEdges(_, attrLeaf))
           metric(j, "numOutputRows").foreach { rows =>
-            record(subsetKey(lks, edges), rows); n += 1
+            record(subsetKey(pairs.map(_._2), edges), rows); n += 1
           }
-        }
+        case _ => // a non-plain subtree (aggregate/outer join/union
+          // between a join and its scans): the subset's leaf-set key
+          // would be a lie — skip, never record wrong observations
       }
     }
     n
@@ -222,16 +266,33 @@ object ExecutionFeedback {
     joinsUnder(df.queryExecution.executedPlan)
       .flatMap(metric(_, "numOutputRows")).sum
 
-  /** Leaf keys under a node: a filtered scan contributes
-    * (table, FilterExec conjuncts), a bare scan (table, ∅). */
-  private def leafKeysUnder(p: SparkPlan): Seq[String] = p match {
-    case f: FilterExec if joinsUnder(f).isEmpty &&
-        scansUnder(f).size == 1 =>
-      scanTable(scansUnder(f).head)
-        .map(t => leafKey(t, splitConj(f.condition))).toSeq
+  /** (scan, leaf key) pairs under a join node — None when the subtree
+    * holds ANYTHING that changes row counts other than leaf filters
+    * and inner equi-joins themselves (an aggregate, window, generate,
+    * union, outer join, or filter-above-join between the join and its
+    * scans makes the subset's (leaf-set, edge-set) key a lie about
+    * what the output metric measured). Exchanges/sorts/codegen
+    * wrappers are row-preserving pass-throughs. */
+  private def leafScansUnder(
+      p: SparkPlan): Option[Seq[(FileSourceScanExec, String)]] = p match {
+    case f: FilterExec =>
+      plainScanOf(f.child).flatMap(s =>
+        scanTable(s).map(t => Seq((s, leafKey(t, splitConj(f.condition))))))
     case s: FileSourceScanExec =>
-      scanTable(s).map(t => leafKey(t, Seq.empty)).toSeq
-    case other => kids(other).flatMap(leafKeysUnder)
+      scanTable(s).map(t => Seq((s, leafKey(t, Seq.empty))))
+    case other =>
+      val passThrough = other match {
+        case _: ProjectExec | _: SortExec | _: ColumnarToRowExec |
+             _: InputAdapter | _: WholeStageCodegenExec |
+             _: AdaptiveSparkPlanExec | _: QueryStageExec |
+             _: Exchange | _: ReusedExchangeExec => true
+        case j => isInnerEqui(j)
+      }
+      if (!passThrough) None
+      else {
+        val parts = kids(other).map(leafScansUnder)
+        if (parts.forall(_.isDefined)) Some(parts.flatMap(_.get)) else None
+      }
   }
 
   // ---- planning side ----

@@ -392,8 +392,13 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
         }.flatten
         ExecutionFeedback.leafKey(table, conj)
       }
+      // edge endpoints qualified by the owning leaf's key — the same
+      // qualification the harvest side derives from scan outputs, so
+      // identically-named columns of different leaves (self-joins)
+      // can never collapse to one edge string (ADVICE r13)
       val edgeStrs = edges.map(e => (e.a, e.b) ->
-        e.conds.map { case (ca, cb) => ExecutionFeedback.edgeKey(ca, cb) })
+        e.conds.map { case (ca, cb) => ExecutionFeedback.edgeKey(
+          s"${leafKeys(e.a)}.$ca", s"${leafKeys(e.b)}.$cb") })
         .toMap
       new ExecutionFeedback.FeedbackCardinality(g, leafKeys, edgeStrs, fallback)
     }

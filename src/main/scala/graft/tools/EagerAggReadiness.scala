@@ -31,13 +31,17 @@ object EagerAggReadiness {
       all(name)(spark, sfDir).queryExecution.optimizedPlan.collect {
         case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
       }.size
-    def rowsOf(name: String): Set[Seq[Any]] =
+    // row → occurrence count: a MULTISET compare, so diffs that only
+    // change duplicate-row multiplicity are caught too (ADVICE r13 —
+    // a Set compare was blind to them)
+    def rowsOf(name: String): Map[Seq[Any], Int] =
       all(name)(spark, sfDir).collect()
         .map(_.toSeq.map {
           case d: Double => f"$d%.9g" // float-stable compare
           case f: Float => f"$f%.6g"
           case x => x
-        }).toSet
+        }: Seq[Any])
+        .groupBy(identity).map { case (k, v) => (k, v.length) }
     all.keys.toSeq.sorted.foreach { name =>
       try graft.operators.Persists.scoped {
         spark.conf.set("spark.graft.eagerAgg.enabled", "false")

@@ -174,6 +174,53 @@ class ExecutionFeedbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.joinReorder.stats")
   }
 
+  test("a filter above an aggregate records NO leaf observation") {
+    ExecutionFeedback.clear()
+    val df = spark.sql(
+      """SELECT * FROM (SELECT o_custkey, count(*) AS c FROM orders
+         GROUP BY o_custkey) WHERE c > 2""")
+    df.collect()
+    ExecutionFeedback.harvest(df)
+    // the post-aggregate filter's output metric is not a scan-filter
+    // cardinality: only the BARE orders scan may be observed
+    val ordersKeys = ExecutionFeedback.all.keys.filter(_.startsWith("orders["))
+    assert(ordersKeys.forall(_ == "orders[]"),
+      s"post-agg filter leaked a leaf observation: $ordersKeys")
+    ExecutionFeedback.all.get("orders[]").foreach { v =>
+      val truth = spark.table("orders").count().toDouble
+      assert(v == truth)
+    }
+  }
+
+  test("identically-named join columns qualify by leaf: edges stay distinct") {
+    ExecutionFeedback.clear()
+    val df = spark.sql(PlannerQueries.repeatSql) // c_custkey=user_id TWICE
+    df.collect()
+    ExecutionFeedback.harvest(df)
+    val full = ExecutionFeedback.all.keys.find(k =>
+      k.contains("||") && k.split("\\|\\|")(0).split("\\|").length == 4)
+    assert(full.isDefined, "4-leaf subset not harvested")
+    val edgePart = full.get.split("\\|\\|")(1)
+    val userIdEdges = edgePart.split(",").filter(_.contains("user_id"))
+    assert(userIdEdges.length == 2 && userIdEdges.distinct.length == 2,
+      s"the two user_id edges must stay distinct under leaf " +
+        s"qualification: $edgePart")
+    assert(userIdEdges.exists(_.contains("purchase")) &&
+      userIdEdges.exists(_.contains("error")))
+  }
+
+  test("an outer join's metric is never recorded as an inner subset") {
+    ExecutionFeedback.clear()
+    val df = spark.sql(
+      """SELECT count(*) AS cnt FROM nation LEFT JOIN customer
+         ON n_nationkey = c_nationkey""")
+    df.collect()
+    ExecutionFeedback.harvest(df)
+    val subsets = ExecutionFeedback.all.keys.filter(_.contains("||"))
+    assert(subsets.isEmpty,
+      s"outer-join output must not pose as an inner subset: $subsets")
+  }
+
   test("re-planning under feedback reaches a structure fixpoint") {
     harvestFlagship()
     spark.conf.set("spark.graft.joinReorder.stats", "feedback")
