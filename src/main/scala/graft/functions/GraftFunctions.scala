@@ -182,7 +182,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
-    ext.injectOptimizerRule(_ => graft.plans.SelfJoinElimination())
+    // the rule builder runs once per session when the optimizer is
+    // built — the hook point for per-session listener registration
+    // (SparkSessionExtensions has no listener injection surface);
+    // harvesting stays gated by spark.graft.feedback.auto
+    ext.injectOptimizerRule { session =>
+      FeedbackListener.ensureRegistered(session)
+      graft.plans.SelfJoinElimination()
+    }
     ext.injectOptimizerRule(_ => graft.plans.OuterJoinRemoval())
     ext.injectOptimizerRule(_ => graft.plans.GraftJoinReorder())
     // estimate-backed partial-agg pushdown; ON by default after the

@@ -154,6 +154,16 @@ object PlannerQueries {
     // stats=feedback where observed subsets override the estimates.
     // Same oracle: feedback moves plans, never answers.
     "p23_planner_insql_feedback" -> (runFeedbackSql _),
+    // p24: the HANDS-FREE LEO loop — same execute→observe→re-plan as
+    // p23, but with NO explicit harvest call anywhere: the registered
+    // QueryExecutionListener (FeedbackListener, gated by
+    // spark.graft.feedback.auto) harvests the first execution's
+    // metrics as a side effect of running it, exactly how the
+    // reference's experiment loop records true cardinalities for
+    // every plan it executes (QueryOptExperiment.java:589-614). The
+    // second planning consults the listener-populated dictionary.
+    // Same oracle: self-populating stats move plans, never answers.
+    "p24_planner_feedback_auto" -> (runAutoFeedbackSql _),
     // q157: eager aggregation (Yan & Larson) — the partial aggregate
     // pushed below the fact→dim join when the measured profile
     // predicts the grouping collapses the shuffle (EagerAggregation;
@@ -195,10 +205,43 @@ object PlannerQueries {
       warm.collect() // execute: metrics populate only after an action
       ExecutionFeedback.harvest(warm)
       spark.conf.set("spark.graft.joinReorder.stats", "feedback")
-      spark.sql(flagshipSqlText)
+      val replanned = spark.sql(flagshipSqlText)
+      // force optimization NOW, while stats=feedback is still set —
+      // QueryExecution is lazy and the gate collects after `finally`
+      replanned.queryExecution.executedPlan
+      replanned
     } finally prev match {
       case Some(v) => spark.conf.set("spark.graft.joinReorder.stats", v)
       case None => spark.conf.unset("spark.graft.joinReorder.stats")
+    }
+  }
+
+  /** p24's body: execute under histogram estimates with the
+    * auto-harvest listener ON, wait for its asynchronous delivery,
+    * then re-plan the same SQL under stats=feedback — no
+    * ExecutionFeedback.harvest call anywhere in this path. */
+  def runAutoFeedbackSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val (g, _) = flagshipGraph
+    g.relations.foreach(r =>
+      Tables.load(spark, sfDir, r).createOrReplaceTempView(r))
+    val prev = spark.conf.getOption("spark.graft.joinReorder.stats")
+    try {
+      ExecutionFeedback.clear()
+      spark.conf.set("spark.graft.feedback.auto", "true")
+      spark.conf.set("spark.graft.joinReorder.stats", "hist")
+      val before = ExecutionFeedback.size
+      spark.sql(flagshipSqlText).collect() // the listener harvests this
+      graft.functions.FeedbackListener.awaitObservations(before)
+      spark.conf.set("spark.graft.joinReorder.stats", "feedback")
+      val replanned = spark.sql(flagshipSqlText)
+      replanned.queryExecution.executedPlan // plan under feedback NOW
+      replanned
+    } finally {
+      spark.conf.unset("spark.graft.feedback.auto")
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.joinReorder.stats", v)
+        case None => spark.conf.unset("spark.graft.joinReorder.stats")
+      }
     }
   }
 
