@@ -36,9 +36,27 @@ import org.apache.spark.sql.SparkSession
 object AutoEstimator {
 
   /** One driver-evaluable conjunct: col op literal. `op` ∈
-    * {=, <>, >, <, >=, <=}; ranges are numeric-only. */
+    * {=, <>, >, <, >=, <=, like, notlike}; ranges are numeric-only;
+    * like/notlike carry the SQL pattern in `str`. */
   final case class Pred(col: String, op: String,
       str: Option[String], num: Option[Double])
+
+  /** SQL LIKE pattern → anchored regex (% → .*, _ → ., everything
+    * else literal). Compiled patterns are memoized — synopsis eval
+    * touches each pattern thousands of times. */
+  private val likeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  def likeRegex(pattern: String): java.util.regex.Pattern =
+    likeCache.computeIfAbsent(pattern, _ => {
+      val sb = new StringBuilder("^")
+      pattern.foreach {
+        case '%' => sb.append(".*")
+        case '_' => sb.append('.')
+        case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+      }
+      java.util.regex.Pattern.compile(sb.append('$').toString,
+        java.util.regex.Pattern.DOTALL)
+    })
 
   /** A vertex's filter split into driver-evaluable predicates and the
     * residual selectivity of everything that isn't (estimated from the
@@ -49,6 +67,8 @@ object AutoEstimator {
 
   private val PredRe =
     """^\s*\(*\s*(\w+)\s*(=|<>|>=|<=|>|<)\s*(?:'([^']*)'|([-+]?[0-9.]+(?:[eE][-+]?[0-9]+)?))\s*\)*\s*$""".r
+  private val LikeRe =
+    """(?i)^\s*\(*\s*(\w+)\s+(NOT\s+)?LIKE\s+'([^']*)'\s*\)*\s*$""".r
 
   /** Parse one conjunct of the string grammar; None = unevaluable. */
   def parsePred(s: String): Option[Pred] = s match {
@@ -57,6 +77,8 @@ object AutoEstimator {
         if (op == "=" || op == "<>") Some(Pred(c, op, Some(str), None))
         else None // string ranges: leave to the residual
       } else Some(Pred(c, op, None, Some(num.toDouble)))
+    case LikeRe(c, not, pat) =>
+      Some(Pred(c, if (not == null) "like" else "notlike", Some(pat), None))
     case _ => None
   }
 
@@ -114,7 +136,10 @@ object AutoEstimator {
         litNum(l).map(v => Some(Pred(attrOf(r).get, "<", None, Some(v))))
       case LessThan(l: Literal, r) if attrOf(r).isDefined =>
         litNum(l).map(v => Some(Pred(attrOf(r).get, ">", None, Some(v))))
-      case _ => None
+      case _ =>
+        likeShape(e).map { case (c, pat, neg) =>
+          Some(Pred(c, if (neg) "notlike" else "like", Some(pat), None))
+        }
     }
     val converted = conjuncts.map(c => c -> conv(c))
     val preds = converted.collect { case (_, Some(Some(p))) => p }
@@ -131,7 +156,13 @@ object AutoEstimator {
       case Some(v) =>
         (p.str, p.num) match {
           case (Some(s), _) => v match {
-            case vs: String => if (p.op == "=") vs == s else vs != s
+            case vs: String => p.op match {
+              case "=" => vs == s
+              case "<>" => vs != s
+              case "like" => likeRegex(s).matcher(vs).matches()
+              case "notlike" => !likeRegex(s).matcher(vs).matches()
+              case _ => false
+            }
             case _ => false
           }
           case (_, Some(n)) => v match {
@@ -150,6 +181,74 @@ object AutoEstimator {
           case _ => false
         }
     }
+
+  /** A Catalyst conjunct that is LIKE-shaped: `Like` itself, or the
+    * StartsWith/EndsWith/Contains forms LikeSimplification rewrites
+    * anchored patterns into (an injected rule sees conjuncts AFTER
+    * that rewrite inside the same fixpoint), plus their negations.
+    * Returns (column, SQL LIKE pattern, negated). The reference's JOB
+    * predicate language includes LIKE (Query.java:56,
+    * MyUtils.java:152-180); this is what lets the estimator ladder
+    * price it instead of falling to the 1/3 default. */
+  def likeShape(
+      e: org.apache.spark.sql.catalyst.expressions.Expression):
+      Option[(String, String, Boolean)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def attrOf(x: Expression): Option[String] = x match {
+      case a: Attribute => Some(a.name)
+      case c: Cast => attrOf(c.child)
+      case _ => None
+    }
+    def litStr(x: Expression): Option[String] = x match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(s.toString)
+      case _ => None
+    }
+    // NOTE: a literal '%'/'_' inside a StartsWith/EndsWith/Contains
+    // literal would read as a wildcard in the reconstructed pattern —
+    // an estimate-fidelity nit only (estimates never change answers)
+    e match {
+      case l: Like =>
+        for (c <- attrOf(l.left); p <- litStr(l.right)) yield (c, p, false)
+      case Not(l: Like) =>
+        for (c <- attrOf(l.left); p <- litStr(l.right)) yield (c, p, true)
+      case StartsWith(a, lit) =>
+        for (c <- attrOf(a); p <- litStr(lit)) yield (c, p + "%", false)
+      case Not(StartsWith(a, lit)) =>
+        for (c <- attrOf(a); p <- litStr(lit)) yield (c, p + "%", true)
+      case EndsWith(a, lit) =>
+        for (c <- attrOf(a); p <- litStr(lit)) yield (c, "%" + p, false)
+      case Not(EndsWith(a, lit)) =>
+        for (c <- attrOf(a); p <- litStr(lit)) yield (c, "%" + p, true)
+      case Contains(a, lit) =>
+        for (c <- attrOf(a); p <- litStr(lit)) yield (c, "%" + p + "%", false)
+      case Not(Contains(a, lit)) =>
+        for (c <- attrOf(a); p <- litStr(lit)) yield (c, "%" + p + "%", true)
+      case _ => None
+    }
+  }
+
+  /** LIKE selectivity at SAMPLE FIDELITY, for free: evaluate the
+    * anchored regex over the table's amortized full-width synopsis
+    * rows (the same cached rows the escalation trigger filters — no
+    * extra scan). Zero matches floor at half a row's mass rather than
+    * 0 — the planner divides by these. None when the synopsis is
+    * empty or the column isn't sampled (caller falls back to the
+    * residual default). */
+  def likeSelectivity(spark: SparkSession, sfDir: String, rel: String,
+      col: String, pattern: String, negate: Boolean,
+      cap: Int = 2000): Option[Double] = {
+    val syn = fullSynopsis(spark, sfDir, rel, cap)
+    if (syn.rows.isEmpty || !syn.rows.head.contains(col)) None
+    else {
+      val re = likeRegex(pattern)
+      val n = syn.rows.count(r => r.get(col) match {
+        case Some(vs: String) => re.matcher(vs).matches() != negate
+        case _ => false // nulls match neither LIKE nor NOT LIKE
+      })
+      Some(math.max(n.toDouble, 0.5) / syn.rows.size)
+    }
+  }
 
   /** Columns a full-width synopsis keeps: atomic numerics, strings,
     * booleans — what the predicate grammar can touch. Arrays/structs/

@@ -8,17 +8,20 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, ShortType, ByteType}
 
 /** EAGER AGGREGATION (Yan & Larson, VLDB 1995): push a partial
-  * aggregate BELOW a join, grouping the fact side by its join keys +
-  * its group-by columns, and re-aggregate above. Semantics-preserving
-  * for inner joins with SUM/COUNT/MIN/MAX/AVG (non-distinct,
-  * unfiltered; AVG decomposed into partial sum + partial count):
-  * the partial group-by collapses only rows with identical values for
-  * every attribute the join condition and final grouping can see, so
-  * each collapsed group joins exactly the rows each of its members
-  * would have — SUM/MIN/MAX pass through re-aggregation, COUNT
-  * becomes SUM of partial counts (and a joined-pair count is exactly
-  * the sum of fact-side partial counts across matches). No uniqueness
-  * assumption on the other side is needed.
+  * aggregate BELOW a chain of inner joins, grouping the fact leaf by
+  * its join keys + its group-by columns, and re-aggregate above.
+  * Semantics-preserving for inner joins with SUM/COUNT/MIN/MAX/AVG
+  * (non-distinct, unfiltered; AVG decomposed into partial sum +
+  * partial count): the partial group-by collapses only rows with
+  * identical values for every attribute ANY spine condition and the
+  * final grouping can see, so each collapsed group joins exactly the
+  * rows each of its members would have — through the WHOLE chain —
+  * SUM/MIN/MAX pass through re-aggregation, COUNT becomes SUM of
+  * partial counts (and a joined-pair count is exactly the sum of
+  * fact-side partial counts across matches). No uniqueness assumption
+  * on the other side is needed. The chain (snowflake) form is the
+  * reference's actual query shape: ungrouped MIN over 5–17 joins with
+  * the aggregate many joins above the fact scan (runtime_test.sh).
   *
   * This is the transform that matters at 100 TB: a fact→dim join
   * whose final aggregate groups by a low-NDV key currently shuffles
@@ -61,19 +64,68 @@ case class EagerAggregation() extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val join = agg.child match {
-      case j: Join => j
-      case Project(exprs, j: Join)
-          if exprs.forall(_.isInstanceOf[Attribute]) => j
-      case _ => return None
+  /** A node that flattens into the inner-join spine: joins,
+    * attribute-only Projects, and Filters over such. */
+  private def isSpine(p: LogicalPlan): Boolean = p match {
+    case _: Join => true
+    case Project(es, c) if es.forall(_.isInstanceOf[Attribute]) => isSpine(c)
+    case Filter(_, c) => isSpine(c)
+    case _ => false
+  }
+
+  /** Flatten the chain of INNER joins under the aggregate into
+    * (leaves, all join + spine-filter conditions) — Yan & Larson's
+    * general form: the fact scan may sit MANY joins below the
+    * aggregate (the reference's snowflake shape, ungrouped MIN over
+    * 5–17 joins, runtime_test.sh). Attribute-only Projects are looked
+    * through; a Filter above a join contributes its conjuncts (its
+    * fact-side references become partial keys, which is what keeps
+    * the rewrite exact); a non-inner join or anything else is a
+    * leaf. */
+  private def flattenSpine(
+      plan: LogicalPlan): (Seq[LogicalPlan], Seq[Expression]) = plan match {
+    case Join(l, r, Inner, cond, _) =>
+      val (ll, lc) = flattenSpine(l)
+      val (rl, rc) = flattenSpine(r)
+      (ll ++ rl,
+        lc ++ rc ++ cond.toSeq.flatMap(splitConjunctivePredicates))
+    case Project(es, child)
+        if es.forall(_.isInstanceOf[Attribute]) && isSpine(child) =>
+      flattenSpine(child)
+    case Filter(cond, child) if isSpine(child) =>
+      val (ls, cs) = flattenSpine(child)
+      (ls, cs ++ splitConjunctivePredicates(cond))
+    case other => (Seq(other), Nil)
+  }
+
+  /** Rebuild the spine with `target` (identity-compared) swapped for
+    * `repl`. Attribute-only Projects on the spine are dropped — the
+    * partial aggregate's alias columns must flow up to the final
+    * aggregate, and the next fixpoint iteration re-prunes. */
+  private def replaceLeaf(plan: LogicalPlan, target: LogicalPlan,
+      repl: LogicalPlan): LogicalPlan =
+    if (plan eq target) repl
+    else plan match {
+      case j @ Join(_, _, Inner, _, _) =>
+        j.copy(left = replaceLeaf(j.left, target, repl),
+          right = replaceLeaf(j.right, target, repl))
+      case Project(es, child)
+          if es.forall(_.isInstanceOf[Attribute]) && isSpine(child) =>
+        replaceLeaf(child, target, repl)
+      case f @ Filter(_, child) if isSpine(child) =>
+        f.copy(child = replaceLeaf(child, target, repl))
+      case other => other
     }
-    if (join.joinType != Inner) return None
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (leaves, conds) = flattenSpine(agg.child)
+    if (leaves.size < 2) return None
+    if (!conds.forall(_.deterministic)) return None
 
     val aes = agg.aggregateExpressions.flatMap(_.collect {
       case ae: AggregateExpression => ae
     }).distinct
-    if (aes.isEmpty) return None
+    if (aes.isEmpty || aes.exists(!_.deterministic)) return None
     if (aes.exists(ae => ae.isDistinct || ae.filter.isDefined)) return None
     val supported = aes.forall(_.aggregateFunction match {
       case s: Sum => sumSafe(s.child)
@@ -89,18 +141,20 @@ case class EagerAggregation() extends Rule[LogicalPlan] with PredicateHelper {
       return None
 
     // the fact side: every aggregated expression's references must sit
-    // on ONE side; ref-free aggs (count(*)) are side-agnostic
+    // on ONE leaf; ref-free aggs (count(*)) are side-agnostic
     val refs = aes.flatMap(_.references)
     val side =
-      if (refs.isEmpty) join.left
-      else if (refs.forall(join.left.outputSet.contains)) join.left
-      else if (refs.forall(join.right.outputSet.contains)) join.right
-      else return None
+      if (refs.isEmpty) leaves.head
+      else leaves.find(l => refs.forall(l.outputSet.contains))
+        .getOrElse(return None)
     if (side.isInstanceOf[Aggregate]) return None // idempotence guard
 
-    // partial group-by: every fact-side attribute the join condition
-    // or the final grouping observes
-    val needed = (join.condition.toSeq.flatMap(_.references) ++
+    // partial group-by: every fact-side attribute ANY spine condition
+    // or the final grouping observes — within a partial group all of
+    // them are constant, so every member row behaves identically
+    // through the whole join chain (the multiplicity argument
+    // unchanged from the single-join case)
+    val needed = (conds.flatMap(_.references) ++
       agg.groupingExpressions.flatMap(_.references))
       .filter(side.outputSet.contains).map(_.asInstanceOf[Attribute])
     val partialKeys = needed.groupBy(_.exprId).map(_._2.head).toSeq
@@ -132,9 +186,7 @@ case class EagerAggregation() extends Rule[LogicalPlan] with PredicateHelper {
     val partial = Aggregate(partialKeys,
       partialKeys ++ aes.flatMap(partialAliases), side)
 
-    val newJoin =
-      if (side eq join.left) join.copy(left = partial)
-      else join.copy(right = partial)
+    val newJoin = replaceLeaf(agg.child, side, partial)
 
     // final aggregate: SUM/MIN/MAX re-aggregate their partial column;
     // COUNT becomes coalesce(SUM(partial count), 0) — the coalesce

@@ -352,7 +352,7 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
       val (ns, ds, cs, ps) =
         (names.result(), dirs.result(), conjs.result(), profiles.result())
       val sels = Vector.tabulate(g.n)(i =>
-        cs(i).map(StatsEstimator.selectivityOfCatalyst(ps(i))).product)
+        cs(i).map(conjSel(spark, ds(i), ns(i), ps(i))).product)
       val hist = StatsEstimator.cardinalityWithSel(g, ps, sels)
       if (ds.distinct.size != 1) return Some(hist) // no synopsis dir: stay hist
       val vf = Vector.tabulate(g.n)(i => AutoEstimator.fromCatalyst(cs(i), ps(i)))
@@ -430,6 +430,28 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
       Some(out)
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Per-conjunct selectivity for the measured/hist tiers: LIKE-shaped
+    * conjuncts (Like, plus the StartsWith/EndsWith/Contains forms
+    * LikeSimplification produces) are priced by anchored-regex
+    * evaluation over the table's AMORTIZED full-width synopsis
+    * ([[AutoEstimator.likeSelectivity]] — the same cached 2,000 rows
+    * the auto trigger filters, no extra scan); everything else keeps
+    * [[StatsEstimator.selectivityOfCatalyst]]'s ladder. The reference
+    * string-parses JOB's LIKE predicates (MyUtils.java:152-180); until
+    * this, they fell to the 1/3 default. Gated by
+    * `spark.graft.joinReorder.likeSel` so the spec can A/B the plans. */
+  private def conjSel(spark: org.apache.spark.sql.SparkSession,
+      dir: String, table: String, p: StatsEstimator.Profile)(
+      c: Expression): Double =
+    AutoEstimator.likeShape(c) match {
+      case Some((col, pat, neg)) if conf.getConfString(
+          "spark.graft.joinReorder.likeSel", "true").toBoolean =>
+        (try AutoEstimator.likeSelectivity(spark, dir, table, col, pat, neg)
+         catch { case scala.util.control.NonFatal(_) => None })
+          .getOrElse(StatsEstimator.selectivityOfCatalyst(p)(c))
+      case _ => StatsEstimator.selectivityOfCatalyst(p)(c)
+    }
+
   /** The measured-stats [[Cardinality]]: per-leaf [[TableStats]]
     * profiles (memoized — ANALYZE runs once per table, plans are made
     * many times) with filter selectivities estimated from the leaves'
@@ -449,18 +471,16 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
           case None => return None
           case Some(path) =>
             val slash = path.lastIndexOf('/')
+            val dir = path.substring(0, slash)
+            val table = path.substring(slash + 1).stripSuffix(".parquet")
             val p =
-              if (hist) StatsEstimator.profileTableHist(spark,
-                path.substring(0, slash),
-                path.substring(slash + 1).stripSuffix(".parquet"))
-              else StatsEstimator.profileTable(spark,
-                path.substring(0, slash),
-                path.substring(slash + 1).stripSuffix(".parquet"))
+              if (hist) StatsEstimator.profileTableHist(spark, dir, table)
+              else StatsEstimator.profileTable(spark, dir, table)
             val conj = leaf.collect {
               case Filter(c, _) => splitConjunctivePredicates(c)
             }.flatten
             profiles += p
-            sels += conj.map(StatsEstimator.selectivityOfCatalyst(p)).product
+            sels += conj.map(conjSel(spark, dir, table, p)).product
         }
       }
       Some(StatsEstimator.cardinalityWithSel(g, profiles.result(),

@@ -164,13 +164,31 @@ object PlannerQueries {
     // second planning consults the listener-populated dictionary.
     // Same oracle: self-populating stats move plans, never answers.
     "p24_planner_feedback_auto" -> (runAutoFeedbackSql _),
+    // p25: a LIKE predicate PRICED from the amortized full-width
+    // synopsis (anchored-regex eval over the cached 2,000 sample rows
+    // — no extra scan) instead of falling to the 1/3 default. JOB's
+    // predicate language includes LIKE (the reference string-parses
+    // it, MyUtils.java:152-180; Query.java:56); under the default the
+    // part side prices 3× too large here and the chosen join order
+    // changes (LikeSelectivitySpec pins the flip). Same contract as
+    // every p-entry: pricing moves plans, never answers.
+    "p25_planner_insql_like" -> (runLikeSql _),
     // q157: eager aggregation (Yan & Larson) — the partial aggregate
     // pushed below the fact→dim join when the measured profile
     // predicts the grouping collapses the shuffle (EagerAggregation;
     // ~470× here: 47k filtered lineitem rows → 100 supplier groups
     // before any join bytes move). Same answer as the direct plan —
     // the oracle is the query itself.
-    "q157_eager_agg" -> (runEagerAgg _)
+    "q157_eager_agg" -> (runEagerAgg _),
+    // q158: eager aggregation through a JOIN CHAIN (Yan & Larson's
+    // general form) — the aggregate sits THREE joins above the
+    // lineitem fact scan (lineitem→supplier→nation→region snowflake,
+    // the reference's actual query shape: ungrouped aggregates far
+    // above the fact table). The partial aggregate lands directly on
+    // the filtered fact scan, keyed by l_suppkey only (~600×
+    // collapse), before any join bytes move. Same answer as the
+    // direct plan — the oracle is the query itself.
+    "q158_eager_agg_chain" -> (runEagerAggChain _)
   )
 
   /** q157's SQL — shared with EagerAggregationSpec. */
@@ -190,6 +208,53 @@ object PlannerQueries {
     finally prev match {
       case Some(v) => spark.conf.set("spark.graft.eagerAgg.enabled", v)
       case None => spark.conf.unset("spark.graft.eagerAgg.enabled")
+    }
+  }
+
+  /** q158's SQL — shared with EagerAggregationSpec. */
+  val eagerAggChainSql: String =
+    """SELECT r_name, sum(l_quantity) AS sum_qty, count(*) AS cnt,
+              min(l_extendedprice) AS min_ext
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+       WHERE l_quantity > 20
+       GROUP BY r_name"""
+
+  def runEagerAggChain(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "supplier", "nation", "region").foreach(r =>
+      Tables.load(spark, sfDir, r).createOrReplaceTempView(r))
+    val prev = spark.conf.getOption("spark.graft.eagerAgg.enabled")
+    spark.conf.set("spark.graft.eagerAgg.enabled", "true")
+    try spark.sql(eagerAggChainSql)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.eagerAgg.enabled", v)
+      case None => spark.conf.unset("spark.graft.eagerAgg.enabled")
+    }
+  }
+
+  /** p25's SQL — a selective LIKE on the part leaf (true selectivity
+    * ≈ 0.12 at every SF; the 1/3 default misprices it 3×) competing
+    * with an equality-filtered customer chain. Shared with
+    * LikeSelectivitySpec. */
+  val likeSql: String =
+    """SELECT min(o_totalprice) AS min_total, count(*) AS cnt
+       FROM part, lineitem, orders, customer
+       WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+         AND o_custkey = c_custkey
+         AND p_name LIKE 'large%' AND c_mktsegment = 'BUILDING'"""
+
+  /** p25's body: the LIKE query as SQL text under stats=hist — the
+    * synopsis-priced LIKE selectivity feeds the in-optimizer DPccp. */
+  def runLikeSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "lineitem", "orders", "customer").foreach(r =>
+      Tables.load(spark, sfDir, r).createOrReplaceTempView(r))
+    val prev = spark.conf.getOption("spark.graft.joinReorder.stats")
+    spark.conf.set("spark.graft.joinReorder.stats", "hist")
+    try spark.sql(likeSql)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.joinReorder.stats", v)
+      case None => spark.conf.unset("spark.graft.joinReorder.stats")
     }
   }
 
@@ -493,7 +558,9 @@ object PlannerQueries {
         case "p16_planner_job_ikkbz" => jobTree13Oracle
         case "p17_planner_job_insql" => jobTree11Oracle
         case "p21_planner_insql_repeat" => repeatSql
+        case "p25_planner_insql_like" => likeSql
         case "q157_eager_agg" => eagerAggSql
+        case "q158_eager_agg_chain" => eagerAggChainSql
         case k2 if cycleShaped(k2) => cycleOracle
         case _ => flagshipOracle
       })).toMap

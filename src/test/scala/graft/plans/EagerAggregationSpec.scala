@@ -122,6 +122,64 @@ class EagerAggregationSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.eagerAgg.minReduction")
   }
 
+  /** Does the optimized plan hold a partial Aggregate sitting DIRECTLY
+    * on the (filtered) fact scan — no join below it? */
+  private def partialOnFact(sql: String, table: String): Boolean =
+    spark.sql(sql).queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.collect {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+          }.isEmpty =>
+        a.collectLeaves().exists {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.endsWith(s"$table.parquet"))
+              case _ => false
+            }
+          case _ => false
+        }
+    }.exists(identity)
+
+  test("chain: the partial aggregate lands on the fact scan 3 joins down") {
+    val sql = PlannerQueries.eagerAggChainSql
+    val (nOn, on) = withEager(true) { (aggCount(sql), rows(sql)) }
+    val (nOff, off) = withEager(false) { (aggCount(sql), rows(sql)) }
+    assert(nOff == 1 && nOn == 2,
+      s"expected 1 aggregate off / 2 on, got $nOff / $nOn")
+    assert(withEager(true) { partialOnFact(sql, "lineitem") },
+      "the partial aggregate must sit on the lineitem side, below every join")
+    assert(on == off && on.nonEmpty)
+  }
+
+  test("chain: the rewrite shrinks the chain's true join input") {
+    val sql = PlannerQueries.eagerAggChainSql
+    def joinTotal(on: Boolean): Double = withEager(on) {
+      val df = spark.sql(sql)
+      df.collect()
+      ExecutionFeedback.observedJoinTotal(df)
+    }
+    val (tOn, tOff) = (joinTotal(true), joinTotal(false))
+    assert(tOn < tOff / 10,
+      s"pre-aggregated chain output $tOn not ≪ direct $tOff")
+  }
+
+  test("chain: a near-unique second spine key kills profitability") {
+    // adding the orders join makes the partial keys
+    // {l_suppkey, l_orderkey}; NDV product ≥ rows → reduction ~1
+    val sql =
+      """SELECT r_name, sum(l_quantity) AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY r_name"""
+    withEager(true) {
+      assert(aggCount(sql) == 1,
+        "a near-unique combined partial key must refuse the chain rewrite")
+    }
+  }
+
   test("enabled by default; conf=false disables") {
     assert(aggCount(PlannerQueries.eagerAggSql) == 2,
       "default-on: the gate shape must rewrite with no conf set")
