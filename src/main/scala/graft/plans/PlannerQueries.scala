@@ -173,6 +173,17 @@ object PlannerQueries {
     // changes (LikeSelectivitySpec pins the flip). Same contract as
     // every p-entry: pricing moves plans, never answers.
     "p25_planner_insql_like" -> (runLikeSql _),
+    // p26: MIXED inner/outer SQL through the injected rule — an inner
+    // island (customer⋈orders⋈lineitem) BELOW a LEFT JOIN to supplier
+    // and a second island ABOVE it ({left-join result, nation,
+    // region}). The rule must reorder BOTH islands while leaving the
+    // outer join untouched (flatten treats any non-inner join as a
+    // leaf; transformDown reaches nested islands) — the reference
+    // handles outer joins inside its Lopt path the same way
+    // (MyLoptOptimizeJoinRule.java:1802-1848). GraftJoinReorderSpec
+    // pins the island reorder + outer-join preservation; the gate
+    // hash-checks the answer.
+    "p26_planner_insql_outer" -> (runMixedOuterSql _),
     // q157: eager aggregation (Yan & Larson) — the partial aggregate
     // pushed below the fact→dim join when the measured profile
     // predicts the grouping collapses the shuffle (EagerAggregation;
@@ -256,6 +267,27 @@ object PlannerQueries {
       case Some(v) => spark.conf.set("spark.graft.joinReorder.stats", v)
       case None => spark.conf.unset("spark.graft.joinReorder.stats")
     }
+  }
+
+  /** p26's SQL — inner islands below AND above a LEFT JOIN whose
+    * right side (supplier, with an ON-clause filter that keeps the
+    * null-extension semantics observable via count(s_name)) must
+    * survive reordering untouched. Shared with GraftJoinReorderSpec. */
+  val mixedOuterSql: String =
+    """SELECT min(o_totalprice) AS min_total, count(*) AS cnt,
+              count(s_name) AS supp_cnt
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       LEFT JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey < 10
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE o_orderstatus = 'F' AND r_name = 'ASIA'"""
+
+  def runMixedOuterSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(r => Tables.load(spark, sfDir, r).createOrReplaceTempView(r))
+    spark.sql(mixedOuterSql)
   }
 
   /** p23's body: run → harvest → re-plan under stats=feedback. */
@@ -559,6 +591,7 @@ object PlannerQueries {
         case "p17_planner_job_insql" => jobTree11Oracle
         case "p21_planner_insql_repeat" => repeatSql
         case "p25_planner_insql_like" => likeSql
+        case "p26_planner_insql_outer" => mixedOuterSql
         case "q157_eager_agg" => eagerAggSql
         case "q158_eager_agg_chain" => eagerAggChainSql
         case k2 if cycleShaped(k2) => cycleOracle

@@ -388,6 +388,104 @@ class GraftJoinReorderSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("feedback observations steer physical hints: poisoning flips BHJ off") {
+    // under stats=feedback the hint arithmetic prices bytes from the
+    // SAME FeedbackCardinality that serves observed counts — strictly
+    // better information than plan-stats bytes. Harvest the flagship,
+    // verify the 1-row observed region leaf broadcasts at a 500 B
+    // threshold, then POISON that observation to 10^6 rows: the hint
+    // must disappear (estimated bytes ≫ every tier) while answers
+    // never change.
+    val prevTh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "500")
+    try {
+      ExecutionFeedback.clear()
+      spark.conf.set("spark.graft.joinReorder.stats", "hist")
+      val df = spark.sql(adversarialFlagshipSql)
+      df.collect()
+      ExecutionFeedback.harvest(df)
+      spark.conf.set("spark.graft.joinReorder.stats", "feedback")
+      def bhjCount() = spark.sql(adversarialFlagshipSql).queryExecution
+        .sparkPlan.toString.sliding("BroadcastHashJoin".length)
+        .count(_ == "BroadcastHashJoin")
+      assert(bhjCount() > 0,
+        "observed 1-row region leaf must hint BHJ at 500 B")
+      val before = spark.sql(adversarialFlagshipSql)
+        .collect().map(_.toSeq).toSeq
+      val regionLeaf = ExecutionFeedback.all.keys.find(k =>
+        k.startsWith("region[") && !k.contains("||"))
+      assert(regionLeaf.isDefined, s"no region leaf observed")
+      ExecutionFeedback.record(regionLeaf.get, 1e6)
+      assert(bhjCount() == 0,
+        "a poisoned observed count must withdraw the broadcast hint")
+      val after = spark.sql(adversarialFlagshipSql)
+        .collect().map(_.toSeq).toSeq
+      assert(before == after, "observations steer physics, never answers")
+    } finally {
+      ExecutionFeedback.clear()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevTh)
+      spark.conf.unset("spark.graft.joinReorder.stats")
+    }
+  }
+
+  test("p26: inner islands around a LEFT JOIN reorder; the outer join survives") {
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def leafName(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+        Option[String] = p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map { r =>
+            val s = r.toString
+            s.substring(s.lastIndexOf('/') + 1).stripSuffix(".parquet")
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+    def analyze(enabled: Boolean) = {
+      spark.conf.set("spark.graft.joinReorder.enabled", enabled.toString)
+      try {
+        val plan = spark.sql(PlannerQueries.mixedOuterSql)
+          .queryExecution.optimizedPlan
+        val outer = plan.collect {
+          case j: LJoin if j.joinType == LeftOuter => j }
+        val innerPairs = plan.collect {
+          case j: LJoin if j.joinType == Inner =>
+            j.collectLeaves().flatMap(leafName).toSet }
+        (outer, innerPairs.toSet)
+      } finally spark.conf.set("spark.graft.joinReorder.enabled", "true")
+    }
+    val (outerOn, sigOn) = analyze(enabled = true)
+    val (outerOff, sigOff) = analyze(enabled = false)
+    // exactly ONE LeftOuter join either way, supplier on its right
+    assert(outerOn.size == 1 && outerOff.size == 1,
+      "the LEFT JOIN must survive reordering, exactly once")
+    assert(outerOn.head.right.collectLeaves().flatMap(leafName)
+      .toSet == Set("supplier"))
+    // the rule moved the UPPER island: the tiny nation⋈region pair
+    // joins first (FROM order would bind nation to the big left side)
+    assert(sigOn.contains(Set("nation", "region")),
+      s"upper island not reordered: $sigOn")
+    assert(!sigOff.contains(Set("nation", "region")),
+      "without the rule the FROM order must not produce nation⋈region " +
+        "(otherwise this pin proves nothing)")
+    // answers identical with and without the rule
+    val on = spark.sql(PlannerQueries.mixedOuterSql)
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.joinReorder.enabled", "false")
+    val off = try spark.sql(PlannerQueries.mixedOuterSql)
+      .collect().map(_.toSeq).toSeq
+    finally spark.conf.set("spark.graft.joinReorder.enabled", "true")
+    assert(on == off && on.nonEmpty)
+    // the ON-clause filter keeps null extension observable: some rows
+    // must be unmatched (supp_cnt < cnt), else the LEFT JOIN is
+    // vacuously inner and the preservation pin is weak
+    assert(on.head(2).asInstanceOf[Long] < on.head(1).asInstanceOf[Long],
+      s"LEFT JOIN must leave unmatched rows: ${on.head}")
+  }
+
   test("non-equi multiway join does not break") {
     val rows = spark.sql(
       """SELECT count(*) AS c FROM region a, region b, region c
