@@ -494,9 +494,19 @@ object SimilarityOps {
     * is a theorem, not an observation. */
   private def beamWalk(
       all: DataFrame, e: DataFrame, entryNodes: DataFrame,
-      nQueries: Int, beam: Int, steps: Int, k: Int): DataFrame = {
-    val q = Persists.barrier(all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      nQueries: Int, beam: Int, steps: Int, k: Int): DataFrame =
+    beamWalkOn(all, e, entryNodes,
+      Persists.barrier(all.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))),
+      beam, steps, k)
+
+  /** [[beamWalk]] with the QUERY frame supplied by the caller —
+    * s34/s36 pass the first `nQueries` corpus vectors; s37's
+    * delta-insert passes the NEW vectors themselves (searching the
+    * base graph for their connection points). */
+  private def beamWalkOn(
+      all: DataFrame, e: DataFrame, entryNodes: DataFrame,
+      q: DataFrame, beam: Int, steps: Int, k: Int): DataFrame = {
     var f: DataFrame = q.crossJoin(broadcast(entryNodes.select("node")))
       .select(col("query_id"), col("node").as("entry"), col("node"))
       .localCheckpoint(true)
@@ -526,6 +536,101 @@ object SimilarityOps {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("node").as("neighbor_id"), col("cosine"))
   }
+
+  /** s37: INCREMENTAL GRAPH-BEAM INDEX MAINTENANCE — the delta-insert
+    * step a serving NSW deployment runs per ingest batch (s35's
+    * incremental-assignment discipline applied to the GRAPH index,
+    * which until now forced a full rebuild per batch): the kNN-edge
+    * artifact is built from the BASE corpus only (`vec_id % 7 <> 3`,
+    * the shared delta split); each NEW vector finds its connection
+    * points by BEAM-SEARCHING the existing graph — delta-sized work
+    * over the stored edges, never a corpus rescan, exactly how
+    * HNSW/NSW inserts — then links to its top-`insertDegree` hits,
+    * symmetrized so the new vertex is both reachable and a stepping
+    * stone. Serving runs s36's multi-entry walk over the UPDATED
+    * graph. Rows-only by design with the recall CONTRACT pinned in
+    * GraphBeamSpec: at gate dials the delta-inserted graph's
+    * per-query recall@5 against the full brute truth is ≥ the
+    * full-rebuild graph's (insertion search sees every base vertex
+    * the rebuild's mutual-reciprocity filter may drop, so
+    * well-connected inserts can even improve navigation).
+    * [[graphRebuildNeeded]] is the staleness trigger —
+    * [[ivfRetrainNeeded]]'s graph analog.
+    *
+    * Scale shape: insertion = |delta| × beam supersteps over the edge
+    * artifact (corpus touched only via candidate-id vector fetches);
+    * the artifact grows by O(|delta| × insertDegree) edges. Rebuild
+    * is the TRIGGERED exception, not the per-batch rule. */
+  def graphBeamDeltaInsert(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4, insertDegree: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val isDelta = pmod(col("vec_id"), lit(DeltaIngestMod)) ===
+      DeltaIngestRem
+    val base = Persists.barrier(all.filter(!isDelta))
+    val baseEdges = beamEdges(base)
+    // NSW insert: each delta vector beam-searches the BASE graph from
+    // the same entry policy serving uses (min node + maxmin seeds)
+    val baseEntries = baseEdges.agg(min(col("src")).as("node"))
+      .unionAll(farthestFirstOn(spark, base, entries)
+        .select(col("vec_id").as("node")))
+      .distinct()
+    // mutual-reciprocity can leave base vertices ISOLATED (zero
+    // edges) — unreachable by ANY walk, where a real NSW build never
+    // leaves them (every insert connects). Add them as extra
+    // insertion entries: each is a single-node branch the walk
+    // scores, so a competitive isolated vertex wins its edges back
+    // the moment a nearby delta arrives (at sf0.001, query 3's top-1
+    // truth neighbor 223 is exactly this case — the rebuilt graph
+    // reaches it only through delta vertex 3)
+    val isolated = base.select(col("vec_id").as("node"))
+      .join(baseEdges.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
+    // insertion walks WIDER and DEEPER than serving (2×beam,
+    // steps+2): insertion is ingest-time offline work, and the base
+    // graph's reciprocity-pruned paths need the extra reach — the
+    // exact trade HNSW makes with efConstruction > efSearch
+    val found = beamWalkOn(base, baseEdges,
+      baseEntries.unionAll(isolated).distinct(),
+      Persists.barrier(all.filter(isDelta)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))),
+      2 * beam, steps + 2, insertDegree)
+    val inserted = Persists.barrier(
+      found.select(col("query_id").as("src"),
+          col("neighbor_id").as("dst"))
+        .unionAll(found.select(col("neighbor_id").as("src"),
+          col("query_id").as("dst"))))
+    // delta-INTERNAL mutual-kNN edges: the batch's own near pairs
+    // can't be found by searching the base graph (delta vertices
+    // aren't in it) — |Δ|² scoring is batch-sized work, the standard
+    // small-batch cost (LSH-bucketed like d-family blocking when a
+    // batch is ever corpus-scale)
+    val intra = beamEdges(all.filter(isDelta))
+    val updated = Persists.barrier(
+      baseEdges.unionAll(inserted).unionAll(intra))
+    val ent = updated.agg(min(col("src")).as("node"))
+      .unionAll(farthestFirstOn(spark, all, entries)
+        .select(col("vec_id").as("node")))
+      .distinct()
+    beamWalk(all, updated, ent, nQueries, beam, steps, k)
+  }
+
+  /** The staleness-triggered graph-rebuild decision
+    * ([[ivfRetrainNeeded]]'s analog for the kNN-edge artifact):
+    * search-inserted vertices carry searched — not mutual-kNN —
+    * edges, so navigation quality decays as their share grows.
+    * Input: a vertex frame with an `is_delta` flag (the serving
+    * layer's ingest bookkeeping). One row:
+    * (n_vertices, n_delta, delta_frac, rebuild). */
+  def graphRebuildNeeded(
+      vertices: DataFrame, threshold: Double = 0.2): DataFrame =
+    vertices.agg(count(lit(1)).as("n_vertices"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"))
+      .select(col("n_vertices"), col("n_delta"),
+        round(col("n_delta") / col("n_vertices"), 4).as("delta_frac"),
+        (col("n_delta") / col("n_vertices") > threshold).as("rebuild"))
 
   /** s33: kNN-CLASSIFIER EMBEDDING EVAL — the standard intrinsic
     * probe of embedding quality (better spaces put same-label points
@@ -2495,6 +2600,8 @@ object SimilarityOps {
       graphBeamAnn(s, d)),
     "s36_ann_graph_beam_multi" -> ((s: SparkSession, d: String) =>
       graphBeamAnnMulti(s, d)),
+    "s37_ann_graph_beam_delta" -> ((s: SparkSession, d: String) =>
+      graphBeamDeltaInsert(s, d)),
     "s08_ann_ivf_multiprobe" ->
       ((s: SparkSession, d: String) => ivfTopK(s, d, nprobe = MultiProbe)),
     "s09_ann_ivf_trained" ->

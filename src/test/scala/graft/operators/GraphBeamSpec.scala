@@ -69,6 +69,44 @@ class GraphBeamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(multi.values.sum >= single.values.sum)
   }
 
+  test("s37 recall contract: delta-inserted graph >= full rebuild, per query") {
+    val rebuilt = recall5(SimilarityOps.graphBeamAnnMulti(spark, sf))
+    val delta = recall5(SimilarityOps.graphBeamDeltaInsert(spark, sf))
+    assert(rebuilt.keySet == delta.keySet && rebuilt.nonEmpty)
+    rebuilt.keys.foreach { q =>
+      assert(delta(q) >= rebuilt(q) - 1e-9,
+        s"query $q: delta-insert recall ${delta(q)} below " +
+          s"rebuilt ${rebuilt(q)}")
+    }
+  }
+
+  test("s37 deterministic; ranks contiguous; self excluded") {
+    val a = SimilarityOps.graphBeamDeltaInsert(spark, sf).collect()
+    val b = SimilarityOps.graphBeamDeltaInsert(spark, sf).collect()
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet && a.nonEmpty)
+    a.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      assert(rs.forall(_.getLong(2) != q))
+    }
+    // delta vertices are REACHABLE: some result names an inserted
+    // (vec_id % 7 == 3) neighbor, else insertion wired nothing
+    assert(a.exists(_.getLong(2) % 7 == 3),
+      "no delta vertex ever surfaces in the served top-k")
+  }
+
+  test("graphRebuildNeeded triggers on the delta share") {
+    val verts = spark.createDataFrame(
+      (0L until 70L).map(i => (i, i % 7 == 3)))
+      .toDF("vec_id", "is_delta")
+    val below = SimilarityOps.graphRebuildNeeded(verts, threshold = 0.2)
+      .collect().head
+    assert(below.getLong(0) == 70 && below.getLong(1) == 10 &&
+      !below.getBoolean(3), s"1/7 delta under 0.2 must not trigger: $below")
+    val above = SimilarityOps.graphRebuildNeeded(verts, threshold = 0.1)
+      .collect().head
+    assert(above.getBoolean(3), "1/7 delta over a 0.1 threshold must trigger")
+  }
+
   test("multi-entry deterministic; entries=1 matches s34's shape") {
     val a = SimilarityOps.graphBeamAnnMulti(spark, sf).collect()
     val b = SimilarityOps.graphBeamAnnMulti(spark, sf).collect()
