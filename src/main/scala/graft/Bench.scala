@@ -183,6 +183,17 @@ object Bench {
     "q156_takedown_pos_compact", "s36_ann_graph_beam_multi",
     "q157_eager_agg")
 
+  /** Tenth series guarding the round-14 operators; baselines at
+    * round 14, never touches the earlier series. p24 times the full
+    * hands-free LEO loop (execute under hist + listener harvest +
+    * re-plan under feedback); s37 times the whole incremental path
+    * (base-graph build + delta beam-insert + serve) — the rebuild it
+    * replaces is s36's shape on every batch. */
+  val headlineR14: Seq[String] = Seq(
+    "p24_planner_feedback_auto", "p25_planner_insql_like",
+    "p26_planner_insql_outer", "q158_eager_agg_chain",
+    "s37_ann_graph_beam_delta")
+
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
     * incremental candidate join against the PRE-MATERIALIZED signature
@@ -462,6 +473,7 @@ object Bench {
     val resultsR11 = runSeries(headlineR11)
     val resultsR12 = runSeries(headlineR12)
     val resultsR13 = runSeries(headlineR13)
+    val resultsR14 = runSeries(headlineR14)
     val cacheState =
       if (dropCache && !dropsFailed) "dropped-before-cold-runs"
       else if (dropCache) "drop-requested-but-failed"
@@ -478,7 +490,8 @@ object Bench {
       }.mkString("{", ",", "}")
     val qs = steadyJson(results)
     val failed = (results ++ resultsR5 ++ resultsR7 ++ resultsR8 ++
-      resultsR9 ++ resultsR10 ++ resultsR11 ++ resultsR12 ++ resultsR13)
+      resultsR9 ++ resultsR10 ++ resultsR11 ++ resultsR12 ++ resultsR13 ++
+      resultsR14)
       .collect { case (k, v, _, _) if v < 0 => s""""$k"""" }
     if (failed.nonEmpty) {
       // a failing query must read as a FAILURE, not as a faster total —
@@ -509,6 +522,8 @@ object Bench {
     val totalR12Cold = resultsR12.map(_._3).sum
     val totalR13 = resultsR13.map(_._2).sum
     val totalR13Cold = resultsR13.map(_._3).sum
+    val totalR14 = resultsR14.map(_._2).sum
+    val totalR14Cold = resultsR14.map(_._3).sum
     // compact totals object, duplicated in BOTH output lines: the
     // driver archives only the last 2000 chars of stdout, so the
     // per-query detail line alone is truncation-prone as series
@@ -522,7 +537,42 @@ object Bench {
         f""""r10":$totalR10%.3f,"r10_cold":$totalR10Cold%.3f,""" +
         f""""r11":$totalR11%.3f,"r11_cold":$totalR11Cold%.3f,""" +
         f""""r12":$totalR12%.3f,"r12_cold":$totalR12Cold%.3f,""" +
-        f""""r13":$totalR13%.3f,"r13_cold":$totalR13Cold%.3f,"failed":0}"""
+        f""""r13":$totalR13%.3f,"r13_cold":$totalR13Cold%.3f,""" +
+        f""""r14":$totalR14%.3f,"r14_cold":$totalR14Cold%.3f,"failed":0}"""
+    // Per-query recorded baselines (fixtures/bench_baselines.json, a
+    // flat {"name": seconds} map regenerated at each round's close by
+    // tools/bench_baselines.py from the closing run's line-1 detail):
+    // the driver archives only the final ~2000 chars of stdout, so the
+    // totals line itself must carry each series' WORST movers for a
+    // drift to be attributable from the artifact alone (VERDICT r13
+    // item 5 — the r11-series 177→218 s swing was unattributable).
+    val baselines: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("fixtures/bench_baselines.json"))
+        """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // top-3 [name, baseline, now] by now/baseline ratio, emitted ONLY
+    // for series whose worst entry moved ≥1.25× (quiet series stay
+    // silent — the archived tail's byte budget goes to the drifters)
+    def movers(rs: Seq[(String, Double, Double, Seq[Double])]): Option[String] = {
+      val scored = rs.flatMap { case (k, v, _, _) =>
+        baselines.get(k).filter(_ > 0).map(b => (k, b, v, v / b)) }
+      if (!scored.exists(_._4 >= 1.25)) None
+      else Some(scored.sortBy(-_._4).take(3).map {
+        case (k, b, v, _) => f"""["$k",$b%.3f,$v%.3f]"""
+      }.mkString("[", ",", "]"))
+    }
+    val moversJson = {
+      val parts = Seq(
+        "legacy" -> results, "r5" -> resultsR5, "r7" -> resultsR7,
+        "r8" -> resultsR8, "r9" -> resultsR9, "r10" -> resultsR10,
+        "r11" -> resultsR11, "r12" -> resultsR12, "r13" -> resultsR13,
+        "r14" -> resultsR14)
+        .flatMap { case (t, rs) => movers(rs).map(j => s""""$t":$j""") }
+      if (parts.isEmpty) "" else s""","movers":{${parts.mkString(",")}}"""
+    }
     // line 1: full per-query detail (head of stdout — complete in the
     // build log even when the archived tail cuts it)
     println(
@@ -553,6 +603,9 @@ object Bench {
         f""""queries_r13":${steadyJson(resultsR13)},"total_r13":$totalR13%.3f,""" +
         f""""queries_r13_cold":${coldJson(resultsR13)},"total_r13_cold":$totalR13Cold%.3f,""" +
         f""""queries_r13_warm":${warmJson(resultsR13)},""" +
+        f""""queries_r14":${steadyJson(resultsR14)},"total_r14":$totalR14%.3f,""" +
+        f""""queries_r14_cold":${coldJson(resultsR14)},"total_r14_cold":$totalR14Cold%.3f,""" +
+        f""""queries_r14_warm":${warmJson(resultsR14)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir",""" +
         totalsJson + "}")
     // line 2: newest-series per-query detail (secondary visibility —
@@ -562,6 +615,7 @@ object Bench {
         f""""queries_r11":${steadyJson(resultsR11)},""" +
         f""""queries_r12":${steadyJson(resultsR12)},""" +
         f""""queries_r13":${steadyJson(resultsR13)},""" +
+        f""""queries_r14":${steadyJson(resultsR14)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir"}""")
     // line 3 — LAST line, totals ONLY, bounded forever regardless of
     // how many series accumulate: the driver archives the final
@@ -569,7 +623,7 @@ object Bench {
     // letting per-query detail share the last line with the totals.
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-        totalsJson +
+        totalsJson + moversJson +
         f""","runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir"}""")
     spark.stop()
   }
