@@ -2,31 +2,78 @@ package graft.tools
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The Spearman kernel under tools/CostModelValidation — hand-checked
-  * values including the tie-handling path. */
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** Cost-model validation pinned against the COMMITTED experiment
+  * artifacts (deterministic — the fixtures are data, not reruns):
+  * at sf0.001 C_out does not rank sub-second runtimes (constants
+  * dominate), and at sf0.1 the one query whose tree choice moves
+  * runtime ≥2× (kite6, 4.3× spread) is exactly where the ranking
+  * recovers — the Leis et al. direction (EXPERIMENT_r14 §6). */
 class CostModelValidationSpec extends AnyFunSuite {
 
-  test("perfect monotone agreement is +1, reversal is -1") {
-    assert(math.abs(CostModelValidation.spearman(
-      Seq(1.0, 2.0, 3.0, 4.0), Seq(10.0, 20.0, 30.0, 40.0)) - 1.0) < 1e-12)
-    assert(math.abs(CostModelValidation.spearman(
-      Seq(1.0, 2.0, 3.0, 4.0), Seq(40.0, 30.0, 20.0, 10.0)) + 1.0) < 1e-12)
+  /** (query → distinct trees (cost, minRuntime)) for one artifact,
+    * C_out records only — the same extraction the tool performs. */
+  private def load(paths: String*): Map[String, Seq[(Double, Double)]] = {
+    val mapper = new ObjectMapper()
+    val byQuery = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[String, (Double, Double)]]
+    paths.foreach { path =>
+      val root = mapper.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path)))
+      root.get("records").elements().asScala.foreach { r =>
+        val runtimes = r.get("runtimesMs").elements().asScala
+          .map(_.asDouble()).toSeq
+        if (!r.get("cost").isNull && runtimes.nonEmpty &&
+            r.get("costModel").asText() == "cout") {
+          byQuery.getOrElseUpdate(r.get("query").asText(),
+            scala.collection.mutable.Map.empty)
+            .update(r.get("joinOrder").asText(),
+              (r.get("cost").asDouble(), runtimes.min))
+        }
+      }
+    }
+    byQuery.view.mapValues(_.values.toSeq).toMap
+      .filter(_._2.size >= 3)
   }
 
-  test("hand-computed example with a swap") {
-    // ranks x: 1,2,3,4 ; y: 1,2,4,3 -> rho = 1 - 6*2/(4*15) = 0.8
-    val rho = CostModelValidation.spearman(
-      Seq(1.0, 2.0, 3.0, 4.0), Seq(5.0, 6.0, 9.0, 8.0))
-    assert(math.abs(rho - 0.8) < 1e-12)
-  }
+  private def rho(ts: Seq[(Double, Double)]): Double =
+    CostModelValidation.spearman(ts.map(_._1), ts.map(_._2))
 
-  test("ties get average ranks; constant side yields 0") {
-    // x has a tie at the bottom: ranks 1.5, 1.5, 3
-    val rho = CostModelValidation.spearman(
-      Seq(1.0, 1.0, 2.0), Seq(1.0, 2.0, 3.0))
-    // ranks x = (1.5, 1.5, 3), y = (1, 2, 3): rho = sqrt(3)/2
-    assert(math.abs(rho - math.sqrt(3) / 2) < 1e-12)
+  test("spearman kernel: ties, reversal, constant side") {
+    assert(math.abs(CostModelValidation.spearman(
+      Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0, 30.0)) - 1.0) < 1e-9)
+    assert(math.abs(CostModelValidation.spearman(
+      Seq(1.0, 2.0, 3.0), Seq(30.0, 20.0, 10.0)) + 1.0) < 1e-9)
     assert(CostModelValidation.spearman(
-      Seq(2.0, 2.0, 2.0), Seq(1.0, 2.0, 3.0)) === 0.0)
+      Seq(1.0, 1.0, 1.0), Seq(1.0, 2.0, 3.0)) == 0.0)
+  }
+
+  test("sf0.001 artifact: C_out does not rank sub-second runtimes") {
+    // both r13 artifacts — the tool's own default input set
+    val qs = load("fixtures/experiment_core_r13.json",
+      "fixtures/experiment_job_r13.json")
+    assert(qs.size >= 20)
+    val mean = qs.values.map(rho).sum / qs.size
+    assert(math.abs(mean) < 0.15,
+      f"sf0.001 mean rho $mean%.3f should be ~0 (constants dominate)")
+  }
+
+  test("sf0.1 artifact: the high-spread query recovers the ranking") {
+    val qs = load("fixtures/experiment_core_sf01_r14.json")
+    assert(qs.size == 7, s"core corpus is 7 queries, got ${qs.keySet}")
+    val spread = qs.filter { case (_, ts) =>
+      ts.map(_._2).max >= 2 * ts.map(_._2).min }
+    assert(spread.keySet == Set("kite6"),
+      s"exactly kite6 has >=2x runtime spread at sf0.1: ${spread.keySet}")
+    val r = rho(spread("kite6"))
+    assert(r >= 0.4,
+      f"kite6's C_out ranking must recover at sf0.1 (rho=$r%.3f)")
+    // and the out-of-regime remainder still doesn't rank
+    val rest = qs -- spread.keySet
+    val mean = rest.values.map(rho).sum / rest.size
+    assert(math.abs(mean) < 0.3,
+      f"sub-2x-spread queries stay constant-dominated (rho=$mean%.3f)")
   }
 }
