@@ -43,7 +43,9 @@ class AutoEstimatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parsePred("(value > 294.0)") ===
       Some(Pred("value", ">", None, Some(294.0))))
     assert(parsePred("label = 3").isDefined)
-    assert(parsePred("n_name LIKE 'NAT%'").isEmpty) // residual territory
+    // LIKE is evaluable since r14 (synopsis-priced, p25)
+    assert(parsePred("n_name LIKE 'NAT%'") ===
+      Some(Pred("n_name", "like", Some("NAT%"), None)))
     assert(parsePred("n_name > 'A'").isEmpty) // string ranges: residual
     val row = Map[String, Any]("n_name" -> "NATION_3", "value" -> 300.0)
     assert(eval(row, parsePred("n_name = 'NATION_3'").get))
@@ -55,8 +57,9 @@ class AutoEstimatorSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("unevaluable conjuncts become residual selectivity, not errors") {
     val p = AliasedRels.profile(spark, sfDir, "nation")
+    // string RANGES stay residual (LIKE became evaluable in r14)
     val vf = AutoEstimator.parseFilter(
-      Some("n_name = 'NATION_3' AND n_comment LIKE 'x%'"), p)
+      Some("n_name = 'NATION_3' AND n_comment > 'x'"), p)
     assert(vf.preds.size == 1)
     assert(vf.residualSel > 0.0 && vf.residualSel < 1.0)
   }
