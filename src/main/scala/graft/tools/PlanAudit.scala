@@ -98,9 +98,9 @@ object PlanAudit {
     "q02_filter_pred", "q03_flagship", "q21_in_subquery",
     "p01_planner_dpccp", "p15_planner_job_exact", "p16_planner_job_ikkbz",
     "q69_zonemap_pruned", "q90_bloom_skip",
-    // q157: the l_quantity predicate must reach the scan BELOW the
-    // pushed partial aggregate
-    "q157_eager_agg")
+    // q157/q158: the l_quantity predicate must reach the scan BELOW
+    // the pushed partial aggregate (q158: below it AND the chain)
+    "q157_eager_agg", "q158_eager_agg_chain")
     // NOT canaries (first-audit calibration): q60/q115/c19 evaluate
     // their event_type predicates as conditional aggregation over the
     // full stream — there is no scan-level filter to push
