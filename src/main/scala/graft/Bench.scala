@@ -192,7 +192,7 @@ object Bench {
   val headlineR14: Seq[String] = Seq(
     "p24_planner_feedback_auto", "p25_planner_insql_like",
     "p26_planner_insql_outer", "q158_eager_agg_chain",
-    "s37_ann_graph_beam_delta")
+    "s37_ann_graph_beam_delta", "s37i_ann_beam_delta_served")
 
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
@@ -338,7 +338,13 @@ object Bench {
     // s35's production twin: the delta batch assigned into the STORED
     // trained cells (no retrain; IncrementalIvfSpec pins determinism)
     "s35i_ivf_assign_trained" ->
-      ((s, d) => graft.operators.SimilarityOps.ivfAssignDeltaTrained(s, d)))
+      ((s, d) => graft.operators.SimilarityOps.ivfAssignDeltaTrained(s, d)),
+    // s37's production twin: delta insert + serve against the STORED
+    // base-edge artifact — per-batch maintenance without the gate
+    // form's in-entry graph rebuild (d12i/s35i discipline; spec pins
+    // served ≡ inline)
+    "s37i_ann_beam_delta_served" ->
+      ((s, d) => graft.operators.SimilarityOps.graphBeamDeltaServed(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -371,6 +377,7 @@ object Bench {
     graft.operators.GraphOps.knnEdgesAllPath(spark, sfDir)
     graft.operators.GraphOps.knnDirectedEdgesPath(spark, sfDir)
     graft.operators.SimilarityOps.bruteTruthPath(spark, sfDir)
+    graft.operators.SimilarityOps.beamBaseEdgesPath(spark, sfDir)
     graft.operators.GraphOps.coPurchaseEdgesPath(spark, sfDir)
     graft.operators.GraphOps.walkCorpusPath(spark, sfDir)
     graft.operators.GraphOps.pagerankRanksPath(spark, sfDir)

@@ -567,10 +567,56 @@ object SimilarityOps {
       k: Int = 5, entries: Int = 4, insertDegree: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val all = Persists.barrier(vecs(spark, sfDir))
+    val base = Persists.barrier(all.filter(
+      pmod(col("vec_id"), lit(DeltaIngestMod)) =!= DeltaIngestRem))
+    graphBeamDeltaInsertOn(spark, all, base, beamEdges(base),
+      nQueries, beam, steps, k, entries, insertDegree)
+  }
+
+  /** The stored BASE-graph edge artifact (src, dst — the symmetrized
+    * mutual-kNN frame over the `vec_id % 7 <> 3` corpus): what a
+    * serving NSW deployment keeps on disk between ingest batches.
+    * Fingerprint-keyed like [[graft.operators.GraphOps.knnEdgesAllPath]]
+    * so a regenerated corpus rebuilds it. */
+  def beamBaseEdgesPath(spark: SparkSession, sfDir: String): String = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
+    val dir = graft.sources.FsUtil.qualified("target/tmp/graph/beambase_" +
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_$fp")
+    if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS"))
+      beamEdges(vecs(spark, sfDir).filter(
+        pmod(col("vec_id"), lit(DeltaIngestMod)) =!= DeltaIngestRem))
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** s37's production twin (benched s37i): the SAME delta insert +
+    * serve against the STORED base-edge artifact — the per-batch
+    * maintenance cost without the in-entry graph (re)build, exactly
+    * the d12i/s35i serve discipline. GraphBeamSpec pins served ≡
+    * inline. */
+  def graphBeamDeltaServed(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4, insertDegree: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val base = Persists.barrier(all.filter(
+      pmod(col("vec_id"), lit(DeltaIngestMod)) =!= DeltaIngestRem))
+    val stored = Persists.barrier(
+      spark.read.parquet(beamBaseEdgesPath(spark, sfDir))
+        .select("src", "dst"))
+    graphBeamDeltaInsertOn(spark, all, base, stored,
+      nQueries, beam, steps, k, entries, insertDegree)
+  }
+
+  private def graphBeamDeltaInsertOn(
+      spark: SparkSession, all: DataFrame, base: DataFrame,
+      baseEdges: DataFrame, nQueries: Int, beam: Int, steps: Int,
+      k: Int, entries: Int, insertDegree: Int): DataFrame = {
     val isDelta = pmod(col("vec_id"), lit(DeltaIngestMod)) ===
       DeltaIngestRem
-    val base = Persists.barrier(all.filter(!isDelta))
-    val baseEdges = beamEdges(base)
     // NSW insert: each delta vector beam-searches the BASE graph from
     // the same entry policy serving uses (min node + maxmin seeds)
     val baseEntries = baseEdges.agg(min(col("src")).as("node"))

@@ -94,6 +94,15 @@ class GraphBeamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no delta vertex ever surfaces in the served top-k")
   }
 
+  test("s37i: serving from the stored base-edge artifact equals inline") {
+    val inline = SimilarityOps.graphBeamDeltaInsert(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val served = SimilarityOps.graphBeamDeltaServed(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(served == inline && served.nonEmpty,
+      "the production twin must serve the gate form's exact answer")
+  }
+
   test("graphRebuildNeeded triggers on the delta share") {
     val verts = spark.createDataFrame(
       (0L until 70L).map(i => (i, i % 7 == 3)))
