@@ -623,30 +623,43 @@ object SimilarityOps {
       .unionAll(farthestFirstOn(spark, base, entries)
         .select(col("vec_id").as("node")))
       .distinct()
-    // mutual-reciprocity can leave base vertices ISOLATED (zero
-    // edges) — unreachable by ANY walk, where a real NSW build never
-    // leaves them (every insert connects). Add them as extra
-    // insertion entries: each is a single-node branch the walk
-    // scores, so a competitive isolated vertex wins its edges back
-    // the moment a nearby delta arrives (at sf0.001, query 3's top-1
-    // truth neighbor 223 is exactly this case — the rebuilt graph
-    // reaches it only through delta vertex 3)
-    val isolated = base.select(col("vec_id").as("node"))
-      .join(baseEdges.select(col("src").as("node")).distinct(),
-        Seq("node"), "left_anti")
+    val deltaQ = Persists.barrier(all.filter(isDelta)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
     // insertion walks WIDER and DEEPER than serving (2×beam,
     // steps+2): insertion is ingest-time offline work, and the base
     // graph's reciprocity-pruned paths need the extra reach — the
     // exact trade HNSW makes with efConstruction > efSearch
-    val found = beamWalkOn(base, baseEdges,
-      baseEntries.unionAll(isolated).distinct(),
-      Persists.barrier(all.filter(isDelta)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))),
+    val walkFound = beamWalkOn(base, baseEdges, baseEntries, deltaQ,
       2 * beam, steps + 2, insertDegree)
+      .select(col("query_id"), col("neighbor_id").as("node"),
+        col("cosine"))
+    // mutual-reciprocity can leave base vertices ISOLATED (zero
+    // edges) — unreachable by ANY walk, where a real NSW build never
+    // leaves them (every insert connects). Walking FROM them is
+    // pointless (no out-edges), so score them DIRECTLY against each
+    // delta query — |Δ|×|isolated| cosines, one codegen'd pass, no
+    // per-branch walk state (the first cut used walk entries and
+    // paid |Δ|×|isolated| BRANCHES per superstep — 32 s at sf0.1) —
+    // and a competitive stranded vertex wins its edges back the
+    // moment a nearby delta arrives (at sf0.001, query 3's top-1
+    // truth neighbor 223 is exactly this case: the rebuilt graph
+    // reaches it only through delta vertex 3)
+    val isolatedScored = deltaQ.crossJoin(
+        base.select(col("vec_id").as("node"), col("v"))
+          .join(baseEdges.select(col("src").as("node")).distinct(),
+            Seq("node"), "left_anti"))
+      .select(col("query_id"), col("node"),
+        round(expr("graft_cosine(qv, v)"), 4).as("cosine"))
+    // merge walk hits + isolated scores, keep top-insertDegree
+    val wIns = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("node"))
+    val found = walkFound.unionAll(isolatedScored)
+      .groupBy("query_id", "node").agg(max("cosine").as("cosine"))
+      .withColumn("rk", row_number().over(wIns))
+      .filter(col("rk") <= insertDegree)
     val inserted = Persists.barrier(
-      found.select(col("query_id").as("src"),
-          col("neighbor_id").as("dst"))
-        .unionAll(found.select(col("neighbor_id").as("src"),
+      found.select(col("query_id").as("src"), col("node").as("dst"))
+        .unionAll(found.select(col("node").as("src"),
           col("query_id").as("dst"))))
     // delta-INTERNAL mutual-kNN edges: the batch's own near pairs
     // can't be found by searching the base graph (delta vertices
