@@ -344,5 +344,23 @@ object JobCorpus {
       }
     }: _*)
 
-  val tails: Seq[CorpusQuery] = Seq(tree9Tail)
+  /** tree9 with the part branch filtered by a LIKE pattern
+    * (`p_name LIKE 'large%'` keeps ~12% where the string-path default
+    * prices 1/3 — a 2.7× leaf misestimate): the regret row for JOB's
+    * LIKE predicate language (the reference string-parses LIKE,
+    * MyUtils.java:152-180). The string-path hist tier is LIKE-blind
+    * by construction (no synopsis access); the sample tier pushes the
+    * filter into its synopsis SQL and the auto tier's driver grammar
+    * evaluates it (AutoEstimator.parsePred) — so this row measures
+    * exactly the plan-quality cost the in-optimizer synopsis pricing
+    * (p25, GraftJoinReorder.conjSel) avoids. */
+  val tree9Like: CorpusQuery = q("tree9_like",
+    tree9Rels.map { r =>
+      r.rel match {
+        case "part" => r.copy(filter = Some("p_name LIKE 'large%'"))
+        case _ => r
+      }
+    }: _*)
+
+  val tails: Seq[CorpusQuery] = Seq(tree9Tail, tree9Like)
 }

@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** The LIKE-corpus regret row, pinned on the COMMITTED tail artifact
+  * (fixtures/experiment_tail_r14.json — deterministic data, no rerun):
+  * the string-path tiers are LIKE-blind (1/3 default → regret ~1.2 on
+  * tree9_like under DPccp/C_out), the sample tier prices it (~1.03),
+  * and naive uniform pays 4.1× — the plan-quality cost the
+  * in-optimizer synopsis pricing (p25) avoids. */
+class RegretTailSpec extends AnyFunSuite {
+
+  private def regretOf(tier: String, query: String): Double = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("fixtures/experiment_tail_r14.json")))
+    root.get(tier).elements().asScala
+      .filter(r => r.get("query").asText() == query &&
+        r.get("planner").asText() == "dpccp" &&
+        r.get("costModel").asText() == "cout" &&
+        !r.get("regret").isNull)
+      .map(_.get("regret").asDouble()).next()
+  }
+
+  test("tree9_like: naive >> LIKE-blind hist > LIKE-aware sample") {
+    val r = Map(
+      "naive" -> regretOf("regrets", "tree9_like"),
+      "histest" -> regretOf("regrets_histest", "tree9_like"),
+      "samplest" -> regretOf("regrets_samplest", "tree9_like"),
+      "autoest" -> regretOf("regrets_auto", "tree9_like"))
+    val naive = r("naive")
+    assert(naive > 3.0, s"naive regret should pay the 2.7x miss: $naive")
+    assert(r("histest") < naive && r("histest") > 1.1,
+      s"hist is LIKE-blind but better than uniform: ${r("histest")}")
+    assert(r("samplest") < r("histest") && r("samplest") < 1.1,
+      s"the sample tier prices LIKE: ${r("samplest")}")
+    // the auto trigger does NOT escalate a 2.7x leaf miss (it targets
+    // >=10x correlation) — the cheap fix is in-optimizer (p25)
+    assert(math.abs(r("autoest") - r("histest")) < 1e-9)
+  }
+}
