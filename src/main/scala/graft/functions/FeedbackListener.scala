@@ -57,6 +57,16 @@ object FeedbackListener {
   def ensureRegistered(session: SparkSession): Unit =
     registered.synchronized {
       if (registered.add(session)) {
+        // the durable half of the loop: a configured path PRE-POPULATES
+        // the dictionary at registration (the reference's Python client
+        // loads pg.json between runs, MyMetadataQuery.java:81-96); live
+        // observations win over the stale file by load()'s contract
+        try {
+          val path = session.conf.get("spark.graft.feedback.path", "")
+          if (path.nonEmpty && java.nio.file.Files.exists(
+              java.nio.file.Paths.get(path)))
+            graft.plans.ExecutionFeedback.load(path)
+        } catch { case scala.util.control.NonFatal(_) => }
         session.listenerManager.register(new FeedbackListener(session))
         session.sparkContext.addSparkListener(new SparkListener {
           override def onApplicationEnd(

@@ -157,6 +157,23 @@ class FeedbackListenerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExecutionFeedback.load(path) >= 1,
       "application end did not persist the dictionary")
     assert(ExecutionFeedback.lookup("t[]").contains(5.0))
+
+    // ...and the durable loop closes: a NEW session with the same
+    // path PRE-POPULATES the dictionary at registration — no explicit
+    // load call (the reference's pg.json-between-runs shape)
+    ExecutionFeedback.clear()
+    val next = SparkSession.builder()
+      .master("local[2]")
+      .appName("feedback-load-spec")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .config("spark.graft.feedback.path", path)
+      .getOrCreate()
+    try {
+      next.sql("SELECT 1").collect() // forces optimizer → registration
+      assert(ExecutionFeedback.lookup("t[]").contains(5.0),
+        "registration must pre-populate from the configured path")
+    } finally next.stop()
     ExecutionFeedback.clear()
   }
 }
