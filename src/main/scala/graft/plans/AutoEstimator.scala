@@ -250,6 +250,29 @@ object AutoEstimator {
     }
   }
 
+  /** String-path filter selectivity with LIKE conjuncts priced from
+    * the amortized full synopsis — the HARNESS twin of the in-optimizer
+    * [[graft.plans.GraftJoinReorder]] conjSel routing (p25), so the
+    * regret loop can measure what synopsis-priced LIKE buys at
+    * histogram-tier cost (no per-query sample scan). Non-LIKE
+    * conjuncts keep [[StatsEstimator.selectivityOf]]'s ladder. */
+  def likeAwareSel(spark: SparkSession, sfDir: String, rel: String,
+      filter: Option[String], profile: StatsEstimator.Profile): Double =
+    filter match {
+      case None => 1.0
+      case Some(f) => f.split("(?i) AND ").toSeq.map(_.trim).map { c =>
+        parsePred(c) match {
+          case Some(Pred(col, op, Some(pat), _))
+              if op == "like" || op == "notlike" =>
+            (try likeSelectivity(spark, sfDir, rel, col, pat,
+              op == "notlike")
+             catch { case scala.util.control.NonFatal(_) => None })
+              .getOrElse(StatsEstimator.selectivityOf(profile)(c))
+          case _ => StatsEstimator.selectivityOf(profile)(c)
+        }
+      }.product
+    }
+
   /** Columns a full-width synopsis keeps: atomic numerics, strings,
     * booleans — what the predicate grammar can touch. Arrays/structs/
     * binaries (embeddings, media payloads) are excluded: the synopsis

@@ -484,6 +484,28 @@ object ExperimentMain {
         f"opt-plan-cost=${r.optPlanCost}%14.1f regret=${r.regret}%6.3f")
     }
 
+    // hist tier + synopsis-priced LIKE — the harness twin of the
+    // in-optimizer conjSel routing (p25): does pricing LIKE from the
+    // amortized full synopsis recover sample-tier regret on the LIKE
+    // corpus WITHOUT a per-query sample-collection scan?
+    val histLikeQueries = built.map(_._1).map { q =>
+      val profiles = q.graph.relations.map(n =>
+        AliasedRels.profile(spark, sfDir, n, hist = true)).toVector
+      val sels = Vector.tabulate(q.graph.n)(i =>
+        AutoEstimator.likeAwareSel(spark, sfDir, q.graph.relations(i),
+          q.filters(i), profiles(i)))
+      q.copy(estCard =
+        StatsEstimator.cardinalityWithSel(q.graph, profiles, sels))
+    }
+    val regretsHistLike = costModels.flatMap(cm =>
+      Experiment.cardinalityRegret(histLikeQueries, planners, cm,
+        cache = Some(cache), estTag = "histlike"))
+    regretsHistLike.foreach { r =>
+      println(f"${r.query}%-10s ${r.planner}%-10s ${r.costModel}%-5s " +
+        f"histlike-plan-cost=${r.estPlanCost}%14.1f " +
+        f"opt-plan-cost=${r.optPlanCost}%14.1f regret=${r.regret}%6.3f")
+    }
+
     // fourth estimator tier: JOIN-SAMPLE SYNOPSES (SampleEstimator) —
     // the only tier that can see cross-relation correlation (empty
     // intersections, anti-correlated bands); per-column stats cannot,
@@ -545,6 +567,8 @@ object ExperimentMain {
           s"${r.costModel}|${r.estPlanCost}|${r.optPlanCost}") ++
         regretsSample.map(r => s"sample|${r.query}|${r.planner}|" +
           s"${r.costModel}|${r.estPlanCost}|${r.optPlanCost}") ++
+        regretsHistLike.map(r => s"histlike|${r.query}|${r.planner}|" +
+          s"${r.costModel}|${r.estPlanCost}|${r.optPlanCost}") ++
         regretsAuto.map(r => s"auto|${r.query}|${r.planner}|" +
           s"${r.costModel}|${r.estPlanCost}|${r.optPlanCost}"))
         .sorted.mkString(";")
@@ -559,6 +583,7 @@ object ExperimentMain {
         s""""regrets_statsest":${Experiment.regretsToJson(regretsStats)},""" +
         s""""regrets_histest":${Experiment.regretsToJson(regretsHist)},""" +
         s""""regrets_samplest":${Experiment.regretsToJson(regretsSample)},""" +
+        s""""regrets_histlike":${Experiment.regretsToJson(regretsHistLike)},""" +
         s""""regrets_auto":${Experiment.regretsToJson(regretsAuto)},""" +
         s""""auto_escalated":${autoBuilt.filter(_._2).map(q =>
           "\"" + q._1.name + "\"").mkString("[", ",", "]")}}""")

@@ -30,7 +30,8 @@ class RegretTailSpec extends AnyFunSuite {
       "naive" -> regretOf("regrets", "tree9_like"),
       "histest" -> regretOf("regrets_histest", "tree9_like"),
       "samplest" -> regretOf("regrets_samplest", "tree9_like"),
-      "autoest" -> regretOf("regrets_auto", "tree9_like"))
+      "autoest" -> regretOf("regrets_auto", "tree9_like"),
+      "histlike" -> regretOf("regrets_histlike", "tree9_like"))
     val naive = r("naive")
     assert(naive > 3.0, s"naive regret should pay the 2.7x miss: $naive")
     assert(r("histest") < naive && r("histest") > 1.1,
@@ -40,5 +41,10 @@ class RegretTailSpec extends AnyFunSuite {
     // the auto trigger does NOT escalate a 2.7x leaf miss (it targets
     // >=10x correlation) — the cheap fix is in-optimizer (p25)
     assert(math.abs(r("autoest") - r("histest")) < 1e-9)
+    // ...and that cheap fix, measured: hist + synopsis-priced LIKE
+    // (the conjSel twin) plans the TRUE optimum here — regret 1.0,
+    // zero per-query sample scans
+    assert(r("histlike") <= r("samplest") && r("histlike") < 1.001,
+      s"histlike must recover the optimum: ${r("histlike")}")
   }
 }
