@@ -118,14 +118,16 @@ object ExecutionFeedback {
   private def metric(p: SparkPlan, name: String): Option[Double] =
     p.metrics.get(name).map(_.value.toDouble).filter(_ >= 0)
 
-  /** A scan leaf resolved to its table name (single
+  /** A scan leaf resolved to its FULL path (single
     * `<dir>/<table>.parquet` root — the [[GraftJoinReorder]] shape
-    * contract). */
+    * contract), `.parquet` stripped. The whole path — not just the
+    * table name — keys the observation: two catalogs in one driver
+    * (different sfDirs, a prod/staging pair) must never serve each
+    * other's counts through a shared table name. */
   private def scanTable(s: FileSourceScanExec): Option[String] =
     s.relation.location.rootPaths.toList match {
       case one :: Nil if one.toString.endsWith(".parquet") =>
-        val p = one.toString
-        Some(p.substring(p.lastIndexOf('/') + 1).stripSuffix(".parquet"))
+        Some(one.toString.stripSuffix(".parquet"))
       case _ => None
     }
 

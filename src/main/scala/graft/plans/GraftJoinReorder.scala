@@ -382,9 +382,10 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
       edges: Vector[JoinEdge]): Option[Cardinality] =
     measuredCardinality(g, rels, hist = true).map { fallback =>
       val leafKeys = rels.map { leaf =>
+        // FULL path (not just the table name), matching the harvest
+        // side's key — cross-catalog table-name collisions must miss
         val table = baseScanOf(leaf) match {
-          case Some(path) =>
-            path.substring(path.lastIndexOf('/') + 1).stripSuffix(".parquet")
+          case Some(path) => path.stripSuffix(".parquet")
           case None => return None // unreachable: measured already resolved
         }
         val conj = leaf.collect {

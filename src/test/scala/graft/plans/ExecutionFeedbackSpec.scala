@@ -48,7 +48,7 @@ class ExecutionFeedbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     val obs = ExecutionFeedback.all
     // leaf: the filtered orders scan
     val ordersLeaf = obs.filter { case (k, _) =>
-      k.startsWith("orders[") && !k.contains("||") }
+      k.contains("/orders[") && !k.contains("||") }
     assert(ordersLeaf.size == 1, s"orders leaf keys: ${ordersLeaf.keys}")
     val ordersTruth = spark.sql(
       "SELECT count(*) FROM orders WHERE o_orderstatus = 'F'")
@@ -166,7 +166,7 @@ class ExecutionFeedbackSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.collect()
       ExecutionFeedback.harvest(df)
       val eventLeaves = ExecutionFeedback.all.keys.filter(k =>
-        k.startsWith("events[") && !k.contains("||"))
+        k.contains("/events[") && !k.contains("||"))
       assert(eventLeaves.size == 2,
         s"two filtered events scans must harvest two keys: $eventLeaves")
       assert(eventLeaves.exists(_.contains("purchase")) &&
@@ -183,10 +183,10 @@ class ExecutionFeedbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     ExecutionFeedback.harvest(df)
     // the post-aggregate filter's output metric is not a scan-filter
     // cardinality: only the BARE orders scan may be observed
-    val ordersKeys = ExecutionFeedback.all.keys.filter(_.startsWith("orders["))
-    assert(ordersKeys.forall(_ == "orders[]"),
+    val ordersKeys = ExecutionFeedback.all.keys.filter(_.contains("/orders["))
+    assert(ordersKeys.forall(_.endsWith("/orders[]")),
       s"post-agg filter leaked a leaf observation: $ordersKeys")
-    ExecutionFeedback.all.get("orders[]").foreach { v =>
+    ordersKeys.headOption.flatMap(ExecutionFeedback.lookup).foreach { v =>
       val truth = spark.table("orders").count().toDouble
       assert(v == truth)
     }
@@ -235,6 +235,34 @@ class ExecutionFeedbackSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sig() == s1,
         "a second harvest of the chosen tree must not move the plan")
     } finally spark.conf.unset("spark.graft.joinReorder.stats")
+  }
+
+  test("cross-catalog isolation: sf0.001 observations never move an sf0.01 plan") {
+    // keys carry the scan's FULL path, so a second catalog sharing
+    // table NAMES must miss every observation — poisoning an sf0.001
+    // subset cannot move the sf0.01 plan (the same poison DOES move
+    // the sf0.001 plan, proven above)
+    harvestFlagship()
+    assert(ExecutionFeedback.all.keySet.forall(_.contains("sf0.001")))
+    val pair = ExecutionFeedback.all.keys.find(k =>
+      k.contains("||") && k.split("\\|\\|")(0).split("\\|").length == 2)
+    assert(pair.isDefined)
+    ExecutionFeedback.record(pair.get, 1e12)
+    graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.01")
+    try {
+      spark.conf.set("spark.graft.joinReorder.stats", "hist")
+      val histSig = joinSignature(
+        spark.sql(PlannerQueries.flagshipSqlText).queryExecution.optimizedPlan)
+      spark.conf.set("spark.graft.joinReorder.stats", "feedback")
+      val fbSig = joinSignature(
+        spark.sql(PlannerQueries.flagshipSqlText).queryExecution.optimizedPlan)
+      assert(fbSig == histSig,
+        "another catalog's poisoned observation leaked into this plan")
+    } finally {
+      spark.conf.unset("spark.graft.joinReorder.stats")
+      graft.sources.Tables.registerAll(spark, sfDir)
+      ExecutionFeedback.clear()
+    }
   }
 
   test("p23 gate body: harvest + re-plan returns the oracle's answer") {
