@@ -32,45 +32,126 @@ import org.apache.spark.sql.SparkSession
   * customer — measured ratio 7.7×, under the cut), and past the 10×
   * cut one join later (the error compounds monotonically). ≤ C(n,4)
   * driver-side subset joins ≈ a millisecond-scale check at JOB sizes.
+  *
+  * PREDICATE GRAMMAR (r15): the driver-evaluable grammar now covers
+  * the reference's FULL JOB predicate language (the reference
+  * string-parses =, <>, ranges, LIKE, IN, BETWEEN, and OR-disjunctions
+  * — MyUtils.java:152-180): a filter is a conjunction of [[Clause]]s,
+  * each clause a DISJUNCTION of atomic [[Pred]]s (a 1-alt clause is a
+  * plain conjunct). BETWEEN is rewritten to its two range conjuncts at
+  * tokenization ([[splitConjuncts]]); IN carries its literal set.
+  * LIKE, IN, and OR-clauses are priced at SAMPLE FIDELITY from the
+  * amortized full-width synopsis ([[clauseSelectivity]]) — row-wise
+  * evaluation sees within-clause correlation a clamped-union formula
+  * would miss; equality and ranges keep the histogram ladder.
   */
 object AutoEstimator {
 
-  /** One driver-evaluable conjunct: col op literal. `op` ∈
-    * {=, <>, >, <, >=, <=, like, notlike}; ranges are numeric-only;
-    * like/notlike carry the SQL pattern in `str`. */
+  /** One driver-evaluable atomic predicate: col op literal(s). `op` ∈
+    * {=, <>, >, <, >=, <=, like, notlike, in, notin}; ranges are
+    * numeric-only; like/notlike carry the SQL pattern in `str` (in
+    * CANONICAL backslash-escape form — [[likeShape]] normalizes);
+    * in/notin carry the literal list in `strs`/`nums` (one of the two,
+    * matching the column's type side). */
   final case class Pred(col: String, op: String,
-      str: Option[String], num: Option[Double])
+      str: Option[String], num: Option[Double],
+      strs: Seq[String] = Nil, nums: Seq[Double] = Nil)
 
-  /** SQL LIKE pattern → anchored regex (% → .*, _ → ., everything
-    * else literal). Compiled patterns are memoized — synopsis eval
-    * touches each pattern thousands of times. */
+  /** A disjunction of atomic predicates — one conjunct of a filter.
+    * Most clauses have a single alternative (a plain `a = 'x'`
+    * conjunct); an OR-conjunct carries every disjunct. */
+  final case class Clause(alts: Seq[Pred])
+
+  /** SQL LIKE pattern → anchored regex (% → .*, _ → ., `escape`-
+    * prefixed chars literal, everything else literal). Compiled
+    * patterns are memoized — synopsis eval touches each pattern
+    * thousands of times — and the memo is BOUNDED (a long-lived
+    * session issuing generated patterns must not grow it without
+    * bound; recompiling is cheap). */
   private val likeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
-  def likeRegex(pattern: String): java.util.regex.Pattern =
-    likeCache.computeIfAbsent(pattern, _ => {
+    new java.util.concurrent.ConcurrentHashMap[(String, Char), java.util.regex.Pattern]()
+  private val likeCacheCap = 4096
+
+  def likeRegex(pattern: String, escape: Char = '\\'): java.util.regex.Pattern = {
+    if (likeCache.size > likeCacheCap) likeCache.clear()
+    likeCache.computeIfAbsent((pattern, escape), _ => {
       val sb = new StringBuilder("^")
-      pattern.foreach {
-        case '%' => sb.append(".*")
-        case '_' => sb.append('.')
-        case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+      var i = 0
+      while (i < pattern.length) {
+        val c = pattern.charAt(i)
+        if (c == escape && i + 1 < pattern.length) {
+          // SQL LIKE escape: the next char is literal (covers \%, \_,
+          // and the escape char escaping itself) — ADVICE r14
+          sb.append(java.util.regex.Pattern.quote(
+            pattern.charAt(i + 1).toString))
+          i += 2
+        } else {
+          c match {
+            case '%' => sb.append(".*")
+            case '_' => sb.append('.')
+            case o => sb.append(java.util.regex.Pattern.quote(o.toString))
+          }
+          i += 1
+        }
       }
       java.util.regex.Pattern.compile(sb.append('$').toString,
         java.util.regex.Pattern.DOTALL)
     })
+  }
 
-  /** A vertex's filter split into driver-evaluable predicates and the
+  /** Re-escape a LIKE pattern written under `escape` into the CANONICAL
+    * backslash-escape form every downstream consumer (Pred.str,
+    * [[likeRegex]]'s default) assumes — identity when `escape` is
+    * already backslash. */
+  private[plans] def canonLike(pattern: String, escape: Char): String =
+    if (escape == '\\') pattern
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < pattern.length) {
+        val c = pattern.charAt(i)
+        if (c == escape && i + 1 < pattern.length) {
+          sb.append('\\').append(pattern.charAt(i + 1)); i += 2
+        } else {
+          if (c == '\\') sb.append('\\')
+          sb.append(c); i += 1
+        }
+      }
+      sb.toString
+    }
+
+  /** Escape a plain string literal so it reads as LITERAL text inside
+    * a LIKE pattern (the StartsWith/EndsWith/Contains reconstructions
+    * — a literal '%'/'_'/'\' in the fragment must not become a
+    * wildcard, ADVICE r14). */
+  private def escapeLikeLiteral(s: String): String =
+    s.flatMap {
+      case c @ ('%' | '_' | '\\') => "\\" + c
+      case c => c.toString
+    }
+
+  /** A vertex's filter split into driver-evaluable clauses and the
     * residual selectivity of everything that isn't (estimated from the
     * histogram profile — those conjuncts keep the independence
     * assumption; the trigger just can't see correlation through
     * them). */
-  final case class VertexFilter(preds: Seq[Pred], residualSel: Double)
+  final case class VertexFilter(clauses: Seq[Clause], residualSel: Double) {
+    /** Flattened single-alt predicates (compat accessor). */
+    def preds: Seq[Pred] = clauses.collect { case Clause(Seq(p)) => p }
+  }
 
   private val PredRe =
     """^\s*\(*\s*(\w+)\s*(=|<>|>=|<=|>|<)\s*(?:'([^']*)'|([-+]?[0-9.]+(?:[eE][-+]?[0-9]+)?))\s*\)*\s*$""".r
   private val LikeRe =
     """(?i)^\s*\(*\s*(\w+)\s+(NOT\s+)?LIKE\s+'([^']*)'\s*\)*\s*$""".r
+  private val InRe =
+    """(?i)^\s*\(*\s*(\w+)\s+(NOT\s+)?IN\s*\(([^)]*)\)\s*\)*\s*$""".r
+  private val BetweenRe =
+    """(?i)^\s*\(*\s*(\w+)\s+BETWEEN\s+([-+]?[0-9.]+(?:[eE][-+]?[0-9]+)?)\s+AND\s+([-+]?[0-9.]+(?:[eE][-+]?[0-9]+)?)\s*\)*\s*$""".r
 
-  /** Parse one conjunct of the string grammar; None = unevaluable. */
+  /** Parse one atomic predicate of the string grammar; None =
+    * unevaluable. IN-lists accept all-string ('a','b') or all-numeric
+    * (1, 2.5) literal lists. */
   def parsePred(s: String): Option[Pred] = s match {
     case PredRe(c, op, str, num) =>
       if (str != null) {
@@ -79,29 +160,132 @@ object AutoEstimator {
       } else Some(Pred(c, op, None, Some(num.toDouble)))
     case LikeRe(c, not, pat) =>
       Some(Pred(c, if (not == null) "like" else "notlike", Some(pat), None))
+    case InRe(c, not, list) =>
+      val items = list.split(",").map(_.trim).toSeq
+      val op = if (not == null) "in" else "notin"
+      if (items.isEmpty || items.exists(_.isEmpty)) None
+      else if (items.forall(i => i.startsWith("'") && i.endsWith("'") &&
+          i.length >= 2))
+        Some(Pred(c, op, None, None,
+          strs = items.map(i => i.substring(1, i.length - 1))))
+      else
+        scala.util.Try(items.map(_.toDouble)).toOption
+          .map(ns => Pred(c, op, None, None, nums = ns))
     case _ => None
   }
 
+  /** Split a filter string into conjuncts: " AND " is the separator,
+    * EXCEPT the AND inside `col BETWEEN lo AND hi`, which is rewritten
+    * to its two range conjuncts (the grammar's only non-conjunctive
+    * AND — the reference's parser special-cases it the same way,
+    * MyUtils.java:152-180). */
+  def splitConjuncts(f: String): Seq[String] = {
+    val parts = f.split("(?i) AND ").toSeq.map(_.trim)
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < parts.size) {
+      val p = parts(i)
+      val between = "(?i)^(.*\\S)\\s+BETWEEN\\s+(\\S+)$".r
+      p match {
+        case between(col, lo) if i + 1 < parts.size =>
+          out += s"$col >= $lo"
+          out += s"$col <= ${parts(i + 1)}"
+          i += 2
+        case _ =>
+          out += p
+          i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Parse one conjunct into a [[Clause]]: a disjunction of atomic
+    * predicates split on " OR " (1-alt = a plain predicate; a BETWEEN
+    * arriving whole, e.g. inside parens, parses as its two-sided
+    * range only at the [[splitConjuncts]] level — here it is atomic
+    * via [[BetweenRe]] only when it stands alone). None = any
+    * disjunct unevaluable (the whole conjunct falls to the
+    * residual). */
+  def parseClause(s: String): Option[Clause] = {
+    val trimmed = s.trim
+    // a standalone BETWEEN conjunct is a CONJUNCTION of two ranges —
+    // representable only as two clauses, so the caller must have run
+    // splitConjuncts first; accept it here as unevaluable-as-clause
+    // unless it is the whole conjunct (then expand to >=, <= is
+    // impossible in one disjunction — reject).
+    val alts = trimmed.split("(?i) OR ").toSeq.map(_.trim)
+    if (alts.size == 1) {
+      trimmed match {
+        case BetweenRe(_, _, _) => None // needs splitConjuncts
+        case _ => parsePred(trimmed).map(p => Clause(Seq(p)))
+      }
+    } else {
+      val parsed = alts.map(a => parsePred(
+        a.stripPrefix("(").stripSuffix(")").trim))
+      if (parsed.forall(_.isDefined)) Some(Clause(parsed.map(_.get)))
+      else None
+    }
+  }
+
   /** Split a harness filter string (the corpus grammar: conjuncts
-    * joined by " AND ") into evaluable preds + residual selectivity. */
+    * joined by " AND ", each conjunct optionally an OR-disjunction or
+    * a BETWEEN) into evaluable clauses + residual selectivity. */
   def parseFilter(filter: Option[String],
       profile: StatsEstimator.Profile): VertexFilter =
     filter match {
       case None => VertexFilter(Nil, 1.0)
       case Some(f) =>
-        val conjuncts = f.split("(?i) AND ").toSeq.map(_.trim)
-        val (ok, rest) = conjuncts.map(c => c -> parsePred(c)).partition(_._2.isDefined)
+        val conjuncts = splitConjuncts(f)
+        val (ok, rest) = conjuncts.map(c => c -> parseClause(c))
+          .partition(_._2.isDefined)
         VertexFilter(ok.flatMap(_._2),
           rest.map(r => StatsEstimator.selectivityOf(profile)(r._1)).product)
     }
 
   /** [[parseFilter]]'s Catalyst twin: convert each analyzed conjunct
     * directly (the same shapes [[StatsEstimator.selectivityOfCatalyst]]
-    * prices); IsNotNull is a pushdown artifact (always-true here —
-    * synopsis rows with null keys never match anyway). */
+    * prices, plus In/InSet and Or-of-atomics); IsNotNull is a pushdown
+    * artifact (always-true here — synopsis rows with null keys never
+    * match anyway). */
   def fromCatalyst(
       conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       profile: StatsEstimator.Profile): VertexFilter = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val converted = conjuncts.map(c => c -> convClause(c))
+    val clauses = converted.collect { case (_, Some(Some(cl))) => cl }
+    val residual = converted.collect { case (c, None) =>
+      StatsEstimator.selectivityOfCatalyst(profile)(c) }.product
+    VertexFilter(clauses, residual)
+  }
+
+  /** One Catalyst conjunct → a [[Clause]]: Some(None) = evaluable and
+    * always true (IsNotNull), Some(Some(clause)) = evaluable, None =
+    * unevaluable (caller prices it as residual). Or-trees flatten;
+    * every disjunct must convert atomically. */
+  private[plans] def convClause(
+      e: org.apache.spark.sql.catalyst.expressions.Expression):
+      Option[Option[Clause]] = {
+    import org.apache.spark.sql.catalyst.expressions.Or
+    e match {
+      case Or(_, _) =>
+        def disjuncts(x: org.apache.spark.sql.catalyst.expressions.Expression):
+            Seq[org.apache.spark.sql.catalyst.expressions.Expression] = x match {
+          case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+          case other => Seq(other)
+        }
+        val alts = disjuncts(e).map(convAtom)
+        if (alts.forall(a => a.exists(_.isDefined)))
+          Some(Some(Clause(alts.map(_.get.get))))
+        else None
+      case _ => convAtom(e).map(_.map(p => Clause(Seq(p))))
+    }
+  }
+
+  /** One ATOMIC Catalyst predicate → a [[Pred]] (same contract as
+    * [[convClause]] minus disjunctions). */
+  private def convAtom(
+      e: org.apache.spark.sql.catalyst.expressions.Expression):
+      Option[Option[Pred]] = {
     import org.apache.spark.sql.catalyst.expressions._
     def attrOf(x: Expression): Option[String] = x match {
       case a: Attribute => Some(a.name)
@@ -117,13 +301,26 @@ object AutoEstimator {
       case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
       case _ => None
     }
-    def conv(e: Expression): Option[Option[Pred]] = e match {
+    def anyToIn(col: String, op: String, vals: Seq[Any]): Option[Pred] = {
+      val strs = vals.collect {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      }
+      val nums = vals.collect {
+        case n: java.lang.Number => n.doubleValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      }
+      if (strs.size == vals.size) Some(Pred(col, op, None, None, strs = strs))
+      else if (nums.size == vals.size)
+        Some(Pred(col, op, None, None, nums = nums))
+      else None
+    }
+    e match {
       case IsNotNull(_) => Some(None) // evaluable, always true
       case EqualTo(l, r: Literal) if attrOf(l).isDefined =>
         litStr(r).map(v => Some(Pred(attrOf(l).get, "=", Some(v), None)))
           .orElse(litNum(r).map(v => Some(Pred(attrOf(l).get, "=", None, Some(v)))))
       case EqualTo(l: Literal, r) if attrOf(r).isDefined =>
-        conv(EqualTo(r, l))
+        convAtom(EqualTo(r, l))
       case GreaterThan(l, r: Literal) if attrOf(l).isDefined =>
         litNum(r).map(v => Some(Pred(attrOf(l).get, ">", None, Some(v))))
       case GreaterThanOrEqual(l, r: Literal) if attrOf(l).isDefined =>
@@ -136,25 +333,45 @@ object AutoEstimator {
         litNum(l).map(v => Some(Pred(attrOf(r).get, "<", None, Some(v))))
       case LessThan(l: Literal, r) if attrOf(r).isDefined =>
         litNum(l).map(v => Some(Pred(attrOf(r).get, ">", None, Some(v))))
+      case in @ In(v, list) if attrOf(v).isDefined &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        anyToIn(attrOf(v).get, "in",
+          list.map(_.asInstanceOf[Literal].value)).map(Some(_))
+      case Not(In(v, list)) if attrOf(v).isDefined &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        anyToIn(attrOf(v).get, "notin",
+          list.map(_.asInstanceOf[Literal].value)).map(Some(_))
+      case is: InSet if attrOf(is.child).isDefined =>
+        anyToIn(attrOf(is.child).get, "in", is.hset.toSeq).map(Some(_))
+      case Not(is: InSet) if attrOf(is.child).isDefined =>
+        anyToIn(attrOf(is.child).get, "notin", is.hset.toSeq).map(Some(_))
       case _ =>
         likeShape(e).map { case (c, pat, neg) =>
           Some(Pred(c, if (neg) "notlike" else "like", Some(pat), None))
         }
     }
-    val converted = conjuncts.map(c => c -> conv(c))
-    val preds = converted.collect { case (_, Some(Some(p))) => p }
-    val residual = converted.collect { case (c, None) =>
-      StatsEstimator.selectivityOfCatalyst(profile)(c) }.product
-    VertexFilter(preds, residual)
   }
 
-  /** Evaluate one predicate against a synopsis row (numerics were
-    * normalized to Double at collection). Nulls never match. */
+  /** Evaluate one atomic predicate against a synopsis row (numerics
+    * were normalized to Double at collection). Nulls never match. */
   def eval(row: Map[String, Any], p: Pred): Boolean =
     row.get(p.col) match {
       case None | Some(null) => false
       case Some(v) =>
-        (p.str, p.num) match {
+        if (p.op == "in" || p.op == "notin") {
+          val member = v match {
+            case vs: String => p.strs.contains(vs)
+            case d: java.lang.Number =>
+              val x = d.doubleValue(); p.nums.exists(_ == x)
+            case _ => false
+          }
+          if (p.op == "in") member
+          else v match { // NOT IN over a wrong-typed column: no match
+            case _: String => p.strs.nonEmpty && !member
+            case _: java.lang.Number => p.nums.nonEmpty && !member
+            case _ => false
+          }
+        } else (p.str, p.num) match {
           case (Some(s), _) => v match {
             case vs: String => p.op match {
               case "=" => vs == s
@@ -182,14 +399,21 @@ object AutoEstimator {
         }
     }
 
-  /** A Catalyst conjunct that is LIKE-shaped: `Like` itself, or the
+  /** Evaluate one clause (disjunction) against a synopsis row. */
+  def eval(row: Map[String, Any], c: Clause): Boolean =
+    c.alts.exists(eval(row, _))
+
+  /** A Catalyst conjunct that is LIKE-shaped: `Like` itself (its
+    * escapeChar normalized to the canonical backslash form), or the
     * StartsWith/EndsWith/Contains forms LikeSimplification rewrites
     * anchored patterns into (an injected rule sees conjuncts AFTER
-    * that rewrite inside the same fixpoint), plus their negations.
-    * Returns (column, SQL LIKE pattern, negated). The reference's JOB
-    * predicate language includes LIKE (Query.java:56,
-    * MyUtils.java:152-180); this is what lets the estimator ladder
-    * price it instead of falling to the 1/3 default. */
+    * that rewrite inside the same fixpoint) — their literal fragments
+    * ESCAPED so a literal '%'/'_' cannot read back as a wildcard —
+    * plus their negations. Returns (column, canonical SQL LIKE
+    * pattern, negated). The reference's JOB predicate language
+    * includes LIKE (Query.java:56, MyUtils.java:152-180); this is
+    * what lets the estimator ladder price it instead of falling to
+    * the 1/3 default. */
   def likeShape(
       e: org.apache.spark.sql.catalyst.expressions.Expression):
       Option[(String, String, Boolean)] = {
@@ -204,68 +428,91 @@ object AutoEstimator {
         Some(s.toString)
       case _ => None
     }
-    // NOTE: a literal '%'/'_' inside a StartsWith/EndsWith/Contains
-    // literal would read as a wildcard in the reconstructed pattern —
-    // an estimate-fidelity nit only (estimates never change answers)
     e match {
       case l: Like =>
-        for (c <- attrOf(l.left); p <- litStr(l.right)) yield (c, p, false)
+        for (c <- attrOf(l.left); p <- litStr(l.right))
+          yield (c, canonLike(p, l.escapeChar), false)
       case Not(l: Like) =>
-        for (c <- attrOf(l.left); p <- litStr(l.right)) yield (c, p, true)
+        for (c <- attrOf(l.left); p <- litStr(l.right))
+          yield (c, canonLike(p, l.escapeChar), true)
       case StartsWith(a, lit) =>
-        for (c <- attrOf(a); p <- litStr(lit)) yield (c, p + "%", false)
+        for (c <- attrOf(a); p <- litStr(lit))
+          yield (c, escapeLikeLiteral(p) + "%", false)
       case Not(StartsWith(a, lit)) =>
-        for (c <- attrOf(a); p <- litStr(lit)) yield (c, p + "%", true)
+        for (c <- attrOf(a); p <- litStr(lit))
+          yield (c, escapeLikeLiteral(p) + "%", true)
       case EndsWith(a, lit) =>
-        for (c <- attrOf(a); p <- litStr(lit)) yield (c, "%" + p, false)
+        for (c <- attrOf(a); p <- litStr(lit))
+          yield (c, "%" + escapeLikeLiteral(p), false)
       case Not(EndsWith(a, lit)) =>
-        for (c <- attrOf(a); p <- litStr(lit)) yield (c, "%" + p, true)
+        for (c <- attrOf(a); p <- litStr(lit))
+          yield (c, "%" + escapeLikeLiteral(p), true)
       case Contains(a, lit) =>
-        for (c <- attrOf(a); p <- litStr(lit)) yield (c, "%" + p + "%", false)
+        for (c <- attrOf(a); p <- litStr(lit))
+          yield (c, "%" + escapeLikeLiteral(p) + "%", false)
       case Not(Contains(a, lit)) =>
-        for (c <- attrOf(a); p <- litStr(lit)) yield (c, "%" + p + "%", true)
+        for (c <- attrOf(a); p <- litStr(lit))
+          yield (c, "%" + escapeLikeLiteral(p) + "%", true)
       case _ => None
     }
   }
 
-  /** LIKE selectivity at SAMPLE FIDELITY, for free: evaluate the
-    * anchored regex over the table's amortized full-width synopsis
-    * rows (the same cached rows the escalation trigger filters — no
-    * extra scan). Zero matches floor at half a row's mass rather than
-    * 0 — the planner divides by these. None when the synopsis is
-    * empty or the column isn't sampled (caller falls back to the
-    * residual default). */
-  def likeSelectivity(spark: SparkSession, sfDir: String, rel: String,
-      col: String, pattern: String, negate: Boolean,
-      cap: Int = 2000): Option[Double] = {
+  /** Clause selectivity at SAMPLE FIDELITY, for free: evaluate the
+    * disjunction row-wise over the table's amortized full-width
+    * synopsis rows (the same cached rows the escalation trigger
+    * filters — no extra scan). Row-wise evaluation prices
+    * within-clause correlation exactly, where a clamped-union formula
+    * over per-alt selectivities would assume independence. Zero
+    * matches floor at half a row's mass rather than 0 — the planner
+    * divides by these. None when the synopsis is empty or a touched
+    * column isn't sampled (caller falls back to the ladder). */
+  def clauseSelectivity(spark: SparkSession, sfDir: String, rel: String,
+      clause: Clause, cap: Int = 2000): Option[Double] = {
     val syn = fullSynopsis(spark, sfDir, rel, cap)
-    if (syn.rows.isEmpty || !syn.rows.head.contains(col)) None
+    if (syn.rows.isEmpty ||
+        !clause.alts.forall(p => syn.rows.head.contains(p.col))) None
     else {
-      val re = likeRegex(pattern)
-      val n = syn.rows.count(r => r.get(col) match {
-        case Some(vs: String) => re.matcher(vs).matches() != negate
-        case _ => false // nulls match neither LIKE nor NOT LIKE
-      })
+      val n = syn.rows.count(eval(_, clause))
       Some(math.max(n.toDouble, 0.5) / syn.rows.size)
     }
   }
 
-  /** String-path filter selectivity with LIKE conjuncts priced from
-    * the amortized full synopsis — the HARNESS twin of the in-optimizer
-    * [[graft.plans.GraftJoinReorder]] conjSel routing (p25), so the
-    * regret loop can measure what synopsis-priced LIKE buys at
-    * histogram-tier cost (no per-query sample scan). Non-LIKE
-    * conjuncts keep [[StatsEstimator.selectivityOf]]'s ladder. */
+  /** LIKE selectivity from the synopsis — the p25 entry point, now a
+    * 1-alt [[clauseSelectivity]]. */
+  def likeSelectivity(spark: SparkSession, sfDir: String, rel: String,
+      col: String, pattern: String, negate: Boolean,
+      cap: Int = 2000): Option[Double] =
+    clauseSelectivity(spark, sfDir, rel,
+      Clause(Seq(Pred(col, if (negate) "notlike" else "like",
+        Some(pattern), None))), cap)
+
+  /** The SHAPES the synopsis prices better than the histogram ladder:
+    * LIKE/NOT LIKE (no per-column stat sees a pattern), IN/NOT IN
+    * (the ladder has no set-membership estimate), and any OR-clause
+    * (the ladder prices disjunctions at the 1/3 default). Equality
+    * and ranges stay on the ladder — histograms already price them,
+    * and rerouting them would change every plan rather than complete
+    * the predicate language. */
+  def synopsisPriced(c: Clause): Boolean =
+    c.alts.size > 1 || c.alts.exists(p =>
+      p.op == "like" || p.op == "notlike" || p.op == "in" || p.op == "notin")
+
+  /** String-path filter selectivity with the synopsis-priced shapes
+    * (LIKE / IN / OR / BETWEEN-split ranges — [[synopsisPriced]])
+    * evaluated over the amortized full synopsis — the HARNESS twin of
+    * the in-optimizer [[graft.plans.GraftJoinReorder]] conjSel routing
+    * (p25 LIKE, p27 IN/OR), so the regret loop can measure what
+    * synopsis pricing buys at histogram-tier cost (no per-query sample
+    * scan). Everything else keeps [[StatsEstimator.selectivityOf]]'s
+    * ladder. */
   def likeAwareSel(spark: SparkSession, sfDir: String, rel: String,
       filter: Option[String], profile: StatsEstimator.Profile): Double =
     filter match {
       case None => 1.0
-      case Some(f) => f.split("(?i) AND ").toSeq.map(_.trim).map { c =>
-        parsePred(c) match {
-          case Some(Pred(col, op, Some(pat), _))
-              if op == "like" || op == "notlike" =>
-            (try likeSelectivity(spark, sfDir, rel, col, pat,
-              op == "notlike")
+      case Some(f) => splitConjuncts(f).map { c =>
+        parseClause(c) match {
+          case Some(clause) if synopsisPriced(clause) =>
+            (try clauseSelectivity(spark, sfDir, rel, clause)
              catch { case scala.util.control.NonFatal(_) => None })
               .getOrElse(StatsEstimator.selectivityOf(profile)(c))
           case _ => StatsEstimator.selectivityOf(profile)(c)
@@ -299,7 +546,7 @@ object AutoEstimator {
   final case class Flag(mask: Long, sampleEst: Double, indepEst: Double)
 
   /** The escalation decision for one query: evaluate every connected
-    * subset of size ≤ 3 on driver-filtered full synopses vs the
+    * subset of size ≤ 4 on driver-filtered full synopses vs the
     * histogram estimate; flag on ≥ `cut` disagreement. Returns the
     * flags (empty = plan from histograms). */
   def escalationFlags(spark: SparkSession, sfDir: String, g: QueryGraph,
@@ -308,7 +555,7 @@ object AutoEstimator {
     val filtered = Vector.tabulate(g.n) { i =>
       val full = fullSynopsis(spark, sfDir, g.relations(i), cap)
       val keep = full.rows.indices.filter(r =>
-        vf(i).preds.forall(eval(full.rows(r), _)))
+        vf(i).clauses.forall(eval(full.rows(r), _)))
       SampleEstimator.RelSample(
         keep.map(full.rows).toVector, full.p,
         keep.map(full.hashes).toVector, keep.map(full.ids).toVector)

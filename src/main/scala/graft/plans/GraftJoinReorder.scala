@@ -431,27 +431,39 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
       Some(out)
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Per-conjunct selectivity for the measured/hist tiers: LIKE-shaped
-    * conjuncts (Like, plus the StartsWith/EndsWith/Contains forms
-    * LikeSimplification produces) are priced by anchored-regex
-    * evaluation over the table's AMORTIZED full-width synopsis
-    * ([[AutoEstimator.likeSelectivity]] — the same cached 2,000 rows
-    * the auto trigger filters, no extra scan); everything else keeps
-    * [[StatsEstimator.selectivityOfCatalyst]]'s ladder. The reference
-    * string-parses JOB's LIKE predicates (MyUtils.java:152-180); until
-    * this, they fell to the 1/3 default. Gated by
-    * `spark.graft.joinReorder.likeSel` so the spec can A/B the plans. */
+  /** Per-conjunct selectivity for the measured/hist tiers: the shapes
+    * the per-column ladder cannot price — LIKE (incl. the StartsWith/
+    * EndsWith/Contains forms LikeSimplification produces), IN/NOT IN
+    * lists, and OR-disjunctions of atomic predicates — are priced by
+    * row-wise evaluation over the table's AMORTIZED full-width
+    * synopsis ([[AutoEstimator.clauseSelectivity]] — the same cached
+    * 2,000 rows the auto trigger filters; the FIRST like/in-bearing
+    * query per table pays that one collection scan at planning time,
+    * every later query reads the memo). Everything else keeps
+    * [[StatsEstimator.selectivityOfCatalyst]]'s ladder. This
+    * completes the reference's JOB predicate language in the
+    * estimator (the reference string-parses =, ranges, LIKE, IN,
+    * BETWEEN, OR — MyUtils.java:152-180; BETWEEN reaches us as its
+    * two range conjuncts, already histogram-priced). A/B gates:
+    * `spark.graft.joinReorder.likeSel` (LIKE, p25) and
+    * `spark.graft.joinReorder.inSel` (IN/OR, p27). */
   private def conjSel(spark: org.apache.spark.sql.SparkSession,
       dir: String, table: String, p: StatsEstimator.Profile)(
-      c: Expression): Double =
-    AutoEstimator.likeShape(c) match {
-      case Some((col, pat, neg)) if conf.getConfString(
-          "spark.graft.joinReorder.likeSel", "true").toBoolean =>
-        (try AutoEstimator.likeSelectivity(spark, dir, table, col, pat, neg)
-         catch { case scala.util.control.NonFatal(_) => None })
-          .getOrElse(StatsEstimator.selectivityOfCatalyst(p)(c))
-      case _ => StatsEstimator.selectivityOfCatalyst(p)(c)
+      c: Expression): Double = {
+    def gate(name: String) =
+      conf.getConfString(s"spark.graft.joinReorder.$name", "true").toBoolean
+    val clause = AutoEstimator.convClause(c) match {
+      case Some(Some(cl)) if AutoEstimator.synopsisPriced(cl) =>
+        val isLike = cl.alts.size == 1 &&
+          (cl.alts.head.op == "like" || cl.alts.head.op == "notlike")
+        if (if (isLike) gate("likeSel") else gate("inSel")) Some(cl) else None
+      case _ => None
     }
+    clause.flatMap { cl =>
+      try AutoEstimator.clauseSelectivity(spark, dir, table, cl)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse(StatsEstimator.selectivityOfCatalyst(p)(c))
+  }
 
   /** The measured-stats [[Cardinality]]: per-leaf [[TableStats]]
     * profiles (memoized — ANALYZE runs once per table, plans are made

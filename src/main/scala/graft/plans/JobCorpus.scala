@@ -362,5 +362,23 @@ object JobCorpus {
       }
     }: _*)
 
-  val tails: Seq[CorpusQuery] = Seq(tree9Tail, tree9Like)
+  /** tree9 with the part branch filtered by a 2-brand IN-list
+    * (`p_brand IN ('Brand#4','Brand#19')` keeps ~8.5% where the
+    * string-path default prices 1/3 — a 3.9× leaf misestimate): the
+    * regret row for JOB's IN predicates (the reference string-parses
+    * IN and BETWEEN alongside LIKE, MyUtils.java:152-180). The hist
+    * tier is IN-blind by construction; the sample tier pushes the
+    * filter into its synopsis SQL; the histlike leg prices it from
+    * the amortized synopsis (AutoEstimator.clauseSelectivity) — the
+    * measured twin of the in-optimizer p27 routing. */
+  val tree9In: CorpusQuery = q("tree9_in",
+    tree9Rels.map { r =>
+      r.rel match {
+        case "part" =>
+          r.copy(filter = Some("p_brand IN ('Brand#4','Brand#19')"))
+        case _ => r
+      }
+    }: _*)
+
+  val tails: Seq[CorpusQuery] = Seq(tree9Tail, tree9Like, tree9In)
 }

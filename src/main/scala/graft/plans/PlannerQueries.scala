@@ -173,6 +173,17 @@ object PlannerQueries {
     // changes (LikeSelectivitySpec pins the flip). Same contract as
     // every p-entry: pricing moves plans, never answers.
     "p25_planner_insql_like" -> (runLikeSql _),
+    // p27: an IN-LIST priced from the same amortized synopsis (p25's
+    // machinery generalized to the reference's FULL JOB predicate
+    // grammar — IN, BETWEEN, OR; MyUtils.java:152-180): under the 1/3
+    // default the 2-brand IN prices 3.9× too large and the part side
+    // joins late; row-wise synopsis eval prices it at true ~0.085 and
+    // the chosen join order flips (InSelectivitySpec pins the flip,
+    // A/B conf spark.graft.joinReorder.inSel). BETWEEN needs no
+    // synopsis leg in-optimizer — Catalyst splits it into two range
+    // conjuncts the histogram tier already prices. Same contract as
+    // every p-entry: pricing moves plans, never answers.
+    "p27_planner_insql_in" -> (runInSql _),
     // p26: MIXED inner/outer SQL through the injected rule — an inner
     // island (customer⋈orders⋈lineitem) BELOW a LEFT JOIN to supplier
     // and a second island ABOVE it ({left-join result, nation,
@@ -263,6 +274,33 @@ object PlannerQueries {
     val prev = spark.conf.getOption("spark.graft.joinReorder.stats")
     spark.conf.set("spark.graft.joinReorder.stats", "hist")
     try spark.sql(likeSql)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.joinReorder.stats", v)
+      case None => spark.conf.unset("spark.graft.joinReorder.stats")
+    }
+  }
+
+  /** p27's SQL — a selective 2-brand IN-list on the part leaf (true
+    * selectivity 17/200 = 0.085 at sf0.001; the ladder's unrecognized-
+    * shape default prices 1/3, a 3.9× miss) competing with an
+    * equality-filtered customer chain — the IN twin of [[likeSql]].
+    * Shared with InSelectivitySpec. */
+  val inSql: String =
+    """SELECT min(o_totalprice) AS min_total, count(*) AS cnt
+       FROM part, lineitem, orders, customer
+       WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+         AND o_custkey = c_custkey
+         AND p_brand IN ('Brand#4', 'Brand#19')
+         AND c_mktsegment = 'BUILDING'"""
+
+  /** p27's body: the IN query as SQL text under stats=hist — the
+    * synopsis-priced IN selectivity feeds the in-optimizer DPccp. */
+  def runInSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "lineitem", "orders", "customer").foreach(r =>
+      Tables.load(spark, sfDir, r).createOrReplaceTempView(r))
+    val prev = spark.conf.getOption("spark.graft.joinReorder.stats")
+    spark.conf.set("spark.graft.joinReorder.stats", "hist")
+    try spark.sql(inSql)
     finally prev match {
       case Some(v) => spark.conf.set("spark.graft.joinReorder.stats", v)
       case None => spark.conf.unset("spark.graft.joinReorder.stats")
@@ -591,6 +629,7 @@ object PlannerQueries {
         case "p17_planner_job_insql" => jobTree11Oracle
         case "p21_planner_insql_repeat" => repeatSql
         case "p25_planner_insql_like" => likeSql
+        case "p27_planner_insql_in" => inSql
         case "p26_planner_insql_outer" => mixedOuterSql
         case "q157_eager_agg" => eagerAggSql
         case "q158_eager_agg_chain" => eagerAggChainSql
