@@ -30,10 +30,18 @@ final class FeedbackListener(session: SparkSession)
 
   override def onSuccess(
       funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-    if (FeedbackListener.enabled(session))
+    if (FeedbackListener.enabled(session)) {
       // observability must never fail (or slow) a query
       try graft.plans.ExecutionFeedback.harvestPlan(qe.executedPlan)
       catch { case scala.util.control.NonFatal(_) => }
+      // completion signal AFTER the harvest lands — one tick per
+      // processed callback, even when the plan yielded zero
+      // observations, so waiters never stall to the deadline on an
+      // unharvestable plan and never return early on another query's
+      // stray observation (ADVICE r14: the old wait polled the GLOBAL
+      // dictionary size)
+      FeedbackListener.harvests.incrementAndGet()
+    }
 
   override def onFailure(
       funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
@@ -79,14 +87,24 @@ object FeedbackListener {
       }
     }
 
+  private[functions] val harvests =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** Completed harvest callbacks since JVM start — the per-harvest
+    * completion signal [[awaitHarvests]] waits on. */
+  def harvestCount: Long = harvests.get
+
   /** Listener delivery is asynchronous (ExecutionListenerManager is
-    * fed from the shared listener bus): wait until the dictionary
-    * grows past `sizeBefore` or the deadline passes. Returns the
-    * current size. */
-  def awaitObservations(sizeBefore: Int, deadlineMs: Long = 30000): Int = {
+    * fed from the shared listener bus): wait until at least one MORE
+    * harvest callback has completed than `before` (captured via
+    * [[harvestCount]] before running the query) or the deadline
+    * passes. Counts CALLBACKS, not dictionary entries — a plan that
+    * yields zero observations still completes the wait, and another
+    * query's stray observation cannot satisfy it spuriously
+    * (ADVICE r14). Returns the current harvest count. */
+  def awaitHarvests(before: Long, deadlineMs: Long = 30000): Long = {
     val end = System.nanoTime + deadlineMs * 1000000L
-    while (graft.plans.ExecutionFeedback.size <= sizeBefore &&
-        System.nanoTime < end) Thread.sleep(20)
-    graft.plans.ExecutionFeedback.size
+    while (harvests.get <= before && System.nanoTime < end) Thread.sleep(20)
+    harvests.get
   }
 }

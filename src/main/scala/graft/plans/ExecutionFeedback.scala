@@ -90,8 +90,28 @@ object ExecutionFeedback {
       }.sql)
       .sorted
 
+  /** Staleness EPOCH of a table path (the `.parquet`-stripped full
+    * path observations are keyed by): the backing parquet file
+    * listing's (name, size, mtime) fingerprint — a driver metadata
+    * op, no scan. A table REGENERATED AT THE SAME PATH (the driver
+    * did exactly this to testdata at round 9) changes the listing, so
+    * every key derived afterwards — harvest or planning side — stops
+    * matching the pre-regeneration observations, while untouched
+    * tables' entries keep serving. A content scan would be the
+    * stronger epoch, but harvest runs on the LISTENER thread and at
+    * 100 TB an O(table) pass there is the wrong scale shape; the
+    * listing fingerprint is the same signal the synopsis cache
+    * already invalidates by ([[SampleEstimator.sampleRel]]), so the
+    * two staleness domains agree by construction. Persisted
+    * dictionaries survive a restart over unchanged data (same
+    * listing → same epoch) and go silently stale over regenerated
+    * data — which is the point. */
+  def epochOf(table: String): String =
+    graft.sources.Tables.listingFp(
+      new java.io.File(table.stripPrefix("file:") + ".parquet"))
+
   def leafKey(table: String, conjs: Seq[Expression]): String =
-    s"$table[${normConjuncts(conjs).mkString(" AND ")}]"
+    s"$table@${epochOf(table)}[${normConjuncts(conjs).mkString(" AND ")}]"
 
   /** One equi-edge as an unordered column pair. */
   def edgeKey(a: String, b: String): String =

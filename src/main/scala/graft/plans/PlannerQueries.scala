@@ -364,9 +364,9 @@ object PlannerQueries {
       ExecutionFeedback.clear()
       spark.conf.set("spark.graft.feedback.auto", "true")
       spark.conf.set("spark.graft.joinReorder.stats", "hist")
-      val before = ExecutionFeedback.size
+      val before = graft.functions.FeedbackListener.harvestCount
       spark.sql(flagshipSqlText).collect() // the listener harvests this
-      graft.functions.FeedbackListener.awaitObservations(before)
+      graft.functions.FeedbackListener.awaitHarvests(before)
       spark.conf.set("spark.graft.joinReorder.stats", "feedback")
       val replanned = spark.sql(flagshipSqlText)
       replanned.queryExecution.executedPlan // plan under feedback NOW

@@ -78,18 +78,9 @@ object SampleEstimator {
     * metadata op, no scan — so an ingest commit (new/rewritten files)
     * drops the cached synopsis instead of planning from stale samples
     * in a long-lived session. */
-  private[plans] def listingFp(sfDir: String, rel: String): String = {
-    val dir = sfDir.stripPrefix("file:")
-    val f = new java.io.File(dir, AliasedRels.baseOf(rel) + ".parquet")
-    def sig(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
-    val basis =
-      if (!f.exists) "absent"
-      else if (f.isFile) sig(f)
-      else Option(f.listFiles()).map(_.filterNot(_.getName.startsWith("_"))
-        .map(sig).sorted.mkString(";")).getOrElse("unlistable")
-    java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(basis).toLong & 0xffffffffL)
-  }
+  private[plans] def listingFp(sfDir: String, rel: String): String =
+    graft.sources.Tables.listingFp(new java.io.File(
+      sfDir.stripPrefix("file:"), AliasedRels.baseOf(rel) + ".parquet"))
 
   /** Generic collector: deterministic threshold hash sample of `df`
     * (already filtered), rate derived from `total` (the UNfiltered

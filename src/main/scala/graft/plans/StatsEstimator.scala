@@ -28,10 +28,15 @@ object StatsEstimator {
   final case class Profile(rows: Double, cols: Map[String, ColStats],
       bounds: Map[String, Vector[Double]] = Map.empty)
 
+  // both memo keys carry the table's file-LISTING fingerprint (the
+  // same staleness signal the synopsis cache and the feedback epoch
+  // use): a table regenerated at the same path re-profiles instead of
+  // serving stale NDVs/bounds in a long-lived session (VERDICT r14 —
+  // the driver has regenerated testdata in place before)
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Boolean), Profile]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Boolean, String), Profile]()
   private val histCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Map[String, Vector[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, String), Map[String, Vector[Double]]]()
 
   /** Profile `table` for planning; memoized per (sfDir, table, approx)
     * — ANALYZE is run once, plans are made many times. The DEPLOYED
@@ -49,7 +54,8 @@ object StatsEstimator {
   def profileTable(
       spark: SparkSession, sfDir: String, table: String,
       approx: Boolean = true): Profile =
-    cache.computeIfAbsent((sfDir, table, approx), _ => {
+    cache.computeIfAbsent(
+      (sfDir, table, approx, SampleEstimator.listingFp(sfDir, table)), _ => {
       // make the NDV source attributable: a surprising join order at a
       // larger SF should be traceable to which ANALYZE mode fed it
       log.info(s"graft ANALYZE $table ($sfDir) mode=" +
@@ -76,7 +82,8 @@ object StatsEstimator {
       spark: SparkSession, sfDir: String, table: String,
       buckets: Int = 32, approx: Boolean = true): Profile = {
     val p = profileTable(spark, sfDir, table, approx)
-    val b = histCache.computeIfAbsent((sfDir, table, buckets), _ => {
+    val b = histCache.computeIfAbsent(
+      (sfDir, table, buckets, SampleEstimator.listingFp(sfDir, table)), _ => {
       log.info(s"graft HISTOGRAM $table ($sfDir) buckets=$buckets")
       TableStats.equiDepthBounds(spark, sfDir, table, buckets)
     })

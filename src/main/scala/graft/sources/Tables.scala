@@ -32,8 +32,29 @@ object Tables {
     System.identityHashCode(spark).toString + "/" +
       spark.sparkContext.applicationId
 
+  /** (name, size, mtime) fingerprint of the file(s) backing `f` — a
+    * driver metadata op, no scan. The SHARED staleness signal: the
+    * DataFrame/rowCount memos here, the planner's profile and synopsis
+    * caches, and the feedback-observation epoch all key on it, so a
+    * table regenerated AT THE SAME PATH (the round-9 driver behavior)
+    * invalidates every derived number at once while untouched tables'
+    * entries survive. */
+  def listingFp(f: java.io.File): String = {
+    def sig(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
+    val basis =
+      if (!f.exists) "absent"
+      else if (f.isFile) sig(f)
+      else Option(f.listFiles()).map(_.filterNot(_.getName.startsWith("_"))
+        .map(sig).sorted.mkString(";")).getOrElse("unlistable")
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(basis).toLong & 0xffffffffL)
+  }
+
+  private def tableFp(sfDir: String, name: String): String =
+    listingFp(new java.io.File(path(sfDir, name).stripPrefix("file:")))
+
   private val dfCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), DataFrame]()
   private val currentSfDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -44,7 +65,7 @@ object Tables {
     // mutation — so read behavior never depends on cache state.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     dfCache.computeIfAbsent(
-      (sessionKey(spark), sfDir, name), _ => {
+      (sessionKey(spark), sfDir, name, tableFp(sfDir, name)), _ => {
         val df = spark.read.parquet(path(sfDir, name))
         // Normalize events.ts to micro-precision TimestampType across
         // testdata generations: TIMESTAMP(NANOS) arrives as LONG nanos
@@ -68,16 +89,17 @@ object Tables {
   }
 
   private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Long]()
 
-  /** Memoized unfiltered row count (used as planner base cardinality —
-    * stable for immutable testdata, so never recomputed). */
+  /** Memoized unfiltered row count (used as planner base cardinality);
+    * the listing fingerprint in the key re-counts after an in-place
+    * regeneration. */
   def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
-    countCache.computeIfAbsent((sfDir, name),
+    countCache.computeIfAbsent((sfDir, name, tableFp(sfDir, name)),
       _ => load(spark, sfDir, name).count())
 
   private val fpCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), java.lang.Long]()
 
   /** Memoized order-independent content fingerprint of `cols`: the
     * XOR-fold of per-row xxhash64 over the named columns (bit_xor —
@@ -89,7 +111,8 @@ object Tables {
   def fingerprint(
       spark: SparkSession, sfDir: String, name: String,
       cols: Seq[String]): Long =
-    fpCache.computeIfAbsent((sfDir, name, cols.mkString(",")), _ => {
+    fpCache.computeIfAbsent(
+      (sfDir, name, cols.mkString(","), tableFp(sfDir, name)), _ => {
       import org.apache.spark.sql.functions.{coalesce, expr, lit}
       load(spark, sfDir, name)
         .agg(coalesce(

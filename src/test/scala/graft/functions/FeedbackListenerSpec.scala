@@ -61,8 +61,9 @@ class FeedbackListenerSpec extends AnyFunSuite with BeforeAndAfterAll {
     ExecutionFeedback.clear()
     spark.conf.set("spark.graft.feedback.auto", "true")
     try {
+      val before = FeedbackListener.harvestCount
       runFlagshipUnderHist()
-      FeedbackListener.awaitObservations(0)
+      FeedbackListener.awaitHarvests(before)
     } finally spark.conf.unset("spark.graft.feedback.auto")
     val auto = ExecutionFeedback.all
     assert(auto == manual,
@@ -105,8 +106,9 @@ class FeedbackListenerSpec extends AnyFunSuite with BeforeAndAfterAll {
     ExecutionFeedback.clear()
     spark.conf.set("spark.graft.feedback.auto", "true")
     try {
+      val before = FeedbackListener.harvestCount
       runFlagshipUnderHist()
-      FeedbackListener.awaitObservations(0)
+      FeedbackListener.awaitHarvests(before)
     } finally spark.conf.unset("spark.graft.feedback.auto")
     assert(ExecutionFeedback.size > 0)
     spark.conf.set("spark.graft.joinReorder.stats", "hist")

@@ -48,7 +48,7 @@ class ExecutionFeedbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     val obs = ExecutionFeedback.all
     // leaf: the filtered orders scan
     val ordersLeaf = obs.filter { case (k, _) =>
-      k.contains("/orders[") && !k.contains("||") }
+      k.contains("/orders@") && !k.contains("||") }
     assert(ordersLeaf.size == 1, s"orders leaf keys: ${ordersLeaf.keys}")
     val ordersTruth = spark.sql(
       "SELECT count(*) FROM orders WHERE o_orderstatus = 'F'")
@@ -166,7 +166,7 @@ class ExecutionFeedbackSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.collect()
       ExecutionFeedback.harvest(df)
       val eventLeaves = ExecutionFeedback.all.keys.filter(k =>
-        k.contains("/events[") && !k.contains("||"))
+        k.contains("/events@") && !k.contains("||"))
       assert(eventLeaves.size == 2,
         s"two filtered events scans must harvest two keys: $eventLeaves")
       assert(eventLeaves.exists(_.contains("purchase")) &&
@@ -183,8 +183,8 @@ class ExecutionFeedbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     ExecutionFeedback.harvest(df)
     // the post-aggregate filter's output metric is not a scan-filter
     // cardinality: only the BARE orders scan may be observed
-    val ordersKeys = ExecutionFeedback.all.keys.filter(_.contains("/orders["))
-    assert(ordersKeys.forall(_.endsWith("/orders[]")),
+    val ordersKeys = ExecutionFeedback.all.keys.filter(_.contains("/orders@"))
+    assert(ordersKeys.forall(_.endsWith("[]")),
       s"post-agg filter leaked a leaf observation: $ordersKeys")
     ordersKeys.headOption.flatMap(ExecutionFeedback.lookup).foreach { v =>
       val truth = spark.table("orders").count().toDouble

@@ -413,7 +413,7 @@ class GraftJoinReorderSpec extends AnyFunSuite with BeforeAndAfterAll {
       val before = spark.sql(adversarialFlagshipSql)
         .collect().map(_.toSeq).toSeq
       val regionLeaf = ExecutionFeedback.all.keys.find(k =>
-        k.contains("/region[") && !k.contains("||"))
+        k.contains("/region@") && !k.contains("||"))
       assert(regionLeaf.isDefined, s"no region leaf observed")
       ExecutionFeedback.record(regionLeaf.get, 1e6)
       assert(bhjCount() == 0,
