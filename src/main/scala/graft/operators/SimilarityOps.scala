@@ -473,6 +473,45 @@ object SimilarityOps {
     beamWalk(all, e, ent, nQueries, beam, steps, k)
   }
 
+  /** BARRIER-BATCHED multi-entry beam walk (the r15 experiment,
+    * VERDICT r14 item 6): the graph-beam family's cost at sf0.1 is
+    * pure per-superstep JOB LATENCY — barriered joins on tiny frames
+    * — so halving the superstep count should roughly halve wall
+    * time. One batched round expands TWO hops at once against a
+    * precomputed 1∪2-hop edge frame (e ∪ e⋈e), then scores and
+    * beam-trims exactly like two classic steps compressed. The
+    * classic round's candidates after 2 steps (beam(f∪N(f)) ∪
+    * N(beam(...))) are a SUBSET of the batched round's
+    * (f∪N(f)∪N²(f)), so each batched round keeps the top-beam of a
+    * superset — same navigation depth in half the barriers, at the
+    * price of a deg×-bigger edge frame and ~deg× more cosine work per
+    * round (both data-parallel, neither a barrier). BeamBatchProbe
+    * measures recall vs brute truth and min-of-3 wall time against
+    * the classic walk; the s34/s36/s37 gate entries keep the classic
+    * form (their hashes/contracts are pinned to it). */
+  def graphBeamAnnMultiBatched(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val e = beamEdges(all)
+    // 1∪2-hop reach, built ONCE (a barrier paid per index build, not
+    // per round); self-loops dropped — a node re-enters a candidate
+    // set via the frontier union anyway
+    val eh = Persists.barrier(
+      e.unionAll(
+        e.select(col("src"), col("dst").as("mid"))
+          .join(e.select(col("src").as("mid"), col("dst")), "mid")
+          .select("src", "dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    val ent = e.agg(min(col("src")).as("node"))
+      .unionAll(farthestFirstOn(spark, all, entries)
+        .select(col("vec_id").as("node")))
+      .distinct()
+    beamWalk(all, eh, ent, nQueries, beam, (steps + 1) / 2, k)
+  }
+
   /** The symmetrized mutual-kNN edge frame shared by s34/s36. */
   private def beamEdges(all: DataFrame): DataFrame = {
     val edges0 = GraphOps.mutualKnnEdgesOn(all)

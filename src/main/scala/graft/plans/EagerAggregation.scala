@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, ShortType, ByteType}
@@ -64,44 +64,76 @@ case class EagerAggregation() extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** A node that flattens into the inner-join spine: joins,
+  /** The r15 extension (VERDICT r14 item 4): descend the PRESERVED
+    * side of left/right outer joins too — Yan & Larson's general form.
+    * Gated for A/B; default ON after the full-gate on/off differential
+    * (tools/EagerAggReadiness) showed 0 result diffs with the outer
+    * descent enabled. */
+  private def outerEnabled: Boolean =
+    conf.getConfString("spark.graft.eagerAgg.outer", "true").toBoolean
+
+  /** A node that flattens into the join spine: inner joins (always),
+    * left/right outer joins (when the outer descent is on),
     * attribute-only Projects, and Filters over such. */
   private def isSpine(p: LogicalPlan): Boolean = p match {
-    case _: Join => true
+    case Join(_, _, Inner, _, _) => true
+    case Join(_, _, LeftOuter | RightOuter, _, _) => outerEnabled
     case Project(es, c) if es.forall(_.isInstanceOf[Attribute]) => isSpine(c)
     case Filter(_, c) => isSpine(c)
     case _ => false
   }
 
-  /** Flatten the chain of INNER joins under the aggregate into
-    * (leaves, all join + spine-filter conditions) — Yan & Larson's
+  /** Flatten the join chain under the aggregate into (leaves tagged
+    * PRESERVED?, all join + spine-filter conditions) — Yan & Larson's
     * general form: the fact scan may sit MANY joins below the
     * aggregate (the reference's snowflake shape, ungrouped MIN over
     * 5–17 joins, runtime_test.sh). Attribute-only Projects are looked
     * through; a Filter above a join contributes its conjuncts (its
     * fact-side references become partial keys, which is what keeps
-    * the rewrite exact); a non-inner join or anything else is a
-    * leaf. */
+    * the rewrite exact). A LEFT/RIGHT OUTER join's preserved side
+    * keeps flattening while its null-generating side stays ONE opaque
+    * non-preserved leaf: the partial aggregate may only land on a
+    * preserved leaf (its rows are never null-extended away, so the
+    * inner-join multiplicity argument carries over unchanged — a
+    * partial group's members share every join-visible attribute,
+    * hence the same match set, matched k≥1 times or null-extended
+    * exactly once, both of which re-aggregation reproduces). FULL
+    * outer joins and everything else stay leaves — a FULL join
+    * null-extends BOTH sides, and a null partial-count row would
+    * vanish from SUM where the unrewritten count(*) still sees its
+    * row. */
   private def flattenSpine(
-      plan: LogicalPlan): (Seq[LogicalPlan], Seq[Expression]) = plan match {
-    case Join(l, r, Inner, cond, _) =>
-      val (ll, lc) = flattenSpine(l)
-      val (rl, rc) = flattenSpine(r)
-      (ll ++ rl,
-        lc ++ rc ++ cond.toSeq.flatMap(splitConjunctivePredicates))
-    case Project(es, child)
-        if es.forall(_.isInstanceOf[Attribute]) && isSpine(child) =>
-      flattenSpine(child)
-    case Filter(cond, child) if isSpine(child) =>
-      val (ls, cs) = flattenSpine(child)
-      (ls, cs ++ splitConjunctivePredicates(cond))
-    case other => (Seq(other), Nil)
-  }
+      plan: LogicalPlan): (Seq[(LogicalPlan, Boolean)], Seq[Expression]) =
+    plan match {
+      case Join(l, r, Inner, cond, _) =>
+        val (ll, lc) = flattenSpine(l)
+        val (rl, rc) = flattenSpine(r)
+        (ll ++ rl,
+          lc ++ rc ++ cond.toSeq.flatMap(splitConjunctivePredicates))
+      case Join(l, r, LeftOuter, cond, _) if outerEnabled =>
+        val (ll, lc) = flattenSpine(l)
+        (ll :+ (r, false),
+          lc ++ cond.toSeq.flatMap(splitConjunctivePredicates))
+      case Join(l, r, RightOuter, cond, _) if outerEnabled =>
+        val (rl, rc) = flattenSpine(r)
+        ((l, false) +: rl,
+          rc ++ cond.toSeq.flatMap(splitConjunctivePredicates))
+      case Project(es, child)
+          if es.forall(_.isInstanceOf[Attribute]) && isSpine(child) =>
+        flattenSpine(child)
+      case Filter(cond, child) if isSpine(child) =>
+        val (ls, cs) = flattenSpine(child)
+        (ls, cs ++ splitConjunctivePredicates(cond))
+      case other => (Seq((other, true)), Nil)
+    }
 
   /** Rebuild the spine with `target` (identity-compared) swapped for
     * `repl`. Attribute-only Projects on the spine are dropped — the
     * partial aggregate's alias columns must flow up to the final
-    * aggregate, and the next fixpoint iteration re-prunes. */
+    * aggregate, and the next fixpoint iteration re-prunes. Outer
+    * joins are rebuilt descending their PRESERVED side only — the
+    * target is always a preserved leaf, and the null-generating side
+    * must survive byte-identical. */
   private def replaceLeaf(plan: LogicalPlan, target: LogicalPlan,
       repl: LogicalPlan): LogicalPlan =
     if (plan eq target) repl
@@ -109,6 +141,10 @@ case class EagerAggregation() extends Rule[LogicalPlan] with PredicateHelper {
       case j @ Join(_, _, Inner, _, _) =>
         j.copy(left = replaceLeaf(j.left, target, repl),
           right = replaceLeaf(j.right, target, repl))
+      case j @ Join(_, _, LeftOuter, _, _) if outerEnabled =>
+        j.copy(left = replaceLeaf(j.left, target, repl))
+      case j @ Join(_, _, RightOuter, _, _) if outerEnabled =>
+        j.copy(right = replaceLeaf(j.right, target, repl))
       case Project(es, child)
           if es.forall(_.isInstanceOf[Attribute]) && isSpine(child) =>
         replaceLeaf(child, target, repl)
@@ -141,12 +177,17 @@ case class EagerAggregation() extends Rule[LogicalPlan] with PredicateHelper {
       return None
 
     // the fact side: every aggregated expression's references must sit
-    // on ONE leaf; ref-free aggs (count(*)) are side-agnostic
+    // on ONE PRESERVED leaf (an aggregate over a null-generating
+    // side's columns counts matches, not collapsed groups — the
+    // rewrite would undercount); ref-free aggs (count(*)) are
+    // side-agnostic but still need a preserved landing spot
     val refs = aes.flatMap(_.references)
     val side =
-      if (refs.isEmpty) leaves.head
-      else leaves.find(l => refs.forall(l.outputSet.contains))
+      if (refs.isEmpty) leaves.collectFirst { case (l, true) => l }
         .getOrElse(return None)
+      else leaves.find { case (l, preserved) =>
+        preserved && refs.forall(l.outputSet.contains)
+      }.map(_._1).getOrElse(return None)
     if (side.isInstanceOf[Aggregate]) return None // idempotence guard
 
     // partial group-by: every fact-side attribute ANY spine condition

@@ -308,7 +308,15 @@ object ExperimentMain {
       // the skew-tail twin corpus: where the histogram estimator tier
       // (regrets_histest) separates from plain measured stats
       case "tail" => JobCorpus.tails
-      case other => sys.error(s"unknown corpus '$other' (core|job|tail)")
+      // the width-ceiling mini-corpus (tree17 — the reference's
+      // largest JOB width; BnB refuses, recorded as null-cost rows)
+      case "ceiling" => JobCorpus.ceiling
+      // the high-spread twin corpus: cyclic, weakly-filtered shapes
+      // whose intermediates dwarf per-stage constants at sf0.1 — the
+      // cost-model-validation regime (run it at sf0.1)
+      case "wide" => ExperimentCorpus.wide
+      case other =>
+        sys.error(s"unknown corpus '$other' (core|job|tail|ceiling|wide)")
     }
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -321,6 +329,8 @@ object ExperimentMain {
     val fixture = sys.env.getOrElse("GRAFT_CARDS_JSON",
       if (corpusName == "job") "fixtures/cards_job_sf0.001.json"
       else if (corpusName == "tail") "fixtures/cards_tail_sf0.001.json"
+      else if (corpusName == "ceiling") "fixtures/cards_ceiling_sf0.001.json"
+      else if (corpusName == "wide") "fixtures/cards_wide_sf0.1.json"
       else "fixtures/cards_sf0.001.json")
     val dict: Map[String, Map[String, Double]] =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(fixture)))

@@ -112,4 +112,88 @@ object ExperimentCorpus {
 
   val all: Seq[CorpusQuery] =
     Seq(flagship, star4, cycle5, bushy6, chain3, kite6, cycle4)
+
+  // ------------------------------------------ high-spread twin corpus
+  /** The WIDE corpus (r15, VERDICT r14 item 5): kite6 — the one query
+    * whose tree choice moved runtime ≥2× at sf0.1 — was a single
+    * anecdote, so the hybrid cost-model question (per-stage constant +
+    * C_out) could not be answered at n=1. These five share kite6's
+    * regime: CYCLIC shapes (csg-cmp enumeration genuinely diverges
+    * across planners) with weak or no filters, so intermediates dwarf
+    * per-stage constants at sf0.1 and the cost models have something
+    * real to rank. Kept OUT of [[all]] (its fixture and plan caches
+    * stay frozen); ExperimentMain runs it as corpus "wide" against
+    * fixtures/cards_wide_sf0.1.json. */
+  def kite6Wide: CorpusQuery = CorpusQuery(
+    "kite6w",
+    kite6.graph,
+    // kite6 minus the orders filter: the square's intermediates grow
+    // ~3×, pushing every tree further from the constants floor
+    Vector(None, None, None, None, None, Some("p_type = 'PROMO'")))
+
+  def cycle4Wide: CorpusQuery = CorpusQuery(
+    "cycle4w",
+    cycle4.graph,
+    Vector(None, None, None, None)) // the unfiltered square
+
+  /** kite6 with a SECOND tail (events off customer) — two pendant
+    * spokes force the top-vs-push-down choice twice per tree. */
+  def kite7: CorpusQuery = CorpusQuery(
+    "kite7",
+    QueryGraph(
+      Vector("nation", "customer", "orders", "lineitem", "supplier",
+        "part", "events"),
+      Vector(
+        JoinEdge(0, 1, Seq("n_nationkey" -> "c_nationkey")),
+        JoinEdge(1, 2, Seq("c_custkey" -> "o_custkey")),
+        JoinEdge(2, 3, Seq("o_orderkey" -> "l_orderkey")),
+        JoinEdge(3, 4, Seq("l_suppkey" -> "s_suppkey")),
+        JoinEdge(4, 0, Seq("s_nationkey" -> "n_nationkey")),
+        JoinEdge(3, 5, Seq("l_partkey" -> "p_partkey")),
+        JoinEdge(1, 6, Seq("c_custkey" -> "user_id")))),
+    Vector(None, None, None, None, None, Some("p_type = 'PROMO'"),
+      Some("event_type = 'purchase'")))
+
+  /** Two fact passes closed over the shared nation — cycle5 doubled.
+    * Quantity bands on BOTH passes keep the worst truth subset (the
+    * two chains crossed through nation before supplier closes the
+    * cycle) at single-digit millions instead of hundreds — wide
+    * enough to dwarf constants, small enough that every planner's
+    * chosen tree executes in seconds. */
+  def doubleCycle8: CorpusQuery = CorpusQuery(
+    "dcycle8",
+    QueryGraph(
+      Vector("nation", "customer", "orders", "lineitem",
+        "supplier", "customer@2", "orders@2", "lineitem@2"),
+      Vector(
+        JoinEdge(0, 1, Seq("n_nationkey" -> "c_nationkey")),
+        JoinEdge(1, 2, Seq("c_custkey" -> "o_custkey")),
+        JoinEdge(2, 3, Seq("o_orderkey" -> "l_orderkey")),
+        JoinEdge(3, 4, Seq("l_suppkey" -> "s_suppkey")),
+        JoinEdge(4, 0, Seq("s_nationkey" -> "n_nationkey")),
+        JoinEdge(0, 5, Seq("n_nationkey" -> "c_nationkey_a2")),
+        JoinEdge(5, 6, Seq("c_custkey_a2" -> "o_custkey_a2")),
+        JoinEdge(6, 7, Seq("o_orderkey_a2" -> "l_orderkey_a2")))),
+    Vector(None, None, Some("o_orderstatus = 'F'"),
+      Some("l_quantity > 40"), None,
+      None, Some("o_totalprice_a2 > 300000"),
+      Some("l_quantity_a2 > 40")))
+
+  /** A 3-copy lineitem self-join on the shared order key with loose
+    * quantity bands — the fan-out square: ~2.4 rows/order per copy at
+    * any SF, so the 3-way blows up ~14× over one copy and the join
+    * ORDER decides how early the bands cut it. */
+  def triLineitem: CorpusQuery = CorpusQuery(
+    "trili",
+    QueryGraph(
+      Vector("lineitem", "lineitem@2", "lineitem@3"),
+      Vector(
+        JoinEdge(0, 1, Seq("l_orderkey" -> "l_orderkey_a2")),
+        JoinEdge(0, 2, Seq("l_orderkey" -> "l_orderkey_a3")),
+        JoinEdge(1, 2, Seq("l_orderkey_a2" -> "l_orderkey_a3")))),
+    Vector(Some("l_quantity > 25"), Some("l_quantity_a2 > 25"),
+      Some("l_quantity_a3 > 25")))
+
+  val wide: Seq[CorpusQuery] =
+    Seq(kite6Wide, cycle4Wide, kite7, doubleCycle8, triLineitem)
 }

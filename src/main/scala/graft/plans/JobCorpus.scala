@@ -214,6 +214,30 @@ object JobCorpus {
       R("documents@2", Some("lang_a2 = 'en'"),
         Seq(5 -> Seq("p_partkey" -> "doc_id_a2"))))): _*)
 
+  /** tree17: the reference's WIDTH CEILING — JOB's largest queries
+    * join ~17 relations (README.md:6-9, runtime_test.sh:5-6), and the
+    * reference's exact-search refusal triggers at ≥12 edges
+    * (ExhaustiveJoinOrderRule.java:107-109). tree13 + supplier@2 and
+    * events@2 re-entering through nation@2/customer, part@2 off
+    * lineitem, embeddings@2 off documents@2 — 17 relations, 16 edges,
+    * 1,737 connected subgraphs (tree-shaped, so DPccp's csg-cmp walk
+    * stays thousands, not 2^17). BnB refuses it, Auto routes IKKBZ,
+    * DPccp plans it exactly (p28). */
+  val tree17: CorpusQuery = q("tree17",
+    (tree11Rels ++ Seq(
+      R("region@2", joins = Seq(10 -> Seq("n_regionkey_a2" -> "r_regionkey_a2"))),
+      R("documents@2", Some("lang_a2 = 'en'"),
+        Seq(5 -> Seq("p_partkey" -> "doc_id_a2"))),
+      R("supplier@2", joins = Seq(10 -> Seq("n_nationkey_a2" -> "s_nationkey_a2"))),
+      R("events@2", Some("event_type_a2 = 'error'"),
+        Seq(2 -> Seq("c_custkey" -> "user_id_a2"))),
+      R("part@2", joins = Seq(0 -> Seq("l_partkey" -> "p_partkey_a2"))),
+      R("embeddings@2", joins = Seq(12 -> Seq("doc_id_a2" -> "vec_id_a2"))))): _*)
+
+  /** The width-ceiling mini-corpus (own truth fixture, like [[tails]]
+    * — the frozen 21-query [[all]] and its fixture stay untouched). */
+  val ceiling: Seq[CorpusQuery] = Seq(tree17)
+
   // ------------------------------------------------------------ cycles
   /** cycle8: nation–customer–orders–lineitem–supplier–nation@2–
     * supplier@2–lineitem@2, closed back into orders — 8 edges. */

@@ -184,6 +184,18 @@ object PlannerQueries {
     // conjuncts the histogram tier already prices. Same contract as
     // every p-entry: pricing moves plans, never answers.
     "p27_planner_insql_in" -> (runInSql _),
+    // p28: the reference's WIDTH CEILING — a 17-relation JOB-shaped
+    // snowflake (JOB peaks at ~17 relations, README.md:6-9;
+    // runtime_test.sh:5-6), planned by DPccp DIRECTLY: 16 tree edges
+    // give 1,737 connected subgraphs, so exact csg-cmp enumeration is
+    // cheap far past the 12-edge refusal boundary the reference's BnB
+    // enforces (ExhaustiveJoinOrderRule.java:107-109 — Tree17Spec
+    // pins BnB's refusal and Auto's IKKBZ route on this graph, and
+    // the ceiling regret fixture prices greedy/auto against it).
+    // Same contract as every p-entry: the planned 17-way join must
+    // hash-match the declarative oracle.
+    "p28_planner_job_ceiling" ->
+      runJob(JobCorpus.tree17, Enumerators.DPccp) _,
     // p26: MIXED inner/outer SQL through the injected rule — an inner
     // island (customer⋈orders⋈lineitem) BELOW a LEFT JOIN to supplier
     // and a second island ABOVE it ({left-join result, nation,
@@ -210,7 +222,19 @@ object PlannerQueries {
     // the filtered fact scan, keyed by l_suppkey only (~600×
     // collapse), before any join bytes move. Same answer as the
     // direct plan — the oracle is the query itself.
-    "q158_eager_agg_chain" -> (runEagerAggChain _)
+    "q158_eager_agg_chain" -> (runEagerAggChain _),
+    // q159: eager aggregation ACROSS AN OUTER JOIN (Yan & Larson's
+    // general form, VERDICT r14 item 4) — the aggregate sits above
+    // lineitem⋈supplier LEFT JOIN nation (ON-filtered so ~half the
+    // suppliers null-extend, observable through the NULL n_name
+    // group), and the partial aggregate lands on the filtered
+    // lineitem fact scan BELOW the outer join on its preserved side,
+    // keyed by l_suppkey (~360× collapse). Preserved-side rows are
+    // never null-extended away, so the inner-join multiplicity
+    // argument carries over; aggregates over the null-generating side
+    // are refused (EagerAggregationSpec pins both). Same answer as
+    // the direct plan — the oracle is the query itself.
+    "q159_eager_agg_outer" -> (runEagerAggOuter _)
   )
 
   /** q157's SQL — shared with EagerAggregationSpec. */
@@ -249,6 +273,31 @@ object PlannerQueries {
     val prev = spark.conf.getOption("spark.graft.eagerAgg.enabled")
     spark.conf.set("spark.graft.eagerAgg.enabled", "true")
     try spark.sql(eagerAggChainSql)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.eagerAgg.enabled", v)
+      case None => spark.conf.unset("spark.graft.eagerAgg.enabled")
+    }
+  }
+
+  /** q159's SQL — shared with EagerAggregationSpec. The ON filter
+    * keeps nations 0-9, so suppliers of nations 10+ null-extend and
+    * the NULL n_name group pins the outer-join semantics in the
+    * oracle hash (a rewrite that dropped null-extension loses rows). */
+  val eagerAggOuterSql: String =
+    """SELECT n_name, sum(l_quantity) AS sum_qty, count(*) AS cnt,
+              min(l_extendedprice) AS min_ext
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            LEFT JOIN nation
+              ON s_nationkey = n_nationkey AND n_nationkey < 10
+       WHERE l_quantity > 20
+       GROUP BY n_name"""
+
+  def runEagerAggOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "supplier", "nation").foreach(r =>
+      Tables.load(spark, sfDir, r).createOrReplaceTempView(r))
+    val prev = spark.conf.getOption("spark.graft.eagerAgg.enabled")
+    spark.conf.set("spark.graft.eagerAgg.enabled", "true")
+    try spark.sql(eagerAggOuterSql)
     finally prev match {
       case Some(v) => spark.conf.set("spark.graft.eagerAgg.enabled", v)
       case None => spark.conf.unset("spark.graft.eagerAgg.enabled")
@@ -621,18 +670,47 @@ object PlannerQueries {
        WHERE li.l_quantity > 30 AND o.o_orderstatus = 'F'
          AND e.event_type = 'purchase' AND d2.lang = 'en'"""
 
+  /** tree17's declarative twin — every join edge and filter of
+    * JobCorpus.tree17 (tree13 + supplier@2, events@2, part@2,
+    * embeddings@2), aliases spelled as SQL table aliases. */
+  private val jobTree17Oracle: String =
+    """SELECT min(o_totalprice) AS min_total,
+              min(l_extendedprice) AS min_ext, count(*) AS cnt
+       FROM lineitem li
+       JOIN orders o    ON li.l_orderkey = o.o_orderkey
+       JOIN customer c  ON o.o_custkey = c.c_custkey
+       JOIN nation n    ON c.c_nationkey = n.n_nationkey
+       JOIN region r    ON n.n_regionkey = r.r_regionkey
+       JOIN part p      ON li.l_partkey = p.p_partkey
+       JOIN documents d ON p.p_partkey = d.doc_id
+       JOIN supplier s  ON li.l_suppkey = s.s_suppkey
+       JOIN events e    ON c.c_custkey = e.user_id
+       JOIN embeddings em ON d.doc_id = em.vec_id
+       JOIN nation n2   ON s.s_nationkey = n2.n_nationkey
+       JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+       JOIN documents d2 ON p.p_partkey = d2.doc_id
+       JOIN supplier s2 ON n2.n_nationkey = s2.s_nationkey
+       JOIN events e2   ON c.c_custkey = e2.user_id
+       JOIN part p2     ON li.l_partkey = p2.p_partkey
+       JOIN embeddings em2 ON d2.doc_id = em2.vec_id
+       WHERE li.l_quantity > 30 AND o.o_orderstatus = 'F'
+         AND e.event_type = 'purchase' AND d2.lang = 'en'
+         AND e2.event_type = 'error'"""
+
   def oracleSql: Map[String, String] =
     queries.keys.map(k =>
       k -> (k match {
         case "p15_planner_job_exact" => jobTree11Oracle
         case "p16_planner_job_ikkbz" => jobTree13Oracle
         case "p17_planner_job_insql" => jobTree11Oracle
+        case "p28_planner_job_ceiling" => jobTree17Oracle
         case "p21_planner_insql_repeat" => repeatSql
         case "p25_planner_insql_like" => likeSql
         case "p27_planner_insql_in" => inSql
         case "p26_planner_insql_outer" => mixedOuterSql
         case "q157_eager_agg" => eagerAggSql
         case "q158_eager_agg_chain" => eagerAggChainSql
+        case "q159_eager_agg_outer" => eagerAggOuterSql
         case k2 if cycleShaped(k2) => cycleOracle
         case _ => flagshipOracle
       })).toMap

@@ -29,7 +29,10 @@ object CardDump {
       case "core" => ExperimentCorpus.all
       case "job" => JobCorpus.all
       case "tail" => JobCorpus.tails
-      case other => sys.error(s"unknown corpus '$other' (core|job|tail)")
+      case "ceiling" => JobCorpus.ceiling
+      case "wide" => ExperimentCorpus.wide
+      case other =>
+        sys.error(s"unknown corpus '$other' (core|job|tail|ceiling|wide)")
     }
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
