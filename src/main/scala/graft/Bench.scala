@@ -194,6 +194,16 @@ object Bench {
     "p26_planner_insql_outer", "q158_eager_agg_chain",
     "s37_ann_graph_beam_delta", "s37i_ann_beam_delta_served")
 
+  /** Eleventh series guarding the round-15 operators; baselines at
+    * round 15, never touches the earlier series. p27 times the
+    * synopsis-priced IN planning path (first run pays the amortized
+    * full-synopsis collection, warm reads the memo); p28 times the
+    * 17-relation width-ceiling plan+execute; q159 the outer-join
+    * eager-aggregation rewrite. */
+  val headlineR15: Seq[String] = Seq(
+    "p27_planner_insql_in", "p28_planner_job_ceiling",
+    "q159_eager_agg_outer")
+
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
     * incremental candidate join against the PRE-MATERIALIZED signature
@@ -481,6 +491,7 @@ object Bench {
     val resultsR12 = runSeries(headlineR12)
     val resultsR13 = runSeries(headlineR13)
     val resultsR14 = runSeries(headlineR14)
+    val resultsR15 = runSeries(headlineR15)
     val cacheState =
       if (dropCache && !dropsFailed) "dropped-before-cold-runs"
       else if (dropCache) "drop-requested-but-failed"
@@ -498,7 +509,7 @@ object Bench {
     val qs = steadyJson(results)
     val failed = (results ++ resultsR5 ++ resultsR7 ++ resultsR8 ++
       resultsR9 ++ resultsR10 ++ resultsR11 ++ resultsR12 ++ resultsR13 ++
-      resultsR14)
+      resultsR14 ++ resultsR15)
       .collect { case (k, v, _, _) if v < 0 => s""""$k"""" }
     if (failed.nonEmpty) {
       // a failing query must read as a FAILURE, not as a faster total —
@@ -531,6 +542,8 @@ object Bench {
     val totalR13Cold = resultsR13.map(_._3).sum
     val totalR14 = resultsR14.map(_._2).sum
     val totalR14Cold = resultsR14.map(_._3).sum
+    val totalR15 = resultsR15.map(_._2).sum
+    val totalR15Cold = resultsR15.map(_._3).sum
     // compact totals object, duplicated in BOTH output lines: the
     // driver archives only the last 2000 chars of stdout, so the
     // per-query detail line alone is truncation-prone as series
@@ -545,7 +558,8 @@ object Bench {
         f""""r11":$totalR11%.3f,"r11_cold":$totalR11Cold%.3f,""" +
         f""""r12":$totalR12%.3f,"r12_cold":$totalR12Cold%.3f,""" +
         f""""r13":$totalR13%.3f,"r13_cold":$totalR13Cold%.3f,""" +
-        f""""r14":$totalR14%.3f,"r14_cold":$totalR14Cold%.3f,"failed":0}"""
+        f""""r14":$totalR14%.3f,"r14_cold":$totalR14Cold%.3f,""" +
+        f""""r15":$totalR15%.3f,"r15_cold":$totalR15Cold%.3f,"failed":0}"""
     // Per-query recorded baselines (fixtures/bench_baselines.json, a
     // flat {"name": seconds} map regenerated at each round's close by
     // tools/bench_baselines.py from the closing run's line-1 detail):
@@ -576,7 +590,7 @@ object Bench {
         "legacy" -> results, "r5" -> resultsR5, "r7" -> resultsR7,
         "r8" -> resultsR8, "r9" -> resultsR9, "r10" -> resultsR10,
         "r11" -> resultsR11, "r12" -> resultsR12, "r13" -> resultsR13,
-        "r14" -> resultsR14)
+        "r14" -> resultsR14, "r15" -> resultsR15)
         .flatMap { case (t, rs) => movers(rs).map(j => s""""$t":$j""") }
       if (parts.isEmpty) "" else s""","movers":{${parts.mkString(",")}}"""
     }
@@ -613,6 +627,9 @@ object Bench {
         f""""queries_r14":${steadyJson(resultsR14)},"total_r14":$totalR14%.3f,""" +
         f""""queries_r14_cold":${coldJson(resultsR14)},"total_r14_cold":$totalR14Cold%.3f,""" +
         f""""queries_r14_warm":${warmJson(resultsR14)},""" +
+        f""""queries_r15":${steadyJson(resultsR15)},"total_r15":$totalR15%.3f,""" +
+        f""""queries_r15_cold":${coldJson(resultsR15)},"total_r15_cold":$totalR15Cold%.3f,""" +
+        f""""queries_r15_warm":${warmJson(resultsR15)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir",""" +
         totalsJson + "}")
     // line 2: newest-series per-query detail (secondary visibility —
@@ -623,6 +640,7 @@ object Bench {
         f""""queries_r12":${steadyJson(resultsR12)},""" +
         f""""queries_r13":${steadyJson(resultsR13)},""" +
         f""""queries_r14":${steadyJson(resultsR14)},""" +
+        f""""queries_r15":${steadyJson(resultsR15)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir"}""")
     // line 3 — LAST line, totals ONLY, bounded forever regardless of
     // how many series accumulate: the driver archives the final

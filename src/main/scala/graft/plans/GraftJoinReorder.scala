@@ -438,8 +438,11 @@ case class GraftJoinReorder() extends Rule[LogicalPlan] with PredicateHelper {
     * row-wise evaluation over the table's AMORTIZED full-width
     * synopsis ([[AutoEstimator.clauseSelectivity]] — the same cached
     * 2,000 rows the auto trigger filters; the FIRST like/in-bearing
-    * query per table pays that one collection scan at planning time,
-    * every later query reads the memo). Everything else keeps
+    * query per table pays that one collection scan at PLANNING time —
+    * every later query reads the memo. Deployments that care can warm
+    * it off the query path: one [[AutoEstimator.fullSynopsis]] call
+    * per table at ANALYZE time populates the same cache —
+    * ADVICE r14). Everything else keeps
     * [[StatsEstimator.selectivityOfCatalyst]]'s ladder. This
     * completes the reference's JOB predicate language in the
     * estimator (the reference string-parses =, ranges, LIKE, IN,

@@ -83,6 +83,41 @@ class Tree17Spec extends AnyFunSuite with BeforeAndAfterAll {
       "tree17 (16 edges) must route to IKKBZ")
   }
 
+  test("ceiling regret artifact: DPccp optimal, BnB null, estimator " +
+      "ladder converges (committed fixture — no rerun)") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import scala.jdk.CollectionConverters._
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("fixtures/experiment_ceiling_r15.json")))
+    val cout = root.get("records").elements().asScala
+      .filter(_.get("costModel").asText() == "cout").toSeq
+    // DPccp's truth-planned tree is the GLOBAL optimum at 17 relations
+    val dp = cout.find(_.get("planner").asText() == "dpccp").get
+    val finiteCosts = cout.filterNot(_.get("cost").isNull)
+      .map(_.get("cost").asDouble())
+    assert(dp.get("cost").asDouble() == finiteCosts.min)
+    // BnB's refusal is a null-cost row, never Infinity (the r13 lesson)
+    val bnb = cout.find(_.get("planner").asText() == "bnb").get
+    assert(bnb.get("cost").isNull &&
+      bnb.get("joinOrder").asText().startsWith("PLANNING-REFUSED"))
+    // the estimator ladder lands inside the regret table: naive pays
+    // 3.3x under DPccp, hist shrinks it to <=1.15, the auto trigger
+    // ESCALATES tree17 (events-correlation at width 17) and the
+    // sample tier recovers the optimum exactly
+    def regret(tier: String): Double =
+      root.get(tier).elements().asScala
+        .find(r => r.get("planner").asText() == "dpccp" &&
+          r.get("costModel").asText() == "cout").get
+        .get("regret").asDouble()
+    assert(regret("regrets") > 3.0)
+    assert(regret("regrets_histest") <= 1.15)
+    assert(regret("regrets_samplest") == 1.0)
+    assert(root.get("auto_escalated").elements().asScala
+      .exists(_.asText() == "tree17"))
+    assert(regret("regrets_auto") == 1.0)
+  }
+
   test("planner choice never changes the 17-way answer (p28 contract)") {
     def rows(p: JoinOrderPlanner) =
       PlannerQueries.runJob(JobCorpus.tree17, p)(spark, sf)
