@@ -155,11 +155,15 @@ object ExperimentCorpus {
       Some("event_type = 'purchase'")))
 
   /** Two fact passes closed over the shared nation — cycle5 doubled.
-    * Quantity bands on BOTH passes keep the worst truth subset (the
-    * two chains crossed through nation before supplier closes the
-    * cycle) at single-digit millions instead of hundreds — wide
-    * enough to dwarf constants, small enough that every planner's
-    * chosen tree executes in seconds. */
+    * Filters on BOTH passes AND on the second customer keep the worst
+    * truth subsets bounded: nation is a THREE-branch hub here (c, s,
+    * c2 all key on it), so the unfiltered c×s×c2 cross through the
+    * 25-nation hub is ~360M rows in any subset that has all three
+    * branches but no downstream cut (measured: one such truth count
+    * pinned the dump for 12+ min). The c2 acctbal cut (~9%) bounds
+    * that to ~32M while the full query keeps multi-million
+    * intermediates — wide enough to dwarf constants, small enough
+    * that every planner's chosen tree executes in seconds. */
   def doubleCycle8: CorpusQuery = CorpusQuery(
     "dcycle8",
     QueryGraph(
@@ -174,9 +178,9 @@ object ExperimentCorpus {
         JoinEdge(0, 5, Seq("n_nationkey" -> "c_nationkey_a2")),
         JoinEdge(5, 6, Seq("c_custkey_a2" -> "o_custkey_a2")),
         JoinEdge(6, 7, Seq("o_orderkey_a2" -> "l_orderkey_a2")))),
-    Vector(None, None, Some("o_orderstatus = 'F'"),
+    Vector(None, None, Some("o_totalprice > 400000"),
       Some("l_quantity > 40"), None,
-      None, Some("o_totalprice_a2 > 300000"),
+      Some("c_acctbal_a2 > 9000"), Some("o_totalprice_a2 > 450000"),
       Some("l_quantity_a2 > 40")))
 
   /** A 3-copy lineitem self-join on the shared order key with loose

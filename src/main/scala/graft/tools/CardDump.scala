@@ -34,8 +34,19 @@ object CardDump {
       case other =>
         sys.error(s"unknown corpus '$other' (core|job|tail|ceiling|wide)")
     }
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[16]")
+      // 64 partitions, not 16: the wide corpus's truth subsets sort-
+      // merge tens of millions of rows — 16 concurrent partition-sized
+      // sorts exhausted execution memory in a default-heap JVM
+      // (UNABLE_TO_ACQUIRE_MEMORY); finer partitions spill less and
+      // fit. Run under a big heap (SBT_OPTS=-Xmx16g) for sf0.1 dumps.
+      .config("spark.sql.shuffle.partitions", "64")
+      // no auto-broadcast either: single-file parquet inputs are one
+      // partition, and a chain of BHJs then runs the whole multi-way
+      // fan-out in ONE task (observed at sf0.1: one 27M-row subset
+      // count pinned a single core for minutes). Shuffle joins spread
+      // every subset count across the 16 threads.
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -49,9 +60,17 @@ object CardDump {
       val subsets = (1L to g.full).filter(s => g.connected(s))
       val counts = subsets.map { s =>
         val tree = spanningTree(g, s)
+        // broadcastRows = 0: NO forced broadcast hints. The dummy
+        // uniform cardinality would otherwise mark every side (even a
+        // multi-million-row intermediate) broadcastable — at sf0.1 the
+        // wide corpus's truth subsets then collect whole intermediates
+        // to the driver single-threaded (observed: one count pinned a
+        // core for 40+ min). Plain shuffle joins count the same rows;
+        // Spark's own plan-stats autoBroadcast still handles the
+        // genuinely tiny sides.
         val cnt = JoinTreeExecutor
           .build(tree, g, inputs, HeuristicCardinality.uniform(
-            g, Array.fill(g.n)(1.0)), broadcastRows = Long.MaxValue)
+            g, Array.fill(g.n)(1.0)), broadcastRows = 0L)
           .count()
         CardinalityStore.qualifiedKey(g, s, cq.filters) -> cnt
       }

@@ -69,6 +69,24 @@ class GraphBeamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(multi.values.sum >= single.values.sum)
   }
 
+  test("batched 2-hop rounds: recall >= the classic walk, per query " +
+      "(the r15 barrier experiment's quality half)") {
+    // halving supersteps against the 1∪2-hop edge frame keeps every
+    // classic round's candidates a SUBSET of the batched round's —
+    // recall can only hold or improve (at sf0.1 it bridges a
+    // reciprocity-pruned gap, 0.2 → 0.6 on query 3; EXPERIMENT_r15
+    // §6). The TIMING half is the recorded negative: inline, the
+    // e⋈e build costs more than the barriers saved.
+    val classic = recall5(SimilarityOps.graphBeamAnnMulti(spark, sf))
+    val batched = recall5(SimilarityOps.graphBeamAnnMultiBatched(spark, sf))
+    assert(classic.keySet == batched.keySet && classic.nonEmpty)
+    classic.keys.foreach { q =>
+      assert(batched(q) >= classic(q) - 1e-9,
+        s"query $q: batched recall ${batched(q)} below " +
+          s"classic ${classic(q)}")
+    }
+  }
+
   test("s37 recall contract: delta-inserted graph >= full rebuild, per query") {
     val rebuilt = recall5(SimilarityOps.graphBeamAnnMulti(spark, sf))
     val delta = recall5(SimilarityOps.graphBeamDeltaInsert(spark, sf))

@@ -60,6 +60,43 @@ class CostModelValidationSpec extends AnyFunSuite {
       f"sf0.001 mean rho $mean%.3f should be ~0 (constants dominate)")
   }
 
+  test("r15 wide corpus: n=5 high-spread queries; C_out ranks 4 of 5; " +
+      "the hybrid's per-stage constant fits NEGATIVE (record the negative)") {
+    val paths = Seq("fixtures/experiment_wide_sf01_r15.json",
+      "fixtures/experiment_core_sf01_r14.json")
+    val pts = HybridCostFit.loadPoints(paths)
+    val spread = HybridCostFit.highSpread(pts)
+    // the corpus did its job: the high-spread set grew 1 → 5
+    assert(spread.keySet ==
+      Set("cycle4w", "dcycle8", "kite6", "kite6w", "kite7"),
+      s"high-spread set: ${spread.keySet}")
+    // within-query C_out ranking on that set: the Leis direction holds
+    // on 4 of 5 (cycle4w .78, kite6w .57, kite6 .53, kite7 .27) with
+    // dcycle8 the documented counterexample — pin mean and the outlier
+    val rhos = spread.view.mapValues(ts =>
+      CostModelValidation.spearman(ts.map(_.cost), ts.map(_.runtimeMs)))
+      .toMap
+    val mean = rhos.values.sum / rhos.size
+    assert(mean >= 0.3, f"mean spread-set rho $mean%.3f")
+    assert(rhos("cycle4w") >= 0.5 && rhos("kite6w") >= 0.4 &&
+      rhos("kite6") >= 0.4, s"per-query rhos: $rhos")
+    assert(rhos("dcycle8") < 0.2,
+      s"dcycle8 is the recorded counterexample: ${rhos("dcycle8")}")
+    // the hybrid (per-stage constant + C_out) is ADMISSIBLE at n=5 but
+    // REJECTED on physics: the stage coefficient fits NEGATIVE — a
+    // per-stage cost cannot be, so the term is absorbing cross-query
+    // bias, not measuring a constant. Structural reason: every tree of
+    // one query has the SAME stage count, so the term cannot help the
+    // within-query ranking that is the planner's actual job. The
+    // strengthened negative: C_out stays the in-planner model.
+    val (hCoef, hR2) = HybridCostFit.fit(pts, p =>
+      Seq(math.log(math.max(p.cost, 1.0)), p.stages.toDouble))
+    val (_, cR2) = HybridCostFit.fit(pts, p =>
+      Seq(math.log(math.max(p.cost, 1.0))))
+    assert(hCoef(2) < 0, s"stage coefficient: ${hCoef(2)}")
+    assert(hR2 - cR2 < 0.05, f"deltaR2 ${hR2 - cR2}%.3f is noise-level")
+  }
+
   test("sf0.1 artifact: the high-spread query recovers the ranking") {
     val qs = load("fixtures/experiment_core_sf01_r14.json")
     assert(qs.size == 7, s"core corpus is 7 queries, got ${qs.keySet}")
