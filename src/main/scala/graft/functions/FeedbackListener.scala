@@ -44,7 +44,12 @@ final class FeedbackListener(session: SparkSession)
     }
 
   override def onFailure(
-      funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+      funcName: String, qe: QueryExecution, exception: Exception): Unit =
+    // no harvest from a failed plan, but the callback still TICKS:
+    // a waiter whose query failed gets its completion signal instead
+    // of stalling to the full deadline (ADVICE r15)
+    if (FeedbackListener.enabled(session))
+      FeedbackListener.harvests.incrementAndGet()
 }
 
 object FeedbackListener {
@@ -100,8 +105,16 @@ object FeedbackListener {
     * [[harvestCount]] before running the query) or the deadline
     * passes. Counts CALLBACKS, not dictionary entries — a plan that
     * yields zero observations still completes the wait, and another
-    * query's stray observation cannot satisfy it spuriously
-    * (ADVICE r14). Returns the current harvest count. */
+    * query's stray OBSERVATION cannot satisfy it spuriously
+    * (ADVICE r14). SERIAL-USE ASSUMPTION (ADVICE r15): the counter is
+    * global, so a late-arriving CALLBACK from an earlier action still
+    * in flight on the async listener bus can tick it early — callers
+    * must capture `before` via [[harvestCount]] immediately before
+    * the action and run waited-on queries serially per session (every
+    * in-tree caller does; concurrent sessions wanting exact
+    * attribution should key off dictionary contents instead). Failed
+    * queries tick too (onFailure), so they complete the wait rather
+    * than stalling to the deadline. Returns the current count. */
   def awaitHarvests(before: Long, deadlineMs: Long = 30000): Long = {
     val end = System.nanoTime + deadlineMs * 1000000L
     while (harvests.get <= before && System.nanoTime < end) Thread.sleep(20)

@@ -174,22 +174,61 @@ object AutoEstimator {
     case _ => None
   }
 
-  /** Split a filter string into conjuncts: " AND " is the separator,
-    * EXCEPT the AND inside `col BETWEEN lo AND hi`, which is rewritten
-    * to its two range conjuncts (the grammar's only non-conjunctive
-    * AND — the reference's parser special-cases it the same way,
-    * MyUtils.java:152-180). */
+  /** Split `s` on top-level ` kw ` separators (case-insensitive),
+    * skipping matches inside single-quoted SQL literals — a LIKE
+    * pattern of `'%black and white%'` must not be torn at its
+    * embedded " and " (ADVICE r15). `''` escaping toggles the
+    * in-quote flag twice, which is correct as long as the separator
+    * never falls exactly between the doubled quotes (it cannot: the
+    * separator requires surrounding spaces). Parenthesis depth is not
+    * tracked — the corpus grammar is flat. */
+  private[plans] def splitOutsideQuotes(s: String, kw: String): Seq[String] = {
+    val pat = " " + kw.toLowerCase + " "
+    val lower = s.toLowerCase
+    val parts = Vector.newBuilder[String]
+    var inQ = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') { inQ = !inQ; i += 1 }
+      else if (!inQ && lower.startsWith(pat, i)) {
+        parts += s.substring(start, i)
+        i += pat.length
+        start = i
+      } else i += 1
+    }
+    parts += s.substring(start)
+    parts.result().map(_.trim)
+  }
+
+  /** Split a filter string into conjuncts: " AND " is the separator
+    * (outside quoted literals), EXCEPT the AND inside
+    * `col BETWEEN lo AND hi`, which is rewritten to its two range
+    * conjuncts (the grammar's only non-conjunctive AND — the
+    * reference's parser special-cases it the same way,
+    * MyUtils.java:152-180). A BETWEEN entangled with an
+    * OR-disjunction on either side (`a BETWEEN 1 AND 2 OR b = 3`)
+    * is NOT stitched — the distribution over OR is not two clean
+    * range clauses, so the torn halves are re-joined into one
+    * conjunct that prices as residual (ADVICE r15: the old stitch
+    * dropped the `OR b = 3` disjunct from the first half, an
+    * over-tight estimate). */
   def splitConjuncts(f: String): Seq[String] = {
-    val parts = f.split("(?i) AND ").toSeq.map(_.trim)
+    val parts = splitOutsideQuotes(f, "and")
     val out = Vector.newBuilder[String]
     var i = 0
     while (i < parts.size) {
       val p = parts(i)
       val between = "(?i)^(.*\\S)\\s+BETWEEN\\s+(\\S+)$".r
+      def hasOr(x: String) = splitOutsideQuotes(x, "or").size > 1
       p match {
-        case between(col, lo) if i + 1 < parts.size =>
+        case between(col, lo)
+            if i + 1 < parts.size && !hasOr(p) && !hasOr(parts(i + 1)) =>
           out += s"$col >= $lo"
           out += s"$col <= ${parts(i + 1)}"
+          i += 2
+        case between(_, _) if i + 1 < parts.size =>
+          out += s"$p AND ${parts(i + 1)}"
           i += 2
         case _ =>
           out += p
@@ -213,7 +252,7 @@ object AutoEstimator {
     // splitConjuncts first; accept it here as unevaluable-as-clause
     // unless it is the whole conjunct (then expand to >=, <= is
     // impossible in one disjunction — reject).
-    val alts = trimmed.split("(?i) OR ").toSeq.map(_.trim)
+    val alts = splitOutsideQuotes(trimmed, "or")
     if (alts.size == 1) {
       trimmed match {
         case BetweenRe(_, _, _) => None // needs splitConjuncts

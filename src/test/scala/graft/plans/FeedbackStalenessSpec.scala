@@ -92,4 +92,37 @@ class FeedbackStalenessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s2.rows.size == 75,
       s"stale synopsis served after regeneration: ${s2.rows.size} rows")
   }
+
+  test("superseded-epoch entries EVICT — repeated in-place " +
+      "regeneration does not grow the memos (ADVICE r15)") {
+    // unit semantics first: same identity prefix, different epoch →
+    // the stale key goes; a different identity survives
+    val m = new java.util.concurrent.ConcurrentHashMap[
+      (String, String, String), String]()
+    m.put(("d", "t", "epoch1"), "old")
+    m.put(("d", "u", "epoch9"), "other")
+    graft.sources.Tables.evictStaleEpochs(m, ("d", "t", "epoch2"))
+    assert(!m.containsKey(("d", "t", "epoch1")), "stale epoch must evict")
+    assert(m.containsKey(("d", "u", "epoch9")), "other identity survives")
+    // integration: load/count/profile a table, then regenerate it in
+    // place 3× re-deriving each time — every fp-keyed memo must hold
+    // ONE entry per identity, not one per epoch
+    writeTable("epsilon", 20)
+    graft.sources.Tables.load(spark, dir, "epsilon")
+    graft.sources.Tables.rowCount(spark, dir, "epsilon")
+    StatsEstimator.profileTable(spark, dir, "epsilon")
+    val t0 = graft.sources.Tables.cacheSizes
+    val s0 = StatsEstimator.cacheSizes
+    for (n <- Seq(21, 22, 23)) {
+      writeTable("epsilon", n)
+      graft.sources.Tables.load(spark, dir, "epsilon")
+      graft.sources.Tables.rowCount(spark, dir, "epsilon")
+      StatsEstimator.profileTable(spark, dir, "epsilon")
+    }
+    assert(graft.sources.Tables.cacheSizes == t0,
+      s"Tables memos grew across regenerations: $t0 -> " +
+        s"${graft.sources.Tables.cacheSizes}")
+    assert(StatsEstimator.cacheSizes == s0,
+      s"StatsEstimator memos grew: $s0 -> ${StatsEstimator.cacheSizes}")
+  }
 }

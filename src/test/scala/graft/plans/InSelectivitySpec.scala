@@ -68,6 +68,38 @@ class InSelectivitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ps.forall(AutoEstimator.eval(out, _)))
   }
 
+  test("BETWEEN entangled with OR falls to residual, not a torn " +
+      "stitch (ADVICE r15)") {
+    // the old stitch turned `a BETWEEN 1 AND 2 OR b = 3` into
+    // `a >= 1` AND `a <= 2 OR b = 3` — dropping `OR b = 3` from the
+    // first conjunct, an over-tight estimate. Now the torn halves
+    // re-join into ONE conjunct that parseClause rejects (falls to
+    // the residual heuristic); estimates never change answers either
+    // way, but the clause must not price tighter than its semantics.
+    val cs = AutoEstimator.splitConjuncts(
+      "l_quantity BETWEEN 10 AND 20 OR o_orderstatus = 'F'")
+    assert(cs == Seq("l_quantity BETWEEN 10 AND 20 OR o_orderstatus = 'F'"))
+    assert(AutoEstimator.parseClause(cs.head).isEmpty)
+    // OR on the BETWEEN's own side also refuses the stitch
+    val cs2 = AutoEstimator.splitConjuncts(
+      "o_orderstatus = 'F' OR l_quantity BETWEEN 10 AND 20")
+    assert(cs2.size == 1 && AutoEstimator.parseClause(cs2.head).isEmpty)
+    // and a clean BETWEEN beside an OR-conjunct still stitches
+    val cs3 = AutoEstimator.splitConjuncts(
+      "l_quantity BETWEEN 10 AND 20 AND (a = 1 OR b = 2)")
+    assert(cs3.take(2) == Seq("l_quantity >= 10", "l_quantity <= 20"))
+  }
+
+  test("quoted literals are not torn at embedded AND/OR (ADVICE r15)") {
+    val cs = AutoEstimator.splitConjuncts(
+      "title LIKE '%black and white%' AND n_chars > 10")
+    assert(cs == Seq("title LIKE '%black and white%'", "n_chars > 10"))
+    val c = AutoEstimator.parseClause("lang = 'this or that'")
+    assert(c.exists(_.alts.size == 1))
+    assert(AutoEstimator.eval(
+      Map[String, Any]("lang" -> "this or that"), c.get))
+  }
+
   test("parseClause handles OR-disjunctions; unevaluable alt rejects") {
     val c = AutoEstimator.parseClause(
       "p_brand = 'Brand#4' OR p_size > 40")
