@@ -2894,12 +2894,16 @@ object GraphOps {
     * (one definition, the [[DedupOps.clusterCtes]] discipline): cosine
     * per the s01 convention, rank over the rounded value, reciprocity
     * filter, low→high orientation, optional strength floor (g03). */
-  private[operators] def knnEdgeCtes(minCosine: Option[Double]): String = {
+  private[operators] def knnEdgeCtes(minCosine: Option[Double],
+      vWhere: String = ""): String = {
+    // vWhere restricts the CORPUS the graph is built over (the ANN
+    // compaction oracle rebuilds over takedown survivors); the empty
+    // default keeps every existing oracle's text byte-identical
     val floor = minCosine.map(c => s" AND f.cosine >= $c").getOrElse("")
     s"""v AS (
            SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
+           FROM embeddings$vWhere),
          scored AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                   round(list_dot_product(q.v, c.v) /

@@ -512,6 +512,245 @@ object SimilarityOps {
     beamWalk(all, eh, ent, nQueries, beam, (steps + 1) / 2, k)
   }
 
+  /** The stored 1∪2-hop beam-edge artifact — the INDEX-LAYOUT answer
+    * to the r15 batching experiment (EXPERIMENT_r15 §6, VERDICT r15
+    * next #1): batched 2-hop rounds DOMINATED on recall (0.2 → 0.6 on
+    * the sf0.1 plateau query) but lost inline wall time because the
+    * e ∪ e⋈e frame was rebuilt inside every timed run. Here it is
+    * built ONCE at ingest — derived from the stored full-corpus
+    * mutual-kNN artifact ([[GraphOps.knnEdgesAllPath]]), so the
+    * all-pairs kNN pass is shared, the self-join is the only added
+    * build cost — and fingerprint-keyed like [[beamBaseEdgesPath]]
+    * so a regenerated corpus rebuilds it. Serving then pays HALF the
+    * per-superstep barriers of the classic walk (the family's
+    * dominant cost at sf0.1: tiny frames, pure job latency).
+    *
+    * Scale shape: the artifact is O(|e| · avg-degree) rows — index-
+    * sized, not corpus-sized (degree is capped by the kNN k), and the
+    * one e⋈e shuffle is paid per INGEST, amortized across every
+    * query until the corpus fingerprint rotates. */
+  def beamHop2EdgesPath(spark: SparkSession, sfDir: String): String = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
+    val dir = graft.sources.FsUtil.qualified("target/tmp/graph/beamhop2_" +
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_$fp")
+    if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS")) {
+      val e = Persists.barrier(symmetrized(
+        spark.read.parquet(GraphOps.knnEdgesAllPath(spark, sfDir))
+          .select("a", "b")))
+      e.unionAll(
+          e.select(col("src"), col("dst").as("mid"))
+            .join(e.select(col("src").as("mid"), col("dst")), "mid")
+            .select("src", "dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** s38: the batched 2-hop walk SERVED from the stored
+    * [[beamHop2EdgesPath]] artifact — the production twin of
+    * [[graphBeamAnnMultiBatched]] (identical navigation: same entry
+    * policy, same beam/round dials, same scoring grid, so the two
+    * return the SAME frame — GraphBeamSpec pins served ≡ inline) at
+    * half the classic walk's barriers and NONE of the inline run's
+    * index-build cost. Rows-only by design at the gate, carrying the
+    * family's recall contract: aggregate recall@5 vs brute truth
+    * holds within one hit of the classic walk (and at sf0.1 the
+    * 2-hop frame BRIDGES reciprocity-pruned gaps the classic walk
+    * parks on — measured 0.2 → 0.6 on query 3, EXPERIMENT_r15 §6). */
+  def graphBeamAnnBatchedServed(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val eh = Persists.barrier(
+      spark.read.parquet(beamHop2EdgesPath(spark, sfDir))
+        .select("src", "dst"))
+    // same entry policy as the inline batched walk: eh ⊇ e shares e's
+    // min src (a 1-hop edge exists for every source node), so min
+    // over the stored frame IS s36's entry vertex
+    val ent = eh.agg(min(col("src")).as("node"))
+      .unionAll(farthestFirstOn(spark, all, entries)
+        .select(col("vec_id").as("node")))
+      .distinct()
+    beamWalk(all, eh, ent, nQueries, beam, (steps + 1) / 2, k)
+  }
+
+  /** The CLASSIC walk served from the stored 1-hop artifact — s38's
+    * like-for-like comparator (both exclude index build; the delta is
+    * purely supersteps: 6 barriers over e vs 3 over e∪e²). Identical
+    * output to [[graphBeamAnnMulti]]; BeamServeProbe measures the
+    * min-of-3 serving gap at sf0.1. */
+  def graphBeamAnnMultiServed(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val e = Persists.barrier(symmetrized(
+      spark.read.parquet(GraphOps.knnEdgesAllPath(spark, sfDir))
+        .select("a", "b")))
+    val ent = e.agg(min(col("src")).as("node"))
+      .unionAll(farthestFirstOn(spark, all, entries)
+        .select(col("vec_id").as("node")))
+      .distinct()
+    beamWalk(all, e, ent, nQueries, beam, steps, k)
+  }
+
+  /** (a, b) undirected mutual-kNN rows → the (src, dst) symmetrized
+    * frame the beam walk navigates. */
+  private def symmetrized(undirected: DataFrame): DataFrame =
+    undirected.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(undirected.select(col("b").as("src"), col("a").as("dst")))
+
+  /** The ANN takedown predicate (`vec_id % TombstoneMod = 0`) shared
+    * by the tombstone gate entries and their DuckDB oracles — the
+    * embeddings-side analog of [[graft.sources.Deletes.TakedownMod]]. */
+  val TombstoneMod = 41
+
+  /** The stored ANN TOMBSTONE manifest: vec_ids removed by takedown
+    * but still PRESENT in the serving artifacts (beam graph, IVF
+    * assignment) — VERDICT r15 missing #2: table-level takedown is
+    * O(|list|) ([[graft.sources.Deletes]]) and index INSERT
+    * maintenance is delta-sized (s35/s37), but a takedown'd vector
+    * was served until the fingerprint-triggered FULL rebuild. The
+    * manifest is the delta-sized DELETE analog: takedown-sized,
+    * consulted at serve as one broadcast anti-join, compacted away
+    * when [[annCompactionNeeded]] trips. Fingerprint-keyed like every
+    * index artifact so a regenerated corpus re-derives it. */
+  def annTombstonesPath(spark: SparkSession, sfDir: String): String = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
+    val dir = graft.sources.FsUtil.qualified("target/tmp/graph/anntomb_" +
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_m${TombstoneMod}_$fp")
+    if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS"))
+      vecs(spark, sfDir)
+        .filter(pmod(col("vec_id"), lit(TombstoneMod)) === 0)
+        .select("vec_id").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def tombstoneNodes(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(annTombstonesPath(spark, sfDir))
+      .select(col("vec_id").as("node"))
+
+  /** s39: MERGE-ON-READ tombstoned beam serve — s36's classic walk
+    * over the stored full-corpus edges with the tombstone manifest
+    * anti-joined out of the RESULTS only: deleted vectors keep
+    * routing (their edges are live navigation infrastructure — the
+    * HNSW deleted-node discipline) but never surface; per-query work
+    * added is one takedown-sized broadcast anti-join. Hash-green: the
+    * oracle is s36's unrolled walk with the same exclusion applied
+    * between the final DISTINCT and the rank. */
+  def graphBeamAnnTombstonedServed(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val e = Persists.barrier(symmetrized(
+      spark.read.parquet(GraphOps.knnEdgesAllPath(spark, sfDir))
+        .select("a", "b")))
+    val ent = e.agg(min(col("src")).as("node"))
+      .unionAll(farthestFirstOn(spark, all, entries)
+        .select(col("vec_id").as("node")))
+      .distinct()
+    beamWalk(all, e, ent, nQueries, beam, steps, k,
+      exclude = Some(tombstoneNodes(spark, sfDir)))
+  }
+
+  /** The COMPACTED beam-edge artifact: the mutual-kNN graph rebuilt
+    * over takedown SURVIVORS only — what lands when the tombstone
+    * fraction trips [[annCompactionNeeded]] (the equality-delete
+    * chain's copy-on-write commit, applied to the index). Keyed by
+    * corpus fingerprint + tombstone predicate so it coexists with
+    * the uncompacted artifact and re-derives on regeneration. */
+  def beamCompactedEdgesPath(spark: SparkSession, sfDir: String): String = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
+    val dir = graft.sources.FsUtil.qualified("target/tmp/graph/beamcomp_" +
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_m${TombstoneMod}_$fp")
+    if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS"))
+      beamEdges(vecs(spark, sfDir)
+          .filter(pmod(col("vec_id"), lit(TombstoneMod)) =!= 0))
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** s40: POST-COMPACTION beam serve — the walk over the
+    * [[beamCompactedEdgesPath]] rebuild: no merge work left at serve
+    * (the q150 copy-on-write read, applied to the index), tombstoned
+    * vectors exist NOWHERE in the artifact — not as results, not as
+    * routes. Queries stay the external full-corpus set (a deleted
+    * corpus vector can still arrive as a query); entry seeds and
+    * candidate fetches come from survivors only. Hash-green: the
+    * oracle rebuilds the kNN CTEs over the survivor corpus. */
+  def graphBeamAnnCompactedServed(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val surv = Persists.barrier(all.filter(
+      pmod(col("vec_id"), lit(TombstoneMod)) =!= 0))
+    val e = Persists.barrier(
+      spark.read.parquet(beamCompactedEdgesPath(spark, sfDir))
+        .select("src", "dst"))
+    val ent = e.agg(min(col("src")).as("node"))
+      .unionAll(farthestFirstOn(spark, surv, entries)
+        .select(col("vec_id").as("node")))
+      .distinct()
+    val q = Persists.barrier(all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    beamWalkOn(surv, e, ent, q, beam, steps, k)
+  }
+
+  /** s41: tombstoned IVF serve — s04's search over the FROZEN
+    * centroid model (takedown never retrains; that is
+    * [[ivfRetrainNeeded]]'s job) with tombstoned vectors dropped
+    * from the candidate set before ranking. For IVF the drop point
+    * is equivalence-free (candidates have no routing role), so
+    * filter-before-score is both the cheap and the correct place. */
+  def ivfTopKTombstoned(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, k: Int = 10,
+      centroidMod: Int = 23, nprobe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val (centIds, centVecs) = centroidModel(all,
+      Tables.rowCount(spark, sfDir, "embeddings"), centroidMod)
+    ivfSearch(spark, all, centIds, centVecs, nQueries, k, nprobe,
+      corpusFilter = pmod(col("vec_id"), lit(TombstoneMod)) =!= 0)
+  }
+
+  /** s42: the tombstone→compaction DECISION ([[graphRebuildNeeded]]'s
+    * takedown analog, VERDICT r15 next #2): merge-on-read filtering
+    * is O(|tombstones|) per query, but every tombstoned vertex also
+    * keeps dead routing work alive and the survivor graph drifts
+    * from the true mutual-kNN graph as the fraction grows — past
+    * `threshold`, rebuild over survivors ([[beamCompactedEdgesPath]])
+    * and reset the manifest. One row:
+    * (n_vectors, n_tombstoned, tombstone_frac, compact). */
+  def annCompactionNeeded(
+      spark: SparkSession, sfDir: String,
+      threshold: Double = 0.1): DataFrame = {
+    val tomb = spark.read.parquet(annTombstonesPath(spark, sfDir))
+    vecs(spark, sfDir)
+      .join(broadcast(tomb.withColumn("t", lit(1))), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("n_tombstoned"))
+      .select(col("n_vectors"), col("n_tombstoned"),
+        round(col("n_tombstoned") / col("n_vectors"), 4)
+          .as("tombstone_frac"),
+        (col("n_tombstoned") / col("n_vectors") > threshold).as("compact"))
+  }
+
   /** The symmetrized mutual-kNN edge frame shared by s34/s36. */
   private def beamEdges(all: DataFrame): DataFrame = {
     val edges0 = GraphOps.mutualKnnEdgesOn(all)
@@ -533,11 +772,12 @@ object SimilarityOps {
     * is a theorem, not an observation. */
   private def beamWalk(
       all: DataFrame, e: DataFrame, entryNodes: DataFrame,
-      nQueries: Int, beam: Int, steps: Int, k: Int): DataFrame =
+      nQueries: Int, beam: Int, steps: Int, k: Int,
+      exclude: Option[DataFrame] = None): DataFrame =
     beamWalkOn(all, e, entryNodes,
       Persists.barrier(all.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))),
-      beam, steps, k)
+      beam, steps, k, exclude)
 
   /** [[beamWalk]] with the QUERY frame supplied by the caller —
     * s34/s36 pass the first `nQueries` corpus vectors; s37's
@@ -545,7 +785,8 @@ object SimilarityOps {
     * base graph for their connection points). */
   private def beamWalkOn(
       all: DataFrame, e: DataFrame, entryNodes: DataFrame,
-      q: DataFrame, beam: Int, steps: Int, k: Int): DataFrame = {
+      q: DataFrame, beam: Int, steps: Int, k: Int,
+      exclude: Option[DataFrame] = None): DataFrame = {
     var f: DataFrame = q.crossJoin(broadcast(entryNodes.select("node")))
       .select(col("query_id"), col("node").as("entry"), col("node"))
       .localCheckpoint(true)
@@ -568,8 +809,15 @@ object SimilarityOps {
     }
     val wq = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("node"))
-    f.filter(col("node") =!= col("query_id"))
+    val merged = f.filter(col("node") =!= col("query_id"))
       .select("query_id", "node", "cosine").distinct()
+    // merge-on-read tombstones: deleted nodes ROUTE (they stayed in
+    // the beams above — the HNSW serving discipline) but never
+    // SURFACE; the manifest is takedown-sized, so the anti-join
+    // broadcasts (the sources/Deletes.readAt shape applied to the
+    // index family)
+    exclude.fold(merged)(ex =>
+        merged.join(broadcast(ex.select("node")), Seq("node"), "left_anti"))
       .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
@@ -2700,6 +2948,20 @@ object SimilarityOps {
       graphBeamAnnMulti(s, d)),
     "s37_ann_graph_beam_delta" -> ((s: SparkSession, d: String) =>
       graphBeamDeltaInsert(s, d)),
+    // rows-only by design: the batched 2-hop walk over the STORED
+    // 1∪2-hop artifact — no SQL twin unrolls 3 rounds over e∪e²;
+    // GraphBeamSpec pins served ≡ inline batched AND the aggregate
+    // recall contract vs the classic walk (EXPERIMENT_r15 §6)
+    "s38_ann_graph_beam_stored" -> ((s: SparkSession, d: String) =>
+      graphBeamAnnBatchedServed(s, d)),
+    "s39_ann_beam_tombstoned" -> ((s: SparkSession, d: String) =>
+      graphBeamAnnTombstonedServed(s, d)),
+    "s40_ann_beam_compacted" -> ((s: SparkSession, d: String) =>
+      graphBeamAnnCompactedServed(s, d)),
+    "s41_ann_ivf_tombstoned" -> ((s: SparkSession, d: String) =>
+      ivfTopKTombstoned(s, d)),
+    "s42_ann_compaction_trigger" -> ((s: SparkSession, d: String) =>
+      annCompactionNeeded(s, d)),
     "s08_ann_ivf_multiprobe" ->
       ((s: SparkSession, d: String) => ivfTopK(s, d, nprobe = MultiProbe)),
     "s09_ann_ivf_trained" ->
@@ -2750,10 +3012,14 @@ object SimilarityOps {
     * is term-for-term the shared kernel (see bruteOracle), so the
     * unrounded assignment comparison agrees bit-for-bit across
     * engines. */
-  def ivfOracle(nprobe: Int, labelFilter: Option[Int] = None): String = {
+  def ivfOracle(nprobe: Int, labelFilter: Option[Int] = None,
+      excludeMod: Option[Int] = None): String = {
     val extraJoin = labelFilter.map(l =>
       s"JOIN embeddings e ON e.vec_id = a.vec_id AND e.label = $l")
-      .getOrElse("")
+      .getOrElse("") +
+      // tombstoned candidates drop before ranking; the centroid
+      // model (the % 23 sample) stays frozen — takedown never retrains
+      excludeMod.map(m => s" WHERE a.vec_id % $m <> 0").getOrElse("")
     s"""WITH v AS (
          SELECT vec_id,
                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2828,6 +3094,65 @@ object SimilarityOps {
                ORDER BY cosine DESC, node) AS rk
              FROM s$i) WHERE rk <= $beam)"""
     }.mkString(",\n")
+
+  /** The s36 multi-entry beam-walk oracle, parameterized for the
+    * tombstone family: `vWhere` filters the CORPUS the kNN graph,
+    * maxmin seeds, and candidate fetches are built over (the s40
+    * compaction rebuild over takedown survivors); `finalExclude`
+    * filters only the final result rows (s39 merge-on-read: deleted
+    * nodes still route, never surface). Queries always come from the
+    * FULL corpus (`vall`) — they are external input, and a deleted
+    * vector can still arrive as a query. s36 is the
+    * (no-filter, no-exclude) instance. */
+  private def multiBeamOracle(vWhere: String, finalExclude: String): String = {
+    val ents = 4
+    val ffRounds = (1 until ents).map { r =>
+      val centsUnion = (0 until r)
+        .map(i => s"SELECT vec_id, v FROM ec$i").mkString(" UNION ALL ")
+      val idsUnion = (0 until r)
+        .map(i => s"SELECT vec_id FROM ec$i").mkString(" UNION ALL ")
+      s"""em$r AS MATERIALIZED (
+           SELECT p.vec_id,
+                  min(round(list_sum(list_transform(range(1, 65),
+                    i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))), 9))
+                    AS dist2
+           FROM v p, ($centsUnion) c
+           WHERE p.vec_id NOT IN ($idsUnion)
+           GROUP BY p.vec_id),
+         ec$r AS MATERIALIZED (
+           SELECT m.vec_id, v.v
+           FROM (SELECT vec_id FROM em$r
+                 ORDER BY dist2 DESC, vec_id LIMIT 1) m
+           JOIN v ON v.vec_id = m.vec_id)"""
+    }.mkString(",\n")
+    val entUnion = "SELECT DISTINCT node FROM (" +
+      ("SELECT min(src) AS node FROM e2" +: (0 until ents)
+        .map(i => s"SELECT vec_id AS node FROM ec$i"))
+        .mkString(" UNION ALL ") + ")"
+    s"""WITH ${GraphOps.knnEdgeCtes(None, vWhere)},
+         vall AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         e2 AS (SELECT a AS src, b AS dst FROM mutual
+                UNION ALL SELECT b, a FROM mutual),
+         ec0 AS MATERIALIZED (
+           SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 1),
+         $ffRounds,
+         ent AS ($entUnion),
+         q AS (SELECT vec_id AS query_id, v AS qv
+               FROM vall WHERE vec_id < 5),
+         f0 AS (SELECT q.query_id, ent.node AS entry, ent.node
+                FROM q, ent),
+         ${beamStepBlocks(6, 8)}
+       SELECT query_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, node) AS INTEGER) AS rank,
+              node AS neighbor_id, cosine
+       FROM (SELECT DISTINCT query_id, node, cosine FROM f6
+             WHERE node <> query_id$finalExclude)
+       QUALIFY rank <= 5"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "s35_ivf_assign_delta" -> ivfAssignDeltaOracle,
@@ -3110,51 +3435,32 @@ object SimilarityOps {
          QUALIFY rank <= 5""",
     // s36: s34's unrolled walk prefixed with s30's unrolled maxmin
     // rounds — the entry set is the only change
-    "s36_ann_graph_beam_multi" -> {
-      val ents = 4
-      val ffRounds = (1 until ents).map { r =>
-        val centsUnion = (0 until r)
-          .map(i => s"SELECT vec_id, v FROM ec$i").mkString(" UNION ALL ")
-        val idsUnion = (0 until r)
-          .map(i => s"SELECT vec_id FROM ec$i").mkString(" UNION ALL ")
-        s"""em$r AS MATERIALIZED (
-             SELECT p.vec_id,
-                    min(round(list_sum(list_transform(range(1, 65),
-                      i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))), 9))
-                      AS dist2
-             FROM v p, ($centsUnion) c
-             WHERE p.vec_id NOT IN ($idsUnion)
-             GROUP BY p.vec_id),
-           ec$r AS MATERIALIZED (
-             SELECT m.vec_id, v.v
-             FROM (SELECT vec_id FROM em$r
-                   ORDER BY dist2 DESC, vec_id LIMIT 1) m
-             JOIN v ON v.vec_id = m.vec_id)"""
-      }.mkString(",\n")
-      val entUnion = "SELECT DISTINCT node FROM (" +
-        ("SELECT min(src) AS node FROM e2" +: (0 until ents)
-          .map(i => s"SELECT vec_id AS node FROM ec$i"))
-          .mkString(" UNION ALL ") + ")"
-      s"""WITH ${GraphOps.knnEdgeCtes(None)},
-           e2 AS (SELECT a AS src, b AS dst FROM mutual
-                  UNION ALL SELECT b, a FROM mutual),
-           ec0 AS MATERIALIZED (
-             SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 1),
-           $ffRounds,
-           ent AS ($entUnion),
-           q AS (SELECT vec_id AS query_id, v AS qv
-                 FROM v WHERE vec_id < 5),
-           f0 AS (SELECT q.query_id, ent.node AS entry, ent.node
-                  FROM q, ent),
-           ${beamStepBlocks(6, 8)}
-         SELECT query_id,
-                CAST(row_number() OVER (PARTITION BY query_id
-                  ORDER BY cosine DESC, node) AS INTEGER) AS rank,
-                node AS neighbor_id, cosine
-         FROM (SELECT DISTINCT query_id, node, cosine FROM f6
-               WHERE node <> query_id)
-         QUALIFY rank <= 5"""
-    },
+    "s36_ann_graph_beam_multi" -> multiBeamOracle("", ""),
+    // s39: the s36 walk with tombstoned nodes excluded between the
+    // final DISTINCT and the rank — deleted nodes route, never
+    // surface (the Spark side's anti-join lands at the same point)
+    "s39_ann_beam_tombstoned" ->
+      multiBeamOracle("", s" AND node % $TombstoneMod <> 0"),
+    // s40: the s36 walk with the kNN CTEs REBUILT over takedown
+    // survivors (queries stay full-corpus — they are external input)
+    "s40_ann_beam_compacted" ->
+      multiBeamOracle(s" WHERE vec_id % $TombstoneMod <> 0", ""),
+    // s41: the s04 oracle with tombstoned candidates dropped (the
+    // frozen centroid model keeps its vec_id % 23 sample — takedown
+    // never retrains)
+    "s41_ann_ivf_tombstoned" -> ivfOracle(2, excludeMod = Some(TombstoneMod)),
+    "s42_ann_compaction_trigger" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                 CAST(sum(CASE WHEN vec_id % $TombstoneMod = 0
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tombstoned,
+                 round(sum(CASE WHEN vec_id % $TombstoneMod = 0
+                               THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                   AS tombstone_frac,
+                 (sum(CASE WHEN vec_id % $TombstoneMod = 0
+                           THEN 1 ELSE 0 END) * 1.0 / count(*)) > 0.1
+                   AS compact
+          FROM embeddings""",
     // s33: the brute ranks, a (query, label) vote count, the same
     // (n desc, label asc) argmax, the self-label compare
     "s33_knn_classifier" ->

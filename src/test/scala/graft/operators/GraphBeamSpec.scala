@@ -69,22 +69,60 @@ class GraphBeamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(multi.values.sum >= single.values.sum)
   }
 
-  test("batched 2-hop rounds: recall >= the classic walk, per query " +
-      "(the r15 barrier experiment's quality half)") {
-    // halving supersteps against the 1∪2-hop edge frame keeps every
-    // classic round's candidates a SUBSET of the batched round's —
-    // recall can only hold or improve (at sf0.1 it bridges a
-    // reciprocity-pruned gap, 0.2 → 0.6 on query 3; EXPERIMENT_r15
-    // §6). The TIMING half is the recorded negative: inline, the
-    // e⋈e build costs more than the barriers saved.
+  test("batched 2-hop rounds: recall holds in aggregate vs the classic " +
+      "walk (the r15 barrier experiment's quality half)") {
+    // WITHIN one batched round the classic round-pair's candidates are
+    // a subset of the batched round's, but after the first beam trim
+    // the two walks' frontiers diverge, so later rounds are NOT
+    // supersets — strict per-query dominance is data-dependent, not
+    // structural (ADVICE r15; it held on every generation so far, and
+    // at sf0.1 batching bridges a reciprocity-pruned gap, 0.2 → 0.6 on
+    // query 3 — EXPERIMENT_r15 §6). Pin the contract that IS stable:
+    // aggregate recall within one truth-hit (1/k per query) of
+    // classic, and no query losing more than it could trade for. The
+    // TIMING half is the recorded negative inline; s38 serves the
+    // stored artifact instead.
     val classic = recall5(SimilarityOps.graphBeamAnnMulti(spark, sf))
     val batched = recall5(SimilarityOps.graphBeamAnnMultiBatched(spark, sf))
     assert(classic.keySet == batched.keySet && classic.nonEmpty)
+    val eps = 0.2 + 1e-9 // one truth hit at k=5
     classic.keys.foreach { q =>
-      assert(batched(q) >= classic(q) - 1e-9,
-        s"query $q: batched recall ${batched(q)} below " +
-          s"classic ${classic(q)}")
+      assert(batched(q) >= classic(q) - eps,
+        s"query $q: batched recall ${batched(q)} more than one hit " +
+          s"below classic ${classic(q)}")
     }
+    assert(batched.values.sum >= classic.values.sum - 1e-9,
+      s"aggregate batched recall ${batched.values.sum} fell below " +
+        s"classic ${classic.values.sum}")
+  }
+
+  test("s38: serving from the stored 1∪2-hop artifact equals the " +
+      "inline batched walk; classic-served equals inline classic") {
+    // the artifact is the INDEX-LAYOUT answer to the r15 negative
+    // (inline e⋈e build ate the barrier savings): navigation must be
+    // IDENTICAL — same entries, rounds, scores — only the edge frame's
+    // provenance changes (stored parquet vs in-session build)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val inline = rows(SimilarityOps.graphBeamAnnMultiBatched(spark, sf))
+    val served = rows(SimilarityOps.graphBeamAnnBatchedServed(spark, sf))
+    assert(served == inline, "stored-artifact serve diverged from inline")
+    val inlineC = rows(SimilarityOps.graphBeamAnnMulti(spark, sf))
+    val servedC = rows(SimilarityOps.graphBeamAnnMultiServed(spark, sf))
+    assert(servedC == inlineC, "classic serve diverged from inline")
+    // and the artifact actually exists on disk for reuse
+    assert(graft.sources.FsUtil.exists(spark,
+      SimilarityOps.beamHop2EdgesPath(spark, sf) + "/_SUCCESS"))
+  }
+
+  test("s38 recall contract: aggregate recall@5 of the stored-artifact " +
+      "batched serve holds vs the classic walk") {
+    val classic = recall5(SimilarityOps.graphBeamAnnMulti(spark, sf))
+    val served = recall5(SimilarityOps.graphBeamAnnBatchedServed(spark, sf))
+    assert(classic.keySet == served.keySet && classic.nonEmpty)
+    assert(served.values.sum >= classic.values.sum - 1e-9,
+      s"aggregate served recall ${served.values.sum} fell below " +
+        s"classic ${classic.values.sum}")
   }
 
   test("s37 recall contract: delta-inserted graph >= full rebuild, per query") {
