@@ -174,7 +174,14 @@ object Experiment {
       .zip(q.filters).map { case ((n, df), f) =>
         RelInput(n, df, f.map(org.apache.spark.sql.functions.expr))
       }
-    JoinTreeExecutor.build(planned.tree, q.graph, inputs, q.trueCard)
+    // GRAFT_BROADCAST_ROWS tightens the executor's force-broadcast gate
+    // for calibration runs (the exch corpus, r16): at sf0.1 every base
+    // side sits under the default 1M-row gate, so exchange-count
+    // variation across trees only appears when the gate is lowered to
+    // the regime a 100× SF would hit naturally
+    JoinTreeExecutor.build(planned.tree, q.graph, inputs, q.trueCard,
+      broadcastRows = sys.env.get("GRAFT_BROADCAST_ROWS")
+        .map(_.toLong).getOrElse(1000000L))
   }
 
   /** Run one Spark action on a side thread under a cancellable job
@@ -315,8 +322,11 @@ object ExperimentMain {
       // whose intermediates dwarf per-stage constants at sf0.1 — the
       // cost-model-validation regime (run it at sf0.1)
       case "wide" => ExperimentCorpus.wide
+      // the exchange-calibration corpus (r16): trees flip
+      // broadcast/shuffle structure — run at sf0.1 like "wide"
+      case "exch" => ExperimentCorpus.exch
       case other =>
-        sys.error(s"unknown corpus '$other' (core|job|tail|ceiling|wide)")
+        sys.error(s"unknown corpus '$other' (core|job|tail|ceiling|wide|exch)")
     }
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -331,6 +341,7 @@ object ExperimentMain {
       else if (corpusName == "tail") "fixtures/cards_tail_sf0.001.json"
       else if (corpusName == "ceiling") "fixtures/cards_ceiling_sf0.001.json"
       else if (corpusName == "wide") "fixtures/cards_wide_sf0.1.json"
+      else if (corpusName == "exch") "fixtures/cards_exch_sf0.1.json"
       else "fixtures/cards_sf0.001.json")
     val dict: Map[String, Map[String, Double]] =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(fixture)))

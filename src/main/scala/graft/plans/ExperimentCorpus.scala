@@ -200,4 +200,104 @@ object ExperimentCorpus {
 
   val wide: Seq[CorpusQuery] =
     Seq(kite6Wide, cycle4Wide, kite7, doubleCycle8, triLineitem)
+
+  // ------------------------------------- exchange-calibration corpus
+  /** The EXCH corpus (r16, VERDICT r15 next #5): C_out prices a join
+    * by its OUTPUT, so two trees that produce the same intermediates
+    * through different physical work — broadcast a tiny build vs
+    * shuffle both sides — cost the same (dcycle8's ρ=−0.13 is this
+    * blindness measured). These three shapes are built so the TREE
+    * choice changes the exchange/broadcast structure: a selective
+    * dimension cut that some trees apply before the fact spine ever
+    * shuffles (exsel6), a mid-sized relation that sits AT the
+    * broadcast boundary so join order flips the strategy (exmid5),
+    * and a hub expansion whose input volumes dwarf its outputs
+    * (exfan6 — the shuffle-dominated regime in miniature). They are
+    * the CALIBRATION set for the Exch cost model's constants
+    * (tools/ExchangeCostFit); the wide corpus stays the held-out
+    * judge. Kept OUT of [[all]] and [[wide]] (frozen fixtures). */
+  def exSelective6: CorpusQuery = CorpusQuery(
+    "exsel6",
+    QueryGraph(
+      Vector("nation", "customer", "orders", "lineitem", "supplier", "part"),
+      Vector(
+        JoinEdge(0, 1, Seq("n_nationkey" -> "c_nationkey")),
+        JoinEdge(1, 2, Seq("c_custkey" -> "o_custkey")),
+        JoinEdge(2, 3, Seq("o_orderkey" -> "l_orderkey")),
+        JoinEdge(3, 4, Seq("l_suppkey" -> "s_suppkey")),
+        JoinEdge(3, 5, Seq("l_partkey" -> "p_partkey")))),
+    // the ~9% customer cut: trees that reduce orders through it BEFORE
+    // touching lineitem broadcast a ~1%-of-orders build side; trees
+    // that open with lineitem⋈orders shuffle the whole spine first
+    Vector(None, Some("c_acctbal > 9000"), None, None, None, None))
+
+  def exMidBoundary5: CorpusQuery = CorpusQuery(
+    "exmid5",
+    QueryGraph(
+      Vector("nation", "customer", "orders", "lineitem", "supplier"),
+      Vector(
+        JoinEdge(0, 1, Seq("n_nationkey" -> "c_nationkey")),
+        JoinEdge(1, 2, Seq("c_custkey" -> "o_custkey")),
+        JoinEdge(2, 3, Seq("o_orderkey" -> "l_orderkey")),
+        JoinEdge(3, 4, Seq("l_suppkey" -> "s_suppkey")))),
+    // the status cut leaves orders NEAR the broadcast threshold at
+    // sf0.1, so whether a tree's orders-side intermediate broadcasts
+    // depends on what joined into it first — the strategy flip the
+    // constants are fitted against
+    Vector(None, None, Some("o_orderstatus = 'F'"), None, None))
+
+  def exFanVolume6: CorpusQuery = CorpusQuery(
+    "exfan6",
+    QueryGraph(
+      Vector("nation", "customer", "orders", "lineitem", "supplier"),
+      Vector(
+        JoinEdge(0, 1, Seq("n_nationkey" -> "c_nationkey")),
+        JoinEdge(0, 4, Seq("n_nationkey" -> "s_nationkey")),
+        JoinEdge(4, 3, Seq("s_suppkey" -> "l_suppkey")),
+        JoinEdge(2, 3, Seq("o_orderkey" -> "l_orderkey")),
+        JoinEdge(2, 1, Seq("o_custkey" -> "c_custkey")))),
+    // cycle with a 25-key nation hub: a bad tree crosses customer ×
+    // supplier-side-lineitem through the hub (~32M input rows into
+    // the next shuffle) while the final output is ~500× smaller —
+    // output-blind C_out cannot separate those trees, input-volume
+    // terms can; the customer cut bounds the worst truth subset
+    Vector(None, Some("c_acctbal > 9000"), None, None, None))
+
+  /** Fact–fact pair over a filtered orders spine: under the tight
+    * calibration gate (200k rows) the l⋈l2 meet SHUFFLES both 600k
+    * sides when taken raw, but any tree that first cuts one copy
+    * through the filtered orders (≈20%) drops that side under the
+    * gate and the meet BROADCASTS — the per-tree strategy flip the
+    * first three exch shapes turned out not to have (their every
+    * join owns a dim-sized min side; round-16 lesson). */
+  def exFactFact5: CorpusQuery = CorpusQuery(
+    "exff5",
+    QueryGraph(
+      Vector("lineitem", "lineitem@2", "orders", "customer", "nation"),
+      Vector(
+        JoinEdge(0, 1, Seq("l_orderkey" -> "l_orderkey_a2")),
+        JoinEdge(2, 0, Seq("o_orderkey" -> "l_orderkey")),
+        JoinEdge(2, 1, Seq("o_orderkey" -> "l_orderkey_a2")),
+        JoinEdge(2, 3, Seq("o_custkey" -> "c_custkey")),
+        JoinEdge(3, 4, Seq("c_nationkey" -> "n_nationkey")))),
+    Vector(None, None, Some("o_totalprice > 400000"), None, None))
+
+  /** Three lineitem copies on the shared order key, ONE carrying a
+    * ~20% quantity cut: the l2⋈l3 meet always shuffles (both raw),
+    * the filtered copy's meets broadcast, and intermediate meets sit
+    * on either side of the gate depending on join order — maximal
+    * within-query exchange-structure variance. */
+  def exTriFact4: CorpusQuery = CorpusQuery(
+    "extri4",
+    QueryGraph(
+      Vector("lineitem", "lineitem@2", "lineitem@3", "part"),
+      Vector(
+        JoinEdge(0, 1, Seq("l_orderkey" -> "l_orderkey_a2")),
+        JoinEdge(1, 2, Seq("l_orderkey_a2" -> "l_orderkey_a3")),
+        JoinEdge(0, 2, Seq("l_orderkey" -> "l_orderkey_a3")),
+        JoinEdge(2, 3, Seq("l_partkey_a3" -> "p_partkey")))),
+    Vector(Some("l_quantity > 40"), None, None, Some("p_type = 'PROMO'")))
+
+  val exch: Seq[CorpusQuery] =
+    Seq(exSelective6, exMidBoundary5, exFanVolume6, exFactFact5, exTriFact4)
 }

@@ -31,8 +31,9 @@ object CardDump {
       case "tail" => JobCorpus.tails
       case "ceiling" => JobCorpus.ceiling
       case "wide" => ExperimentCorpus.wide
+      case "exch" => ExperimentCorpus.exch
       case other =>
-        sys.error(s"unknown corpus '$other' (core|job|tail|ceiling|wide)")
+        sys.error(s"unknown corpus '$other' (core|job|tail|ceiling|wide|exch)")
     }
     val spark = SparkSession.builder().master("local[16]")
       // 64 partitions, not 16: the wide corpus's truth subsets sort-

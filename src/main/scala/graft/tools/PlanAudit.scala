@@ -43,6 +43,12 @@ object PlanAudit {
     "s32_ann_ivf_filtered", "s34_ann_graph_beam",
     // s36 reuses s34's walk plus s30's broadcast-centers maxmin kernel
     "s36_ann_graph_beam_multi",
+    // s38-s40 serve the same walk (entry-nodes crossJoin + maxmin
+    // seeds) from stored edge artifacts; the broadcast frames stay
+    // queries×entries-bounded and the tombstone manifest anti-join is
+    // takedown-sized
+    "s38_ann_graph_beam_stored", "s39_ann_beam_tombstoned",
+    "s40_ann_beam_compacted",
     "s35_ivf_assign_delta",
     // (b) bounded-broadcast crossJoins (1-row scalars / ≤k models /
     // value-bounded grids, each documented at the call site)

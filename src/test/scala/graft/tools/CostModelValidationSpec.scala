@@ -97,6 +97,32 @@ class CostModelValidationSpec extends AnyFunSuite {
     assert(hR2 - cR2 < 0.05, f"deltaR2 ${hR2 - cR2}%.3f is noise-level")
   }
 
+  test("cross-SF durability (r16, VERDICT r15 next #7): dcycle8's " +
+      "negative rho is a SHAPE property; kite6w's positive rho is a " +
+      "SCALE property") {
+    // the same five wide shapes, truth-dumped and re-run at sf0.01
+    // (fixtures/experiment_wide_sf001_r16.json + cards_wide_sf0.01):
+    // dcycle8 — the shuffle-dominated counterexample — stays NEGATIVE
+    // at both SFs (sf0.1 −0.128, sf0.01 −0.204): C_out's blindness to
+    // input volume is structural, it does not wash out at smaller
+    // data. kite6w's +0.565 collapses to +0.074 at sf0.01, where its
+    // runtimes sit at 120–280 ms: the ranking POWER of C_out needs
+    // intermediates that dwarf per-stage constants (the r13 sf0.001
+    // null result, reproduced inside one corpus). Boundary claim:
+    // C_out's failure mode is scale-robust, its success mode is not.
+    val small = load("fixtures/experiment_wide_sf001_r16.json")
+    val big = load("fixtures/experiment_wide_sf01_r15.json")
+    assert(small.contains("dcycle8") && big.contains("dcycle8"))
+    assert(rho(small("dcycle8")) < 0,
+      f"dcycle8 sf0.01 rho ${rho(small("dcycle8"))}%.3f must stay negative")
+    assert(rho(big("dcycle8")) < 0,
+      f"dcycle8 sf0.1 rho ${rho(big("dcycle8"))}%.3f must stay negative")
+    assert(rho(big("kite6w")) >= 0.4,
+      f"kite6w ranks in the volume regime: ${rho(big("kite6w"))}%.3f")
+    assert(math.abs(rho(small("kite6w"))) < 0.3,
+      f"kite6w out of regime at sf0.01: ${rho(small("kite6w"))}%.3f")
+  }
+
   test("sf0.1 artifact: the high-spread query recovers the ranking") {
     val qs = load("fixtures/experiment_core_sf01_r14.json")
     assert(qs.size == 7, s"core corpus is 7 queries, got ${qs.keySet}")
