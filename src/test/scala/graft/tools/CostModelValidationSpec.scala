@@ -5,6 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import com.fasterxml.jackson.databind.ObjectMapper
 import scala.jdk.CollectionConverters._
 
+import graft.plans.ExperimentCorpus
+
 /** Cost-model validation pinned against the COMMITTED experiment
   * artifacts (deterministic — the fixtures are data, not reruns):
   * at sf0.001 C_out does not rank sub-second runtimes (constants
@@ -121,6 +123,64 @@ class CostModelValidationSpec extends AnyFunSuite {
       f"kite6w ranks in the volume regime: ${rho(big("kite6w"))}%.3f")
     assert(math.abs(rho(small("kite6w"))) < 0.3,
       f"kite6w out of regime at sf0.01: ${rho(small("kite6w"))}%.3f")
+  }
+
+  test("exchange-structure calibration (r16, VERDICT r15 next #5): " +
+      "the shuffle constant is identifiable, the composite is " +
+      "REJECTED on sign and held-out transfer — the negative, located") {
+    // The exch corpus produced what the wide corpus never had:
+    // within-query EXCHANGE variation (exff5/extri4's fact-fact meets
+    // flip broadcast<->shuffle with join order under the tight
+    // 200k-row executor gate). On it the shuffle coefficient fits
+    // POSITIVE (~1.2 s/Mrow — a measurable per-row shuffle cost,
+    // which the r15 per-stage-constant hybrid could never see). But:
+    // (a) the probe coefficient fits NEGATIVE (collinear with output
+    // volume) — the r15 sign gate rejects the composite; (b) dcycle8,
+    // the motivating counterexample, has ZERO exchange variation even
+    // under the tight gate — its filters cut both fact arms below any
+    // realizable gate, so every tree's every join owns a broadcastable
+    // min side; its rho<0 is NOT exchange blindness; (c) held-out
+    // transfer is WORSE than C_out. C_out stays the in-planner model.
+    val gate = 200000.0
+    val cal = ExchangeCostFit.pointsOf(
+      "fixtures/experiment_exch_sf01_r16.json",
+      "fixtures/cards_exch_sf0.1.json", ExperimentCorpus.exch, gate)
+    assert(cal.size >= 20, s"calibration points: ${cal.size}")
+    // (0) the corpus did its job: within-query shuffle-count variation
+    val byQ = cal.groupBy(_.query)
+    Seq("exff5", "extri4").foreach { q =>
+      val ns = byQ(q).map(_.nShuffleJoins)
+      assert(ns.min == 0 && ns.max >= 1,
+        s"$q must flip exchange structure across trees: $ns")
+    }
+    def feats(p: ExchangeCostFit.Pt) = Seq(p.shufRows / 1e6,
+      p.buildRows / 1e6, p.probeRows / 1e6, p.outRows / 1e6)
+    val (coef, r2) = ExchangeCostFit.lsq(
+      cal.map(feats), cal.map(_.runtimeMs / 1000.0))
+    // (1) the shuffle constant is real and positive
+    assert(coef(1) > 0, s"shuffle coefficient: ${coef(1)}")
+    assert(r2 > 0.4, f"calibration R2 $r2%.3f")
+    // (2) the sign gate rejects the composite (probe fits negative)
+    assert(coef.drop(1).exists(_ < 0),
+      s"expected the collinear negative that rejects the fit: $coef")
+    // (3) dcycle8 has no exchange variation even under the tight gate
+    val evTight = ExchangeCostFit.pointsOf(
+      "fixtures/experiment_wide_tight_sf01_r16.json",
+      "fixtures/cards_wide_sf0.1.json", ExperimentCorpus.wide, gate)
+    val d8 = evTight.filter(_.query == "dcycle8")
+    assert(d8.nonEmpty && d8.forall(_.nShuffleJoins == 0),
+      s"dcycle8 shuffle counts: ${d8.map(_.nShuffleJoins)}")
+    // (4) held-out within-query transfer: composite <= C_out
+    def score(p: ExchangeCostFit.Pt) =
+      coef(1) * p.shufRows / 1e6 + coef(2) * p.buildRows / 1e6 +
+        coef(3) * p.probeRows / 1e6 + coef(4) * p.outRows / 1e6
+    val rhoC = ExchangeCostFit.perQueryRho(evTight, _.couts)
+    val rhoE = ExchangeCostFit.perQueryRho(evTight, score)
+    val meanC = rhoC.values.sum / rhoC.size
+    val meanE = rhoE.values.sum / rhoE.size
+    assert(meanE <= meanC + 1e-9,
+      f"held-out: exch $meanE%.3f must not beat cout $meanC%.3f " +
+        "(else the recorded negative is stale — re-run the fit)")
   }
 
   test("sf0.1 artifact: the high-spread query recovers the ranking") {
