@@ -47,6 +47,32 @@ object CostModelValidation {
 
   final case class Tree(cost: Double, runtime: Double)
 
+  /** Pairwise discrimination at a cost-separation floor: over all
+    * within-query tree pairs whose costs differ ≥ `ratio`×, the
+    * fraction where the costlier tree is also the slower one. The
+    * r16 refinement of the Spearman view: rank correlation charges
+    * the model for mis-ordering near-tied trees whose runtime gap
+    * sits under the scheduler-noise floor, but the planner's real
+    * job is avoiding trees that are MATERIALLY worse — measured
+    * exactly by this curve's high-separation end. */
+  def pairAgreement(
+      byQuery: Iterable[Seq[Tree]], ratio: Double): (Int, Int) = {
+    var agree = 0; var total = 0
+    byQuery.foreach { ts =>
+      for {
+        i <- ts.indices; j <- (i + 1) until ts.size
+        a = ts(i); b = ts(j)
+        if a.cost != b.cost && a.runtime != b.runtime
+        if math.max(a.cost, b.cost) /
+          math.max(math.min(a.cost, b.cost), 1e-9) >= ratio
+      } {
+        total += 1
+        if ((a.cost > b.cost) == (a.runtime > b.runtime)) agree += 1
+      }
+    }
+    (agree, total)
+  }
+
   def main(args: Array[String]): Unit = {
     val paths = if (args.nonEmpty) args.toSeq
       else Seq("fixtures/experiment_core_r13.json",
@@ -98,6 +124,17 @@ object CostModelValidation {
             f"${top1.toDouble / qs.size}%9.2f  $geo%15.3f")
         }
       }
+      // the discrimination ladder (r16): agreement as a function of
+      // cost separation — the decision-relevant view of the same data
+      val all2 = byKey.collect {
+        case ((`cm`, _), trees) if trees.size >= 3 => trees.values.toSeq
+      }
+      val ladder = Seq(1.0, 2.0, 5.0, 10.0).map { r =>
+        val (a, t) = pairAgreement(all2, r)
+        if (t == 0) f">=${r}%.0fx n/a"
+        else f">=${r}%.0fx $a/$t=${a.toDouble / t}%.2f"
+      }
+      println(s"$cm  pairwise discrimination: ${ladder.mkString("  ")}")
     }
   }
 }
