@@ -729,6 +729,30 @@ object SimilarityOps {
       corpusFilter = pmod(col("vec_id"), lit(TombstoneMod)) =!= 0)
   }
 
+  /** s43: the serving-layer DISPATCH that closes the takedown loop —
+    * consult [[annCompactionNeeded]] once (one metadata-sized
+    * aggregate) and serve merge-on-read (s39) below the threshold or
+    * the compacted rebuild (s40) above it. At the gate's 1/41
+    * fraction the default 10% threshold routes to merge-on-read, so
+    * the entry hash-checks against s39's oracle; AnnTombstoneSpec
+    * pins the OTHER branch by lowering the threshold. This is the
+    * function a serving deployment actually calls per batch: the
+    * decision is data-derived, not a config constant someone forgets
+    * to flip. */
+  def graphBeamAnnServed(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4,
+      compactThreshold: Double = 0.1): DataFrame = {
+    val decide = annCompactionNeeded(spark, sfDir, compactThreshold).head()
+    if (decide.getBoolean(3))
+      graphBeamAnnCompactedServed(spark, sfDir, nQueries, beam, steps,
+        k, entries)
+    else
+      graphBeamAnnTombstonedServed(spark, sfDir, nQueries, beam, steps,
+        k, entries)
+  }
+
   /** s42: the tombstone→compaction DECISION ([[graphRebuildNeeded]]'s
     * takedown analog, VERDICT r15 next #2): merge-on-read filtering
     * is O(|tombstones|) per query, but every tombstoned vertex also
@@ -2962,6 +2986,8 @@ object SimilarityOps {
       ivfTopKTombstoned(s, d)),
     "s42_ann_compaction_trigger" -> ((s: SparkSession, d: String) =>
       annCompactionNeeded(s, d)),
+    "s43_ann_beam_served_auto" -> ((s: SparkSession, d: String) =>
+      graphBeamAnnServed(s, d)),
     "s08_ann_ivf_multiprobe" ->
       ((s: SparkSession, d: String) => ivfTopK(s, d, nprobe = MultiProbe)),
     "s09_ann_ivf_trained" ->
@@ -3449,6 +3475,10 @@ object SimilarityOps {
     // frozen centroid model keeps its vec_id % 23 sample — takedown
     // never retrains)
     "s41_ann_ivf_tombstoned" -> ivfOracle(2, excludeMod = Some(TombstoneMod)),
+    // s43: at 1/41 tombstoned the 10% default routes to merge-on-read
+    // — s39's oracle verbatim (the dispatch itself is the operator)
+    "s43_ann_beam_served_auto" ->
+      multiBeamOracle("", s" AND node % $TombstoneMod <> 0"),
     "s42_ann_compaction_trigger" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_vectors,
                  CAST(sum(CASE WHEN vec_id % $TombstoneMod = 0

@@ -48,7 +48,7 @@ object PlanAudit {
     // queries×entries-bounded and the tombstone manifest anti-join is
     // takedown-sized
     "s38_ann_graph_beam_stored", "s39_ann_beam_tombstoned",
-    "s40_ann_beam_compacted",
+    "s40_ann_beam_compacted", "s43_ann_beam_served_auto",
     "s35_ivf_assign_delta",
     // (b) bounded-broadcast crossJoins (1-row scalars / ≤k models /
     // value-bounded grids, each documented at the call site)

@@ -112,6 +112,19 @@ class AnnTombstoneSpec extends AnyFunSuite with BeforeAndAfterAll {
       "candidate filtering perturbed a surviving IVF result")
   }
 
+  test("s43 dispatch: the default threshold serves merge-on-read; a " +
+      "tripped threshold serves the compacted rebuild") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(SimilarityOps.graphBeamAnnServed(spark, sf)) ==
+      rows(SimilarityOps.graphBeamAnnTombstonedServed(spark, sf)),
+      "below threshold the dispatch must be the merge-on-read serve")
+    assert(rows(SimilarityOps.graphBeamAnnServed(spark, sf,
+        compactThreshold = 0.02)) ==
+      rows(SimilarityOps.graphBeamAnnCompactedServed(spark, sf)),
+      "a tripped threshold must serve the compacted rebuild")
+  }
+
   test("tombstone→compaction handoff: the decision row counts the " +
       "manifest against the corpus and trips on the threshold") {
     val n = graft.sources.Tables.rowCount(spark, sf, "embeddings")
