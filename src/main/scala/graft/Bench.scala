@@ -204,6 +204,19 @@ object Bench {
     "p27_planner_insql_in", "p28_planner_job_ceiling",
     "q159_eager_agg_outer")
 
+  /** Twelfth series guarding the round-16 operators; baselines at
+    * round 16, never touches the earlier series. s38 serves the
+    * batched 2-hop walk from the stored 1∪2-hop artifact (half the
+    * classic serve's barriers — the r15 negative turned into an
+    * index-layout win); s39–s41 are the ANN takedown serves
+    * (merge-on-read beam, compacted beam, tombstoned IVF); s42 is
+    * the compaction decision row. First run per entry pays any
+    * artifact build; warm serves are the measured steady. */
+  val headlineR16: Seq[String] = Seq(
+    "s38_ann_graph_beam_stored", "s39_ann_beam_tombstoned",
+    "s40_ann_beam_compacted", "s41_ann_ivf_tombstoned",
+    "s42_ann_compaction_trigger", "s43_ann_beam_served_auto")
+
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
     * incremental candidate join against the PRE-MATERIALIZED signature
@@ -492,6 +505,7 @@ object Bench {
     val resultsR13 = runSeries(headlineR13)
     val resultsR14 = runSeries(headlineR14)
     val resultsR15 = runSeries(headlineR15)
+    val resultsR16 = runSeries(headlineR16)
     val cacheState =
       if (dropCache && !dropsFailed) "dropped-before-cold-runs"
       else if (dropCache) "drop-requested-but-failed"
@@ -544,6 +558,8 @@ object Bench {
     val totalR14Cold = resultsR14.map(_._3).sum
     val totalR15 = resultsR15.map(_._2).sum
     val totalR15Cold = resultsR15.map(_._3).sum
+    val totalR16 = resultsR16.map(_._2).sum
+    val totalR16Cold = resultsR16.map(_._3).sum
     // compact totals object, duplicated in BOTH output lines: the
     // driver archives only the last 2000 chars of stdout, so the
     // per-query detail line alone is truncation-prone as series
@@ -559,7 +575,8 @@ object Bench {
         f""""r12":$totalR12%.3f,"r12_cold":$totalR12Cold%.3f,""" +
         f""""r13":$totalR13%.3f,"r13_cold":$totalR13Cold%.3f,""" +
         f""""r14":$totalR14%.3f,"r14_cold":$totalR14Cold%.3f,""" +
-        f""""r15":$totalR15%.3f,"r15_cold":$totalR15Cold%.3f,"failed":0}"""
+        f""""r15":$totalR15%.3f,"r15_cold":$totalR15Cold%.3f,""" +
+        f""""r16":$totalR16%.3f,"r16_cold":$totalR16Cold%.3f,"failed":0}"""
     // Per-query recorded baselines (fixtures/bench_baselines.json, a
     // flat {"name": seconds} map regenerated at each round's close by
     // tools/bench_baselines.py from the closing run's line-1 detail):
@@ -590,7 +607,7 @@ object Bench {
         "legacy" -> results, "r5" -> resultsR5, "r7" -> resultsR7,
         "r8" -> resultsR8, "r9" -> resultsR9, "r10" -> resultsR10,
         "r11" -> resultsR11, "r12" -> resultsR12, "r13" -> resultsR13,
-        "r14" -> resultsR14, "r15" -> resultsR15)
+        "r14" -> resultsR14, "r15" -> resultsR15, "r16" -> resultsR16)
         .flatMap { case (t, rs) => movers(rs).map(j => s""""$t":$j""") }
       if (parts.isEmpty) "" else s""","movers":{${parts.mkString(",")}}"""
     }
@@ -630,6 +647,9 @@ object Bench {
         f""""queries_r15":${steadyJson(resultsR15)},"total_r15":$totalR15%.3f,""" +
         f""""queries_r15_cold":${coldJson(resultsR15)},"total_r15_cold":$totalR15Cold%.3f,""" +
         f""""queries_r15_warm":${warmJson(resultsR15)},""" +
+        f""""queries_r16":${steadyJson(resultsR16)},"total_r16":$totalR16%.3f,""" +
+        f""""queries_r16_cold":${coldJson(resultsR16)},"total_r16_cold":$totalR16Cold%.3f,""" +
+        f""""queries_r16_warm":${warmJson(resultsR16)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir",""" +
         totalsJson + "}")
     // line 2: newest-series per-query detail (secondary visibility —
@@ -641,6 +661,7 @@ object Bench {
         f""""queries_r13":${steadyJson(resultsR13)},""" +
         f""""queries_r14":${steadyJson(resultsR14)},""" +
         f""""queries_r15":${steadyJson(resultsR15)},""" +
+        f""""queries_r16":${steadyJson(resultsR16)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir"}""")
     // line 3 — LAST line, totals ONLY, bounded forever regardless of
     // how many series accumulate: the driver archives the final
