@@ -563,7 +563,27 @@ object SimilarityOps {
   def graphBeamAnnBatchedServed(
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
-      k: Int = 5, entries: Int = 4): DataFrame = {
+      k: Int = 5, entries: Int = 4): DataFrame =
+    batchedServedWalk(spark, sfDir, nQueries, beam, steps, k, entries,
+      exclude = None)
+
+  /** s44: s38's stored-artifact batched serve UNDER the s39 tombstone
+    * manifest — the production combination (a deployment that stores
+    * the 2-hop frame still has takedowns to honor): deleted nodes
+    * route through the stored frame, never surface. Rows-only with
+    * the compose contract pinned in AnnTombstoneSpec: results ≡ s38's
+    * surviving rows re-ranked, and never a tombstoned id. */
+  def graphBeamAnnBatchedTombstoned(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4): DataFrame =
+    batchedServedWalk(spark, sfDir, nQueries, beam, steps, k, entries,
+      exclude = Some(tombstoneNodes(spark, sfDir)))
+
+  private def batchedServedWalk(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int, beam: Int, steps: Int,
+      k: Int, entries: Int, exclude: Option[DataFrame]): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val all = Persists.barrier(vecs(spark, sfDir))
     val eh = Persists.barrier(
@@ -572,6 +592,88 @@ object SimilarityOps {
     // same entry policy as the inline batched walk: eh ⊇ e shares e's
     // min src (a 1-hop edge exists for every source node), so min
     // over the stored frame IS s36's entry vertex
+    val ent = eh.agg(min(col("src")).as("node"))
+      .unionAll(farthestFirstOn(spark, all, entries)
+        .select(col("vec_id").as("node")))
+      .distinct()
+    beamWalk(all, eh, ent, nQueries, beam, (steps + 1) / 2, k, exclude)
+  }
+
+  /** DELTA MAINTENANCE for a stored 1∪2-hop frame: given
+    * H = 2hop(e) = e ∪ e⋈e and a batch of new symmetrized edges Δ,
+    * the updated frame is exactly
+    * 2hop(e ∪ Δ) = H ∪ Δ ∪ e⋈Δ ∪ Δ⋈e ∪ Δ⋈Δ
+    * (self-loops dropped, distinct) — |Δ|·degree-sized work against
+    * the stored frames, NEVER an e⋈e rebuild. The algebra is an
+    * identity, not an approximation, and GraphBeamSpec pins frame
+    * equality against the from-scratch 2-hop build. This is the
+    * missing ingest-side piece of s38: without it every s37-style
+    * insert batch would force the quadratic rebuild the artifact was
+    * built to amortize. */
+  def hop2DeltaUpdate(
+      h: DataFrame, e: DataFrame, delta: DataFrame): DataFrame = {
+    def hop(a: DataFrame, b: DataFrame): DataFrame =
+      a.select(col("src"), col("dst").as("mid"))
+        .join(b.select(col("src").as("mid"), col("dst")), "mid")
+        .select("src", "dst")
+    h.unionAll(delta)
+      .unionAll(hop(delta, e)).unionAll(hop(e, delta))
+      .unionAll(hop(delta, delta))
+      .filter(col("src") =!= col("dst")).distinct()
+  }
+
+  /** The stored BASE-corpus 1∪2-hop artifact (s45's serving
+    * substrate — [[beamBaseEdgesPath]]'s 2-hop twin, derived from it
+    * so the mutual-kNN pass is shared; same fingerprint key). */
+  def beamBaseHop2Path(spark: SparkSession, sfDir: String): String = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
+    val dir = graft.sources.FsUtil.qualified(
+      "target/tmp/graph/beambasehop2_" +
+        graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_$fp")
+    if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS")) {
+      val e = Persists.barrier(
+        spark.read.parquet(beamBaseEdgesPath(spark, sfDir))
+          .select("src", "dst"))
+      e.unionAll(
+          e.select(col("src"), col("dst").as("mid"))
+            .join(e.select(col("src").as("mid"), col("dst")), "mid")
+            .select("src", "dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** s45: the s37 ingest batch SERVED BATCHED — delta-insert the new
+    * vectors into the stored base graph (s37's walk-and-link, the
+    * stored-artifact s37i form), maintain the 2-hop frame by
+    * [[hop2DeltaUpdate]] (delta-sized, no rebuild), and serve the
+    * halved-barrier batched walk over it. The full production loop:
+    * stored artifacts in, delta work per batch, batched serving out.
+    * Rows-only with contracts: the maintained 2-hop frame is
+    * IDENTICAL to a from-scratch build over the updated graph
+    * (spec-pinned identity), and serving equals the inline batched
+    * walk over that updated graph. */
+  def graphBeamDeltaBatchedServed(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4, insertDegree: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val base = Persists.barrier(all.filter(
+      pmod(col("vec_id"), lit(DeltaIngestMod)) =!= DeltaIngestRem))
+    val storedE = Persists.barrier(
+      spark.read.parquet(beamBaseEdgesPath(spark, sfDir))
+        .select("src", "dst"))
+    val storedH = Persists.barrier(
+      spark.read.parquet(beamBaseHop2Path(spark, sfDir))
+        .select("src", "dst"))
+    val delta = Persists.barrier(
+      deltaInsertEdges(spark, all, base, storedE, beam, steps,
+        entries, insertDegree))
+    val eh = Persists.barrier(hop2DeltaUpdate(storedH, storedE, delta))
     val ent = eh.agg(min(col("src")).as("node"))
       .unionAll(farthestFirstOn(spark, all, entries)
         .select(col("vec_id").as("node")))
@@ -926,6 +1028,25 @@ object SimilarityOps {
       spark: SparkSession, all: DataFrame, base: DataFrame,
       baseEdges: DataFrame, nQueries: Int, beam: Int, steps: Int,
       k: Int, entries: Int, insertDegree: Int): DataFrame = {
+    val updated = Persists.barrier(baseEdges.unionAll(
+      deltaInsertEdges(spark, all, base, baseEdges, beam, steps,
+        entries, insertDegree)))
+    val ent = updated.agg(min(col("src")).as("node"))
+      .unionAll(farthestFirstOn(spark, all, entries)
+        .select(col("vec_id").as("node")))
+      .distinct()
+    beamWalk(all, updated, ent, nQueries, beam, steps, k)
+  }
+
+  /** The NEW symmetrized edges one s37 ingest batch contributes
+    * (insert links + delta-internal mutual-kNN) — factored out so
+    * the 1-hop path (s37/s37i: base ∪ these) and the 2-hop path
+    * (s45: [[hop2DeltaUpdate]] with these as Δ) maintain their
+    * artifacts from ONE definition of the batch's edge delta. */
+  private def deltaInsertEdges(
+      spark: SparkSession, all: DataFrame, base: DataFrame,
+      baseEdges: DataFrame, beam: Int, steps: Int,
+      entries: Int, insertDegree: Int): DataFrame = {
     val isDelta = pmod(col("vec_id"), lit(DeltaIngestMod)) ===
       DeltaIngestRem
     // NSW insert: each delta vector beam-searches the BASE graph from
@@ -978,13 +1099,7 @@ object SimilarityOps {
     // small-batch cost (LSH-bucketed like d-family blocking when a
     // batch is ever corpus-scale)
     val intra = beamEdges(all.filter(isDelta))
-    val updated = Persists.barrier(
-      baseEdges.unionAll(inserted).unionAll(intra))
-    val ent = updated.agg(min(col("src")).as("node"))
-      .unionAll(farthestFirstOn(spark, all, entries)
-        .select(col("vec_id").as("node")))
-      .distinct()
-    beamWalk(all, updated, ent, nQueries, beam, steps, k)
+    inserted.unionAll(intra)
   }
 
   /** The staleness-triggered graph-rebuild decision
@@ -2988,6 +3103,14 @@ object SimilarityOps {
       annCompactionNeeded(s, d)),
     "s43_ann_beam_served_auto" -> ((s: SparkSession, d: String) =>
       graphBeamAnnServed(s, d)),
+    // rows-only by design (the batched walk has no SQL twin); the
+    // compose/identity contracts live in AnnTombstoneSpec and
+    // GraphBeamSpec — s44 = s38's surviving rows re-ranked exactly,
+    // s45's maintained 2-hop frame = the from-scratch rebuild exactly
+    "s44_ann_beam_batched_tomb" -> ((s: SparkSession, d: String) =>
+      graphBeamAnnBatchedTombstoned(s, d)),
+    "s45_ann_beam_delta_batched" -> ((s: SparkSession, d: String) =>
+      graphBeamDeltaBatchedServed(s, d)),
     "s08_ann_ivf_multiprobe" ->
       ((s: SparkSession, d: String) => ivfTopK(s, d, nprobe = MultiProbe)),
     "s09_ann_ivf_trained" ->

@@ -112,6 +112,21 @@ class AnnTombstoneSpec extends AnyFunSuite with BeforeAndAfterAll {
       "candidate filtering perturbed a surviving IVF result")
   }
 
+  test("s44 batched+tombstoned: surviving s38 rows appear identically; " +
+      "no tombstoned id surfaces") {
+    val s38 = SimilarityOps.graphBeamAnnBatchedServed(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val s44 = SimilarityOps.graphBeamAnnBatchedTombstoned(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(s44.nonEmpty)
+    assert(tombstoned(s44.map(_._2).toSeq).isEmpty,
+      "a takedown'd vector surfaced through the batched serve")
+    val surv = s38.filterNot(
+      _._2 % SimilarityOps.TombstoneMod == 0).toSet
+    assert(surv.subsetOf(s44.toSet),
+      "result-stage exclusion perturbed a surviving batched row")
+  }
+
   test("s43 dispatch: the default threshold serves merge-on-read; a " +
       "tripped threshold serves the compacted rebuild") {
     def rows(df: org.apache.spark.sql.DataFrame) =

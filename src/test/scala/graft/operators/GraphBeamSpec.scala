@@ -125,6 +125,57 @@ class GraphBeamSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"classic ${classic.values.sum}")
   }
 
+  test("s45: hop2DeltaUpdate is an IDENTITY — the maintained 2-hop " +
+      "frame equals the from-scratch rebuild over the updated graph") {
+    // 2hop(e ∪ Δ) = H ∪ Δ ∪ e⋈Δ ∪ Δ⋈e ∪ Δ⋈Δ is algebra, but the
+    // implementation must get the column routing and self-loop/
+    // distinct handling right — pin frame equality on a real split
+    val s = spark
+    import org.apache.spark.sql.functions.{col, expr}
+    val all = spark.read.parquet(sf + "/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+    // a small synthetic edge split: base = mutual-kNN over vec_id<300,
+    // delta = a handful of new symmetric links touching both sides
+    val base = GraphOps.mutualKnnEdgesOn(all.filter(col("vec_id") < 300))
+    val e = base.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(base.select(col("b").as("src"), col("a").as("dst")))
+    import s.implicits._
+    val deltaPairs = Seq((301L, 5L), (302L, 17L), (301L, 302L))
+    val delta = deltaPairs.toDF("src", "dst")
+      .unionAll(deltaPairs.map(p => (p._2, p._1)).toDF("src", "dst"))
+    def hop2(edges: org.apache.spark.sql.DataFrame) =
+      edges.unionAll(
+        edges.select(col("src"), col("dst").as("mid"))
+          .join(edges.select(col("src").as("mid"), col("dst")), "mid")
+          .select("src", "dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    val full = hop2(e.unionAll(delta))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val maintained = SimilarityOps.hop2DeltaUpdate(hop2(e), e, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(maintained == full,
+      s"maintained frame diverged: only-in-full=${(full -- maintained).take(5)} " +
+        s"only-in-maintained=${(maintained -- full).take(5)}")
+  }
+
+  test("s45: the delta-batched serve matches the inline batched walk " +
+      "over the updated graph; deterministic") {
+    val out = SimilarityOps.graphBeamDeltaBatchedServed(spark, sf)
+    val rows = out.collect().map(_.toSeq).toSet
+    assert(rows.nonEmpty)
+    val again = SimilarityOps.graphBeamDeltaBatchedServed(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(again == rows, "delta-batched serve must be deterministic")
+    // recall contract vs the classic delta serve, aggregate form
+    val classic = recall5(SimilarityOps.graphBeamDeltaInsert(spark, sf))
+    val batched = recall5(SimilarityOps.graphBeamDeltaBatchedServed(spark, sf))
+    assert(classic.keySet == batched.keySet && classic.nonEmpty)
+    assert(batched.values.sum >= classic.values.sum - 0.2 - 1e-9,
+      s"aggregate delta-batched recall ${batched.values.sum} fell more " +
+        s"than one hit below classic ${classic.values.sum}")
+  }
+
   test("s37 recall contract: delta-inserted graph >= full rebuild, per query") {
     val rebuilt = recall5(SimilarityOps.graphBeamAnnMulti(spark, sf))
     val delta = recall5(SimilarityOps.graphBeamDeltaInsert(spark, sf))
