@@ -212,6 +212,40 @@ class CostModelValidationSpec extends AnyFunSuite {
         s"$p: agreement must rise with separation " +
           s"($a1/$t1, $a2/$t2, $a5/$t5)")
     }
+    // MATERIAL pairs — cost >=2x AND runtime >=2x apart, the pairs a
+    // planner could actually regret: 20/21 agree pooled across the
+    // four committed sf0.1 artifacts; the single miss is one
+    // sub-second dcycle8 pair in the r15 artifact (331 vs 708 ms)
+    // that does NOT reproduce in the tight-gate re-run of the same
+    // corpus (7/7 there) — consistent with min-of-2 sampling noise,
+    // not a model defect.
+    def material(paths: String*): (Int, Int) = {
+      var agree = 0; var total = 0
+      paths.foreach { p =>
+        load(p).values.foreach { ts =>
+          for {
+            i <- ts.indices; j <- (i + 1) until ts.size
+            (c1, r1) = ts(i); (c2, r2) = ts(j)
+            if math.min(c1, c2) > 0 && math.min(r1, r2) > 0
+            if math.max(c1, c2) / math.min(c1, c2) >= 2 &&
+              math.max(r1, r2) / math.min(r1, r2) >= 2
+          } {
+            total += 1
+            if ((c1 > c2) == (r1 > r2)) agree += 1
+          }
+        }
+      }
+      (agree, total)
+    }
+    val (aT, tT) = material("fixtures/experiment_wide_tight_sf01_r16.json")
+    assert(tT >= 5 && aT == tT, s"tight-gate material pairs: $aT/$tT")
+    val (aP, tP) = material(
+      "fixtures/experiment_wide_sf01_r15.json",
+      "fixtures/experiment_wide_tight_sf01_r16.json",
+      "fixtures/experiment_exch_sf01_r16.json",
+      "fixtures/experiment_core_sf01_r14.json")
+    assert(tP >= 15 && aP.toDouble / tP >= 0.95,
+      s"pooled material agreement: $aP/$tP")
   }
 
   test("sf0.1 artifact: the high-spread query recovers the ranking") {
