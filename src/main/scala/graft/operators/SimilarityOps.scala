@@ -723,22 +723,24 @@ object SimilarityOps {
     * consulted at serve as one broadcast anti-join, compacted away
     * when [[annCompactionNeeded]] trips. Fingerprint-keyed like every
     * index artifact so a regenerated corpus re-derives it. */
-  def annTombstonesPath(spark: SparkSession, sfDir: String): String = {
+  def annTombstonesPath(spark: SparkSession, sfDir: String,
+      mod: Int = TombstoneMod): String = {
     val n = Tables.rowCount(spark, sfDir, "embeddings")
     val fp = java.lang.Long.toHexString(Tables.fingerprint(
       spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
     val dir = graft.sources.FsUtil.qualified("target/tmp/graph/anntomb_" +
-      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_m${TombstoneMod}_$fp")
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_m${mod}_$fp")
     if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS"))
       vecs(spark, sfDir)
-        .filter(pmod(col("vec_id"), lit(TombstoneMod)) === 0)
+        .filter(pmod(col("vec_id"), lit(mod)) === 0)
         .select("vec_id").coalesce(1)
         .write.mode("overwrite").parquet(dir)
     dir
   }
 
-  private def tombstoneNodes(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(annTombstonesPath(spark, sfDir))
+  private[graft] def tombstoneNodes(spark: SparkSession, sfDir: String,
+      mod: Int = TombstoneMod): DataFrame =
+    spark.read.parquet(annTombstonesPath(spark, sfDir, mod))
       .select(col("vec_id").as("node"))
 
   /** s39: MERGE-ON-READ tombstoned beam serve — s36's classic walk
@@ -752,7 +754,8 @@ object SimilarityOps {
   def graphBeamAnnTombstonedServed(
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
-      k: Int = 5, entries: Int = 4): DataFrame = {
+      k: Int = 5, entries: Int = 4,
+      mod: Int = TombstoneMod): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val all = Persists.barrier(vecs(spark, sfDir))
     val e = Persists.barrier(symmetrized(
@@ -763,7 +766,7 @@ object SimilarityOps {
         .select(col("vec_id").as("node")))
       .distinct()
     beamWalk(all, e, ent, nQueries, beam, steps, k,
-      exclude = Some(tombstoneNodes(spark, sfDir)))
+      exclude = Some(tombstoneNodes(spark, sfDir, mod)))
   }
 
   /** The COMPACTED beam-edge artifact: the mutual-kNN graph rebuilt
@@ -772,15 +775,16 @@ object SimilarityOps {
     * chain's copy-on-write commit, applied to the index). Keyed by
     * corpus fingerprint + tombstone predicate so it coexists with
     * the uncompacted artifact and re-derives on regeneration. */
-  def beamCompactedEdgesPath(spark: SparkSession, sfDir: String): String = {
+  def beamCompactedEdgesPath(spark: SparkSession, sfDir: String,
+      mod: Int = TombstoneMod): String = {
     val n = Tables.rowCount(spark, sfDir, "embeddings")
     val fp = java.lang.Long.toHexString(Tables.fingerprint(
       spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
     val dir = graft.sources.FsUtil.qualified("target/tmp/graph/beamcomp_" +
-      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_m${TombstoneMod}_$fp")
+      graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_m${mod}_$fp")
     if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS"))
       beamEdges(vecs(spark, sfDir)
-          .filter(pmod(col("vec_id"), lit(TombstoneMod)) =!= 0))
+          .filter(pmod(col("vec_id"), lit(mod)) =!= 0))
         .write.mode("overwrite").parquet(dir)
     dir
   }
@@ -796,13 +800,14 @@ object SimilarityOps {
   def graphBeamAnnCompactedServed(
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
-      k: Int = 5, entries: Int = 4): DataFrame = {
+      k: Int = 5, entries: Int = 4,
+      mod: Int = TombstoneMod): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val all = Persists.barrier(vecs(spark, sfDir))
     val surv = Persists.barrier(all.filter(
-      pmod(col("vec_id"), lit(TombstoneMod)) =!= 0))
+      pmod(col("vec_id"), lit(mod)) =!= 0))
     val e = Persists.barrier(
-      spark.read.parquet(beamCompactedEdgesPath(spark, sfDir))
+      spark.read.parquet(beamCompactedEdgesPath(spark, sfDir, mod))
         .select("src", "dst"))
     val ent = e.agg(min(col("src")).as("node"))
       .unionAll(farthestFirstOn(spark, surv, entries)
@@ -856,13 +861,18 @@ object SimilarityOps {
   }
 
   /** s42: the tombstone→compaction DECISION ([[graphRebuildNeeded]]'s
-    * takedown analog, VERDICT r15 next #2): merge-on-read filtering
-    * is O(|tombstones|) per query, but every tombstoned vertex also
-    * keeps dead routing work alive and the survivor graph drifts
-    * from the true mutual-kNN graph as the fraction grows — past
-    * `threshold`, rebuild over survivors ([[beamCompactedEdgesPath]])
-    * and reset the manifest. One row:
-    * (n_vectors, n_tombstoned, tombstone_frac, compact). */
+    * takedown analog, VERDICT r15 next #2): past `threshold`, rebuild
+    * over survivors ([[beamCompactedEdgesPath]]) and reset the
+    * manifest. One row: (n_vectors, n_tombstoned, tombstone_frac,
+    * compact). MEASURED basis for the threshold (TombstoneDecayProbe,
+    * EXPERIMENT_r16 §2c): at low fractions merge-on-read recall is
+    * AT OR ABOVE the compacted rebuild's (tombstoned nodes are live
+    * routing infrastructure; the survivor rebuild's reciprocity
+    * pruning loses paths — the s37 effect), with the curves crossing
+    * only around 20–33% tombstoned. So compaction below that is a
+    * COST/STORAGE/COMPLIANCE action (dead route work, index bytes,
+    * physical removal), not a recall upgrade — the conservative 10%
+    * default buys hygiene well before recall is at stake. */
   def annCompactionNeeded(
       spark: SparkSession, sfDir: String,
       threshold: Double = 0.1): DataFrame = {
