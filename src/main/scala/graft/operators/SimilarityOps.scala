@@ -659,7 +659,40 @@ object SimilarityOps {
   def graphBeamDeltaBatchedServed(
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
-      k: Int = 5, entries: Int = 4, insertDegree: Int = 10): DataFrame = {
+      k: Int = 5, entries: Int = 4, insertDegree: Int = 10): DataFrame =
+    deltaBatchedWalk(spark, sfDir, nQueries, beam, steps, k, entries,
+      insertDegree, exclude = None)
+
+  /** s47: the FULL-LIFECYCLE merge serve — s45's delta-maintained
+    * batched serve under the s39 tombstone manifest. Every mutation
+    * discipline the family ships, composed in one serving path:
+    * stored base artifacts in ([[beamBaseEdgesPath]] +
+    * [[beamBaseHop2Path]]), delta-sized insert + 2-hop maintenance
+    * per batch ([[deltaInsertEdges]] + [[hop2DeltaUpdate]]), and
+    * takedowns honored merge-on-read at the result stage. The
+    * insert/takedown INTERACTION is real and pinned
+    * (AnnLifecycleSpec): vec_ids ≡ [[DeltaIngestRem]] mod
+    * [[DeltaIngestMod]] AND ≡ 0 mod [[TombstoneMod]] (164, 451, … by
+    * CRT) are inserted THIS batch and already taken down — their
+    * searched-in edges become live routing infrastructure
+    * (EXPERIMENT_r16 §2c measured why that matters below the
+    * compaction crossover) but the ids never surface. */
+  def graphBeamLifecycleServed(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4, insertDegree: Int = 10): DataFrame =
+    deltaBatchedWalk(spark, sfDir, nQueries, beam, steps, k, entries,
+      insertDegree, exclude = Some(tombstoneNodes(spark, sfDir)))
+
+  /** The delta-MAINTAINED 1∪2-hop frame s45/s47 serve over:
+    * 2hop(base ∪ Δ) via [[hop2DeltaUpdate]] against the stored
+    * artifacts. Package-visible so AnnLifecycleSpec can assert the
+    * routing half of the insert∩takedown contract (an inserted-then-
+    * taken-down vertex must still carry out-edges here). */
+  private[graft] def deltaMaintainedHop2Frame(
+      spark: SparkSession, sfDir: String,
+      beam: Int = 8, steps: Int = 6, entries: Int = 4,
+      insertDegree: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val all = Persists.barrier(vecs(spark, sfDir))
     val base = Persists.barrier(all.filter(
@@ -673,12 +706,23 @@ object SimilarityOps {
     val delta = Persists.barrier(
       deltaInsertEdges(spark, all, base, storedE, beam, steps,
         entries, insertDegree))
-    val eh = Persists.barrier(hop2DeltaUpdate(storedH, storedE, delta))
+    Persists.barrier(hop2DeltaUpdate(storedH, storedE, delta))
+  }
+
+  private def deltaBatchedWalk(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int, beam: Int, steps: Int,
+      k: Int, entries: Int, insertDegree: Int,
+      exclude: Option[DataFrame]): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val eh = deltaMaintainedHop2Frame(spark, sfDir, beam, steps,
+      entries, insertDegree)
     val ent = eh.agg(min(col("src")).as("node"))
       .unionAll(farthestFirstOn(spark, all, entries)
         .select(col("vec_id").as("node")))
       .distinct()
-    beamWalk(all, eh, ent, nQueries, beam, (steps + 1) / 2, k)
+    beamWalk(all, eh, ent, nQueries, beam, (steps + 1) / 2, k, exclude)
   }
 
   /** The CLASSIC walk served from the stored 1-hop artifact — s38's
@@ -868,10 +912,12 @@ object SimilarityOps {
     * EXPERIMENT_r16 §2c): at low fractions merge-on-read recall is
     * AT OR ABOVE the compacted rebuild's (tombstoned nodes are live
     * routing infrastructure; the survivor rebuild's reciprocity
-    * pruning loses paths — the s37 effect), with the curves crossing
-    * only around 20–33% tombstoned. So compaction below that is a
-    * COST/STORAGE/COMPLIANCE action (dead route work, index bytes,
-    * physical removal), not a recall upgrade — the conservative 10%
+    * pruning loses paths — the s37 effect): at sf0.001 the curves
+    * cross only around 20–33% tombstoned, and at sf0.1 (4× corpus)
+    * they never cross through 33% — merge-on-read dominates at every
+    * tested fraction. So compaction is a COST/STORAGE/COMPLIANCE
+    * action (dead route work, index bytes, physical removal), not a
+    * recall upgrade, at both measured scales — the conservative 10%
     * default buys hygiene well before recall is at stake. */
   def annCompactionNeeded(
       spark: SparkSession, sfDir: String,
@@ -885,6 +931,72 @@ object SimilarityOps {
         round(col("n_tombstoned") / col("n_vectors"), 4)
           .as("tombstone_frac"),
         (col("n_tombstoned") / col("n_vectors") > threshold).as("compact"))
+  }
+
+  /** s46: the UNIFIED index-lifecycle decision — one maintenance
+    * planner row combining the family's two measured triggers, the
+    * insert-delta share ([[graphRebuildNeeded]]'s signal: searched-in
+    * vertices carry non-mutual edges, navigation decays as their
+    * share grows) and the tombstone share ([[annCompactionNeeded]]'s
+    * signal: dead routing work + index bytes + compliance bytes),
+    * with an explicit precedence: a tripped REBUILD subsumes
+    * compaction, because the survivor rebuild both re-derives every
+    * searched-in insert as a true mutual-kNN vertex AND physically
+    * drops tombstones — so `action` = rebuild > compact > serve.
+    * One row: (n_vectors, n_delta, delta_frac, n_tombstoned,
+    * tombstone_frac, action). Fully SQL-expressible: the gate pins
+    * exact semantics against DuckDB. */
+  def annMaintenanceNeeded(
+      spark: SparkSession, sfDir: String,
+      rebuildThreshold: Double = 0.2,
+      compactThreshold: Double = 0.1): DataFrame = {
+    val tomb = spark.read.parquet(annTombstonesPath(spark, sfDir))
+    vecs(spark, sfDir)
+      .join(broadcast(tomb.withColumn("t", lit(1))), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(pmod(col("vec_id"), lit(DeltaIngestMod)) ===
+          DeltaIngestRem, 1L).otherwise(0L)).as("n_delta"),
+        sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("n_tombstoned"))
+      .select(col("n_vectors"), col("n_delta"),
+        round(col("n_delta") / col("n_vectors"), 4).as("delta_frac"),
+        col("n_tombstoned"),
+        round(col("n_tombstoned") / col("n_vectors"), 4)
+          .as("tombstone_frac"),
+        when(col("n_delta") / col("n_vectors") > rebuildThreshold,
+            "rebuild")
+          .when(col("n_tombstoned") / col("n_vectors") > compactThreshold,
+            "compact")
+          .otherwise("serve").as("action"))
+  }
+
+  /** s48: the LIFECYCLE dispatch — [[graphBeamAnnServed]]'s (s43)
+    * generalization to the full decision surface: route the serve on
+    * [[annMaintenanceNeeded]]'s action row. `serve` → the
+    * delta-maintained merge-on-read path ([[graphBeamLifecycleServed]],
+    * s47); `rebuild` and `compact` → the survivor rebuild
+    * ([[graphBeamAnnCompactedServed]]) — in this batch-static testbed
+    * both actions land on the same artifact (a full rebuild over
+    * non-tombstoned vectors incorporates the delta AND drops
+    * takedowns; in a multi-segment deployment compaction could stay
+    * segment-local), so the distinction the decision row carries is
+    * WHICH share tripped, not which artifact results. At gate dials
+    * (delta 1/7 ≈ 14.3% < 20%, tombstoned 1/41 ≈ 2.4% < 10%) the
+    * dispatch pins the s47 branch; AnnLifecycleSpec forces each
+    * threshold to pin the others. */
+  def graphBeamAnnLifecycleAuto(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4, insertDegree: Int = 10,
+      rebuildThreshold: Double = 0.2,
+      compactThreshold: Double = 0.1): DataFrame = {
+    val decide = annMaintenanceNeeded(spark, sfDir,
+      rebuildThreshold, compactThreshold).head()
+    decide.getAs[String]("action") match {
+      case "serve" => graphBeamLifecycleServed(spark, sfDir,
+        nQueries, beam, steps, k, entries, insertDegree)
+      case _ => graphBeamAnnCompactedServed(spark, sfDir,
+        nQueries, beam, steps, k, entries)
+    }
   }
 
   /** The symmetrized mutual-kNN edge frame shared by s34/s36. */
@@ -3121,6 +3233,18 @@ object SimilarityOps {
       graphBeamAnnBatchedTombstoned(s, d)),
     "s45_ann_beam_delta_batched" -> ((s: SparkSession, d: String) =>
       graphBeamDeltaBatchedServed(s, d)),
+    "s46_ann_maintenance_trigger" -> ((s: SparkSession, d: String) =>
+      annMaintenanceNeeded(s, d)),
+    // rows-only by design (the batched walk has no SQL twin); the
+    // lifecycle contracts live in AnnLifecycleSpec — s47 = s45's
+    // surviving rows exactly (result-stage exclusion, routing
+    // untouched) and the insert∩takedown ids never surface; s48's
+    // dispatch pins the s47 branch at gate dials and the rebuild
+    // branch under a forced threshold
+    "s47_ann_beam_lifecycle" -> ((s: SparkSession, d: String) =>
+      graphBeamLifecycleServed(s, d)),
+    "s48_ann_beam_lifecycle_auto" -> ((s: SparkSession, d: String) =>
+      graphBeamAnnLifecycleAuto(s, d)),
     "s08_ann_ivf_multiprobe" ->
       ((s: SparkSession, d: String) => ivfTopK(s, d, nprobe = MultiProbe)),
     "s09_ann_ivf_trained" ->
@@ -3623,6 +3747,33 @@ object SimilarityOps {
                  (sum(CASE WHEN vec_id % $TombstoneMod = 0
                            THEN 1 ELSE 0 END) * 1.0 / count(*)) > 0.1
                    AS compact
+          FROM embeddings""",
+    // s46: both shares from their predicates, the rebuild > compact >
+    // serve precedence as one CASE — the decision row is pure
+    // relational algebra, so the gate pins it exactly
+    "s46_ann_maintenance_trigger" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                 CAST(sum(CASE WHEN vec_id % $DeltaIngestMod =
+                                    $DeltaIngestRem
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+                 round(sum(CASE WHEN vec_id % $DeltaIngestMod =
+                                     $DeltaIngestRem
+                               THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                   AS delta_frac,
+                 CAST(sum(CASE WHEN vec_id % $TombstoneMod = 0
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tombstoned,
+                 round(sum(CASE WHEN vec_id % $TombstoneMod = 0
+                               THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                   AS tombstone_frac,
+                 CASE WHEN sum(CASE WHEN vec_id % $DeltaIngestMod =
+                                         $DeltaIngestRem
+                                    THEN 1 ELSE 0 END) * 1.0 / count(*)
+                             > 0.2 THEN 'rebuild'
+                      WHEN sum(CASE WHEN vec_id % $TombstoneMod = 0
+                                    THEN 1 ELSE 0 END) * 1.0 / count(*)
+                             > 0.1 THEN 'compact'
+                      ELSE 'serve' END AS action
           FROM embeddings""",
     // s33: the brute ranks, a (query, label) vote count, the same
     // (n desc, label asc) argmax, the self-label compare
