@@ -50,7 +50,8 @@ object SparkEntry {
       graft.streaming.StreamFunnel.queries ++
       graft.streaming.StreamSessions.queries ++
       graft.streaming.StreamCdc.queries ++
-      graft.streaming.StreamWap.queries
+      graft.streaming.StreamWap.queries ++
+      graft.streaming.StreamAnnMaintain.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -88,5 +89,6 @@ object SparkEntry {
       graft.streaming.StreamFunnel.oracleSql ++
       graft.streaming.StreamSessions.oracleSql ++
       graft.streaming.StreamCdc.oracleSql ++
-      graft.streaming.StreamWap.oracleSql
+      graft.streaming.StreamWap.oracleSql ++
+      graft.streaming.StreamAnnMaintain.oracleSql
 }

@@ -655,7 +655,13 @@ object SimilarityOps {
     * Rows-only with contracts: the maintained 2-hop frame is
     * IDENTICAL to a from-scratch build over the updated graph
     * (spec-pinned identity), and serving equals the inline batched
-    * walk over that updated graph. */
+    * walk over that updated graph. MEASURED positioning
+    * (BeamAmortizeProbe, EXPERIMENT_r16 §2d): delta maintenance
+    * inflates the 2-hop frame 8× its 1-hop (vs 4× for the static
+    * artifact), so the 3-round walk is a RECALL upgrade (4.0→4.6/5
+    * aggregate at sf0.1), not a latency one — the s38 serve win is
+    * static-artifact-only, and no serve count amortizes the
+    * maintenance at these dials. */
   def graphBeamDeltaBatchedServed(
       spark: SparkSession, sfDir: String,
       nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
@@ -707,6 +713,43 @@ object SimilarityOps {
       deltaInsertEdges(spark, all, base, storedE, beam, steps,
         entries, insertDegree))
     Persists.barrier(hop2DeltaUpdate(storedH, storedE, delta))
+  }
+
+  /** Probe access (BeamAmortizeProbe): the per-batch delta edge frame
+    * BOTH serving disciplines pay for — walk-and-link inserts +
+    * delta-internal mutual-kNN — so the probe can time the
+    * maintenance and serve phases separately. */
+  private[graft] def probeDeltaEdges(
+      spark: SparkSession, sfDir: String,
+      beam: Int = 8, steps: Int = 6, entries: Int = 4,
+      insertDegree: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val base = Persists.barrier(all.filter(
+      pmod(col("vec_id"), lit(DeltaIngestMod)) =!= DeltaIngestRem))
+    val storedE = Persists.barrier(
+      spark.read.parquet(beamBaseEdgesPath(spark, sfDir))
+        .select("src", "dst"))
+    deltaInsertEdges(spark, all, base, storedE, beam, steps,
+      entries, insertDegree)
+  }
+
+  /** Probe access (BeamAmortizeProbe): one SERVE over a caller-cached
+    * edge frame — the per-query phase isolated from the per-batch
+    * maintenance the public s37i/s45 entries bundle in. `rounds` is
+    * the superstep count (classic 1-hop = steps, batched 1∪2-hop =
+    * (steps+1)/2 — the caller picks to match the frame it passes). */
+  private[graft] def serveWalkOver(
+      spark: SparkSession, sfDir: String, frame: DataFrame,
+      rounds: Int, nQueries: Int = 5, beam: Int = 8, k: Int = 5,
+      entries: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val ent = frame.agg(min(col("src")).as("node"))
+      .unionAll(farthestFirstOn(spark, all, entries)
+        .select(col("vec_id").as("node")))
+      .distinct()
+    beamWalk(all, frame, ent, nQueries, beam, rounds, k)
   }
 
   private def deltaBatchedWalk(
@@ -1168,16 +1211,29 @@ object SimilarityOps {
   private def deltaInsertEdges(
       spark: SparkSession, all: DataFrame, base: DataFrame,
       baseEdges: DataFrame, beam: Int, steps: Int,
+      entries: Int, insertDegree: Int): DataFrame =
+    deltaInsertEdgesFor(spark,
+      all.filter(pmod(col("vec_id"), lit(DeltaIngestMod)) ===
+        DeltaIngestRem),
+      base, baseEdges, beam, steps, entries, insertDegree)
+
+  /** [[deltaInsertEdges]] with the ingest batch supplied EXPLICITLY as
+    * a (vec_id, v) frame instead of carved out of the corpus by the
+    * gate's modulo split — the form a STREAMING maintenance loop
+    * calls per micro-batch (graft.streaming.StreamAnnMaintain), where
+    * batch N's inserts must search the graph that already contains
+    * batches 1..N-1. */
+  private[graft] def deltaInsertEdgesFor(
+      spark: SparkSession, deltaVecs: DataFrame, base: DataFrame,
+      baseEdges: DataFrame, beam: Int, steps: Int,
       entries: Int, insertDegree: Int): DataFrame = {
-    val isDelta = pmod(col("vec_id"), lit(DeltaIngestMod)) ===
-      DeltaIngestRem
     // NSW insert: each delta vector beam-searches the BASE graph from
     // the same entry policy serving uses (min node + maxmin seeds)
     val baseEntries = baseEdges.agg(min(col("src")).as("node"))
       .unionAll(farthestFirstOn(spark, base, entries)
         .select(col("vec_id").as("node")))
       .distinct()
-    val deltaQ = Persists.barrier(all.filter(isDelta)
+    val deltaQ = Persists.barrier(deltaVecs
       .select(col("vec_id").as("query_id"), col("v").as("qv")))
     // insertion walks WIDER and DEEPER than serving (2×beam,
     // steps+2): insertion is ingest-time offline work, and the base
@@ -1220,7 +1276,7 @@ object SimilarityOps {
     // aren't in it) — |Δ|² scoring is batch-sized work, the standard
     // small-batch cost (LSH-bucketed like d-family blocking when a
     // batch is ever corpus-scale)
-    val intra = beamEdges(all.filter(isDelta))
+    val intra = beamEdges(deltaVecs)
     inserted.unionAll(intra)
   }
 

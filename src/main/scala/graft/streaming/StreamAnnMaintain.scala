@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.operators.{Persists, SimilarityOps}
+import graft.sources.{FsUtil, Tables}
+
+/** STREAMING ANN-index maintenance: the s37/s45 ingest-batch loop run
+  * as a Structured Streaming job — new vectors land continuously, and
+  * a `foreachBatch` sink folds each micro-batch into the serving
+  * artifacts with the SAME delta-sized primitives the batch path
+  * uses: walk-and-link insertion against the CURRENT graph
+  * ([[SimilarityOps.deltaInsertEdgesFor]] — batch N's inserts search
+  * the graph that already contains batches 1..N-1, the true
+  * incremental semantics a one-shot batch insert can't exercise) and
+  * per-batch 2-hop maintenance ([[SimilarityOps.hop2DeltaUpdate]] —
+  * whose composition across micro-batches is an IDENTITY:
+  * sequential applications land on exactly 2hop(final edge set),
+  * StreamAnnMaintainSpec pins frame equality against the
+  * from-scratch rebuild). Serving reads the maintained frame with the
+  * halved-barrier batched walk (s38's discipline).
+  *
+  * State lives in driver-held `localCheckpoint`ed frames, truncated
+  * per batch — the micro-batch work is |Δ|-sized against cached
+  * artifacts, never a corpus rescan, so the loop holds at a 1000×
+  * corpus exactly where s37's batch analysis does. Gate entry is
+  * rows-only by design (the walk has no SQL twin); the maintenance
+  * contracts are spec-pinned. */
+object StreamAnnMaintain {
+
+  val deltaSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(DoubleType))))
+
+  /** The ingest-feed fixture: the gate's delta vectors
+    * (`vec_id % DeltaIngestMod = DeltaIngestRem`) written as `nFiles`
+    * range-split parquet files so `maxFilesPerTrigger=1` replays them
+    * as that many deterministic micro-batches. Fingerprint-keyed like
+    * every index artifact. */
+  def deltaStreamPath(
+      spark: SparkSession, sfDir: String, nFiles: Int): String = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
+    val dir = FsUtil.qualified("target/tmp/graph/deltastream_" +
+      FsUtil.sanitize(sfDir) + s"_n${n}_f${nFiles}_$fp")
+    if (!FsUtil.exists(spark, dir + "/_SUCCESS"))
+      SimilarityOps.vecs(spark, sfDir)
+        .filter(pmod(col("vec_id"), lit(SimilarityOps.DeltaIngestMod)) ===
+          SimilarityOps.DeltaIngestRem)
+        .repartitionByRange(nFiles, col("vec_id"))
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Run the maintenance stream to completion and return the final
+    * (1-hop edges, 1∪2-hop frame) pair. Package-visible so the spec
+    * can pin the composition identity on the frames themselves. */
+  private[streaming] def maintainedFrames(
+      spark: SparkSession, sfDir: String, nFiles: Int = 3,
+      beam: Int = 8, steps: Int = 6, entries: Int = 4,
+      insertDegree: Int = 10,
+      timeoutMs: Long = 300000): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(spark)
+    // the stored artifacts every ingest batch starts from
+    var curBase = SimilarityOps.vecs(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(SimilarityOps.DeltaIngestMod)) =!=
+        SimilarityOps.DeltaIngestRem)
+      .localCheckpoint(true)
+    var curE = spark.read
+      .parquet(SimilarityOps.beamBaseEdgesPath(spark, sfDir))
+      .select("src", "dst").localCheckpoint(true)
+    var curH = spark.read
+      .parquet(SimilarityOps.beamBaseHop2Path(spark, sfDir))
+      .select("src", "dst").localCheckpoint(true)
+    val feed = spark.readStream
+      .schema(deltaSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(deltaStreamPath(spark, sfDir, nFiles))
+    val q = feed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the micro-batch runs in a cloned session state — make sure
+        // graft_cosine resolves there too
+        graft.functions.GraftFunctions.register(batch.sparkSession)
+        val b = batch.select("vec_id", "v").localCheckpoint(true)
+        if (b.count() > 0) {
+          val d = SimilarityOps.deltaInsertEdgesFor(spark, b, curBase,
+            curE, beam, steps, entries, insertDegree)
+            .localCheckpoint(true)
+          // order matters: the 2-hop update reads the PRE-batch curE
+          curH = SimilarityOps.hop2DeltaUpdate(curH, curE, d)
+            .localCheckpoint(true)
+          curE = curE.unionAll(d).localCheckpoint(true)
+          curBase = curBase.unionAll(b).localCheckpoint(true)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(timeoutMs)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException(
+        s"ANN maintenance stream did not finish within ${timeoutMs / 1000}s")
+    }
+    q.stop()
+    Persists.releaseAll()
+    (curE, curH)
+  }
+
+  /** s49: serve the batched walk over the STREAM-maintained frame. */
+  def beamMaintainStream(
+      spark: SparkSession, sfDir: String,
+      nFiles: Int = 3, nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4, insertDegree: Int = 10): DataFrame = {
+    val (_, h) = maintainedFrames(spark, sfDir, nFiles, beam, steps,
+      entries, insertDegree)
+    SimilarityOps.serveWalkOver(spark, sfDir, h, (steps + 1) / 2,
+      nQueries, beam, k, entries)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // rows-only by design (no SQL twin for the walk);
+    // StreamAnnMaintainSpec pins the composition identity (per-batch
+    // hop2DeltaUpdate folds land on exactly 2hop(final edges)), that
+    // every streamed-in vector is wired, and stream(1 micro-batch) ≡
+    // the batch s45 maintenance exactly
+    "s49_stream_beam_maintain" -> ((s: SparkSession, d: String) =>
+      beamMaintainStream(s, d))
+  )
+
+  def oracleSql: Map[String, String] = Map.empty
+}
