@@ -622,6 +622,96 @@ object SimilarityOps {
       .filter(col("src") =!= col("dst")).distinct()
   }
 
+  /** DEGREE-CAPPED 2-hop maintenance (EXPERIMENT_r16 §2d's named
+    * door): [[hop2DeltaUpdate]]'s uncapped fold inflates the
+    * maintained frame to 8× its 1-hop substrate (searched-in links
+    * compound quadratically through the delta terms), which §2d
+    * measured costing the halved-round serve its latency win. This
+    * variant treats the 2-hop SHORTCUTS as a budgeted acceleration
+    * structure over the EXACT 1-hop graph: the updated frame is
+    * (e ∪ Δ) ∪ top-`cap`-per-src shortcuts ranked by cosine(src,dst)
+    * — the 1-hop substrate is never dropped (reachability can't
+    * degrade below the classic walk's), only shortcuts compete for
+    * the budget, the HNSW M-parameter discipline applied to the
+    * 2-hop layer. Scoring is one codegen'd cosine pass over the
+    * shortcut candidates (capped-frame ∪ delta-additions — index-
+    * sized, never corpus²). Capping is deliberately LOSSY across
+    * batches (a dropped shortcut is not resurrected; the rebuild
+    * re-derives the optimum) — the spec pins the budget and
+    * substrate invariants, not cross-batch composition. */
+  def cappedHop2DeltaUpdate(
+      h: DataFrame, e: DataFrame, delta: DataFrame,
+      all: DataFrame, cap: Int = 16): DataFrame = {
+    val e1 = e.unionAll(delta).distinct()
+    val uncapped = hop2DeltaUpdate(h, e, delta)
+    val shortcuts = uncapped
+      .join(e1, Seq("src", "dst"), "left_anti")
+    val scored = shortcuts
+      .join(all.select(col("vec_id").as("src"), col("v").as("vs")), "src")
+      .join(all.select(col("vec_id").as("dst"), col("v").as("vd")), "dst")
+      .select(col("src"), col("dst"),
+        round(expr("graft_cosine(vs, vd)"), 4).as("cosine"))
+    val w = Window.partitionBy("src")
+      .orderBy(col("cosine").desc, col("dst"))
+    val kept = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select("src", "dst")
+    // one maintenance-side shuffle so the serving frame is hash-laid
+    // on src — the walk's per-round join key — instead of the union's
+    // doubled partition count (measured: a 64-partition frame costs
+    // ~1 s/round in task overhead at sf0.1 against 32-partition peers)
+    e1.unionAll(kept).repartition(col("src"))
+  }
+
+  /** s50: s45's delta-maintained batched serve over the CAPPED frame
+    * — same ingest work plus one index-sized cosine pass, a serving
+    * frame back near the static artifact's density. MEASURED
+    * positioning (BeamCapProbe, EXPERIMENT_r16 §2e): at sf0.1 the cap
+    * is a BYTES/RECALL dial — cap=16 holds recall above the classic
+    * serve (4.2 vs 4.0 of 5) with 2.5× fewer maintained edges than
+    * the uncapped fold — while serve LATENCY is overhead-bound there
+    * and indistinguishable across frames; the density→latency payoff
+    * binds only where round joins are data-dominated (the 100 TB
+    * regime), and is claimed only as that. Rows-only; CappedHop2Spec
+    * pins the budget/substrate invariants. */
+  def graphBeamDeltaCappedServed(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4, insertDegree: Int = 10,
+      cap: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val eh = Persists.barrier(
+      cappedMaintainedFrame(spark, sfDir, beam, steps, entries,
+        insertDegree, cap))
+    val ent = eh.agg(min(col("src")).as("node"))
+      .unionAll(farthestFirstOn(spark, all, entries)
+        .select(col("vec_id").as("node")))
+      .distinct()
+    beamWalk(all, eh, ent, nQueries, beam, (steps + 1) / 2, k)
+  }
+
+  /** [[deltaMaintainedHop2Frame]]'s capped twin (probe/spec access). */
+  private[graft] def cappedMaintainedFrame(
+      spark: SparkSession, sfDir: String,
+      beam: Int = 8, steps: Int = 6, entries: Int = 4,
+      insertDegree: Int = 10, cap: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Persists.barrier(vecs(spark, sfDir))
+    val base = Persists.barrier(all.filter(
+      pmod(col("vec_id"), lit(DeltaIngestMod)) =!= DeltaIngestRem))
+    val storedE = Persists.barrier(
+      spark.read.parquet(beamBaseEdgesPath(spark, sfDir))
+        .select("src", "dst"))
+    val storedH = Persists.barrier(
+      spark.read.parquet(beamBaseHop2Path(spark, sfDir))
+        .select("src", "dst"))
+    val delta = Persists.barrier(
+      deltaInsertEdges(spark, all, base, storedE, beam, steps,
+        entries, insertDegree))
+    cappedHop2DeltaUpdate(storedH, storedE, delta, all, cap)
+  }
+
   /** The stored BASE-corpus 1∪2-hop artifact (s45's serving
     * substrate — [[beamBaseEdgesPath]]'s 2-hop twin, derived from it
     * so the mutual-kNN pass is shared; same fingerprint key). */
@@ -3301,6 +3391,8 @@ object SimilarityOps {
       graphBeamLifecycleServed(s, d)),
     "s48_ann_beam_lifecycle_auto" -> ((s: SparkSession, d: String) =>
       graphBeamAnnLifecycleAuto(s, d)),
+    "s50_ann_beam_delta_capped" -> ((s: SparkSession, d: String) =>
+      graphBeamDeltaCappedServed(s, d)),
     "s08_ann_ivf_multiprobe" ->
       ((s: SparkSession, d: String) => ivfTopK(s, d, nprobe = MultiProbe)),
     "s09_ann_ivf_trained" ->
