@@ -832,14 +832,14 @@ object SimilarityOps {
   private[graft] def serveWalkOver(
       spark: SparkSession, sfDir: String, frame: DataFrame,
       rounds: Int, nQueries: Int = 5, beam: Int = 8, k: Int = 5,
-      entries: Int = 4): DataFrame = {
+      entries: Int = 4, exclude: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val all = Persists.barrier(vecs(spark, sfDir))
     val ent = frame.agg(min(col("src")).as("node"))
       .unionAll(farthestFirstOn(spark, all, entries)
         .select(col("vec_id").as("node")))
       .distinct()
-    beamWalk(all, frame, ent, nQueries, beam, rounds, k)
+    beamWalk(all, frame, ent, nQueries, beam, rounds, k, exclude)
   }
 
   private def deltaBatchedWalk(

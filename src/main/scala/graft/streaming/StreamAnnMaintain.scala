@@ -121,6 +121,114 @@ object StreamAnnMaintain {
       nQueries, beam, k, entries)
   }
 
+  val cdcSchema: StructType = StructType(Seq(
+    StructField("op", StringType),
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(DoubleType))))
+
+  /** The CRUD feed fixture: the gate's delta vectors as `insert` rows
+    * and its tombstone ids (`vec_id % TombstoneMod = 0`) as `delete`
+    * rows (v = null — a takedown carries no payload), range-split by
+    * vec_id into `nFiles` files so inserts and deletes INTERLEAVE
+    * across micro-batches the way a real change feed arrives. */
+  def cdcStreamPath(
+      spark: SparkSession, sfDir: String, nFiles: Int): String = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
+    val dir = FsUtil.qualified("target/tmp/graph/cdcstream_" +
+      FsUtil.sanitize(sfDir) + s"_n${n}_f${nFiles}_$fp")
+    if (!FsUtil.exists(spark, dir + "/_SUCCESS")) {
+      val vs = SimilarityOps.vecs(spark, sfDir)
+      vs.filter(pmod(col("vec_id"), lit(SimilarityOps.DeltaIngestMod)) ===
+          SimilarityOps.DeltaIngestRem)
+        .select(lit("insert").as("op"), col("vec_id"), col("v"))
+        .unionAll(vs
+          .filter(pmod(col("vec_id"), lit(SimilarityOps.TombstoneMod)) === 0)
+          .select(lit("delete").as("op"), col("vec_id"),
+            lit(null).cast(ArrayType(DoubleType)).as("v")))
+        .repartitionByRange(nFiles, col("vec_id"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** Run the CRUD stream to completion: inserts fold into the edge
+    * artifacts exactly as [[maintainedFrames]] does; deletes
+    * accumulate in the tombstone manifest (merge-on-read — edge state
+    * is NEVER touched by a delete, so the fold of the insert
+    * subsequence and the manifest of the delete subsequence commute
+    * with any interleaving). Returns (final edges, final 2-hop frame,
+    * manifest). */
+  private[streaming] def lifecycleFrames(
+      spark: SparkSession, sfDir: String, nFiles: Int = 3,
+      beam: Int = 8, steps: Int = 6, entries: Int = 4,
+      insertDegree: Int = 10,
+      timeoutMs: Long = 300000): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(spark)
+    var curBase = SimilarityOps.vecs(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(SimilarityOps.DeltaIngestMod)) =!=
+        SimilarityOps.DeltaIngestRem)
+      .localCheckpoint(true)
+    var curE = spark.read
+      .parquet(SimilarityOps.beamBaseEdgesPath(spark, sfDir))
+      .select("src", "dst").localCheckpoint(true)
+    var curH = spark.read
+      .parquet(SimilarityOps.beamBaseHop2Path(spark, sfDir))
+      .select("src", "dst").localCheckpoint(true)
+    var curTomb = spark.range(0).select(col("id").as("node"))
+      .localCheckpoint(true)
+    val feed = spark.readStream
+      .schema(cdcSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(cdcStreamPath(spark, sfDir, nFiles))
+    val q = feed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.functions.GraftFunctions.register(batch.sparkSession)
+        val b = batch.localCheckpoint(true)
+        val ins = b.filter(col("op") === "insert").select("vec_id", "v")
+        val del = b.filter(col("op") === "delete")
+          .select(col("vec_id").as("node"))
+        if (ins.count() > 0) {
+          val d = SimilarityOps.deltaInsertEdgesFor(spark, ins, curBase,
+            curE, beam, steps, entries, insertDegree)
+            .localCheckpoint(true)
+          curH = SimilarityOps.hop2DeltaUpdate(curH, curE, d)
+            .localCheckpoint(true)
+          curE = curE.unionAll(d).localCheckpoint(true)
+          curBase = curBase.unionAll(ins).localCheckpoint(true)
+        }
+        if (del.count() > 0)
+          curTomb = curTomb.unionAll(del).distinct().localCheckpoint(true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(timeoutMs)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException(
+        s"ANN CRUD stream did not finish within ${timeoutMs / 1000}s")
+    }
+    q.stop()
+    Persists.releaseAll()
+    (curE, curH, curTomb)
+  }
+
+  /** s51: the FULL streaming lifecycle serve — the CRUD stream's
+    * maintained frame walked batched, its accumulated manifest
+    * honored merge-on-read. s47's semantics with BOTH mutation feeds
+    * arriving as a stream. */
+  def beamLifecycleStream(
+      spark: SparkSession, sfDir: String,
+      nFiles: Int = 3, nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4, insertDegree: Int = 10): DataFrame = {
+    val (_, h, tomb) = lifecycleFrames(spark, sfDir, nFiles, beam, steps,
+      entries, insertDegree)
+    SimilarityOps.serveWalkOver(spark, sfDir, h, (steps + 1) / 2,
+      nQueries, beam, k, entries, exclude = Some(tomb))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // rows-only by design (no SQL twin for the walk);
     // StreamAnnMaintainSpec pins the composition identity (per-batch
@@ -128,7 +236,12 @@ object StreamAnnMaintain {
     // every streamed-in vector is wired, and stream(1 micro-batch) ≡
     // the batch s45 maintenance exactly
     "s49_stream_beam_maintain" -> ((s: SparkSession, d: String) =>
-      beamMaintainStream(s, d))
+      beamMaintainStream(s, d)),
+    // rows-only; the CRUD contracts (manifest = the delete
+    // subsequence exactly, no deleted id surfaces, the identity
+    // survives interleaving) live in StreamAnnMaintainSpec
+    "s51_stream_beam_lifecycle" -> ((s: SparkSession, d: String) =>
+      beamLifecycleStream(s, d))
   )
 
   def oracleSql: Map[String, String] = Map.empty

@@ -64,6 +64,38 @@ class StreamAnnMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a single micro-batch must be the batch insert verbatim")
   }
 
+  test("s51 CRUD stream: the manifest is exactly the delete " +
+      "subsequence; the composition identity survives interleaved " +
+      "deletes; no deleted id ever surfaces") {
+    val (e, h, tomb) =
+      StreamAnnMaintain.lifecycleFrames(spark, sf, nFiles = 3)
+    val n = graft.sources.Tables.rowCount(spark, sf, "embeddings")
+    val expTomb = (0L until n)
+      .filter(_ % SimilarityOps.TombstoneMod == 0).toSet
+    assert(tomb.collect().map(_.getLong(0)).toSet == expTomb,
+      "the accumulated manifest must be the streamed deletes exactly")
+    // deletes are manifest-only: the edge fold must still satisfy the
+    // 2-hop identity (merge-on-read never touches edge state)
+    val rebuilt = e.unionAll(
+        e.select(col("src"), col("dst").as("mid"))
+          .join(e.select(col("src").as("mid"), col("dst")), "mid")
+          .select("src", "dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    assert(edgeSet(h) == edgeSet(rebuilt),
+      "interleaved deletes perturbed the insert fold — the identity " +
+        "must survive any CRUD interleaving")
+    val out = StreamAnnMaintain.beamLifecycleStream(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val surfaced = rows.map(_.getLong(2)).toSet
+    assert(surfaced.intersect(expTomb).isEmpty,
+      "a streamed takedown surfaced through the lifecycle serve")
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"query $q ranks: $ranks")
+    }
+  }
+
   test("s49 serve over the stream-maintained frame: rows, contiguous " +
       "ranks, no duplicate neighbors per query") {
     val out = StreamAnnMaintain.beamMaintainStream(spark, sf)
