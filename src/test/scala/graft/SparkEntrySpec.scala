@@ -44,7 +44,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "stream-funnel" -> graft.streaming.StreamFunnel.queries.keySet,
     "stream-sessions" -> graft.streaming.StreamSessions.queries.keySet,
     "stream-cdc" -> graft.streaming.StreamCdc.queries.keySet,
-    "stream-wap" -> graft.streaming.StreamWap.queries.keySet)
+    "stream-wap" -> graft.streaming.StreamWap.queries.keySet,
+    "stream-annmaintain" -> graft.streaming.StreamAnnMaintain.queries.keySet)
 
   test("query keys are collision-free across operator modules") {
     for {
