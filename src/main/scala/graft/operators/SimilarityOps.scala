@@ -3073,8 +3073,10 @@ object SimilarityOps {
           col("min_load") < 1.0 / threshold).as("retrain"))
 
   /** s35's DuckDB twin: base-only modular centroids, delta-only
-    * assignment, the s04 oracle's cosine-argmax tie-break verbatim. */
-  private def ivfAssignDeltaOracle: String =
+    * assignment, the s04 oracle's cosine-argmax tie-break verbatim.
+    * `extraWhere` appends to the final filter — s52's streaming fold
+    * reuses the oracle with the tombstone exclusion appended. */
+  private[graft] def ivfAssignDeltaOracle(extraWhere: String = ""): String =
     s"""WITH v AS (
          SELECT vec_id,
                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3094,7 +3096,7 @@ object SimilarityOps {
          SELECT vec_id, cent_id,
                 row_number() OVER (PARTITION BY vec_id
                                    ORDER BY s DESC, cent_id) AS rn
-         FROM sim) WHERE rn = 1"""
+         FROM sim) WHERE rn = 1$extraWhere"""
 
   /** s29: MATRYOSHKA PREFIX-DIM ANN SERVE (Kusupati et al. 2022's MRL
     * serving trick, the funnel retrieval every MRL-trained embedding
@@ -3586,7 +3588,7 @@ object SimilarityOps {
   }
 
   def oracleSql: Map[String, String] = Map(
-    "s35_ivf_assign_delta" -> ivfAssignDeltaOracle,
+    "s35_ivf_assign_delta" -> ivfAssignDeltaOracle(),
     "s30_farthest_first" -> farthestFirstOracle(8, 64),
     "s29_ann_matryoshka" -> matryoshkaOracle(5, 16, 50, 10),
     "s27_rrf_fusion" -> rrfFusionOracle,

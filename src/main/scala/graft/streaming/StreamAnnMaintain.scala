@@ -229,6 +229,62 @@ object StreamAnnMaintain {
       nQueries, beam, k, entries, exclude = Some(tomb))
   }
 
+  /** s52: streaming IVF assignment maintenance — the s35 incremental
+    * assignment run over the SAME CRUD feed the graph family streams
+    * ([[cdcStreamPath]]): per micro-batch, inserts are assigned into
+    * the FROZEN base-corpus cell model (one broadcast-model codegen'd
+    * map — [[SimilarityOps.assignBatchOn]], the exact s35 kernel) and
+    * deletes accumulate in the manifest; the final state is the live
+    * assignment table. Because assignment is PER-ROW STATELESS
+    * against a frozen model, the stream provably equals the batch
+    * fold under ANY micro-batching — so unlike the walk entries this
+    * streaming query is HASH-GREEN: the oracle is s35's verbatim with
+    * the tombstone exclusion appended. */
+  def ivfAssignStream(
+      spark: SparkSession, sfDir: String, nFiles: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = SimilarityOps.vecs(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(SimilarityOps.DeltaIngestMod)) =!=
+        SimilarityOps.DeltaIngestRem)
+    val rows = Tables.rowCount(spark, sfDir, "embeddings")
+    val (centIds, centVecs) =
+      SimilarityOps.centroidModel(base, rows, 23)
+    var assigned = spark.range(0)
+      .select(col("id").as("vec_id"), col("id").as("cent_id"))
+      .localCheckpoint(true)
+    var tomb = spark.range(0).select(col("id").as("vec_id"))
+      .localCheckpoint(true)
+    val feed = spark.readStream
+      .schema(cdcSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(cdcStreamPath(spark, sfDir, nFiles))
+    val q = feed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.functions.GraftFunctions.register(batch.sparkSession)
+        val b = batch.localCheckpoint(true)
+        val ins = b.filter(col("op") === "insert").select("vec_id", "v")
+        val del = b.filter(col("op") === "delete").select("vec_id")
+        if (ins.count() > 0)
+          assigned = assigned.unionAll(
+              SimilarityOps.assignBatchOn(spark, ins, centIds, centVecs))
+            .localCheckpoint(true)
+        if (del.count() > 0)
+          tomb = tomb.unionAll(del).distinct().localCheckpoint(true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(300000)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException(
+        "IVF assignment stream did not finish within 300s")
+    }
+    q.stop()
+    Persists.releaseAll()
+    assigned.join(tomb, Seq("vec_id"), "left_anti")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // rows-only by design (no SQL twin for the walk);
     // StreamAnnMaintainSpec pins the composition identity (per-batch
@@ -241,8 +297,16 @@ object StreamAnnMaintain {
     // subsequence exactly, no deleted id surfaces, the identity
     // survives interleaving) live in StreamAnnMaintainSpec
     "s51_stream_beam_lifecycle" -> ((s: SparkSession, d: String) =>
-      beamLifecycleStream(s, d))
+      beamLifecycleStream(s, d)),
+    "s52_stream_ivf_assign" -> ((s: SparkSession, d: String) =>
+      ivfAssignStream(s, d))
   )
 
-  def oracleSql: Map[String, String] = Map.empty
+  def oracleSql: Map[String, String] = Map(
+    // per-row-stateless assignment against a frozen model: the stream
+    // equals the batch fold under any micro-batching, so s35's oracle
+    // pins it exactly, with the streamed deletes excluded at the end
+    "s52_stream_ivf_assign" -> SimilarityOps.ivfAssignDeltaOracle(
+      s" AND vec_id % ${SimilarityOps.TombstoneMod} <> 0")
+  )
 }

@@ -96,6 +96,23 @@ class StreamAnnMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s52 streaming IVF assignment: any micro-batching equals the " +
+      "batch s35 fold minus the streamed deletes, exactly") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = pairs(SimilarityOps.ivfAssignDelta(spark, sf))
+      .filterNot(_._1 % SimilarityOps.TombstoneMod == 0)
+    assert(batch.nonEmpty)
+    val streamed3 = pairs(StreamAnnMaintain.ivfAssignStream(spark, sf))
+    assert(streamed3 == batch,
+      "the 3-micro-batch stream drifted from the batch assignment — " +
+        "per-row-stateless folds must be batching-invariant")
+    val streamed1 = pairs(
+      StreamAnnMaintain.ivfAssignStream(spark, sf, nFiles = 1))
+    assert(streamed1 == batch,
+      "the single-micro-batch stream must equal the batch assignment")
+  }
+
   test("s49 serve over the stream-maintained frame: rows, contiguous " +
       "ranks, no duplicate neighbors per query") {
     val out = StreamAnnMaintain.beamMaintainStream(spark, sf)
