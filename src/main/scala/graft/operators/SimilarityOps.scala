@@ -842,6 +842,42 @@ object SimilarityOps {
     beamWalk(all, frame, ent, nQueries, beam, rounds, k, exclude)
   }
 
+  /** The stored delta-MAINTAINED 1∪2-hop artifact: the s45 fold
+    * (base artifacts + one ingest batch's insert edges, 2-hop
+    * maintained by [[hop2DeltaUpdate]]) materialized ONCE at ingest —
+    * what the serving tier actually reads between batches, the
+    * d12i/s35i/s37i stored-artifact discipline applied to the
+    * maintained frame. Fingerprint-keyed like every index artifact. */
+  def beamMaintainedHop2Path(spark: SparkSession, sfDir: String): String = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
+    val dir = graft.sources.FsUtil.qualified(
+      "target/tmp/graph/beammainthop2_" +
+        graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_$fp")
+    if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS"))
+      deltaMaintainedHop2Frame(spark, sfDir)
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** s53: the SERVE-ONLY twin of s45 — the batched walk over the
+    * stored maintained artifact, paying none of the per-run ingest
+    * work the inline entry bundles (s45's QueryTimer steady is
+    * ~12 s of which ~8 s is the insert walk — BASELINE.md round-16
+    * note). Identical output to [[graphBeamDeltaBatchedServed]]
+    * (same frame, same entry policy, same dials — spec-pinned). */
+  def graphBeamDeltaMaintainedServed(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4): DataFrame = {
+    val h = Persists.barrier(
+      spark.read.parquet(beamMaintainedHop2Path(spark, sfDir))
+        .select("src", "dst"))
+    serveWalkOver(spark, sfDir, h, (steps + 1) / 2, nQueries, beam, k,
+      entries)
+  }
+
   private def deltaBatchedWalk(
       spark: SparkSession, sfDir: String,
       nQueries: Int, beam: Int, steps: Int,
@@ -3395,6 +3431,8 @@ object SimilarityOps {
       graphBeamAnnLifecycleAuto(s, d)),
     "s50_ann_beam_delta_capped" -> ((s: SparkSession, d: String) =>
       graphBeamDeltaCappedServed(s, d)),
+    "s53_ann_beam_maint_served" -> ((s: SparkSession, d: String) =>
+      graphBeamDeltaMaintainedServed(s, d)),
     "s08_ann_ivf_multiprobe" ->
       ((s: SparkSession, d: String) => ivfTopK(s, d, nprobe = MultiProbe)),
     "s09_ann_ivf_trained" ->

@@ -51,7 +51,7 @@ object PlanAudit {
     "s40_ann_beam_compacted", "s43_ann_beam_served_auto",
     "s44_ann_beam_batched_tomb", "s45_ann_beam_delta_batched",
     "s47_ann_beam_lifecycle", "s48_ann_beam_lifecycle_auto",
-    "s50_ann_beam_delta_capped",
+    "s50_ann_beam_delta_capped", "s53_ann_beam_maint_served",
     "s35_ivf_assign_delta",
     // (b) bounded-broadcast crossJoins (1-row scalars / ≤k models /
     // value-bounded grids, each documented at the call site)

@@ -112,6 +112,17 @@ class AnnLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s53 serve-only twin: the walk over the stored maintained " +
+      "artifact equals the inline s45 serve exactly") {
+    val inline = SimilarityOps.graphBeamDeltaBatchedServed(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val served = SimilarityOps.graphBeamDeltaMaintainedServed(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(served == inline,
+      "artifact provenance changed the served result — the stored " +
+        "maintained frame must be the inline fold verbatim")
+  }
+
   test("s48 dispatch: default dials serve the s47 merge path; a " +
       "tripped rebuild threshold serves the survivor rebuild") {
     def rows(df: org.apache.spark.sql.DataFrame) =
