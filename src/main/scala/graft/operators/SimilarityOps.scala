@@ -3433,6 +3433,13 @@ object SimilarityOps {
       graphBeamDeltaCappedServed(s, d)),
     "s53_ann_beam_maint_served" -> ((s: SparkSession, d: String) =>
       graphBeamDeltaMaintainedServed(s, d)),
+    // rows-only by design (the report reads filesystem state DuckDB
+    // cannot see); IndexVacuumSpec pins supersession, safety, and
+    // idempotence. The artifact build guarantees ≥1 row.
+    "s54_index_vacuum_report" -> ((s: SparkSession, d: String) => {
+      beamBaseEdgesPath(s, d)
+      graft.sources.IndexVacuum.report(s)
+    }),
     "s08_ann_ivf_multiprobe" ->
       ((s: SparkSession, d: String) => ivfTopK(s, d, nprobe = MultiProbe)),
     "s09_ann_ivf_trained" ->
