@@ -521,9 +521,12 @@ object Bench {
         s""""$k":${w.map(t => f"$t%.3f").mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")
     val qs = steadyJson(results)
+    // EVERY series participates in the failure check — r16 was missing
+    // here, so a failing r16 query would have silently read as a
+    // faster series total (measurement-bug fix, OPTIMIZATION_r16.md)
     val failed = (results ++ resultsR5 ++ resultsR7 ++ resultsR8 ++
       resultsR9 ++ resultsR10 ++ resultsR11 ++ resultsR12 ++ resultsR13 ++
-      resultsR14 ++ resultsR15)
+      resultsR14 ++ resultsR15 ++ resultsR16)
       .collect { case (k, v, _, _) if v < 0 => s""""$k"""" }
     if (failed.nonEmpty) {
       // a failing query must read as a FAILURE, not as a faster total —

@@ -117,6 +117,31 @@ object GraftFunctions {
       "graft_topk(score double, payload bigint, k literal int)")
   }
 
+  private def topkDistinctBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(score, payload, Literal(k: Int, _)) =>
+      TopKAgg(score, payload, k, distinctPayload = true)
+    case _ => throw new IllegalArgumentException(
+      "graft_topk_distinct(score double, payload bigint, k literal int)")
+  }
+
+  private def charCodesBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(s) => CharCodes(s)
+    case _ => throw new IllegalArgumentException(
+      "graft_char_codes(s string)")
+  }
+
+  private def charGramsBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(s, n) => CharGrams(s, n)
+    case _ => throw new IllegalArgumentException(
+      "graft_char_grams(s string, n literal int)")
+  }
+
+  private def dist2Builder(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) => SqDist(a, b)
+    case _ => throw new IllegalArgumentException(
+      "graft_dist2(a array<double>, b array<double>)")
+  }
+
   private def pqCodesBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(v, cents, Literal(m: Int, _)) => PqCodes(v, cents, m)
     case _ => throw new IllegalArgumentException(
@@ -165,7 +190,19 @@ object GraftFunctions {
       bloomContainsBuilder _),
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
-      topkBuilder _))
+      topkBuilder _),
+    (FunctionIdentifier("graft_topk_distinct"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk_distinct"),
+      topkDistinctBuilder _),
+    (FunctionIdentifier("graft_char_codes"),
+      new ExpressionInfo(classOf[CharCodes].getName, "graft_char_codes"),
+      charCodesBuilder _),
+    (FunctionIdentifier("graft_char_grams"),
+      new ExpressionInfo(classOf[CharGrams].getName, "graft_char_grams"),
+      charGramsBuilder _),
+    (FunctionIdentifier("graft_dist2"),
+      new ExpressionInfo(classOf[SqDist].getName, "graft_dist2"),
+      dist2Builder _))
 
   /** Idempotent imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

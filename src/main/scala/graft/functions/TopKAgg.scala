@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
   * equal scores break toward the SMALLER payload id, which makes the
   * kept set (and therefore the gate hash) deterministic whenever the
   * payload is unique, regardless of row arrival order. */
-private[functions] final class TopKState(val k: Int) {
+private[functions] final class TopKState(
+    val k: Int, val distinctPayload: Boolean = false) {
   import java.util.PriorityQueue
   private val weakestFirst = new java.util.Comparator[Array[Long]] {
     // entries stored as (scoreBits, payload); compare on the double value
@@ -30,6 +31,19 @@ private[functions] final class TopKState(val k: Int) {
   val heap = new PriorityQueue[Array[Long]](math.max(k, 1), weakestFirst)
 
   def offer(score: Double, payload: Long): Unit = {
+    if (distinctPayload) {
+      // keep at most one entry per payload (the best-scored one): the
+      // k-truncated top-k over the max-per-payload semilattice stays
+      // associative/commutative, so partial merges can't change it
+      val it = heap.iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e(1) == payload) {
+          if (java.lang.Double.longBitsToDouble(e(0)) >= score) return
+          it.remove()
+        }
+      }
+    }
     if (heap.size < k) {
       heap.add(Array(java.lang.Double.doubleToLongBits(score), payload))
     } else {
@@ -73,6 +87,7 @@ final case class TopKAgg(
     scoreExpr: Expression,
     payloadExpr: Expression,
     k: Int,
+    distinctPayload: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKState]
@@ -96,9 +111,11 @@ final case class TopKAgg(
     StructField("payload", LongType, nullable = false))),
     containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "graft_topk"
+  override def prettyName: String =
+    if (distinctPayload) "graft_topk_distinct" else "graft_topk"
 
-  override def createAggregationBuffer(): TopKState = new TopKState(k)
+  override def createAggregationBuffer(): TopKState =
+    new TopKState(k, distinctPayload)
 
   override def update(buffer: TopKState, input: InternalRow): TopKState = {
     val s = scoreExpr.eval(input)
@@ -143,7 +160,7 @@ final case class TopKAgg(
   override def deserialize(bytes: Array[Byte]): TopKState = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val st = new TopKState(k)
+    val st = new TopKState(k, distinctPayload)
     var i = 0
     while (i < n) {
       st.offer(java.lang.Double.longBitsToDouble(bb.getLong), bb.getLong)

@@ -656,7 +656,7 @@ object CurationOps {
     // jaccard verify (the d06 CollapseProject hazard)
     val sigs = graft.operators.Persists.barrier(d
       .withColumn("sh", Shingles.wordShingles("text", 4))
-      .withColumn("sig", expr(DedupOps.portableSigSql))
+      .withColumn("sig", expr(DedupOps.portableSigFastSql))
       .select(col("doc_id"), col("source"), col("sh"), col("sig")))
     val banded = sigs.select(col("doc_id"), col("source"),
       posexplode(expr(DedupOps.portableBandSql)).as(Seq("band", "bsig")))

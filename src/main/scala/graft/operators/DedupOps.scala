@@ -139,6 +139,32 @@ object DedupOps {
     s"array_min(transform(sh, s -> ${portableSlot(i)}))")
     .mkString("array(", ", ", ")")
 
+  /** [[portableSigSql]] computed in ONE pass over the shingle set —
+    * the ENGINE-side twin of the shared text. The shared form
+    * re-evaluates md5(s) 32× per shingle (4 chars × 8 slots; lambda
+    * bodies run interpreted with no common-subexpression elimination),
+    * which the r16 optimization round measured as the dominant cost of
+    * the c20/c21 decontamination entries. Here each shingle is hashed
+    * once and the 8 running minima fold in a single aggregate:
+    * IDENTICAL values and the IDENTICAL array&lt;int&gt; type (md5 is
+    * pure; min over a set = fold of least; 2147483647 > any packed
+    * slot, and an empty shingle set yields the same all-NULL
+    * signature), so every d06-family oracle hash — checked against
+    * the DuckDB twin, which keeps the shared text — is unchanged. */
+  private[graft] val portableSigFastSql: String = {
+    def slotH(i: Int): String = (0 until 4).map { c =>
+      s"ascii(substr(h, ${4 * i + c + 1}, 1)) * ${1L << (8 * (3 - c))}"
+    }.mkString("(", " + ", ")")
+    val slots = (0 until 8).map(slotH).mkString("array(", ", ", ")")
+    s"""CASE WHEN size(sh) = 0 THEN
+          array(${Seq.fill(8)("CAST(NULL AS INT)").mkString(", ")})
+        ELSE aggregate(
+          transform(sh, s -> md5(s)),
+          array_repeat(2147483647, 8),
+          (acc, h) -> zip_with(acc, $slots, (a, b) -> least(a, b)))
+        END"""
+  }
+
   /** 2^31 multiplier: a slot packs 4 ascii codes ≤ ~1.7e9 < 2^31, so
     * the two slot values occupy disjoint ranges of the band signature. */
   private[graft] val portableBandSql: String =
@@ -168,7 +194,7 @@ object DedupOps {
     graft.functions.GraftFunctions.register(spark)
     docs(spark, sfDir)
       .withColumn("sh", Shingles.wordShingles("text", 4))
-      .withColumn("sig", expr(portableSigSql))
+      .withColumn("sig", expr(portableSigFastSql))
       .select(col("doc_id"), col("sh"), col("sig"))
   }
 
@@ -272,7 +298,7 @@ object DedupOps {
     graft.functions.GraftFunctions.register(d.sparkSession)
     val sigs = Persists.barrier(d
       .withColumn("sh", Shingles.wordShingles("text", 4))
-      .withColumn("sig", expr(portableSigSql))
+      .withColumn("sig", expr(portableSigFastSql))
       .select(col("doc_id"), col("sh"), col("sig")))
     editDistVerifyFrames(d, sigs, prefixLen, maxDist)
   }
@@ -791,8 +817,14 @@ object DedupOps {
     * round joins it). */
   private def symmetrized(pairs0: DataFrame): DataFrame = {
     val pairs = Persists.barrier(pairs0)
+    // pre-partitioned on the per-round join key: every ccLoop round
+    // joins these edges on id_b, so paying ONE exchange at
+    // materialization lets each round reuse the cached partitioning
+    // instead of re-shuffling the edge frame per round (guide §2.4 —
+    // two operations keyed the same way share one exchange)
     Persists.barrier(pairs.union(
-      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .repartition(col("id_b")))
   }
 
   /** The min-label propagation loop shared by the cold and warm forms:
@@ -805,21 +837,36 @@ object DedupOps {
     var changed = 1L
     while (changed > 0) {
       rounds += 1
-      val viaNbr = edges.join(labels,
+      // labels is the hinted SHUFFLE_HASH build side: the cached edge
+      // frame streams with its stored id_b partitioning (no per-round
+      // edge exchange, no sort-merge sorts — guide §3.1), and only the
+      // node-sized label table moves. nbr_min ≡ the min label any
+      // neighbor proposes; the old union-then-groupBy shape carried
+      // every label row through the aggregation as well.
+      val nbrMin = edges.join(labels.hint("shuffle_hash"),
           edges("id_b") === labels("doc_id"))
         .select(edges("id_a").as("doc_id"), col("cluster_id"))
-      val next = labels.union(viaNbr).groupBy("doc_id")
-        .agg(min("cluster_id").as("cluster_id"))
+        .groupBy("doc_id").agg(min("cluster_id").as("nbr_min"))
+      // the changed flag rides INSIDE the checkpointed frame, so the
+      // convergence check is a count over already-materialized rows —
+      // the old shape re-joined the two label tables in a second
+      // full job every round
+      val next = labels.join(nbrMin.hint("shuffle_hash"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) <
+            col("cluster_id")).as("chg"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.cluster_id") < col("o.cluster_id")).count()
+      changed = next.filter(col("chg")).count()
       // superseded checkpointed RDDs are dereferenced here and reclaimed
       // by the context cleaner — O(1) live label tables regardless of
       // the component diameter
-      labels = next
+      labels = next.select("doc_id", "cluster_id")
     }
-    (labels, rounds)
+    (labels.select("doc_id", "cluster_id"), rounds)
   }
 
   /** Cluster members that lost the min-id representative election —
@@ -1028,13 +1075,33 @@ object DedupOps {
       .withColumn("sz", size(col("toks")))
       .withColumn("plen",
         (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
-      .select(col("doc_id"), explode(expr("slice(toks, 1, plen)")).as("t"))
-      .select(col("doc_id"), col("t.gram").as("gram")))
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr("slice(toks, 1, plen)")).as(Seq("p0", "t")))
+      .select(col("doc_id"), col("sz"), (col("p0") + 1).as("pos"),
+        col("t.gram").as("gram")))
+    // ppjoin POSITIONAL prefix filter (Xiao et al., WWW'08) on top of
+    // the prefix candidate join: jaccard ≥ t ⟺ |x∩y| ≥ t/(1+t)·(|x|+|y|),
+    // and with both gram lists sorted by the SAME global (df, gram)
+    // order, the first common gram at positions (pa, pb) bounds the
+    // overlap by 1 + min(|x|−pa, |y|−pb). min(pos) per side is exactly
+    // that first common gram (common grams appear in the same relative
+    // order in both lists), so pairs failing the bound are PROVABLY
+    // below threshold and would be dropped by the final jaccard filter
+    // anyway — the candidate set shrinks, the verified output is
+    // byte-identical (sf0.1 measured 6.25M raw candidate pairs feeding
+    // the array_intersect verify before this; guide §3.2 — reduce the
+    // join input before the expensive stage). The 1e-9 slack keeps the
+    // double-arithmetic prune strictly conservative at the boundary.
     val cand = pre.as("x").join(pre.as("y"),
         col("x.gram") === col("y.gram") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(first(col("x.sz")).as("sza"), first(col("y.sz")).as("szb"),
+        min(col("x.pos")).as("pa"), min(col("y.pos")).as("pb"))
+      .filter((lit(1) + least(col("sza") - col("pa"),
+          col("szb") - col("pb"))).cast("double") * (lit(1.0) + lit(threshold))
+        >= lit(threshold) * (col("sza") + col("szb")).cast("double") - lit(1e-9))
+      .select("id_a", "id_b")
     val g = d.select(col("doc_id"), col("grams"))
     cand.join(g.as("ga"), col("id_a") === col("ga.doc_id"))
       .join(g.as("gb"), col("id_b") === col("gb.doc_id"))

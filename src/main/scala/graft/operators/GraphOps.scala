@@ -424,9 +424,18 @@ object GraphOps {
   def mutualKnnEdgesOn(vecs: DataFrame, k: Int = KnnK,
       minCosine: Double = -1.0): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
+    // spread the STREAM side of the all-pairs scorer first: the corpus
+    // arrives as one small parquet split, and a broadcast nested-loop
+    // join inherits the stream side's partitioning — unrepartitioned,
+    // the whole n²/2 cosine pass (and everything cached downstream)
+    // ran on ONE core (measured 4.0 s warm at sf0.1; guide §2.5 input
+    // skew). Hash-repartition on vec_id: deterministic under retries,
+    // sized by spark.sql.shuffle.partitions (scale-adaptive conf, not
+    // a constant).
+    val vv = vecs.repartition(col("vec_id"))
     // barriered: the mirror union references it twice, and without the
     // persist the 2M-kernel cosine pass would run once per reference
-    val half = Persists.barrier(vecs.as("q").join(vecs.as("c"),
+    val half = Persists.barrier(vv.as("q").join(vv.as("c"),
         col("q.vec_id") < col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
@@ -480,12 +489,20 @@ object GraphOps {
     val scored = half.unionAll(half.select(
       col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"),
       col("cosine")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // top-k per query via the native bounded aggregate instead of a
+    // row_number window: the window form shuffles AND sorts every
+    // mirrored pair (2·(n choose 2) rows); graft_topk partial-
+    // aggregates map-side, so the exchange carries ≤ k rows per query
+    // per map task and nothing is globally sorted (guide §2.3
+    // "aggregate before you shuffle"). Same total order (cosine desc,
+    // neighbor_id asc), unique neighbor ids per query — the kept set,
+    // and therefore every downstream hash, is unchanged.
     val topk = Persists.barrier(scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine"))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(cosine, neighbor_id, $k)").as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.payload").as("neighbor_id"),
+        col("e.score").as("cosine")))
     topk.as("f").join(topk.as("b"),
         col("f.query_id") === col("b.neighbor_id") &&
           col("f.neighbor_id") === col("b.query_id") &&

@@ -391,13 +391,16 @@ object MultimodalOps {
 
   /** [[ahash]] over any (media_id, txt) frame. */
   private[graft] def ahashOn(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    // graft_char_codes = the original per-position
+    // transform(sequence…)/ascii(substr…) expansion in ONE byte walk —
+    // the substr form re-walked the string per character (O(len²)
+    // interpreted per row; guide §"per-task work")
     val codes = graft.operators.Persists.barrier(
       d.filter(length(col("txt")) >= 64)
         .select(col("media_id"),
           length(col("txt")).cast("long").as("len"),
-          expr("""transform(sequence(1, length(txt)),
-                    i -> CAST(ascii(substr(txt, i, 1)) AS BIGINT))""")
-            .as("codes"))
+          expr("graft_char_codes(txt)").as("codes"))
         .withColumn("total",
           expr("aggregate(codes, 0L, (a, x) -> a + x)")))
     def chunk(b: Int): String = {
@@ -439,13 +442,13 @@ object MultimodalOps {
 
   /** [[dhash]] over any (media_id, txt) frame. */
   private[graft] def dhashOn(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    // one-pass char codes — see [[ahashOn]]
     val codes = graft.operators.Persists.barrier(
       d.filter(length(col("txt")) >= 65)
         .select(col("media_id"),
           length(col("txt")).cast("long").as("len"),
-          expr("""transform(sequence(1, length(txt)),
-                    i -> CAST(ascii(substr(txt, i, 1)) AS BIGINT))""")
-            .as("codes")))
+          expr("graft_char_codes(txt)").as("codes")))
     def blockSum(k: Int): String =
       s"""aggregate(slice(codes,
             CAST($k * len div 65 + 1 AS INT),
@@ -497,6 +500,7 @@ object MultimodalOps {
   /** [[shotBoundaries]] over any (media_id, txt) frame. */
   private[graft] def shotBoundariesOn(
       d: DataFrame, tau: Int = 12): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
     val frames = d.filter(length(col("txt")) >= 64)
       .select(col("media_id"),
         posexplode(expr(
@@ -510,9 +514,7 @@ object MultimodalOps {
     }.mkString("(", " + ", ")")
     val h = frames
       .select(col("media_id"), col("frame_no"),
-        expr("""transform(sequence(1, 64),
-                  i -> CAST(ascii(substr(frame, i, 1)) AS BIGINT))""")
-          .as("codes"))
+        expr("graft_char_codes(frame)").as("codes"))
       .withColumn("total", expr("aggregate(codes, 0L, (a, x) -> a + x)"))
       .select(col("media_id"), col("frame_no"), expr(bits).as("fhash"))
     val w = org.apache.spark.sql.expressions.Window
@@ -547,12 +549,18 @@ object MultimodalOps {
 
   /** [[silenceTrim]] over any (media_id, txt) frame. */
   private[graft] def silenceTrimOn(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    // same frame energies as the original nested
+    // transform/ascii(substr(txt, f*64+i, 1)) form, but the char codes
+    // are expanded ONCE per item (graft_char_codes) and each frame sums
+    // a slice — the substr form re-walked the string per character
     val frames = d.filter(length(col("txt")) >= 64)
+      .select(col("media_id"), expr("graft_char_codes(txt)").as("codes"),
+        length(col("txt")).as("len"))
       .select(col("media_id"),
         posexplode(expr(
-          """transform(sequence(0, int(length(txt) div 64) - 1),
-               f -> aggregate(transform(sequence(1, 64),
-                 i -> CAST(ascii(substr(txt, f * 64 + i, 1)) AS BIGINT)),
+          """transform(sequence(0, int(len div 64) - 1),
+               f -> aggregate(slice(codes, f * 64 + 1, 64),
                  0L, (a, x) -> a + x))"""))
           .as(Seq("frame_no", "ftotal")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("media_id")
@@ -673,7 +681,15 @@ object MultimodalOps {
     val pairs = ahashCandidatesOn(dd)
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"))
-    val cc = graft.operators.DedupOps.connectedComponents(pairs)
+    // star contraction, not the d08 label-prop kernel: the wide gate
+    // band (hamming ≤ 16) chains media into long near-dup paths — the
+    // measured sf0.1 pair graph needed 15 label-prop rounds (diameter)
+    // vs 5 star rounds, and each round is fixed superstep latency.
+    // Same per-component-min labels (GraphOpsSpec pins the kernels
+    // equal on adversarial + random topologies); the oracle hash is
+    // unchanged. O(log n) rounds is also the right shape at 100 TB,
+    // where a chained cluster's diameter is unbounded.
+    val cc = graft.operators.GraphOps.connectedComponentsStar(pairs)
       .select(col("doc_id").as("media_id"), col("cluster_id"))
     dd.filter(length(col("txt")) >= 64).select("media_id")
       .join(cc, Seq("media_id"), "left")
@@ -717,13 +733,13 @@ object MultimodalOps {
   private[graft] def dctPhashOn(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val k = broadcast(dctK.toDF("f", "t", "w"))
+    // one-pass char codes — see [[ahashOn]]
     val codes = d.filter(length(col("txt")) >= 64)
       .select(col("media_id"),
         length(col("txt")).cast("long").as("len"),
-        expr("""transform(sequence(1, length(txt)),
-                  i -> CAST(ascii(substr(txt, i, 1)) AS BIGINT))""")
-          .as("codes"))
+        expr("graft_char_codes(txt)").as("codes"))
     // scaled integer block means M[x][y], k = 8x + y over the m06 grid
     val m = codes
       .select(col("media_id"), col("len"), col("codes"),

@@ -1207,38 +1207,50 @@ object SimilarityOps {
     var f: DataFrame = q.crossJoin(broadcast(entryNodes.select("node")))
       .select(col("query_id"), col("node").as("entry"), col("node"))
       .localCheckpoint(true)
-    val w = Window.partitionBy("query_id", "entry")
-      .orderBy(col("cosine").desc, col("node"))
+    // Per-round beam trim via the native DISTINCT top-k aggregate
+    // instead of distinct() + row_number window: a candidate node's
+    // cosine is a function of (query, node), so duplicate candidates
+    // carry identical scores and graft_topk_distinct keeps exactly the
+    // rows the old dedup-then-rank pipeline kept — same total order
+    // (cosine desc, node asc), same beam. One partial-aggregated
+    // exchange per round replaces the distinct exchange AND the window
+    // exchange+sort (guide §2.3/§2.4: fewer, smaller shuffles per
+    // superstep).
     for (_ <- 1 to steps) {
       val cand = f.select("query_id", "entry", "node")
         .unionAll(f.join(e, f("node") === e("src"))
           .select(col("query_id"), col("entry"), col("dst").as("node")))
-        .distinct()
       f = cand
         .join(all.select(col("vec_id").as("node"), col("v")), "node")
         .join(broadcast(q), "query_id")
         .select(col("query_id"), col("entry"), col("node"),
           round(expr("graft_cosine(qv, v)"), 4).as("cosine"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= beam)
-        .select("query_id", "entry", "node", "cosine")
+        .groupBy("query_id", "entry")
+        .agg(expr(s"graft_topk_distinct(cosine, node, $beam)").as("tk"))
+        .select(col("query_id"), col("entry"), explode(col("tk")).as("e"))
+        .select(col("query_id"), col("entry"),
+          col("e.payload").as("node"), col("e.score").as("cosine"))
         .localCheckpoint(true)
     }
-    val wq = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("node"))
-    val merged = f.filter(col("node") =!= col("query_id"))
-      .select("query_id", "node", "cosine").distinct()
+    val base = f.filter(col("node") =!= col("query_id"))
+      .select("query_id", "node", "cosine")
     // merge-on-read tombstones: deleted nodes ROUTE (they stayed in
     // the beams above — the HNSW serving discipline) but never
     // SURFACE; the manifest is takedown-sized, so the anti-join
     // broadcasts (the sources/Deletes.readAt shape applied to the
     // index family)
-    exclude.fold(merged)(ex =>
-        merged.join(broadcast(ex.select("node")), Seq("node"), "left_anti"))
-      .withColumn("rank", row_number().over(wq))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("node").as("neighbor_id"), col("cosine"))
+    val kept = exclude.fold(base)(ex =>
+      base.join(broadcast(ex.select("node")), Seq("node"), "left_anti"))
+    // cross-entry merge + final top-k: graft_topk_distinct absorbs the
+    // old distinct() (same node from two entry branches scores
+    // identically) and posexplode's array position IS the old
+    // row_number rank (the aggregate emits strongest-first under the
+    // identical total order)
+    kept.groupBy("query_id")
+      .agg(expr(s"graft_topk_distinct(cosine, node, $k)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("p", "e")))
+      .select(col("query_id"), (col("p") + 1).cast("int").as("rank"),
+        col("e.payload").as("neighbor_id"), col("e.score").as("cosine"))
   }
 
   /** s37: INCREMENTAL GRAPH-BEAM INDEX MAINTENANCE — the delta-insert
@@ -3265,29 +3277,49 @@ object SimilarityOps {
   /** [[farthestFirst]] over any (vec_id, v) frame. */
   def farthestFirstOn(spark: SparkSession, corpus: DataFrame,
       k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val all = Persists.barrier(corpus.select("vec_id", "v"))
-    val d2 = "round(aggregate(zip_with(p.v, cv, " +
-      "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x), 9)"
+    // Running-min maxmin traversal: the classic k-center state carry —
+    // each point keeps its min distance² to the chosen set, and round
+    // r only scores the ONE newest center (the old form re-scored all
+    // r centers per point per round, plus a groupBy-min exchange and
+    // an anti-join; min over per-center ROUNDED distances is the same
+    // running least, so every pick — and the gate hash — is
+    // unchanged). Per round: one narrow broadcast-map over the corpus
+    // + one TakeOrdered — no shuffle at all.
     // localCheckpoint, not barrier: round r's plan references round
-    // r-1's centers on BOTH sides of the next join — persist-only
-    // barriers leave the logical plan nesting geometrically and
-    // analysis goes quadratic (the s23/g12 lesson; measured 38 s at
-    // n=10k before the cut, ~4 s after)
-    var cents = all.orderBy("vec_id").limit(1)
+    // r-1's state on both sides — persist-only barriers leave the
+    // logical plan nesting geometrically and analysis goes quadratic
+    // (the s23/g12 lesson; measured 38 s at n=10k before the cut)
+    val d2new = "round(graft_dist2(v, cv), 9)"
+    val c0 = all.orderBy("vec_id").limit(1)
       .select(lit(0).as("seq"), col("vec_id"), col("v"),
         lit(0.0).as("dist2"))
       .localCheckpoint(true)
-    for (r <- 1 until k) {
-      val mind = all.as("p")
-        .join(broadcast(cents.select(col("v").as("cv"))), lit(true))
-        .select(col("p.vec_id").as("vec_id"), expr(d2).as("d"))
-        .groupBy("vec_id").agg(min("d").as("dist2"))
-        .join(cents.select("vec_id"), Seq("vec_id"), "left_anti")
-      val next = mind
-        .orderBy(col("dist2").desc, col("vec_id")).limit(1)
-        .join(all, "vec_id")
-        .select(lit(r).as("seq"), col("vec_id"), col("v"), col("dist2"))
-      cents = cents.unionByName(next).localCheckpoint(true)
+    var cents = c0
+    if (k > 1) {
+      var state = all
+        .crossJoin(broadcast(
+          c0.select(col("v").as("cv"), col("vec_id").as("cid"))))
+        .select(col("vec_id"), col("v"), expr(d2new).as("best"),
+          (col("vec_id") === col("cid")).as("taken"))
+        .localCheckpoint(true)
+      for (r <- 1 until k) {
+        val next = state.filter(!col("taken"))
+          .orderBy(col("best").desc, col("vec_id")).limit(1)
+          .select(lit(r).as("seq"), col("vec_id"), col("v"),
+            col("best").as("dist2"))
+          .localCheckpoint(true)
+        cents = cents.unionByName(next)
+        if (r < k - 1)
+          state = state
+            .crossJoin(broadcast(
+              next.select(col("v").as("cv"), col("vec_id").as("cid"))))
+            .select(col("vec_id"), col("v"),
+              least(col("best"), expr(d2new)).as("best"),
+              (col("taken") || col("vec_id") === col("cid")).as("taken"))
+            .localCheckpoint(true)
+      }
     }
     cents.select("seq", "vec_id", "dist2")
   }

@@ -235,16 +235,17 @@ object TextOps {
   private[graft] def langGramScores(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val m = langModelRows.toDF("lang", "g", "w")
+    // graft_char_grams(text, n) ≡ transform(sequence(1, length - n + 1),
+    // i -> substring(text, i, n)) (empty below n chars, so the old
+    // CASE WHEN length >= 3 guard is built in) in ONE byte walk — the
+    // substring form re-walked the string per position, O(len²)
+    // interpreted per document
     val grams = d.filter(length(col("text")) >= 1)
       .select(col("doc_id"), explode(expr(
-        """concat(
-             CASE WHEN length(text) >= 3
-               THEN transform(sequence(1, length(text) - 2),
-                              i -> substring(text, i, 3))
-               ELSE cast(array() AS array<string>) END,
-             transform(sequence(1, length(text)),
-                       i -> substring(text, i, 1)))""")).as("g"))
+        """concat(graft_char_grams(text, 3),
+                  graft_char_grams(text, 1))""")).as("g"))
     grams.join(broadcast(m), "g")
       .groupBy("doc_id", "lang").agg(sum("w").as("score"))
   }

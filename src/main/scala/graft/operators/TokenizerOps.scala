@@ -21,12 +21,11 @@ object TokenizerOps {
     * tiny top-k). */
   def bpePairCounts(
       spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val pairs = Tables.load(spark, sfDir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-        .as("pair"))
+      .select(explode(expr("graft_char_grams(w, 2)")).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
     Ranks.topKRanked(pairs, k, col("cnt").desc, col("pair"))
       .select(col("rk"), col("pair"), col("cnt"))
@@ -66,6 +65,7 @@ object TokenizerOps {
     * (the log) and t20 (the encode). */
   private def bpeLoop(d: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     require(merges >= 1, s"bpeTrain needs merges >= 1, got $merges")
+    graft.functions.GraftFunctions.register(d.sparkSession)
     val W = org.apache.spark.sql.expressions.Window
     val words = d.select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
@@ -77,8 +77,7 @@ object TokenizerOps {
     // analysis alone ran minutes at merges=5). Checkpointing cuts the
     // lineage each round — the g12 star-contraction discipline.
     var syms = words.select(col("word"), col("wcnt"),
-      posexplode(expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      posexplode(expr("graft_char_grams(word, 1)"))
         .as(Seq("p0", "sym")))
       .select(col("word"), col("wcnt"), (col("p0") + 1).as("pos"),
         col("sym"))
