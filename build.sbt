@@ -10,6 +10,15 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Bench/driver contract (VERDICT r16 item 2): the driver parses the
+// bench's stdout as bare one-line JSON, but sbt's default LoggedOutput
+// prefixes every forked-process line with "[info] " — which is the one
+// constant across r01–r16, where `parsed` stayed null even when the
+// complete contract line sat in the archived tail. StdoutOutput passes
+// the program's stdout through verbatim; showSuccess drops the trailing
+// "[success] Total time" line so the LAST stdout line is the program's.
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark suites share one JVM; concurrent SparkSession.getOrCreate across
 // suites returns whichever session was built first (and silently drops
 // another suite's extensions) — run them sequentially.

@@ -217,6 +217,24 @@ object Bench {
     "s40_ann_beam_compacted", "s41_ann_ivf_tombstoned",
     "s42_ann_compaction_trigger", "s43_ann_beam_served_auto")
 
+  /** Thirteenth series: the s44–s51 lifecycle/stream family joins the
+    * bench with the s53 ingest/serve split applied FIRST (VERDICT r16
+    * item 3) — serve-only forms only, so the series baselines on
+    * serve numbers, never on the ingest work the whole-loop gate
+    * entries bundle (s45 whole-loop ≈ 12 s of which ~8 s is the
+    * insert walk; s53 serve-only ≈ 1.8 s — BASELINE.md round-16
+    * note). s44/s46/s53 are already serve-only declared entries; the
+    * s47i–s51i twins serve the same stored artifacts their inline
+    * forms maintain (ServeTwinsSpec pins served ≡ inline for each).
+    * First run per entry pays any artifact build (the r16-series
+    * convention); warm serves are the measured steady. Whole-loop
+    * forms (s45/s47/s48/s49/s50/s51) stay gated, unbenched. */
+  val headlineR17: Seq[String] = Seq(
+    "s44_ann_beam_batched_tomb", "s46_ann_maintenance_trigger",
+    "s53_ann_beam_maint_served", "s47i_ann_lifecycle_served",
+    "s48i_ann_lifecycle_auto_served", "s50i_ann_beam_capped_served",
+    "s49i_stream_maint_served", "s51i_stream_lifecycle_served")
+
   /** Bench-only variants (not gate entries — the gate form stays the
     * self-contained computation its oracle checks). d12i times the
     * incremental candidate join against the PRE-MATERIALIZED signature
@@ -367,7 +385,24 @@ object Bench {
     // form's in-entry graph rebuild (d12i/s35i discipline; spec pins
     // served ≡ inline)
     "s37i_ann_beam_delta_served" ->
-      ((s, d) => graft.operators.SimilarityOps.graphBeamDeltaServed(s, d)))
+      ((s, d) => graft.operators.SimilarityOps.graphBeamDeltaServed(s, d)),
+    // the r17 serve-only twins (VERDICT r16 item 3): each serves the
+    // stored artifact its inline gate form maintains per run;
+    // ServeTwinsSpec pins served ≡ inline for every pair
+    "s47i_ann_lifecycle_served" ->
+      ((s, d) =>
+        graft.operators.SimilarityOps.graphBeamLifecycleMaintServed(s, d)),
+    "s48i_ann_lifecycle_auto_served" ->
+      ((s, d) =>
+        graft.operators.SimilarityOps.graphBeamLifecycleAutoServed(s, d)),
+    "s50i_ann_beam_capped_served" ->
+      ((s, d) => graft.operators.SimilarityOps.graphBeamCappedServed(s, d)),
+    "s49i_stream_maint_served" ->
+      ((s, d) =>
+        graft.streaming.StreamAnnMaintain.beamMaintainStreamServed(s, d)),
+    "s51i_stream_lifecycle_served" ->
+      ((s, d) =>
+        graft.streaming.StreamAnnMaintain.beamLifecycleStreamServed(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -506,6 +541,7 @@ object Bench {
     val resultsR14 = runSeries(headlineR14)
     val resultsR15 = runSeries(headlineR15)
     val resultsR16 = runSeries(headlineR16)
+    val resultsR17 = runSeries(headlineR17)
     val cacheState =
       if (dropCache && !dropsFailed) "dropped-before-cold-runs"
       else if (dropCache) "drop-requested-but-failed"
@@ -526,7 +562,7 @@ object Bench {
     // faster series total (measurement-bug fix, OPTIMIZATION_r16.md)
     val failed = (results ++ resultsR5 ++ resultsR7 ++ resultsR8 ++
       resultsR9 ++ resultsR10 ++ resultsR11 ++ resultsR12 ++ resultsR13 ++
-      resultsR14 ++ resultsR15 ++ resultsR16)
+      resultsR14 ++ resultsR15 ++ resultsR16 ++ resultsR17)
       .collect { case (k, v, _, _) if v < 0 => s""""$k"""" }
     if (failed.nonEmpty) {
       // a failing query must read as a FAILURE, not as a faster total —
@@ -563,6 +599,8 @@ object Bench {
     val totalR15Cold = resultsR15.map(_._3).sum
     val totalR16 = resultsR16.map(_._2).sum
     val totalR16Cold = resultsR16.map(_._3).sum
+    val totalR17 = resultsR17.map(_._2).sum
+    val totalR17Cold = resultsR17.map(_._3).sum
     // compact totals object, duplicated in BOTH output lines: the
     // driver archives only the last 2000 chars of stdout, so the
     // per-query detail line alone is truncation-prone as series
@@ -579,7 +617,8 @@ object Bench {
         f""""r13":$totalR13%.3f,"r13_cold":$totalR13Cold%.3f,""" +
         f""""r14":$totalR14%.3f,"r14_cold":$totalR14Cold%.3f,""" +
         f""""r15":$totalR15%.3f,"r15_cold":$totalR15Cold%.3f,""" +
-        f""""r16":$totalR16%.3f,"r16_cold":$totalR16Cold%.3f,"failed":0}"""
+        f""""r16":$totalR16%.3f,"r16_cold":$totalR16Cold%.3f,""" +
+        f""""r17":$totalR17%.3f,"r17_cold":$totalR17Cold%.3f,"failed":0}"""
     // Per-query recorded baselines (fixtures/bench_baselines.json, a
     // flat {"name": seconds} map regenerated at each round's close by
     // tools/bench_baselines.py from the closing run's line-1 detail):
@@ -610,7 +649,8 @@ object Bench {
         "legacy" -> results, "r5" -> resultsR5, "r7" -> resultsR7,
         "r8" -> resultsR8, "r9" -> resultsR9, "r10" -> resultsR10,
         "r11" -> resultsR11, "r12" -> resultsR12, "r13" -> resultsR13,
-        "r14" -> resultsR14, "r15" -> resultsR15, "r16" -> resultsR16)
+        "r14" -> resultsR14, "r15" -> resultsR15, "r16" -> resultsR16,
+        "r17" -> resultsR17)
         .flatMap { case (t, rs) => movers(rs).map(j => s""""$t":$j""") }
       if (parts.isEmpty) "" else s""","movers":{${parts.mkString(",")}}"""
     }
@@ -653,6 +693,9 @@ object Bench {
         f""""queries_r16":${steadyJson(resultsR16)},"total_r16":$totalR16%.3f,""" +
         f""""queries_r16_cold":${coldJson(resultsR16)},"total_r16_cold":$totalR16Cold%.3f,""" +
         f""""queries_r16_warm":${warmJson(resultsR16)},""" +
+        f""""queries_r17":${steadyJson(resultsR17)},"total_r17":$totalR17%.3f,""" +
+        f""""queries_r17_cold":${coldJson(resultsR17)},"total_r17_cold":$totalR17Cold%.3f,""" +
+        f""""queries_r17_warm":${warmJson(resultsR17)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir",""" +
         totalsJson + "}")
     // line 2: newest-series per-query detail (secondary visibility —
@@ -665,15 +708,29 @@ object Bench {
         f""""queries_r14":${steadyJson(resultsR14)},""" +
         f""""queries_r15":${steadyJson(resultsR15)},""" +
         f""""queries_r16":${steadyJson(resultsR16)},""" +
+        f""""queries_r17":${steadyJson(resultsR17)},""" +
         f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir"}""")
-    // line 3 — LAST line, totals ONLY, bounded forever regardless of
-    // how many series accumulate: the driver archives the final
-    // 2000 chars of stdout, and r7/r9/r11 each re-hit truncation by
-    // letting per-query detail share the last line with the totals.
-    println(
+    // line 3 — LAST line, the full driver contract (VERDICT r16 item
+    // 2): ONE JSON with a per-query "queries" map covering EVERY
+    // series (the driver's PERF comparison needs per-query steadies;
+    // `parsed` had been null since r01 because the [info] prefix — now
+    // stripped via build.sbt's StdoutOutput — broke a bare json.loads,
+    // and this line carried totals only). Key order keeps the totals
+    // and movers at the END so the archived 2000-char tail still shows
+    // them even though the per-query map makes the line long. The same
+    // JSON is also written to target/bench_last.json as a sidecar.
+    val allResults = Seq(results, resultsR5, resultsR7, resultsR8,
+      resultsR9, resultsR10, resultsR11, resultsR12, resultsR13,
+      resultsR14, resultsR15, resultsR16, resultsR17).flatten
+    val lastLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-        totalsJson + moversJson +
-        f""","runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir"}""")
+        f""""queries":${steadyJson(allResults)},""" +
+        f""""runs_per_query":$runsPerQuery,"cache":"$cacheState","sf":"$sfDir",""" +
+        totalsJson + moversJson + "}"
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), lastLine + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
+    println(lastLine)
     spark.stop()
   }
 }

@@ -833,7 +833,7 @@ object DedupOps {
   private def ccLoop(
       edges: DataFrame, init: DataFrame): (DataFrame, Int) = {
     var rounds = 0
-    var labels = init.localCheckpoint(true)
+    var labels = init.localCheckpoint(false)
     var changed = 1L
     while (changed > 0) {
       rounds += 1
@@ -859,7 +859,7 @@ object DedupOps {
             .as("cluster_id"),
           (coalesce(col("nbr_min"), col("cluster_id")) <
             col("cluster_id")).as("chg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("chg")).count()
       // superseded checkpointed RDDs are dereferenced here and reclaimed
       // by the context cleaner — O(1) live label tables regardless of

@@ -99,7 +99,7 @@ object GraphOps {
           lit(damping) * sum(col("pr") / col("deg")), 9).as("pr"))
         .withColumnRenamed("dst", "node")
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        pr = pr.localCheckpoint(true)
+        pr = pr.localCheckpoint(false)
     }
     pr
   }
@@ -141,7 +141,7 @@ object GraphOps {
           when(col("seed") === 1, lit(teleport)).otherwise(lit(0.0)) +
             lit(damping) * col("m"), 9).as("pr"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        pr = pr.localCheckpoint(true)
+        pr = pr.localCheckpoint(false)
     }
     pr
   }
@@ -193,7 +193,7 @@ object GraphOps {
           lit(damping) * (coalesce(col("m"), lit(0.0)) +
             col("sink_mass") / lit(n)), 9).as("pr"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        pr = pr.localCheckpoint(true)
+        pr = pr.localCheckpoint(false)
     }
     pr
   }
@@ -261,7 +261,7 @@ object GraphOps {
           .as("pr"))
         .withColumnRenamed("dst", "node")
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        pr = pr.localCheckpoint(true)
+        pr = pr.localCheckpoint(false)
     }
     pr
   }
@@ -306,7 +306,7 @@ object GraphOps {
     var e = p.select(least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // one star operation over the canonical pair set: symmetrize for
     // the per-center neighborhoods, hook the selected side of each
     // center's neighborhood to m(center) = min(Γ⁺(center)), return
@@ -340,7 +340,7 @@ object GraphOps {
     var stable = false
     while (!stable) {
       rounds += 1
-      e = star(star(e, large = true), large = false).localCheckpoint(true)
+      e = star(star(e, large = true), large = false).localCheckpoint(false)
       val s2 = sig(e)
       stable = s2 == s
       s = s2
@@ -392,17 +392,23 @@ object GraphOps {
       // stringification at iters = 6 (found by the r11 per-iteration
       // probe). localCheckpoint truncates the lineage each
       // half-iteration (the g12 discipline), same rows, flat plan.
+      // LAZY (eager=false) since r17: the logical plan is truncated
+      // identically, but no per-round materialization job runs — all
+      // supersteps fold into the ONE job the final action submits
+      // (guide §2.4; the superstep latency floor was 37 jobs for
+      // 5.3 task-seconds here). The RDD is still persisted when first
+      // computed, so double references never recompute.
       val ar = e.join(hub, e("src") === hub("node"))
         .groupBy(col("dst")).agg(round(sum(col("h")), 9).as("a"))
         .withColumnRenamed("dst", "node")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val an = ar.agg(round(sum(col("a")), 9).as("norm"))
       auth = ar.crossJoin(broadcast(an))
         .select(col("node"), round(col("a") / col("norm"), 9).as("a"))
       val hr = e.join(auth, e("dst") === auth("node"))
         .groupBy(col("src")).agg(round(sum(col("a")), 9).as("h"))
         .withColumnRenamed("src", "node")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val hn = hr.agg(round(sum(col("h")), 9).as("norm"))
       hub = hr.crossJoin(broadcast(hn))
         .select(col("node"), round(col("h") / col("norm"), 9).as("h"))
@@ -570,21 +576,42 @@ object GraphOps {
         round(col("cn") * lit(1.0) / (col("da") + col("db") - col("cn")),
           4).as("jac"),
         coalesce(col("lbl"), lit(0)).as("lbl")))
-    def auc(s: String): DataFrame = {
-      val g = cand.groupBy(col(s).as("score"))
-        .agg(sum("lbl").as("np"), sum(lit(1) - col("lbl")).as("nn"))
-      val w = Window.orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      g.withColumn("cumneg", coalesce(sum("nn").over(w), lit(0L)))
-        .agg(sum(col("np") * (col("cumneg") + col("nn") / 2.0)).as("num"),
-          sum("np").as("npos"), sum("nn").as("nneg"))
-        .select(round(col("num") / (col("npos") * col("nneg")), 6)
-          .as(s"auc_$s"), col("npos"), col("nneg"))
-    }
-    auc("cn").select(col("npos").as("n_pos"), col("nneg").as("n_neg"),
-        col("auc_cn"))
-      .crossJoin(auc("aa").select("auc_aa"))
-      .crossJoin(auc("jac").select("auc_jac"))
+    // ONE pass for all three AUCs (r17; guide §2.3 — the old shape ran
+    // the groupBy+window+agg chain three times over the same cached
+    // candidate frame, three aggregation jobs + two cross joins): melt
+    // each candidate into (metric, score, lbl) rows, then one grouped
+    // aggregation, one window PARTITIONED BY metric (same per-metric
+    // cumulative-negative ranks as three separate unpartitioned
+    // windows), one grouped fold, one 3-row→1-row pivot. cn is exact
+    // below 2^53, so grouping/ordering it as double is value-identical
+    // to grouping the long; np/nn stay exact integers and the num fold
+    // sums the identical per-score terms, so the 6-dp AUCs match.
+    val melted = cand.select(explode(array(
+        struct(lit("cn").as("metric"), col("cn").cast("double").as("score"),
+          col("lbl")),
+        struct(lit("aa").as("metric"), col("aa").as("score"), col("lbl")),
+        struct(lit("jac").as("metric"), col("jac").as("score"), col("lbl"))))
+        .as("m"))
+      .select(col("m.metric").as("metric"), col("m.score").as("score"),
+        col("m.lbl").as("lbl"))
+    val g = melted.groupBy("metric", "score")
+      .agg(sum("lbl").as("np"), sum(lit(1) - col("lbl")).as("nn"))
+    val w = Window.partitionBy("metric").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val per = g.withColumn("cumneg", coalesce(sum("nn").over(w), lit(0L)))
+      .groupBy("metric")
+      .agg(sum(col("np") * (col("cumneg") + col("nn") / 2.0)).as("num"),
+        sum("np").as("npos"), sum("nn").as("nneg"))
+      .select(col("metric"),
+        round(col("num") / (col("npos") * col("nneg")), 6).as("auc"),
+        col("npos"), col("nneg"))
+    // npos/nneg are metric-independent (same candidate rows), so max
+    // over the 3-row frame reproduces the old auc("cn") scalars exactly
+    per.agg(
+      max(col("npos")).as("n_pos"), max(col("nneg")).as("n_neg"),
+      max(when(col("metric") === "cn", col("auc"))).as("auc_cn"),
+      max(when(col("metric") === "aa", col("auc"))).as("auc_aa"),
+      max(when(col("metric") === "jac", col("auc"))).as("auc_jac"))
   }
 
   /** g31's oracle: the shared kNN CTE prefix, the same hash split,
@@ -705,13 +732,13 @@ object GraphOps {
   def communityMergeOn(edges0: DataFrame,
       rounds: Int = CommunityMergeRounds): DataFrame = {
     require(rounds >= 1, s"communityMerge needs rounds >= 1, got $rounds")
-    val edges = edges0.select("a", "b").localCheckpoint(true)
+    val edges = edges0.select("a", "b").localCheckpoint(false)
     val m = edges.count()
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     var labels = deg.select(col("node"), col("node").as("community"),
-      col("deg")).localCheckpoint(true)
+      col("deg")).localCheckpoint(false)
     var out: DataFrame = null
     for (r <- 1 to rounds) {
       val la = labels.select(col("node").as("a"), col("community").as("ca"))
@@ -732,13 +759,13 @@ object GraphOps {
           (lit(2L) * m * col("e_cd") - col("dcc") * col("dcd"))
             .as("score"))
         .orderBy(col("score").desc, col("c"), col("d")).limit(1)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       labels = labels.crossJoin(broadcast(top))
         .select(col("node"),
           when(col("community") === col("d"), col("c"))
             .otherwise(col("community")).as("community"),
           col("deg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val row = top.select(lit(r).as("merge_round"), col("c").as("c1"),
         col("d").as("c2"), col("score"))
       out = if (out == null) row else out.unionByName(row)
@@ -781,14 +808,14 @@ object GraphOps {
   def louvainMoveOn(edges0: DataFrame,
       rounds: Int = LouvainMoveRounds): DataFrame = {
     require(rounds >= 1, s"louvainMove needs rounds >= 1, got $rounds")
-    val edges = edges0.select("a", "b").localCheckpoint(true)
+    val edges = edges0.select("a", "b").localCheckpoint(false)
     val m = edges.count() // bounded collect: one |E| scalar
     val inc = Persists.barrier(
       edges.select(col("a").as("v"), col("b").as("u"))
         .unionAll(edges.select(col("b").as("v"), col("a").as("u"))))
     val deg = inc.groupBy("v").agg(count(lit(1)).as("deg"))
     var labels = deg.select(col("v").as("node"), col("v").as("community"),
-      col("deg")).localCheckpoint(true)
+      col("deg")).localCheckpoint(false)
     for (r <- 1 to rounds) {
       val par = r % 2
       val lu = labels.select(col("node").as("u"), col("community").as("c"))
@@ -817,7 +844,7 @@ object GraphOps {
         .filter(col("rn") === 1)
         .select(col("v").as("node"), col("c").as("community"), col("deg"))
       labels = labels.filter(col("node") % 2 =!= par)
-        .unionByName(moved).localCheckpoint(true)
+        .unionByName(moved).localCheckpoint(false)
     }
     labels.select(col("node").as("vec_id"), col("community"))
   }
@@ -879,16 +906,16 @@ object GraphOps {
         .head()
       (r.getLong(0), r.getLong(1))
     }
-    var e = edges0.select("src", "dst").distinct().localCheckpoint(true)
+    var e = edges0.select("src", "dst").distinct().localCheckpoint(false)
     var nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var result: DataFrame = null
     var peels = 0
     while (!nodes.isEmpty) {
       peels += 1
       // (1) forward min-color fixpoint: colors flow along src→dst
-      var c = nodes.withColumn("c", col("node")).localCheckpoint(true)
+      var c = nodes.withColumn("c", col("node")).localCheckpoint(false)
       var s = sigNC(c)
       var stable = false
       while (!stable) {
@@ -896,12 +923,12 @@ object GraphOps {
           .select(col("dst").as("node"), col("cv.c").as("c"))
           .unionAll(c)
           .groupBy("node").agg(min("c").as("c"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val s2 = sigNC(c); stable = s2 == s; s = s2
       }
       // (2) backward mark within color, seeded at the color roots
       var m = c.filter(col("c") === col("node")).select("node")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       var sm = sigN(m)
       stable = false
       while (!stable) {
@@ -914,19 +941,19 @@ object GraphOps {
           .select(col("src").as("node"))
           .unionAll(m)
           .distinct()
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val s2 = sigN(m); stable = s2 == sm; sm = s2
       }
       // (3) peel: marked nodes are complete SCCs labeled by color
       val scc = m.join(c, "node")
-        .select(col("node"), col("c").as("scc_id")).localCheckpoint(true)
+        .select(col("node"), col("c").as("scc_id")).localCheckpoint(false)
       result =
         if (result == null) scc
-        else result.unionAll(scc).localCheckpoint(true)
-      nodes = nodes.join(m, Seq("node"), "left_anti").localCheckpoint(true)
+        else result.unionAll(scc).localCheckpoint(false)
+      nodes = nodes.join(m, Seq("node"), "left_anti").localCheckpoint(false)
       e = e.join(m.select(col("node").as("src")), Seq("src"), "left_anti")
         .join(m.select(col("node").as("dst")), Seq("dst"), "left_anti")
-        .select("src", "dst").localCheckpoint(true)
+        .select("src", "dst").localCheckpoint(false)
     }
     (if (result == null)
       edges0.sparkSession.emptyDataFrame
@@ -1026,7 +1053,7 @@ object GraphOps {
   def kcorePeelOn(edges0: DataFrame, k: Int = 3,
       rounds: Int = KcoreRounds): DataFrame = {
     var e = Persists.barrier(edges0.select("a", "b"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val deg = e.select(col("a").as("node"))
         .unionAll(e.select(col("b").as("node")))
@@ -1035,7 +1062,7 @@ object GraphOps {
       e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "semi")
         .select("a", "b")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     // survivors with their residual degree — NO extra filter: the
     // output is exactly "after `rounds` sweeps", which the oracle
@@ -1078,7 +1105,7 @@ object GraphOps {
     val start = nodes.orderBy("node").limit(1)
     val far1 = bfsHopsOn(e, start, maxHops)
       .orderBy(col("dist").desc, col("node")).limit(1)
-    val far1b = far1.localCheckpoint(true)
+    val far1b = far1.localCheckpoint(false)
     val far2 = bfsHopsOn(e, far1b.select("node"), maxHops)
       .orderBy(col("dist").desc, col("node")).limit(1)
     start.select(col("node").as("start_node"))
@@ -1411,7 +1438,7 @@ object GraphOps {
   def ktrussOn(edges0: DataFrame, k: Int = 4,
       rounds: Int = KtrussRounds): DataFrame = {
     var e = Persists.barrier(edges0.select("a", "b"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val t = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
         .join(e.as("e3"),
@@ -1423,7 +1450,7 @@ object GraphOps {
         .unionAll(t.select(col("x").as("a"), col("z").as("b")))
         .groupBy("a", "b").agg(count(lit(1)).as("sup"))
       e = e.join(sup.filter(col("sup") >= k - 2), Seq("a", "b"), "semi")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     e
   }
@@ -1587,7 +1614,7 @@ object GraphOps {
           coalesce(col("pr0"), round(lit(1.0 / n), 9)).as("pr"))
       case None => nodes.select(col("node"),
         round(lit(1.0 / n), 9).as("pr"))
-    }).localCheckpoint(true)
+    }).localCheckpoint(false)
     var it = 0
     var moved = 1L
     while (moved > 0 && it < maxIters) {
@@ -1596,7 +1623,7 @@ object GraphOps {
         .agg(round(lit(teleport) +
           lit(damping) * sum(col("pr") / col("deg")), 9).as("pr"))
         .withColumnRenamed("dst", "node")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       moved = next.as("nx")
         .join(pr.as("ol"), col("nx.node") === col("ol.node"))
         .filter(abs(col("nx.pr") - col("ol.pr")) > tol).count()
@@ -2210,13 +2237,13 @@ object GraphOps {
     val e = Persists.barrier(edges.select("src", "dst"))
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
-    var w = nodes.withColumn("w", lit(1L)).localCheckpoint(true)
+    var w = nodes.withColumn("w", lit(1L)).localCheckpoint(false)
     var acc: DataFrame = null
     for (l <- 1 to rounds) {
       w = e.join(w, e("src") === w("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum("w").as("w"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val unitWeight = math.pow(inv.toDouble, (rounds - l).toDouble).toLong
       val term = w.select(col("node"),
         (col("w") * lit(unitWeight)).as("t"))
@@ -2356,13 +2383,13 @@ object GraphOps {
       rounds: Int): DataFrame = {
     val e = Persists.barrier(edgesW.select("src", "dst", "w"))
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val relax = e.join(dist, e("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relax)
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     dist
   }
@@ -2438,7 +2465,7 @@ object GraphOps {
       .select(col("node"), posexplode(col("v")).as(Seq("i", "x")))
       .select(col("node"), col("i"),
         expr("CAST(round((x + 2.0D) * 1000000D, 0) AS BIGINT)").as("x"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to layers) {
       val nb = e.join(h.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("i"))
@@ -2447,7 +2474,7 @@ object GraphOps {
         .select(col("node"), col("i"),
           expr("(x + coalesce(nx, 0L)) div (1L + coalesce(nc, 0L))")
             .as("x"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     h.select(col("node"), col("i").as("dim"),
       round(col("x") / lit(1000000.0) - lit(2.0), 6).as("h"))
@@ -2494,7 +2521,7 @@ object GraphOps {
     // were checkpointed)
     var level = pivots
       .select(col("s"), col("s").as("node"), lit(1L).as("sigma"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var visited = level.select("s", "node")
     val levels = scala.collection.mutable.ArrayBuffer(level)
     for (_ <- 1 to maxHops) {
@@ -2502,13 +2529,13 @@ object GraphOps {
         .select(col("s"), col("dst").as("node"), col("sigma"))
         .join(visited, Seq("s", "node"), "left_anti")
         .groupBy("s", "node").agg(sum("sigma").as("sigma"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       visited = visited.unionAll(level.select("s", "node"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       levels += level
     }
     var above = levels(maxHops).withColumn("delta", lit(0.0))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var acc = above.select(col("s"), col("node"), col("delta"))
     for (l <- (maxHops - 1) to 1 by -1) {
       val vside = levels(l).select(col("s"), col("node").as("v"),
@@ -2524,7 +2551,7 @@ object GraphOps {
       above = vside.join(contrib, Seq("s", "v"), "left")
         .select(col("s"), col("v").as("node"), col("sv").as("sigma"),
           round(coalesce(col("c"), lit(0.0)), 9).as("delta"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       acc = acc.unionAll(above.select(col("s"), col("node"), col("delta")))
     }
     acc.groupBy("node")

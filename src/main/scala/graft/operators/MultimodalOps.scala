@@ -729,51 +729,65 @@ object MultimodalOps {
     dctPhashOn(mediaTable(spark, sfDir)
       .select(col("media_id"), expr("decode(payload, 'utf-8')").as("txt")))
 
-  /** [[dctPhash]] over any (media_id, txt) frame. */
+  /** [[dctPhash]] over any (media_id, txt) frame.
+    *
+    * IN-ROW since r17 (guide §2.3/§2.4 — the old shape exploded each
+    * media into 64 block rows, ran TWO 64-row-broadcast coefficient
+    * joins fanning 64→512→64 rows through two hash aggregations, then
+    * a collect_list median agg and a final join+agg: four exchanges
+    * and two joins for arithmetic that is a pure per-media function of
+    * one 64-element array). The separable DCT is now computed inside
+    * ONE projection over the codes array — block means, both
+    * coefficient passes, the exact 32nd-smallest median, and the four
+    * chunk words as array folds with the frozen K table embedded as a
+    * 64-long literal. Zero shuffles, zero joins; every intermediate is
+    * the identical integer (same slice bounds, same `div`, same Σ
+    * order over y then x), so the hash-anchored output is unchanged —
+    * the m09/m10 before/after plans in plans/r17 show 4 Exchange → 0
+    * for the hash stage. */
   private[graft] def dctPhashOn(d: DataFrame): DataFrame = {
     val s = d.sparkSession
-    import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val k = broadcast(dctK.toDF("f", "t", "w"))
-    // one-pass char codes — see [[ahashOn]]
-    val codes = d.filter(length(col("txt")) >= 64)
+    // K as an array literal, kArr[f*8+t] = K(f, t) — dctK is built in
+    // (f, t) row-major order, so the flat map is positional
+    val kArr = dctK.map(_._3).mkString("array(", "L, ", "L)")
+    d.filter(length(col("txt")) >= 64)
       .select(col("media_id"),
         length(col("txt")).cast("long").as("len"),
         expr("graft_char_codes(txt)").as("codes"))
-    // scaled integer block means M[x][y], k = 8x + y over the m06 grid
-    val m = codes
-      .select(col("media_id"), col("len"), col("codes"),
-        explode(expr("sequence(0, 63)")).as("bk"))
+      // scaled integer block means M[k], k = 8x + y over the m06 grid
       .select(col("media_id"),
-        (col("bk") / 8).cast("int").as("x"),
-        (col("bk") % 8).cast("int").as("y"),
-        expr("""aggregate(slice(codes,
-                  CAST(bk * len div 64 + 1 AS INT),
-                  CAST((bk + 1) * len div 64 - bk * len div 64 AS INT)),
-                0L, (a, c) -> a + c) * 100
-              div ((bk + 1) * len div 64 - bk * len div 64)""").as("m"))
-    // row pass: T[x][v] = Σ_y M[x][y] · K[v][y]
-    val t1 = m.join(k, col("t") === col("y"))
-      .groupBy(col("media_id"), col("x"), col("f").as("v"))
-      .agg(sum(col("m") * col("w")).as("tv"))
-    // column pass: D[u][v] = Σ_x T[x][v] · K[u][x]
-    val dct = Persists.barrier(t1.join(k, col("t") === col("x"))
-      .groupBy(col("media_id"), col("f").as("u"), col("v"))
-      .agg(sum(col("tv") * col("w")).as("dc"))
+        expr("""transform(sequence(0, 63), bk ->
+                  aggregate(slice(codes,
+                    CAST(bk * len div 64 + 1 AS INT),
+                    CAST((bk + 1) * len div 64 - bk * len div 64 AS INT)),
+                  0L, (a, c) -> a + c) * 100
+                div ((bk + 1) * len div 64 - bk * len div 64))""")
+          .as("marr"))
+      // row pass: T[8x+v] = Σ_y M[8x+y] · K[8v+y]
       .select(col("media_id"),
-        (col("u") * 8 + col("v")).cast("int").as("bk"), col("dc"))
-      .filter(col("bk") > 0))
-    // exact median AC (32nd smallest of 63), then the chunk bits
-    val med = dct.groupBy("media_id").agg(
-      expr("element_at(array_sort(collect_list(dc)), 32)").as("med"))
-    def chunk(c: Int): org.apache.spark.sql.Column = sum(
-      when(col("bk") >= c * 16 && col("bk") < (c + 1) * 16 &&
-        col("dc") > col("med"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(bk % 16 AS INT))"))
-        .otherwise(0L))
-    dct.join(med, "media_id").groupBy("media_id").agg(
-      chunk(0).as("p0"), chunk(1).as("p1"),
-      chunk(2).as("p2"), chunk(3).as("p3"))
+        expr(s"""transform(sequence(0, 63), i ->
+                   aggregate(sequence(0, 7), 0L, (a, y) ->
+                     a + marr[(i div 8) * 8 + y] *
+                       $kArr[(i % 8) * 8 + y]))""")
+          .as("tarr"))
+      // column pass, AC terms only: ac[bk-1] = D[bk div 8][bk % 8]
+      //   = Σ_x T[8x + (bk%8)] · K[(bk div 8)*8 + x],  bk = 1..63
+      .select(col("media_id"),
+        expr(s"""transform(sequence(1, 63), bk ->
+                   aggregate(sequence(0, 7), 0L, (a, x) ->
+                     a + tarr[x * 8 + bk % 8] *
+                       $kArr[(bk div 8) * 8 + x]))""").as("ac"))
+      // exact median AC (32nd smallest of 63), then the chunk words
+      .select(col("media_id"), col("ac"),
+        expr("element_at(array_sort(ac), 32)").as("med"))
+      .select(Seq(col("media_id")) ++ (0 to 3).map { c =>
+        val lo = math.max(16 * c, 1)
+        expr(s"""aggregate(sequence($lo, ${16 * c + 15}), 0L, (a, bk) ->
+                   a + IF(ac[bk - 1] > med,
+                         shiftleft(1L, CAST(bk % 16 AS INT)), 0L))""")
+          .as(s"p$c")
+      }: _*)
   }
 
   /** m09's DuckDB twin: same frozen VALUES coefficient table, same

@@ -878,6 +878,77 @@ object SimilarityOps {
       entries)
   }
 
+  /** s47's SERVE-ONLY twin (benched s47i — VERDICT r16 item 3, the
+    * s53 ingest/serve split applied to the lifecycle serve): the
+    * batched walk over the STORED maintained artifact under the
+    * tombstone manifest — pays none of the per-run insert walk the
+    * inline s47 bundles. Identical output to
+    * [[graphBeamLifecycleServed]] (ServeTwinsSpec pins it). */
+  def graphBeamLifecycleMaintServed(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4): DataFrame = {
+    val h = Persists.barrier(
+      spark.read.parquet(beamMaintainedHop2Path(spark, sfDir))
+        .select("src", "dst"))
+    serveWalkOver(spark, sfDir, h, (steps + 1) / 2, nQueries, beam, k,
+      entries, exclude = Some(tombstoneNodes(spark, sfDir)))
+  }
+
+  /** s48's SERVE-ONLY twin (benched s48i): the same maintenance
+    * dispatch, with EVERY branch serving stored artifacts — the
+    * decision row stays the timed trigger read, the s47 branch serves
+    * [[beamMaintainedHop2Path]] instead of re-running the insert walk.
+    * Identical output to [[graphBeamAnnLifecycleAuto]]. */
+  def graphBeamLifecycleAutoServed(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4,
+      rebuildThreshold: Double = 0.2,
+      compactThreshold: Double = 0.1): DataFrame = {
+    val decide = annMaintenanceNeeded(spark, sfDir,
+      rebuildThreshold, compactThreshold).head()
+    decide.getAs[String]("action") match {
+      case "serve" => graphBeamLifecycleMaintServed(spark, sfDir,
+        nQueries, beam, steps, k, entries)
+      case _ => graphBeamAnnCompactedServed(spark, sfDir,
+        nQueries, beam, steps, k, entries)
+    }
+  }
+
+  /** The stored CAPPED maintained 1∪2-hop artifact — s50's serve
+    * frame, materialized once at ingest (the
+    * [[beamMaintainedHop2Path]] discipline with the degree cap in the
+    * key). */
+  def beamCappedHop2Path(spark: SparkSession, sfDir: String,
+      cap: Int = 16): String = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
+    val dir = graft.sources.FsUtil.qualified(
+      "target/tmp/graph/beamcaphop2_" +
+        graft.sources.FsUtil.sanitize(sfDir) + s"_n${n}_c${cap}_$fp")
+    if (!graft.sources.FsUtil.exists(spark, dir + "/_SUCCESS"))
+      cappedMaintainedFrame(spark, sfDir, cap = cap)
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** s50's SERVE-ONLY twin (benched s50i): the batched walk over the
+    * stored capped artifact. Identical output to
+    * [[graphBeamDeltaCappedServed]] — same frame (spec-pinned), same
+    * entry policy, same dials. */
+  def graphBeamCappedServed(
+      spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4, cap: Int = 16): DataFrame = {
+    val h = Persists.barrier(
+      spark.read.parquet(beamCappedHop2Path(spark, sfDir, cap))
+        .select("src", "dst"))
+    serveWalkOver(spark, sfDir, h, (steps + 1) / 2, nQueries, beam, k,
+      entries)
+  }
+
   private def deltaBatchedWalk(
       spark: SparkSession, sfDir: String,
       nQueries: Int, beam: Int, steps: Int,
@@ -1206,7 +1277,7 @@ object SimilarityOps {
       exclude: Option[DataFrame] = None): DataFrame = {
     var f: DataFrame = q.crossJoin(broadcast(entryNodes.select("node")))
       .select(col("query_id"), col("node").as("entry"), col("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Per-round beam trim via the native DISTINCT top-k aggregate
     // instead of distinct() + row_number window: a candidate node's
     // cosine is a function of (query, node), so duplicate candidates
@@ -1230,7 +1301,7 @@ object SimilarityOps {
         .select(col("query_id"), col("entry"), explode(col("tk")).as("e"))
         .select(col("query_id"), col("entry"),
           col("e.payload").as("node"), col("e.score").as("cosine"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     val base = f.filter(col("node") =!= col("query_id"))
       .select("query_id", "node", "cosine")
@@ -2708,13 +2779,13 @@ object SimilarityOps {
     // round on top of the covariance subtree and planning time
     // explodes data-size-independently (the t19/hitsOn analyzer
     // lesson — measured 44 s/run before the cut, 2 s after)
-    val cov = covarianceOn(corpus, n).localCheckpoint(true)
+    val cov = covarianceOn(corpus, n).localCheckpoint(false)
     val dd = cov.agg(countDistinct("i").cast("double").as("d"))
     var vcur = cov.select(col("i").as("dim")).distinct()
       .crossJoin(broadcast(dd))
       .select(col("dim"),
         (round(lit(1.0) / sqrt(col("d")), 6) + lit(0.0)).as("x"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val w = cov.join(vcur.select(col("dim").as("j"), col("x")), "j")
         .groupBy("i").agg(sum(col("cov") * col("x")).as("w"))
@@ -2722,7 +2793,7 @@ object SimilarityOps {
       vcur = w.crossJoin(broadcast(nrm))
         .select(col("i").as("dim"),
           (round(col("w") / col("nrm"), 6) + lit(0.0)).as("x"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     val lam = cov
       .join(vcur.select(col("dim").as("i"), col("x").as("xi")), "i")
@@ -3295,7 +3366,7 @@ object SimilarityOps {
     val c0 = all.orderBy("vec_id").limit(1)
       .select(lit(0).as("seq"), col("vec_id"), col("v"),
         lit(0.0).as("dist2"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var cents = c0
     if (k > 1) {
       var state = all
@@ -3303,13 +3374,13 @@ object SimilarityOps {
           c0.select(col("v").as("cv"), col("vec_id").as("cid"))))
         .select(col("vec_id"), col("v"), expr(d2new).as("best"),
           (col("vec_id") === col("cid")).as("taken"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       for (r <- 1 until k) {
         val next = state.filter(!col("taken"))
           .orderBy(col("best").desc, col("vec_id")).limit(1)
           .select(lit(r).as("seq"), col("vec_id"), col("v"),
             col("best").as("dist2"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         cents = cents.unionByName(next)
         if (r < k - 1)
           state = state
@@ -3318,7 +3389,7 @@ object SimilarityOps {
             .select(col("vec_id"), col("v"),
               least(col("best"), expr(d2new)).as("best"),
               (col("taken") || col("vec_id") === col("cid")).as("taken"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
       }
     }
     cents.select("seq", "vec_id", "dist2")

@@ -81,7 +81,7 @@ object TokenizerOps {
         .as(Seq("p0", "sym")))
       .select(col("word"), col("wcnt"), (col("p0") + 1).as("pos"),
         col("sym"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var out: DataFrame = null
     for (r <- 1 to merges) {
       val adj = Persists.barrier(syms.as("a").join(syms.as("b"),
@@ -117,7 +117,7 @@ object TokenizerOps {
         .withColumn("pos",
           row_number().over(W.partitionBy("word").orderBy("opos")))
         .select("word", "wcnt", "pos", "sym")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val row = top.select(lit(r).as("merge_round"), col("s1"),
         col("s2"), col("cnt"))
       out = if (out == null) row else out.unionByName(row)

@@ -121,6 +121,73 @@ object StreamAnnMaintain {
       nQueries, beam, k, entries)
   }
 
+  /** The stored STREAM-maintained 1∪2-hop artifact — the 3-micro-batch
+    * ingest fold materialized once (the beamMaintainedHop2Path
+    * discipline applied to the streaming fold; what a serving tier
+    * reads between stream triggers). Fingerprint-keyed like every
+    * index artifact. */
+  def streamMaintainedHop2Path(
+      spark: SparkSession, sfDir: String, nFiles: Int = 3): String = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
+    val dir = FsUtil.qualified("target/tmp/graph/streammainthop2_" +
+      FsUtil.sanitize(sfDir) + s"_n${n}_f${nFiles}_$fp")
+    if (!FsUtil.exists(spark, dir + "/_SUCCESS"))
+      maintainedFrames(spark, sfDir, nFiles)._2
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** s49's SERVE-ONLY twin (benched s49i — VERDICT r16 item 3): the
+    * batched walk over the STORED stream-maintained artifact, paying
+    * none of the per-run stream replay. Identical output to
+    * [[beamMaintainStream]] (ServeTwinsSpec pins it). */
+  def beamMaintainStreamServed(
+      spark: SparkSession, sfDir: String,
+      nFiles: Int = 3, nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4): DataFrame = {
+    val h = graft.operators.Persists.barrier(
+      spark.read.parquet(streamMaintainedHop2Path(spark, sfDir, nFiles))
+        .select("src", "dst"))
+    SimilarityOps.serveWalkOver(spark, sfDir, h, (steps + 1) / 2,
+      nQueries, beam, k, entries)
+  }
+
+  /** The stored CRUD-stream lifecycle artifacts: (1∪2-hop frame dir,
+    * tombstone-manifest dir) — the s51 fold materialized once. */
+  def streamLifecyclePaths(
+      spark: SparkSession, sfDir: String,
+      nFiles: Int = 3): (String, String) = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(
+      spark, sfDir, "embeddings", Seq("vec_id", "embedding")))
+    val base = FsUtil.qualified("target/tmp/graph/streamlife_" +
+      FsUtil.sanitize(sfDir) + s"_n${n}_f${nFiles}_$fp")
+    if (!FsUtil.exists(spark, base + "/h/_SUCCESS") ||
+        !FsUtil.exists(spark, base + "/tomb/_SUCCESS")) {
+      val (_, h, tomb) = lifecycleFrames(spark, sfDir, nFiles)
+      h.write.mode("overwrite").parquet(base + "/h")
+      tomb.write.mode("overwrite").parquet(base + "/tomb")
+    }
+    (base + "/h", base + "/tomb")
+  }
+
+  /** s51's SERVE-ONLY twin (benched s51i): the batched walk over the
+    * stored CRUD-stream artifacts, manifest honored merge-on-read.
+    * Identical output to [[beamLifecycleStream]]. */
+  def beamLifecycleStreamServed(
+      spark: SparkSession, sfDir: String,
+      nFiles: Int = 3, nQueries: Int = 5, beam: Int = 8, steps: Int = 6,
+      k: Int = 5, entries: Int = 4): DataFrame = {
+    val (hDir, tombDir) = streamLifecyclePaths(spark, sfDir, nFiles)
+    val h = graft.operators.Persists.barrier(
+      spark.read.parquet(hDir).select("src", "dst"))
+    SimilarityOps.serveWalkOver(spark, sfDir, h, (steps + 1) / 2,
+      nQueries, beam, k, entries,
+      exclude = Some(spark.read.parquet(tombDir).select("node")))
+  }
+
   val cdcSchema: StructType = StructType(Seq(
     StructField("op", StringType),
     StructField("vec_id", LongType),

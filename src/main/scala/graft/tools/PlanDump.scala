@@ -1,4 +1,4 @@
-// Dump `explain("formatted")` for named queries to plans/r16/<name>_<tag>.txt
+// Dump `explain("formatted")` for named queries to plans/r17/<name>_<tag>.txt
 // — the judge-checkable plan evidence for the optimization round.
 // Usage: runMain graft.tools.PlanDump [sfDir [tag [query ...]]]
 package graft.tools
@@ -22,14 +22,14 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = graft.SparkEntry.queries ++ graft.Bench.benchOnly
-    Files.createDirectories(Paths.get("plans/r16"))
+    Files.createDirectories(Paths.get("plans/r17"))
     names.foreach { n =>
       graft.operators.Persists.scoped {
         val df = all(n)(spark, sfDir)
         val txt = df.queryExecution.explainString(
           ExplainMode.fromString("formatted"))
-        Files.writeString(Paths.get(s"plans/r16/${n}_$tag.txt"), txt)
-        println(s"PLAN $n -> plans/r16/${n}_$tag.txt (${txt.length} chars)")
+        Files.writeString(Paths.get(s"plans/r17/${n}_$tag.txt"), txt)
+        println(s"PLAN $n -> plans/r17/${n}_$tag.txt (${txt.length} chars)")
       }
     }
     spark.stop()
